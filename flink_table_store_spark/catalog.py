@@ -1,0 +1,104 @@
+"""Filesystem catalog: ``warehouse/<db>.db/<table>`` directory layout.
+
+Mirrors the reference FileSystemCatalog (paimon-core catalog/): a
+database is a directory, a table is a directory with schema/, snapshot/,
+manifest/, data. System tables resolve via the ``table$suffix`` naming
+convention (SystemTableLoader, paimon-core table/system/).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import types as T
+
+from flink_table_store_spark.schema import SchemaManager, TableSchema, from_spark_schema
+from flink_table_store_spark.table import Table
+
+
+class Catalog:
+    def __init__(self, warehouse: str):
+        self.warehouse = warehouse
+        os.makedirs(warehouse, exist_ok=True)
+
+    def _db_path(self, database: str) -> str:
+        return os.path.join(self.warehouse, f"{database}.db")
+
+    def create_database(self, database: str, ignore_if_exists: bool = True) -> None:
+        p = self._db_path(database)
+        if os.path.exists(p) and not ignore_if_exists:
+            raise RuntimeError(f"database {database} exists")
+        os.makedirs(p, exist_ok=True)
+
+    def list_databases(self) -> list[str]:
+        return sorted(
+            n[:-3] for n in os.listdir(self.warehouse) if n.endswith(".db")
+        )
+
+    def list_tables(self, database: str) -> list[str]:
+        p = self._db_path(database)
+        if not os.path.isdir(p):
+            return []
+        return sorted(n for n in os.listdir(p) if os.path.isdir(os.path.join(p, n)))
+
+    def table_path(self, identifier: str) -> str:
+        db, name = self._split(identifier)
+        return os.path.join(self._db_path(db), name)
+
+    def _split(self, identifier: str) -> tuple[str, str]:
+        if "." in identifier:
+            db, name = identifier.split(".", 1)
+        else:
+            db, name = "default", identifier
+        return db, name
+
+    def create_table(
+        self,
+        identifier: str,
+        schema: T.StructType | TableSchema,
+        partition_keys: list[str] | None = None,
+        primary_keys: list[str] | None = None,
+        options: dict[str, str] | None = None,
+        ignore_if_exists: bool = False,
+    ) -> Table:
+        db, name = self._split(identifier)
+        self.create_database(db)
+        path = os.path.join(self._db_path(db), name)
+        sm = SchemaManager(path)
+        if sm.latest() is not None:
+            if ignore_if_exists:
+                return Table(path, name)
+            raise RuntimeError(f"table {identifier} exists")
+        if isinstance(schema, str):  # DDL string "a bigint, b string"
+            schema = T.StructType.fromDDL(schema)
+        if isinstance(schema, T.StructType):
+            ts = from_spark_schema(schema, partition_keys, primary_keys, options)
+        else:
+            ts = schema
+        if ts.primary_keys:
+            for k in ts.partition_keys:
+                if k not in ts.primary_keys:
+                    # reference requires pk ⊇ partition keys for PK tables
+                    ts.primary_keys = ts.partition_keys + ts.primary_keys
+                    break
+        os.makedirs(path, exist_ok=True)
+        sm.commit(ts)
+        return Table(path, name)
+
+    def get_table(self, identifier: str) -> Table:
+        # system table suffix: "db.t$snapshots" handled by SystemTables
+        path = self.table_path(identifier)
+        if not os.path.isdir(path):
+            raise RuntimeError(f"table {identifier} not found at {path}")
+        return Table(path, identifier)
+
+    def drop_table(self, identifier: str, ignore_if_not_exists: bool = True) -> None:
+        path = self.table_path(identifier)
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        elif not ignore_if_not_exists:
+            raise RuntimeError(f"table {identifier} not found")
+
+    def rename_table(self, src: str, dst: str) -> None:
+        os.replace(self.table_path(src), self.table_path(dst))

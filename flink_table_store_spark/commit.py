@@ -1,0 +1,136 @@
+"""ACID commit protocol: snapshot CAS + conflict re-check + retry.
+
+Mirrors paimon-core FileStoreCommitImpl.java — protocol comment
+:109-126 ("Before committing, we will first check for conflicts by
+checking if all files to be removed currently exists"), retry loop
+``tryCommit`` :687-703. Commit is single-threaded on the driver (the
+coordinator), identical to the reference's coordinator-side commit;
+data writing happened in executors beforehand.
+"""
+
+from __future__ import annotations
+
+import time
+
+from flink_table_store_spark.manifest import (
+    KIND_ADD,
+    KIND_DELETE,
+    ManifestEntry,
+    ManifestManager,
+)
+from flink_table_store_spark.snapshot import (
+    COMMIT_APPEND,
+    COMMIT_OVERWRITE,
+    Snapshot,
+    SnapshotManager,
+    now_millis,
+)
+
+
+class CommitConflictError(RuntimeError):
+    pass
+
+
+class FileStoreCommit:
+    def __init__(self, table_path: str, max_retries: int = 10):
+        self.snapshots = SnapshotManager(table_path)
+        self.manifests = ManifestManager(table_path)
+        self.max_retries = max_retries
+
+    def commit(
+        self,
+        entries: list[ManifestEntry],
+        schema_id: int,
+        kind: str = COMMIT_APPEND,
+        commit_identifier: str = "",
+        watermark: int | None = None,
+        next_sequence: int | None = None,
+    ) -> Snapshot:
+        """Commit ADD/DELETE entries as a new snapshot. Retries on CAS
+        loss; re-validates that DELETE-d files still exist (conflict
+        check) each attempt."""
+        if commit_identifier:
+            # Idempotence for streaming sinks (foreachBatch re-runs): if a
+            # snapshot with this identifier already exists, skip (T10).
+            for sid in self.snapshots.snapshot_ids():
+                if self.snapshots.load(sid).commit_identifier == commit_identifier:
+                    return self.snapshots.load(sid)
+
+        delta_manifest = self.manifests.write_manifest(entries) if entries else None
+        deleted_keys = {e.key() for e in entries if e.kind == KIND_DELETE}
+        added = sum(e.row_count for e in entries if e.kind == KIND_ADD)
+        removed = sum(e.row_count for e in entries if e.kind == KIND_DELETE)
+
+        for _attempt in range(self.max_retries):
+            latest = self.snapshots.latest()
+            if latest is None:
+                base_list, prev_total, prev_seq, new_id = None, 0, 0, 1
+            else:
+                # Fold the previous snapshot's (base + delta) into a new base
+                # manifest list so each snapshot's delta holds only this
+                # commit's entries.
+                base_entries = self.manifests.read_live_entries(
+                    latest.base_manifest_list, latest.delta_manifest_list
+                )
+                if deleted_keys:
+                    live_keys = {e.key() for e in base_entries}
+                    missing = deleted_keys - live_keys
+                    if missing:
+                        raise CommitConflictError(
+                            f"files deleted by this commit no longer exist: {sorted(missing)[:3]}"
+                        )
+                base_list = (
+                    self.manifests.write_manifest_list(
+                        [self.manifests.write_manifest(base_entries)]
+                    )
+                    if base_entries
+                    else None
+                )
+                prev_total, prev_seq, new_id = (
+                    latest.total_record_count,
+                    latest.next_sequence,
+                    latest.id + 1,
+                )
+
+            delta_list = (
+                self.manifests.write_manifest_list([delta_manifest]) if delta_manifest else None
+            )
+            snap = Snapshot(
+                id=new_id,
+                schema_id=schema_id,
+                base_manifest_list=base_list,
+                delta_manifest_list=delta_list,
+                commit_kind=kind,
+                commit_identifier=commit_identifier,
+                time_millis=now_millis(),
+                total_record_count=prev_total + added - removed,
+                delta_record_count=added - removed,
+                watermark=watermark,
+                next_sequence=max(prev_seq, next_sequence or 0),
+            )
+            if self.snapshots.try_commit(snap):
+                return snap
+            time.sleep(0.01)  # lost the CAS race — re-plan against new latest
+        raise CommitConflictError(f"commit failed after {self.max_retries} retries")
+
+    def commit_overwrite(
+        self,
+        new_entries: list[ManifestEntry],
+        schema_id: int,
+        partition_filter,
+    ) -> Snapshot:
+        """INSERT OVERWRITE: DELETE all live files whose partition matches
+        ``partition_filter`` (a Predicate or None = whole table), ADD new.
+        (reference: PaimonDynamicPartitionOverwriteCommand, commit kind
+        OVERWRITE)."""
+        latest = self.snapshots.latest()
+        deletes: list[ManifestEntry] = []
+        if latest is not None:
+            for e in self.manifests.read_live_entries(
+                latest.base_manifest_list, latest.delta_manifest_list
+            ):
+                if partition_filter is None or partition_filter.test_partition(e.partition):
+                    d = ManifestEntry(**{**e.__dict__})
+                    d.kind = KIND_DELETE
+                    deletes.append(d)
+        return self.commit(deletes + new_entries, schema_id, kind=COMMIT_OVERWRITE)

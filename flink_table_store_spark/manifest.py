@@ -1,0 +1,209 @@
+"""Manifests: the ADD/DELETE file log with per-file stats.
+
+Mirrors paimon-core ManifestEntry.java:55-90 (FileKind.ADD/DELETE) and
+DataFileMeta.java:97-166 (rowCount, min/max stats, level, schemaId).
+Layout: a manifest *list* is a JSON file naming manifest files; each
+manifest file is parquet holding entry rows. Manifests are small
+relative to data (1 row per data file), so the driver reads them with
+pyarrow; at 100 TB scale (millions of files) the same parquet
+manifests are readable as a Spark DataFrame — ``entries_df`` below —
+so planning itself distributes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from datetime import date, datetime
+from decimal import Decimal
+from typing import Any, Iterable
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from flink_table_store_spark.fileio import new_file_name, read_json, write_json
+
+KIND_ADD = "ADD"
+KIND_DELETE = "DELETE"
+
+_ENTRY_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),
+        ("partition", pa.string()),  # JSON object {pt_col: value-as-string}
+        ("bucket", pa.int32()),
+        ("level", pa.int32()),
+        ("file_name", pa.string()),  # path relative to table root
+        ("row_count", pa.int64()),
+        ("file_size", pa.int64()),
+        ("min_seq", pa.int64()),
+        ("max_seq", pa.int64()),
+        ("schema_id", pa.int64()),
+        ("stats", pa.string()),  # JSON {col: {"min":v,"max":v,"nulls":n}}
+        ("creation_time", pa.int64()),
+    ]
+)
+
+
+@dataclass
+class ManifestEntry:
+    kind: str
+    partition: dict[str, str]
+    bucket: int
+    level: int
+    file_name: str
+    row_count: int
+    file_size: int
+    min_seq: int = 0
+    max_seq: int = 0
+    schema_id: int = 0
+    stats: dict[str, dict[str, Any]] = field(default_factory=dict)
+    creation_time: int = 0
+
+    def key(self) -> tuple:
+        return (json.dumps(self.partition, sort_keys=True), self.bucket, self.file_name)
+
+    def to_row(self) -> dict[str, Any]:
+        return {
+            "kind": self.kind,
+            "partition": json.dumps(self.partition, sort_keys=True),
+            "bucket": self.bucket,
+            "level": self.level,
+            "file_name": self.file_name,
+            "row_count": self.row_count,
+            "file_size": self.file_size,
+            "min_seq": self.min_seq,
+            "max_seq": self.max_seq,
+            "schema_id": self.schema_id,
+            "stats": json.dumps(self.stats, default=str),
+            "creation_time": self.creation_time,
+        }
+
+    @staticmethod
+    def from_row(r: dict[str, Any]) -> "ManifestEntry":
+        return ManifestEntry(
+            kind=r["kind"],
+            partition=json.loads(r["partition"]),
+            bucket=r["bucket"],
+            level=r["level"],
+            file_name=r["file_name"],
+            row_count=r["row_count"],
+            file_size=r["file_size"],
+            min_seq=r["min_seq"],
+            max_seq=r["max_seq"],
+            schema_id=r["schema_id"],
+            stats=json.loads(r["stats"]) if r["stats"] else {},
+            creation_time=r["creation_time"],
+        )
+
+
+class ManifestManager:
+    def __init__(self, table_path: str):
+        self.table_path = table_path
+        self.dir = os.path.join(table_path, "manifest")
+
+    def write_manifest(self, entries: list[ManifestEntry]) -> str:
+        """Write one manifest parquet file; returns its file name."""
+        os.makedirs(self.dir, exist_ok=True)
+        name = new_file_name("manifest", ".parquet")
+        rows = [e.to_row() for e in entries]
+        table = pa.Table.from_pylist(rows, schema=_ENTRY_SCHEMA)
+        pq.write_table(table, os.path.join(self.dir, name), compression="zstd")
+        return name
+
+    def write_manifest_list(self, manifest_names: list[str]) -> str:
+        os.makedirs(self.dir, exist_ok=True)
+        name = new_file_name("manifest-list", ".json")
+        write_json(os.path.join(self.dir, name), {"manifests": manifest_names})
+        return name
+
+    def read_manifest_list(self, list_name: str | None) -> list[str]:
+        if not list_name:
+            return []
+        return read_json(os.path.join(self.dir, list_name))["manifests"]
+
+    def read_manifest(self, name: str) -> list[ManifestEntry]:
+        table = pq.read_table(os.path.join(self.dir, name))
+        return [ManifestEntry.from_row(r) for r in table.to_pylist()]
+
+    def read_entries(self, list_name: str | None) -> list[ManifestEntry]:
+        out: list[ManifestEntry] = []
+        for m in self.read_manifest_list(list_name):
+            out.extend(self.read_manifest(m))
+        return out
+
+    def read_live_entries(self, base_list: str | None, delta_list: str | None) -> list[ManifestEntry]:
+        """Merge base+delta logs: ADD entries minus DELETE-d files."""
+        merged: dict[tuple, ManifestEntry] = {}
+        for e in self.read_entries(base_list) + self.read_entries(delta_list):
+            if e.kind == KIND_ADD:
+                merged[e.key()] = e
+            else:
+                merged.pop(e.key(), None)
+        return list(merged.values())
+
+    def entries_df(self, spark, list_name: str | None):
+        """Manifest entries as a Spark DataFrame — the scale path for
+        planning over millions of files (SURVEY §2.1 S2/S3)."""
+        names = self.read_manifest_list(list_name)
+        if not names:
+            return spark.createDataFrame([], schema="kind string, partition string, bucket int")
+        return spark.read.parquet(*[os.path.join(self.dir, n) for n in names])
+
+
+def _json_safe(v: Any) -> Any:
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, bytes):
+        return None
+    return v
+
+
+def collect_parquet_stats(path: str) -> tuple[int, int, dict[str, dict[str, Any]]]:
+    """(row_count, file_size, per-column {min,max,nulls}) from the parquet
+    footer — no data read. Driver-side is fine for moderate file counts;
+    at scale the writer tasks return the same stats through the
+    CommitMessage hop instead (see write.py)."""
+    md = pq.ParquetFile(path).metadata
+    stats: dict[str, dict[str, Any]] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested — skip stats, no pruning on nested fields
+                continue
+            try:
+                s = col.statistics
+                if s is None or not s.has_min_max:
+                    continue
+                mn, mx = _json_safe(s.min), _json_safe(s.max)
+            except Exception:
+                continue  # e.g. pyarrow can't cast DECIMAL stats — skip pruning for the column
+            nulls = s.null_count if s.null_count is not None else 0
+            if name not in stats:
+                stats[name] = {"min": mn, "max": mx, "nulls": nulls}
+            else:
+                cur = stats[name]
+                if mn is not None and (cur["min"] is None or mn < cur["min"]):
+                    cur["min"] = mn
+                if mx is not None and (cur["max"] is None or mx > cur["max"]):
+                    cur["max"] = mx
+                cur["nulls"] += nulls
+    return md.num_rows, os.path.getsize(path), stats
+
+
+def merge_entry_stats(entries: Iterable[ManifestEntry], col: str) -> tuple[Any, Any]:
+    """min/max of a column across entries (for sys.max_pt-style shortcuts)."""
+    mn = mx = None
+    for e in entries:
+        s = e.stats.get(col)
+        if not s:
+            continue
+        if s["min"] is not None and (mn is None or s["min"] < mn):
+            mn = s["min"]
+        if s["max"] is not None and (mx is None or s["max"] > mx):
+            mx = s["max"]
+    return mn, mx

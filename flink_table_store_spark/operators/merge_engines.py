@@ -1,0 +1,205 @@
+"""Merge engines as declarative DataFrame transforms (merge-on-read).
+
+The reference merges LSM runs row-by-row through MergeFunction
+implementations during a K-way sort-merge read
+(MergeFileSplitRead.java:220-231, SortMergeReader.java:41-51). In
+Spark the same semantics are a single shuffle-based transform over the
+unioned runs — Catalyst plans a hash aggregate / window, Tungsten
+spills, AQE handles skew; no loser tree needed:
+
+- deduplicate  (DeduplicateMergeFunction.java:32): keep the row with
+  max sequence per key; a trailing ``-D`` removes the key.
+- first_row    (FirstRowMergeFunction.java:32): keep the first row.
+- partial-update (PartialUpdateMergeFunction.java:65-107): non-null
+  fields overwrite, per sequence-group version columns.
+- aggregation  (AggregateMergeFunction.java:49): per-field aggregate
+  functions (factory names in mergetree/compact/aggregate/factory/).
+
+All engines receive the union of live data files of a (partition,
+bucket) group carrying the hidden columns ``_SEQUENCE_NUMBER`` and
+``_VALUE_KIND`` and return merged rows with data columns only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_table_store_spark.schema import (
+    KIND_DELETE,
+    SEQUENCE_NUMBER,
+    VALUE_KIND,
+    TableSchema,
+)
+
+ENGINE_DEDUPLICATE = "deduplicate"
+ENGINE_FIRST_ROW = "first-row"
+ENGINE_PARTIAL_UPDATE = "partial-update"
+ENGINE_AGGREGATION = "aggregation"
+
+
+def merge_view(df: DataFrame, schema: TableSchema) -> DataFrame:
+    engine = schema.options.get("merge-engine", ENGINE_DEDUPLICATE)
+    if engine == ENGINE_DEDUPLICATE:
+        return _dedup(df, schema, descending=True)
+    if engine == ENGINE_FIRST_ROW:
+        return _dedup(df, schema, descending=False)
+    if engine == ENGINE_PARTIAL_UPDATE:
+        return _partial_update(df, schema)
+    if engine == ENGINE_AGGREGATION:
+        return _aggregation(df, schema)
+    raise ValueError(f"unknown merge-engine {engine}")
+
+
+def _key_cols(schema: TableSchema) -> list[str]:
+    # full logical key: partition keys + trimmed PK
+    return list(schema.partition_keys) + schema.trimmed_primary_keys()
+
+
+def _dedup(df: DataFrame, schema: TableSchema, descending: bool) -> DataFrame:
+    seq = F.col(SEQUENCE_NUMBER)
+    order = seq.desc() if descending else seq.asc()
+    w = Window.partitionBy(*_key_cols(schema)).orderBy(order)
+    out = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .where(F.col(VALUE_KIND) != KIND_DELETE)
+    )
+    return out.select(*schema.field_names())
+
+
+def _sequence_groups(schema: TableSchema) -> dict[str, list[str]]:
+    """{seq_col: [fields]} from ``fields.<seq>.sequence-group`` options
+    (PartialUpdateMergeFunction.java:67 SEQUENCE_GROUP)."""
+    groups: dict[str, list[str]] = {}
+    for k, v in schema.options.items():
+        if k.startswith("fields.") and k.endswith(".sequence-group"):
+            seq_col = k[len("fields."):-len(".sequence-group")]
+            groups[seq_col] = [c.strip() for c in v.split(",") if c.strip()]
+    return groups
+
+
+def _partial_update(df: DataFrame, schema: TableSchema) -> DataFrame:
+    """groupBy(key) with per-field max_by — one shuffle, map-side combine.
+
+    Non-group fields: last non-null value in sequence order
+    (``max_by(f, seq where f non-null)``). Sequence-group fields: value
+    from the row with the max non-null group-sequence. ``-D`` rows
+    remove the record when they are the latest activity
+    (partial-update.remove-record-on-delete semantics).
+    """
+    keys = _key_cols(schema)
+    groups = _sequence_groups(schema)
+    field_group: dict[str, str] = {}
+    for seq_col, cols in groups.items():
+        for c in cols:
+            field_group[c] = seq_col
+
+    seq = SEQUENCE_NUMBER
+    upserts = df.where(F.col(VALUE_KIND) != KIND_DELETE)
+    aggs = []
+    for f in schema.fields:
+        if f.name in keys:
+            continue
+        if f.name in groups:  # a sequence column itself: keep its max
+            aggs.append(F.max(F.col(f.name)).alias(f.name))
+        elif f.name in field_group:
+            g = field_group[f.name]
+            aggs.append(
+                F.expr(f"max_by(`{f.name}`, CASE WHEN `{g}` IS NOT NULL THEN struct(`{g}`, `{seq}`) END)").alias(f.name)
+            )
+        else:
+            aggs.append(
+                F.expr(f"max_by(`{f.name}`, CASE WHEN `{f.name}` IS NOT NULL THEN `{seq}` END)").alias(f.name)
+            )
+    aggs.append(F.max(F.col(seq)).alias("__ups_seq"))
+    merged = upserts.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+    deletes = (
+        df.where(F.col(VALUE_KIND) == KIND_DELETE)
+        .groupBy(*[F.col(k) for k in keys])
+        .agg(F.max(F.col(seq)).alias("__del_seq"))
+    )
+    out = (
+        merged.join(deletes, on=keys, how="left")
+        .where(F.col("__del_seq").isNull() | (F.col("__ups_seq") > F.col("__del_seq")))
+    )
+    return out.select(*schema.field_names())
+
+
+# --- field aggregators (mergetree/compact/aggregate/factory/*.java:28-35) ---
+
+def _agg_expr(func: str, name: str, seq: str):
+    c = f"`{name}`"
+    if func == "sum":
+        return F.sum(F.col(name))
+    if func == "product":
+        return F.product(F.col(name))
+    if func == "count":
+        return F.count(F.col(name))
+    if func == "min":
+        return F.min(F.col(name))
+    if func == "max":
+        return F.max(F.col(name))
+    if func == "bool_and":
+        return F.expr(f"bool_and({c})")
+    if func == "bool_or":
+        return F.expr(f"bool_or({c})")
+    if func == "first_value":
+        return F.expr(f"min_by({c}, `{seq}`)")
+    if func == "first_non_null_value" or func == "first_not_null_value":
+        return F.expr(f"min_by({c}, CASE WHEN {c} IS NOT NULL THEN `{seq}` END)")
+    if func == "last_value":
+        return F.expr(f"max_by({c}, `{seq}`)")
+    if func == "last_non_null_value":
+        return F.expr(f"max_by({c}, CASE WHEN {c} IS NOT NULL THEN `{seq}` END)")
+    if func == "listagg":
+        # seq-ordered concat (FieldListaggAgg); delimiter option supported
+        return F.expr(
+            f"array_join(transform(array_sort(collect_list(CASE WHEN {c} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END)), x -> x.v), ',')"
+        )
+    if func == "collect":
+        # FieldCollectAgg (append, seq-ordered); distinct via option
+        return F.expr(
+            f"transform(array_sort(collect_list(CASE WHEN {c} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END)), x -> x.v)"
+        )
+    if func == "collect_distinct":
+        return F.expr(f"array_distinct(transform(array_sort(collect_list(CASE WHEN {c} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END)), x -> x.v))")
+    if func == "merge_map":
+        # FieldMergeMapAgg: later entries win (needs mapKeyDedupPolicy=LAST_WIN)
+        return F.expr(
+            f"aggregate(transform(array_sort(collect_list(CASE WHEN {c} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END)), x -> x.v), {c}_empty, (acc, x) -> map_concat(acc, x))"
+        )
+    if func == "hll_sketch":
+        return F.expr(f"hll_sketch_agg({c})")
+    raise ValueError(f"unsupported aggregate-function {func}")
+
+
+def _aggregation(df: DataFrame, schema: TableSchema) -> DataFrame:
+    """aggregation merge engine: groupBy(pk).agg(per-field functions).
+
+    Partial aggregates from compacted files re-aggregate correctly for
+    the associative functions (sum/min/max/bool/collect/listagg);
+    first/last use sequence order, where compacted rows carry earlier
+    sequences than fresh level-0 rows — same invariant the LSM merge
+    relies on. ``-D`` retractions are dropped (reference default
+    requires ignore-retract for these engines).
+    """
+    keys = _key_cols(schema)
+    seq = SEQUENCE_NUMBER
+    data = df.where(F.col(VALUE_KIND) != KIND_DELETE)
+    default_func = schema.options.get("fields.default-aggregate-function", "last_non_null_value")
+    aggs = []
+    for f in schema.fields:
+        if f.name in keys:
+            continue
+        func = schema.options.get(f"fields.{f.name}.aggregate-function", default_func)
+        if func == "merge_map":
+            expr = F.expr(
+                f"aggregate(transform(array_sort(collect_list(CASE WHEN `{f.name}` IS NOT NULL THEN struct(`{seq}` AS s, `{f.name}` AS v) END)), x -> x.v), cast(map() as {f.type}), (acc, x) -> map_concat(acc, x))"
+            )
+        else:
+            expr = _agg_expr(func, f.name, seq)
+        aggs.append(expr.cast(f.type).alias(f.name))
+    out = data.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    return out.select(*schema.field_names())

@@ -1,0 +1,239 @@
+"""Predicate mini-AST: evaluable against file stats, convertible to Columns.
+
+Mirrors paimon-common predicate/ (LeafPredicate + CompoundPredicate,
+PredicateBuilder.java:76-230). Catalyst handles expression evaluation on
+data; this AST exists so the *driver planner* can prune partitions and
+files from manifest min/max stats without touching Spark — the same
+division of labor as the reference (stats evaluation in
+KeyValueFileStoreScan.java:58 / AppendOnlyFileStoreScan.java:44).
+
+``test(stats, row_count)`` answers "MIGHT this file contain a matching
+row?" — must never return False for a file that contains matches
+(pruning is conservative; unknown → True).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import date, datetime
+from typing import Any
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _norm(v: Any) -> Any:
+    """Normalize literals to the manifest-stats domain (ISO strings for
+    temporal types, so comparisons are lexicographic-consistent)."""
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    return v
+
+
+class Predicate:
+    def test(self, stats: dict[str, dict[str, Any]], row_count: int) -> bool:
+        raise NotImplementedError
+
+    def test_partition(self, partition: dict[str, str]) -> bool:
+        """Evaluate against concrete partition values; non-partition
+        predicates return True (unknown)."""
+        raise NotImplementedError
+
+    def to_column(self) -> Column:
+        raise NotImplementedError
+
+    def __and__(self, other: "Predicate") -> "Predicate":
+        return And([self, other])
+
+    def __or__(self, other: "Predicate") -> "Predicate":
+        return Or([self, other])
+
+
+@dataclass
+class Leaf(Predicate):
+    op: str  # =, <>, <, <=, >, >=, in, not_in, is_null, is_not_null, starts_with, ends_with, contains, between
+    field: str
+    literals: tuple = ()
+
+    def _mm(self, stats):
+        s = stats.get(self.field)
+        if not s:
+            return None, None, None
+        return s.get("min"), s.get("max"), s.get("nulls", 0)
+
+    def test(self, stats: dict[str, dict[str, Any]], row_count: int) -> bool:
+        mn, mx, nulls = self._mm(stats)
+        op, lits = self.op, tuple(_norm(x) for x in self.literals)
+        if op == "is_null":
+            return nulls is None or nulls > 0 or mn is None
+        if op == "is_not_null":
+            return not (nulls is not None and row_count > 0 and nulls >= row_count)
+        if mn is None or mx is None:
+            return True  # no stats → can't prune
+        try:
+            if op == "=":
+                return mn <= lits[0] <= mx
+            if op == "<>":
+                return not (mn == mx == lits[0])
+            if op == "<":
+                return mn < lits[0]
+            if op == "<=":
+                return mn <= lits[0]
+            if op == ">":
+                return mx > lits[0]
+            if op == ">=":
+                return mx >= lits[0]
+            if op == "in":
+                return any(mn <= v <= mx for v in lits)
+            if op == "not_in":
+                return not (mn == mx and mn in lits)
+            if op == "between":
+                return mn <= lits[1] and mx >= lits[0]
+            if op == "starts_with":
+                p = lits[0]
+                return str(mn)[: len(p)] <= p <= str(mx)[: len(p)]
+        except TypeError:
+            return True  # type mismatch between literal and stats → no pruning
+        return True  # ends_with / contains: not stats-decidable
+
+    def test_partition(self, partition: dict[str, str]) -> bool:
+        if self.field not in partition:
+            return True
+        v = partition[self.field]
+        lits = [str(_norm(x)) for x in self.literals]
+        op = self.op
+        if op == "=":
+            return v == lits[0]
+        if op == "<>":
+            return v != lits[0]
+        if op == "in":
+            return v in lits
+        if op == "not_in":
+            return v not in lits
+        if op == "is_null":
+            return v == ""
+        if op == "is_not_null":
+            return v != ""
+        if op == "starts_with":
+            return v.startswith(lits[0])
+        # ordered comparisons on the raw string form — only safe when the
+        # caller uses zero-padded / ISO partition values; be conservative.
+        try:
+            typed = type(_norm(self.literals[0]))(v)
+        except (ValueError, TypeError):
+            return True
+        if op == "<":
+            return typed < self.literals[0]
+        if op == "<=":
+            return typed <= self.literals[0]
+        if op == ">":
+            return typed > self.literals[0]
+        if op == ">=":
+            return typed >= self.literals[0]
+        if op == "between":
+            return self.literals[0] <= typed <= self.literals[1]
+        return True
+
+    def to_column(self) -> Column:
+        c, lits = F.col(self.field), self.literals
+        return {
+            "=": lambda: c == lits[0],
+            "<>": lambda: c != lits[0],
+            "<": lambda: c < lits[0],
+            "<=": lambda: c <= lits[0],
+            ">": lambda: c > lits[0],
+            ">=": lambda: c >= lits[0],
+            "in": lambda: c.isin(list(lits)),
+            "not_in": lambda: ~c.isin(list(lits)),
+            "is_null": lambda: c.isNull(),
+            "is_not_null": lambda: c.isNotNull(),
+            "starts_with": lambda: c.startswith(lits[0]),
+            "ends_with": lambda: c.endswith(lits[0]),
+            "contains": lambda: c.contains(lits[0]),
+            "between": lambda: c.between(lits[0], lits[1]),
+        }[self.op]()
+
+
+@dataclass
+class And(Predicate):
+    children: list[Predicate]
+
+    def test(self, stats, row_count):
+        return all(c.test(stats, row_count) for c in self.children)
+
+    def test_partition(self, partition):
+        return all(c.test_partition(partition) for c in self.children)
+
+    def to_column(self) -> Column:
+        col = self.children[0].to_column()
+        for c in self.children[1:]:
+            col = col & c.to_column()
+        return col
+
+
+@dataclass
+class Or(Predicate):
+    children: list[Predicate]
+
+    def test(self, stats, row_count):
+        return any(c.test(stats, row_count) for c in self.children)
+
+    def test_partition(self, partition):
+        return any(c.test_partition(partition) for c in self.children)
+
+    def to_column(self) -> Column:
+        col = self.children[0].to_column()
+        for c in self.children[1:]:
+            col = col | c.to_column()
+        return col
+
+
+# --- builder helpers (PredicateBuilder.java:76-230) ---
+
+def equal(f, v):
+    return Leaf("=", f, (v,))
+
+def not_equal(f, v):
+    return Leaf("<>", f, (v,))
+
+def less_than(f, v):
+    return Leaf("<", f, (v,))
+
+def less_or_equal(f, v):
+    return Leaf("<=", f, (v,))
+
+def greater_than(f, v):
+    return Leaf(">", f, (v,))
+
+def greater_or_equal(f, v):
+    return Leaf(">=", f, (v,))
+
+def is_null(f):
+    return Leaf("is_null", f)
+
+def is_not_null(f):
+    return Leaf("is_not_null", f)
+
+def isin(f, vals):
+    return Leaf("in", f, tuple(vals))
+
+def not_in(f, vals):
+    return Leaf("not_in", f, tuple(vals))
+
+def starts_with(f, v):
+    return Leaf("starts_with", f, (v,))
+
+def ends_with(f, v):
+    return Leaf("ends_with", f, (v,))
+
+def contains(f, v):
+    return Leaf("contains", f, (v,))
+
+def between(f, lo, hi):
+    return Leaf("between", f, (lo, hi))
+
+def and_(*ps):
+    return And(list(ps))
+
+def or_(*ps):
+    return Or(list(ps))

@@ -1,0 +1,188 @@
+"""Read path: driver-side scan planning + merge-on-read DataFrames.
+
+Mirrors the reference read lifecycle (SURVEY §3.1):
+snapshot → manifest entries → partition pruning → file-stats pruning →
+split generation → raw read vs merge read. Planning is pure Python on
+the driver (like DataTableBatchScan.plan, DataTableBatchScan.java:
+44-127); execution is Spark's vectorized parquet reader plus a
+declarative merge transform (vs MergeFileSplitRead.java:220-231 /
+RawFileSplitRead.java:71).
+
+Pruning order (cheapest first): partition values → file min/max stats
+→ limit truncation — same order as SnapshotReaderImpl. Files whose
+bucket holds a single already-compacted run skip the merge entirely
+(the rawConvertible split path, DataSplit.java:61-80).
+
+Schema evolution: entries carry their writer ``schema_id``; files are
+read per schema generation and adapted to the current schema by
+field-id mapping (rename) + Catalyst cast (widen) + null fill (add) —
+replacing SchemaEvolutionUtil/IndexCastMapping + the casting/ rules.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field as dc_field
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_table_store_spark.manifest import ManifestEntry
+from flink_table_store_spark.operators.merge_engines import merge_view
+from flink_table_store_spark.predicate import Predicate
+from flink_table_store_spark.schema import (
+    SEQUENCE_NUMBER,
+    VALUE_KIND,
+    TableSchema,
+)
+from flink_table_store_spark.write import BUCKET_COL, DATA_DIR
+
+
+@dataclass
+class ScanPlan:
+    raw_entries: list[ManifestEntry] = dc_field(default_factory=list)
+    merge_entries: list[ManifestEntry] = dc_field(default_factory=list)
+
+    @property
+    def entries(self) -> list[ManifestEntry]:
+        return self.raw_entries + self.merge_entries
+
+    def file_count(self) -> int:
+        return len(self.raw_entries) + len(self.merge_entries)
+
+    def row_count_upper_bound(self) -> int:
+        return sum(e.row_count for e in self.entries)
+
+
+def plan_scan(
+    entries: list[ManifestEntry],
+    schema: TableSchema,
+    predicate: Predicate | None = None,
+    limit: int | None = None,
+) -> ScanPlan:
+    """Prune manifest entries and split them into raw vs merge groups."""
+    live = entries
+    if predicate is not None:
+        live = [e for e in live if predicate.test_partition(e.partition)]
+        live = [e for e in live if predicate.test(e.stats, e.row_count)]
+
+    pk = bool(schema.primary_keys)
+    plan = ScanPlan()
+    if not pk:
+        plan.raw_entries = list(live)
+        if limit is not None and predicate is None:
+            # limit pushdown: stop planning once enough rows are covered
+            # (DataTableBatchScan.applyPushDownLimit:105-138)
+            picked, covered = [], 0
+            for e in sorted(plan.raw_entries, key=lambda e: e.file_name):
+                picked.append(e)
+                covered += e.row_count
+                if covered >= limit:
+                    break
+            plan.raw_entries = picked
+        return plan
+
+    by_bucket: dict[tuple, list[ManifestEntry]] = {}
+    for e in live:
+        by_bucket.setdefault((tuple(sorted(e.partition.items())), e.bucket), []).append(e)
+    for _k, group in by_bucket.items():
+        if len(group) == 1 and group[0].level > 0:
+            plan.raw_entries.append(group[0])  # single compacted run → no merge
+        else:
+            plan.merge_entries.extend(group)
+    return plan
+
+
+def _read_files(
+    spark: SparkSession,
+    table_path: str,
+    entries: list[ManifestEntry],
+    current: TableSchema,
+    schemas: dict[int, TableSchema],
+    with_system: bool,
+) -> DataFrame | None:
+    """Read entries grouped by writer schema generation, adapt each
+    generation to the current schema, union."""
+    if not entries:
+        return None
+    base = os.path.join(table_path, DATA_DIR)
+    by_schema: dict[int, list[str]] = {}
+    for e in entries:
+        by_schema.setdefault(e.schema_id, []).append(os.path.join(table_path, e.file_name))
+    parts: list[DataFrame] = []
+    for sid, paths in sorted(by_schema.items()):
+        df = spark.read.option("basePath", base).parquet(*paths)
+        df = _adapt(df, schemas.get(sid, current), current, with_system)
+        parts.append(df)
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def _adapt(
+    df: DataFrame, writer_schema: TableSchema, current: TableSchema, with_system: bool
+) -> DataFrame:
+    by_id = {f.id: f.name for f in writer_schema.fields}
+    cols = []
+    for f in current.fields:
+        old_name = by_id.get(f.id)
+        if old_name is not None and old_name in df.columns:
+            cols.append(F.col(old_name).cast(f.type).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.type).alias(f.name))
+    if with_system:
+        for s in (SEQUENCE_NUMBER, VALUE_KIND):
+            if s in df.columns:
+                cols.append(F.col(s))
+        if BUCKET_COL in df.columns:
+            cols.append(F.col(BUCKET_COL))
+    return df.select(*cols)
+
+
+def build_dataframe(
+    spark: SparkSession,
+    table_path: str,
+    plan: ScanPlan,
+    schema: TableSchema,
+    schemas: dict[int, TableSchema],
+    predicate: Predicate | None = None,
+    projection: list[str] | None = None,
+    limit: int | None = None,
+    keep_system_cols: bool = False,
+) -> DataFrame:
+    """Assemble the result DataFrame: raw scan ∪ merge-on-read view,
+    then residual filter / projection / limit (Catalyst prunes columns
+    and pushes the residual filter into the parquet scan)."""
+    pk = bool(schema.primary_keys)
+    out_fields = schema.field_names()
+
+    raw = _read_files(spark, table_path, plan.raw_entries, schema, schemas, with_system=pk)
+    merge = _read_files(spark, table_path, plan.merge_entries, schema, schemas, with_system=True)
+
+    parts: list[DataFrame] = []
+    if raw is not None:
+        if pk and not keep_system_cols:
+            raw = raw.select(*out_fields)
+        parts.append(raw)
+    if merge is not None:
+        if pk:
+            merged = merge_view(merge, schema)
+            if keep_system_cols:
+                # caller wants hidden cols (e.g. audit log): redo without merge
+                merged = merge
+            parts.append(merged)
+        else:
+            parts.append(merge)
+
+    if not parts:
+        spark_schema = schema.spark_schema()
+        df = spark.createDataFrame([], schema=spark_schema)
+    else:
+        df = reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), parts)
+
+    if predicate is not None:
+        df = df.where(predicate.to_column())
+    if projection:
+        df = df.select(*projection)
+    if limit is not None:
+        df = df.limit(limit)
+    return df

@@ -1,0 +1,203 @@
+"""Snapshots, tags, branches: the version layer.
+
+Mirrors paimon-api Snapshot.java:53-159 (fields) and :454-469
+(CommitKind), paimon-core SnapshotManager / TagManager. A snapshot is
+a JSON file ``snapshot/snapshot-<id>`` pointing at a base manifest
+list (all files as of the previous compaction/commit lineage) and a
+delta manifest list (files added/deleted by this commit). Tags are
+named pointers ``tag/tag-<name>`` holding a full snapshot copy so they
+survive snapshot expiry (reference TagManager semantics).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from flink_table_store_spark.fileio import read_json, write_json, write_json_atomic_new
+
+COMMIT_APPEND = "APPEND"
+COMMIT_COMPACT = "COMPACT"
+COMMIT_OVERWRITE = "OVERWRITE"
+
+
+@dataclass
+class Snapshot:
+    id: int
+    schema_id: int
+    base_manifest_list: str | None
+    delta_manifest_list: str | None
+    commit_kind: str = COMMIT_APPEND
+    commit_identifier: str = ""  # (queryId, batchId) for idempotent streaming sinks
+    time_millis: int = 0
+    total_record_count: int = 0
+    delta_record_count: int = 0
+    watermark: int | None = None  # persisted input watermark (Snapshot.java:157-159)
+    next_sequence: int = 0  # sequence-number high-water mark (MergeTreeWriter.java:111)
+
+    def to_dict(self) -> dict[str, Any]:
+        return {
+            "version": 3,
+            "id": self.id,
+            "schemaId": self.schema_id,
+            "baseManifestList": self.base_manifest_list,
+            "deltaManifestList": self.delta_manifest_list,
+            "commitKind": self.commit_kind,
+            "commitIdentifier": self.commit_identifier,
+            "timeMillis": self.time_millis,
+            "totalRecordCount": self.total_record_count,
+            "deltaRecordCount": self.delta_record_count,
+            "watermark": self.watermark,
+            "nextSequence": self.next_sequence,
+        }
+
+    @staticmethod
+    def from_dict(d: dict[str, Any]) -> "Snapshot":
+        return Snapshot(
+            id=d["id"],
+            schema_id=d["schemaId"],
+            base_manifest_list=d.get("baseManifestList"),
+            delta_manifest_list=d.get("deltaManifestList"),
+            commit_kind=d.get("commitKind", COMMIT_APPEND),
+            commit_identifier=d.get("commitIdentifier", ""),
+            time_millis=d.get("timeMillis", 0),
+            total_record_count=d.get("totalRecordCount", 0),
+            delta_record_count=d.get("deltaRecordCount", 0),
+            watermark=d.get("watermark"),
+            next_sequence=d.get("nextSequence", 0),
+        )
+
+
+class SnapshotManager:
+    def __init__(self, table_path: str):
+        self.table_path = table_path
+        self.dir = os.path.join(table_path, "snapshot")
+        self.tag_dir = os.path.join(table_path, "tag")
+
+    def _path(self, snapshot_id: int) -> str:
+        return os.path.join(self.dir, f"snapshot-{snapshot_id}")
+
+    def snapshot_ids(self) -> list[int]:
+        if not os.path.isdir(self.dir):
+            return []
+        return sorted(
+            int(n.split("-", 1)[1])
+            for n in os.listdir(self.dir)
+            if n.startswith("snapshot-") and n.split("-", 1)[1].isdigit()
+        )
+
+    def latest_id(self) -> int | None:
+        ids = self.snapshot_ids()
+        return ids[-1] if ids else None
+
+    def latest(self) -> Snapshot | None:
+        i = self.latest_id()
+        return None if i is None else self.load(i)
+
+    def earliest_id(self) -> int | None:
+        ids = self.snapshot_ids()
+        return ids[0] if ids else None
+
+    def load(self, snapshot_id: int) -> Snapshot:
+        return Snapshot.from_dict(read_json(self._path(snapshot_id)))
+
+    def exists(self, snapshot_id: int) -> bool:
+        return os.path.exists(self._path(snapshot_id))
+
+    def try_commit(self, snapshot: Snapshot) -> bool:
+        """CAS-create snapshot-<id>; False if another writer won the race."""
+        os.makedirs(self.dir, exist_ok=True)
+        return write_json_atomic_new(self._path(snapshot.id), snapshot.to_dict())
+
+    def delete(self, snapshot_id: int) -> None:
+        p = self._path(snapshot_id)
+        if os.path.exists(p):
+            os.unlink(p)
+
+    # --- time travel resolution (TimeTravelUtil semantics) ---
+
+    def for_timestamp(self, ts_millis: int) -> Snapshot | None:
+        """Latest snapshot with time_millis <= ts_millis."""
+        best = None
+        for i in self.snapshot_ids():
+            s = self.load(i)
+            if s.time_millis <= ts_millis:
+                best = s
+        return best
+
+    def for_watermark(self, watermark: int) -> Snapshot | None:
+        """Latest snapshot with watermark <= given (StaticFromWatermarkStartingScanner)."""
+        best = None
+        for i in self.snapshot_ids():
+            s = self.load(i)
+            if s.watermark is not None and s.watermark <= watermark:
+                best = s
+        return best
+
+    # --- tags (TagManager) ---
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        os.makedirs(self.tag_dir, exist_ok=True)
+        sid = snapshot_id if snapshot_id is not None else self.latest_id()
+        if sid is None:
+            raise RuntimeError("no snapshot to tag")
+        snap = self.load(sid)
+        if not write_json_atomic_new(os.path.join(self.tag_dir, f"tag-{name}"), snap.to_dict()):
+            raise RuntimeError(f"tag {name} already exists")
+
+    def delete_tag(self, name: str) -> None:
+        p = os.path.join(self.tag_dir, f"tag-{name}")
+        if os.path.exists(p):
+            os.unlink(p)
+
+    def tags(self) -> dict[str, Snapshot]:
+        if not os.path.isdir(self.tag_dir):
+            return {}
+        out = {}
+        for n in sorted(os.listdir(self.tag_dir)):
+            if n.startswith("tag-"):
+                out[n[4:]] = Snapshot.from_dict(read_json(os.path.join(self.tag_dir, n)))
+        return out
+
+    def tag(self, name: str) -> Snapshot:
+        return Snapshot.from_dict(read_json(os.path.join(self.tag_dir, f"tag-{name}")))
+
+    # --- consumers (ConsumerManager.java:44-70): resumable cursors ---
+
+    def consumer_dir(self) -> str:
+        return os.path.join(self.table_path, "consumer")
+
+    def write_consumer(self, consumer_id: str, next_snapshot: int) -> None:
+        os.makedirs(self.consumer_dir(), exist_ok=True)
+        write_json(
+            os.path.join(self.consumer_dir(), f"consumer-{consumer_id}"),
+            {"nextSnapshot": next_snapshot},
+        )
+
+    def read_consumer(self, consumer_id: str) -> int | None:
+        p = os.path.join(self.consumer_dir(), f"consumer-{consumer_id}")
+        if not os.path.exists(p):
+            return None
+        return read_json(p)["nextSnapshot"]
+
+    def consumers(self) -> dict[str, int]:
+        d = self.consumer_dir()
+        if not os.path.isdir(d):
+            return {}
+        return {
+            n[len("consumer-"):]: read_json(os.path.join(d, n))["nextSnapshot"]
+            for n in sorted(os.listdir(d))
+            if n.startswith("consumer-")
+        }
+
+    def clear_consumers(self) -> None:
+        d = self.consumer_dir()
+        if os.path.isdir(d):
+            for n in os.listdir(d):
+                os.unlink(os.path.join(d, n))
+
+
+def now_millis() -> int:
+    return int(time.time() * 1000)

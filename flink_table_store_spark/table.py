@@ -1,0 +1,549 @@
+"""Table facade: the user-facing API (reference Table.java:50 surface).
+
+Read side mirrors ReadBuilder (paimon-core ReadBuilder.java:76-179):
+``table.read_builder().with_filter(p).with_projection(cols)
+.with_limit(n).to_df(spark)``. Write side mirrors
+BatchWriteBuilder/BatchTableCommit (two-phase: executors stage files,
+driver commits). Row-level ops implement the three strategies of
+DeleteFromPaimonTableCommand.scala:35-104 (metadata-only → rewrite →
+PK upsert) re-expressed as DataFrame jobs.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_table_store_spark import read as read_mod
+from flink_table_store_spark.commit import FileStoreCommit
+from flink_table_store_spark.fileio import read_json
+from flink_table_store_spark.manifest import (
+    KIND_ADD,
+    KIND_DELETE,
+    ManifestEntry,
+    ManifestManager,
+)
+from flink_table_store_spark.predicate import Predicate
+from flink_table_store_spark.schema import (
+    KIND_DELETE as ROWKIND_DELETE,
+    KIND_INSERT,
+    KIND_UPDATE_AFTER,
+    ROW_KIND,
+    SEQUENCE_NUMBER,
+    VALUE_KIND,
+    SchemaManager,
+    TableSchema,
+)
+from flink_table_store_spark.snapshot import (
+    COMMIT_APPEND,
+    COMMIT_COMPACT,
+    Snapshot,
+    SnapshotManager,
+)
+from flink_table_store_spark.write import max_sequence, stage_and_collect
+
+
+def _is_partition_only(predicate: Predicate, schema: TableSchema) -> bool:
+    """True iff every leaf of the predicate references a partition key
+    (the metadata-only DELETE detector,
+    OptimizeMetadataOnlyDeleteFromPaimonTable.scala:52)."""
+    from flink_table_store_spark.predicate import And, Leaf, Or
+
+    if isinstance(predicate, Leaf):
+        return predicate.field in schema.partition_keys
+    if isinstance(predicate, (And, Or)):
+        return all(_is_partition_only(c, schema) for c in predicate.children)
+    return False
+
+
+class ReadBuilder:
+    """Scan configuration builder (ReadBuilder.java:76-179)."""
+
+    def __init__(self, table: "Table"):
+        self._table = table
+        self._predicate: Predicate | None = None
+        self._projection: list[str] | None = None
+        self._limit: int | None = None
+        self._snapshot_id: int | None = None
+        self._tag: str | None = None
+        self._timestamp_ms: int | None = None
+        self._watermark: int | None = None
+
+    def with_filter(self, predicate: Predicate) -> "ReadBuilder":
+        self._predicate = predicate if self._predicate is None else (self._predicate & predicate)
+        return self
+
+    def with_projection(self, cols: list[str]) -> "ReadBuilder":
+        self._projection = cols
+        return self
+
+    def with_limit(self, n: int) -> "ReadBuilder":
+        self._limit = n
+        return self
+
+    def with_snapshot(self, snapshot_id: int) -> "ReadBuilder":
+        self._snapshot_id = snapshot_id
+        return self
+
+    def with_tag(self, tag: str) -> "ReadBuilder":
+        self._tag = tag
+        return self
+
+    def with_timestamp(self, ts_millis: int) -> "ReadBuilder":
+        self._timestamp_ms = ts_millis
+        return self
+
+    def with_watermark(self, watermark: int) -> "ReadBuilder":
+        self._watermark = watermark
+        return self
+
+    def _resolve_snapshot(self) -> Snapshot | None:
+        t = self._table
+        if self._snapshot_id is not None:
+            return t.snapshots.load(self._snapshot_id)
+        if self._tag is not None:
+            return t.snapshots.tag(self._tag)
+        if self._timestamp_ms is not None:
+            return t.snapshots.for_timestamp(self._timestamp_ms)
+        if self._watermark is not None:
+            return t.snapshots.for_watermark(self._watermark)
+        return t.snapshots.latest()
+
+    def plan(self) -> read_mod.ScanPlan:
+        t = self._table
+        snap = self._resolve_snapshot()
+        if snap is None:
+            return read_mod.ScanPlan()
+        entries = t.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
+        return read_mod.plan_scan(entries, t.schema, self._predicate, self._limit)
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        t = self._table
+        return read_mod.build_dataframe(
+            spark,
+            t.path,
+            self.plan(),
+            t.schema,
+            t.all_schemas(),
+            predicate=self._predicate,
+            projection=self._projection,
+            limit=self._limit,
+        )
+
+
+class Table:
+    def __init__(self, path: str, name: str | None = None):
+        self.path = path
+        self.name = name or os.path.basename(path)
+        self.schema_manager = SchemaManager(path)
+        self.snapshots = SnapshotManager(path)
+        self.manifests = ManifestManager(path)
+        self.committer = FileStoreCommit(path)
+        self._schema: TableSchema | None = None
+
+    # --- metadata ---
+
+    @property
+    def schema(self) -> TableSchema:
+        if self._schema is None:
+            self._schema = self.schema_manager.latest()
+            if self._schema is None:
+                raise RuntimeError(f"table {self.name} has no schema")
+        return self._schema
+
+    def refresh(self) -> "Table":
+        self._schema = None
+        return self
+
+    def all_schemas(self) -> dict[int, TableSchema]:
+        out = {}
+        latest = self.schema_manager.latest_id() or 0
+        for i in range(latest + 1):
+            try:
+                out[i] = self.schema_manager.load(i)
+            except FileNotFoundError:
+                pass
+        return out
+
+    def is_primary_key_table(self) -> bool:
+        return bool(self.schema.primary_keys)
+
+    def evolve_schema(self, changes: list[dict[str, Any]]) -> TableSchema:
+        s = self.schema_manager.evolve(changes)
+        self._schema = s
+        return s
+
+    # --- read ---
+
+    def read_builder(self) -> ReadBuilder:
+        return ReadBuilder(self)
+
+    def to_df(
+        self,
+        spark: SparkSession,
+        predicate: Predicate | None = None,
+        projection: list[str] | None = None,
+        limit: int | None = None,
+        snapshot_id: int | None = None,
+        tag: str | None = None,
+        timestamp_ms: int | None = None,
+    ) -> DataFrame:
+        rb = self.read_builder()
+        if predicate is not None:
+            rb.with_filter(predicate)
+        if projection is not None:
+            rb.with_projection(projection)
+        if limit is not None:
+            rb.with_limit(limit)
+        if snapshot_id is not None:
+            rb.with_snapshot(snapshot_id)
+        if tag is not None:
+            rb.with_tag(tag)
+        if timestamp_ms is not None:
+            rb.with_timestamp(timestamp_ms)
+        return rb.to_df(spark)
+
+    # --- aggregate pushdown from manifest stats (SURVEY §2.4 A1) ---
+
+    def count_rows(self, predicate: Predicate | None = None) -> int | None:
+        """COUNT(*) answered from manifests without reading data files.
+        Returns None when not answerable exactly (PK table, which needs
+        the merge; or residual predicate beyond partitions)."""
+        if self.is_primary_key_table():
+            return None
+        snap = self.snapshots.latest()
+        if snap is None:
+            return 0
+        entries = self.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
+        if predicate is None:
+            return sum(e.row_count for e in entries)
+        if _is_partition_only(predicate, self.schema):
+            return sum(e.row_count for e in entries if predicate.test_partition(e.partition))
+        return None
+
+    def min_max(self, col: str) -> tuple[Any, Any] | None:
+        if self.is_primary_key_table():
+            return None
+        snap = self.snapshots.latest()
+        if snap is None:
+            return None
+        from flink_table_store_spark.manifest import merge_entry_stats
+
+        entries = self.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
+        if any(col not in e.stats or e.stats[col].get("nulls", 0) for e in entries):
+            return None
+        return merge_entry_stats(entries, col)
+
+    def max_pt(self) -> str | None:
+        """sys.max_pt: latest non-empty partition (PaimonFunctions.scala:188)."""
+        snap = self.snapshots.latest()
+        if snap is None or not self.schema.partition_keys:
+            return None
+        entries = self.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
+        key = self.schema.partition_keys[0]
+        vals = [e.partition.get(key) for e in entries if e.row_count > 0]
+        return max(vals) if vals else None
+
+    # --- write ---
+
+    def write(
+        self,
+        df: DataFrame,
+        overwrite: bool = False,
+        overwrite_partition_filter: Predicate | None = None,
+        row_kind_col: str | None = None,
+        commit_identifier: str = "",
+        watermark: int | None = None,
+    ) -> Snapshot:
+        """Append/upsert a DataFrame (INSERT INTO / INSERT OVERWRITE)."""
+        latest = self.snapshots.latest()
+        base_seq = latest.next_sequence if latest else 0
+        entries = stage_and_collect(
+            df, self.path, self.schema, base_sequence=base_seq, row_kind_col=row_kind_col
+        )
+        next_seq = max_sequence(entries) + 1 if entries else base_seq
+        if overwrite:
+            return self.committer.commit_overwrite(
+                entries, self.schema.id, overwrite_partition_filter
+            )
+        return self.committer.commit(
+            entries,
+            self.schema.id,
+            kind=COMMIT_APPEND,
+            commit_identifier=commit_identifier,
+            watermark=watermark,
+            next_sequence=next_seq,
+        )
+
+    def upsert(self, df: DataFrame, **kw) -> Snapshot:
+        if not self.is_primary_key_table():
+            raise RuntimeError("upsert requires a primary-key table")
+        return self.write(df, **kw)
+
+    # --- row-level ops (DeleteFromPaimonTableCommand.scala:35-104) ---
+
+    def delete(self, spark: SparkSession, predicate: Predicate) -> Snapshot:
+        schema = self.schema
+        if schema.partition_keys and _is_partition_only(predicate, schema):
+            # strategy 1: metadata-only delete (OptimizeMetadataOnlyDelete…:52)
+            return self.committer.commit_overwrite([], schema.id, predicate)
+        if self.is_primary_key_table():
+            # strategy 3: PK upsert of -D rows
+            rows = self.to_df(spark, predicate=predicate).select(*schema.field_names())
+            return self.write(rows.withColumn(ROW_KIND, F.lit(ROWKIND_DELETE)), row_kind_col=ROW_KIND)
+        # strategy 2: copy-on-write rewrite of touched files
+        return self._rewrite_files(spark, predicate, lambda df: df.where(~predicate.to_column()))
+
+    def update(
+        self, spark: SparkSession, predicate: Predicate, assignments: dict[str, Any]
+    ) -> Snapshot:
+        """UPDATE SET col=expr WHERE pred; expr values are Columns or literals."""
+        schema = self.schema
+
+        def apply_set(df: DataFrame) -> DataFrame:
+            for k, v in assignments.items():
+                df = df.withColumn(k, v if hasattr(v, "_jc") or "Column" in type(v).__name__ else F.lit(v))
+            return df.select(*schema.field_names())
+
+        if self.is_primary_key_table():
+            rows = apply_set(self.to_df(spark, predicate=predicate))
+            return self.write(rows.withColumn(ROW_KIND, F.lit(KIND_UPDATE_AFTER)), row_kind_col=ROW_KIND)
+        return self._rewrite_files(
+            spark,
+            predicate,
+            lambda df: df.where(~predicate.to_column()).unionByName(
+                apply_set(df.where(predicate.to_column()))
+            ),
+        )
+
+    def merge_into(
+        self,
+        spark: SparkSession,
+        source: DataFrame,
+        on: list[str],
+        when_matched_update: dict[str, Any] | str | None = None,
+        when_matched_delete: bool = False,
+        when_not_matched_insert: bool = True,
+    ) -> Snapshot:
+        """MERGE INTO (MergeIntoPaimonTable.scala:45-51): route source rows
+        into +U / -D / +I by join outcome, then one upsert write."""
+        if not self.is_primary_key_table():
+            raise RuntimeError("MERGE INTO requires a primary-key table")
+        schema = self.schema
+        target = self.to_df(spark)
+        matched = source.alias("s").join(target.alias("t"), on=on, how="inner")
+
+        outs = []
+        if when_matched_delete:
+            outs.append(
+                matched.select(*[F.col(c) if c in on else F.col(f"t.{c}") for c in schema.field_names()])
+                .withColumn(ROW_KIND, F.lit(ROWKIND_DELETE))
+            )
+        elif when_matched_update is not None:
+            if when_matched_update == "*":  # UPDATE SET * — take the source row
+                cols = [F.col(c) if c in on else F.col(f"s.{c}") for c in schema.field_names()]
+            else:
+                cols = [
+                    (when_matched_update[c].alias(c) if c in when_matched_update
+                     else (F.col(c) if c in on else F.col(f"t.{c}").alias(c)))
+                    for c in schema.field_names()
+                ]
+            outs.append(matched.select(*cols).withColumn(ROW_KIND, F.lit(KIND_UPDATE_AFTER)))
+        if when_not_matched_insert:
+            outs.append(
+                source.join(target.select(*on), on=on, how="left_anti")
+                .select(*schema.field_names())
+                .withColumn(ROW_KIND, F.lit(KIND_INSERT))
+            )
+        from functools import reduce
+
+        allrows = reduce(lambda a, b: a.unionByName(b), outs)
+        return self.write(allrows, row_kind_col=ROW_KIND)
+
+    def _rewrite_files(self, spark: SparkSession, predicate: Predicate, transform) -> Snapshot:
+        """Copy-on-write: rewrite only files that MIGHT contain matches."""
+        snap = self.snapshots.latest()
+        schema = self.schema
+        if snap is None:
+            raise RuntimeError("empty table")
+        entries = self.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
+        touched = [
+            e
+            for e in entries
+            if predicate.test_partition(e.partition) and predicate.test(e.stats, e.row_count)
+        ]
+        if not touched:
+            return snap
+        plan = read_mod.ScanPlan(raw_entries=touched)
+        df = read_mod.build_dataframe(spark, self.path, plan, schema, self.all_schemas())
+        new_df = transform(df)
+        latest = self.snapshots.latest()
+        new_entries = stage_and_collect(
+            new_df, self.path, schema, base_sequence=latest.next_sequence if latest else 0
+        )
+        deletes = []
+        for e in touched:
+            d = ManifestEntry(**{**e.__dict__})
+            d.kind = KIND_DELETE
+            deletes.append(d)
+        return self.committer.commit(deletes + new_entries, schema.id, kind=COMMIT_APPEND)
+
+    # --- compaction (SURVEY §4.2; UniversalCompaction.java:42-103) ---
+
+    def compact(self, spark: SparkSession, full: bool = True, trigger_runs: int = 5) -> Snapshot | None:
+        """Rewrite buckets into a single max-level run. ``full=False``
+        compacts only buckets with ≥ trigger_runs runs (universal
+        compaction's run-count trigger, UniversalCompaction.java:125)."""
+        snap = self.snapshots.latest()
+        if snap is None:
+            return None
+        schema = self.schema
+        entries = self.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
+        by_bucket: dict[tuple, list[ManifestEntry]] = {}
+        for e in entries:
+            by_bucket.setdefault((tuple(sorted(e.partition.items())), e.bucket), []).append(e)
+
+        to_compact: list[ManifestEntry] = []
+        for _k, group in by_bucket.items():
+            needs = len(group) > 1 or (group and group[0].level == 0)
+            if full:
+                if needs:
+                    to_compact.extend(group)
+            elif len(group) >= trigger_runs:
+                to_compact.extend(group)
+        if not to_compact:
+            return snap
+
+        max_level = 5
+        pk = self.is_primary_key_table()
+        plan = read_mod.ScanPlan(merge_entries=to_compact) if pk else read_mod.ScanPlan(raw_entries=to_compact)
+        merged = read_mod.build_dataframe(spark, self.path, plan, schema, self.all_schemas())
+        latest = self.snapshots.latest()
+        new_entries = stage_and_collect(
+            merged,
+            self.path,
+            schema,
+            base_sequence=0 if not pk else 0,
+            target_level=max_level,
+        )
+        # compacted rows keep sequence semantics: they carry fresh low seqs,
+        # but there are no surviving older runs, so ordering vs future
+        # commits (which use next_sequence from the snapshot) stays correct.
+        deletes = []
+        for e in to_compact:
+            d = ManifestEntry(**{**e.__dict__})
+            d.kind = KIND_DELETE
+            deletes.append(d)
+        return self.committer.commit(
+            deletes + new_entries,
+            schema.id,
+            kind=COMMIT_COMPACT,
+            next_sequence=latest.next_sequence if latest else 0,
+        )
+
+    # --- snapshot management ---
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        self.snapshots.create_tag(name, snapshot_id)
+
+    def delete_tag(self, name: str) -> None:
+        self.snapshots.delete_tag(name)
+
+    def rollback_to(self, snapshot_id: int) -> None:
+        """Drop snapshots newer than ``snapshot_id`` (Table.rollbackTo)."""
+        for sid in self.snapshots.snapshot_ids():
+            if sid > snapshot_id:
+                self.snapshots.delete(sid)
+
+    def expire_snapshots(self, retain_last: int = 10) -> list[int]:
+        """Keep the newest ``retain_last`` snapshots (ExpireSnapshotsImpl).
+        Tagged snapshots stay readable through their tag copies."""
+        ids = self.snapshots.snapshot_ids()
+        expired = ids[:-retain_last] if len(ids) > retain_last else []
+        for sid in expired:
+            self.snapshots.delete(sid)
+        return expired
+
+    def remove_orphan_files(self, dry_run: bool = False) -> list[str]:
+        """Delete data/manifest files referenced by no retained snapshot or
+        tag (RemoveOrphanFilesProcedure)."""
+        referenced: set[str] = set()
+        snaps = [self.snapshots.load(i) for i in self.snapshots.snapshot_ids()]
+        snaps += list(self.snapshots.tags().values())
+        for s in snaps:
+            for lst in (s.base_manifest_list, s.delta_manifest_list):
+                if not lst:
+                    continue
+                referenced.add(os.path.join("manifest", lst))
+                for m in self.manifests.read_manifest_list(lst):
+                    referenced.add(os.path.join("manifest", m))
+                    for e in self.manifests.read_manifest(m):
+                        referenced.add(e.file_name)
+        orphans: list[str] = []
+        for sub in ("manifest", "data"):
+            root = os.path.join(self.path, sub)
+            for dirpath, _d, files in os.walk(root):
+                for fn in files:
+                    rel = os.path.relpath(os.path.join(dirpath, fn), self.path)
+                    if rel not in referenced:
+                        orphans.append(rel)
+        if not dry_run:
+            for rel in orphans:
+                os.unlink(os.path.join(self.path, rel))
+        return orphans
+
+    # --- incremental / changelog reads (SURVEY §2.9 T6, T5) ---
+
+    def delta_entries(self, snapshot_id: int) -> list[ManifestEntry]:
+        s = self.snapshots.load(snapshot_id)
+        return [e for e in self.manifests.read_entries(s.delta_manifest_list) if e.kind == KIND_ADD]
+
+    def incremental_read(
+        self, spark: SparkSession, start_snapshot: int, end_snapshot: int
+    ) -> DataFrame:
+        """Rows added in snapshots (start, end]; PK tables return the
+        merged view of the delta (IncrementalDeltaStartingScanner.java:55)."""
+        entries: list[ManifestEntry] = []
+        for sid in range(start_snapshot + 1, end_snapshot + 1):
+            if self.snapshots.exists(sid):
+                s = self.snapshots.load(sid)
+                if s.commit_kind == COMMIT_COMPACT:
+                    continue  # compaction moves data, adds none
+                entries.extend(self.delta_entries(sid))
+        schema = self.schema
+        if self.is_primary_key_table():
+            plan = read_mod.ScanPlan(merge_entries=entries)
+        else:
+            plan = read_mod.ScanPlan(raw_entries=entries)
+        return read_mod.build_dataframe(spark, self.path, plan, schema, self.all_schemas())
+
+    def audit_log(
+        self, spark: SparkSession, start_snapshot: int | None = None, end_snapshot: int | None = None
+    ) -> DataFrame:
+        """$audit_log: delta rows with a ``rowkind`` column
+        (AuditLogTable.java:88)."""
+        schema = self.schema
+        last = self.snapshots.latest_id() or 0
+        lo = start_snapshot if start_snapshot is not None else 0
+        hi = end_snapshot if end_snapshot is not None else last
+        entries: list[ManifestEntry] = []
+        for sid in range(lo + 1, hi + 1):
+            if self.snapshots.exists(sid):
+                s = self.snapshots.load(sid)
+                if s.commit_kind == COMMIT_COMPACT:
+                    continue
+                entries.extend(self.delta_entries(sid))
+        plan = read_mod.ScanPlan()
+        df = read_mod._read_files(
+            spark, self.path, entries, schema, self.all_schemas(), with_system=True
+        )
+        if df is None:
+            from pyspark.sql import types as T
+
+            fields = schema.spark_schema().fields + [T.StructField("rowkind", T.StringType())]
+            return spark.createDataFrame([], T.StructType(fields))
+        kind_col = F.col(VALUE_KIND) if VALUE_KIND in df.columns else F.lit(KIND_INSERT)
+        return df.withColumn("rowkind", kind_col).select("rowkind", *schema.field_names())

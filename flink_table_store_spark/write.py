@@ -1,0 +1,178 @@
+"""Write path: executors write bucketed parquet, driver commits.
+
+Mirrors the reference two-phase shape (SURVEY §3.2/§3.3):
+``PaimonSparkWriter.write`` repartitions by (partition, bucket)
+(PaimonSparkWriter.scala:108,165-185), per-task writers produce data
+files whose metadata flows back to the driver (the CommitMessage hop,
+table/sink/BatchTableWrite.java:33), and the driver commits
+(FileStoreCommitImpl). Here the executor side is a plain Spark
+parquet write into a staging dir — Catalyst/Tungsten do the shuffle
+and encoding — and the driver turns staged files into manifest
+entries. Sequence numbers mirror MergeTreeWriter.java:111 (monotonic
+per table, assigned at write).
+
+Scale note: the driver-side stats collection walks one parquet footer
+per staged file (no data read). At 100 TB / millions of files per
+commit this hop is the same O(files) the reference's CommitMessage
+serialization pays; footer walks could further be distributed with a
+small Spark job over file names if ever needed.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import urllib.parse
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_table_store_spark.manifest import KIND_ADD, ManifestEntry, collect_parquet_stats
+from flink_table_store_spark.schema import (
+    KIND_INSERT,
+    ROW_KIND,
+    SEQUENCE_NUMBER,
+    VALUE_KIND,
+    TableSchema,
+)
+from flink_table_store_spark.snapshot import now_millis
+
+BUCKET_COL = "_bucket"
+DATA_DIR = "data"
+
+
+def bucket_expr(schema: TableSchema):
+    """Stable bucket assignment: pmod(xxhash64(trimmed-pk), n).
+
+    The reference hashes the trimmed-PK BinaryRow with murmur
+    (DefaultBucketFunction.java:30-34); our engine defines its own
+    stable hash — Spark's xxhash64 built-in — shared by the writer and
+    the bucketed-join layout (SURVEY §4.3 item 6).
+    """
+    n = schema.num_buckets()
+    keys = schema.trimmed_primary_keys()
+    return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n)).cast("int")
+
+
+def _cast_to_schema(df: DataFrame, schema: TableSchema, extra: list[str] = ()) -> DataFrame:
+    cols = [F.col(f.name).cast(f.type).alias(f.name) for f in schema.fields]
+    cols += [F.col(c) for c in extra if c in df.columns]
+    return df.select(*cols)
+
+
+def stage_and_collect(
+    df: DataFrame,
+    table_path: str,
+    schema: TableSchema,
+    base_sequence: int = 0,
+    row_kind_col: str | None = None,
+    target_level: int = 0,
+) -> list[ManifestEntry]:
+    """Write ``df`` into the table's data layout; return manifest entries.
+
+    PK tables get system columns ``_SEQUENCE_NUMBER`` / ``_VALUE_KIND``
+    and a ``_bucket`` assignment, then one shuffle on
+    (partition, bucket) so each (partition, bucket) is written by one
+    task → one level-``target_level`` file per commit per bucket (the
+    LSM run, SURVEY §2.1 S16).
+    """
+    pk = bool(schema.primary_keys)
+    pt_cols = list(schema.partition_keys)
+    spark_extra: list[str] = []
+
+    if pk:
+        if row_kind_col and row_kind_col in df.columns:
+            kind = F.col(row_kind_col)
+        elif ROW_KIND in df.columns:
+            kind = F.col(ROW_KIND)
+        else:
+            kind = F.lit(KIND_INSERT)
+        df = df.withColumn(VALUE_KIND, kind)
+        df = _cast_to_schema(df, schema, extra=[VALUE_KIND])
+        # input order within source partitions is preserved by
+        # monotonically_increasing_id, assigned BEFORE the bucket shuffle
+        df = df.withColumn(
+            SEQUENCE_NUMBER, (F.lit(base_sequence) + F.monotonically_increasing_id()).cast("long")
+        )
+        df = df.withColumn(BUCKET_COL, bucket_expr(schema))
+        df = df.repartition(*[F.col(c) for c in pt_cols + [BUCKET_COL]])
+        partition_by = pt_cols + [BUCKET_COL]
+        spark_extra = [VALUE_KIND, SEQUENCE_NUMBER, BUCKET_COL]
+    else:
+        df = _cast_to_schema(df, schema)
+        partition_by = pt_cols
+
+    staging = os.path.join(table_path, "staging", uuid.uuid4().hex)
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(staging)
+
+    entries = _collect_staged(staging, table_path, schema, target_level)
+    shutil.rmtree(staging, ignore_errors=True)
+    return entries
+
+
+def _collect_staged(
+    staging: str, table_path: str, schema: TableSchema, level: int
+) -> list[ManifestEntry]:
+    data_root = os.path.join(table_path, DATA_DIR)
+    entries: list[ManifestEntry] = []
+    now = now_millis()
+    for dirpath, _dirs, files in os.walk(staging):
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            src = os.path.join(dirpath, fn)
+            rel_dir = os.path.relpath(dirpath, staging)
+            partition, bucket = _parse_partition(rel_dir)
+            row_count, _size, stats = collect_parquet_stats(src)
+            if row_count == 0:
+                continue
+            new_name = f"data-{uuid.uuid4().hex}.parquet"
+            rel_parts = [] if rel_dir == "." else rel_dir.split(os.sep)
+            dest_dir = os.path.join(data_root, *rel_parts)
+            os.makedirs(dest_dir, exist_ok=True)
+            dest = os.path.join(dest_dir, new_name)
+            os.replace(src, dest)
+            size = os.path.getsize(dest)
+            seq_stats = stats.get(SEQUENCE_NUMBER, {})
+            entries.append(
+                ManifestEntry(
+                    kind=KIND_ADD,
+                    partition=partition,
+                    bucket=bucket,
+                    level=level,
+                    file_name=os.path.relpath(dest, table_path),
+                    row_count=row_count,
+                    file_size=size,
+                    min_seq=seq_stats.get("min", 0) or 0,
+                    max_seq=seq_stats.get("max", 0) or 0,
+                    schema_id=schema.id,
+                    stats=stats,
+                    creation_time=now,
+                )
+            )
+    return entries
+
+
+def _parse_partition(rel_dir: str) -> tuple[dict[str, str], int]:
+    partition: dict[str, str] = {}
+    bucket = 0
+    if rel_dir == ".":
+        return partition, bucket
+    for seg in rel_dir.split(os.sep):
+        if "=" not in seg:
+            continue
+        k, v = seg.split("=", 1)
+        v = urllib.parse.unquote(v)
+        if k == BUCKET_COL:
+            bucket = int(v)
+        else:
+            partition[k] = "" if v == "__HIVE_DEFAULT_PARTITION__" else v
+    return partition, bucket
+
+
+def max_sequence(entries: list[ManifestEntry]) -> int:
+    return max((e.max_seq for e in entries), default=0)
