@@ -1,0 +1,175 @@
+"""Benchmark harness (BASELINE.md protocol).
+
+Runs the headline workloads on $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Workloads (BASELINE.md BENCH protocol):
+  1. scan_agg    — full-scan aggregate on the engine-managed lineitem
+                   table (TPC-H Q1 shape).
+  2. scan_skip   — selective filter on the partitioned table; exercises
+                   manifest/partition pruning + parquet pushdown.
+  3. upsert      — q1-analogue PK upsert batches into a bucketed table.
+  4. mor_read    — merge-on-read query after the upsert batches.
+  5. compact     — full compaction pass; then post-compaction read.
+Plus host-side joins (q3, q5) and pipeline ops (dedup_minhash,
+ann_brute_force) to track Catalyst-path and Python-UDF-path throughput.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from flink_table_store_spark.session import get_spark  # noqa: E402
+
+BENCH_WH = "/tmp/ftss_bench_wh"
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf_tag = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        sf = float(sf_tag.replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    spark = get_spark("ftss-bench")
+    from flink_table_store_spark.catalog import Catalog
+    from flink_table_store_spark import queries as Q
+    from flink_table_store_spark import predicate as P
+
+    shutil.rmtree(BENCH_WH, ignore_errors=True)
+    cat = Catalog(BENCH_WH)
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+
+    timings: dict[str, float] = {}
+
+    def timed(name):
+        def deco(fn):
+            t0 = time.perf_counter()
+            fn()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        return deco
+
+    # --- managed append table (partitioned) used by scan benches -----------
+    t_app = cat.create_table(
+        "bench.lineitem", li.schema, partition_keys=["l_returnflag"], ignore_if_exists=True
+    )
+
+    @timed("write_append")
+    def _w():
+        t_app.write(li)
+
+    @timed("scan_agg")
+    def _q1():
+        (
+            t_app.to_df(spark)
+            .where(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity"),
+                F.sum("l_extendedprice"),
+                F.avg("l_discount"),
+                F.count(F.lit(1)),
+            )
+            .collect()
+        )
+
+    @timed("scan_skip")
+    def _skip():
+        # partition prune (l_returnflag) + stats skip (l_orderkey range)
+        (
+            t_app.to_df(
+                spark,
+                predicate=P.and_(
+                    P.equal("l_returnflag", "R"),
+                    P.less_than("l_orderkey", 1000),
+                ),
+            )
+            .agg(F.count(F.lit(1)), F.sum("l_extendedprice"))
+            .collect()
+        )
+
+    # --- PK upsert benches (q1-shaped workload) ---------------------------
+    t_pk = cat.create_table(
+        "bench.orders_pk",
+        "o_custkey bigint, last_orderkey bigint, last_totalprice double",
+        primary_keys=["o_custkey"],
+        options={"bucket": "8"},
+        ignore_if_exists=True,
+    )
+    pb = Q._orders_per_batch(spark, sf_dir).cache()
+    pb.count()
+    n_upsert_rows = 0
+
+    @timed("upsert")
+    def _up():
+        nonlocal n_upsert_rows
+        for b in range(3):
+            batch = pb.where(F.col("batch") == b).drop("batch")
+            n_upsert_rows += batch.count()
+            t_pk.write(batch)
+
+    @timed("mor_read")
+    def _mor():
+        t_pk.to_df(spark).agg(
+            F.count(F.lit(1)), F.sum("last_totalprice"), F.max("last_orderkey")
+        ).collect()
+
+    @timed("compact")
+    def _cp():
+        t_pk.compact(spark, full=True)
+
+    @timed("post_compact_read")
+    def _pc():
+        t_pk.to_df(spark).agg(F.count(F.lit(1)), F.sum("last_totalprice")).collect()
+
+    pb.unpersist()
+
+    # --- host-side joins + pipeline ops over raw parquet ------------------
+    @timed("q3_join")
+    def _q3():
+        Q.q3_shipping_priority(spark, sf_dir).collect()
+
+    @timed("q5_join")
+    def _q5():
+        Q.q5_local_supplier(spark, sf_dir).collect()
+
+    @timed("dedup_minhash")
+    def _dd():
+        Q.dedup_minhash(spark, sf_dir).count()
+
+    @timed("ann_brute_force")
+    def _ann():
+        Q.ann_brute_force(spark, sf_dir).collect()
+
+    total = round(sum(timings.values()), 4)
+    upsert_rps = round(n_upsert_rows * 3 / timings["upsert"], 1) if timings.get("upsert") else None
+    print(
+        json.dumps(
+            {
+                "metric": "ftss_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "upsert_rows_per_sec": upsert_rps,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

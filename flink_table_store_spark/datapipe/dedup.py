@@ -1,0 +1,230 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design: every operator is expressed with built-in DataFrame ops
+(no Python UDFs) so Catalyst/Tungsten execute it JVM-side:
+
+- exact: one hash-shuffle on the content fingerprint.
+- MinHash+LSH: signatures are narrow per-row array expressions
+  (``transform``/``array_min`` over shingle hashes); candidate
+  generation is a self-join on (band, band_hash) — the classic
+  shingle→minhash→band→bucket-join pipeline. Only documents sharing a
+  band hash meet in the shuffle, so the join is near-linear for real
+  corpora instead of O(n²).
+- SimHash: 64-bit signature folded with ``aggregate``/``zip_with``;
+  near-dup candidates = equal signature (or banded hamming buckets).
+- n-gram Jaccard: exact verification on candidate pairs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_table_store_spark.datapipe.text import fingerprint
+
+# deterministic MinHash parameters (odd multipliers, fixed seed mix).
+# Universal hashing in the 2^31-1 Mersenne domain: inputs reduced mod p
+# first so a*h+b stays far below 2^63 (Spark runs ANSI overflow checks).
+_MERSENNE = (1 << 31) - 1
+
+
+def _shingles(col: Column, k: int = 3) -> Column:
+    """Word k-shingles as an array<string> (distinct)."""
+    words = F.split(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " "))
+    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.array_join(words, " "))))
+
+
+def minhash_signature(col: Column, num_hashes: int = 64, k: int = 3) -> Column:
+    """array<bigint> MinHash signature — min over shingles of
+    universal-hash_j(xxhash64(shingle))."""
+    sh = _shingles(col, k)
+    base = F.transform(sh, lambda s: F.xxhash64(s))
+    sig = []
+    for j in range(num_hashes):
+        a = 2 * j + 1  # odd multiplier
+        b = (0x9E3779B97F4A7C15 ^ (j * 0xBF58476D1CE4E5B9)) % _MERSENNE
+
+        def _mk(a: int, b: int):
+            return lambda h: F.pmod(F.pmod(h, F.lit(_MERSENNE)) * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
+
+        sig.append(F.array_min(F.transform(base, _mk(a, b))))
+    return F.array(*sig)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (min id) per exact normalized content.
+    One shuffle on the 64-bit fingerprint; survives 100 TB because the
+    key is a fixed-width long, with map-side combine in the group-by."""
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__fp", fingerprint(text_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH.
+
+    rows/band r = num_hashes/bands; collision threshold ≈ (1/bands)^(1/r).
+    The band self-join shuffles on (band_idx, band_hash) — only colliding
+    docs co-locate."""
+    r = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_k)
+    with_sig = df.select(F.col(id_col).alias("__id"), sig.alias("__sig"))
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("__band")
+    banded = with_sig.select("__id", "__sig", band_idx).select(
+        "__id",
+        "__band",
+        F.xxhash64(F.slice("__sig", F.col("__band") * r + 1, r).cast("string")).alias("__bh"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.__band") == F.col("b.__band")) & (F.col("a.__bh") == F.col("b.__bh")) & (F.col("a.__id") < F.col("b.__id")))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame,  # columns id_a, id_b
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact word-k-gram Jaccard verification of candidate pairs.
+    Shingle sets are joined in (broadcast when small); at scale the two
+    joins shuffle on the doc id — still linear in |pairs|."""
+    sh = df.select(F.col(id_col).alias("__id"), _shingles(F.col(text_col), k).alias("__sh"))
+    out = (
+        candidate_pairs.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sa"), "id_a")
+        .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__sb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sa", "__sb"))
+            / F.size(F.array_union("__sa", "__sb")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Full near-dup removal: LSH candidates → Jaccard verify →
+    keep min-id representative of each dup cluster (union-find collapsed
+    to 'kept iff no verified duplicate with a smaller id' — one-hop
+    star clustering, linear and deterministic)."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
+    verified = ngram_jaccard_pairs(df, pairs, text_col, id_col, shingle_k, jaccard_threshold)
+    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def simhash64(col: Column, n_bits: int = 64) -> Column:
+    """64-bit SimHash of whitespace tokens, built entirely from
+    aggregate/zip_with (JVM-side, no UDF). Bit positions are unrolled as
+    static expressions (whole-stage codegen handles the width)."""
+    words = F.split(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "), " ")
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), n_bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(F.getbit(h, F.lit(i)) == 1, F.lit(1)).otherwise(F.lit(-1))
+                    for i in range(n_bits)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    out = F.lit(0).cast("long")
+    for i in range(n_bits):
+        weight = (1 << i) if i < 63 else -(1 << 63)
+        out = out.bitwiseOR(
+            F.when(counts[i] > 0, F.lit(weight)).otherwise(F.lit(0)).cast("long")
+        )
+    return out
+
+
+def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Drop documents whose 64-bit SimHash collides with a smaller-id doc.
+    (Equal-signature near-dup; banded hamming-distance buckets are the
+    extension, same join shape.)"""
+    w = Window.partitionBy("__sh").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__sh", simhash64(F.col(text_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__sh", "__rn")
+    )
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    block_bits: int = 0,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ t).
+
+    block_bits>0 buckets vectors by the sign pattern of their first
+    ``block_bits`` dimensions (cheap LSH) so the self-join only meets
+    within buckets — the 100 TB path. 0 = exact all-pairs (test scale).
+    """
+    dot = lambda a, b: F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    norm = lambda a: F.sqrt(dot(a, a))
+    v = emb.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        norm(F.col(vec_col)).alias("__n"),
+    )
+    if block_bits > 0:
+        from flink_table_store_spark.datapipe.similarity import signbit_bucket
+
+        v = v.withColumn("__blk", signbit_bucket(F.col("__v"), block_bits))
+        cond = (F.col("a.__blk") == F.col("b.__blk")) & (F.col("a.__id") < F.col("b.__id"))
+    else:
+        cond = F.col("a.__id") < F.col("b.__id")
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, cond)
+        .withColumn(
+            "cosine",
+            dot(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__n") * F.col("b.__n")),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

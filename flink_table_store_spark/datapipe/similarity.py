@@ -1,0 +1,107 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline: broadcast the
+query set, compute dot products with ``zip_with``/``aggregate``
+(JVM-side), rank with a window. The LSH-bucketed variant (sign-bit
+buckets, same trick as dedup.embedding_near_dup_pairs) is the scale
+path: each query probes one bucket instead of the full corpus —
+mirrors the reference's vector-search table + global index surface
+(paimon-core table/VectorSearchTable.java, globalindex/; faiss/lucene
+backends) with the index expressed relationally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k by cosine for each query. Queries are broadcast
+    (small side); the corpus streams through once — O(|corpus|·|queries|)
+    flops but zero corpus shuffle until the final per-query top-k, which
+    AQE executes as a partial top-k per partition (window + filter)."""
+    q = F.broadcast(queries.select(F.col(query_id_col).alias("__qid"), F.col(query_vec_col).alias("__qv")))
+    c = corpus.select(F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv"))
+    scored = q.crossJoin(c).withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+    w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__cid").asc())
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__cid").alias(id_col),
+            F.round("cosine", 6).alias("cosine"),
+            F.col("__rank").alias("rank"),
+        )
+    )
+
+
+def signbit_bucket(vec: Column, bits: int) -> Column:
+    """LSH bucket id from the sign pattern of the first ``bits`` dims
+    (static unrolled bit expressions — JVM-side)."""
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out.bitwiseOR(
+            F.when(vec[i] >= 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+        )
+    return out
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's sign-bit
+    bucket are scored. 2^bits buckets → ~|corpus|/2^bits candidates per
+    query; the join co-locates on the bucket id (hash shuffle), never
+    materializing the cross product. Recall < 1; raise k/bits or add
+    multi-probe for more."""
+    c = corpus.select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+        signbit_bucket(F.col(vec_col), bits).alias("__bkt"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(query_vec_col).alias("__qv"),
+        signbit_bucket(F.col(query_vec_col), bits).alias("__bkt"),
+    )
+    scored = q.join(c, "__bkt").withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+    w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__cid").asc())
+    return (
+        scored.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__cid").alias(id_col),
+            F.round("cosine", 6).alias("cosine"),
+            F.col("__rank").alias("rank"),
+        )
+    )

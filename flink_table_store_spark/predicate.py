@@ -188,7 +188,30 @@ class Or(Predicate):
         return col
 
 
+@dataclass
+class Raw(Predicate):
+    """Arbitrary Spark Column predicate — not stats-decidable, so it never
+    prunes files; Catalyst evaluates it as the residual filter. The escape
+    hatch for expressions beyond the leaf set (same role as the reference
+    falling back to un-pushable predicates)."""
+
+    column: Any  # pyspark Column
+
+    def test(self, stats, row_count):
+        return True
+
+    def test_partition(self, partition):
+        return True
+
+    def to_column(self) -> Column:
+        return self.column
+
+
 # --- builder helpers (PredicateBuilder.java:76-230) ---
+
+def raw(column) -> Raw:
+    return Raw(column)
+
 
 def equal(f, v):
     return Leaf("=", f, (v,))

@@ -1,0 +1,939 @@
+"""Headline queries + DuckDB oracles for the driver's correctness gate.
+
+Each ``QUERIES`` entry is (spark_fn, oracle_sql | None). Spark fns take
+(spark, sf_dir) and return a DataFrame; oracle SQL runs on DuckDB over
+the same parquet (views: region nation customer supplier part orders
+lineitem events documents embeddings). Column names/aliases match
+exactly — the comparator sorts columns by name and value-hashes.
+
+Queries that exercise the table-format layer (upsert/merge/time
+travel/compaction/...) build managed tables under /tmp from the
+sf_dir inputs deterministically, then read through the engine; their
+oracles recompute the same semantics in SQL. Aggregates on doubles are
+rounded on both sides to absorb summation-order float drift.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_table_store_spark import predicate as P
+from flink_table_store_spark.catalog import Catalog
+from flink_table_store_spark.datapipe import dedup as DD
+from flink_table_store_spark.datapipe import multimodal as MM
+from flink_table_store_spark.datapipe import similarity as SIM
+from flink_table_store_spark.datapipe import text as TX
+
+_WAREHOUSE_ROOT = "/tmp/ftss_entry_wh"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; read nanos as long and convert to micros."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes)["ts"] == "bigint":
+        # integer div — float division loses precision above 2^53 ns
+        ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return ev
+
+
+def _wh(sf_dir: str) -> Catalog:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return Catalog(os.path.join(_WAREHOUSE_ROOT, tag))
+
+
+# ---------------------------------------------------------------------------
+# host-side relational queries (Catalyst operators over our scans)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape over the engine-managed lineitem table (exercises
+    S2 scan planning + Catalyst agg)."""
+    li = _managed_lineitem(spark, sf_dir).to_df(spark)
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1995-03-15")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .where(cust.c_nationkey == supp.s_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _managed_lineitem(spark, sf_dir).to_df(
+        spark,
+        predicate=P.and_(
+            P.greater_or_equal("l_shipdate", "1994-01-01"),
+            P.less_than("l_shipdate", "1995-01-01"),
+            P.between("l_discount", 0.05, 0.07),
+            P.less_than("l_quantity", 24.0),
+        ),
+    )
+    return li.agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+Q6_SQL = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def window_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TopN-per-group (O2 TopN pushdown shape, host-side window exec)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+    )
+
+
+WINDOW_TOPN_SQL = """
+SELECT o_orderpriority, rnk, o_orderkey, o_totalprice
+FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders)
+WHERE rnk <= 3
+"""
+
+
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT/INTERSECT over order-year key sets (§2.7 set operations)."""
+    orders = _t(spark, sf_dir, "orders")
+    y95 = orders.where(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    y96 = orders.where(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    only95 = y95.exceptAll(y96).withColumn("bucket", F.lit("only_1995"))
+    both = y95.intersect(y96).withColumn("bucket", F.lit("both"))
+    return only95.unionByName(both).orderBy("bucket", "o_custkey")
+
+
+SET_OPS_SQL = """
+WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+     y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+SELECT o_custkey, 'only_1995' AS bucket FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y96)
+UNION ALL
+SELECT o_custkey, 'both' AS bucket FROM (SELECT o_custkey FROM y95 INTERSECT SELECT o_custkey FROM y96)
+ORDER BY bucket, o_custkey
+"""
+
+
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi / left_anti (EXISTS / NOT EXISTS)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    with_orders = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").withColumn(
+        "has_orders", F.lit(True)
+    )
+    without = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").withColumn(
+        "has_orders", F.lit(False)
+    )
+    return with_orders.unionByName(without).select("c_custkey", "has_orders").orderBy("c_custkey")
+
+
+SEMI_ANTI_SQL = """
+SELECT c_custkey, EXISTS(SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_orders
+FROM customer ORDER BY c_custkey
+"""
+
+
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .orderBy(F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"))
+    )
+
+
+ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+"""
+
+
+def agg_pushdown_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT/MIN/MAX answered from manifest stats, zero data files read
+    (SURVEY §2.4 A1: AggregatePushDownUtils)."""
+    table = _managed_lineitem(spark, sf_dir)
+    n = table.count_rows()
+    mn, mx = table.min_max("l_orderkey")
+    qmin, qmax = table.min_max("l_quantity")
+    return spark.createDataFrame(
+        [(n, int(mn), int(mx), float(qmin), float(qmax))],
+        "count_rows bigint, min_orderkey bigint, max_orderkey bigint, min_qty double, max_qty double",
+    )
+
+
+AGG_PUSHDOWN_SQL = """
+SELECT count(*) AS count_rows, min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey,
+       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# table-format queries (managed tables built deterministically from sf_dir)
+# ---------------------------------------------------------------------------
+
+def _managed_lineitem(spark: SparkSession, sf_dir: str):
+    """Append table partitioned by l_returnflag, loaded once per sf_dir."""
+    cat = _wh(sf_dir)
+    try:
+        t = cat.get_table("default.lineitem_append")
+        if t.snapshots.latest_id():
+            return t
+    except RuntimeError:
+        pass
+    li = _t(spark, sf_dir, "lineitem")
+    t = cat.create_table(
+        "default.lineitem_append", li.schema, partition_keys=["l_returnflag"], ignore_if_exists=True
+    )
+    if not t.snapshots.latest_id():
+        t.write(li)
+    return t
+
+
+def _orders_per_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic upsert stream: 3 batches (o_orderkey % 3), one row
+    per (custkey, batch) — the row with max o_orderkey in the batch."""
+    orders = _t(spark, sf_dir, "orders").withColumn("batch", (F.col("o_orderkey") % 3).cast("int"))
+    w = Window.partitionBy("o_custkey", "batch").orderBy(F.desc("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "batch", F.col("o_orderkey").alias("last_orderkey"), F.col("o_totalprice").alias("last_totalprice"))
+    )
+
+
+_PK_ORACLE_CTE = """
+WITH ranked AS (
+  SELECT o_custkey, CAST(o_orderkey % 3 AS INT) AS batch, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey, o_orderkey % 3 ORDER BY o_orderkey DESC) AS rn
+  FROM orders),
+ per_batch AS (
+  SELECT o_custkey, batch, o_orderkey AS last_orderkey, o_totalprice AS last_totalprice
+  FROM ranked WHERE rn = 1),
+ final AS (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY batch DESC) AS rn2 FROM per_batch)
+"""
+
+
+def _pk_orders_table(spark: SparkSession, sf_dir: str):
+    """PK table (pk=o_custkey, bucket=4) after upserting batches 0,1,2."""
+    cat = _wh(sf_dir)
+    try:
+        t = cat.get_table("default.orders_pk")
+        if t.snapshots.latest_id() and t.snapshots.latest_id() >= 3:
+            return t
+    except RuntimeError:
+        pass
+    t = cat.create_table(
+        "default.orders_pk",
+        "o_custkey bigint, last_orderkey bigint, last_totalprice double",
+        primary_keys=["o_custkey"],
+        options={"bucket": "4"},
+        ignore_if_exists=True,
+    )
+    if not t.snapshots.latest_id() or t.snapshots.latest_id() < 3:
+        pb = _orders_per_batch(spark, sf_dir).cache()
+        for b in range(3):
+            t.write(pb.where(F.col("batch") == b).drop("batch"))
+        pb.unpersist()
+    return t
+
+
+def pk_upsert_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read dedup after 3 upsert commits (A4 deduplicate)."""
+    return _pk_orders_table(spark, sf_dir).to_df(spark).orderBy("o_custkey")
+
+
+PK_UPSERT_SQL = (
+    _PK_ORACLE_CTE
+    + "SELECT o_custkey, last_orderkey, last_totalprice FROM final WHERE rn2 = 1 ORDER BY o_custkey"
+)
+
+
+def pk_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERSION AS OF snapshot 1 = only batch-0 rows (J6 time travel)."""
+    return _pk_orders_table(spark, sf_dir).to_df(spark, snapshot_id=1).orderBy("o_custkey")
+
+
+PK_TIME_TRAVEL_SQL = (
+    _PK_ORACLE_CTE
+    + "SELECT o_custkey, last_orderkey, last_totalprice FROM per_batch WHERE batch = 0 ORDER BY o_custkey"
+)
+
+
+def pk_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental read of snapshots (1,2] = batch-1 rows (T6)."""
+    t = _pk_orders_table(spark, sf_dir)
+    return t.incremental_read(spark, 1, 2).orderBy("o_custkey")
+
+
+PK_INCREMENTAL_SQL = (
+    _PK_ORACLE_CTE
+    + "SELECT o_custkey, last_orderkey, last_totalprice FROM per_batch WHERE batch = 1 ORDER BY o_custkey"
+)
+
+
+def pk_delete_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE + UPDATE on a PK table (row-level ops, §3.3)."""
+    cat = _wh(sf_dir)
+    name = "default.orders_pk_mut"
+    try:
+        t = cat.get_table(name)
+    except RuntimeError:
+        t = None
+    if t is None or not t.snapshots.latest_id() or t.snapshots.latest_id() < 3:
+        cat.drop_table(name)
+        t = cat.create_table(
+            name,
+            "o_custkey bigint, last_orderkey bigint, last_totalprice double",
+            primary_keys=["o_custkey"],
+            options={"bucket": "4"},
+        )
+        base = _pk_orders_table(spark, sf_dir).to_df(spark)
+        t.write(base)
+        t.delete(spark, P.raw(F.pmod(F.col("o_custkey"), F.lit(7)) == 0))
+        t.update(spark, P.raw(F.pmod(F.col("o_custkey"), F.lit(11)) == 0), {"last_totalprice": F.lit(0.0)})
+    return t.to_df(spark).orderBy("o_custkey")
+
+
+PK_DELETE_UPDATE_SQL = (
+    _PK_ORACLE_CTE
+    + """
+SELECT o_custkey, last_orderkey,
+       CASE WHEN o_custkey % 11 = 0 THEN 0.0 ELSE last_totalprice END AS last_totalprice
+FROM final WHERE rn2 = 1 AND o_custkey % 7 <> 0
+ORDER BY o_custkey
+"""
+)
+
+
+def merge_into_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO: matched-update + not-matched-insert (J4)."""
+    cat = _wh(sf_dir)
+    name = "default.orders_pk_merge"
+    try:
+        t = cat.get_table(name)
+    except RuntimeError:
+        t = None
+    if t is None or not t.snapshots.latest_id() or t.snapshots.latest_id() < 2:
+        cat.drop_table(name)
+        t = cat.create_table(
+            name,
+            "o_custkey bigint, last_orderkey bigint, last_totalprice double",
+            primary_keys=["o_custkey"],
+            options={"bucket": "4"},
+        )
+        base = _pk_orders_table(spark, sf_dir).to_df(spark)
+        t.write(base.where(F.col("o_custkey") % 2 == 0))  # evens only
+        source = base.withColumn("last_totalprice", F.col("last_totalprice") + 1000.0)
+        t.merge_into(spark, source, on=["o_custkey"], when_matched_update="*")
+    return t.to_df(spark).orderBy("o_custkey")
+
+
+MERGE_INTO_SQL = (
+    _PK_ORACLE_CTE
+    + """
+SELECT o_custkey, last_orderkey, last_totalprice + 1000.0 AS last_totalprice
+FROM final WHERE rn2 = 1 ORDER BY o_custkey
+"""
+)
+
+
+def agg_merge_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregation merge engine: sum/max/count per key across upsert
+    batches (A2 + field aggregators)."""
+    cat = _wh(sf_dir)
+    name = "default.orders_agg"
+    try:
+        t = cat.get_table(name)
+    except RuntimeError:
+        t = None
+    if t is None or not t.snapshots.latest_id() or t.snapshots.latest_id() < 3:
+        cat.drop_table(name)
+        t = cat.create_table(
+            name,
+            "o_custkey bigint, cnt bigint, sum_price double, max_price double",
+            primary_keys=["o_custkey"],
+            options={
+                "bucket": "4",
+                "merge-engine": "aggregation",
+                "fields.cnt.aggregate-function": "sum",
+                "fields.sum_price.aggregate-function": "sum",
+                "fields.max_price.aggregate-function": "max",
+            },
+        )
+        orders = _t(spark, sf_dir, "orders").withColumn("batch", (F.col("o_orderkey") % 3).cast("int"))
+        rows = orders.select(
+            "o_custkey",
+            F.lit(1).cast("bigint").alias("cnt"),
+            F.col("o_totalprice").alias("sum_price"),
+            F.col("o_totalprice").alias("max_price"),
+            "batch",
+        )
+        for b in range(3):
+            t.write(rows.where(F.col("batch") == b).drop("batch"))
+    df = t.to_df(spark)
+    return df.select(
+        "o_custkey", "cnt", F.round("sum_price", 2).alias("sum_price"), "max_price"
+    ).orderBy("o_custkey")
+
+
+AGG_ENGINE_SQL = """
+SELECT o_custkey, count(*) AS cnt, round(sum(o_totalprice), 2) AS sum_price, max(o_totalprice) AS max_price
+FROM orders GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+def first_row_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first-row merge engine (A5): first batch's row wins."""
+    cat = _wh(sf_dir)
+    name = "default.orders_first"
+    try:
+        t = cat.get_table(name)
+    except RuntimeError:
+        t = None
+    if t is None or not t.snapshots.latest_id() or t.snapshots.latest_id() < 3:
+        cat.drop_table(name)
+        t = cat.create_table(
+            name,
+            "o_custkey bigint, last_orderkey bigint, last_totalprice double",
+            primary_keys=["o_custkey"],
+            options={"bucket": "4", "merge-engine": "first-row"},
+        )
+        pb = _orders_per_batch(spark, sf_dir).cache()
+        for b in range(3):
+            t.write(pb.where(F.col("batch") == b).drop("batch"))
+        pb.unpersist()
+    return t.to_df(spark).orderBy("o_custkey")
+
+
+FIRST_ROW_SQL = (
+    _PK_ORACLE_CTE
+    + """
+SELECT o_custkey, last_orderkey, last_totalprice
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY batch ASC) AS rn3 FROM per_batch)
+WHERE rn3 = 1 ORDER BY o_custkey
+"""
+)
+
+
+def partial_update_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """partial-update merge engine (A3): non-null fields overwrite."""
+    cat = _wh(sf_dir)
+    name = "default.orders_partial"
+    try:
+        t = cat.get_table(name)
+    except RuntimeError:
+        t = None
+    if t is None or not t.snapshots.latest_id() or t.snapshots.latest_id() < 2:
+        cat.drop_table(name)
+        t = cat.create_table(
+            name,
+            "o_custkey bigint, status string, priority string",
+            primary_keys=["o_custkey"],
+            options={"bucket": "4", "merge-engine": "partial-update"},
+        )
+        pb = _orders_per_batch(spark, sf_dir)
+        orders = _t(spark, sf_dir, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderkey"))
+        one = orders.withColumn("rn", F.row_number().over(w)).where("rn = 1")
+        # batch 1: only status; batch 2: only priority — merged row has both
+        t.write(one.select("o_custkey", F.col("o_orderstatus").alias("status"), F.lit(None).cast("string").alias("priority")))
+        t.write(one.select("o_custkey", F.lit(None).cast("string").alias("status"), F.col("o_orderpriority").alias("priority")))
+    return t.to_df(spark).orderBy("o_custkey")
+
+
+PARTIAL_UPDATE_SQL = """
+SELECT o_custkey, o_orderstatus AS status, o_orderpriority AS priority
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn FROM orders)
+WHERE rn = 1 ORDER BY o_custkey
+"""
+
+
+def partition_delete_metadata_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only DELETE of a whole partition (no file rewrite)."""
+    cat = _wh(sf_dir)
+    name = "default.lineitem_pt_del"
+    try:
+        t = cat.get_table(name)
+    except RuntimeError:
+        t = None
+    if t is None or not t.snapshots.latest_id() or t.snapshots.latest_id() < 2:
+        cat.drop_table(name)
+        li = _t(spark, sf_dir, "lineitem")
+        t = cat.create_table(name, li.schema, partition_keys=["l_returnflag"])
+        t.write(li)
+        t.delete(spark, P.equal("l_returnflag", "A"))
+    df = t.to_df(spark)
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+    ).orderBy("l_returnflag")
+
+
+PARTITION_DELETE_SQL = """
+SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+FROM lineitem WHERE l_returnflag <> 'A'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def compaction_preserves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full compaction preserves table contents (§4.2 universal/full)."""
+    cat = _wh(sf_dir)
+    name = "default.orders_compact"
+    try:
+        t = cat.get_table(name)
+    except RuntimeError:
+        t = None
+    if t is None or not t.snapshots.latest_id() or t.snapshots.latest_id() < 4:
+        cat.drop_table(name)
+        t = cat.create_table(
+            name,
+            "o_custkey bigint, last_orderkey bigint, last_totalprice double",
+            primary_keys=["o_custkey"],
+            options={"bucket": "4"},
+        )
+        pb = _orders_per_batch(spark, sf_dir).cache()
+        for b in range(3):
+            t.write(pb.where(F.col("batch") == b).drop("batch"))
+        pb.unpersist()
+        t.compact(spark, full=True)
+    return t.to_df(spark).orderBy("o_custkey")
+
+
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read across schema generations: add + rename + widen (F8)."""
+    cat = _wh(sf_dir)
+    name = "default.orders_evo"
+    try:
+        t = cat.get_table(name)
+    except RuntimeError:
+        t = None
+    if t is None or not t.snapshots.latest_id() or t.snapshots.latest_id() < 2:
+        cat.drop_table(name)
+        t = cat.create_table(
+            name,
+            "o_orderkey bigint, status string, total int",
+            primary_keys=["o_orderkey"],
+            options={"bucket": "2"},
+        )
+        orders = _t(spark, sf_dir, "orders")
+        gen0 = orders.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", F.col("o_orderstatus").alias("status"), F.floor("o_totalprice").cast("int").alias("total")
+        )
+        t.write(gen0)
+        t.evolve_schema(
+            [
+                {"action": "rename_column", "name": "status", "new_name": "order_status"},
+                {"action": "update_column_type", "name": "total", "type": "bigint"},
+                {"action": "add_column", "name": "priority", "type": "string"},
+            ]
+        )
+        gen1 = orders.where(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey",
+            F.col("o_orderstatus").alias("order_status"),
+            F.floor("o_totalprice").alias("total"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        t.write(gen1)
+    return t.to_df(spark).orderBy("o_orderkey")
+
+
+SCHEMA_EVO_SQL = """
+SELECT o_orderkey, o_orderstatus AS order_status, CAST(floor(o_totalprice) AS BIGINT) AS total,
+       CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority ELSE NULL END AS priority
+FROM orders ORDER BY o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# events (streaming-shaped batch queries)
+# ---------------------------------------------------------------------------
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation (T9 window shape, batch-checked)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .orderBy("hour", "event_type")
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+"""
+
+
+def events_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user — the upsert-view shape (max_by)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("user_id", "event_id", "ts", "event_type")
+        .orderBy("user_id")
+    )
+
+
+EVENTS_LATEST_SQL = """
+SELECT user_id, event_id, ts, event_type
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+WHERE rn = 1 ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline operators
+# ---------------------------------------------------------------------------
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("n_ws_tokens"),
+        TX.bpe_token_count("text").alias("n_bpe_tokens"),
+        F.length("text").alias("len_chars"),
+    ).orderBy("doc_id")
+
+
+TEXT_TOKEN_SQL = r"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+(?:''[a-z]+)?|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens,
+       length(text) AS len_chars
+FROM documents ORDER BY doc_id
+"""
+
+
+def text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality score + language ID (rows-only oracle: heuristic model)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.quality_score("text").alias("quality"),
+        TX.lang_id("text").alias("lang_pred"),
+        TX.fingerprint("text").alias("fp"),
+    ).orderBy("doc_id")
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return DD.exact_dedup(docs).select("doc_id").orderBy("doc_id")
+
+
+DEDUP_EXACT_SQL = r"""
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (
+     PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g') ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup removal (rows-only: LSH hashes not in SQL)."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.minhash_dedup(docs).select("doc_id").orderBy("doc_id")
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signature dedup (rows-only)."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.simhash_dedup(docs).select("doc_id").orderBy("doc_id")
+
+
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard over prefix-blocked candidate pairs (exact,
+    oracle-checked)."""
+    docs = _t(spark, sf_dir, "documents")
+    blocked = docs.select(
+        F.col("doc_id"), F.substring(F.lower(F.trim("text")), 1, 16).alias("__pfx")
+    )
+    pairs = (
+        blocked.alias("a")
+        .join(blocked.alias("b"), (F.col("a.__pfx") == F.col("b.__pfx")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    return DD.ngram_jaccard_pairs(docs, pairs, k=1, threshold=0.5).orderBy("id_a", "id_b")
+
+
+NGRAM_JACCARD_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, substring(lower(trim(text)), 1, 16) AS pfx,
+         list_distinct(regexp_split_to_array(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS words
+  FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.words, b.words))), 6) AS jaccard
+FROM toks a JOIN toks b ON a.pfx = b.pfx AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE) /
+      len(list_distinct(list_concat(a.words, b.words))) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors over the embeddings table."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return SIM.brute_force_topk(emb, queries, k=10).orderBy("query_id", "rank")
+
+
+ANN_BRUTE_SQL = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5),
+     scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(q.qv, e.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+  FROM q CROSS JOIN emb e),
+     ranked AS (
+  SELECT query_id, vec_id, round(cos, 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k (rows-only; recall<1 by design)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return SIM.lsh_topk(emb, queries, k=10, bits=4).orderBy("query_id", "rank")
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact, oracle-checked)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return DD.embedding_near_dup_pairs(emb, threshold=0.99).orderBy("id_a", "id_b")
+
+
+EMBEDDING_NEAR_DUP_SQL = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.99
+ORDER BY id_a, id_b
+"""
+
+
+def multimodal_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: encode text→bytes, Arrow-batched
+    mapInPandas metadata extraction; hash/size checked vs oracle."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    meta = MM.extract_image_metadata(docs)
+    return meta.select("doc_id", "n_bytes", "sha256").orderBy("doc_id")
+
+
+MULTIMODAL_HASH_SQL = """
+SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha256
+FROM documents ORDER BY doc_id
+"""
+
+
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full fake-decode metadata (rows-only: stub decoder, no SQL oracle)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return MM.extract_image_metadata(docs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple] = {
+    # (spark_fn, oracle_sql | None)
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
+    "q5_local_supplier": (q5_local_supplier, Q5_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q10_returned_items": (q10_returned_items, Q10_SQL),
+    "window_topn_orders": (window_topn_orders, WINDOW_TOPN_SQL),
+    "set_ops_customers": (set_ops_customers, SET_OPS_SQL),
+    "semi_anti_join": (semi_anti_join, SEMI_ANTI_SQL),
+    "rollup_lineitem": (rollup_lineitem, ROLLUP_SQL),
+    "agg_pushdown_stats": (agg_pushdown_stats, AGG_PUSHDOWN_SQL),
+    "pk_upsert_dedup": (pk_upsert_dedup, PK_UPSERT_SQL),
+    "pk_time_travel": (pk_time_travel, PK_TIME_TRAVEL_SQL),
+    "pk_incremental_read": (pk_incremental_read, PK_INCREMENTAL_SQL),
+    "pk_delete_update": (pk_delete_update, PK_DELETE_UPDATE_SQL),
+    "merge_into_orders": (merge_into_orders, MERGE_INTO_SQL),
+    "agg_merge_engine": (agg_merge_engine, AGG_ENGINE_SQL),
+    "first_row_engine": (first_row_engine, FIRST_ROW_SQL),
+    "partial_update_engine": (partial_update_engine, PARTIAL_UPDATE_SQL),
+    "partition_delete_metadata_only": (partition_delete_metadata_only, PARTITION_DELETE_SQL),
+    "compaction_preserves": (compaction_preserves, PK_UPSERT_SQL),
+    "schema_evolution_read": (schema_evolution_read, SCHEMA_EVO_SQL),
+    "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
+    "events_latest_per_user": (events_latest_per_user, EVENTS_LATEST_SQL),
+    "text_token_stats": (text_token_stats, TEXT_TOKEN_SQL),
+    "text_quality_lang": (text_quality_lang, None),
+    "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_minhash": (dedup_minhash, None),
+    "dedup_simhash": (dedup_simhash, None),
+    "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
+    "ann_brute_force": (ann_brute_force, ANN_BRUTE_SQL),
+    "ann_lsh": (ann_lsh, None),
+    "embedding_near_dup": (embedding_near_dup, EMBEDDING_NEAR_DUP_SQL),
+    "multimodal_hash": (multimodal_hash, MULTIMODAL_HASH_SQL),
+    "multimodal_decode_stub": (multimodal_decode_stub, None),
+}
+
+
+def reset_managed_tables(sf_dir: str | None = None) -> None:
+    """Drop the /tmp managed warehouses (tests / fresh runs)."""
+    if sf_dir is None:
+        shutil.rmtree(_WAREHOUSE_ROOT, ignore_errors=True)
+    else:
+        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        shutil.rmtree(os.path.join(_WAREHOUSE_ROOT, tag), ignore_errors=True)

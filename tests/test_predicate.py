@@ -1,0 +1,59 @@
+"""Pure-Python predicate AST tests (no Spark): stats-based file skipping
+mirrors the reference's leaf set (PredicateBuilder.java:76-230)."""
+
+from __future__ import annotations
+
+from flink_table_store_spark import predicate as P
+
+
+def stats(lo, hi, nulls=0):
+    return {"x": {"min": lo, "max": hi, "nulls": nulls}}
+
+
+def test_equal_skips_out_of_range():
+    assert P.equal("x", 5).test(stats(1, 3), 10) is False
+    assert P.equal("x", 2).test(stats(1, 3), 10) is True
+
+
+def test_comparisons():
+    assert P.less_than("x", 1).test(stats(1, 3), 10) is False
+    assert P.less_or_equal("x", 1).test(stats(1, 3), 10) is True
+    assert P.greater_than("x", 3).test(stats(1, 3), 10) is False
+    assert P.greater_or_equal("x", 3).test(stats(1, 3), 10) is True
+
+
+def test_between_and_in():
+    assert P.between("x", 4, 9).test(stats(1, 3), 10) is False
+    assert P.isin("x", [7, 9]).test(stats(1, 3), 10) is False
+    assert P.isin("x", [2, 9]).test(stats(1, 3), 10) is True
+
+
+def test_null_checks():
+    assert P.is_null("x").test(stats(1, 3, nulls=0), 10) is False
+    assert P.is_null("x").test(stats(1, 3, nulls=1), 10) is True
+    assert P.is_not_null("x").test(stats(None, None, nulls=10), 10) is False
+
+
+def test_compound():
+    pred = P.and_(P.greater_than("x", 0), P.less_than("x", 2))
+    assert pred.test(stats(1, 3), 10) is True
+    assert P.and_(P.equal("x", 0), P.equal("x", 2)).test(stats(1, 3), 10) is False
+    assert P.or_(P.equal("x", 0), P.equal("x", 2)).test(stats(1, 3), 10) is True
+
+
+def test_unknown_column_never_skips():
+    # missing stats => cannot prune (must read the file)
+    assert P.equal("y", 5).test(stats(1, 3), 10) is True
+
+
+def test_string_prefix():
+    s = {"x": {"min": "apple", "max": "banana", "nulls": 0}}
+    assert P.starts_with("x", "zz").test(s, 10) is False
+    assert P.starts_with("x", "app").test(s, 10) is True
+
+
+def test_partition_predicate():
+    pred = P.equal("pt", "a")
+    assert pred.test_partition({"pt": "a"}) is True
+    assert pred.test_partition({"pt": "b"}) is False
+    assert P.raw(None).test_partition({"pt": "b"}) is True
