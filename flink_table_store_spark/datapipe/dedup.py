@@ -38,21 +38,48 @@ def _shingles(col: Column, k: int = 3) -> Column:
     return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.array_join(words, " "))))
 
 
+def _universal_hash(h: Column, j: int) -> Column:
+    """hash_j(h) = ((h mod p) * (2j+1) + b_j) mod p in the Mersenne domain.
+    Products stay < 2^38 so ANSI overflow checks never fire."""
+    a = 2 * j + 1  # odd multiplier
+    b = (0x9E3779B97F4A7C15 ^ (j * 0xBF58476D1CE4E5B9)) % _MERSENNE
+    return F.pmod(F.pmod(h, F.lit(_MERSENNE)) * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
+
+
 def minhash_signature(col: Column, num_hashes: int = 64, k: int = 3) -> Column:
     """array<bigint> MinHash signature — min over shingles of
-    universal-hash_j(xxhash64(shingle))."""
+    universal-hash_j(xxhash64(shingle)). Per-row expression form; for
+    whole-table signatures prefer ``minhash_signatures`` (explode + 64
+    min-aggregates), which keeps the Catalyst tree small."""
     sh = _shingles(col, k)
     base = F.transform(sh, lambda s: F.xxhash64(s))
-    sig = []
-    for j in range(num_hashes):
-        a = 2 * j + 1  # odd multiplier
-        b = (0x9E3779B97F4A7C15 ^ (j * 0xBF58476D1CE4E5B9)) % _MERSENNE
+    return F.array(*[F.array_min(F.transform(base, lambda h, j=j: _universal_hash(h, j))) for j in range(num_hashes)])
 
-        def _mk(a: int, b: int):
-            return lambda h: F.pmod(F.pmod(h, F.lit(_MERSENNE)) * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
 
-        sig.append(F.array_min(F.transform(base, _mk(a, b))))
-    return F.array(*sig)
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    k: int = 3,
+) -> DataFrame:
+    """(__id, __sig array<bigint>) per document.
+
+    Shape chosen for scale AND plan-compile cost: explode shingles to
+    (id, hash) rows, then ONE groupBy with 64 simple min-aggregates.
+    Map-side partial aggregation combines before the shuffle, and the
+    expression tree stays tiny (the per-row nested-transform form makes
+    whole-stage codegen quadratically slow as num_hashes grows)."""
+    rows = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(_shingles(F.col(text_col), k)).alias("__s"),
+    ).select("__id", F.xxhash64("__s").alias("__h"))
+    aggs = [F.min(_universal_hash(F.col("__h"), j)).alias(f"__m{j}") for j in range(num_hashes)]
+    return (
+        rows.groupBy("__id")
+        .agg(*aggs)
+        .select("__id", F.array(*[f"__m{j}" for j in range(num_hashes)]).alias("__sig"))
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -82,8 +109,7 @@ def minhash_lsh_pairs(
     The band self-join shuffles on (band_idx, band_hash) — only colliding
     docs co-locate."""
     r = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_k)
-    with_sig = df.select(F.col(id_col).alias("__id"), sig.alias("__sig"))
+    with_sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("__band")
     banded = with_sig.select("__id", "__sig", band_idx).select(
         "__id",
@@ -145,46 +171,44 @@ def minhash_dedup(
     return df.join(losers, on=id_col, how="left_anti")
 
 
-def simhash64(col: Column, n_bits: int = 64) -> Column:
-    """64-bit SimHash of whitespace tokens, built entirely from
-    aggregate/zip_with (JVM-side, no UDF). Bit positions are unrolled as
-    static expressions (whole-stage codegen handles the width)."""
-    words = F.split(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "), " ")
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
-    counts = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0), n_bits),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(F.getbit(h, F.lit(i)) == 1, F.lit(1)).otherwise(F.lit(-1))
-                    for i in range(n_bits)
-                ]
-            ),
-            lambda a, b: a + b,
-        ),
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 64
+) -> DataFrame:
+    """(__id, __sh bigint) 64-bit SimHash per document.
+
+    Explode whitespace tokens to (id, token_hash) rows, then one groupBy
+    with 64 signed bit-count sums (map-side combine, small codegen); the
+    signature long is assembled from the 64 sums. Entirely JVM-side."""
+    words = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    rows = df.select(F.col(id_col).alias("__id"), F.explode(words).alias("__w")).select(
+        "__id", F.xxhash64("__w").alias("__h")
     )
+    aggs = [
+        F.sum(F.when(F.getbit(F.col("__h"), F.lit(i)) == 1, 1).otherwise(-1)).alias(f"__b{i}")
+        for i in range(n_bits)
+    ]
+    g = rows.groupBy("__id").agg(*aggs)
     out = F.lit(0).cast("long")
     for i in range(n_bits):
         weight = (1 << i) if i < 63 else -(1 << 63)
         out = out.bitwiseOR(
-            F.when(counts[i] > 0, F.lit(weight)).otherwise(F.lit(0)).cast("long")
+            F.when(F.col(f"__b{i}") > 0, F.lit(weight)).otherwise(F.lit(0)).cast("long")
         )
-    return out
+    return g.select("__id", out.alias("__sh"))
 
 
 def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Drop documents whose 64-bit SimHash collides with a smaller-id doc.
     (Equal-signature near-dup; banded hamming-distance buckets are the
     extension, same join shape.)"""
-    w = Window.partitionBy("__sh").orderBy(F.col(id_col).asc())
-    return (
-        df.withColumn("__sh", simhash64(F.col(text_col)))
-        .withColumn("__rn", F.row_number().over(w))
+    sig = simhash_signatures(df, text_col, id_col)
+    w = Window.partitionBy("__sh").orderBy(F.col("__id").asc())
+    keep = (
+        sig.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
-        .drop("__sh", "__rn")
+        .select(F.col("__id").alias(id_col))
     )
+    return df.join(keep, on=id_col, how="left_semi")
 
 
 def embedding_near_dup_pairs(
