@@ -53,7 +53,13 @@ def minhash_signature(col: Column, num_hashes: int = 64, k: int = 3) -> Column:
     min-aggregates), which keeps the Catalyst tree small."""
     sh = _shingles(col, k)
     base = F.transform(sh, lambda s: F.xxhash64(s))
-    return F.array(*[F.array_min(F.transform(base, lambda h, j=j: _universal_hash(h, j))) for j in range(num_hashes)])
+
+    def _mk(j: int):
+        # single-arg lambda on purpose: a 2-arg lambda would make
+        # F.transform bind the second arg to the element INDEX column
+        return lambda h: _universal_hash(h, j)
+
+    return F.array(*[F.array_min(F.transform(base, _mk(j))) for j in range(num_hashes)])
 
 
 def minhash_signatures(

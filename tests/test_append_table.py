@@ -1,0 +1,106 @@
+"""Append-table format tests: create/write/scan/filter/time-travel/
+overwrite/maintenance (SURVEY M1)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_table_store_spark import predicate as P
+
+
+@pytest.fixture()
+def t(spark, warehouse):
+    df = spark.createDataFrame(
+        [(i, f"u{i % 3}", float(i)) for i in range(100)], "id bigint, pt string, v double"
+    )
+    table = warehouse.create_table("db.t", df.schema, partition_keys=["pt"])
+    table.write(df)
+    return table
+
+
+def test_roundtrip(spark, t):
+    got = t.to_df(spark)
+    assert got.count() == 100
+    assert {r.id for r in got.collect()} == set(range(100))
+
+
+def test_partition_prune_reads_only_matching_files(spark, t):
+    plan = t.read_builder().with_filter(P.equal("pt", "u1")).plan()
+    assert all(e.partition["pt"] == "u1" for e in plan.raw_entries)
+    got = t.to_df(spark, predicate=P.equal("pt", "u1"))
+    assert got.count() == 33  # ids 1,4,...,97
+
+
+def test_stats_skipping(spark, t):
+    # second commit with disjoint id range; filter should plan only file(s)
+    df2 = spark.createDataFrame(
+        [(i, f"u{i % 3}", float(i)) for i in range(1000, 1100)], "id bigint, pt string, v double"
+    )
+    t.write(df2)
+    plan = t.read_builder().with_filter(P.greater_or_equal("id", 1000)).plan()
+    lo = [e for e in plan.raw_entries if e.stats["id"]["max"] < 1000]
+    assert not lo, "files with max id < 1000 must be pruned"
+    assert t.to_df(spark, predicate=P.greater_or_equal("id", 1000)).count() == 100
+
+
+def test_projection_and_limit(spark, t):
+    got = t.to_df(spark, projection=["id"], limit=7)
+    assert got.columns == ["id"]
+    assert got.count() == 7
+
+
+def test_time_travel_and_tags(spark, t):
+    df2 = spark.createDataFrame([(200, "u0", 1.0)], "id bigint, pt string, v double")
+    t.create_tag("v1")
+    t.write(df2)
+    assert t.to_df(spark).count() == 101
+    assert t.to_df(spark, snapshot_id=1).count() == 100
+    assert t.to_df(spark, tag="v1").count() == 100
+
+
+def test_overwrite_partition(spark, t):
+    new = spark.createDataFrame([(999, "u1", 9.9)], "id bigint, pt string, v double")
+    t.write(new, overwrite=True, overwrite_partition_filter=P.equal("pt", "u1"))
+    got = t.to_df(spark)
+    assert got.where("pt = 'u1'").count() == 1
+    assert got.count() == 100 - 33 + 1
+
+
+def test_count_and_minmax_from_stats(t):
+    assert t.count_rows() == 100
+    assert t.count_rows(P.equal("pt", "u0")) == 34
+    assert t.min_max("id") == (0, 99)
+    assert t.max_pt() == "u2"
+
+
+def test_rollback_and_expire(spark, t):
+    for i in range(3):
+        t.write(spark.createDataFrame([(300 + i, "u0", 0.0)], "id bigint, pt string, v double"))
+    assert t.snapshots.latest_id() == 4
+    t.rollback_to(2)
+    assert t.snapshots.latest_id() == 2
+    assert t.to_df(spark).count() == 101
+
+
+def test_orphan_cleanup_keeps_live_data(spark, t):
+    t.write(spark.createDataFrame([(500, "u0", 0.0)], "id bigint, pt string, v double"))
+    t.rollback_to(1)
+    removed = t.remove_orphan_files()
+    assert removed, "rollback leaves orphan data files"
+    assert t.to_df(spark).count() == 100
+
+
+def test_copy_on_write_delete_update(spark, t):
+    t.delete(spark, P.less_than("id", 10))
+    assert t.to_df(spark).count() == 90
+    t.update(spark, P.equal("id", 50), {"v": F.lit(-1.0)})
+    assert t.to_df(spark).where("v = -1.0").collect()[0].id == 50
+
+
+def test_metadata_only_partition_delete(spark, t):
+    before = t.snapshots.latest().total_record_count
+    snap = t.delete(spark, P.equal("pt", "u2"))
+    assert snap.commit_kind == "OVERWRITE"
+    assert t.to_df(spark).where("pt = 'u2'").count() == 0
+    assert t.to_df(spark).count() == before - 33

@@ -1,0 +1,128 @@
+"""Training-data pipeline operator tests: dedup, similarity, text, multimodal."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_table_store_spark.datapipe import dedup as DD
+from flink_table_store_spark.datapipe import multimodal as MM
+from flink_table_store_spark.datapipe import similarity as SIM
+from flink_table_store_spark.datapipe import text as TX
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "The  quick  brown fox jumps over the lazy dog "),  # ws/case dup of 1
+        (4, "the quick brown fox leaps over the lazy dog"),  # near dup
+        (5, "completely different content about spark engines"),
+        (6, "der schnelle braune fuchs springt und ist nicht da"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup(docs):
+    kept = sorted(r.doc_id for r in DD.exact_dedup(docs).collect())
+    assert kept == [1, 4, 5, 6]  # 2 and 3 collapse into 1
+
+
+def test_minhash_near_dup(docs):
+    # shingle_k=2 makes doc 4 ("leaps" for "jumps") jaccard 0.6 vs doc 1;
+    # bands=32 (r=2) makes an LSH band collision near-certain at that sim
+    kept = sorted(
+        r.doc_id
+        for r in DD.minhash_dedup(
+            docs, jaccard_threshold=0.5, shingle_k=2, bands=32
+        ).collect()
+    )
+    assert 1 in kept and 5 in kept and 6 in kept
+    assert 2 not in kept and 3 not in kept
+    assert 4 not in kept  # near-dup of 1 at 0.5 threshold
+
+
+def test_minhash_signature_column_matches_agg_path(spark, docs):
+    expr = docs.select("doc_id", DD.minhash_signature(F.col("text"), 16, 3).alias("s"))
+    agg = DD.minhash_signatures(docs, num_hashes=16)
+    a = {r.doc_id: r.s for r in expr.collect()}
+    b = {r["__id"]: r["__sig"] for r in agg.collect()}
+    assert a == b
+
+
+def test_simhash_dedup(docs):
+    kept = sorted(r.doc_id for r in DD.simhash_dedup(docs).collect())
+    assert 1 in kept and 2 not in kept  # identical text → identical simhash
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    pairs = spark.createDataFrame([(1, 4)], "id_a bigint, id_b bigint")
+    out = DD.ngram_jaccard_pairs(docs, pairs, k=1, threshold=0.5).collect()
+    assert len(out) == 1 and out[0].jaccard > 0.7
+
+
+def test_brute_force_topk(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)],
+        "vec_id bigint, embedding array<double>",
+    )
+    q = emb.where("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = SIM.brute_force_topk(emb, q, k=2).collect()
+    assert got[0].vec_id == 0 and abs(got[0].cosine - 1.0) < 1e-9
+    assert got[0].rank == 1 and len(got) == 2
+
+
+def test_lsh_topk_recalls_identical_vector(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 2.0, float(i % 3)]) for i in range(50)],
+        "vec_id bigint, embedding array<double>",
+    )
+    q = emb.where("vec_id = 7").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = SIM.lsh_topk(emb, q, k=5, bits=4).collect()
+    assert got[0].vec_id == 7 and got[0].rank == 1
+
+
+def test_text_stats(spark):
+    df = spark.createDataFrame([(1, "Hello, world! It's 42.")], "doc_id bigint, text string")
+    [r] = df.select(
+        TX.token_count("text").alias("ws"),
+        TX.bpe_token_count("text").alias("bpe"),
+        TX.lang_id("text").alias("lang"),
+    ).collect()
+    assert r.ws == 4
+    # hello , world ! it's 42 .  → contraction stays one token
+    assert r.bpe == 7
+    assert r.lang == "und"  # too short for stopword hits
+
+
+def test_lang_id(docs):
+    got = {r.doc_id: r.lang for r in docs.select("doc_id", TX.lang_id("text").alias("lang")).collect()}
+    assert got[1] == "en"
+    assert got[6] == "de"
+
+
+def test_quality_score_range(docs):
+    scores = [r.q for r in docs.select(TX.quality_score("text").alias("q")).collect()]
+    assert all(0.0 <= s <= 1.0 for s in scores)
+
+
+def test_multimodal_metadata(spark):
+    payload = b"\x89PNG\r\n\x1a\nrest-of-fake-png"
+    df = spark.createDataFrame([(1, payload)], "doc_id bigint, payload binary")
+    [r] = MM.extract_image_metadata(df).collect()
+    assert r.n_bytes == len(payload)
+    assert r.sha256 == hashlib.sha256(payload).hexdigest()
+    assert r.format == "png"
+
+
+def test_multimodal_decode_is_stubbed(spark):
+    df = spark.createDataFrame([(1, b"xx")], "doc_id bigint, payload binary")
+    out = MM.extract_image_metadata(df).collect()
+    assert out[0].format == "unknown"

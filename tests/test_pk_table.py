@@ -1,0 +1,197 @@
+"""Primary-key table tests: merge-on-read, merge engines, row-level ops,
+compaction, incremental reads (SURVEY M2/M3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_table_store_spark import predicate as P
+
+DDL = "k bigint, v string, n double"
+
+
+def mkdf(spark, rows):
+    return spark.createDataFrame(rows, DDL)
+
+
+@pytest.fixture()
+def t(spark, warehouse):
+    return warehouse.create_table(
+        "db.pk", DDL, primary_keys=["k"], options={"bucket": "2"}
+    )
+
+
+def test_upsert_last_wins(spark, t):
+    t.write(mkdf(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    t.write(mkdf(spark, [(2, "b2", 2.5), (3, "c", 3.0)]))
+    got = {r.k: (r.v, r.n) for r in t.to_df(spark).collect()}
+    assert got == {1: ("a", 1.0), 2: ("b2", 2.5), 3: ("c", 3.0)}
+
+
+def test_within_batch_last_wins(spark, t):
+    # same key twice in one batch: input order decides (sequence number)
+    df = spark.createDataFrame([(1, "first", 1.0), (1, "second", 2.0)], DDL).coalesce(1)
+    t.write(df)
+    [row] = t.to_df(spark).collect()
+    assert row.v == "second"
+
+
+def test_delete_rows_via_row_kind(spark, t):
+    t.write(mkdf(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    t.delete(spark, P.equal("k", 1))
+    assert [r.k for r in t.to_df(spark).collect()] == [2]
+
+
+def test_update(spark, t):
+    t.write(mkdf(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    t.update(spark, P.equal("k", 2), {"n": F.lit(99.0)})
+    got = {r.k: r.n for r in t.to_df(spark).collect()}
+    assert got == {1: 1.0, 2: 99.0}
+
+
+def test_merge_into(spark, t):
+    t.write(mkdf(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    src = mkdf(spark, [(2, "B", 20.0), (3, "C", 30.0)])
+    t.merge_into(spark, src, on=["k"], when_matched_update="*")
+    got = {r.k: r.v for r in t.to_df(spark).collect()}
+    assert got == {1: "a", 2: "B", 3: "C"}
+
+
+def test_merge_into_delete(spark, t):
+    t.write(mkdf(spark, [(1, "a", 1.0), (2, "b", 2.0)]))
+    src = mkdf(spark, [(1, "x", 0.0)])
+    t.merge_into(spark, src, on=["k"], when_matched_delete=True, when_not_matched_insert=False)
+    assert [r.k for r in t.to_df(spark).collect()] == [2]
+
+
+def test_compaction_preserves_and_reduces_files(spark, t):
+    for i in range(4):
+        t.write(mkdf(spark, [(j, f"v{i}", float(i)) for j in range(5)]))
+    before = t.to_df(spark).orderBy("k").collect()
+    snap = t.compact(spark, full=True)
+    assert snap.commit_kind == "COMPACT"
+    after = t.to_df(spark).orderBy("k").collect()
+    assert before == after
+    entries = t.manifests.read_live_entries(
+        t.snapshots.latest().base_manifest_list, t.snapshots.latest().delta_manifest_list
+    )
+    by_bucket = {}
+    for e in entries:
+        by_bucket.setdefault(e.bucket, []).append(e)
+    assert all(len(v) == 1 for v in by_bucket.values())
+
+
+def test_upsert_after_compaction_still_wins(spark, t):
+    t.write(mkdf(spark, [(1, "old", 1.0)]))
+    t.compact(spark, full=True)
+    t.write(mkdf(spark, [(1, "new", 2.0)]))
+    [row] = t.to_df(spark).collect()
+    assert row.v == "new"
+
+
+def test_incremental_read(spark, t):
+    t.write(mkdf(spark, [(1, "a", 1.0)]))
+    t.write(mkdf(spark, [(2, "b", 2.0)]))
+    t.write(mkdf(spark, [(1, "a3", 3.0)]))
+    inc = t.incremental_read(spark, 1, 3)
+    got = {r.k: r.v for r in inc.collect()}
+    assert got == {1: "a3", 2: "b"}
+
+
+def test_audit_log_rowkinds(spark, t):
+    t.write(mkdf(spark, [(1, "a", 1.0)]))
+    t.delete(spark, P.equal("k", 1))
+    kinds = {r.rowkind for r in t.audit_log(spark).collect()}
+    assert kinds == {"+I", "-D"}
+
+
+def test_bucket_layout_is_stable(spark, t):
+    t.write(mkdf(spark, [(i, "x", 0.0) for i in range(20)]))
+    t.write(mkdf(spark, [(i, "y", 1.0) for i in range(20)]))
+    snap = t.snapshots.latest()
+    entries = t.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
+    # same key set written twice → same buckets touched; merged read has 20 rows
+    assert {e.bucket for e in entries} <= {0, 1}
+    assert t.to_df(spark).count() == 20
+    assert all(r.v == "y" for r in t.to_df(spark).collect())
+
+
+def test_aggregation_merge_engine(spark, warehouse):
+    t = warehouse.create_table(
+        "db.agg",
+        "k bigint, s bigint, mx double, last string",
+        primary_keys=["k"],
+        options={
+            "bucket": "2",
+            "merge-engine": "aggregation",
+            "fields.s.aggregate-function": "sum",
+            "fields.mx.aggregate-function": "max",
+            "fields.last.aggregate-function": "last_non_null_value",
+        },
+    )
+    t.write(spark.createDataFrame([(1, 10, 5.0, "x"), (2, 1, 1.0, None)], "k bigint, s bigint, mx double, last string"))
+    t.write(spark.createDataFrame([(1, 5, 3.0, None), (2, 2, 9.0, "z")], "k bigint, s bigint, mx double, last string"))
+    got = {r.k: (r.s, r.mx, r.last) for r in t.to_df(spark).collect()}
+    assert got == {1: (15, 5.0, "x"), 2: (3, 9.0, "z")}
+
+
+def test_partial_update_engine(spark, warehouse):
+    t = warehouse.create_table(
+        "db.pu",
+        "k bigint, a string, b string",
+        primary_keys=["k"],
+        options={"bucket": "2", "merge-engine": "partial-update"},
+    )
+    t.write(spark.createDataFrame([(1, "a1", None)], "k bigint, a string, b string"))
+    t.write(spark.createDataFrame([(1, None, "b2")], "k bigint, a string, b string"))
+    [row] = t.to_df(spark).collect()
+    assert (row.a, row.b) == ("a1", "b2")
+
+
+def test_first_row_engine(spark, warehouse):
+    t = warehouse.create_table(
+        "db.fr", DDL, primary_keys=["k"], options={"bucket": "2", "merge-engine": "first-row"}
+    )
+    t.write(mkdf(spark, [(1, "first", 1.0)]))
+    t.write(mkdf(spark, [(1, "second", 2.0)]))
+    [row] = t.to_df(spark).collect()
+    assert row.v == "first"
+
+
+def test_schema_evolution(spark, warehouse):
+    t = warehouse.create_table("db.evo", "k bigint, a string", primary_keys=["k"], options={"bucket": "1"})
+    t.write(spark.createDataFrame([(1, "x")], "k bigint, a string"))
+    t.evolve_schema(
+        [
+            {"action": "rename_column", "name": "a", "new_name": "a2"},
+            {"action": "add_column", "name": "b", "type": "double"},
+        ]
+    )
+    t.write(spark.createDataFrame([(2, "y", 2.0)], "k bigint, a2 string, b double"))
+    got = {r.k: (r.a2, r.b) for r in t.to_df(spark).collect()}
+    assert got == {1: ("x", None), 2: ("y", 2.0)}
+
+
+def test_concurrent_writers_conflict_retry(spark, warehouse):
+    """Two interleaved committers must serialize via snapshot CAS."""
+    import threading
+
+    t = warehouse.create_table("db.conc", DDL, primary_keys=["k"], options={"bucket": "1"})
+    errs = []
+
+    def work(i):
+        try:
+            tt = warehouse.get_table("db.conc")
+            tt.write(mkdf(spark, [(i, f"w{i}", float(i))]))
+        except Exception as ex:  # pragma: no cover
+            errs.append(ex)
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs
+    assert t.snapshots.latest_id() == 4
+    assert t.to_df(spark).count() == 4
