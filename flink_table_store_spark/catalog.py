@@ -87,11 +87,21 @@ class Catalog:
         return Table(path, name)
 
     def get_table(self, identifier: str) -> Table:
-        # system table suffix: "db.t$snapshots" handled by SystemTables
-        path = self.table_path(identifier)
+        if "$" in identifier:
+            raise ValueError(
+                f"'{identifier}' names a system table — use catalog.read_system(spark, ...)"
+            )
+        base, _, branch = identifier.partition("@")  # "db.t@branchname"
+        path = self.table_path(base)
         if not os.path.isdir(path):
             raise RuntimeError(f"table {identifier} not found at {path}")
-        return Table(path, identifier)
+        return Table(path, base, branch=branch or None)
+
+    def read_system(self, spark, identifier: str):
+        """Resolve ``db.t$snapshots``-style names to a metadata DataFrame
+        (SystemTableLoader name-suffix convention)."""
+        base, _, sys_name = identifier.partition("$")
+        return self.get_table(base).system_table(spark, sys_name)
 
     def drop_table(self, identifier: str, ignore_if_not_exists: bool = True) -> None:
         path = self.table_path(identifier)

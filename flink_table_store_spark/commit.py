@@ -32,8 +32,8 @@ class CommitConflictError(RuntimeError):
 
 
 class FileStoreCommit:
-    def __init__(self, table_path: str, max_retries: int = 10):
-        self.snapshots = SnapshotManager(table_path)
+    def __init__(self, table_path: str, max_retries: int = 10, branch: str | None = None):
+        self.snapshots = SnapshotManager(table_path, branch=branch)
         self.manifests = ManifestManager(table_path)
         self.max_retries = max_retries
 

@@ -71,10 +71,20 @@ class Snapshot:
 
 
 class SnapshotManager:
-    def __init__(self, table_path: str):
+    def __init__(self, table_path: str, branch: str | None = None):
+        """``branch`` scopes the version layer to ``branch/branch-<name>/``
+        (reference BranchManager: a branch has its own snapshot/tag dirs
+        but shares the main table's manifest and data files)."""
         self.table_path = table_path
-        self.dir = os.path.join(table_path, "snapshot")
-        self.tag_dir = os.path.join(table_path, "tag")
+        self.branch = branch
+        root = (
+            table_path
+            if branch is None
+            else os.path.join(table_path, "branch", f"branch-{branch}")
+        )
+        self.dir = os.path.join(root, "snapshot")
+        self.tag_dir = os.path.join(root, "tag")
+        self._root = root
 
     def _path(self, snapshot_id: int) -> str:
         return os.path.join(self.dir, f"snapshot-{snapshot_id}")
@@ -167,7 +177,7 @@ class SnapshotManager:
     # --- consumers (ConsumerManager.java:44-70): resumable cursors ---
 
     def consumer_dir(self) -> str:
-        return os.path.join(self.table_path, "consumer")
+        return os.path.join(self._root, "consumer")
 
     def write_consumer(self, consumer_id: str, next_snapshot: int) -> None:
         os.makedirs(self.consumer_dir(), exist_ok=True)

@@ -1,0 +1,105 @@
+"""Changelog producers (SURVEY §2.9 T4/T5).
+
+The reference materializes ``-U/+U`` streams three ways
+(CoreOptions.java:3506-3521):
+
+- ``input``: the writer's raw rows double as changelog —
+  our write path already persists ``_VALUE_KIND`` per row, so
+  ``input_changelog`` is the audit-log scan (AuditLogTable.java:88).
+- ``full-compaction`` / ``lookup``: the compaction computes the diff of
+  the merged state before/after — ``changelog_diff`` reproduces it as
+  a declarative DataFrame job: full-outer join of the two merged views
+  on the primary key, routing rows to +I / -D / -U / +U.
+
+Spark has no native retraction streams, so the changelog is an ordinary
+DataFrame with a leading ``rowkind`` column — exactly the shape of the
+reference's ``$audit_log`` system table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_table_store_spark.schema import (
+    KIND_DELETE,
+    KIND_INSERT,
+    KIND_UPDATE_AFTER,
+    KIND_UPDATE_BEFORE,
+)
+
+
+def input_changelog(
+    spark: SparkSession, table, start_snapshot: int | None = None, end_snapshot: int | None = None
+) -> DataFrame:
+    """changelog-producer=input: replay the writer's rows with their
+    persisted row kinds (``rowkind`` column first)."""
+    return table.audit_log(spark, start_snapshot, end_snapshot)
+
+
+def changelog_diff(
+    spark: SparkSession, table, before_snapshot: int, after_snapshot: int
+) -> DataFrame:
+    """Full-compaction-style changelog between two snapshots of a PK
+    table: the diff of the merged views, keyed by primary key.
+
+    Emits per key: +I (new), -D (gone), and a -U/+U pair (changed).
+    One shuffle per side on the PK (the join key) — the same cost as
+    the reference's compaction-time diff, but declarative.
+    """
+    if not table.is_primary_key_table():
+        raise RuntimeError("changelog_diff requires a primary-key table")
+    schema = table.schema
+    pks = schema.trimmed_primary_keys()
+    cols = schema.field_names()
+    vals = [c for c in cols if c not in pks]
+
+    before = table.to_df(spark, snapshot_id=before_snapshot)
+    after = table.to_df(spark, snapshot_id=after_snapshot)
+    b = before.select(*pks, F.struct(*[F.col(c) for c in cols]).alias("__b"))
+    a = after.select(*pks, F.struct(*[F.col(c) for c in cols]).alias("__a"))
+    j = b.join(a, on=pks, how="full_outer")
+
+    inserted = j.where(F.col("__b").isNull()).select(
+        F.lit(KIND_INSERT).alias("rowkind"), *[F.col(f"__a.{c}").alias(c) for c in cols]
+    )
+    deleted = j.where(F.col("__a").isNull()).select(
+        F.lit(KIND_DELETE).alias("rowkind"), *[F.col(f"__b.{c}").alias(c) for c in cols]
+    )
+    changed = j.where(
+        F.col("__a").isNotNull() & F.col("__b").isNotNull() & (F.col("__a") != F.col("__b"))
+    )
+    upd_before = changed.select(
+        F.lit(KIND_UPDATE_BEFORE).alias("rowkind"), *[F.col(f"__b.{c}").alias(c) for c in cols]
+    )
+    upd_after = changed.select(
+        F.lit(KIND_UPDATE_AFTER).alias("rowkind"), *[F.col(f"__a.{c}").alias(c) for c in cols]
+    )
+    return inserted.unionByName(deleted).unionByName(upd_before).unionByName(upd_after)
+
+
+def binlog(
+    spark: SparkSession, table, before_snapshot: int, after_snapshot: int
+) -> DataFrame:
+    """$binlog shape (BinlogTable.java:55): pack the -U/+U pair into one
+    row with array-valued before/after images."""
+    schema = table.schema
+    cols = schema.field_names()
+    cl = changelog_diff(spark, table, before_snapshot, after_snapshot)
+    pks = schema.trimmed_primary_keys()
+    key = [F.col(c) for c in pks]
+    img = F.struct(*[F.col(c) for c in cols])
+    agg = (
+        cl.groupBy(*key)
+        .agg(
+            F.collect_list(F.when(F.col("rowkind").isin(KIND_UPDATE_BEFORE, KIND_DELETE), img)).alias("before_image"),
+            F.collect_list(F.when(F.col("rowkind").isin(KIND_UPDATE_AFTER, KIND_INSERT), img)).alias("after_image"),
+        )
+        .withColumn(
+            "op",
+            F.when(F.size("before_image") == 0, F.lit("+I"))
+            .when(F.size("after_image") == 0, F.lit("-D"))
+            .otherwise(F.lit("U")),
+        )
+    )
+    return agg.select("op", *pks, "before_image", "after_image")

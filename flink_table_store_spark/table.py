@@ -135,13 +135,14 @@ class ReadBuilder:
 
 
 class Table:
-    def __init__(self, path: str, name: str | None = None):
+    def __init__(self, path: str, name: str | None = None, branch: str | None = None):
         self.path = path
         self.name = name or os.path.basename(path)
+        self.branch_name = branch
         self.schema_manager = SchemaManager(path)
-        self.snapshots = SnapshotManager(path)
+        self.snapshots = SnapshotManager(path, branch=branch)
         self.manifests = ManifestManager(path)
-        self.committer = FileStoreCommit(path)
+        self.committer = FileStoreCommit(path, branch=branch)
         self._schema: TableSchema | None = None
 
     # --- metadata ---
@@ -444,6 +445,77 @@ class Table:
             next_sequence=latest.next_sequence if latest else 0,
         )
 
+    # --- system tables (SystemTableLoader; SURVEY §2.1 S10) ---
+
+    def system_table(self, spark: SparkSession, name: str) -> DataFrame:
+        """``t$snapshots``-style metadata tables as DataFrames."""
+        from flink_table_store_spark.sources.system_tables import system_table
+
+        return system_table(spark, self, name)
+
+    # --- branches (reference BranchManager; branch shares data+manifests,
+    #     owns its snapshot/tag/consumer dirs) ---
+
+    def _branch_root(self, name: str) -> str:
+        return os.path.join(self.path, "branch", f"branch-{name}")
+
+    def branches(self) -> dict[str, dict[str, Any]]:
+        root = os.path.join(self.path, "branch")
+        if not os.path.isdir(root):
+            return {}
+        out = {}
+        for n in sorted(os.listdir(root)):
+            if n.startswith("branch-"):
+                meta = os.path.join(root, n, "meta.json")
+                out[n[len("branch-"):]] = (
+                    read_json(meta) if os.path.exists(meta) else {"fromSnapshot": 0, "createTime": 0}
+                )
+        return out
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> "Table":
+        """Fork a branch from a snapshot (default: latest). The branch
+        starts with a copy of that snapshot and commits independently."""
+        from flink_table_store_spark.fileio import write_json
+        from flink_table_store_spark.snapshot import now_millis
+
+        sid = snapshot_id if snapshot_id is not None else self.snapshots.latest_id()
+        if sid is None:
+            raise RuntimeError("no snapshot to branch from")
+        root = self._branch_root(name)
+        if os.path.isdir(root):
+            raise RuntimeError(f"branch {name} already exists")
+        bsm = SnapshotManager(self.path, branch=name)
+        os.makedirs(bsm.dir, exist_ok=True)
+        snap = self.snapshots.load(sid)
+        if not bsm.try_commit(snap):
+            raise RuntimeError(f"branch {name} already exists")
+        write_json(os.path.join(root, "meta.json"), {"fromSnapshot": sid, "createTime": now_millis()})
+        return self.use_branch(name)
+
+    def use_branch(self, name: str) -> "Table":
+        return Table(self.path, name=self.name, branch=name)
+
+    def delete_branch(self, name: str) -> None:
+        import shutil
+
+        shutil.rmtree(self._branch_root(name), ignore_errors=True)
+
+    def fast_forward(self, name: str) -> None:
+        """Promote a branch to main (FastForwardProcedure): replace main
+        snapshots newer than the fork point with the branch's."""
+        meta = self.branches().get(name)
+        if meta is None:
+            raise RuntimeError(f"no branch {name}")
+        fork = meta["fromSnapshot"]
+        bsm = SnapshotManager(self.path, branch=name)
+        for sid in self.snapshots.snapshot_ids():
+            if sid > fork:
+                self.snapshots.delete(sid)
+        os.makedirs(self.snapshots.dir, exist_ok=True)
+        for sid in bsm.snapshot_ids():
+            if sid > fork:
+                self.snapshots.try_commit(bsm.load(sid))
+
     # --- snapshot management ---
 
     def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
@@ -473,6 +545,10 @@ class Table:
         referenced: set[str] = set()
         snaps = [self.snapshots.load(i) for i in self.snapshots.snapshot_ids()]
         snaps += list(self.snapshots.tags().values())
+        for b in self.branches():
+            bsm = SnapshotManager(self.path, branch=b)
+            snaps += [bsm.load(i) for i in bsm.snapshot_ids()]
+            snaps += list(bsm.tags().values())
         for s in snaps:
             for lst in (s.base_manifest_list, s.delta_manifest_list):
                 if not lst:

@@ -1,0 +1,116 @@
+"""Streaming layer: snapshot-cursor source, exactly-once sink, changelog."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_table_store_spark.streaming import (
+    SnapshotStream,
+    changelog_diff,
+    foreach_batch_writer,
+    input_changelog,
+    write_stream,
+)
+
+
+@pytest.fixture()
+def pk_table(spark, warehouse):
+    t = warehouse.create_table(
+        "db.stream_pk",
+        "k bigint, v string",
+        primary_keys=["k"],
+        options={"bucket": "2"},
+    )
+    return t
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "k bigint, v string")
+
+
+def test_source_latest_full_then_deltas(spark, pk_table):
+    pk_table.write(_batch(spark, [(1, "a"), (2, "b")]))
+    s = SnapshotStream(pk_table, startup_mode="latest-full")
+    first = s.poll(spark)
+    assert len(first) == 1 and first[0][0] == 1
+    assert first[0][1].count() == 2
+    assert s.poll(spark) == []  # nothing new
+
+    pk_table.write(_batch(spark, [(2, "b2"), (3, "c")]))
+    nxt = s.poll(spark)
+    assert len(nxt) == 1 and nxt[0][0] == 2
+    got = {r.k: r.v for r in nxt[0][1].collect()}
+    assert got == {2: "b2", 3: "c"}
+
+
+def test_source_from_snapshot_and_consumer_resume(spark, pk_table):
+    for i in range(3):
+        pk_table.write(_batch(spark, [(i, f"v{i}")]))
+    s = SnapshotStream(pk_table, startup_mode="from-snapshot", from_snapshot=2, consumer_id="c1")
+    ids = [sid for sid, _df in s.poll(spark)]
+    assert ids == [2, 3]
+    assert pk_table.snapshots.read_consumer("c1") == 4
+
+    # a new reader with the same consumer id resumes past old batches
+    pk_table.write(_batch(spark, [(9, "z")]))
+    s2 = SnapshotStream(pk_table, startup_mode="latest-full", consumer_id="c1")
+    ids2 = [sid for sid, _df in s2.poll(spark)]
+    assert ids2 == [4]
+
+
+def test_source_skips_compaction_snapshots(spark, pk_table):
+    pk_table.write(_batch(spark, [(1, "a")]))
+    pk_table.write(_batch(spark, [(1, "a2")]))
+    s = SnapshotStream(pk_table, startup_mode="from-snapshot", from_snapshot=1)
+    assert [sid for sid, _ in s.poll(spark)] == [1, 2]
+    pk_table.compact(spark, full=True)
+    assert s.poll(spark) == []  # COMPACT adds no delta rows
+
+
+def test_sink_idempotent_replay(spark, pk_table):
+    w = foreach_batch_writer(pk_table, sink_id="job1")
+    w(_batch(spark, [(1, "a")]), 0)
+    w(_batch(spark, [(1, "a")]), 0)  # replay of batch 0 — must not double-commit
+    w(_batch(spark, [(2, "b")]), 1)
+    assert pk_table.snapshots.latest_id() == 2
+    assert pk_table.refresh().to_df(spark).count() == 2
+
+
+def test_structured_streaming_end_to_end(spark, warehouse, tmp_path):
+    t = warehouse.create_table(
+        "db.stream_e2e", "k bigint, v timestamp", primary_keys=["k"], options={"bucket": "2"}
+    )
+    src = str(tmp_path / "in")
+    spark.range(0, 100).select(
+        (F.col("id") % 10).alias("k"), F.current_timestamp().alias("v")
+    ).write.parquet(src)
+    stream = spark.readStream.schema("k bigint, v timestamp").parquet(src)
+    q = write_stream(
+        stream, t, sink_id="file-job", checkpoint_dir=str(tmp_path / "ckpt"), watermark_col="v"
+    )
+    q.awaitTermination(120)
+    assert t.refresh().to_df(spark).count() == 10  # PK dedup to 10 keys
+    assert (t.snapshots.latest().watermark or 0) > 0  # persisted watermark (T7)
+
+
+def test_input_changelog_rowkinds(spark, pk_table):
+    pk_table.write(_batch(spark, [(1, "a"), (2, "b")]))
+    pk_table.delete(spark, __import__("flink_table_store_spark.predicate", fromlist=["equal"]).equal("k", 1))
+    cl = input_changelog(spark, pk_table)
+    kinds = sorted((r.k, r.rowkind) for r in cl.collect())
+    assert (1, "-D") in kinds and (1, "+I") in kinds and (2, "+I") in kinds
+
+
+def test_changelog_diff_and_binlog(spark, pk_table):
+    pk_table.write(_batch(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    pk_table.write(_batch(spark, [(2, "b2"), (4, "d")]))
+    pk_table.delete(spark, __import__("flink_table_store_spark.predicate", fromlist=["equal"]).equal("k", 3))
+    cl = changelog_diff(spark, pk_table, 1, 3)
+    got = sorted((r.rowkind, r.k) for r in cl.collect())
+    assert got == [("+I", 4), ("+U", 2), ("-D", 3), ("-U", 2)]
+
+    from flink_table_store_spark.streaming.changelog import binlog
+
+    bl = {r.k: r.op for r in binlog(spark, pk_table, 1, 3).collect()}
+    assert bl == {2: "U", 3: "-D", 4: "+I"}

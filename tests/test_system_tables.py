@@ -1,0 +1,73 @@
+"""System tables (S10) + branches: metadata DataFrames and fork/fast-forward."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+
+@pytest.fixture()
+def t(spark, warehouse):
+    df = spark.createDataFrame(
+        [(i, f"u{i % 2}", float(i)) for i in range(20)], "id bigint, pt string, v double"
+    )
+    table = warehouse.create_table("db.sys", df.schema, partition_keys=["pt"])
+    table.write(df)
+    table.create_tag("first")
+    table.write(spark.createDataFrame([(100, "u0", 1.0)], df.schema))
+    return table
+
+
+def test_snapshots_table(spark, t):
+    rows = t.system_table(spark, "snapshots").collect()
+    assert [r.snapshot_id for r in rows] == [1, 2]
+    assert rows[0].total_record_count == 20
+    assert rows[1].delta_record_count == 1
+
+
+def test_files_and_partitions_tables(spark, t):
+    files = t.system_table(spark, "files").collect()
+    assert sum(r.record_count for r in files) == 21
+    parts = {json.loads(r.partition)["pt"]: r.record_count for r in t.system_table(spark, "partitions").collect()}
+    assert parts == {"u0": 11, "u1": 10}
+
+
+def test_schemas_options_manifests_tags(spark, t):
+    assert t.system_table(spark, "schemas").count() == 1
+    assert t.system_table(spark, "manifests").count() >= 1
+    tags = t.system_table(spark, "tags").collect()
+    assert [r.tag_name for r in tags] == ["first"]
+    assert tags[0].snapshot_id == 1
+
+
+def test_read_system_via_catalog(spark, warehouse, t):
+    df = warehouse.read_system(spark, "db.sys$snapshots")
+    assert df.count() == 2
+    with pytest.raises(ValueError):
+        warehouse.get_table("db.sys$snapshots")
+
+
+def test_branch_commit_isolation_and_fast_forward(spark, t):
+    b = t.create_branch("dev")
+    b.write(spark.createDataFrame([(200, "u0", 2.0)], "id bigint, pt string, v double"))
+    assert b.to_df(spark).count() == 22
+    assert t.to_df(spark).count() == 21  # main unaffected
+    assert list(t.branches()) == ["dev"]
+    assert t.system_table(spark, "branches").collect()[0].branch_name == "dev"
+
+    t.fast_forward("dev")
+    assert t.to_df(spark).count() == 22
+
+    # branch data files are referenced — orphan cleanup must keep them
+    b2 = t.create_branch("dev2", snapshot_id=1)
+    assert b2.to_df(spark).count() == 20
+    t.delete_branch("dev2")
+
+
+def test_orphan_cleanup_respects_branches(spark, t):
+    b = t.create_branch("keepme")
+    b.write(spark.createDataFrame([(300, "u1", 3.0)], "id bigint, pt string, v double"))
+    removed = t.remove_orphan_files()
+    assert removed == []
+    assert b.to_df(spark).count() == 22
