@@ -45,6 +45,7 @@ class FileStoreCommit:
         commit_identifier: str = "",
         watermark: int | None = None,
         next_sequence: int | None = None,
+        dv_files: list[str] | None = None,
     ) -> Snapshot:
         """Commit ADD/DELETE entries as a new snapshot. Retries on CAS
         loss; re-validates that DELETE-d files still exist (conflict
@@ -107,6 +108,14 @@ class FileStoreCommit:
                 delta_record_count=added - removed,
                 watermark=watermark,
                 next_sequence=max(prev_seq, next_sequence or 0),
+                # None = carry the previous snapshot's deletion vectors
+                # forward (stale entries for rewritten files never match
+                # the fresh file names, so carrying them is safe)
+                dv_files=(
+                    dv_files
+                    if dv_files is not None
+                    else (latest.dv_files if latest is not None else [])
+                ),
             )
             if self.snapshots.try_commit(snap):
                 return snap

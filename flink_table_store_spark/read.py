@@ -94,6 +94,35 @@ def plan_scan(
     return plan
 
 
+def dv_dataframe(spark: SparkSession, table_path: str, dv_files: list[str]) -> DataFrame | None:
+    """Union of deletion-vector sidecars: (file_name, pos) of deleted rows.
+    File names are basenames — globally unique (uuid), so position joins
+    need no path normalization."""
+    if not dv_files:
+        return None
+    paths = [os.path.join(table_path, "index", n) for n in dv_files]
+    return spark.read.parquet(*paths).select("file_name", "pos").dropDuplicates()
+
+
+def _apply_dv(df: DataFrame, dv: DataFrame | None) -> DataFrame:
+    """Drop rows whose (file, row position) is deletion-vectored — the
+    ApplyDeletionVectorReader equivalent, expressed as a broadcast
+    anti-join on ``_metadata`` columns (no data rewrite).
+
+    Scale: the DV side is one short row per deleted row position, tiny
+    next to data; broadcast keeps the scan shuffle-free."""
+    if dv is None:
+        return df
+    fb = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    cond = (F.col("__dv_fb") == dv["file_name"]) & (F.col("__dv_pos") == dv["pos"])
+    return (
+        df.withColumn("__dv_fb", fb)
+        .withColumn("__dv_pos", F.col("_metadata.row_index"))
+        .join(F.broadcast(dv), on=cond, how="left_anti")
+        .drop("__dv_fb", "__dv_pos")
+    )
+
+
 def _read_files(
     spark: SparkSession,
     table_path: str,
@@ -101,6 +130,8 @@ def _read_files(
     current: TableSchema,
     schemas: dict[int, TableSchema],
     with_system: bool,
+    dv: DataFrame | None = None,
+    keep_meta: bool = False,
 ) -> DataFrame | None:
     """Read entries grouped by writer schema generation, adapt each
     generation to the current schema, union."""
@@ -113,13 +144,18 @@ def _read_files(
     parts: list[DataFrame] = []
     for sid, paths in sorted(by_schema.items()):
         df = spark.read.option("basePath", base).parquet(*paths)
-        df = _adapt(df, schemas.get(sid, current), current, with_system)
+        df = _apply_dv(df, dv)
+        df = _adapt(df, schemas.get(sid, current), current, with_system, keep_meta)
         parts.append(df)
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 def _adapt(
-    df: DataFrame, writer_schema: TableSchema, current: TableSchema, with_system: bool
+    df: DataFrame,
+    writer_schema: TableSchema,
+    current: TableSchema,
+    with_system: bool,
+    keep_meta: bool = False,
 ) -> DataFrame:
     by_id = {f.id: f.name for f in writer_schema.fields}
     cols = []
@@ -135,6 +171,8 @@ def _adapt(
                 cols.append(F.col(s))
         if BUCKET_COL in df.columns:
             cols.append(F.col(BUCKET_COL))
+    if keep_meta:
+        cols.append(F.col("_metadata"))
     return df.select(*cols)
 
 
@@ -148,15 +186,17 @@ def build_dataframe(
     projection: list[str] | None = None,
     limit: int | None = None,
     keep_system_cols: bool = False,
+    dv_files: list[str] | None = None,
 ) -> DataFrame:
     """Assemble the result DataFrame: raw scan ∪ merge-on-read view,
     then residual filter / projection / limit (Catalyst prunes columns
     and pushes the residual filter into the parquet scan)."""
     pk = bool(schema.primary_keys)
     out_fields = schema.field_names()
+    dv = dv_dataframe(spark, table_path, dv_files or [])
 
-    raw = _read_files(spark, table_path, plan.raw_entries, schema, schemas, with_system=pk)
-    merge = _read_files(spark, table_path, plan.merge_entries, schema, schemas, with_system=True)
+    raw = _read_files(spark, table_path, plan.raw_entries, schema, schemas, with_system=pk, dv=dv)
+    merge = _read_files(spark, table_path, plan.merge_entries, schema, schemas, with_system=True, dv=dv)
 
     parts: list[DataFrame] = []
     if raw is not None:

@@ -36,6 +36,9 @@ class Snapshot:
     delta_record_count: int = 0
     watermark: int | None = None  # persisted input watermark (Snapshot.java:157-159)
     next_sequence: int = 0  # sequence-number high-water mark (MergeTreeWriter.java:111)
+    # deletion-vector sidecar parquet files under index/ (P10; reference
+    # keeps them in an index manifest — DeletionVector.java:44)
+    dv_files: list[str] = field(default_factory=list)
 
     def to_dict(self) -> dict[str, Any]:
         return {
@@ -51,6 +54,7 @@ class Snapshot:
             "deltaRecordCount": self.delta_record_count,
             "watermark": self.watermark,
             "nextSequence": self.next_sequence,
+            "deletionVectors": self.dv_files,
         }
 
     @staticmethod
@@ -67,6 +71,7 @@ class Snapshot:
             delta_record_count=d.get("deltaRecordCount", 0),
             watermark=d.get("watermark"),
             next_sequence=d.get("nextSequence", 0),
+            dv_files=d.get("deletionVectors", []),
         )
 
 

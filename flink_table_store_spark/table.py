@@ -122,15 +122,24 @@ class ReadBuilder:
 
     def to_df(self, spark: SparkSession) -> DataFrame:
         t = self._table
+        snap = self._resolve_snapshot()
+        if snap is None:
+            plan = read_mod.ScanPlan()
+        else:
+            entries = t.manifests.read_live_entries(
+                snap.base_manifest_list, snap.delta_manifest_list
+            )
+            plan = read_mod.plan_scan(entries, t.schema, self._predicate, self._limit)
         return read_mod.build_dataframe(
             spark,
             t.path,
-            self.plan(),
+            plan,
             t.schema,
             t.all_schemas(),
             predicate=self._predicate,
             projection=self._projection,
             limit=self._limit,
+            dv_files=snap.dv_files if snap else None,
         )
 
 
@@ -220,7 +229,9 @@ class Table:
             return 0
         entries = self.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
         if predicate is None:
-            return sum(e.row_count for e in entries)
+            return sum(e.row_count for e in entries) - self._dv_row_count(snap)
+        if snap.dv_files:
+            return None  # per-partition DV attribution needs the sidecar scan
         if _is_partition_only(predicate, self.schema):
             return sum(e.row_count for e in entries if predicate.test_partition(e.partition))
         return None
@@ -231,6 +242,8 @@ class Table:
         snap = self.snapshots.latest()
         if snap is None:
             return None
+        if snap.dv_files:
+            return None  # file stats may reference DV-deleted rows
         from flink_table_store_spark.manifest import merge_entry_stats
 
         entries = self.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
@@ -286,7 +299,9 @@ class Table:
 
     # --- row-level ops (DeleteFromPaimonTableCommand.scala:35-104) ---
 
-    def delete(self, spark: SparkSession, predicate: Predicate) -> Snapshot:
+    def delete(
+        self, spark: SparkSession, predicate: Predicate, use_dv: bool | None = None
+    ) -> Snapshot:
         schema = self.schema
         if schema.partition_keys and _is_partition_only(predicate, schema):
             # strategy 1: metadata-only delete (OptimizeMetadataOnlyDelete…:52)
@@ -295,8 +310,92 @@ class Table:
             # strategy 3: PK upsert of -D rows
             rows = self.to_df(spark, predicate=predicate).select(*schema.field_names())
             return self.write(rows.withColumn(ROW_KIND, F.lit(ROWKIND_DELETE)), row_kind_col=ROW_KIND)
-        # strategy 2: copy-on-write rewrite of touched files
+        dv_enabled = (
+            use_dv
+            if use_dv is not None
+            else schema.options.get("deletion-vectors.enabled") == "true"
+        )
+        if dv_enabled:
+            # strategy 2a: deletion vectors — record positions, rewrite nothing
+            return self._delete_with_dv(spark, predicate)
+        # strategy 2b: copy-on-write rewrite of touched files
         return self._rewrite_files(spark, predicate, lambda df: df.where(~predicate.to_column()))
+
+    def _delete_with_dv(self, spark: SparkSession, predicate: Predicate) -> Snapshot:
+        """DELETE via deletion vectors (deletionvectors/DeletionVector.java:44):
+        a Spark job finds matching (file, row position) pairs in the files
+        the predicate might touch; positions land in a sidecar parquet
+        under index/; the commit only updates the snapshot's DV list.
+
+        At 100 TB this writes O(deleted rows) instead of rewriting
+        O(touched files) of data — the point of DVs.
+        """
+        import shutil as _shutil
+        import uuid as _uuid
+
+        import pyarrow.parquet as _pq
+
+        snap = self.snapshots.latest()
+        schema = self.schema
+        if snap is None:
+            raise RuntimeError("empty table")
+        entries = self.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
+        touched = [
+            e
+            for e in entries
+            if predicate.test_partition(e.partition) and predicate.test(e.stats, e.row_count)
+        ]
+        if not touched:
+            return snap
+        # read WITH the current DVs applied so re-deleting is idempotent
+        df = read_mod._read_files(
+            spark,
+            self.path,
+            touched,
+            schema,
+            self.all_schemas(),
+            with_system=False,
+            dv=read_mod.dv_dataframe(spark, self.path, snap.dv_files),
+            keep_meta=True,
+        )
+        positions = df.where(predicate.to_column()).select(
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("file_name"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+        staging = os.path.join(self.path, "staging", _uuid.uuid4().hex)
+        positions.write.parquet(staging)
+        tbl = _pq.read_table(staging, columns=["file_name", "pos"])
+        _shutil.rmtree(staging, ignore_errors=True)
+        if tbl.num_rows == 0:
+            return snap
+        index_dir = os.path.join(self.path, "index")
+        os.makedirs(index_dir, exist_ok=True)
+        name = f"dv-{_uuid.uuid4().hex}.parquet"
+        _pq.write_table(tbl, os.path.join(index_dir, name), compression="zstd")
+        return self.committer.commit(
+            [], schema.id, kind=COMMIT_APPEND, dv_files=snap.dv_files + [name]
+        )
+
+    def _dv_row_count(self, snap: Snapshot) -> int:
+        """Number of DV'd positions in LIVE files (stale entries for
+        rewritten files don't count)."""
+        import pyarrow.parquet as _pq
+
+        if not snap.dv_files:
+            return 0
+        live = {
+            os.path.basename(e.file_name)
+            for e in self.manifests.read_live_entries(
+                snap.base_manifest_list, snap.delta_manifest_list
+            )
+        }
+        seen: set[tuple] = set()
+        for n in snap.dv_files:
+            t = _pq.read_table(os.path.join(self.path, "index", n))
+            for r in t.to_pylist():
+                if r["file_name"] in live:
+                    seen.add((r["file_name"], r["pos"]))
+        return len(seen)
 
     def update(
         self, spark: SparkSession, predicate: Predicate, assignments: dict[str, Any]
@@ -379,7 +478,9 @@ class Table:
         if not touched:
             return snap
         plan = read_mod.ScanPlan(raw_entries=touched)
-        df = read_mod.build_dataframe(spark, self.path, plan, schema, self.all_schemas())
+        df = read_mod.build_dataframe(
+            spark, self.path, plan, schema, self.all_schemas(), dv_files=snap.dv_files
+        )
         new_df = transform(df)
         latest = self.snapshots.latest()
         new_entries = stage_and_collect(
@@ -421,7 +522,9 @@ class Table:
         max_level = 5
         pk = self.is_primary_key_table()
         plan = read_mod.ScanPlan(merge_entries=to_compact) if pk else read_mod.ScanPlan(raw_entries=to_compact)
-        merged = read_mod.build_dataframe(spark, self.path, plan, schema, self.all_schemas())
+        merged = read_mod.build_dataframe(
+            spark, self.path, plan, schema, self.all_schemas(), dv_files=snap.dv_files
+        )
         latest = self.snapshots.latest()
         new_entries = stage_and_collect(
             merged,
@@ -438,12 +541,42 @@ class Table:
             d = ManifestEntry(**{**e.__dict__})
             d.kind = KIND_DELETE
             deletes.append(d)
+        # DV maintenance: compacted files materialized their deletes, so
+        # keep only DV rows for files that survive this commit
+        new_dv = self._consolidate_dv(
+            snap, survivors={os.path.basename(e.file_name) for e in entries} - {os.path.basename(e.file_name) for e in to_compact}
+        )
         return self.committer.commit(
             deletes + new_entries,
             schema.id,
             kind=COMMIT_COMPACT,
             next_sequence=latest.next_sequence if latest else 0,
+            dv_files=new_dv,
         )
+
+    def _consolidate_dv(self, snap: Snapshot, survivors: set[str]) -> list[str]:
+        """Rewrite the DV sidecar set down to positions in surviving
+        files; [] if nothing remains (rewrite_file_index procedure)."""
+        import uuid as _uuid
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        if not snap.dv_files:
+            return []
+        keep: list[dict] = []
+        for n in snap.dv_files:
+            t = _pq.read_table(os.path.join(self.path, "index", n))
+            keep.extend(r for r in t.to_pylist() if r["file_name"] in survivors)
+        if not keep:
+            return []
+        name = f"dv-{_uuid.uuid4().hex}.parquet"
+        _pq.write_table(
+            _pa.Table.from_pylist(keep, schema=_pa.schema([("file_name", _pa.string()), ("pos", _pa.int64())])),
+            os.path.join(self.path, "index", name),
+            compression="zstd",
+        )
+        return [name]
 
     # --- system tables (SystemTableLoader; SURVEY §2.1 S10) ---
 
@@ -550,6 +683,8 @@ class Table:
             snaps += [bsm.load(i) for i in bsm.snapshot_ids()]
             snaps += list(bsm.tags().values())
         for s in snaps:
+            for dvn in s.dv_files:
+                referenced.add(os.path.join("index", dvn))
             for lst in (s.base_manifest_list, s.delta_manifest_list):
                 if not lst:
                     continue
@@ -559,7 +694,7 @@ class Table:
                     for e in self.manifests.read_manifest(m):
                         referenced.add(e.file_name)
         orphans: list[str] = []
-        for sub in ("manifest", "data"):
+        for sub in ("manifest", "data", "index"):
             root = os.path.join(self.path, sub)
             for dirpath, _d, files in os.walk(root):
                 for fn in files:

@@ -1,0 +1,89 @@
+"""Deletion vectors (P10): positional deletes without file rewrites."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_table_store_spark import predicate as P
+
+
+@pytest.fixture()
+def t(spark, warehouse):
+    df = spark.createDataFrame(
+        [(i, f"u{i % 3}", float(i)) for i in range(100)], "id bigint, pt string, v double"
+    )
+    table = warehouse.create_table(
+        "db.dv",
+        df.schema,
+        partition_keys=["pt"],
+        options={"deletion-vectors.enabled": "true"},
+    )
+    table.write(df)
+    return table
+
+
+def _files(t):
+    snap = t.snapshots.latest()
+    return {
+        os.path.basename(e.file_name)
+        for e in t.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
+    }
+
+
+def test_dv_delete_no_rewrite(spark, t):
+    before = _files(t)
+    snap = t.delete(spark, P.less_than("id", 10))
+    assert _files(t) == before  # no data file touched
+    assert snap.dv_files, "DV sidecar recorded in snapshot"
+    got = t.to_df(spark)
+    assert got.count() == 90
+    assert got.agg(F.min("id")).collect()[0][0] == 10
+
+
+def test_dv_delete_idempotent_and_stacking(spark, t):
+    t.delete(spark, P.less_than("id", 10))
+    s2 = t.delete(spark, P.less_than("id", 10))  # no new matches
+    assert t.snapshots.latest_id() == s2.id
+    t.delete(spark, P.greater_or_equal("id", 95))
+    assert t.to_df(spark).count() == 85
+    assert len(t.snapshots.latest().dv_files) == 2
+
+
+def test_dv_time_travel_sees_undeleted(spark, t):
+    t.delete(spark, P.equal("id", 50))
+    assert t.to_df(spark).count() == 99
+    assert t.to_df(spark, snapshot_id=1).count() == 100  # DV scoped per snapshot
+
+
+def test_dv_count_stats(spark, t):
+    assert t.count_rows() == 100
+    t.delete(spark, P.less_than("id", 20))
+    assert t.count_rows() == 80  # exact: manifest total minus live DV rows
+    assert t.min_max("id") is None  # stats unsafe under DV
+
+
+def test_compaction_materializes_dv(spark, t):
+    t.delete(spark, P.less_than("id", 10))
+    t.write(spark.createDataFrame([(1000, "u0", 0.0)], "id bigint, pt string, v double"))
+    t.compact(spark, full=True)
+    snap = t.snapshots.latest()
+    assert snap.dv_files == []  # all DV'd files rewritten → consolidated away
+    assert t.to_df(spark).count() == 91
+    assert t.to_df(spark).agg(F.min("id")).collect()[0][0] == 10
+
+
+def test_dv_files_survive_orphan_cleanup(spark, t):
+    t.delete(spark, P.equal("id", 3))
+    removed = t.remove_orphan_files()
+    assert removed == []
+    assert t.to_df(spark).count() == 99
+
+
+def test_cow_update_applies_dv(spark, t):
+    t.delete(spark, P.less_than("id", 98))
+    t.update(spark, P.equal("id", 99), {"v": F.lit(-1.0)})
+    rows = sorted((r.id, r.v) for r in t.to_df(spark).collect())
+    assert rows == [(98, 98.0), (99, -1.0)]
