@@ -112,3 +112,44 @@ class Catalog:
 
     def rename_table(self, src: str, dst: str) -> None:
         os.replace(self.table_path(src), self.table_path(dst))
+
+    # --- format tables (S9 passthrough; FormatTable.java:76-80) ---
+
+    def create_format_table(
+        self,
+        identifier: str,
+        location: str,
+        format: str,
+        options: dict[str, str] | None = None,
+    ):
+        import json
+
+        from flink_table_store_spark.sources.format_table import FormatTable
+
+        db, name = self._split(identifier)
+        self.create_database(db)
+        path = os.path.join(self._db_path(db), name)
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "format-table.json"), "w") as f:
+            json.dump({"location": location, "format": format, "options": options or {}}, f)
+        return FormatTable(identifier, location, format, options or {})
+
+    def get_format_table(self, identifier: str):
+        import json
+
+        from flink_table_store_spark.sources.format_table import FormatTable
+
+        p = os.path.join(self.table_path(identifier), "format-table.json")
+        if not os.path.exists(p):
+            raise RuntimeError(f"{identifier} is not a format table")
+        with open(p) as f:
+            d = json.load(f)
+        return FormatTable(identifier, d["location"], d["format"], d.get("options", {}))
+
+    # --- catalog functions (F7) ---
+
+    @property
+    def functions(self):
+        from flink_table_store_spark.functions import FunctionManager
+
+        return FunctionManager(self.warehouse)

@@ -888,6 +888,164 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-1 additions: topn/zorder/dv/system tables/streaming/changelog
+# ---------------------------------------------------------------------------
+
+
+def _managed_orders_ranges(spark: SparkSession, sf_dir: str):
+    """Append table of orders written as 4 disjoint o_orderkey ranges —
+    multiple files with non-overlapping stats (pruning fixture)."""
+    cat = _wh(sf_dir)
+    try:
+        t = cat.get_table("default.orders_ranges")
+        if t.snapshots.latest_id() and t.snapshots.latest_id() >= 4:
+            return t
+    except RuntimeError:
+        pass
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    hi = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    t = cat.create_table("default.orders_ranges", orders.schema, ignore_if_exists=True)
+    if not t.snapshots.latest_id() or t.snapshots.latest_id() < 4:
+        step = (hi + 4) // 4
+        for i in range(4):
+            t.write(orders.where((F.col("o_orderkey") >= i * step) & (F.col("o_orderkey") < (i + 1) * step)))
+    return t
+
+
+def topn_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY LIMIT with stats-based file pruning (O2). The plan must
+    read only the top range file; asserted in tests, verified by oracle."""
+    t = _managed_orders_ranges(spark, sf_dir)
+    return t.read_builder().with_topn("o_orderkey", 20, desc=True).to_df(spark)
+
+
+TOPN_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_orderkey DESC LIMIT 20
+"""
+
+
+def zorder_cluster_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order sort-compact (O5) then a 2-D selective read; clustering
+    must preserve content exactly (oracle = plain filter)."""
+    cat = _wh(sf_dir)
+    ident = "default.lineitem_zorder"
+    try:
+        t = cat.get_table(ident)
+        done = t.snapshots.latest() and t.snapshots.latest().commit_kind == "COMPACT"
+    except RuntimeError:
+        done = False
+    if not done:
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+        )
+        t = cat.create_table(ident, li.schema, ignore_if_exists=True)
+        if not t.snapshots.latest_id():
+            t.write(li)
+        t.sort_compact(spark, ["l_partkey", "l_suppkey"], strategy="zorder", num_files=8)
+    return t.to_df(
+        spark, predicate=P.and_(P.between("l_partkey", 100, 300), P.between("l_suppkey", 10, 50))
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+ZORDER_SQL = """
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity FROM lineitem
+WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 50
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def dv_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE via deletion vectors (P10) — no file rewrite — then read."""
+    cat = _wh(sf_dir)
+    ident = "default.lineitem_dv"
+    try:
+        t = cat.get_table(ident)
+        done = bool(t.snapshots.latest_id() and t.snapshots.latest_id() >= 2)
+    except RuntimeError:
+        done = False
+    if not done:
+        li = _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+        )
+        t = cat.create_table(
+            ident, li.schema, options={"deletion-vectors.enabled": "true"}, ignore_if_exists=True
+        )
+        if not t.snapshots.latest_id():
+            t.write(li)
+        if t.snapshots.latest_id() < 2:
+            t.delete(spark, P.less_than("l_quantity", 5))
+    return t.to_df(spark).orderBy("l_orderkey", "l_linenumber")
+
+
+DV_DELETE_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+WHERE NOT (l_quantity < 5) ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def sys_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$partitions system table (S10) against the partitioned managed
+    lineitem — per-partition record counts from metadata only."""
+    t = _managed_lineitem(spark, sf_dir)
+    parts = t.system_table(spark, "partitions")
+    return parts.select(
+        F.get_json_object("partition", "$.l_returnflag").alias("l_returnflag"),
+        F.col("record_count"),
+    ).orderBy("l_returnflag")
+
+
+SYS_PARTITIONS_SQL = """
+SELECT l_returnflag, COUNT(*) AS record_count FROM lineitem
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def stream_read_accumulate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming source: union of per-snapshot delta batches from
+    snapshot 1 (T2/T6) over the 3-batch PK upsert fixture."""
+    from flink_table_store_spark.streaming import SnapshotStream
+
+    t = _pk_orders_table(spark, sf_dir)
+    s = SnapshotStream(t, startup_mode="from-snapshot", from_snapshot=1)
+    df = s.available_now(spark)
+    return df.orderBy("o_custkey").limit(10**9) if df is not None else df
+
+
+STREAM_ACCUM_SQL = (
+    _PK_ORACLE_CTE
+    + "SELECT o_custkey, last_orderkey, last_totalprice FROM per_batch ORDER BY o_custkey"
+)
+
+
+def changelog_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-compaction-style changelog (T4): +I/-U/+U/-D between the
+    merged states at snapshots 1 and 3 of the PK upsert fixture."""
+    from flink_table_store_spark.streaming import changelog_diff
+
+    t = _pk_orders_table(spark, sf_dir)
+    return changelog_diff(spark, t, 1, 3).orderBy("rowkind", "o_custkey")
+
+
+CHANGELOG_DIFF_SQL = (
+    _PK_ORACLE_CTE
+    + """, before_s AS (
+  SELECT o_custkey, last_orderkey, last_totalprice FROM per_batch WHERE batch = 0),
+ after_s AS (
+  SELECT o_custkey, last_orderkey, last_totalprice FROM final WHERE rn2 = 1)
+SELECT '+I' AS rowkind, a.* FROM after_s a LEFT JOIN before_s b USING (o_custkey) WHERE b.o_custkey IS NULL
+UNION ALL
+SELECT '-U' AS rowkind, b.* FROM after_s a JOIN before_s b USING (o_custkey)
+WHERE (a.last_orderkey, a.last_totalprice) IS DISTINCT FROM (b.last_orderkey, b.last_totalprice)
+UNION ALL
+SELECT '+U' AS rowkind, a.* FROM after_s a JOIN before_s b USING (o_custkey)
+WHERE (a.last_orderkey, a.last_totalprice) IS DISTINCT FROM (b.last_orderkey, b.last_totalprice)
+ORDER BY rowkind, o_custkey
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -927,6 +1085,12 @@ QUERIES: dict[str, tuple] = {
     "embedding_near_dup": (embedding_near_dup, EMBEDDING_NEAR_DUP_SQL),
     "multimodal_hash": (multimodal_hash, MULTIMODAL_HASH_SQL),
     "multimodal_decode_stub": (multimodal_decode_stub, None),
+    "topn_pushdown": (topn_pushdown, TOPN_SQL),
+    "zorder_cluster_read": (zorder_cluster_read, ZORDER_SQL),
+    "dv_delete_read": (dv_delete_read, DV_DELETE_SQL),
+    "sys_partitions": (sys_partitions, SYS_PARTITIONS_SQL),
+    "stream_read_accumulate": (stream_read_accumulate, STREAM_ACCUM_SQL),
+    "changelog_diff_orders": (changelog_diff_orders, CHANGELOG_DIFF_SQL),
 }
 
 

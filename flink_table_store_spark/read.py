@@ -123,6 +123,45 @@ def _apply_dv(df: DataFrame, dv: DataFrame | None) -> DataFrame:
     )
 
 
+def prune_topn(
+    entries: list[ManifestEntry], col: str, n: int, desc: bool = True
+) -> list[ManifestEntry]:
+    """File pruning for ORDER BY col LIMIT n (TopN pushdown,
+    TopNDataSplitEvaluator.java:42-54).
+
+    Sound bound: every row in a file is ≥ the file's min (≤ its max),
+    so accumulating files by min (desc) until non-null rows cover n
+    yields a value bound; files whose max is below it cannot contribute
+    to the top n. Nulls are conservative: they never count toward
+    coverage, and files are kept on the bound test alone."""
+    stats = {id(e): e.stats.get(col) for e in entries}
+    if any(
+        s is None or s.get("min") is None or s.get("max") is None for s in stats.values()
+    ):
+        return entries  # a file without stats could hold anything
+    if desc:
+        order = sorted(entries, key=lambda e: stats[id(e)]["min"], reverse=True)
+        covered, bound = 0, None
+        for e in order:
+            covered += e.row_count - stats[id(e)].get("nulls", 0)
+            if covered >= n:
+                bound = stats[id(e)]["min"]
+                break
+        if bound is None:
+            return entries
+        return [e for e in entries if not stats[id(e)]["max"] < bound]
+    order = sorted(entries, key=lambda e: stats[id(e)]["max"])
+    covered, bound = 0, None
+    for e in order:
+        covered += e.row_count - stats[id(e)].get("nulls", 0)
+        if covered >= n:
+            bound = stats[id(e)]["max"]
+            break
+    if bound is None:
+        return entries
+    return [e for e in entries if not stats[id(e)]["min"] > bound]
+
+
 def _read_files(
     spark: SparkSession,
     table_path: str,

@@ -71,6 +71,7 @@ class ReadBuilder:
         self._tag: str | None = None
         self._timestamp_ms: int | None = None
         self._watermark: int | None = None
+        self._topn: tuple[str, int, bool] | None = None
 
     def with_filter(self, predicate: Predicate) -> "ReadBuilder":
         self._predicate = predicate if self._predicate is None else (self._predicate & predicate)
@@ -98,6 +99,14 @@ class ReadBuilder:
 
     def with_watermark(self, watermark: int) -> "ReadBuilder":
         self._watermark = watermark
+        return self
+
+    def with_topn(self, col: str, n: int, desc: bool = True) -> "ReadBuilder":
+        """ORDER BY col LIMIT n with file pruning by stats (O2 TopN
+        pushdown, ReadBuilder.withTopN / TopNDataSplitEvaluator). Only
+        append tables prune (a PK delta could retract rows from other
+        files); PK tables still get the ordered limit."""
+        self._topn = (col, n, desc)
         return self
 
     def _resolve_snapshot(self) -> Snapshot | None:
@@ -130,7 +139,17 @@ class ReadBuilder:
                 snap.base_manifest_list, snap.delta_manifest_list
             )
             plan = read_mod.plan_scan(entries, t.schema, self._predicate, self._limit)
-        return read_mod.build_dataframe(
+        if (
+            self._topn is not None
+            and not t.is_primary_key_table()
+            and not (snap and snap.dv_files)
+            # a residual predicate or DV makes file row counts overcount
+            # the qualifying rows — the coverage bound would be unsound
+            and self._predicate is None
+        ):
+            col, n, desc = self._topn
+            plan.raw_entries = read_mod.prune_topn(plan.raw_entries, col, n, desc)
+        df = read_mod.build_dataframe(
             spark,
             t.path,
             plan,
@@ -141,6 +160,10 @@ class ReadBuilder:
             limit=self._limit,
             dv_files=snap.dv_files if snap else None,
         )
+        if self._topn is not None:
+            col, n, desc = self._topn
+            df = df.orderBy(F.col(col).desc() if desc else F.col(col).asc()).limit(n)
+        return df
 
 
 class Table:
@@ -648,6 +671,51 @@ class Table:
         for sid in bsm.snapshot_ids():
             if sid > fork:
                 self.snapshots.try_commit(bsm.load(sid))
+
+    def sort_compact(
+        self,
+        spark: SparkSession,
+        cols: list[str],
+        strategy: str = "zorder",
+        bits: int = 16,
+        num_files: int | None = None,
+    ) -> Snapshot | None:
+        """Cluster the table by ORDER/ZORDER/HILBERT over ``cols`` for
+        data skipping (CompactProcedure.java:112 sort path,
+        TableSorter.java:30-82). Full rewrite: range-repartition on the
+        curve key so each output file covers a tight key range."""
+        from flink_table_store_spark.manifest import merge_entry_stats
+        from flink_table_store_spark.operators.zorder import sort_key
+
+        if self.is_primary_key_table():
+            raise RuntimeError("sort_compact targets append tables (PK order is the LSM key)")
+        snap = self.snapshots.latest()
+        if snap is None:
+            return None
+        schema = self.schema
+        entries = self.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
+        ranges = [merge_entry_stats(entries, c) for c in cols]
+        plan = read_mod.ScanPlan(raw_entries=entries)
+        df = read_mod.build_dataframe(
+            spark, self.path, plan, schema, self.all_schemas(), dv_files=snap.dv_files
+        )
+        key = sort_key(df, cols, ranges, strategy, bits)
+        n = num_files or max(spark.sparkContext.defaultParallelism, 1)
+        clustered = (
+            df.withColumn("__sk", key)
+            .repartitionByRange(n, F.col("__sk"))
+            .sortWithinPartitions("__sk")
+            .drop("__sk")
+        )
+        new_entries = stage_and_collect(clustered, self.path, schema)
+        deletes = []
+        for e in entries:
+            d = ManifestEntry(**{**e.__dict__})
+            d.kind = KIND_DELETE
+            deletes.append(d)
+        return self.committer.commit(
+            deletes + new_entries, schema.id, kind=COMMIT_COMPACT, dv_files=[]
+        )
 
     # --- snapshot management ---
 

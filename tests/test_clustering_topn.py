@@ -1,0 +1,85 @@
+"""Z-order/Hilbert sort-compact (O5) + TopN file pruning (O2)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_table_store_spark import predicate as P
+
+
+@pytest.fixture()
+def t(spark, warehouse):
+    """Table with interleaved key ranges across 4 commits — worst case
+    for skipping before clustering."""
+    table = warehouse.create_table("db.clu", "x bigint, y bigint, v double")
+    for i in range(4):
+        df = spark.createDataFrame(
+            [(j, (j * 7919) % 1000, float(j)) for j in range(i, 1000, 4)],
+            "x bigint, y bigint, v double",
+        )
+        table.write(df)
+    return table
+
+
+def _plan_files(table, pred):
+    return table.read_builder().with_filter(pred).plan().file_count()
+
+
+def test_zorder_improves_skipping(spark, t):
+    before = _plan_files(t, P.and_(P.between("x", 100, 120), P.between("y", 0, 50)))
+    assert before == 4  # every commit overlaps every x range
+    t.sort_compact(spark, ["x", "y"], strategy="zorder", num_files=8)
+    assert t.to_df(spark).count() == 1000  # content preserved
+    after = _plan_files(t, P.and_(P.between("x", 100, 120), P.between("y", 0, 50)))
+    assert after < 4, f"z-order should prune files, read {after}"
+    total = t.read_builder().plan().file_count()
+    assert total >= 8 - 1
+
+
+def test_order_strategy_and_content(spark, t):
+    t.sort_compact(spark, ["x"], strategy="order", num_files=4)
+    got = t.to_df(spark, predicate=P.equal("x", 500)).collect()
+    assert len(got) == 1 and got[0].v == 500.0
+    assert _plan_files(t, P.equal("x", 500)) == 1  # disjoint x ranges
+
+
+def test_hilbert_strategy_preserves_rows(spark, t):
+    t.sort_compact(spark, ["x", "y"], strategy="hilbert", num_files=4)
+    assert t.to_df(spark).count() == 1000
+    assert _plan_files(t, P.between("x", 0, 50)) < 4
+
+
+def test_topn_pushdown_prunes_files(spark, warehouse):
+    t = warehouse.create_table("db.topn", "id bigint, v double")
+    # disjoint ranges: commit i covers [i*100, i*100+100)
+    for i in range(5):
+        t.write(
+            spark.createDataFrame(
+                [(i * 100 + j, float(i * 100 + j)) for j in range(100)], "id bigint, v double"
+            )
+        )
+    rb = t.read_builder().with_topn("v", 10, desc=True)
+    df = rb.to_df(spark)
+    got = [r.id for r in df.collect()]
+    assert got == list(range(499, 489, -1))
+    # planning read only the top file(s)
+    pruned = __import__(
+        "flink_table_store_spark.read", fromlist=["prune_topn"]
+    ).prune_topn(t.read_builder().plan().raw_entries, "v", 10, desc=True)
+    assert len(pruned) == 1
+
+    asc = t.read_builder().with_topn("v", 3, desc=False).to_df(spark).collect()
+    assert [r.id for r in asc] == [0, 1, 2]
+
+
+def test_topn_with_predicate_stays_correct(spark, warehouse):
+    t = warehouse.create_table("db.topn2", "id bigint, grp string, v double")
+    t.write(
+        spark.createDataFrame(
+            [(i, "a" if i < 900 else "b", float(i)) for i in range(1000)],
+            "id bigint, grp string, v double",
+        )
+    )
+    df = t.read_builder().with_filter(P.equal("grp", "a")).with_topn("v", 2).to_df(spark)
+    assert [r.id for r in df.collect()] == [899, 898]

@@ -1,0 +1,64 @@
+"""Catalog functions (F7), bucket function (F4), format/object tables (S9)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_table_store_spark.functions import bucket, register_builtins
+from flink_table_store_spark.sources.format_table import object_table
+
+
+def test_bucket_matches_writer_assignment(spark, warehouse):
+    t = warehouse.create_table(
+        "db.bk", "k bigint, v double", primary_keys=["k"], options={"bucket": "4"}
+    )
+    df = spark.createDataFrame([(i, float(i)) for i in range(50)], "k bigint, v double")
+    t.write(df)
+    # files' bucket dirs must match the SQL-side bucket() of their keys
+    got = t.to_df(spark)
+    from flink_table_store_spark.write import bucket_expr
+
+    a = got.select("k", bucket(4, "k").alias("b")).collect()
+    b = got.select("k", bucket_expr(t.schema).alias("b")).collect()
+    assert {(r.k, r.b) for r in a} == {(r.k, r.b) for r in b}
+
+
+def test_sql_function_registration(spark):
+    register_builtins(spark)
+    [r] = spark.sql("SELECT paimon_bucket(4, CAST(42 AS BIGINT)) AS b").collect()
+    assert 0 <= r.b < 4
+
+
+def test_catalog_sql_functions(spark, warehouse):
+    fm = warehouse.functions
+    fm.create("revenue", ["p double", "d double"], "p * (1 - d)", returns="DOUBLE")
+    assert fm.list() == ["revenue"]
+    df = spark.createDataFrame([(10.0, 0.1)], "p double, d double")
+    [r] = df.select(fm.column("revenue", F.col("p"), F.col("d")).alias("r")).collect()
+    assert abs(r.r - 9.0) < 1e-9
+    assert fm.register_all(spark) == ["revenue"]
+    [r2] = spark.sql("SELECT revenue(10.0, 0.1) AS r").collect()
+    assert abs(r2.r - 9.0) < 1e-9
+    fm.drop("revenue")
+    assert fm.list() == []
+
+
+def test_format_table_roundtrip(spark, warehouse, tmp_path):
+    loc = str(tmp_path / "csvdir")
+    ft = warehouse.create_format_table(
+        "db.rawcsv", loc, "csv", options={"header": "true", "inferSchema": "true"}
+    )
+    ft.write(spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string"), mode="overwrite")
+    ft2 = warehouse.get_format_table("db.rawcsv")
+    got = ft2.to_df(spark)
+    assert got.count() == 2 and set(got.columns) == {"id", "s"}
+
+
+def test_object_table(spark, tmp_path):
+    d = tmp_path / "objs"
+    d.mkdir()
+    (d / "a.bin").write_bytes(b"\x89PNG1234")
+    (d / "b.txt").write_bytes(b"hello")
+    df = object_table(spark, str(d))
+    rows = {r.path.split("/")[-1]: bytes(r.content) for r in df.collect()}
+    assert rows["a.bin"].startswith(b"\x89PNG") and rows["b.txt"] == b"hello"
