@@ -1,0 +1,113 @@
+"""Lookup joins + point queries (SURVEY §2.3 J1/J2).
+
+J1 — the reference's Flink lookup join (FileStoreLookupFunction.java:79,
+lookup():263) does stream-side point lookups against the table with a
+refreshing local cache (full / partial modes). Spark-native shape: a
+stream-static join where the static side is re-resolved per micro-batch
+and broadcast — Structured Streaming re-plans the static side each
+trigger, so the join always sees the latest snapshot; ``LookupTable``
+adds the reference's refresh-interval semantics for driver-side reuse.
+
+J2 — point query (LocalTableQuery.java:64,175-186): bucket pruning
+makes a PK lookup touch only 1/num_buckets of the files, then file
+stats prune further — the LSM point-read path without an LSM.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_table_store_spark import predicate as P
+
+
+class LookupTable:
+    """Refreshing dimension-side handle for lookup joins
+    (FullCacheLookupTable semantics: re-resolve the snapshot at most
+    every ``refresh_interval_sec``)."""
+
+    def __init__(self, spark: SparkSession, table, refresh_interval_sec: float = 10.0):
+        self.spark = spark
+        self.table = table
+        self.refresh_interval_sec = refresh_interval_sec
+        self._df: DataFrame | None = None
+        self._snapshot_id: int | None = None
+        self._loaded_at = 0.0
+
+    def df(self) -> DataFrame:
+        now = time.monotonic()
+        if self._df is not None and now - self._loaded_at < self.refresh_interval_sec:
+            return self._df
+        latest = self.table.snapshots.latest_id()
+        if self._df is None or latest != self._snapshot_id:
+            self._df = self.table.to_df(self.spark)
+            self._snapshot_id = latest
+        self._loaded_at = now
+        return self._df
+
+    def join(self, stream_df: DataFrame, on, how: str = "left") -> DataFrame:
+        """Enrich a (streaming or batch) DataFrame; dimension side is
+        broadcast — the executor-local cache of the reference."""
+        return stream_df.join(F.broadcast(self.df()), on=on, how=how)
+
+
+def lookup_join(
+    spark: SparkSession, stream_df: DataFrame, table, on, how: str = "left"
+) -> DataFrame:
+    """One-shot stream-static lookup join against the latest snapshot."""
+    return stream_df.join(F.broadcast(table.to_df(spark)), on=on, how=how)
+
+
+def _bucket_of(spark: SparkSession, table, key_values: dict) -> int:
+    """Bucket id for literal key values — one 1-row Spark expression
+    eval, reusing the writer's exact hash (write.py bucket_expr)."""
+    from flink_table_store_spark.write import bucket_expr
+
+    schema = table.schema
+    keys = schema.trimmed_primary_keys()
+    row = spark.createDataFrame(
+        [tuple(key_values[k] for k in keys)],
+        ", ".join(f"{k} {schema.field(k).type}" for k in keys),
+    )
+    return row.select(bucket_expr(schema).alias("b")).collect()[0].b
+
+
+def point_lookup(spark: SparkSession, table, key_values: dict) -> list:
+    """table.lookup(pk): bucket-pruned merged read of one key.
+
+    Planning reads manifests only; the data read touches the key's
+    bucket alone (LookupLevels-style pruning), then min/max key stats
+    drop non-overlapping files.
+    """
+    if not table.is_primary_key_table():
+        raise RuntimeError("point_lookup requires a primary-key table")
+    from flink_table_store_spark import read as read_mod
+
+    schema = table.schema
+    keys = schema.trimmed_primary_keys()
+    missing = [k for k in keys if k not in key_values]
+    if missing:
+        raise ValueError(f"missing key columns: {missing}")
+    bucket = _bucket_of(spark, table, key_values)
+    snap = table.snapshots.latest()
+    if snap is None:
+        return []
+    pred = None
+    for k in keys:
+        leaf = P.equal(k, key_values[k])
+        pred = leaf if pred is None else P.and_(pred, leaf)
+    entries = table.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
+    entries = [e for e in entries if e.bucket == bucket]
+    plan = read_mod.plan_scan(entries, schema, pred)
+    df = read_mod.build_dataframe(
+        spark,
+        table.path,
+        plan,
+        schema,
+        table.all_schemas(),
+        predicate=pred,
+        dv_files=snap.dv_files,
+    )
+    return df.collect()

@@ -1,0 +1,72 @@
+"""Maintenance procedures — the ``CALL``-style admin surface
+(SURVEY §2.10: 42 classes under paimon-spark procedure/; grammar
+PaimonSqlExtensions.g4:71-87). Python API: ``call(spark, catalog,
+'compact', table='db.t', ...)`` — one entry per implemented procedure,
+all dispatching to Table/Catalog methods so they stay scriptable.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import SparkSession
+
+from flink_table_store_spark.catalog import Catalog
+
+
+def _t(cat: Catalog, args: dict):
+    return cat.get_table(args.pop("table"))
+
+
+def call(spark: SparkSession, catalog: Catalog, name: str, **args: Any):
+    proc = PROCEDURES.get(name)
+    if proc is None:
+        raise ValueError(f"unknown procedure {name}; have {sorted(PROCEDURES)}")
+    return proc(spark, catalog, dict(args))
+
+
+def _compact(spark, cat, a):
+    t = _t(cat, a)
+    if a.get("order_strategy"):
+        return t.sort_compact(
+            spark, a["order_by"], strategy=a["order_strategy"], num_files=a.get("num_files")
+        )
+    return t.compact(spark, full=a.get("full", True), trigger_runs=a.get("trigger_runs", 5))
+
+
+def _expire_snapshots(spark, cat, a):
+    return _t(cat, a).expire_snapshots(retain_last=a.get("retain_last", 10))
+
+
+def _expire_partitions(spark, cat, a):
+    return _t(cat, a).expire_partitions(
+        older_than_millis=a.get("older_than_millis"), partition_filter=a.get("partition_filter")
+    )
+
+
+PROCEDURES: dict[str, Callable] = {
+    "compact": _compact,
+    "expire_snapshots": _expire_snapshots,
+    "expire_partitions": _expire_partitions,
+    "create_tag": lambda s, c, a: _t(c, a).create_tag(a["tag"], a.get("snapshot_id")),
+    "delete_tag": lambda s, c, a: _t(c, a).delete_tag(a["tag"]),
+    "rollback": lambda s, c, a: _t(c, a).rollback_to(a["snapshot_id"]),
+    "rollback_to_timestamp": lambda s, c, a: (
+        lambda t: t.rollback_to(t.snapshots.for_timestamp(a["timestamp_ms"]).id)
+    )(_t(c, a)),
+    "remove_orphan_files": lambda s, c, a: _t(c, a).remove_orphan_files(
+        dry_run=a.get("dry_run", False)
+    ),
+    "create_branch": lambda s, c, a: _t(c, a).create_branch(a["branch"], a.get("snapshot_id")),
+    "delete_branch": lambda s, c, a: _t(c, a).delete_branch(a["branch"]),
+    "fast_forward": lambda s, c, a: _t(c, a).fast_forward(a["branch"]),
+    "clear_consumers": lambda s, c, a: _t(c, a).snapshots.clear_consumers(),
+    "reset_consumer": lambda s, c, a: _t(c, a).snapshots.write_consumer(
+        a["consumer_id"], a["next_snapshot"]
+    ),
+    "rewrite_file_index": lambda s, c, a: (
+        lambda t: t.compact(s, full=True)
+    )(_t(c, a)),
+    "mark_partition_done": lambda s, c, a: _t(c, a).mark_partition_done(a["partition"]),
+    "repair": lambda s, c, a: _t(c, a).remove_orphan_files(dry_run=True),
+}

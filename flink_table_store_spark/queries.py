@@ -1045,6 +1045,65 @@ ORDER BY rowkind, o_custkey
 )
 
 
+def lookup_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lookup join (J1): broadcast-enrich a fact stream from a PK
+    dimension table managed by the engine."""
+    from flink_table_store_spark.operators.lookup import lookup_join
+
+    cat = _wh(sf_dir)
+    ident = "default.customer_pk"
+    try:
+        t = cat.get_table(ident)
+        done = bool(t.snapshots.latest_id())
+    except RuntimeError:
+        done = False
+    if not done:
+        cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+        t = cat.create_table(
+            ident, cust.schema, primary_keys=["c_custkey"], options={"bucket": "4"}, ignore_if_exists=True
+        )
+        if not t.snapshots.latest_id():
+            t.write(cust)
+    facts = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey", F.col("o_custkey").alias("c_custkey"), "o_totalprice")
+    )
+    return (
+        lookup_join(spark, facts, t, on="c_custkey")
+        .select("o_orderkey", "c_custkey", "o_totalprice", "c_name", "c_nationkey")
+        .orderBy("o_orderkey")
+    )
+
+
+LOOKUP_JOIN_SQL = """
+SELECT o_orderkey, o_custkey AS c_custkey, o_totalprice, c_name, c_nationkey
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey
+"""
+
+
+def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT access (F6): parse_json + variant_get over the events
+    JSON props column (Spark 4 VariantType)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select(
+            "event_id",
+            F.variant_get(F.parse_json("props"), "$.k", "bigint").alias("k"),
+        )
+        .where(F.col("k") >= 50)
+        .orderBy("event_id")
+    )
+
+
+VARIANT_SQL = """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+ORDER BY event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1091,6 +1150,8 @@ QUERIES: dict[str, tuple] = {
     "sys_partitions": (sys_partitions, SYS_PARTITIONS_SQL),
     "stream_read_accumulate": (stream_read_accumulate, STREAM_ACCUM_SQL),
     "changelog_diff_orders": (changelog_diff_orders, CHANGELOG_DIFF_SQL),
+    "lookup_join_enrich": (lookup_join_enrich, LOOKUP_JOIN_SQL),
+    "variant_extract": (variant_extract, VARIANT_SQL),
 }
 
 

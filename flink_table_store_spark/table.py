@@ -26,6 +26,7 @@ from flink_table_store_spark.manifest import (
     ManifestEntry,
     ManifestManager,
 )
+from flink_table_store_spark import predicate as P_mod
 from flink_table_store_spark.predicate import Predicate
 from flink_table_store_spark.schema import (
     KIND_DELETE as ROWKIND_DELETE,
@@ -733,12 +734,79 @@ class Table:
 
     def expire_snapshots(self, retain_last: int = 10) -> list[int]:
         """Keep the newest ``retain_last`` snapshots (ExpireSnapshotsImpl).
-        Tagged snapshots stay readable through their tag copies."""
+        Tagged snapshots stay readable through their tag copies; active
+        consumers pin everything from their cursor onward (the
+        consumer-id safety contract, ConsumerManager.java:168)."""
         ids = self.snapshots.snapshot_ids()
-        expired = ids[:-retain_last] if len(ids) > retain_last else []
+        keep_from = len(ids) - retain_last
+        consumers = self.snapshots.consumers()
+        if consumers:
+            min_next = min(consumers.values())
+            keep_from = min(keep_from, next((i for i, s in enumerate(ids) if s >= min_next), keep_from))
+        expired = ids[:keep_from] if keep_from > 0 else []
         for sid in expired:
             self.snapshots.delete(sid)
         return expired
+
+    def expire_partitions(
+        self,
+        older_than_millis: int | None = None,
+        partition_filter: Predicate | None = None,
+    ) -> list[dict]:
+        """Drop whole partitions by age or by predicate
+        (ExpirePartitionsProcedure): a metadata-only OVERWRITE commit
+        deleting every file of the matching partitions."""
+        snap = self.snapshots.latest()
+        if snap is None:
+            return []
+        entries = self.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
+        newest: dict[str, int] = {}
+        parts: dict[str, dict] = {}
+        import json as _json
+
+        for e in entries:
+            k = _json.dumps(e.partition, sort_keys=True)
+            parts[k] = e.partition
+            newest[k] = max(newest.get(k, 0), e.creation_time)
+        doomed = []
+        for k, pt in parts.items():
+            if partition_filter is not None and not partition_filter.test_partition(pt):
+                continue
+            if older_than_millis is not None and newest[k] >= older_than_millis:
+                continue
+            if partition_filter is None and older_than_millis is None:
+                continue  # refuse to expire everything implicitly
+            doomed.append(pt)
+        if not doomed:
+            return []
+        from flink_table_store_spark.predicate import or_
+
+        preds = []
+        for pt in doomed:
+            leafs = [P_mod.equal(k, v) for k, v in pt.items()]
+            preds.append(leafs[0] if len(leafs) == 1 else P_mod.and_(*leafs))
+        self.committer.commit_overwrite([], self.schema.id, or_(*preds) if len(preds) > 1 else preds[0])
+        return doomed
+
+    def mark_partition_done(self, partition: dict[str, str]) -> str:
+        """Write a partition-done marker (MarkPartitionDoneProcedure) —
+        downstream schedulers poll ``done_partitions()``."""
+        import json as _json
+
+        from flink_table_store_spark.fileio import write_json
+
+        d = os.path.join(self.path, "partition_mark")
+        os.makedirs(d, exist_ok=True)
+        name = _json.dumps(partition, sort_keys=True)
+        p = os.path.join(d, f"{abs(hash(name))}.done")
+        write_json(p, {"partition": partition})
+        return p
+
+    def done_partitions(self) -> list[dict]:
+        d = os.path.join(self.path, "partition_mark")
+        if not os.path.isdir(d):
+            return []
+        return [read_json(os.path.join(d, n))["partition"] for n in sorted(os.listdir(d))]
 
     def remove_orphan_files(self, dry_run: bool = False) -> list[str]:
         """Delete data/manifest files referenced by no retained snapshot or

@@ -1,0 +1,94 @@
+"""Lookup join/point query (J1/J2), procedures, partition expiry, variant."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_table_store_spark import predicate as P
+from flink_table_store_spark.operators.lookup import LookupTable, lookup_join, point_lookup
+from flink_table_store_spark.procedures import call
+
+
+@pytest.fixture()
+def dim(spark, warehouse):
+    t = warehouse.create_table(
+        "db.dim", "k bigint, name string", primary_keys=["k"], options={"bucket": "4"}
+    )
+    t.write(spark.createDataFrame([(i, f"n{i}") for i in range(20)], "k bigint, name string"))
+    return t
+
+
+def test_lookup_join_enriches(spark, dim):
+    facts = spark.createDataFrame([(1, 10.0), (5, 50.0), (99, 0.0)], "k bigint, amt double")
+    got = {r.k: r.name for r in lookup_join(spark, facts, dim, on="k").collect()}
+    assert got == {1: "n1", 5: "n5", 99: None}
+
+
+def test_lookup_table_refreshes_on_new_snapshot(spark, dim):
+    lt = LookupTable(spark, dim, refresh_interval_sec=0.0)
+    facts = spark.createDataFrame([(3,)], "k bigint")
+    assert lt.join(facts, on="k").collect()[0].name == "n3"
+    dim.write(spark.createDataFrame([(3, "updated")], "k bigint, name string"))
+    assert lt.join(facts, on="k").collect()[0].name == "updated"
+
+
+def test_point_lookup_prunes_to_bucket(spark, dim):
+    rows = point_lookup(spark, dim, {"k": 7})
+    assert len(rows) == 1 and rows[0].name == "n7"
+    assert point_lookup(spark, dim, {"k": 12345}) == []
+
+
+def test_procedures_dispatch(spark, warehouse):
+    t = warehouse.create_table("db.proc", "id bigint, pt string", partition_keys=["pt"])
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, pt string"))
+    call(spark, warehouse, "create_tag", table="db.proc", tag="v1")
+    assert "v1" in t.snapshots.tags()
+    call(spark, warehouse, "compact", table="db.proc")
+    call(spark, warehouse, "expire_snapshots", table="db.proc", retain_last=1)
+    assert len(t.snapshots.snapshot_ids()) == 1
+    assert call(spark, warehouse, "remove_orphan_files", table="db.proc") == []
+    with pytest.raises(ValueError):
+        call(spark, warehouse, "no_such_proc")
+
+
+def test_expire_partitions_by_filter(spark, warehouse):
+    t = warehouse.create_table("db.expt", "id bigint, dt string", partition_keys=["dt"])
+    t.write(
+        spark.createDataFrame(
+            [(1, "2024-01-01"), (2, "2024-01-02"), (3, "2024-06-01")], "id bigint, dt string"
+        )
+    )
+    doomed = t.expire_partitions(partition_filter=P.less_than("dt", "2024-02-01"))
+    assert sorted(d["dt"] for d in doomed) == ["2024-01-01", "2024-01-02"]
+    assert {r.dt for r in t.to_df(spark).collect()} == {"2024-06-01"}
+    # nothing matches → no-op, and no implicit expire-everything
+    assert t.expire_partitions() == []
+
+
+def test_expire_snapshots_respects_consumers(spark, warehouse):
+    t = warehouse.create_table("db.cons", "id bigint")
+    for i in range(5):
+        t.write(spark.createDataFrame([(i,)], "id bigint"))
+    t.snapshots.write_consumer("slow-reader", 2)
+    expired = t.expire_snapshots(retain_last=1)
+    assert expired == [1]  # snapshots >= consumer cursor are pinned
+    assert t.snapshots.snapshot_ids() == [2, 3, 4, 5]
+
+
+def test_mark_partition_done(spark, warehouse):
+    t = warehouse.create_table("db.mark", "id bigint, dt string", partition_keys=["dt"])
+    t.write(spark.createDataFrame([(1, "d1")], "id bigint, dt string"))
+    t.mark_partition_done({"dt": "d1"})
+    assert t.done_partitions() == [{"dt": "d1"}]
+
+
+def test_variant_access_on_json(spark):
+    df = spark.createDataFrame(
+        [(1, '{"a": 5, "b": {"c": "x"}}')], "id bigint, props string"
+    ).select("id", F.parse_json("props").alias("v"))
+    [r] = df.select(
+        F.variant_get("v", "$.a", "int").alias("a"),
+        F.variant_get("v", "$.b.c", "string").alias("c"),
+    ).collect()
+    assert r.a == 5 and r.c == "x"
