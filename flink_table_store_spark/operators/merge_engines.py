@@ -38,16 +38,30 @@ ENGINE_PARTIAL_UPDATE = "partial-update"
 ENGINE_AGGREGATION = "aggregation"
 
 
+_EFF_SEQ = "__eff_seq"
+
+
 def merge_view(df: DataFrame, schema: TableSchema) -> DataFrame:
+    # sequence.field (CoreOptions.java:882-894, T12): a user column
+    # defines the version order; input sequence breaks ties. Expressed
+    # as a struct column — Spark orders structs lexicographically, so
+    # every engine can treat it as THE sequence.
+    seq_field = schema.options.get("sequence.field")
+    seq_col = SEQUENCE_NUMBER
+    if seq_field:
+        df = df.withColumn(
+            _EFF_SEQ, F.struct(*[F.col(c.strip()) for c in seq_field.split(",")], F.col(SEQUENCE_NUMBER))
+        )
+        seq_col = _EFF_SEQ
     engine = schema.options.get("merge-engine", ENGINE_DEDUPLICATE)
     if engine == ENGINE_DEDUPLICATE:
-        return _dedup(df, schema, descending=True)
+        return _dedup(df, schema, descending=True, seq_col=seq_col)
     if engine == ENGINE_FIRST_ROW:
-        return _dedup(df, schema, descending=False)
+        return _dedup(df, schema, descending=False, seq_col=seq_col)
     if engine == ENGINE_PARTIAL_UPDATE:
-        return _partial_update(df, schema)
+        return _partial_update(df, schema, seq_col=seq_col)
     if engine == ENGINE_AGGREGATION:
-        return _aggregation(df, schema)
+        return _aggregation(df, schema, seq_col=seq_col)
     raise ValueError(f"unknown merge-engine {engine}")
 
 
@@ -56,8 +70,10 @@ def _key_cols(schema: TableSchema) -> list[str]:
     return list(schema.partition_keys) + schema.trimmed_primary_keys()
 
 
-def _dedup(df: DataFrame, schema: TableSchema, descending: bool) -> DataFrame:
-    seq = F.col(SEQUENCE_NUMBER)
+def _dedup(
+    df: DataFrame, schema: TableSchema, descending: bool, seq_col: str = SEQUENCE_NUMBER
+) -> DataFrame:
+    seq = F.col(seq_col)
     order = seq.desc() if descending else seq.asc()
     w = Window.partitionBy(*_key_cols(schema)).orderBy(order)
     out = (
@@ -79,7 +95,9 @@ def _sequence_groups(schema: TableSchema) -> dict[str, list[str]]:
     return groups
 
 
-def _partial_update(df: DataFrame, schema: TableSchema) -> DataFrame:
+def _partial_update(
+    df: DataFrame, schema: TableSchema, seq_col: str = SEQUENCE_NUMBER
+) -> DataFrame:
     """groupBy(key) with per-field max_by — one shuffle, map-side combine.
 
     Non-group fields: last non-null value in sequence order
@@ -95,7 +113,7 @@ def _partial_update(df: DataFrame, schema: TableSchema) -> DataFrame:
         for c in cols:
             field_group[c] = seq_col
 
-    seq = SEQUENCE_NUMBER
+    seq = seq_col
     upserts = df.where(F.col(VALUE_KIND) != KIND_DELETE)
     aggs = []
     for f in schema.fields:
@@ -175,7 +193,9 @@ def _agg_expr(func: str, name: str, seq: str):
     raise ValueError(f"unsupported aggregate-function {func}")
 
 
-def _aggregation(df: DataFrame, schema: TableSchema) -> DataFrame:
+def _aggregation(
+    df: DataFrame, schema: TableSchema, seq_col: str = SEQUENCE_NUMBER
+) -> DataFrame:
     """aggregation merge engine: groupBy(pk).agg(per-field functions).
 
     Partial aggregates from compacted files re-aggregate correctly for
@@ -186,7 +206,7 @@ def _aggregation(df: DataFrame, schema: TableSchema) -> DataFrame:
     requires ignore-retract for these engines).
     """
     keys = _key_cols(schema)
-    seq = SEQUENCE_NUMBER
+    seq = seq_col
     data = df.where(F.col(VALUE_KIND) != KIND_DELETE)
     default_func = schema.options.get("fields.default-aggregate-function", "last_non_null_value")
     aggs = []

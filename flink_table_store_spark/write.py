@@ -105,6 +105,17 @@ def stage_and_collect(
 
     staging = os.path.join(table_path, "staging", uuid.uuid4().hex)
     writer = df.write.mode("overwrite")
+    # file indexes (P9): parquet bloom filters per configured column
+    # (reference bloomfilter/BloomFilterFileIndexFactory.java:29; here
+    # the index lives IN the parquet footer and the reader's row-group
+    # filter uses it natively)
+    bloom_cols = schema.options.get("file-index.bloom-filter.columns")
+    if bloom_cols:
+        for c in bloom_cols.split(","):
+            writer = writer.option(f"parquet.bloom.filter.enabled#{c.strip()}", "true")
+    for k, v in schema.options.items():
+        if k.startswith("parquet."):
+            writer = writer.option(k, v)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)

@@ -195,3 +195,30 @@ def test_concurrent_writers_conflict_retry(spark, warehouse):
     assert not errs
     assert t.snapshots.latest_id() == 4
     assert t.to_df(spark).count() == 4
+
+
+def test_sequence_field_orders_versions(spark, warehouse):
+    """sequence.field (T12): the user column defines version order —
+    a later write with an OLDER version must not win."""
+    t = warehouse.create_table(
+        "db.seqf",
+        "k bigint, v string, ver bigint",
+        primary_keys=["k"],
+        options={"bucket": "2", "sequence.field": "ver"},
+    )
+    t.write(spark.createDataFrame([(1, "new", 10), (2, "x", 5)], "k bigint, v string, ver bigint"))
+    t.write(spark.createDataFrame([(1, "stale", 3), (2, "y", 7)], "k bigint, v string, ver bigint"))
+    got = {r.k: (r.v, r.ver) for r in t.to_df(spark).collect()}
+    assert got == {1: ("new", 10), 2: ("y", 7)}
+
+
+def test_bloom_filter_option_roundtrip(spark, warehouse):
+    t = warehouse.create_table(
+        "db.bloom",
+        "id bigint, s string",
+        options={"file-index.bloom-filter.columns": "s"},
+    )
+    t.write(spark.createDataFrame([(i, f"s{i}") for i in range(100)], "id bigint, s string"))
+    from flink_table_store_spark import predicate as P
+
+    assert t.to_df(spark, predicate=P.equal("s", "s42")).count() == 1
