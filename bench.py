@@ -138,6 +138,68 @@ def main() -> None:
 
     pb.unpersist()
 
+    # --- clustering / topn / dv / lookup over managed tables --------------
+    t_z = cat.create_table(
+        "bench.lineitem_z",
+        li.select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity").schema,
+        ignore_if_exists=True,
+    )
+
+    @timed("zorder_compact")
+    def _zc():
+        t_z.write(li.select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity"))
+        t_z.sort_compact(spark, ["l_partkey", "l_suppkey"], strategy="zorder", num_files=16)
+
+    @timed("zorder_skip_read")
+    def _zr():
+        (
+            t_z.to_df(
+                spark,
+                predicate=P.and_(P.between("l_partkey", 100, 300), P.between("l_suppkey", 10, 50)),
+            )
+            .agg(F.count(F.lit(1)), F.sum("l_quantity"))
+            .collect()
+        )
+
+    @timed("topn_pushdown")
+    def _tn():
+        t_z.read_builder().with_topn("l_orderkey", 20).to_df(spark).collect()
+
+    t_dv = cat.create_table(
+        "bench.lineitem_dv",
+        li.select("l_orderkey", "l_linenumber", "l_quantity").schema,
+        options={"deletion-vectors.enabled": "true"},
+        ignore_if_exists=True,
+    )
+
+    @timed("dv_delete")
+    def _dv():
+        t_dv.write(li.select("l_orderkey", "l_linenumber", "l_quantity"))
+        t_dv.delete(spark, P.less_than("l_quantity", 5))
+
+    @timed("dv_read")
+    def _dvr():
+        t_dv.to_df(spark).agg(F.count(F.lit(1)), F.sum("l_quantity")).collect()
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    t_pk_dim = cat.create_table(
+        "bench.customer_pk",
+        cust.schema,
+        primary_keys=["c_custkey"],
+        options={"bucket": "8"},
+        ignore_if_exists=True,
+    )
+
+    @timed("lookup_join")
+    def _lj():
+        from flink_table_store_spark.operators.lookup import lookup_join
+
+        t_pk_dim.write(cust)
+        facts = orders.select("o_orderkey", F.col("o_custkey").alias("c_custkey"))
+        lookup_join(spark, facts, t_pk_dim, on="c_custkey").count()
+
     # --- host-side joins + pipeline ops over raw parquet ------------------
     @timed("q3_join")
     def _q3():
