@@ -297,6 +297,11 @@ class Table:
         watermark: int | None = None,
     ) -> Snapshot:
         """Append/upsert a DataFrame (INSERT INTO / INSERT OVERWRITE)."""
+        if self.is_primary_key_table() and self.schema.num_buckets() == -1:
+            # dynamic bucket mode (S18): key→bucket via persistent index
+            from flink_table_store_spark.operators.dynamic_bucket import assign_buckets
+
+            df = assign_buckets(df.sparkSession, df, self.path, self.schema)
         latest = self.snapshots.latest()
         base_seq = latest.next_sequence if latest else 0
         entries = stage_and_collect(
@@ -833,6 +838,10 @@ class Table:
         for sub in ("manifest", "data", "index"):
             root = os.path.join(self.path, sub)
             for dirpath, _d, files in os.walk(root):
+                # the dynamic-bucket hash index is append-only state owned
+                # by the writer, not referenced per-snapshot
+                if "hash-index" in dirpath:
+                    continue
                 for fn in files:
                     rel = os.path.relpath(os.path.join(dirpath, fn), self.path)
                     if rel not in referenced:

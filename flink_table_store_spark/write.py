@@ -89,13 +89,16 @@ def stage_and_collect(
         else:
             kind = F.lit(KIND_INSERT)
         df = df.withColumn(VALUE_KIND, kind)
-        df = _cast_to_schema(df, schema, extra=[VALUE_KIND])
+        df = _cast_to_schema(df, schema, extra=[VALUE_KIND, BUCKET_COL])
         # input order within source partitions is preserved by
         # monotonically_increasing_id, assigned BEFORE the bucket shuffle
         df = df.withColumn(
             SEQUENCE_NUMBER, (F.lit(base_sequence) + F.monotonically_increasing_id()).cast("long")
         )
-        df = df.withColumn(BUCKET_COL, bucket_expr(schema))
+        if BUCKET_COL not in df.columns:
+            # fixed-bucket hash; dynamic-bucket tables arrive pre-assigned
+            # (operators/dynamic_bucket.assign_buckets)
+            df = df.withColumn(BUCKET_COL, bucket_expr(schema))
         df = df.repartition(*[F.col(c) for c in pt_cols + [BUCKET_COL]])
         partition_by = pt_cols + [BUCKET_COL]
         spark_extra = [VALUE_KIND, SEQUENCE_NUMBER, BUCKET_COL]

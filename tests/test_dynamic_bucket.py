@@ -1,0 +1,74 @@
+"""Dynamic bucket mode (S18): key→bucket via persistent hash index."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def t(spark, warehouse):
+    return warehouse.create_table(
+        "db.dyn",
+        "k bigint, v string",
+        primary_keys=["k"],
+        options={"bucket": "-1", "dynamic-bucket.target-row-num": "100"},
+    )
+
+
+def _buckets(t):
+    snap = t.snapshots.latest()
+    return {
+        e.bucket
+        for e in t.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
+    }
+
+
+def test_new_keys_fill_buckets_to_target(spark, t):
+    t.write(spark.createDataFrame([(i, f"v{i}") for i in range(350)], "k bigint, v string"))
+    assert t.to_df(spark).count() == 350
+    assert _buckets(t) == {0, 1, 2, 3}  # 350 keys / 100 per bucket
+
+
+def test_existing_keys_keep_their_bucket(spark, t):
+    t.write(spark.createDataFrame([(i, "old") for i in range(150)], "k bigint, v string"))
+    t.write(spark.createDataFrame([(i, "new") for i in range(100, 250)], "k bigint, v string"))
+    got = {r.k: r.v for r in t.to_df(spark).collect()}
+    assert len(got) == 250  # upserts dedup — keys did not move buckets
+    assert got[120] == "new" and got[20] == "old"
+
+
+def test_growth_appends_buckets(spark, t):
+    for start in range(0, 600, 200):
+        t.write(
+            spark.createDataFrame([(i, "x") for i in range(start, start + 200)], "k bigint, v string")
+        )
+    assert t.to_df(spark).count() == 600
+    assert max(_buckets(t)) >= 5  # 600 keys / 100 target
+
+    # the index survives orphan cleanup
+    assert t.remove_orphan_files() == []
+    t.write(spark.createDataFrame([(1, "y")], "k bigint, v string"))
+    assert t.to_df(spark).count() == 600
+
+
+def test_partitioned_dynamic_bucket(spark, warehouse):
+    t = warehouse.create_table(
+        "db.dynpt",
+        "k bigint, pt string, v double",
+        partition_keys=["pt"],
+        primary_keys=["pt", "k"],
+        options={"bucket": "-1", "dynamic-bucket.target-row-num": "50"},
+    )
+    df = spark.createDataFrame(
+        [(i, f"p{i % 2}", float(i)) for i in range(200)], "k bigint, pt string, v double"
+    )
+    t.write(df)
+    assert t.to_df(spark).count() == 200
+    # per-partition assignment: each partition has its own bucket range
+    snap = t.snapshots.latest()
+    per_pt = {}
+    for e in t.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list):
+        per_pt.setdefault(e.partition["pt"], set()).add(e.bucket)
+    assert set(per_pt) == {"p0", "p1"}
+    assert all(len(b) == 2 for b in per_pt.values())  # 100 keys / 50 target
