@@ -876,6 +876,21 @@ class Table:
             plan = read_mod.ScanPlan(raw_entries=entries)
         return read_mod.build_dataframe(spark, self.path, plan, schema, self.all_schemas())
 
+    def incremental_read_between_timestamps(
+        self, spark: SparkSession, ts1_millis: int, ts2_millis: int
+    ) -> DataFrame:
+        """paimon_incremental_between_timestamp TVF (S22): rows added in
+        snapshots committed within (ts1, ts2]."""
+        s1 = self.snapshots.for_timestamp(ts1_millis)
+        s2 = self.snapshots.for_timestamp(ts2_millis)
+        return self.incremental_read(spark, s1.id if s1 else 0, s2.id if s2 else 0)
+
+    def incremental_read_to_tag(self, spark: SparkSession, tag: str) -> DataFrame:
+        """paimon_incremental_to_auto_tag-style read: delta between the
+        tag's predecessor snapshot and the tag."""
+        snap = self.snapshots.tag(tag)
+        return self.incremental_read(spark, snap.id - 1, snap.id)
+
     def audit_log(
         self, spark: SparkSession, start_snapshot: int | None = None, end_snapshot: int | None = None
     ) -> DataFrame:

@@ -114,3 +114,20 @@ def test_changelog_diff_and_binlog(spark, pk_table):
 
     bl = {r.k: r.op for r in binlog(spark, pk_table, 1, 3).collect()}
     assert bl == {2: "U", 3: "-D", 4: "+I"}
+
+
+def test_incremental_tvf_variants(spark, pk_table):
+    import time
+
+    pk_table.write(_batch(spark, [(1, "a")]))
+    t1 = pk_table.snapshots.latest().time_millis
+    time.sleep(0.05)
+    pk_table.write(_batch(spark, [(2, "b")]))
+    t2 = pk_table.snapshots.latest().time_millis
+    got = pk_table.incremental_read_between_timestamps(spark, t1, t2).collect()
+    assert [(r.k, r.v) for r in got] == [(2, "b")]
+
+    pk_table.create_tag("tg")
+    pk_table.write(_batch(spark, [(3, "c")]))
+    got2 = pk_table.incremental_read_to_tag(spark, "tg").collect()
+    assert [(r.k, r.v) for r in got2] == [(2, "b")]
