@@ -850,7 +850,9 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    return DD.embedding_near_dup_pairs(emb, threshold=0.99).orderBy("id_a", "id_b")
+    # the synthetic embeddings are near-orthogonal (max pairwise cosine
+    # ≈ 0.51); 0.45 yields a non-trivial, boundary-safe result set
+    return DD.embedding_near_dup_pairs(emb, threshold=0.45).orderBy("id_a", "id_b")
 
 
 EMBEDDING_NEAR_DUP_SQL = """
@@ -858,7 +860,7 @@ WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
 FROM emb a JOIN emb b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.99
+WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
 ORDER BY id_a, id_b
 """
 

@@ -35,6 +35,8 @@ SYSTEM_TABLES = (
     "branches",
     "consumers",
     "audit_log",
+    "ro",
+    "statistics",
 )
 
 
@@ -198,6 +200,25 @@ def _audit_log(spark: SparkSession, t: "Table") -> DataFrame:
     return t.audit_log(spark)
 
 
+def _ro(spark: SparkSession, t: "Table") -> DataFrame:
+    return t.read_optimized(spark)
+
+
+def _statistics(spark: SparkSession, t: "Table") -> DataFrame:
+    s = t.statistics()
+    schema = (
+        "snapshot_id bigint, row_count bigint, col string, ndv bigint, "
+        "nulls bigint, min string, max string, avg_len double"
+    )
+    if not s:
+        return spark.createDataFrame([], schema)
+    rows = [
+        (s["snapshotId"], s["rowCount"], c, v["ndv"], v["nulls"], v["min"], v["max"], v["avgLen"])
+        for c, v in sorted(s["columns"].items())
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
 _LOADERS = {
     "snapshots": _snapshots,
     "schemas": _schemas,
@@ -210,4 +231,6 @@ _LOADERS = {
     "branches": _branches,
     "consumers": _consumers,
     "audit_log": _audit_log,
+    "ro": _ro,
+    "statistics": _statistics,
 }

@@ -607,6 +607,94 @@ class Table:
         )
         return [name]
 
+    def read_optimized(self, spark: SparkSession) -> DataFrame:
+        """$ro (ReadOptimizedTable.java:64): read only buckets that are a
+        single compacted run — zero merge cost, possibly stale keys that
+        still sit in level-0. The latency/freshness trade the reference
+        offers OLAP engines."""
+        snap = self.snapshots.latest()
+        if snap is None:
+            return spark.createDataFrame([], self.schema.spark_schema())
+        entries = self.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
+        by_bucket: dict[tuple, list[ManifestEntry]] = {}
+        for e in entries:
+            if e.level > 0:  # $ro ignores unmerged level-0 runs
+                by_bucket.setdefault((tuple(sorted(e.partition.items())), e.bucket), []).append(e)
+        plan = read_mod.ScanPlan()
+        for g in by_bucket.values():
+            if len(g) == 1:
+                plan.raw_entries.append(g[0])
+            else:
+                plan.merge_entries.extend(g)
+        return read_mod.build_dataframe(
+            spark, self.path, plan, self.schema, self.all_schemas(), dv_files=snap.dv_files
+        )
+
+    def rescale(self, spark: SparkSession, num_buckets: int) -> Snapshot | None:
+        """Change the bucket count of a fixed-bucket PK table
+        (RescaleProcedure): full rewrite re-hashing every row, one
+        OVERWRITE commit, schema option updated first so the writer and
+        future reads agree."""
+        if not self.is_primary_key_table():
+            raise RuntimeError("rescale applies to PK tables")
+        df = self.to_df(spark)
+        self.evolve_schema([{"action": "set_option", "key": "bucket", "value": str(num_buckets)}])
+        entries = stage_and_collect(df, self.path, self.schema)
+        return self.committer.commit_overwrite(entries, self.schema.id, None)
+
+    # --- ANALYZE / statistics (§4.1 Stats→CBO; stats store paimon-core stats/) ---
+
+    def analyze(self, spark: SparkSession, columns: list[str] | None = None) -> dict:
+        """Compute and persist table+column statistics
+        (AnalyzeTableColumnCommand): row count, per-column ndv/nulls/
+        min/max/avg_len — one distributed aggregate pass."""
+        from flink_table_store_spark.fileio import write_json
+
+        schema = self.schema
+        cols = columns or [
+            f.name for f in schema.fields if not f.type.startswith(("array", "map", "struct"))
+        ]
+        df = self.to_df(spark)
+        aggs = [F.count(F.lit(1)).alias("__rows")]
+        for c in cols:
+            aggs += [
+                F.approx_count_distinct(c).alias(f"{c}__ndv"),
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+                F.min(c).cast("string").alias(f"{c}__min"),
+                F.max(c).cast("string").alias(f"{c}__max"),
+                F.avg(F.length(F.col(c).cast("string"))).alias(f"{c}__avglen"),
+            ]
+        row = df.agg(*aggs).collect()[0].asDict()
+        stats = {
+            "snapshotId": self.snapshots.latest_id(),
+            "rowCount": row["__rows"],
+            "columns": {
+                c: {
+                    "ndv": row[f"{c}__ndv"],
+                    "nulls": row[f"{c}__nulls"],
+                    "min": row[f"{c}__min"],
+                    "max": row[f"{c}__max"],
+                    "avgLen": row[f"{c}__avglen"],
+                }
+                for c in cols
+            },
+        }
+        d = os.path.join(self.path, "statistics")
+        os.makedirs(d, exist_ok=True)
+        write_json(os.path.join(d, f"stats-{stats['snapshotId']}.json"), stats)
+        return stats
+
+    def statistics(self) -> dict | None:
+        """Latest persisted statistics ($statistics system table data)."""
+        d = os.path.join(self.path, "statistics")
+        if not os.path.isdir(d):
+            return None
+        names = sorted(
+            (n for n in os.listdir(d) if n.startswith("stats-")),
+            key=lambda n: int(n[6:-5]),
+        )
+        return read_json(os.path.join(d, names[-1])) if names else None
+
     # --- system tables (SystemTableLoader; SURVEY §2.1 S10) ---
 
     def system_table(self, spark: SparkSession, name: str) -> DataFrame:

@@ -222,3 +222,46 @@ def test_bloom_filter_option_roundtrip(spark, warehouse):
     from flink_table_store_spark import predicate as P
 
     assert t.to_df(spark, predicate=P.equal("s", "s42")).count() == 1
+
+
+def test_read_optimized_skips_level0(spark, warehouse):
+    t = warehouse.create_table(
+        "db.ro", "k bigint, v string", primary_keys=["k"], options={"bucket": "2"}
+    )
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"))
+    t.compact(spark, full=True)
+    t.write(spark.createDataFrame([(1, "a2"), (3, "c")], "k bigint, v string"))
+    full = {r.k: r.v for r in t.to_df(spark).collect()}
+    ro = {r.k: r.v for r in t.read_optimized(spark).collect()}
+    assert full == {1: "a2", 2: "b", 3: "c"}
+    assert ro == {1: "a", 2: "b"}  # stale-but-merge-free view
+    assert t.system_table(spark, "ro").count() == 2
+
+
+def test_rescale_changes_bucket_count(spark, warehouse):
+    t = warehouse.create_table(
+        "db.rescale", "k bigint, v double", primary_keys=["k"], options={"bucket": "2"}
+    )
+    t.write(spark.createDataFrame([(i, float(i)) for i in range(100)], "k bigint, v double"))
+    t.rescale(spark, 8)
+    snap = t.snapshots.latest()
+    buckets = {
+        e.bucket
+        for e in t.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
+    }
+    assert len(buckets) == 8
+    assert t.to_df(spark).count() == 100
+    # upserts after rescale land in the new layout and still dedup
+    t.write(spark.createDataFrame([(5, -5.0)], "k bigint, v double"))
+    assert {r.v for r in t.to_df(spark).where("k = 5").collect()} == {-5.0}
+
+
+def test_analyze_statistics(spark, warehouse):
+    t = warehouse.create_table("db.stats", "k bigint, s string")
+    t.write(spark.createDataFrame([(i, None if i % 10 == 0 else f"s{i}") for i in range(100)], "k bigint, s string"))
+    st = t.analyze(spark)
+    assert st["rowCount"] == 100
+    assert st["columns"]["s"]["nulls"] == 10
+    assert abs(st["columns"]["k"]["ndv"] - 100) <= 5  # approx
+    assert t.statistics()["rowCount"] == 100
+    assert t.system_table(spark, "statistics").count() == 2
