@@ -845,6 +845,27 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(emb, queries, k=10, bits=4).orderBy("query_id", "rank")
 
 
+def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-probed top-k. Centroids are 8 deterministic corpus
+    vectors and every cell is probed, so the partition/probe/join/rank
+    pipeline must reproduce exact brute-force top-10 — the oracle is
+    the same SQL as ann_brute_force. Recall-vs-nprobe behavior is
+    covered in tests/test_datapipe.py."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cents = [
+        r.embedding
+        for r in emb.where(F.col("vec_id").between(100, 107)).orderBy("vec_id").collect()
+    ]
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return SIM.ivf_topk(
+        emb, queries, k=10, centroids=cents, nprobe=len(cents)
+    ).orderBy("query_id", "rank")
+
+
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact, oracle-checked)."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
@@ -1143,6 +1164,7 @@ QUERIES: dict[str, tuple] = {
     "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
     "ann_brute_force": (ann_brute_force, ANN_BRUTE_SQL),
     "ann_lsh": (ann_lsh, None),
+    "ann_ivf": (ann_ivf, ANN_BRUTE_SQL),
     "embedding_near_dup": (embedding_near_dup, EMBEDDING_NEAR_DUP_SQL),
     "multimodal_hash": (multimodal_hash, MULTIMODAL_HASH_SQL),
     "multimodal_decode_stub": (multimodal_decode_stub, None),

@@ -126,3 +126,34 @@ def test_multimodal_decode_is_stubbed(spark):
     df = spark.createDataFrame([(1, b"xx")], "doc_id bigint, payload binary")
     out = MM.extract_image_metadata(df).collect()
     assert out[0].format == "unknown"
+
+
+def test_ivf_topk_recall(spark):
+    import random
+
+    random.seed(7)
+    emb = spark.createDataFrame(
+        [(i, [random.gauss(0, 1) for _ in range(8)]) for i in range(200)],
+        "vec_id bigint, embedding array<double>",
+    )
+    q = emb.where("vec_id IN (3, 77)").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = SIM.brute_force_topk(emb, q, k=1).collect()
+    approx = SIM.ivf_topk(emb, q, k=1, n_cells=8, nprobe=2).collect()
+    # the identical vector must be its own top-1 in both
+    assert {(r.query_id, r.vec_id) for r in exact} == {(3, 3), (77, 77)}
+    assert {(r.query_id, r.vec_id) for r in approx} == {(3, 3), (77, 77)}
+
+
+def test_ivf_static_centroids_deterministic(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i % 4), float((i // 4) % 4)]) for i in range(64)],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = [[0.0, 0.0], [3.0, 0.0], [0.0, 3.0], [3.0, 3.0]]
+    q = emb.where("vec_id = 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = SIM.ivf_topk(emb, q, k=3, centroids=cents, nprobe=4).collect()
+    assert got[0].rank == 1 and abs(got[0].cosine - 1.0) < 1e-9
