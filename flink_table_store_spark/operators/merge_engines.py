@@ -147,50 +147,98 @@ def _partial_update(
 
 # --- field aggregators (mergetree/compact/aggregate/factory/*.java:28-35) ---
 
-def _agg_expr(func: str, name: str, seq: str):
+# retraction predicate over the hidden row-kind column; aggregators that
+# cannot retract mask retract rows to NULL (FieldIgnoreRetractAgg
+# semantics as the default instead of the reference's exception)
+_RETRACT = f"`{VALUE_KIND}` IN ('-D', '-U')"
+
+
+def _agg_expr(func: str, name: str, seq: str, ftype: str = "", retract: bool = True):
     c = f"`{name}`"
+    # masked value: NULL on retract rows, so min_by/max_by/collect never
+    # pick a retraction's payload
+    v = f"(CASE WHEN NOT ({_RETRACT}) THEN {c} END)"
     if func == "sum":
-        return F.sum(F.col(name))
+        if retract:
+            # FieldSumAgg.retract subtracts (aggregate/FieldSumAgg.java)
+            return F.expr(f"sum(CASE WHEN {_RETRACT} THEN -{c} ELSE {c} END)")
+        return F.expr(f"sum({v})")
     if func == "product":
-        return F.product(F.col(name))
+        return F.expr(f"product({v})")
     if func == "count":
-        return F.count(F.col(name))
+        if retract:
+            return F.expr(
+                f"sum(CASE WHEN {c} IS NOT NULL THEN CASE WHEN {_RETRACT} THEN -1L ELSE 1L END ELSE 0L END)"
+            )
+        return F.expr(f"count({v})")
     if func == "min":
-        return F.min(F.col(name))
+        return F.expr(f"min({v})")
     if func == "max":
-        return F.max(F.col(name))
+        return F.expr(f"max({v})")
     if func == "bool_and":
-        return F.expr(f"bool_and({c})")
+        return F.expr(f"bool_and({v})")
     if func == "bool_or":
-        return F.expr(f"bool_or({c})")
+        return F.expr(f"bool_or({v})")
     if func == "first_value":
-        return F.expr(f"min_by({c}, `{seq}`)")
+        return F.expr(f"min_by({c}, CASE WHEN NOT ({_RETRACT}) THEN `{seq}` END)")
     if func == "first_non_null_value" or func == "first_not_null_value":
-        return F.expr(f"min_by({c}, CASE WHEN {c} IS NOT NULL THEN `{seq}` END)")
+        return F.expr(f"min_by({c}, CASE WHEN {v} IS NOT NULL THEN `{seq}` END)")
     if func == "last_value":
-        return F.expr(f"max_by({c}, `{seq}`)")
-    if func == "last_non_null_value":
-        return F.expr(f"max_by({c}, CASE WHEN {c} IS NOT NULL THEN `{seq}` END)")
+        return F.expr(f"max_by({c}, CASE WHEN NOT ({_RETRACT}) THEN `{seq}` END)")
+    if func == "last_non_null_value" or func == "primary-key":
+        # FieldPrimaryKeyAgg: PK fields keep their (identical) value
+        return F.expr(f"max_by({c}, CASE WHEN {v} IS NOT NULL THEN `{seq}` END)")
     if func == "listagg":
         # seq-ordered concat (FieldListaggAgg); delimiter option supported
         return F.expr(
-            f"array_join(transform(array_sort(collect_list(CASE WHEN {c} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END)), x -> x.v), ',')"
+            f"array_join(transform(array_sort(collect_list(CASE WHEN {v} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END)), x -> x.v), ',')"
         )
     if func == "collect":
         # FieldCollectAgg (append, seq-ordered); distinct via option
         return F.expr(
-            f"transform(array_sort(collect_list(CASE WHEN {c} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END)), x -> x.v)"
+            f"transform(array_sort(collect_list(CASE WHEN {v} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END)), x -> x.v)"
         )
     if func == "collect_distinct":
-        return F.expr(f"array_distinct(transform(array_sort(collect_list(CASE WHEN {c} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END)), x -> x.v))")
-    if func == "merge_map":
-        # FieldMergeMapAgg: later entries win (needs mapKeyDedupPolicy=LAST_WIN)
+        return F.expr(f"array_distinct(transform(array_sort(collect_list(CASE WHEN {v} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END)), x -> x.v))")
+    if func in ("rbm32", "rbm64"):
+        # FieldRoaringBitmap32/64Agg: bitmap union. Our engine models the
+        # bitmap relationally as a sorted distinct int array — same set
+        # semantics, SQL-checkable, and Parquet-encodable; the wire format
+        # (serialized RBM bytes) is a storage detail we don't replicate.
         return F.expr(
-            f"aggregate(transform(array_sort(collect_list(CASE WHEN {c} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END)), x -> x.v), {c}_empty, (acc, x) -> map_concat(acc, x))"
+            f"array_sort(array_distinct(flatten(collect_list({v}))))"
         )
     if func == "hll_sketch":
-        return F.expr(f"hll_sketch_agg({c})")
+        return F.expr(f"hll_sketch_agg({v})")
+    if func == "theta_sketch":
+        # FieldThetaSketchAgg: mergeable distinct-count sketch. Spark has
+        # no theta sketch built-in; HLL union gives the same mergeable
+        # approximate-distinct contract (estimate via hll_sketch_estimate)
+        return F.expr(f"hll_sketch_agg({v})")
+    if func == "nested_update":
+        # FieldNestedUpdateAgg without nested-key: append nested rows in
+        # sequence order (arrays from compacted files come first)
+        return F.expr(
+            f"flatten(transform(array_sort(collect_list(CASE WHEN {v} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END)), x -> x.v))"
+        )
     raise ValueError(f"unsupported aggregate-function {func}")
+
+
+def _nested_update_keyed(name: str, seq: str, ftype: str, nested_keys: list[str]):
+    """FieldNestedUpdateAgg with ``fields.<f>.nested-key``: union nested
+    rows, then keep only the latest version per nested key. Newest-first
+    fold with an exists() check — O(n²) in the nested-array length,
+    which is per-record-small by construction."""
+    c = f"`{name}`"
+    v = f"(CASE WHEN NOT ({_RETRACT}) THEN {c} END)"
+    flat = (
+        f"flatten(transform(array_sort(collect_list(CASE WHEN {v} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END)), x -> x.v))"
+    )
+    same_key = " AND ".join(f"(y.`{k}` <=> x.`{k}`)" for k in nested_keys)
+    return F.expr(
+        f"reverse(aggregate(reverse({flat}), cast(array() as {ftype}), "
+        f"(acc, x) -> CASE WHEN exists(acc, y -> {same_key}) THEN acc ELSE array_append(acc, x) END))"
+    )
 
 
 def _aggregation(
@@ -202,24 +250,45 @@ def _aggregation(
     the associative functions (sum/min/max/bool/collect/listagg);
     first/last use sequence order, where compacted rows carry earlier
     sequences than fresh level-0 rows — same invariant the LSM merge
-    relies on. ``-D`` retractions are dropped (reference default
-    requires ignore-retract for these engines).
+    relies on. Retractions (``-U``/``-D`` payloads): sum/count subtract
+    (FieldSumAgg.retract); other aggregators ignore the retracted
+    payload (FieldIgnoreRetractAgg). With
+    ``aggregation.remove-record-on-delete`` a trailing ``-D`` drops the
+    whole record instead.
     """
     keys = _key_cols(schema)
     seq = seq_col
-    data = df.where(F.col(VALUE_KIND) != KIND_DELETE)
     default_func = schema.options.get("fields.default-aggregate-function", "last_non_null_value")
+    opts = schema.options
     aggs = []
     for f in schema.fields:
         if f.name in keys:
             continue
-        func = schema.options.get(f"fields.{f.name}.aggregate-function", default_func)
+        func = opts.get(f"fields.{f.name}.aggregate-function", default_func)
+        ignore_retract = opts.get(f"fields.{f.name}.ignore-retract", "false") == "true"
+        nested_key = opts.get(f"fields.{f.name}.nested-key")
         if func == "merge_map":
+            c, v = f"`{f.name}`", f"(CASE WHEN NOT ({_RETRACT}) THEN `{f.name}` END)"
+            # FieldMergeMapAgg: later entries win (needs mapKeyDedupPolicy=LAST_WIN)
             expr = F.expr(
-                f"aggregate(transform(array_sort(collect_list(CASE WHEN `{f.name}` IS NOT NULL THEN struct(`{seq}` AS s, `{f.name}` AS v) END)), x -> x.v), cast(map() as {f.type}), (acc, x) -> map_concat(acc, x))"
+                f"aggregate(transform(array_sort(collect_list(CASE WHEN {v} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END)), x -> x.v), cast(map() as {f.type}), (acc, x) -> map_concat(acc, x))"
+            )
+        elif func == "nested_update" and nested_key:
+            expr = _nested_update_keyed(
+                f.name, seq, f.type, [k.strip() for k in nested_key.split(",") if k.strip()]
             )
         else:
-            expr = _agg_expr(func, f.name, seq)
+            expr = _agg_expr(func, f.name, seq, f.type, retract=not ignore_retract)
         aggs.append(expr.cast(f.type).alias(f.name))
-    out = data.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
-    return out.select(*schema.field_names())
+    aggs.append(F.max(F.expr(f"CASE WHEN NOT ({_RETRACT}) THEN `{seq}` END")).alias("__ups_seq"))
+    merged = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    if opts.get("aggregation.remove-record-on-delete", "false") == "true":
+        deletes = (
+            df.where(F.col(VALUE_KIND) == KIND_DELETE)
+            .groupBy(*[F.col(k) for k in keys])
+            .agg(F.max(F.col(seq)).alias("__del_seq"))
+        )
+        merged = merged.join(deletes, on=keys, how="left").where(
+            F.col("__del_seq").isNull() | (F.col("__ups_seq") > F.col("__del_seq"))
+        )
+    return merged.select(*schema.field_names())

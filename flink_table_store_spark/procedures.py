@@ -49,7 +49,20 @@ PROCEDURES: dict[str, Callable] = {
     "expire_snapshots": _expire_snapshots,
     "expire_partitions": _expire_partitions,
     "create_tag": lambda s, c, a: _t(c, a).create_tag(a["tag"], a.get("snapshot_id")),
+    "create_tag_from_timestamp": lambda s, c, a: _t(c, a).create_tag_from_timestamp(
+        a["tag"], a["timestamp"]
+    ),
     "delete_tag": lambda s, c, a: _t(c, a).delete_tag(a["tag"]),
+    "rename_tag": lambda s, c, a: _t(c, a).rename_tag(a["tag"], a["target_tag"]),
+    "replace_tag": lambda s, c, a: _t(c, a).replace_tag(a["tag"], a.get("snapshot_id")),
+    "expire_tags": lambda s, c, a: _t(c, a).expire_tags(a["older_than"]),
+    "rollback_to_watermark": lambda s, c, a: _t(c, a).rollback_to_watermark(a["watermark"]),
+    "compact_manifest": lambda s, c, a: _t(c, a).compact_manifest(),
+    "purge_files": lambda s, c, a: _t(c, a).purge_files(),
+    "remove_unexisting_files": lambda s, c, a: _t(c, a).remove_unexisting_files(
+        dry_run=a.get("dry_run", False)
+    ),
+    "rescale": lambda s, c, a: _t(c, a).rescale(s, a["bucket_num"]),
     "rollback": lambda s, c, a: _t(c, a).rollback_to(a["snapshot_id"]),
     "rollback_to_timestamp": lambda s, c, a: (
         lambda t: t.rollback_to(t.snapshots.for_timestamp(a["timestamp_ms"]).id)

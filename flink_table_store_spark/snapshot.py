@@ -179,6 +179,28 @@ class SnapshotManager:
     def tag(self, name: str) -> Snapshot:
         return Snapshot.from_dict(read_json(os.path.join(self.tag_dir, f"tag-{name}")))
 
+    def rename_tag(self, old: str, new: str) -> None:
+        """RenameTagProcedure: atomic create-new-then-drop-old."""
+        snap = self.tag(old)
+        if not write_json_atomic_new(os.path.join(self.tag_dir, f"tag-{new}"), snap.to_dict()):
+            raise RuntimeError(f"tag {new} already exists")
+        self.delete_tag(old)
+
+    def replace_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        """ReplaceTagProcedure: repoint an existing (or new) tag."""
+        self.delete_tag(name)
+        self.create_tag(name, snapshot_id)
+
+    def expire_tags(self, older_than_millis: int) -> list[str]:
+        """ExpireTagsProcedure: drop tags whose snapshot predates the
+        threshold."""
+        expired = [
+            n for n, s in self.tags().items() if s.time_millis < older_than_millis
+        ]
+        for n in expired:
+            self.delete_tag(n)
+        return expired
+
     # --- consumers (ConsumerManager.java:44-70): resumable cursors ---
 
     def consumer_dir(self) -> str:

@@ -819,6 +819,65 @@ class Table:
     def delete_tag(self, name: str) -> None:
         self.snapshots.delete_tag(name)
 
+    def create_tag_from_timestamp(self, name: str, ts_millis: int) -> None:
+        """CreateTagFromTimestampProcedure: tag the latest snapshot at or
+        before ``ts_millis``."""
+        snap = self.snapshots.for_timestamp(ts_millis)
+        if snap is None:
+            raise RuntimeError(f"no snapshot at or before {ts_millis}")
+        self.snapshots.create_tag(name, snap.id)
+
+    def rename_tag(self, old: str, new: str) -> None:
+        self.snapshots.rename_tag(old, new)
+
+    def replace_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        self.snapshots.replace_tag(name, snapshot_id)
+
+    def expire_tags(self, older_than_millis: int) -> list[str]:
+        return self.snapshots.expire_tags(older_than_millis)
+
+    def rollback_to_watermark(self, watermark: int) -> None:
+        """RollbackToWatermarkProcedure: roll back to the latest snapshot
+        whose persisted watermark <= the given one (T7)."""
+        snap = self.snapshots.for_watermark(watermark)
+        if snap is None:
+            raise RuntimeError(f"no snapshot with watermark <= {watermark}")
+        self.rollback_to(snap.id)
+
+    def compact_manifest(self) -> Snapshot:
+        """CompactManifestProcedure: fold base+delta manifests into one
+        consolidated base manifest. Our commit already rewrites the base
+        list every snapshot, so an empty COMPACT commit performs the fold."""
+        return self.committer.commit([], self.schema.id, kind=COMMIT_COMPACT)
+
+    def purge_files(self) -> Snapshot:
+        """PurgeFilesProcedure: truncate the table — commit an OVERWRITE
+        that deletes every live file (data files become orphans and are
+        reclaimed by expire + remove_orphan_files)."""
+        return self.committer.commit_overwrite([], self.schema.id, None)
+
+    def remove_unexisting_files(self, dry_run: bool = False) -> list[str]:
+        """RemoveUnexistingFilesProcedure: repair manifests that reference
+        files missing from storage (e.g. manually deleted) by committing
+        DELETE entries for them."""
+        snap = self.snapshots.latest()
+        if snap is None:
+            return []
+        entries = self.manifests.read_live_entries(
+            snap.base_manifest_list, snap.delta_manifest_list
+        )
+        missing = [
+            e for e in entries if not os.path.exists(os.path.join(self.path, e.file_name))
+        ]
+        if missing and not dry_run:
+            deletes = []
+            for e in missing:
+                d = ManifestEntry(**{**e.__dict__})
+                d.kind = KIND_DELETE
+                deletes.append(d)
+            self.committer.commit(deletes, self.schema.id, kind=COMMIT_COMPACT)
+        return [e.file_name for e in missing]
+
     def rollback_to(self, snapshot_id: int) -> None:
         """Drop snapshots newer than ``snapshot_id`` (Table.rollbackTo)."""
         for sid in self.snapshots.snapshot_ids():

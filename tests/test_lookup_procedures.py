@@ -92,3 +92,50 @@ def test_variant_access_on_json(spark):
         F.variant_get("v", "$.b.c", "string").alias("c"),
     ).collect()
     assert r.a == 5 and r.c == "x"
+
+
+def test_tag_maintenance_procedures(spark, warehouse, dim):
+    from flink_table_store_spark.snapshot import now_millis
+
+    cat = warehouse
+    call(spark, cat, "create_tag", table="db.dim", tag="t1")
+    call(spark, cat, "rename_tag", table="db.dim", tag="t1", target_tag="t2")
+    assert "t2" in dim.snapshots.tags() and "t1" not in dim.snapshots.tags()
+    dim.write(spark.createDataFrame([(100, "new")], "k bigint, name string"))
+    call(spark, cat, "replace_tag", table="db.dim", tag="t2")  # repoint to latest
+    assert dim.snapshots.tag("t2").id == dim.snapshots.latest_id()
+    call(spark, cat, "create_tag_from_timestamp", table="db.dim", tag="t3", timestamp=now_millis() + 1000)
+    assert dim.snapshots.tag("t3").id == dim.snapshots.latest_id()
+    expired = call(spark, cat, "expire_tags", table="db.dim", older_than=now_millis() + 10_000)
+    assert set(expired) == {"t2", "t3"} and dim.snapshots.tags() == {}
+
+
+def test_repair_and_purge_procedures(spark, warehouse, dim):
+    import os
+
+    cat = warehouse
+    # manually delete one data file -> remove_unexisting_files repairs
+    snap = dim.snapshots.latest()
+    entries = dim.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
+    victim = entries[0]
+    os.unlink(os.path.join(dim.path, victim.file_name))
+    missing = call(spark, cat, "remove_unexisting_files", table="db.dim", dry_run=True)
+    assert missing == [victim.file_name]
+    call(spark, cat, "remove_unexisting_files", table="db.dim")
+    # table still readable, shorter by the dropped file's rows
+    assert dim.to_df(spark).count() == 20 - victim.row_count
+    # compact_manifest folds into a single base manifest list
+    s = call(spark, cat, "compact_manifest", table="db.dim")
+    assert s.delta_manifest_list is None and dim.to_df(spark).count() == 20 - victim.row_count
+    # purge_files truncates
+    call(spark, cat, "purge_files", table="db.dim")
+    assert dim.to_df(spark).count() == 0
+
+
+def test_rollback_to_watermark(spark, warehouse):
+    t = warehouse.create_table("db.wm", "k bigint, v string", primary_keys=["k"])
+    t.write(spark.createDataFrame([(1, "a")], "k bigint, v string"), watermark=100)
+    t.write(spark.createDataFrame([(2, "b")], "k bigint, v string"), watermark=200)
+    t.write(spark.createDataFrame([(3, "c")], "k bigint, v string"), watermark=300)
+    call(spark, warehouse, "rollback_to_watermark", table="db.wm", watermark=250)
+    assert t.to_df(spark).count() == 2

@@ -265,3 +265,72 @@ def test_analyze_statistics(spark, warehouse):
     assert abs(st["columns"]["k"]["ndv"] - 100) <= 5  # approx
     assert t.statistics()["rowCount"] == 100
     assert t.system_table(spark, "statistics").count() == 2
+
+
+def test_aggregation_new_field_aggregators(spark, warehouse):
+    t = warehouse.create_table(
+        "db.agg2",
+        "k bigint, bits array<int>, uniq binary, items array<struct<id:int,val:string>>",
+        primary_keys=["k"],
+        options={
+            "bucket": "1",
+            "merge-engine": "aggregation",
+            "fields.bits.aggregate-function": "rbm32",
+            "fields.uniq.aggregate-function": "theta_sketch",
+            "fields.items.aggregate-function": "nested_update",
+            "fields.items.nested-key": "id",
+        },
+    )
+    ddl = "k bigint, bits array<int>, uniq binary, items array<struct<id:int,val:string>>"
+    t.write(
+        spark.createDataFrame(
+            [(1, [3, 1], b"a", [(10, "x"), (11, "y")])], ddl
+        )
+    )
+    t.write(
+        spark.createDataFrame(
+            [(1, [2, 1], b"b", [(10, "x2"), (12, "z")])], ddl
+        )
+    )
+    [row] = t.to_df(spark).collect()
+    # rbm32: bitmap union == sorted distinct int set
+    assert row.bits == [1, 2, 3]
+    # nested_update with nested-key: latest version per id wins
+    got = {e.id: e.val for e in row.items}
+    assert got == {10: "x2", 11: "y", 12: "z"}
+    # theta_sketch: mergeable distinct sketch (HLL-backed) — estimate is 2
+    est = spark.createDataFrame([(bytes(row.uniq),)], "s binary").selectExpr(
+        "hll_sketch_estimate(s) AS e"
+    ).collect()[0].e
+    assert est == 2
+
+
+def test_aggregation_sum_retract_and_remove_on_delete(spark, warehouse):
+    from flink_table_store_spark.schema import ROW_KIND
+
+    t = warehouse.create_table(
+        "db.agg3",
+        "k bigint, s bigint",
+        primary_keys=["k"],
+        options={
+            "bucket": "1",
+            "merge-engine": "aggregation",
+            "fields.s.aggregate-function": "sum",
+            "aggregation.remove-record-on-delete": "true",
+        },
+    )
+    t.write(spark.createDataFrame([(1, 10), (2, 7)], "k bigint, s bigint"))
+    # -U retracts its payload from the sum (FieldSumAgg.retract)
+    t.write(
+        spark.createDataFrame([(1, 4, "-U")], "k bigint, s bigint, rk string"),
+        row_kind_col="rk",
+    )
+    got = {r.k: r.s for r in t.to_df(spark).collect()}
+    assert got == {1: 6, 2: 7}
+    # trailing -D removes the whole record (remove-record-on-delete)
+    t.write(
+        spark.createDataFrame([(2, 0, "-D")], "k bigint, s bigint, rk string"),
+        row_kind_col="rk",
+    )
+    got = {r.k: r.s for r in t.to_df(spark).collect()}
+    assert got == {1: 6}

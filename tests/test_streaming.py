@@ -131,3 +131,63 @@ def test_incremental_tvf_variants(spark, pk_table):
     pk_table.write(_batch(spark, [(3, "c")]))
     got2 = pk_table.incremental_read_to_tag(spark, "tg").collect()
     assert [(r.k, r.v) for r in got2] == [(2, "b")]
+
+
+def test_cdc_debezium_ingest_with_schema_evolution(spark, warehouse):
+    from flink_table_store_spark.streaming.cdc import cdc_apply, parse_debezium
+
+    t = warehouse.create_table(
+        "db.cdc", "id bigint, name string", primary_keys=["id"], options={"bucket": "2"}
+    )
+    batch1 = spark.createDataFrame(
+        [
+            ('{"op":"c","after":{"id":"1","name":"a"}}',),
+            ('{"op":"c","after":{"id":"2","name":"b"}}',),
+        ],
+        "value string",
+    )
+    cdc_apply(t, parse_debezium(batch1))
+    # batch 2: update, delete, and a NEW column "email" -> schema evolves
+    batch2 = spark.createDataFrame(
+        [
+            ('{"op":"u","before":{"id":"1","name":"a"},"after":{"id":"1","name":"a2","email":"x@y"}}',),
+            ('{"op":"d","before":{"id":"2","name":"b"}}',),
+        ],
+        "value string",
+    )
+    cdc_apply(t, parse_debezium(batch2))
+    rows = t.to_df(spark).collect()
+    assert len(rows) == 1
+    assert (rows[0].id, rows[0].name, rows[0].email) == (1, "a2", "x@y")
+
+
+def test_cdc_canal_ingest(spark, warehouse):
+    from flink_table_store_spark.streaming.cdc import cdc_apply, parse_canal
+
+    t = warehouse.create_table(
+        "db.cdc2", "id bigint, v string", primary_keys=["id"], options={"bucket": "1"}
+    )
+    batch = spark.createDataFrame(
+        [
+            ('{"type":"INSERT","data":[{"id":"1","v":"x"},{"id":"2","v":"y"}]}',),
+            ('{"type":"DELETE","data":[{"id":"2","v":"y"}]}',),
+        ],
+        "value string",
+    )
+    cdc_apply(t, parse_canal(batch))
+    got = {r.id: r.v for r in t.to_df(spark).collect()}
+    assert got == {1: "x"}
+
+
+def test_cdc_foreach_batch_idempotent(spark, warehouse):
+    from flink_table_store_spark.streaming.cdc import cdc_foreach_batch
+
+    t = warehouse.create_table(
+        "db.cdc3", "id bigint, v string", primary_keys=["id"], options={"bucket": "1"}
+    )
+    fb = cdc_foreach_batch(t, sink_id="job1")
+    batch = spark.createDataFrame([('{"op":"c","after":{"id":"1","v":"a"}}',)], "value string")
+    fb(batch, 0)
+    fb(batch, 0)  # replay of same batch id must not double-commit
+    assert t.snapshots.latest_id() == 1
+    assert t.to_df(spark).count() == 1
