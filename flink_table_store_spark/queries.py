@@ -1131,6 +1131,72 @@ ORDER BY event_id
 # registry
 # ---------------------------------------------------------------------------
 
+def cdc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC pipeline (S21): Debezium-JSON changelog synthesized from
+    orders, ingested via parse→evolve→upsert in three batches (inserts,
+    updates, deletes); final merged state is SQL-checkable."""
+    from flink_table_store_spark.streaming.cdc import cdc_apply, parse_debezium
+
+    cat = _wh(sf_dir)
+    t = cat.create_table(
+        "default.orders_cdc",
+        "id bigint, status string",
+        primary_keys=["id"],
+        options={"bucket": "2"},
+        ignore_if_exists=True,
+    )
+    if not t.snapshots.latest_id() or t.snapshots.latest_id() < 3:
+        src = (
+            spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+            .where(F.col("o_orderkey") < 2000)
+            .select("o_orderkey", "o_orderstatus")
+        )
+        ins = src.select(
+            F.to_json(
+                F.struct(
+                    F.lit("c").alias("op"),
+                    F.create_map(
+                        F.lit("id"), F.col("o_orderkey").cast("string"),
+                        F.lit("status"), F.col("o_orderstatus"),
+                    ).alias("after"),
+                )
+            ).alias("value")
+        )
+        upd = src.where(F.col("o_orderkey") % 3 == 0).select(
+            F.to_json(
+                F.struct(
+                    F.lit("u").alias("op"),
+                    F.create_map(
+                        F.lit("id"), F.col("o_orderkey").cast("string"),
+                        F.lit("status"), F.lit("U"),
+                    ).alias("after"),
+                )
+            ).alias("value")
+        )
+        dels = src.where(F.col("o_orderkey") % 5 == 0).select(
+            F.to_json(
+                F.struct(
+                    F.lit("d").alias("op"),
+                    F.create_map(F.lit("id"), F.col("o_orderkey").cast("string")).alias(
+                        "before"
+                    ),
+                )
+            ).alias("value")
+        )
+        for batch in (ins, upd, dels):
+            cdc_apply(t, parse_debezium(batch), schema_evolution=False)
+    return t.to_df(spark).orderBy("id")
+
+
+CDC_INGEST_SQL = """
+SELECT o_orderkey AS id,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'U' ELSE o_orderstatus END AS status
+FROM orders
+WHERE o_orderkey < 2000 AND o_orderkey % 5 <> 0
+ORDER BY id
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # (spark_fn, oracle_sql | None)
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -1172,6 +1238,7 @@ QUERIES: dict[str, tuple] = {
     "zorder_cluster_read": (zorder_cluster_read, ZORDER_SQL),
     "dv_delete_read": (dv_delete_read, DV_DELETE_SQL),
     "sys_partitions": (sys_partitions, SYS_PARTITIONS_SQL),
+    "cdc_ingest": (cdc_ingest, CDC_INGEST_SQL),
     "stream_read_accumulate": (stream_read_accumulate, STREAM_ACCUM_SQL),
     "changelog_diff_orders": (changelog_diff_orders, CHANGELOG_DIFF_SQL),
     "lookup_join_enrich": (lookup_join_enrich, LOOKUP_JOIN_SQL),
