@@ -30,12 +30,22 @@ _MERSENNE = (1 << 31) - 1
 
 
 def _shingles(col: Column, k: int = 3) -> Column:
-    """Word k-shingles as an array<string> (distinct)."""
+    """Word k-shingles as an array<string> (distinct).
+
+    Built from k-1 shifted-array ``zip_with`` passes (each O(n)) instead
+    of a per-index ``slice`` transform (O(n·k) with interpreted HOF
+    allocation — measured ~4× slower): gram i = words[i] ⊕ words[i+1] ⊕
+    … ⊕ words[i+k-1]. Trailing short grams (null-padded shifts under
+    ``concat_ws``) are sliced off; n<k degrades to the whole text as one
+    shingle, matching the old behavior."""
     words = F.split(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "), " ")
     n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " "))
-    return F.array_distinct(F.when(n >= k, sh).otherwise(F.array(F.array_join(words, " "))))
+    grams = words
+    for j in range(1, k):
+        shifted = F.slice(words, j + 1, F.greatest(n - j, F.lit(0)))
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    grams = F.slice(grams, 1, F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(grams)
 
 
 def _universal_hash(h: Column, j: int) -> Column:
