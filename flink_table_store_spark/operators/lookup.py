@@ -71,7 +71,10 @@ def _bucket_of(spark: SparkSession, table, key_values: dict) -> int:
         [tuple(key_values[k] for k in keys)],
         ", ".join(f"{k} {schema.field(k).type}" for k in keys),
     )
-    return row.select(bucket_expr(schema).alias("b")).collect()[0].b
+    n = schema.num_buckets()
+    if n == -2:  # postpone mode: compacted files use postpone.bucket-num
+        n = int(schema.options.get("postpone.bucket-num", "4"))
+    return row.select(bucket_expr(schema, n).alias("b")).collect()[0].b
 
 
 def point_lookup(spark: SparkSession, table, key_values: dict) -> list:
@@ -99,7 +102,8 @@ def point_lookup(spark: SparkSession, table, key_values: dict) -> list:
         leaf = P.equal(k, key_values[k])
         pred = leaf if pred is None else P.and_(pred, leaf)
     entries = table.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
-    entries = [e for e in entries if e.bucket == bucket]
+    # postpone-bucket files (-2) can hold any key: always scanned
+    entries = [e for e in entries if e.bucket in (bucket, -2)]
     plan = read_mod.plan_scan(entries, schema, pred)
     df = read_mod.build_dataframe(
         spark,

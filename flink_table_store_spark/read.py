@@ -36,7 +36,7 @@ from flink_table_store_spark.schema import (
     VALUE_KIND,
     TableSchema,
 )
-from flink_table_store_spark.write import BUCKET_COL, DATA_DIR
+from flink_table_store_spark.write import BUCKET_COL, DATA_DIR, POSTPONE_BUCKET
 
 
 @dataclass
@@ -83,11 +83,14 @@ def plan_scan(
             plan.raw_entries = picked
         return plan
 
+    # postpone-mode files (bucket -2) hold rows for EVERY bucket, so no
+    # bucket may take the single-run raw shortcut while any are live
+    has_postpone = any(e.bucket == POSTPONE_BUCKET for e in live)
     by_bucket: dict[tuple, list[ManifestEntry]] = {}
     for e in live:
         by_bucket.setdefault((tuple(sorted(e.partition.items())), e.bucket), []).append(e)
     for _k, group in by_bucket.items():
-        if len(group) == 1 and group[0].level > 0:
+        if len(group) == 1 and group[0].level > 0 and not has_postpone:
             plan.raw_entries.append(group[0])  # single compacted run → no merge
         else:
             plan.merge_entries.extend(group)

@@ -44,7 +44,13 @@ from flink_table_store_spark.snapshot import (
     Snapshot,
     SnapshotManager,
 )
-from flink_table_store_spark.write import max_sequence, stage_and_collect
+from flink_table_store_spark.write import (
+    BUCKET_COL,
+    POSTPONE_BUCKET,
+    bucket_expr,
+    max_sequence,
+    stage_and_collect,
+)
 
 
 def _is_partition_only(predicate: Predicate, schema: TableSchema) -> bool:
@@ -554,6 +560,12 @@ class Table:
         merged = read_mod.build_dataframe(
             spark, self.path, plan, schema, self.all_schemas(), dv_files=snap.dv_files
         )
+        if pk and schema.num_buckets() == POSTPONE_BUCKET:
+            # postpone mode (S19): THIS is where bucketing happens — the
+            # rewrite assigns real buckets (postpone.bucket-num) so
+            # post-compaction reads get bucket pruning + raw splits
+            n = int(schema.options.get("postpone.bucket-num", "4"))
+            merged = merged.withColumn(BUCKET_COL, bucket_expr(schema, n))
         latest = self.snapshots.latest()
         new_entries = stage_and_collect(
             merged,
@@ -773,11 +785,21 @@ class Table:
         strategy: str = "zorder",
         bits: int = 16,
         num_files: int | None = None,
+        incremental: bool = False,
     ) -> Snapshot | None:
         """Cluster the table by ORDER/ZORDER/HILBERT over ``cols`` for
         data skipping (CompactProcedure.java:112 sort path,
-        TableSorter.java:30-82). Full rewrite: range-repartition on the
-        curve key so each output file covers a tight key range."""
+        TableSorter.java:30-82). Full rewrite by default: range-
+        repartition on the curve key so each output file covers a tight
+        key range.
+
+        ``incremental=True`` (O6, append/cluster/ + docs/content/
+        append-table/incremental-clustering.md): rewrite only files
+        added since the last clustering — clustered output carries
+        level 5, so the unclustered set is exactly the level-0 entries.
+        Each pass produces one new sorted run; a periodic full pass
+        merges runs. At 100 TB this converts clustering from an
+        O(table) rewrite per run into O(new data)."""
         from flink_table_store_spark.manifest import merge_entry_stats
         from flink_table_store_spark.operators.zorder import sort_key
 
@@ -787,7 +809,10 @@ class Table:
         if snap is None:
             return None
         schema = self.schema
-        entries = self.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
+        live = self.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
+        entries = [e for e in live if e.level == 0] if incremental else live
+        if not entries:
+            return snap
         ranges = [merge_entry_stats(entries, c) for c in cols]
         plan = read_mod.ScanPlan(raw_entries=entries)
         df = read_mod.build_dataframe(
@@ -801,14 +826,20 @@ class Table:
             .sortWithinPartitions("__sk")
             .drop("__sk")
         )
-        new_entries = stage_and_collect(clustered, self.path, schema)
+        new_entries = stage_and_collect(clustered, self.path, schema, target_level=5)
         deletes = []
         for e in entries:
             d = ManifestEntry(**{**e.__dict__})
             d.kind = KIND_DELETE
             deletes.append(d)
+        untouched = {os.path.basename(e.file_name) for e in live} - {
+            os.path.basename(e.file_name) for e in entries
+        }
         return self.committer.commit(
-            deletes + new_entries, schema.id, kind=COMMIT_COMPACT, dv_files=[]
+            deletes + new_entries,
+            schema.id,
+            kind=COMMIT_COMPACT,
+            dv_files=self._consolidate_dv(snap, untouched),
         )
 
     # --- snapshot management ---

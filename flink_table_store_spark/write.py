@@ -40,9 +40,12 @@ from flink_table_store_spark.snapshot import now_millis
 
 BUCKET_COL = "_bucket"
 DATA_DIR = "data"
+# BucketMode.POSTPONE_MODE (BucketMode.java:69-73): bucket = -2 defers
+# bucketing to compaction; ingest is shuffle-free
+POSTPONE_BUCKET = -2
 
 
-def bucket_expr(schema: TableSchema):
+def bucket_expr(schema: TableSchema, num_buckets: int | None = None):
     """Stable bucket assignment: pmod(xxhash64(trimmed-pk), n).
 
     The reference hashes the trimmed-PK BinaryRow with murmur
@@ -50,7 +53,7 @@ def bucket_expr(schema: TableSchema):
     stable hash — Spark's xxhash64 built-in — shared by the writer and
     the bucketed-join layout (SURVEY §4.3 item 6).
     """
-    n = schema.num_buckets()
+    n = num_buckets if num_buckets is not None else schema.num_buckets()
     keys = schema.trimmed_primary_keys()
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n)).cast("int")
 
@@ -95,11 +98,22 @@ def stage_and_collect(
         df = df.withColumn(
             SEQUENCE_NUMBER, (F.lit(base_sequence) + F.monotonically_increasing_id()).cast("long")
         )
+        postpone_write = False
         if BUCKET_COL not in df.columns:
-            # fixed-bucket hash; dynamic-bucket tables arrive pre-assigned
-            # (operators/dynamic_bucket.assign_buckets)
-            df = df.withColumn(BUCKET_COL, bucket_expr(schema))
-        df = df.repartition(*[F.col(c) for c in pt_cols + [BUCKET_COL]])
+            if schema.num_buckets() == POSTPONE_BUCKET:
+                # postpone mode: every row lands in the postpone bucket —
+                # NO key shuffle at ingest (postpone/'s whole point);
+                # compaction redistributes into real buckets later (it
+                # arrives here with BUCKET_COL pre-assigned and takes the
+                # normal shuffle below)
+                df = df.withColumn(BUCKET_COL, F.lit(POSTPONE_BUCKET))
+                postpone_write = True
+            else:
+                # fixed-bucket hash; dynamic-bucket tables arrive pre-assigned
+                # (operators/dynamic_bucket.assign_buckets)
+                df = df.withColumn(BUCKET_COL, bucket_expr(schema))
+        if not postpone_write:
+            df = df.repartition(*[F.col(c) for c in pt_cols + [BUCKET_COL]])
         partition_by = pt_cols + [BUCKET_COL]
         spark_extra = [VALUE_KIND, SEQUENCE_NUMBER, BUCKET_COL]
     else:

@@ -83,3 +83,25 @@ def test_topn_with_predicate_stays_correct(spark, warehouse):
     )
     df = t.read_builder().with_filter(P.equal("grp", "a")).with_topn("v", 2).to_df(spark)
     assert [r.id for r in df.collect()] == [899, 898]
+
+
+def test_incremental_clustering_rewrites_only_new_files(spark, warehouse):
+    t = warehouse.create_table("db.inc_cluster", "a int, b int, v string")
+    t.write(spark.createDataFrame([(i, i * 2, f"x{i}") for i in range(100)], "a int, b int, v string"))
+    t.sort_compact(spark, ["a", "b"], num_files=4)
+    snap1 = t.snapshots.latest()
+    clustered = {
+        e.file_name
+        for e in t.manifests.read_live_entries(snap1.base_manifest_list, snap1.delta_manifest_list)
+    }
+    # new unclustered batch
+    t.write(spark.createDataFrame([(i, i, f"y{i}") for i in range(100, 120)], "a int, b int, v string"))
+    t.sort_compact(spark, ["a", "b"], num_files=2, incremental=True)
+    snap2 = t.snapshots.latest()
+    after = t.manifests.read_live_entries(snap2.base_manifest_list, snap2.delta_manifest_list)
+    # the first clustering run survived untouched; only the delta was rewritten
+    assert clustered <= {e.file_name for e in after}
+    assert all(e.level == 5 for e in after)
+    assert t.to_df(spark).count() == 120
+    # a second incremental pass with nothing new is a no-op
+    assert t.sort_compact(spark, ["a", "b"], incremental=True).id == snap2.id
