@@ -78,6 +78,20 @@ def changelog_diff(
     return inserted.unionByName(deleted).unionByName(upd_before).unionByName(upd_after)
 
 
+def lookup_changelog(spark: SparkSession, table, snapshot_id: int) -> DataFrame:
+    """changelog-producer=lookup (LookupChangelogMergeFunctionWrapper
+    .java:54): per-commit changelog, available right after each write
+    instead of at the next full compaction. Same diff as
+    ``changelog_diff`` across exactly one snapshot; the reference's
+    RocksDB point-lookups of old values become one PK-keyed join here.
+    The table's first snapshot emits every row as +I."""
+    first = table.snapshots.earliest_id()
+    if snapshot_id <= (first or 1):
+        df = table.to_df(spark, snapshot_id=snapshot_id)
+        return df.select(F.lit(KIND_INSERT).alias("rowkind"), *df.columns)
+    return changelog_diff(spark, table, snapshot_id - 1, snapshot_id)
+
+
 def binlog(
     spark: SparkSession, table, before_snapshot: int, after_snapshot: int
 ) -> DataFrame:

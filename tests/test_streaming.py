@@ -191,3 +191,19 @@ def test_cdc_foreach_batch_idempotent(spark, warehouse):
     fb(batch, 0)  # replay of same batch id must not double-commit
     assert t.snapshots.latest_id() == 1
     assert t.to_df(spark).count() == 1
+
+
+def test_lookup_changelog_per_commit(spark, warehouse):
+    from flink_table_store_spark.streaming.changelog import lookup_changelog
+
+    t = warehouse.create_table(
+        "db.lcp", "k bigint, v string", primary_keys=["k"], options={"bucket": "1"}
+    )
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"))
+    t.write(spark.createDataFrame([(1, "a2"), (3, "c")], "k bigint, v string"))
+    # snapshot 1: everything +I
+    k1 = {(r.rowkind, r.k) for r in lookup_changelog(spark, t, 1).collect()}
+    assert k1 == {("+I", 1), ("+I", 2)}
+    # snapshot 2: available immediately after the write, no compaction
+    k2 = {(r.rowkind, r.k) for r in lookup_changelog(spark, t, 2).collect()}
+    assert k2 == {("-U", 1), ("+U", 1), ("+I", 3)}
