@@ -42,6 +42,10 @@ class Predicate:
     def to_column(self) -> Column:
         raise NotImplementedError
 
+    def fields(self) -> set[str] | None:
+        """Referenced column names; None when unknown (Raw)."""
+        raise NotImplementedError
+
     def __and__(self, other: "Predicate") -> "Predicate":
         return And([self, other])
 
@@ -54,6 +58,9 @@ class Leaf(Predicate):
     op: str  # =, <>, <, <=, >, >=, in, not_in, is_null, is_not_null, starts_with, ends_with, contains, between
     field: str
     literals: tuple = ()
+
+    def fields(self):
+        return {self.field}
 
     def _mm(self, stats):
         s = stats.get(self.field)
@@ -164,6 +171,15 @@ class And(Predicate):
     def test_partition(self, partition):
         return all(c.test_partition(partition) for c in self.children)
 
+    def fields(self):
+        out: set[str] = set()
+        for c in self.children:
+            f = c.fields()
+            if f is None:
+                return None
+            out |= f
+        return out
+
     def to_column(self) -> Column:
         col = self.children[0].to_column()
         for c in self.children[1:]:
@@ -180,6 +196,15 @@ class Or(Predicate):
 
     def test_partition(self, partition):
         return any(c.test_partition(partition) for c in self.children)
+
+    def fields(self):
+        out: set[str] = set()
+        for c in self.children:
+            f = c.fields()
+            if f is None:
+                return None
+            out |= f
+        return out
 
     def to_column(self) -> Column:
         col = self.children[0].to_column()
@@ -202,6 +227,9 @@ class Raw(Predicate):
 
     def test_partition(self, partition):
         return True
+
+    def fields(self):
+        return None
 
     def to_column(self) -> Column:
         return self.column

@@ -61,13 +61,28 @@ def plan_scan(
     predicate: Predicate | None = None,
     limit: int | None = None,
 ) -> ScanPlan:
-    """Prune manifest entries and split them into raw vs merge groups."""
+    """Prune manifest entries and split them into raw vs merge groups.
+
+    Stats pruning granularity on PK tables mirrors the reference
+    (KeyValueFileStoreScan): predicates over key/partition columns prune
+    per file (every version of a key shares them, so dropping a
+    non-matching file cannot change the merge); predicates over VALUE
+    columns prune only whole (partition, bucket) groups — dropping a
+    single file could resurrect an older version of a key whose newest
+    value fails the filter.
+    """
+    pk = bool(schema.primary_keys)
     live = entries
+    per_file_safe = True
     if predicate is not None:
         live = [e for e in live if predicate.test_partition(e.partition)]
-        live = [e for e in live if predicate.test(e.stats, e.row_count)]
+        if pk:
+            flds = predicate.fields()
+            keyish = set(schema.partition_keys) | set(schema.trimmed_primary_keys())
+            per_file_safe = flds is not None and flds <= keyish
+        if per_file_safe:
+            live = [e for e in live if predicate.test(e.stats, e.row_count)]
 
-    pk = bool(schema.primary_keys)
     plan = ScanPlan()
     if not pk:
         plan.raw_entries = list(live)
@@ -90,6 +105,11 @@ def plan_scan(
     for e in live:
         by_bucket.setdefault((tuple(sorted(e.partition.items())), e.bucket), []).append(e)
     for _k, group in by_bucket.items():
+        if predicate is not None and not per_file_safe and not has_postpone:
+            # whole-bucket value-stats pruning: drop the group only when
+            # NO file in it can match (filterWholeBucketByStats)
+            if not any(predicate.test(e.stats, e.row_count) for e in group):
+                continue
         if len(group) == 1 and group[0].level > 0 and not has_postpone:
             plan.raw_entries.append(group[0])  # single compacted run → no merge
         else:

@@ -334,3 +334,29 @@ def test_aggregation_sum_retract_and_remove_on_delete(spark, warehouse):
     )
     got = {r.k: r.s for r in t.to_df(spark).collect()}
     assert got == {1: 6}
+
+
+def test_value_filter_does_not_resurrect_old_versions(spark, warehouse):
+    """Value-column stats pruning must act on whole buckets: per-file
+    pruning could drop the newest version of a key and resurrect the
+    older one (KeyValueFileStoreScan whole-bucket rule)."""
+    t = warehouse.create_table(
+        "db.vf", "k bigint, v bigint", primary_keys=["k"], options={"bucket": "1"}
+    )
+    t.write(spark.createDataFrame([(1, 10)], "k bigint, v bigint"))
+    t.write(spark.createDataFrame([(1, 20)], "k bigint, v bigint"))
+    assert t.to_df(spark, predicate=P.equal("v", 10)).collect() == []
+    [r] = t.to_df(spark, predicate=P.equal("v", 20)).collect()
+    assert (r.k, r.v) == (1, 20)
+    # key predicates still prune per file; value predicates prune whole
+    # non-matching buckets
+    from flink_table_store_spark import read as read_mod
+
+    t2 = warehouse.create_table(
+        "db.vf2", "k bigint, v bigint", primary_keys=["k"], options={"bucket": "4"}
+    )
+    t2.write(spark.createDataFrame([(i, i * 10) for i in range(8)], "k bigint, v bigint"))
+    snap = t2.snapshots.latest()
+    es = t2.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
+    assert read_mod.plan_scan(es, t2.schema, P.equal("v", 30)).file_count() < len(es)
+    assert read_mod.plan_scan(es, t2.schema, P.equal("k", 3)).file_count() < len(es)
