@@ -1363,6 +1363,37 @@ ORDER BY id
 """
 
 
+def sql_surface_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SQL surface (docs/content/spark/sql-query.md): engine
+    tables referenced by name inside a plain Spark SQL join+agg, routed
+    through SqlSession's rewrite layer."""
+    from flink_table_store_spark.sql import SqlSession
+
+    cat = _wh(sf_dir)
+    for name in ("nation", "region"):
+        t = cat.create_table(
+            f"default.{name}_sql",
+            _t(spark, sf_dir, name).schema,
+            ignore_if_exists=True,
+        )
+        if not t.snapshots.latest_id():
+            t.write(_t(spark, sf_dir, name))
+    return SqlSession(spark, cat).sql(
+        "SELECT r.r_name AS r_name, count(*) AS n_nations, "
+        "min(n.n_name) AS first_nation "
+        "FROM default.nation_sql n JOIN default.region_sql r "
+        "ON n.n_regionkey = r.r_regionkey "
+        "GROUP BY r.r_name ORDER BY r_name"
+    )
+
+
+SQL_SURFACE_SQL = """
+SELECT r.r_name AS r_name, count(*) AS n_nations, min(n.n_name) AS first_nation
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name ORDER BY r_name
+"""
+
+
 QUERIES: dict[str, tuple] = {
     # (spark_fn, oracle_sql | None)
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
@@ -1414,6 +1445,7 @@ QUERIES: dict[str, tuple] = {
     "changelog_diff_orders": (changelog_diff_orders, CHANGELOG_DIFF_SQL),
     "lookup_join_enrich": (lookup_join_enrich, LOOKUP_JOIN_SQL),
     "variant_extract": (variant_extract, VARIANT_SQL),
+    "sql_surface_join": (sql_surface_join, SQL_SURFACE_SQL),
 }
 
 

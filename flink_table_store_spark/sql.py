@@ -1,0 +1,388 @@
+"""Spark SQL surface over the engine catalog.
+
+The reference exposes its tables through the host engine's SQL
+(docs/content/spark/sql-query.md:58-110, sql-write.md; ``CALL`` + tag
+DDL grammar paimon-spark/.../antlr4 PaimonSqlExtensions.g4:71-87). We
+run without a JVM catalog plugin, so ``SqlSession`` rewrites engine
+table references inside the SQL text into registered temp views (each
+view IS the merge-on-read DataFrame, so Catalyst sees an ordinary
+relation), resolves time travel / ``t$system`` / incremental-TVF
+references the same way, and routes DML (INSERT / DELETE / UPDATE /
+MERGE) and ``CALL sys.*`` statements to the Python table API. The
+SELECT itself — joins, windows, aggregates — executes verbatim in
+``spark.sql``, exactly as the reference delegates to its host engine.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import hashlib
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_table_store_spark import predicate as P
+from flink_table_store_spark.catalog import Catalog
+
+_TRAVEL = r"(?:\s+(?:VERSION|TIMESTAMP)\s+AS\s+OF\s+(?:'[^']*'|\"[^\"]*\"|[\w.\-]+))?"
+_REF = re.compile(
+    r"(?i)\b(FROM|JOIN)\s+(`[^`]+`|[A-Za-z_][\w.$@]*)(" + _TRAVEL + ")",
+)
+_TVF = re.compile(
+    r"(?i)\b(paimon_incremental_query|paimon_incremental_between_timestamp|"
+    r"paimon_incremental_to_auto_tag)\s*\(([^()]*)\)"
+)
+_KEYWORDS = {
+    "select", "values", "unnest", "lateral", "table", "range",
+}
+
+
+def _view_name(key: str) -> str:
+    return "ftss_" + hashlib.md5(key.encode()).hexdigest()[:10]
+
+
+def _literal(tok: str) -> Any:
+    tok = tok.strip()
+    if (tok.startswith("'") and tok.endswith("'")) or (
+        tok.startswith('"') and tok.endswith('"')
+    ):
+        return tok[1:-1]
+    low = tok.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        return float(tok)
+    except ValueError:
+        return tok
+
+
+def _ts_millis(v: Any) -> int:
+    """TIMESTAMP AS OF accepts a datetime string or unix seconds
+    (TimeTravelUtil semantics)."""
+    if isinstance(v, (int, float)):
+        return int(v * 1000)
+    s = str(v)
+    try:
+        return int(float(s) * 1000)
+    except ValueError:
+        dt = _dt.datetime.fromisoformat(s)
+        return int(dt.timestamp() * 1000)
+
+
+def parse_condition(cond: str) -> P.Predicate:
+    """SQL condition → predicate AST.
+
+    Top-level ``AND`` conjunctions of ``col op literal`` comparisons
+    become Leaf predicates (so DELETE/UPDATE get partition detection and
+    manifest stats pruning, mirroring SparkV2FilterConverter.scala:32);
+    anything more complex degrades to a Raw predicate around
+    ``F.expr`` — correct, just not stats-prunable.
+    """
+    parts = _split_top_and(cond)
+    preds: list[P.Predicate] = []
+    for part in parts:
+        p = _parse_comparison(part.strip())
+        if p is None:
+            return P.raw(F.expr(cond))
+        preds.append(p)
+    return preds[0] if len(preds) == 1 else P.and_(*preds)
+
+
+def _split_top_and(cond: str) -> list[str]:
+    out, depth, cur, i = [], 0, [], 0
+    toks = re.split(r"(?i)(\bAND\b|\(|\)|'[^']*')", cond)
+    for t in toks:
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0 and t.strip().upper() == "AND":
+            out.append("".join(cur))
+            cur = []
+            continue
+        cur.append(t)
+    out.append("".join(cur))
+    return out
+
+
+_CMP = re.compile(
+    r"^\(*\s*`?([A-Za-z_]\w*)`?\s*(=|==|!=|<>|<=|>=|<|>)\s*"
+    r"('[^']*'|\"[^\"]*\"|[-\w.]+)\s*\)*$"
+)
+_NULLCMP = re.compile(r"(?i)^\(*\s*`?([A-Za-z_]\w*)`?\s+IS\s+(NOT\s+)?NULL\s*\)*$")
+_INCMP = re.compile(r"(?i)^\(*\s*`?([A-Za-z_]\w*)`?\s+IN\s*\(([^()]*)\)\s*\)*$")
+
+
+def _parse_comparison(s: str) -> P.Predicate | None:
+    m = _NULLCMP.match(s)
+    if m:
+        return P.is_not_null(m.group(1)) if m.group(2) else P.is_null(m.group(1))
+    m = _INCMP.match(s)
+    if m:
+        vals = [_literal(v) for v in m.group(2).split(",")]
+        return P.or_(*[P.equal(m.group(1), v) for v in vals])
+    m = _CMP.match(s)
+    if not m:
+        return None
+    f, op, lit = m.group(1), m.group(2), _literal(m.group(3))
+    if isinstance(lit, str) and lit == m.group(3) and not (
+        m.group(3).startswith("'") or m.group(3).startswith('"')
+    ):
+        return None  # rhs is a column/expr, not a literal
+    return {
+        "=": P.equal, "==": P.equal,
+        "!=": P.not_equal, "<>": P.not_equal,
+        "<": P.less_than, "<=": P.less_or_equal,
+        ">": P.greater_than, ">=": P.greater_or_equal,
+    }[op](f, lit)
+
+
+class SqlSession:
+    """``engine.sql(...)`` — the reference's Spark SQL surface in Python."""
+
+    def __init__(self, spark: SparkSession, catalog: Catalog):
+        self.spark = spark
+        self.catalog = catalog
+
+    # --- statement router ---
+
+    def sql(self, query: str):
+        q = query.strip().rstrip(";").strip()
+        head = q.split(None, 1)[0].upper() if q else ""
+        if head == "CALL":
+            return self._call(q)
+        if head == "INSERT":
+            return self._insert(q)
+        if head == "DELETE":
+            return self._delete(q)
+        if head == "UPDATE":
+            return self._update(q)
+        if head == "MERGE":
+            return self._merge(q)
+        return self.spark.sql(self._rewrite(q))
+
+    # --- reference rewriting (SELECT path) ---
+
+    def _known(self, ident: str) -> bool:
+        base = ident.partition("$")[0].partition("@")[0]
+        if "." not in base:
+            return False
+        try:
+            import os
+
+            return os.path.isdir(self.catalog.table_path(base))
+        except Exception:
+            return False
+
+    def _register(self, ident: str, travel: str) -> str:
+        """Register a temp view for an engine table reference and
+        return the view name."""
+        name = _view_name(ident + "|" + travel)
+        base, _, sysname = ident.partition("$")
+        kw: dict[str, Any] = {}
+        if travel:
+            m = re.match(
+                r"(?i)\s*(VERSION|TIMESTAMP)\s+AS\s+OF\s+('[^']*'|\"[^\"]*\"|[\w.\-]+)",
+                travel,
+            )
+            kind, val = m.group(1).upper(), _literal(m.group(2))
+            if kind == "VERSION":
+                if isinstance(val, int):
+                    kw["snapshot_id"] = val
+                elif isinstance(val, str) and re.fullmatch(r"watermark-\d+", val):
+                    wmark = int(val.split("-")[1])
+                    snap = self.catalog.get_table(base).snapshots.for_watermark(wmark)
+                    kw["snapshot_id"] = snap.id
+                else:
+                    kw["tag"] = str(val)
+            else:
+                kw["timestamp_ms"] = _ts_millis(val)
+        if sysname:
+            df = self.catalog.get_table(base).system_table(self.spark, sysname)
+        else:
+            df = self.catalog.get_table(base).to_df(self.spark, **kw)
+        df.createOrReplaceTempView(name)
+        return name
+
+    def _rewrite(self, q: str) -> str:
+        def tvf_sub(m: re.Match) -> str:
+            fn = m.group(1).lower()
+            args = [_literal(a) for a in m.group(2).split(",")]
+            t = self.catalog.get_table(str(args[0]))
+            if fn == "paimon_incremental_query":
+                df = t.incremental_read(self.spark, int(args[1]), int(args[2]))
+            elif fn == "paimon_incremental_between_timestamp":
+                df = t.incremental_read_between_timestamps(
+                    self.spark, _ts_millis(args[1]), _ts_millis(args[2])
+                )
+            else:
+                df = t.incremental_read_to_tag(self.spark, str(args[1]))
+            name = _view_name(m.group(0))
+            df.createOrReplaceTempView(name)
+            return name
+
+        q = _TVF.sub(tvf_sub, q)
+
+        def ref_sub(m: re.Match) -> str:
+            kw, ident, travel = m.group(1), m.group(2), m.group(3)
+            raw = ident[1:-1] if ident.startswith("`") else ident
+            if raw.lower() in _KEYWORDS or not self._known(raw):
+                return m.group(0)
+            return f"{kw} {self._register(raw, travel.strip())}"
+
+        return _REF.sub(ref_sub, q)
+
+    # --- CALL sys.<procedure>(...) ---
+
+    def _call(self, q: str):
+        from flink_table_store_spark.procedures import call
+
+        m = re.match(r"(?i)CALL\s+(?:sys\.)?(\w+)\s*\((.*)\)\s*$", q, re.S)
+        if not m:
+            raise ValueError(f"cannot parse CALL statement: {q}")
+        name, argstr = m.group(1), m.group(2).strip()
+        args: dict[str, Any] = {}
+        if argstr:
+            for i, piece in enumerate(re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", argstr)):
+                if "=>" in piece:
+                    k, v = piece.split("=>", 1)
+                    args[k.strip()] = _literal(v)
+                elif i == 0:
+                    args["table"] = _literal(piece)
+                else:
+                    raise ValueError(f"positional CALL arg beyond table: {piece}")
+        return call(self.spark, self.catalog, name, **args)
+
+    # --- DML ---
+
+    def _insert(self, q: str):
+        m = re.match(
+            r"(?i)INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.$@]+)"
+            r"(?:\s+PARTITION\s*\(([^)]*)\))?\s+(.*)$",
+            q,
+            re.S,
+        )
+        if not m:
+            raise ValueError(f"cannot parse INSERT: {q}")
+        mode, ident, part_spec, body = m.groups()
+        t = self.catalog.get_table(ident)
+        df = self.spark.sql(self._rewrite(body.strip()))
+        names = t.schema.field_names()
+        static: dict[str, Any] = {}
+        if part_spec:
+            for piece in part_spec.split(","):
+                k, v = piece.split("=", 1)
+                static[k.strip()] = _literal(v)
+            for k, v in static.items():
+                df = df.withColumn(k, F.lit(v))
+            # positional mapping for the remaining columns
+            remaining = [c for c in names if c not in static]
+            df = df.select(
+                *[F.col(c) for c in static],
+                *[F.col(old).alias(new) for old, new in zip(
+                    [c for c in df.columns if c not in static], remaining)],
+            )
+        else:
+            df = df.toDF(*names) if df.columns != names else df
+        df = df.select(*names)
+        overwrite = mode.upper() == "OVERWRITE"
+        filt = None
+        if overwrite and static:
+            filt = P.and_(*[P.equal(k, v) for k, v in static.items()]) if len(
+                static
+            ) > 1 else P.equal(*next(iter(static.items())))
+        return t.write(df, overwrite=overwrite, overwrite_partition_filter=filt)
+
+    def _delete(self, q: str):
+        m = re.match(r"(?i)DELETE\s+FROM\s+([\w.$@]+)(?:\s+WHERE\s+(.*))?$", q, re.S)
+        if not m:
+            raise ValueError(f"cannot parse DELETE: {q}")
+        ident, cond = m.groups()
+        t = self.catalog.get_table(ident)
+        pred = parse_condition(cond) if cond else P.raw(F.lit(True))
+        return t.delete(self.spark, pred)
+
+    def _update(self, q: str):
+        m = re.match(
+            r"(?i)UPDATE\s+([\w.$@]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", q, re.S
+        )
+        if not m:
+            raise ValueError(f"cannot parse UPDATE: {q}")
+        ident, setstr, cond = m.groups()
+        t = self.catalog.get_table(ident)
+        assignments: dict[str, Any] = {}
+        for piece in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", setstr):
+            k, v = piece.split("=", 1)
+            assignments[k.strip().strip("`")] = F.expr(v.strip())
+        pred = parse_condition(cond) if cond else P.raw(F.lit(True))
+        return t.update(self.spark, pred, assignments)
+
+    def _merge(self, q: str):
+        """MERGE INTO target USING source ON t.k = s.k WHEN ... —
+        the common equi-join shape of MergeIntoPaimonTable.scala."""
+        m = re.match(
+            r"(?i)MERGE\s+INTO\s+([\w.$@]+)(?:\s+(?:AS\s+)?(\w+))?"
+            r"\s+USING\s+(\([^)]*\)|[\w.$@]+)(?:\s+(?:AS\s+)?(\w+))?"
+            r"\s+ON\s+(.*?)\s+(WHEN\s+.*)$",
+            q,
+            re.S,
+        )
+        if not m:
+            raise ValueError(f"cannot parse MERGE INTO: {q}")
+        tgt, tgt_a, src, src_a, on, clauses = m.groups()
+        t = self.catalog.get_table(tgt)
+        if src.startswith("("):
+            sdf = self.spark.sql(self._rewrite(src[1:-1].strip()))
+        elif self._known(src):
+            sdf = self.catalog.get_table(src).to_df(self.spark)
+        else:
+            sdf = self.spark.table(src)
+        on_cols = []
+        for piece in on.split("AND"):
+            mm = re.match(r"\s*[\w`]+\.`?(\w+)`?\s*=\s*[\w`]+\.`?(\w+)`?\s*$", piece)
+            if not mm or mm.group(1) != mm.group(2):
+                raise ValueError(
+                    "MERGE INTO supports equi-join ON t.col = s.col conditions"
+                )
+            on_cols.append(mm.group(1))
+        upd: dict[str, Any] | str | None = None
+        delete = False
+        insert = False
+        if re.search(r"(?i)WHEN\s+MATCHED\s+THEN\s+DELETE", clauses):
+            delete = True
+        mu = re.search(
+            r"(?i)WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(\*|.+?)(?=\s+WHEN\s+|$)",
+            clauses,
+            re.S,
+        )
+        if mu:
+            if mu.group(1).strip() == "*":
+                upd = "*"
+            else:
+                upd = {}
+                for piece in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", mu.group(1)):
+                    k, v = piece.split("=", 1)
+                    k = k.strip().strip("`")
+                    k = k.split(".")[-1]
+                    expr = v.strip()
+                    if src_a:
+                        expr = re.sub(rf"\b{src_a}\.", "s.", expr)
+                    if tgt_a:
+                        expr = re.sub(rf"\b{tgt_a}\.", "t.", expr)
+                    upd[k] = F.expr(expr)
+        if re.search(r"(?i)WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT", clauses):
+            insert = True
+        return t.merge_into(
+            self.spark,
+            sdf,
+            on=on_cols,
+            when_matched_update=upd,
+            when_matched_delete=delete,
+            when_not_matched_insert=insert,
+        )

@@ -1,0 +1,126 @@
+"""SQL surface: SqlSession mirrors docs/content/spark/sql-query.md /
+sql-write.md and the CALL grammar (PaimonSqlExtensions.g4:71-87)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_table_store_spark import SqlSession
+
+
+@pytest.fixture()
+def sql(spark, warehouse):
+    return SqlSession(spark, warehouse)
+
+
+def _seed(spark, warehouse, name="db.s", pk=None, partition=None, options=None):
+    t = warehouse.create_table(
+        name,
+        "k bigint, v string, pt string",
+        primary_keys=pk,
+        partition_keys=partition,
+        options=options or ({"bucket": "2"} if pk else None),
+    )
+    t.write(
+        spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "x"), (3, "c", "y")], "k bigint, v string, pt string"
+        )
+    )
+    return t
+
+
+def test_select_join_and_where(spark, warehouse, sql):
+    _seed(spark, warehouse, "db.a")
+    _seed(spark, warehouse, "db.b")
+    df = sql.sql(
+        "SELECT a.k AS k, a.v AS av, b.v AS bv FROM db.a a JOIN db.b b ON a.k = b.k "
+        "WHERE a.pt = 'x' ORDER BY k"
+    )
+    assert [(r.k, r.av, r.bv) for r in df.collect()] == [(1, "a", "a"), (2, "b", "b")]
+
+
+def test_select_merged_pk_view(spark, warehouse, sql):
+    t = _seed(spark, warehouse, "db.p", pk=["k"])
+    t.write(spark.createDataFrame([(1, "a2", "x")], "k bigint, v string, pt string"))
+    rows = sql.sql("SELECT k, v FROM db.p ORDER BY k").collect()
+    assert [(r.k, r.v) for r in rows] == [(1, "a2"), (2, "b"), (3, "c")]
+
+
+def test_time_travel_version_and_tag(spark, warehouse, sql):
+    t = _seed(spark, warehouse, "db.tt", pk=["k"])
+    t.create_tag("v1")
+    t.write(spark.createDataFrame([(1, "new", "x")], "k bigint, v string, pt string"))
+    assert sql.sql("SELECT v FROM db.tt WHERE k = 1").collect()[0].v == "new"
+    assert sql.sql("SELECT v FROM db.tt VERSION AS OF 1 WHERE k = 1").collect()[0].v == "a"
+    assert sql.sql("SELECT v FROM db.tt VERSION AS OF 'v1' WHERE k = 1").collect()[0].v == "a"
+
+
+def test_system_table_reference(spark, warehouse, sql):
+    t = _seed(spark, warehouse, "db.st")
+    t.write(spark.createDataFrame([(4, "d", "y")], "k bigint, v string, pt string"))
+    n = sql.sql("SELECT count(*) AS c FROM `db.st$snapshots`").collect()[0].c
+    assert n == 2
+
+
+def test_insert_into_and_overwrite_partition(spark, warehouse, sql):
+    warehouse.create_table(
+        "db.ins", "k bigint, v string, pt string", partition_keys=["pt"]
+    )
+    sql.sql("INSERT INTO db.ins VALUES (1, 'a', 'x'), (2, 'b', 'y')")
+    sql.sql("INSERT INTO db.ins PARTITION (pt='x') VALUES (3, 'c')")
+    got = {(r.k, r.v, r.pt) for r in sql.sql("SELECT * FROM db.ins").collect()}
+    assert got == {(1, "a", "x"), (2, "b", "y"), (3, "c", "x")}
+    # overwrite only partition x
+    sql.sql("INSERT OVERWRITE db.ins PARTITION (pt='x') VALUES (9, 'z')")
+    got = {(r.k, r.v, r.pt) for r in sql.sql("SELECT * FROM db.ins").collect()}
+    assert got == {(9, "z", "x"), (2, "b", "y")}
+
+
+def test_delete_update(spark, warehouse, sql):
+    _seed(spark, warehouse, "db.du", pk=["k"])
+    sql.sql("DELETE FROM db.du WHERE k = 2")
+    sql.sql("UPDATE db.du SET v = 'upd' WHERE k = 3")
+    got = {(r.k, r.v) for r in sql.sql("SELECT k, v FROM db.du").collect()}
+    assert got == {(1, "a"), (3, "upd")}
+
+
+def test_merge_into(spark, warehouse, sql):
+    _seed(spark, warehouse, "db.mt", pk=["k"])
+    src = spark.createDataFrame(
+        [(1, "A", "x"), (4, "D", "z")], "k bigint, v string, pt string"
+    )
+    src.createOrReplaceTempView("mt_src")
+    sql.sql(
+        "MERGE INTO db.mt t USING mt_src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *"
+    )
+    got = {(r.k, r.v) for r in sql.sql("SELECT k, v FROM db.mt").collect()}
+    assert got == {(1, "A"), (2, "b"), (3, "c"), (4, "D")}
+
+
+def test_call_procedures(spark, warehouse, sql):
+    t = _seed(spark, warehouse, "db.cp", pk=["k"])
+    t.write(spark.createDataFrame([(1, "a2", "x")], "k bigint, v string, pt string"))
+    sql.sql("CALL sys.create_tag(table => 'db.cp', tag => 'T')")
+    assert "T" in t.snapshots.tags()
+    sql.sql("CALL sys.compact(table => 'db.cp')")
+    assert sql.sql("SELECT count(*) AS c FROM db.cp").collect()[0].c == 3
+
+
+def test_incremental_tvf(spark, warehouse, sql):
+    t = _seed(spark, warehouse, "db.inc", pk=["k"])
+    t.write(spark.createDataFrame([(7, "g", "x")], "k bigint, v string, pt string"))
+    rows = sql.sql(
+        "SELECT k, v FROM paimon_incremental_query('db.inc', 1, 2)"
+    ).collect()
+    assert [(r.k, r.v) for r in rows] == [(7, "g")]
+
+
+def test_condition_parser_prunes(spark, warehouse):
+    from flink_table_store_spark.sql import parse_condition
+    from flink_table_store_spark import predicate as P
+
+    p = parse_condition("pt = 'x' AND k >= 2")
+    assert isinstance(p, P.And)
+    assert p.fields() == {"pt", "k"}
+    # complex conditions degrade to Raw (still correct, not prunable)
+    assert parse_condition("k + 1 = 2 OR v LIKE 'a%'").fields() is None
