@@ -219,8 +219,19 @@ def _statistics(spark: SparkSession, t: "Table") -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def _binlog(spark: SparkSession, t: "Table") -> DataFrame:
+    """Packed before/after images across the whole snapshot history
+    (BinlogTable.java:55)."""
+    from flink_table_store_spark.streaming.changelog import binlog
+
+    latest = t.snapshots.latest_id() or 0
+    earliest = t.snapshots.earliest_id() or 1
+    return binlog(spark, t, max(earliest - 1, 0), latest)
+
+
 _LOADERS = {
     "snapshots": _snapshots,
+    "binlog": _binlog,
     "schemas": _schemas,
     "options": _options,
     "manifests": _manifests,

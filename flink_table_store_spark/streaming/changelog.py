@@ -54,7 +54,11 @@ def changelog_diff(
     cols = schema.field_names()
     vals = [c for c in cols if c not in pks]
 
-    before = table.to_df(spark, snapshot_id=before_snapshot)
+    if table.snapshots.exists(before_snapshot):
+        before = table.to_df(spark, snapshot_id=before_snapshot)
+    else:  # before the first snapshot (expired or 0): empty before-image
+        after_tmp = table.to_df(spark, snapshot_id=after_snapshot)
+        before = spark.createDataFrame([], after_tmp.schema)
     after = table.to_df(spark, snapshot_id=after_snapshot)
     b = before.select(*pks, F.struct(*[F.col(c) for c in cols]).alias("__b"))
     a = after.select(*pks, F.struct(*[F.col(c) for c in cols]).alias("__a"))

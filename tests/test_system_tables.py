@@ -71,3 +71,23 @@ def test_orphan_cleanup_respects_branches(spark, t):
     removed = t.remove_orphan_files()
     assert removed == []
     assert b.to_df(spark).count() == 22
+
+
+def test_binlog_system_table(spark, warehouse):
+    """$binlog (BinlogTable.java:55): packed before/after images; the
+    update shows as one U row, inserts as +I, over the full history."""
+    t = warehouse.create_table(
+        "db.bl", "k bigint, v string", primary_keys=["k"], options={"bucket": "1"}
+    )
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"))
+    t.write(spark.createDataFrame([(1, "a2")], "k bigint, v string"))
+    rows = {r.k: r for r in t.system_table(spark, "binlog").collect()}
+    assert rows[1].op == "+I" and [x.v for x in rows[1].after_image] == ["a2"]
+    assert rows[2].op == "+I"
+    # between two consecutive snapshots the update is visible as U
+    from flink_table_store_spark.streaming.changelog import binlog
+
+    step = {r.k: r for r in binlog(spark, t, 1, 2).collect()}
+    assert step[1].op == "U"
+    assert [x.v for x in step[1].before_image] == ["a"]
+    assert [x.v for x in step[1].after_image] == ["a2"]
