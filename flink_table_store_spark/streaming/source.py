@@ -48,14 +48,24 @@ class SnapshotStream:
         from_snapshot: int | None = None,
         from_timestamp: int | None = None,
         consumer_id: str | None = None,
+        scan: str = "delta",
+        max_files_per_batch: int | None = None,
+        max_rows_per_batch: int | None = None,
     ):
         if startup_mode not in STARTUP_MODES:
             raise ValueError(f"unknown startup mode {startup_mode}")
+        if scan not in ("delta", "changelog"):
+            raise ValueError(f"unknown scan mode {scan}")
         self.table = table
         self.mode = startup_mode
         self.from_snapshot = from_snapshot
         self.from_timestamp = from_timestamp
         self.consumer_id = consumer_id
+        self.scan = scan  # T3 ScanMode: DELTA rows vs CHANGELOG rows
+        # S13 ReadLimit.maxFiles/maxRows (PaimonMicroBatchStream.scala:60-78):
+        # one snapshot's delta may be split into several sub-batches
+        self.max_files = max_files_per_batch
+        self.max_rows = max_rows_per_batch
         self._next: int | None = None  # next snapshot id to read
         self._first_full: int | None = None  # snapshot to full-scan first
 
@@ -90,21 +100,65 @@ class SnapshotStream:
             snap = sm.for_timestamp(int(self.from_timestamp))
             self._next = (snap.id if snap else 0) + 1
 
-    def _delta_df(self, spark: SparkSession, snapshot_id: int) -> DataFrame | None:
-        """One snapshot's delta as a DataFrame (DeltaFollowUpScanner:
-        skip COMPACT snapshots — they move rows, add none)."""
+    def _delta_dfs(self, spark: SparkSession, snapshot_id: int) -> list[DataFrame]:
+        """One snapshot's delta as DataFrames (DeltaFollowUpScanner:
+        skip COMPACT snapshots — they move rows, add none). Under a
+        read limit the delta splits into several sub-batches at
+        (partition, bucket) granularity — the same split unit as the
+        reference's PaimonSourceOffset(snapshotId, splitIdx)."""
         t = self.table
         s = t.snapshots.load(snapshot_id)
         if s.commit_kind == COMMIT_COMPACT:
-            return None
+            return []
+        if self.scan == "changelog":
+            df = self._changelog_df(spark, snapshot_id)
+            return [df] if df is not None else []
         entries = t.delta_entries(snapshot_id)
         if not entries:
-            return None
-        if t.is_primary_key_table():
-            plan = read_mod.ScanPlan(merge_entries=entries)
-        else:
-            plan = read_mod.ScanPlan(raw_entries=entries)
-        return read_mod.build_dataframe(spark, t.path, plan, t.schema, t.all_schemas())
+            return []
+        pk = t.is_primary_key_table()
+
+        def mk(chunk):
+            plan = (
+                read_mod.ScanPlan(merge_entries=chunk)
+                if pk
+                else read_mod.ScanPlan(raw_entries=chunk)
+            )
+            return read_mod.build_dataframe(spark, t.path, plan, t.schema, t.all_schemas())
+
+        if self.max_files is None and self.max_rows is None:
+            return [mk(entries)]
+        # group per (partition, bucket) — never split a merge group
+        groups: dict = {}
+        for e in entries:
+            groups.setdefault((tuple(sorted(e.partition.items())), e.bucket), []).append(e)
+        out, cur, nf, nr = [], [], 0, 0
+        for g in groups.values():
+            gf, gr = len(g), sum(e.row_count for e in g)
+            if cur and (
+                (self.max_files and nf + gf > self.max_files)
+                or (self.max_rows and nr + gr > self.max_rows)
+            ):
+                out.append(mk(cur))
+                cur, nf, nr = [], 0, 0
+            cur.extend(g)
+            nf += gf
+            nr += gr
+        if cur:
+            out.append(mk(cur))
+        return out
+
+    def _changelog_df(self, spark: SparkSession, snapshot_id: int) -> DataFrame | None:
+        """ChangelogFollowUpScanner (T2) by producer (T4): ``input``
+        replays persisted row kinds; otherwise a per-commit lookup-style
+        diff synthesizes -U/+U pairs."""
+        t = self.table
+        producer = t.schema.options.get("changelog-producer", "none")
+        if producer == "input":
+            return t.audit_log(spark, snapshot_id - 1, snapshot_id)
+        from flink_table_store_spark.streaming.changelog import lookup_changelog
+
+        return lookup_changelog(spark, t, snapshot_id)
 
     def poll(self, spark: SparkSession) -> list[tuple[int, DataFrame]]:
         """All pending batches; advances (and persists) the cursor."""
@@ -117,8 +171,7 @@ class SnapshotStream:
             self._first_full = None
         latest = self.table.snapshots.latest_id() or 0
         while self._next <= latest:
-            df = self._delta_df(spark, self._next)
-            if df is not None:
+            for df in self._delta_dfs(spark, self._next):
                 out.append((self._next, df))
             self._next += 1
         if self.consumer_id is not None:

@@ -207,3 +207,31 @@ def test_lookup_changelog_per_commit(spark, warehouse):
     # snapshot 2: available immediately after the write, no compaction
     k2 = {(r.rowkind, r.k) for r in lookup_changelog(spark, t, 2).collect()}
     assert k2 == {("-U", 1), ("+U", 1), ("+I", 3)}
+
+
+def test_source_read_limit_splits_batches(spark, pk_table):
+    """S13 ReadLimit: a snapshot's delta splits into sub-batches at
+    (partition, bucket) granularity; union of sub-batches == the delta."""
+    pk_table.write(_batch(spark, [(i, f"v{i}") for i in range(8)]))
+    s = SnapshotStream(
+        pk_table, startup_mode="from-snapshot", from_snapshot=1, max_files_per_batch=1
+    )
+    batches = s.poll(spark)
+    assert len(batches) == 2  # bucket=2 → two merge groups
+    assert all(sid == 1 for sid, _ in batches)
+    got = {r.k for b in batches for r in b[1].collect()}
+    assert got == set(range(8))
+
+
+def test_source_changelog_scan_mode(spark, pk_table):
+    """T2 ChangelogFollowUpScanner: scan='changelog' yields rowkind'd
+    rows; an upsert of an existing key shows as -U/+U."""
+    pk_table.write(_batch(spark, [(1, "a"), (2, "b")]))
+    s = SnapshotStream(
+        pk_table, startup_mode="from-snapshot", from_snapshot=2, scan="changelog"
+    )
+    pk_table.write(_batch(spark, [(1, "a2"), (3, "c")]))
+    batches = s.poll(spark)
+    assert len(batches) == 1
+    rows = {(r.rowkind, r.k, r.v) for r in batches[0][1].collect()}
+    assert rows == {("-U", 1, "a"), ("+U", 1, "a2"), ("+I", 3, "c")}
