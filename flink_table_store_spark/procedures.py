@@ -82,4 +82,40 @@ PROCEDURES: dict[str, Callable] = {
     )(_t(c, a)),
     "mark_partition_done": lambda s, c, a: _t(c, a).mark_partition_done(a["partition"]),
     "repair": lambda s, c, a: _t(c, a).remove_orphan_files(dry_run=True),
+    # migration / clone family (MigrateTableProcedure, MigrateDatabaseProcedure,
+    # CopyFilesProcedure) — flink_table_store_spark.migrate
+    "migrate_table": lambda s, c, a: _migrate(s, c, a),
+    "migrate_database": lambda s, c, a: _migrate_db(s, c, a),
+    "copy_files": lambda s, c, a: _copy_files(s, c, a),
 }
+
+
+def _migrate(spark, cat, a):
+    from flink_table_store_spark.migrate import migrate_table
+
+    return migrate_table(
+        spark,
+        cat,
+        a.pop("source_location"),
+        a.pop("table"),
+        **a,
+    )
+
+
+def _migrate_db(spark, cat, a):
+    from flink_table_store_spark.migrate import migrate_database
+
+    return migrate_database(spark, cat, a.pop("source_dir"), a.pop("database"), **a)
+
+
+def _copy_files(spark, cat, a):
+    from flink_table_store_spark.migrate import copy_files
+
+    return copy_files(
+        spark,
+        cat,
+        a.pop("source_table"),
+        a.pop("target_table"),
+        snapshot_id=a.get("snapshot_id"),
+        tag=a.get("tag"),
+    )
