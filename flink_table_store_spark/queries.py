@@ -1448,6 +1448,10 @@ QUERIES: dict[str, tuple] = {
     "sql_surface_join": (sql_surface_join, SQL_SURFACE_SQL),
 }
 
+from flink_table_store_spark.queries_extra import EXTRA_QUERIES  # noqa: E402
+
+QUERIES.update(EXTRA_QUERIES)
+
 
 def reset_managed_tables(sf_dir: str | None = None) -> None:
     """Drop the /tmp managed warehouses (tests / fresh runs)."""
