@@ -85,9 +85,32 @@ PROCEDURES: dict[str, Callable] = {
     # migration / clone family (MigrateTableProcedure, MigrateDatabaseProcedure,
     # CopyFilesProcedure) — flink_table_store_spark.migrate
     "migrate_table": lambda s, c, a: _migrate(s, c, a),
+    # global vector index family (CreateGlobalIndexProcedure /
+    # DropGlobalIndexProcedure; core globalindex/) — flink_table_store_spark.globalindex
+    "create_global_index": lambda s, c, a: _create_gidx(s, c, a),
+    "drop_global_index": lambda s, c, a: _drop_gidx(s, c, a),
     "migrate_database": lambda s, c, a: _migrate_db(s, c, a),
     "copy_files": lambda s, c, a: _copy_files(s, c, a),
 }
+
+
+def _create_gidx(spark, cat, a):
+    from flink_table_store_spark.globalindex import create_global_index
+
+    return create_global_index(
+        spark,
+        _t(cat, a),
+        a.pop("index_name"),
+        a.pop("column"),
+        a.pop("key_col"),
+        **a,
+    )
+
+
+def _drop_gidx(spark, cat, a):
+    from flink_table_store_spark.globalindex import drop_global_index
+
+    return drop_global_index(_t(cat, a), a.pop("index_name"))
 
 
 def _migrate(spark, cat, a):

@@ -229,8 +229,24 @@ def _binlog(spark: SparkSession, t: "Table") -> DataFrame:
     return binlog(spark, t, max(earliest - 1, 0), latest)
 
 
+def _indexes(spark: SparkSession, t: "Table") -> DataFrame:
+    """Global (vector) indexes on the table — IndexesTable analogue
+    (paimon-core table/system/; globalindex/)."""
+    from flink_table_store_spark.globalindex import list_global_indexes
+
+    rows = [
+        (m["name"], m["type"], m["column"], m["key"], m["n_cells"], m["snapshot_id"])
+        for m in list_global_indexes(t)
+    ]
+    return spark.createDataFrame(
+        rows, "index_name string, index_type string, column string, key string, "
+        "n_cells int, snapshot_id long"
+    )
+
+
 _LOADERS = {
     "snapshots": _snapshots,
+    "indexes": _indexes,
     "binlog": _binlog,
     "schemas": _schemas,
     "options": _options,
