@@ -54,6 +54,12 @@ def main() -> None:
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
 
+    # JVM/executor warmup so the first timed bench isn't charged for
+    # session startup (the reference's sustained-throughput protocol
+    # likewise excludes cluster spin-up)
+    spark.range(1_000_000).select(F.sum("id")).collect()
+    li.limit(1).collect()
+
     timings: dict[str, float] = {}
 
     def timed(name):
@@ -102,30 +108,32 @@ def main() -> None:
             .collect()
         )
 
-    # --- PK upsert benches (q1-shaped workload) ---------------------------
+    # --- PK upsert benches (q1-shaped workload: wide rows, random-ish PK,
+    # mostly-insert stream — the cluster benchmark's q1 shape) -------------
     t_pk = cat.create_table(
-        "bench.orders_pk",
-        "o_custkey bigint, last_orderkey bigint, last_totalprice double",
-        primary_keys=["o_custkey"],
+        "bench.lineitem_pk",
+        li.schema,
+        primary_keys=["l_orderkey", "l_linenumber"],
         options={"bucket": "8"},
         ignore_if_exists=True,
     )
-    pb = Q._orders_per_batch(spark, sf_dir).cache()
-    pb.count()
-    n_upsert_rows = 0
+    pb = li.withColumn("batch", (F.col("l_suppkey") % 3).cast("int")).cache()
+    # batch counts resolved BEFORE the timed region — the timer measures
+    # write+commit only
+    batch_counts = {
+        r["batch"]: r["n"] for r in pb.groupBy("batch").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_upsert_rows = sum(batch_counts.values())
 
     @timed("upsert")
     def _up():
-        nonlocal n_upsert_rows
         for b in range(3):
-            batch = pb.where(F.col("batch") == b).drop("batch")
-            n_upsert_rows += batch.count()
-            t_pk.write(batch)
+            t_pk.write(pb.where(F.col("batch") == b).drop("batch"))
 
     @timed("mor_read")
     def _mor():
         t_pk.to_df(spark).agg(
-            F.count(F.lit(1)), F.sum("last_totalprice"), F.max("last_orderkey")
+            F.count(F.lit(1)), F.sum("l_extendedprice"), F.max("l_orderkey")
         ).collect()
 
     @timed("compact")
@@ -134,7 +142,7 @@ def main() -> None:
 
     @timed("post_compact_read")
     def _pc():
-        t_pk.to_df(spark).agg(F.count(F.lit(1)), F.sum("last_totalprice")).collect()
+        t_pk.to_df(spark).agg(F.count(F.lit(1)), F.sum("l_extendedprice")).collect()
 
     pb.unpersist()
 
@@ -218,7 +226,7 @@ def main() -> None:
         Q.ann_brute_force(spark, sf_dir).collect()
 
     total = round(sum(timings.values()), 4)
-    upsert_rps = round(n_upsert_rows * 3 / timings["upsert"], 1) if timings.get("upsert") else None
+    upsert_rps = round(n_upsert_rows / timings["upsert"], 1) if timings.get("upsert") else None
     print(
         json.dumps(
             {
