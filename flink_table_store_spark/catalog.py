@@ -146,6 +146,67 @@ class Catalog:
             d = json.load(f)
         return FormatTable(identifier, d["location"], d["format"], d.get("options", {}))
 
+    # --- views (reference: catalog view support + view dialect procedures;
+    # paimon-api view/, paimon-spark procedure/ alter_view_dialect) ---
+
+    def create_view(
+        self,
+        identifier: str,
+        sql: str,
+        dialect: str = "spark",
+        comment: str = "",
+        ignore_if_exists: bool = False,
+    ) -> dict:
+        import json
+
+        db, name = self._split(identifier)
+        self.create_database(db)
+        path = os.path.join(self._db_path(db), name)
+        vp = os.path.join(path, "view.json")
+        if os.path.exists(vp) and not ignore_if_exists:
+            raise RuntimeError(f"view {identifier} exists")
+        os.makedirs(path, exist_ok=True)
+        # dialects: the reference stores one query text per engine dialect;
+        # we keep a {dialect: sql} map with 'spark' as the executable one
+        d = {"name": identifier, "comment": comment, "dialects": {dialect: sql}}
+        if os.path.exists(vp):
+            with open(vp) as f:
+                old = json.load(f)
+            old["dialects"][dialect] = sql
+            d = old
+        with open(vp, "w") as f:
+            json.dump(d, f)
+        return d
+
+    def get_view(self, identifier: str) -> dict:
+        import json
+
+        vp = os.path.join(self.table_path(identifier), "view.json")
+        if not os.path.exists(vp):
+            raise RuntimeError(f"{identifier} is not a view")
+        with open(vp) as f:
+            return json.load(f)
+
+    def is_view(self, identifier: str) -> bool:
+        return os.path.exists(os.path.join(self.table_path(identifier), "view.json"))
+
+    def drop_view(self, identifier: str, ignore_if_not_exists: bool = True) -> None:
+        path = self.table_path(identifier)
+        if os.path.exists(os.path.join(path, "view.json")):
+            shutil.rmtree(path)
+        elif not ignore_if_not_exists:
+            raise RuntimeError(f"view {identifier} not found")
+
+    def list_views(self, database: str) -> list[str]:
+        p = self._db_path(database)
+        if not os.path.isdir(p):
+            return []
+        return sorted(
+            n
+            for n in os.listdir(p)
+            if os.path.exists(os.path.join(p, n, "view.json"))
+        )
+
     # --- catalog functions (F7) ---
 
     @property

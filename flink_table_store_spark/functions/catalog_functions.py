@@ -50,6 +50,26 @@ class FunctionManager:
         with open(self._path(name), "w") as f:
             json.dump({"type": "sql", "params": params, "expr": expr, "returns": returns}, f)
 
+    def alter(
+        self,
+        name: str,
+        params: list[str] | None = None,
+        expr: str | None = None,
+        returns: str | None = None,
+    ) -> dict:
+        """Update a function definition in place (FunctionChange.java:
+        add/drop definition, update options)."""
+        d = self.load(name)
+        if params is not None:
+            d["params"] = params
+        if expr is not None:
+            d["expr"] = expr
+        if returns is not None:
+            d["returns"] = returns
+        with open(self._path(name), "w") as f:
+            json.dump(d, f)
+        return d
+
     def drop(self, name: str) -> None:
         p = self._path(name)
         if os.path.exists(p):

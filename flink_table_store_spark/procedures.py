@@ -85,6 +85,24 @@ PROCEDURES: dict[str, Callable] = {
     # migration / clone family (MigrateTableProcedure, MigrateDatabaseProcedure,
     # CopyFilesProcedure) — flink_table_store_spark.migrate
     "migrate_table": lambda s, c, a: _migrate(s, c, a),
+    # function & view DDL family (CreateFunctionProcedure, DropFunctionProcedure,
+    # AlterFunctionProcedure, CreateViewProcedure, DropViewProcedure,
+    # AlterViewDialectProcedure — paimon-spark procedure/)
+    "create_function": lambda s, c, a: c.functions.create(
+        a["function_name"], a["params"], a["expr"], a.get("returns", "")
+    ),
+    "alter_function": lambda s, c, a: c.functions.alter(
+        a.pop("function_name"), **a
+    ),
+    "drop_function": lambda s, c, a: c.functions.drop(a["function_name"]),
+    "create_view": lambda s, c, a: c.create_view(
+        a["view"], a["query"], dialect=a.get("dialect", "spark"),
+        comment=a.get("comment", ""), ignore_if_exists=a.get("ignore_if_exists", False),
+    ),
+    "drop_view": lambda s, c, a: c.drop_view(a["view"]),
+    "alter_view_dialect": lambda s, c, a: c.create_view(
+        a["view"], a["query"], dialect=a["dialect"], ignore_if_exists=True
+    ),
     # global vector index family (CreateGlobalIndexProcedure /
     # DropGlobalIndexProcedure; core globalindex/) — flink_table_store_spark.globalindex
     "create_global_index": lambda s, c, a: _create_gidx(s, c, a),

@@ -180,11 +180,20 @@ class SqlSession:
         except Exception:
             return False
 
-    def _register(self, ident: str, travel: str) -> str:
-        """Register a temp view for an engine table reference and
-        return the view name."""
+    def _register(self, ident: str, travel: str, _depth: int = 0) -> str:
+        """Register a temp view for an engine table (or catalog view)
+        reference and return the temp-view name."""
         name = _view_name(ident + "|" + travel)
         base, _, sysname = ident.partition("$")
+        if not sysname and self.catalog.is_view(base):
+            if _depth > 10:
+                raise RuntimeError(f"view reference cycle at {base}")
+            body = self.catalog.get_view(base)["dialects"].get("spark")
+            if body is None:
+                raise RuntimeError(f"view {base} has no spark dialect")
+            df = self.spark.sql(self._rewrite(body, _depth + 1))
+            df.createOrReplaceTempView(name)
+            return name
         kw: dict[str, Any] = {}
         if travel:
             m = re.match(
@@ -210,7 +219,7 @@ class SqlSession:
         df.createOrReplaceTempView(name)
         return name
 
-    def _rewrite(self, q: str) -> str:
+    def _rewrite(self, q: str, _depth: int = 0) -> str:
         def tvf_sub(m: re.Match) -> str:
             fn = m.group(1).lower()
             args = [_literal(a) for a in m.group(2).split(",")]
@@ -234,7 +243,7 @@ class SqlSession:
             raw = ident[1:-1] if ident.startswith("`") else ident
             if raw.lower() in _KEYWORDS or not self._known(raw):
                 return m.group(0)
-            return f"{kw} {self._register(raw, travel.strip())}"
+            return f"{kw} {self._register(raw, travel.strip(), _depth)}"
 
         return _REF.sub(ref_sub, q)
 
