@@ -76,10 +76,12 @@ class Catalog:
             ts = from_spark_schema(schema, partition_keys, primary_keys, options)
         else:
             ts = schema
-        if ts.primary_keys:
+        if ts.primary_keys and ts.options.get("cross-partition-update") != "true":
+            # reference requires pk ⊇ partition keys for PK tables —
+            # UNLESS cross-partition update mode is on (BucketMode
+            # CROSS_PARTITION: the key may move between partitions)
             for k in ts.partition_keys:
                 if k not in ts.primary_keys:
-                    # reference requires pk ⊇ partition keys for PK tables
                     ts.primary_keys = ts.partition_keys + ts.primary_keys
                     break
         os.makedirs(path, exist_ok=True)

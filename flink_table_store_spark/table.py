@@ -303,6 +303,21 @@ class Table:
         watermark: int | None = None,
     ) -> Snapshot:
         """Append/upsert a DataFrame (INSERT INTO / INSERT OVERWRITE)."""
+        if (
+            self.is_primary_key_table()
+            and self.schema.partition_keys
+            and self.schema.options.get("cross-partition-update") == "true"
+        ):
+            # cross-partition PK update (J5): global key→partition index
+            # emits -D retractions into a moved key's old partition
+            from flink_table_store_spark.operators.cross_partition import (
+                prepare_cross_partition_batch,
+            )
+
+            from flink_table_store_spark.schema import ROW_KIND as _RK
+
+            df = prepare_cross_partition_batch(df.sparkSession, df, self.path, self.schema)
+            row_kind_col = _RK
         if self.is_primary_key_table() and self.schema.num_buckets() == -1:
             # dynamic bucket mode (S18): key→bucket via persistent index
             from flink_table_store_spark.operators.dynamic_bucket import assign_buckets
