@@ -1,0 +1,103 @@
+"""Physical-plan shape audits — the .explain() evidence that the
+engine's scans stay pushdown-friendly and shuffle-lean (SURVEY §4):
+
+- residual predicates reach the parquet scan (PushedFilters),
+- column pruning reaches the scan (ReadSchema),
+- merge-on-read costs exactly ONE exchange (the key shuffle) with a
+  map-side partial aggregate,
+- lookup joins broadcast the dim side (no big-side shuffle).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+
+from pyspark.sql import functions as F
+
+from flink_table_store_spark import predicate as P
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def _plan(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_scan_pushdown_and_pruning(spark, warehouse):
+    li = spark.read.parquet(os.path.join(SF, "lineitem.parquet"))
+    t = warehouse.create_table("db.li", li.schema, partition_keys=["l_returnflag"])
+    t.write(li)
+
+    df = t.to_df(
+        spark,
+        predicate=P.and_(P.equal("l_returnflag", "R"), P.greater_than("l_quantity", 40.0)),
+        projection=["l_orderkey", "l_quantity"],
+    )
+    plan = _plan(df)
+    # non-partition residual filter pushed into the parquet reader
+    assert "PushedFilters" in plan and "l_quantity" in plan.split("PushedFilters")[1][:200]
+    # only the projected + filter columns are read, not all 11
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+    # partition predicate resolved at plan time: only the R partition's
+    # files are in the scan at all
+    assert df.count() == li.where((F.col("l_returnflag") == "R") & (F.col("l_quantity") > 40)).count()
+
+
+def test_merge_on_read_single_shuffle(spark, warehouse):
+    nation = spark.read.parquet(os.path.join(SF, "nation.parquet"))
+    t = warehouse.create_table(
+        "db.nat", nation.schema, primary_keys=["n_nationkey"], options={"bucket": "2"}
+    )
+    t.write(nation)
+    t.write(nation.withColumn("n_name", F.upper("n_name")))
+    t = t.refresh()
+
+    # simple mode prints each operator once — countable
+    plan = _plan(t.to_df(spark), mode="simple")
+    # exactly one exchange: the merge keyed on the PK. More would mean
+    # the merge view re-shuffles; zero would mean no merge happened.
+    assert plan.count("Exchange") == 1
+    # partial (map-side) combine before that exchange
+    formatted = _plan(t.to_df(spark))
+    assert "partial_max_by" in formatted or "partial_min_by" in formatted
+
+
+def test_post_compaction_no_shuffle(spark, warehouse):
+    nation = spark.read.parquet(os.path.join(SF, "nation.parquet"))
+    t = warehouse.create_table(
+        "db.nat2", nation.schema, primary_keys=["n_nationkey"], options={"bucket": "2"}
+    )
+    t.write(nation)
+    t.write(nation.withColumn("n_name", F.upper("n_name")))
+    t = t.refresh()
+    t.compact(spark, full=True)
+    t = t.refresh()
+    # single compacted run per bucket → rawConvertible read, no merge,
+    # no exchange at all
+    plan = _plan(t.to_df(spark), mode="simple")
+    assert "Exchange" not in plan
+
+
+def test_lookup_join_broadcasts_dim(spark, warehouse):
+    from flink_table_store_spark.operators.lookup import lookup_join
+
+    nation = spark.read.parquet(os.path.join(SF, "nation.parquet"))
+    t = warehouse.create_table(
+        "db.nat3", nation.schema, primary_keys=["n_nationkey"], options={"bucket": "2"}
+    )
+    t.write(nation)
+    t = t.refresh()
+    facts = spark.read.parquet(os.path.join(SF, "supplier.parquet")).select(
+        "s_suppkey", F.col("s_nationkey").alias("n_nationkey")
+    )
+    plan = _plan(lookup_join(spark, facts, t, on="n_nationkey"))
+    assert "BroadcastHashJoin" in plan
+    # the fact side must NOT be exchanged for the join (broadcast only)
+    assert "Exchange hashpartitioning(n_nationkey" not in plan
