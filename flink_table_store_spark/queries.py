@@ -1448,6 +1448,46 @@ QUERIES: dict[str, tuple] = {
     "sql_surface_join": (sql_surface_join, SQL_SURFACE_SQL),
 }
 
+def cross_partition_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 cross-partition PK update: customers partitioned by segment,
+    keyed by custkey only; every 7th key moves to a new segment. The
+    global key index must retract the old-partition row."""
+    cat = _wh(sf_dir)
+    cust = _t(spark, sf_dir, "customer")
+    t = cat.create_table(
+        "default.cust_xp",
+        cust.schema,
+        partition_keys=["c_mktsegment"],
+        primary_keys=["c_custkey"],
+        options={"bucket": "4", "cross-partition-update": "true"},
+        ignore_if_exists=True,
+    )
+    latest = t.snapshots.latest_id() or 0
+    if latest < 2:
+        if latest < 1:
+            t.write(cust)
+        t.write(
+            cust.where(F.col("c_custkey") % 7 == 0).withColumn(
+                "c_mktsegment", F.lit("MOVED")
+            )
+        )
+        t = t.refresh()
+    return (
+        t.to_df(spark)
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+CROSS_PARTITION_SQL = """
+SELECT c_custkey, c_name,
+       CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment END AS c_mktsegment
+FROM customer
+ORDER BY c_custkey
+"""
+
+QUERIES["cross_partition_update"] = (cross_partition_update, CROSS_PARTITION_SQL)
+
 from flink_table_store_spark.queries_extra import EXTRA_QUERIES  # noqa: E402
 
 QUERIES.update(EXTRA_QUERIES)
