@@ -753,6 +753,61 @@ def text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality score + language ID, fully oracle-checked (the heuristic
+    is pure regex arithmetic, so DuckDB can reproduce it bit-for-bit;
+    the xxhash64 fingerprint variant stays in text_quality_lang)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.quality_score("text").alias("quality"),
+        TX.lang_id("text").alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+def _sql_stop_hits(lang_words: list[str]) -> str:
+    terms = [
+        f"CAST(regexp_matches(lower(text), '\\b{w}\\b') AS INT)" for w in lang_words
+    ]
+    return " + ".join(terms)
+
+
+TEXT_QUALITY_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS n_tokens,
+         {_sql_stop_hits(['the', 'and', 'of', 'to', 'in', 'is', 'that', 'for', 'with', 'was'])} AS hits_en,
+         {_sql_stop_hits(['der', 'die', 'und', 'das', 'ist', 'nicht', 'ein', 'mit', 'von', 'zu'])} AS hits_de,
+         {_sql_stop_hits(['le', 'la', 'les', 'et', 'de', 'des', 'un', 'une', 'est', 'dans'])} AS hits_fr,
+         {_sql_stop_hits(['el', 'la', 'los', 'de', 'que', 'y', 'en', 'un', 'una', 'es'])} AS hits_es
+  FROM documents),
+ratios AS (
+  SELECT doc_id,
+         CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END AS mean_word_len,
+         hits_en, hits_de, hits_fr, hits_es
+  FROM base)
+SELECT doc_id,
+       round(0.35 * alpha_ratio
+             + 0.25 * (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 12 THEN 1.0 ELSE 0.0 END)
+             + 0.25 * (CASE WHEN hits_en >= 2 THEN 1.0 ELSE CAST(hits_en AS DOUBLE) / 2.0 END)
+             + 0.15 * (1.0 - least(punct_ratio * 5, 1.0)), 4) AS quality,
+       CASE
+         WHEN hits_en = 0 AND hits_de = 0 AND hits_fr = 0 AND hits_es = 0 THEN 'und'
+         WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
+         WHEN hits_de > hits_en AND hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+         WHEN hits_fr > hits_en AND hits_fr > hits_de AND hits_fr >= hits_es THEN 'fr'
+         ELSE 'es'
+       END AS lang_pred
+FROM ratios ORDER BY doc_id
+"""
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return DD.exact_dedup(docs).select("doc_id").orderBy("doc_id")
@@ -1421,6 +1476,7 @@ QUERIES: dict[str, tuple] = {
     "events_latest_per_user": (events_latest_per_user, EVENTS_LATEST_SQL),
     "text_token_stats": (text_token_stats, TEXT_TOKEN_SQL),
     "text_quality_lang": (text_quality_lang, None),
+    "text_quality_score": (text_quality_score, TEXT_QUALITY_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash": (dedup_minhash, None),
     "dedup_simhash": (dedup_simhash, None),
