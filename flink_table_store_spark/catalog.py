@@ -101,9 +101,79 @@ class Catalog:
 
     def read_system(self, spark, identifier: str):
         """Resolve ``db.t$snapshots``-style names to a metadata DataFrame
-        (SystemTableLoader name-suffix convention)."""
+        (SystemTableLoader name-suffix convention). Catalog-global
+        tables live in the ``sys`` database (SystemTableLoader.loadGlobal:
+        ``sys.tables``, ``sys.catalog_options``, ``sys.all_table_options``,
+        ``sys.all_partitions``)."""
+        if identifier.startswith("sys."):
+            return self._read_global_system(spark, identifier[len("sys."):])
         base, _, sys_name = identifier.partition("$")
         return self.get_table(base).system_table(spark, sys_name)
+
+    def _read_global_system(self, spark, name: str):
+        import json as _json
+
+        if name == "catalog_options":
+            return spark.createDataFrame(
+                [("warehouse", self.warehouse)], "key string, value string"
+            )
+        pairs = [
+            (db, tbl)
+            for db in self.list_databases()
+            for tbl in self.list_tables(db)
+        ]
+        if name == "tables":
+            rows = []
+            for db, tbl in pairs:
+                t = self.get_table(f"{db}.{tbl}")
+                rows.append(
+                    (
+                        db,
+                        tbl,
+                        t.path,
+                        ",".join(t.schema.partition_keys),
+                        ",".join(t.schema.primary_keys),
+                    )
+                )
+            return spark.createDataFrame(
+                rows,
+                "database string, table_name string, path string, "
+                "partition_keys string, primary_keys string",
+            )
+        if name == "all_table_options":
+            rows = [
+                (db, tbl, k, v)
+                for db, tbl in pairs
+                for k, v in sorted(self.get_table(f"{db}.{tbl}").schema.options.items())
+            ]
+            return spark.createDataFrame(
+                rows, "database string, table_name string, key string, value string"
+            )
+        if name == "all_partitions":
+            rows = []
+            for db, tbl in pairs:
+                t = self.get_table(f"{db}.{tbl}")
+                snap = t.snapshots.latest()
+                if snap is None:
+                    continue
+                agg: dict[str, list[int]] = {}
+                for e in t.manifests.read_live_entries(
+                    snap.base_manifest_list, snap.delta_manifest_list
+                ):
+                    cur = agg.setdefault(_json.dumps(e.partition, sort_keys=True), [0, 0, 0])
+                    cur[0] += e.row_count
+                    cur[1] += e.file_size
+                    cur[2] += 1
+                rows.extend((db, tbl, k, *v) for k, v in sorted(agg.items()))
+            return spark.createDataFrame(
+                rows,
+                "database string, table_name string, partition string, "
+                "record_count bigint, file_size_in_bytes bigint, file_count bigint",
+            )
+        raise ValueError(
+            f"unknown global system table sys.{name} "
+            "(have tables, catalog_options, all_table_options, all_partitions)"
+        )
 
     def drop_table(self, identifier: str, ignore_if_not_exists: bool = True) -> None:
         path = self.table_path(identifier)

@@ -24,6 +24,7 @@ if TYPE_CHECKING:
     from flink_table_store_spark.table import Table
 
 SYSTEM_TABLES = (
+    "aggregation_fields",
     "snapshots",
     "schemas",
     "options",
@@ -35,6 +36,8 @@ SYSTEM_TABLES = (
     "branches",
     "consumers",
     "audit_log",
+    "binlog",
+    "indexes",
     "ro",
     "statistics",
 )
@@ -244,8 +247,29 @@ def _indexes(spark: SparkSession, t: "Table") -> DataFrame:
     )
 
 
+def _aggregation_fields(spark: SparkSession, t: "Table") -> DataFrame:
+    """Per-field aggregate config of the aggregation merge engine
+    (AggregationFieldsTable.java): fields.<f>.aggregate-function plus
+    its fields.<f>.<fn>.* options."""
+    opts = t.schema.options
+    rows = []
+    for f in t.schema.fields:
+        fn = opts.get(f"fields.{f.name}.aggregate-function")
+        prefix = f"fields.{f.name}."
+        extra = {
+            k[len(prefix):]: v
+            for k, v in opts.items()
+            if k.startswith(prefix) and not k.endswith("aggregate-function")
+        }
+        rows.append((f.name, f.type, fn, json.dumps(extra, sort_keys=True)))
+    return spark.createDataFrame(
+        rows, "field_name string, field_type string, function string, function_options string"
+    )
+
+
 _LOADERS = {
     "snapshots": _snapshots,
+    "aggregation_fields": _aggregation_fields,
     "indexes": _indexes,
     "binlog": _binlog,
     "schemas": _schemas,

@@ -30,6 +30,13 @@ STARTUP_MODES = (
     "from-snapshot",   # deltas starting at a given snapshot id
     "from-snapshot-full",  # full read AT the snapshot, then deltas
     "from-timestamp",  # deltas starting after a commit timestamp
+    # first batch = snapshot at the creation ts if within the snapshot
+    # range, else fall back to file-creation-time filtering
+    # (CoreOptions.java StartupMode.FROM_CREATION_TIMESTAMP)
+    "from-creation-timestamp",
+    # first batch = latest snapshot with data files filtered by their
+    # creation time, then deltas (StartupMode.FROM_FILE_CREATION_TIME)
+    "from-file-creation-time",
 )
 
 
@@ -68,6 +75,7 @@ class SnapshotStream:
         self.max_rows = max_rows_per_batch
         self._next: int | None = None  # next snapshot id to read
         self._first_full: int | None = None  # snapshot to full-scan first
+        self._file_ts: int | None = None  # file creation-time floor for the first batch
 
     # --- startup resolution (StartingScanner variants) ---
 
@@ -99,6 +107,22 @@ class SnapshotStream:
         elif self.mode == "from-timestamp":
             snap = sm.for_timestamp(int(self.from_timestamp))
             self._next = (snap.id if snap else 0) + 1
+        elif self.mode in ("from-creation-timestamp", "from-file-creation-time"):
+            ts = int(self.from_timestamp)
+            earliest = sm.earliest_id()
+            if self.mode == "from-creation-timestamp" and latest and earliest:
+                lo, hi = sm.load(earliest).time_millis, sm.load(latest).time_millis
+                if lo <= ts <= hi:
+                    # from-snapshot at the first snapshot committed at/after ts
+                    start = next(
+                        sid for sid in sm.snapshot_ids() if sm.load(sid).time_millis >= ts
+                    )
+                    self._next = start
+                    return
+            # file-creation-time path: full snapshot filtered by file creation
+            self._file_ts = ts
+            self._first_full = latest if latest else None
+            self._next = latest + 1
 
     def _delta_dfs(self, spark: SparkSession, snapshot_id: int) -> list[DataFrame]:
         """One snapshot's delta as DataFrames (DeltaFollowUpScanner:
@@ -160,14 +184,42 @@ class SnapshotStream:
 
         return lookup_changelog(spark, t, snapshot_id)
 
+    def _file_filtered_full(self, spark: SparkSession, snapshot_id: int) -> DataFrame | None:
+        """FROM_FILE_CREATION_TIME first batch: the snapshot's live files
+        with creation time >= the floor (CoreOptions.java:3439-3442 —
+        'consumes a snapshot and filters the data files by creation
+        time'). File-level filtering is the documented semantics even on
+        PK tables (recent files only, no historic merge)."""
+        t = self.table
+        snap = t.snapshots.load(snapshot_id)
+        entries = [
+            e
+            for e in t.manifests.read_live_entries(
+                snap.base_manifest_list, snap.delta_manifest_list
+            )
+            if e.creation_time >= self._file_ts
+        ]
+        if not entries:
+            return None
+        plan = (
+            read_mod.ScanPlan(merge_entries=entries)
+            if t.is_primary_key_table()
+            else read_mod.ScanPlan(raw_entries=entries)
+        )
+        return read_mod.build_dataframe(spark, t.path, plan, t.schema, t.all_schemas())
+
     def poll(self, spark: SparkSession) -> list[tuple[int, DataFrame]]:
         """All pending batches; advances (and persists) the cursor."""
         if self._next is None:
             self._resolve_start()
         out: list[tuple[int, DataFrame]] = []
         if self._first_full is not None:
-            df = self.table.to_df(spark, snapshot_id=self._first_full)
-            out.append((self._first_full, df))
+            if self._file_ts is not None:
+                df = self._file_filtered_full(spark, self._first_full)
+            else:
+                df = self.table.to_df(spark, snapshot_id=self._first_full)
+            if df is not None:
+                out.append((self._first_full, df))
             self._first_full = None
         latest = self.table.snapshots.latest_id() or 0
         while self._next <= latest:

@@ -235,3 +235,38 @@ def test_source_changelog_scan_mode(spark, pk_table):
     assert len(batches) == 1
     rows = {(r.rowkind, r.k, r.v) for r in batches[0][1].collect()}
     assert rows == {("-U", 1, "a"), ("+U", 1, "a2"), ("+I", 3, "c")}
+
+
+def test_source_from_creation_timestamp_modes(spark, pk_table):
+    import time
+
+    pk_table.write(_batch(spark, [(1, "a")]))
+    mid_ts = pk_table.snapshots.load(1).time_millis
+    time.sleep(0.01)
+    pk_table.write(_batch(spark, [(2, "b")]))
+
+    # ts within [earliest, latest] commit range -> from-snapshot at the
+    # first snapshot committed at/after ts (CoreOptions.java:3432-3437)
+    s = SnapshotStream(
+        pk_table, startup_mode="from-creation-timestamp", from_timestamp=mid_ts
+    )
+    ids = [sid for sid, _df in s.poll(spark)]
+    assert ids == [1, 2]
+
+    # ts after the latest commit -> file-creation-time fallback: only
+    # files created at/after ts appear in the first batch
+    future = pk_table.snapshots.load(2).time_millis + 10_000
+    s2 = SnapshotStream(
+        pk_table, startup_mode="from-file-creation-time", from_timestamp=future
+    )
+    assert s2.poll(spark) == []  # no file that recent, no deltas yet
+
+    # data files are written before their snapshot commit stamp, so the
+    # floor sits after snapshot 1's commit (file 1 predates it)
+    cutoff = mid_ts + 1
+    s3 = SnapshotStream(
+        pk_table, startup_mode="from-file-creation-time", from_timestamp=cutoff
+    )
+    batches = s3.poll(spark)
+    assert len(batches) == 1
+    assert {r.k for r in batches[0][1].collect()} == {2}

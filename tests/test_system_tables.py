@@ -91,3 +91,41 @@ def test_binlog_system_table(spark, warehouse):
     assert step[1].op == "U"
     assert [x.v for x in step[1].before_image] == ["a"]
     assert [x.v for x in step[1].after_image] == ["a2"]
+
+
+def test_aggregation_fields_table(spark, warehouse):
+    t = warehouse.create_table(
+        "db.aggf",
+        "k bigint, total double, last_v string",
+        primary_keys=["k"],
+        options={
+            "bucket": "1",
+            "merge-engine": "aggregation",
+            "fields.total.aggregate-function": "sum",
+            "fields.last_v.aggregate-function": "last_non_null_value",
+            "fields.last_v.ignore-retract": "true",
+        },
+    )
+    rows = {r.field_name: r for r in t.system_table(spark, "aggregation_fields").collect()}
+    assert rows["total"].function == "sum"
+    assert rows["last_v"].function == "last_non_null_value"
+    assert json.loads(rows["last_v"].function_options) == {"ignore-retract": "true"}
+    assert rows["k"].function is None
+
+
+def test_global_system_tables(spark, warehouse, t):
+    tables = warehouse.read_system(spark, "sys.tables")
+    mine = [r for r in tables.collect() if r.table_name == "sys"]
+    assert len(mine) == 1 and mine[0].database == "db"
+    assert mine[0].partition_keys == "pt"
+
+    opts = warehouse.read_system(spark, "sys.all_table_options")
+    assert {"database", "table_name", "key", "value"} == set(opts.columns)
+
+    cat_opts = {r.key: r.value for r in warehouse.read_system(spark, "sys.catalog_options").collect()}
+    assert "warehouse" in cat_opts
+
+    parts = warehouse.read_system(spark, "sys.all_partitions")
+    my_parts = [r for r in parts.collect() if r.table_name == "sys"]
+    assert {json.loads(r.partition)["pt"] for r in my_parts} == {"u0", "u1"}
+    assert sum(r.record_count for r in my_parts) == 21
