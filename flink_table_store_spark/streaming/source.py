@@ -24,6 +24,7 @@ from flink_table_store_spark import read as read_mod
 from flink_table_store_spark.snapshot import COMMIT_COMPACT
 
 STARTUP_MODES = (
+    "default",      # alias of latest-full (CoreOptions StartupMode.DEFAULT)
     "latest-full",  # first batch = full table, then deltas (default)
     "latest",       # only snapshots committed after the stream starts
     "compacted-full",  # full read from the latest COMPACT snapshot, then deltas
@@ -37,6 +38,9 @@ STARTUP_MODES = (
     # first batch = latest snapshot with data files filtered by their
     # creation time, then deltas (StartupMode.FROM_FILE_CREATION_TIME)
     "from-file-creation-time",
+    # bounded read of (from_snapshot, until_snapshot], then the stream
+    # is exhausted (StartupMode.INCREMENTAL)
+    "incremental",
 )
 
 
@@ -55,6 +59,7 @@ class SnapshotStream:
         from_snapshot: int | None = None,
         from_timestamp: int | None = None,
         consumer_id: str | None = None,
+        until_snapshot: int | None = None,
         scan: str = "delta",
         max_files_per_batch: int | None = None,
         max_rows_per_batch: int | None = None,
@@ -68,6 +73,7 @@ class SnapshotStream:
         self.from_snapshot = from_snapshot
         self.from_timestamp = from_timestamp
         self.consumer_id = consumer_id
+        self.until = until_snapshot  # INCREMENTAL upper bound (inclusive)
         self.scan = scan  # T3 ScanMode: DELTA rows vs CHANGELOG rows
         # S13 ReadLimit.maxFiles/maxRows (PaimonMicroBatchStream.scala:60-78):
         # one snapshot's delta may be split into several sub-batches
@@ -87,7 +93,9 @@ class SnapshotStream:
                 self._next = resumed
                 return
         latest = sm.latest_id() or 0
-        if self.mode == "latest-full":
+        if self.mode == "incremental":
+            self._next = int(self.from_snapshot) + 1
+        elif self.mode in ("default", "latest-full"):
             self._first_full = latest if latest else None
             self._next = latest + 1
         elif self.mode == "latest":
@@ -222,6 +230,8 @@ class SnapshotStream:
                 out.append((self._first_full, df))
             self._first_full = None
         latest = self.table.snapshots.latest_id() or 0
+        if self.until is not None:
+            latest = min(latest, self.until)
         while self._next <= latest:
             for df in self._delta_dfs(spark, self._next):
                 out.append((self._next, df))

@@ -270,3 +270,18 @@ def test_source_from_creation_timestamp_modes(spark, pk_table):
     batches = s3.poll(spark)
     assert len(batches) == 1
     assert {r.k for r in batches[0][1].collect()} == {2}
+
+
+def test_source_incremental_and_default_modes(spark, pk_table):
+    for i in range(4):
+        pk_table.write(_batch(spark, [(i, f"v{i}")]))
+    s = SnapshotStream(
+        pk_table, startup_mode="incremental", from_snapshot=1, until_snapshot=3
+    )
+    ids = [sid for sid, _df in s.poll(spark)]
+    assert ids == [2, 3]
+    assert s.poll(spark) == []  # bounded: snapshot 4 is past the end
+
+    d = SnapshotStream(pk_table, startup_mode="default")
+    first = d.poll(spark)
+    assert first[0][0] == 4 and first[0][1].count() == 4
