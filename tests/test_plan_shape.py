@@ -101,3 +101,17 @@ def test_lookup_join_broadcasts_dim(spark, warehouse):
     assert "BroadcastHashJoin" in plan
     # the fact side must NOT be exchanged for the join (broadcast only)
     assert "Exchange hashpartitioning(n_nationkey" not in plan
+
+
+def test_minhash_signatures_single_shuffle(spark):
+    """The signature stage is explode → ONE groupBy with 64 min-aggs:
+    map-side partial_min combines before the single exchange, so the
+    shuffle carries one row per (doc, 64 longs), not one per shingle."""
+    from flink_table_store_spark.datapipe.dedup import minhash_signatures
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    sig = minhash_signatures(docs)
+    simple = _plan(sig, mode="simple")
+    assert simple.count("Exchange") == 1
+    formatted = _plan(sig)
+    assert "partial_min" in formatted
