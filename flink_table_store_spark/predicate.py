@@ -68,6 +68,21 @@ class Leaf(Predicate):
             return None, None, None
         return s.get("min"), s.get("max"), s.get("nulls", 0)
 
+    def _bloom_test(self, stats: dict[str, dict[str, Any]], lit_idx: int) -> bool:
+        """Consult the file's embedded bloom index for literal #lit_idx,
+        when plan-time positions were attached (fileindex.
+        attach_bloom_positions) and the file's bitset was built with the
+        same size m. True = might contain (never wrongly prunes)."""
+        positions = getattr(self, "bloom_positions", None)
+        if not positions:
+            return True
+        bloom = (stats.get(self.field) or {}).get("bloom")
+        if not bloom or bloom.get("m") != getattr(self, "bloom_m", None):
+            return True
+        from flink_table_store_spark.fileindex import might_contain
+
+        return might_contain(bloom, positions[lit_idx])
+
     def test(self, stats: dict[str, dict[str, Any]], row_count: int) -> bool:
         mn, mx, nulls = self._mm(stats)
         op, lits = self.op, tuple(_norm(x) for x in self.literals)
@@ -79,7 +94,7 @@ class Leaf(Predicate):
             return True  # no stats → can't prune
         try:
             if op == "=":
-                return mn <= lits[0] <= mx
+                return mn <= lits[0] <= mx and self._bloom_test(stats, 0)
             if op == "<>":
                 return not (mn == mx == lits[0])
             if op == "<":
@@ -91,7 +106,10 @@ class Leaf(Predicate):
             if op == ">=":
                 return mx >= lits[0]
             if op == "in":
-                return any(mn <= v <= mx for v in lits)
+                return any(
+                    mn <= v <= mx and self._bloom_test(stats, i)
+                    for i, v in enumerate(lits)
+                )
             if op == "not_in":
                 return not (mn == mx and mn in lits)
             if op == "between":

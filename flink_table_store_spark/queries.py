@@ -1033,6 +1033,42 @@ ORDER BY l_orderkey, l_linenumber
 """
 
 
+def bloom_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedded bloom file index (P9): point predicate on a bloom-indexed
+    high-cardinality column plans only the files whose bitset matches;
+    result must equal the plain filter (oracle)."""
+    cat = _wh(sf_dir)
+    ident = "default.orders_bloom"
+    orders = _t(spark, sf_dir, "orders")
+    t = cat.create_table(
+        ident,
+        orders.schema,
+        options={
+            "file-index.bloom-filter.columns": "o_custkey",
+            "file-index.bloom-filter.items": "5000",
+        },
+        ignore_if_exists=True,
+    )
+    if not t.snapshots.latest_id():
+        # several commits -> several files, each carrying its own bitset
+        for b in range(4):
+            t.write(orders.where(F.col("o_orderkey") % 4 == b))
+        t = t.refresh()
+    cust = orders.orderBy("o_orderkey").select("o_custkey").first()[0]
+    return (
+        t.to_df(spark, predicate=P.equal("o_custkey", int(cust)))
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+BLOOM_INDEX_SQL = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+WHERE o_custkey = (SELECT o_custkey FROM orders ORDER BY o_orderkey LIMIT 1)
+ORDER BY o_orderkey
+"""
+
+
 def dv_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELETE via deletion vectors (P10) — no file rewrite — then read."""
     cat = _wh(sf_dir)
@@ -1489,6 +1525,7 @@ QUERIES: dict[str, tuple] = {
     "multimodal_decode_stub": (multimodal_decode_stub, None),
     "topn_pushdown": (topn_pushdown, TOPN_SQL),
     "zorder_cluster_read": (zorder_cluster_read, ZORDER_SQL),
+    "bloom_index_scan": (bloom_index_scan, BLOOM_INDEX_SQL),
     "dv_delete_read": (dv_delete_read, DV_DELETE_SQL),
     "sys_partitions": (sys_partitions, SYS_PARTITIONS_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),

@@ -145,6 +145,12 @@ class ReadBuilder:
             entries = t.manifests.read_live_entries(
                 snap.base_manifest_list, snap.delta_manifest_list
             )
+            if self._predicate is not None:
+                from flink_table_store_spark import fileindex
+
+                # =/IN literals over bloom-indexed columns get their
+                # plan-time positions so manifest pruning can skip files
+                fileindex.attach_bloom_positions(spark, self._predicate, t.schema)
             plan = read_mod.plan_scan(entries, t.schema, self._predicate, self._limit)
         if (
             self._topn is not None

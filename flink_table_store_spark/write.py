@@ -28,6 +28,7 @@ import uuid
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from flink_table_store_spark import fileindex
 from flink_table_store_spark.manifest import KIND_ADD, ManifestEntry, collect_parquet_stats
 from flink_table_store_spark.schema import (
     KIND_INSERT,
@@ -137,13 +138,31 @@ def stage_and_collect(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(staging)
 
-    entries = _collect_staged(staging, table_path, schema, target_level)
+    # embedded bloom file index (P9): one distributed pass over the
+    # staged files per indexed column; the driver folds the bitsets into
+    # the manifest entries (the same hop that carries file stats)
+    blooms: dict = {}
+    idx_cols = [
+        c
+        for c in fileindex.bloom_columns(schema.options)
+        if c not in schema.partition_keys
+    ]
+    if idx_cols:
+        blooms = fileindex.build_blooms(
+            df.sparkSession, staging, idx_cols, fileindex.bloom_bits(schema.options)
+        )
+
+    entries = _collect_staged(staging, table_path, schema, target_level, blooms)
     shutil.rmtree(staging, ignore_errors=True)
     return entries
 
 
 def _collect_staged(
-    staging: str, table_path: str, schema: TableSchema, level: int
+    staging: str,
+    table_path: str,
+    schema: TableSchema,
+    level: int,
+    blooms: dict | None = None,
 ) -> list[ManifestEntry]:
     data_root = os.path.join(table_path, DATA_DIR)
     entries: list[ManifestEntry] = []
@@ -158,6 +177,8 @@ def _collect_staged(
             row_count, _size, stats = collect_parquet_stats(src)
             if row_count == 0:
                 continue
+            for col, bloom in (blooms or {}).get(os.path.abspath(src), {}).items():
+                stats.setdefault(col, {"min": None, "max": None, "nulls": 0})["bloom"] = bloom
             new_name = f"data-{uuid.uuid4().hex}.parquet"
             rel_parts = [] if rel_dir == "." else rel_dir.split(os.sep)
             dest_dir = os.path.join(data_root, *rel_parts)
