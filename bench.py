@@ -108,6 +108,32 @@ def main() -> None:
             .collect()
         )
 
+    # --- bloom file index: point query over a bloom-indexed column ---------
+    t_bloom = cat.create_table(
+        "bench.orders_bloom",
+        orders.schema,
+        options={
+            "file-index.bloom-filter.columns": "o_custkey",
+            "file-index.bloom-filter.items": "20000",
+        },
+        ignore_if_exists=True,
+    )
+
+    @timed("bloom_write")
+    def _bw():
+        for b in range(4):  # 4 commits -> several files, each with a bitset
+            t_bloom.write(orders.where(F.col("o_orderkey") % 4 == b))
+
+    probe_key = int(orders.orderBy("o_orderkey").select("o_custkey").first()[0])
+    t_bloom_r = t_bloom.refresh()
+
+    @timed("bloom_point_query")
+    def _bq():
+        for _ in range(5):
+            t_bloom_r.to_df(
+                spark, predicate=P.equal("o_custkey", probe_key)
+            ).agg(F.count(F.lit(1)), F.sum("o_totalprice")).collect()
+
     # --- PK upsert benches (q1-shaped workload: wide rows, random-ish PK,
     # mostly-insert stream — the cluster benchmark's q1 shape) -------------
     t_pk = cat.create_table(

@@ -37,12 +37,19 @@ from pyspark.sql import types as T
 
 BLOOM_COLUMNS_OPTION = "file-index.bloom-filter.columns"
 BLOOM_ITEMS_OPTION = "file-index.bloom-filter.items"
+BITMAP_COLUMNS_OPTION = "file-index.bitmap.columns"
+BITMAP_MAX_VALUES = 128  # beyond this the per-file set is dropped (overflow)
 DEFAULT_ITEMS = 10_000
 K = 7  # hash count — ~1% FPR at 10 bits/item
 
 
 def bloom_columns(options: dict[str, str]) -> list[str]:
     raw = options.get(BLOOM_COLUMNS_OPTION, "")
+    return [c.strip() for c in raw.split(",") if c.strip()]
+
+
+def bitmap_columns(options: dict[str, str]) -> list[str]:
+    raw = options.get(BITMAP_COLUMNS_OPTION, "")
     return [c.strip() for c in raw.split(",") if c.strip()]
 
 
@@ -84,19 +91,69 @@ def build_blooms(
                 bits[p >> 3] |= 1 << (p & 7)
             path = urllib.parse.urlparse(r["__f"]).path or r["__f"]
             out.setdefault(path, {})[c] = {
-                "m": m,
-                "k": K,
-                "bits": base64.b64encode(bytes(bits)).decode("ascii"),
+                "bloom": {
+                    "m": m,
+                    "k": K,
+                    "bits": base64.b64encode(bytes(bits)).decode("ascii"),
+                }
             }
+    return out
+
+
+def build_value_sets(
+    spark: SparkSession, staging: str, cols: list[str]
+) -> dict[str, dict[str, list]]:
+    """{staged-file-abs-path: {col: sorted distinct values}} — the exact
+    file-level projection of the reference's bitmap index
+    (fileindex/bitmap/BitmapFileIndexFactory.java:29): for a
+    low-cardinality column the per-file distinct set decides =/IN/<>/
+    NOT IN pruning exactly, no false positives. Files whose set exceeds
+    BITMAP_MAX_VALUES record nothing (never pruned). One distributed
+    pass per indexed column over the staged files."""
+    if not cols:
+        return {}
+    df = spark.read.parquet(staging)
+    out: dict[str, dict[str, list]] = {}
+    for c in cols:
+        if c not in df.columns:
+            continue
+        rows = (
+            df.where(F.col(c).isNotNull())
+            .groupBy(F.col("_metadata.file_path").alias("__f"))
+            .agg(F.slice(F.collect_set(c), 1, BITMAP_MAX_VALUES + 1).alias("__vs"))
+            .collect()
+        )
+        for r in rows:
+            vals = r["__vs"]
+            if len(vals) > BITMAP_MAX_VALUES:
+                continue  # overflow: no index for this (file, col)
+            path = urllib.parse.urlparse(r["__f"]).path or r["__f"]
+            out.setdefault(path, {})[c] = sorted(vals, key=lambda v: (str(type(v)), v))
     return out
 
 
 def literal_positions(
     spark: SparkSession, value: Any, ddl_type: str, m: int
 ) -> list[int]:
-    """The K bloom positions of one literal, hashed by Spark itself with
-    the column's exact type (xxhash64 output differs by physical type,
-    so the literal must be cast to the stored column's type)."""
+    """The K bloom positions of one literal. Hashing must agree bit-for-
+    bit with the executor-side ``xxhash64(col, i)`` (output differs by
+    physical type, so the literal is treated as the stored column's
+    type). Common types hash in pure Python (xxh64.py, property-tested
+    against Spark); anything else pays one tiny local Spark job."""
+    from flink_table_store_spark.xxh64 import spark_xxhash64
+
+    positions = []
+    for i in range(K):
+        h = spark_xxhash64([(value, ddl_type), (i, "int")])
+        if h is None:
+            return _literal_positions_via_spark(spark, value, ddl_type, m)
+        positions.append(h % m)
+    return positions
+
+
+def _literal_positions_via_spark(
+    spark: SparkSession, value: Any, ddl_type: str, m: int
+) -> list[int]:
     schema = T.StructType([T.StructField("v", T._parse_datatype_string(ddl_type))])
     row = spark.createDataFrame([(value,)], schema)
     got = row.select(F.array(*_position_cols(F.col("v"), m)).alias("p")).head()

@@ -90,6 +90,18 @@ class Leaf(Predicate):
             return nulls is None or nulls > 0 or mn is None
         if op == "is_not_null":
             return not (nulls is not None and row_count > 0 and nulls >= row_count)
+        # exact per-file distinct-value set (bitmap file index) decides
+        # =/IN/<>/NOT IN with no false positives when present
+        vals = (stats.get(self.field) or {}).get("values")
+        if vals is not None:
+            if op == "=":
+                return lits[0] in vals and self._bloom_test(stats, 0)
+            if op == "in":
+                return any(v in vals for v in lits)
+            if op == "<>":
+                return any(v != lits[0] for v in vals) or not vals
+            if op == "not_in":
+                return any(v not in lits for v in vals) or not vals
         if mn is None or mx is None:
             return True  # no stats → can't prune
         try:

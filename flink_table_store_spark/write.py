@@ -141,18 +141,30 @@ def stage_and_collect(
     # embedded bloom file index (P9): one distributed pass over the
     # staged files per indexed column; the driver folds the bitsets into
     # the manifest entries (the same hop that carries file stats)
-    blooms: dict = {}
+    indexes: dict = {}
     idx_cols = [
         c
         for c in fileindex.bloom_columns(schema.options)
         if c not in schema.partition_keys
     ]
     if idx_cols:
-        blooms = fileindex.build_blooms(
+        indexes = fileindex.build_blooms(
             df.sparkSession, staging, idx_cols, fileindex.bloom_bits(schema.options)
         )
+    bm_cols = [
+        c
+        for c in fileindex.bitmap_columns(schema.options)
+        if c not in schema.partition_keys
+    ]
+    if bm_cols:
+        for path, colvals in fileindex.build_value_sets(
+            df.sparkSession, staging, bm_cols
+        ).items():
+            slot = indexes.setdefault(path, {})
+            for c, vs in colvals.items():
+                slot.setdefault(c, {})["values"] = vs
 
-    entries = _collect_staged(staging, table_path, schema, target_level, blooms)
+    entries = _collect_staged(staging, table_path, schema, target_level, indexes)
     shutil.rmtree(staging, ignore_errors=True)
     return entries
 
@@ -162,7 +174,7 @@ def _collect_staged(
     table_path: str,
     schema: TableSchema,
     level: int,
-    blooms: dict | None = None,
+    indexes: dict | None = None,
 ) -> list[ManifestEntry]:
     data_root = os.path.join(table_path, DATA_DIR)
     entries: list[ManifestEntry] = []
@@ -177,8 +189,8 @@ def _collect_staged(
             row_count, _size, stats = collect_parquet_stats(src)
             if row_count == 0:
                 continue
-            for col, bloom in (blooms or {}).get(os.path.abspath(src), {}).items():
-                stats.setdefault(col, {"min": None, "max": None, "nulls": 0})["bloom"] = bloom
+            for col, idx in (indexes or {}).get(os.path.abspath(src), {}).items():
+                stats.setdefault(col, {"min": None, "max": None, "nulls": 0}).update(idx)
             new_name = f"data-{uuid.uuid4().hex}.parquet"
             rel_parts = [] if rel_dir == "." else rel_dir.split(os.sep)
             dest_dir = os.path.join(data_root, *rel_parts)

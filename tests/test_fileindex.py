@@ -84,3 +84,76 @@ def test_bloom_survives_compaction(spark, warehouse):
     pred = P.equal("v", "zz")
     fileindex.attach_bloom_positions(spark, pred, t.schema)
     assert t.to_df(spark, predicate=pred).count() == 1
+
+
+def test_python_xxh64_matches_spark(spark):
+    """Property check: the pure-Python xxh64 (used for plan-time literal
+    hashing) agrees with Spark's xxhash64 for every supported type."""
+    import datetime
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from flink_table_store_spark.xxh64 import spark_xxhash64
+
+    rng = random.Random(7)
+    cases = []
+    for _ in range(25):
+        cases.append((rng.randint(-(2**63), 2**63 - 1), "bigint"))
+        cases.append((rng.randint(-(2**31), 2**31 - 1), "int"))
+        cases.append((rng.randint(-(2**15), 2**15 - 1), "smallint"))
+    for s in ["", "a", "abc", "hello world", "x" * 7, "y" * 8, "z" * 31,
+              "w" * 32, "v" * 100, "ünïcodé ✓", "tab\tnl\n"]:
+        cases.append((s, "string"))
+    cases += [(True, "boolean"), (False, "boolean")]
+    for _ in range(10):
+        cases.append((rng.uniform(-1e9, 1e9), "double"))
+        cases.append(
+            (datetime.date(1970, 1, 1) + datetime.timedelta(days=rng.randint(-20000, 20000)), "date")
+        )
+    cases += [(0.0, "double"), (-0.0, "double")]
+
+    for value, ddl in cases:
+        schema = T.StructType([T.StructField("v", T._parse_datatype_string(ddl))])
+        expected = (
+            spark.createDataFrame([(value,)], schema)
+            .select(F.xxhash64("v").alias("h"), F.xxhash64("v", F.lit(3)).alias("h2"))
+            .head()
+        )
+        assert spark_xxhash64([(value, ddl)]) == expected.h, (value, ddl)
+        assert spark_xxhash64([(value, ddl), (3, "int")]) == expected.h2, (value, ddl)
+
+
+def test_bitmap_value_set_index(spark, warehouse):
+    t = warehouse.create_table(
+        "db.bitmap",
+        "id bigint, status string",
+        options={"file-index.bitmap.columns": "status"},
+    )
+    t.write(spark.createDataFrame([(1, "OPEN"), (2, "OPEN")], "id bigint, status string"))
+    t.write(spark.createDataFrame([(3, "CLOSED"), (4, "CLOSED")], "id bigint, status string"))
+    t.write(spark.createDataFrame([(5, "HOLD"), (6, "OPEN")], "id bigint, status string"))
+    t = t.refresh()
+    entries = _entries(t)
+    assert all("values" in (e.stats.get("status") or {}) for e in entries)
+    total = len(entries)
+
+    # exact pruning, no plan-time hashing needed
+    plan = read_mod.plan_scan(entries, t.schema, P.equal("status", "HOLD"))
+    assert plan.file_count() < total
+    assert {r.id for r in t.to_df(spark, predicate=P.equal("status", "HOLD")).collect()} == {5}
+
+    # <> prunes files whose whole value set is the literal
+    plan2 = read_mod.plan_scan(entries, t.schema, P.not_equal("status", "OPEN"))
+    assert plan2.file_count() < total
+    got = {r.id for r in t.to_df(spark, predicate=P.not_equal("status", "OPEN")).collect()}
+    assert got == {3, 4, 5}
+
+    # NOT IN covering a file's entire set prunes it
+    plan3 = read_mod.plan_scan(entries, t.schema, P.not_in("status", ["OPEN", "HOLD"]))
+    assert plan3.file_count() < total
+    got3 = {r.id for r in t.to_df(spark, predicate=P.not_in("status", ["OPEN", "HOLD"])).collect()}
+    assert got3 == {3, 4}
+
+    assert read_mod.plan_scan(entries, t.schema, P.equal("status", "GONE")).file_count() == 0
