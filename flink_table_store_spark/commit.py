@@ -46,6 +46,7 @@ class FileStoreCommit:
         watermark: int | None = None,
         next_sequence: int | None = None,
         dv_files: list[str] | None = None,
+        assign_row_ids: bool = False,
     ) -> Snapshot:
         """Commit ADD/DELETE entries as a new snapshot. Retries on CAS
         loss; re-validates that DELETE-d files still exist (conflict
@@ -57,7 +58,12 @@ class FileStoreCommit:
                 if self.snapshots.load(sid).commit_identifier == commit_identifier:
                     return self.snapshots.load(sid)
 
-        delta_manifest = self.manifests.write_manifest(entries) if entries else None
+        # row tracking: first_row_id ranges must be allocated against the
+        # snapshot we actually commit on top of, so assignment (and the
+        # delta manifest write) happens inside the CAS retry loop
+        delta_manifest = (
+            self.manifests.write_manifest(entries) if entries and not assign_row_ids else None
+        )
         deleted_keys = {e.key() for e in entries if e.kind == KIND_DELETE}
         added = sum(e.row_count for e in entries if e.kind == KIND_ADD)
         removed = sum(e.row_count for e in entries if e.kind == KIND_DELETE)
@@ -93,6 +99,17 @@ class FileStoreCommit:
                     latest.id + 1,
                 )
 
+            prev_row_id = latest.next_row_id if latest is not None else 0
+            new_row_id = prev_row_id
+            if assign_row_ids and entries:
+                # (re)assign on every attempt — a lost CAS race moves the
+                # range start to the new latest snapshot's high-water mark
+                for e in entries:
+                    if e.kind == KIND_ADD:
+                        e.first_row_id = new_row_id
+                        new_row_id += e.row_count
+                delta_manifest = self.manifests.write_manifest(entries)
+
             delta_list = (
                 self.manifests.write_manifest_list([delta_manifest]) if delta_manifest else None
             )
@@ -116,6 +133,7 @@ class FileStoreCommit:
                     if dv_files is not None
                     else (latest.dv_files if latest is not None else [])
                 ),
+                next_row_id=new_row_id,
             )
             if self.snapshots.try_commit(snap):
                 return snap

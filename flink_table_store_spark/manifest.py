@@ -41,6 +41,9 @@ _ENTRY_SCHEMA = pa.schema(
         ("schema_id", pa.int64()),
         ("stats", pa.string()),  # JSON {col: {"min":v,"max":v,"nulls":n}}
         ("creation_time", pa.int64()),
+        # row tracking (SpecialFields._ROW_ID / RowTrackingTable): first
+        # stable row id in this file; rows are first_row_id + position
+        ("first_row_id", pa.int64()),
     ]
 )
 
@@ -59,6 +62,7 @@ class ManifestEntry:
     schema_id: int = 0
     stats: dict[str, dict[str, Any]] = field(default_factory=dict)
     creation_time: int = 0
+    first_row_id: int | None = None
 
     def key(self) -> tuple:
         return (json.dumps(self.partition, sort_keys=True), self.bucket, self.file_name)
@@ -77,6 +81,7 @@ class ManifestEntry:
             "schema_id": self.schema_id,
             "stats": json.dumps(self.stats, default=str),
             "creation_time": self.creation_time,
+            "first_row_id": self.first_row_id,
         }
 
     @staticmethod
@@ -94,6 +99,7 @@ class ManifestEntry:
             schema_id=r["schema_id"],
             stats=json.loads(r["stats"]) if r["stats"] else {},
             creation_time=r["creation_time"],
+            first_row_id=r.get("first_row_id"),
         )
 
 

@@ -1069,6 +1069,40 @@ ORDER BY o_orderkey
 """
 
 
+def bitmap_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact value-set (bitmap) file index on a low-cardinality column:
+    NOT IN over indexed files must equal the plain filter (oracle)."""
+    cat = _wh(sf_dir)
+    orders = _t(spark, sf_dir, "orders")
+    t = cat.create_table(
+        "default.orders_bitmap",
+        orders.schema,
+        options={"file-index.bitmap.columns": "o_orderpriority"},
+        ignore_if_exists=True,
+    )
+    if not t.snapshots.latest_id():
+        # one commit per priority class -> single-valued files, so the
+        # value-set index can prune exactly
+        for r in orders.select("o_orderpriority").distinct().collect():
+            t.write(orders.where(F.col("o_orderpriority") == r[0]))
+        t = t.refresh()
+    return (
+        t.to_df(
+            spark,
+            predicate=P.not_in("o_orderpriority", ["1-URGENT", "2-HIGH"]),
+        )
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+BITMAP_INDEX_SQL = """
+SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+ORDER BY o_orderkey
+"""
+
+
 def dv_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELETE via deletion vectors (P10) — no file rewrite — then read."""
     cat = _wh(sf_dir)
@@ -1526,6 +1560,7 @@ QUERIES: dict[str, tuple] = {
     "topn_pushdown": (topn_pushdown, TOPN_SQL),
     "zorder_cluster_read": (zorder_cluster_read, ZORDER_SQL),
     "bloom_index_scan": (bloom_index_scan, BLOOM_INDEX_SQL),
+    "bitmap_index_scan": (bitmap_index_scan, BITMAP_INDEX_SQL),
     "dv_delete_read": (dv_delete_read, DV_DELETE_SQL),
     "sys_partitions": (sys_partitions, SYS_PARTITIONS_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),

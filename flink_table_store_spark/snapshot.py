@@ -39,6 +39,7 @@ class Snapshot:
     # deletion-vector sidecar parquet files under index/ (P10; reference
     # keeps them in an index manifest — DeletionVector.java:44)
     dv_files: list[str] = field(default_factory=list)
+    next_row_id: int = 0  # row-tracking high-water mark (SpecialFields._ROW_ID)
 
     def to_dict(self) -> dict[str, Any]:
         return {
@@ -55,6 +56,7 @@ class Snapshot:
             "watermark": self.watermark,
             "nextSequence": self.next_sequence,
             "deletionVectors": self.dv_files,
+            "nextRowId": self.next_row_id,
         }
 
     @staticmethod
@@ -72,6 +74,7 @@ class Snapshot:
             watermark=d.get("watermark"),
             next_sequence=d.get("nextSequence", 0),
             dv_files=d.get("deletionVectors", []),
+            next_row_id=d.get("nextRowId", 0),
         )
 
 

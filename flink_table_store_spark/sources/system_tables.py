@@ -39,6 +39,7 @@ SYSTEM_TABLES = (
     "binlog",
     "indexes",
     "ro",
+    "row_tracking",
     "statistics",
 )
 
@@ -267,9 +268,14 @@ def _aggregation_fields(spark: SparkSession, t: "Table") -> DataFrame:
     )
 
 
+def _row_tracking(spark: SparkSession, t: "Table") -> DataFrame:
+    return t.row_tracking_df(spark)
+
+
 _LOADERS = {
     "snapshots": _snapshots,
     "aggregation_fields": _aggregation_fields,
+    "row_tracking": _row_tracking,
     "indexes": _indexes,
     "binlog": _binlog,
     "schemas": _schemas,

@@ -346,6 +346,16 @@ class Table:
             commit_identifier=commit_identifier,
             watermark=watermark,
             next_sequence=next_seq,
+            assign_row_ids=self.row_tracking_enabled(),
+        )
+
+    def row_tracking_enabled(self) -> bool:
+        """Append tables with ``row-tracking.enabled`` get stable per-row
+        ids assigned at commit (RowTrackingTable; _ROW_ID in
+        SpecialFields.java:79-94)."""
+        return (
+            self.schema.options.get("row-tracking.enabled") == "true"
+            and not self.is_primary_key_table()
         )
 
     def upsert(self, df: DataFrame, **kw) -> Snapshot:
@@ -639,6 +649,52 @@ class Table:
             compression="zstd",
         )
         return [name]
+
+    def row_tracking_df(self, spark: SparkSession) -> DataFrame:
+        """$row_tracking (RowTrackingTable): the table's rows with their
+        stable ``_ROW_ID``. Ids are derived, not stored: each file's
+        manifest entry carries its commit-assigned ``first_row_id``, and
+        a row's id is first_row_id + its position in the file
+        (``_metadata.row_index``). The id map is O(files) and broadcast;
+        the data scan is the ordinary distributed parquet read."""
+        if not self.row_tracking_enabled():
+            raise RuntimeError(
+                "row tracking requires an append table with row-tracking.enabled=true"
+            )
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(
+            self.schema.spark_schema().fields + [T.StructField("_ROW_ID", T.LongType())]
+        )
+        snap = self.snapshots.latest()
+        if snap is None:
+            return spark.createDataFrame([], out_schema)
+        entries = self.manifests.read_live_entries(
+            snap.base_manifest_list, snap.delta_manifest_list
+        )
+        entries = [e for e in entries if e.first_row_id is not None]
+        if not entries:
+            return spark.createDataFrame([], out_schema)
+        # Spark's _metadata.file_path renders the local scheme as
+        # "file:/abs/path" (single slash)
+        id_map = spark.createDataFrame(
+            [
+                (f"file:{os.path.abspath(os.path.join(self.path, e.file_name))}", e.first_row_id)
+                for e in entries
+            ],
+            "__fp string, __first bigint",
+        )
+        df = read_mod._read_files(
+            spark, self.path, entries, self.schema, self.all_schemas(),
+            with_system=False, keep_meta=True,
+        )
+        return (
+            df.withColumn("__fp", F.col("_metadata.file_path"))
+            .withColumn("__ri", F.col("_metadata.row_index"))
+            .join(F.broadcast(id_map), "__fp")
+            .withColumn("_ROW_ID", (F.col("__first") + F.col("__ri")).cast("long"))
+            .drop("__fp", "__ri", "__first", "_metadata")
+        )
 
     def read_optimized(self, spark: SparkSession) -> DataFrame:
         """$ro (ReadOptimizedTable.java:64): read only buckets that are a

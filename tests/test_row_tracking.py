@@ -1,0 +1,63 @@
+"""Row tracking: stable _ROW_ID on append tables (RowTrackingTable)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _batch(spark, lo, hi, pt="a"):
+    return spark.createDataFrame(
+        [(i, pt, f"v{i}") for i in range(lo, hi)], "id bigint, pt string, v string"
+    )
+
+
+@pytest.fixture()
+def t(spark, warehouse):
+    return warehouse.create_table(
+        "db.rt",
+        "id bigint, pt string, v string",
+        partition_keys=["pt"],
+        options={"row-tracking.enabled": "true"},
+    )
+
+
+def test_row_ids_unique_and_stable(spark, t):
+    t.write(_batch(spark, 0, 10, "a"))
+    t = t.refresh()
+    first = {r.id: r._ROW_ID for r in t.row_tracking_df(spark).collect()}
+    assert len(set(first.values())) == 10
+    assert t.snapshots.latest().next_row_id == 10
+
+    t.write(_batch(spark, 10, 15, "b"))
+    t = t.refresh()
+    rows = {r.id: r._ROW_ID for r in t.row_tracking_df(spark).collect()}
+    assert len(rows) == 15 and len(set(rows.values())) == 15
+    # earlier rows keep their ids; new rows extend the id space
+    assert all(rows[i] == first[i] for i in range(10))
+    assert t.snapshots.latest().next_row_id == 15
+
+    # system-table surface
+    sys_rows = t.system_table(spark, "row_tracking").collect()
+    assert {r._ROW_ID for r in sys_rows} == set(rows.values())
+
+
+def test_row_tracking_requires_append_table(spark, warehouse):
+    pk = warehouse.create_table(
+        "db.rt_pk",
+        "k bigint, v string",
+        primary_keys=["k"],
+        options={"bucket": "1", "row-tracking.enabled": "true"},
+    )
+    assert not pk.row_tracking_enabled()
+    with pytest.raises(RuntimeError):
+        pk.row_tracking_df(spark)
+
+
+def test_row_ids_allocated_at_commit_not_write(spark, t):
+    # two writes from the same base snapshot — commit-time allocation
+    # (inside the CAS loop) must still produce disjoint ranges
+    t.write(_batch(spark, 0, 5, "a"))
+    t.write(_batch(spark, 5, 9, "a"))
+    t = t.refresh()
+    ids = [r._ROW_ID for r in t.row_tracking_df(spark).collect()]
+    assert sorted(ids) == list(range(9))
