@@ -64,13 +64,13 @@ def _position_cols(col, m: int) -> list:
 
 
 def build_blooms(
-    spark: SparkSession, staging: str, cols: list[str], m: int
+    spark: SparkSession, staging: str, cols: list[str], m: int, fmt: str = "parquet"
 ) -> dict[str, dict[str, dict[str, Any]]]:
     """{staged-file-abs-path: {col: {"m", "k", "bits"}}} for every staged
-    parquet file — one distributed pass per indexed column."""
+    data file — one distributed pass per indexed column."""
     if not cols:
         return {}
-    df = spark.read.parquet(staging)
+    df = spark.read.format(fmt).load(staging)
     out: dict[str, dict[str, dict[str, Any]]] = {}
     for c in cols:
         if c not in df.columns:
@@ -101,7 +101,7 @@ def build_blooms(
 
 
 def build_value_sets(
-    spark: SparkSession, staging: str, cols: list[str]
+    spark: SparkSession, staging: str, cols: list[str], fmt: str = "parquet"
 ) -> dict[str, dict[str, list]]:
     """{staged-file-abs-path: {col: sorted distinct values}} — the exact
     file-level projection of the reference's bitmap index
@@ -112,7 +112,7 @@ def build_value_sets(
     pass per indexed column over the staged files."""
     if not cols:
         return {}
-    df = spark.read.parquet(staging)
+    df = spark.read.format(fmt).load(staging)
     out: dict[str, dict[str, list]] = {}
     for c in cols:
         if c not in df.columns:

@@ -200,12 +200,18 @@ def _read_files(
     if not entries:
         return None
     base = os.path.join(table_path, DATA_DIR)
-    by_schema: dict[int, list[str]] = {}
+    # files carry their format in the name suffix (like the reference's
+    # DataFilePathFactory), so mixed-format tables — e.g. after a
+    # `file.format` option evolution — read each generation natively
+    by_schema: dict[tuple[int, str], list[str]] = {}
     for e in entries:
-        by_schema.setdefault(e.schema_id, []).append(os.path.join(table_path, e.file_name))
+        fmt = e.file_name.rsplit(".", 1)[-1]
+        by_schema.setdefault((e.schema_id, fmt), []).append(
+            os.path.join(table_path, e.file_name)
+        )
     parts: list[DataFrame] = []
-    for sid, paths in sorted(by_schema.items()):
-        df = spark.read.option("basePath", base).parquet(*paths)
+    for (sid, fmt), paths in sorted(by_schema.items()):
+        df = spark.read.option("basePath", base).format(fmt).load(paths)
         df = _apply_dv(df, dv)
         df = _adapt(df, schemas.get(sid, current), current, with_system, keep_meta)
         parts.append(df)

@@ -79,6 +79,16 @@ class TableSchema:
     def num_buckets(self) -> int:
         return int(self.options.get("bucket", "4" if self.primary_keys else "-1"))
 
+    def file_format(self) -> str:
+        """Data file format (`file.format`, default parquet —
+        CoreOptions.java:258). parquet and orc use Spark's native
+        vectorized readers; avro requires the spark-avro connector and
+        raises if it is not on the classpath."""
+        fmt = self.options.get("file.format", "parquet").lower()
+        if fmt not in ("parquet", "orc", "avro"):
+            raise ValueError(f"unsupported file.format: {fmt}")
+        return fmt
+
     def to_dict(self) -> dict[str, Any]:
         return {
             "id": self.id,

@@ -121,22 +121,26 @@ def stage_and_collect(
         df = _cast_to_schema(df, schema)
         partition_by = pt_cols
 
+    fmt = schema.file_format()
     staging = os.path.join(table_path, "staging", uuid.uuid4().hex)
-    writer = df.write.mode("overwrite")
-    # file indexes (P9): parquet bloom filters per configured column
-    # (reference bloomfilter/BloomFilterFileIndexFactory.java:29; here
-    # the index lives IN the parquet footer and the reader's row-group
-    # filter uses it natively)
+    writer = df.write.mode("overwrite").format(fmt)
+    # file indexes (P9): format-native bloom filters per configured
+    # column (reference bloomfilter/BloomFilterFileIndexFactory.java:29;
+    # here the index lives IN the parquet footer / orc stripe metadata
+    # and the reader's row-group filter uses it natively)
     bloom_cols = schema.options.get("file-index.bloom-filter.columns")
     if bloom_cols:
-        for c in bloom_cols.split(","):
-            writer = writer.option(f"parquet.bloom.filter.enabled#{c.strip()}", "true")
+        if fmt == "parquet":
+            for c in bloom_cols.split(","):
+                writer = writer.option(f"parquet.bloom.filter.enabled#{c.strip()}", "true")
+        elif fmt == "orc":
+            writer = writer.option("orc.bloom.filter.columns", bloom_cols)
     for k, v in schema.options.items():
-        if k.startswith("parquet."):
+        if k.startswith(f"{fmt}."):
             writer = writer.option(k, v)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(staging)
+    writer.save(staging)
 
     # embedded bloom file index (P9): one distributed pass over the
     # staged files per indexed column; the driver folds the bitsets into
@@ -149,7 +153,7 @@ def stage_and_collect(
     ]
     if idx_cols:
         indexes = fileindex.build_blooms(
-            df.sparkSession, staging, idx_cols, fileindex.bloom_bits(schema.options)
+            df.sparkSession, staging, idx_cols, fileindex.bloom_bits(schema.options), fmt
         )
     bm_cols = [
         c
@@ -158,15 +162,64 @@ def stage_and_collect(
     ]
     if bm_cols:
         for path, colvals in fileindex.build_value_sets(
-            df.sparkSession, staging, bm_cols
+            df.sparkSession, staging, bm_cols, fmt
         ).items():
             slot = indexes.setdefault(path, {})
             for c, vs in colvals.items():
                 slot.setdefault(c, {})["values"] = vs
 
-    entries = _collect_staged(staging, table_path, schema, target_level, indexes)
+    stats_by_path = None
+    if fmt != "parquet":
+        # non-parquet formats have no driver-readable footer stats
+        # (pyarrow.orc exposes no column min/max) — collect them with ONE
+        # distributed aggregation over the staged files instead; at scale
+        # this is executor work on data already in the page cache
+        stats_by_path = collect_stats_distributed(df.sparkSession, staging, fmt)
+    entries = _collect_staged(staging, table_path, schema, target_level, indexes, fmt, stats_by_path)
     shutil.rmtree(staging, ignore_errors=True)
     return entries
+
+
+def collect_stats_distributed(
+    spark, staging: str, fmt: str
+) -> dict[str, tuple[int, dict]]:
+    """{staged-file-abs-path: (row_count, per-column {min,max,nulls})}
+    via one Spark aggregation grouped on ``_metadata.file_path`` —
+    the executor-side twin of the parquet footer walk."""
+    import urllib.parse as _up
+
+    from flink_table_store_spark.manifest import _json_safe
+
+    df = spark.read.format(fmt).load(staging)
+    statable = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName()
+        not in ("struct", "array", "map", "binary", "variant")
+    ]
+    aggs = [F.count(F.lit(1)).alias("__rc")]
+    for c in statable:
+        aggs += [
+            F.min(c).alias(f"__mn_{c}"),
+            F.max(c).alias(f"__mx_{c}"),
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nu_{c}"),
+        ]
+    rows = (
+        df.groupBy(F.col("_metadata.file_path").alias("__f")).agg(*aggs).collect()
+    )
+    out: dict[str, tuple[int, dict]] = {}
+    for r in rows:
+        stats = {
+            c: {
+                "min": _json_safe(r[f"__mn_{c}"]),
+                "max": _json_safe(r[f"__mx_{c}"]),
+                "nulls": r[f"__nu_{c}"],
+            }
+            for c in statable
+        }
+        path = _up.urlparse(r["__f"]).path or r["__f"]
+        out[path] = (r["__rc"], stats)
+    return out
 
 
 def _collect_staged(
@@ -175,23 +228,29 @@ def _collect_staged(
     schema: TableSchema,
     level: int,
     indexes: dict | None = None,
+    fmt: str = "parquet",
+    stats_by_path: dict[str, tuple[int, dict]] | None = None,
 ) -> list[ManifestEntry]:
     data_root = os.path.join(table_path, DATA_DIR)
     entries: list[ManifestEntry] = []
     now = now_millis()
+    ext = f".{fmt}"
     for dirpath, _dirs, files in os.walk(staging):
         for fn in files:
-            if not fn.endswith(".parquet"):
+            if not fn.endswith(ext):
                 continue
             src = os.path.join(dirpath, fn)
             rel_dir = os.path.relpath(dirpath, staging)
             partition, bucket = _parse_partition(rel_dir)
-            row_count, _size, stats = collect_parquet_stats(src)
+            if stats_by_path is not None:
+                row_count, stats = stats_by_path.get(os.path.abspath(src), (0, {}))
+            else:
+                row_count, _size, stats = collect_parquet_stats(src)
             if row_count == 0:
                 continue
             for col, idx in (indexes or {}).get(os.path.abspath(src), {}).items():
                 stats.setdefault(col, {"min": None, "max": None, "nulls": 0}).update(idx)
-            new_name = f"data-{uuid.uuid4().hex}.parquet"
+            new_name = f"data-{uuid.uuid4().hex}{ext}"
             rel_parts = [] if rel_dir == "." else rel_dir.split(os.sep)
             dest_dir = os.path.join(data_root, *rel_parts)
             os.makedirs(dest_dir, exist_ok=True)
