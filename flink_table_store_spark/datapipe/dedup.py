@@ -28,6 +28,10 @@ from flink_table_store_spark.datapipe.text import fingerprint
 # first so a*h+b stays far below 2^63 (Spark runs ANSI overflow checks).
 _MERSENNE = (1 << 31) - 1
 
+# materialize banded signatures before the LSH self-join (see
+# minhash_lsh_pairs docstring); module flag so benchmarks can A/B it
+MATERIALIZE_SIGNATURES = True
+
 
 def _shingles(col: Column, k: int = 3) -> Column:
     """Word k-shingles as an array<string> (distinct).
@@ -123,7 +127,14 @@ def minhash_lsh_pairs(
 
     rows/band r = num_hashes/bands; collision threshold ≈ (1/bands)^(1/r).
     The band self-join shuffles on (band_idx, band_hash) — only colliding
-    docs co-locate."""
+    docs co-locate.
+
+    The banded-signature table is materialized (localCheckpoint) before
+    the self-join: Spark does not reuse the exchange across the two join
+    branches here, so without it the whole shingle→explode→minhash
+    aggregation would execute TWICE — a genuine 2× at any scale, not a
+    small-data artifact. What is stored is narrow ((id, band, hash) ×
+    bands rows per doc) and spread across executors."""
     r = num_hashes // bands
     with_sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("__band")
@@ -132,6 +143,11 @@ def minhash_lsh_pairs(
         "__band",
         F.xxhash64(F.slice("__sig", F.col("__band") * r + 1, r).cast("string")).alias("__bh"),
     )
+    if MATERIALIZE_SIGNATURES:
+        try:
+            banded = banded.localCheckpoint(eager=True)
+        except Exception:
+            pass  # checkpoint is an optimization; the join is correct without it
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
