@@ -36,6 +36,9 @@ class FileStoreCommit:
         self.snapshots = SnapshotManager(table_path, branch=branch)
         self.manifests = ManifestManager(table_path)
         self.max_retries = max_retries
+        # post-commit callbacks (reference: CommitCallback implementations
+        # such as IcebergCommitCallback); fired once per committed snapshot
+        self.callbacks: list = []
 
     def commit(
         self,
@@ -136,6 +139,8 @@ class FileStoreCommit:
                 next_row_id=new_row_id,
             )
             if self.snapshots.try_commit(snap):
+                for cb in self.callbacks:
+                    cb(snap)
                 return snap
             time.sleep(0.01)  # lost the CAS race — re-plan against new latest
         raise CommitConflictError(f"commit failed after {self.max_retries} retries")

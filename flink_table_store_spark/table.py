@@ -189,6 +189,11 @@ class Table:
         self.manifests = ManifestManager(path)
         self.committer = FileStoreCommit(path, branch=branch)
         self._schema: TableSchema | None = None
+        # Iceberg compat (iceberg.py): no-op unless the table sets
+        # `metadata.iceberg.storage = table-location`
+        from flink_table_store_spark import iceberg as _iceberg
+
+        self.committer.callbacks.append(lambda snap: _iceberg.on_commit(self, snap))
 
     # --- metadata ---
 
@@ -783,6 +788,23 @@ class Table:
             key=lambda n: int(n[6:-5]),
         )
         return read_json(os.path.join(d, names[-1])) if names else None
+
+    def export_iceberg(self, snapshot_id: int | None = None) -> str | None:
+        """Write Iceberg v2 metadata for a snapshot (default: latest)
+        under ``<table>/metadata/`` — on-demand form of the
+        ``metadata.iceberg.storage = table-location`` commit callback
+        (IcebergCommitCallback analogue, iceberg.py). Returns the
+        vN.metadata.json path, or None if not exportable (DV tables)."""
+        from flink_table_store_spark import iceberg as _iceberg
+
+        snap = (
+            self.snapshots.load(snapshot_id)
+            if snapshot_id is not None
+            else self.snapshots.latest()
+        )
+        if snap is None:
+            return None
+        return _iceberg.export_snapshot(self, snap)
 
     # --- system tables (SystemTableLoader; SURVEY §2.1 S10) ---
 
