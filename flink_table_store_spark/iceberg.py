@@ -16,9 +16,11 @@ Semantics copied from the reference, re-derived for our engine:
 - primary-key tables: only fully-compacted files (max LSM level) are
   visible — a merge-on-read level-0 run would need our merge semantics
   Iceberg doesn't have (same file:738-742, `level == maxLevel`);
-- deletion-vector tables are not exported in v1 (the reference maps
-  DVs to Iceberg position deletes; our DV sidecars hold the same
-  (file, pos) pairs, so this is a mechanical extension).
+- deletion-vector tables: live DV positions are re-published as
+  Iceberg v2 position-delete parquet files (reserved field ids
+  2147483546/2147483545) under a content=1 delete manifest — the
+  reference does the same (IcebergCommitCallback position deletes;
+  our DV sidecars already hold the (file, pos) pairs).
 
 Scale: export is O(new files) per commit for append-only commits —
 previous Iceberg manifest files are reused untouched and one new
@@ -535,6 +537,120 @@ def _write_manifest(
     }
 
 
+# Iceberg reserved field ids for position-delete files (spec: Reserved
+# field ids 2147483546 = file_path, 2147483545 = pos)
+_POSDEL_PATH_ID = 2147483546
+_POSDEL_POS_ID = 2147483545
+
+
+def _write_position_deletes(
+    table_path: str,
+    schema: TableSchema,
+    snap: Snapshot,
+    visible: dict[str, ManifestEntry],
+    index_dir: str,
+) -> dict | None:
+    """Publish live DV positions as Iceberg position-delete parquet
+    files (one per partition, file_path/pos sorted, reserved field ids)
+    plus their content=1 delete manifest. Returns the manifest-list row
+    or None when no live positions remain.
+
+    Regenerated per export: the position set is exactly the table's DV
+    sidecars filtered to live files — O(deleted rows), the same cost
+    the sidecars themselves paid."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    by_base = {os.path.basename(fn): e for fn, e in visible.items()}
+    # (file, pos) pairs against live files, deduped (DVs accumulate)
+    seen: set[tuple[str, int]] = set()
+    for n in snap.dv_files:
+        t = pq.read_table(os.path.join(index_dir, n), columns=["file_name", "pos"])
+        for fn, pos in zip(*(c.to_pylist() for c in t.columns)):
+            if fn in by_base:
+                seen.add((fn, pos))
+    if not seen:
+        return None
+
+    groups: dict[tuple, list[tuple[str, int]]] = {}
+    for fn, pos in sorted(seen):
+        e = by_base[fn]
+        groups.setdefault(tuple(sorted(e.partition.items())), []).append(
+            (os.path.join(table_path, e.file_name), pos)
+        )
+
+    arrow_schema = pa.schema(
+        [
+            pa.field(
+                "file_path",
+                pa.string(),
+                nullable=False,
+                metadata={b"PARQUET:field_id": str(_POSDEL_PATH_ID).encode()},
+            ),
+            pa.field(
+                "pos",
+                pa.int64(),
+                nullable=False,
+                metadata={b"PARQUET:field_id": str(_POSDEL_POS_ID).encode()},
+            ),
+        ]
+    )
+    entry_rows: list[dict] = []
+    avro_schema = manifest_entry_schema(schema)
+    for part_items, pairs in groups.items():
+        name = f"ftss-posdel-{uuid.uuid4().hex}.parquet"
+        path = os.path.join(_meta_dir(table_path), name)
+        tbl = pa.Table.from_pydict(
+            {"file_path": [p for p, _ in pairs], "pos": [q for _, q in pairs]},
+            schema=arrow_schema,
+        )
+        pq.write_table(tbl, path)
+        part = dict(part_items)
+        entry_rows.append(
+            {
+                "status": 1,
+                "snapshot_id": snap.id,
+                "sequence_number": snap.id,
+                "file_sequence_number": snap.id,
+                "data_file": {
+                    "content": 1,  # POSITION_DELETES
+                    "file_path": path,
+                    "file_format": "PARQUET",
+                    "partition": {
+                        k: _partition_value(part.get(k), schema.field(k).type)
+                        for k in schema.partition_keys
+                    },
+                    "record_count": len(pairs),
+                    "file_size_in_bytes": os.path.getsize(path),
+                    "value_counts": None,
+                    "null_value_counts": None,
+                    "lower_bounds": None,
+                    "upper_bounds": None,
+                },
+            }
+        )
+    mname = f"ftss-delm-{uuid.uuid4().hex}.avro"
+    mpath = os.path.join(_meta_dir(table_path), mname)
+    length = avro_io.write_container(mpath, avro_schema, entry_rows)
+    n_rows = sum(r["data_file"]["record_count"] for r in entry_rows)
+    return {
+        "manifest_path": mpath,
+        "manifest_length": length,
+        "partition_spec_id": 0,
+        "content": 1,  # DELETES manifest
+        "sequence_number": snap.id,
+        "min_sequence_number": snap.id,
+        "added_snapshot_id": snap.id,
+        "added_files_count": len(entry_rows),
+        "existing_files_count": 0,
+        "deleted_files_count": 0,
+        "added_rows_count": n_rows,
+        "existing_rows_count": 0,
+        "deleted_rows_count": 0,
+        "partitions": None,
+    }
+
+
 def export_snapshot(table, snap: Snapshot) -> str | None:
     """Write/refresh Iceberg metadata for ``snap``; returns the
     vN.metadata.json path (None when the table cannot be exported)."""
@@ -542,8 +658,6 @@ def export_snapshot(table, snap: Snapshot) -> str | None:
         schema: TableSchema = table.schema_manager.load(snap.schema_id)
     except Exception:
         schema = table.schema
-    if snap.dv_files:
-        return None  # deletion vectors: v1 does not emit position deletes
     pk = bool(schema.primary_keys)
     live = table.manifests.read_live_entries(
         snap.base_manifest_list, snap.delta_manifest_list
@@ -584,11 +698,23 @@ def export_snapshot(table, snap: Snapshot) -> str | None:
         fn: (prev_files.get(fn) or {"snap": snap.id, "seq": snap.id}) for fn in cur_files
     }
 
+    # position deletes from live deletion vectors (content=1 manifest,
+    # regenerated per export — the DV set is not append-only)
+    delete_row = None
+    if snap.dv_files:
+        delete_row = _write_position_deletes(
+            table_path, schema, snap, cur_files, os.path.join(table.path, "index")
+        )
+        if delete_row:
+            operation = "delete" if operation == "append" else operation
+
     # manifest list
     list_name = f"snap-{snap.id}-{uuid.uuid4().hex}.avro"
     list_path = os.path.join(_meta_dir(table_path), list_name)
     avro_io.write_container(
-        list_path, MANIFEST_FILE_SCHEMA, [m["row"] for m in state["manifests"]]
+        list_path,
+        MANIFEST_FILE_SCHEMA,
+        [m["row"] for m in state["manifests"]] + ([delete_row] if delete_row else []),
     )
 
     total_rows = sum(e.row_count for e in cur_files.values())
@@ -679,8 +805,27 @@ def current_data_files(table_path: str) -> list[dict]:
     _, manifest_rows = avro_io.read_container(snap["manifest-list"])
     out: list[dict] = []
     for m in manifest_rows:
+        if m.get("content", 0) != 0:
+            continue  # delete manifest
         _, entries = avro_io.read_container(m["manifest_path"])
         for e in entries:
             if e["status"] != 2:
                 out.append(e["data_file"])
+    return out
+
+
+def current_position_deletes(table_path: str) -> list[dict]:
+    """data_file records of the current snapshot's position-delete files
+    (content=1 manifests)."""
+    meta = read_metadata(table_path)
+    snap = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _, manifest_rows = avro_io.read_container(snap["manifest-list"])
+    out: list[dict] = []
+    for m in manifest_rows:
+        if m.get("content", 0) != 1:
+            continue
+        _, entries = avro_io.read_container(m["manifest_path"])
+        out.extend(e["data_file"] for e in entries if e["status"] != 2)
     return out

@@ -794,7 +794,8 @@ class Table:
         under ``<table>/metadata/`` — on-demand form of the
         ``metadata.iceberg.storage = table-location`` commit callback
         (IcebergCommitCallback analogue, iceberg.py). Returns the
-        vN.metadata.json path, or None if not exportable (DV tables)."""
+        vN.metadata.json path. Deletion-vector tables publish their DV
+        positions as Iceberg position-delete files."""
         from flink_table_store_spark import iceberg as _iceberg
 
         snap = (

@@ -324,6 +324,49 @@ def test_manifest_list_readable_by_jvm_avro(spark, warehouse):
     assert os.path.exists(str(entries[0].get("data_file").get("file_path")))
 
 
+def test_dv_table_exports_position_deletes(spark, warehouse):
+    from flink_table_store_spark import predicate as P
+
+    li = _lineitem(spark).select("l_orderkey", "l_linenumber", "l_quantity")
+    t = warehouse.create_table(
+        "db.ice_dv",
+        li.schema,
+        options={
+            "deletion-vectors.enabled": "true",
+            "metadata.iceberg.storage": "table-location",
+        },
+    )
+    t.write(li)
+    t.delete(spark, P.less_than("l_quantity", 10))
+    t = t.refresh()
+    data = iceberg.current_data_files(t.path)
+    dels = iceberg.current_position_deletes(t.path)
+    assert data and dels
+    assert all(d["content"] == 1 for d in dels)
+    # DuckDB applies the position deletes exactly as an Iceberg reader
+    # would: anti-join (file, row position) pairs against the data scan
+    dl = ", ".join(f"'{d['file_path']}'" for d in dels)
+    fl = ", ".join(f"'{d['file_path']}'" for d in data)
+    kept = _DUCK.sql(
+        f"""
+        SELECT count(*), sum(l_quantity)
+        FROM (
+          SELECT * FROM read_parquet([{fl}], filename=true, file_row_number=true) d
+          ANTI JOIN read_parquet([{dl}]) x
+          ON d.filename = x.file_path AND d.file_row_number = x.pos
+        )
+        """
+    ).fetchone()
+    eng = t.to_df(spark).agg(
+        F.count(F.lit(1)), F.sum("l_quantity").cast("double")
+    ).first()
+    assert kept[0] == eng[0]
+    assert abs(float(kept[1]) - float(eng[1])) < 1e-6
+    # delete positions sum matches the DV row count the engine reports
+    ndel = _DUCK.sql(f"SELECT count(*) FROM read_parquet([{dl}])").fetchone()[0]
+    assert ndel == li.count() - eng[0]
+
+
 def test_export_disabled_by_default(spark, warehouse):
     li = _lineitem(spark).select("l_orderkey")
     t = warehouse.create_table("db.ice_off", li.schema)
