@@ -10,7 +10,9 @@ subset of the Avro 1.11 spec the Iceberg metadata schemas need:
   record, array, map, union, fixed (enum not required);
 - object container file framing: ``Obj\\x01`` magic, file-metadata map
   (``avro.schema`` + ``avro.codec``), 16-byte sync marker, data blocks
-  (count, byte-size, payload, sync) with the ``null`` codec.
+  (count, byte-size, payload, sync); writes the ``null`` codec, reads
+  ``null`` and ``deflate`` (external Iceberg writers compress
+  manifests by default).
 
 Encoding is schema-driven: ``write_container(path, schema, records)``
 takes the Avro schema as a JSON-able dict and plain Python values
@@ -288,8 +290,9 @@ def read_container(path: str) -> tuple[dict, list]:
             k = read_bytes(buf).decode("utf-8")
             meta[k] = read_bytes(buf)
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
-    if meta.get("avro.codec", b"null") not in (b"null", b""):
-        raise ValueError(f"unsupported codec {meta.get('avro.codec')!r}")
+    codec = meta.get("avro.codec", b"null") or b"null"
+    if codec not in (b"null", b"deflate"):
+        raise ValueError(f"unsupported codec {codec!r}")
     sync = buf.read(16)
     records: list = []
     while True:
@@ -298,9 +301,15 @@ def read_container(path: str) -> tuple[dict, list]:
             break
         buf.seek(-1, io.SEEK_CUR)
         count = read_long(buf)
-        read_long(buf)  # block byte size (null codec: payload follows inline)
+        size = read_long(buf)
+        payload = buf.read(size)
+        if codec == b"deflate":  # raw RFC-1951 stream (Avro spec)
+            import zlib
+
+            payload = zlib.decompress(payload, wbits=-15)
+        block = io.BytesIO(payload)
         for _ in range(count):
-            records.append(decode(buf, schema))
+            records.append(decode(block, schema))
         if buf.read(16) != sync:
             raise ValueError("sync marker mismatch")
     return schema, records

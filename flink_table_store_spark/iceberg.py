@@ -232,6 +232,58 @@ def _partition_value(raw: str | None, type_str: str) -> Any:
     return str(raw)
 
 
+def iceberg_type_to_spark(t: Any) -> str:
+    """Inverse of ``_iceberg_type`` (for migrate-from-Iceberg): Iceberg
+    type JSON -> Spark DDL string."""
+    if isinstance(t, str):
+        prim = {
+            "boolean": "boolean",
+            "int": "int",
+            "long": "bigint",
+            "float": "float",
+            "double": "double",
+            "date": "date",
+            "string": "string",
+            "uuid": "string",
+            "binary": "binary",
+            "timestamp": "timestamp_ntz",
+            "timestamptz": "timestamp",
+        }
+        if t in prim:
+            return prim[t]
+        if t.startswith("decimal"):
+            return t.replace(" ", "")
+        if t.startswith("fixed"):
+            return "binary"
+        raise ValueError(f"unsupported Iceberg type {t!r}")
+    kind = t["type"]
+    if kind == "list":
+        return f"array<{iceberg_type_to_spark(t['element'])}>"
+    if kind == "map":
+        return f"map<{iceberg_type_to_spark(t['key'])},{iceberg_type_to_spark(t['value'])}>"
+    if kind == "struct":
+        inner = ",".join(
+            f"{f['name']}:{iceberg_type_to_spark(f['type'])}" for f in t["fields"]
+        )
+        return f"struct<{inner}>"
+    raise ValueError(f"unsupported Iceberg type {t!r}")
+
+
+def partition_value_to_string(v: Any, type_str: str) -> str | None:
+    """Typed manifest partition value -> our string partition dict
+    entry (the directory-name form the write path produces)."""
+    if v is None:
+        return None
+    t = type_str.lower()
+    if t == "date":  # avro carries days-since-epoch
+        from datetime import timedelta
+
+        return (date(1970, 1, 1) + timedelta(days=int(v))).isoformat()
+    if t == "boolean":
+        return "true" if v else "false"
+    return str(v)
+
+
 def _avro_prim(type_str: str) -> Any:
     t = type_str.lower()
     if t in ("tinyint", "smallint", "int", "integer"):
@@ -787,11 +839,32 @@ def on_commit(table, snap: Snapshot) -> None:
 # --------------------------------------------------------------------------
 
 
+def _local(path: str) -> str:
+    """Strip a file: URI scheme (external writers record absolute URIs)."""
+    if path.startswith("file://"):
+        return path[len("file://") :]
+    if path.startswith("file:"):
+        return path[len("file:") :]
+    return path
+
+
 def read_metadata(table_path: str) -> dict:
     md = _meta_dir(os.path.abspath(table_path))
-    with open(os.path.join(md, "version-hint.text")) as f:
-        version = int(f.read().strip())
-    with open(os.path.join(md, f"v{version}.metadata.json")) as f:
+    hint = os.path.join(md, "version-hint.text")
+    if os.path.exists(hint):
+        with open(hint) as f:
+            version = int(f.read().strip())
+        name = f"v{version}.metadata.json"
+    else:  # hadoop-layout fallback: highest vN.metadata.json
+        versions = [
+            int(n[1:].split(".", 1)[0])
+            for n in os.listdir(md)
+            if n.endswith(".metadata.json") and n[1:].split(".", 1)[0].isdigit()
+        ]
+        if not versions:
+            raise FileNotFoundError(f"no Iceberg metadata under {md}")
+        name = f"v{max(versions)}.metadata.json"
+    with open(os.path.join(md, name)) as f:
         return json.load(f)
 
 
@@ -802,12 +875,12 @@ def current_data_files(table_path: str) -> list[dict]:
     snap = next(
         s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
     )
-    _, manifest_rows = avro_io.read_container(snap["manifest-list"])
+    _, manifest_rows = avro_io.read_container(_local(snap["manifest-list"]))
     out: list[dict] = []
     for m in manifest_rows:
         if m.get("content", 0) != 0:
             continue  # delete manifest
-        _, entries = avro_io.read_container(m["manifest_path"])
+        _, entries = avro_io.read_container(_local(m["manifest_path"]))
         for e in entries:
             if e["status"] != 2:
                 out.append(e["data_file"])
@@ -821,11 +894,11 @@ def current_position_deletes(table_path: str) -> list[dict]:
     snap = next(
         s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
     )
-    _, manifest_rows = avro_io.read_container(snap["manifest-list"])
+    _, manifest_rows = avro_io.read_container(_local(snap["manifest-list"]))
     out: list[dict] = []
     for m in manifest_rows:
         if m.get("content", 0) != 1:
             continue
-        _, entries = avro_io.read_container(m["manifest_path"])
+        _, entries = avro_io.read_container(_local(m["manifest_path"]))
         out.extend(e["data_file"] for e in entries if e["status"] != 2)
     return out

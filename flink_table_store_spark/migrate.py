@@ -127,6 +127,75 @@ def migrate_table(
     return table.refresh()
 
 
+def migrate_iceberg_table(
+    spark: SparkSession,
+    catalog,
+    iceberg_location: str,
+    target: str,
+    options: dict[str, str] | None = None,
+    delete_origin: bool = False,
+) -> Table:
+    """Import an Iceberg (hadoop-layout) table metadata-only.
+
+    Mirrors iceberg/migrate/IcebergMigrator.java: read the current
+    Iceberg snapshot's manifests, link each parquet data file into our
+    layout, commit from footers — no data rewrite. Tables with delete
+    files are refused, matching the reference (IcebergMigrator:347
+    "don't support analyzing iceberg delete file"); identity partition
+    transforms only."""
+    from flink_table_store_spark import iceberg as I
+
+    meta = I.read_metadata(iceberg_location)
+    if I.current_position_deletes(iceberg_location):
+        raise ValueError("cannot migrate an Iceberg table with delete files")
+    schema_json = next(
+        s for s in meta["schemas"] if s["schema-id"] == meta["current-schema-id"]
+    )
+    spec = meta["partition-specs"][meta["default-spec-id"]]
+    if any(f["transform"] != "identity" for f in spec["fields"]):
+        raise ValueError("only identity partition transforms are migratable")
+    by_id = {f["id"]: f for f in schema_json["fields"]}
+    partition_keys = [by_id[f["source-id"]]["name"] for f in spec["fields"]]
+
+    from pyspark.sql import types as T
+
+    from flink_table_store_spark.schema import parse_type
+
+    spark_schema = T.StructType(
+        [
+            T.StructField(
+                f["name"],
+                parse_type(I.iceberg_type_to_spark(f["type"])),
+                not f["required"],
+            )
+            for f in schema_json["fields"]
+        ]
+    )
+    table = catalog.create_table(
+        target, spark_schema, partition_keys=partition_keys, options=options
+    )
+
+    part_types = {
+        by_id[f["source-id"]]["name"]: I.iceberg_type_to_spark(by_id[f["source-id"]]["type"])
+        for f in spec["fields"]
+    }
+    entries = []
+    for df_rec in I.current_data_files(iceberg_location):
+        if df_rec["file_format"].upper() != "PARQUET":
+            raise ValueError(f"non-parquet Iceberg data file: {df_rec['file_path']}")
+        partition = {
+            k: I.partition_value_to_string(df_rec["partition"].get(k), part_types[k])
+            for k in partition_keys
+        }
+        partition = {k: v for k, v in partition.items() if v is not None}
+        entries.append(_import_file(I._local(df_rec["file_path"]), table, partition))
+    entries = [e for e in entries if e.row_count > 0]
+    table.committer.commit(entries, table.schema.id, kind=COMMIT_APPEND)
+    if delete_origin:
+        shutil.rmtree(iceberg_location, ignore_errors=True)
+    return table.refresh()
+
+
 def migrate_database(
     spark: SparkSession,
     catalog,

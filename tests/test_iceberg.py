@@ -367,6 +367,88 @@ def test_dv_table_exports_position_deletes(spark, warehouse):
     assert ndel == li.count() - eng[0]
 
 
+def test_avro_deflate_codec_from_jvm_writer(spark, tmp_path):
+    """External Iceberg writers compress manifests (deflate by default);
+    our reader must decode a JVM-written deflate container."""
+    path = str(tmp_path / "defl.avro")
+    jvm = spark._jvm
+    schema_json = json.dumps(
+        {
+            "type": "record",
+            "name": "r",
+            "fields": [
+                {"name": "a", "type": "long"},
+                {"name": "s", "type": "string"},
+            ],
+        }
+    )
+    sch = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(sch)
+    )
+    writer.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    writer.create(sch, jvm.java.io.File(path))
+    for i in range(100):
+        rec = jvm.org.apache.avro.generic.GenericData.Record(sch)
+        rec.put("a", i)
+        rec.put("s", f"row-{i}" * 10)
+        writer.append(rec)
+    writer.close()
+    _, recs = avro_io.read_container(path)
+    assert len(recs) == 100
+    assert recs[7] == {"a": 7, "s": "row-7" * 10}
+
+
+def test_migrate_iceberg_roundtrip(spark, warehouse):
+    """Native table -> Iceberg export -> migrate back as a new native
+    table: contents must survive both directions, files linked not
+    rewritten."""
+    from flink_table_store_spark.migrate import migrate_iceberg_table
+
+    li = _lineitem(spark).select(
+        "l_orderkey", "l_quantity", "l_returnflag", "l_shipdate"
+    )
+    src = warehouse.create_table(
+        "db.ice_src",
+        li.schema,
+        partition_keys=["l_returnflag"],
+        options={"metadata.iceberg.storage": "table-location"},
+    )
+    src.write(li)
+    dst = migrate_iceberg_table(spark, warehouse, src.path, "db.ice_migrated")
+    assert dst.schema.partition_keys == ["l_returnflag"]
+    a = src.to_df(spark)
+    b = dst.to_df(spark)
+    assert b.count() == a.count()
+    asum = a.agg(F.sum("l_orderkey"), F.sum("l_quantity")).first()
+    bsum = b.agg(F.sum("l_orderkey"), F.sum("l_quantity")).first()
+    assert asum == bsum
+    # partition pruning works on the migrated table
+    from flink_table_store_spark import predicate as P
+
+    pr = dst.to_df(spark, predicate=P.equal("l_returnflag", "R"))
+    assert pr.count() == a.where(F.col("l_returnflag") == "R").count()
+
+
+def test_migrate_iceberg_refuses_delete_files(spark, warehouse):
+    from flink_table_store_spark import predicate as P
+    from flink_table_store_spark.migrate import migrate_iceberg_table
+
+    li = _lineitem(spark).select("l_orderkey", "l_quantity")
+    src = warehouse.create_table(
+        "db.ice_src_dv",
+        li.schema,
+        options={
+            "deletion-vectors.enabled": "true",
+            "metadata.iceberg.storage": "table-location",
+        },
+    )
+    src.write(li)
+    src.delete(spark, P.less_than("l_quantity", 10))
+    with pytest.raises(ValueError, match="delete files"):
+        migrate_iceberg_table(spark, warehouse, src.path, "db.ice_nope")
+
+
 def test_export_disabled_by_default(spark, warehouse):
     li = _lineitem(spark).select("l_orderkey")
     t = warehouse.create_table("db.ice_off", li.schema)
