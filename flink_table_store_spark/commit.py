@@ -140,7 +140,19 @@ class FileStoreCommit:
             )
             if self.snapshots.try_commit(snap):
                 for cb in self.callbacks:
-                    cb(snap)
+                    # The snapshot is already durably committed: a callback
+                    # failure (e.g. Iceberg export IO error) must not
+                    # propagate, or a retrying caller would duplicate data.
+                    # Exports are regenerable via export_iceberg().
+                    try:
+                        cb(snap)
+                    except Exception as exc:  # pragma: no cover - defensive
+                        import warnings
+
+                        warnings.warn(
+                            f"post-commit callback {cb!r} failed after snapshot "
+                            f"{snap.id} committed: {exc}"
+                        )
                 return snap
             time.sleep(0.01)  # lost the CAS race — re-plan against new latest
         raise CommitConflictError(f"commit failed after {self.max_retries} retries")

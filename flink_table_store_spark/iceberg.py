@@ -46,14 +46,12 @@ from typing import Any
 
 from flink_table_store_spark import avro_io
 from flink_table_store_spark.fileio import write_json
-from flink_table_store_spark.manifest import ManifestEntry
+from flink_table_store_spark.manifest import MAX_LEVEL, ManifestEntry
 from flink_table_store_spark.schema import TableSchema, parse_type
 from flink_table_store_spark.snapshot import Snapshot
 
 ICEBERG_DIR = "metadata"
 STATE_FILE = "ftss-iceberg-state.json"
-# compaction writes merged PK files at this level (table.py compact)
-MAX_LEVEL = 5
 
 
 # --------------------------------------------------------------------------
@@ -536,14 +534,23 @@ def _partition_summaries(
     for k in schema.partition_keys:
         tstr = schema.field(k).type
         vals = [e.partition.get(k) for e in entries]
-        non_null = [v for v in vals if v is not None]
-        bounds = sorted(non_null)
+        # Compare typed values, not raw strings: lexicographic "10" < "9"
+        # would publish inverted bounds and break Iceberg readers'
+        # manifest-level partition pruning for numeric partition columns.
+        typed = [
+            (p, v)
+            for v in vals
+            if v is not None
+            for p in [_parse_stat(v, tstr)]
+            if p is not None
+        ]
+        typed.sort(key=lambda t: t[0])
         out.append(
             {
                 "contains_null": any(v is None for v in vals),
                 "contains_nan": None,
-                "lower_bound": single_value_bytes(bounds[0], tstr) if bounds else None,
-                "upper_bound": single_value_bytes(bounds[-1], tstr) if bounds else None,
+                "lower_bound": single_value_bytes(typed[0][1], tstr) if typed else None,
+                "upper_bound": single_value_bytes(typed[-1][1], tstr) if typed else None,
             }
         )
     return out
@@ -787,6 +794,12 @@ def export_snapshot(table, snap: Snapshot) -> str | None:
     ]
 
     ice_schema, last_col_id = iceberg_schema(schema)
+    # Keep every exported schema (reference IcebergMetadata keeps the full
+    # list): older snapshots reference their schema-id for time travel.
+    schemas = [s for s in state.get("schemas", []) if s["schema-id"] != ice_schema["schema-id"]]
+    schemas.append(ice_schema)
+    schemas.sort(key=lambda s: s["schema-id"])
+    state["schemas"] = schemas
     spec = partition_spec(schema)
     version = state["version"] + 1
     metadata = {
@@ -796,7 +809,7 @@ def export_snapshot(table, snap: Snapshot) -> str | None:
         "last-sequence-number": snap.id,
         "last-updated-ms": snap.time_millis,
         "last-column-id": last_col_id,
-        "schemas": [ice_schema],
+        "schemas": schemas,
         "current-schema-id": schema.id,
         "partition-specs": [spec],
         "default-spec-id": 0,

@@ -26,6 +26,9 @@ from flink_table_store_spark.fileio import new_file_name, read_json, write_json
 
 KIND_ADD = "ADD"
 KIND_DELETE = "DELETE"
+# compaction rewrites merged PK files at this level (table.py compact();
+# iceberg.py exports only level==MAX_LEVEL files for PK tables)
+MAX_LEVEL = 5
 
 _ENTRY_SCHEMA = pa.schema(
     [

@@ -23,6 +23,7 @@ from flink_table_store_spark.fileio import read_json
 from flink_table_store_spark.manifest import (
     KIND_ADD,
     KIND_DELETE,
+    MAX_LEVEL,
     ManifestEntry,
     ManifestManager,
 )
@@ -590,7 +591,7 @@ class Table:
         if not to_compact:
             return snap
 
-        max_level = 5
+        max_level = MAX_LEVEL
         pk = self.is_primary_key_table()
         plan = read_mod.ScanPlan(merge_entries=to_compact) if pk else read_mod.ScanPlan(raw_entries=to_compact)
         merged = read_mod.build_dataframe(

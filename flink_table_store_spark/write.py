@@ -217,7 +217,9 @@ def collect_stats_distributed(
             }
             for c in statable
         }
-        path = _up.urlparse(r["__f"]).path or r["__f"]
+        # _metadata.file_path is a URI: unquote percent-encoded chars so the
+        # key matches os.path.abspath(src) even for paths with spaces etc.
+        path = _up.unquote(_up.urlparse(r["__f"]).path) or r["__f"]
         out[path] = (r["__rc"], stats)
     return out
 
@@ -243,7 +245,15 @@ def _collect_staged(
             rel_dir = os.path.relpath(dirpath, staging)
             partition, bucket = _parse_partition(rel_dir)
             if stats_by_path is not None:
-                row_count, stats = stats_by_path.get(os.path.abspath(src), (0, {}))
+                key = os.path.abspath(src)
+                hit = stats_by_path.get(key) or stats_by_path.get(os.path.realpath(src))
+                if hit is None:
+                    # A stats miss must not silently drop the file from the
+                    # commit (path-mapping mismatch ≠ empty file). Fall back
+                    # to a per-file row count; rows with no stats commit with
+                    # min/max=None — no pruning, but no data loss.
+                    hit = (_fallback_row_count(src, fmt), {})
+                row_count, stats = hit
             else:
                 row_count, _size, stats = collect_parquet_stats(src)
             if row_count == 0:
@@ -275,6 +285,28 @@ def _collect_staged(
                 )
             )
     return entries
+
+
+def _fallback_row_count(src: str, fmt: str) -> int:
+    """Per-file row count for a staged file that missed the distributed
+    stats map (only reached on a path-mapping mismatch or a genuinely
+    empty part file — never the hot path)."""
+    if fmt == "orc":
+        import pyarrow.orc as _orc
+
+        return _orc.ORCFile(src).nrows
+    if fmt == "avro":
+        try:
+            import fastavro
+
+            with open(src, "rb") as f:
+                return sum(1 for _ in fastavro.reader(f))
+        except Exception:
+            return 0
+    # text-based formats (csv/json/text): staged writes emit no headers,
+    # so non-empty lines == rows
+    with open(src, "rb") as f:
+        return sum(1 for line in f if line.strip())
 
 
 def _parse_partition(rel_dir: str) -> tuple[dict[str, str], int]:

@@ -217,6 +217,35 @@ def test_incremental_append_reuses_manifests(spark, warehouse):
     assert added["added_files_count"] > 0 and added["existing_files_count"] == 0
 
 
+def test_numeric_partition_bounds_are_typed(spark, warehouse):
+    """Manifest-list partition summaries must compare TYPED values: with
+    string comparison "10" < "9" inverts the bounds and an Iceberg
+    reader's manifest pruning would skip matching manifests."""
+    import struct
+
+    df = spark.range(0, 120).select(
+        F.col("id").alias("v"), (F.col("id") % 12).cast("int").alias("p")
+    )
+    t = warehouse.create_table(
+        "db.ice_numpart",
+        df.schema,
+        partition_keys=["p"],
+        options={"metadata.iceberg.storage": "table-location"},
+    )
+    t.write(df)  # partitions 0..11: lexicographic max is "9", typed max is 11
+    meta = iceberg.read_metadata(t.path)
+    cur = next(
+        s for s in meta["snapshots"] if s["snapshot-id"] == meta["current-snapshot-id"]
+    )
+    _schema, rows = avro_io.read_container(cur["manifest-list"])
+    assert rows
+    for r in rows:
+        summ = r["partitions"][0]
+        lo = struct.unpack("<i", summ["lower_bound"])[0]
+        hi = struct.unpack("<i", summ["upper_bound"])[0]
+        assert lo == 0 and hi == 11
+
+
 def test_delete_consolidates_manifest(spark, warehouse):
     from flink_table_store_spark import predicate as P
 
