@@ -16,19 +16,27 @@ Option surface (CoreOptions-style):
                                                per file (sizes the bitset
                                                at ~10 bits/item, k=7)
 
-Scale shape: the index build is ONE distributed pass over the freshly
-staged files (explode k positions -> collect_set per file); what comes
-back to the driver is O(files x index-size) — the same CommitMessage
-hop that carries file stats. Hash positions are Spark's own
-``pmod(xxhash64(col, i), m)`` evaluated JVM-side on BOTH paths (the
-write pass over data, and a one-row job per literal at plan time), so
-driver and executors can never disagree on the hash.
+Scale shape (FileIndexFormat.java + ``file-index.in-manifest-threshold``
+in the reference): the index build is ONE grouped aggregation over ALL
+indexed columns of the freshly staged files; its finishing pass packs
+the bitsets and writes one sidecar ``<data-file>.index`` file next to
+each staged data file EXECUTOR-side. Only indexes that serialize under
+``file-index.in-manifest-threshold`` bytes (default 500, like the
+reference) are embedded in the manifest entry's stats; everything
+bigger stays in the sidecar and the manifest carries a pointer — so
+manifests stay O(files × small-stats) no matter how many columns are
+indexed. Hash positions are Spark's own ``pmod(xxhash64(col, i), m)``
+evaluated JVM-side on BOTH paths (the write pass over data, and the
+plan-time literal hash), so driver and executors can never disagree.
 """
 
 from __future__ import annotations
 
 import base64
+import json
+import os
 import urllib.parse
+from functools import lru_cache
 from typing import Any
 
 from pyspark.sql import SparkSession
@@ -38,9 +46,14 @@ from pyspark.sql import types as T
 BLOOM_COLUMNS_OPTION = "file-index.bloom-filter.columns"
 BLOOM_ITEMS_OPTION = "file-index.bloom-filter.items"
 BITMAP_COLUMNS_OPTION = "file-index.bitmap.columns"
+IN_MANIFEST_THRESHOLD_OPTION = "file-index.in-manifest-threshold"
+DEFAULT_IN_MANIFEST_THRESHOLD = 500  # bytes, reference CoreOptions default
 BITMAP_MAX_VALUES = 128  # beyond this the per-file set is dropped (overflow)
 DEFAULT_ITEMS = 10_000
 K = 7  # hash count — ~1% FPR at 10 bits/item
+# reserved key in ManifestEntry.stats pointing at the sidecar index file
+INDEX_KEY = "__index__"
+INDEX_SUFFIX = ".index"
 
 
 def bloom_columns(options: dict[str, str]) -> list[str]:
@@ -59,77 +72,172 @@ def bloom_bits(options: dict[str, str]) -> int:
     return max(1024, (m + 7) // 8 * 8)  # byte-aligned
 
 
+def in_manifest_threshold(options: dict[str, str]) -> int:
+    return int(options.get(IN_MANIFEST_THRESHOLD_OPTION, DEFAULT_IN_MANIFEST_THRESHOLD))
+
+
 def _position_cols(col, m: int) -> list:
     return [F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m)) for i in range(K)]
 
 
-def build_blooms(
-    spark: SparkSession, staging: str, cols: list[str], m: int, fmt: str = "parquet"
-) -> dict[str, dict[str, dict[str, Any]]]:
-    """{staged-file-abs-path: {col: {"m", "k", "bits"}}} for every staged
-    data file — one distributed pass per indexed column."""
-    if not cols:
-        return {}
+def build_indexes(
+    spark: SparkSession,
+    staging: str,
+    bloom_cols: list[str],
+    bitmap_cols: list[str],
+    m: int,
+    fmt: str = "parquet",
+    threshold: int = DEFAULT_IN_MANIFEST_THRESHOLD,
+) -> dict[str, dict[str, Any]]:
+    """Build EVERY configured file index in ONE Spark job.
+
+    A single grouped aggregation over the staged files computes, per
+    file, the K distinct-position sets of every bloom column (``K``
+    plain ``collect_set`` aggregates each — map-side combinable, each
+    bounded by min(ndv, m)) and the distinct value set of every bitmap
+    column. A ``mapInPandas`` finishing pass over the tiny per-file agg
+    rows packs the bitsets, writes one ``<staged-file>.index`` JSON
+    sidecar next to each data file (executor-side — the bitsets never
+    travel to the driver), and returns only
+    ``{staged-abs-path: {"inline": {col: idx}, "sidecar": {col: {"kind"}}}}``
+    where "inline" holds indexes whose JSON fits ``threshold`` bytes.
+
+    Reference: fileindex/FileIndexFormat.java (sidecar container) +
+    bloomfilter/BloomFilterFileIndexFactory.java:29 +
+    bitmap/BitmapFileIndexFactory.java:29 +
+    CoreOptions ``file-index.in-manifest-threshold``.
+    """
     df = spark.read.format(fmt).load(staging)
-    out: dict[str, dict[str, dict[str, Any]]] = {}
-    for c in cols:
-        if c not in df.columns:
-            continue
-        rows = (
-            df.where(F.col(c).isNotNull())
-            .select(
-                F.col("_metadata.file_path").alias("__f"),
-                F.explode(F.array(*_position_cols(F.col(c), m))).alias("__p"),
+    bloom_cols = [c for c in bloom_cols if c in df.columns]
+    bitmap_cols = [c for c in bitmap_cols if c in df.columns]
+    if not bloom_cols and not bitmap_cols:
+        return {}
+    aggs = []
+    for ci, c in enumerate(bloom_cols):
+        for i in range(K):
+            pos = F.pmod(F.xxhash64(F.col(c), F.lit(i)), F.lit(m))
+            aggs.append(
+                F.collect_set(F.when(F.col(c).isNotNull(), pos)).alias(f"__b{ci}_{i}")
             )
-            .groupBy("__f")
-            .agg(F.collect_set("__p").alias("__ps"))
-            .collect()
+    for ci, c in enumerate(bitmap_cols):
+        aggs.append(
+            F.slice(F.collect_set(c), 1, BITMAP_MAX_VALUES + 1).alias(f"__v{ci}")
         )
-        for r in rows:
-            bits = bytearray(m // 8)
-            for p in r["__ps"]:
-                bits[p >> 3] |= 1 << (p & 7)
-            path = urllib.parse.urlparse(r["__f"]).path or r["__f"]
-            out.setdefault(path, {})[c] = {
-                "bloom": {
-                    "m": m,
-                    "k": K,
-                    "bits": base64.b64encode(bytes(bits)).decode("ascii"),
-                }
-            }
+    agg_df = df.groupBy(F.col("_metadata.file_path").alias("__f")).agg(*aggs)
+
+    k, mm, thr, bmax = K, m, threshold, BITMAP_MAX_VALUES
+    bcols, vcols = list(bloom_cols), list(bitmap_cols)
+
+    def _pack(batches):
+        # self-contained closure: runs on executors, stdlib-only
+        import base64 as _b64
+        import datetime as _dt
+        import json as _json
+        import urllib.parse as _up
+        from decimal import Decimal as _Dec
+
+        import pandas as _pd
+
+        def _safe(v):
+            if hasattr(v, "item"):  # numpy scalar
+                v = v.item()
+            if isinstance(v, (_dt.date, _dt.datetime)):
+                return v.isoformat()
+            if isinstance(v, _Dec):
+                return float(v)
+            if isinstance(v, (bytes, bytearray)):
+                return _b64.b64encode(bytes(v)).decode("ascii")
+            return v
+
+        for pdf in batches:
+            paths, metas = [], []
+            for _, row in pdf.iterrows():
+                path = _up.unquote(_up.urlparse(row["__f"]).path) or row["__f"]
+                inline: dict = {}
+                sidecar_meta: dict = {}
+                sidecar_payload: dict = {}
+
+                def _place(col, idx, kind):
+                    if len(_json.dumps(idx)) <= thr:
+                        inline[col] = idx
+                    else:
+                        sidecar_payload[col] = idx
+                        sidecar_meta[col] = {"kind": kind}
+
+                for ci2, c2 in enumerate(bcols):
+                    positions = set()
+                    for i2 in range(k):
+                        arr = row[f"__b{ci2}_{i2}"]
+                        if arr is not None:
+                            positions.update(int(p) for p in arr)
+                    bits = bytearray(mm // 8)
+                    for p in positions:
+                        bits[p >> 3] |= 1 << (p & 7)
+                    idx = {
+                        "bloom": {
+                            "m": mm,
+                            "k": k,
+                            "bits": _b64.b64encode(bytes(bits)).decode("ascii"),
+                        }
+                    }
+                    _place(c2, idx, "bloom")
+                for ci2, c2 in enumerate(vcols):
+                    vals = row[f"__v{ci2}"]
+                    vals = [] if vals is None else [_safe(v) for v in vals]
+                    if len(vals) > bmax:
+                        continue  # overflow: no index for this (file, col)
+                    vals = sorted(vals, key=lambda v: (str(type(v)), v))
+                    _place(c2, {"values": vals}, "values")
+                if sidecar_payload:
+                    with open(path + ".index", "w") as fh:
+                        _json.dump(sidecar_payload, fh)
+                paths.append(path)
+                metas.append(_json.dumps({"inline": inline, "sidecar": sidecar_meta}))
+            yield _pd.DataFrame({"path": paths, "meta": metas})
+
+    out: dict[str, dict[str, Any]] = {}
+    for r in agg_df.mapInPandas(_pack, "path string, meta string").collect():
+        out[r["path"]] = json.loads(r["meta"])
     return out
 
 
-def build_value_sets(
-    spark: SparkSession, staging: str, cols: list[str], fmt: str = "parquet"
-) -> dict[str, dict[str, list]]:
-    """{staged-file-abs-path: {col: sorted distinct values}} — the exact
-    file-level projection of the reference's bitmap index
-    (fileindex/bitmap/BitmapFileIndexFactory.java:29): for a
-    low-cardinality column the per-file distinct set decides =/IN/<>/
-    NOT IN pruning exactly, no false positives. Files whose set exceeds
-    BITMAP_MAX_VALUES record nothing (never pruned). One distributed
-    pass per indexed column over the staged files."""
-    if not cols:
-        return {}
-    df = spark.read.format(fmt).load(staging)
-    out: dict[str, dict[str, list]] = {}
-    for c in cols:
-        if c not in df.columns:
-            continue
-        rows = (
-            df.where(F.col(c).isNotNull())
-            .groupBy(F.col("_metadata.file_path").alias("__f"))
-            .agg(F.slice(F.collect_set(c), 1, BITMAP_MAX_VALUES + 1).alias("__vs"))
-            .collect()
-        )
-        for r in rows:
-            vals = r["__vs"]
-            if len(vals) > BITMAP_MAX_VALUES:
-                continue  # overflow: no index for this (file, col)
-            path = urllib.parse.urlparse(r["__f"]).path or r["__f"]
-            out.setdefault(path, {})[c] = sorted(vals, key=lambda v: (str(type(v)), v))
-    return out
+def load_sidecar(path: str) -> dict[str, Any] | None:
+    """Read a sidecar index file (driver-side, during scan planning) —
+    memoized: sidecars are immutable once written (uuid file names)."""
+    try:
+        return _load_sidecar_cached(path)
+    except OSError:
+        return None
+
+
+@lru_cache(maxsize=4096)
+def _load_sidecar_cached(path: str) -> dict[str, Any]:
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def stats_with_sidecar(table_path: str | None, entry, predicate) -> dict | None:
+    """If ``entry`` points at a sidecar index whose columns intersect the
+    predicate's fields, return stats merged with the sidecar indexes;
+    else None (caller keeps the inline-only verdict). Loading happens
+    ONLY for files that already survived partition + min/max pruning,
+    so the plan-time IO is O(candidate files × small JSON)."""
+    ptr = (entry.stats or {}).get(INDEX_KEY)
+    if not table_path or not ptr:
+        return None
+    fields = predicate.fields()
+    cols = set(ptr.get("cols", {}))
+    if fields is not None and not (cols & fields):
+        return None
+    sidecar = load_sidecar(os.path.join(table_path, ptr["file"]))
+    if not sidecar:
+        return None
+    merged = dict(entry.stats)
+    for col, idx in sidecar.items():
+        base = dict(merged.get(col) or {"min": None, "max": None, "nulls": 0})
+        base.update(idx)
+        merged[col] = base
+    return merged
 
 
 def literal_positions(

@@ -104,7 +104,7 @@ def point_lookup(spark: SparkSession, table, key_values: dict) -> list:
     entries = table.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
     # postpone-bucket files (-2) can hold any key: always scanned
     entries = [e for e in entries if e.bucket in (bucket, -2)]
-    plan = read_mod.plan_scan(entries, schema, pred)
+    plan = read_mod.plan_scan(entries, schema, pred, table_path=table.path)
     df = read_mod.build_dataframe(
         spark,
         table.path,

@@ -55,11 +55,26 @@ class ScanPlan:
         return sum(e.row_count for e in self.entries)
 
 
+def _stats_test(e: ManifestEntry, predicate: Predicate, table_path: str | None) -> bool:
+    """Inline stats first (free), then — only for surviving files whose
+    manifest entry points at a sidecar index over a predicated column —
+    load the sidecar and re-test (fileindex.stats_with_sidecar)."""
+    from flink_table_store_spark import fileindex
+
+    if not predicate.test(e.stats, e.row_count):
+        return False
+    merged = fileindex.stats_with_sidecar(table_path, e, predicate)
+    if merged is None:
+        return True
+    return predicate.test(merged, e.row_count)
+
+
 def plan_scan(
     entries: list[ManifestEntry],
     schema: TableSchema,
     predicate: Predicate | None = None,
     limit: int | None = None,
+    table_path: str | None = None,
 ) -> ScanPlan:
     """Prune manifest entries and split them into raw vs merge groups.
 
@@ -81,7 +96,7 @@ def plan_scan(
             keyish = set(schema.partition_keys) | set(schema.trimmed_primary_keys())
             per_file_safe = flds is not None and flds <= keyish
         if per_file_safe:
-            live = [e for e in live if predicate.test(e.stats, e.row_count)]
+            live = [e for e in live if _stats_test(e, predicate, table_path)]
 
     plan = ScanPlan()
     if not pk:
@@ -108,7 +123,7 @@ def plan_scan(
         if predicate is not None and not per_file_safe and not has_postpone:
             # whole-bucket value-stats pruning: drop the group only when
             # NO file in it can match (filterWholeBucketByStats)
-            if not any(predicate.test(e.stats, e.row_count) for e in group):
+            if not any(_stats_test(e, predicate, table_path) for e in group):
                 continue
         if len(group) == 1 and group[0].level > 0 and not has_postpone:
             plan.raw_entries.append(group[0])  # single compacted run → no merge

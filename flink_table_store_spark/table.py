@@ -17,6 +17,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from flink_table_store_spark import fileindex
 from flink_table_store_spark import read as read_mod
 from flink_table_store_spark.commit import FileStoreCommit
 from flink_table_store_spark.fileio import read_json
@@ -135,7 +136,7 @@ class ReadBuilder:
         if snap is None:
             return read_mod.ScanPlan()
         entries = t.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
-        return read_mod.plan_scan(entries, t.schema, self._predicate, self._limit)
+        return read_mod.plan_scan(entries, t.schema, self._predicate, self._limit, t.path)
 
     def to_df(self, spark: SparkSession) -> DataFrame:
         t = self._table
@@ -147,12 +148,12 @@ class ReadBuilder:
                 snap.base_manifest_list, snap.delta_manifest_list
             )
             if self._predicate is not None:
-                from flink_table_store_spark import fileindex
-
                 # =/IN literals over bloom-indexed columns get their
                 # plan-time positions so manifest pruning can skip files
                 fileindex.attach_bloom_positions(spark, self._predicate, t.schema)
-            plan = read_mod.plan_scan(entries, t.schema, self._predicate, self._limit)
+            plan = read_mod.plan_scan(
+                entries, t.schema, self._predicate, self._limit, t.path
+            )
         if (
             self._topn is not None
             and not t.is_primary_key_table()
@@ -1113,6 +1114,9 @@ class Table:
                     referenced.add(os.path.join("manifest", m))
                     for e in self.manifests.read_manifest(m):
                         referenced.add(e.file_name)
+                        ptr = e.stats.get(fileindex.INDEX_KEY)
+                        if ptr:
+                            referenced.add(ptr["file"])
         orphans: list[str] = []
         for sub in ("manifest", "data", "index"):
             root = os.path.join(self.path, sub)

@@ -142,31 +142,31 @@ def stage_and_collect(
         writer = writer.partitionBy(*partition_by)
     writer.save(staging)
 
-    # embedded bloom file index (P9): one distributed pass over the
-    # staged files per indexed column; the driver folds the bitsets into
-    # the manifest entries (the same hop that carries file stats)
+    # file indexes (P9): ONE distributed job computes every configured
+    # column's bloom bitset + bitmap value-set per staged file and writes
+    # sidecar `.index` files executor-side; only sub-threshold indexes
+    # embed in the manifest (fileindex.build_indexes docstring)
     indexes: dict = {}
     idx_cols = [
         c
         for c in fileindex.bloom_columns(schema.options)
         if c not in schema.partition_keys
     ]
-    if idx_cols:
-        indexes = fileindex.build_blooms(
-            df.sparkSession, staging, idx_cols, fileindex.bloom_bits(schema.options), fmt
-        )
     bm_cols = [
         c
         for c in fileindex.bitmap_columns(schema.options)
         if c not in schema.partition_keys
     ]
-    if bm_cols:
-        for path, colvals in fileindex.build_value_sets(
-            df.sparkSession, staging, bm_cols, fmt
-        ).items():
-            slot = indexes.setdefault(path, {})
-            for c, vs in colvals.items():
-                slot.setdefault(c, {})["values"] = vs
+    if idx_cols or bm_cols:
+        indexes = fileindex.build_indexes(
+            df.sparkSession,
+            staging,
+            idx_cols,
+            bm_cols,
+            fileindex.bloom_bits(schema.options),
+            fmt,
+            fileindex.in_manifest_threshold(schema.options),
+        )
 
     stats_by_path = None
     if fmt != "parquet":
@@ -258,14 +258,23 @@ def _collect_staged(
                 row_count, _size, stats = collect_parquet_stats(src)
             if row_count == 0:
                 continue
-            for col, idx in (indexes or {}).get(os.path.abspath(src), {}).items():
-                stats.setdefault(col, {"min": None, "max": None, "nulls": 0}).update(idx)
             new_name = f"data-{uuid.uuid4().hex}{ext}"
             rel_parts = [] if rel_dir == "." else rel_dir.split(os.sep)
             dest_dir = os.path.join(data_root, *rel_parts)
             os.makedirs(dest_dir, exist_ok=True)
             dest = os.path.join(dest_dir, new_name)
             os.replace(src, dest)
+            info = (indexes or {}).get(os.path.abspath(src))
+            if info:
+                for col, idx in info.get("inline", {}).items():
+                    stats.setdefault(col, {"min": None, "max": None, "nulls": 0}).update(idx)
+                sidecar_src = src + fileindex.INDEX_SUFFIX
+                if info.get("sidecar") and os.path.exists(sidecar_src):
+                    os.replace(sidecar_src, dest + fileindex.INDEX_SUFFIX)
+                    stats[fileindex.INDEX_KEY] = {
+                        "file": os.path.relpath(dest, table_path) + fileindex.INDEX_SUFFIX,
+                        "cols": info["sidecar"],
+                    }
             size = os.path.getsize(dest)
             seq_stats = stats.get(SEQUENCE_NUMBER, {})
             entries.append(

@@ -30,20 +30,32 @@ def _entries(t):
 
 
 def test_bloom_written_and_prunes(spark, warehouse):
+    import json
+    import os
+
     t = _mk(spark, warehouse)
     entries = _entries(t)
-    assert all("bloom" in (e.stats.get("v") or {}) for e in entries)
+    # bloom bitsets (≥1 KB) exceed file-index.in-manifest-threshold: the
+    # manifest holds only a sidecar pointer, never the bitset itself
+    for e in entries:
+        ptr = e.stats.get(fileindex.INDEX_KEY)
+        assert ptr and "v" in ptr["cols"]
+        assert os.path.exists(os.path.join(t.path, ptr["file"]))
+        assert "bits" not in json.dumps(e.stats)
     total = len(entries)
 
     pred = P.equal("v", "zy")
     fileindex.attach_bloom_positions(spark, pred, t.schema)
-    plan = read_mod.plan_scan(entries, t.schema, pred)
+    plan = read_mod.plan_scan(entries, t.schema, pred, table_path=t.path)
     assert plan.file_count() < total  # bloom skipped sibling files
     assert [(r.id, r.v) for r in t.to_df(spark, predicate=pred).collect()] == [(4, "zy")]
 
     absent = P.equal("v", "not-there")
     fileindex.attach_bloom_positions(spark, absent, t.schema)
-    assert read_mod.plan_scan(entries, t.schema, absent).file_count() == 0
+    assert (
+        read_mod.plan_scan(entries, t.schema, absent, table_path=t.path).file_count()
+        == 0
+    )
 
     isin = P.isin("v", ["aa", "ac"])
     fileindex.attach_bloom_positions(spark, isin, t.schema)
@@ -70,19 +82,28 @@ def test_bloom_size_mismatch_is_ignored(spark, warehouse):
     pred = P.equal("v", "zy")
     fileindex.attach_bloom_positions(spark, pred, t.schema)
     pred.bloom_m = 12345  # as if files were written under a different m
-    plan = read_mod.plan_scan(entries, t.schema, pred)
+    plan = read_mod.plan_scan(entries, t.schema, pred, table_path=t.path)
     # mismatched m -> bloom skipped, min/max keeps all overlapping files
     assert plan.file_count() >= 1
     assert t.to_df(spark, predicate=pred).count() == 1
 
 
 def test_bloom_survives_compaction(spark, warehouse):
+    import os
+
     t = _mk(spark, warehouse, "db.bloom4")
     t.compact(spark, full=True)
     t = t.refresh()
     entries = _entries(t)
     pred = P.equal("v", "zz")
     fileindex.attach_bloom_positions(spark, pred, t.schema)
+    assert t.to_df(spark, predicate=pred).count() == 1
+    # live sidecar index files are referenced, never orphans
+    t.expire_snapshots(retain_last=1)
+    t.remove_orphan_files()
+    for e in _entries(t):
+        ptr = e.stats.get(fileindex.INDEX_KEY)
+        assert ptr and os.path.exists(os.path.join(t.path, ptr["file"]))
     assert t.to_df(spark, predicate=pred).count() == 1
 
 
