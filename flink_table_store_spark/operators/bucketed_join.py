@@ -1,0 +1,289 @@
+"""Storage-partitioned (bucketed) join — shuffle-free fact-to-fact joins.
+
+The reference reports ``KeyGroupedPartitioning`` from its DSv2 scan so
+Spark elides the exchange when joining two co-bucketed Paimon tables
+(paimon-spark PaimonScan.scala:139-141, proven by
+sql/BucketedTableQueryTest.scala). A pure-Python planner cannot report
+output partitioning to Catalyst, so this operator exploits the shared
+layout directly: both tables hash the same join key with the same
+bucket function (write.bucket_expr — pmod(xxhash64(bucket-key), n)),
+therefore bucket *b* of the left table can only ever match bucket *b*
+of the right table.
+
+Execution shape — the plan the reference's bucketed join gets, with
+zero Exchange nodes:
+
+    spark.range(n_buckets, numPartitions=n_buckets)   # 1 row/partition
+      .mapInPandas(join_bucket)                       # narrow, Arrow
+
+Each task reads ONLY its bucket's data files from BOTH tables straight
+off shared storage (pyarrow), applies deletion vectors and the
+deduplicate merge locally (a bucket is memory-bounded by design — the
+same contract the reference's merge readers rely on), and hash-joins
+in pandas. At 100 TB this is `n_buckets` independent co-located tasks
+and no shuffle of either fact table; the non-bucketed alternative pays
+a full exchange of both sides.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import date, datetime
+from decimal import Decimal
+
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_table_store_spark import read as read_mod
+from flink_table_store_spark.schema import (
+    KIND_DELETE,
+    SEQUENCE_NUMBER,
+    VALUE_KIND,
+    TableSchema,
+)
+from flink_table_store_spark.write import POSTPONE_BUCKET, bucket_keys
+
+
+def _typed_partition(raw: str | None, ddl: str):
+    if raw is None:
+        return None
+    t = ddl.lower()
+    if t in ("tinyint", "smallint", "int", "integer", "bigint", "long"):
+        return int(raw)
+    if t in ("float", "double"):
+        return float(raw)
+    if t.startswith("decimal"):
+        return Decimal(raw)
+    if t == "boolean":
+        return raw in ("true", "True", "1")
+    if t == "date":
+        return date.fromisoformat(raw)
+    if t.startswith("timestamp"):
+        return datetime.fromisoformat(raw)
+    return raw
+
+
+def _side_plan(table) -> tuple[dict[int, list[dict]], list[str], TableSchema]:
+    """{bucket: [{path, schema_id, partition(typed)}]}, abs DV paths."""
+    schema = table.schema
+    snap = table.snapshots.latest()
+    buckets: dict[int, list[dict]] = {}
+    dv_paths: list[str] = []
+    if snap is None:
+        return buckets, dv_paths, schema
+    entries = table.manifests.read_live_entries(
+        snap.base_manifest_list, snap.delta_manifest_list
+    )
+    pt_types = {k: schema.field(k).type for k in schema.partition_keys}
+    for e in entries:
+        if e.bucket == POSTPONE_BUCKET:
+            raise ValueError(
+                "join_bucketed: postpone-bucket files present — run compact() first"
+            )
+        buckets.setdefault(e.bucket, []).append(
+            {
+                "path": os.path.join(table.path, e.file_name),
+                "schema_id": e.schema_id,
+                "partition": {
+                    k: _typed_partition(v, pt_types[k]) for k, v in e.partition.items()
+                },
+            }
+        )
+    dv_paths = [os.path.join(table.path, "index", n) for n in snap.dv_files]
+    return buckets, dv_paths, schema
+
+
+def _field_maps(table) -> dict[int, dict[str, str | None]]:
+    """{schema_id: {current_name: name_in_that_generation_or_None}} —
+    the by-field-id rename/add mapping read.py._adapt applies."""
+    current = table.schema
+    out: dict[int, dict[str, str | None]] = {}
+    for sid, s in table.all_schemas().items():
+        by_id = {f.id: f.name for f in s.fields}
+        out[sid] = {f.name: by_id.get(f.id) for f in current.fields}
+    return out
+
+
+def join_bucketed(
+    spark: SparkSession,
+    left,
+    right,
+    on: list[tuple[str, str]] | None = None,
+    how: str = "inner",
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Join two co-bucketed tables without shuffling either side.
+
+    Requirements (checked): equal bucket counts; the join keys are
+    exactly both tables' bucket keys (positionally paired, matching
+    types); deduplicate merge engine (default) on PK sides. ``on``
+    defaults to pairing left/right bucket keys in order.
+    """
+    lschema, rschema = left.schema, right.schema
+    ln, rn = lschema.num_buckets(), rschema.num_buckets()
+    if ln <= 0 or rn <= 0:
+        raise ValueError(f"join_bucketed needs fixed-bucket tables (got {ln}, {rn})")
+    if ln != rn:
+        raise ValueError(f"bucket counts differ: {ln} != {rn}")
+    lkeys, rkeys = bucket_keys(lschema), bucket_keys(rschema)
+    if on is None:
+        on = list(zip(lkeys, rkeys))
+    if [p[0] for p in on] != lkeys or [p[1] for p in on] != rkeys:
+        raise ValueError(
+            f"join keys {on} must be the bucket keys ({lkeys} vs {rkeys}) — "
+            "anything else is not co-located and needs a regular join"
+        )
+    ltypes = [lschema.field(k).type.lower() for k in lkeys]
+    rtypes = [rschema.field(k).type.lower() for k in rkeys]
+    if ltypes != rtypes:
+        raise ValueError(f"bucket key types differ: {ltypes} != {rtypes}")
+    for s in (lschema, rschema):
+        if s.primary_keys and s.options.get("merge-engine", "deduplicate") != "deduplicate":
+            raise ValueError(
+                "join_bucketed merges buckets locally with deduplicate "
+                "semantics only — compact() tables with other merge engines first"
+            )
+        if s.options.get("sequence.field"):
+            raise ValueError("join_bucketed does not support sequence.field tables")
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r} (inner/left)")
+
+    lbuckets, ldv, _ = _side_plan(left)
+    rbuckets, rdv, _ = _side_plan(right)
+    lmaps, rmaps = _field_maps(left), _field_maps(right)
+
+    left_cols = left_cols or lschema.field_names()
+    right_cols = right_cols or [
+        c for c in rschema.field_names() if c not in rkeys
+    ]
+    taken = set(left_cols)
+    rename_right = {}
+    for c in right_cols:
+        out_name = c if c not in taken else f"r_{c}"
+        rename_right[c] = out_name
+        taken.add(out_name)
+
+    out_fields = [(c, lschema.field(c).type) for c in left_cols] + [
+        (rename_right[c], rschema.field(c).type) for c in right_cols
+    ]
+    out_schema = ", ".join(f"`{n}` {t}" for n, t in out_fields)
+
+    lkey_cols = list(lschema.partition_keys) + lschema.trimmed_primary_keys()
+    rkey_cols = list(rschema.partition_keys) + rschema.trimmed_primary_keys()
+    lspec = {
+        "buckets": lbuckets,
+        "dv": ldv,
+        "maps": lmaps,
+        "pk": bool(lschema.primary_keys),
+        "key_cols": lkey_cols,
+        "partition_keys": list(lschema.partition_keys),
+        # merge keys must be read even when not selected (dedup needs them)
+        "need": list(
+            dict.fromkeys(
+                list(left_cols) + lkeys + (lkey_cols if lschema.primary_keys else [])
+            )
+        ),
+        "out_need": list(dict.fromkeys(list(left_cols) + lkeys)),
+    }
+    rspec = {
+        "buckets": rbuckets,
+        "dv": rdv,
+        "maps": rmaps,
+        "pk": bool(rschema.primary_keys),
+        "key_cols": rkey_cols,
+        "partition_keys": list(rschema.partition_keys),
+        "need": list(
+            dict.fromkeys(
+                list(right_cols) + rkeys + (rkey_cols if rschema.primary_keys else [])
+            )
+        ),
+        "out_need": list(dict.fromkeys(list(right_cols) + rkeys)),
+    }
+    join_keys = (list(lkeys), list(rkeys))
+    out_names = [n for n, _t in out_fields]
+    rename = dict(rename_right)
+
+    def _run(batches):
+        # executor-side: stdlib + pyarrow + pandas only
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        seqc, kindc = SEQUENCE_NUMBER, VALUE_KIND
+
+        def _dv_positions(dv_paths):
+            # (file basename) -> set of deleted row positions; DV files
+            # are tiny next to data (one short row per deleted row)
+            dels: dict[str, set] = {}
+            for p in dv_paths:
+                try:
+                    t = pq.read_table(p, columns=["file_name", "pos"])
+                except OSError:
+                    continue
+                for fn, pos in zip(
+                    t.column("file_name").to_pylist(), t.column("pos").to_pylist()
+                ):
+                    dels.setdefault(fn, set()).add(pos)
+            return dels
+
+        def _read_side(spec, bucket, dels):
+            frames = []
+            for f in spec["buckets"].get(bucket, []):
+                fmap = spec["maps"].get(f["schema_id"], {})
+                stored = {}  # out_name -> stored name (None = null-fill)
+                for c in spec["need"]:
+                    if c in spec["partition_keys"]:
+                        continue
+                    stored[c] = fmap.get(c, c)
+                cols = [s for s in stored.values() if s is not None]
+                if spec["pk"]:
+                    cols += [seqc, kindc]
+                tbl = pq.read_table(f["path"], columns=list(dict.fromkeys(cols)))
+                pdf = tbl.to_pandas()
+                d = dels.get(os.path.basename(f["path"]))
+                if d:
+                    pdf = pdf[~pdf.index.isin(d)]
+                out = pd.DataFrame(index=pdf.index)
+                for c, s in stored.items():
+                    out[c] = pdf[s] if s is not None else None
+                for k, v in f["partition"].items():
+                    if k in spec["need"] or k in spec["key_cols"]:
+                        out[k] = v
+                if spec["pk"]:
+                    out[seqc] = pdf[seqc]
+                    out[kindc] = pdf[kindc]
+                frames.append(out)
+            if not frames:
+                return None
+            pdf = pd.concat(frames, ignore_index=True)
+            if spec["pk"]:
+                # deduplicate merge: newest sequence wins, deletes drop
+                pdf = pdf.sort_values(seqc, kind="stable").drop_duplicates(
+                    subset=spec["key_cols"], keep="last"
+                )
+                pdf = pdf[pdf[kindc] != KIND_DELETE]
+                pdf = pdf.drop(columns=[seqc, kindc])
+            keep = [c for c in spec["out_need"] if c in pdf.columns]
+            return pdf[keep]
+
+        for pdf_in in batches:
+            for b in pdf_in["id"].tolist():
+                b = int(b)
+                ldels = _dv_positions(lspec["dv"]) if lspec["dv"] else {}
+                rdels = _dv_positions(rspec["dv"]) if rspec["dv"] else {}
+                lpdf = _read_side(lspec, b, ldels)
+                if lpdf is None or lpdf.empty:
+                    continue
+                rpdf = _read_side(rspec, b, rdels)
+                if rpdf is None:
+                    rpdf = pd.DataFrame(columns=rspec["out_need"])
+                rpdf = rpdf.rename(columns=rename)
+                merged = lpdf.merge(
+                    rpdf,
+                    how=how,
+                    left_on=join_keys[0],
+                    right_on=[rename.get(k, k) for k in join_keys[1]],
+                )
+                yield merged.reindex(columns=out_names)
+
+    base = spark.range(0, ln, 1, numPartitions=ln)
+    return base.mapInPandas(_run, out_schema)

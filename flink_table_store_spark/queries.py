@@ -1616,6 +1616,61 @@ ORDER BY c_custkey
 
 QUERIES["cross_partition_update"] = (cross_partition_update, CROSS_PARTITION_SQL)
 
+
+def bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 storage-partitioned join: orders (bucket-key=o_custkey) ⋈
+    customer (pk=c_custkey), both bucket=8 — zero-Exchange co-located
+    join (operators/bucketed_join.py; reference PaimonScan.scala:139)."""
+    from flink_table_store_spark.operators.bucketed_join import join_bucketed
+
+    cat = _wh(sf_dir)
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    to = cat.create_table(
+        "default.orders_bj",
+        orders.schema,
+        primary_keys=["o_custkey", "o_orderkey"],
+        options={"bucket": "8", "bucket-key": "o_custkey"},
+        ignore_if_exists=True,
+    )
+    if not to.snapshots.latest_id():
+        to.write(orders)
+    tc = cat.create_table(
+        "default.customer_bj",
+        cust.schema,
+        primary_keys=["c_custkey"],
+        options={"bucket": "8"},
+        ignore_if_exists=True,
+    )
+    if not tc.snapshots.latest_id():
+        tc.write(cust)
+    j = join_bucketed(
+        spark,
+        to.refresh(),
+        tc.refresh(),
+        on=[("o_custkey", "c_custkey")],
+        left_cols=["o_custkey", "o_totalprice"],
+        right_cols=["c_mktsegment"],
+    )
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+BUCKETED_JOIN_SQL = """
+SELECT c_mktsegment, count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+QUERIES["bucketed_join"] = (bucketed_join, BUCKETED_JOIN_SQL)
+
 from flink_table_store_spark.queries_extra import EXTRA_QUERIES  # noqa: E402
 
 QUERIES.update(EXTRA_QUERIES)

@@ -46,16 +46,33 @@ DATA_DIR = "data"
 POSTPONE_BUCKET = -2
 
 
-def bucket_expr(schema: TableSchema, num_buckets: int | None = None):
-    """Stable bucket assignment: pmod(xxhash64(trimmed-pk), n).
+def bucket_keys(schema: TableSchema) -> list[str]:
+    """Columns hashed to pick the bucket: the ``bucket-key`` option if
+    set (must be a subset of the primary key on PK tables — reference
+    CoreOptions BUCKET_KEY), else the trimmed primary key. A bucket-key
+    narrower than the PK is what makes two fact tables co-partitionable
+    on a shared join key (join_bucketed)."""
+    raw = schema.options.get("bucket-key", "")
+    keys = [c.strip() for c in raw.split(",") if c.strip()]
+    if keys:
+        if schema.primary_keys and not set(keys) <= set(schema.primary_keys):
+            raise ValueError(
+                f"bucket-key {keys} must be a subset of primary key {schema.primary_keys}"
+            )
+        return keys
+    return schema.trimmed_primary_keys()
 
-    The reference hashes the trimmed-PK BinaryRow with murmur
+
+def bucket_expr(schema: TableSchema, num_buckets: int | None = None):
+    """Stable bucket assignment: pmod(xxhash64(bucket-key), n).
+
+    The reference hashes the bucket-key BinaryRow with murmur
     (DefaultBucketFunction.java:30-34); our engine defines its own
     stable hash — Spark's xxhash64 built-in — shared by the writer and
     the bucketed-join layout (SURVEY §4.3 item 6).
     """
     n = num_buckets if num_buckets is not None else schema.num_buckets()
-    keys = schema.trimmed_primary_keys()
+    keys = bucket_keys(schema)
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n)).cast("int")
 
 

@@ -1,0 +1,121 @@
+"""Storage-partitioned join (operators/bucketed_join.py): shuffle-free
+co-located joins of co-bucketed tables — the engine-side analogue of the
+reference's KeyGroupedPartitioning bucketed join (PaimonScan.scala:139,
+BucketedTableQueryTest.scala)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_table_store_spark.operators.bucketed_join import join_bucketed
+
+
+def _tables(spark, warehouse, prefix="bj"):
+    cust = spark.createDataFrame(
+        [(k, f"name{k}", k % 3) for k in range(1, 21)],
+        "c_custkey bigint, c_name string, c_seg int",
+    )
+    orders = spark.createDataFrame(
+        [(k % 20 + 1, k, float(k) * 10.0) for k in range(100)],
+        "o_custkey bigint, o_orderkey bigint, o_total double",
+    )
+    tc = warehouse.create_table(
+        f"db.{prefix}_cust",
+        cust.schema,
+        primary_keys=["c_custkey"],
+        options={"bucket": "4"},
+    )
+    tc.write(cust)
+    to = warehouse.create_table(
+        f"db.{prefix}_ord",
+        orders.schema,
+        primary_keys=["o_custkey", "o_orderkey"],
+        options={"bucket": "4", "bucket-key": "o_custkey"},
+    )
+    to.write(orders)
+    return tc.refresh(), to.refresh(), cust, orders
+
+
+def test_bucketed_join_matches_regular_join(spark, warehouse):
+    tc, to, cust, orders = _tables(spark, warehouse)
+    got = join_bucketed(spark, to, tc, on=[("o_custkey", "c_custkey")])
+    expected = orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "inner"
+    ).select("o_custkey", "o_orderkey", "o_total", "c_name", "c_seg")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_bucketed_join_plan_has_no_exchange(spark, warehouse):
+    tc, to, _c, _o = _tables(spark, warehouse, "bj2")
+    got = join_bucketed(spark, to, tc)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # THE point: co-located, shuffle-free
+    assert "MapInPandas" in plan
+
+
+def test_bucketed_join_applies_dedup_merge(spark, warehouse):
+    tc, to, cust, orders = _tables(spark, warehouse, "bj3")
+    # upsert: same keys, new totals — newest sequence must win on the fly
+    to.write(
+        spark.createDataFrame(
+            [(k % 20 + 1, k, 999.0) for k in range(0, 100, 7)],
+            "o_custkey bigint, o_orderkey bigint, o_total double",
+        )
+    )
+    to = to.refresh()
+    got = join_bucketed(spark, to, tc, on=[("o_custkey", "c_custkey")])
+    merged = to.to_df(spark)
+    expected = merged.join(
+        cust, merged.o_custkey == cust.c_custkey, "inner"
+    ).select("o_custkey", "o_orderkey", "o_total", "c_name", "c_seg")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+    assert got.where(F.col("o_total") == 999.0).count() == 15
+
+
+def test_bucketed_join_rejects_mismatched_specs(spark, warehouse):
+    import pytest
+
+    tc, to, _c, _o = _tables(spark, warehouse, "bj4")
+    other = warehouse.create_table(
+        "db.bj4_other",
+        "k bigint, v string",
+        primary_keys=["k"],
+        options={"bucket": "8"},
+    )
+    other.write(spark.createDataFrame([(1, "x")], "k bigint, v string"))
+    with pytest.raises(ValueError, match="bucket counts differ"):
+        join_bucketed(spark, to, other.refresh(), on=[("o_custkey", "k")])
+    with pytest.raises(ValueError, match="must be the bucket keys"):
+        join_bucketed(spark, to, tc, on=[("o_orderkey", "c_custkey")])
+
+
+def test_bucketed_join_left_and_partitioned(spark, warehouse):
+    # partitioned left side: partition values are injected into merge keys
+    orders = spark.createDataFrame(
+        [(k % 10 + 1, k, float(k), "A" if k % 2 else "B") for k in range(50)],
+        "o_custkey bigint, o_orderkey bigint, o_total double, region string",
+    )
+    cust = spark.createDataFrame(
+        [(k, f"n{k}") for k in range(1, 8)], "c_custkey bigint, c_name string"
+    )
+    to = warehouse.create_table(
+        "db.bj5_ord",
+        orders.schema,
+        primary_keys=["region", "o_custkey", "o_orderkey"],
+        partition_keys=["region"],
+        options={"bucket": "4", "bucket-key": "o_custkey"},
+    )
+    to.write(orders)
+    tc = warehouse.create_table(
+        "db.bj5_cust", cust.schema, primary_keys=["c_custkey"], options={"bucket": "4"}
+    )
+    tc.write(cust)
+    got = join_bucketed(
+        spark, to.refresh(), tc.refresh(), on=[("o_custkey", "c_custkey")], how="left"
+    )
+    expected = orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "left"
+    ).select("o_custkey", "o_orderkey", "o_total", "region", "c_name")
+    assert sorted(
+        map(tuple, got.select(*expected.columns).collect())
+    ) == sorted(map(tuple, expected.collect()))
