@@ -50,6 +50,7 @@ class FileStoreCommit:
         next_sequence: int | None = None,
         dv_files: list[str] | None = None,
         assign_row_ids: bool = False,
+        changelog_files: list[str] | None = None,
     ) -> Snapshot:
         """Commit ADD/DELETE entries as a new snapshot. Retries on CAS
         loss; re-validates that DELETE-d files still exist (conflict
@@ -137,6 +138,7 @@ class FileStoreCommit:
                     else (latest.dv_files if latest is not None else [])
                 ),
                 next_row_id=new_row_id,
+                changelog_files=changelog_files or [],
             )
             if self.snapshots.try_commit(snap):
                 for cb in self.callbacks:

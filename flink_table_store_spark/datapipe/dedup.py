@@ -229,18 +229,64 @@ def simhash_signatures(
     return g.select("__id", out.alias("__sh"))
 
 
-def simhash_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Drop documents whose 64-bit SimHash collides with a smaller-id doc.
-    (Equal-signature near-dup; banded hamming-distance buckets are the
-    extension, same join shape.)"""
-    sig = simhash_signatures(df, text_col, id_col)
-    w = Window.partitionBy("__sh").orderBy(F.col("__id").asc())
-    keep = (
-        sig.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select(F.col("__id").alias(id_col))
+def simhash_candidate_pairs(
+    sig: DataFrame, bands: int = 4, n_bits: int = 64, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b, hamming ≤ max_hamming) via banded
+    hamming LSH over SimHash signatures ``(__id, __sh)``.
+
+    The 64-bit signature splits into ``bands`` equal slices; the
+    self-join meets only rows sharing a slice value, then verifies
+    ``bit_count(a ^ b) <= max_hamming`` JVM-side. By pigeonhole, any
+    pair within hamming ≤ bands-1 agrees on at least one whole band —
+    so with the defaults (4 bands, d=3) candidate generation is EXACT,
+    not probabilistic. Join shape mirrors minhash_lsh_pairs: shuffle on
+    (band, band_value), never all-pairs."""
+    width = n_bits // bands
+    mask = (1 << width) - 1
+    banded = sig.select(
+        "__id",
+        "__sh",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("__band"),
+    ).withColumn(
+        "__bv", F.expr(f"shiftrightunsigned(__sh, __band * {width}) & {mask}")
     )
-    return df.join(keep, on=id_col, how="left_semi")
+    if MATERIALIZE_SIGNATURES:
+        try:
+            banded = banded.localCheckpoint(eager=True)
+        except Exception:
+            pass  # optimization only; the join is correct without it
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__bv") == F.col("b.__bv"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .where(
+            F.bit_count(F.col("a.__sh").bitwiseXOR(F.col("b.__sh"))) <= max_hamming
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Drop documents whose SimHash is within ``max_hamming`` bits of a
+    smaller-id doc (banded hamming buckets, simhash_candidate_pairs;
+    reference shape: the SimHash near-dup stage of training-data
+    pipelines)."""
+    sig = simhash_signatures(df, text_col, id_col)
+    pairs = simhash_candidate_pairs(sig, bands=bands, max_hamming=max_hamming)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
 
 
 def embedding_near_dup_pairs(

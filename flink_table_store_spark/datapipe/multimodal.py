@@ -67,11 +67,16 @@ def descriptor_to_string(desc_col) -> "F.Column":
     )
 
 
+try:  # real codec when available; nothing else changes
+    from PIL import Image as _PILImage  # noqa: N813
+except ImportError:  # pragma: no cover - container has no PIL
+    _PILImage = None
+
+
 def _decode_image_stub(payload: bytes) -> tuple[int, int, int, bool]:
     """Deterministic fake decoder. REAL DECODE NOT IMPLEMENTED in this
     container (no PIL/opencv): derives (width, height, channels) from a
-    hash of the bytes so the pipeline is testable end-to-end. Replace
-    with PIL.Image.open for production."""
+    hash of the bytes so the pipeline is testable end-to-end."""
     if not payload:
         return 0, 0, 0, False
     h = hashlib.sha256(payload).digest()
@@ -79,6 +84,22 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, int, bool]:
     height = 64 + h[1] % 192
     channels = 1 if h[2] % 4 == 0 else 3
     return width, height, channels, True
+
+
+def decode_image(payload: bytes) -> tuple[int, int, int, bool]:
+    """(width, height, channels, ok). Uses PIL when importable (the
+    production path — guarded optional import); falls back to the
+    deterministic stub otherwise. sha256/format/n_bytes metadata is
+    real either way."""
+    if _PILImage is not None:
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(payload)) as im:
+                return im.width, im.height, len(im.getbands()), True
+        except Exception:
+            return 0, 0, 0, False
+    return _decode_image_stub(payload)
 
 
 def extract_image_metadata(
@@ -93,7 +114,7 @@ def extract_image_metadata(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf[payload_col]
-            metas = [_decode_image_stub(p if p is not None else b"") for p in payloads]
+            metas = [decode_image(p if p is not None else b"") for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],

@@ -100,6 +100,15 @@ def fingerprint(col: str | Column = "text") -> Column:
     return F.xxhash64(normalized)
 
 
+def fingerprint_md5(col: str | Column = "text") -> Column:
+    """SQL-portable content fingerprint: md5 hex of the whitespace-
+    normalized lowercased text — the oracle-checkable sibling of
+    ``fingerprint`` (xxhash64), identical normalization."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.md5(F.encode(normalized, "utf-8"))
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach all text-analysis columns in one narrow pass."""
     return (

@@ -743,13 +743,16 @@ FROM documents ORDER BY doc_id
 
 
 def text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality score + language ID (rows-only oracle: heuristic model)."""
+    """Quality score + language ID + content fingerprint, fully
+    oracle-checked: the fingerprint here is the md5 variant
+    (fingerprint_md5) so DuckDB reproduces it bit-for-bit; the
+    xxhash64 variant stays covered by dedup_exact's grouping."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         TX.quality_score("text").alias("quality"),
         TX.lang_id("text").alias("lang_pred"),
-        TX.fingerprint("text").alias("fp"),
+        TX.fingerprint_md5("text").alias("fp"),
     ).orderBy("doc_id")
 
 
@@ -808,6 +811,43 @@ FROM ratios ORDER BY doc_id
 """
 
 
+TEXT_QUALITY_LANG_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, text,
+         CAST(length(text) AS DOUBLE) AS n_chars,
+         CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS n_alpha,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS n_punct,
+         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) AS n_tokens,
+         {_sql_stop_hits(['the', 'and', 'of', 'to', 'in', 'is', 'that', 'for', 'with', 'was'])} AS hits_en,
+         {_sql_stop_hits(['der', 'die', 'und', 'das', 'ist', 'nicht', 'ein', 'mit', 'von', 'zu'])} AS hits_de,
+         {_sql_stop_hits(['le', 'la', 'les', 'et', 'de', 'des', 'un', 'une', 'est', 'dans'])} AS hits_fr,
+         {_sql_stop_hits(['el', 'la', 'los', 'de', 'que', 'y', 'en', 'un', 'una', 'es'])} AS hits_es
+  FROM documents),
+ratios AS (
+  SELECT doc_id, text,
+         CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+         CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END AS mean_word_len,
+         hits_en, hits_de, hits_fr, hits_es
+  FROM base)
+SELECT doc_id,
+       round(0.35 * alpha_ratio
+             + 0.25 * (CASE WHEN mean_word_len >= 3 AND mean_word_len <= 12 THEN 1.0 ELSE 0.0 END)
+             + 0.25 * (CASE WHEN hits_en >= 2 THEN 1.0 ELSE CAST(hits_en AS DOUBLE) / 2.0 END)
+             + 0.15 * (1.0 - least(punct_ratio * 5, 1.0)), 4) AS quality,
+       CASE
+         WHEN hits_en = 0 AND hits_de = 0 AND hits_fr = 0 AND hits_es = 0 THEN 'und'
+         WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en >= hits_es THEN 'en'
+         WHEN hits_de > hits_en AND hits_de >= hits_fr AND hits_de >= hits_es THEN 'de'
+         WHEN hits_fr > hits_en AND hits_fr > hits_de AND hits_fr >= hits_es THEN 'fr'
+         ELSE 'es'
+       END AS lang_pred,
+       md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+FROM ratios ORDER BY doc_id
+"""
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return DD.exact_dedup(docs).select("doc_id").orderBy("doc_id")
@@ -821,16 +861,79 @@ SELECT doc_id FROM (
 """
 
 
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup removal (rows-only: LSH hashes not in SQL)."""
+_DEDUP_OFF = 100_000_000  # planted-copy id offset (> any real doc_id)
+
+
+def _planted_docs(spark: SparkSession, sf_dir: str):
+    """Dedup fixture with EXACT ground truth: every word is prefixed
+    with its doc_id (cross-doc Jaccard becomes 0, so no natural
+    near-dups survive to muddy the oracle), then near-dup copies are
+    planted at doc_id + _DEDUP_OFF. Returns (base∪copies, planted
+    selection predicate description)."""
     docs = _t(spark, sf_dir, "documents")
-    return DD.minhash_dedup(docs).select("doc_id").orderBy("doc_id")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    words = F.split(norm, " ")
+    pref = F.concat_ws(
+        " ",
+        F.transform(
+            words, lambda w: F.concat(F.col("doc_id").cast("string"), F.lit("_"), w)
+        ),
+    )
+    # null/empty texts must stay distinct per doc, not collapse to ""
+    pref = F.when(
+        norm.isNull() | (norm == ""),
+        F.concat(F.col("doc_id").cast("string"), F.lit("_null")),
+    ).otherwise(pref)
+    base = docs.select("doc_id", pref.alias("text"))
+    n_words = F.size(F.array_distinct(words))
+    return docs, base, pref, n_words
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup removal with an EXACT oracle: copies of
+    every ≥20-distinct-word doc are planted with one extra word
+    (Jaccard ≥ 20/21), so the shingle→minhash→band→join→verify pipeline
+    must remove exactly the planted set — survivors = original ids."""
+    _docs, base, pref, n_words = _planted_docs(spark, sf_dir)
+    # two-step select: a single select would let Spark's lateral column
+    # alias resolution bind pref's doc_id to the already-offset alias
+    copies = (
+        _docs.where(n_words >= 20)
+        .select(
+            "doc_id",
+            F.concat(
+                pref, F.lit(" "), F.col("doc_id").cast("string"), F.lit("_zzextra")
+            ).alias("text"),
+        )
+        .select((F.col("doc_id") + _DEDUP_OFF).alias("doc_id"), "text")
+    )
+    fixture = base.unionByName(copies)
+    return (
+        DD.minhash_dedup(fixture, shingle_k=1, jaccard_threshold=0.8)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_MINHASH_SQL = "SELECT doc_id FROM documents ORDER BY doc_id"
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signature dedup (rows-only)."""
-    docs = _t(spark, sf_dir, "documents")
-    return DD.simhash_dedup(docs).select("doc_id").orderBy("doc_id")
+    """SimHash banded-hamming dedup with an EXACT oracle: identical
+    copies (hamming 0) planted for every 3rd doc must all be caught by
+    the band join + bit_count verify; prefixed vocab keeps base docs
+    ≥ ~32 bits apart, so survivors = original ids."""
+    _docs, base, pref, _n_words = _planted_docs(spark, sf_dir)
+    copies = (
+        _docs.where(F.col("text").isNotNull() & (F.col("doc_id") % 3 == 0))
+        .select("doc_id", pref.alias("text"))
+        .select((F.col("doc_id") + _DEDUP_OFF).alias("doc_id"), "text")
+    )
+    fixture = base.unionByName(copies)
+    return DD.simhash_dedup(fixture).select("doc_id").orderBy("doc_id")
+
+
+DEDUP_SIMHASH_SQL = "SELECT doc_id FROM documents ORDER BY doc_id"
 
 
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -890,7 +993,10 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10 ORDER BY quer
 
 
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (rows-only; recall<1 by design)."""
+    """LSH-bucketed approximate top-k. The sign-bit bucket function is
+    pure arithmetic, so the ORACLE replicates the whole approximate
+    pipeline (bucket → bucket-join → cosine rank) exactly in SQL —
+    recall<1 vs brute force, but bit-for-bit deterministic."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
@@ -898,6 +1004,28 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return SIM.lsh_topk(emb, queries, k=10, bits=4).orderBy("query_id", "rank")
+
+
+ANN_LSH_SQL = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     b AS (
+  SELECT vec_id, v,
+         (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS bkt
+  FROM emb),
+     q AS (SELECT vec_id AS query_id, v AS qv, bkt FROM b WHERE vec_id < 5),
+     scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(q.qv, e.v) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+  FROM q JOIN b e ON q.bkt = e.bkt),
+     ranked AS (
+  SELECT query_id, vec_id, round(cos, 6) AS cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
 
 
 def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -958,11 +1086,42 @@ FROM documents ORDER BY doc_id
 
 
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full fake-decode metadata (rows-only: stub decoder, no SQL oracle)."""
+    """Full decode metadata incl. codec-dependent width/height/channels
+    (PIL when available, deterministic stub otherwise) — kept for the
+    pipeline shape; the oracle-checked subset is multimodal_decode."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
     return MM.extract_image_metadata(docs).orderBy("doc_id")
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode pass, oracle-checked on the codec-independent
+    columns: container sniff (magic bytes), byte length, sha256 —
+    DuckDB reproduces all three from the same utf-8 payload."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return (
+        MM.extract_image_metadata(docs)
+        .select("doc_id", "format", "n_bytes", "sha256")
+        .orderBy("doc_id")
+    )
+
+
+MULTIMODAL_DECODE_SQL = """
+SELECT doc_id,
+       CASE
+         WHEN text LIKE 'GIF8%' THEN 'gif'
+         WHEN text LIKE 'RIFF%' THEN 'riff'
+         WHEN text LIKE 'ID3%' THEN 'mp3'
+         WHEN text LIKE 'OggS%' THEN 'ogg'
+         ELSE 'unknown'
+       END AS format,
+       CAST(octet_length(coalesce(encode(text), ''::BLOB)) AS INT) AS n_bytes,
+       sha256(coalesce(text, '')) AS sha256
+FROM documents ORDER BY doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1398,10 +1557,15 @@ def q22_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     nation = _t(spark, sf_dir, "nation")
-    [row] = cust.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("a")).collect()
+    # in-plan scalar subquery: the 1-row aggregate broadcast-cross-joins
+    # into the filter — one job, no driver round-trip
+    avg_bal = F.broadcast(
+        cust.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("__avg_bal"))
+    )
     recent = orders.where(F.col("o_orderdate") >= "2001-01-01").select("o_custkey")
     return (
-        cust.where(F.col("c_acctbal") > row.a)
+        cust.crossJoin(avg_bal)
+        .where(F.col("c_acctbal") > F.col("__avg_bal"))
         .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
         .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
         .groupBy("n_name")
@@ -1545,18 +1709,18 @@ QUERIES: dict[str, tuple] = {
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "events_latest_per_user": (events_latest_per_user, EVENTS_LATEST_SQL),
     "text_token_stats": (text_token_stats, TEXT_TOKEN_SQL),
-    "text_quality_lang": (text_quality_lang, None),
+    "text_quality_lang": (text_quality_lang, TEXT_QUALITY_LANG_SQL),
     "text_quality_score": (text_quality_score, TEXT_QUALITY_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
-    "dedup_minhash": (dedup_minhash, None),
-    "dedup_simhash": (dedup_simhash, None),
+    "dedup_minhash": (dedup_minhash, DEDUP_MINHASH_SQL),
+    "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
     "ngram_jaccard": (ngram_jaccard, NGRAM_JACCARD_SQL),
     "ann_brute_force": (ann_brute_force, ANN_BRUTE_SQL),
-    "ann_lsh": (ann_lsh, None),
+    "ann_lsh": (ann_lsh, ANN_LSH_SQL),
     "ann_ivf": (ann_ivf, ANN_BRUTE_SQL),
     "embedding_near_dup": (embedding_near_dup, EMBEDDING_NEAR_DUP_SQL),
     "multimodal_hash": (multimodal_hash, MULTIMODAL_HASH_SQL),
-    "multimodal_decode_stub": (multimodal_decode_stub, None),
+    "multimodal_decode": (multimodal_decode, MULTIMODAL_DECODE_SQL),
     "topn_pushdown": (topn_pushdown, TOPN_SQL),
     "zorder_cluster_read": (zorder_cluster_read, ZORDER_SQL),
     "bloom_index_scan": (bloom_index_scan, BLOOM_INDEX_SQL),

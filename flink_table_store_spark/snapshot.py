@@ -40,6 +40,10 @@ class Snapshot:
     # keeps them in an index manifest — DeletionVector.java:44)
     dv_files: list[str] = field(default_factory=list)
     next_row_id: int = 0  # row-tracking high-water mark (SpecialFields._ROW_ID)
+    # persisted changelog parquet files under changelog/ written by
+    # full-compaction producers (Snapshot.java changelogManifestList;
+    # FullChangelogMergeTreeCompactRewriter)
+    changelog_files: list[str] = field(default_factory=list)
 
     def to_dict(self) -> dict[str, Any]:
         return {
@@ -57,6 +61,7 @@ class Snapshot:
             "nextSequence": self.next_sequence,
             "deletionVectors": self.dv_files,
             "nextRowId": self.next_row_id,
+            "changelogFiles": self.changelog_files,
         }
 
     @staticmethod
@@ -75,6 +80,7 @@ class Snapshot:
             next_sequence=d.get("nextSequence", 0),
             dv_files=d.get("deletionVectors", []),
             next_row_id=d.get("nextRowId", 0),
+            changelog_files=d.get("changelogFiles", []),
         )
 
 

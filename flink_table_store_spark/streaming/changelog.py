@@ -82,6 +82,21 @@ def changelog_diff(
     return inserted.unionByName(deleted).unionByName(upd_before).unionByName(upd_after)
 
 
+def persisted_changelog(spark: SparkSession, table, snapshot_id: int) -> DataFrame | None:
+    """Changelog files persisted by a full-compaction producer at
+    ``snapshot_id`` (table.compact → _write_compaction_changelog):
+    consumers read plain parquet — no merge jobs, N consumers pay N
+    file scans instead of N two-sided merges. None when the snapshot
+    carries no changelog."""
+    import os
+
+    snap = table.snapshots.load(snapshot_id)
+    if not snap.changelog_files:
+        return None
+    paths = [os.path.join(table.path, "changelog", n) for n in snap.changelog_files]
+    return spark.read.parquet(*paths)
+
+
 def lookup_changelog(spark: SparkSession, table, snapshot_id: int) -> DataFrame:
     """changelog-producer=lookup (LookupChangelogMergeFunctionWrapper
     .java:54): per-commit changelog, available right after each write

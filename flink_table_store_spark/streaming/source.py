@@ -140,11 +140,17 @@ class SnapshotStream:
         reference's PaimonSourceOffset(snapshotId, splitIdx)."""
         t = self.table
         s = t.snapshots.load(snapshot_id)
-        if s.commit_kind == COMMIT_COMPACT:
-            return []
         if self.scan == "changelog":
+            # COMPACT snapshots move rows without changing state — except
+            # under the full-compaction producer, whose changelog files
+            # live ON the compact snapshot
+            producer = t.schema.options.get("changelog-producer", "none")
+            if s.commit_kind == COMMIT_COMPACT and producer != "full-compaction":
+                return []
             df = self._changelog_df(spark, snapshot_id)
             return [df] if df is not None else []
+        if s.commit_kind == COMMIT_COMPACT:
+            return []
         entries = t.delta_entries(snapshot_id)
         if not entries:
             return []
@@ -188,8 +194,16 @@ class SnapshotStream:
         producer = t.schema.options.get("changelog-producer", "none")
         if producer == "input":
             return t.audit_log(spark, snapshot_id - 1, snapshot_id)
-        from flink_table_store_spark.streaming.changelog import lookup_changelog
+        from flink_table_store_spark.streaming.changelog import (
+            lookup_changelog,
+            persisted_changelog,
+        )
 
+        if producer == "full-compaction":
+            # consume the files the compaction persisted; non-compaction
+            # snapshots emit nothing under this producer (the diff
+            # arrives at the next full compaction)
+            return persisted_changelog(spark, t, snapshot_id)
         return lookup_changelog(spark, t, snapshot_id)
 
     def _file_filtered_full(self, spark: SparkSession, snapshot_id: int) -> DataFrame | None:

@@ -625,13 +625,62 @@ class Table:
         new_dv = self._consolidate_dv(
             snap, survivors={os.path.basename(e.file_name) for e in entries} - {os.path.basename(e.file_name) for e in to_compact}
         )
+        # changelog-producer=full-compaction: persist the diff vs the
+        # previous compaction's state as changelog files referenced by
+        # this snapshot, so N consumers read files instead of each
+        # recomputing a two-sided merge (FullChangelogMergeTreeCompact-
+        # Rewriter.java; Snapshot.changelogManifestList)
+        cl_files: list[str] = []
+        if pk and schema.options.get("changelog-producer") == "full-compaction":
+            cl_files = self._write_compaction_changelog(spark, snap)
         return self.committer.commit(
             deletes + new_entries,
             schema.id,
             kind=COMMIT_COMPACT,
             next_sequence=latest.next_sequence if latest else 0,
             dv_files=new_dv,
+            changelog_files=cl_files,
         )
+
+    def _write_compaction_changelog(self, spark: SparkSession, snap: Snapshot) -> list[str]:
+        """Diff the merged state at the previous full compaction against
+        the current state and persist it under changelog/. Baseline = the
+        newest earlier COMPACT snapshot (state is compaction-invariant,
+        so an empty-changelog compaction is a valid baseline too); no
+        baseline = first compaction = full +I image."""
+        import uuid as _uuid
+
+        from flink_table_store_spark.streaming.changelog import changelog_diff
+
+        baseline = 0
+        for sid in reversed(self.snapshots.snapshot_ids()):
+            if sid > snap.id:
+                continue
+            s = self.snapshots.load(sid)
+            if s.commit_kind == COMMIT_COMPACT:
+                baseline = sid
+                break
+        diff = changelog_diff(spark, self, baseline, snap.id)
+        staging = os.path.join(self.path, "staging", f"cl-{_uuid.uuid4().hex}")
+        diff.write.mode("overwrite").parquet(staging)
+        cl_dir = os.path.join(self.path, "changelog")
+        os.makedirs(cl_dir, exist_ok=True)
+        out: list[str] = []
+        import pyarrow.parquet as _pq
+
+        for fn in os.listdir(staging):
+            if not fn.endswith(".parquet"):
+                continue
+            src = os.path.join(staging, fn)
+            if _pq.ParquetFile(src).metadata.num_rows == 0:
+                continue
+            name = f"changelog-{_uuid.uuid4().hex}.parquet"
+            os.replace(src, os.path.join(cl_dir, name))
+            out.append(name)
+        import shutil as _shutil
+
+        _shutil.rmtree(staging, ignore_errors=True)
+        return out
 
     def _consolidate_dv(self, snap: Snapshot, survivors: set[str]) -> list[str]:
         """Rewrite the DV sidecar set down to positions in surviving
@@ -1106,6 +1155,8 @@ class Table:
         for s in snaps:
             for dvn in s.dv_files:
                 referenced.add(os.path.join("index", dvn))
+            for cln in s.changelog_files:
+                referenced.add(os.path.join("changelog", cln))
             for lst in (s.base_manifest_list, s.delta_manifest_list):
                 if not lst:
                     continue
@@ -1118,7 +1169,7 @@ class Table:
                         if ptr:
                             referenced.add(ptr["file"])
         orphans: list[str] = []
-        for sub in ("manifest", "data", "index"):
+        for sub in ("manifest", "data", "index", "changelog"):
             root = os.path.join(self.path, sub)
             for dirpath, _d, files in os.walk(root):
                 # the dynamic-bucket hash index is append-only state owned

@@ -1,0 +1,105 @@
+"""Persisted changelog from full compaction (changelog-producer=
+full-compaction): compact() writes the diff once as changelog files
+referenced by the snapshot (reference FullChangelogMergeTreeCompact-
+Rewriter.java); consumers read plain parquet instead of recomputing a
+two-sided merge per read."""
+
+from __future__ import annotations
+
+from flink_table_store_spark import predicate as P
+from flink_table_store_spark.streaming.changelog import (
+    changelog_diff,
+    persisted_changelog,
+)
+from flink_table_store_spark.streaming.source import SnapshotStream
+
+
+def _mk(spark, warehouse, name="db.clp"):
+    t = warehouse.create_table(
+        name,
+        "k bigint, v string",
+        primary_keys=["k"],
+        options={"bucket": "2", "changelog-producer": "full-compaction"},
+    )
+    t.write(spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k bigint, v string"))
+    t.write(spark.createDataFrame([(2, "B"), (4, "d")], "k bigint, v string"))
+    return t.refresh()
+
+
+def test_compaction_persists_changelog_files(spark, warehouse):
+    t = _mk(spark, warehouse)
+    t.compact(spark, full=True)
+    t = t.refresh()
+    snap = t.snapshots.latest()
+    assert snap.commit_kind == "COMPACT" and snap.changelog_files
+
+    cl = persisted_changelog(spark, t, snap.id)
+    got = {(r.rowkind, r.k, r.v) for r in cl.collect()}
+    # first compaction: full +I image of the merged state
+    assert got == {("+I", 1, "a"), ("+I", 2, "B"), ("+I", 3, "c"), ("+I", 4, "d")}
+
+    # the persisted read is a plain file scan: no merge aggregation,
+    # no join, no exchange — THE point of persisting
+    plan = cl._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" not in plan and "SortMergeJoin" not in plan
+    assert "Exchange" not in plan
+
+
+def test_second_compaction_diffs_since_baseline(spark, warehouse):
+    t = _mk(spark, warehouse, "db.clp2")
+    t.compact(spark, full=True)
+    t = t.refresh()
+    t.write(spark.createDataFrame([(1, "A2"), (5, "e")], "k bigint, v string"))
+    t.delete(spark, P.equal("k", 3))
+    t = t.refresh()
+    t.compact(spark, full=True)
+    t = t.refresh()
+    snap = t.snapshots.latest()
+    assert snap.changelog_files
+    got = {(r.rowkind, r.k, r.v) for r in persisted_changelog(spark, t, snap.id).collect()}
+    assert got == {
+        ("-U", 1, "a"),
+        ("+U", 1, "A2"),
+        ("+I", 5, "e"),
+        ("-D", 3, "c"),
+    }
+    # matches the recomputed diff between the two compaction snapshots
+    base = next(
+        sid
+        for sid in reversed(t.snapshots.snapshot_ids())
+        if sid < snap.id and t.snapshots.load(sid).commit_kind == "COMPACT"
+    )
+    recomputed = {
+        (r.rowkind, r.k, r.v) for r in changelog_diff(spark, t, base, snap.id).collect()
+    }
+    assert got == recomputed
+
+
+def test_streaming_source_consumes_persisted_changelog(spark, warehouse):
+    t = _mk(spark, warehouse, "db.clp3")
+    t.compact(spark, full=True)
+    t = t.refresh()
+    stream = SnapshotStream(t, startup_mode="from-snapshot", from_snapshot=1, scan="changelog")
+    batches = stream.poll(spark)
+    compact_sid = t.snapshots.latest().id
+    by_sid = {}
+    for sid, df in batches:
+        by_sid.setdefault(sid, set()).update(
+            (r.rowkind, r.k, r.v) for r in df.select("rowkind", "k", "v").collect()
+        )
+    assert by_sid.get(compact_sid) == {
+        ("+I", 1, "a"),
+        ("+I", 2, "B"),
+        ("+I", 3, "c"),
+        ("+I", 4, "d"),
+    }
+
+
+def test_changelog_files_survive_orphan_scan(spark, warehouse):
+    t = _mk(spark, warehouse, "db.clp4")
+    t.compact(spark, full=True)
+    t = t.refresh()
+    orphans = t.remove_orphan_files(dry_run=True)
+    assert not [o for o in orphans if o.startswith("changelog")]
+    t.remove_orphan_files()
+    assert persisted_changelog(spark, t, t.snapshots.latest().id).count() == 4

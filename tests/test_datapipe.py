@@ -58,6 +58,29 @@ def test_simhash_dedup(docs):
     assert 1 in kept and 2 not in kept  # identical text → identical simhash
 
 
+def test_simhash_banded_hamming_tolerance(spark):
+    """Signature-level check of the banded hamming LSH: any pair within
+    hamming ≤ 3 MUST be found (pigeonhole over 4 bands makes candidate
+    generation exact), distant pairs must not."""
+    base = 0x0123456789ABCDEF
+    rows = [
+        (1, base),
+        (2, base ^ 0b111),  # hamming 3 — must be caught
+        (3, base ^ ((1 << 5) | (1 << 20) | (1 << 40))),  # 3 bits across bands
+        (4, base ^ ((1 << 1) | (1 << 17) | (1 << 33) | (1 << 49))),  # hamming 4
+        (5, ~base),  # hamming 64 — far
+    ]
+    sig = spark.createDataFrame(
+        [(i, (s if s < 2**63 else s - 2**64)) for i, s in rows],
+        "__id bigint, __sh bigint",
+    )
+    pairs = {
+        (r.id_a, r.id_b) for r in DD.simhash_candidate_pairs(sig, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs
+    assert all(p not in pairs for p in [(1, 4), (1, 5), (2, 4)])
+
+
 def test_ngram_jaccard_pairs(spark, docs):
     pairs = spark.createDataFrame([(1, 4)], "id_a bigint, id_b bigint")
     out = DD.ngram_jaccard_pairs(docs, pairs, k=1, threshold=0.5).collect()
