@@ -1070,7 +1070,15 @@ class Table:
         """Keep the newest ``retain_last`` snapshots (ExpireSnapshotsImpl).
         Tagged snapshots stay readable through their tag copies; active
         consumers pin everything from their cursor onward (the
-        consumer-id safety contract, ConsumerManager.java:168)."""
+        consumer-id safety contract, ConsumerManager.java:168).
+
+        Reclaims storage like the reference does at expire time
+        (ExpireSnapshotsImpl.expireUntil → deleteExpiredDataFiles):
+        newly-unreferenced files are computed from the EXPIRED snapshots'
+        delta manifests — O(expired commits), never a tree walk. A file
+        whose DELETE entry sits in a delta at id ≤ earliest-retained was
+        referenced only by now-expired snapshots; it is deleted unless a
+        tag or branch still references it."""
         ids = self.snapshots.snapshot_ids()
         keep_from = len(ids) - retain_last
         consumers = self.snapshots.consumers()
@@ -1078,9 +1086,103 @@ class Table:
             min_next = min(consumers.values())
             keep_from = min(keep_from, next((i for i, s in enumerate(ids) if s >= min_next), keep_from))
         expired = ids[:keep_from] if keep_from > 0 else []
+        if not expired:
+            return expired
+        retained_ids = ids[keep_from:]
+        self._reclaim_expired_files(expired, retained_ids)
         for sid in expired:
             self.snapshots.delete(sid)
         return expired
+
+    def _protected_refs(self) -> tuple[set[str], set[str], set[str], set[str]]:
+        """(data files, manifest files, dv files, changelog files) still
+        referenced by tags or branches — never reclaimed at expire."""
+        snaps: list[Snapshot] = list(self.snapshots.tags().values())
+        for b in self.branches():
+            bsm = SnapshotManager(self.path, branch=b)
+            snaps += [bsm.load(i) for i in bsm.snapshot_ids()]
+            snaps += list(bsm.tags().values())
+        data: set[str] = set()
+        manifests: set[str] = set()
+        dv: set[str] = set()
+        cl: set[str] = set()
+        for s in snaps:
+            dv.update(s.dv_files)
+            cl.update(s.changelog_files)
+            for lst in (s.base_manifest_list, s.delta_manifest_list):
+                if not lst:
+                    continue
+                manifests.add(lst)
+                for m in self.manifests.read_manifest_list(lst):
+                    manifests.add(m)
+                    data.update(e.file_name for e in self.manifests.read_manifest(m))
+        return data, manifests, dv, cl
+
+    def _reclaim_expired_files(self, expired: list[int], retained_ids: list[int]) -> None:
+        """Delete data files, manifests, DV and changelog files that only
+        expired snapshots reference. Candidate data files come from
+        DELETE entries in delta manifests of snapshots ≤ the earliest
+        retained id (their ADD-side references are all expired)."""
+        p_data, p_manifests, p_dv, p_cl = self._protected_refs()
+        expired_snaps = [self.snapshots.load(sid) for sid in expired]
+        earliest_retained = self.snapshots.load(retained_ids[0])
+
+        candidates: set[str] = set()
+        for s in expired_snaps + [earliest_retained]:
+            for e in self.manifests.read_entries(s.delta_manifest_list):
+                if e.kind == KIND_DELETE:
+                    candidates.add(e.file_name)
+        for rel in candidates - p_data:
+            for path in (os.path.join(self.path, rel), os.path.join(self.path, rel) + ".index"):
+                try:
+                    os.unlink(path)
+                except FileNotFoundError:
+                    pass
+
+        # manifests referenced only by expired snapshots
+        retained_manifests: set[str] = set(p_manifests)
+        for sid in retained_ids:
+            s = self.snapshots.load(sid)
+            for lst in (s.base_manifest_list, s.delta_manifest_list):
+                if not lst:
+                    continue
+                retained_manifests.add(lst)
+                retained_manifests.update(self.manifests.read_manifest_list(lst))
+        doomed_manifests: set[str] = set()
+        for s in expired_snaps:
+            for lst in (s.base_manifest_list, s.delta_manifest_list):
+                if not lst or lst in retained_manifests:
+                    continue
+                doomed_manifests.add(lst)
+                doomed_manifests.update(
+                    m
+                    for m in self.manifests.read_manifest_list(lst)
+                    if m not in retained_manifests
+                )
+        for m in doomed_manifests:
+            try:
+                os.unlink(os.path.join(self.path, "manifest", m))
+            except FileNotFoundError:
+                pass
+
+        # DV / changelog sidecars referenced only by expired snapshots
+        retained_dv: set[str] = set(p_dv)
+        retained_cl: set[str] = set(p_cl)
+        for sid in retained_ids:
+            s = self.snapshots.load(sid)
+            retained_dv.update(s.dv_files)
+            retained_cl.update(s.changelog_files)
+        for s in expired_snaps:
+            for n in set(s.dv_files) - retained_dv:
+                try:
+                    os.unlink(os.path.join(self.path, "index", n))
+                except (FileNotFoundError, IsADirectoryError):
+                    pass
+            for n in set(s.changelog_files) - retained_cl:
+                try:
+                    os.unlink(os.path.join(self.path, "changelog", n))
+                except FileNotFoundError:
+                    pass
 
     def expire_partitions(
         self,

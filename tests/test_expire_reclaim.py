@@ -1,0 +1,93 @@
+"""Snapshot expiry reclaims data files (ExpireSnapshotsImpl analogue):
+newly-unreferenced files are computed from the expired snapshots' delta
+manifests — O(expired commits) — and deleted at expire time; tags and
+branches protect their references."""
+
+from __future__ import annotations
+
+import os
+
+from flink_table_store_spark import predicate as P
+
+
+def _data_files(t) -> set[str]:
+    out = set()
+    for dirpath, _d, files in os.walk(os.path.join(t.path, "data")):
+        for fn in files:
+            if not fn.endswith(".index"):
+                out.add(os.path.relpath(os.path.join(dirpath, fn), t.path))
+    return out
+
+
+def test_expire_reclaims_compacted_away_files(spark, warehouse):
+    t = warehouse.create_table(
+        "db.exp1", "k bigint, v string", primary_keys=["k"], options={"bucket": "2"}
+    )
+    for i in range(3):
+        t.write(
+            spark.createDataFrame(
+                [(j, f"v{i}_{j}") for j in range(6)], "k bigint, v string"
+            )
+        )
+    t = t.refresh()
+    before = _data_files(t)
+    t.compact(spark, full=True)
+    t = t.refresh()
+    assert _data_files(t) > before - before  # old + new files both on disk
+
+    expired = t.expire_snapshots(retain_last=1)
+    assert expired  # snapshots 1..3 gone
+    after = _data_files(t)
+    # every pre-compaction file was reclaimed at expire time
+    assert not (after & before)
+    # the table still reads correctly from the survivors
+    rows = {(r.k, r.v) for r in t.to_df(spark).collect()}
+    assert rows == {(j, f"v2_{j}") for j in range(6)}
+    # and a full-tree orphan walk finds nothing left to do
+    assert t.remove_orphan_files(dry_run=True) == []
+
+
+def test_expire_keeps_tagged_references(spark, warehouse):
+    t = warehouse.create_table(
+        "db.exp2", "k bigint, v string", primary_keys=["k"], options={"bucket": "2"}
+    )
+    t.write(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+    t = t.refresh()
+    t.create_tag("v1", snapshot_id=1)
+    t.write(spark.createDataFrame([(1, "b")], "k bigint, v string"))
+    t = t.refresh()
+    t.compact(spark, full=True)
+    t = t.refresh()
+    t.expire_snapshots(retain_last=1)
+    # tag v1 still reads the original state: its files were protected
+    tagged = {(r.k, r.v) for r in t.to_df(spark, tag="v1").collect()}
+    assert tagged == {(1, "a")}
+    assert {(r.k, r.v) for r in t.to_df(spark).collect()} == {(1, "b")}
+
+
+def test_expire_reclaims_overwritten_partition_files(spark, warehouse):
+    t = warehouse.create_table(
+        "db.exp3",
+        "k bigint, p string",
+        partition_keys=["p"],
+    )
+    t.write(
+        spark.createDataFrame([(1, "A"), (2, "B")], "k bigint, p string")
+    )
+    t = t.refresh()
+    before = _data_files(t)
+    t.write(
+        spark.createDataFrame([(9, "A")], "k bigint, p string"),
+        overwrite=True,
+        overwrite_partition_filter=P.equal("p", "A"),
+    )
+    t = t.refresh()
+    t.expire_snapshots(retain_last=1)
+    after = _data_files(t)
+    # partition A's old file was replaced and is now reclaimed;
+    # partition B's file was untouched (still live)
+    gone = before - after
+    assert len(gone) >= 1
+    rows = {(r.k, r.p) for r in t.to_df(spark).collect()}
+    assert rows == {(9, "A"), (2, "B")}
+    assert t.remove_orphan_files(dry_run=True) == []
