@@ -62,8 +62,21 @@ def bloom_columns(options: dict[str, str]) -> list[str]:
 
 
 def bitmap_columns(options: dict[str, str]) -> list[str]:
-    raw = options.get(BITMAP_COLUMNS_OPTION, "")
-    return [c.strip() for c in raw.split(",") if c.strip()]
+    """Columns indexed with a per-file distinct-value set. Accepts the
+    bitmap option plus the reference's range-bitmap / bsi spellings
+    (rangebitmap/RangeBitmapFileIndexFactory.java:29, bsi/BitSliceIndex-
+    BitmapFileIndexFactory.java:29) — at our file-pruning granularity
+    all three collapse to the same exact value-set structure, which
+    predicate.Leaf.test consults for equality AND range predicates."""
+    cols: list[str] = []
+    for opt in (
+        BITMAP_COLUMNS_OPTION,
+        "file-index.range-bitmap.columns",
+        "file-index.bsi.columns",
+    ):
+        raw = options.get(opt, "")
+        cols += [c.strip() for c in raw.split(",") if c.strip()]
+    return list(dict.fromkeys(cols))
 
 
 def bloom_bits(options: dict[str, str]) -> int:

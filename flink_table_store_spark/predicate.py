@@ -91,17 +91,37 @@ class Leaf(Predicate):
         if op == "is_not_null":
             return not (nulls is not None and row_count > 0 and nulls >= row_count)
         # exact per-file distinct-value set (bitmap file index) decides
-        # =/IN/<>/NOT IN with no false positives when present
+        # =/IN/<>/NOT IN — and RANGE predicates — with no false
+        # positives when present. Ranges over the value set are the
+        # file-granularity projection of the reference's range-bitmap /
+        # bit-slice indexes (fileindex/rangebitmap/RangeBitmapFileIndex-
+        # Factory.java:29, bsi/BitSliceIndexBitmapFileIndexFactory.java
+        # :29): a low-NDV unsorted column spans nearly the full min/max
+        # range in every file, but its per-file distinct set answers
+        # BETWEEN / < / > exactly.
         vals = (stats.get(self.field) or {}).get("values")
         if vals is not None:
-            if op == "=":
-                return lits[0] in vals and self._bloom_test(stats, 0)
-            if op == "in":
-                return any(v in vals for v in lits)
-            if op == "<>":
-                return any(v != lits[0] for v in vals) or not vals
-            if op == "not_in":
-                return any(v not in lits for v in vals) or not vals
+            try:
+                if op == "=":
+                    return lits[0] in vals and self._bloom_test(stats, 0)
+                if op == "in":
+                    return any(v in vals for v in lits)
+                if op == "<>":
+                    return any(v != lits[0] for v in vals) or not vals
+                if op == "not_in":
+                    return any(v not in lits for v in vals) or not vals
+                if op == "<":
+                    return any(v < lits[0] for v in vals) or not vals
+                if op == "<=":
+                    return any(v <= lits[0] for v in vals) or not vals
+                if op == ">":
+                    return any(v > lits[0] for v in vals) or not vals
+                if op == ">=":
+                    return any(v >= lits[0] for v in vals) or not vals
+                if op == "between":
+                    return any(lits[0] <= v <= lits[1] for v in vals) or not vals
+            except TypeError:
+                pass  # literal/value type mismatch → fall back to min/max
         if mn is None or mx is None:
             return True  # no stats → can't prune
         try:

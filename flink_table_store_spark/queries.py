@@ -1262,6 +1262,46 @@ ORDER BY o_orderkey
 """
 
 
+def range_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-bitmap/BSI-style file index (P9): a low-NDV int column
+    (l_linenumber) written as interleaved commits so every file spans
+    nearly the full min/max range — min/max stats prune NOTHING for a
+    BETWEEN, but the per-file value set prunes exactly
+    (tests/test_fileindex.py asserts the file skipping)."""
+    cat = _wh(sf_dir)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    t = cat.create_table(
+        "default.lineitem_range_idx",
+        li.schema,
+        options={"file-index.range-bitmap.columns": "l_linenumber"},
+        ignore_if_exists=True,
+    )
+    if not t.snapshots.latest_id():
+        # commit 1: odd line numbers {1,3,5,7}; commit 2: even {2,4,6} —
+        # both files span [1,7] (or [2,6]) yet hold disjoint value sets
+        t.write(li.where(F.col("l_linenumber") % 2 == 1))
+        t.write(li.where(F.col("l_linenumber") % 2 == 0))
+        t = t.refresh()
+    return (
+        t.to_df(spark, predicate=P.between("l_linenumber", 2, 2))
+        .groupBy("l_linenumber")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("l_linenumber")
+    )
+
+
+RANGE_INDEX_SQL = """
+SELECT l_linenumber, count(*) AS n_rows, round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem WHERE l_linenumber BETWEEN 2 AND 2
+GROUP BY l_linenumber ORDER BY l_linenumber
+"""
+
+
 def dv_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELETE via deletion vectors (P10) — no file rewrite — then read."""
     cat = _wh(sf_dir)
@@ -1725,6 +1765,7 @@ QUERIES: dict[str, tuple] = {
     "zorder_cluster_read": (zorder_cluster_read, ZORDER_SQL),
     "bloom_index_scan": (bloom_index_scan, BLOOM_INDEX_SQL),
     "bitmap_index_scan": (bitmap_index_scan, BITMAP_INDEX_SQL),
+    "range_index_scan": (range_index_scan, RANGE_INDEX_SQL),
     "dv_delete_read": (dv_delete_read, DV_DELETE_SQL),
     "sys_partitions": (sys_partitions, SYS_PARTITIONS_SQL),
     "q4_order_priority": (q4_order_priority, Q4_SQL),

@@ -451,8 +451,11 @@ class Table:
 
     def _dv_row_count(self, snap: Snapshot) -> int:
         """Number of DV'd positions in LIVE files (stale entries for
-        rewritten files don't count)."""
-        import pyarrow.parquet as _pq
+        rewritten files don't count). Vectorized pyarrow compute —
+        no per-row Python; O(deleted rows) columnar work, which is the
+        same footprint as the reference's per-file deletion bitmaps."""
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
 
         if not snap.dv_files:
             return 0
@@ -462,13 +465,24 @@ class Table:
                 snap.base_manifest_list, snap.delta_manifest_list
             )
         }
-        seen: set[tuple] = set()
-        for n in snap.dv_files:
-            t = _pq.read_table(os.path.join(self.path, "index", n))
-            for r in t.to_pylist():
-                if r["file_name"] in live:
-                    seen.add((r["file_name"], r["pos"]))
-        return len(seen)
+        t = self._read_dv_table(snap.dv_files)
+        t = t.filter(
+            _pc.is_in(
+                t.column("file_name"),
+                value_set=_pa.array(sorted(live), type=_pa.string()),
+            )
+        )
+        return t.group_by(["file_name", "pos"]).aggregate([]).num_rows
+
+    def _read_dv_table(self, dv_files: list[str]):
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        tables = [
+            _pq.read_table(os.path.join(self.path, "index", n), columns=["file_name", "pos"])
+            for n in dv_files
+        ]
+        return _pa.concat_tables(tables)
 
     def update(
         self, spark: SparkSession, predicate: Predicate, assignments: dict[str, Any]
@@ -684,23 +698,28 @@ class Table:
 
     def _consolidate_dv(self, snap: Snapshot, survivors: set[str]) -> list[str]:
         """Rewrite the DV sidecar set down to positions in surviving
-        files; [] if nothing remains (rewrite_file_index procedure)."""
+        files; [] if nothing remains (rewrite_file_index procedure).
+        Vectorized pyarrow filter — no per-row Python loops."""
         import uuid as _uuid
 
         import pyarrow as _pa
+        import pyarrow.compute as _pc
         import pyarrow.parquet as _pq
 
         if not snap.dv_files:
             return []
-        keep: list[dict] = []
-        for n in snap.dv_files:
-            t = _pq.read_table(os.path.join(self.path, "index", n))
-            keep.extend(r for r in t.to_pylist() if r["file_name"] in survivors)
-        if not keep:
+        t = self._read_dv_table(snap.dv_files)
+        keep = t.filter(
+            _pc.is_in(
+                t.column("file_name"),
+                value_set=_pa.array(sorted(survivors), type=_pa.string()),
+            )
+        )
+        if keep.num_rows == 0:
             return []
         name = f"dv-{_uuid.uuid4().hex}.parquet"
         _pq.write_table(
-            _pa.Table.from_pylist(keep, schema=_pa.schema([("file_name", _pa.string()), ("pos", _pa.int64())])),
+            keep.group_by(["file_name", "pos"]).aggregate([]),
             os.path.join(self.path, "index", name),
             compression="zstd",
         )

@@ -178,3 +178,39 @@ def test_bitmap_value_set_index(spark, warehouse):
     assert got3 == {3, 4}
 
     assert read_mod.plan_scan(entries, t.schema, P.equal("status", "GONE")).file_count() == 0
+
+
+def test_range_bitmap_value_set_prunes_between(spark, warehouse):
+    """Range-bitmap/BSI projection (P9): low-NDV int column written as
+    interleaved commits — every file spans nearly the full min/max
+    range, so only the per-file value set can prune a BETWEEN."""
+    t = warehouse.create_table(
+        "db.rangebm",
+        "id bigint, code int",
+        options={"file-index.range-bitmap.columns": "code"},
+    )
+    t.write(spark.createDataFrame([(i, c) for i, c in enumerate([1, 3, 5, 7])], "id bigint, code int").coalesce(1))
+    t.write(spark.createDataFrame([(10 + i, c) for i, c in enumerate([2, 4, 6])], "id bigint, code int").coalesce(1))
+    t.write(spark.createDataFrame([(20, 1), (21, 7)], "id bigint, code int").coalesce(1))
+    t = t.refresh()
+    entries = _entries(t)
+    total = len(entries)
+    assert total == 3
+
+    # min/max can NOT prune: every file overlaps [2,2]; value sets can
+    plan = read_mod.plan_scan(entries, t.schema, P.between("code", 2, 2), table_path=t.path)
+    assert plan.file_count() == 1
+    got = {r.id for r in t.to_df(spark, predicate=P.between("code", 2, 2)).collect()}
+    assert got == {10}
+
+    # open ranges prune the same way
+    plan_lt = read_mod.plan_scan(entries, t.schema, P.less_than("code", 2), table_path=t.path)
+    assert plan_lt.file_count() == 2  # only files containing code=1
+    got_lt = {r.id for r in t.to_df(spark, predicate=P.less_than("code", 2)).collect()}
+    assert got_lt == {0, 20}
+
+    # nothing in range → zero files planned
+    assert (
+        read_mod.plan_scan(entries, t.schema, P.between("code", 8, 9), table_path=t.path).file_count()
+        == 0
+    )
