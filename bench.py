@@ -234,6 +234,29 @@ def main() -> None:
         facts = orders.select("o_orderkey", F.col("o_custkey").alias("c_custkey"))
         lookup_join(spark, facts, t_pk_dim, on="c_custkey").count()
 
+    # --- storage-partitioned join: co-bucketed facts, zero shuffle --------
+    t_ord_bj = cat.create_table(
+        "bench.orders_bj",
+        orders.schema,
+        primary_keys=["o_custkey", "o_orderkey"],
+        options={"bucket": "8", "bucket-key": "o_custkey"},
+        ignore_if_exists=True,
+    )
+
+    @timed("bucketed_join")
+    def _bj():
+        from flink_table_store_spark.operators.bucketed_join import join_bucketed
+
+        t_ord_bj.write(orders)
+        join_bucketed(
+            spark,
+            t_ord_bj.refresh(),
+            t_pk_dim.refresh(),
+            on=[("o_custkey", "c_custkey")],
+            left_cols=["o_custkey", "o_totalprice"],
+            right_cols=["c_nationkey"],
+        ).groupBy("c_nationkey").agg(F.count(F.lit(1)), F.sum("o_totalprice")).collect()
+
     # --- host-side joins + pipeline ops over raw parquet ------------------
     @timed("q3_join")
     def _q3():

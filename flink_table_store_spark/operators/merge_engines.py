@@ -161,7 +161,14 @@ def _partial_update(
 _RETRACT = f"`{VALUE_KIND}` IN ('-D', '-U')"
 
 
-def _agg_expr(func: str, name: str, seq: str, ftype: str = "", retract: bool = True):
+def _agg_expr(
+    func: str,
+    name: str,
+    seq: str,
+    ftype: str = "",
+    retract: bool = True,
+    sketch_k: int = 4096,
+):
     c = f"`{name}`"
     # masked value: NULL on retract rows, so min_by/max_by/collect never
     # pick a retraction's payload
@@ -219,9 +226,17 @@ def _agg_expr(func: str, name: str, seq: str, ftype: str = "", retract: bool = T
     if func == "hll_sketch":
         return F.expr(f"hll_sketch_agg({v})")
     if func == "theta_sketch":
-        # FieldThetaSketchAgg: mergeable distinct-count sketch. Spark has
-        # no theta sketch built-in; HLL union gives the same mergeable
-        # approximate-distinct contract (estimate via hll_sketch_estimate)
+        # FieldThetaSketchAgg: mergeable distinct-count sketch, dispatched
+        # on the field type. array<bigint> fields hold REAL KMV theta
+        # sketches (the k smallest distinct hash values — the structure
+        # theta sketches are built on): union = merge + keep k smallest,
+        # exact below k, and set algebra (intersect/a-not-b) stays
+        # possible on the stored form. binary fields keep the HLL-backed
+        # contract (estimate via hll_sketch_estimate).
+        if ftype.lower().startswith("array"):
+            return F.expr(
+                f"slice(array_sort(array_distinct(flatten(collect_list({v})))), 1, {sketch_k})"
+            )
         return F.expr(f"hll_sketch_agg({v})")
     if func == "nested_update":
         # FieldNestedUpdateAgg without nested-key: append nested rows in
@@ -230,6 +245,24 @@ def _agg_expr(func: str, name: str, seq: str, ftype: str = "", retract: bool = T
             f"flatten(transform(array_sort(collect_list(CASE WHEN {v} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END)), x -> x.v))"
         )
     raise ValueError(f"unsupported aggregate-function {func}")
+
+
+def theta_sketch_build(col, k: int = 4096):
+    """Aggregate expression building a KMV theta sketch (array<bigint> of
+    the k smallest distinct xxhash64 values) from raw column values —
+    the input side of the array-typed ``theta_sketch`` aggregator."""
+    c = col if not isinstance(col, str) else F.col(col)
+    return F.slice(F.array_sort(F.collect_set(F.xxhash64(c))), 1, k)
+
+
+def theta_sketch_estimate(sketch, k: int = 4096):
+    """Distinct-count estimate from a KMV sketch: exact below k, else
+    (k-1)/theta with theta = the kth hash normalized to (0,1)."""
+    s = sketch if not isinstance(sketch, str) else F.col(sketch)
+    n = F.size(s)
+    kth = F.element_at(s, k).cast("double")
+    theta = (kth + F.lit(float(2**63))) / F.lit(float(2**64))
+    return F.when(n < k, n.cast("double")).otherwise(F.lit(float(k - 1)) / theta)
 
 
 def _nested_update_keyed(name: str, seq: str, ftype: str, nested_keys: list[str]):
@@ -286,7 +319,14 @@ def _aggregation(
                 f.name, seq, f.type, [k.strip() for k in nested_key.split(",") if k.strip()]
             )
         else:
-            expr = _agg_expr(func, f.name, seq, f.type, retract=not ignore_retract)
+            expr = _agg_expr(
+                func,
+                f.name,
+                seq,
+                f.type,
+                retract=not ignore_retract,
+                sketch_k=int(opts.get(f"fields.{f.name}.theta-sketch.k", "4096")),
+            )
         aggs.append(expr.cast(f.type).alias(f.name))
     aggs.append(F.max(F.expr(f"CASE WHEN NOT ({_RETRACT}) THEN `{seq}` END")).alias("__ups_seq"))
     merged = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)

@@ -77,9 +77,9 @@ PROCEDURES: dict[str, Callable] = {
     "reset_consumer": lambda s, c, a: _t(c, a).snapshots.write_consumer(
         a["consumer_id"], a["next_snapshot"]
     ),
-    "rewrite_file_index": lambda s, c, a: (
-        lambda t: t.compact(s, full=True)
-    )(_t(c, a)),
+    # index-only rebuild: refreshes sidecar .index files + manifest index
+    # stats without rewriting any data file (RewriteFileIndexProcedure)
+    "rewrite_file_index": lambda s, c, a: _t(c, a).rewrite_file_index(s),
     "mark_partition_done": lambda s, c, a: _t(c, a).mark_partition_done(a["partition"]),
     "repair": lambda s, c, a: _t(c, a).remove_orphan_files(dry_run=True),
     # migration / clone family (MigrateTableProcedure, MigrateDatabaseProcedure,

@@ -696,6 +696,87 @@ class Table:
         _shutil.rmtree(staging, ignore_errors=True)
         return out
 
+    def rewrite_file_index(self, spark: SparkSession) -> Snapshot | None:
+        """Rebuild file indexes for live data files WITHOUT rewriting the
+        data (RewriteFileIndexProcedure: 'rewrite the file index' only).
+        One distributed job recomputes every configured column's index
+        over the existing files, refreshes the sidecar .index files, and
+        commits the same data files with updated index stats. In-place
+        sidecar refresh is snapshot-safe: index consultation is always
+        might-contain-conservative and bloom bitsets carry their size m,
+        so older snapshots can never be wrongly pruned."""
+        snap = self.snapshots.latest()
+        if snap is None:
+            return None
+        schema = self.schema
+        idx_cols = [
+            c
+            for c in fileindex.bloom_columns(schema.options)
+            if c not in schema.partition_keys
+        ]
+        bm_cols = [
+            c
+            for c in fileindex.bitmap_columns(schema.options)
+            if c not in schema.partition_keys
+        ]
+        if not idx_cols and not bm_cols:
+            return snap
+        entries = self.manifests.read_live_entries(
+            snap.base_manifest_list, snap.delta_manifest_list
+        )
+        if not entries:
+            return snap
+        by_fmt: dict[str, list[ManifestEntry]] = {}
+        for e in entries:
+            by_fmt.setdefault(e.file_name.rsplit(".", 1)[-1], []).append(e)
+        indexes: dict[str, dict] = {}
+        for fmt, group in by_fmt.items():
+            paths = [os.path.join(self.path, e.file_name) for e in group]
+            indexes.update(
+                fileindex.build_indexes(
+                    spark,
+                    paths,
+                    idx_cols,
+                    bm_cols,
+                    fileindex.bloom_bits(schema.options),
+                    fmt,
+                    fileindex.in_manifest_threshold(schema.options),
+                )
+            )
+        deletes, adds = [], []
+        for e in entries:
+            info = indexes.get(os.path.abspath(os.path.join(self.path, e.file_name)))
+            if info is None:
+                continue
+            d = ManifestEntry(**{**e.__dict__})
+            d.kind = KIND_DELETE
+            deletes.append(d)
+            a = ManifestEntry(**{**e.__dict__})
+            a.kind = KIND_ADD
+            stats = {}
+            for col, st in e.stats.items():
+                if col == fileindex.INDEX_KEY:
+                    continue
+                stats[col] = {k: v for k, v in st.items() if k not in ("bloom", "values")}
+            for col, idx in info.get("inline", {}).items():
+                stats.setdefault(col, {"min": None, "max": None, "nulls": 0}).update(idx)
+            if info.get("sidecar"):
+                stats[fileindex.INDEX_KEY] = {
+                    "file": e.file_name + fileindex.INDEX_SUFFIX,
+                    "cols": info["sidecar"],
+                }
+            a.stats = stats
+            adds.append(a)
+        if not adds:
+            return snap
+        latest = self.snapshots.latest()
+        return self.committer.commit(
+            deletes + adds,
+            schema.id,
+            kind=COMMIT_COMPACT,
+            next_sequence=latest.next_sequence if latest else 0,
+        )
+
     def _consolidate_dv(self, snap: Snapshot, survivors: set[str]) -> list[str]:
         """Rewrite the DV sidecar set down to positions in surviving
         files; [] if nothing remains (rewrite_file_index procedure).

@@ -180,6 +180,37 @@ def test_bitmap_value_set_index(spark, warehouse):
     assert read_mod.plan_scan(entries, t.schema, P.equal("status", "GONE")).file_count() == 0
 
 
+def test_rewrite_file_index_keeps_data_files(spark, warehouse):
+    """rewrite_file_index rebuilds indexes WITHOUT rewriting data: same
+    data file names before/after, fresh index stats, queries still
+    prune and return identical results."""
+    import os
+
+    t = warehouse.create_table(
+        "db.rfi",
+        "id bigint, v string",
+        options={"file-index.bloom-filter.columns": "v"},
+    )
+    t.write(spark.createDataFrame([(1, "aa"), (2, "zz")], "id bigint, v string").coalesce(1))
+    t.write(spark.createDataFrame([(3, "ab"), (4, "zy")], "id bigint, v string").coalesce(1))
+    t = t.refresh()
+    files_before = sorted(e.file_name for e in _entries(t))
+
+    t.rewrite_file_index(spark)
+    t = t.refresh()
+    entries = _entries(t)
+    assert sorted(e.file_name for e in entries) == files_before  # no data rewrite
+    for e in entries:
+        ptr = e.stats.get(fileindex.INDEX_KEY)
+        assert ptr and os.path.exists(os.path.join(t.path, ptr["file"]))
+
+    pred = P.equal("v", "zy")
+    fileindex.attach_bloom_positions(spark, pred, t.schema)
+    plan = read_mod.plan_scan(entries, t.schema, pred, table_path=t.path)
+    assert plan.file_count() == 1
+    assert [(r.id, r.v) for r in t.to_df(spark, predicate=pred).collect()] == [(4, "zy")]
+
+
 def test_range_bitmap_value_set_prunes_between(spark, warehouse):
     """Range-bitmap/BSI projection (P9): low-NDV int column written as
     interleaved commits — every file spans nearly the full min/max

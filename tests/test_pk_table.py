@@ -305,6 +305,61 @@ def test_aggregation_new_field_aggregators(spark, warehouse):
     assert est == 2
 
 
+def test_theta_sketch_kmv_array_field(spark, warehouse):
+    """array<bigint> theta_sketch fields hold REAL KMV sketches: the k
+    smallest distinct hashes. Union keeps the k smallest; estimates are
+    exact below k and within KMV error above it."""
+    from pyspark.sql import functions as F
+
+    from flink_table_store_spark.operators.merge_engines import (
+        theta_sketch_build,
+        theta_sketch_estimate,
+    )
+
+    k = 64
+    t = warehouse.create_table(
+        "db.theta_kmv",
+        "g bigint, sk array<bigint>",
+        primary_keys=["g"],
+        options={
+            "bucket": "1",
+            "merge-engine": "aggregation",
+            "fields.sk.aggregate-function": "theta_sketch",
+            "fields.sk.theta-sketch.k": str(k),
+        },
+    )
+    # two batches of pre-sketched values with overlap: 0..599 and 300..899
+    for lo, hi in ((0, 600), (300, 900)):
+        batch = (
+            spark.range(lo, hi)
+            .select(F.lit(1).alias("g"), F.col("id").alias("v"))
+            .groupBy("g")
+            .agg(theta_sketch_build("v", k).alias("sk"))
+        )
+        t.write(batch)
+    [row] = t.to_df(spark).collect()
+    assert len(row.sk) == k and row.sk == sorted(row.sk)  # k smallest, sorted
+    est = (
+        spark.createDataFrame([(list(row.sk),)], "sk array<bigint>")
+        .select(theta_sketch_estimate("sk", k).alias("e"))
+        .collect()[0]
+        .e
+    )
+    assert 600 <= est <= 1350  # true distinct = 900; KMV rse ~ 1/sqrt(k-2)
+
+    # exact below k: 10 distinct values -> estimate exactly 10
+    small = (
+        spark.range(0, 10)
+        .select(F.lit(1).alias("g"), F.col("id").alias("v"))
+        .groupBy("g")
+        .agg(theta_sketch_build("v", k).alias("sk"))
+        .select(theta_sketch_estimate("sk", k).alias("e"))
+        .collect()[0]
+        .e
+    )
+    assert small == 10.0
+
+
 def test_aggregation_sum_retract_and_remove_on_delete(spark, warehouse):
     from flink_table_store_spark.schema import ROW_KIND
 
