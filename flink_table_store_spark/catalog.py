@@ -218,6 +218,38 @@ class Catalog:
             d = json.load(f)
         return FormatTable(identifier, d["location"], d["format"], d.get("options", {}))
 
+    # --- object tables (table/object/ObjectTable.java:34) ---
+
+    def create_object_table(
+        self,
+        identifier: str,
+        location: str,
+        options: dict[str, str] | None = None,
+    ):
+        import json
+
+        from flink_table_store_spark.sources.format_table import ObjectTable
+
+        db, name = self._split(identifier)
+        self.create_database(db)
+        path = os.path.join(self._db_path(db), name)
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "object-table.json"), "w") as f:
+            json.dump({"location": location, "options": options or {}}, f)
+        return ObjectTable(identifier, location, options or {})
+
+    def get_object_table(self, identifier: str):
+        import json
+
+        from flink_table_store_spark.sources.format_table import ObjectTable
+
+        p = os.path.join(self.table_path(identifier), "object-table.json")
+        if not os.path.exists(p):
+            raise RuntimeError(f"{identifier} is not an object table")
+        with open(p) as f:
+            d = json.load(f)
+        return ObjectTable(identifier, d["location"], d.get("options", {}))
+
     # --- views (reference: catalog view support + view dialect procedures;
     # paimon-api view/, paimon-spark procedure/ alter_view_dialect) ---
 

@@ -46,3 +46,66 @@ def object_table(spark: SparkSession, location: str, path_glob: str | None = Non
     if path_glob:
         reader = reader.option("pathGlobFilter", path_glob)
     return reader.load(location)
+
+
+@dataclass
+class ObjectTable:
+    """Metadata index over a directory of arbitrary objects
+    (table/object/ObjectTable.java:34-46 — SCHEMA path/name/length/
+    mtime/atime/owner). ``to_df`` is metadata-only: Spark's binaryFile
+    source prunes the unselected ``content`` column, so listing a
+    petabyte object store reads zero payload bytes; ``with_content``
+    attaches payloads for the multimodal ingestion path."""
+
+    name: str
+    location: str
+    options: dict[str, str] = field(default_factory=dict)
+
+    def _reader(self, spark: SparkSession):
+        reader = spark.read.format("binaryFile").option("recursiveFileLookup", "true")
+        glob = self.options.get("pathGlobFilter")
+        if glob:
+            reader = reader.option("pathGlobFilter", glob)
+        return reader.load(self.location)
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        base = self.location.rstrip("/")
+        raw = self._reader(spark)
+        rel = F.regexp_replace(
+            F.regexp_replace(F.col("path"), r"^file:", ""), re_escape_prefix(base), ""
+        )
+        mtime = (F.unix_timestamp(F.col("modificationTime")) * 1000).cast("bigint")
+        return raw.select(
+            rel.alias("path"),
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("name"),
+            F.col("length").cast("bigint").alias("length"),
+            mtime.alias("mtime"),
+            # binaryFile exposes no atime/owner; mirror the reference's
+            # nullable contract with mtime / null
+            mtime.alias("atime"),
+            F.lit(None).cast("string").alias("owner"),
+        )
+
+    def with_content(self, spark: SparkSession) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        base = self.location.rstrip("/")
+        raw = self._reader(spark)
+        rel = F.regexp_replace(
+            F.regexp_replace(F.col("path"), r"^file:", ""), re_escape_prefix(base), ""
+        )
+        return raw.select(
+            rel.alias("path"),
+            F.element_at(F.split(F.col("path"), "/"), -1).alias("name"),
+            F.col("length").cast("bigint").alias("length"),
+            (F.unix_timestamp(F.col("modificationTime")) * 1000).cast("bigint").alias("mtime"),
+            F.col("content"),
+        )
+
+
+def re_escape_prefix(base: str) -> str:
+    import re
+
+    return "^" + re.escape(base) + "/?"

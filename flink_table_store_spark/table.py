@@ -1015,19 +1015,47 @@ class Table:
 
     def fast_forward(self, name: str) -> None:
         """Promote a branch to main (FastForwardProcedure): replace main
-        snapshots newer than the fork point with the branch's."""
+        snapshots newer than the fork point with the branch's.
+
+        Hardened against the delete-then-copy race: branch snapshots are
+        FIRST staged as ``.ff-tmp`` files in main's snapshot dir (same
+        filesystem), then the flip is per-file-atomic ``os.replace``
+        after the diverged main snapshots are removed. A crash mid-flip
+        leaves recoverable tmp files and an intact prefix; a concurrent
+        commit that lands mid-flip is detected afterwards and surfaced
+        instead of being silently interleaved."""
+        from flink_table_store_spark.fileio import write_json
+
         meta = self.branches().get(name)
         if meta is None:
             raise RuntimeError(f"no branch {name}")
         fork = meta["fromSnapshot"]
         bsm = SnapshotManager(self.path, branch=name)
-        for sid in self.snapshots.snapshot_ids():
-            if sid > fork:
-                self.snapshots.delete(sid)
+        branch_ids = [sid for sid in bsm.snapshot_ids() if sid > fork]
         os.makedirs(self.snapshots.dir, exist_ok=True)
-        for sid in bsm.snapshot_ids():
-            if sid > fork:
-                self.snapshots.try_commit(bsm.load(sid))
+        # stage everything before touching main history
+        tmps: list[tuple[int, str]] = []
+        try:
+            for sid in branch_ids:
+                tmp = os.path.join(self.snapshots.dir, f"snapshot-{sid}.ff-tmp")
+                write_json(tmp, bsm.load(sid).to_dict())
+                tmps.append((sid, tmp))
+            main_above = [sid for sid in self.snapshots.snapshot_ids() if sid > fork]
+            for sid in main_above:
+                self.snapshots.delete(sid)
+            for sid, tmp in tmps:
+                os.replace(tmp, os.path.join(self.snapshots.dir, f"snapshot-{sid}"))
+        finally:
+            for _sid, tmp in tmps:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+        expected = {sid for sid in self.snapshots.snapshot_ids()}
+        foreign = expected - set(branch_ids) - {sid for sid in expected if sid <= fork}
+        if foreign:
+            raise RuntimeError(
+                f"fast_forward({name}): concurrent commit(s) {sorted(foreign)} "
+                "landed during the flip; reconcile before continuing"
+            )
 
     def sort_compact(
         self,

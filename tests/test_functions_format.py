@@ -62,3 +62,27 @@ def test_object_table(spark, tmp_path):
     df = object_table(spark, str(d))
     rows = {r.path.split("/")[-1]: bytes(r.content) for r in df.collect()}
     assert rows["a.bin"].startswith(b"\x89PNG") and rows["b.txt"] == b"hello"
+
+
+def test_object_table_catalog_metadata_index(spark, warehouse, tmp_path):
+    """ObjectTable (table/object/ObjectTable.java:34): reference SCHEMA
+    metadata index, content pruned unless asked for."""
+    d = tmp_path / "store"
+    (d / "sub").mkdir(parents=True)
+    (d / "a.bin").write_bytes(b"0123456789")
+    (d / "sub" / "b.txt").write_bytes(b"hello")
+
+    ot = warehouse.create_object_table("db.objects", str(d))
+    meta = warehouse.get_object_table("db.objects").to_df(spark)
+    assert meta.columns == ["path", "name", "length", "mtime", "atime", "owner"]
+    rows = {r.path: r for r in meta.collect()}
+    assert set(rows) == {"a.bin", "sub/b.txt"}
+    assert rows["a.bin"].length == 10 and rows["a.bin"].name == "a.bin"
+    assert rows["sub/b.txt"].name == "b.txt" and rows["sub/b.txt"].mtime > 0
+    # metadata-only plan never reads payloads: content column absent
+    plan = meta._jdf.queryExecution().executedPlan().toString()
+    assert "content" not in plan
+
+    content = ot.with_content(spark)
+    got = {r.path: bytes(r.content) for r in content.collect()}
+    assert got["sub/b.txt"] == b"hello" and got["a.bin"] == b"0123456789"
