@@ -68,8 +68,12 @@ PROCEDURES: dict[str, Callable] = {
         lambda t: t.rollback_to(t.snapshots.for_timestamp(a["timestamp_ms"]).id)
     )(_t(c, a)),
     "remove_orphan_files": lambda s, c, a: _t(c, a).remove_orphan_files(
-        dry_run=a.get("dry_run", False)
+        dry_run=a.get("dry_run", False),
+        # mode=distributed (RemoveOrphanFilesProcedure): Spark-side
+        # manifest scan + parallel listing when a session is available
+        spark=s if a.get("mode", "distributed") == "distributed" else None,
     ),
+    "repair": lambda s, c, a: _t(c, a).remove_orphan_files(dry_run=True, spark=s),
     "create_branch": lambda s, c, a: _t(c, a).create_branch(a["branch"], a.get("snapshot_id")),
     "delete_branch": lambda s, c, a: _t(c, a).delete_branch(a["branch"]),
     "fast_forward": lambda s, c, a: _t(c, a).fast_forward(a["branch"]),
@@ -81,7 +85,6 @@ PROCEDURES: dict[str, Callable] = {
     # stats without rewriting any data file (RewriteFileIndexProcedure)
     "rewrite_file_index": lambda s, c, a: _t(c, a).rewrite_file_index(s),
     "mark_partition_done": lambda s, c, a: _t(c, a).mark_partition_done(a["partition"]),
-    "repair": lambda s, c, a: _t(c, a).remove_orphan_files(dry_run=True),
     # migration / clone family (MigrateTableProcedure, MigrateDatabaseProcedure,
     # CopyFilesProcedure) — flink_table_store_spark.migrate
     "migrate_table": lambda s, c, a: _migrate(s, c, a),

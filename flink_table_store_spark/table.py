@@ -12,6 +12,7 @@ PK upsert) re-expressed as DataFrame jobs.
 from __future__ import annotations
 
 import os
+import re
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1372,10 +1373,21 @@ class Table:
             return []
         return [read_json(os.path.join(d, n))["partition"] for n in sorted(os.listdir(d))]
 
-    def remove_orphan_files(self, dry_run: bool = False) -> list[str]:
+    def remove_orphan_files(
+        self, dry_run: bool = False, spark: SparkSession | None = None
+    ) -> list[str]:
         """Delete data/manifest files referenced by no retained snapshot or
-        tag (RemoveOrphanFilesProcedure)."""
+        tag (RemoveOrphanFilesProcedure).
+
+        With a SparkSession the DATA-side reconciliation is distributed
+        (the reference's distributed orphan clean, RemoveOrphanFiles-
+        Procedure `mode=distributed`): every manifest parquet is read in
+        ONE Spark scan for the referenced set, the data tree is listed
+        through Spark's parallel file index, and only the orphan names
+        come back to the driver. Metadata dirs (manifest/index/
+        changelog — O(commits), small) stay driver-side either way."""
         referenced: set[str] = set()
+        manifest_names: set[str] = set()
         snaps = [self.snapshots.load(i) for i in self.snapshots.snapshot_ids()]
         snaps += list(self.snapshots.tags().values())
         for b in self.branches():
@@ -1393,13 +1405,26 @@ class Table:
                 referenced.add(os.path.join("manifest", lst))
                 for m in self.manifests.read_manifest_list(lst):
                     referenced.add(os.path.join("manifest", m))
-                    for e in self.manifests.read_manifest(m):
-                        referenced.add(e.file_name)
-                        ptr = e.stats.get(fileindex.INDEX_KEY)
-                        if ptr:
-                            referenced.add(ptr["file"])
-        orphans: list[str] = []
-        for sub in ("manifest", "data", "index", "changelog"):
+                    manifest_names.add(m)
+
+        data_orphans: list[str] = []
+        if spark is not None and manifest_names:
+            data_orphans = self._data_orphans_distributed(spark, manifest_names)
+        else:
+            for m in manifest_names:
+                for e in self.manifests.read_manifest(m):
+                    referenced.add(e.file_name)
+                    ptr = e.stats.get(fileindex.INDEX_KEY)
+                    if ptr:
+                        referenced.add(ptr["file"])
+
+        orphans: list[str] = list(data_orphans)
+        scan_dirs = (
+            ("manifest", "index", "changelog")
+            if spark is not None and manifest_names
+            else ("manifest", "data", "index", "changelog")
+        )
+        for sub in scan_dirs:
             root = os.path.join(self.path, sub)
             for dirpath, _d, files in os.walk(root):
                 # the dynamic-bucket hash index is append-only state owned
@@ -1414,6 +1439,40 @@ class Table:
             for rel in orphans:
                 os.unlink(os.path.join(self.path, rel))
         return orphans
+
+    def _data_orphans_distributed(
+        self, spark: SparkSession, manifest_names: set[str]
+    ) -> list[str]:
+        """data/ orphans via one manifest-parquet scan + parallel listing
+        + left-anti join; only orphan names reach the driver. Any file
+        name in ANY manifest (ADD or DELETE kind) counts as referenced —
+        an earlier snapshot may still read it."""
+        data_root = os.path.join(self.path, "data")
+        if not os.path.isdir(data_root):
+            return []
+        mpaths = [os.path.join(self.path, "manifest", m) for m in sorted(manifest_names)]
+        ent = spark.read.parquet(*mpaths).select("file_name", "stats")
+        refs = ent.select("file_name").unionByName(
+            ent.select(
+                F.get_json_object("stats", f"$.{fileindex.INDEX_KEY}.file").alias(
+                    "file_name"
+                )
+            ).where(F.col("file_name").isNotNull())
+        )
+        listing = (
+            spark.read.format("binaryFile")
+            .option("recursiveFileLookup", "true")
+            .load(data_root)
+            .select(
+                F.regexp_replace(
+                    F.col("path"), "^file:" + re.escape(self.path.rstrip("/")) + "/?", ""
+                ).alias("file_name")
+            )
+        )
+        return [
+            r["file_name"]
+            for r in listing.join(refs, on="file_name", how="left_anti").collect()
+        ]
 
     # --- incremental / changelog reads (SURVEY §2.9 T6, T5) ---
 

@@ -47,6 +47,37 @@ def test_expire_reclaims_compacted_away_files(spark, warehouse):
     assert t.remove_orphan_files(dry_run=True) == []
 
 
+def test_remove_orphan_files_distributed_matches_driver(spark, warehouse):
+    """spark-mode orphan scan (one manifest scan + parallel listing +
+    anti-join) finds exactly what the driver walk finds."""
+    t = warehouse.create_table(
+        "db.orph_dist",
+        "k bigint, v string",
+        primary_keys=["k"],
+        options={"bucket": "2", "file-index.bloom-filter.columns": "v"},
+    )
+    t.write(spark.createDataFrame([(i, f"v{i}") for i in range(10)], "k bigint, v string"))
+    t = t.refresh()
+    # plant orphans: a fake data file + a fake sidecar
+    import os
+
+    bdir = os.path.join(t.path, "data")
+    os.makedirs(bdir, exist_ok=True)
+    open(os.path.join(bdir, "data-orphan.parquet"), "wb").write(b"x" * 10)
+    open(os.path.join(bdir, "data-orphan.parquet.index"), "w").write("{}")
+
+    driver_view = sorted(t.remove_orphan_files(dry_run=True))
+    spark_view = sorted(t.remove_orphan_files(dry_run=True, spark=spark))
+    assert driver_view == spark_view
+    assert "data/data-orphan.parquet" in spark_view
+
+    t.remove_orphan_files(spark=spark)
+    assert not os.path.exists(os.path.join(bdir, "data-orphan.parquet"))
+    # live files + sidecars untouched, reads green
+    assert t.to_df(spark).count() == 10
+    assert t.remove_orphan_files(dry_run=True) == []
+
+
 def test_expire_keeps_tagged_references(spark, warehouse):
     t = warehouse.create_table(
         "db.exp2", "k bigint, v string", primary_keys=["k"], options={"bucket": "2"}
