@@ -41,6 +41,8 @@ SYSTEM_TABLES = (
     "ro",
     "row_tracking",
     "statistics",
+    "compact_buckets",
+    "file_monitor",
 )
 
 
@@ -272,6 +274,48 @@ def _row_tracking(spark: SparkSession, t: "Table") -> DataFrame:
     return t.row_tracking_df(spark)
 
 
+def _compact_buckets(spark: SparkSession, t: "Table") -> DataFrame:
+    """Buckets a dedicated compactor should visit (CompactBucketsTable
+    .java): (partition, bucket) groups with more than one run or any
+    level-0 file — the same trigger table.compact() uses."""
+    agg: dict[tuple, list[int]] = {}
+    for e in _live_entries(t):
+        key = (json.dumps(e.partition, sort_keys=True), e.bucket)
+        cur = agg.setdefault(key, [0, 0])
+        cur[0] += 1
+        cur[1] = max(cur[1], 1 if e.level == 0 else 0)
+    rows = [
+        (k[0], k[1], v[0]) for k, v in sorted(agg.items()) if v[0] > 1 or v[1]
+    ]
+    schema = "partition string, bucket int, file_count bigint"
+    return spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+
+
+def _file_monitor(spark: SparkSession, t: "Table") -> DataFrame:
+    """Per-snapshot file changes (FileMonitorTable.java): ADD/DELETE
+    delta entries of every snapshot — the raw feed a file-level monitor
+    consumes."""
+    rows = []
+    for sid in t.snapshots.snapshot_ids():
+        s = t.snapshots.load(sid)
+        for e in t.manifests.read_entries(s.delta_manifest_list):
+            rows.append(
+                (
+                    sid,
+                    e.kind,
+                    json.dumps(e.partition, sort_keys=True),
+                    e.bucket,
+                    e.file_name,
+                    e.row_count,
+                )
+            )
+    schema = (
+        "snapshot_id bigint, kind string, partition string, bucket int, "
+        "file_path string, record_count bigint"
+    )
+    return spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+
+
 _LOADERS = {
     "snapshots": _snapshots,
     "aggregation_fields": _aggregation_fields,
@@ -290,4 +334,6 @@ _LOADERS = {
     "audit_log": _audit_log,
     "ro": _ro,
     "statistics": _statistics,
+    "compact_buckets": _compact_buckets,
+    "file_monitor": _file_monitor,
 }

@@ -113,6 +113,29 @@ def test_aggregation_fields_table(spark, warehouse):
     assert rows["k"].function is None
 
 
+def test_compact_buckets_and_file_monitor(spark, warehouse):
+    """$compact_buckets lists (partition,bucket) groups a dedicated
+    compactor should visit; $file_monitor streams per-snapshot
+    ADD/DELETE file changes (CompactBucketsTable / FileMonitorTable)."""
+    t = warehouse.create_table(
+        "db.cbfm", "k bigint, v string", primary_keys=["k"], options={"bucket": "1"}
+    )
+    t.write(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+    t.write(spark.createDataFrame([(2, "b")], "k bigint, v string"))
+    t = t.refresh()
+    cb = t.system_table(spark, "compact_buckets").collect()
+    assert len(cb) == 1 and cb[0].bucket == 0 and cb[0].file_count == 2
+
+    t.compact(spark, full=True)
+    t = t.refresh()
+    assert t.system_table(spark, "compact_buckets").count() == 0  # nothing to do
+
+    fm = t.system_table(spark, "file_monitor")
+    by_kind = {(r.snapshot_id, r.kind) for r in fm.collect()}
+    assert (1, "ADD") in by_kind and (2, "ADD") in by_kind
+    assert (3, "DELETE") in by_kind and (3, "ADD") in by_kind  # the compaction
+
+
 def test_global_system_tables(spark, warehouse, t):
     tables = warehouse.read_system(spark, "sys.tables")
     mine = [r for r in tables.collect() if r.table_name == "sys"]
