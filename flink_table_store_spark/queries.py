@@ -1109,6 +1109,33 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def blob_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External blob storage (datapipe/blobstore): payloads externalize
+    to content-addressed blob objects + descriptor columns, fetch back,
+    and must hash identically — parquet carries only slim descriptors.
+    Oracle: sha256/length computed by DuckDB from the source text."""
+    from flink_table_store_spark.datapipe import blobstore as BS
+
+    root = os.path.join(_WAREHOUSE_ROOT, os.path.basename(os.path.normpath(sf_dir)), "blobroot")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    ext = BS.externalize_blobs(docs, root, "payload")
+    fetched = BS.fetch_blobs(ext, root, "blob", "payload")
+    return fetched.select(
+        "doc_id",
+        F.sha2(F.col("payload"), 256).alias("sha256"),
+        F.col("blob")["length"].cast("int").alias("n_bytes"),
+    ).orderBy("doc_id")
+
+
+BLOB_ROUNDTRIP_SQL = """
+SELECT doc_id,
+       sha256(coalesce(text, '')) AS sha256,
+       CAST(octet_length(coalesce(encode(text), ''::BLOB)) AS INT) AS n_bytes
+FROM documents ORDER BY doc_id
+"""
+
 MULTIMODAL_DECODE_SQL = """
 SELECT doc_id,
        CASE
@@ -1761,6 +1788,7 @@ QUERIES: dict[str, tuple] = {
     "embedding_near_dup": (embedding_near_dup, EMBEDDING_NEAR_DUP_SQL),
     "multimodal_hash": (multimodal_hash, MULTIMODAL_HASH_SQL),
     "multimodal_decode": (multimodal_decode, MULTIMODAL_DECODE_SQL),
+    "blob_roundtrip": (blob_roundtrip, BLOB_ROUNDTRIP_SQL),
     "topn_pushdown": (topn_pushdown, TOPN_SQL),
     "zorder_cluster_read": (zorder_cluster_read, ZORDER_SQL),
     "bloom_index_scan": (bloom_index_scan, BLOOM_INDEX_SQL),

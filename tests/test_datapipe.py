@@ -58,6 +58,39 @@ def test_simhash_dedup(docs):
     assert 1 in kept and 2 not in kept  # identical text → identical simhash
 
 
+def test_blob_externalize_fetch_clean(spark, tmp_path):
+    """Content-addressed blob store: externalize → slim descriptors,
+    fetch → identical bytes, duplicate payloads dedupe to one object,
+    clean_blobs removes exactly the unreferenced objects."""
+    import os
+
+    from flink_table_store_spark.datapipe import blobstore as BS
+
+    root = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(1, b"hello"), (2, b"world!"), (3, b"hello"), (4, None)],
+        "id bigint, payload binary",
+    )
+    ext = BS.externalize_blobs(df, root, "payload")
+    rows = {r.id: r.blob for r in ext.collect()}
+    assert rows[4] is None
+    assert rows[1].uri == rows[3].uri  # content-addressed dedup
+    assert rows[2].length == 6
+    # only 2 distinct objects on disk
+    n_objs = sum(len(fs) for _p, _d, fs in os.walk(os.path.join(root, "blob")))
+    assert n_objs == 2
+
+    fetched = {r.id: r.payload for r in BS.fetch_blobs(ext, root).collect()}
+    assert bytes(fetched[1]) == b"hello" and bytes(fetched[2]) == b"world!"
+    assert fetched[4] is None
+
+    # drop row 2's reference; its object becomes an orphan
+    kept = ext.where("id <> 2")
+    orphans = BS.clean_blobs(spark, root, kept)
+    assert len(orphans) == 1 and orphans[0] == rows[2].uri
+    assert {bytes(r.payload) for r in BS.fetch_blobs(kept, root).collect() if r.payload is not None} == {b"hello"}
+
+
 def test_simhash_banded_hamming_tolerance(spark):
     """Signature-level check of the banded hamming LSH: any pair within
     hamming ≤ 3 MUST be found (pigeonhole over 4 bands makes candidate
