@@ -89,6 +89,77 @@ def test_bucketed_join_rejects_mismatched_specs(spark, warehouse):
         join_bucketed(spark, to, tc, on=[("o_orderkey", "c_custkey")])
 
 
+def test_bucketed_join_applies_deletion_vectors(spark, warehouse):
+    from flink_table_store_spark import predicate as P
+
+    cust = spark.createDataFrame(
+        [(k, f"n{k}") for k in range(1, 9)], "c_custkey bigint, c_name string"
+    )
+    orders = spark.createDataFrame(
+        [(k % 8 + 1, k, float(k)) for k in range(40)],
+        "o_custkey bigint, o_orderkey bigint, o_total double",
+    )
+    tc = warehouse.create_table(
+        "db.bjdv_c", cust.schema, primary_keys=["c_custkey"], options={"bucket": "4"}
+    )
+    tc.write(cust)
+    to = warehouse.create_table(
+        "db.bjdv_o",
+        orders.schema,
+        options={"bucket": "4", "bucket-key": "o_custkey", "deletion-vectors.enabled": "true"},
+        primary_keys=["o_custkey", "o_orderkey"],
+    )
+    to.write(orders)
+    to = to.refresh()
+    to.compact(spark, full=True)
+    to = to.refresh()
+    # DV-delete on the append^W compacted files (no rewrite), then join
+    to.delete(spark, P.less_than("o_orderkey", 10), use_dv=True)
+    to = to.refresh()
+    got = join_bucketed(spark, to, tc.refresh(), on=[("o_custkey", "c_custkey")])
+    expected = (
+        orders.where("o_orderkey >= 10")
+        .join(cust, orders.o_custkey == cust.c_custkey, "inner")
+        .select("o_custkey", "o_orderkey", "o_total", "c_name")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_bucketed_join_reads_across_schema_evolution(spark, warehouse):
+    cust = spark.createDataFrame(
+        [(k, f"n{k}") for k in range(1, 6)], "c_custkey bigint, c_name string"
+    )
+    tc = warehouse.create_table(
+        "db.bjse_c", cust.schema, primary_keys=["c_custkey"], options={"bucket": "2"}
+    )
+    tc.write(cust)
+    orders_v1 = spark.createDataFrame(
+        [(k % 5 + 1, k) for k in range(10)], "o_custkey bigint, o_orderkey bigint"
+    )
+    to = warehouse.create_table(
+        "db.bjse_o",
+        orders_v1.schema,
+        primary_keys=["o_custkey", "o_orderkey"],
+        options={"bucket": "2", "bucket-key": "o_custkey"},
+    )
+    to.write(orders_v1)
+    to = to.refresh()
+    to.evolve_schema([{"action": "add_column", "name": "o_note", "type": "string"}])
+    to = to.refresh()
+    to.write(
+        spark.createDataFrame(
+            [(k % 5 + 1, k, f"note{k}") for k in range(10, 15)],
+            "o_custkey bigint, o_orderkey bigint, o_note string",
+        )
+    )
+    to = to.refresh()
+    got = join_bucketed(spark, to, tc.refresh(), on=[("o_custkey", "c_custkey")])
+    rows = {(r.o_orderkey): (r.o_note, r.c_name) for r in got.collect()}
+    assert len(rows) == 15
+    assert rows[3] == (None, f"n{3 % 5 + 1}")  # old-generation file null-fills
+    assert rows[12] == ("note12", f"n{12 % 5 + 1}")
+
+
 def test_bucketed_join_left_and_partitioned(spark, warehouse):
     # partitioned left side: partition values are injected into merge keys
     orders = spark.createDataFrame(
