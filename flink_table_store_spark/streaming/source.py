@@ -264,3 +264,57 @@ class SnapshotStream:
 
         dfs = [df for _sid, df in self.poll(spark)]
         return reduce(lambda a, b: a.unionByName(b), dfs) if dfs else None
+
+
+class AlignedStreams:
+    """Aligned snapshot consumption across tables (T15; reference
+    paimon-flink source/align/AlignedContinuousFileStoreSource): the
+    reference pins checkpoint boundaries to snapshot boundaries so all
+    subtasks observe consistent state. In Spark's micro-batch model a
+    batch already IS a whole snapshot; cross-TABLE alignment is the
+    remaining piece — each aligned tick emits, per table, only the
+    snapshots committed at or before the common watermark
+    ``min(latest commit time across tables)``. A table that lags holds
+    every other table back, so a join of the emitted batches never
+    mixes states from different wall-clock frontiers."""
+
+    def __init__(self, streams: dict[str, SnapshotStream]):
+        if not streams:
+            raise ValueError("AlignedStreams needs at least one stream")
+        self.streams = streams
+
+    def boundary(self) -> int | None:
+        """Common watermark: min over tables of their latest snapshot's
+        commit time; None until every table has at least one snapshot."""
+        times = []
+        for st in self.streams.values():
+            latest = st.table.snapshots.latest()
+            if latest is None:
+                return None
+            times.append(latest.time_millis)
+        return min(times)
+
+    def poll_aligned(
+        self, spark: SparkSession
+    ) -> tuple[int | None, dict[str, list[tuple[int, DataFrame]]]]:
+        """(watermark, {name: [(snapshot_id, DataFrame), ...]}) — every
+        emitted snapshot committed at or before the watermark."""
+        bound = self.boundary()
+        out: dict[str, list[tuple[int, DataFrame]]] = {n: [] for n in self.streams}
+        if bound is None:
+            return None, out
+        for name, st in self.streams.items():
+            sm = st.table.snapshots
+            cutoff = None
+            for sid in sm.snapshot_ids():
+                if sm.load(sid).time_millis <= bound:
+                    cutoff = sid
+            if cutoff is None:
+                continue
+            prev_until = st.until
+            st.until = cutoff if prev_until is None else min(prev_until, cutoff)
+            try:
+                out[name] = st.poll(spark)
+            finally:
+                st.until = prev_until
+        return bound, out

