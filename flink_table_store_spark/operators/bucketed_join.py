@@ -79,6 +79,11 @@ def _side_plan(table) -> tuple[dict[int, list[dict]], list[str], TableSchema]:
             raise ValueError(
                 "join_bucketed: postpone-bucket files present — run compact() first"
             )
+        if not e.file_name.endswith(".parquet"):
+            raise ValueError(
+                f"join_bucketed reads bucket files with pyarrow.parquet; "
+                f"{e.file_name} is not parquet (set file.format=parquet or use a regular join)"
+            )
         buckets.setdefault(e.bucket, []).append(
             {
                 "path": os.path.join(table.path, e.file_name),
