@@ -32,10 +32,22 @@ class CommitConflictError(RuntimeError):
 
 
 class FileStoreCommit:
-    def __init__(self, table_path: str, max_retries: int = 10, branch: str | None = None):
+    def __init__(
+        self,
+        table_path: str,
+        max_retries: int = 10,
+        branch: str | None = None,
+        manifest_merge_min_count: int = 30,
+    ):
         self.snapshots = SnapshotManager(table_path, branch=branch)
         self.manifests = ManifestManager(table_path)
         self.max_retries = max_retries
+        # fold threshold for incremental manifest inheritance (reference
+        # CoreOptions `manifest.merge-min-count`): a commit reuses the
+        # previous snapshot's manifest FILES untouched and only appends
+        # its delta — O(delta) metadata per commit — until the manifest
+        # count reaches this bound, then one commit pays the full fold
+        self.manifest_merge_min_count = manifest_merge_min_count
         # post-commit callbacks (reference: CommitCallback implementations
         # such as IcebergCommitCallback); fired once per committed snapshot
         self.callbacks: list = []
@@ -51,10 +63,19 @@ class FileStoreCommit:
         dv_files: list[str] | None = None,
         assign_row_ids: bool = False,
         changelog_files: list[str] | None = None,
+        fold_manifests: bool = False,
     ) -> Snapshot:
         """Commit ADD/DELETE entries as a new snapshot. Retries on CAS
         loss; re-validates that DELETE-d files still exist (conflict
-        check) each attempt."""
+        check) each attempt.
+
+        Manifest handling (ManifestCommittable semantics): the new base
+        manifest LIST inherits the previous snapshot's manifest files
+        verbatim plus its delta — per-commit metadata cost is O(delta),
+        not O(table). When the inherited manifest count reaches
+        ``manifest_merge_min_count`` (or ``fold_manifests`` forces it,
+        CompactManifestProcedure), the commit folds everything into one
+        consolidated base manifest."""
         if commit_identifier:
             # Idempotence for streaming sinks (foreachBatch re-runs): if a
             # snapshot with this identifier already exists, skip (T10).
@@ -77,26 +98,41 @@ class FileStoreCommit:
             if latest is None:
                 base_list, prev_total, prev_seq, new_id = None, 0, 0, 1
             else:
-                # Fold the previous snapshot's (base + delta) into a new base
-                # manifest list so each snapshot's delta holds only this
-                # commit's entries.
-                base_entries = self.manifests.read_live_entries(
-                    latest.base_manifest_list, latest.delta_manifest_list
-                )
+                prev_manifests = self.manifests.read_manifest_list(
+                    latest.base_manifest_list
+                ) + self.manifests.read_manifest_list(latest.delta_manifest_list)
                 if deleted_keys:
+                    # conflict re-check needs the live set; only commits
+                    # that delete files pay this read
+                    base_entries = self.manifests.read_live_entries(
+                        latest.base_manifest_list, latest.delta_manifest_list
+                    )
                     live_keys = {e.key() for e in base_entries}
                     missing = deleted_keys - live_keys
                     if missing:
                         raise CommitConflictError(
                             f"files deleted by this commit no longer exist: {sorted(missing)[:3]}"
                         )
-                base_list = (
-                    self.manifests.write_manifest_list(
-                        [self.manifests.write_manifest(base_entries)]
+                if fold_manifests or len(prev_manifests) >= self.manifest_merge_min_count:
+                    if not deleted_keys:
+                        base_entries = self.manifests.read_live_entries(
+                            latest.base_manifest_list, latest.delta_manifest_list
+                        )
+                    base_list = (
+                        self.manifests.write_manifest_list(
+                            [self.manifests.write_manifest(base_entries)]
+                        )
+                        if base_entries
+                        else None
                     )
-                    if base_entries
-                    else None
-                )
+                else:
+                    # inherit previous manifest FILES untouched; only the
+                    # (tiny) list file is rewritten
+                    base_list = (
+                        self.manifests.write_manifest_list(prev_manifests)
+                        if prev_manifests
+                        else None
+                    )
                 prev_total, prev_seq, new_id = (
                     latest.total_record_count,
                     latest.next_sequence,

@@ -192,6 +192,12 @@ class Table:
         self.manifests = ManifestManager(path)
         self.committer = FileStoreCommit(path, branch=branch)
         self._schema: TableSchema | None = None
+        try:
+            self.committer.manifest_merge_min_count = int(
+                self.schema.options.get("manifest.merge-min-count", "30")
+            )
+        except Exception:
+            pass  # schema not readable yet (table being created)
         # Iceberg compat (iceberg.py): no-op unless the table sets
         # `metadata.iceberg.storage = table-location`
         from flink_table_store_spark import iceberg as _iceberg
@@ -1156,10 +1162,11 @@ class Table:
         self.rollback_to(snap.id)
 
     def compact_manifest(self) -> Snapshot:
-        """CompactManifestProcedure: fold base+delta manifests into one
-        consolidated base manifest. Our commit already rewrites the base
-        list every snapshot, so an empty COMPACT commit performs the fold."""
-        return self.committer.commit([], self.schema.id, kind=COMMIT_COMPACT)
+        """CompactManifestProcedure: fold the inherited base+delta
+        manifest files into one consolidated base manifest."""
+        return self.committer.commit(
+            [], self.schema.id, kind=COMMIT_COMPACT, fold_manifests=True
+        )
 
     def purge_files(self) -> Snapshot:
         """PurgeFilesProcedure: truncate the table — commit an OVERWRITE
