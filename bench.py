@@ -268,7 +268,12 @@ def main() -> None:
 
     @timed("dedup_minhash")
     def _dd():
-        Q.dedup_minhash(spark, sf_dir).count()
+        # raw operator over the corpus (the oracle query adds a planted
+        # fixture on top; here we track engine throughput alone)
+        from flink_table_store_spark.datapipe import dedup as DD
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        DD.minhash_dedup(docs).count()
 
     @timed("ann_brute_force")
     def _ann():

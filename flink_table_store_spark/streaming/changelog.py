@@ -83,18 +83,61 @@ def changelog_diff(
 
 
 def persisted_changelog(spark: SparkSession, table, snapshot_id: int) -> DataFrame | None:
-    """Changelog files persisted by a full-compaction producer at
-    ``snapshot_id`` (table.compact → _write_compaction_changelog):
-    consumers read plain parquet — no merge jobs, N consumers pay N
-    file scans instead of N two-sided merges. None when the snapshot
-    carries no changelog."""
+    """Changelog files persisted at ``snapshot_id`` — either recorded in
+    the snapshot (full-compaction producer, table.compact) or written
+    post-commit under the deterministic ``changelog-s<id>-*`` prefix
+    (lookup producer, persist_lookup_changelog): consumers read plain
+    parquet — no merge jobs, N consumers pay N file scans instead of N
+    two-sided merges. None when no changelog exists for the snapshot."""
+    import glob as _glob
     import os
 
     snap = table.snapshots.load(snapshot_id)
-    if not snap.changelog_files:
-        return None
-    paths = [os.path.join(table.path, "changelog", n) for n in snap.changelog_files]
-    return spark.read.parquet(*paths)
+    if snap.changelog_files:
+        paths = [os.path.join(table.path, "changelog", n) for n in snap.changelog_files]
+        return spark.read.parquet(*paths)
+    paths = sorted(
+        _glob.glob(os.path.join(table.path, "changelog", f"changelog-s{snapshot_id}-*.parquet"))
+    )
+    if paths:
+        return spark.read.parquet(*paths)
+    return None
+
+
+def persist_lookup_changelog(spark: SparkSession, table, snapshot_id: int) -> list[str]:
+    """changelog-producer=lookup, write side (LookupChangelogMergeFunction
+    Wrapper: changelog available right after each commit): compute the
+    per-commit diff ONCE and persist it under the snapshot-id-keyed name
+    ``changelog-s<id>-<uuid>.parquet``. Idempotent per snapshot (existing
+    files win); orphan scanning treats the prefix as referenced while
+    snapshot <id> exists on any branch or tag."""
+    import glob as _glob
+    import os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    import pyarrow.parquet as _pq
+
+    cl_dir = os.path.join(table.path, "changelog")
+    existing = _glob.glob(os.path.join(cl_dir, f"changelog-s{snapshot_id}-*.parquet"))
+    if existing:
+        return [os.path.basename(p) for p in sorted(existing)]
+    diff = lookup_changelog(spark, table, snapshot_id)
+    staging = os.path.join(table.path, "staging", f"cl-{_uuid.uuid4().hex}")
+    diff.write.mode("overwrite").parquet(staging)
+    os.makedirs(cl_dir, exist_ok=True)
+    out: list[str] = []
+    for fn in sorted(os.listdir(staging)):
+        if not fn.endswith(".parquet"):
+            continue
+        src = os.path.join(staging, fn)
+        if _pq.ParquetFile(src).metadata.num_rows == 0:
+            continue
+        name = f"changelog-s{snapshot_id}-{_uuid.uuid4().hex}.parquet"
+        os.replace(src, os.path.join(cl_dir, name))
+        out.append(name)
+    _shutil.rmtree(staging, ignore_errors=True)
+    return out
 
 
 def lookup_changelog(spark: SparkSession, table, snapshot_id: int) -> DataFrame:

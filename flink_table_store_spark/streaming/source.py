@@ -204,6 +204,12 @@ class SnapshotStream:
             # snapshots emit nothing under this producer (the diff
             # arrives at the next full compaction)
             return persisted_changelog(spark, t, snapshot_id)
+        # lookup producer: prefer the write-side persisted files; fall
+        # back to recomputing (e.g. snapshots written with the producer
+        # off, or a non-lookup producer value)
+        persisted = persisted_changelog(spark, t, snapshot_id)
+        if persisted is not None and producer == "lookup":
+            return persisted
         return lookup_changelog(spark, t, snapshot_id)
 
     def _file_filtered_full(self, spark: SparkSession, snapshot_id: int) -> DataFrame | None:

@@ -353,7 +353,7 @@ class Table:
             return self.committer.commit_overwrite(
                 entries, self.schema.id, overwrite_partition_filter
             )
-        return self.committer.commit(
+        snap = self.committer.commit(
             entries,
             self.schema.id,
             kind=COMMIT_APPEND,
@@ -362,6 +362,19 @@ class Table:
             next_sequence=next_seq,
             assign_row_ids=self.row_tracking_enabled(),
         )
+        if (
+            self.is_primary_key_table()
+            and self.schema.options.get("changelog-producer") == "lookup"
+        ):
+            # lookup producer (LookupChangelogMergeFunctionWrapper): the
+            # per-commit diff is computed ONCE at write time and persisted;
+            # every consumer then reads plain changelog files
+            from flink_table_store_spark.streaming.changelog import (
+                persist_lookup_changelog,
+            )
+
+            persist_lookup_changelog(df.sparkSession, self.refresh(), snap.id)
+        return snap
 
     def row_tracking_enabled(self) -> bool:
         """Append tables with ``row-tracking.enabled`` get stable per-row
@@ -1319,6 +1332,24 @@ class Table:
                     os.unlink(os.path.join(self.path, "changelog", n))
                 except FileNotFoundError:
                     pass
+        # lookup-producer changelog files (name-keyed by snapshot id):
+        # reclaim those of expired ids not still alive as a tag/branch copy
+        import glob as _glob
+
+        protected_sids = set(retained_ids)
+        protected_sids.update(s.id for s in self.snapshots.tags().values())
+        for b in self.branches():
+            protected_sids.update(SnapshotManager(self.path, branch=b).snapshot_ids())
+        for sid in expired:
+            if sid in protected_sids:
+                continue
+            for p in _glob.glob(
+                os.path.join(self.path, "changelog", f"changelog-s{sid}-*.parquet")
+            ):
+                try:
+                    os.unlink(p)
+                except FileNotFoundError:
+                    pass
 
     def expire_partitions(
         self,
@@ -1425,6 +1456,12 @@ class Table:
                     if ptr:
                         referenced.add(ptr["file"])
 
+        # lookup-producer changelog files are keyed by snapshot id in
+        # their name, not recorded in the snapshot JSON: referenced while
+        # that snapshot exists anywhere (main, branch, or tag copy)
+        live_sids = {s.id for s in snaps}
+        sid_pat = re.compile(r"^changelog-s(\d+)-")
+
         orphans: list[str] = list(data_orphans)
         scan_dirs = (
             ("manifest", "index", "changelog")
@@ -1439,6 +1476,9 @@ class Table:
                 if "hash-index" in dirpath:
                     continue
                 for fn in files:
+                    m = sid_pat.match(fn)
+                    if m and int(m.group(1)) in live_sids:
+                        continue
                     rel = os.path.relpath(os.path.join(dirpath, fn), self.path)
                     if rel not in referenced:
                         orphans.append(rel)

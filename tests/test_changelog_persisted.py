@@ -95,6 +95,51 @@ def test_streaming_source_consumes_persisted_changelog(spark, warehouse):
     }
 
 
+def test_lookup_producer_persists_per_commit_changelog(spark, warehouse):
+    """changelog-producer=lookup: every write persists its diff once;
+    consumers (and the streaming source) read plain files, survive
+    orphan scans, and get reclaimed with their snapshot at expiry."""
+    import glob
+    import os
+
+    t = warehouse.create_table(
+        "db.clu",
+        "k bigint, v string",
+        primary_keys=["k"],
+        options={"bucket": "1", "changelog-producer": "lookup"},
+    )
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"))
+    t = t.refresh()
+    t.write(spark.createDataFrame([(1, "A"), (3, "c")], "k bigint, v string"))
+    t = t.refresh()
+
+    # write-side files exist per snapshot
+    assert glob.glob(os.path.join(t.path, "changelog", "changelog-s1-*.parquet"))
+    assert glob.glob(os.path.join(t.path, "changelog", "changelog-s2-*.parquet"))
+
+    cl2 = persisted_changelog(spark, t, 2)
+    got = {(r.rowkind, r.k, r.v) for r in cl2.collect()}
+    assert got == {("-U", 1, "a"), ("+U", 1, "A"), ("+I", 3, "c")}
+    plan = cl2._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "max_by" not in plan  # plain file scan
+
+    # streaming consumer reads the persisted files
+    stream = SnapshotStream(t, startup_mode="from-snapshot", from_snapshot=2, scan="changelog")
+    [(sid, df)] = stream.poll(spark)
+    assert sid == 2
+    assert {(r.rowkind, r.k, r.v) for r in df.collect()} == got
+
+    # orphan scan keeps them while their snapshot lives
+    assert not [o for o in t.remove_orphan_files(dry_run=True) if o.startswith("changelog")]
+
+    # expire reclaims snapshot 1's changelog, keeps snapshot 2's
+    t.write(spark.createDataFrame([(4, "d")], "k bigint, v string"))
+    t = t.refresh()
+    t.expire_snapshots(retain_last=2)
+    assert not glob.glob(os.path.join(t.path, "changelog", "changelog-s1-*.parquet"))
+    assert glob.glob(os.path.join(t.path, "changelog", "changelog-s2-*.parquet"))
+
+
 def test_aligned_streams_hold_back_to_common_watermark(spark, warehouse):
     """T15 aligned consumption: a lagging table holds the others back;
     once it advances, the withheld snapshots flow."""
