@@ -125,6 +125,38 @@ def cdc_apply(
     )
 
 
+def cdc_file_stream(
+    spark,
+    table,
+    source_dir: str,
+    sink_id: str,
+    checkpoint_dir: str,
+    parser: Callable[[DataFrame], DataFrame] = parse_debezium,
+    schema_evolution: bool = True,
+    available_now: bool = True,
+):
+    """File-based CDC connector (S21): tail a directory of Debezium/Canal
+    JSON-line files with Structured Streaming and apply each micro-batch
+    via parse → evolve → upsert with identifier-checked exactly-once
+    commits. The container-compatible analogue of the reference's
+    kafka_sync_table pipeline (paimon-flink-cdc KafkaSyncTableAction) —
+    swap the `text` source for `kafka` and NOTHING else changes.
+
+    Returns the started StreamingQuery; with ``available_now`` the query
+    drains everything currently in the directory and stops.
+    """
+    stream = spark.readStream.format("text").load(source_dir)
+    writer = (
+        stream.writeStream.foreachBatch(
+            cdc_foreach_batch(table, sink_id, parser, schema_evolution)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def cdc_foreach_batch(
     table,
     sink_id: str,

@@ -161,6 +161,40 @@ def test_cdc_debezium_ingest_with_schema_evolution(spark, warehouse):
     assert (rows[0].id, rows[0].name, rows[0].email) == (1, "a2", "x@y")
 
 
+def test_cdc_file_stream_connector(spark, warehouse, tmp_path):
+    """File-based CDC connector: Structured Streaming tails a directory
+    of Debezium JSON-line files, applies batches exactly-once, and a
+    second run picks up only new files (checkpointed offsets)."""
+    from flink_table_store_spark.streaming.cdc import cdc_file_stream
+
+    t = warehouse.create_table(
+        "db.cdcfile", "id bigint, name string", primary_keys=["id"], options={"bucket": "1"}
+    )
+    src = tmp_path / "cdc_in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    (src / "f1.jsonl").write_text(
+        '{"op":"c","after":{"id":"1","name":"a"}}\n'
+        '{"op":"c","after":{"id":"2","name":"b"}}\n'
+    )
+    q = cdc_file_stream(spark, t, str(src), "cdcfile-sink", ckpt)
+    q.awaitTermination(120)
+    assert {(r.id, r.name) for r in t.refresh().to_df(spark).collect()} == {
+        (1, "a"),
+        (2, "b"),
+    }
+
+    # new file with an update + delete; old file must not reapply
+    (src / "f2.jsonl").write_text(
+        '{"op":"u","before":{"id":"1","name":"a"},"after":{"id":"1","name":"a2"}}\n'
+        '{"op":"d","before":{"id":"2","name":"b"}}\n'
+    )
+    q2 = cdc_file_stream(spark, t.refresh(), str(src), "cdcfile-sink", ckpt)
+    q2.awaitTermination(120)
+    t2 = t.refresh()
+    assert {(r.id, r.name) for r in t2.to_df(spark).collect()} == {(1, "a2")}
+
+
 def test_cdc_canal_ingest(spark, warehouse):
     from flink_table_store_spark.streaming.cdc import cdc_apply, parse_canal
 
