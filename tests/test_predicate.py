@@ -57,3 +57,55 @@ def test_partition_predicate():
     assert pred.test_partition({"pt": "a"}) is True
     assert pred.test_partition({"pt": "b"}) is False
     assert P.raw(None).test_partition({"pt": "b"}) is True
+
+
+# --- property check: value-set pruning is never wrong ----------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_OPS = ["=", "<>", "<", "<=", ">", ">=", "in", "not_in", "between"]
+
+
+def _row_matches(op, v, lits):
+    return {
+        "=": lambda: v == lits[0],
+        "<>": lambda: v != lits[0],
+        "<": lambda: v < lits[0],
+        "<=": lambda: v <= lits[0],
+        ">": lambda: v > lits[0],
+        ">=": lambda: v >= lits[0],
+        "in": lambda: v in lits,
+        "not_in": lambda: v not in lits,
+        "between": lambda: lits[0] <= v <= lits[1],
+    }[op]()
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    vals=st.lists(st.integers(-20, 20), min_size=1, max_size=8, unique=True),
+    op=st.sampled_from(_OPS),
+    lits=st.lists(st.integers(-25, 25), min_size=2, max_size=3),
+)
+def test_value_set_pruning_is_conservative(vals, op, lits):
+    """If ANY value in the file's distinct set matches the predicate,
+    Leaf.test must keep the file (range-bitmap/bsi projection can prune
+    aggressively but never wrongly)."""
+    if op == "between":
+        lits = sorted(lits)[:2]
+    s = {
+        "x": {
+            "min": min(vals),
+            "max": max(vals),
+            "nulls": 0,
+            "values": sorted(vals),
+        }
+    }
+    leaf = P.Leaf(op, "x", tuple(lits if op in ("in", "not_in") else lits[:2]))
+    any_match = any(_row_matches(op, v, leaf.literals) for v in vals)
+    verdict = leaf.test(s, len(vals))
+    if any_match:
+        assert verdict is True  # never prune a file with a matching row
+    else:
+        # with the full distinct set, pruning is EXACT for these ops
+        assert verdict is False
