@@ -64,6 +64,7 @@ class FileStoreCommit:
         assign_row_ids: bool = False,
         changelog_files: list[str] | None = None,
         fold_manifests: bool = False,
+        dv_row_count: int | None = None,
     ) -> Snapshot:
         """Commit ADD/DELETE entries as a new snapshot. Retries on CAS
         loss; re-validates that DELETE-d files still exist (conflict
@@ -175,6 +176,18 @@ class FileStoreCommit:
                 ),
                 next_row_id=new_row_id,
                 changelog_files=changelog_files or [],
+                # carry the previous count only when the commit neither
+                # replaces the DV set nor deletes files (a removed file's
+                # DV rows go stale and would overcount)
+                dv_row_count=(
+                    dv_row_count
+                    if dv_files is not None
+                    else (
+                        latest.dv_row_count
+                        if latest is not None and not deleted_keys
+                        else None
+                    )
+                ),
             )
             if self.snapshots.try_commit(snap):
                 for cb in self.callbacks:

@@ -44,6 +44,10 @@ class Snapshot:
     # full-compaction producers (Snapshot.java changelogManifestList;
     # FullChangelogMergeTreeCompactRewriter)
     changelog_files: list[str] = field(default_factory=list)
+    # distinct DV'd positions in live files, recorded at commit (the
+    # reference stores per-file deleteRowCount, DataFileMeta.java:97-166;
+    # None = unknown — derive by reading the DV files)
+    dv_row_count: int | None = None
 
     def to_dict(self) -> dict[str, Any]:
         return {
@@ -62,6 +66,7 @@ class Snapshot:
             "deletionVectors": self.dv_files,
             "nextRowId": self.next_row_id,
             "changelogFiles": self.changelog_files,
+            "deletionVectorsRowCount": self.dv_row_count,
         }
 
     @staticmethod
@@ -81,6 +86,7 @@ class Snapshot:
             dv_files=d.get("deletionVectors", []),
             next_row_id=d.get("nextRowId", 0),
             changelog_files=d.get("changelogFiles", []),
+            dv_row_count=d.get("deletionVectorsRowCount"),
         )
 
 

@@ -465,18 +465,25 @@ class Table:
         os.makedirs(index_dir, exist_ok=True)
         name = f"dv-{_uuid.uuid4().hex}.parquet"
         _pq.write_table(tbl, os.path.join(index_dir, name), compression="zstd")
+        # this commit touches no data files, so live == current live and
+        # the delete-row count is exact at commit time
+        live = {os.path.basename(e.file_name) for e in entries}
+        cnt = self._dv_count_files(snap.dv_files + [name], live)
         return self.committer.commit(
-            [], schema.id, kind=COMMIT_APPEND, dv_files=snap.dv_files + [name]
+            [],
+            schema.id,
+            kind=COMMIT_APPEND,
+            dv_files=snap.dv_files + [name],
+            dv_row_count=cnt,
         )
 
     def _dv_row_count(self, snap: Snapshot) -> int:
-        """Number of DV'd positions in LIVE files (stale entries for
-        rewritten files don't count). Vectorized pyarrow compute —
-        no per-row Python; O(deleted rows) columnar work, which is the
-        same footprint as the reference's per-file deletion bitmaps."""
-        import pyarrow as _pa
-        import pyarrow.compute as _pc
-
+        """Number of DV'd positions in LIVE files. Snapshots record the
+        count at commit (reference stores per-file deleteRowCount,
+        DataFileMeta.java:97-166); the vectorized pyarrow derivation is
+        the fallback for snapshots written without it."""
+        if snap.dv_row_count is not None:
+            return snap.dv_row_count
         if not snap.dv_files:
             return 0
         live = {
@@ -485,7 +492,17 @@ class Table:
                 snap.base_manifest_list, snap.delta_manifest_list
             )
         }
-        t = self._read_dv_table(snap.dv_files)
+        return self._dv_count_files(snap.dv_files, live)
+
+    def _dv_count_files(self, dv_files: list[str], live: set[str]) -> int:
+        """Distinct (file, pos) across DV sidecars restricted to live
+        files — vectorized pyarrow compute, no per-row Python."""
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        if not dv_files:
+            return 0
+        t = self._read_dv_table(dv_files)
         t = t.filter(
             _pc.is_in(
                 t.column("file_name"),
@@ -656,7 +673,7 @@ class Table:
             deletes.append(d)
         # DV maintenance: compacted files materialized their deletes, so
         # keep only DV rows for files that survive this commit
-        new_dv = self._consolidate_dv(
+        new_dv, new_dv_count = self._consolidate_dv(
             snap, survivors={os.path.basename(e.file_name) for e in entries} - {os.path.basename(e.file_name) for e in to_compact}
         )
         # changelog-producer=full-compaction: persist the diff vs the
@@ -674,6 +691,7 @@ class Table:
             next_sequence=latest.next_sequence if latest else 0,
             dv_files=new_dv,
             changelog_files=cl_files,
+            dv_row_count=new_dv_count,
         )
 
     def _write_compaction_changelog(self, spark: SparkSession, snap: Snapshot) -> list[str]:
@@ -797,10 +815,12 @@ class Table:
             next_sequence=latest.next_sequence if latest else 0,
         )
 
-    def _consolidate_dv(self, snap: Snapshot, survivors: set[str]) -> list[str]:
+    def _consolidate_dv(self, snap: Snapshot, survivors: set[str]) -> tuple[list[str], int]:
         """Rewrite the DV sidecar set down to positions in surviving
-        files; [] if nothing remains (rewrite_file_index procedure).
-        Vectorized pyarrow filter — no per-row Python loops."""
+        files; ([], 0) if nothing remains (rewrite_file_index procedure).
+        Vectorized pyarrow filter — no per-row Python loops. Returns
+        (dv file names, distinct delete-row count) so the commit can
+        record dv_row_count."""
         import uuid as _uuid
 
         import pyarrow as _pa
@@ -808,7 +828,7 @@ class Table:
         import pyarrow.parquet as _pq
 
         if not snap.dv_files:
-            return []
+            return [], 0
         t = self._read_dv_table(snap.dv_files)
         keep = t.filter(
             _pc.is_in(
@@ -817,14 +837,15 @@ class Table:
             )
         )
         if keep.num_rows == 0:
-            return []
+            return [], 0
+        distinct = keep.group_by(["file_name", "pos"]).aggregate([])
         name = f"dv-{_uuid.uuid4().hex}.parquet"
         _pq.write_table(
-            keep.group_by(["file_name", "pos"]).aggregate([]),
+            distinct,
             os.path.join(self.path, "index", name),
             compression="zstd",
         )
-        return [name]
+        return [name], distinct.num_rows
 
     def row_tracking_df(self, spark: SparkSession) -> DataFrame:
         """$row_tracking (RowTrackingTable): the table's rows with their
@@ -1134,11 +1155,13 @@ class Table:
         untouched = {os.path.basename(e.file_name) for e in live} - {
             os.path.basename(e.file_name) for e in entries
         }
+        dv_files, dv_count = self._consolidate_dv(snap, untouched)
         return self.committer.commit(
             deletes + new_entries,
             schema.id,
             kind=COMMIT_COMPACT,
-            dv_files=self._consolidate_dv(snap, untouched),
+            dv_files=dv_files,
+            dv_row_count=dv_count,
         )
 
     # --- snapshot management ---

@@ -38,6 +38,9 @@ def test_dv_delete_no_rewrite(spark, t):
     snap = t.delete(spark, P.less_than("id", 10))
     assert _files(t) == before  # no data file touched
     assert snap.dv_files, "DV sidecar recorded in snapshot"
+    # delete-row count recorded at commit (reference DataFileMeta
+    # deleteRowCount): row_count() never re-reads the DV files
+    assert snap.dv_row_count == 10
     got = t.to_df(spark)
     assert got.count() == 90
     assert got.agg(F.min("id")).collect()[0][0] == 10
