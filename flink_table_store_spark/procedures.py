@@ -44,8 +44,73 @@ def _expire_partitions(spark, cat, a):
     )
 
 
+def _compact_database(spark, cat, a):
+    """CompactDatabaseProcedure: compact every table in the given
+    database(s) (comma-separated; default all)."""
+    wanted = [d.strip() for d in a.get("databases", "").split(",") if d.strip()]
+    out: dict[str, Any] = {}
+    for db in cat.list_databases():
+        if wanted and db not in wanted:
+            continue
+        for tn in cat.list_tables(db):
+            try:
+                t = cat.get_table(f"{db}.{tn}")
+            except RuntimeError:
+                continue  # format/object tables have nothing to compact
+            snap = t.compact(spark, full=a.get("full", True))
+            out[f"{db}.{tn}"] = snap.id if snap else None
+    return out
+
+
+def _trigger_tag_automatic_creation(spark, cat, a):
+    """TriggerTagAutomaticCreationProcedure: create the period tag the
+    table's tag.automatic-creation options call for, if absent.
+    Supported: process-time / watermark modes, daily|hourly|two-hours
+    periods, with_dashes|without_dashes formatters, tag.num-retained-max
+    pruning of auto-created tags (CoreOptions TAG_* family)."""
+    import datetime as _dt
+
+    t = _t(cat, a)
+    opts = t.schema.options
+    mode = opts.get("tag.automatic-creation", "none")
+    if mode == "none":
+        return []
+    snap = t.snapshots.latest()
+    if snap is None:
+        return []
+    if mode == "watermark" and snap.watermark is not None:
+        instant = _dt.datetime.utcfromtimestamp(snap.watermark / 1000)
+    else:  # process-time (or watermark missing): snapshot commit time
+        instant = _dt.datetime.utcfromtimestamp(snap.time_millis / 1000)
+    period = opts.get("tag.creation-period", "daily")
+    if period == "hourly":
+        base = instant.replace(minute=0, second=0, microsecond=0)
+        fmt = "%Y-%m-%d %H"
+    elif period == "two-hours":
+        base = instant.replace(hour=instant.hour - instant.hour % 2, minute=0, second=0, microsecond=0)
+        fmt = "%Y-%m-%d %H"
+    else:
+        base = instant.replace(hour=0, minute=0, second=0, microsecond=0)
+        fmt = "%Y-%m-%d"
+    name = base.strftime(fmt)
+    if opts.get("tag.period-formatter", "with_dashes") == "without_dashes":
+        name = name.replace("-", "").replace(" ", "")
+    created = []
+    if name not in t.snapshots.tags():
+        t.create_tag(name, snapshot_id=snap.id)
+        created.append(name)
+    keep = opts.get("tag.num-retained-max")
+    if keep:
+        auto = sorted(n for n in t.snapshots.tags() if n[0].isdigit())
+        for stale in auto[: max(0, len(auto) - int(keep))]:
+            t.delete_tag(stale)
+    return created
+
+
 PROCEDURES: dict[str, Callable] = {
     "compact": _compact,
+    "compact_database": _compact_database,
+    "trigger_tag_automatic_creation": _trigger_tag_automatic_creation,
     "expire_snapshots": _expire_snapshots,
     "expire_partitions": _expire_partitions,
     "create_tag": lambda s, c, a: _t(c, a).create_tag(a["tag"], a.get("snapshot_id")),

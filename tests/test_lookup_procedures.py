@@ -139,3 +139,45 @@ def test_rollback_to_watermark(spark, warehouse):
     t.write(spark.createDataFrame([(3, "c")], "k bigint, v string"), watermark=300)
     call(spark, warehouse, "rollback_to_watermark", table="db.wm", watermark=250)
     assert t.to_df(spark).count() == 2
+
+
+def test_compact_database_procedure(spark, warehouse):
+    from flink_table_store_spark.procedures import call
+
+    for n in ("db.cdb1", "db.cdb2"):
+        t = warehouse.create_table(n, "k bigint, v string", primary_keys=["k"], options={"bucket": "1"})
+        t.write(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+        t.write(spark.createDataFrame([(2, "b")], "k bigint, v string"))
+    out = call(spark, warehouse, "compact_database", databases="db")
+    assert "db.cdb1" in out and "db.cdb2" in out
+    for n in ("db.cdb1", "db.cdb2"):
+        t = warehouse.get_table(n)
+        assert t.snapshots.latest().commit_kind == "COMPACT"
+        assert t.to_df(spark).count() == 2
+
+
+def test_trigger_tag_automatic_creation(spark, warehouse):
+    from flink_table_store_spark.procedures import call
+
+    t = warehouse.create_table(
+        "db.autotag",
+        "k bigint, v string",
+        primary_keys=["k"],
+        options={
+            "bucket": "1",
+            "tag.automatic-creation": "process-time",
+            "tag.creation-period": "daily",
+            "tag.num-retained-max": "5",
+        },
+    )
+    t.write(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+    created = call(spark, warehouse, "trigger_tag_automatic_creation", table="db.autotag")
+    assert len(created) == 1 and created[0].count("-") == 2  # YYYY-MM-dd
+    t = t.refresh()
+    assert created[0] in t.snapshots.tags()
+    # idempotent within the same period
+    assert call(spark, warehouse, "trigger_tag_automatic_creation", table="db.autotag") == []
+    # disabled mode is a no-op
+    t2 = warehouse.create_table("db.autotag2", "k bigint", primary_keys=["k"], options={"bucket": "1"})
+    t2.write(spark.createDataFrame([(1,)], "k bigint"))
+    assert call(spark, warehouse, "trigger_tag_automatic_creation", table="db.autotag2") == []
