@@ -65,6 +65,7 @@ class FileStoreCommit:
         changelog_files: list[str] | None = None,
         fold_manifests: bool = False,
         dv_row_count: int | None = None,
+        dv_resolver=None,
     ) -> Snapshot:
         """Commit ADD/DELETE entries as a new snapshot. Retries on CAS
         loss; re-validates that DELETE-d files still exist (conflict
@@ -96,6 +97,12 @@ class FileStoreCommit:
 
         for _attempt in range(self.max_retries):
             latest = self.snapshots.latest()
+            if dv_resolver is not None:
+                # DV-replacing commits must derive the replacement set
+                # from the snapshot they actually land on: a lost CAS
+                # race against a concurrent DV commit would otherwise
+                # silently drop that commit's DV files from the set.
+                dv_files, dv_row_count = dv_resolver(latest)
             if latest is None:
                 base_list, prev_total, prev_seq, new_id = None, 0, 0, 1
             else:

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from datetime import date, datetime
+from decimal import Decimal
 from typing import Any
 
 from pyspark.sql import Column
@@ -23,10 +24,19 @@ from pyspark.sql import functions as F
 
 
 def _norm(v: Any) -> Any:
-    """Normalize literals to the manifest-stats domain (ISO strings for
-    temporal types, so comparisons are lexicographic-consistent)."""
+    """Normalize literals to the manifest-stats domain: ISO strings for
+    temporal types, base64 for bytes and float for Decimal — the SAME
+    encoding fileindex's ``_safe`` applies when persisting value sets, so
+    membership tests ('=' / 'in' never raise TypeError) compare in one
+    domain instead of silently returning False and wrongly pruning."""
     if isinstance(v, (datetime, date)):
         return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        import base64 as _b64
+
+        return _b64.b64encode(bytes(v)).decode("ascii")
+    if isinstance(v, Decimal):
+        return float(v)
     return v
 
 

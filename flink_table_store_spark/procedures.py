@@ -101,7 +101,22 @@ def _trigger_tag_automatic_creation(spark, cat, a):
         created.append(name)
     keep = opts.get("tag.num-retained-max")
     if keep:
-        auto = sorted(n for n in t.snapshots.tags() if n[0].isdigit())
+        # Prune ONLY tags matching THIS table's exact period-formatter
+        # pattern — a user tag like '2024-backup' must never be deleted,
+        # and mixing with_dashes/without_dashes spellings would sort
+        # wrong. One spelling per table, so lexicographic == chronologic.
+        import re as _re
+
+        if opts.get("tag.period-formatter", "with_dashes") == "without_dashes":
+            pat = r"\d{8}" if fmt == "%Y-%m-%d" else r"\d{10}"
+        else:
+            pat = (
+                r"\d{4}-\d{2}-\d{2}"
+                if fmt == "%Y-%m-%d"
+                else r"\d{4}-\d{2}-\d{2} \d{2}"
+            )
+        rx = _re.compile(pat + r"\Z")
+        auto = sorted(n for n in t.snapshots.tags() if rx.match(n))
         for stale in auto[: max(0, len(auto) - int(keep))]:
             t.delete_tag(stale)
     return created

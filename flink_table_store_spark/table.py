@@ -465,16 +465,33 @@ class Table:
         os.makedirs(index_dir, exist_ok=True)
         name = f"dv-{_uuid.uuid4().hex}.parquet"
         _pq.write_table(tbl, os.path.join(index_dir, name), compression="zstd")
-        # this commit touches no data files, so live == current live and
-        # the delete-row count is exact at commit time
+        # The DV set and delete-row count are re-derived INSIDE the CAS
+        # retry loop against the snapshot the commit actually lands on:
+        # a concurrent DV commit that wins the race keeps its DV files
+        # in the set instead of being silently overwritten (ADVICE r2).
         live = {os.path.basename(e.file_name) for e in entries}
-        cnt = self._dv_count_files(snap.dv_files + [name], live)
+
+        def _resolve_dv(latest: Snapshot | None) -> tuple[list[str], int]:
+            base_dv = list(latest.dv_files) if latest is not None else []
+            new_set = base_dv if name in base_dv else base_dv + [name]
+            if latest is None:
+                live_set: set[str] = set()
+            elif latest.id == snap.id:
+                live_set = live
+            else:
+                live_set = {
+                    os.path.basename(e.file_name)
+                    for e in self.manifests.read_live_entries(
+                        latest.base_manifest_list, latest.delta_manifest_list
+                    )
+                }
+            return new_set, self._dv_count_files(new_set, live_set)
+
         return self.committer.commit(
             [],
             schema.id,
             kind=COMMIT_APPEND,
-            dv_files=snap.dv_files + [name],
-            dv_row_count=cnt,
+            dv_resolver=_resolve_dv,
         )
 
     def _dv_row_count(self, snap: Snapshot) -> int:
@@ -1074,18 +1091,27 @@ class Table:
         bsm = SnapshotManager(self.path, branch=name)
         branch_ids = [sid for sid in bsm.snapshot_ids() if sid > fork]
         os.makedirs(self.snapshots.dir, exist_ok=True)
-        # stage everything before touching main history
+        # stage everything before touching main history; then REPLACE
+        # first (overwriting diverged main ids with branch versions) and
+        # only delete main-only ids afterwards — a crash at any point
+        # leaves every main id present (old or new version), never a
+        # hole, so the finally-cleanup of unflipped tmps is always safe.
         tmps: list[tuple[int, str]] = []
         try:
             for sid in branch_ids:
                 tmp = os.path.join(self.snapshots.dir, f"snapshot-{sid}.ff-tmp")
                 write_json(tmp, bsm.load(sid).to_dict())
                 tmps.append((sid, tmp))
-            main_above = [sid for sid in self.snapshots.snapshot_ids() if sid > fork]
-            for sid in main_above:
-                self.snapshots.delete(sid)
-            for sid, tmp in tmps:
+            for sid, tmp in list(tmps):
                 os.replace(tmp, os.path.join(self.snapshots.dir, f"snapshot-{sid}"))
+                tmps.remove((sid, tmp))
+            main_only = [
+                sid
+                for sid in self.snapshots.snapshot_ids()
+                if sid > fork and sid not in set(branch_ids)
+            ]
+            for sid in main_only:
+                self.snapshots.delete(sid)
         finally:
             for _sid, tmp in tmps:
                 if os.path.exists(tmp):
@@ -1304,7 +1330,19 @@ class Table:
             for e in self.manifests.read_entries(s.delta_manifest_list):
                 if e.kind == KIND_DELETE:
                     candidates.add(e.file_name)
-        for rel in candidates - p_data:
+        # The reference's skipping-set (ExpireSnapshotsImpl.expireUntil):
+        # a DELETE entry can coexist with an ADD of the SAME file name in
+        # one delta (rewrite_file_index does this), so a candidate may
+        # still be live in the earliest retained snapshot — never unlink
+        # files the retained history can still read.
+        earliest_live = {
+            e.file_name
+            for e in self.manifests.read_live_entries(
+                earliest_retained.base_manifest_list,
+                earliest_retained.delta_manifest_list,
+            )
+        }
+        for rel in candidates - p_data - earliest_live:
             for path in (os.path.join(self.path, rel), os.path.join(self.path, rel) + ".index"):
                 try:
                     os.unlink(path)

@@ -90,3 +90,38 @@ def test_cow_update_applies_dv(spark, t):
     t.update(spark, P.equal("id", 99), {"v": F.lit(-1.0)})
     rows = sorted((r.id, r.v) for r in t.to_df(spark).collect())
     assert rows == [(98, 98.0), (99, -1.0)]
+
+
+def test_concurrent_dv_commit_not_overwritten(spark, warehouse):
+    """ADVICE r2: a DV delete that loses the snapshot CAS race to a
+    concurrent DV commit must re-derive its replacement set against the
+    winner — not silently drop the winner's DV file."""
+    df = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "id bigint, v double"
+    )
+    t = warehouse.create_table(
+        "db.dvrace", df.schema, options={"deletion-vectors.enabled": "true"}
+    )
+    t.write(df)
+    t = t.refresh()
+
+    orig_try = t.committer.snapshots.try_commit
+    state = {"raced": False}
+
+    def flaky_try_commit(snap):
+        if not state["raced"]:
+            state["raced"] = True
+            # a concurrent writer lands its own DV delete first …
+            warehouse.get_table("db.dvrace").delete(spark, P.equal("id", 1))
+            return False  # … and we lose the CAS race
+        return orig_try(snap)
+
+    t.committer.snapshots.try_commit = flaky_try_commit
+    t.delete(spark, P.equal("id", 2))
+    t = t.refresh()
+    snap = t.snapshots.latest()
+    assert len(snap.dv_files) == 2, "both DV files must survive the race"
+    rows = {r.id for r in t.to_df(spark).collect()}
+    assert rows == set(range(20)) - {1, 2}
+    # recorded delete-row count reflects BOTH deletes
+    assert snap.dv_row_count == 2

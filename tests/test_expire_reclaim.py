@@ -122,3 +122,27 @@ def test_expire_reclaims_overwritten_partition_files(spark, warehouse):
     rows = {(r.k, r.p) for r in t.to_df(spark).collect()}
     assert rows == {(9, "A"), (2, "B")}
     assert t.remove_orphan_files(dry_run=True) == []
+
+
+def test_expire_after_rewrite_file_index_keeps_live_files(spark, warehouse):
+    """ADVICE r2 (high): rewrite_file_index commits DELETE+ADD of the SAME
+    file name in one delta. Expiring past that commit must NOT unlink the
+    file — it is still live in every retained snapshot (the reference's
+    ExpireSnapshotsImpl skipping-set)."""
+    t = warehouse.create_table(
+        "db.exp_rewrite",
+        "k bigint, v string",
+        primary_keys=["k"],
+        options={"bucket": "1", "file-index.bloom-filter.columns": "v"},
+    )
+    t.write(
+        spark.createDataFrame([(i, f"v{i}") for i in range(20)], "k bigint, v string")
+    )
+    t = t.refresh()
+    t.rewrite_file_index(spark)
+    t = t.refresh()
+    t.expire_snapshots(retain_last=1)
+    # the data file survives and the table is fully readable
+    rows = {(r.k, r.v) for r in t.to_df(spark).collect()}
+    assert rows == {(i, f"v{i}") for i in range(20)}
+    assert t.remove_orphan_files(dry_run=True) == []

@@ -181,3 +181,35 @@ def test_trigger_tag_automatic_creation(spark, warehouse):
     t2 = warehouse.create_table("db.autotag2", "k bigint", primary_keys=["k"], options={"bucket": "1"})
     t2.write(spark.createDataFrame([(1,)], "k bigint"))
     assert call(spark, warehouse, "trigger_tag_automatic_creation", table="db.autotag2") == []
+
+
+def test_tag_retention_spares_user_tags(spark, warehouse):
+    """ADVICE r2: tag.num-retained-max pruning must only delete tags that
+    match this table's exact period-formatter pattern — a user tag like
+    '2024-backup' starts with a digit but is NOT auto-created."""
+    from flink_table_store_spark.procedures import call
+
+    t = warehouse.create_table(
+        "db.autotag3",
+        "k bigint, v string",
+        primary_keys=["k"],
+        options={
+            "bucket": "1",
+            "tag.automatic-creation": "process-time",
+            "tag.creation-period": "daily",
+            "tag.num-retained-max": "1",
+        },
+    )
+    t.write(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+    t = t.refresh()
+    t.create_tag("2024-backup", snapshot_id=1)      # user tag, digit-leading
+    t.create_tag("2001-01-01 07", snapshot_id=1)    # hourly spelling ≠ daily fmt
+    t.create_tag("2001-01-01", snapshot_id=1)       # old auto-style daily tag
+    t.create_tag("2001-01-02", snapshot_id=1)       # old auto-style daily tag
+    call(spark, warehouse, "trigger_tag_automatic_creation", table="db.autotag3")
+    t = t.refresh()
+    tags = set(t.snapshots.tags())
+    assert "2024-backup" in tags
+    assert "2001-01-01 07" in tags
+    # only the exact-daily-pattern tags were pruned down to max 1
+    assert len([n for n in tags if len(n) == 10 and n[4] == "-"]) == 1

@@ -109,3 +109,23 @@ def test_value_set_pruning_is_conservative(vals, op, lits):
     else:
         # with the full distinct set, pruning is EXACT for these ops
         assert verdict is False
+
+
+def test_value_set_bytes_decimal_literals_not_wrongly_pruned():
+    """ADVICE r2: value sets are persisted JSON-safe (bytes→base64,
+    Decimal→float by fileindex._safe). Raw bytes/Decimal literals must be
+    normalized into the SAME domain before membership tests, or '=' / 'in'
+    silently return False and wrongly prune the file."""
+    import base64
+    from decimal import Decimal
+
+    stored = base64.b64encode(b"abc").decode("ascii")
+    s = {"x": {"min": None, "max": None, "nulls": 0, "values": [stored]}}
+    assert P.equal("x", b"abc").test(s, 10) is True
+    assert P.isin("x", [b"abc", b"zzz"]).test(s, 10) is True
+    assert P.equal("x", b"other").test(s, 10) is False
+
+    s2 = {"x": {"min": 1.0, "max": 3.5, "nulls": 0, "values": [1.0, 3.5]}}
+    assert P.equal("x", Decimal("3.5")).test(s2, 10) is True
+    assert P.equal("x", Decimal("2.0")).test(s2, 10) is False
+    assert P.greater_than("x", Decimal("3.0")).test(s2, 10) is True

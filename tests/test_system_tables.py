@@ -152,3 +152,41 @@ def test_global_system_tables(spark, warehouse, t):
     my_parts = [r for r in parts.collect() if r.table_name == "sys"]
     assert {json.loads(r.partition)["pt"] for r in my_parts} == {"u0", "u1"}
     assert sum(r.record_count for r in my_parts) == 21
+
+
+def test_fast_forward_crash_mid_flip_leaves_no_hole(spark, t, monkeypatch):
+    """ADVICE r2: fast_forward must replace branch snapshots into main
+    BEFORE deleting diverged main snapshots, so a crash mid-flip leaves
+    every main snapshot id present (old or new version) — never a hole."""
+    import os as _os
+
+    from flink_table_store_spark import table as table_mod
+
+    b = t.create_branch("ffdev")
+    # diverge: two commits on the branch, one on main
+    b.write(spark.createDataFrame([(201, "u0", 2.0)], "id bigint, pt string, v double"))
+    b.write(spark.createDataFrame([(202, "u0", 2.0)], "id bigint, pt string, v double"))
+    t.write(spark.createDataFrame([(900, "u1", 9.0)], "id bigint, pt string, v double"))
+    main_ids_before = t.snapshots.snapshot_ids()
+
+    calls = {"n": 0}
+    real_replace = _os.replace
+
+    def failing_replace(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("simulated crash mid-flip")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(table_mod.os, "replace", failing_replace)
+    try:
+        t.fast_forward("ffdev")
+    except OSError:
+        pass
+    monkeypatch.undo()
+
+    # every main snapshot id that existed before still loads (no hole)
+    for sid in main_ids_before:
+        t.snapshots.load(sid)
+    # and the table is still readable end-to-end
+    assert t.to_df(spark).count() >= 21
