@@ -43,6 +43,36 @@ from flink_table_store_spark.schema import (
 from flink_table_store_spark.write import POSTPONE_BUCKET, bucket_keys
 
 
+def dv_positions_for(dv_paths: list[str], basenames: list[str]) -> dict[str, set]:
+    """{file basename: deleted row positions} restricted to ``basenames``
+    (one bucket's data files). The restriction is pushed into the parquet
+    read (``filters=[("file_name","in",...)]``) and grouping is pyarrow
+    compute — a task's DV cost is O(its bucket's deleted rows), not
+    O(table's deleted rows) × n_buckets (the reference scopes DV indexes
+    per DataSplit the same way, DataSplit.java:61-80)."""
+    import pyarrow.parquet as pq
+
+    dels: dict[str, set] = {}
+    if not basenames:
+        return dels
+    names = sorted(set(basenames))
+    for p in dv_paths:
+        try:
+            t = pq.read_table(
+                p, columns=["file_name", "pos"], filters=[("file_name", "in", names)]
+            )
+        except OSError:
+            continue
+        if t.num_rows == 0:
+            continue
+        agg = t.group_by("file_name").aggregate([("pos", "list")])
+        for fn, poss in zip(
+            agg.column("file_name").to_pylist(), agg.column("pos_list").to_pylist()
+        ):
+            dels.setdefault(fn, set()).update(poss)
+    return dels
+
+
 def _typed_partition(raw: str | None, ddl: str):
     if raw is None:
         return None
@@ -215,21 +245,6 @@ def join_bucketed(
 
         seqc, kindc = SEQUENCE_NUMBER, VALUE_KIND
 
-        def _dv_positions(dv_paths):
-            # (file basename) -> set of deleted row positions; DV files
-            # are tiny next to data (one short row per deleted row)
-            dels: dict[str, set] = {}
-            for p in dv_paths:
-                try:
-                    t = pq.read_table(p, columns=["file_name", "pos"])
-                except OSError:
-                    continue
-                for fn, pos in zip(
-                    t.column("file_name").to_pylist(), t.column("pos").to_pylist()
-                ):
-                    dels.setdefault(fn, set()).add(pos)
-            return dels
-
         def _read_side(spec, bucket, dels):
             frames = []
             for f in spec["buckets"].get(bucket, []):
@@ -273,8 +288,14 @@ def join_bucketed(
         for pdf_in in batches:
             for b in pdf_in["id"].tolist():
                 b = int(b)
-                ldels = _dv_positions(lspec["dv"]) if lspec["dv"] else {}
-                rdels = _dv_positions(rspec["dv"]) if rspec["dv"] else {}
+                lbase = [
+                    os.path.basename(f["path"]) for f in lspec["buckets"].get(b, [])
+                ]
+                rbase = [
+                    os.path.basename(f["path"]) for f in rspec["buckets"].get(b, [])
+                ]
+                ldels = dv_positions_for(lspec["dv"], lbase) if lspec["dv"] else {}
+                rdels = dv_positions_for(rspec["dv"], rbase) if rspec["dv"] else {}
                 lpdf = _read_side(lspec, b, ldels)
                 if lpdf is None or lpdf.empty:
                     continue
