@@ -27,6 +27,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from flink_table_store_spark.manifest import ManifestEntry
 from flink_table_store_spark.operators.merge_engines import merge_view
@@ -225,12 +226,33 @@ def _read_files(
             os.path.join(table_path, e.file_name)
         )
     parts: list[DataFrame] = []
+    pk = bool(current.primary_keys)
     for (sid, fmt), paths in sorted(by_schema.items()):
-        df = spark.read.option("basePath", base).format(fmt).load(paths)
+        reader = spark.read.option("basePath", base).format(fmt)
+        if sid == current.id and fmt in ("parquet", "orc"):
+            # current-generation files: the stored layout is fully known
+            # (writer contract: data fields minus partition keys, plus
+            # _VALUE_KIND/_SEQUENCE_NUMBER on PK tables; partition and
+            # _bucket as directory columns) — an explicit schema skips
+            # Spark's footer-sampling inference pass at plan time
+            reader = reader.schema(_stored_schema(current, pk))
+        df = reader.load(paths)
         df = _apply_dv(df, dv)
         df = _adapt(df, schemas.get(sid, current), current, with_system, keep_meta)
         parts.append(df)
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def _stored_schema(schema: TableSchema, pk: bool) -> T.StructType:
+    """Spark schema of current-generation data files as stored on disk:
+    data fields (partition keys resolve from directory names with their
+    declared types), plus the PK writer's system columns."""
+    fields = list(schema.spark_schema().fields)
+    if pk:
+        fields.append(T.StructField(VALUE_KIND, T.StringType()))
+        fields.append(T.StructField(SEQUENCE_NUMBER, T.LongType()))
+        fields.append(T.StructField(BUCKET_COL, T.IntegerType()))
+    return T.StructType(fields)
 
 
 def _adapt(
@@ -240,6 +262,23 @@ def _adapt(
     with_system: bool,
     keep_meta: bool = False,
 ) -> DataFrame:
+    if writer_schema.id == current.id:
+        # fast path — files of the CURRENT generation (the common case:
+        # every scan, every file, unless schema evolution happened) need
+        # no renames and no casts; avoid building an n_cols × py4j
+        # cast/alias expression tree per scan. At most one string-based
+        # select to fix column order / drop extra stored columns.
+        names = current.field_names()
+        have = df.columns
+        if with_system:
+            names += [s for s in (SEQUENCE_NUMBER, VALUE_KIND) if s in have]
+            if BUCKET_COL in have:
+                names.append(BUCKET_COL)
+        if keep_meta:
+            names.append("_metadata")
+        if have == names:
+            return df
+        return df.select(*names)
     by_id = {f.id: f.name for f in writer_schema.fields}
     cols = []
     for f in current.fields:
