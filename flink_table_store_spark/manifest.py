@@ -159,6 +159,96 @@ class ManifestManager:
             return spark.createDataFrame([], schema="kind string, partition string, bucket int")
         return spark.read.parquet(*[os.path.join(self.dir, n) for n in names])
 
+    def total_entry_rows(self, base_list: str | None, delta_list: str | None) -> int:
+        """Total manifest entry count from parquet FOOTERS only — the
+        cheap cardinality probe that decides driver vs distributed
+        planning (no entry materialization)."""
+        n = 0
+        for lst in (base_list, delta_list):
+            for m in self.read_manifest_list(lst):
+                try:
+                    n += pq.ParquetFile(os.path.join(self.dir, m)).metadata.num_rows
+                except OSError:
+                    pass
+        return n
+
+    def live_entries_distributed(
+        self,
+        spark,
+        base_list: str | None,
+        delta_list: str | None,
+        predicate=None,
+        per_file_stats_safe: bool = True,
+        table_path: str | None = None,
+    ) -> list[ManifestEntry]:
+        """The scale path for planning over millions of files: the
+        ADD-minus-DELETE merge AND predicate pruning run as a Spark job
+        over the manifest parquets; the driver materializes ONLY the
+        surviving entries (reference: SnapshotReaderImpl's parallel
+        manifest scan / FileStoreScan.withManifestParallelism).
+
+        Liveness is net-count parity per (partition,bucket,file_name):
+        a file is live iff it has more ADD than DELETE records — the
+        same fixpoint the driver's sequential dict merge reaches, since
+        a commit can only delete a live file or (re-)add a dead one.
+
+        Pruning applies the SAME Python ``Predicate.test_partition`` /
+        ``read._stats_test`` the driver path uses — executed in
+        executors over Arrow batches, so semantics are identical and
+        the driver never loops over pre-prune entries."""
+        from pyspark.sql import functions as F
+
+        names = self.read_manifest_list(base_list) + self.read_manifest_list(delta_list)
+        if not names:
+            return []
+        df = spark.read.parquet(*[os.path.join(self.dir, n) for n in names])
+        key = ["partition", "bucket", "file_name"]
+        net = (
+            df.groupBy(*key)
+            .agg(
+                F.sum(
+                    F.when(F.col("kind") == KIND_ADD, F.lit(1)).otherwise(F.lit(-1))
+                ).alias("net")
+            )
+            .where(F.col("net") > 0)
+        )
+        live = df.where(F.col("kind") == KIND_ADD).dropDuplicates(key).join(
+            net, key, "left_semi"
+        )
+
+        shippable = False
+        if predicate is not None:
+            import pickle
+
+            try:
+                pickle.dumps(predicate)
+                shippable = True
+            except Exception:
+                shippable = False  # e.g. Raw(Column) — prune driver-side
+        if shippable:
+            pred = predicate
+            stats_safe = per_file_stats_safe
+            tpath = table_path
+            out_schema = live.schema
+
+            def _prune(batches):
+                from flink_table_store_spark.read import _stats_test
+
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    mask = []
+                    for r in pdf.to_dict("records"):
+                        e = ManifestEntry.from_row(r)
+                        ok = pred.test_partition(e.partition)
+                        if ok and stats_safe:
+                            ok = _stats_test(e, pred, tpath)
+                        mask.append(ok)
+                    yield pdf[mask]
+
+            live = live.mapInPandas(_prune, out_schema)
+        return [ManifestEntry.from_row(r.asDict()) for r in live.collect()]
+
 
 def _json_safe(v: Any) -> Any:
     if isinstance(v, (datetime, date)):

@@ -139,19 +139,46 @@ class ReadBuilder:
         entries = t.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
         return read_mod.plan_scan(entries, t.schema, self._predicate, self._limit, t.path)
 
+    def _plan_entries(self, spark: SparkSession, snap: Snapshot) -> list:
+        """Live-entry planning with an automatic driver↔distributed
+        switch: above `scan.manifest.distributed-threshold` entry rows
+        (footer probe, default 100k) the ADD/DELETE merge and pruning
+        run as a Spark job and the driver materializes only survivors
+        (reference: SnapshotReaderImpl parallel manifest scan)."""
+        t = self._table
+        thr = int(t.schema.options.get("scan.manifest.distributed-threshold", "100000"))
+        if (
+            spark is not None
+            and t.manifests.total_entry_rows(snap.base_manifest_list, snap.delta_manifest_list)
+            > thr
+        ):
+            pred = self._predicate
+            per_file_safe = True
+            if pred is not None and t.schema.primary_keys:
+                flds = pred.fields()
+                keyish = set(t.schema.partition_keys) | set(t.schema.trimmed_primary_keys())
+                per_file_safe = flds is not None and flds <= keyish
+            return t.manifests.live_entries_distributed(
+                spark,
+                snap.base_manifest_list,
+                snap.delta_manifest_list,
+                predicate=pred,
+                per_file_stats_safe=per_file_safe,
+                table_path=t.path,
+            )
+        return t.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
+
     def to_df(self, spark: SparkSession) -> DataFrame:
         t = self._table
         snap = self._resolve_snapshot()
         if snap is None:
             plan = read_mod.ScanPlan()
         else:
-            entries = t.manifests.read_live_entries(
-                snap.base_manifest_list, snap.delta_manifest_list
-            )
             if self._predicate is not None:
                 # =/IN literals over bloom-indexed columns get their
                 # plan-time positions so manifest pruning can skip files
                 fileindex.attach_bloom_positions(spark, self._predicate, t.schema)
+            entries = self._plan_entries(spark, snap)
             plan = read_mod.plan_scan(
                 entries, t.schema, self._predicate, self._limit, t.path
             )

@@ -115,3 +115,66 @@ def test_minhash_signatures_single_shuffle(spark):
     assert simple.count("Exchange") == 1
     formatted = _plan(sig)
     assert "partial_min" in formatted
+
+
+def test_distributed_manifest_planning_matches_driver(spark, warehouse, monkeypatch):
+    """Above scan.manifest.distributed-threshold the ADD/DELETE merge and
+    pruning run as a Spark job; survivors must be IDENTICAL to the
+    driver-side sequential merge — including DELETE+ADD-same-file deltas
+    (rewrite_file_index) and stats pruning."""
+    from flink_table_store_spark import predicate as P
+    from flink_table_store_spark.manifest import ManifestManager
+
+    t = warehouse.create_table(
+        "db.distplan",
+        "k bigint, pt string, v double",
+        partition_keys=["pt"],
+        options={
+            "scan.manifest.distributed-threshold": "2",
+            "file-index.bloom-filter.columns": "k",
+        },
+    )
+    for i in range(3):
+        t.write(
+            spark.createDataFrame(
+                [(j + 10 * i, f"p{j % 2}", float(j)) for j in range(8)],
+                "k bigint, pt string, v double",
+            )
+        )
+    t = t.refresh()
+    t.rewrite_file_index(spark)  # DELETE+ADD of the same files in one delta
+    t = t.refresh()
+
+    calls = {"n": 0}
+    orig = ManifestManager.live_entries_distributed
+
+    def spy(self, *a, **kw):
+        calls["n"] += 1
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(ManifestManager, "live_entries_distributed", spy)
+
+    pred = P.and_(P.equal("pt", "p1"), P.less_than("k", 15))
+    got = sorted(
+        (r.k, r.pt, r.v) for r in t.to_df(spark, predicate=pred).collect()
+    )
+    assert calls["n"] >= 1, "distributed planning did not engage"
+
+    snap = t.snapshots.latest()
+    driver_entries = t.manifests.read_live_entries(
+        snap.base_manifest_list, snap.delta_manifest_list
+    )
+    dist_entries = t.manifests.live_entries_distributed(
+        spark, snap.base_manifest_list, snap.delta_manifest_list
+    )
+    assert sorted(e.key() for e in driver_entries) == sorted(
+        e.key() for e in dist_entries
+    )
+
+    expect = sorted(
+        (j + 10 * i, f"p{j % 2}", float(j))
+        for i in range(3)
+        for j in range(8)
+        if j % 2 == 1 and j + 10 * i < 15
+    )
+    assert got == expect
