@@ -157,6 +157,61 @@ def cdc_file_stream(
     return writer.start()
 
 
+def kafka_source_available(spark) -> bool:
+    """True iff the spark-sql-kafka package is on the session classpath
+    (it is an add-on jar, not part of core Spark)."""
+    try:
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def cdc_kafka_stream(
+    spark,
+    table,
+    bootstrap_servers: str,
+    topic: str,
+    sink_id: str,
+    checkpoint_dir: str,
+    parser: Callable[[DataFrame], DataFrame] = parse_debezium,
+    schema_evolution: bool = True,
+    starting_offsets: str = "earliest",
+    available_now: bool = False,
+):
+    """Kafka CDC connector (S21): consume a Debezium/Canal topic with
+    Structured Streaming and apply micro-batches through the SAME
+    parse → evolve → upsert loop as ``cdc_file_stream`` — the kafka
+    frame's ``value`` column is what the parsers already read, so the
+    only difference is the source format (the one-line swap SURVEY S21
+    promises; reference: paimon-flink-cdc KafkaSyncTableAction /
+    RichCdcMultiplexRecord pipeline).
+
+    Requires the ``spark-sql-kafka-0-10`` package on the classpath;
+    probe with ``kafka_source_available(spark)`` first."""
+    if not kafka_source_available(spark):
+        raise RuntimeError(
+            "kafka source not on classpath — start the session with "
+            "spark.jars.packages=org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version> "
+            "or use cdc_file_stream"
+        )
+    stream = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    writer = stream.writeStream.foreachBatch(
+        cdc_foreach_batch(table, sink_id, parser, schema_evolution)
+    ).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def cdc_foreach_batch(
     table,
     sink_id: str,

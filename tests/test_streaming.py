@@ -319,3 +319,47 @@ def test_source_incremental_and_default_modes(spark, pk_table):
     d = SnapshotStream(pk_table, startup_mode="default")
     first = d.poll(spark)
     assert first[0][0] == 4 and first[0][1].count() == 4
+
+
+def test_cdc_kafka_shaped_frames_apply(spark, warehouse, tmp_path):
+    """Kafka CDC connector (S21): the foreachBatch apply path consumes a
+    kafka-shaped (key binary, value binary, timestamp, topic, partition,
+    offset) micro-batch unchanged — proving cdc_kafka_stream's one-line
+    source swap; the kafka source itself is probed and absent here."""
+    import datetime
+
+    from flink_table_store_spark.streaming.cdc import (
+        cdc_foreach_batch,
+        cdc_kafka_stream,
+        kafka_source_available,
+    )
+
+    t = warehouse.create_table(
+        "db.cdckafka", "id bigint, name string", primary_keys=["id"], options={"bucket": "1"}
+    )
+    now = datetime.datetime(2026, 1, 1)
+    rows = [
+        (b"1", b'{"op":"c","after":{"id":"1","name":"a"}}', "cdc", 0, 0, now),
+        (b"2", b'{"op":"c","after":{"id":"2","name":"b"}}', "cdc", 0, 1, now),
+        (b"1", b'{"op":"u","before":{"id":"1","name":"a"},"after":{"id":"1","name":"a2"}}', "cdc", 0, 2, now),
+        (b"2", b'{"op":"d","before":{"id":"2","name":"b"}}', "cdc", 0, 3, now),
+    ]
+    kafka_batch = spark.createDataFrame(
+        rows,
+        "key binary, value binary, topic string, partition int, offset bigint, timestamp timestamp",
+    )
+    apply_fn = cdc_foreach_batch(t, "kafka-sink")
+    apply_fn(kafka_batch, 0)
+    assert {(r.id, r.name) for r in t.refresh().to_df(spark).collect()} == {(1, "a2")}
+    # exactly-once: re-delivery of the same batch id is a no-op
+    apply_fn(kafka_batch, 0)
+    assert t.refresh().snapshots.latest().id == 1
+
+    # the real kafka source is an add-on jar; absent → clear error
+    if not kafka_source_available(spark):
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="kafka source not on classpath"):
+            cdc_kafka_stream(
+                spark, t, "localhost:9092", "cdc", "kafka-sink", str(tmp_path / "ck")
+            )
