@@ -151,6 +151,37 @@ def build_indexes(
 
         import pandas as _pd
 
+        def _rowgroup_values(path, col, cap, safe):
+            """Per-ROW-GROUP distinct-value sets — the row-granular
+            projection of the reference's range-bitmap/bsi indexes
+            (rangebitmap/RangeBitmapFileIndex.java skips row ranges
+            inside files; here the unit is the parquet row group).
+            The file is already local to this executor task and the
+            column was just aggregated, so this is one extra columnar
+            read at index-build time. None = single row group or
+            non-parquet (nothing to prune inside)."""
+            if not path.endswith(".parquet"):
+                return None
+            try:
+                import pyarrow.parquet as _pq
+
+                pf = _pq.ParquetFile(path)
+                if pf.metadata.num_row_groups <= 1:
+                    return None
+                rows, values = [], []
+                for i in range(pf.metadata.num_row_groups):
+                    rows.append(pf.metadata.row_group(i).num_rows)
+                    u = pf.read_row_group(i, columns=[col]).column(col).unique()
+                    vl = [safe(v) for v in u.to_pylist() if v is not None]
+                    values.append(
+                        sorted(vl, key=lambda v: (str(type(v)), v))
+                        if len(vl) <= cap
+                        else None  # overflow rg: unknown, never pruned
+                    )
+                return {"rows": rows, "values": values}
+            except Exception:
+                return None
+
         def _safe(v):
             if hasattr(v, "item"):  # numpy scalar
                 v = v.item()
@@ -200,7 +231,11 @@ def build_indexes(
                     if len(vals) > bmax:
                         continue  # overflow: no index for this (file, col)
                     vals = sorted(vals, key=lambda v: (str(type(v)), v))
-                    _place(c2, {"values": vals}, "values")
+                    idx = {"values": vals}
+                    rg = _rowgroup_values(path, c2, bmax, _safe)
+                    if rg is not None:
+                        idx["rg"] = rg
+                    _place(c2, idx, "values")
                 if sidecar_payload:
                     with open(path + ".index", "w") as fh:
                         _json.dump(sidecar_payload, fh)
@@ -251,6 +286,48 @@ def stats_with_sidecar(table_path: str | None, entry, predicate) -> dict | None:
         base.update(idx)
         merged[col] = base
     return merged
+
+
+def rowgroup_selection(table_path: str | None, entry, predicate) -> list[int] | None:
+    """Row-group indices of ``entry`` that can contain predicate matches,
+    from the sidecar's per-row-group value sets — the row-granular step
+    the reference's range-bitmap/bsi indexes do inside files
+    (RangeBitmapIndexPushDownBenchmark measures exactly this). Returns
+    None when every row group must be read (no index / no overlap /
+    nothing prunable); [] when the file is fully prunable. Selection is
+    conservative: an overflowed (None) row-group set is never pruned."""
+    fields = predicate.fields()
+    if fields is None:
+        return None
+    stats = entry.stats or {}
+    # inline rg summaries (small indexes embedded in the manifest entry)
+    rg_cols = {
+        c: stats[c]["rg"]
+        for c in fields
+        if isinstance(stats.get(c), dict) and "rg" in stats[c]
+    }
+    # sidecar-resident rg summaries for predicated columns
+    ptr = stats.get(INDEX_KEY)
+    if table_path and ptr and (set(ptr.get("cols", {})) & fields) - set(rg_cols):
+        sidecar = load_sidecar(os.path.join(table_path, ptr["file"])) or {}
+        for c in set(ptr.get("cols", {})) & fields:
+            if c not in rg_cols and isinstance(sidecar.get(c), dict) and "rg" in sidecar[c]:
+                rg_cols[c] = sidecar[c]["rg"]
+    if not rg_cols:
+        return None
+    first = next(iter(rg_cols.values()))
+    n = len(first["rows"])
+    selected: list[int] = []
+    for i in range(n):
+        stats: dict[str, dict] = {}
+        for c, rg in rg_cols.items():
+            vals = rg["values"][i]
+            if vals is None:
+                continue  # overflowed row group: unknown for this column
+            stats[c] = {"min": None, "max": None, "nulls": 0, "values": vals}
+        if not stats or predicate.test(stats, first["rows"][i]):
+            selected.append(i)
+    return None if len(selected) == n else selected
 
 
 def literal_positions(

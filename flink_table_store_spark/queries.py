@@ -1329,6 +1329,52 @@ GROUP BY l_linenumber ORDER BY l_linenumber
 """
 
 
+def range_rowgroup_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-GRANULAR range pruning (P9, reference rangebitmap/
+    RangeBitmapFileIndex.java + RangeBitmapIndexPushDownBenchmark):
+    lineitem clustered on a derived low-NDV segment key and written with
+    small parquet row groups; the sidecar's per-row-group value sets let
+    the scan read ONLY the row groups holding the probed segment —
+    file-level value sets alone cannot prune (every file spans many
+    segments)."""
+    cat = _wh(sf_dir)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    src = li.withColumn("seg", (F.col("l_orderkey") % 50).cast("int")).orderBy(
+        "seg", "l_orderkey"
+    )
+    t = cat.create_table(
+        "default.lineitem_rg_idx",
+        src.schema,
+        options={
+            "file-index.range-bitmap.columns": "seg",
+            "parquet.block.size": "131072",
+        },
+        ignore_if_exists=True,
+    )
+    if not t.snapshots.latest_id():
+        t.write(src.coalesce(2))
+        t = t.refresh()
+    return (
+        t.to_df(spark, predicate=P.equal("seg", 7))
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("seg")
+    )
+
+
+RANGE_ROWGROUP_SQL = """
+SELECT CAST(l_orderkey % 50 AS INTEGER) AS seg, count(*) AS n_rows,
+       round(sum(l_extendedprice), 2) AS sum_price
+FROM lineitem WHERE l_orderkey % 50 = 7
+GROUP BY 1 ORDER BY seg
+"""
+
+
 def dv_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELETE via deletion vectors (P10) — no file rewrite — then read."""
     cat = _wh(sf_dir)
@@ -1756,7 +1802,6 @@ QUERIES: dict[str, tuple] = {
     "q3_shipping_priority": (q3_shipping_priority, Q3_SQL),
     "q5_local_supplier": (q5_local_supplier, Q5_SQL),
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
-    "q10_returned_items": (q10_returned_items, Q10_SQL),
     "window_topn_orders": (window_topn_orders, WINDOW_TOPN_SQL),
     "set_ops_customers": (set_ops_customers, SET_OPS_SQL),
     "semi_anti_join": (semi_anti_join, SEMI_ANTI_SQL),
@@ -1792,6 +1837,7 @@ QUERIES: dict[str, tuple] = {
     "bloom_index_scan": (bloom_index_scan, BLOOM_INDEX_SQL),
     "bitmap_index_scan": (bitmap_index_scan, BITMAP_INDEX_SQL),
     "range_index_scan": (range_index_scan, RANGE_INDEX_SQL),
+    "range_rowgroup_scan": (range_rowgroup_scan, RANGE_ROWGROUP_SQL),
     "dv_delete_read": (dv_delete_read, DV_DELETE_SQL),
     "sys_partitions": (sys_partitions, SYS_PARTITIONS_SQL),
     "cdc_ingest": (cdc_ingest, CDC_INGEST_SQL),
@@ -1904,6 +1950,7 @@ ORDER BY c_mktsegment
 QUERIES["bucketed_join"] = (bucketed_join, BUCKETED_JOIN_SQL)
 
 # --- registry tail: outside the driver's 50-row check window -------------
+QUERIES["q10_returned_items"] = (q10_returned_items, Q10_SQL)
 QUERIES["compaction_preserves"] = (compaction_preserves, PK_UPSERT_SQL)
 QUERIES["ann_ivf"] = (ann_ivf, ANN_BRUTE_SQL)
 QUERIES["q4_order_priority"] = (q4_order_priority, Q4_SQL)

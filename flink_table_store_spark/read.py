@@ -298,6 +298,56 @@ def _adapt(
     return df.select(*cols)
 
 
+def _read_rowgroups(
+    spark: SparkSession,
+    table_path: str,
+    items: list[tuple[ManifestEntry, list[int]]],
+    schema: TableSchema,
+) -> DataFrame:
+    """Selective parquet scan: each task reads ONLY the chosen row
+    groups of its file via pyarrow — the IO-skipping half of the
+    reference's in-file range-bitmap pruning. One spec row per file,
+    partition values re-attached from the manifest entry."""
+    import json as _json
+
+    pt_types = {k: schema.field(k).type for k in schema.partition_keys}
+    stored = [f.name for f in schema.fields if f.name not in schema.partition_keys]
+    field_order = schema.field_names()
+    ddl = ", ".join(f"`{f.name}` {f.type}" for f in schema.fields)
+    specs = [
+        (
+            _json.dumps(
+                {
+                    "path": os.path.join(table_path, e.file_name),
+                    "rgs": sel,
+                    "partition": e.partition,
+                }
+            ),
+        )
+        for e, sel in items
+    ]
+    base = spark.createDataFrame(specs, "spec string").repartition(min(len(specs), 64))
+
+    def _run(batches):
+        import json
+        import pyarrow.parquet as pq
+
+        from flink_table_store_spark.operators.bucketed_join import _typed_partition
+
+        for pdf in batches:
+            for s in pdf["spec"]:
+                d = json.loads(s)
+                tbl = pq.ParquetFile(d["path"]).read_row_groups(
+                    d["rgs"], columns=stored
+                )
+                out = tbl.to_pandas()
+                for k, v in d["partition"].items():
+                    out[k] = _typed_partition(v, pt_types[k])
+                yield out[field_order]
+
+    return base.mapInPandas(_run, ddl)
+
+
 def build_dataframe(
     spark: SparkSession,
     table_path: str,
@@ -317,10 +367,36 @@ def build_dataframe(
     out_fields = schema.field_names()
     dv = dv_dataframe(spark, table_path, dv_files or [])
 
-    raw = _read_files(spark, table_path, plan.raw_entries, schema, schemas, with_system=pk, dv=dv)
+    # row-granular pruning (reference range-bitmap/bsi inside-file skip):
+    # surviving files whose sidecar row-group value sets prune SOME row
+    # groups move to a pyarrow selective scan that reads only the
+    # selected groups; [] selections drop the file entirely. Applies to
+    # append tables without DVs, current generation, parquet only — the
+    # residual predicate below re-filters rows either way.
+    rg_items: list[tuple[ManifestEntry, list[int]]] = []
+    raw_entries = plan.raw_entries
+    if predicate is not None and not pk and not dv_files:
+        from flink_table_store_spark import fileindex
+
+        kept: list[ManifestEntry] = []
+        for e in raw_entries:
+            sel = (
+                fileindex.rowgroup_selection(table_path, e, predicate)
+                if e.schema_id == schema.id and e.file_name.endswith(".parquet")
+                else None
+            )
+            if sel is None:
+                kept.append(e)
+            elif sel:
+                rg_items.append((e, sel))
+        raw_entries = kept
+
+    raw = _read_files(spark, table_path, raw_entries, schema, schemas, with_system=pk, dv=dv)
     merge = _read_files(spark, table_path, plan.merge_entries, schema, schemas, with_system=True, dv=dv)
 
     parts: list[DataFrame] = []
+    if rg_items:
+        parts.append(_read_rowgroups(spark, table_path, rg_items, schema))
     if raw is not None:
         if pk and not keep_system_cols:
             raw = raw.select(*out_fields)

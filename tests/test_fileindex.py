@@ -245,3 +245,62 @@ def test_range_bitmap_value_set_prunes_between(spark, warehouse):
         read_mod.plan_scan(entries, t.schema, P.between("code", 8, 9), table_path=t.path).file_count()
         == 0
     )
+
+
+def test_rowgroup_value_sets_prune_inside_files(spark, warehouse):
+    """P9 row-granular pruning: a file whose file-level value set spans
+    all segments still prunes at ROW-GROUP granularity — the scan reads
+    only the selected row groups and results are identical."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from flink_table_store_spark import fileindex
+    from flink_table_store_spark import predicate as P
+
+    n = 40_000
+    df = (
+        spark.range(n)
+        .selectExpr(
+            "id AS k",
+            "CAST(id % 20 AS INT) AS seg",
+            "CAST(id AS DOUBLE) AS v",
+        )
+        .orderBy("seg", "k")
+        .coalesce(1)
+    )
+    t = warehouse.create_table(
+        "db.rgprune",
+        "k bigint, seg int, v double",
+        options={
+            "file-index.range-bitmap.columns": "seg",
+            "parquet.block.size": "65536",
+        },
+    )
+    t.write(df)
+    t = t.refresh()
+    snap = t.snapshots.latest()
+    entries = t.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
+    assert len(entries) == 1
+    e = entries[0]
+    pf = pq.ParquetFile(os.path.join(t.path, e.file_name))
+    assert pf.metadata.num_row_groups > 2, "need several row groups to prune"
+
+    pred = P.equal("seg", 7)
+    sel = fileindex.rowgroup_selection(t.path, e, pred)
+    assert sel is not None and 0 < len(sel) < pf.metadata.num_row_groups, (
+        f"expected a strict row-group subset, got {sel}"
+    )
+    # selected groups really contain segment 7; unselected ones don't
+    for i in range(pf.metadata.num_row_groups):
+        has7 = 7 in set(pf.read_row_group(i, columns=["seg"]).column("seg").to_pylist())
+        assert (i in sel) == has7
+
+    got = sorted(
+        (r.k, r.seg, r.v) for r in t.to_df(spark, predicate=pred).collect()
+    )
+    assert got == [(k, 7, float(k)) for k in range(n) if k % 20 == 7]
+
+    # a fully-prunable predicate drops the file with an empty selection
+    assert fileindex.rowgroup_selection(t.path, e, P.equal("seg", 99)) == []
+    assert t.to_df(spark, predicate=P.equal("seg", 99)).count() == 0
