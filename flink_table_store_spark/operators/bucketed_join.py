@@ -173,13 +173,19 @@ def join_bucketed(
     if ltypes != rtypes:
         raise ValueError(f"bucket key types differ: {ltypes} != {rtypes}")
     for s in (lschema, rschema):
-        if s.primary_keys and s.options.get("merge-engine", "deduplicate") != "deduplicate":
-            raise ValueError(
-                "join_bucketed merges buckets locally with deduplicate "
-                "semantics only — compact() tables with other merge engines first"
-            )
-        if s.options.get("sequence.field"):
-            raise ValueError("join_bucketed does not support sequence.field tables")
+        if s.primary_keys:
+            eng = s.options.get("merge-engine", "deduplicate")
+            if eng not in ("deduplicate", "first-row", "partial-update"):
+                raise ValueError(
+                    "join_bucketed merges buckets locally with deduplicate/"
+                    "first-row/partial-update semantics (MergeFileSplitRead"
+                    ".java:220-231) — compact() aggregation tables first"
+                )
+            if any(k.endswith(".sequence-group") for k in s.options):
+                raise ValueError(
+                    "join_bucketed does not support sequence-group tables — "
+                    "compact() first"
+                )
     if how not in ("inner", "left"):
         raise ValueError(f"unsupported how={how!r} (inner/left)")
 
@@ -203,37 +209,35 @@ def join_bucketed(
     ]
     out_schema = ", ".join(f"`{n}` {t}" for n, t in out_fields)
 
-    lkey_cols = list(lschema.partition_keys) + lschema.trimmed_primary_keys()
-    rkey_cols = list(rschema.partition_keys) + rschema.trimmed_primary_keys()
-    lspec = {
-        "buckets": lbuckets,
-        "dv": ldv,
-        "maps": lmaps,
-        "pk": bool(lschema.primary_keys),
-        "key_cols": lkey_cols,
-        "partition_keys": list(lschema.partition_keys),
-        # merge keys must be read even when not selected (dedup needs them)
-        "need": list(
-            dict.fromkeys(
-                list(left_cols) + lkeys + (lkey_cols if lschema.primary_keys else [])
-            )
-        ),
-        "out_need": list(dict.fromkeys(list(left_cols) + lkeys)),
-    }
-    rspec = {
-        "buckets": rbuckets,
-        "dv": rdv,
-        "maps": rmaps,
-        "pk": bool(rschema.primary_keys),
-        "key_cols": rkey_cols,
-        "partition_keys": list(rschema.partition_keys),
-        "need": list(
-            dict.fromkeys(
-                list(right_cols) + rkeys + (rkey_cols if rschema.primary_keys else [])
-            )
-        ),
-        "out_need": list(dict.fromkeys(list(right_cols) + rkeys)),
-    }
+    def _spec(schema, buckets, dv, maps, sel_cols, jkeys):
+        key_cols = list(schema.partition_keys) + schema.trimmed_primary_keys()
+        seq_fields = [
+            c.strip()
+            for c in schema.options.get("sequence.field", "").split(",")
+            if c.strip()
+        ]
+        pk = bool(schema.primary_keys)
+        return {
+            "buckets": buckets,
+            "dv": dv,
+            "maps": maps,
+            "pk": pk,
+            "engine": schema.options.get("merge-engine", "deduplicate"),
+            "key_cols": key_cols,
+            "seq_fields": seq_fields,
+            "partition_keys": list(schema.partition_keys),
+            # merge keys + user sequence columns must be read even when
+            # not selected (the local merge orders/groups by them)
+            "need": list(
+                dict.fromkeys(
+                    list(sel_cols) + jkeys + ((key_cols + seq_fields) if pk else [])
+                )
+            ),
+            "out_need": list(dict.fromkeys(list(sel_cols) + jkeys)),
+        }
+
+    lspec = _spec(lschema, lbuckets, ldv, lmaps, left_cols, lkeys)
+    rspec = _spec(rschema, rbuckets, rdv, rmaps, right_cols, rkeys)
     join_keys = (list(lkeys), list(rkeys))
     out_names = [n for n, _t in out_fields]
     rename = dict(rename_right)
@@ -276,12 +280,35 @@ def join_bucketed(
                 return None
             pdf = pd.concat(frames, ignore_index=True)
             if spec["pk"]:
-                # deduplicate merge: newest sequence wins, deletes drop
-                pdf = pdf.sort_values(seqc, kind="stable").drop_duplicates(
-                    subset=spec["key_cols"], keep="last"
-                )
-                pdf = pdf[pdf[kindc] != KIND_DELETE]
-                pdf = pdf.drop(columns=[seqc, kindc])
+                # local merge, same semantics as merge_engines.merge_view:
+                # effective sequence = (sequence.field cols, _SEQUENCE_
+                # NUMBER); after the stable sort, row position IS the
+                # sequence, so cross-frame comparisons use __ord.
+                pdf = pdf.sort_values(
+                    spec["seq_fields"] + [seqc], kind="stable"
+                ).reset_index(drop=True)
+                if spec["engine"] in ("deduplicate", "first-row"):
+                    keep = "last" if spec["engine"] == "deduplicate" else "first"
+                    pdf = pdf.drop_duplicates(subset=spec["key_cols"], keep=keep)
+                    pdf = pdf[pdf[kindc] != KIND_DELETE]
+                else:  # partial-update: per-column last non-null in order
+                    pdf["__ord"] = range(len(pdf))
+                    ups = pdf[pdf[kindc] != KIND_DELETE]
+                    dels = pdf[pdf[kindc] == KIND_DELETE]
+                    gb = ups.groupby(spec["key_cols"], sort=False, dropna=False)
+                    merged = gb.last()  # pandas last() skips nulls per column
+                    if len(dels):
+                        # remove-record-on-delete: a -D that is the key's
+                        # latest activity drops the record
+                        del_ord = dels.groupby(
+                            spec["key_cols"], sort=False, dropna=False
+                        )["__ord"].max()
+                        merged = merged.join(del_ord.rename("__del_ord"), how="left")
+                        merged = merged[
+                            merged["__del_ord"].isna()
+                            | (merged["__ord"] > merged["__del_ord"])
+                        ]
+                    pdf = merged.reset_index()
             keep = [c for c in spec["out_need"] if c in pdf.columns]
             return pdf[keep]
 

@@ -227,3 +227,108 @@ def test_dv_positions_scoped_to_bucket_files(spark, warehouse):
         total += sum(len(s) for s in dels.values())
     assert total == 32  # every deleted row accounted for exactly once
     assert dv_positions_for(dv_paths, []) == {}
+
+
+def test_bucketed_join_partial_update_table(spark, warehouse):
+    """VERDICT r2 task 8: join a partial-update table WITHOUT compacting
+    first — the bucket-local merge applies last-non-null semantics
+    (MergeFileSplitRead.java:220-231 analogue)."""
+    dim = spark.createDataFrame(
+        [(k, f"n{k}") for k in range(1, 5)], "c_custkey bigint, c_name string"
+    )
+    tc = warehouse.create_table(
+        "db.bjpu_c", dim.schema, primary_keys=["c_custkey"], options={"bucket": "2"}
+    )
+    tc.write(dim)
+    to = warehouse.create_table(
+        "db.bjpu_o",
+        "o_custkey bigint, o_orderkey bigint, o_total double, o_state string",
+        primary_keys=["o_custkey", "o_orderkey"],
+        options={"bucket": "2", "bucket-key": "o_custkey", "merge-engine": "partial-update"},
+    )
+    # first write fills o_total, second fills o_state (nulls don't clobber)
+    to.write(
+        spark.createDataFrame(
+            [(k % 4 + 1, k, float(k), None) for k in range(12)],
+            "o_custkey bigint, o_orderkey bigint, o_total double, o_state string",
+        )
+    )
+    to.write(
+        spark.createDataFrame(
+            [(k % 4 + 1, k, None, f"s{k}") for k in range(12)],
+            "o_custkey bigint, o_orderkey bigint, o_total double, o_state string",
+        )
+    )
+    to = to.refresh()
+    got = join_bucketed(
+        spark, to, tc.refresh(), on=[("o_custkey", "c_custkey")]
+    )
+    expected = (
+        to.to_df(spark)
+        .join(dim, F.col("o_custkey") == F.col("c_custkey"), "inner")
+        .select("o_custkey", "o_orderkey", "o_total", "o_state", "c_name")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+    # both fields merged: every row has o_total AND o_state
+    rows = got.collect()
+    assert all(r.o_total is not None and r.o_state is not None for r in rows)
+
+
+def test_bucketed_join_sequence_field_table(spark, warehouse):
+    """sequence.field tables join without compact-first: the user column
+    (then input sequence) decides the winning version per key."""
+    dim = spark.createDataFrame(
+        [(k, f"n{k}") for k in range(1, 5)], "c_custkey bigint, c_name string"
+    )
+    tc = warehouse.create_table(
+        "db.bjsf_c", dim.schema, primary_keys=["c_custkey"], options={"bucket": "2"}
+    )
+    tc.write(dim)
+    to = warehouse.create_table(
+        "db.bjsf_o",
+        "o_custkey bigint, o_orderkey bigint, ver int, o_total double",
+        primary_keys=["o_custkey", "o_orderkey"],
+        options={"bucket": "2", "bucket-key": "o_custkey", "sequence.field": "ver"},
+    )
+    # second write carries LOWER versions — it must lose despite being newer
+    to.write(
+        spark.createDataFrame(
+            [(k % 4 + 1, k, 5, float(k) * 10) for k in range(8)],
+            "o_custkey bigint, o_orderkey bigint, ver int, o_total double",
+        )
+    )
+    to.write(
+        spark.createDataFrame(
+            [(k % 4 + 1, k, 1, -1.0) for k in range(8)],
+            "o_custkey bigint, o_orderkey bigint, ver int, o_total double",
+        )
+    )
+    to = to.refresh()
+    got = join_bucketed(spark, to, tc.refresh(), on=[("o_custkey", "c_custkey")])
+    rows = got.collect()
+    assert len(rows) == 8
+    assert all(r.ver == 5 and r.o_total >= 0 for r in rows), rows[:3]
+    expected = (
+        to.to_df(spark)
+        .join(dim, F.col("o_custkey") == F.col("c_custkey"), "inner")
+        .select("o_custkey", "o_orderkey", "ver", "o_total", "c_name")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_bucketed_join_still_rejects_aggregation_engine(spark, warehouse):
+    import pytest
+
+    t1 = warehouse.create_table(
+        "db.bjagg",
+        "k bigint, n bigint",
+        primary_keys=["k"],
+        options={"bucket": "2", "merge-engine": "aggregation", "fields.n.aggregate-function": "sum"},
+    )
+    t1.write(spark.createDataFrame([(1, 2)], "k bigint, n bigint"))
+    t2 = warehouse.create_table(
+        "db.bjagg_dim", "k bigint, s string", primary_keys=["k"], options={"bucket": "2"}
+    )
+    t2.write(spark.createDataFrame([(1, "x")], "k bigint, s string"))
+    with pytest.raises(ValueError, match="compact"):
+        join_bucketed(spark, t1.refresh(), t2.refresh(), on=[("k", "k")])
