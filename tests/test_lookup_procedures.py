@@ -213,3 +213,39 @@ def test_tag_retention_spares_user_tags(spark, warehouse):
     assert "2001-01-01 07" in tags
     # only the exact-daily-pattern tags were pruned down to max 1
     assert len([n for n in tags if len(n) == 10 and n[4] == "-"]) == 1
+
+
+def test_expire_keeps_changelog_of_consumer_pinned_snapshots(spark, warehouse):
+    """ConsumerManager.java:44-70 contract for CHANGELOG files: a lagging
+    consumer pins its cursor's snapshots, and expiry must keep those
+    snapshots' changelog parquets readable — the consumer still has to
+    stream them."""
+    import glob
+    import os
+
+    t = warehouse.create_table(
+        "db.conscl",
+        "k bigint, v string",
+        primary_keys=["k"],
+        options={"bucket": "1", "changelog-producer": "lookup"},
+    )
+    for i in range(5):
+        t.write(spark.createDataFrame([(1, f"v{i}")], "k bigint, v string"))
+    t = t.refresh()
+    before = set(glob.glob(os.path.join(t.path, "changelog", "*.parquet")))
+    assert before, "lookup producer must have persisted changelog files"
+    t.snapshots.write_consumer("lagging", 2)
+    t.expire_snapshots(retain_last=1)
+    # snapshots >= 2 are pinned; their changelog files must survive
+    surviving = set(glob.glob(os.path.join(t.path, "changelog", "*.parquet")))
+    pinned = {p for p in before if any(f"-s{sid}-" in p for sid in (2, 3, 4, 5))}
+    assert pinned <= surviving
+    # the stream from the consumer's cursor still replays
+    from flink_table_store_spark.streaming.changelog import persisted_changelog
+
+    total = 0
+    for sid in (2, 3, 4, 5):
+        df = persisted_changelog(spark, t, sid)
+        if df is not None:
+            total += df.count()
+    assert total > 0
