@@ -105,3 +105,24 @@ def test_orc_compaction(spark, warehouse):
     assert all(e.level > 0 for e in entries)
     got = {r.k: r.v for r in t.to_df(spark).collect()}
     assert len(got) == 20
+
+
+def test_lance_format_gated_on_missing_connector(spark, warehouse):
+    """S9 lance: the format is recognized but requires the lance package
+    + Spark-Lance connector; absent here, writes fail with a clear
+    actionable error instead of a deep Spark stack."""
+    import pytest
+
+    t = warehouse.create_table(
+        "db.lance_t", "k bigint, v string", options={"file.format": "lance"}
+    )
+    try:
+        import lance  # noqa: F401
+
+        has_lance = True
+    except ImportError:
+        has_lance = False
+    if has_lance:
+        pytest.skip("lance installed — gating not exercised")
+    with pytest.raises(NotImplementedError, match="lance"):
+        t.write(spark.createDataFrame([(1, "a")], "k bigint, v string"))
