@@ -127,6 +127,9 @@ PROCEDURES: dict[str, Callable] = {
     "compact_database": _compact_database,
     "trigger_tag_automatic_creation": _trigger_tag_automatic_creation,
     "expire_snapshots": _expire_snapshots,
+    "expire_changelogs": lambda s, c, a: _t(c, a).expire_changelogs(
+        int(a.get("retain_last", 10))
+    ),
     "expire_partitions": _expire_partitions,
     "create_tag": lambda s, c, a: _t(c, a).create_tag(a["tag"], a.get("snapshot_id")),
     "create_tag_from_timestamp": lambda s, c, a: _t(c, a).create_tag_from_timestamp(

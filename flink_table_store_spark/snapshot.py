@@ -216,6 +216,45 @@ class SnapshotManager:
             self.delete_tag(n)
         return expired
 
+    # --- decoupled changelog lifecycle (ChangelogManager / Changelog.java:
+    # an EXPIRED snapshot whose changelog must outlive it is preserved as
+    # a `changelog/changelog-<id>` metadata entry; ExpireChangelogImpl
+    # cleans these by their own, longer retention) ---
+
+    def changelog_meta_dir(self) -> str:
+        return os.path.join(self._root, "changelog")
+
+    def write_changelog_entry(self, snap: Snapshot) -> None:
+        os.makedirs(self.changelog_meta_dir(), exist_ok=True)
+        write_json(
+            os.path.join(self.changelog_meta_dir(), f"changelog-{snap.id}"),
+            snap.to_dict(),
+        )
+
+    def changelog_entry_ids(self) -> list[int]:
+        d = self.changelog_meta_dir()
+        if not os.path.isdir(d):
+            return []
+        import re as _re
+
+        out = []
+        for n in os.listdir(d):
+            m = _re.fullmatch(r"changelog-(\d+)", n)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def load_changelog_entry(self, snapshot_id: int) -> Snapshot:
+        return Snapshot.from_dict(
+            read_json(os.path.join(self.changelog_meta_dir(), f"changelog-{snapshot_id}"))
+        )
+
+    def delete_changelog_entry(self, snapshot_id: int) -> None:
+        try:
+            os.unlink(os.path.join(self.changelog_meta_dir(), f"changelog-{snapshot_id}"))
+        except FileNotFoundError:
+            pass
+
     # --- consumers (ConsumerManager.java:44-70): resumable cursors ---
 
     def consumer_dir(self) -> str:

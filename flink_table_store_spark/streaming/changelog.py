@@ -92,8 +92,16 @@ def persisted_changelog(spark: SparkSession, table, snapshot_id: int) -> DataFra
     import glob as _glob
     import os
 
-    snap = table.snapshots.load(snapshot_id)
-    if snap.changelog_files:
+    try:
+        snap = table.snapshots.load(snapshot_id)
+    except FileNotFoundError:
+        # decoupled changelog lifecycle: the snapshot expired but its
+        # changelog was preserved as a changelog/changelog-<id> entry
+        try:
+            snap = table.snapshots.load_changelog_entry(snapshot_id)
+        except FileNotFoundError:
+            snap = None
+    if snap is not None and snap.changelog_files:
         paths = [os.path.join(table.path, "changelog", n) for n in snap.changelog_files]
         return spark.read.parquet(*paths)
     paths = sorted(

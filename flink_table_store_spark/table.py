@@ -1314,10 +1314,69 @@ class Table:
         if not expired:
             return expired
         retained_ids = ids[keep_from:]
-        self._reclaim_expired_files(expired, retained_ids)
+        # decoupled changelog lifecycle (ExpireChangelogImpl / Changelog-
+        # Manager): with changelog.num-retained.max set, an expired
+        # snapshot that produced changelog is preserved as a
+        # changelog/changelog-<id> metadata entry and its changelog
+        # files outlive the snapshot until expire_changelogs prunes them
+        # by the (longer) changelog retention.
+        cl_max = self.schema.options.get("changelog.num-retained.max")
+        preserved_sids: set[int] = set()
+        if cl_max is not None:
+            import glob as _glob
+
+            for sid in expired:
+                s = self.snapshots.load(sid)
+                has_cl = bool(s.changelog_files) or bool(
+                    _glob.glob(
+                        os.path.join(self.path, "changelog", f"changelog-s{sid}-*.parquet")
+                    )
+                )
+                if has_cl:
+                    self.snapshots.write_changelog_entry(s)
+                    preserved_sids.add(sid)
+        self._reclaim_expired_files(expired, retained_ids, preserved_sids)
         for sid in expired:
             self.snapshots.delete(sid)
+        if cl_max is not None:
+            self.expire_changelogs(int(cl_max))
         return expired
+
+    def expire_changelogs(self, retain_last: int) -> list[int]:
+        """Prune PRESERVED changelog entries (snapshots already expired,
+        changelog kept) down to the newest ``retain_last`` — counting the
+        live snapshot history too, like the reference's changelog
+        retention window (ExpireChangelogImpl.java; CoreOptions
+        changelog.num-retained.max). A registered consumer pins
+        everything from its cursor onward."""
+        import glob as _glob
+
+        entry_ids = self.snapshots.changelog_entry_ids()
+        if not entry_ids:
+            return []
+        live_ids = self.snapshots.snapshot_ids()
+        horizon = sorted(entry_ids + live_ids)[-retain_last:] if retain_last > 0 else []
+        keep_above = horizon[0] if horizon else (live_ids[0] if live_ids else 0)
+        consumers = self.snapshots.consumers()
+        if consumers:
+            keep_above = min(keep_above, min(consumers.values()))
+        doomed = [sid for sid in entry_ids if sid < keep_above]
+        for sid in doomed:
+            s = self.snapshots.load_changelog_entry(sid)
+            for n in s.changelog_files:
+                try:
+                    os.unlink(os.path.join(self.path, "changelog", n))
+                except FileNotFoundError:
+                    pass
+            for p in _glob.glob(
+                os.path.join(self.path, "changelog", f"changelog-s{sid}-*.parquet")
+            ):
+                try:
+                    os.unlink(p)
+                except FileNotFoundError:
+                    pass
+            self.snapshots.delete_changelog_entry(sid)
+        return doomed
 
     def _protected_refs(self) -> tuple[set[str], set[str], set[str], set[str]]:
         """(data files, manifest files, dv files, changelog files) still
@@ -1343,7 +1402,12 @@ class Table:
                     data.update(e.file_name for e in self.manifests.read_manifest(m))
         return data, manifests, dv, cl
 
-    def _reclaim_expired_files(self, expired: list[int], retained_ids: list[int]) -> None:
+    def _reclaim_expired_files(
+        self,
+        expired: list[int],
+        retained_ids: list[int],
+        preserved_changelog_sids: set[int] | None = None,
+    ) -> None:
         """Delete data files, manifests, DV and changelog files that only
         expired snapshots reference. Candidate data files come from
         DELETE entries in delta manifests of snapshots ≤ the earliest
@@ -1409,12 +1473,15 @@ class Table:
             s = self.snapshots.load(sid)
             retained_dv.update(s.dv_files)
             retained_cl.update(s.changelog_files)
+        preserved = preserved_changelog_sids or set()
         for s in expired_snaps:
             for n in set(s.dv_files) - retained_dv:
                 try:
                     os.unlink(os.path.join(self.path, "index", n))
                 except (FileNotFoundError, IsADirectoryError):
                     pass
+            if s.id in preserved:
+                continue  # changelog outlives the snapshot (decoupled)
             for n in set(s.changelog_files) - retained_cl:
                 try:
                     os.unlink(os.path.join(self.path, "changelog", n))
@@ -1424,7 +1491,7 @@ class Table:
         # reclaim those of expired ids not still alive as a tag/branch copy
         import glob as _glob
 
-        protected_sids = set(retained_ids)
+        protected_sids = set(retained_ids) | preserved
         protected_sids.update(s.id for s in self.snapshots.tags().values())
         for b in self.branches():
             protected_sids.update(SnapshotManager(self.path, branch=b).snapshot_ids())

@@ -146,3 +146,69 @@ def test_expire_after_rewrite_file_index_keeps_live_files(spark, warehouse):
     rows = {(r.k, r.v) for r in t.to_df(spark).collect()}
     assert rows == {(i, f"v{i}") for i in range(20)}
     assert t.remove_orphan_files(dry_run=True) == []
+
+
+def test_changelog_outlives_snapshot_expiry(spark, warehouse):
+    """Decoupled changelog lifecycle (ExpireChangelogImpl /
+    ChangelogManager): with changelog.num-retained.max set, an expired
+    snapshot's changelog files survive as changelog/changelog-<id>
+    entries and stay streamable; expire_changelogs prunes them by the
+    longer changelog retention."""
+    import glob
+
+    t = warehouse.create_table(
+        "db.cl_decouple",
+        "k bigint, v string",
+        primary_keys=["k"],
+        options={
+            "bucket": "1",
+            "changelog-producer": "lookup",
+            "changelog.num-retained.max": "10",
+        },
+    )
+    for i in range(5):
+        t.write(spark.createDataFrame([(1, f"v{i}")], "k bigint, v string"))
+    t = t.refresh()
+    cl_before = set(glob.glob(os.path.join(t.path, "changelog", "*.parquet")))
+    assert cl_before
+
+    t.expire_snapshots(retain_last=1)
+    assert t.snapshots.snapshot_ids() == [5]
+    # every expired snapshot's changelog was preserved (files + entry)
+    assert set(glob.glob(os.path.join(t.path, "changelog", "*.parquet"))) == cl_before
+    assert t.snapshots.changelog_entry_ids() == [1, 2, 3, 4]
+    # the preserved changelog still replays
+    from flink_table_store_spark.streaming.changelog import persisted_changelog
+
+    assert persisted_changelog(spark, t, 2).count() > 0
+
+    # the tighter changelog retention prunes old entries AND their files
+    doomed = t.expire_changelogs(retain_last=2)
+    assert doomed
+    for sid in doomed:
+        assert not glob.glob(
+            os.path.join(t.path, "changelog", f"changelog-s{sid}-*.parquet")
+        )
+    assert set(t.snapshots.changelog_entry_ids()) & set(doomed) == set()
+
+
+def test_changelog_expiry_default_still_reclaims(spark, warehouse):
+    """WITHOUT changelog.num-retained.max, expiry reclaims changelog
+    files with their snapshots (the r2 behavior stays the default)."""
+    import glob
+
+    t = warehouse.create_table(
+        "db.cl_coupled",
+        "k bigint, v string",
+        primary_keys=["k"],
+        options={"bucket": "1", "changelog-producer": "lookup"},
+    )
+    for i in range(4):
+        t.write(spark.createDataFrame([(1, f"v{i}")], "k bigint, v string"))
+    t = t.refresh()
+    t.expire_snapshots(retain_last=1)
+    for sid in (1, 2, 3):
+        assert not glob.glob(
+            os.path.join(t.path, "changelog", f"changelog-s{sid}-*.parquet")
+        )
+    assert t.snapshots.changelog_entry_ids() == []
