@@ -146,14 +146,24 @@ def join_bucketed(
     how: str = "inner",
     left_cols: list[str] | None = None,
     right_cols: list[str] | None = None,
+    group_by: list[str] | None = None,
+    agg: dict[str, tuple[str, str]] | None = None,
 ) -> DataFrame:
     """Join two co-bucketed tables without shuffling either side.
 
     Requirements (checked): equal bucket counts; the join keys are
     exactly both tables' bucket keys (positionally paired, matching
-    types); deduplicate merge engine (default) on PK sides. ``on``
-    defaults to pairing left/right bucket keys in order.
-    """
+    types); deduplicate/first-row/partial-update merge on PK sides.
+    ``on`` defaults to pairing left/right bucket keys in order.
+
+    ``group_by``/``agg`` push an aggregation INTO the bucket tasks —
+    the aggregations-after-join half of the reference's
+    KeyGroupedPartitioning elision (PaimonScan.scala:139): when
+    ``group_by`` ⊇ the left bucket keys, every group lives wholly in
+    one bucket, so each task emits FINAL aggregates and the combined
+    plan (join + groupBy) still has zero Exchange. ``agg`` maps output
+    column → (func, source_col) with func in count/sum/min/max/mean
+    (count ignores source_col and counts rows)."""
     lschema, rschema = left.schema, right.schema
     ln, rn = lschema.num_buckets(), rschema.num_buckets()
     if ln <= 0 or rn <= 0:
@@ -186,8 +196,8 @@ def join_bucketed(
                     "join_bucketed does not support sequence-group tables — "
                     "compact() first"
                 )
-    if how not in ("inner", "left"):
-        raise ValueError(f"unsupported how={how!r} (inner/left)")
+    if how not in ("inner", "left", "right", "outer"):
+        raise ValueError(f"unsupported how={how!r} (inner/left/right/outer)")
 
     lbuckets, ldv, _ = _side_plan(left)
     rbuckets, rdv, _ = _side_plan(right)
@@ -208,6 +218,41 @@ def join_bucketed(
         (rename_right[c], rschema.field(c).type) for c in right_cols
     ]
     out_schema = ", ".join(f"`{n}` {t}" for n, t in out_fields)
+
+    if (group_by is None) != (agg is None):
+        raise ValueError("group_by and agg must be given together")
+    join_names = [n for n, _t in out_fields]  # pre-aggregation columns
+    type_of = dict(out_fields)
+    if group_by is not None:
+        missing = [c for c in group_by if c not in type_of]
+        if missing:
+            raise ValueError(f"group_by columns not in join output: {missing}")
+        if not set(lkeys) <= set(group_by):
+            raise ValueError(
+                f"local aggregation requires group_by ⊇ the left bucket keys "
+                f"{lkeys} — any other grouping spans buckets and needs a shuffle"
+            )
+        _INT_T = ("tinyint", "smallint", "int", "integer", "bigint", "long")
+
+        def _agg_type(func: str, col: str) -> str:
+            if func == "count":
+                return "bigint"
+            if func == "mean":
+                return "double"
+            src = type_of.get(col)
+            if src is None:
+                raise ValueError(f"agg source column {col!r} not in join output")
+            if func == "sum":
+                return "bigint" if src.lower() in _INT_T else "double"
+            return src  # min / max keep the source type
+
+        for name, (func, col) in agg.items():
+            if func not in ("count", "sum", "min", "max", "mean"):
+                raise ValueError(f"unsupported agg func {func!r}")
+        out_fields = [(c, type_of[c]) for c in group_by] + [
+            (name, _agg_type(func, col)) for name, (func, col) in agg.items()
+        ]
+        out_schema = ", ".join(f"`{n}` {t}" for n, t in out_fields)
 
     def _spec(schema, buckets, dv, maps, sel_cols, jkeys):
         key_cols = list(schema.partition_keys) + schema.trimmed_primary_keys()
@@ -239,8 +284,10 @@ def join_bucketed(
     lspec = _spec(lschema, lbuckets, ldv, lmaps, left_cols, lkeys)
     rspec = _spec(rschema, rbuckets, rdv, rmaps, right_cols, rkeys)
     join_keys = (list(lkeys), list(rkeys))
-    out_names = [n for n, _t in out_fields]
+    out_names = [n for n, _t in out_fields]  # == join_names unless agg
     rename = dict(rename_right)
+    group_cols = list(group_by) if group_by is not None else None
+    agg_spec = dict(agg) if agg is not None else None
 
     def _run(batches):
         # executor-side: stdlib + pyarrow + pandas only
@@ -324,19 +371,42 @@ def join_bucketed(
                 ldels = dv_positions_for(lspec["dv"], lbase) if lspec["dv"] else {}
                 rdels = dv_positions_for(rspec["dv"], rbase) if rspec["dv"] else {}
                 lpdf = _read_side(lspec, b, ldels)
-                if lpdf is None or lpdf.empty:
-                    continue
                 rpdf = _read_side(rspec, b, rdels)
+                l_empty = lpdf is None or lpdf.empty
+                r_empty = rpdf is None or rpdf.empty
+                if l_empty and (how in ("inner", "left") or r_empty):
+                    continue
                 if rpdf is None:
                     rpdf = pd.DataFrame(columns=rspec["out_need"])
                 rpdf = rpdf.rename(columns=rename)
-                merged = lpdf.merge(
-                    rpdf,
-                    how=how,
-                    left_on=join_keys[0],
-                    right_on=[rename.get(k, k) for k in join_keys[1]],
+                if l_empty:
+                    # right/outer with no left rows in this bucket:
+                    # emit the right side, left columns null-filled
+                    merged = rpdf.reindex(columns=join_names)
+                else:
+                    merged = lpdf.merge(
+                        rpdf,
+                        how=how,
+                        left_on=join_keys[0],
+                        right_on=[rename.get(k, k) for k in join_keys[1]],
+                    )
+                if group_cols is None:
+                    yield merged.reindex(columns=out_names)
+                    continue
+                # local FINAL aggregation: group_by ⊇ bucket keys, so no
+                # group spans buckets — the task emits finished rows
+                g = merged.groupby(group_cols, dropna=False, sort=False)
+                parts = {}
+                for name, (func, col) in agg_spec.items():
+                    if func == "count":
+                        parts[name] = g.size()
+                    elif func == "mean":
+                        parts[name] = g[col].mean()
+                    else:
+                        parts[name] = getattr(g[col], func)()
+                yield pd.concat(parts, axis=1).reset_index().reindex(
+                    columns=out_names
                 )
-                yield merged.reindex(columns=out_names)
 
     base = spark.range(0, ln, 1, numPartitions=ln)
     return base.mapInPandas(_run, out_schema)

@@ -332,3 +332,94 @@ def test_bucketed_join_still_rejects_aggregation_engine(spark, warehouse):
     t2.write(spark.createDataFrame([(1, "x")], "k bigint, s string"))
     with pytest.raises(ValueError, match="compact"):
         join_bucketed(spark, t1.refresh(), t2.refresh(), on=[("k", "k")])
+
+
+def test_bucketed_join_right_and_outer(spark, warehouse):
+    """right/outer joins: unmatched right rows survive with null left
+    columns, still zero Exchange."""
+    orders = spark.createDataFrame(
+        [(k % 4 + 1, k, float(k)) for k in range(12)],
+        "o_custkey bigint, o_orderkey bigint, o_total double",
+    )
+    cust = spark.createDataFrame(
+        [(k, f"n{k}") for k in range(1, 9)],  # custkeys 5..8 unmatched
+        "c_custkey bigint, c_name string",
+    )
+    to = warehouse.create_table(
+        "db.bjro_o", orders.schema,
+        primary_keys=["o_custkey", "o_orderkey"],
+        options={"bucket": "4", "bucket-key": "o_custkey"},
+    )
+    to.write(orders)
+    tc = warehouse.create_table(
+        "db.bjro_c", cust.schema, primary_keys=["c_custkey"], options={"bucket": "4"}
+    )
+    tc.write(cust)
+    def _key(t):
+        return tuple((v is None, v) for v in t)
+
+    for how in ("right", "outer"):
+        got = join_bucketed(
+            spark, to.refresh(), tc.refresh(), on=[("o_custkey", "c_custkey")], how=how
+        )
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        expected = orders.join(cust, orders.o_custkey == cust.c_custkey, how).select(
+            "o_custkey", "o_orderkey", "o_total", "c_name"
+        )
+        assert sorted(
+            map(tuple, got.select(*expected.columns).collect()), key=_key
+        ) == sorted(map(tuple, expected.collect()), key=_key), how
+
+
+def test_bucketed_join_local_aggregation_no_exchange(spark, warehouse):
+    """Aggregation-after-join pushed INTO the bucket tasks: group_by ⊇
+    bucket keys ⇒ final aggregates per task, join+groupBy plan has zero
+    Exchange (the KeyGroupedPartitioning-elision case the reference gets
+    from Catalyst)."""
+    import pytest
+
+    orders = spark.createDataFrame(
+        [(k % 4 + 1, k, float(k)) for k in range(40)],
+        "o_custkey bigint, o_orderkey bigint, o_total double",
+    )
+    cust = spark.createDataFrame(
+        [(k, f"seg{k % 2}") for k in range(1, 5)], "c_custkey bigint, c_seg string"
+    )
+    to = warehouse.create_table(
+        "db.bjagg_o", orders.schema,
+        primary_keys=["o_custkey", "o_orderkey"],
+        options={"bucket": "4", "bucket-key": "o_custkey"},
+    )
+    to.write(orders)
+    tc = warehouse.create_table(
+        "db.bjagg_c2", cust.schema, primary_keys=["c_custkey"], options={"bucket": "4"}
+    )
+    tc.write(cust)
+    got = join_bucketed(
+        spark, to.refresh(), tc.refresh(),
+        on=[("o_custkey", "c_custkey")],
+        group_by=["o_custkey", "c_seg"],
+        agg={"n": ("count", ""), "total": ("sum", "o_total"), "hi": ("max", "o_orderkey")},
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    expected = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_custkey", "c_seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_total").alias("total"),
+            F.max("o_orderkey").alias("hi"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expected.collect())
+    )
+    # grouping that doesn't contain the bucket keys must refuse
+    with pytest.raises(ValueError, match="bucket keys"):
+        join_bucketed(
+            spark, to.refresh(), tc.refresh(),
+            on=[("o_custkey", "c_custkey")],
+            group_by=["c_seg"], agg={"n": ("count", "")},
+        )
