@@ -178,3 +178,62 @@ def test_distributed_manifest_planning_matches_driver(spark, warehouse, monkeypa
         if j % 2 == 1 and j + 10 * i < 15
     )
     assert got == expect
+
+
+def test_distributed_liveness_matches_driver_randomized(spark, tmp_path):
+    """Net-count-parity liveness (live_entries_distributed) must reach
+    the same fixpoint as the driver's sequential dict merge on random
+    valid ADD/DELETE histories — including rewrite-style DELETE+ADD of
+    the same file inside one manifest."""
+    import random
+
+    from flink_table_store_spark.manifest import (
+        KIND_ADD,
+        KIND_DELETE,
+        ManifestEntry,
+        ManifestManager,
+    )
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        root = tmp_path / f"t{seed}"
+        root.mkdir()
+        mm = ManifestManager(str(root))
+        live: set[tuple] = set()
+        manifests: list[str] = []
+        mk = lambda pt, b, fn, kind: ManifestEntry(
+            kind=kind,
+            partition={"p": pt},
+            bucket=b,
+            level=0,
+            file_name=fn,
+            row_count=1,
+            file_size=10,
+        )
+        n_files = 0
+        for _commit in range(12):
+            entries: list[ManifestEntry] = []
+            # some deletes of currently-live files (maybe re-added below)
+            for key in rng.sample(sorted(live), k=min(len(live), rng.randint(0, 3))):
+                pt, b, fn = key
+                entries.append(mk(pt, b, fn, KIND_DELETE))
+                live.discard(key)
+                if rng.random() < 0.4:  # rewrite: re-add the SAME name
+                    entries.append(mk(pt, b, fn, KIND_ADD))
+                    live.add(key)
+            for _ in range(rng.randint(1, 4)):  # fresh adds
+                n_files += 1
+                key = (f"p{rng.randint(0, 2)}", rng.randint(0, 1), f"f{n_files}.parquet")
+                entries.append(mk(*key, KIND_ADD))
+                live.add(key)
+            manifests.append(mm.write_manifest(entries))
+        cut = len(manifests) // 2
+        base_list = mm.write_manifest_list(manifests[:cut])
+        delta_list = mm.write_manifest_list(manifests[cut:])
+
+        driver = mm.read_live_entries(base_list, delta_list)
+        dist = mm.live_entries_distributed(spark, base_list, delta_list)
+        assert sorted(e.key() for e in driver) == sorted(e.key() for e in dist), seed
+        assert {e.key() for e in driver} == {
+            ("{" + f'"p": "{pt}"' + "}", b, fn) for pt, b, fn in live
+        }
