@@ -248,14 +248,20 @@ def main() -> None:
         from flink_table_store_spark.operators.bucketed_join import join_bucketed
 
         t_ord_bj.write(orders)
-        join_bucketed(
+        # same per-nation aggregate as before, but the heavy fold runs
+        # INSIDE the bucket tasks (group_by ⊇ bucket key): the only
+        # shuffle left carries ~|customers| pre-aggregated rows
+        local = join_bucketed(
             spark,
             t_ord_bj.refresh(),
             t_pk_dim.refresh(),
             on=[("o_custkey", "c_custkey")],
             left_cols=["o_custkey", "o_totalprice"],
             right_cols=["c_nationkey"],
-        ).groupBy("c_nationkey").agg(F.count(F.lit(1)), F.sum("o_totalprice")).collect()
+            group_by=["o_custkey", "c_nationkey"],
+            agg={"n": ("count", ""), "total": ("sum", "o_totalprice")},
+        )
+        local.groupBy("c_nationkey").agg(F.sum("n"), F.sum("total")).collect()
 
     # --- host-side joins + pipeline ops over raw parquet ------------------
     @timed("q3_join")

@@ -226,20 +226,35 @@ class ManifestManager:
             except Exception:
                 shippable = False  # e.g. Raw(Column) — prune driver-side
         if shippable:
-            pred = predicate
+            # the predicate travels as OPAQUE pickle bytes, decoded only
+            # after the package path is bootstrapped: a captured instance
+            # would be unpickled during closure deserialization, before
+            # any chance to fix sys.path on a worker that can't already
+            # import this package
+            import pickle
+
+            pred_bytes = pickle.dumps(predicate)
             stats_safe = per_file_stats_safe
             tpath = table_path
             out_schema = live.schema
+            pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
             def _prune(batches):
+                import pickle as _pickle
+                import sys as _sys
+
+                if pkg_root not in _sys.path:
+                    _sys.path.insert(0, pkg_root)
+                from flink_table_store_spark.manifest import ManifestEntry as _ME
                 from flink_table_store_spark.read import _stats_test
 
+                pred = _pickle.loads(pred_bytes)
                 for pdf in batches:
                     if pdf.empty:
                         continue
                     mask = []
                     for r in pdf.to_dict("records"):
-                        e = ManifestEntry.from_row(r)
+                        e = _ME.from_row(r)
                         ok = pred.test_partition(e.partition)
                         if ok and stats_safe:
                             ok = _stats_test(e, pred, tpath)

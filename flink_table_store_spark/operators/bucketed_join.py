@@ -17,12 +17,16 @@ zero Exchange nodes:
       .mapInPandas(join_bucket)                       # narrow, Arrow
 
 Each task reads ONLY its bucket's data files from BOTH tables straight
-off shared storage (pyarrow), applies deletion vectors and the
-deduplicate merge locally (a bucket is memory-bounded by design — the
-same contract the reference's merge readers rely on), and hash-joins
-in pandas. At 100 TB this is `n_buckets` independent co-located tasks
-and no shuffle of either fact table; the non-bucketed alternative pays
-a full exchange of both sides.
+off shared storage (pyarrow), applies deletion vectors (scoped to its
+own bucket's files) and the table's merge engine locally — deduplicate,
+first-row or partial-update, with sequence.field ordering (a bucket is
+memory-bounded by design — the same contract the reference's merge
+readers rely on) — and hash-joins in pandas (inner/left/right/outer).
+An optional ``group_by``/``agg`` runs aggregation inside the same tasks
+when the grouping contains the bucket keys, so join + groupBy together
+stay at zero Exchange. At 100 TB this is `n_buckets` independent
+co-located tasks and no shuffle of either fact table; the non-bucketed
+alternative pays a full exchange of both sides.
 """
 
 from __future__ import annotations
@@ -41,6 +45,13 @@ from flink_table_store_spark.schema import (
     TableSchema,
 )
 from flink_table_store_spark.write import POSTPONE_BUCKET, bucket_keys
+
+# repo root (…/flink_table_store_spark/operators/ → two levels up) — shipped
+# into executor closures so workers can import the package from shared
+# storage even when the session was not started from the repo directory
+_PKG_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 
 def dv_positions_for(dv_paths: list[str], basenames: list[str]) -> dict[str, set]:
@@ -289,10 +300,23 @@ def join_bucketed(
     group_cols = list(group_by) if group_by is not None else None
     agg_spec = dict(agg) if agg is not None else None
 
+    pkg_root = _PKG_ROOT
+
     def _run(batches):
-        # executor-side: stdlib + pyarrow + pandas only
+        # executor-side: stdlib + pyarrow + pandas, plus this package
+        # re-imported via the captured repo path — workers of a session
+        # built elsewhere (different cwd, no PYTHONPATH) must not depend
+        # on inheriting the driver's sys.path
+        import sys as _sys
+
+        if pkg_root not in _sys.path:
+            _sys.path.insert(0, pkg_root)
         import pandas as pd
         import pyarrow.parquet as pq
+
+        from flink_table_store_spark.operators.bucketed_join import (
+            dv_positions_for as _dvpos,
+        )
 
         seqc, kindc = SEQUENCE_NUMBER, VALUE_KIND
 
@@ -368,8 +392,8 @@ def join_bucketed(
                 rbase = [
                     os.path.basename(f["path"]) for f in rspec["buckets"].get(b, [])
                 ]
-                ldels = dv_positions_for(lspec["dv"], lbase) if lspec["dv"] else {}
-                rdels = dv_positions_for(rspec["dv"], rbase) if rspec["dv"] else {}
+                ldels = _dvpos(lspec["dv"], lbase) if lspec["dv"] else {}
+                rdels = _dvpos(rspec["dv"], rbase) if rspec["dv"] else {}
                 lpdf = _read_side(lspec, b, ldels)
                 rpdf = _read_side(rspec, b, rdels)
                 l_empty = lpdf is None or lpdf.empty

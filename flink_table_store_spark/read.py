@@ -328,10 +328,16 @@ def _read_rowgroups(
     ]
     base = spark.createDataFrame(specs, "spec string").repartition(min(len(specs), 64))
 
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
     def _run(batches):
         import json
+        import sys as _sys
+
         import pyarrow.parquet as pq
 
+        if pkg_root not in _sys.path:
+            _sys.path.insert(0, pkg_root)
         from flink_table_store_spark.operators.bucketed_join import _typed_partition
 
         for pdf in batches:

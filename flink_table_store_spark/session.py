@@ -29,6 +29,15 @@ def get_spark(app_name: str = "flink_table_store_spark", shuffle_partitions: int
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "32")
+        # python workers must be able to import this package even when
+        # the session is started outside the repo directory (executor
+        # closures re-import engine helpers)
+        .config(
+            "spark.executorEnv.PYTHONPATH",
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            + os.pathsep
+            + os.environ.get("PYTHONPATH", ""),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
