@@ -34,6 +34,7 @@ SYSTEM_TABLES = (
     "buckets",
     "tags",
     "branches",
+    "changelogs",
     "consumers",
     "audit_log",
     "binlog",
@@ -190,6 +191,30 @@ def _tags(spark: SparkSession, t: "Table") -> DataFrame:
     return spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
 
 
+def _changelogs(spark: SparkSession, t: "Table") -> DataFrame:
+    """Preserved changelog entries of EXPIRED snapshots (the decoupled
+    lifecycle, ChangelogManager / `$changelog` in the reference): what a
+    lagging streaming consumer can still replay past the snapshot
+    horizon."""
+    import glob as _glob
+    import os as _os
+
+    rows = []
+    for sid in t.snapshots.changelog_entry_ids():
+        s = t.snapshots.load_changelog_entry(sid)
+        n_files = len(s.changelog_files) or len(
+            _glob.glob(
+                _os.path.join(t.path, "changelog", f"changelog-s{sid}-*.parquet")
+            )
+        )
+        rows.append((s.id, s.schema_id, s.commit_kind, s.time_millis, n_files))
+    schema = (
+        "snapshot_id bigint, schema_id bigint, commit_kind string, "
+        "commit_time bigint, changelog_file_count int"
+    )
+    return spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+
+
 def _branches(spark: SparkSession, t: "Table") -> DataFrame:
     rows = [(name, meta["fromSnapshot"], meta["createTime"]) for name, meta in sorted(t.branches().items())]
     schema = "branch_name string, from_snapshot bigint, create_time bigint"
@@ -330,6 +355,7 @@ _LOADERS = {
     "buckets": _buckets,
     "tags": _tags,
     "branches": _branches,
+    "changelogs": _changelogs,
     "consumers": _consumers,
     "audit_log": _audit_log,
     "ro": _ro,

@@ -190,3 +190,24 @@ def test_fast_forward_crash_mid_flip_leaves_no_hole(spark, t, monkeypatch):
         t.snapshots.load(sid)
     # and the table is still readable end-to-end
     assert t.to_df(spark).count() >= 21
+
+
+def test_changelogs_system_table(spark, warehouse):
+    t = warehouse.create_table(
+        "db.clsys",
+        "k bigint, v string",
+        primary_keys=["k"],
+        options={
+            "bucket": "1",
+            "changelog-producer": "lookup",
+            "changelog.num-retained.max": "10",
+        },
+    )
+    for i in range(4):
+        t.write(spark.createDataFrame([(1, f"v{i}")], "k bigint, v string"))
+    t = t.refresh()
+    assert t.system_table(spark, "changelogs").count() == 0  # nothing expired
+    t.expire_snapshots(retain_last=1)
+    rows = t.system_table(spark, "changelogs").orderBy("snapshot_id").collect()
+    assert [r.snapshot_id for r in rows] == [1, 2, 3]
+    assert all(r.commit_kind == "APPEND" for r in rows)
