@@ -22,6 +22,10 @@ bucket) group carrying the hidden columns ``_SEQUENCE_NUMBER`` and
 
 from __future__ import annotations
 
+import os
+
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -36,6 +40,44 @@ ENGINE_DEDUPLICATE = "deduplicate"
 ENGINE_FIRST_ROW = "first-row"
 ENGINE_PARTIAL_UPDATE = "partial-update"
 ENGINE_AGGREGATION = "aggregation"
+
+# repo root shipped into sketch-union UDF closures (executors may run
+# with a different working directory)
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _sketch_union_expr(kind: str, collected, k: int = 4096):
+    """Aggregate expression unioning SERIALIZED sketch bytes — the
+    reference's binary-field contract (FieldRoaringBitmap32Agg /
+    FieldRoaringBitmap64Agg union serialized RoaringBitmaps,
+    FieldThetaSketchAgg unions serialized DataSketches theta sketches;
+    aggregate/factory/FieldThetaSketchAggFactory.java). ``collected``
+    is a ``collect_list`` over the masked column; the union runs as ONE
+    Arrow-batched pandas UDF per merge group — numpy concat/unique over
+    a handful of decoded sketches, no per-row Python."""
+    from pyspark.sql.functions import pandas_udf
+
+    pkg_root = _PKG_ROOT
+
+    @pandas_udf("binary")
+    def _union(lists: pd.Series) -> pd.Series:
+        import sys as _sys
+
+        if pkg_root not in _sys.path:
+            _sys.path.insert(0, pkg_root)
+        from flink_table_store_spark.functions import sketches as _S
+
+        def one(vals):
+            vals = [] if vals is None else [v for v in vals if v is not None]
+            if kind == "rbm32":
+                return _S.rbm32_union(vals)
+            if kind == "rbm64":
+                return _S.rbm64_union(vals)
+            return _S.theta_union(vals, k=k)
+
+        return lists.map(one)
+
+    return _union(collected)
 
 
 _EFF_SEQ = "__eff_seq"
@@ -216,10 +258,16 @@ def _agg_expr(
     if func == "collect_distinct":
         return F.expr(f"array_distinct(transform(array_sort(collect_list(CASE WHEN {v} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END)), x -> x.v))")
     if func in ("rbm32", "rbm64"):
-        # FieldRoaringBitmap32/64Agg: bitmap union. Our engine models the
-        # bitmap relationally as a sorted distinct int array — same set
-        # semantics, SQL-checkable, and Parquet-encodable; the wire format
-        # (serialized RBM bytes) is a storage detail we don't replicate.
+        # FieldRoaringBitmap32/64Agg: bitmap union, dispatched on the
+        # field type. binary fields hold REAL serialized RoaringBitmaps
+        # in the cross-language portable format (functions/sketches.py;
+        # RoaringFormatSpec) and union via one Arrow-batched UDF per
+        # merge group — byte-compatible with the reference's stored
+        # bitmaps. array<int>/array<bigint> fields keep the relational
+        # model (sorted distinct array): same set semantics,
+        # SQL-checkable, Parquet-encodable.
+        if ftype.lower() == "binary":
+            return _sketch_union_expr(func, F.expr(f"collect_list({v})"))
         return F.expr(
             f"array_sort(array_distinct(flatten(collect_list({v}))))"
         )
@@ -227,12 +275,15 @@ def _agg_expr(
         return F.expr(f"hll_sketch_agg({v})")
     if func == "theta_sketch":
         # FieldThetaSketchAgg: mergeable distinct-count sketch, dispatched
-        # on the field type. array<bigint> fields hold REAL KMV theta
-        # sketches (the k smallest distinct hash values — the structure
-        # theta sketches are built on): union = merge + keep k smallest,
-        # exact below k, and set algebra (intersect/a-not-b) stays
-        # possible on the stored form. binary fields keep the HLL-backed
-        # contract (estimate via hll_sketch_estimate).
+        # on the field type. binary fields union SERIALIZED DataSketches
+        # compact theta sketches (functions/sketches.py implements the
+        # serVer-3 wire format + murmur3 hashing) — the reference's exact
+        # contract. array<bigint> fields hold REAL KMV theta sketches
+        # (the k smallest distinct hash values — the structure theta
+        # sketches are built on): union = merge + keep k smallest, exact
+        # below k, and set algebra stays possible on the stored form.
+        if ftype.lower() == "binary":
+            return _sketch_union_expr("theta", F.expr(f"collect_list({v})"), k=sketch_k)
         if ftype.lower().startswith("array"):
             return F.expr(
                 f"slice(array_sort(array_distinct(flatten(collect_list({v})))), 1, {sketch_k})"

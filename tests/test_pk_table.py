@@ -281,15 +281,17 @@ def test_aggregation_new_field_aggregators(spark, warehouse):
             "fields.items.nested-key": "id",
         },
     )
+    from flink_table_store_spark.functions import sketches as S
+
     ddl = "k bigint, bits array<int>, uniq binary, items array<struct<id:int,val:string>>"
     t.write(
         spark.createDataFrame(
-            [(1, [3, 1], b"a", [(10, "x"), (11, "y")])], ddl
+            [(1, [3, 1], S.theta_sketch_of(["a", "b"]), [(10, "x"), (11, "y")])], ddl
         )
     )
     t.write(
         spark.createDataFrame(
-            [(1, [2, 1], b"b", [(10, "x2"), (12, "z")])], ddl
+            [(1, [2, 1], S.theta_sketch_of(["b", "c"]), [(10, "x2"), (12, "z")])], ddl
         )
     )
     [row] = t.to_df(spark).collect()
@@ -298,11 +300,9 @@ def test_aggregation_new_field_aggregators(spark, warehouse):
     # nested_update with nested-key: latest version per id wins
     got = {e.id: e.val for e in row.items}
     assert got == {10: "x2", 11: "y", 12: "z"}
-    # theta_sketch: mergeable distinct sketch (HLL-backed) — estimate is 2
-    est = spark.createDataFrame([(bytes(row.uniq),)], "s binary").selectExpr(
-        "hll_sketch_estimate(s) AS e"
-    ).collect()[0].e
-    assert est == 2
+    # theta_sketch on a binary field: SERIALIZED DataSketches theta
+    # sketches union (FieldThetaSketchAgg contract) — distinct {a,b,c}
+    assert S.theta_estimate(bytes(row.uniq)) == 3.0
 
 
 def test_theta_sketch_kmv_array_field(spark, warehouse):
