@@ -84,6 +84,212 @@ def dv_positions_for(dv_paths: list[str], basenames: list[str]) -> dict[str, set
     return dels
 
 
+# aggregate functions the per-bucket pandas fold reproduces exactly
+# (mirrors merge_engines._agg_expr; the exotic structural aggregators —
+# nested_update / merge_map / hll_sketch — still need compact() first)
+_LOCAL_AGG_FUNCS = frozenset(
+    {
+        "sum",
+        "count",
+        "product",
+        "min",
+        "max",
+        "bool_and",
+        "bool_or",
+        "first_value",
+        "first_non_null_value",
+        "first_not_null_value",
+        "last_value",
+        "last_non_null_value",
+        "primary-key",
+        "listagg",
+        "collect",
+        "collect_distinct",
+        "rbm32",
+        "rbm64",
+        "theta_sketch",
+    }
+)
+
+
+def _agg_cfg(schema) -> dict:
+    """Per-field aggregation-engine config shipped into bucket tasks."""
+    opts = schema.options
+    keys = set(schema.partition_keys) | set(schema.trimmed_primary_keys())
+    default = opts.get("fields.default-aggregate-function", "last_non_null_value")
+    cfg = {"funcs": {}, "ignore_retract": set(), "types": {}, "k": {}, "default": default}
+    for f in schema.fields:
+        if f.name in keys:
+            continue
+        cfg["funcs"][f.name] = opts.get(f"fields.{f.name}.aggregate-function", default)
+        cfg["types"][f.name] = f.type.lower()
+        if opts.get(f"fields.{f.name}.ignore-retract", "false") == "true":
+            cfg["ignore_retract"].add(f.name)
+        cfg["k"][f.name] = int(opts.get(f"fields.{f.name}.theta-sketch.k", "4096"))
+    cfg["remove_on_delete"] = (
+        opts.get("aggregation.remove-record-on-delete", "false") == "true"
+    )
+    return cfg
+
+
+def _check_local_agg_funcs(schema) -> None:
+    cfg = _agg_cfg(schema)
+    bad = sorted({f for f, fn in cfg["funcs"].items() if fn not in _LOCAL_AGG_FUNCS})
+    if bad:
+        raise ValueError(
+            f"join_bucketed cannot fold aggregate-function(s) of fields {bad} "
+            "locally — compact() the table first"
+        )
+
+
+def fold_aggregation(pdf, key_cols: list[str], cfg: dict, seqc: str, kindc: str):
+    """Pandas replica of the aggregation merge engine's per-field folds
+    (merge_engines._agg_expr / reference AggregateMergeFunction.java:49)
+    over one bucket's rows. ``pdf`` is already stable-sorted by the
+    effective sequence; retract rows (``-U``/``-D``) subtract for
+    sum/count and are ignored by the other aggregators
+    (FieldIgnoreRetractAgg). Returns merged rows with key + value
+    columns. All folds share ONE groupby over shaped working columns so
+    every result aligns on the same group index."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_table_store_spark.functions import sketches as _S
+
+    pdf = pdf.reset_index(drop=True)
+    retract = pdf[kindc].isin(("-D", "-U")).to_numpy()
+    keep_mask = ~retract
+    ords = np.arange(len(pdf), dtype=float)
+    notna = lambda x: not pd.isna(x)  # noqa: E731
+
+    value_cols = [
+        c
+        for c in pdf.columns
+        if c not in set(key_cols) | {seqc, kindc} and c in cfg["funcs"]
+    ]
+    work = pdf[key_cols].copy()
+    plan: list[tuple[str, str]] = []  # (out col, op)
+    for c in value_cols:
+        func = cfg["funcs"][c]
+        ig = c in cfg["ignore_retract"]
+        col = pdf[c]
+        masked = col.where(keep_mask)  # payload null on retract rows
+        w = f"__w_{c}"
+        if func == "sum":
+            work[w] = masked if ig else col.where(keep_mask, -col)
+            plan.append((c, "sum"))
+        elif func == "count":
+            work[w] = np.where(col.notna(), np.where(retract, 0 if ig else -1, 1), 0)
+            plan.append((c, "count"))
+        elif func == "product":
+            work[w] = masked
+            plan.append((c, "prod"))
+        elif func in ("min", "bool_and"):
+            work[w] = masked
+            plan.append((c, "min"))
+        elif func in ("max", "bool_or"):
+            work[w] = masked
+            plan.append((c, "max"))
+        elif func in ("first_value", "last_value"):
+            # ordinal of the first/last NON-RETRACT row; payload (nulls
+            # included) looked up afterwards
+            work[w] = np.where(keep_mask, ords, np.nan)
+            plan.append((c, "pick_first" if func == "first_value" else "pick_last"))
+        elif func in ("first_non_null_value", "first_not_null_value"):
+            work[w] = masked
+            plan.append((c, "first"))
+        elif func in ("last_non_null_value", "primary-key"):
+            work[w] = masked
+            plan.append((c, "last"))
+        elif func in ("listagg", "collect", "collect_distinct", "rbm32", "rbm64", "theta_sketch"):
+            work[w] = masked
+            plan.append((c, "fn"))
+        else:  # pragma: no cover — _check_local_agg_funcs gates this
+            raise ValueError(f"unsupported local aggregate-function {func}")
+    work["__ups_ord"] = np.where(retract, -1.0, ords)
+    work["__del_ord"] = np.where(pdf[kindc].to_numpy() == KIND_DELETE, ords, -1.0)
+
+    def _fold_fn(c):
+        func = cfg["funcs"][c]
+        if func == "listagg":
+            return lambda s: ",".join(str(x) for x in s if notna(x))
+        if func in ("collect", "collect_distinct"):
+            distinct = func == "collect_distinct"
+
+            def _coll(s):
+                out = []
+                for x in s:
+                    if isinstance(x, (list, np.ndarray)):
+                        out.extend(list(x))
+                    elif notna(x):
+                        out.append(x)
+                if distinct:
+                    seen, ded = set(), []
+                    for x in out:
+                        kx = str(x)
+                        if kx not in seen:
+                            seen.add(kx)
+                            ded.append(x)
+                    return ded
+                return out
+
+            return _coll
+        binary = cfg["types"].get(c, "") == "binary"
+        kk = cfg["k"].get(c, 4096)
+
+        def _sk(s):
+            vals = [x for x in s if notna(x)]
+            if binary:
+                vals = [bytes(x) for x in vals]
+                if func == "rbm32":
+                    return _S.rbm32_union(vals)
+                if func == "rbm64":
+                    return _S.rbm64_union(vals)
+                return _S.theta_union(vals, k=kk)
+            flat = sorted({int(v) for x in vals for v in x})
+            return flat[:kk] if func == "theta_sketch" else flat
+
+        return _sk
+
+    gb = work.groupby(key_cols, sort=False, dropna=False)
+    results: dict[str, pd.Series] = {}
+    col_np = {c: pdf[c].to_numpy(dtype=object) for c, op in plan if op.startswith("pick")}
+    for c, op in plan:
+        w = f"__w_{c}"
+        if op == "sum":
+            results[c] = gb[w].sum(min_count=1)
+        elif op == "count":
+            results[c] = gb[w].sum()
+        elif op == "prod":
+            results[c] = gb[w].prod(min_count=1)
+        elif op == "min":
+            results[c] = gb[w].min()
+        elif op == "max":
+            results[c] = gb[w].max()
+        elif op == "first":
+            results[c] = gb[w].first()
+        elif op == "last":
+            results[c] = gb[w].last()
+        elif op in ("pick_first", "pick_last"):
+            pick = gb[w].min() if op == "pick_first" else gb[w].max()
+            valid = pick.dropna().astype(int)
+            got = pd.Series(col_np[c][valid.to_numpy()], index=valid.index)
+            results[c] = got.reindex(pick.index)
+        else:  # fn
+            results[c] = gb[w].apply(_fold_fn(c))
+    ups_ord = gb["__ups_ord"].max()
+    merged = (
+        pd.concat(results, axis=1)
+        if results
+        else pd.DataFrame(index=ups_ord.index)
+    )
+    if cfg.get("remove_on_delete"):
+        del_ord = gb["__del_ord"].max()
+        merged = merged[(ups_ord > del_ord).reindex(merged.index, fill_value=True)]
+    merged.index.names = list(key_cols)
+    return merged.reset_index()
+
+
 def _typed_partition(raw: str | None, ddl: str):
     if raw is None:
         return None
@@ -196,12 +402,14 @@ def join_bucketed(
     for s in (lschema, rschema):
         if s.primary_keys:
             eng = s.options.get("merge-engine", "deduplicate")
-            if eng not in ("deduplicate", "first-row", "partial-update"):
+            if eng not in ("deduplicate", "first-row", "partial-update", "aggregation"):
                 raise ValueError(
                     "join_bucketed merges buckets locally with deduplicate/"
-                    "first-row/partial-update semantics (MergeFileSplitRead"
-                    ".java:220-231) — compact() aggregation tables first"
+                    "first-row/partial-update/aggregation semantics "
+                    "(MergeFileSplitRead.java:220-231)"
                 )
+            if eng == "aggregation":
+                _check_local_agg_funcs(s)
             if any(k.endswith(".sequence-group") for k in s.options):
                 raise ValueError(
                     "join_bucketed does not support sequence-group tables — "
@@ -273,12 +481,14 @@ def join_bucketed(
             if c.strip()
         ]
         pk = bool(schema.primary_keys)
+        engine = schema.options.get("merge-engine", "deduplicate")
         return {
             "buckets": buckets,
             "dv": dv,
             "maps": maps,
             "pk": pk,
-            "engine": schema.options.get("merge-engine", "deduplicate"),
+            "engine": engine,
+            "agg_cfg": _agg_cfg(schema) if engine == "aggregation" else None,
             "key_cols": key_cols,
             "seq_fields": seq_fields,
             "partition_keys": list(schema.partition_keys),
@@ -316,6 +526,9 @@ def join_bucketed(
 
         from flink_table_store_spark.operators.bucketed_join import (
             dv_positions_for as _dvpos,
+        )
+        from flink_table_store_spark.operators.bucketed_join import (
+            fold_aggregation as _fold_agg,
         )
 
         seqc, kindc = SEQUENCE_NUMBER, VALUE_KIND
@@ -362,6 +575,10 @@ def join_bucketed(
                     keep = "last" if spec["engine"] == "deduplicate" else "first"
                     pdf = pdf.drop_duplicates(subset=spec["key_cols"], keep=keep)
                     pdf = pdf[pdf[kindc] != KIND_DELETE]
+                elif spec["engine"] == "aggregation":
+                    pdf = _fold_agg(
+                        pdf, spec["key_cols"], spec["agg_cfg"], seqc, kindc
+                    )
                 else:  # partial-update: per-column last non-null in order
                     pdf["__ord"] = range(len(pdf))
                     ups = pdf[pdf[kindc] != KIND_DELETE]

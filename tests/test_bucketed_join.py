@@ -316,22 +316,100 @@ def test_bucketed_join_sequence_field_table(spark, warehouse):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
 
 
-def test_bucketed_join_still_rejects_aggregation_engine(spark, warehouse):
-    import pytest
-
+def test_bucketed_join_aggregation_engine_table(spark, warehouse):
+    """Aggregation-engine tables join WITHOUT compact-first: the bucket
+    tasks run the table's own per-field folds (fold_aggregation mirrors
+    merge_engines._agg_expr). Equivalence oracle: the proven merge-on-
+    read path (to_df) + a regular join."""
+    ddl = "k bigint, n bigint, hi double, lo double, last string, tag string"
     t1 = warehouse.create_table(
         "db.bjagg",
-        "k bigint, n bigint",
+        ddl,
         primary_keys=["k"],
-        options={"bucket": "2", "merge-engine": "aggregation", "fields.n.aggregate-function": "sum"},
+        options={
+            "bucket": "2",
+            "merge-engine": "aggregation",
+            "fields.n.aggregate-function": "sum",
+            "fields.hi.aggregate-function": "max",
+            "fields.lo.aggregate-function": "min",
+            "fields.last.aggregate-function": "last_non_null_value",
+            "fields.tag.aggregate-function": "listagg",
+        },
     )
-    t1.write(spark.createDataFrame([(1, 2)], "k bigint, n bigint"))
+    rows1 = [(k, k, float(k), float(k), f"a{k}", f"t{k}") for k in range(1, 9)]
+    rows2 = [
+        (k, 10 * k, float(100 + k), float(-k), None if k % 2 else f"b{k}", f"u{k}")
+        for k in range(1, 9)
+    ]
+    t1.write(spark.createDataFrame(rows1, ddl))
+    t1.write(spark.createDataFrame(rows2, ddl))
     t2 = warehouse.create_table(
         "db.bjagg_dim", "k bigint, s string", primary_keys=["k"], options={"bucket": "2"}
     )
-    t2.write(spark.createDataFrame([(1, "x")], "k bigint, s string"))
+    t2.write(spark.createDataFrame([(k, f"dim{k}") for k in range(1, 9)], "k bigint, s string"))
+    t1, t2 = t1.refresh(), t2.refresh()
+
+    got = join_bucketed(spark, t1, t2, on=[("k", "k")])
+    mor = t1.to_df(spark)
+    expected = mor.join(t2.to_df(spark), on="k", how="inner").select(
+        "k", "n", "hi", "lo", "last", "tag", "s"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    # exotic structural aggregators still require compact-first
+    import pytest
+
+    t3 = warehouse.create_table(
+        "db.bjagg_bad",
+        "k bigint, m map<string,int>",
+        primary_keys=["k"],
+        options={
+            "bucket": "2",
+            "merge-engine": "aggregation",
+            "fields.m.aggregate-function": "merge_map",
+        },
+    )
+    t3.write(spark.createDataFrame([(1, {"a": 1})], "k bigint, m map<string,int>"))
     with pytest.raises(ValueError, match="compact"):
-        join_bucketed(spark, t1.refresh(), t2.refresh(), on=[("k", "k")])
+        join_bucketed(spark, t3.refresh(), t2, on=[("k", "k")])
+
+
+def test_bucketed_join_aggregation_sketch_fields(spark, warehouse):
+    """Binary rbm64 + theta fields union correctly inside bucket tasks —
+    same serialized-sketch contract as the merge engine."""
+    from flink_table_store_spark.functions import sketches as S
+
+    ddl = "k bigint, keys binary, uniq binary"
+    t1 = warehouse.create_table(
+        "db.bjagg_sk",
+        ddl,
+        primary_keys=["k"],
+        options={
+            "bucket": "2",
+            "merge-engine": "aggregation",
+            "fields.keys.aggregate-function": "rbm64",
+            "fields.uniq.aggregate-function": "theta_sketch",
+        },
+    )
+    t1.write(
+        spark.createDataFrame(
+            [(1, S.rbm64_serialize([1, 5]), S.theta_sketch_of(range(50)))], ddl
+        )
+    )
+    t1.write(
+        spark.createDataFrame(
+            [(1, S.rbm64_serialize([5, 9]), S.theta_sketch_of(range(25, 75)))], ddl
+        )
+    )
+    t2 = warehouse.create_table(
+        "db.bjagg_sk_dim", "k bigint, s string", primary_keys=["k"], options={"bucket": "2"}
+    )
+    t2.write(spark.createDataFrame([(1, "x")], "k bigint, s string"))
+    [row] = join_bucketed(spark, t1.refresh(), t2.refresh(), on=[("k", "k")]).collect()
+    assert list(S.rbm64_deserialize(bytes(row.keys))) == [1, 5, 9]
+    assert S.theta_estimate(bytes(row.uniq)) == 75.0
 
 
 def test_bucketed_join_right_and_outer(spark, warehouse):
