@@ -109,6 +109,105 @@ def fingerprint_md5(col: str | Column = "text") -> Column:
     return F.md5(F.encode(normalized, "utf-8"))
 
 
+def gopher_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-rule quality metrics (Rae et al. 2021 §A1.1 heuristics,
+    word-level subset) as one narrow JVM-side pass — the
+    repetition-and-shape filter a training-data pipeline runs before
+    dedup. Adds:
+
+    - ``n_words``              whitespace word count
+    - ``mean_word_len``        non-space chars / words
+    - ``frac_distinct_words``  |distinct words| / words (repetition)
+    - ``dup_2gram_frac``       1 − |distinct word 2-grams| / |2-grams|
+    - ``frac_alpha_words``     words containing ≥1 [A-Za-z]
+    - ``symbol_word_ratio``    (# + ellipsis occurrences) / words
+    - ``gopher_keep``          the conjunctive pass/fail flag
+
+    All arithmetic is double-precision built-ins in a fixed order so an
+    ANSI-SQL oracle reproduces it bit-for-bit."""
+    c = F.col(text_col)
+    words = F.split(F.trim(c), r"\s+")
+    df = df.withColumn("__w", words)
+    n_words = F.size("__w").cast("double")
+    nonspace = F.length(F.regexp_replace(c, r"\s", "")).cast("double")
+    # guard: sequence(1, 0) would generate DESCENDING [1, 0] in Spark
+    two_grams = F.expr(
+        "CASE WHEN size(__w) > 1 THEN transform(sequence(1, size(__w) - 1), "
+        "i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1))) "
+        "ELSE array() END"
+    )
+    n_2g = F.size(two_grams).cast("double")
+    alpha_words = F.size(F.expr("filter(__w, x -> x rlike '[A-Za-z]')")).cast("double")
+    symbols = (
+        F.regexp_count(c, F.lit("#")) + F.regexp_count(c, F.lit(r"\.\.\."))
+    ).cast("double")
+    mean_word_len = F.round(nonspace / n_words, 4)
+    frac_distinct = F.round(F.size(F.array_distinct("__w")).cast("double") / n_words, 4)
+    dup_2g = F.round(
+        F.when(n_2g > 0, F.lit(1.0) - F.size(F.array_distinct(two_grams)).cast("double") / n_2g).otherwise(0.0),
+        4,
+    )
+    frac_alpha = F.round(alpha_words / n_words, 4)
+    sym_ratio = F.round(symbols / n_words, 4)
+    keep = (
+        (n_words >= 5)
+        & (n_words <= 100000)
+        & (mean_word_len >= 2)
+        & (mean_word_len <= 12)
+        & (dup_2g <= 0.6)
+        & (frac_alpha >= 0.6)
+        & (sym_ratio <= 0.1)
+    )
+    return (
+        df.withColumn("n_words", n_words.cast("long"))
+        .withColumn("mean_word_len", mean_word_len)
+        .withColumn("frac_distinct_words", frac_distinct)
+        .withColumn("dup_2gram_frac", dup_2g)
+        .withColumn("frac_alpha_words", frac_alpha)
+        .withColumn("symbol_word_ratio", sym_ratio)
+        .withColumn("gopher_keep", keep)
+        .drop("__w")
+    )
+
+
+def word_ngrams(col: str | Column = "text", n: int = 7) -> Column:
+    """Array of sliding word n-grams (space-joined) — the probe unit of
+    benchmark-decontamination checks. JVM-side split/transform."""
+    name = col if isinstance(col, str) else None
+    expr = name if name else None
+    if expr is None:
+        raise ValueError("word_ngrams needs a column NAME (used inside expr)")
+    return F.expr(
+        f"CASE WHEN size(split(trim({expr}), '\\\\s+')) >= {n} THEN "
+        f"transform(sequence(1, size(split(trim({expr}), '\\\\s+')) - {n - 1}), "
+        f"i -> array_join(slice(split(trim({expr}), '\\\\s+'), i, {n}), ' ')) "
+        "ELSE array() END"
+    )
+
+
+def contamination_counts(
+    docs: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    probe_col: str = "probe",
+) -> DataFrame:
+    """Per-probe count of corpus documents containing the probe n-gram
+    as an exact substring — benchmark-decontamination (the check run
+    before training to drop eval-set overlap). The probe set is small
+    by construction (one eval suite), so it broadcasts; the corpus scan
+    stays narrow (no shuffle of ``docs``) and the only exchange carries
+    |probes| counted rows."""
+    from pyspark.sql.functions import broadcast
+
+    corpus = docs.alias("__corpus")
+    joined = broadcast(probes).join(
+        corpus, F.expr(f"contains(__corpus.{text_col}, {probe_col})"), "left"
+    )
+    return joined.groupBy(probe_col).agg(
+        F.count(F.col("__corpus.doc_id")).alias("n_docs")
+    )
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach all text-analysis columns in one narrow pass."""
     return (

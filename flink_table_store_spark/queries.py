@@ -815,6 +815,101 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def text_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality/repetition filter (Rae et al. 2021 §A1.1
+    word-level subset; datapipe/text.gopher_metrics) — the pre-dedup
+    document filter of a training-data pipeline. Pure JVM built-ins
+    (split/transform/array_distinct/regexp_count), narrow per-row pass,
+    bit-for-bit reproduced by the DuckDB oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        TX.gopher_metrics(docs)
+        .select(
+            "doc_id",
+            "n_words",
+            "mean_word_len",
+            "frac_distinct_words",
+            "dup_2gram_frac",
+            "frac_alpha_words",
+            "symbol_word_ratio",
+            "gopher_keep",
+        )
+        .orderBy("doc_id")
+    )
+
+
+TEXT_GOPHER_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_split_to_array(trim(text), '\s+') AS w,
+         CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE) AS nonspace,
+         CAST(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.')) AS DOUBLE) AS symbols
+  FROM documents),
+shaped AS (
+  SELECT doc_id,
+         CAST(len(w) AS DOUBLE) AS n_words,
+         w,
+         CASE WHEN len(w) > 1
+              THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+              ELSE [] END AS tg,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) AS alpha_words,
+         nonspace, symbols
+  FROM base),
+metrics AS (
+  SELECT doc_id,
+         CAST(n_words AS BIGINT) AS n_words,
+         round(nonspace / n_words, 4) AS mean_word_len,
+         round(CAST(len(list_distinct(w)) AS DOUBLE) / n_words, 4) AS frac_distinct_words,
+         round(CASE WHEN len(tg) > 0
+                    THEN 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / CAST(len(tg) AS DOUBLE)
+                    ELSE 0.0 END, 4) AS dup_2gram_frac,
+         round(alpha_words / n_words, 4) AS frac_alpha_words,
+         round(symbols / n_words, 4) AS symbol_word_ratio
+  FROM shaped)
+SELECT doc_id, n_words, mean_word_len, frac_distinct_words, dup_2gram_frac,
+       frac_alpha_words, symbol_word_ratio,
+       (n_words >= 5 AND n_words <= 100000
+        AND mean_word_len >= 2 AND mean_word_len <= 12
+        AND dup_2gram_frac <= 0.6
+        AND frac_alpha_words >= 0.6
+        AND symbol_word_ratio <= 0.1) AS gopher_keep
+FROM metrics ORDER BY doc_id
+"""
+
+
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: treat docs 0-2 as the 'eval set',
+    extract their distinct word 7-grams as probes, and count corpus
+    documents (eval docs excluded) containing each probe as an exact
+    substring (datapipe/text.contamination_counts). Probe set
+    broadcasts; the corpus is scanned once, no shuffle of documents."""
+    docs = _t(spark, sf_dir, "documents")
+    evald = docs.where(F.col("doc_id") <= 2)
+    probes = (
+        evald.select(F.explode(TX.word_ngrams("text", 7)).alias("probe"))
+        .distinct()
+    )
+    corpus = docs.where(F.col("doc_id") > 2)
+    return TX.contamination_counts(corpus, probes).orderBy("probe")
+
+
+TEXT_DECONTAM_SQL = r"""
+WITH ev AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents WHERE doc_id <= 2),
+probes AS (
+  SELECT DISTINCT g AS probe
+  FROM ev, UNNEST(CASE WHEN len(w) >= 7
+                       THEN list_transform(range(1, len(w) - 5),
+                                           i -> array_to_string(w[i:i+6], ' '))
+                       ELSE [] END) AS t(g)),
+corpus AS (SELECT doc_id, text FROM documents WHERE doc_id > 2)
+SELECT probe, count(corpus.doc_id) AS n_docs
+FROM probes LEFT JOIN corpus ON position(probe IN corpus.text) > 0
+GROUP BY probe ORDER BY probe
+"""
+
+
 def _sql_stop_hits(lang_words: list[str]) -> str:
     terms = [
         f"CAST(regexp_matches(lower(text), '\\b{w}\\b') AS INT)" for w in lang_words
@@ -2006,6 +2101,8 @@ QUERIES["q7_nation_volume"] = (q7_nation_volume, Q7_SQL)
 QUERIES["q14_promo_revenue"] = (q14_promo_revenue, Q14_SQL)
 QUERIES["q18_large_volume"] = (q18_large_volume, Q18_SQL)
 QUERIES["q22_inactive_customers"] = (q22_inactive_customers, Q22_SQL)
+QUERIES["text_gopher_filter"] = (text_gopher_filter, TEXT_GOPHER_SQL)
+QUERIES["text_decontaminate"] = (text_decontaminate, TEXT_DECONTAM_SQL)
 
 from flink_table_store_spark.queries_extra import EXTRA_QUERIES  # noqa: E402
 

@@ -265,3 +265,56 @@ def test_text_index_bm25_search(spark, warehouse):
     create_text_index(spark, t, "idx", "body", "doc_id", n_buckets=8)
     got2 = text_search(spark, t, "idx", "sort", k=2).collect()
     assert got2[0].doc_id == 5
+
+
+def test_gopher_metrics_edges(spark):
+    from flink_table_store_spark.datapipe.text import gopher_metrics
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one"),  # single word: no 2-grams, no crash
+            (2, "the the the the the the"),  # fully repeated
+            (3, "a quick brown fox jumps over the lazy dog today"),
+            (4, "# # # # #"),  # all symbols
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in gopher_metrics(docs).collect()}
+    assert rows[1].n_words == 1 and rows[1].dup_2gram_frac == 0.0
+    assert not rows[1].gopher_keep  # too short
+    assert rows[2].dup_2gram_frac == 0.8  # 5 2-grams, 1 distinct
+    assert rows[2].frac_distinct_words == round(1 / 6, 4)
+    assert not rows[2].gopher_keep  # repetition rule
+    assert rows[3].gopher_keep
+    assert rows[4].frac_alpha_words == 0.0 and not rows[4].gopher_keep
+
+
+def test_contamination_counts(spark):
+    from flink_table_store_spark.datapipe.text import (
+        contamination_counts,
+        word_ngrams,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "xx alpha beta gamma delta epsilon zeta eta yy"),
+            (3, "nothing in common here at all whatsoever today"),
+        ],
+        "doc_id bigint, text string",
+    )
+    probes = (
+        docs.where(F.col("doc_id") == 1)
+        .select(F.explode(word_ngrams("text", 7)).alias("probe"))
+        .distinct()
+    )
+    got = {
+        r.probe: r.n_docs
+        for r in contamination_counts(docs.where(F.col("doc_id") != 1), probes).collect()
+    }
+    # doc 1 yields two 7-grams; the first also appears inside doc 2
+    assert got == {
+        "alpha beta gamma delta epsilon zeta eta": 1,
+        "beta gamma delta epsilon zeta eta theta": 0,
+    }
