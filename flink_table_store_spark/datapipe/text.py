@@ -190,6 +190,7 @@ def contamination_counts(
     probes: DataFrame,
     text_col: str = "text",
     probe_col: str = "probe",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-probe count of corpus documents containing the probe n-gram
     as an exact substring — benchmark-decontamination (the check run
@@ -204,7 +205,7 @@ def contamination_counts(
         corpus, F.expr(f"contains(__corpus.{text_col}, {probe_col})"), "left"
     )
     return joined.groupBy(probe_col).agg(
-        F.count(F.col("__corpus.doc_id")).alias("n_docs")
+        F.count(F.col(f"__corpus.{id_col}")).alias("n_docs")
     )
 
 

@@ -120,7 +120,12 @@ def build_indexes(
     bitmap/BitmapFileIndexFactory.java:29 +
     CoreOptions ``file-index.in-manifest-threshold``.
     """
-    df = spark.read.format(fmt).load(staging)
+    try:
+        df = spark.read.format(fmt).load(staging)
+    except Exception:
+        # an empty write stages no data files (only _SUCCESS): nothing
+        # to index, and schema inference has nothing to read
+        return {}
     bloom_cols = [c for c in bloom_cols if c in df.columns]
     bitmap_cols = [c for c in bitmap_cols if c in df.columns]
     if not bloom_cols and not bitmap_cols:

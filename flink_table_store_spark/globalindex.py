@@ -83,6 +83,7 @@ def create_global_index(
     sample_fraction: float = 1.0,
     pq_m: int = 8,
     pq_ksub: int = 256,
+    pq_train_rows: int = 50_000,
 ) -> dict:
     """Train the quantizer and build cell-partitioned posting lists for
     the table's latest snapshot. Re-running replaces the index.
@@ -118,16 +119,22 @@ def create_global_index(
         "centroids": centroids,
     }
 
+    key_t = {f.name: f.dataType.simpleString() for f in df.schema.fields}[key_col]
+
     if index_type == "ivf":
         postings = assigned.select("key", "cell")
     else:
         import numpy as np
 
+        # PQ codebooks train on a BOUNDED driver-side sample: cap at
+        # pq_train_rows regardless of sample_fraction so a 10^8-vector
+        # corpus never materializes raw vectors on the driver (FAISS
+        # likewise trains on ~10^4-10^5 points per codebook)
+        n_rows = assigned.count()
+        frac = min(sample_fraction, pq_train_rows / max(n_rows, 1), 1.0)
         sample = [
             (r["__v"], r["cell"])
-            for r in (
-                assigned if sample_fraction >= 1.0 else assigned.sample(sample_fraction, seed=7)
-            )
+            for r in (assigned if frac >= 1.0 else assigned.sample(frac, seed=7))
             .select("__v", "cell")
             .collect()
         ]
@@ -167,7 +174,7 @@ def create_global_index(
                 )
 
         postings = assigned.mapInPandas(
-            _encode, "key bigint, cell int, code binary, vnorm double"
+            _encode, f"key {key_t}, cell int, code binary, vnorm double"
         )
 
     pdir = _postings_dir(table.path, index_name)
@@ -280,8 +287,10 @@ def vector_search(
                         {"__qid": qid, "__cid": grp["key"].to_numpy(), "approx": approx}
                     )
 
+        qid_t = queries.schema[query_id_col].dataType.simpleString()
+        cid_t = corpus.schema["__cid"].dataType.simpleString()
         adc = q.join(postings, "cell").mapInPandas(
-            _adc, "__qid bigint, __cid bigint, approx double"
+            _adc, f"__qid {qid_t}, __cid {cid_t}, approx double"
         )
         w0 = Window.partitionBy("__qid").orderBy(
             F.col("approx").desc_nulls_last(), F.col("__cid").asc()

@@ -212,8 +212,30 @@ class ManifestManager:
             )
             .where(F.col("net") > 0)
         )
-        live = df.where(F.col("kind") == KIND_ADD).dropDuplicates(key).join(
-            net, key, "left_semi"
+        # keep the LATEST ADD per key, not an arbitrary one: a commit can
+        # DELETE+ADD the same file_name with refreshed stats/index
+        # pointers (rewrite_file_index), and the driver's sequential dict
+        # merge keeps the last-seen entry. Order = (manifest position in
+        # the commit-ordered list, row position inside the manifest).
+        from pyspark.sql import Window
+
+        order_df = F.broadcast(
+            spark.createDataFrame(
+                [(n, i) for i, n in enumerate(names)], "__mf_name string, __mf_idx int"
+            )
+        )
+        w = Window.partitionBy(*key).orderBy(F.desc("__mf_idx"), F.desc("__row_idx"))
+        live = (
+            df.withColumn(
+                "__mf_name", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+            )
+            .withColumn("__row_idx", F.col("_metadata.row_index"))
+            .where(F.col("kind") == KIND_ADD)
+            .join(order_df, "__mf_name", "left")
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__mf_name", "__mf_idx", "__row_idx", "__rn")
+            .join(net, key, "left_semi")
         )
 
         shippable = False

@@ -284,8 +284,12 @@ def fold_aggregation(pdf, key_cols: list[str], cfg: dict, seqc: str, kindc: str)
         else pd.DataFrame(index=ups_ord.index)
     )
     if cfg.get("remove_on_delete"):
+        # keep when the key has NO -D row at all (merge_view's left join
+        # yields NULL __del_seq → kept, even for all-retract groups), or
+        # when an upsert postdates the latest -D
         del_ord = gb["__del_ord"].max()
-        merged = merged[(ups_ord > del_ord).reindex(merged.index, fill_value=True)]
+        keep = (del_ord < 0) | (ups_ord > del_ord)
+        merged = merged[keep.reindex(merged.index, fill_value=True)]
     merged.index.names = list(key_cols)
     return merged.reset_index()
 
@@ -451,6 +455,15 @@ def join_bucketed(
                 f"local aggregation requires group_by ⊇ the left bucket keys "
                 f"{lkeys} — any other grouping spans buckets and needs a shuffle"
             )
+        if how not in ("inner", "left"):
+            # right/outer produce rows with NULL left keys (unmatched
+            # right rows); those all fall in one logical group but are
+            # scattered across buckets, so per-bucket aggregation would
+            # emit duplicate partial groups
+            raise ValueError(
+                "local aggregation supports how='inner'/'left' only — "
+                f"{how!r} joins emit NULL-left-key groups that span buckets"
+            )
         _INT_T = ("tinyint", "smallint", "int", "integer", "bigint", "long")
 
         def _agg_type(func: str, col: str) -> str:
@@ -568,8 +581,12 @@ def join_bucketed(
                 # effective sequence = (sequence.field cols, _SEQUENCE_
                 # NUMBER); after the stable sort, row position IS the
                 # sequence, so cross-frame comparisons use __ord.
+                # na_position='first': merge_view orders by a struct of
+                # (sequence.field cols, seq) and Spark ranks NULL lowest
+                # (oldest); pandas defaults to NULL-last (newest), which
+                # would let a NULL-versioned row win
                 pdf = pdf.sort_values(
-                    spec["seq_fields"] + [seqc], kind="stable"
+                    spec["seq_fields"] + [seqc], kind="stable", na_position="first"
                 ).reset_index(drop=True)
                 if spec["engine"] in ("deduplicate", "first-row"):
                     keep = "last" if spec["engine"] == "deduplicate" else "first"
@@ -643,6 +660,10 @@ def join_bucketed(
                         parts[name] = g.size()
                     elif func == "mean":
                         parts[name] = g[col].mean()
+                    elif func == "sum":
+                        # min_count=1: an all-null group sums to NULL
+                        # (Spark semantics), not pandas' default 0
+                        parts[name] = g[col].sum(min_count=1)
                     else:
                         parts[name] = getattr(g[col], func)()
                 yield pd.concat(parts, axis=1).reset_index().reindex(

@@ -303,17 +303,22 @@ def _read_rowgroups(
     table_path: str,
     items: list[tuple[ManifestEntry, list[int]]],
     schema: TableSchema,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """Selective parquet scan: each task reads ONLY the chosen row
     groups of its file via pyarrow — the IO-skipping half of the
     reference's in-file range-bitmap pruning. One spec row per file,
-    partition values re-attached from the manifest entry."""
+    partition values re-attached from the manifest entry. ``columns``
+    restricts the pyarrow read to the projection ∪ predicate set so a
+    2-column query over a wide table pays 2 columns of IO, matching
+    the column pruning Catalyst gives the normal scan path."""
     import json as _json
 
+    sel_fields = [f for f in schema.fields if columns is None or f.name in columns]
     pt_types = {k: schema.field(k).type for k in schema.partition_keys}
-    stored = [f.name for f in schema.fields if f.name not in schema.partition_keys]
-    field_order = schema.field_names()
-    ddl = ", ".join(f"`{f.name}` {f.type}" for f in schema.fields)
+    stored = [f.name for f in sel_fields if f.name not in schema.partition_keys]
+    field_order = [f.name for f in sel_fields]
+    ddl = ", ".join(f"`{f.name}` {f.type}" for f in sel_fields)
     specs = [
         (
             _json.dumps(
@@ -348,7 +353,8 @@ def _read_rowgroups(
                 )
                 out = tbl.to_pandas()
                 for k, v in d["partition"].items():
-                    out[k] = _typed_partition(v, pt_types[k])
+                    if k in field_order:
+                        out[k] = _typed_partition(v, pt_types[k])
                 yield out[field_order]
 
     return base.mapInPandas(_run, ddl)
@@ -402,7 +408,17 @@ def build_dataframe(
 
     parts: list[DataFrame] = []
     if rg_items:
-        parts.append(_read_rowgroups(spark, table_path, rg_items, schema))
+        # prune the pyarrow read to projection ∪ predicate columns (the
+        # union's residual filter still needs the predicate columns);
+        # unionByName(allowMissingColumns) null-fills the rest, which the
+        # final .select(projection) drops
+        need: list[str] | None = None
+        if projection:
+            pfields = predicate.fields()
+            if pfields is not None:
+                wanted = set(projection) | set(pfields)
+                need = [c for c in schema.field_names() if c in wanted]
+        parts.append(_read_rowgroups(spark, table_path, rg_items, schema, need))
     if raw is not None:
         if pk and not keep_system_cols:
             raw = raw.select(*out_fields)

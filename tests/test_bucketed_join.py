@@ -501,3 +501,115 @@ def test_bucketed_join_local_aggregation_no_exchange(spark, warehouse):
             on=[("o_custkey", "c_custkey")],
             group_by=["c_seg"], agg={"n": ("count", "")},
         )
+
+
+def test_bucketed_join_null_sequence_field_matches_merge_view(spark, warehouse):
+    """NULL sequence.field values rank LOWEST (oldest) in merge_view's
+    struct ordering; the pandas local merge must agree (na_position)."""
+    ddl = "k bigint, ver bigint, v string"
+    t1 = warehouse.create_table(
+        "db.bjnullseq",
+        ddl,
+        primary_keys=["k"],
+        options={"bucket": "2", "sequence.field": "ver"},
+    )
+    t1.write(spark.createDataFrame([(1, 5, "A"), (2, 1, "x")], ddl))
+    t1.write(spark.createDataFrame([(1, None, "B"), (2, 2, "y")], ddl))
+    t2 = warehouse.create_table(
+        "db.bjnullseq_dim", "k bigint, s string", primary_keys=["k"], options={"bucket": "2"}
+    )
+    t2.write(spark.createDataFrame([(1, "d1"), (2, "d2")], "k bigint, s string"))
+    t1, t2 = t1.refresh(), t2.refresh()
+    got = sorted(
+        map(tuple, join_bucketed(spark, t1, t2, on=[("k", "k")]).collect())
+    )
+    mor = t1.to_df(spark)
+    expected = sorted(
+        map(tuple, mor.join(t2.to_df(spark), "k").select("k", "ver", "v", "s").collect())
+    )
+    assert got == expected
+    assert ("1", ) not in got  # sanity
+    # the ver=5 row must win over the later NULL-versioned write
+    assert any(r[0] == 1 and r[2] == "A" for r in got)
+
+
+def test_bucketed_join_local_sum_all_null_group_is_null(spark, warehouse):
+    """Left join + local sum over a key with no right match: NULL, not 0
+    (Spark sum semantics)."""
+    orders = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 20, 7.0)],
+        "o_custkey bigint, o_orderkey bigint, o_total double",
+    )
+    cust = spark.createDataFrame([(1, 3.0)], "c_custkey bigint, c_bonus double")
+    to = warehouse.create_table(
+        "db.bjnull_ord",
+        orders.schema,
+        primary_keys=["o_custkey", "o_orderkey"],
+        options={"bucket": "2", "bucket-key": "o_custkey"},
+    )
+    to.write(orders)
+    tc = warehouse.create_table(
+        "db.bjnull_cust",
+        cust.schema,
+        primary_keys=["c_custkey"],
+        options={"bucket": "2"},
+    )
+    tc.write(cust)
+    got = {
+        r.o_custkey: r.bonus_sum
+        for r in join_bucketed(
+            spark,
+            to.refresh(),
+            tc.refresh(),
+            on=[("o_custkey", "c_custkey")],
+            how="left",
+            group_by=["o_custkey"],
+            agg={"bonus_sum": ("sum", "c_bonus")},
+        ).collect()
+    }
+    assert got[1] == 3.0
+    assert got[2] is None  # unmatched: NULL, never 0
+
+    # right/outer + group_by: NULL-left-key groups span buckets → reject
+    import pytest
+
+    with pytest.raises(ValueError, match="inner.*left|left.*inner"):
+        join_bucketed(
+            spark,
+            to.refresh(),
+            tc.refresh(),
+            on=[("o_custkey", "c_custkey")],
+            how="outer",
+            group_by=["o_custkey"],
+            agg={"n": ("count", "")},
+        )
+
+
+def test_fold_aggregation_all_retract_group_kept_with_remove_on_delete():
+    """A key whose bucket holds ONLY -U retract rows must survive
+    remove-record-on-delete (merge_view keeps it with null aggregates)."""
+    import pandas as pd
+
+    from flink_table_store_spark.operators.bucketed_join import fold_aggregation
+
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1, 2],
+            "n": [5, 3, 7],
+            "__seq": [1, 2, 3],
+            "__kind": ["-U", "-U", "+I"],
+        }
+    )
+    cfg = {
+        "funcs": {"n": "sum"},
+        "ignore_retract": set(),
+        "types": {"n": "bigint"},
+        "k": {},
+        "default": "sum",
+        "remove_on_delete": True,
+    }
+    out = fold_aggregation(pdf, ["k"], cfg, "__seq", "__kind")
+    got = {r.k: r.n for r in out.itertuples()}
+    assert set(got) == {1, 2}  # key 1 NOT dropped
+    assert got[1] == -8.0  # retracts subtract
+    assert got[2] == 7

@@ -304,3 +304,19 @@ def test_rowgroup_value_sets_prune_inside_files(spark, warehouse):
     # a fully-prunable predicate drops the file with an empty selection
     assert fileindex.rowgroup_selection(t.path, e, P.equal("seg", 99)) == []
     assert t.to_df(spark, predicate=P.equal("seg", 99)).count() == 0
+
+
+def test_empty_write_to_indexed_table(spark, warehouse):
+    """An empty batch into a bloom/bitmap-indexed table stages no data
+    files; the index build must no-op instead of failing schema
+    inference on the empty staging dir."""
+    t = warehouse.create_table(
+        "db.empty_idx",
+        "k bigint, v string",
+        options={"file-index.bloom-filter.columns": "k"},
+    )
+    df = spark.createDataFrame([(1, "a")], "k bigint, v string")
+    t.write(df.limit(0))  # must not raise
+    t.write(df)
+    t.write(df.limit(0))
+    assert t.refresh().to_df(spark).count() == 1

@@ -119,3 +119,25 @@ def test_ivfpq_recall_and_size(spark, warehouse):
     n_rows = emb.count()
     raw_bytes = n_rows * 64 * 4
     assert postings_bytes <= 0.25 * raw_bytes, (postings_bytes, raw_bytes)
+
+
+def test_ivfpq_non_bigint_key(spark, warehouse):
+    """IVFPQ postings/ADC schemas derive the key type from the table —
+    string-keyed tables index and search like bigint-keyed ones."""
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet")).select(
+        F.concat(F.lit("doc-"), F.col("vec_id")).alias("doc_key"), "embedding"
+    )
+    t = warehouse.create_table("db.emb_strkey", emb.schema)
+    t.write(emb)
+    t = t.refresh()
+    call(
+        spark, warehouse, "create_global_index",
+        table="db.emb_strkey", index_name="pq_str", column="embedding",
+        key_col="doc_key", index_type="ivfpq", n_cells=4, pq_m=4,
+    )
+    queries = emb.limit(3).select(
+        F.col("doc_key").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = vector_search(spark, t, "pq_str", queries, k=1, nprobe=4).collect()
+    # exact self-match at rank 1 survives PQ because of the exact re-rank
+    assert {r["query_id"] for r in got} == {r["doc_key"] for r in got}

@@ -170,6 +170,13 @@ def test_distributed_manifest_planning_matches_driver(spark, warehouse, monkeypa
     assert sorted(e.key() for e in driver_entries) == sorted(
         e.key() for e in dist_entries
     )
+    # payload parity, not just keys: after rewrite_file_index a key has
+    # TWO ADD records in history (pre- and post-rewrite stats/index
+    # pointers); distributed planning must keep the LATEST like the
+    # driver's dict merge, or scans plan with stale index metadata
+    drv = {e.key(): (e.level, e.row_count, e.stats) for e in driver_entries}
+    dst = {e.key(): (e.level, e.row_count, e.stats) for e in dist_entries}
+    assert drv == dst
 
     expect = sorted(
         (j + 10 * i, f"p{j % 2}", float(j))
@@ -201,15 +208,18 @@ def test_distributed_liveness_matches_driver_randomized(spark, tmp_path):
         mm = ManifestManager(str(root))
         live: set[tuple] = set()
         manifests: list[str] = []
-        mk = lambda pt, b, fn, kind: ManifestEntry(
-            kind=kind,
-            partition={"p": pt},
-            bucket=b,
-            level=0,
-            file_name=fn,
-            row_count=1,
-            file_size=10,
-        )
+        gen = [0]  # distinct row_count per ADD: latest-wins is observable
+        def mk(pt, b, fn, kind):
+            gen[0] += 1
+            return ManifestEntry(
+                kind=kind,
+                partition={"p": pt},
+                bucket=b,
+                level=0,
+                file_name=fn,
+                row_count=gen[0],
+                file_size=10,
+            )
         n_files = 0
         for _commit in range(12):
             entries: list[ManifestEntry] = []
@@ -234,6 +244,11 @@ def test_distributed_liveness_matches_driver_randomized(spark, tmp_path):
         driver = mm.read_live_entries(base_list, delta_list)
         dist = mm.live_entries_distributed(spark, base_list, delta_list)
         assert sorted(e.key() for e in driver) == sorted(e.key() for e in dist), seed
+        # full-payload parity: on DELETE+re-ADD histories the surviving
+        # entry must be the LATEST add (distinct row_count proves it)
+        assert {e.key(): e.row_count for e in driver} == {
+            e.key(): e.row_count for e in dist
+        }, seed
         assert {e.key() for e in driver} == {
             ("{" + f'"p": "{pt}"' + "}", b, fn) for pt, b, fn in live
         }
