@@ -23,6 +23,8 @@ import json
 import os
 import shutil
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -33,6 +35,47 @@ from flink_table_store_spark.datapipe.similarity import (
 )
 
 _INDEX_DIR = "index"
+# repo root for executor-side package bootstrap in probe UDFs
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _probe_cells(vec_col, centroids, graph, nprobe: int, ef: int = 64):
+    """Column of the ``nprobe`` nearest cell ids for a vector column.
+
+    Flat path: the exact unrolled-literal arg-sort (JVM-side) — right
+    for small cell counts. HNSW path: an Arrow-batched UDF walking the
+    centroid graph (datapipe/hnsw.py) — O(M·ef·log n_cells) per row
+    instead of O(n_cells), and the Catalyst plan stays O(1) instead of
+    embedding every centroid as a literal. The crossover is
+    hnsw.HNSW_THRESHOLD cells (FAISS IVF*_HNSW does exactly this)."""
+    if graph is None:
+        return nearest_cells(vec_col, centroids, nprobe)
+    from pyspark.sql.functions import pandas_udf
+
+    pkg_root = _PKG_ROOT
+    eff = max(ef, nprobe)
+
+    @pandas_udf("array<int>")
+    def _probe(vs: pd.Series) -> pd.Series:
+        import sys as _sys
+
+        if pkg_root not in _sys.path:
+            _sys.path.insert(0, pkg_root)
+        import numpy as _np
+
+        from flink_table_store_spark.datapipe import hnsw as _h
+
+        cents = _np.asarray(centroids, dtype=_np.float32)
+        return vs.map(
+            lambda v: [
+                int(x)
+                for x in _h.search(
+                    graph, cents, _np.asarray(v, dtype=_np.float32), k=nprobe, ef=eff
+                )
+            ]
+        )
+
+    return _probe(vec_col)
 
 
 def _meta_path(table_path: str, name: str) -> str:
@@ -84,6 +127,7 @@ def create_global_index(
     pq_m: int = 8,
     pq_ksub: int = 256,
     pq_train_rows: int = 50_000,
+    coarse: str = "auto",
 ) -> dict:
     """Train the quantizer and build cell-partitioned posting lists for
     the table's latest snapshot. Re-running replaces the index.
@@ -97,6 +141,8 @@ def create_global_index(
     re-ranks a small refined set, so recall stays near-IVF."""
     if index_type not in ("ivf", "ivfpq"):
         raise ValueError(f"unsupported index type {index_type!r} (have: ivf, ivfpq)")
+    if coarse not in ("auto", "flat", "hnsw"):
+        raise ValueError(f"unsupported coarse quantizer {coarse!r} (auto/flat/hnsw)")
     snap = table.snapshots.latest()
     if snap is None:
         raise RuntimeError("table has no snapshot to index")
@@ -104,10 +150,16 @@ def create_global_index(
     train = df if sample_fraction >= 1.0 else df.sample(sample_fraction, seed=42)
     centroids = train_ivf_centroids(train, n_cells=n_cells, vec_col=column)
 
+    from flink_table_store_spark.datapipe import hnsw as _hnsw
+
+    graph = None
+    if coarse == "hnsw" or (coarse == "auto" and n_cells >= _hnsw.HNSW_THRESHOLD):
+        graph = _hnsw.build(centroids)
+
     assigned = df.select(
         F.col(key_col).alias("key"),
         F.col(column).alias("__v"),
-        nearest_cells(F.col(column), centroids, 1)[0].alias("cell"),
+        _probe_cells(F.col(column), centroids, graph, 1)[0].alias("cell"),
     )
     meta = {
         "name": index_name,
@@ -118,6 +170,8 @@ def create_global_index(
         "snapshot_id": snap.id,
         "centroids": centroids,
     }
+    if graph is not None:
+        meta["hnsw"] = graph
 
     key_t = {f.name: f.dataType.simpleString() for f in df.schema.fields}[key_col]
 
@@ -204,6 +258,8 @@ def list_global_indexes(table) -> list[dict]:
                 with open(os.path.join(idx_dir, fn)) as f:
                     m = json.load(f)
                 m.pop("centroids", None)  # keep listings small
+                m.pop("hnsw", None)
+                m.pop("pq_codebooks", None)
                 out.append(m)
     return out
 
@@ -235,7 +291,9 @@ def vector_search(
     q = queries.select(
         F.col(query_id_col).alias("__qid"),
         F.col(query_vec_col).alias("__qv"),
-        F.explode(nearest_cells(F.col(query_vec_col), centroids, nprobe)).alias("cell"),
+        F.explode(
+            _probe_cells(F.col(query_vec_col), centroids, meta.get("hnsw"), nprobe)
+        ).alias("cell"),
     )
     # partition-pruned posting scan: Catalyst prunes cell=N dirs via the
     # join's dynamic partition pruning / IN-filter on the small side

@@ -141,3 +141,47 @@ def test_ivfpq_non_bigint_key(spark, warehouse):
     got = vector_search(spark, t, "pq_str", queries, k=1, nprobe=4).collect()
     # exact self-match at rank 1 survives PQ because of the exact re-rank
     assert {r["query_id"] for r in got} == {r["doc_key"] for r in got}
+
+
+def test_hnsw_graph_recall_and_serialization():
+    """datapipe/hnsw.py: graph search ≈ exact nearest centroids, and the
+    graph roundtrips through JSON (it ships inside the index meta)."""
+    import json
+
+    import numpy as np
+
+    from flink_table_store_spark.datapipe import hnsw
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((600, 16)).astype("float32")
+    g = json.loads(json.dumps(hnsw.build(vecs, M=12, ef_construction=80)))
+    hits = 0
+    for q in rng.standard_normal((60, 16)).astype("float32"):
+        exact = int(((vecs - q) ** 2).sum(axis=1).argmin())
+        got = hnsw.search(g, vecs, q, k=1, ef=48)
+        hits += got[0] == exact
+    assert hits / 60 >= 0.9  # near-exact 1-NN through the graph
+    # empty graph is valid
+    assert hnsw.search(hnsw.build([]), [], [0.0], k=1) == []
+
+
+def test_hnsw_coarse_quantizer_index(spark, warehouse):
+    """coarse='hnsw' probes cells through the centroid graph end-to-end;
+    with nprobe = n_cells recall is governed only by graph probing, so
+    top-1 self-match must survive."""
+    t, emb = _emb_table(spark, warehouse)
+    meta = call(
+        spark, warehouse, "create_global_index",
+        table="db.emb", index_name="emb_hnsw", column="embedding",
+        key_col="vec_id", n_cells=8, coarse="hnsw",
+    )
+    assert "hnsw" in meta and meta["hnsw"]["entry"] >= 0
+    # listings stay slim: no graph / codebooks / centroids payloads
+    listed = [m for m in list_global_indexes(t) if m["name"] == "emb_hnsw"][0]
+    assert "hnsw" not in listed and "centroids" not in listed
+    queries = emb.limit(4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = vector_search(spark, t, "emb_hnsw", queries, k=1, nprobe=8).collect()
+    assert {r["query_id"] for r in got} == {r["vec_id"] for r in got}
+    call(spark, warehouse, "drop_global_index", table="db.emb", index_name="emb_hnsw")
