@@ -32,7 +32,7 @@ _REF = re.compile(
 )
 _TVF = re.compile(
     r"(?i)\b(paimon_incremental_query|paimon_incremental_between_timestamp|"
-    r"paimon_incremental_to_auto_tag)\s*\(([^()]*)\)"
+    r"paimon_incremental_to_auto_tag|paimon_bucketed_join)\s*\(([^()]*)\)"
 )
 _KEYWORDS = {
     "select", "values", "unnest", "lateral", "table", "range",
@@ -224,7 +224,20 @@ class SqlSession:
             fn = m.group(1).lower()
             args = [_literal(a) for a in m.group(2).split(",")]
             t = self.catalog.get_table(str(args[0]))
-            if fn == "paimon_incremental_query":
+            if fn == "paimon_bucketed_join":
+                # zero-shuffle co-located join as a table reference:
+                # SELECT ... FROM paimon_bucketed_join('db.a','db.b'[,'how'])
+                # — the SQL-surface door to the storage-partitioned join
+                # (the reference gets this implicitly via DSv2
+                # KeyGroupedPartitioning, PaimonScan.scala:139)
+                from flink_table_store_spark.operators.bucketed_join import (
+                    join_bucketed,
+                )
+
+                right = self.catalog.get_table(str(args[1]))
+                how = str(args[2]) if len(args) > 2 else "inner"
+                df = join_bucketed(self.spark, t, right, how=how)
+            elif fn == "paimon_incremental_query":
                 df = t.incremental_read(self.spark, int(args[1]), int(args[2]))
             elif fn == "paimon_incremental_between_timestamp":
                 df = t.incremental_read_between_timestamps(

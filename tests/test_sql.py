@@ -124,3 +124,45 @@ def test_condition_parser_prunes(spark, warehouse):
     assert p.fields() == {"pt", "k"}
     # complex conditions degrade to Raw (still correct, not prunable)
     assert parse_condition("k + 1 = 2 OR v LIKE 'a%'").fields() is None
+
+
+def test_sql_bucketed_join_tvf(spark, warehouse):
+    """SELECT over paimon_bucketed_join('a','b'): the co-located join
+    runs shuffle-free under ordinary SQL (filters/aggregates compose)."""
+    from flink_table_store_spark.sql import SqlSession
+
+    orders = spark.createDataFrame(
+        [(k % 5 + 1, k, float(k)) for k in range(25)],
+        "o_custkey bigint, o_orderkey bigint, o_total double",
+    )
+    cust = spark.createDataFrame(
+        [(k, f"n{k}") for k in range(1, 6)], "c_custkey bigint, c_name string"
+    )
+    to = warehouse.create_table(
+        "db.sqlbj_o",
+        orders.schema,
+        primary_keys=["o_custkey", "o_orderkey"],
+        options={"bucket": "2", "bucket-key": "o_custkey"},
+    )
+    to.write(orders)
+    tc = warehouse.create_table(
+        "db.sqlbj_c", cust.schema, primary_keys=["c_custkey"], options={"bucket": "2"}
+    )
+    tc.write(cust)
+    s = SqlSession(spark, warehouse)
+    got = s.sql(
+        "SELECT c_name, count(*) AS n, sum(o_total) AS total "
+        "FROM paimon_bucketed_join('db.sqlbj_o', 'db.sqlbj_c') "
+        "WHERE o_orderkey >= 5 GROUP BY c_name ORDER BY c_name"
+    )
+    exp = (
+        orders.where("o_orderkey >= 5")
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_total").alias("total"))
+        .orderBy("c_name")
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in exp.collect()]
+    # the join itself contributes no Exchange; only the GROUP BY shuffles
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
