@@ -294,6 +294,122 @@ def fold_aggregation(pdf, key_cols: list[str], cfg: dict, seqc: str, kindc: str)
     return merged.reset_index()
 
 
+def _make_spec(schema, buckets, dv, maps, sel_cols, jkeys) -> dict:
+    """Everything one bucket task needs about one table side, as a plain
+    picklable dict (shipped into the mapInPandas closure)."""
+    key_cols = list(schema.partition_keys) + schema.trimmed_primary_keys()
+    seq_fields = [
+        c.strip()
+        for c in schema.options.get("sequence.field", "").split(",")
+        if c.strip()
+    ]
+    pk = bool(schema.primary_keys)
+    engine = schema.options.get("merge-engine", "deduplicate")
+    return {
+        "buckets": buckets,
+        "dv": dv,
+        "maps": maps,
+        "pk": pk,
+        "engine": engine,
+        "agg_cfg": _agg_cfg(schema) if engine == "aggregation" else None,
+        "key_cols": key_cols,
+        "seq_fields": seq_fields,
+        "partition_keys": list(schema.partition_keys),
+        # merge keys + user sequence columns must be read even when
+        # not selected (the local merge orders/groups by them)
+        "need": list(
+            dict.fromkeys(
+                list(sel_cols) + jkeys + ((key_cols + seq_fields) if pk else [])
+            )
+        ),
+        "out_need": list(dict.fromkeys(list(sel_cols) + jkeys)),
+    }
+
+
+def read_bucket_side(spec: dict, bucket: int, seqc: str, kindc: str):
+    """Read + locally merge ONE table side's bucket (executor-side).
+    Returns a pandas frame of ``spec["out_need"]`` columns, or None when
+    the bucket holds no files. Applies deletion vectors scoped to the
+    bucket's files, schema-evolution field maps, and the table's merge
+    engine (deduplicate / first-row / partial-update / aggregation)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    dels = (
+        dv_positions_for(
+            spec["dv"],
+            [os.path.basename(f["path"]) for f in spec["buckets"].get(bucket, [])],
+        )
+        if spec["dv"]
+        else {}
+    )
+    frames = []
+    for f in spec["buckets"].get(bucket, []):
+        fmap = spec["maps"].get(f["schema_id"], {})
+        stored = {}  # out_name -> stored name (None = null-fill)
+        for c in spec["need"]:
+            if c in spec["partition_keys"]:
+                continue
+            stored[c] = fmap.get(c, c)
+        cols = [s for s in stored.values() if s is not None]
+        if spec["pk"]:
+            cols += [seqc, kindc]
+        tbl = pq.read_table(f["path"], columns=list(dict.fromkeys(cols)))
+        pdf = tbl.to_pandas()
+        d = dels.get(os.path.basename(f["path"]))
+        if d:
+            pdf = pdf[~pdf.index.isin(d)]
+        out = pd.DataFrame(index=pdf.index)
+        for c, s in stored.items():
+            out[c] = pdf[s] if s is not None else None
+        for k, v in f["partition"].items():
+            if k in spec["need"] or k in spec["key_cols"]:
+                out[k] = v
+        if spec["pk"]:
+            out[seqc] = pdf[seqc]
+            out[kindc] = pdf[kindc]
+        frames.append(out)
+    if not frames:
+        return None
+    pdf = pd.concat(frames, ignore_index=True)
+    if spec["pk"]:
+        # local merge, same semantics as merge_engines.merge_view:
+        # effective sequence = (sequence.field cols, _SEQUENCE_NUMBER);
+        # after the stable sort, row position IS the sequence.
+        # na_position='first': merge_view orders by a struct of
+        # (sequence.field cols, seq) and Spark ranks NULL lowest
+        # (oldest); pandas defaults to NULL-last (newest), which would
+        # let a NULL-versioned row win
+        pdf = pdf.sort_values(
+            spec["seq_fields"] + [seqc], kind="stable", na_position="first"
+        ).reset_index(drop=True)
+        if spec["engine"] in ("deduplicate", "first-row"):
+            keep = "last" if spec["engine"] == "deduplicate" else "first"
+            pdf = pdf.drop_duplicates(subset=spec["key_cols"], keep=keep)
+            pdf = pdf[pdf[kindc] != KIND_DELETE]
+        elif spec["engine"] == "aggregation":
+            pdf = fold_aggregation(pdf, spec["key_cols"], spec["agg_cfg"], seqc, kindc)
+        else:  # partial-update: per-column last non-null in order
+            pdf["__ord"] = range(len(pdf))
+            ups = pdf[pdf[kindc] != KIND_DELETE]
+            del_rows = pdf[pdf[kindc] == KIND_DELETE]
+            gb = ups.groupby(spec["key_cols"], sort=False, dropna=False)
+            merged = gb.last()  # pandas last() skips nulls per column
+            if len(del_rows):
+                # remove-record-on-delete: a -D that is the key's
+                # latest activity drops the record
+                del_ord = del_rows.groupby(
+                    spec["key_cols"], sort=False, dropna=False
+                )["__ord"].max()
+                merged = merged.join(del_ord.rename("__del_ord"), how="left")
+                merged = merged[
+                    merged["__del_ord"].isna() | (merged["__ord"] > merged["__del_ord"])
+                ]
+            pdf = merged.reset_index()
+    keep = [c for c in spec["out_need"] if c in pdf.columns]
+    return pdf[keep]
+
+
 def _typed_partition(raw: str | None, ddl: str):
     if raw is None:
         return None
@@ -486,37 +602,8 @@ def join_bucketed(
         ]
         out_schema = ", ".join(f"`{n}` {t}" for n, t in out_fields)
 
-    def _spec(schema, buckets, dv, maps, sel_cols, jkeys):
-        key_cols = list(schema.partition_keys) + schema.trimmed_primary_keys()
-        seq_fields = [
-            c.strip()
-            for c in schema.options.get("sequence.field", "").split(",")
-            if c.strip()
-        ]
-        pk = bool(schema.primary_keys)
-        engine = schema.options.get("merge-engine", "deduplicate")
-        return {
-            "buckets": buckets,
-            "dv": dv,
-            "maps": maps,
-            "pk": pk,
-            "engine": engine,
-            "agg_cfg": _agg_cfg(schema) if engine == "aggregation" else None,
-            "key_cols": key_cols,
-            "seq_fields": seq_fields,
-            "partition_keys": list(schema.partition_keys),
-            # merge keys + user sequence columns must be read even when
-            # not selected (the local merge orders/groups by them)
-            "need": list(
-                dict.fromkeys(
-                    list(sel_cols) + jkeys + ((key_cols + seq_fields) if pk else [])
-                )
-            ),
-            "out_need": list(dict.fromkeys(list(sel_cols) + jkeys)),
-        }
-
-    lspec = _spec(lschema, lbuckets, ldv, lmaps, left_cols, lkeys)
-    rspec = _spec(rschema, rbuckets, rdv, rmaps, right_cols, rkeys)
+    lspec = _make_spec(lschema, lbuckets, ldv, lmaps, left_cols, lkeys)
+    rspec = _make_spec(rschema, rbuckets, rdv, rmaps, right_cols, rkeys)
     join_keys = (list(lkeys), list(rkeys))
     out_names = [n for n, _t in out_fields]  # == join_names unless agg
     rename = dict(rename_right)
@@ -535,101 +622,18 @@ def join_bucketed(
         if pkg_root not in _sys.path:
             _sys.path.insert(0, pkg_root)
         import pandas as pd
-        import pyarrow.parquet as pq
 
         from flink_table_store_spark.operators.bucketed_join import (
-            dv_positions_for as _dvpos,
-        )
-        from flink_table_store_spark.operators.bucketed_join import (
-            fold_aggregation as _fold_agg,
+            read_bucket_side as _read_side,
         )
 
         seqc, kindc = SEQUENCE_NUMBER, VALUE_KIND
 
-        def _read_side(spec, bucket, dels):
-            frames = []
-            for f in spec["buckets"].get(bucket, []):
-                fmap = spec["maps"].get(f["schema_id"], {})
-                stored = {}  # out_name -> stored name (None = null-fill)
-                for c in spec["need"]:
-                    if c in spec["partition_keys"]:
-                        continue
-                    stored[c] = fmap.get(c, c)
-                cols = [s for s in stored.values() if s is not None]
-                if spec["pk"]:
-                    cols += [seqc, kindc]
-                tbl = pq.read_table(f["path"], columns=list(dict.fromkeys(cols)))
-                pdf = tbl.to_pandas()
-                d = dels.get(os.path.basename(f["path"]))
-                if d:
-                    pdf = pdf[~pdf.index.isin(d)]
-                out = pd.DataFrame(index=pdf.index)
-                for c, s in stored.items():
-                    out[c] = pdf[s] if s is not None else None
-                for k, v in f["partition"].items():
-                    if k in spec["need"] or k in spec["key_cols"]:
-                        out[k] = v
-                if spec["pk"]:
-                    out[seqc] = pdf[seqc]
-                    out[kindc] = pdf[kindc]
-                frames.append(out)
-            if not frames:
-                return None
-            pdf = pd.concat(frames, ignore_index=True)
-            if spec["pk"]:
-                # local merge, same semantics as merge_engines.merge_view:
-                # effective sequence = (sequence.field cols, _SEQUENCE_
-                # NUMBER); after the stable sort, row position IS the
-                # sequence, so cross-frame comparisons use __ord.
-                # na_position='first': merge_view orders by a struct of
-                # (sequence.field cols, seq) and Spark ranks NULL lowest
-                # (oldest); pandas defaults to NULL-last (newest), which
-                # would let a NULL-versioned row win
-                pdf = pdf.sort_values(
-                    spec["seq_fields"] + [seqc], kind="stable", na_position="first"
-                ).reset_index(drop=True)
-                if spec["engine"] in ("deduplicate", "first-row"):
-                    keep = "last" if spec["engine"] == "deduplicate" else "first"
-                    pdf = pdf.drop_duplicates(subset=spec["key_cols"], keep=keep)
-                    pdf = pdf[pdf[kindc] != KIND_DELETE]
-                elif spec["engine"] == "aggregation":
-                    pdf = _fold_agg(
-                        pdf, spec["key_cols"], spec["agg_cfg"], seqc, kindc
-                    )
-                else:  # partial-update: per-column last non-null in order
-                    pdf["__ord"] = range(len(pdf))
-                    ups = pdf[pdf[kindc] != KIND_DELETE]
-                    dels = pdf[pdf[kindc] == KIND_DELETE]
-                    gb = ups.groupby(spec["key_cols"], sort=False, dropna=False)
-                    merged = gb.last()  # pandas last() skips nulls per column
-                    if len(dels):
-                        # remove-record-on-delete: a -D that is the key's
-                        # latest activity drops the record
-                        del_ord = dels.groupby(
-                            spec["key_cols"], sort=False, dropna=False
-                        )["__ord"].max()
-                        merged = merged.join(del_ord.rename("__del_ord"), how="left")
-                        merged = merged[
-                            merged["__del_ord"].isna()
-                            | (merged["__ord"] > merged["__del_ord"])
-                        ]
-                    pdf = merged.reset_index()
-            keep = [c for c in spec["out_need"] if c in pdf.columns]
-            return pdf[keep]
-
         for pdf_in in batches:
             for b in pdf_in["id"].tolist():
                 b = int(b)
-                lbase = [
-                    os.path.basename(f["path"]) for f in lspec["buckets"].get(b, [])
-                ]
-                rbase = [
-                    os.path.basename(f["path"]) for f in rspec["buckets"].get(b, [])
-                ]
-                ldels = _dvpos(lspec["dv"], lbase) if lspec["dv"] else {}
-                rdels = _dvpos(rspec["dv"], rbase) if rspec["dv"] else {}
-                lpdf = _read_side(lspec, b, ldels)
-                rpdf = _read_side(rspec, b, rdels)
+                lpdf = _read_side(lspec, b, seqc, kindc)
+                rpdf = _read_side(rspec, b, seqc, kindc)
                 l_empty = lpdf is None or lpdf.empty
                 r_empty = rpdf is None or rpdf.empty
                 if l_empty and (how in ("inner", "left") or r_empty):
@@ -671,4 +675,138 @@ def join_bucketed(
                 )
 
     base = spark.range(0, ln, 1, numPartitions=ln)
+    return base.mapInPandas(_run, out_schema)
+
+
+def join_bucketed_chain(
+    spark: SparkSession,
+    tables: list,
+    on: list[list[tuple[str, str]]] | None = None,
+    hows: list[str] | None = None,
+    cols: list[list[str] | None] | None = None,
+) -> DataFrame:
+    """N-way shuffle-free join of co-bucketed tables (star/chain shape):
+    ``tables[0]`` is the base; every other table joins to the BASE's
+    bucket keys. Because all tables share one bucket function and
+    count, bucket *b* of every table is mutually co-located, so ONE
+    task per bucket reads its slice of all N tables and chains local
+    hash-joins — the N-way generalization of the two-table elision
+    (reference: DSv2 KeyGroupedPartitioning makes ANY number of
+    co-bucketed Paimon scans exchange-free under Catalyst,
+    PaimonScan.scala:139; here the chain is explicit).
+
+    ``on[i]`` pairs base columns with ``tables[i+1]``'s bucket keys
+    (default: positional bucket-key pairing). ``hows[i]`` in
+    inner/left (default inner). ``cols[i]`` selects each table's
+    output columns; name collisions get a ``t{i}_`` prefix."""
+    if len(tables) < 2:
+        raise ValueError("join_bucketed_chain needs at least 2 tables")
+    n_sides = len(tables)
+    hows = hows or ["inner"] * (n_sides - 1)
+    if len(hows) != n_sides - 1:
+        raise ValueError("hows must have len(tables)-1 entries")
+    for h in hows:
+        if h not in ("inner", "left"):
+            raise ValueError(
+                f"unsupported how={h!r} in a chain (inner/left — a right/"
+                "outer side would spray NULL base keys across buckets)"
+            )
+    schemas = [t.schema for t in tables]
+    ns = [s.num_buckets() for s in schemas]
+    if any(x <= 0 for x in ns):
+        raise ValueError(f"chain needs fixed-bucket tables (got {ns})")
+    if len(set(ns)) != 1:
+        raise ValueError(f"bucket counts differ: {ns}")
+    base_keys = bucket_keys(schemas[0])
+    if on is None:
+        on = [list(zip(base_keys, bucket_keys(s))) for s in schemas[1:]]
+    for i, (s, pairs) in enumerate(zip(schemas[1:], on)):
+        if [p[0] for p in pairs] != base_keys or [p[1] for p in pairs] != bucket_keys(s):
+            raise ValueError(
+                f"join #{i + 1}: keys {pairs} must pair the base bucket keys "
+                f"{base_keys} with table bucket keys {bucket_keys(s)}"
+            )
+        bt = [schemas[0].field(k).type.lower() for k in base_keys]
+        st = [s.field(k).type.lower() for k in bucket_keys(s)]
+        if bt != st:
+            raise ValueError(f"join #{i + 1}: bucket key types differ: {bt} != {st}")
+    for s in schemas:
+        if s.primary_keys:
+            eng = s.options.get("merge-engine", "deduplicate")
+            if eng not in ("deduplicate", "first-row", "partial-update", "aggregation"):
+                raise ValueError(f"unsupported merge-engine {eng!r} in chain")
+            if eng == "aggregation":
+                _check_local_agg_funcs(s)
+            if any(k.endswith(".sequence-group") for k in s.options):
+                raise ValueError("sequence-group tables need compact() first")
+
+    cols = cols or [None] * n_sides
+    sel0 = cols[0] or schemas[0].field_names()
+    taken = set(sel0)
+    renames: list[dict[str, str]] = [{}]
+    sels: list[list[str]] = [list(sel0)]
+    out_fields = [(c, schemas[0].field(c).type) for c in sel0]
+    for i, s in enumerate(schemas[1:], start=1):
+        jkeys = [p[1] for p in on[i - 1]]
+        sel = cols[i] or [c for c in s.field_names() if c not in jkeys]
+        ren = {}
+        for c in sel + jkeys:
+            out_name = c if c not in taken else f"t{i}_{c}"
+            ren[c] = out_name
+            taken.add(out_name)
+        renames.append(ren)
+        sels.append(list(sel))
+        out_fields += [(ren[c], s.field(c).type) for c in sel]
+    out_schema = ", ".join(f"`{n}` {t}" for n, t in out_fields)
+    out_names = [n for n, _t in out_fields]
+
+    specs = []
+    for i, (t, s) in enumerate(zip(tables, schemas)):
+        buckets, dv, _ = _side_plan(t)
+        jk = base_keys if i == 0 else [p[1] for p in on[i - 1]]
+        specs.append(_make_spec(s, buckets, dv, _field_maps(t), sels[i], jk))
+    join_plan = [
+        {
+            "left_on": [p[0] for p in pairs],  # base column names
+            "right_on": [renames[i + 1].get(p[1], p[1]) for p in pairs],
+            "how": hows[i],
+        }
+        for i, pairs in enumerate(on)
+    ]
+    n_buckets = ns[0]
+    pkg_root = _PKG_ROOT
+
+    def _run(batches):
+        import sys as _sys
+
+        if pkg_root not in _sys.path:
+            _sys.path.insert(0, pkg_root)
+        import pandas as pd
+
+        from flink_table_store_spark.operators.bucketed_join import (
+            read_bucket_side as _read_side,
+        )
+
+        seqc, kindc = SEQUENCE_NUMBER, VALUE_KIND
+        for pdf_in in batches:
+            for b in pdf_in["id"].tolist():
+                b = int(b)
+                merged = _read_side(specs[0], b, seqc, kindc)
+                if merged is None or merged.empty:
+                    continue
+                for i in range(1, len(specs)):
+                    side = _read_side(specs[i], b, seqc, kindc)
+                    if side is None:
+                        side = pd.DataFrame(columns=specs[i]["out_need"])
+                    side = side.rename(columns=renames[i])
+                    jp = join_plan[i - 1]
+                    merged = merged.merge(
+                        side, how=jp["how"], left_on=jp["left_on"], right_on=jp["right_on"]
+                    )
+                    if merged.empty:
+                        break
+                if not merged.empty:
+                    yield merged.reindex(columns=out_names)
+
+    base = spark.range(0, n_buckets, 1, numPartitions=n_buckets)
     return base.mapInPandas(_run, out_schema)

@@ -226,17 +226,31 @@ class SqlSession:
             t = self.catalog.get_table(str(args[0]))
             if fn == "paimon_bucketed_join":
                 # zero-shuffle co-located join as a table reference:
-                # SELECT ... FROM paimon_bucketed_join('db.a','db.b'[,'how'])
+                # SELECT ... FROM paimon_bucketed_join('db.a','db.b'[,...,'how'])
                 # — the SQL-surface door to the storage-partitioned join
                 # (the reference gets this implicitly via DSv2
-                # KeyGroupedPartitioning, PaimonScan.scala:139)
+                # KeyGroupedPartitioning, PaimonScan.scala:139). Three or
+                # more table idents chain N-way (join_bucketed_chain); a
+                # trailing inner/left/right/outer literal sets `how`.
                 from flink_table_store_spark.operators.bucketed_join import (
                     join_bucketed,
+                    join_bucketed_chain,
                 )
 
-                right = self.catalog.get_table(str(args[1]))
-                how = str(args[2]) if len(args) > 2 else "inner"
-                df = join_bucketed(self.spark, t, right, how=how)
+                rest = [str(a) for a in args[1:]]
+                how = "inner"
+                if rest and rest[-1].lower() in ("inner", "left", "right", "outer"):
+                    how = rest.pop().lower()
+                if len(rest) == 1:
+                    df = join_bucketed(
+                        self.spark, t, self.catalog.get_table(rest[0]), how=how
+                    )
+                else:
+                    df = join_bucketed_chain(
+                        self.spark,
+                        [t] + [self.catalog.get_table(r) for r in rest],
+                        hows=[how] * len(rest),
+                    )
             elif fn == "paimon_incremental_query":
                 df = t.incremental_read(self.spark, int(args[1]), int(args[2]))
             elif fn == "paimon_incremental_between_timestamp":

@@ -613,3 +613,61 @@ def test_fold_aggregation_all_retract_group_kept_with_remove_on_delete():
     assert set(got) == {1, 2}  # key 1 NOT dropped
     assert got[1] == -8.0  # retracts subtract
     assert got[2] == 7
+
+
+def test_bucketed_join_chain_three_tables(spark, warehouse):
+    """N-way chain: one task per bucket reads its slice of ALL tables
+    and chains local joins — still zero Exchange."""
+    from flink_table_store_spark.operators.bucketed_join import join_bucketed_chain
+
+    orders = spark.createDataFrame(
+        [(k % 6 + 1, k, float(k)) for k in range(30)],
+        "o_custkey bigint, o_orderkey bigint, o_total double",
+    )
+    cust = spark.createDataFrame(
+        [(k, f"n{k}") for k in range(1, 7)], "c_custkey bigint, c_name string"
+    )
+    stats = spark.createDataFrame(
+        [(k, k * 1.5) for k in range(1, 5)], "s_custkey bigint, s_score double"
+    )
+    to = warehouse.create_table(
+        "db.ch_ord",
+        orders.schema,
+        primary_keys=["o_custkey", "o_orderkey"],
+        options={"bucket": "4", "bucket-key": "o_custkey"},
+    )
+    to.write(orders)
+    tc = warehouse.create_table(
+        "db.ch_cust", cust.schema, primary_keys=["c_custkey"], options={"bucket": "4"}
+    )
+    tc.write(cust)
+    ts = warehouse.create_table(
+        "db.ch_stats", stats.schema, primary_keys=["s_custkey"], options={"bucket": "4"}
+    )
+    ts.write(stats)
+
+    got = join_bucketed_chain(
+        spark,
+        [to.refresh(), tc.refresh(), ts.refresh()],
+        on=[[("o_custkey", "c_custkey")], [("o_custkey", "s_custkey")]],
+        hows=["inner", "left"],
+    )
+    expected = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
+        .join(stats, orders.o_custkey == stats.s_custkey, "left")
+        .select("o_custkey", "o_orderkey", "o_total", "c_name", "s_score")
+    )
+    assert sorted(
+        map(tuple, got.select(*expected.columns).collect())
+    ) == sorted(map(tuple, expected.collect()))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    import pytest
+
+    with pytest.raises(ValueError, match="inner/left"):
+        join_bucketed_chain(
+            spark, [to, tc, ts],
+            on=[[("o_custkey", "c_custkey")], [("o_custkey", "s_custkey")]],
+            hows=["inner", "outer"],
+        )
