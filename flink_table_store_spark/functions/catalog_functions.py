@@ -17,8 +17,12 @@ from __future__ import annotations
 import json
 import os
 
+import pandas as pd
+
 from pyspark.sql import Column, SparkSession
 from pyspark.sql import functions as F
+
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def bucket(num_buckets: int, *cols) -> Column:
@@ -123,3 +127,96 @@ def register_builtins(spark: SparkSession, num_buckets_default: int = 4) -> None
         "CREATE OR REPLACE TEMPORARY FUNCTION paimon_bucket(n INT, k BIGINT) "
         "RETURNS INT RETURN CAST(pmod(xxhash64(k), n) AS INT)"
     )
+    register_sketch_functions(spark)
+
+
+def register_sketch_functions(spark: SparkSession) -> None:
+    """Read/write helpers for serialized-sketch columns (the binary
+    rbm32/rbm64/theta_sketch aggregation fields, functions/sketches.py)
+    as SQL-callable UDFs — so sketch columns are queryable from SQL
+    text, not just Python: ``SELECT k, theta_estimate(uniq) FROM t``.
+    All Arrow-batched; the per-value work is one numpy decode."""
+    from pyspark.sql.functions import pandas_udf
+
+    pkg_root = _PKG_ROOT
+
+    def _with_sketches(fn):
+        def run(*cols):
+            import sys as _sys
+
+            if pkg_root not in _sys.path:
+                _sys.path.insert(0, pkg_root)
+            from flink_table_store_spark.functions import sketches as S
+
+            return fn(S, *cols)
+
+        return run
+
+    @pandas_udf("double")
+    def _theta_estimate(b: pd.Series) -> pd.Series:
+        return _with_sketches(
+            lambda S, s: s.map(lambda x: None if x is None else S.theta_estimate(bytes(x)))
+        )(b)
+
+    @pandas_udf("binary")
+    def _theta_build(vals: pd.Series) -> pd.Series:
+        return _with_sketches(
+            lambda S, s: s.map(lambda xs: S.theta_sketch_of([] if xs is None else xs))
+        )(vals)
+
+    @pandas_udf("binary")
+    def _rbm32_build(vals: pd.Series) -> pd.Series:
+        return _with_sketches(
+            lambda S, s: s.map(lambda xs: S.rbm32_serialize([] if xs is None else xs))
+        )(vals)
+
+    @pandas_udf("binary")
+    def _rbm64_build(vals: pd.Series) -> pd.Series:
+        return _with_sketches(
+            lambda S, s: s.map(lambda xs: S.rbm64_serialize([] if xs is None else xs))
+        )(vals)
+
+    @pandas_udf("long")
+    def _rbm32_cardinality(b: pd.Series) -> pd.Series:
+        return _with_sketches(
+            lambda S, s: s.map(lambda x: None if x is None else len(S.rbm32_deserialize(bytes(x))))
+        )(b)
+
+    @pandas_udf("long")
+    def _rbm64_cardinality(b: pd.Series) -> pd.Series:
+        return _with_sketches(
+            lambda S, s: s.map(lambda x: None if x is None else len(S.rbm64_deserialize(bytes(x))))
+        )(b)
+
+    @pandas_udf("boolean")
+    def _rbm32_contains(b: pd.Series, v: pd.Series) -> pd.Series:
+        def go(S, bs, vs):
+            return pd.Series(
+                [
+                    None if x is None or val is None else bool(int(val) in S.rbm32_deserialize(bytes(x)))
+                    for x, val in zip(bs, vs)
+                ]
+            )
+
+        return _with_sketches(go)(b, v)
+
+    @pandas_udf("boolean")
+    def _rbm64_contains(b: pd.Series, v: pd.Series) -> pd.Series:
+        def go(S, bs, vs):
+            return pd.Series(
+                [
+                    None if x is None or val is None else bool(int(val) in S.rbm64_deserialize(bytes(x)))
+                    for x, val in zip(bs, vs)
+                ]
+            )
+
+        return _with_sketches(go)(b, v)
+
+    spark.udf.register("theta_estimate", _theta_estimate)
+    spark.udf.register("theta_build", _theta_build)
+    spark.udf.register("rbm32_build", _rbm32_build)
+    spark.udf.register("rbm64_build", _rbm64_build)
+    spark.udf.register("rbm32_cardinality", _rbm32_cardinality)
+    spark.udf.register("rbm64_cardinality", _rbm64_cardinality)
+    spark.udf.register("rbm32_contains", _rbm32_contains)
+    spark.udf.register("rbm64_contains", _rbm64_contains)

@@ -181,3 +181,26 @@ def test_theta_binary_field_reaggregates_after_compaction(spark, warehouse):
     t.write(spark.createDataFrame([(1, S.theta_sketch_of(range(300, 900)))], ddl))
     [row] = t.to_df(spark).collect()
     assert S.theta_estimate(bytes(row.sk)) == 900.0  # exact below k=4096
+
+
+@pytest.mark.usefixtures("spark")
+def test_sketch_sql_functions(spark, warehouse):
+    """Sketch columns are queryable from SQL text: build in an INSERT-
+    shaped select, union through the merge engine, read back with
+    theta_estimate / rbm32_cardinality / rbm32_contains."""
+    from flink_table_store_spark.functions.catalog_functions import (
+        register_sketch_functions,
+    )
+
+    register_sketch_functions(spark)
+    got = spark.sql(
+        "SELECT theta_estimate(theta_build(array(1,2,3,2))) AS est, "
+        "rbm32_cardinality(rbm32_build(array(7,7,9))) AS card, "
+        "rbm32_contains(rbm32_build(array(7,9)), 9) AS has9, "
+        "rbm32_contains(rbm32_build(array(7,9)), 8) AS has8, "
+        "rbm64_cardinality(rbm64_build(array(1, 4294967296))) AS c64, "
+        "rbm64_contains(rbm64_build(array(4294967296)), 4294967296) AS has64"
+    ).collect()[0]
+    assert got.est == 3.0 and got.card == 2
+    assert got.has9 is True and got.has8 is False
+    assert got.c64 == 2 and got.has64 is True
