@@ -116,16 +116,33 @@ def build(vectors, M: int = 16, ef_construction: int = 200, seed: int = 42) -> d
     }
 
 
+def prepare(graph: dict) -> dict:
+    """One-time decode of a JSON graph (string neighbor keys → int) for
+    repeated searches. O(n_cells·M) — do this once per batch/task, NOT
+    per query; ``search`` accepts either form but re-decodes a raw JSON
+    graph on every call."""
+    return {
+        "M": graph["M"],
+        "entry": graph["entry"],
+        "levels": graph["levels"],
+        "neighbors": [
+            {int(kk): vv for kk, vv in lay.items()} for lay in graph["neighbors"]
+        ],
+        "__prepared": True,
+    }
+
+
 def search(graph: dict, vectors, q, k: int = 1, ef: int = 64) -> list[int]:
     """ids of the ~k nearest vectors to ``q`` via the graph (closest
-    first). ``vectors`` is the SAME array the graph was built over."""
+    first). ``vectors`` is the SAME array the graph was built over.
+    For many queries, ``prepare`` the graph once first."""
     if graph["entry"] < 0:
         return []
+    if not graph.get("__prepared"):
+        graph = prepare(graph)
     vecs = np.asarray(vectors, dtype=np.float32)
     q = np.asarray(q, dtype=np.float32)
-    neighbors = [
-        {int(kk): vv for kk, vv in lay.items()} for lay in graph["neighbors"]
-    ]
+    neighbors = graph["neighbors"]
     entry, top = graph["entry"], len(neighbors) - 1
     cur = entry
     dc = float(((vecs[cur] - q) ** 2).sum())

@@ -66,11 +66,12 @@ def _probe_cells(vec_col, centroids, graph, nprobe: int, ef: int = 64):
         from flink_table_store_spark.datapipe import hnsw as _h
 
         cents = _np.asarray(centroids, dtype=_np.float32)
+        g = _h.prepare(graph)  # once per Arrow batch, NOT per row
         return vs.map(
             lambda v: [
                 int(x)
                 for x in _h.search(
-                    graph, cents, _np.asarray(v, dtype=_np.float32), k=nprobe, ef=eff
+                    g, cents, _np.asarray(v, dtype=_np.float32), k=nprobe, ef=eff
                 )
             ]
         )

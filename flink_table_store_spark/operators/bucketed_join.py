@@ -326,7 +326,7 @@ def _make_spec(schema, buckets, dv, maps, sel_cols, jkeys) -> dict:
     }
 
 
-def read_bucket_side(spec: dict, bucket: int, seqc: str, kindc: str):
+def read_bucket_side(spec: dict, bucket: int):
     """Read + locally merge ONE table side's bucket (executor-side).
     Returns a pandas frame of ``spec["out_need"]`` columns, or None when
     the bucket holds no files. Applies deletion vectors scoped to the
@@ -335,6 +335,7 @@ def read_bucket_side(spec: dict, bucket: int, seqc: str, kindc: str):
     import pandas as pd
     import pyarrow.parquet as pq
 
+    seqc, kindc = SEQUENCE_NUMBER, VALUE_KIND
     dels = (
         dv_positions_for(
             spec["dv"],
@@ -627,13 +628,11 @@ def join_bucketed(
             read_bucket_side as _read_side,
         )
 
-        seqc, kindc = SEQUENCE_NUMBER, VALUE_KIND
-
         for pdf_in in batches:
             for b in pdf_in["id"].tolist():
                 b = int(b)
-                lpdf = _read_side(lspec, b, seqc, kindc)
-                rpdf = _read_side(rspec, b, seqc, kindc)
+                lpdf = _read_side(lspec, b)
+                rpdf = _read_side(rspec, b)
                 l_empty = lpdf is None or lpdf.empty
                 r_empty = rpdf is None or rpdf.empty
                 if l_empty and (how in ("inner", "left") or r_empty):
@@ -720,6 +719,8 @@ def join_bucketed_chain(
     base_keys = bucket_keys(schemas[0])
     if on is None:
         on = [list(zip(base_keys, bucket_keys(s))) for s in schemas[1:]]
+    if len(on) != n_sides - 1:
+        raise ValueError("on must have len(tables)-1 entries")
     for i, (s, pairs) in enumerate(zip(schemas[1:], on)):
         if [p[0] for p in pairs] != base_keys or [p[1] for p in pairs] != bucket_keys(s):
             raise ValueError(
@@ -741,8 +742,15 @@ def join_bucketed_chain(
                 raise ValueError("sequence-group tables need compact() first")
 
     cols = cols or [None] * n_sides
+    if len(cols) != n_sides:
+        raise ValueError("cols must have len(tables) entries")
     sel0 = cols[0] or schemas[0].field_names()
-    taken = set(sel0)
+    # collision set covers EVERYTHING the base frame carries into the
+    # merge — selected columns AND the base bucket keys (always read via
+    # out_need even when not selected); missing them would let a side
+    # column with a base key's name slip through unrenamed and collide
+    # into pandas' _x/_y suffixes
+    taken = set(sel0) | set(base_keys)
     renames: list[dict[str, str]] = [{}]
     sels: list[list[str]] = [list(sel0)]
     out_fields = [(c, schemas[0].field(c).type) for c in sel0]
@@ -750,7 +758,10 @@ def join_bucketed_chain(
         jkeys = [p[1] for p in on[i - 1]]
         sel = cols[i] or [c for c in s.field_names() if c not in jkeys]
         ren = {}
-        for c in sel + jkeys:
+        # dict.fromkeys: a column in BOTH sel and jkeys must be renamed
+        # exactly once, or the second pass would see its own first-pass
+        # name in `taken` and bogusly prefix it
+        for c in dict.fromkeys(sel + jkeys):
             out_name = c if c not in taken else f"t{i}_{c}"
             ren[c] = out_name
             taken.add(out_name)
@@ -787,15 +798,14 @@ def join_bucketed_chain(
             read_bucket_side as _read_side,
         )
 
-        seqc, kindc = SEQUENCE_NUMBER, VALUE_KIND
         for pdf_in in batches:
             for b in pdf_in["id"].tolist():
                 b = int(b)
-                merged = _read_side(specs[0], b, seqc, kindc)
+                merged = _read_side(specs[0], b)
                 if merged is None or merged.empty:
                     continue
                 for i in range(1, len(specs)):
-                    side = _read_side(specs[i], b, seqc, kindc)
+                    side = _read_side(specs[i], b)
                     if side is None:
                         side = pd.DataFrame(columns=specs[i]["out_need"])
                     side = side.rename(columns=renames[i])

@@ -230,8 +230,11 @@ class SqlSession:
                 # — the SQL-surface door to the storage-partitioned join
                 # (the reference gets this implicitly via DSv2
                 # KeyGroupedPartitioning, PaimonScan.scala:139). Three or
-                # more table idents chain N-way (join_bucketed_chain); a
-                # trailing inner/left/right/outer literal sets `how`.
+                # more table idents chain N-way (join_bucketed_chain). A
+                # trailing literal sets `how`: inner/left/right/outer for
+                # the two-table form; inner/left for a chain (a right/
+                # outer hop would spray NULL base keys across buckets),
+                # applied to EVERY hop.
                 from flink_table_store_spark.operators.bucketed_join import (
                     join_bucketed,
                     join_bucketed_chain,
@@ -246,6 +249,11 @@ class SqlSession:
                         self.spark, t, self.catalog.get_table(rest[0]), how=how
                     )
                 else:
+                    if how not in ("inner", "left"):
+                        raise ValueError(
+                            f"paimon_bucketed_join: how={how!r} is only valid "
+                            "for the two-table form; chains accept inner/left"
+                        )
                     df = join_bucketed_chain(
                         self.spark,
                         [t] + [self.catalog.get_table(r) for r in rest],

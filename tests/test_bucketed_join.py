@@ -671,3 +671,40 @@ def test_bucketed_join_chain_three_tables(spark, warehouse):
             on=[[("o_custkey", "c_custkey")], [("o_custkey", "s_custkey")]],
             hows=["inner", "outer"],
         )
+
+
+def test_bucketed_join_chain_column_collisions(spark, warehouse):
+    """(a) a side column named like a base BUCKET KEY (even when the key
+    is not selected) must be renamed, not collide into pandas suffixes;
+    (b) a column that is both selected and a join key keeps its own name
+    when there is no real collision."""
+    from flink_table_store_spark.operators.bucketed_join import join_bucketed_chain
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k bigint, v double"
+    )
+    side = spark.createDataFrame(
+        [(1, 111, "a"), (2, 222, "b")], "ck bigint, k bigint, s string"
+    )
+    tb = warehouse.create_table(
+        "db.cc_base", base.schema, primary_keys=["k"], options={"bucket": "2"}
+    )
+    tb.write(base)
+    ts = warehouse.create_table(
+        "db.cc_side", side.schema, primary_keys=["ck"], options={"bucket": "2"}
+    )
+    ts.write(side)
+    got = join_bucketed_chain(
+        spark,
+        [tb.refresh(), ts.refresh()],
+        on=[[("k", "ck")]],
+        cols=[["v"], ["ck", "k", "s"]],  # base key 'k' NOT selected; side has its own 'k'
+    )
+    rows = sorted(map(tuple, got.collect()))
+    assert got.columns == ["v", "ck", "t1_k", "s"]  # (b): 'ck' keeps its name
+    assert rows == [(10.0, 1, 111, "a"), (20.0, 2, 222, "b")]  # (a): real side values, no NaN
+
+    import pytest
+
+    with pytest.raises(ValueError, match="on must have"):
+        join_bucketed_chain(spark, [tb, ts, ts], on=[[("k", "ck")]])
