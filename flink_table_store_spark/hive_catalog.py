@@ -141,3 +141,13 @@ class HiveCatalog(Catalog):
         sdb, sname = self._split(src)
         self.spark.sql(f"DROP TABLE IF EXISTS `{sdb}`.`{sname}`")
         self._register(dst, super().get_table(dst))
+
+    def sync_table(self, identifier: str) -> None:
+        """Refresh the metastore registration to the CURRENT engine
+        schema — call after ``evolve_schema`` so ``DESCRIBE`` and
+        metastore scanners see the evolved columns (the reference's
+        HiveCatalog keeps the HMS entry in sync on alterTable,
+        HiveCatalog.java ``alterTableImpl``)."""
+        db, name = self._split(identifier)
+        self.spark.sql(f"DROP TABLE IF EXISTS `{db}`.`{name}`")
+        self._register(identifier, super().get_table(identifier))

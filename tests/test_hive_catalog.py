@@ -96,3 +96,20 @@ def test_hive_catalog_derby_metastore_persists(tmp_path):
             env=env,
         )
         assert marker in r.stdout, r.stdout[-2000:] + r.stderr[-2000:]
+
+
+def test_hive_catalog_sync_after_schema_evolution(spark, tmp_path):
+    """sync_table refreshes the metastore entry so DESCRIBE shows the
+    evolved columns (reference HiveCatalog alterTable sync)."""
+    from flink_table_store_spark.hive_catalog import HiveCatalog
+
+    cat = HiveCatalog(spark, str(tmp_path / "wh_sync"))
+    t = cat.create_table("syncdb.t", "k bigint, v string")
+    t.evolve_schema([{"action": "add_column", "name": "extra", "type": "double"}])
+    cols = {r.col_name for r in spark.sql("DESCRIBE `syncdb`.`t`").collect()}
+    assert "extra" not in cols  # stale until synced
+    cat.sync_table("syncdb.t")
+    cols = {r.col_name for r in spark.sql("DESCRIBE `syncdb`.`t`").collect()}
+    assert "extra" in cols
+    # engine-side reads see the evolved schema regardless
+    assert "extra" in cat.get_table("syncdb.t").schema.field_names()
