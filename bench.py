@@ -263,6 +263,31 @@ def main() -> None:
         )
         local.groupBy("c_nationkey").agg(F.sum("n"), F.sum("total")).collect()
 
+    # --- N-way chain: orders ⋈ customer-dim ⋈ customer-stats, zero shuffle
+    t_stats_bj = cat.create_table(
+        "bench.cust_stats",
+        "c_custkey bigint, c_score double",
+        primary_keys=["c_custkey"],
+        options={"bucket": "8"},
+        ignore_if_exists=True,
+    )
+
+    @timed("chain_join")
+    def _cj():
+        from flink_table_store_spark.operators.bucketed_join import (
+            join_bucketed_chain,
+        )
+
+        t_stats_bj.write(
+            cust.select("c_custkey", (F.col("c_nationkey") * 1.5).alias("c_score"))
+        )
+        join_bucketed_chain(
+            spark,
+            [t_ord_bj.refresh(), t_pk_dim.refresh(), t_stats_bj.refresh()],
+            on=[[("o_custkey", "c_custkey")], [("o_custkey", "c_custkey")]],
+            hows=["inner", "left"],
+        ).count()
+
     # --- host-side joins + pipeline ops over raw parquet ------------------
     @timed("q3_join")
     def _q3():
@@ -284,6 +309,14 @@ def main() -> None:
     @timed("ann_brute_force")
     def _ann():
         Q.ann_brute_force(spark, sf_dir).collect()
+
+    @timed("gopher_filter")
+    def _gf():
+        # narrow JVM-only quality/repetition pass over the corpus
+        from flink_table_store_spark.datapipe.text import gopher_metrics
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        gopher_metrics(docs).where(F.col("gopher_keep")).count()
 
     total = round(sum(timings.values()), 4)
     upsert_rps = round(n_upsert_rows / timings["upsert"], 1) if timings.get("upsert") else None

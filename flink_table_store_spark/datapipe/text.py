@@ -130,10 +130,15 @@ def gopher_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
     df = df.withColumn("__w", words)
     n_words = F.size("__w").cast("double")
     nonspace = F.length(F.regexp_replace(c, r"\s", "")).cast("double")
-    # guard: sequence(1, 0) would generate DESCENDING [1, 0] in Spark
+    # O(n) shifted-zip_with, NOT transform(sequence, i -> element_at):
+    # element_at inside an interpreted HOF is O(n) per element, turning
+    # the 2-gram build O(n²) per document — measured 15 s vs sub-second
+    # over the sf0.1 corpus. (Also guards Spark's sequence(1,0) -> [1,0]
+    # descending surprise for single-word docs.)
     two_grams = F.expr(
-        "CASE WHEN size(__w) > 1 THEN transform(sequence(1, size(__w) - 1), "
-        "i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1))) "
+        "CASE WHEN size(__w) > 1 THEN zip_with("
+        "slice(__w, 1, size(__w) - 1), slice(__w, 2, size(__w) - 1), "
+        "(a, b) -> concat(a, ' ', b)) "
         "ELSE array() END"
     )
     n_2g = F.size(two_grams).cast("double")
@@ -172,7 +177,12 @@ def gopher_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def word_ngrams(col: str | Column = "text", n: int = 7) -> Column:
     """Array of sliding word n-grams (space-joined) — the probe unit of
-    benchmark-decontamination checks. JVM-side split/transform."""
+    benchmark-decontamination checks. JVM-side split/transform.
+
+    NOTE: slice() inside the transform is O(n) per element (O(n·k) per
+    doc) — fine for the eval-set side of decontamination (a handful of
+    docs); for whole-corpus n-gram passes use the shifted-zip_with
+    construction (gopher_metrics' 2-grams, dedup._shingles)."""
     name = col if isinstance(col, str) else None
     expr = name if name else None
     if expr is None:
