@@ -177,21 +177,22 @@ def gopher_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def word_ngrams(col: str | Column = "text", n: int = 7) -> Column:
     """Array of sliding word n-grams (space-joined) — the probe unit of
-    benchmark-decontamination checks. JVM-side split/transform.
-
-    NOTE: slice() inside the transform is O(n) per element (O(n·k) per
-    doc) — fine for the eval-set side of decontamination (a handful of
-    docs); for whole-corpus n-gram passes use the shifted-zip_with
-    construction (gopher_metrics' 2-grams, dedup._shingles)."""
-    name = col if isinstance(col, str) else None
-    expr = name if name else None
-    if expr is None:
-        raise ValueError("word_ngrams needs a column NAME (used inside expr)")
-    return F.expr(
-        f"CASE WHEN size(split(trim({expr}), '\\\\s+')) >= {n} THEN "
-        f"transform(sequence(1, size(split(trim({expr}), '\\\\s+')) - {n - 1}), "
-        f"i -> array_join(slice(split(trim({expr}), '\\\\s+'), i, {n}), ' ')) "
-        "ELSE array() END"
+    benchmark-decontamination checks. Built with n-1 shifted-array
+    ``zip_with`` passes (O(n·words) total; the naive
+    ``transform(sequence, i -> slice(words, i, n))`` form is quadratic
+    per document — same trap as gopher_metrics' 2-grams). Text is NOT
+    normalized: probes must match the raw corpus text in ``contains``."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(F.trim(c), r"\s+")
+    size = F.size(words)
+    grams = words
+    for j in range(1, n):
+        shifted = F.slice(words, j + 1, F.greatest(size - j, F.lit(0)))
+        # concat_ws skips the null padding of short shifts; the final
+        # slice drops those incomplete trailing grams
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(size >= n, F.slice(grams, 1, size - (n - 1))).otherwise(
+        F.expr("array()")
     )
 
 
