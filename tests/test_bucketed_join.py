@@ -708,3 +708,38 @@ def test_bucketed_join_chain_column_collisions(spark, warehouse):
 
     with pytest.raises(ValueError, match="on must have"):
         join_bucketed_chain(spark, [tb, ts, ts], on=[[("k", "ck")]])
+
+
+def test_bucketed_join_chain_partitioned_base(spark, warehouse):
+    """Chain with a PARTITIONED base table: partition values re-attach
+    from manifest entries inside each bucket task."""
+    from flink_table_store_spark.operators.bucketed_join import join_bucketed_chain
+
+    orders = spark.createDataFrame(
+        [(k % 4 + 1, k, float(k), "E" if k % 2 else "W") for k in range(20)],
+        "o_custkey bigint, o_orderkey bigint, o_total double, region string",
+    )
+    cust = spark.createDataFrame(
+        [(k, f"n{k}") for k in range(1, 5)], "c_custkey bigint, c_name string"
+    )
+    to = warehouse.create_table(
+        "db.chp_ord",
+        orders.schema,
+        primary_keys=["region", "o_custkey", "o_orderkey"],
+        partition_keys=["region"],
+        options={"bucket": "2", "bucket-key": "o_custkey"},
+    )
+    to.write(orders)
+    tc = warehouse.create_table(
+        "db.chp_c", cust.schema, primary_keys=["c_custkey"], options={"bucket": "2"}
+    )
+    tc.write(cust)
+    got = join_bucketed_chain(
+        spark, [to.refresh(), tc.refresh()], on=[[("o_custkey", "c_custkey")]]
+    )
+    exp = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_custkey", "o_orderkey", "o_total", "region", "c_name"
+    )
+    assert sorted(map(tuple, got.select(*exp.columns).collect())) == sorted(
+        map(tuple, exp.collect())
+    )
