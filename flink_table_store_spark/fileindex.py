@@ -101,6 +101,7 @@ def build_indexes(
     m: int,
     fmt: str = "parquet",
     threshold: int = DEFAULT_IN_MANIFEST_THRESHOLD,
+    with_stats: bool = False,
 ) -> dict[str, dict[str, Any]]:
     """Build EVERY configured file index in ONE Spark job.
 
@@ -141,10 +142,31 @@ def build_indexes(
         aggs.append(
             F.slice(F.collect_set(c), 1, BITMAP_MAX_VALUES + 1).alias(f"__v{ci}")
         )
+    # fused per-file stats (write.stage_and_collect): min/max/nulls and
+    # the row count ride the SAME grouped aggregation as the indexes, so
+    # an indexed commit costs ONE job and the driver never walks parquet
+    # footers — the CommitMessage stats hop the reference's writers do
+    # (io/DataFileMeta valueStats), executor-side
+    stat_cols: list[str] = []
+    if with_stats:
+        stat_cols = [
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName()
+            not in ("struct", "array", "map", "binary", "variant")
+        ]
+        aggs.append(F.count(F.lit(1)).alias("__rc"))
+        for si, c in enumerate(stat_cols):
+            aggs += [
+                F.min(c).alias(f"__smn_{si}"),
+                F.max(c).alias(f"__smx_{si}"),
+                F.count(F.when(F.col(c).isNull(), 1)).alias(f"__snu_{si}"),
+            ]
     agg_df = df.groupBy(F.col("_metadata.file_path").alias("__f")).agg(*aggs)
 
     k, mm, thr, bmax = K, m, threshold, BITMAP_MAX_VALUES
     bcols, vcols = list(bloom_cols), list(bitmap_cols)
+    scols = list(stat_cols)
 
     def _pack(batches):
         # self-contained closure: runs on executors, stdlib-only
@@ -198,6 +220,26 @@ def build_indexes(
                 return _b64.b64encode(bytes(v)).decode("ascii")
             return v
 
+        def _stat_safe(v):
+            # manifest._json_safe semantics (stats min/max): dates→iso,
+            # Decimal→float, bytes→None (no byte-stats pruning)
+            import pandas as __pd
+
+            try:
+                if v is None or __pd.isna(v):
+                    return None
+            except (TypeError, ValueError):
+                pass
+            if hasattr(v, "item"):
+                v = v.item()
+            if isinstance(v, (_dt.date, _dt.datetime)):
+                return v.isoformat()
+            if isinstance(v, _Dec):
+                return float(v)
+            if isinstance(v, (bytes, bytearray)):
+                return None
+            return v
+
         for pdf in batches:
             paths, metas = [], []
             for _, row in pdf.iterrows():
@@ -245,7 +287,18 @@ def build_indexes(
                     with open(path + ".index", "w") as fh:
                         _json.dump(sidecar_payload, fh)
                 paths.append(path)
-                metas.append(_json.dumps({"inline": inline, "sidecar": sidecar_meta}))
+                meta = {"inline": inline, "sidecar": sidecar_meta}
+                if scols:
+                    meta["rc"] = int(row["__rc"])
+                    meta["stats"] = {
+                        c3: {
+                            "min": _stat_safe(row[f"__smn_{si3}"]),
+                            "max": _stat_safe(row[f"__smx_{si3}"]),
+                            "nulls": int(row[f"__snu_{si3}"]),
+                        }
+                        for si3, c3 in enumerate(scols)
+                    }
+                metas.append(_json.dumps(meta))
             yield _pd.DataFrame({"path": paths, "meta": metas})
 
     out: dict[str, dict[str, Any]] = {}

@@ -183,10 +183,17 @@ def stage_and_collect(
             fileindex.bloom_bits(schema.options),
             fmt,
             fileindex.in_manifest_threshold(schema.options),
+            with_stats=True,
         )
 
-    stats_by_path = None
-    if fmt != "parquet":
+    # per-file stats: fused into the index job when one ran (the driver
+    # then walks NO footers — one job per indexed commit, reference
+    # CommitMessage/DataFileMeta shape); else parquet footers driver-side
+    # or one distributed aggregation for footerless formats
+    stats_by_path = {
+        p: (m["rc"], m["stats"]) for p, m in indexes.items() if "rc" in m
+    } or None
+    if stats_by_path is None and fmt != "parquet":
         # non-parquet formats have no driver-readable footer stats
         # (pyarrow.orc exposes no column min/max) — collect them with ONE
         # distributed aggregation over the staged files instead; at scale
@@ -267,9 +274,14 @@ def _collect_staged(
                 if hit is None:
                     # A stats miss must not silently drop the file from the
                     # commit (path-mapping mismatch ≠ empty file). Fall back
-                    # to a per-file row count; rows with no stats commit with
-                    # min/max=None — no pruning, but no data loss.
-                    hit = (_fallback_row_count(src, fmt), {})
+                    # to the parquet footer, else a per-file row count; rows
+                    # with no stats commit with min/max=None — no pruning,
+                    # but no data loss.
+                    if fmt == "parquet":
+                        rc, _sz, st = collect_parquet_stats(src)
+                        hit = (rc, st)
+                    else:
+                        hit = (_fallback_row_count(src, fmt), {})
                 row_count, stats = hit
             else:
                 row_count, _size, stats = collect_parquet_stats(src)

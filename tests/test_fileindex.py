@@ -320,3 +320,44 @@ def test_empty_write_to_indexed_table(spark, warehouse):
     t.write(df)
     t.write(df.limit(0))
     assert t.refresh().to_df(spark).count() == 1
+
+
+def test_fused_commit_stats_match_footer_stats(spark, warehouse):
+    """With file indexes configured, per-file stats ride the index job
+    (no driver footer walk); the recorded min/max/nulls must encode
+    IDENTICALLY to the footer path (dates→iso, Decimal→float) so
+    pruning semantics never depend on which path ran."""
+    import datetime
+    from decimal import Decimal
+
+    ddl = "k bigint, d date, amt decimal(10,2), s string"
+    rows = [
+        (1, datetime.date(2024, 1, 2), Decimal("10.50"), "aa"),
+        (2, datetime.date(2024, 3, 4), Decimal("99.99"), None),
+    ]
+    t_idx = warehouse.create_table(
+        "db.fused_idx", ddl, options={"file-index.bloom-filter.columns": "k"}
+    )
+    t_idx.write(spark.createDataFrame(rows, ddl).repartition(1))
+    t_plain = warehouse.create_table("db.fused_plain", ddl)
+    t_plain.write(spark.createDataFrame(rows, ddl).repartition(1))
+
+    def entry(t):
+        snap = t.snapshots.latest()
+        entries = t.manifests.read_live_entries(
+            snap.base_manifest_list, snap.delta_manifest_list
+        )
+        assert len(entries) == 1, entries
+        return entries[0]
+
+    ei, ep = entry(t_idx.refresh()), entry(t_plain.refresh())
+    assert ei.row_count == ep.row_count == 2
+    for c in ("k", "d", "s"):
+        si, sp = ei.stats[c], ep.stats[c]
+        assert type(si["min"]) == type(sp["min"]), (c, si, sp)
+        assert (si["min"], si["max"], si["nulls"]) == (sp["min"], sp["max"], sp["nulls"]), c
+    # decimal: the footer path SKIPS stats (pyarrow can't cast DECIMAL
+    # column statistics) — the fused aggregation computes them exactly,
+    # in the _json_safe float encoding
+    assert "amt" not in ep.stats
+    assert ei.stats["amt"] == {"min": 10.5, "max": 99.99, "nulls": 0}
