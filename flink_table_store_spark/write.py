@@ -189,16 +189,26 @@ def stage_and_collect(
     # per-file stats: fused into the index job when one ran (the driver
     # then walks NO footers — one job per indexed commit, reference
     # CommitMessage/DataFileMeta shape); else parquet footers driver-side
-    # or one distributed aggregation for footerless formats
+    # below commit.distributed-stats-threshold staged files and one
+    # distributed aggregation above it (or always, for footerless
+    # formats) — the commit-side twin of the scan planner's distributed
+    # manifest switch
     stats_by_path = {
         p: (m["rc"], m["stats"]) for p, m in indexes.items() if "rc" in m
     } or None
-    if stats_by_path is None and fmt != "parquet":
-        # non-parquet formats have no driver-readable footer stats
-        # (pyarrow.orc exposes no column min/max) — collect them with ONE
-        # distributed aggregation over the staged files instead; at scale
-        # this is executor work on data already in the page cache
-        stats_by_path = collect_stats_distributed(df.sparkSession, staging, fmt)
+    if stats_by_path is None:
+        distributed = fmt != "parquet"
+        if not distributed:
+            thr = int(schema.options.get("commit.distributed-stats-threshold", "1000"))
+            n_staged = sum(
+                1
+                for _d, _s, files in os.walk(staging)
+                for fn in files
+                if fn.endswith(f".{fmt}")
+            )
+            distributed = n_staged > thr
+        if distributed:
+            stats_by_path = collect_stats_distributed(df.sparkSession, staging, fmt)
     entries = _collect_staged(staging, table_path, schema, target_level, indexes, fmt, stats_by_path)
     shutil.rmtree(staging, ignore_errors=True)
     return entries

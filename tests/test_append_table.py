@@ -104,3 +104,27 @@ def test_metadata_only_partition_delete(spark, t):
     assert snap.commit_kind == "OVERWRITE"
     assert t.to_df(spark).where("pt = 'u2'").count() == 0
     assert t.to_df(spark).count() == before - 33
+
+
+def test_commit_distributed_stats_threshold(spark, warehouse):
+    """Above commit.distributed-stats-threshold staged files the commit
+    collects per-file stats with one Spark aggregation instead of
+    driver-side footer walks; entries and pruning stay identical."""
+    from flink_table_store_spark import predicate as P
+
+    t = warehouse.create_table(
+        "db.dist_stats",
+        "k bigint, v double",
+        options={"commit.distributed-stats-threshold": "1"},
+    )
+    df = spark.createDataFrame([(i, float(i)) for i in range(64)], "k bigint, v double")
+    t.write(df.repartition(4))  # 4 staged files > threshold 1
+    t = t.refresh()
+    snap = t.snapshots.latest()
+    entries = t.manifests.read_live_entries(
+        snap.base_manifest_list, snap.delta_manifest_list
+    )
+    assert sum(e.row_count for e in entries) == 64
+    assert all(e.stats["k"]["min"] is not None for e in entries)
+    got = t.to_df(spark, predicate=P.less_than("k", 10)).count()
+    assert got == 10
