@@ -102,6 +102,7 @@ def build_indexes(
     fmt: str = "parquet",
     threshold: int = DEFAULT_IN_MANIFEST_THRESHOLD,
     with_stats: bool = False,
+    stats_exclude: set[str] | None = None,
 ) -> dict[str, dict[str, Any]]:
     """Build EVERY configured file index in ONE Spark job.
 
@@ -148,18 +149,38 @@ def build_indexes(
     # footers — the CommitMessage stats hop the reference's writers do
     # (io/DataFileMeta valueStats), executor-side
     stat_cols: list[str] = []
+    int_stat_cols: set[str] = set()
     if with_stats:
+        from flink_table_store_spark.manifest import UNSTATABLE_TYPES
+
+        # exclude partition-directory columns (and _bucket): their
+        # values are RE-INFERRED from the dir names by spark.read.load
+        # (a string partition like '2024-01-01 00:00:00' comes back as
+        # TIMESTAMP), so recorded stats would mismatch the real column
+        # and wrongly prune live files — the manifest entry's partition
+        # map already carries the authoritative values
+        excl = stats_exclude or set()
         stat_cols = [
             f.name
             for f in df.schema.fields
-            if f.dataType.typeName()
-            not in ("struct", "array", "map", "binary", "variant")
+            if f.dataType.typeName() not in UNSTATABLE_TYPES and f.name not in excl
         ]
+        # integral min/max travel as STRINGS through the Arrow/pandas
+        # hop: a nullable int64 agg column coerces to float64 in pandas
+        # and silently rounds values above 2^53
+        int_stat_cols = {
+            f.name
+            for f in df.schema.fields
+            if f.dataType.typeName() in ("byte", "short", "integer", "long")
+        }
         aggs.append(F.count(F.lit(1)).alias("__rc"))
         for si, c in enumerate(stat_cols):
+            mn, mx = F.min(c), F.max(c)
+            if c in int_stat_cols:
+                mn, mx = mn.cast("string"), mx.cast("string")
             aggs += [
-                F.min(c).alias(f"__smn_{si}"),
-                F.max(c).alias(f"__smx_{si}"),
+                mn.alias(f"__smn_{si}"),
+                mx.alias(f"__smx_{si}"),
                 F.count(F.when(F.col(c).isNull(), 1)).alias(f"__snu_{si}"),
             ]
     agg_df = df.groupBy(F.col("_metadata.file_path").alias("__f")).agg(*aggs)
@@ -167,6 +188,7 @@ def build_indexes(
     k, mm, thr, bmax = K, m, threshold, BITMAP_MAX_VALUES
     bcols, vcols = list(bloom_cols), list(bitmap_cols)
     scols = list(stat_cols)
+    s_int = set(int_stat_cols)
 
     def _pack(batches):
         # self-contained closure: runs on executors, stdlib-only
@@ -289,11 +311,16 @@ def build_indexes(
                 paths.append(path)
                 meta = {"inline": inline, "sidecar": sidecar_meta}
                 if scols:
+                    def _stat_val(c4, v4):
+                        if c4 in s_int:  # string-shipped integral
+                            return None if v4 is None else int(v4)
+                        return _stat_safe(v4)
+
                     meta["rc"] = int(row["__rc"])
                     meta["stats"] = {
                         c3: {
-                            "min": _stat_safe(row[f"__smn_{si3}"]),
-                            "max": _stat_safe(row[f"__smx_{si3}"]),
+                            "min": _stat_val(c3, row[f"__smn_{si3}"]),
+                            "max": _stat_val(c3, row[f"__smx_{si3}"]),
                             "nulls": int(row[f"__snu_{si3}"]),
                         }
                         for si3, c3 in enumerate(scols)

@@ -147,7 +147,11 @@ class HiveCatalog(Catalog):
         schema — call after ``evolve_schema`` so ``DESCRIBE`` and
         metastore scanners see the evolved columns (the reference's
         HiveCatalog keeps the HMS entry in sync on alterTable,
-        HiveCatalog.java ``alterTableImpl``)."""
+        HiveCatalog.java ``alterTableImpl``). Resolves the table FIRST
+        (through the foreign-warehouse-aware lookup) so a failed
+        resolution — typo'd name, foreign table with no local schema
+        dir — raises BEFORE the existing registration is dropped."""
+        table = self.get_table(identifier)
         db, name = self._split(identifier)
         self.spark.sql(f"DROP TABLE IF EXISTS `{db}`.`{name}`")
-        self._register(identifier, super().get_table(identifier))
+        self._register(identifier, table)

@@ -287,6 +287,12 @@ class ManifestManager:
         return [ManifestEntry.from_row(r.asDict()) for r in live.collect()]
 
 
+# column types with no orderable scalar stats — shared by every stats
+# collector (footer walk, collect_stats_distributed, fused index job)
+# so the three paths can never diverge on which columns get stats
+UNSTATABLE_TYPES = ("struct", "array", "map", "binary", "variant")
+
+
 def _json_safe(v: Any) -> Any:
     if isinstance(v, (datetime, date)):
         return v.isoformat()

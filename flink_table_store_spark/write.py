@@ -174,6 +174,7 @@ def stage_and_collect(
         for c in fileindex.bitmap_columns(schema.options)
         if c not in schema.partition_keys
     ]
+    stats_exclude = set(schema.partition_keys) | {BUCKET_COL}
     if idx_cols or bm_cols:
         indexes = fileindex.build_indexes(
             df.sparkSession,
@@ -184,6 +185,7 @@ def stage_and_collect(
             fmt,
             fileindex.in_manifest_threshold(schema.options),
             with_stats=True,
+            stats_exclude=stats_exclude,
         )
 
     # per-file stats: fused into the index job when one ran (the driver
@@ -208,28 +210,33 @@ def stage_and_collect(
             )
             distributed = n_staged > thr
         if distributed:
-            stats_by_path = collect_stats_distributed(df.sparkSession, staging, fmt)
+            stats_by_path = collect_stats_distributed(
+                df.sparkSession, staging, fmt, exclude=stats_exclude
+            )
     entries = _collect_staged(staging, table_path, schema, target_level, indexes, fmt, stats_by_path)
     shutil.rmtree(staging, ignore_errors=True)
     return entries
 
 
 def collect_stats_distributed(
-    spark, staging: str, fmt: str
+    spark, staging: str, fmt: str, exclude: set[str] | None = None
 ) -> dict[str, tuple[int, dict]]:
     """{staged-file-abs-path: (row_count, per-column {min,max,nulls})}
     via one Spark aggregation grouped on ``_metadata.file_path`` —
-    the executor-side twin of the parquet footer walk."""
+    the executor-side twin of the parquet footer walk. ``exclude``
+    skips partition-directory columns whose values spark.read re-infers
+    by type (stats on them could mismatch the real column; the manifest
+    entry's partition map is authoritative)."""
     import urllib.parse as _up
 
-    from flink_table_store_spark.manifest import _json_safe
+    from flink_table_store_spark.manifest import UNSTATABLE_TYPES, _json_safe
 
     df = spark.read.format(fmt).load(staging)
+    excl = exclude or set()
     statable = [
         f.name
         for f in df.schema.fields
-        if f.dataType.typeName()
-        not in ("struct", "array", "map", "binary", "variant")
+        if f.dataType.typeName() not in UNSTATABLE_TYPES and f.name not in excl
     ]
     aggs = [F.count(F.lit(1)).alias("__rc")]
     for c in statable:

@@ -361,3 +361,61 @@ def test_fused_commit_stats_match_footer_stats(spark, warehouse):
     # in the _json_safe float encoding
     assert "amt" not in ep.stats
     assert ei.stats["amt"] == {"min": 10.5, "max": 99.99, "nulls": 0}
+
+
+def test_fused_stats_skip_partition_columns(spark, warehouse):
+    """Partition-directory values are RE-INFERRED by type when the index
+    job reloads staging (a timestamp-like STRING partition comes back as
+    TIMESTAMP); recording stats for them would mismatch the real column
+    and prune live files. Repro from review: returned 0 rows."""
+    from flink_table_store_spark import predicate as P
+
+    ddl = "k bigint, ts string, v double"
+    t = warehouse.create_table(
+        "db.pt_idx",
+        ddl,
+        partition_keys=["ts"],
+        options={"file-index.bloom-filter.columns": "k"},
+    )
+    t.write(
+        spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", 1.0), (2, "2024-02-02 00:00:00", 2.0)], ddl
+        )
+    )
+    t = t.refresh()
+    got = t.to_df(spark, predicate=P.equal("ts", "2024-01-01 00:00:00")).collect()
+    assert len(got) == 1 and got[0].k == 1
+    snap = t.snapshots.latest()
+    for e in t.manifests.read_live_entries(
+        snap.base_manifest_list, snap.delta_manifest_list
+    ):
+        assert "ts" not in e.stats  # partition map is authoritative
+
+
+def test_fused_stats_keep_bigint_precision(spark, warehouse):
+    """Integral min/max above 2^53 must survive the Arrow/pandas hop
+    exactly (a nullable int64 agg column coerces to float64 in pandas);
+    mixed all-null files in the same batch triggered the coercion."""
+    from flink_table_store_spark import predicate as P
+
+    big = (1 << 62) + 12345
+    ddl = "k bigint, tag string"
+    t = warehouse.create_table(
+        "db.bigint_idx", ddl, options={"file-index.bloom-filter.columns": "tag"}
+    )
+    # two files in one commit: one all-null k, one with the huge value
+    df = spark.createDataFrame([(None, "a"), (big, "b")], ddl).repartition(2, "tag")
+    t.write(df)
+    t = t.refresh()
+    snap = t.snapshots.latest()
+    entries = t.manifests.read_live_entries(
+        snap.base_manifest_list, snap.delta_manifest_list
+    )
+    mins = {e.stats["k"]["min"] for e in entries if e.stats.get("k")}
+    assert big in mins  # exact int, not 4.611686018427...e+18
+    assert all(
+        isinstance(e.stats["k"]["min"], int)
+        for e in entries
+        if e.stats.get("k", {}).get("min") is not None
+    )
+    assert t.to_df(spark, predicate=P.equal("k", big)).count() == 1
