@@ -122,12 +122,25 @@ def build_indexes(
     bitmap/BitmapFileIndexFactory.java:29 +
     CoreOptions ``file-index.in-manifest-threshold``.
     """
-    try:
-        df = spark.read.format(fmt).load(staging)
-    except Exception:
-        # an empty write stages no data files (only _SUCCESS): nothing
-        # to index, and schema inference has nothing to read
+    # an empty write stages no data files (only _SUCCESS markers):
+    # nothing to index. Detect that case EXPLICITLY instead of
+    # swallowing read errors — a corrupt staged file or transient FS
+    # failure must surface, not silently commit without indexes/stats.
+    paths = list(staging) if isinstance(staging, (list, tuple)) else [staging]
+    has_data = False
+    for p in paths:
+        if os.path.isfile(p):
+            has_data = True
+        else:
+            for _root, _dirs, files in os.walk(p):
+                if any(not fn.startswith(("_", ".")) for fn in files):
+                    has_data = True
+                    break
+        if has_data:
+            break
+    if not has_data:
         return {}
+    df = spark.read.format(fmt).load(staging)
     bloom_cols = [c for c in bloom_cols if c in df.columns]
     bitmap_cols = [c for c in bitmap_cols if c in df.columns]
     if not bloom_cols and not bitmap_cols:

@@ -161,6 +161,24 @@ def fold_aggregation(pdf, key_cols: list[str], cfg: dict, seqc: str, kindc: str)
     keep_mask = ~retract
     ords = np.arange(len(pdf), dtype=float)
     notna = lambda x: not pd.isna(x)  # noqa: E731
+    # scalar-or-array presence test: pd.isna on a list/ndarray returns
+    # an elementwise ARRAY (ambiguous in boolean context) — an array
+    # value is always "present"
+    present = lambda x: (  # noqa: E731
+        isinstance(x, (list, np.ndarray)) or (x is not None and not pd.isna(x))
+    )
+    # integral folds must NOT transit float64 (nullable int64 coerces to
+    # float64 in pandas and rounds above 2^53) — same hazard the fused
+    # file-index stats ship integral min/max as strings to avoid. Fold
+    # through the nullable Int64 extension dtype instead: exact, and
+    # Arrow maps it straight back to a nullable bigint.
+    integral = lambda c: cfg["types"].get(c, "").split("(")[0] in (  # noqa: E731
+        "tinyint",
+        "smallint",
+        "int",
+        "integer",
+        "bigint",
+    )
 
     value_cols = [
         c
@@ -173,6 +191,17 @@ def fold_aggregation(pdf, key_cols: list[str], cfg: dict, seqc: str, kindc: str)
         func = cfg["funcs"][c]
         ig = c in cfg["ignore_retract"]
         col = pdf[c]
+        if integral(c) and func in (
+            "sum",
+            "product",
+            "min",
+            "max",
+            "first_non_null_value",
+            "first_not_null_value",
+            "last_non_null_value",
+            "primary-key",
+        ):
+            col = col.astype("Int64")
         masked = col.where(keep_mask)  # payload null on retract rows
         w = f"__w_{c}"
         if func == "sum":
@@ -238,7 +267,7 @@ def fold_aggregation(pdf, key_cols: list[str], cfg: dict, seqc: str, kindc: str)
         kk = cfg["k"].get(c, 4096)
 
         def _sk(s):
-            vals = [x for x in s if notna(x)]
+            vals = [x for x in s if present(x)]
             if binary:
                 vals = [bytes(x) for x in vals]
                 if func == "rbm32":
@@ -333,7 +362,20 @@ def read_bucket_side(spec: dict, bucket: int):
     bucket's files, schema-evolution field maps, and the table's merge
     engine (deduplicate / first-row / partial-update / aggregation)."""
     import pandas as pd
+    import pyarrow as pa
     import pyarrow.parquet as pq
+
+    # integral columns come back as pandas NULLABLE extension ints, not
+    # float64: pyarrow's default to_pandas turns a nullable int64 into
+    # float64, silently rounding values above 2^53 before any local
+    # merge/fold runs (the same hazard fileindex string-ships stats
+    # around). Arrow maps Int64Dtype straight back to int64 on output.
+    int_dtypes = {
+        pa.int8(): pd.Int8Dtype(),
+        pa.int16(): pd.Int16Dtype(),
+        pa.int32(): pd.Int32Dtype(),
+        pa.int64(): pd.Int64Dtype(),
+    }
 
     seqc, kindc = SEQUENCE_NUMBER, VALUE_KIND
     dels = (
@@ -356,7 +398,7 @@ def read_bucket_side(spec: dict, bucket: int):
         if spec["pk"]:
             cols += [seqc, kindc]
         tbl = pq.read_table(f["path"], columns=list(dict.fromkeys(cols)))
-        pdf = tbl.to_pandas()
+        pdf = tbl.to_pandas(types_mapper=int_dtypes.get)
         d = dels.get(os.path.basename(f["path"]))
         if d:
             pdf = pdf[~pdf.index.isin(d)]

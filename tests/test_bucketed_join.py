@@ -412,6 +412,103 @@ def test_bucketed_join_aggregation_sketch_fields(spark, warehouse):
     assert S.theta_estimate(bytes(row.uniq)) == 75.0
 
 
+def test_bucketed_join_aggregation_array_sketch_fields(spark, warehouse):
+    """The RELATIONAL sketch model (array<bigint>/array<int> columns
+    folded as distinct unions) must work inside bucket tasks too —
+    regression: pd.isna on an array value raised 'truth value of an
+    array is ambiguous' in fold_aggregation's sketch fold."""
+    ddl = "k bigint, keys array<bigint>, uniq array<int>"
+    t1 = warehouse.create_table(
+        "db.bjagg_arr",
+        ddl,
+        primary_keys=["k"],
+        options={
+            "bucket": "2",
+            "merge-engine": "aggregation",
+            "fields.keys.aggregate-function": "rbm64",
+            "fields.uniq.aggregate-function": "theta_sketch",
+        },
+    )
+    t1.write(spark.createDataFrame([(1, [1, 5], [1, 2]), (2, [3], None)], ddl))
+    t1.write(spark.createDataFrame([(1, [5, 9], [2, 3])], ddl))
+    t2 = warehouse.create_table(
+        "db.bjagg_arr_dim", "k bigint, s string", primary_keys=["k"], options={"bucket": "2"}
+    )
+    t2.write(spark.createDataFrame([(1, "x"), (2, "y")], "k bigint, s string"))
+    got = {
+        r.k: (list(r.keys), list(r.uniq) if r.uniq is not None else None)
+        for r in join_bucketed(spark, t1.refresh(), t2.refresh(), on=[("k", "k")]).collect()
+    }
+    assert got[1] == ([1, 5, 9], [1, 2, 3])
+    # all-null group folds to an EMPTY array, matching merge_view's
+    # flatten(collect_list(...)) over zero collected values
+    assert got[2] == ([3], [])
+
+
+def test_fold_aggregation_bigint_exact_above_2_53():
+    """Integral folds must not transit float64: sum/min/max over bigints
+    above 2^53 mixed with nulls stay exact (the same Arrow/pandas
+    coercion hazard the fused file-index stats string-ship around)."""
+    import pandas as pd
+
+    from flink_table_store_spark.operators.bucketed_join import fold_aggregation
+
+    big = (1 << 53) + 1  # not representable in float64
+    pdf = pd.DataFrame(
+        {
+            # nullable ints arrive as Int64 from read_bucket_side's
+            # types_mapper — NOT float64
+            "k": pd.array([1, 1, 1], dtype="Int64"),
+            "n": pd.array([big, None, 2], dtype="Int64"),
+            "hi": pd.array([big, None, big + 2], dtype="Int64"),
+            "__seq": [1, 2, 3],
+            "__kind": ["+I", "+I", "+I"],
+        }
+    )
+    cfg = {
+        "funcs": {"n": "sum", "hi": "max"},
+        "ignore_retract": set(),
+        "types": {"n": "bigint", "hi": "bigint"},
+        "k": {},
+        "default": "sum",
+        "remove_on_delete": False,
+    }
+    out = fold_aggregation(pdf, ["k"], cfg, "__seq", "__kind")
+    [r] = list(out.itertuples())
+    # a float64 round-trip would land on 2^53 + 2 or 2^53 + 4 instead
+    assert int(r.n) == big + 2
+    assert int(r.hi) == big + 2
+
+
+def test_bucketed_join_bigint_exact_e2e(spark, warehouse):
+    """End-to-end: nullable bigints above 2^53 survive the bucket task's
+    parquet→pandas hop exactly (types_mapper regression)."""
+    big = (1 << 53) + 1
+    ddl = "k bigint, n bigint"
+    t1 = warehouse.create_table(
+        "db.bjbig",
+        ddl,
+        primary_keys=["k"],
+        options={
+            "bucket": "2",
+            "merge-engine": "aggregation",
+            "fields.n.aggregate-function": "sum",
+        },
+    )
+    t1.write(spark.createDataFrame([(1, big), (2, None)], ddl))
+    t1.write(spark.createDataFrame([(1, 2)], ddl))
+    t2 = warehouse.create_table(
+        "db.bjbig_dim", "k bigint, s string", primary_keys=["k"], options={"bucket": "2"}
+    )
+    t2.write(spark.createDataFrame([(1, "x"), (2, "y")], "k bigint, s string"))
+    got = {
+        r.k: r.n
+        for r in join_bucketed(spark, t1.refresh(), t2.refresh(), on=[("k", "k")]).collect()
+    }
+    assert got[1] == big + 2
+    assert got[2] is None
+
+
 def test_bucketed_join_right_and_outer(spark, warehouse):
     """right/outer joins: unmatched right rows survive with null left
     columns, still zero Exchange."""

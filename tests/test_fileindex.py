@@ -419,3 +419,22 @@ def test_fused_stats_keep_bigint_precision(spark, warehouse):
         if e.stats.get("k", {}).get("min") is not None
     )
     assert t.to_df(spark, predicate=P.equal("k", big)).count() == 1
+
+
+def test_build_indexes_empty_staging_vs_corrupt_file(spark, tmp_path):
+    """Empty staging (no data files) is a clean no-op; a CORRUPT staged
+    file must RAISE, not silently commit without indexes/stats."""
+    import pytest
+
+    from flink_table_store_spark import fileindex
+
+    empty = tmp_path / "stage_empty"
+    empty.mkdir()
+    (empty / "_SUCCESS").write_text("")
+    assert fileindex.build_indexes(spark, str(empty), ["c"], [], 64) == {}
+
+    bad = tmp_path / "stage_bad"
+    bad.mkdir()
+    (bad / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with pytest.raises(Exception):
+        fileindex.build_indexes(spark, str(bad), ["c"], [], 64)
