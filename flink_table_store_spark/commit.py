@@ -66,6 +66,7 @@ class FileStoreCommit:
         fold_manifests: bool = False,
         dv_row_count: int | None = None,
         dv_resolver=None,
+        dv_buckets: dict[str, list[int]] | None = None,
     ) -> Snapshot:
         """Commit ADD/DELETE entries as a new snapshot. Retries on CAS
         loss; re-validates that DELETE-d files still exist (conflict
@@ -102,7 +103,7 @@ class FileStoreCommit:
                 # from the snapshot they actually land on: a lost CAS
                 # race against a concurrent DV commit would otherwise
                 # silently drop that commit's DV files from the set.
-                dv_files, dv_row_count = dv_resolver(latest)
+                dv_files, dv_row_count, dv_buckets = dv_resolver(latest)
             if latest is None:
                 base_list, prev_total, prev_seq, new_id = None, 0, 0, 1
             else:
@@ -193,6 +194,25 @@ class FileStoreCommit:
                         latest.dv_row_count
                         if latest is not None and not deleted_keys
                         else None
+                    )
+                ),
+                # coverage follows the DV set: explicit when the commit
+                # replaces it; otherwise inherited, restricted to files
+                # still in the set. A replacing commit that supplies no
+                # coverage keeps whatever was known for surviving files.
+                dv_buckets=(
+                    dv_buckets
+                    if dv_buckets is not None
+                    else (
+                        {}
+                        if latest is None
+                        else {
+                            n: latest.dv_buckets[n]
+                            for n in (
+                                dv_files if dv_files is not None else latest.dv_files
+                            )
+                            if n in latest.dv_buckets
+                        }
                     )
                 ),
             )

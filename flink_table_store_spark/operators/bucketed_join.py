@@ -378,12 +378,15 @@ def read_bucket_side(spec: dict, bucket: int):
     }
 
     seqc, kindc = SEQUENCE_NUMBER, VALUE_KIND
+    # open only the DV sidecars covering THIS bucket (unknown coverage =
+    # consult): file-open overhead is O(own DV files), not O(all)
+    my_dv = [p for p, cov in spec["dv"] if cov is None or bucket in cov]
     dels = (
         dv_positions_for(
-            spec["dv"],
+            my_dv,
             [os.path.basename(f["path"]) for f in spec["buckets"].get(bucket, [])],
         )
-        if spec["dv"]
+        if my_dv
         else {}
     )
     frames = []
@@ -472,17 +475,22 @@ def _typed_partition(raw: str | None, ddl: str):
     return raw
 
 
-def _side_plan(table) -> tuple[dict[int, list[dict]], list[str], TableSchema]:
-    """{bucket: [{path, schema_id, partition(typed)}]}, abs DV paths."""
+def _side_plan(table, spark=None) -> tuple[dict[int, list[dict]], list[str], TableSchema]:
+    """{bucket: [{path, schema_id, partition(typed)}]}, abs DV paths.
+
+    Planning routes through ReadBuilder._plan_entries, so a table whose
+    manifests exceed ``scan.manifest.distributed-threshold`` entry rows
+    gets the SAME distributed ADD/DELETE merge the normal scan path
+    uses (SnapshotReaderImpl parallel manifest scan) — the join of two
+    million-file tables never re-materializes every entry on the
+    driver."""
     schema = table.schema
     snap = table.snapshots.latest()
     buckets: dict[int, list[dict]] = {}
     dv_paths: list[str] = []
     if snap is None:
         return buckets, dv_paths, schema
-    entries = table.manifests.read_live_entries(
-        snap.base_manifest_list, snap.delta_manifest_list
-    )
+    entries = table.read_builder()._plan_entries(spark, snap)
     pt_types = {k: schema.field(k).type for k in schema.partition_keys}
     for e in entries:
         if e.bucket == POSTPONE_BUCKET:
@@ -503,7 +511,12 @@ def _side_plan(table) -> tuple[dict[int, list[dict]], list[str], TableSchema]:
                 },
             }
         )
-    dv_paths = [os.path.join(table.path, "index", n) for n in snap.dv_files]
+    # (abs path, bucket coverage | None): a task consults only sidecars
+    # covering its bucket; None (pre-coverage snapshots) = all buckets
+    dv_paths = [
+        (os.path.join(table.path, "index", n), snap.dv_buckets.get(n))
+        for n in snap.dv_files
+    ]
     return buckets, dv_paths, schema
 
 
@@ -581,8 +594,8 @@ def join_bucketed(
     if how not in ("inner", "left", "right", "outer"):
         raise ValueError(f"unsupported how={how!r} (inner/left/right/outer)")
 
-    lbuckets, ldv, _ = _side_plan(left)
-    rbuckets, rdv, _ = _side_plan(right)
+    lbuckets, ldv, _ = _side_plan(left, spark)
+    rbuckets, rdv, _ = _side_plan(right, spark)
     lmaps, rmaps = _field_maps(left), _field_maps(right)
 
     left_cols = left_cols or lschema.field_names()
@@ -815,7 +828,7 @@ def join_bucketed_chain(
 
     specs = []
     for i, (t, s) in enumerate(zip(tables, schemas)):
-        buckets, dv, _ = _side_plan(t)
+        buckets, dv, _ = _side_plan(t, spark)
         jk = base_keys if i == 0 else [p[1] for p in on[i - 1]]
         specs.append(_make_spec(s, buckets, dv, _field_maps(t), sels[i], jk))
     join_plan = [

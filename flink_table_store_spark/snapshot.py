@@ -48,6 +48,12 @@ class Snapshot:
     # reference stores per-file deleteRowCount, DataFileMeta.java:97-166;
     # None = unknown — derive by reading the DV files)
     dv_row_count: int | None = None
+    # {dv file name: sorted bucket ids its rows touch} — lets a bucket
+    # task open ONLY its own DV sidecars instead of filtering all of
+    # them (the reference scopes DV index files per DataSplit,
+    # DataSplit.java:61-80). A file absent from the map has unknown
+    # coverage and must be consulted by every bucket.
+    dv_buckets: dict[str, list[int]] = field(default_factory=dict)
 
     def to_dict(self) -> dict[str, Any]:
         return {
@@ -67,6 +73,7 @@ class Snapshot:
             "nextRowId": self.next_row_id,
             "changelogFiles": self.changelog_files,
             "deletionVectorsRowCount": self.dv_row_count,
+            "deletionVectorBuckets": self.dv_buckets,
         }
 
     @staticmethod
@@ -87,6 +94,7 @@ class Snapshot:
             next_row_id=d.get("nextRowId", 0),
             changelog_files=d.get("changelogFiles", []),
             dv_row_count=d.get("deletionVectorsRowCount"),
+            dv_buckets=d.get("deletionVectorBuckets", {}),
         )
 
 

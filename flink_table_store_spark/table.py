@@ -492,13 +492,24 @@ class Table:
         os.makedirs(index_dir, exist_ok=True)
         name = f"dv-{_uuid.uuid4().hex}.parquet"
         _pq.write_table(tbl, os.path.join(index_dir, name), compression="zstd")
+        # bucket coverage of this sidecar: which buckets' files it holds
+        # positions for (DataSplit-scoped DV lookup — a bucket task opens
+        # only sidecars covering its bucket)
+        bucket_of = {os.path.basename(e.file_name): e.bucket for e in entries}
+        coverage = sorted(
+            {
+                bucket_of[fn]
+                for fn in set(tbl.column("file_name").to_pylist())
+                if fn in bucket_of
+            }
+        )
         # The DV set and delete-row count are re-derived INSIDE the CAS
         # retry loop against the snapshot the commit actually lands on:
         # a concurrent DV commit that wins the race keeps its DV files
         # in the set instead of being silently overwritten (ADVICE r2).
         live = {os.path.basename(e.file_name) for e in entries}
 
-        def _resolve_dv(latest: Snapshot | None) -> tuple[list[str], int]:
+        def _resolve_dv(latest: Snapshot | None) -> tuple[list[str], int, dict]:
             base_dv = list(latest.dv_files) if latest is not None else []
             new_set = base_dv if name in base_dv else base_dv + [name]
             if latest is None:
@@ -512,7 +523,9 @@ class Table:
                         latest.base_manifest_list, latest.delta_manifest_list
                     )
                 }
-            return new_set, self._dv_count_files(new_set, live_set)
+            buckets = dict(latest.dv_buckets) if latest is not None else {}
+            buckets[name] = coverage
+            return new_set, self._dv_count_files(new_set, live_set), buckets
 
         return self.committer.commit(
             [],
@@ -717,8 +730,11 @@ class Table:
             deletes.append(d)
         # DV maintenance: compacted files materialized their deletes, so
         # keep only DV rows for files that survive this commit
-        new_dv, new_dv_count = self._consolidate_dv(
-            snap, survivors={os.path.basename(e.file_name) for e in entries} - {os.path.basename(e.file_name) for e in to_compact}
+        new_dv, new_dv_count, new_dv_buckets = self._consolidate_dv(
+            snap,
+            survivors={os.path.basename(e.file_name) for e in entries}
+            - {os.path.basename(e.file_name) for e in to_compact},
+            bucket_of={os.path.basename(e.file_name): e.bucket for e in entries},
         )
         # changelog-producer=full-compaction: persist the diff vs the
         # previous compaction's state as changelog files referenced by
@@ -736,6 +752,7 @@ class Table:
             dv_files=new_dv,
             changelog_files=cl_files,
             dv_row_count=new_dv_count,
+            dv_buckets=new_dv_buckets,
         )
 
     def _write_compaction_changelog(self, spark: SparkSession, snap: Snapshot) -> list[str]:
@@ -859,12 +876,19 @@ class Table:
             next_sequence=latest.next_sequence if latest else 0,
         )
 
-    def _consolidate_dv(self, snap: Snapshot, survivors: set[str]) -> tuple[list[str], int]:
+    def _consolidate_dv(
+        self,
+        snap: Snapshot,
+        survivors: set[str],
+        bucket_of: dict[str, int] | None = None,
+    ) -> tuple[list[str], int, dict[str, list[int]]]:
         """Rewrite the DV sidecar set down to positions in surviving
-        files; ([], 0) if nothing remains (rewrite_file_index procedure).
-        Vectorized pyarrow filter — no per-row Python loops. Returns
-        (dv file names, distinct delete-row count) so the commit can
-        record dv_row_count."""
+        files; ([], 0, {}) if nothing remains (rewrite_file_index
+        procedure). Vectorized pyarrow filter — no per-row Python loops.
+        Returns (dv file names, distinct delete-row count, per-file
+        bucket coverage) so the commit can record dv_row_count and
+        dv_buckets; coverage comes from ``bucket_of`` (basename →
+        bucket) when the caller knows it."""
         import uuid as _uuid
 
         import pyarrow as _pa
@@ -872,7 +896,7 @@ class Table:
         import pyarrow.parquet as _pq
 
         if not snap.dv_files:
-            return [], 0
+            return [], 0, {}
         t = self._read_dv_table(snap.dv_files)
         keep = t.filter(
             _pc.is_in(
@@ -881,7 +905,7 @@ class Table:
             )
         )
         if keep.num_rows == 0:
-            return [], 0
+            return [], 0, {}
         distinct = keep.group_by(["file_name", "pos"]).aggregate([])
         name = f"dv-{_uuid.uuid4().hex}.parquet"
         _pq.write_table(
@@ -889,7 +913,15 @@ class Table:
             os.path.join(self.path, "index", name),
             compression="zstd",
         )
-        return [name], distinct.num_rows
+        coverage: dict[str, list[int]] = {}
+        if bucket_of is not None:
+            touched = {
+                bucket_of[fn]
+                for fn in set(distinct.column("file_name").to_pylist())
+                if fn in bucket_of
+            }
+            coverage[name] = sorted(touched)
+        return [name], distinct.num_rows, coverage
 
     def row_tracking_df(self, spark: SparkSession) -> DataFrame:
         """$row_tracking (RowTrackingTable): the table's rows with their
@@ -1208,13 +1240,18 @@ class Table:
         untouched = {os.path.basename(e.file_name) for e in live} - {
             os.path.basename(e.file_name) for e in entries
         }
-        dv_files, dv_count = self._consolidate_dv(snap, untouched)
+        dv_files, dv_count, dv_bkts = self._consolidate_dv(
+            snap,
+            untouched,
+            bucket_of={os.path.basename(e.file_name): e.bucket for e in live},
+        )
         return self.committer.commit(
             deletes + new_entries,
             schema.id,
             kind=COMMIT_COMPACT,
             dv_files=dv_files,
             dv_row_count=dv_count,
+            dv_buckets=dv_bkts,
         )
 
     # --- snapshot management ---

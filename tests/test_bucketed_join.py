@@ -840,3 +840,97 @@ def test_bucketed_join_chain_partitioned_base(spark, warehouse):
     assert sorted(map(tuple, got.select(*exp.columns).collect())) == sorted(
         map(tuple, exp.collect())
     )
+
+
+def test_bucketed_join_distributed_manifest_planning(spark, warehouse, monkeypatch):
+    """Above scan.manifest.distributed-threshold the JOIN's planning
+    (_side_plan) takes the same distributed ADD/DELETE merge the scan
+    path uses — and the join result is unchanged."""
+    from flink_table_store_spark.manifest import ManifestManager
+
+    opts = {"bucket": "2", "scan.manifest.distributed-threshold": "2"}
+    t1 = warehouse.create_table(
+        "db.bjdist_l", "k bigint, v double", primary_keys=["k"], options=opts
+    )
+    for i in range(3):
+        t1.write(
+            spark.createDataFrame(
+                [(j, float(j + 10 * i)) for j in range(8)], "k bigint, v double"
+            )
+        )
+    t2 = warehouse.create_table(
+        "db.bjdist_r", "k bigint, s string", primary_keys=["k"], options=opts
+    )
+    t2.write(spark.createDataFrame([(k, f"d{k}") for k in range(8)], "k bigint, s string"))
+    t1, t2 = t1.refresh(), t2.refresh()
+
+    calls = {"n": 0}
+    orig = ManifestManager.live_entries_distributed
+
+    def spy(self, *a, **kw):
+        calls["n"] += 1
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(ManifestManager, "live_entries_distributed", spy)
+    got = join_bucketed(spark, t1, t2, on=[("k", "k")])
+    expected = t1.to_df(spark).join(t2.to_df(spark), on="k", how="inner").select(
+        "k", "v", "s"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+    assert calls["n"] >= 1, "distributed planning did not engage for join_bucketed"
+
+
+def test_dv_sidecars_bucket_scoped_open_set(spark, warehouse, monkeypatch):
+    """Snapshot records per-DV-file bucket coverage, and a bucket task
+    OPENS only sidecars covering its bucket (DataSplit.deletionFiles
+    scoping, DataSplit.java:61-80) — not merely filters inside them."""
+    import os
+
+    from flink_table_store_spark import predicate as P
+    from flink_table_store_spark.operators import bucketed_join as bj
+
+    df = spark.createDataFrame(
+        [(k % 8, k, float(k)) for k in range(64)],
+        "o_custkey bigint, o_orderkey bigint, o_total double",
+    )
+    t = warehouse.create_table(
+        "db.bjdv_cov",
+        df.schema,
+        options={"bucket": "4", "bucket-key": "o_custkey", "deletion-vectors.enabled": "true"},
+    )
+    t.write(df)
+    t = t.refresh()
+    # two DV commits, each touching ONE key -> one bucket each
+    t.delete(spark, P.equal("o_custkey", 1), use_dv=True)
+    t = t.refresh()
+    t.delete(spark, P.equal("o_custkey", 2), use_dv=True)
+    t = t.refresh()
+    snap = t.snapshots.latest()
+    assert len(snap.dv_files) == 2
+    covs = [snap.dv_buckets[n] for n in snap.dv_files]
+    assert all(len(c) == 1 for c in covs), covs  # each delete hit one bucket
+
+    buckets, dv, schema = bj._side_plan(t, spark)
+    spec = bj._make_spec(schema, buckets, dv, bj._field_maps(t), schema.field_names(), ["o_custkey"])
+
+    opened: dict[int, list[str]] = {}
+    orig = bj.dv_positions_for
+
+    def spy(paths, names):
+        opened.setdefault(cur_bucket, []).extend(os.path.basename(p) for p in paths)
+        return orig(paths, names)
+
+    monkeypatch.setattr(bj, "dv_positions_for", spy)
+    for cur_bucket in sorted(buckets):
+        bj.read_bucket_side(spec, cur_bucket)
+    # each task opened only sidecars covering its bucket
+    for b, names in opened.items():
+        for n in names:
+            assert b in snap.dv_buckets[n], (b, n, snap.dv_buckets)
+    # and the two DV files were each opened by exactly one task
+    all_opened = [n for names in opened.values() for n in names]
+    assert sorted(all_opened) == sorted(snap.dv_files)
+
+    # correctness: the joined/deleted state is unchanged
+    got = sorted(r.o_orderkey for r in t.to_df(spark).collect())
+    assert got == sorted(k for k in range(64) if k % 8 not in (1, 2))
