@@ -334,6 +334,9 @@ def _make_spec(schema, buckets, dv, maps, sel_cols, jkeys) -> dict:
     ]
     pk = bool(schema.primary_keys)
     engine = schema.options.get("merge-engine", "deduplicate")
+    from flink_table_store_spark.operators.merge_engines import _sequence_groups
+
+    seq_groups = _sequence_groups(schema) if engine == "partial-update" else {}
     return {
         "buckets": buckets,
         "dv": dv,
@@ -341,14 +344,18 @@ def _make_spec(schema, buckets, dv, maps, sel_cols, jkeys) -> dict:
         "pk": pk,
         "engine": engine,
         "agg_cfg": _agg_cfg(schema) if engine == "aggregation" else None,
+        "seq_groups": seq_groups,
         "key_cols": key_cols,
         "seq_fields": seq_fields,
         "partition_keys": list(schema.partition_keys),
-        # merge keys + user sequence columns must be read even when
-        # not selected (the local merge orders/groups by them)
+        # merge keys + user sequence columns (incl. sequence-group
+        # version columns) must be read even when not selected (the
+        # local merge orders/groups by them)
         "need": list(
             dict.fromkeys(
-                list(sel_cols) + jkeys + ((key_cols + seq_fields) if pk else [])
+                list(sel_cols)
+                + jkeys
+                + ((key_cols + seq_fields + list(seq_groups)) if pk else [])
             )
         ),
         "out_need": list(dict.fromkeys(list(sel_cols) + jkeys)),
@@ -441,6 +448,26 @@ def read_bucket_side(spec: dict, bucket: int):
             del_rows = pdf[pdf[kindc] == KIND_DELETE]
             gb = ups.groupby(spec["key_cols"], sort=False, dropna=False)
             merged = gb.last()  # pandas last() skips nulls per column
+            # sequence-groups (PartialUpdateMergeFunction.java:65-107):
+            # a group's fields take the WHOLE winning row's values (nulls
+            # included) from the row with the max non-null (group-seq,
+            # seq); keys with no non-null group-seq leave the group null
+            # — exact max_by(f, CASE WHEN g IS NOT NULL THEN struct(g,
+            # seq) END) parity with merge_engines._partial_update
+            for g, fields in (spec.get("seq_groups") or {}).items():
+                cols = [
+                    c
+                    for c in [g] + fields
+                    if c in ups.columns and c not in spec["key_cols"]
+                ]
+                if g not in ups.columns or not cols:
+                    continue
+                sub = ups[ups[g].notna()].sort_values([g, "__ord"], kind="stable")
+                gsel = sub.drop_duplicates(
+                    subset=spec["key_cols"], keep="last"
+                ).set_index(spec["key_cols"])[cols]
+                for c in cols:
+                    merged[c] = gsel[c].reindex(merged.index)
             if len(del_rows):
                 # remove-record-on-delete: a -D that is the key's
                 # latest activity drops the record
@@ -586,11 +613,6 @@ def join_bucketed(
                 )
             if eng == "aggregation":
                 _check_local_agg_funcs(s)
-            if any(k.endswith(".sequence-group") for k in s.options):
-                raise ValueError(
-                    "join_bucketed does not support sequence-group tables — "
-                    "compact() first"
-                )
     if how not in ("inner", "left", "right", "outer"):
         raise ValueError(f"unsupported how={how!r} (inner/left/right/outer)")
 
@@ -793,8 +815,6 @@ def join_bucketed_chain(
                 raise ValueError(f"unsupported merge-engine {eng!r} in chain")
             if eng == "aggregation":
                 _check_local_agg_funcs(s)
-            if any(k.endswith(".sequence-group") for k in s.options):
-                raise ValueError("sequence-group tables need compact() first")
 
     cols = cols or [None] * n_sides
     if len(cols) != n_sides:

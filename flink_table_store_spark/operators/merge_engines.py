@@ -159,10 +159,13 @@ def _partial_update(
     keys = _key_cols(schema)
     groups = _sequence_groups(schema)
     field_group: dict[str, str] = {}
-    for seq_col, cols in groups.items():
+    for g, cols in groups.items():
         for c in cols:
-            field_group[c] = seq_col
+            field_group[c] = g
 
+    # NOT the last group's column: non-group fields order by the real
+    # sequence (a former loop-variable shadowing bug silently merged
+    # them by an unrelated group column when sequence-groups were set)
     seq = seq_col
     upserts = df.where(F.col(VALUE_KIND) != KIND_DELETE)
     aggs = []

@@ -934,3 +934,56 @@ def test_dv_sidecars_bucket_scoped_open_set(spark, warehouse, monkeypatch):
     # correctness: the joined/deleted state is unchanged
     got = sorted(r.o_orderkey for r in t.to_df(spark).collect())
     assert got == sorted(k for k in range(64) if k % 8 not in (1, 2))
+
+
+def test_bucketed_join_sequence_group_table(spark, warehouse):
+    """VERDICT r3 task 7: sequence-group partial-update tables join
+    WITHOUT compact-first — the bucket-local fold takes each group's
+    fields from the row with the max non-null (group-seq, seq), nulls
+    included (PartialUpdateMergeFunction.java:65-107). Oracle: the
+    proven Spark merge path (to_df) + a regular join."""
+    ddl = "k bigint, a string, g1 bigint, b string, c string, g2 bigint, d string"
+    t1 = warehouse.create_table(
+        "db.bjsg",
+        ddl,
+        primary_keys=["k"],
+        options={
+            "bucket": "2",
+            "merge-engine": "partial-update",
+            "fields.g1.sequence-group": "b,c",
+            "fields.g2.sequence-group": "d",
+        },
+    )
+    rows1 = [
+        (1, "a1", 10, "b1", "c1", 100, "d1"),
+        (2, "a2", 20, "b2", "c2", None, None),
+        (3, None, None, None, None, 300, "d3"),
+    ]
+    rows2 = [
+        # g1 advances for k=1: b/c overwritten (c with NULL — nulls in an
+        # advancing group DO overwrite); g2 stale: d ignored
+        (1, None, 11, "B1", None, 50, "DX"),
+        # g1 regresses for k=2: b/c ignored; g2 first non-null: d set
+        (2, "A2", 5, "BX", "CX", 200, "D2"),
+        (3, "a3", None, None, None, None, None),
+    ]
+    t1.write(spark.createDataFrame(rows1, ddl))
+    t1.write(spark.createDataFrame(rows2, ddl))
+    t2 = warehouse.create_table(
+        "db.bjsg_dim", "k bigint, s string", primary_keys=["k"], options={"bucket": "2"}
+    )
+    t2.write(spark.createDataFrame([(k, f"s{k}") for k in (1, 2, 3)], "k bigint, s string"))
+    t1, t2 = t1.refresh(), t2.refresh()
+    got = join_bucketed(spark, t1, t2, on=[("k", "k")])
+    mor = t1.to_df(spark)
+    expected = mor.join(t2.to_df(spark), on="k", how="inner").select(
+        "k", "a", "g1", "b", "c", "g2", "d", "s"
+    )
+    exp_rows = sorted(map(tuple, expected.collect()))
+    assert sorted(map(tuple, got.collect())) == exp_rows
+    # sanity-pin the semantics (not just engine-vs-engine parity)
+    by_k = {r[0]: r for r in exp_rows}
+    assert by_k[1][2:7] == (11, "B1", None, 100, "d1")  # g1 won, null c overwrote; g2 stale
+    assert by_k[2][2:7] == (20, "b2", "c2", 200, "D2")  # g1 regressed; g2 advanced
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
