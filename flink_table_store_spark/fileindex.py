@@ -164,7 +164,7 @@ def build_indexes(
     stat_cols: list[str] = []
     int_stat_cols: set[str] = set()
     if with_stats:
-        from flink_table_store_spark.manifest import UNSTATABLE_TYPES
+        from flink_table_store_spark.manifest import statable_columns
 
         # exclude partition-directory columns (and _bucket): their
         # values are RE-INFERRED from the dir names by spark.read.load
@@ -172,23 +172,15 @@ def build_indexes(
         # TIMESTAMP), so recorded stats would mismatch the real column
         # and wrongly prune live files — the manifest entry's partition
         # map already carries the authoritative values
-        excl = stats_exclude or set()
-        stat_cols = [
-            f.name
-            for f in df.schema.fields
-            if f.dataType.typeName() not in UNSTATABLE_TYPES and f.name not in excl
-        ]
+        pairs = statable_columns(df.schema, stats_exclude)
+        stat_cols = [c for c, _t in pairs]
         # integral min/max travel as STRINGS through the Arrow/pandas
         # hop: a nullable int64 agg column coerces to float64 in pandas
         # and silently rounds values above 2^53
-        int_stat_cols = {
-            f.name
-            for f in df.schema.fields
-            if f.dataType.typeName() in ("byte", "short", "integer", "long")
-        }
+        int_stat_cols = {c for c, t in pairs if t in ("byte", "short", "integer", "long")}
         aggs.append(F.count(F.lit(1)).alias("__rc"))
         for si, c in enumerate(stat_cols):
-            mn, mx = F.min(c), F.max(c)
+            mn, mx = F.min(F.col(c)), F.max(F.col(c))
             if c in int_stat_cols:
                 mn, mx = mn.cast("string"), mx.cast("string")
             aggs += [

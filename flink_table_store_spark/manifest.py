@@ -293,6 +293,30 @@ class ManifestManager:
 UNSTATABLE_TYPES = ("struct", "array", "map", "binary", "variant")
 
 
+def statable_columns(spark_schema, exclude: set[str] | None = None) -> list[tuple[str, str]]:
+    """[(column path, typeName)] every stats collector agrees on: the
+    statable top-level fields PLUS one level of struct leaves as dotted
+    paths (``s.x``) — the reference records and evaluates stats on
+    nested rows too (SchemaEvolutionUtil nested paths; stats evaluation
+    in KeyValueFileStoreScan). A filter on ``s.x`` then skips files via
+    the ordinary predicate.test path, since leaf predicates address
+    stats by name and ``F.col("s.x")`` resolves nested access."""
+    excl = exclude or set()
+    out: list[tuple[str, str]] = []
+    for f in spark_schema.fields:
+        if f.name in excl:
+            continue
+        tn = f.dataType.typeName()
+        if tn == "struct":
+            for sub in f.dataType.fields:
+                stn = sub.dataType.typeName()
+                if stn not in UNSTATABLE_TYPES:
+                    out.append((f"{f.name}.{sub.name}", stn))
+        elif tn not in UNSTATABLE_TYPES:
+            out.append((f.name, tn))
+    return out
+
+
 def _json_safe(v: Any) -> Any:
     if isinstance(v, (datetime, date)):
         return v.isoformat()
@@ -308,14 +332,26 @@ def collect_parquet_stats(path: str) -> tuple[int, int, dict[str, dict[str, Any]
     footer — no data read. Driver-side is fine for moderate file counts;
     at scale the writer tasks return the same stats through the
     CommitMessage hop instead (see write.py)."""
-    md = pq.ParquetFile(path).metadata
+    import pyarrow as _pa
+
+    pf = pq.ParquetFile(path)
+    md = pf.metadata
+    # dotted footer paths are statable only for ONE level of struct
+    # leaves ("s.x"); array/map internals ("a.list.element",
+    # "m.key_value.key") and deeper nesting stay skipped
+    struct_leaves: set[str] = set()
+    for f in pf.schema_arrow:
+        if _pa.types.is_struct(f.type):
+            for ch in f.type:
+                if not (_pa.types.is_nested(ch.type) or _pa.types.is_binary(ch.type) or _pa.types.is_large_binary(ch.type)):
+                    struct_leaves.add(f"{f.name}.{ch.name}")
     stats: dict[str, dict[str, Any]] = {}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
             name = col.path_in_schema
-            if "." in name:  # nested — skip stats, no pruning on nested fields
+            if "." in name and name not in struct_leaves:
                 continue
             try:
                 s = col.statistics

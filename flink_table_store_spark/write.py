@@ -229,20 +229,15 @@ def collect_stats_distributed(
     entry's partition map is authoritative)."""
     import urllib.parse as _up
 
-    from flink_table_store_spark.manifest import UNSTATABLE_TYPES, _json_safe
+    from flink_table_store_spark.manifest import _json_safe, statable_columns
 
     df = spark.read.format(fmt).load(staging)
-    excl = exclude or set()
-    statable = [
-        f.name
-        for f in df.schema.fields
-        if f.dataType.typeName() not in UNSTATABLE_TYPES and f.name not in excl
-    ]
+    statable = [c for c, _t in statable_columns(df.schema, exclude)]
     aggs = [F.count(F.lit(1)).alias("__rc")]
     for c in statable:
         aggs += [
-            F.min(c).alias(f"__mn_{c}"),
-            F.max(c).alias(f"__mx_{c}"),
+            F.min(F.col(c)).alias(f"__mn_{c}"),
+            F.max(F.col(c)).alias(f"__mx_{c}"),
             F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nu_{c}"),
         ]
     rows = (
