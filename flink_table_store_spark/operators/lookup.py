@@ -60,6 +60,110 @@ def lookup_join(
     return stream_df.join(F.broadcast(table.to_df(spark)), on=on, how=how)
 
 
+class PartialLookupTable:
+    """Partial-cache point-lookup table for HUGE dimension sides — the
+    PrimaryKeyPartialLookupTable analogue (paimon-flink/.../lookup/
+    PrimaryKeyPartialLookupTable.java + LocalTableQuery.java:64): a
+    probe fetches and memoizes ONLY the probed key's bucket, keyed by
+    (snapshot id, bucket). Repeated lookups against cached buckets read
+    ZERO new files; a snapshot refresh invalidates only what changed.
+    Per-process memoization plays the reference's per-task-manager
+    local lookup store; the bucket read reuses the bucketed join's
+    merged reader (DV-scoped, schema-evolution-aware, merge-engine
+    folds). Requires a fixed-bucket PK table — dynamic/postpone bucket
+    modes have no static key→bucket function to probe."""
+
+    def __init__(self, spark: SparkSession, table, refresh_interval_sec: float = 10.0):
+        if not table.is_primary_key_table():
+            raise RuntimeError("PartialLookupTable requires a primary-key table")
+        if table.schema.num_buckets() <= 0:
+            raise RuntimeError(
+                "PartialLookupTable requires a fixed-bucket table "
+                "(dynamic/postpone bucket keys have no static bucket function)"
+            )
+        self.spark = spark
+        self.table = table
+        self.refresh_interval_sec = refresh_interval_sec
+        self._snap_id: int | None = None
+        self._loaded_at = 0.0
+        self._spec: dict | None = None
+        # (snapshot id, bucket) -> {pk tuple: row dict}
+        self._buckets: dict[tuple[int, int], dict] = {}
+        self.stats = {"files_opened": 0, "bucket_loads": 0, "hits": 0, "misses": 0}
+
+    def _refresh(self) -> None:
+        now = time.monotonic()
+        if self._spec is not None and now - self._loaded_at < self.refresh_interval_sec:
+            return
+        latest = self.table.snapshots.latest_id()
+        if self._spec is None or latest != self._snap_id:
+            from flink_table_store_spark.operators.bucketed_join import (
+                _field_maps,
+                _make_spec,
+                _side_plan,
+            )
+
+            t = self.table.refresh() if latest != self._snap_id else self.table
+            self.table = t
+            buckets, dv, schema = _side_plan(t, self.spark)
+            keys = schema.trimmed_primary_keys()
+            self._spec = _make_spec(
+                schema, buckets, dv, _field_maps(t), schema.field_names(), keys
+            )
+            self._snap_id = latest
+            # drop cached buckets of older snapshots
+            self._buckets = {k: v for k, v in self._buckets.items() if k[0] == latest}
+        self._loaded_at = now
+
+    def _bucket(self, key_values: dict) -> int:
+        """Writer-parity bucket id, driver-side: pure-python xxhash64
+        when the key types support it, else one 1-row Spark eval."""
+        from flink_table_store_spark.write import bucket_keys
+        from flink_table_store_spark.xxh64 import spark_xxhash64
+
+        schema = self.table.schema
+        keys = bucket_keys(schema)
+        h = spark_xxhash64(
+            [(key_values[k], schema.field(k).type.lower()) for k in keys]
+        )
+        if h is None:
+            return _bucket_of(self.spark, self.table, key_values)
+        return h % schema.num_buckets()
+
+    def _load_bucket(self, bucket: int) -> dict:
+        from flink_table_store_spark.operators.bucketed_join import read_bucket_side
+
+        ck = (self._snap_id, bucket)
+        cached = self._buckets.get(ck)
+        if cached is not None:
+            self.stats["hits"] += 1
+            return cached
+        self.stats["misses"] += 1
+        self.stats["bucket_loads"] += 1
+        self.stats["files_opened"] += len(self._spec["buckets"].get(bucket, []))
+        pdf = read_bucket_side(self._spec, bucket)
+        keys = self.table.schema.trimmed_primary_keys()
+        rows: dict = {}
+        if pdf is not None:
+            for rec in pdf.to_dict("records"):
+                rows[tuple(rec[k] for k in keys)] = rec
+        self._buckets[ck] = rows
+        return rows
+
+    def lookup(self, key_values: dict) -> dict | None:
+        """Point lookup: merged row dict for the PK, or None."""
+        self._refresh()
+        keys = self.table.schema.trimmed_primary_keys()
+        missing = [k for k in keys if k not in key_values]
+        if missing:
+            raise ValueError(f"missing key columns: {missing}")
+        rows = self._load_bucket(self._bucket(key_values))
+        return rows.get(tuple(key_values[k] for k in keys))
+
+    def lookup_batch(self, batch: list[dict]) -> list[dict | None]:
+        return [self.lookup(kv) for kv in batch]
+
+
 def _bucket_of(spark: SparkSession, table, key_values: dict) -> int:
     """Bucket id for literal key values — one 1-row Spark expression
     eval, reusing the writer's exact hash (write.py bucket_expr)."""

@@ -33,6 +33,7 @@ from flink_table_store_spark.manifest import ManifestEntry
 from flink_table_store_spark.operators.merge_engines import merge_view
 from flink_table_store_spark.predicate import Predicate
 from flink_table_store_spark.schema import (
+    ROW_ID_COL,
     SEQUENCE_NUMBER,
     VALUE_KIND,
     TableSchema,
@@ -210,6 +211,7 @@ def _read_files(
     with_system: bool,
     dv: DataFrame | None = None,
     keep_meta: bool = False,
+    with_row_id: bool = False,
 ) -> DataFrame | None:
     """Read entries grouped by writer schema generation, adapt each
     generation to the current schema, union."""
@@ -235,23 +237,29 @@ def _read_files(
             # _VALUE_KIND/_SEQUENCE_NUMBER on PK tables; partition and
             # _bucket as directory columns) — an explicit schema skips
             # Spark's footer-sampling inference pass at plan time
-            reader = reader.schema(_stored_schema(current, pk))
+            reader = reader.schema(_stored_schema(current, pk, with_row_id))
         df = reader.load(paths)
         df = _apply_dv(df, dv)
-        df = _adapt(df, schemas.get(sid, current), current, with_system, keep_meta)
+        df = _adapt(
+            df, schemas.get(sid, current), current, with_system, keep_meta, with_row_id
+        )
         parts.append(df)
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
-def _stored_schema(schema: TableSchema, pk: bool) -> T.StructType:
+def _stored_schema(schema: TableSchema, pk: bool, with_row_id: bool = False) -> T.StructType:
     """Spark schema of current-generation data files as stored on disk:
     data fields (partition keys resolve from directory names with their
-    declared types), plus the PK writer's system columns."""
+    declared types), plus the PK writer's system columns. With
+    ``with_row_id``, the compaction-materialized ``_ROW_ID`` column is
+    included (null for files written without one)."""
     fields = list(schema.spark_schema().fields)
     if pk:
         fields.append(T.StructField(VALUE_KIND, T.StringType()))
         fields.append(T.StructField(SEQUENCE_NUMBER, T.LongType()))
         fields.append(T.StructField(BUCKET_COL, T.IntegerType()))
+    if with_row_id:
+        fields.append(T.StructField(ROW_ID_COL, T.LongType()))
     return T.StructType(fields)
 
 
@@ -261,6 +269,7 @@ def _adapt(
     current: TableSchema,
     with_system: bool,
     keep_meta: bool = False,
+    with_row_id: bool = False,
 ) -> DataFrame:
     if writer_schema.id == current.id:
         # fast path — files of the CURRENT generation (the common case:
@@ -274,6 +283,12 @@ def _adapt(
             names += [s for s in (SEQUENCE_NUMBER, VALUE_KIND) if s in have]
             if BUCKET_COL in have:
                 names.append(BUCKET_COL)
+        if with_row_id and ROW_ID_COL in have:
+            names.append(ROW_ID_COL)
+        elif with_row_id:
+            df = df.withColumn(ROW_ID_COL, F.lit(None).cast("long"))
+            have = df.columns
+            names.append(ROW_ID_COL)
         if keep_meta:
             names.append("_metadata")
         if have == names:
@@ -293,6 +308,12 @@ def _adapt(
                 cols.append(F.col(s))
         if BUCKET_COL in df.columns:
             cols.append(F.col(BUCKET_COL))
+    if with_row_id:
+        cols.append(
+            F.col(ROW_ID_COL)
+            if ROW_ID_COL in df.columns
+            else F.lit(None).cast("long").alias(ROW_ID_COL)
+        )
     if keep_meta:
         cols.append(F.col("_metadata"))
     return df.select(*cols)

@@ -21,6 +21,9 @@ from flink_table_store_spark.fileio import read_json, write_json_atomic_new
 # Reserved system fields (paimon-api SpecialFields.java:79-94).
 SEQUENCE_NUMBER = "_SEQUENCE_NUMBER"
 VALUE_KIND = "_VALUE_KIND"
+# stable row id materialized by compaction rewrites of row-tracking
+# tables (SpecialFields.java:79-94 _ROW_ID)
+ROW_ID_COL = "_ROW_ID"
 LEVEL = "_LEVEL"
 ROW_KIND = "_row_kind"
 SYSTEM_FIELDS = (SEQUENCE_NUMBER, VALUE_KIND, LEVEL)

@@ -702,10 +702,18 @@ class Table:
 
         max_level = MAX_LEVEL
         pk = self.is_primary_key_table()
-        plan = read_mod.ScanPlan(merge_entries=to_compact) if pk else read_mod.ScanPlan(raw_entries=to_compact)
-        merged = read_mod.build_dataframe(
-            spark, self.path, plan, schema, self.all_schemas(), dv_files=snap.dv_files
-        )
+        row_ids = self.row_tracking_enabled()
+        if row_ids:
+            # row-id stability under maintenance (SpecialFields row-id
+            # semantics): carry each surviving row's id through the
+            # rewrite as a stored _ROW_ID column; the rewritten entries
+            # commit with first_row_id=None and readers use the column
+            merged = self._rows_with_ids(spark, to_compact, snap.dv_files)
+        else:
+            plan = read_mod.ScanPlan(merge_entries=to_compact) if pk else read_mod.ScanPlan(raw_entries=to_compact)
+            merged = read_mod.build_dataframe(
+                spark, self.path, plan, schema, self.all_schemas(), dv_files=snap.dv_files
+            )
         if pk and schema.num_buckets() == POSTPONE_BUCKET:
             # postpone mode (S19): THIS is where bucketing happens — the
             # rewrite assigns real buckets (postpone.bucket-num) so
@@ -719,6 +727,7 @@ class Table:
             schema,
             base_sequence=0 if not pk else 0,
             target_level=max_level,
+            keep_cols=["_ROW_ID"] if row_ids else None,
         )
         # compacted rows keep sequence semantics: they carry fresh low seqs,
         # but there are no surviving older runs, so ordering vs future
@@ -925,11 +934,13 @@ class Table:
 
     def row_tracking_df(self, spark: SparkSession) -> DataFrame:
         """$row_tracking (RowTrackingTable): the table's rows with their
-        stable ``_ROW_ID``. Ids are derived, not stored: each file's
-        manifest entry carries its commit-assigned ``first_row_id``, and
-        a row's id is first_row_id + its position in the file
-        (``_metadata.row_index``). The id map is O(files) and broadcast;
-        the data scan is the ordinary distributed parquet read."""
+        stable ``_ROW_ID``. For freshly written files ids are derived,
+        not stored: the manifest entry carries its commit-assigned
+        ``first_row_id`` and a row's id is first_row_id + its position
+        (``_metadata.row_index``). Compaction rewrites MATERIALIZE the
+        ids as a stored ``_ROW_ID`` column (SpecialFields row-id
+        stability contract), so ids survive maintenance; such entries
+        commit with first_row_id=None and read the stored column."""
         if not self.row_tracking_enabled():
             raise RuntimeError(
                 "row tracking requires an append table with row-tracking.enabled=true"
@@ -945,27 +956,47 @@ class Table:
         entries = self.manifests.read_live_entries(
             snap.base_manifest_list, snap.delta_manifest_list
         )
-        entries = [e for e in entries if e.first_row_id is not None]
         if not entries:
             return spark.createDataFrame([], out_schema)
+        return self._rows_with_ids(spark, entries, snap.dv_files)
+
+    def _rows_with_ids(
+        self, spark: SparkSession, entries: list, dv_files: list[str] | None = None
+    ) -> DataFrame:
+        """Data columns + ``_ROW_ID`` for ``entries``: derived from
+        first_row_id + row position for ordinary files, read from the
+        stored column for compaction-rewritten files (first_row_id is
+        None). Deletion vectors apply so a DV'd row's id never
+        resurrects through a rewrite."""
+        dv = read_mod.dv_dataframe(spark, self.path, dv_files or [])
+        df = read_mod._read_files(
+            spark, self.path, entries, self.schema, self.all_schemas(),
+            with_system=False, dv=dv, keep_meta=True, with_row_id=True,
+        )
         # Spark's _metadata.file_path renders the local scheme as
         # "file:/abs/path" (single slash)
         id_map = spark.createDataFrame(
             [
-                (f"file:{os.path.abspath(os.path.join(self.path, e.file_name))}", e.first_row_id)
+                (
+                    f"file:{os.path.abspath(os.path.join(self.path, e.file_name))}",
+                    e.first_row_id,
+                )
                 for e in entries
-            ],
+                if e.first_row_id is not None
+            ]
+            or [("", None)],
             "__fp string, __first bigint",
-        )
-        df = read_mod._read_files(
-            spark, self.path, entries, self.schema, self.all_schemas(),
-            with_system=False, keep_meta=True,
         )
         return (
             df.withColumn("__fp", F.col("_metadata.file_path"))
             .withColumn("__ri", F.col("_metadata.row_index"))
-            .join(F.broadcast(id_map), "__fp")
-            .withColumn("_ROW_ID", (F.col("__first") + F.col("__ri")).cast("long"))
+            .join(F.broadcast(id_map), "__fp", "left")
+            .withColumn(
+                "_ROW_ID",
+                F.coalesce(
+                    F.col("_ROW_ID"), (F.col("__first") + F.col("__ri")).cast("long")
+                ),
+            )
             .drop("__fp", "__ri", "__first", "_metadata")
         )
 
@@ -1219,10 +1250,16 @@ class Table:
         if not entries:
             return snap
         ranges = [merge_entry_stats(entries, c) for c in cols]
-        plan = read_mod.ScanPlan(raw_entries=entries)
-        df = read_mod.build_dataframe(
-            spark, self.path, plan, schema, self.all_schemas(), dv_files=snap.dv_files
-        )
+        row_ids = self.row_tracking_enabled()
+        if row_ids:
+            # clustering rewrites preserve _ROW_ID the same way compact
+            # does — materialized column, first_row_id stays None
+            df = self._rows_with_ids(spark, entries, snap.dv_files)
+        else:
+            plan = read_mod.ScanPlan(raw_entries=entries)
+            df = read_mod.build_dataframe(
+                spark, self.path, plan, schema, self.all_schemas(), dv_files=snap.dv_files
+            )
         key = sort_key(df, cols, ranges, strategy, bits)
         n = num_files or max(spark.sparkContext.defaultParallelism, 1)
         clustered = (
@@ -1231,7 +1268,13 @@ class Table:
             .sortWithinPartitions("__sk")
             .drop("__sk")
         )
-        new_entries = stage_and_collect(clustered, self.path, schema, target_level=5)
+        new_entries = stage_and_collect(
+            clustered,
+            self.path,
+            schema,
+            target_level=5,
+            keep_cols=["_ROW_ID"] if row_ids else None,
+        )
         deletes = []
         for e in entries:
             d = ManifestEntry(**{**e.__dict__})

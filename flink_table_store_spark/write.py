@@ -89,6 +89,7 @@ def stage_and_collect(
     base_sequence: int = 0,
     row_kind_col: str | None = None,
     target_level: int = 0,
+    keep_cols: list[str] | None = None,
 ) -> list[ManifestEntry]:
     """Write ``df`` into the table's data layout; return manifest entries.
 
@@ -135,7 +136,10 @@ def stage_and_collect(
         partition_by = pt_cols + [BUCKET_COL]
         spark_extra = [VALUE_KIND, SEQUENCE_NUMBER, BUCKET_COL]
     else:
-        df = _cast_to_schema(df, schema)
+        # keep_cols: extra stored columns a maintenance rewrite carries
+        # through (e.g. the materialized _ROW_ID of row-tracking
+        # compaction); ordinary reads drop them by projection
+        df = _cast_to_schema(df, schema, extra=list(keep_cols or []))
         partition_by = pt_cols
 
     fmt = schema.file_format()

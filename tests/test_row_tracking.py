@@ -61,3 +61,46 @@ def test_row_ids_allocated_at_commit_not_write(spark, t):
     t = t.refresh()
     ids = [r._ROW_ID for r in t.row_tracking_df(spark).collect()]
     assert sorted(ids) == list(range(9))
+
+
+def test_row_ids_survive_compaction(spark, t):
+    """VERDICT r3 task 8 (SpecialFields row-id stability): compaction
+    materializes ids as a stored _ROW_ID column, so $row_tracking is
+    identical before and after maintenance, and later writes keep
+    allocating above the high-water mark."""
+    t.write(_batch(spark, 0, 10, "a"))
+    t = t.refresh()
+    t.write(_batch(spark, 10, 20, "a"))
+    t = t.refresh()
+    before = {r.id: r._ROW_ID for r in t.row_tracking_df(spark).collect()}
+    assert len(before) == 20
+
+    t.compact(spark, full=True)
+    t = t.refresh()
+    after = {r.id: r._ROW_ID for r in t.row_tracking_df(spark).collect()}
+    assert after == before, "compaction must not reassign row ids"
+
+    # double maintenance: a second rewrite reads the STORED ids back
+    t.compact(spark, full=True)
+    t = t.refresh()
+    assert {r.id: r._ROW_ID for r in t.row_tracking_df(spark).collect()} == before
+
+    # new writes continue above the high-water mark — no id collisions
+    t.write(_batch(spark, 20, 25, "a"))
+    t = t.refresh()
+    final = {r.id: r._ROW_ID for r in t.row_tracking_df(spark).collect()}
+    assert {k: v for k, v in final.items() if k < 20} == before
+    assert len(set(final.values())) == 25
+    assert min(v for k, v in final.items() if k >= 20) >= 20
+
+
+def test_row_ids_survive_sort_compact(spark, t):
+    t.write(_batch(spark, 0, 30, "a"))
+    t = t.refresh()
+    before = {r.id: r._ROW_ID for r in t.row_tracking_df(spark).collect()}
+    t.sort_compact(spark, ["id"], strategy="order", num_files=2)
+    t = t.refresh()
+    after = {r.id: r._ROW_ID for r in t.row_tracking_df(spark).collect()}
+    assert after == before
+    # ordinary reads don't leak the stored column
+    assert "_ROW_ID" not in t.to_df(spark).columns
