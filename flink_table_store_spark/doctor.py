@@ -1,0 +1,172 @@
+"""Operability audit — the daily health report a 100 TB operator runs.
+
+``doctor(spark, table)`` folds the metadata the system-table family
+already exposes ($snapshots/$manifests/$files/$indexes/$consumers;
+reference: the $statistics / $indexes system tables plus the
+RemoveOrphanFilesProcedure) into one dict of gauges plus a list of
+actionable findings. Everything is O(files) driver-side metadata — no
+data scan; the optional orphan check reuses the distributed
+reconciliation of ``remove_orphan_files``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from flink_table_store_spark import fileindex
+
+# findings thresholds (CoreOptions-flavored defaults)
+SMALL_FILE_BYTES = 32 * 1024 * 1024  # flag files under 25% of a 128 MB target
+MANIFEST_FOLD_WARN = 8  # inherited manifest files before compact_manifest advice
+RUNS_PER_BUCKET_WARN = 5  # LSM runs before compact advice (universal trigger)
+DV_RATIO_WARN = 0.10  # deleted-row ratio before rewrite advice
+CONSUMER_LAG_WARN = 20  # snapshots a consumer pins before expiry advice
+
+
+def doctor(spark, table, check_orphans: bool = False) -> dict[str, Any]:
+    """Health report for ``table``. Keys: ``snapshots``, ``manifests``,
+    ``files``, ``deletion_vectors``, ``indexes``, ``consumers``,
+    ``orphans`` (when requested), and ``findings`` — a list of
+    human-readable, actionable strings (empty = healthy)."""
+    findings: list[str] = []
+    report: dict[str, Any] = {"table": table.path, "findings": findings}
+
+    ids = table.snapshots.snapshot_ids()
+    snap = table.snapshots.latest()
+    report["snapshots"] = {
+        "count": len(ids),
+        "earliest": ids[0] if ids else None,
+        "latest": ids[-1] if ids else None,
+    }
+    if snap is None:
+        return report
+
+    entries = table.manifests.read_live_entries(
+        snap.base_manifest_list, snap.delta_manifest_list
+    )
+
+    # manifest amplification: inherited list length vs live entries
+    manifest_files = table.manifests.read_manifest_list(
+        snap.base_manifest_list
+    ) + table.manifests.read_manifest_list(snap.delta_manifest_list)
+    report["manifests"] = {
+        "list_length": len(manifest_files),
+        "live_entries": len(entries),
+        "entries_per_manifest": round(len(entries) / max(len(manifest_files), 1), 1),
+    }
+    if len(manifest_files) >= MANIFEST_FOLD_WARN:
+        findings.append(
+            f"manifest list carries {len(manifest_files)} inherited files — "
+            "run compact_manifest() to fold them"
+        )
+
+    # file population: sizes, levels, runs per bucket
+    total_rows = sum(e.row_count for e in entries)
+    sizes = [e.file_size for e in entries if e.file_size]
+    small = sum(1 for s in sizes if s < SMALL_FILE_BYTES)
+    by_bucket: dict[tuple, int] = {}
+    level0 = 0
+    for e in entries:
+        by_bucket[(tuple(sorted(e.partition.items())), e.bucket)] = (
+            by_bucket.get((tuple(sorted(e.partition.items())), e.bucket), 0) + 1
+        )
+        if e.level == 0:
+            level0 += 1
+    worst_bucket_runs = max(by_bucket.values(), default=0)
+    report["files"] = {
+        "count": len(entries),
+        "rows": total_rows,
+        "bytes": sum(sizes),
+        "small_files": small,
+        "level0_files": level0,
+        "buckets": len(by_bucket),
+        "max_runs_per_bucket": worst_bucket_runs,
+    }
+    if worst_bucket_runs >= RUNS_PER_BUCKET_WARN:
+        findings.append(
+            f"a bucket holds {worst_bucket_runs} runs — compact() to restore "
+            "raw-read splits and merge cost"
+        )
+    if sizes and small / len(sizes) > 0.5 and len(sizes) > 4:
+        findings.append(
+            f"{small}/{len(sizes)} live files are under {SMALL_FILE_BYTES >> 20} MB — "
+            "small-file compaction recommended"
+        )
+
+    # deletion vectors
+    dv_rows = table._dv_row_count(snap)
+    report["deletion_vectors"] = {
+        "files": len(snap.dv_files),
+        "deleted_rows": dv_rows,
+        "ratio": round(dv_rows / total_rows, 4) if total_rows else 0.0,
+        "bucket_scoped": sum(1 for n in snap.dv_files if n in snap.dv_buckets),
+    }
+    if total_rows and dv_rows / total_rows > DV_RATIO_WARN:
+        findings.append(
+            f"deletion vectors cover {dv_rows}/{total_rows} rows "
+            f"({100 * dv_rows / total_rows:.1f}%) — compact() to rewrite them away"
+        )
+
+    # index coverage: configured columns vs files actually carrying one
+    opts = table.schema.options
+    idx_cols = sorted(
+        set(fileindex.bloom_columns(opts))
+        | set(fileindex.bitmap_columns(opts))
+    )
+    covered = 0
+    if idx_cols:
+        for e in entries:
+            if any(
+                isinstance(e.stats.get(c), dict)
+                and ("bloom" in e.stats[c] or "values" in e.stats[c] or "sidecar" in e.stats[c])
+                for c in idx_cols
+            ) or os.path.exists(
+                os.path.join(table.path, e.file_name) + fileindex.INDEX_SUFFIX
+            ):
+                covered += 1
+    report["indexes"] = {
+        "configured_columns": idx_cols,
+        "files_covered": covered,
+        "files_total": len(entries),
+    }
+    if idx_cols and covered < len(entries):
+        findings.append(
+            f"{len(entries) - covered}/{len(entries)} files lack a file index "
+            "for the configured columns — rewrite_file_index() backfills"
+        )
+
+    # consumer lag: the oldest cursor pins every later snapshot
+    consumers = table.snapshots.consumers()
+    lag = (ids[-1] - min(consumers.values()) + 1) if consumers else 0
+    report["consumers"] = {"count": len(consumers), "max_lag_snapshots": lag}
+    if lag > CONSUMER_LAG_WARN:
+        findings.append(
+            f"a consumer lags {lag} snapshots behind — expiry cannot reclaim "
+            "past its cursor (clear stale consumer ids or advance the job)"
+        )
+
+    if check_orphans:
+        orphans = table.remove_orphan_files(dry_run=True, spark=spark)
+        report["orphans"] = {"count": len(orphans)}
+        if orphans:
+            findings.append(
+                f"{len(orphans)} orphan files on disk — remove_orphan_files() reclaims them"
+            )
+
+    return report
+
+
+def doctor_text(report: dict[str, Any]) -> str:
+    """Render a doctor() report as a terminal-friendly summary."""
+    lines = [f"== doctor: {report['table']} =="]
+    for section in ("snapshots", "manifests", "files", "deletion_vectors", "indexes", "consumers", "orphans"):
+        if section in report:
+            body = ", ".join(f"{k}={v}" for k, v in report[section].items())
+            lines.append(f"{section:>18}: {body}")
+    if report["findings"]:
+        lines.append("findings:")
+        lines += [f"  - {f}" for f in report["findings"]]
+    else:
+        lines.append("findings: none — healthy")
+    return "\n".join(lines)

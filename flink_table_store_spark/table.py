@@ -932,6 +932,15 @@ class Table:
             coverage[name] = sorted(touched)
         return [name], distinct.num_rows, coverage
 
+    def doctor(self, spark: SparkSession, check_orphans: bool = False) -> dict:
+        """Operability health report (doctor.doctor): manifest
+        amplification, small files / runs per bucket, DV ratio, index
+        coverage, consumer lag, optional orphan count — with actionable
+        findings. The daily audit a 100 TB operator runs."""
+        from flink_table_store_spark.doctor import doctor as _doctor
+
+        return _doctor(spark, self, check_orphans=check_orphans)
+
     def row_tracking_df(self, spark: SparkSession) -> DataFrame:
         """$row_tracking (RowTrackingTable): the table's rows with their
         stable ``_ROW_ID``. For freshly written files ids are derived,
