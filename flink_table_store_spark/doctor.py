@@ -11,7 +11,6 @@ reconciliation of ``remove_orphan_files``.
 
 from __future__ import annotations
 
-import os
 from typing import Any
 
 from flink_table_store_spark import fileindex
@@ -40,6 +39,15 @@ def doctor(spark, table, check_orphans: bool = False) -> dict[str, Any]:
         "latest": ids[-1] if ids else None,
     }
     if snap is None:
+        # an explicitly requested orphan audit still runs (a failed
+        # first commit leaves staged files with no snapshot at all)
+        if check_orphans:
+            orphans = table.remove_orphan_files(dry_run=True, spark=spark)
+            report["orphans"] = {"count": len(orphans)}
+            if orphans:
+                findings.append(
+                    f"{len(orphans)} orphan files on disk — remove_orphan_files() reclaims them"
+                )
         return report
 
     entries = table.manifests.read_live_entries(
@@ -68,12 +76,12 @@ def doctor(spark, table, check_orphans: bool = False) -> dict[str, Any]:
     by_bucket: dict[tuple, int] = {}
     level0 = 0
     for e in entries:
-        by_bucket[(tuple(sorted(e.partition.items())), e.bucket)] = (
-            by_bucket.get((tuple(sorted(e.partition.items())), e.bucket), 0) + 1
-        )
+        key = (tuple(sorted(e.partition.items())), e.bucket)
+        by_bucket[key] = by_bucket.get(key, 0) + 1
         if e.level == 0:
             level0 += 1
     worst_bucket_runs = max(by_bucket.values(), default=0)
+    pk = table.is_primary_key_table()
     report["files"] = {
         "count": len(entries),
         "rows": total_rows,
@@ -83,7 +91,10 @@ def doctor(spark, table, check_orphans: bool = False) -> dict[str, Any]:
         "buckets": len(by_bucket),
         "max_runs_per_bucket": worst_bucket_runs,
     }
-    if worst_bucket_runs >= RUNS_PER_BUCKET_WARN:
+    # runs-per-bucket is the LSM merge-cost gauge — it only means
+    # anything on PK tables (append tables put every file at level 0
+    # of one nominal bucket, with no merge on read)
+    if pk and worst_bucket_runs >= RUNS_PER_BUCKET_WARN:
         findings.append(
             f"a bucket holds {worst_bucket_runs} runs — compact() to restore "
             "raw-read splits and merge cost"
@@ -108,21 +119,31 @@ def doctor(spark, table, check_orphans: bool = False) -> dict[str, Any]:
             f"({100 * dv_rows / total_rows:.1f}%) — compact() to rewrite them away"
         )
 
-    # index coverage: configured columns vs files actually carrying one
+    # index coverage: configured columns vs files actually carrying one.
+    # Partition keys are excluded — the index build and
+    # rewrite_file_index both skip them (their values come from the
+    # directory, not the column), so counting them would emit a finding
+    # no procedure can ever clear. A file is covered only when EVERY
+    # configured column has an inline index or a sidecar pointer
+    # (stats[INDEX_KEY]["cols"] — where the write path records them).
     opts = table.schema.options
     idx_cols = sorted(
-        set(fileindex.bloom_columns(opts))
-        | set(fileindex.bitmap_columns(opts))
+        (set(fileindex.bloom_columns(opts)) | set(fileindex.bitmap_columns(opts)))
+        - set(table.schema.partition_keys)
     )
     covered = 0
     if idx_cols:
         for e in entries:
-            if any(
-                isinstance(e.stats.get(c), dict)
-                and ("bloom" in e.stats[c] or "values" in e.stats[c] or "sidecar" in e.stats[c])
+            sidecar_cols = set(
+                (e.stats.get(fileindex.INDEX_KEY) or {}).get("cols") or []
+            )
+            if all(
+                c in sidecar_cols
+                or (
+                    isinstance(e.stats.get(c), dict)
+                    and ("bloom" in e.stats[c] or "values" in e.stats[c])
+                )
                 for c in idx_cols
-            ) or os.path.exists(
-                os.path.join(table.path, e.file_name) + fileindex.INDEX_SUFFIX
             ):
                 covered += 1
     report["indexes"] = {

@@ -224,8 +224,6 @@ def test_doctor_report(spark, warehouse):
         primary_keys=["k"],
         options={"bucket": "2", "file-index.bloom-filter.columns": "v"},
     )
-    import pyspark.sql.functions as F  # noqa: F401
-
     for i in range(6):
         t.write(
             spark.createDataFrame(
@@ -258,3 +256,36 @@ def test_doctor_report(spark, warehouse):
     rep3 = t.doctor(spark)
     assert rep3["consumers"]["max_lag_snapshots"] > 20
     assert any("consumer" in f for f in rep3["findings"])
+
+
+def test_doctor_append_table_and_partial_index_coverage(spark, warehouse):
+    """Review fixes: append tables never get the runs-per-bucket finding
+    (no merge on read); per-column coverage — adding an index column
+    AFTER old writes marks those files uncovered until backfill."""
+    ta = warehouse.create_table("db.doc_app", "k bigint, v string")
+    for i in range(6):
+        ta.write(spark.createDataFrame([(i, "x")], "k bigint, v string"))
+    ta = ta.refresh()
+    rep = ta.doctor(spark)
+    assert not any("runs" in f for f in rep["findings"])
+
+    tb = warehouse.create_table(
+        "db.doc_idx",
+        "k bigint, v string",
+        options={"file-index.bloom-filter.columns": "k"},
+    )
+    tb.write(spark.createDataFrame([(1, "x")], "k bigint, v string"))
+    tb = tb.refresh()
+    assert tb.doctor(spark)["indexes"]["files_covered"] == 1
+    # add a second indexed column: the existing file lacks it
+    tb.evolve_schema(
+        [{"action": "set_option", "key": "file-index.bloom-filter.columns", "value": "k,v"}]
+    )
+    tb = tb.refresh()
+    rep = tb.doctor(spark)
+    assert rep["indexes"]["configured_columns"] == ["k", "v"]
+    assert rep["indexes"]["files_covered"] == 0
+    assert any("rewrite_file_index" in f for f in rep["findings"])
+    tb.rewrite_file_index(spark)
+    tb = tb.refresh()
+    assert tb.doctor(spark)["indexes"]["files_covered"] == 1
