@@ -408,7 +408,22 @@ def read_bucket_side(spec: dict, bucket: int):
         if spec["pk"]:
             cols += [seqc, kindc]
         tbl = pq.read_table(f["path"], columns=list(dict.fromkeys(cols)))
-        pdf = tbl.to_pandas(types_mapper=int_dtypes.get)
+        # only columns that actually hold nulls pay the extension-dtype
+        # conversion; null-free ints stay plain numpy int64 (faster
+        # groupby/merge keys), and pandas promotes int64+Int64 to Int64
+        # on concat so mixed files stay exact
+        nullable_ints = [
+            fld.name
+            for fld in tbl.schema
+            if fld.type in int_dtypes and tbl.column(fld.name).null_count > 0
+        ]
+        if nullable_ints:
+            pdf = tbl.drop_columns(nullable_ints).to_pandas()
+            fixed = tbl.select(nullable_ints).to_pandas(types_mapper=int_dtypes.get)
+            for c in nullable_ints:
+                pdf[c] = fixed[c]
+        else:
+            pdf = tbl.to_pandas()
         d = dels.get(os.path.basename(f["path"]))
         if d:
             pdf = pdf[~pdf.index.isin(d)]

@@ -494,12 +494,15 @@ class Table:
         _pq.write_table(tbl, os.path.join(index_dir, name), compression="zstd")
         # bucket coverage of this sidecar: which buckets' files it holds
         # positions for (DataSplit-scoped DV lookup — a bucket task opens
-        # only sidecars covering its bucket)
+        # only sidecars covering its bucket). pc.unique first: only the
+        # distinct file names transit to Python, not O(deleted rows).
+        import pyarrow.compute as _pc
+
         bucket_of = {os.path.basename(e.file_name): e.bucket for e in entries}
         coverage = sorted(
             {
                 bucket_of[fn]
-                for fn in set(tbl.column("file_name").to_pylist())
+                for fn in _pc.unique(tbl.column("file_name")).to_pylist()
                 if fn in bucket_of
             }
         )
@@ -926,7 +929,7 @@ class Table:
         if bucket_of is not None:
             touched = {
                 bucket_of[fn]
-                for fn in set(distinct.column("file_name").to_pylist())
+                for fn in _pc.unique(distinct.column("file_name")).to_pylist()
                 if fn in bucket_of
             }
             coverage[name] = sorted(touched)
