@@ -207,3 +207,90 @@ def test_fuzz_concurrent_writers_with_maintenance(spark, warehouse):
         snap.base_manifest_list, snap.delta_manifest_list
     ):
         assert os.path.exists(os.path.join(t.path, e.file_name))
+
+
+def _run_append_sequence(spark, warehouse, seed: int, n_ops: int) -> int:
+    """Append-table fuzz family: append / rewrite-delete / sort_compact /
+    compact / schema-evolution add_column / expire, with a TIME-TRAVEL
+    audit — after every op, a randomly chosen retained snapshot must
+    read back exactly the (k, v) multiset recorded when it committed
+    (hunts expiry/compaction corruption of history)."""
+    rng = random.Random(seed)
+    t = warehouse.create_table(
+        f"db.fuzza_{seed}",
+        "k bigint, v bigint",
+        options={"snapshot.num-retained.min": "1"},
+    )
+    live: list[tuple] = []  # multiset of (k, v)
+    history: dict[int, list[tuple]] = {}  # snapshot id -> frozen multiset
+    added_cols = 0
+    committed = 0
+
+    def schema_ddl():
+        base = "k bigint, v bigint"
+        extras = ", ".join(f"c{i} bigint" for i in range(added_cols))
+        return f"{base}, {extras}" if extras else base
+
+    def append():
+        nonlocal live
+        rows = [
+            tuple([rng.randint(0, 50), rng.randint(0, 10**6)] + [i] * added_cols)
+            for i in range(rng.randint(1, 10))
+        ]
+        t.write(spark.createDataFrame(rows, schema_ddl()).coalesce(1))
+        live = live + [r[:2] for r in rows]
+
+    def delete_pred():
+        nonlocal live
+        lo = rng.randint(0, 45)
+        hi = lo + rng.randint(1, 10)
+        t.delete(spark, P.and_(P.greater_or_equal("k", lo), P.less_than("k", hi)))
+        live = [r for r in live if not (lo <= r[0] < hi)]
+
+    def sortc():
+        t.sort_compact(spark, ["k"], strategy="order", num_files=2)
+
+    def compact():
+        t.compact(spark, full=True)
+
+    def evolve():
+        nonlocal added_cols
+        t.evolve_schema(
+            [{"action": "add_column", "name": f"c{added_cols}", "type": "bigint"}]
+        )
+        added_cols += 1
+
+    def expire():
+        nonlocal history
+        t.expire_snapshots(retain_last=rng.randint(2, 5))
+        retained = set(t.snapshots.snapshot_ids())
+        history = {i: rows for i, rows in history.items() if i in retained}
+
+    ops = [(append, 8), (delete_pred, 4), (sortc, 2), (compact, 2), (evolve, 2), (expire, 3)]
+    pool = [f for f, w in ops for _ in range(w)]
+    append()
+    for i in range(n_ops):
+        if i:
+            rng.choice(pool)()
+        t = t.refresh()
+        snap = t.snapshots.latest()
+        history[snap.id] = list(live)
+        # latest state audit on the original columns
+        got = sorted((r.k, r.v) for r in t.to_df(spark).select("k", "v").collect())
+        assert got == sorted(live), f"latest diverged at snap {snap.id} (seed {seed})"
+        # time-travel audit of one random retained snapshot
+        audit_id = rng.choice(sorted(history))
+        tt = sorted(
+            (r.k, r.v)
+            for r in t.to_df(spark, snapshot_id=audit_id).select("k", "v").collect()
+        )
+        assert tt == sorted(history[audit_id]), (
+            f"time travel to snap {audit_id} diverged (seed {seed})"
+        )
+        committed += 1
+    return committed
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_append_evolution_time_travel(spark, warehouse, seed):
+    assert _run_append_sequence(spark, warehouse, seed=7000 + seed, n_ops=8) == 8
