@@ -60,6 +60,146 @@ def lookup_join(
     return stream_df.join(F.broadcast(table.to_df(spark)), on=on, how=how)
 
 
+# executor-process bucket cache for lookup_join_partial: a Python worker
+# that already merged a dim bucket for one batch reuses it for the next
+# (the per-task-manager local store of PrimaryKeyPartialLookupTable).
+# Keyed by (table-path@snapshot, bucket); FIFO-bounded.
+_BUCKET_CACHE: dict = {}
+_BUCKET_CACHE_CAP = 16
+
+
+def lookup_join_partial(
+    spark: SparkSession,
+    probe_df: DataFrame,
+    table,
+    on: list[tuple[str, str]],
+    how: str = "left",
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Lookup join against a dimension TOO BIG to broadcast
+    (PrimaryKeyPartialLookupTable.java semantics, Spark-native shape):
+    the probe side takes ONE shuffle on the dim's bucket function
+    (cheap — the probe batch is the small side), and each task reads
+    only ITS buckets of the dim through the bucketed merged reader
+    (DV-scoped, evolution-aware, merge-engine folds), memoized per
+    executor process across batches. The dimension is never broadcast
+    and never shuffled: per-batch IO is O(probed buckets), not O(dim).
+
+    ``on`` pairs (probe column, dim PK column) covering the dim's
+    trimmed primary key, bucket-key columns first — same contract a
+    point lookup needs to route to one bucket."""
+    from flink_table_store_spark.operators.bucketed_join import (
+        _PKG_ROOT,
+        _field_maps,
+        _make_spec,
+        _side_plan,
+    )
+    from flink_table_store_spark.write import bucket_keys
+
+    schema = table.schema
+    if not table.is_primary_key_table():
+        raise RuntimeError("lookup_join_partial requires a primary-key dim table")
+    n = schema.num_buckets()
+    if n <= 0:
+        raise RuntimeError("lookup_join_partial requires a fixed-bucket dim table")
+    if how not in ("left", "inner"):
+        raise ValueError("lookup_join_partial supports how='left'|'inner'")
+    dim_keys = schema.trimmed_primary_keys()
+    if sorted(p[1] for p in on) != sorted(dim_keys):
+        raise ValueError(f"on must cover the dim primary key {dim_keys}, got {on}")
+    bkeys = bucket_keys(schema)
+    probe_of = {d: p for p, d in on}
+    probe_bkey_cols = [probe_of[k] for k in bkeys]
+
+    right_cols = right_cols or [c for c in schema.field_names() if c not in dim_keys]
+    clash = set(right_cols) & set(probe_df.columns)
+    if clash:
+        raise ValueError(f"rename probe columns colliding with dim output: {sorted(clash)}")
+    buckets, dv, _schema = _side_plan(table, spark)
+    spec = _make_spec(
+        schema, buckets, dv, _field_maps(table),
+        list(dict.fromkeys(right_cols + dim_keys)), dim_keys,
+    )
+    token = f"{table.path}@{table.snapshots.latest_id()}"
+    probe_names = probe_df.columns
+    probe_keys = [p for p, _d in on]
+    dim_key_list = [d for _p, d in on]
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in probe_df.schema.fields]
+        + [f"`{c}` {schema.field(c).type}" for c in right_cols]
+    )
+    pkg_root, cap = _PKG_ROOT, _BUCKET_CACHE_CAP
+    inner = how == "inner"
+    # integer-typed right columns must go back to Arrow as NULLABLE ints
+    # after a left join introduces misses (float64-NaN would corrupt)
+    int_rights = [
+        c
+        for c in right_cols
+        if schema.field(c).type.lower().split("(")[0]
+        in ("tinyint", "smallint", "int", "integer", "bigint")
+    ]
+
+    def _run(batches):
+        import sys as _sys
+
+        if pkg_root not in _sys.path:
+            _sys.path.insert(0, pkg_root)
+        import pandas as _pd
+
+        from flink_table_store_spark.operators import lookup as _L
+        from flink_table_store_spark.operators.bucketed_join import read_bucket_side
+
+        def bucket_frame(b):
+            ck = (token, b)
+            hit = _L._BUCKET_CACHE.get(ck)
+            if hit is None:
+                raw = read_bucket_side(spec, int(b))
+                cols = list(dict.fromkeys(right_cols + dim_key_list))
+                if raw is None:
+                    raw = _pd.DataFrame(columns=cols)
+                # collision-proof merge keys: dim PK columns renamed so a
+                # probe column with the same name never suffixes to _x/_y
+                hit = raw[cols].rename(
+                    columns={d: f"__dk_{i}" for i, d in enumerate(dim_key_list)}
+                )
+                # integer payloads go NULLABLE Int64 BEFORE the merge: a
+                # left-join miss would otherwise upcast int64→float64 and
+                # round values above 2^53 (Int64 survives the merge with
+                # pd.NA instead)
+                for c in int_rights:
+                    if hit[c].dtype.kind in "iu":
+                        hit[c] = hit[c].astype("Int64")
+                while len(_L._BUCKET_CACHE) >= cap:
+                    _L._BUCKET_CACHE.pop(next(iter(_L._BUCKET_CACHE)))
+                _L._BUCKET_CACHE[ck] = hit
+            return hit
+
+        dk_names = [f"__dk_{i}" for i in range(len(dim_key_list))]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            outs = []
+            for b, grp in pdf.groupby("__b", sort=False):
+                dim = bucket_frame(b)
+                merged = grp.drop(columns=["__b"]).merge(
+                    dim,
+                    left_on=probe_keys,
+                    right_on=dk_names,
+                    how="inner" if inner else "left",
+                )
+                outs.append(merged[probe_names + right_cols])
+            if outs:
+                yield _pd.concat(outs, ignore_index=True)
+
+    bucket_col = F.pmod(
+        F.xxhash64(*[F.col(c) for c in probe_bkey_cols]), F.lit(n)
+    ).cast("int")
+    probed = probe_df.withColumn("__b", bucket_col).repartition(
+        min(n, 32), F.col("__b")
+    )
+    return probed.mapInPandas(_run, out_schema)
+
+
 class PartialLookupTable:
     """Partial-cache point-lookup table for HUGE dimension sides — the
     PrimaryKeyPartialLookupTable analogue (paimon-flink/.../lookup/

@@ -1687,6 +1687,46 @@ WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey
 """
 
 
+def lookup_join_partial_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial-cache lookup join (PrimaryKeyPartialLookupTable.java
+    analogue): the dim is NEVER broadcast — the probe shuffles on the
+    dim's bucket function and each task reads + memoizes only its own
+    dim buckets."""
+    from flink_table_store_spark.operators.lookup import lookup_join_partial
+
+    cat = _wh(sf_dir)
+    ident = "default.customer_pk"
+    try:
+        t = cat.get_table(ident)
+        done = bool(t.snapshots.latest_id())
+    except RuntimeError:
+        done = False
+    if not done:
+        cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+        t = cat.create_table(
+            ident, cust.schema, primary_keys=["c_custkey"], options={"bucket": "4"}, ignore_if_exists=True
+        )
+        if not t.snapshots.latest_id():
+            t.write(cust)
+    facts = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    return (
+        lookup_join_partial(spark, facts, t, on=[("o_custkey", "c_custkey")])
+        .select("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_nationkey")
+        .orderBy("o_orderkey")
+    )
+
+
+LOOKUP_PARTIAL_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_nationkey
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey
+"""
+
+
 def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VARIANT access (F6): parse_json + variant_get over the events
     JSON props column (Spark 4 VariantType)."""
@@ -2148,6 +2188,7 @@ QUERIES["semi_anti_join"] = (semi_anti_join, SEMI_ANTI_SQL)
 QUERIES["compaction_preserves"] = (compaction_preserves, PK_UPSERT_SQL)
 QUERIES["q5_local_supplier"] = (q5_local_supplier, Q5_SQL)
 QUERIES["rollup_lineitem"] = (rollup_lineitem, ROLLUP_SQL)
+QUERIES["lookup_join_partial_cache"] = (lookup_join_partial_cache, LOOKUP_PARTIAL_SQL)
 QUERIES["q4_order_priority"] = (q4_order_priority, Q4_SQL)
 QUERIES["q7_nation_volume"] = (q7_nation_volume, Q7_SQL)
 QUERIES["q14_promo_revenue"] = (q14_promo_revenue, Q14_SQL)

@@ -285,3 +285,46 @@ def test_partial_lookup_rejects_dynamic_bucket(spark, warehouse):
     )
     with pytest.raises(RuntimeError, match="fixed-bucket"):
         PartialLookupTable(spark, t)
+
+
+def test_lookup_join_partial_no_broadcast(spark, dim):
+    """Lookup join for dims too big to broadcast: probe shuffles on the
+    dim's bucket function; tasks read only their buckets; no dim-side
+    scan or broadcast in the plan; executor bucket cache reused."""
+    from flink_table_store_spark.operators.lookup import lookup_join_partial
+
+    facts = spark.createDataFrame(
+        [(1, 10.0), (5, 50.0), (17, 2.0), (99, 0.0)], "k bigint, amt double"
+    )
+    got = lookup_join_partial(spark, facts, dim, on=[("k", "k")])
+    rows = {r.k: (r.amt, r.name) for r in got.collect()}
+    assert rows == {1: (10.0, "n1"), 5: (50.0, "n5"), 17: (2.0, "n17"), 99: (0.0, None)}
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" not in plan
+
+    inner = lookup_join_partial(spark, facts, dim, on=[("k", "k")], how="inner")
+    assert sorted(r.k for r in inner.collect()) == [1, 5, 17]
+
+    # updated snapshot is visible on the next call (token changes)
+    dim.refresh().write(
+        spark.createDataFrame([(5, "NEW")], "k bigint, name string")
+    )
+    got2 = lookup_join_partial(spark, facts, dim.refresh(), on=[("k", "k")])
+    assert {r.k: r.name for r in got2.collect()}[5] == "NEW"
+
+
+def test_lookup_join_partial_key_collision_and_int_nulls(spark, warehouse):
+    """Probe column named like the dim PK must not suffix-collide, and a
+    missed lookup's integer output column stays a NULL bigint."""
+    from flink_table_store_spark.operators.lookup import lookup_join_partial
+
+    d = warehouse.create_table(
+        "db.dim_int", "k bigint, score bigint", primary_keys=["k"], options={"bucket": "2"}
+    )
+    big = (1 << 53) + 7
+    d.write(spark.createDataFrame([(1, big), (2, None)], "k bigint, score bigint"))
+    probe = spark.createDataFrame([(1,), (2,), (42,)], "k bigint")
+    out = lookup_join_partial(spark, probe, d.refresh(), on=[("k", "k")])
+    rows = {r.k: r.score for r in out.collect()}
+    assert rows == {1: big, 2: None, 42: None}
+    assert dict(out.dtypes)["score"] == "bigint"
