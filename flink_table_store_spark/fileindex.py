@@ -141,8 +141,8 @@ def build_indexes(
     if not has_data:
         return {}
     df = spark.read.format(fmt).load(staging)
-    bloom_cols = [c for c in bloom_cols if c in df.columns]
-    bitmap_cols = [c for c in bitmap_cols if c in df.columns]
+    bloom_cols = [c for c in bloom_cols if _resolves(df.schema, c)]
+    bitmap_cols = [c for c in bitmap_cols if _resolves(df.schema, c)]
     if not bloom_cols and not bitmap_cols:
         return {}
     aggs = []
@@ -453,6 +453,32 @@ def might_contain(bloom: dict[str, Any], positions: list[int]) -> bool:
     return all(bits[p >> 3] & (1 << (p & 7)) for p in positions)
 
 
+def _resolves(spark_schema, path: str) -> bool:
+    """True when ``path`` names a column, or a struct leaf via dots —
+    file indexes work on one level of nesting like the stats do."""
+    from pyspark.sql import types as T
+
+    cur = spark_schema
+    for seg in path.split("."):
+        if not isinstance(cur, T.StructType) or seg not in cur.names:
+            return False
+        cur = cur[seg].dataType
+    return True
+
+
+def resolve_leaf_ddl(schema, path: str) -> str | None:
+    """DDL type string of a (possibly dotted struct-leaf) column of a
+    TableSchema; None when the path doesn't resolve."""
+    from pyspark.sql import types as T
+
+    cur = schema.spark_schema()
+    for seg in path.split("."):
+        if not isinstance(cur, T.StructType) or seg not in cur.names:
+            return None
+        cur = cur[seg].dataType
+    return cur.simpleString()
+
+
 def attach_bloom_positions(spark: SparkSession, predicate, schema) -> None:
     """Walk a predicate tree and precompute bloom positions for =/IN
     leaves over indexed columns. Leaf.test consults them during manifest
@@ -469,9 +495,8 @@ def attach_bloom_positions(spark: SparkSession, predicate, schema) -> None:
     def walk(p) -> None:
         if isinstance(p, P.Leaf):
             if p.field in cols and p.op in ("=", "in"):
-                try:
-                    ddl = schema.field(p.field).type
-                except KeyError:
+                ddl = resolve_leaf_ddl(schema, p.field)
+                if ddl is None:
                     return
                 p.bloom_m = m
                 p.bloom_positions = [

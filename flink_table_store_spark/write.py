@@ -153,7 +153,11 @@ def stage_and_collect(
     if bloom_cols:
         if fmt == "parquet":
             for c in bloom_cols.split(","):
-                writer = writer.option(f"parquet.bloom.filter.enabled#{c.strip()}", "true")
+                # dotted struct-leaf paths get the engine-side sidecar
+                # index only; the parquet-native writer option addresses
+                # top-level columns
+                if "." not in c:
+                    writer = writer.option(f"parquet.bloom.filter.enabled#{c.strip()}", "true")
         elif fmt == "orc":
             writer = writer.option("orc.bloom.filter.columns", bloom_cols)
     for k, v in schema.options.items():
