@@ -31,6 +31,16 @@ def doctor(spark, table, check_orphans: bool = False) -> dict[str, Any]:
     findings: list[str] = []
     report: dict[str, Any] = {"table": table.path, "findings": findings}
 
+    def _orphan_audit() -> None:
+        if not check_orphans:
+            return
+        orphans = table.remove_orphan_files(dry_run=True, spark=spark)
+        report["orphans"] = {"count": len(orphans)}
+        if orphans:
+            findings.append(
+                f"{len(orphans)} orphan files on disk — remove_orphan_files() reclaims them"
+            )
+
     ids = table.snapshots.snapshot_ids()
     snap = table.snapshots.latest()
     report["snapshots"] = {
@@ -41,13 +51,7 @@ def doctor(spark, table, check_orphans: bool = False) -> dict[str, Any]:
     if snap is None:
         # an explicitly requested orphan audit still runs (a failed
         # first commit leaves staged files with no snapshot at all)
-        if check_orphans:
-            orphans = table.remove_orphan_files(dry_run=True, spark=spark)
-            report["orphans"] = {"count": len(orphans)}
-            if orphans:
-                findings.append(
-                    f"{len(orphans)} orphan files on disk — remove_orphan_files() reclaims them"
-                )
+        _orphan_audit()
         return report
 
     entries = table.manifests.read_live_entries(
@@ -167,14 +171,7 @@ def doctor(spark, table, check_orphans: bool = False) -> dict[str, Any]:
             "past its cursor (clear stale consumer ids or advance the job)"
         )
 
-    if check_orphans:
-        orphans = table.remove_orphan_files(dry_run=True, spark=spark)
-        report["orphans"] = {"count": len(orphans)}
-        if orphans:
-            findings.append(
-                f"{len(orphans)} orphan files on disk — remove_orphan_files() reclaims them"
-            )
-
+    _orphan_audit()
     return report
 
 

@@ -181,17 +181,19 @@ def create_global_index(
     else:
         import numpy as np
 
-        # PQ codebooks train on a BOUNDED driver-side sample: a hard
-        # limit(pq_train_rows) after the sample caps the driver
-        # materialization regardless of corpus size (FAISS likewise
-        # trains on ~10^4-10^5 points per codebook). sample() +
-        # limit() avoids the extra full count() pass the first draft
-        # ran just to size the fraction (VERDICT r3 What's-wrong #3).
+        # PQ codebooks train on a BOUNDED, UNIFORM driver-side sample
+        # (FAISS likewise trains on ~10^4-10^5 points per codebook).
+        # The fraction is sized from the snapshot's FREE row count
+        # (commit-tracked total_record_count) — no extra count() pass —
+        # slightly oversampled, then hard-capped by limit() so the
+        # driver materialization is bounded regardless of corpus size.
+        # A bare limit() without the fraction would train on the first
+        # partitions only — a biased prefix, not a sample.
+        n_rows = max(snap.total_record_count, 1)
+        frac = min(sample_fraction, (pq_train_rows * 1.25) / n_rows, 1.0)
         sample = [
             (r["__v"], r["cell"])
-            for r in (
-                assigned if sample_fraction >= 1.0 else assigned.sample(sample_fraction, seed=7)
-            )
+            for r in (assigned if frac >= 1.0 else assigned.sample(frac, seed=7))
             .select("__v", "cell")
             .limit(pq_train_rows)
             .collect()

@@ -517,7 +517,9 @@ def _typed_partition(raw: str | None, ddl: str):
     return raw
 
 
-def _side_plan(table, spark=None) -> tuple[dict[int, list[dict]], list[str], TableSchema]:
+def _side_plan(
+    table, spark=None, snap=None
+) -> tuple[dict[int, list[dict]], list[str], TableSchema]:
     """{bucket: [{path, schema_id, partition(typed)}]}, abs DV paths.
 
     Planning routes through ReadBuilder._plan_entries, so a table whose
@@ -525,9 +527,11 @@ def _side_plan(table, spark=None) -> tuple[dict[int, list[dict]], list[str], Tab
     gets the SAME distributed ADD/DELETE merge the normal scan path
     uses (SnapshotReaderImpl parallel manifest scan) — the join of two
     million-file tables never re-materializes every entry on the
-    driver."""
+    driver. Callers that also key caches by snapshot id pass ``snap``
+    so the plan and the id come from ONE read (no commit race)."""
     schema = table.schema
-    snap = table.snapshots.latest()
+    if snap is None:
+        snap = table.snapshots.latest()
     buckets: dict[int, list[dict]] = {}
     dv_paths: list[str] = []
     if snap is None:

@@ -115,15 +115,29 @@ def lookup_join_partial(
     clash = set(right_cols) & set(probe_df.columns)
     if clash:
         raise ValueError(f"rename probe columns colliding with dim output: {sorted(clash)}")
-    buckets, dv, _schema = _side_plan(table, spark)
+    # resolve the snapshot ONCE and pass it to planning: the cache token
+    # and the planned file set must name the same snapshot even when a
+    # concurrent commit lands mid-call
+    snap = table.snapshots.latest()
+    buckets, dv, _schema = _side_plan(table, spark, snap=snap)
     spec = _make_spec(
         schema, buckets, dv, _field_maps(table),
         list(dict.fromkeys(right_cols + dim_keys)), dim_keys,
     )
-    token = f"{table.path}@{table.snapshots.latest_id()}"
     probe_names = probe_df.columns
     probe_keys = [p for p, _d in on]
     dim_key_list = [d for _p, d in on]
+    # token also pins the cached frame's SHAPE: column selection and the
+    # __dk_i rename order are baked into the frame, so a same-snapshot
+    # call with different right_cols / key order must miss the cache
+    token = "|".join(
+        [
+            table.path,
+            str(snap.id if snap else 0),
+            ",".join(dim_key_list),
+            ",".join(right_cols),
+        ]
+    )
     out_schema = ", ".join(
         [f"`{f.name}` {f.dataType.simpleString()}" for f in probe_df.schema.fields]
         + [f"`{c}` {schema.field(c).type}" for c in right_cols]
@@ -191,8 +205,20 @@ def lookup_join_partial(
             if outs:
                 yield _pd.concat(outs, ignore_index=True)
 
+    # hash with the DIM's bucket-key types: Spark xxhash64 is
+    # type-sensitive (int32 and int64 of the same value hash apart), so
+    # an uncast int probe against a bigint dim key would route every row
+    # to the wrong bucket and silently miss — same guard join_bucketed
+    # enforces, expressed as a lossless upcast here
+    dim_bkey_types = {k: schema.field(k).type for k in bkeys}
     bucket_col = F.pmod(
-        F.xxhash64(*[F.col(c) for c in probe_bkey_cols]), F.lit(n)
+        F.xxhash64(
+            *[
+                F.col(p).cast(dim_bkey_types[k])
+                for p, k in zip(probe_bkey_cols, bkeys)
+            ]
+        ),
+        F.lit(n),
     ).cast("int")
     probed = probe_df.withColumn("__b", bucket_col).repartition(
         min(n, 32), F.col("__b")
@@ -245,14 +271,20 @@ class PartialLookupTable:
 
             t = self.table.refresh() if latest != self._snap_id else self.table
             self.table = t
-            buckets, dv, schema = _side_plan(t, self.spark)
+            # ONE snapshot read feeds both the plan and the cache key —
+            # a commit landing mid-refresh must not label old files with
+            # a newer id (sticky-stale cache)
+            snap = t.snapshots.latest()
+            buckets, dv, schema = _side_plan(t, self.spark, snap=snap)
             keys = schema.trimmed_primary_keys()
             self._spec = _make_spec(
                 schema, buckets, dv, _field_maps(t), schema.field_names(), keys
             )
-            self._snap_id = latest
+            self._snap_id = snap.id if snap else None
             # drop cached buckets of older snapshots
-            self._buckets = {k: v for k, v in self._buckets.items() if k[0] == latest}
+            self._buckets = {
+                k: v for k, v in self._buckets.items() if k[0] == self._snap_id
+            }
         self._loaded_at = now
 
     def _bucket(self, key_values: dict) -> int:

@@ -590,7 +590,9 @@ class Table:
         def apply_set(df: DataFrame) -> DataFrame:
             for k, v in assignments.items():
                 df = df.withColumn(k, v if hasattr(v, "_jc") or "Column" in type(v).__name__ else F.lit(v))
-            return df.select(*schema.field_names())
+            # a row-tracking CoW rewrite carries _ROW_ID through the update
+            keep = schema.field_names() + [c for c in ("_ROW_ID",) if c in df.columns]
+            return df.select(*keep)
 
         if self.is_primary_key_table():
             rows = apply_set(self.to_df(spark, predicate=predicate))
@@ -661,14 +663,25 @@ class Table:
         ]
         if not touched:
             return snap
-        plan = read_mod.ScanPlan(raw_entries=touched)
-        df = read_mod.build_dataframe(
-            spark, self.path, plan, schema, self.all_schemas(), dv_files=snap.dv_files
-        )
+        row_ids = self.row_tracking_enabled()
+        if row_ids:
+            # CoW rewrites carry surviving rows' _ROW_ID as a stored
+            # column, exactly like compaction — a delete/update must not
+            # reassign ids (SpecialFields row-id stability)
+            df = self._rows_with_ids(spark, touched, snap.dv_files)
+        else:
+            plan = read_mod.ScanPlan(raw_entries=touched)
+            df = read_mod.build_dataframe(
+                spark, self.path, plan, schema, self.all_schemas(), dv_files=snap.dv_files
+            )
         new_df = transform(df)
         latest = self.snapshots.latest()
         new_entries = stage_and_collect(
-            new_df, self.path, schema, base_sequence=latest.next_sequence if latest else 0
+            new_df,
+            self.path,
+            schema,
+            base_sequence=latest.next_sequence if latest else 0,
+            keep_cols=["_ROW_ID"] if row_ids else None,
         )
         deletes = []
         for e in touched:

@@ -328,3 +328,29 @@ def test_lookup_join_partial_key_collision_and_int_nulls(spark, warehouse):
     rows = {r.k: r.score for r in out.collect()}
     assert rows == {1: big, 2: None, 42: None}
     assert dict(out.dtypes)["score"] == "bigint"
+
+
+def test_lookup_join_partial_cache_shape_and_type_cast(spark, warehouse):
+    """Review findings: (a) same-snapshot calls with different
+    right_cols must not reuse an incompatible cached frame; (b) an int
+    probe against a bigint dim key hashes with the DIM type, so rows
+    route to the right bucket."""
+    from flink_table_store_spark.operators.lookup import lookup_join_partial
+
+    d = warehouse.create_table(
+        "db.dim_shape",
+        "k bigint, a string, b string",
+        primary_keys=["k"],
+        options={"bucket": "2"},
+    )
+    d.write(
+        spark.createDataFrame([(i, f"a{i}", f"b{i}") for i in range(8)], "k bigint, a string, b string")
+    )
+    d = d.refresh()
+    # int (not bigint) probe keys — must still match via dim-typed hash
+    probe = spark.createDataFrame([(1,), (5,)], "k int")
+    r1 = lookup_join_partial(spark, probe, d, on=[("k", "k")], right_cols=["a"])
+    assert {r.k: r.a for r in r1.collect()} == {1: "a1", 5: "a5"}
+    # same snapshot, different selection: fresh frame, not the cached one
+    r2 = lookup_join_partial(spark, probe, d, on=[("k", "k")], right_cols=["b"])
+    assert {r.k: r.b for r in r2.collect()} == {1: "b1", 5: "b5"}

@@ -104,3 +104,23 @@ def test_row_ids_survive_sort_compact(spark, t):
     assert after == before
     # ordinary reads don't leak the stored column
     assert "_ROW_ID" not in t.to_df(spark).columns
+
+
+def test_row_ids_survive_cow_delete_and_update(spark, t):
+    """Review finding: copy-on-write delete/update rewrites must carry
+    surviving rows' _ROW_ID like compaction does."""
+    from flink_table_store_spark import predicate as P
+
+    t.write(_batch(spark, 0, 20, "a"))
+    t = t.refresh()
+    before = {r.id: r._ROW_ID for r in t.row_tracking_df(spark).collect()}
+    t.delete(spark, P.less_than("id", 5))
+    t = t.refresh()
+    after = {r.id: r._ROW_ID for r in t.row_tracking_df(spark).collect()}
+    assert after == {k: v for k, v in before.items() if k >= 5}
+    assert all(v is not None for v in after.values())
+
+    t.update(spark, P.equal("id", 7), {"v": "UPDATED"})
+    t = t.refresh()
+    rows = {r.id: (r._ROW_ID, r.v) for r in t.row_tracking_df(spark).collect()}
+    assert rows[7] == (before[7], "UPDATED")  # same id, new value
