@@ -231,13 +231,19 @@ def _read_files(
     pk = bool(current.primary_keys)
     for (sid, fmt), paths in sorted(by_schema.items()):
         reader = spark.read.option("basePath", base).format(fmt)
-        if sid == current.id and fmt in ("parquet", "orc"):
-            # current-generation files: the stored layout is fully known
-            # (writer contract: data fields minus partition keys, plus
-            # _VALUE_KIND/_SEQUENCE_NUMBER on PK tables; partition and
-            # _bucket as directory columns) — an explicit schema skips
-            # Spark's footer-sampling inference pass at plan time
-            reader = reader.schema(_stored_schema(current, pk, with_row_id))
+        if fmt in ("parquet", "orc"):
+            # the stored layout of EVERY generation is fully known from
+            # its writer schema (writer contract: data fields minus
+            # partition keys, plus _VALUE_KIND/_SEQUENCE_NUMBER on PK
+            # tables; partition and _bucket as directory columns), so an
+            # explicit schema skips Spark's footer-sampling inference at
+            # plan time — and, critically for with_row_id, inference
+            # SAMPLES one footer: mixing rewrite files (stored _ROW_ID)
+            # with fresh files (no column) in one generation would
+            # flakily drop the column whenever the sampled file lacks it
+            reader = reader.schema(
+                _stored_schema(schemas.get(sid, current), pk, with_row_id)
+            )
         df = reader.load(paths)
         df = _apply_dv(df, dv)
         df = _adapt(

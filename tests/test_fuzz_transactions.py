@@ -219,12 +219,14 @@ def _run_append_sequence(spark, warehouse, seed: int, n_ops: int) -> int:
     t = warehouse.create_table(
         f"db.fuzza_{seed}",
         "k bigint, v bigint",
-        options={"snapshot.num-retained.min": "1"},
+        options={"snapshot.num-retained.min": "1", "row-tracking.enabled": "true"},
     )
     live: list[tuple] = []  # multiset of (k, v)
     history: dict[int, list[tuple]] = {}  # snapshot id -> frozen multiset
     added_cols = 0
     committed = 0
+    uid = [0]  # v is globally unique so each row is identity-trackable
+    row_ids: dict[int, int] = {}  # v -> _ROW_ID observed
 
     def schema_ddl():
         base = "k bigint, v bigint"
@@ -233,10 +235,10 @@ def _run_append_sequence(spark, warehouse, seed: int, n_ops: int) -> int:
 
     def append():
         nonlocal live
-        rows = [
-            tuple([rng.randint(0, 50), rng.randint(0, 10**6)] + [i] * added_cols)
-            for i in range(rng.randint(1, 10))
-        ]
+        rows = []
+        for i in range(rng.randint(1, 10)):
+            uid[0] += 1
+            rows.append(tuple([rng.randint(0, 50), uid[0]] + [i] * added_cols))
         t.write(spark.createDataFrame(rows, schema_ddl()).coalesce(1))
         live = live + [r[:2] for r in rows]
 
@@ -287,6 +289,21 @@ def _run_append_sequence(spark, warehouse, seed: int, n_ops: int) -> int:
         assert tt == sorted(history[audit_id]), (
             f"time travel to snap {audit_id} diverged (seed {seed})"
         )
+        # row-id stability audit: every surviving row keeps the id it
+        # was first observed with, through any interleaving of delete /
+        # compact / sort_compact / evolution / expiry
+        ids_now = {
+            r.v: r._ROW_ID for r in t.row_tracking_df(spark).select("v", "_ROW_ID").collect()
+        }
+        assert all(i is not None for i in ids_now.values()), f"null row id (seed {seed})"
+        assert len(set(ids_now.values())) == len(ids_now), f"duplicate row ids (seed {seed})"
+        for v, i in ids_now.items():
+            if v in row_ids:
+                assert i == row_ids[v], (
+                    f"row id of v={v} changed {row_ids[v]}→{i} at snap {snap.id} (seed {seed})"
+                )
+        row_ids.clear()
+        row_ids.update(ids_now)
         committed += 1
     return committed
 

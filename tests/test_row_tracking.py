@@ -124,3 +124,26 @@ def test_row_ids_survive_cow_delete_and_update(spark, t):
     t = t.refresh()
     rows = {r.id: (r._ROW_ID, r.v) for r in t.row_tracking_df(spark).collect()}
     assert rows[7] == (before[7], "UPDATED")  # same id, new value
+
+
+def test_row_ids_survive_rewrite_then_schema_evolution(spark, t):
+    """Fuzz-found (seed 7002): after evolution, old-generation files mix
+    rewrite files (stored _ROW_ID) with fresh ones (no column); schema
+    INFERENCE sampled one footer and flakily dropped the stored column.
+    Reads now use the writer generation's explicit stored schema."""
+    from flink_table_store_spark import predicate as P
+
+    t.write(_batch(spark, 0, 9, "a"))
+    t = t.refresh()
+    t.delete(spark, P.and_(P.greater_or_equal("id", 3), P.less_than("id", 9)))
+    t = t.refresh()
+    t.sort_compact(spark, ["id"], strategy="order", num_files=2)
+    t = t.refresh()
+    before = {r.id: r._ROW_ID for r in t.row_tracking_df(spark).collect()}
+    t.write(_batch(spark, 20, 22, "a"))  # fresh file WITHOUT the stored column
+    t = t.refresh()
+    t.evolve_schema([{"action": "add_column", "name": "c0", "type": "bigint"}])
+    t = t.refresh()
+    ids = {r.id: r._ROW_ID for r in t.row_tracking_df(spark).collect()}
+    assert all(v is not None for v in ids.values()), ids
+    assert {k: v for k, v in ids.items() if k < 20} == before
