@@ -311,3 +311,84 @@ def _run_append_sequence(spark, warehouse, seed: int, n_ops: int) -> int:
 @pytest.mark.parametrize("seed", range(10))
 def test_fuzz_append_evolution_time_travel(spark, warehouse, seed):
     assert _run_append_sequence(spark, warehouse, seed=7000 + seed, n_ops=8) == 8
+
+
+def _run_branch_sequence(spark, warehouse, seed: int, n_ops: int) -> int:
+    """Branch/tag fuzz family: main upserts interleaved with branch
+    forks, branch upserts, fast_forward promotions, branch drops, tag
+    creation and expiry. After every op: main == its oracle, the live
+    branch == its oracle, and one randomly chosen surviving tag still
+    reads back exactly the state frozen when it was tagged (the r2
+    fast_forward crash-hole class, hunted under interleaving)."""
+    rng = random.Random(seed)
+    t = warehouse.create_table(
+        f"db.fuzzb_{seed}",
+        DDL,
+        primary_keys=["k"],
+        options={"bucket": "2", "snapshot.num-retained.min": "1"},
+    )
+    oracle: dict[int, int] = {}
+    branch_oracle: dict[int, int] | None = None
+    branch_t = None
+    tags: dict[str, dict[int, int]] = {}
+    ntags = [0]
+    committed = 0
+
+    def upsert_main():
+        rows = [(k, rng.randint(0, 10**6)) for k in rng.sample(range(30), rng.randint(1, 8))]
+        t.write(spark.createDataFrame(rows, DDL))
+        oracle.update(dict(rows))
+
+    def branch_op():
+        nonlocal branch_t, branch_oracle, oracle
+        if branch_t is None:
+            branch_t = t.create_branch("dev")
+            branch_oracle = dict(oracle)
+            return
+        roll = rng.random()
+        if roll < 0.5:  # branch upsert
+            rows = [(k, rng.randint(0, 10**6)) for k in rng.sample(range(30), rng.randint(1, 6))]
+            branch_t.write(spark.createDataFrame(rows, DDL))
+            branch_oracle.update(dict(rows))
+            branch_t = branch_t.refresh()
+        elif roll < 0.8:  # promote branch to main
+            t.fast_forward("dev")
+            oracle = dict(branch_oracle)
+            t.delete_branch("dev")
+            branch_t, branch_oracle = None, None
+        else:  # abandon branch
+            t.delete_branch("dev")
+            branch_t, branch_oracle = None, None
+
+    def tag_op():
+        name = f"tag{ntags[0]}"
+        ntags[0] += 1
+        t.refresh().create_tag(name)
+        tags[name] = dict(oracle)
+
+    def expire():
+        t.refresh().expire_snapshots(retain_last=rng.randint(1, 3))
+
+    ops = [(upsert_main, 8), (branch_op, 5), (tag_op, 3), (expire, 3)]
+    pool = [f for f, w in ops for _ in range(w)]
+    upsert_main()
+    for i in range(n_ops):
+        if i:
+            rng.choice(pool)()
+        t = t.refresh()
+        got = {r.k: r.v for r in t.to_df(spark).collect()}
+        assert got == oracle, f"main diverged (seed {seed}, op {i})"
+        if branch_t is not None:
+            bgot = {r.k: r.v for r in branch_t.refresh().to_df(spark).collect()}
+            assert bgot == branch_oracle, f"branch diverged (seed {seed}, op {i})"
+        if tags:
+            name = rng.choice(sorted(tags))
+            tgot = {r.k: r.v for r in t.to_df(spark, tag=name).collect()}
+            assert tgot == tags[name], f"tag {name} diverged (seed {seed}, op {i})"
+        committed += 1
+    return committed
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_branch_tag_fast_forward(spark, warehouse, seed):
+    assert _run_branch_sequence(spark, warehouse, seed=5000 + seed, n_ops=8) == 8
