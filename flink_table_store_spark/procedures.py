@@ -124,6 +124,10 @@ def _trigger_tag_automatic_creation(spark, cat, a):
 
 PROCEDURES: dict[str, Callable] = {
     "compact": _compact,
+    # operability audit (doctor.doctor): gauges + actionable findings
+    "doctor": lambda s, c, a: _t(c, a).doctor(
+        s, check_orphans=bool(a.get("check_orphans", False))
+    ),
     "compact_database": _compact_database,
     "trigger_tag_automatic_creation": _trigger_tag_automatic_creation,
     "expire_snapshots": _expire_snapshots,
