@@ -694,13 +694,29 @@ class Table:
 
     def compact(self, spark: SparkSession, full: bool = True, trigger_runs: int = 5) -> Snapshot | None:
         """Rewrite buckets into a single max-level run. ``full=False``
-        compacts only buckets with ≥ trigger_runs runs (universal
-        compaction's run-count trigger, UniversalCompaction.java:125)."""
+        runs UNIVERSAL compaction (UniversalCompaction.java:42-125) for
+        deduplicate-engine PK tables: per bucket, the newest run prefix
+        picked by (1) max size amplification, (2) size ratio, (3)
+        sorted-run count is merged PARTIALLY — O(selected runs), not
+        O(bucket) — keeping -D rows (they must still cancel unmerged
+        older runs, MergeTreeCompactRewriter dropDelete=false) and
+        preserving sequence numbers. Other engines/append tables fall
+        back to whole-bucket merges on the run-count trigger."""
         snap = self.snapshots.latest()
         if snap is None:
             return None
         schema = self.schema
         entries = self.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
+        if (
+            not full
+            and self.is_primary_key_table()
+            and schema.options.get("merge-engine", "deduplicate") == "deduplicate"
+            # sequence.field orders merges by a user column; the partial
+            # rewrite's max_by(seq) winner would be wrong — fall back
+            and not schema.options.get("sequence.field")
+            and not any(e.bucket == POSTPONE_BUCKET for e in entries)
+        ):
+            return self._compact_universal(spark, snap, entries, trigger_runs)
         by_bucket: dict[tuple, list[ManifestEntry]] = {}
         for e in entries:
             by_bucket.setdefault((tuple(sorted(e.partition.items())), e.bucket), []).append(e)
@@ -778,6 +794,127 @@ class Table:
             changelog_files=cl_files,
             dv_row_count=new_dv_count,
             dv_buckets=new_dv_buckets,
+        )
+
+    @staticmethod
+    def _pick_universal(runs: list, amp_pct: int, size_ratio: int, trigger: int):
+        """UniversalCompaction.pick (UniversalCompaction.java:42-103):
+        ``runs`` oldest..newest. Returns the newest-run prefix to merge,
+        or None. Order of triggers mirrors the reference: (1) size
+        amplification — everything-but-the-oldest outgrowing the oldest
+        run by ``amp_pct`` forces a full merge; (2) size ratio — newest
+        runs accumulate while the next older run is within
+        ``size_ratio``% of the candidate total; (3) run count — merge
+        just enough newest runs to drop below ``trigger``."""
+        n = len(runs)
+        if n < max(trigger, 2):
+            return None
+        oldest = runs[0].file_size or 1
+        newer = sum(e.file_size for e in runs[1:])
+        if newer * 100 > amp_pct * oldest:
+            return list(runs)
+        sel = [runs[-1]]
+        total = runs[-1].file_size
+        for e in reversed(runs[:-1]):
+            if e.file_size * 100 <= total * (100 + size_ratio):
+                sel.append(e)
+                total += e.file_size
+            else:
+                break
+        if len(sel) >= 2:
+            return sel
+        k = n - trigger + 2  # leaves trigger-1 runs after the merge
+        return list(runs[-k:]) if k >= 2 else None
+
+    def _compact_universal(
+        self, spark: SparkSession, snap: Snapshot, entries: list, trigger_runs: int
+    ) -> Snapshot:
+        """Partial universal compaction for deduplicate-engine PK
+        tables: merge ONLY the picked newest runs per bucket. Non-whole
+        merges keep -D winners (they must still cancel rows in unmerged
+        older runs — MergeTreeCompactRewriter dropDelete=false) and
+        PRESERVE sequence numbers so merge-on-read ordering against the
+        untouched runs is unchanged; a whole-bucket pick drops -D rows
+        like a full compaction."""
+        schema = self.schema
+        opts = schema.options
+        amp = int(opts.get("compaction.max-size-amplification-percent", "200"))
+        ratio = int(opts.get("compaction.size-ratio", "1"))
+        trigger = int(opts.get("num-sorted-run.compaction-trigger", str(trigger_runs)))
+        by_bucket: dict[tuple, list[ManifestEntry]] = {}
+        for e in entries:
+            by_bucket.setdefault((tuple(sorted(e.partition.items())), e.bucket), []).append(e)
+        selected: list[ManifestEntry] = []
+        whole_buckets: set[int] = set()
+        partial_buckets: set[int] = set()
+        for (_ptk, bucket), group in by_bucket.items():
+            runs = sorted(group, key=lambda e: (e.max_seq, e.file_name))
+            pick = self._pick_universal(runs, amp, ratio, trigger)
+            if not pick:
+                continue
+            selected.extend(pick)
+            (whole_buckets if len(pick) == len(runs) else partial_buckets).add(bucket)
+        if not selected:
+            return snap
+        dv = read_mod.dv_dataframe(spark, self.path, snap.dv_files)
+        df = read_mod._read_files(
+            spark, self.path, selected, schema, self.all_schemas(),
+            with_system=True, dv=dv,
+        )
+        keys = list(schema.partition_keys) + schema.trimmed_primary_keys()
+        payload = [c for c in schema.field_names() if c not in keys]
+        cols = ", ".join(f"`{c}`" for c in payload + [VALUE_KIND, SEQUENCE_NUMBER])
+        winner = F.expr(f"max_by(struct({cols}), `{SEQUENCE_NUMBER}`)").alias("__w")
+        merged = (
+            df.groupBy(*[F.col(k) for k in keys], F.col(BUCKET_COL))
+            .agg(winner)
+            .select(
+                *[
+                    F.col(k) if k in keys else F.col(f"__w.{k}").alias(k)
+                    for k in schema.field_names()
+                ],
+                F.col(f"__w.{VALUE_KIND}").alias(VALUE_KIND),
+                F.col(f"__w.{SEQUENCE_NUMBER}").alias(SEQUENCE_NUMBER),
+                F.col(BUCKET_COL),
+            )
+        )
+        # dropping -D is ONLY sound when no unmerged older run remains;
+        # buckets appearing in both sets keep deletes (conservative —
+        # kept -D rows are filtered at read time anyway)
+        droppable = sorted(whole_buckets - partial_buckets)
+        if droppable:
+            merged = merged.where(
+                (F.col(VALUE_KIND) != ROWKIND_DELETE)
+                | ~F.col(BUCKET_COL).isin(droppable)
+            )
+        new_entries = stage_and_collect(
+            merged,
+            self.path,
+            schema,
+            row_kind_col=VALUE_KIND,
+            target_level=0,
+            preserve_seq=True,
+        )
+        deletes = []
+        for e in selected:
+            d = ManifestEntry(**{**e.__dict__})
+            d.kind = KIND_DELETE
+            deletes.append(d)
+        live_names = {os.path.basename(e.file_name) for e in entries}
+        sel_names = {os.path.basename(e.file_name) for e in selected}
+        dv_files, dv_count, dv_bkts = self._consolidate_dv(
+            snap,
+            live_names - sel_names,
+            bucket_of={os.path.basename(e.file_name): e.bucket for e in entries},
+        )
+        return self.committer.commit(
+            deletes + new_entries,
+            schema.id,
+            kind=COMMIT_COMPACT,
+            next_sequence=snap.next_sequence,
+            dv_files=dv_files,
+            dv_row_count=dv_count,
+            dv_buckets=dv_bkts,
         )
 
     def _write_compaction_changelog(self, spark: SparkSession, snap: Snapshot) -> list[str]:

@@ -90,6 +90,7 @@ def stage_and_collect(
     row_kind_col: str | None = None,
     target_level: int = 0,
     keep_cols: list[str] | None = None,
+    preserve_seq: bool = False,
 ) -> list[ManifestEntry]:
     """Write ``df`` into the table's data layout; return manifest entries.
 
@@ -111,12 +112,20 @@ def stage_and_collect(
         else:
             kind = F.lit(KIND_INSERT)
         df = df.withColumn(VALUE_KIND, kind)
-        df = _cast_to_schema(df, schema, extra=[VALUE_KIND, BUCKET_COL])
-        # input order within source partitions is preserved by
-        # monotonically_increasing_id, assigned BEFORE the bucket shuffle
-        df = df.withColumn(
-            SEQUENCE_NUMBER, (F.lit(base_sequence) + F.monotonically_increasing_id()).cast("long")
-        )
+        extra_sys = [VALUE_KIND, BUCKET_COL]
+        if preserve_seq:
+            extra_sys.append(SEQUENCE_NUMBER)
+        df = _cast_to_schema(df, schema, extra=extra_sys)
+        # partial compaction (preserve_seq) carries ORIGINAL sequence
+        # numbers so merge-on-read ordering against untouched runs is
+        # unchanged (the reference's rewriters keep KeyValue
+        # sequenceNumber); otherwise input order within source
+        # partitions is preserved by monotonically_increasing_id,
+        # assigned BEFORE the bucket shuffle
+        if not (preserve_seq and SEQUENCE_NUMBER in df.columns):
+            df = df.withColumn(
+                SEQUENCE_NUMBER, (F.lit(base_sequence) + F.monotonically_increasing_id()).cast("long")
+            )
         postpone_write = False
         if BUCKET_COL not in df.columns:
             if schema.num_buckets() == POSTPONE_BUCKET:
