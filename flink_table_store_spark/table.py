@@ -714,6 +714,9 @@ class Table:
             # sequence.field orders merges by a user column; the partial
             # rewrite's max_by(seq) winner would be wrong — fall back
             and not schema.options.get("sequence.field")
+            # full-compaction changelog producers diff at compaction
+            # time — the legacy whole-bucket path writes that changelog
+            and schema.options.get("changelog-producer") != "full-compaction"
             and not any(e.bucket == POSTPONE_BUCKET for e in entries)
         ):
             return self._compact_universal(spark, snap, entries, trigger_runs)
