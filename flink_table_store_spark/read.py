@@ -269,6 +269,38 @@ def _stored_schema(schema: TableSchema, pk: bool, with_row_id: bool = False) -> 
     return T.StructType(fields)
 
 
+def _evolve_cast(col, old_ddl: str, new_ddl: str):
+    """Adapt a stored column to the current type. Plain types take a
+    Catalyst cast; STRUCT evolution (nested add/drop/update_type —
+    SchemaChange.java:84-163 nested column ops) rebuilds the struct by
+    SUBFIELD NAME: matching leaves adapt recursively, added leaves
+    null-fill, dropped leaves vanish, and a NULL struct stays null
+    (a bare struct() of nulls would not)."""
+    from flink_table_store_spark.schema import parse_type
+
+    if old_ddl == new_ddl:
+        return col
+    return _evolve_cast_dt(col, parse_type(old_ddl), parse_type(new_ddl))
+
+
+def _evolve_cast_dt(col, old_dt, new_dt):
+    if old_dt == new_dt:
+        return col
+    if isinstance(old_dt, T.StructType) and isinstance(new_dt, T.StructType):
+        parts = []
+        for nf in new_dt.fields:
+            if nf.name in old_dt.names:
+                parts.append(
+                    _evolve_cast_dt(
+                        col[nf.name], old_dt[nf.name].dataType, nf.dataType
+                    ).alias(nf.name)
+                )
+            else:
+                parts.append(F.lit(None).cast(nf.dataType).alias(nf.name))
+        return F.when(col.isNotNull(), F.struct(*parts))
+    return col.cast(new_dt)
+
+
 def _adapt(
     df: DataFrame,
     writer_schema: TableSchema,
@@ -300,12 +332,12 @@ def _adapt(
         if have == names:
             return df
         return df.select(*names)
-    by_id = {f.id: f.name for f in writer_schema.fields}
+    by_id = {f.id: f for f in writer_schema.fields}
     cols = []
     for f in current.fields:
-        old_name = by_id.get(f.id)
-        if old_name is not None and old_name in df.columns:
-            cols.append(F.col(old_name).cast(f.type).alias(f.name))
+        old = by_id.get(f.id)
+        if old is not None and old.name in df.columns:
+            cols.append(_evolve_cast(F.col(old.name), old.type, f.type).alias(f.name))
         else:
             cols.append(F.lit(None).cast(f.type).alias(f.name))
     if with_system:

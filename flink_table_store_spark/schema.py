@@ -204,12 +204,58 @@ class SchemaManager:
         fields = [DataField(f.id, f.name, f.type, f.nullable) for f in cur.fields]
         options = dict(cur.options)
         hid = cur.highest_field_id
+        def _nested(name: str, op, typ: str | None = None) -> bool:
+            """Apply a struct-LEAF change (SchemaChange.java:84-163
+            nested column ops, name-matched): ``name`` is ``root.leaf``.
+            Subfields carry no field ids here, so evolution is
+            name-stable: add/drop/update_type work; rename does not."""
+            if "." not in name:
+                return False
+            root, leaf = name.split(".", 1)
+            if "." in leaf:
+                raise ValueError("nested evolution supports one struct level")
+            for f in fields:
+                if f.name == root:
+                    dt = parse_type(f.type)
+                    if not isinstance(dt, T.StructType):
+                        raise ValueError(f"{root} is not a struct")
+                    f.type = op(dt, leaf, typ).simpleString()
+                    return True
+            raise KeyError(root)
+
+        def _sub_add(dt, leaf, typ):
+            if leaf in dt.names:
+                raise ValueError(f"subfield {leaf} exists")
+            return T.StructType(list(dt.fields) + [T.StructField(leaf, parse_type(typ))])
+
+        def _sub_drop(dt, leaf, _typ):
+            if leaf not in dt.names:
+                raise KeyError(leaf)
+            return T.StructType([x for x in dt.fields if x.name != leaf])
+
+        def _sub_retype(dt, leaf, typ):
+            if leaf not in dt.names:
+                raise KeyError(leaf)
+            return T.StructType(
+                [
+                    T.StructField(x.name, parse_type(typ)) if x.name == leaf else x
+                    for x in dt.fields
+                ]
+            )
+
         for ch in changes:
             a = ch["action"]
             if a == "add_column":
+                if _nested(ch["name"], _sub_add, ch["type"]):
+                    continue
                 hid += 1
                 fields.append(DataField(hid, ch["name"], ch["type"], ch.get("nullable", True)))
             elif a == "rename_column":
+                if "." in ch["name"]:
+                    raise ValueError(
+                        "nested rename needs nested field ids (subfields are "
+                        "name-matched across generations) — unsupported"
+                    )
                 for f in fields:
                     if f.name == ch["name"]:
                         f.name = ch["new_name"]
@@ -217,8 +263,13 @@ class SchemaManager:
                 else:
                     raise KeyError(ch["name"])
             elif a == "drop_column":
+                if "." in ch["name"]:
+                    _nested(ch["name"], _sub_drop)
+                    continue
                 fields = [f for f in fields if f.name != ch["name"]]
             elif a == "update_column_type":
+                if _nested(ch["name"], _sub_retype, ch["type"]):
+                    continue
                 for f in fields:
                     if f.name == ch["name"]:
                         f.type = ch["type"]

@@ -131,3 +131,37 @@ def test_nested_leaf_bloom_and_bitmap_index(spark, warehouse):
     assert len(plan2.raw_entries) == 1
     got = sorted(r.k for r in t.to_df(spark, predicate=P.equal("s.y", "bb")).collect())
     assert got == list(range(1000, 1040))
+
+
+def test_nested_schema_evolution_add_drop_retype(spark, warehouse):
+    """Nested column ops (SchemaChange.java:84-163): add / drop /
+    update_type on struct leaves; old-generation rows adapt by subfield
+    name (added -> null, dropped -> gone, retyped -> cast), and a NULL
+    struct stays null. Nested rename is rejected (no nested field ids)."""
+    import pytest
+
+    ddl0 = "k bigint, s struct<x: int, y: string>"
+    t = warehouse.create_table("db.nested_evo", ddl0)
+    t.write(spark.createDataFrame([(1, (7, "old")), (2, None)], ddl0))
+    t = t.refresh()
+    t.evolve_schema(
+        [
+            {"action": "add_column", "name": "s.z", "type": "double"},
+            {"action": "update_column_type", "name": "s.x", "type": "bigint"},
+            {"action": "drop_column", "name": "s.y"},
+        ]
+    )
+    t = t.refresh()
+    assert t.schema.field("s").type == "struct<x:bigint,z:double>"
+    ddl1 = "k bigint, s struct<x: bigint, z: double>"
+    t.write(spark.createDataFrame([(3, (9, 2.5))], ddl1))
+    t = t.refresh()
+    rows = {r.k: (None if r.s is None else (r.s.x, r.s.z)) for r in t.to_df(spark).collect()}
+    assert rows == {1: (7, None), 2: None, 3: (9, 2.5)}
+    # stats of the NEW generation cover the retyped/added leaves
+    snap = t.snapshots.latest()
+    es = t.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
+    newest = [e for e in es if e.schema_id == t.schema.id]
+    assert newest and all("s.x" in e.stats and "s.z" in e.stats for e in newest)
+    with pytest.raises(ValueError, match="nested rename"):
+        t.evolve_schema([{"action": "rename_column", "name": "s.x", "new_name": "w"}])
