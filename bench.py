@@ -170,6 +170,16 @@ def main() -> None:
     def _pc():
         t_pk.to_df(spark).agg(F.count(F.lit(1)), F.sum("l_extendedprice")).collect()
 
+    # universal compaction: three tiny runs land on the compacted base;
+    # the partial merge rewrites only them (O(selected), not O(bucket))
+    small = li.select(*li.columns).where(F.col("l_orderkey") % 499 == 0)
+
+    @timed("universal_compact")
+    def _uc():
+        for _ in range(3):
+            t_pk.write(small)
+        t_pk.compact(spark, full=False)
+
     pb.unpersist()
 
     # --- clustering / topn / dv / lookup over managed tables --------------
@@ -233,6 +243,17 @@ def main() -> None:
         t_pk_dim.write(cust)
         facts = orders.select("o_orderkey", F.col("o_custkey").alias("c_custkey"))
         lookup_join(spark, facts, t_pk_dim, on="c_custkey").count()
+
+    @timed("partial_lookup_join")
+    def _plj():
+        # the no-broadcast path: probe shuffles on the dim's bucket
+        # function; tasks read only their own dim buckets
+        from flink_table_store_spark.operators.lookup import lookup_join_partial
+
+        facts = orders.select("o_orderkey", "o_custkey")
+        lookup_join_partial(
+            spark, facts, t_pk_dim.refresh(), on=[("o_custkey", "c_custkey")]
+        ).count()
 
     # --- storage-partitioned join: co-bucketed facts, zero shuffle --------
     t_ord_bj = cat.create_table(
