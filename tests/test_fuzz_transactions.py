@@ -131,6 +131,30 @@ def _run_sequence(spark, warehouse, seed: int, n_ops: int, dv: bool) -> int:
         t = t.refresh()
         last_id = _check_invariants(spark, t, oracle, last_id)
         committed += 1
+    # end-of-sequence: the bucketed join over the fuzzed table (DVs,
+    # partial universal merges, rewrites and all) must equal a regular
+    # join of the proven merged read; doctor() must run clean
+    from flink_table_store_spark.operators.bucketed_join import join_bucketed
+
+    dim = warehouse.create_table(
+        f"db.fuzzdim_{seed}_{int(dv)}", "k bigint, s string",
+        primary_keys=["k"], options={"bucket": "2"},
+    )
+    dim.write(
+        spark.createDataFrame([(k, f"d{k}") for k in range(40)], "k bigint, s string")
+    )
+    got = sorted(
+        map(tuple, join_bucketed(spark, t, dim.refresh(), on=[("k", "k")]).collect())
+    )
+    expected = sorted(
+        map(
+            tuple,
+            t.to_df(spark).join(dim.to_df(spark), on="k").select("k", "v", "s").collect(),
+        )
+    )
+    assert got == expected, f"bucketed join diverged after fuzz (seed {seed})"
+    rep = t.doctor(spark)
+    assert rep["files"]["rows"] >= 0
     return committed
 
 
