@@ -85,8 +85,8 @@ def dv_positions_for(dv_paths: list[str], basenames: list[str]) -> dict[str, set
 
 
 # aggregate functions the per-bucket pandas fold reproduces exactly
-# (mirrors merge_engines._agg_expr; the exotic structural aggregators —
-# nested_update / merge_map / hll_sketch — still need compact() first)
+# (mirrors merge_engines._agg_expr; hll_sketch is the one aggregator
+# that still needs compact() first — its binary union lives JVM-side)
 _LOCAL_AGG_FUNCS = frozenset(
     {
         "sum",
@@ -108,6 +108,8 @@ _LOCAL_AGG_FUNCS = frozenset(
         "rbm32",
         "rbm64",
         "theta_sketch",
+        "merge_map",
+        "nested_update",
     }
 )
 
@@ -126,6 +128,11 @@ def _agg_cfg(schema) -> dict:
         if opts.get(f"fields.{f.name}.ignore-retract", "false") == "true":
             cfg["ignore_retract"].add(f.name)
         cfg["k"][f.name] = int(opts.get(f"fields.{f.name}.theta-sketch.k", "4096"))
+        cfg.setdefault("nested_key", {})[f.name] = [
+            k.strip()
+            for k in opts.get(f"fields.{f.name}.nested-key", "").split(",")
+            if k.strip()
+        ]
     cfg["remove_on_delete"] = (
         opts.get("aggregation.remove-record-on-delete", "false") == "true"
     )
@@ -230,7 +237,16 @@ def fold_aggregation(pdf, key_cols: list[str], cfg: dict, seqc: str, kindc: str)
         elif func in ("last_non_null_value", "primary-key"):
             work[w] = masked
             plan.append((c, "last"))
-        elif func in ("listagg", "collect", "collect_distinct", "rbm32", "rbm64", "theta_sketch"):
+        elif func in (
+            "listagg",
+            "collect",
+            "collect_distinct",
+            "rbm32",
+            "rbm64",
+            "theta_sketch",
+            "merge_map",
+            "nested_update",
+        ):
             work[w] = masked
             plan.append((c, "fn"))
         else:  # pragma: no cover — _check_local_agg_funcs gates this
@@ -242,6 +258,47 @@ def fold_aggregation(pdf, key_cols: list[str], cfg: dict, seqc: str, kindc: str)
         func = cfg["funcs"][c]
         if func == "listagg":
             return lambda s: ",".join(str(x) for x in s if notna(x))
+        if func == "merge_map":
+            # FieldMergeMapAgg: later entries win; all-null group folds
+            # to an EMPTY map like map_concat over cast(map()). Arrow
+            # ships map values as lists of (k, v) pairs.
+            def _mmap(s):
+                # pyarrow ships map values as lists of (k, v) pairs.
+                # Return a PAIR LIST (a dict return would make
+                # groupby.apply expand keys into columns); the caller
+                # converts to dict for Spark's Arrow writer.
+                out: dict = {}
+                for x in s:
+                    if isinstance(x, dict):
+                        out.update(x)
+                    elif isinstance(x, (list, np.ndarray)):
+                        out.update(dict(x))
+                return list(out.items())
+
+            return _mmap
+        if func == "nested_update":
+            nk = cfg.get("nested_key", {}).get(c) or []
+
+            def _nupd(s):
+                flat: list = []
+                for x in s:
+                    if isinstance(x, (list, np.ndarray)):
+                        flat.extend(list(x))
+                if not nk:
+                    return flat  # append mode: rows in sequence order
+                # nested-key mode: latest version per nested key,
+                # original relative order of survivors preserved
+                seen: set = set()
+                out: list = []
+                for x in reversed(flat):
+                    key = tuple((x or {}).get(k) for k in nk)
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    out.append(x)
+                return list(reversed(out))
+
+            return _nupd
         if func in ("collect", "collect_distinct"):
             distinct = func == "collect_distinct"
 
@@ -306,6 +363,10 @@ def fold_aggregation(pdf, key_cols: list[str], cfg: dict, seqc: str, kindc: str)
             results[c] = got.reindex(pick.index)
         else:  # fn
             results[c] = gb[w].apply(_fold_fn(c))
+            if cfg["funcs"][c] == "merge_map":
+                results[c] = results[c].map(
+                    lambda v: dict(v) if isinstance(v, list) else v
+                )
     ups_ord = gb["__ups_ord"].max()
     merged = (
         pd.concat(results, axis=1)

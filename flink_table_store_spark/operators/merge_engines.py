@@ -80,6 +80,13 @@ def _sketch_union_expr(kind: str, collected, k: int = 4096):
     return _union(collected)
 
 
+# array_sort's DEFAULT comparator orders the whole struct(s, v) payload
+# lexicographically — which FAILS ANALYSIS when v contains an unorderable
+# type (MAP, in merge_map). Sequence numbers are unique within a merge
+# group, so comparing s alone is both sufficient and type-safe.
+_SEQ_CMP = "(a, b) -> CASE WHEN a.s < b.s THEN -1 WHEN a.s > b.s THEN 1 ELSE 0 END"
+
+
 _EFF_SEQ = "__eff_seq"
 
 
@@ -251,15 +258,15 @@ def _agg_expr(
     if func == "listagg":
         # seq-ordered concat (FieldListaggAgg); delimiter option supported
         return F.expr(
-            f"array_join(transform(array_sort(collect_list(CASE WHEN {v} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END)), x -> x.v), ',')"
+            f"array_join(transform(array_sort(collect_list(CASE WHEN {v} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END), {_SEQ_CMP}), x -> x.v), ',')"
         )
     if func == "collect":
         # FieldCollectAgg (append, seq-ordered); distinct via option
         return F.expr(
-            f"transform(array_sort(collect_list(CASE WHEN {v} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END)), x -> x.v)"
+            f"transform(array_sort(collect_list(CASE WHEN {v} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END), {_SEQ_CMP}), x -> x.v)"
         )
     if func == "collect_distinct":
-        return F.expr(f"array_distinct(transform(array_sort(collect_list(CASE WHEN {v} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END)), x -> x.v))")
+        return F.expr(f"array_distinct(transform(array_sort(collect_list(CASE WHEN {v} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END), {_SEQ_CMP}), x -> x.v))")
     if func in ("rbm32", "rbm64"):
         # FieldRoaringBitmap32/64Agg: bitmap union, dispatched on the
         # field type. binary fields hold REAL serialized RoaringBitmaps
@@ -296,7 +303,7 @@ def _agg_expr(
         # FieldNestedUpdateAgg without nested-key: append nested rows in
         # sequence order (arrays from compacted files come first)
         return F.expr(
-            f"flatten(transform(array_sort(collect_list(CASE WHEN {v} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END)), x -> x.v))"
+            f"flatten(transform(array_sort(collect_list(CASE WHEN {v} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END), {_SEQ_CMP}), x -> x.v))"
         )
     raise ValueError(f"unsupported aggregate-function {func}")
 
@@ -327,7 +334,7 @@ def _nested_update_keyed(name: str, seq: str, ftype: str, nested_keys: list[str]
     c = f"`{name}`"
     v = f"(CASE WHEN NOT ({_RETRACT}) THEN {c} END)"
     flat = (
-        f"flatten(transform(array_sort(collect_list(CASE WHEN {v} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END)), x -> x.v))"
+        f"flatten(transform(array_sort(collect_list(CASE WHEN {v} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END), {_SEQ_CMP}), x -> x.v))"
     )
     same_key = " AND ".join(f"(y.`{k}` <=> x.`{k}`)" for k in nested_keys)
     return F.expr(
@@ -366,7 +373,7 @@ def _aggregation(
             c, v = f"`{f.name}`", f"(CASE WHEN NOT ({_RETRACT}) THEN `{f.name}` END)"
             # FieldMergeMapAgg: later entries win (needs mapKeyDedupPolicy=LAST_WIN)
             expr = F.expr(
-                f"aggregate(transform(array_sort(collect_list(CASE WHEN {v} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END)), x -> x.v), cast(map() as {f.type}), (acc, x) -> map_concat(acc, x))"
+                f"aggregate(transform(array_sort(collect_list(CASE WHEN {v} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END), {_SEQ_CMP}), x -> x.v), cast(map() as {f.type}), (acc, x) -> map_concat(acc, x))"
             )
         elif func == "nested_update" and nested_key:
             expr = _nested_update_keyed(

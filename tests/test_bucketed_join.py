@@ -358,20 +358,20 @@ def test_bucketed_join_aggregation_engine_table(spark, warehouse):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
 
-    # exotic structural aggregators still require compact-first
+    # hll_sketch (JVM-side binary union) still requires compact-first
     import pytest
 
     t3 = warehouse.create_table(
         "db.bjagg_bad",
-        "k bigint, m map<string,int>",
+        "k bigint, h string",
         primary_keys=["k"],
         options={
             "bucket": "2",
             "merge-engine": "aggregation",
-            "fields.m.aggregate-function": "merge_map",
+            "fields.h.aggregate-function": "hll_sketch",
         },
     )
-    t3.write(spark.createDataFrame([(1, {"a": 1})], "k bigint, m map<string,int>"))
+    t3.write(spark.createDataFrame([(1, "x")], "k bigint, h string"))
     with pytest.raises(ValueError, match="compact"):
         join_bucketed(spark, t3.refresh(), t2, on=[("k", "k")])
 
@@ -987,3 +987,64 @@ def test_bucketed_join_sequence_group_table(spark, warehouse):
     assert by_k[2][2:7] == (20, "b2", "c2", 200, "D2")  # g1 regressed; g2 advanced
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_bucketed_join_merge_map_and_nested_update(spark, warehouse):
+    """merge_map (later entries win) and nested_update (append and
+    nested-key modes) fold locally in bucket tasks — parity with the
+    Spark merge path; hll_sketch remains the only compact-first case."""
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    ddl = (
+        "k bigint, m map<string,int>, logs array<struct<ts: int, msg: string>>, "
+        "state array<struct<id: int, v: string>>"
+    )
+    t1 = warehouse.create_table(
+        "db.bjmm",
+        ddl,
+        primary_keys=["k"],
+        options={
+            "bucket": "2",
+            "merge-engine": "aggregation",
+            "fields.m.aggregate-function": "merge_map",
+            "fields.logs.aggregate-function": "nested_update",
+            "fields.state.aggregate-function": "nested_update",
+            "fields.state.nested-key": "id",
+        },
+    )
+    t1.write(
+        spark.createDataFrame(
+            [
+                (1, {"a": 1, "b": 2}, [(10, "x")], [(1, "old"), (2, "keep")]),
+                (2, None, None, None),
+            ],
+            ddl,
+        )
+    )
+    t1.write(
+        spark.createDataFrame(
+            [(1, {"b": 9, "c": 3}, [(20, "y")], [(1, "new")])], ddl
+        )
+    )
+    t2 = warehouse.create_table(
+        "db.bjmm_dim", "k bigint, s string", primary_keys=["k"], options={"bucket": "2"}
+    )
+    t2.write(spark.createDataFrame([(1, "d1"), (2, "d2")], "k bigint, s string"))
+    t1, t2 = t1.refresh(), t2.refresh()
+    got = join_bucketed(spark, t1, t2, on=[("k", "k")])
+    mor = t1.to_df(spark)
+    expected = mor.join(t2.to_df(spark), on="k").select("k", "m", "logs", "state", "s")
+    norm = lambda rows: sorted(  # noqa: E731
+        (
+            r.k,
+            sorted((r.m or {}).items()),
+            [tuple(x) for x in (r.logs or [])],
+            [tuple(x) for x in (r.state or [])],
+            r.s,
+        )
+        for r in rows
+    )
+    assert norm(got.collect()) == norm(expected.collect())
+    by_k = {r.k: r for r in got.collect()}
+    assert dict(by_k[1].m) == {"a": 1, "b": 9, "c": 3}
+    assert [tuple(x) for x in by_k[1].logs] == [(10, "x"), (20, "y")]
+    assert sorted(tuple(x) for x in by_k[1].state) == [(1, "new"), (2, "keep")]
