@@ -16,6 +16,17 @@ append/AppendOnlyWriterTest.java). The r2-ADVICE expiry-after-rewrite
 data-loss bug was exactly this class of defect; these seeds hunt it
 systematically. A separate test drives CONCURRENT writers over disjoint
 key ranges mixed with compaction/expiry from other threads.
+
+Three families:
+  1. PK tables (seeds 1000+): upsert / DV- and rewrite-deletes /
+     universal + full compaction / expiry / index rewrites, each
+     sequence capped with a bucketed-join parity check and a doctor run.
+  2. Append tables (seeds 7000+): schema evolution + sort_compact +
+     expiry with TIME-TRAVEL audits (every retained snapshot re-reads
+     its frozen oracle) and ROW-ID stability audits — this family
+     caught the flaky footer-sampling schema-inference data bug.
+  3. Branches (seeds 5000+): forks, branch upserts, fast_forward
+     promotions, drops, tags and expiry vs per-branch/per-tag oracles.
 """
 
 from __future__ import annotations
