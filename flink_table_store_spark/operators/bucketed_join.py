@@ -215,7 +215,11 @@ def fold_aggregation(pdf, key_cols: list[str], cfg: dict, seqc: str, kindc: str)
             work[w] = masked if ig else col.where(keep_mask, -col)
             plan.append((c, "sum"))
         elif func == "count":
+            # associative count (merge_engines._agg_expr): first
+            # non-retract row contributes its stored value (a partial
+            # count from compaction/folding), later non-null rows ±1
             work[w] = np.where(col.notna(), np.where(retract, 0 if ig else -1, 1), 0)
+            work[f"__b_{c}"] = np.where(keep_mask, ords, np.nan)
             plan.append((c, "count"))
         elif func == "product":
             work[w] = masked
@@ -339,13 +343,24 @@ def fold_aggregation(pdf, key_cols: list[str], cfg: dict, seqc: str, kindc: str)
 
     gb = work.groupby(key_cols, sort=False, dropna=False)
     results: dict[str, pd.Series] = {}
-    col_np = {c: pdf[c].to_numpy(dtype=object) for c, op in plan if op.startswith("pick")}
+    col_np = {
+        c: pdf[c].to_numpy(dtype=object)
+        for c, op in plan
+        if op.startswith("pick") or op == "count"
+    }
     for c, op in plan:
         w = f"__w_{c}"
         if op == "sum":
             results[c] = gb[w].sum(min_count=1)
         elif op == "count":
-            results[c] = gb[w].sum()
+            cnt = gb[w].sum()
+            pick = gb[f"__b_{c}"].min()
+            valid = pick.dropna().astype(int)
+            base = pd.Series(col_np[c][valid.to_numpy()], index=valid.index).reindex(pick.index)
+            base_num = base.map(lambda x: 0 if pd.isna(x) else int(x))
+            # the base row's own +1 is already inside cnt when non-null
+            adj = base.notna().astype(int)
+            results[c] = base_num + cnt - adj
         elif op == "prod":
             results[c] = gb[w].prod(min_count=1)
         elif op == "min":

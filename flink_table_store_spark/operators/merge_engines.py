@@ -233,11 +233,23 @@ def _agg_expr(
     if func == "product":
         return F.expr(f"product({v})")
     if func == "count":
+        # associative count (no reference counterpart — aggregate/
+        # factory/ has no FieldCountAgg; semantics follow the reference
+        # FieldAggregator pattern of "first row's value seeds the
+        # accumulator"): the first non-retract row contributes its
+        # STORED VALUE (a compacted/folded row carries a partial count),
+        # every later non-null row contributes ±1. Plain count(...)
+        # would re-count a compacted partial count as 1 — a wrong
+        # answer after any compaction.
+        base = f"min_by({c}, CASE WHEN NOT ({_RETRACT}) THEN `{seq}` END)"
         if retract:
-            return F.expr(
-                f"sum(CASE WHEN {c} IS NOT NULL THEN CASE WHEN {_RETRACT} THEN -1L ELSE 1L END ELSE 0L END)"
-            )
-        return F.expr(f"count({v})")
+            cnt = f"sum(CASE WHEN {c} IS NOT NULL THEN CASE WHEN {_RETRACT} THEN -1L ELSE 1L END ELSE 0L END)"
+        else:
+            cnt = f"count({v})"
+        return F.expr(
+            f"coalesce({base}, 0L) + coalesce({cnt}, 0L)"
+            f" - (CASE WHEN {base} IS NOT NULL THEN 1L ELSE 0L END)"
+        )
     if func == "min":
         return F.expr(f"min({v})")
     if func == "max":
@@ -261,12 +273,14 @@ def _agg_expr(
             f"array_join(transform(array_sort(collect_list(CASE WHEN {v} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END), {_SEQ_CMP}), x -> x.v), ',')"
         )
     if func == "collect":
-        # FieldCollectAgg (append, seq-ordered); distinct via option
+        # FieldCollectAgg (array field; input ARRAYS concatenate in
+        # sequence order — FieldCollectAgg.java agg() appends the input
+        # array's elements to the accumulator array)
         return F.expr(
-            f"transform(array_sort(collect_list(CASE WHEN {v} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END), {_SEQ_CMP}), x -> x.v)"
+            f"flatten(transform(array_sort(collect_list(CASE WHEN {v} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END), {_SEQ_CMP}), x -> x.v))"
         )
     if func == "collect_distinct":
-        return F.expr(f"array_distinct(transform(array_sort(collect_list(CASE WHEN {v} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END), {_SEQ_CMP}), x -> x.v))")
+        return F.expr(f"array_distinct(flatten(transform(array_sort(collect_list(CASE WHEN {v} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END), {_SEQ_CMP}), x -> x.v)))")
     if func in ("rbm32", "rbm64"):
         # FieldRoaringBitmap32/64Agg: bitmap union, dispatched on the
         # field type. binary fields hold REAL serialized RoaringBitmaps
@@ -282,6 +296,13 @@ def _agg_expr(
             f"array_sort(array_distinct(flatten(collect_list({v}))))"
         )
     if func == "hll_sketch":
+        # FieldHllSketchAgg: binary fields hold SERIALIZED DataSketches
+        # HLL sketches and merges UNION them (never re-sketch the
+        # buffer — hll_sketch_agg over stored sketches would treat each
+        # buffer as one new value after a compaction). Non-binary
+        # fields sketch raw values (single-merge convenience form).
+        if ftype.lower() == "binary":
+            return F.expr(f"hll_union_agg({v}, true)")
         return F.expr(f"hll_sketch_agg({v})")
     if func == "theta_sketch":
         # FieldThetaSketchAgg: mergeable distinct-count sketch, dispatched

@@ -415,3 +415,58 @@ def test_value_filter_does_not_resurrect_old_versions(spark, warehouse):
     es = t2.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
     assert read_mod.plan_scan(es, t2.schema, P.equal("v", 30)).file_count() < len(es)
     assert read_mod.plan_scan(es, t2.schema, P.equal("k", 3)).file_count() < len(es)
+
+
+def test_aggregation_collect_count_hll_compaction_associative(spark, warehouse):
+    """collect concatenates input ARRAYS (FieldCollectAgg.java agg());
+    count and binary hll_sketch stay correct ACROSS a compaction — the
+    compacted row carries a partial result that must fold as a partial,
+    not re-count/re-sketch as one new input (round-5 wrong-answer
+    fixes)."""
+    from pyspark.sql import functions as F
+
+    t = warehouse.create_table(
+        "db.agg_assoc",
+        "k bigint, vs array<bigint>, ds array<bigint>, n bigint, h binary",
+        primary_keys=["k"],
+        options={
+            "bucket": "1",
+            "merge-engine": "aggregation",
+            "fields.vs.aggregate-function": "collect",
+            "fields.ds.aggregate-function": "collect_distinct",
+            "fields.n.aggregate-function": "count",
+            "fields.h.aggregate-function": "hll_sketch",
+        },
+    )
+    ddl = "k bigint, vs array<bigint>, ds array<bigint>, n bigint, h binary"
+
+    def row(vs, ds, lo, hi):
+        sk = (
+            spark.range(lo, hi)
+            .agg(F.expr("hll_sketch_agg(id)").alias("h"))
+            .collect()[0]
+            .h
+        )
+        return (1, vs, ds, 1, bytes(sk))
+
+    t.write(spark.createDataFrame([row([1, 2], [5, 6, 5], 0, 100)], ddl))
+    t.write(spark.createDataFrame([row([3], [6, 7], 50, 200)], ddl))
+    t = t.refresh()
+    [r] = t.to_df(spark).collect()
+    assert r.vs == [1, 2, 3] and r.ds == [5, 6, 7] and r.n == 2
+
+    t.compact(spark)
+    t = t.refresh()
+    t.write(spark.createDataFrame([row([4], [5, 8], 150, 300)], ddl))
+    t = t.refresh()
+    [r] = t.to_df(spark).collect()
+    assert r.vs == [1, 2, 3, 4], "collect must concatenate across a compaction"
+    assert r.ds == [5, 6, 7, 8]
+    assert r.n == 3, "count must fold the compacted partial count"
+    est = (
+        spark.createDataFrame([(bytes(r.h),)], "h binary")
+        .select(F.expr("hll_sketch_estimate(h)").alias("e"))
+        .collect()[0]
+        .e
+    )
+    assert est == 300, "binary hll_sketch must UNION stored sketches"
