@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from flink_table_store_spark.schema import (
     KIND_DELETE,
+    KIND_INSERT,
     SEQUENCE_NUMBER,
     VALUE_KIND,
     TableSchema,
@@ -152,16 +153,13 @@ def _sequence_groups(schema: TableSchema) -> dict[str, list[str]]:
     return groups
 
 
-def _partial_update(
-    df: DataFrame, schema: TableSchema, seq_col: str = SEQUENCE_NUMBER
-) -> DataFrame:
-    """groupBy(key) with per-field max_by — one shuffle, map-side combine.
+def _partial_update_aggs(schema: TableSchema, seq: str) -> list:
+    """Per-field aggregate expressions of the partial-update engine
+    (shared by the full merge and the universal-compaction fold).
 
     Non-group fields: last non-null value in sequence order
     (``max_by(f, seq where f non-null)``). Sequence-group fields: value
-    from the row with the max non-null group-sequence. ``-D`` rows
-    remove the record when they are the latest activity
-    (partial-update.remove-record-on-delete semantics).
+    from the row with the max non-null group-sequence.
     """
     keys = _key_cols(schema)
     groups = _sequence_groups(schema)
@@ -173,8 +171,6 @@ def _partial_update(
     # NOT the last group's column: non-group fields order by the real
     # sequence (a former loop-variable shadowing bug silently merged
     # them by an unrelated group column when sequence-groups were set)
-    seq = seq_col
-    upserts = df.where(F.col(VALUE_KIND) != KIND_DELETE)
     aggs = []
     for f in schema.fields:
         if f.name in keys:
@@ -190,6 +186,21 @@ def _partial_update(
             aggs.append(
                 F.expr(f"max_by(`{f.name}`, CASE WHEN `{f.name}` IS NOT NULL THEN `{seq}` END)").alias(f.name)
             )
+    return aggs
+
+
+def _partial_update(
+    df: DataFrame, schema: TableSchema, seq_col: str = SEQUENCE_NUMBER
+) -> DataFrame:
+    """groupBy(key) with per-field max_by — one shuffle, map-side combine.
+
+    ``-D`` rows remove the record when they are the latest activity
+    (partial-update.remove-record-on-delete semantics).
+    """
+    keys = _key_cols(schema)
+    seq = seq_col
+    upserts = df.where(F.col(VALUE_KIND) != KIND_DELETE)
+    aggs = _partial_update_aggs(schema, seq)
     aggs.append(F.max(F.col(seq)).alias("__ups_seq"))
     merged = upserts.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
 
@@ -364,25 +375,12 @@ def _nested_update_keyed(name: str, seq: str, ftype: str, nested_keys: list[str]
     )
 
 
-def _aggregation(
-    df: DataFrame, schema: TableSchema, seq_col: str = SEQUENCE_NUMBER
-) -> DataFrame:
-    """aggregation merge engine: groupBy(pk).agg(per-field functions).
-
-    Partial aggregates from compacted files re-aggregate correctly for
-    the associative functions (sum/min/max/bool/collect/listagg);
-    first/last use sequence order, where compacted rows carry earlier
-    sequences than fresh level-0 rows — same invariant the LSM merge
-    relies on. Retractions (``-U``/``-D`` payloads): sum/count subtract
-    (FieldSumAgg.retract); other aggregators ignore the retracted
-    payload (FieldIgnoreRetractAgg). With
-    ``aggregation.remove-record-on-delete`` a trailing ``-D`` drops the
-    whole record instead.
-    """
+def _aggregation_aggs(schema: TableSchema, seq: str) -> list:
+    """Per-field aggregate expressions of the aggregation engine
+    (shared by the full merge and the universal-compaction fold)."""
     keys = _key_cols(schema)
-    seq = seq_col
-    default_func = schema.options.get("fields.default-aggregate-function", "last_non_null_value")
     opts = schema.options
+    default_func = opts.get("fields.default-aggregate-function", "last_non_null_value")
     aggs = []
     for f in schema.fields:
         if f.name in keys:
@@ -410,6 +408,28 @@ def _aggregation(
                 sketch_k=int(opts.get(f"fields.{f.name}.theta-sketch.k", "4096")),
             )
         aggs.append(expr.cast(f.type).alias(f.name))
+    return aggs
+
+
+def _aggregation(
+    df: DataFrame, schema: TableSchema, seq_col: str = SEQUENCE_NUMBER
+) -> DataFrame:
+    """aggregation merge engine: groupBy(pk).agg(per-field functions).
+
+    Partial aggregates from compacted files re-aggregate correctly for
+    the associative functions (sum/min/max/bool/collect/listagg);
+    first/last use sequence order, where compacted rows carry earlier
+    sequences than fresh level-0 rows — same invariant the LSM merge
+    relies on. Retractions (``-U``/``-D`` payloads): sum/count subtract
+    (FieldSumAgg.retract); other aggregators ignore the retracted
+    payload (FieldIgnoreRetractAgg). With
+    ``aggregation.remove-record-on-delete`` a trailing ``-D`` drops the
+    whole record instead.
+    """
+    keys = _key_cols(schema)
+    seq = seq_col
+    opts = schema.options
+    aggs = _aggregation_aggs(schema, seq)
     aggs.append(F.max(F.expr(f"CASE WHEN NOT ({_RETRACT}) THEN `{seq}` END")).alias("__ups_seq"))
     merged = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
     if opts.get("aggregation.remove-record-on-delete", "false") == "true":
@@ -422,3 +442,122 @@ def _aggregation(
             F.col("__del_seq").isNull() | (F.col("__ups_seq") > F.col("__del_seq"))
         )
     return merged.select(*schema.field_names())
+
+
+# --- universal (partial) compaction folds (SURVEY §4.2; T13) ---
+
+# aggregation functions whose newest-runs fold re-merges with OLDER
+# unmerged runs exactly as the unfolded rows would. The key invariant:
+# run sequence ranges are disjoint and the fold covers the newest
+# prefix, so a folded value attributed to the fold row's (max) sequence
+# still orders ABOVE every older run — last/max/sum/union-style
+# functions are untouched, first/min-style functions lose to any older
+# candidate exactly as before. Excluded: ``count`` (its partial count
+# must sit at the OLDEST position to seed the accumulator — a fold of
+# the newest runs would re-count it as one input).
+_FOLD_SAFE_AGGS = frozenset(
+    {
+        "sum",
+        "product",
+        "min",
+        "max",
+        "bool_and",
+        "bool_or",
+        "first_value",
+        "first_non_null_value",
+        "first_not_null_value",
+        "last_value",
+        "last_non_null_value",
+        "primary-key",
+        "listagg",
+        "collect",
+        "collect_distinct",
+        "rbm32",
+        "rbm64",
+        "merge_map",
+        "nested_update",
+    }
+)
+
+
+def fold_supported(schema: TableSchema) -> bool:
+    """True when this table's merge engine folds ASSOCIATIVELY over the
+    newest runs only, so universal compaction may rewrite a partial run
+    prefix (UniversalCompaction.java picks; MergeTreeCompactRewriter
+    dropDelete=false). deduplicate/first-row always qualify (their fold
+    is the winner row by effective sequence, handled directly by the
+    compactor); partial-update and aggregation qualify unless a user
+    ``sequence.field`` is set (its version values re-attribute folded
+    fields ABOVE older runs' versions) or a field uses a non-associative
+    aggregator. Keys carrying retract/delete rows never fold — they pass
+    through ``fold_runs`` unchanged."""
+    engine = schema.options.get("merge-engine", ENGINE_DEDUPLICATE)
+    if engine in (ENGINE_DEDUPLICATE, ENGINE_FIRST_ROW):
+        return True
+    if schema.options.get("sequence.field"):
+        return False
+    if engine == ENGINE_PARTIAL_UPDATE:
+        return True
+    if engine != ENGINE_AGGREGATION:
+        return False
+    keys = set(_key_cols(schema))
+    opts = schema.options
+    default_func = opts.get("fields.default-aggregate-function", "last_non_null_value")
+    for f in schema.fields:
+        if f.name in keys:
+            continue
+        func = opts.get(f"fields.{f.name}.aggregate-function", default_func)
+        ftype = f.type.lower()
+        if func == "hll_sketch":
+            if ftype != "binary":  # raw-value sketching is not re-mergeable
+                return False
+        elif func == "theta_sketch":
+            if ftype != "binary" and not ftype.startswith("array"):
+                return False
+        elif func not in _FOLD_SAFE_AGGS:
+            return False
+    return True
+
+
+def fold_runs(df: DataFrame, schema: TableSchema, bucket_col: str) -> DataFrame:
+    """Partial fold of the NEWEST LSM runs for the partial-update /
+    aggregation engines — universal compaction's rewrite body.
+
+    Keys whose selected rows contain a retract/delete (``-D``; also
+    ``-U`` for aggregation, whose retract arithmetic must still see
+    unmerged older runs) pass through UNFOLDED with their original row
+    kind and sequence — delete elision and retractions resolve only at
+    a full merge. Every other key folds to ONE ``+I`` row via the same
+    per-field expressions the read path uses, carrying the max input
+    sequence; associativity vs older runs per ``fold_supported``.
+
+    Returns rows with data columns + ``_VALUE_KIND`` +
+    ``_SEQUENCE_NUMBER`` + the bucket column.
+    """
+    from pyspark.sql import Window
+
+    engine = schema.options.get("merge-engine", ENGINE_DEDUPLICATE)
+    keys = _key_cols(schema) + [bucket_col]
+    if engine == ENGINE_PARTIAL_UPDATE:
+        bad_kinds = [KIND_DELETE]
+        aggs = _partial_update_aggs(schema, SEQUENCE_NUMBER)
+    elif engine == ENGINE_AGGREGATION:
+        bad_kinds = [KIND_DELETE, "-U"]
+        aggs = _aggregation_aggs(schema, SEQUENCE_NUMBER)
+    else:  # pragma: no cover — compactor handles dedup/first-row itself
+        raise ValueError(f"fold_runs does not handle merge-engine {engine}")
+
+    flag = F.max(F.when(F.col(VALUE_KIND).isin(bad_kinds), 1).otherwise(0)).over(
+        Window.partitionBy(*[F.col(k) for k in keys])
+    )
+    df = df.withColumn("__unfoldable", flag)
+    out_cols = [*schema.field_names(), VALUE_KIND, SEQUENCE_NUMBER, bucket_col]
+    passthrough = df.where(F.col("__unfoldable") == 1).select(*out_cols)
+    folded = (
+        df.where(F.col("__unfoldable") == 0)
+        .groupBy(*[F.col(k) for k in keys])
+        .agg(*aggs, F.max(F.col(SEQUENCE_NUMBER)).alias(SEQUENCE_NUMBER))
+        .withColumn(VALUE_KIND, F.lit(KIND_INSERT))
+        .select(*out_cols)
+    )
+    return folded.unionByName(passthrough)

@@ -29,6 +29,7 @@ from flink_table_store_spark.manifest import (
     ManifestEntry,
     ManifestManager,
 )
+from flink_table_store_spark.operators import merge_engines
 from flink_table_store_spark import predicate as P_mod
 from flink_table_store_spark.predicate import Predicate
 from flink_table_store_spark.schema import (
@@ -710,13 +711,16 @@ class Table:
         if (
             not full
             and self.is_primary_key_table()
-            and schema.options.get("merge-engine", "deduplicate") == "deduplicate"
-            # sequence.field orders merges by a user column; the partial
-            # rewrite's max_by(seq) winner would be wrong — fall back
-            and not schema.options.get("sequence.field")
+            # deduplicate/first-row fold by their (effective-sequence)
+            # winner; partial-update/aggregation fold when every field
+            # function is newest-prefix associative (fold_supported)
+            and merge_engines.fold_supported(schema)
             # full-compaction changelog producers diff at compaction
             # time — the legacy whole-bucket path writes that changelog
             and schema.options.get("changelog-producer") != "full-compaction"
+            # row-tracking rewrites must carry stored _ROW_IDs — the
+            # legacy path does (_rows_with_ids)
+            and not self.row_tracking_enabled()
             and not any(e.bucket == POSTPONE_BUCKET for e in entries)
         ):
             return self._compact_universal(spark, snap, entries, trigger_runs)
@@ -832,15 +836,21 @@ class Table:
     def _compact_universal(
         self, spark: SparkSession, snap: Snapshot, entries: list, trigger_runs: int
     ) -> Snapshot:
-        """Partial universal compaction for deduplicate-engine PK
-        tables: merge ONLY the picked newest runs per bucket. Non-whole
-        merges keep -D winners (they must still cancel rows in unmerged
-        older runs — MergeTreeCompactRewriter dropDelete=false) and
-        PRESERVE sequence numbers so merge-on-read ordering against the
-        untouched runs is unchanged; a whole-bucket pick drops -D rows
-        like a full compaction."""
+        """Partial universal compaction: merge ONLY the picked newest
+        runs per bucket. Non-whole merges keep -D winners (they must
+        still cancel rows in unmerged older runs —
+        MergeTreeCompactRewriter dropDelete=false) and PRESERVE sequence
+        numbers so merge-on-read ordering against the untouched runs is
+        unchanged. deduplicate/first-row fold to the winner row by
+        effective sequence; partial-update/aggregation fold through
+        merge_engines.fold_runs (retract/delete keys pass through). A
+        whole-bucket pick whose output is fully merged (-D rows dropped
+        or absent) commits at MAX_LEVEL like the reference's pick
+        outputLevel (UniversalCompaction.java outputLevel), so
+        plan_scan's single-run raw shortcut engages on the next read."""
         schema = self.schema
         opts = schema.options
+        engine = opts.get("merge-engine", "deduplicate")
         amp = int(opts.get("compaction.max-size-amplification-percent", "200"))
         ratio = int(opts.get("compaction.size-ratio", "1"))
         trigger = int(opts.get("num-sorted-run.compaction-trigger", str(trigger_runs)))
@@ -848,15 +858,20 @@ class Table:
         for e in entries:
             by_bucket.setdefault((tuple(sorted(e.partition.items())), e.bucket), []).append(e)
         selected: list[ManifestEntry] = []
+        whole_keys: set[tuple] = set()
         whole_buckets: set[int] = set()
         partial_buckets: set[int] = set()
-        for (_ptk, bucket), group in by_bucket.items():
+        for (ptk, bucket), group in by_bucket.items():
             runs = sorted(group, key=lambda e: (e.max_seq, e.file_name))
             pick = self._pick_universal(runs, amp, ratio, trigger)
             if not pick:
                 continue
             selected.extend(pick)
-            (whole_buckets if len(pick) == len(runs) else partial_buckets).add(bucket)
+            if len(pick) == len(runs):
+                whole_buckets.add(bucket)
+                whole_keys.add((ptk, bucket))
+            else:
+                partial_buckets.add(bucket)
         if not selected:
             return snap
         dv = read_mod.dv_dataframe(spark, self.path, snap.dv_files)
@@ -864,32 +879,65 @@ class Table:
             spark, self.path, selected, schema, self.all_schemas(),
             with_system=True, dv=dv,
         )
-        keys = list(schema.partition_keys) + schema.trimmed_primary_keys()
-        payload = [c for c in schema.field_names() if c not in keys]
-        cols = ", ".join(f"`{c}`" for c in payload + [VALUE_KIND, SEQUENCE_NUMBER])
-        winner = F.expr(f"max_by(struct({cols}), `{SEQUENCE_NUMBER}`)").alias("__w")
-        merged = (
-            df.groupBy(*[F.col(k) for k in keys], F.col(BUCKET_COL))
-            .agg(winner)
-            .select(
-                *[
-                    F.col(k) if k in keys else F.col(f"__w.{k}").alias(k)
-                    for k in schema.field_names()
-                ],
-                F.col(f"__w.{VALUE_KIND}").alias(VALUE_KIND),
-                F.col(f"__w.{SEQUENCE_NUMBER}").alias(SEQUENCE_NUMBER),
-                F.col(BUCKET_COL),
-            )
-        )
-        # dropping -D is ONLY sound when no unmerged older run remains;
-        # buckets appearing in both sets keep deletes (conservative —
-        # kept -D rows are filtered at read time anyway)
+        # a bucket is FINAL (commit at MAX_LEVEL, raw-readable) when its
+        # pick was whole AND its rewritten rows carry no residual
+        # deletes/retractions. Bucket-int sets are conservative across
+        # partitions sharing a bucket number.
         droppable = sorted(whole_buckets - partial_buckets)
-        if droppable:
-            merged = merged.where(
-                (F.col(VALUE_KIND) != ROWKIND_DELETE)
-                | ~F.col(BUCKET_COL).isin(droppable)
+        if engine in ("deduplicate", "first-row"):
+            keys = list(schema.partition_keys) + schema.trimmed_primary_keys()
+            payload = [c for c in schema.field_names() if c not in keys]
+            cols = ", ".join(f"`{c}`" for c in payload + [VALUE_KIND, SEQUENCE_NUMBER])
+            # sequence.field: the user version columns + input sequence
+            # form the effective order as ONE struct — identical to the
+            # read path's merge_view, so the fold winner IS the merge
+            # winner (T12 NULL ordering included)
+            seq_field = opts.get("sequence.field")
+            if seq_field:
+                ord_cols = ", ".join(
+                    f"`{c.strip()}`" for c in seq_field.split(",")
+                ) + f", `{SEQUENCE_NUMBER}`"
+                ord_expr = f"struct({ord_cols})"
+            else:
+                ord_expr = f"`{SEQUENCE_NUMBER}`"
+            fn = "max_by" if engine == "deduplicate" else "min_by"
+            winner = F.expr(f"{fn}(struct({cols}), {ord_expr})").alias("__w")
+            merged = (
+                df.groupBy(*[F.col(k) for k in keys], F.col(BUCKET_COL))
+                .agg(winner)
+                .select(
+                    *[
+                        F.col(k) if k in keys else F.col(f"__w.{k}").alias(k)
+                        for k in schema.field_names()
+                    ],
+                    F.col(f"__w.{VALUE_KIND}").alias(VALUE_KIND),
+                    F.col(f"__w.{SEQUENCE_NUMBER}").alias(SEQUENCE_NUMBER),
+                    F.col(BUCKET_COL),
+                )
             )
+            # dropping -D is ONLY sound when no unmerged older run
+            # remains; buckets appearing in both sets keep deletes
+            # (conservative — kept -D rows filter at read time anyway)
+            if droppable:
+                merged = merged.where(
+                    (F.col(VALUE_KIND) != ROWKIND_DELETE)
+                    | ~F.col(BUCKET_COL).isin(droppable)
+                )
+            final_buckets = set(droppable)
+        else:
+            merged = merge_engines.fold_runs(df, schema, BUCKET_COL)
+            # retract/delete keys pass through unfolded; a whole bucket
+            # containing any is NOT final (its elision/retraction
+            # resolves at read or at a full compaction)
+            bad_kinds = ["-D"] if engine == "partial-update" else ["-D", "-U"]
+            bad_buckets = {
+                r[0]
+                for r in df.where(F.col(VALUE_KIND).isin(bad_kinds))
+                .select(BUCKET_COL)
+                .distinct()
+                .collect()
+            }
+            final_buckets = set(droppable) - bad_buckets
         new_entries = stage_and_collect(
             merged,
             self.path,
@@ -898,6 +946,12 @@ class Table:
             target_level=0,
             preserve_seq=True,
         )
+        # whole-bucket fully-merged picks commit at MAX_LEVEL so the
+        # next read takes the raw path (read.py plan_scan level > 0)
+        bump = {k for k in whole_keys if k[1] in final_buckets}
+        for e in new_entries:
+            if (tuple(sorted(e.partition.items())), e.bucket) in bump:
+                e.level = MAX_LEVEL
         deletes = []
         for e in selected:
             d = ManifestEntry(**{**e.__dict__})

@@ -97,3 +97,217 @@ def test_universal_preserves_sequence_vs_unmerged_runs(spark, warehouse):
     t.write(spark.createDataFrame([(5, 999)], DDL))
     t = t.refresh()
     assert {r.k: r.v for r in t.to_df(spark).collect()}[5] == 999
+
+
+def _levels(t):
+    return sorted((e.level, e.file_name) for e in _runs(t))
+
+
+def test_universal_whole_pick_commits_max_level(spark, warehouse):
+    """A whole-bucket pick drops -D rows and commits at MAX_LEVEL, so
+    the next read takes plan_scan's single-run RAW path — no merge
+    Exchange (UniversalCompaction.java outputLevel parity)."""
+    from flink_table_store_spark import read as read_mod
+    from flink_table_store_spark.manifest import MAX_LEVEL
+
+    t = _t(warehouse, "db.unilvl")
+    t.write(spark.createDataFrame([(1, 1)], DDL))  # tiny oldest run
+    for i in range(5):
+        t.write(spark.createDataFrame([(k, 10 * i + k) for k in range(50)], DDL))
+    t.delete(spark, P.equal("k", 7))
+    t = t.refresh()
+    t.compact(spark, full=False)  # size amplification -> whole pick
+    t = t.refresh()
+    runs = _runs(t)
+    assert len(runs) == 1 and runs[0].level == MAX_LEVEL, _levels(t)
+    snap = t.snapshots.latest()
+    es = t.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
+    plan = read_mod.plan_scan(es, t.schema, None)
+    assert plan.raw_entries and not plan.merge_entries, "raw shortcut must engage"
+    got = {r.k: r.v for r in t.to_df(spark).collect()}
+    assert 7 not in got and got[3] == 43 and len(got) == 49
+
+
+def test_universal_partial_pick_stays_level0(spark, warehouse):
+    """A PARTIAL pick keeps level 0 (its -D rows and sequences must
+    still merge against the untouched older runs)."""
+    t = _t(warehouse, "db.unilvl0")
+    t.write(spark.createDataFrame([(k, k) for k in range(5000)], DDL))
+    for i in range(3):
+        t.write(spark.createDataFrame([(i, 1000 + i)], DDL))
+    t.delete(spark, P.equal("k", 50))
+    t = t.refresh()
+    t.compact(spark, full=False)
+    t = t.refresh()
+    runs = _runs(t)
+    assert len(runs) == 2
+    new_run = max(runs, key=lambda e: e.max_seq)
+    assert new_run.level == 0, "partial output must NOT take the raw path"
+
+
+def test_universal_sequence_field_dedup(spark, warehouse):
+    """sequence.field tables now take universal compaction: the fold
+    winner is by struct(version, seq) — an older-run row with a HIGHER
+    version must still win after the partial merge."""
+    ddl = "k bigint, v bigint, ver bigint"
+    t = warehouse.create_table(
+        "db.uniseq",
+        ddl,
+        primary_keys=["k"],
+        options={"bucket": "1", "sequence.field": "ver"},
+    )
+    # big old run: k=5 already at version 100
+    t.write(spark.createDataFrame([(k, k, 100) for k in range(3000)], ddl))
+    # small newer runs: k=5 written with LOWER versions (late data),
+    # k=6 with higher versions out of input order
+    t.write(spark.createDataFrame([(5, 555, 10), (6, 660, 200)], ddl))
+    t.write(spark.createDataFrame([(5, 556, 11), (6, 661, 150)], ddl))
+    for i in range(3):
+        t.write(spark.createDataFrame([(7 + i, 700 + i, 300)], ddl))
+    t = t.refresh()
+    oldest = _runs(t)[0].file_name  # lowest max_seq = the big old run
+    t.compact(spark, full=False)
+    t = t.refresh()
+    names = {e.file_name for e in _runs(t)}
+    assert len(_runs(t)) == 2 and oldest in names
+    got = {r.k: (r.v, r.ver) for r in t.to_df(spark).collect()}
+    assert got[5] == (5, 100), "old higher version must survive the fold"
+    assert got[6] == (661, 200)[::-1] or got[6] == (660, 200), got[6]
+    assert got[9] == (702, 300)
+
+
+def _parity_tables(warehouse, name, ddl, options):
+    a = warehouse.create_table(f"db.{name}_a", ddl, primary_keys=["k"], options=dict(options))
+    b = warehouse.create_table(f"db.{name}_b", ddl, primary_keys=["k"], options=dict(options))
+    return a, b
+
+
+def _assert_same(spark, a, b):
+    ra = sorted(map(tuple, a.to_df(spark).collect()))
+    rb = sorted(map(tuple, b.to_df(spark).collect()))
+    assert ra == rb, f"\nuniversal={ra}\nbaseline ={rb}"
+
+
+def test_universal_partial_update_fold_parity(spark, warehouse):
+    """Partial-update universal compaction: sequence-group fields,
+    plain fields, NULL-skipping, and delete keys (passthrough) all read
+    identically to an uncompacted twin table."""
+    ddl = "k bigint, a string, b string, g bigint, c string"
+    opts = {"bucket": "1", "merge-engine": "partial-update", "fields.g.sequence-group": "c"}
+    a, b = _parity_tables(warehouse, "unipu", ddl, opts)
+    writes = [
+        [(k, f"a{k}", None, 5, f"c{k}") for k in range(2000)],  # big old run
+        [(1, None, "b1", None, None), (2, "a2x", None, 3, "cLOW")],
+        [(1, "a1y", None, 9, "cHI"), (3, None, "b3", None, None)],
+        [(2, None, "b2", 4, "cMID"), (4, "a4", None, 2, "cX")],
+        [(1, None, None, 7, "cSEVEN")],
+    ]
+    for w in writes:
+        df = spark.createDataFrame(w, ddl)
+        a.write(df)
+        b.write(df)
+    import flink_table_store_spark.predicate as P2
+
+    a.delete(spark, P2.equal("k", 42))
+    b.delete(spark, P2.equal("k", 42))
+    a, b = a.refresh(), b.refresh()
+    assert len(_runs(a)) == 6
+    a.compact(spark, full=False)
+    a = a.refresh()
+    assert len(_runs(a)) == 2, "partial pick should merge the small runs"
+    _assert_same(spark, a, b)
+    # group field: g=9 write set c=cHI; the later g=7 write must NOT win
+    got = {r.k: (r.a, r.b, r.g, r.c) for r in a.to_df(spark).collect()}
+    assert got[1] == ("a1y", "b1", 9, "cHI")
+    # fresh writes after the partial merge still merge correctly
+    late = spark.createDataFrame([(1, "a1z", None, None, None)], ddl)
+    a.write(late)
+    b.write(late)
+    a, b = a.refresh(), b.refresh()
+    _assert_same(spark, a, b)
+
+
+def test_universal_aggregation_fold_parity(spark, warehouse):
+    """Aggregation universal compaction: sum/last_non_null/collect/
+    merge_map fold associatively; a -U retract key passes through
+    unfolded; reads match an uncompacted twin before AND after new
+    writes."""
+
+    ddl = "k bigint, s bigint, last string, vs array<bigint>, m map<string,bigint>"
+    opts = {
+        "bucket": "1",
+        "merge-engine": "aggregation",
+        "fields.s.aggregate-function": "sum",
+        "fields.vs.aggregate-function": "collect",
+        "fields.m.aggregate-function": "merge_map",
+    }
+    a, b = _parity_tables(warehouse, "uniagg", ddl, opts)
+    big = [(k, k, f"x{k}", [k], {"a": k}) for k in range(2000)]
+    writes = [
+        big,
+        [(1, 10, None, [101], {"b": 1}), (2, 20, "two", [], None)],
+        [(1, 1, "one!", [102], {"a": 99}), (3, 30, None, [303], {"c": 3})],
+        [(2, 2, None, [201, 202], {"b": 2}), (4, 40, "four", [404], None)],
+        [(5, 50, "five", [505], {"z": 5})],
+    ]
+    for w in writes:
+        df = spark.createDataFrame(w, ddl)
+        a.write(df)
+        b.write(df)
+    # a retraction for k=9 (payload subtracts from sum)
+    rdf = spark.createDataFrame(
+        [(9, 4, None, None, None, "-U")],
+        "k bigint, s bigint, last string, vs array<bigint>, m map<string,bigint>, rk string",
+    )
+    a.write(rdf, row_kind_col="rk")
+    b.write(rdf, row_kind_col="rk")
+    a, b = a.refresh(), b.refresh()
+    oldest = _runs(a)[0].file_name
+    a.compact(spark, full=False, trigger_runs=3)
+    a = a.refresh()
+    assert len(_runs(a)) <= 3 and oldest in {e.file_name for e in _runs(a)}
+    _assert_same(spark, a, b)
+    got = {r.k: r for r in a.to_df(spark).collect()}
+    assert got[1].s == 12 and got[1].vs == [1, 101, 102] and got[1].last == "one!"
+    assert got[1].m == {"a": 99, "b": 1}
+    assert got[9].s == 5, "retract passthrough must still subtract"
+    late = spark.createDataFrame([(1, 100, None, [9], {"b": 7})], ddl)
+    a.write(late)
+    b.write(late)
+    a, b = a.refresh(), b.refresh()
+    _assert_same(spark, a, b)
+
+
+def test_universal_fold_gate(spark, warehouse):
+    """Non-associative shapes refuse the partial fold: count fields and
+    sequence.field partial-update fall back to whole-bucket merges."""
+    from flink_table_store_spark.operators.merge_engines import fold_supported
+
+    t1 = warehouse.create_table(
+        "db.unigate1",
+        "k bigint, n bigint",
+        primary_keys=["k"],
+        options={
+            "bucket": "1",
+            "merge-engine": "aggregation",
+            "fields.n.aggregate-function": "count",
+        },
+    )
+    assert not fold_supported(t1.schema)
+    t2 = warehouse.create_table(
+        "db.unigate2",
+        "k bigint, v bigint, ver bigint",
+        primary_keys=["k"],
+        options={"bucket": "1", "merge-engine": "partial-update", "sequence.field": "ver"},
+    )
+    assert not fold_supported(t2.schema)
+    # the count table still compacts (whole-bucket fallback) correctly
+    ddl = "k bigint, n bigint"
+    t1.write(spark.createDataFrame([(1, 1)], ddl))
+    for _ in range(5):
+        t1.write(spark.createDataFrame([(1, 1)], ddl))
+    t1 = t1.refresh()
+    t1.compact(spark, full=False)
+    t1 = t1.refresh()
+    assert len(_runs(t1)) == 1
+    assert t1.to_df(spark).collect()[0].n == 6
