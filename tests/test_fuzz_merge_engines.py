@@ -1,0 +1,274 @@
+"""Fuzz family #4: the merge-engine matrix (VERDICT r4 task 6).
+
+Seeded op interleavings over the three non-trivial merge-engine shapes
+— deduplicate + ``sequence.field``, partial-update + sequence-groups,
+and aggregation (sum / last_non_null / collect / merge_map) — mixed
+with UNIVERSAL (partial) compaction, full compaction and snapshot
+expiry. After every committed op the table's merged read is compared
+against a serial Python oracle that replays the engine semantics row
+by row (the reference's PartialUpdateMergeFunction/AggregateMergeFunction
+test matrices, randomized). This is exactly the class where round-4
+parity testing found two real wrong-answer bugs (sequence-group
+shadowing; merge_map analysis crash), and it directly audits round 5's
+partial-fold rewrite (merge_engines.fold_runs) against unmerged runs.
+
+Oracle model: a global row counter stands in for _SEQUENCE_NUMBER —
+the engine assigns monotonically-increasing sequences in input order
+within a batch and across commits, so only the ORDER matters and the
+counter reproduces it exactly.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+
+def _drive(spark, t, rng, n_ops, write_batch, apply_batch, expected, on_full=None):
+    """Shared loop: interleave writes / compactions / expiry; compare
+    the merged read against ``expected()`` after every op. ``on_full``
+    lets the oracle model TOMBSTONE GC: a full compaction materializes
+    the merged state and physically drops -D rows, so the version
+    history of a deleted key ends there (exactly as the reference's
+    dropDelete=true at maxLevel)."""
+
+    def do_write():
+        rows = write_batch()
+        if rows:
+            apply_batch(rows)
+
+    def compact_universal():
+        t.refresh().compact(spark, full=False, trigger_runs=rng.choice([2, 3, 5]))
+
+    def compact_full():
+        t.refresh().compact(spark, full=True)
+        if on_full is not None:
+            on_full()
+
+    def expire():
+        t.refresh().expire_snapshots(retain_last=rng.randint(1, 4))
+
+    pool = (
+        [do_write] * 6 + [compact_universal] * 3 + [compact_full] * 1 + [expire] * 1
+    )
+    do_write()
+    for step in range(n_ops):
+        rng.choice(pool)()
+        got = _read(spark, t)
+        want = expected()
+        assert got == want, (
+            f"step {step}: diverged\n"
+            f"extra={ {k: got[k] for k in set(got) - set(want)} }\n"
+            f"missing={ {k: want[k] for k in set(want) - set(got)} }\n"
+            f"wrong={ {k: (got[k], want[k]) for k in got if k in want and got[k] != want[k]} }"
+        )
+    rep = t.refresh().doctor(spark)
+    assert rep["files"]["rows"] >= 0
+
+
+def _read(spark, t):
+    return {r[0]: tuple(r)[1:] for r in t.refresh().to_df(spark).collect()}
+
+
+# --- family A: deduplicate + sequence.field --------------------------------
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_dedup_sequence_field(spark, warehouse, seed):
+    rng = random.Random(4000 + seed)
+    ddl = "k bigint, v bigint, ver bigint"
+    wddl = ddl + ", rk string"
+    t = warehouse.create_table(
+        f"db.fz4a_{seed}",
+        ddl,
+        primary_keys=["k"],
+        options={"bucket": "2", "sequence.field": "ver", "snapshot.num-retained.min": "1"},
+    )
+    # oracle: k -> (eff=(ver, seq), kind, v, ver); winner = max eff.
+    # Once a key has seen a -D, later writes use a HIGHER version than
+    # anything before: a dropped tombstone (full compaction, universal
+    # whole picks) erases the delete's version history, so a lower
+    # version arriving after GC would legitimately resurrect the key —
+    # engine-correct but unpredictable for a bucket-blind oracle.
+    state: dict[int, tuple] = {}
+    maxver: dict[int, int] = {}
+    deleted_ever: set[int] = set()
+    seqc = 0
+
+    def write_batch():
+        rows = []
+        for k in rng.sample(range(25), rng.randint(1, 8)):
+            kind = "-D" if rng.random() < 0.2 else "+I"
+            if k in deleted_ever:
+                ver = maxver.get(k, 0) + rng.randint(1, 5)
+            else:
+                # versions deliberately OUT OF ORDER vs commit time
+                ver = rng.randint(0, 50)
+            maxver[k] = max(maxver.get(k, 0), ver)
+            if kind == "-D":
+                deleted_ever.add(k)
+            rows.append((k, rng.randint(0, 10**6), ver, kind))
+        return rows
+
+    def apply_batch(rows):
+        nonlocal seqc
+        t.write(spark.createDataFrame(rows, wddl), row_kind_col="rk")
+        for k, v, ver, kind in rows:
+            seqc += 1
+            cur = state.get(k)
+            if cur is None or (ver, seqc) > cur[0]:
+                state[k] = ((ver, seqc), kind, v, ver)
+
+    def expected():
+        return {k: (v, ver) for k, (_e, kind, v, ver) in state.items() if kind != "-D"}
+
+    _drive(spark, t, rng, 9, write_batch, apply_batch, expected)
+
+
+# --- family B: partial-update + sequence-group -----------------------------
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_partial_update_groups(spark, warehouse, seed):
+    rng = random.Random(4100 + seed)
+    ddl = "k bigint, a string, b string, g bigint, c string"
+    wddl = ddl + ", rk string"
+    t = warehouse.create_table(
+        f"db.fz4b_{seed}",
+        ddl,
+        primary_keys=["k"],
+        options={
+            "bucket": "2",
+            "merge-engine": "partial-update",
+            "fields.g.sequence-group": "c",
+            "snapshot.num-retained.min": "1",
+        },
+    )
+    # oracle per key: a/b last-non-null by seq; c at max (g, seq) among
+    # rows with g non-null; g = max g; visible iff ups_seq > del_seq
+    state: dict[int, dict] = {}
+    seqc = 0
+
+    def write_batch():
+        rows = []
+        for k in rng.sample(range(25), rng.randint(1, 8)):
+            if rng.random() < 0.15:
+                rows.append((k, None, None, None, None, "-D"))
+                continue
+            a = f"a{rng.randint(0, 99)}" if rng.random() < 0.7 else None
+            b = f"b{rng.randint(0, 99)}" if rng.random() < 0.7 else None
+            g = rng.randint(0, 30) if rng.random() < 0.7 else None
+            c = f"c{rng.randint(0, 99)}" if rng.random() < 0.8 else None
+            rows.append((k, a, b, g, c, "+I"))
+        return rows
+
+    def apply_batch(rows):
+        nonlocal seqc
+        t.write(spark.createDataFrame(rows, wddl), row_kind_col="rk")
+        for k, a, b, g, c, kind in rows:
+            seqc += 1
+            st = state.setdefault(
+                k, {"a": None, "b": None, "g": None, "c": None, "ck": None, "ups": None, "del": None}
+            )
+            if kind == "-D":
+                st["del"] = seqc
+                continue
+            st["ups"] = seqc
+            if a is not None:
+                st["a"] = a
+            if b is not None:
+                st["b"] = b
+            if g is not None:
+                if st["g"] is None or g > st["g"]:
+                    st["g"] = g
+                if st["ck"] is None or (g, seqc) > st["ck"]:
+                    st["ck"] = (g, seqc)
+                    st["c"] = c  # the winning group row's c, even if None
+        return rows
+
+    def expected():
+        out = {}
+        for k, st in state.items():
+            if st["ups"] is None:
+                continue
+            if st["del"] is not None and st["del"] > st["ups"]:
+                continue
+            out[k] = (st["a"], st["b"], st["g"], st["c"])
+        return out
+
+    def on_full():
+        # tombstone GC: hidden keys vanish for good (a later +I starts
+        # from scratch); surviving keys lose their delete marker
+        for k in [k for k, st in state.items() if st["ups"] is None or
+                  (st["del"] is not None and st["del"] > st["ups"])]:
+            del state[k]
+        for st in state.values():
+            st["del"] = None
+
+    _drive(spark, t, rng, 9, write_batch, apply_batch, expected, on_full=on_full)
+
+
+# --- family C: aggregation (sum / last_non_null / collect / merge_map) -----
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_aggregation_retracts(spark, warehouse, seed):
+    rng = random.Random(4200 + seed)
+    ddl = "k bigint, s bigint, last string, vs array<bigint>, m map<string,bigint>"
+    wddl = ddl + ", rk string"
+    t = warehouse.create_table(
+        f"db.fz4c_{seed}",
+        ddl,
+        primary_keys=["k"],
+        options={
+            "bucket": "2",
+            "merge-engine": "aggregation",
+            "fields.s.aggregate-function": "sum",
+            "fields.vs.aggregate-function": "collect",
+            "fields.m.aggregate-function": "merge_map",
+            "snapshot.num-retained.min": "1",
+        },
+    )
+    # oracle per key: s = signed sum (retracts subtract); last =
+    # last non-null among non-retract rows; vs = concat of non-retract
+    # arrays in seq order; m = map_concat in seq order. Every key ever
+    # written stays visible (remove-record-on-delete unset).
+    state: dict[int, dict] = {}
+
+    def write_batch():
+        rows = []
+        for k in rng.sample(range(20), rng.randint(1, 6)):
+            kind = rng.choices(["+I", "-U", "-D"], weights=[8, 1, 1])[0]
+            s = rng.randint(0, 100) if rng.random() < 0.85 else None
+            last = f"L{rng.randint(0, 99)}" if rng.random() < 0.6 else None
+            vs = [rng.randint(0, 9) for _ in range(rng.randint(0, 3))] or None
+            m = (
+                {f"m{rng.randint(0, 4)}": rng.randint(0, 99) for _ in range(rng.randint(1, 2))}
+                if rng.random() < 0.6
+                else None
+            )
+            rows.append((k, s, last, vs, m, kind))
+        return rows
+
+    def apply_batch(rows):
+        t.write(spark.createDataFrame(rows, wddl), row_kind_col="rk")
+        for k, s, last, vs, m, kind in rows:
+            st = state.setdefault(k, {"s": None, "last": None, "vs": [], "m": {}})
+            retract = kind in ("-D", "-U")
+            if s is not None:
+                st["s"] = (st["s"] or 0) + (-s if retract else s)
+            if not retract:
+                if last is not None:
+                    st["last"] = last
+                if vs is not None:
+                    st["vs"] = st["vs"] + vs
+                if m is not None:
+                    st["m"] = {**st["m"], **m}
+
+    def expected():
+        return {
+            k: (st["s"], st["last"], st["vs"], st["m"]) for k, st in state.items()
+        }
+
+    _drive(spark, t, rng, 9, write_batch, apply_batch, expected)
