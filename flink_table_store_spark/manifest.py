@@ -295,23 +295,31 @@ UNSTATABLE_TYPES = ("struct", "array", "map", "binary", "variant")
 
 def statable_columns(spark_schema, exclude: set[str] | None = None) -> list[tuple[str, str]]:
     """[(column path, typeName)] every stats collector agrees on: the
-    statable top-level fields PLUS one level of struct leaves as dotted
-    paths (``s.x``) — the reference records and evaluates stats on
+    statable top-level fields PLUS struct leaves at ANY depth as dotted
+    paths (``s.a.x``) — the reference records and evaluates stats on
     nested rows too (SchemaEvolutionUtil nested paths; stats evaluation
-    in KeyValueFileStoreScan). A filter on ``s.x`` then skips files via
-    the ordinary predicate.test path, since leaf predicates address
-    stats by name and ``F.col("s.x")`` resolves nested access."""
+    in KeyValueFileStoreScan). A filter on a dotted path then skips
+    files via the ordinary predicate.test path, since leaf predicates
+    address stats by name and ``F.col("s.a.x")`` resolves nested
+    access. Depth is capped to keep manifest stats width bounded."""
     excl = exclude or set()
     out: list[tuple[str, str]] = []
+
+    def walk(prefix: str, dt, depth: int):
+        for sub in dt.fields:
+            stn = sub.dataType.typeName()
+            path = f"{prefix}.{sub.name}"
+            if stn == "struct" and depth < 3:
+                walk(path, sub.dataType, depth + 1)
+            elif stn not in UNSTATABLE_TYPES:
+                out.append((path, stn))
+
     for f in spark_schema.fields:
         if f.name in excl:
             continue
         tn = f.dataType.typeName()
         if tn == "struct":
-            for sub in f.dataType.fields:
-                stn = sub.dataType.typeName()
-                if stn not in UNSTATABLE_TYPES:
-                    out.append((f"{f.name}.{sub.name}", stn))
+            walk(f.name, f.dataType, 1)
         elif tn not in UNSTATABLE_TYPES:
             out.append((f.name, tn))
     return out
@@ -336,15 +344,25 @@ def collect_parquet_stats(path: str) -> tuple[int, int, dict[str, dict[str, Any]
 
     pf = pq.ParquetFile(path)
     md = pf.metadata
-    # dotted footer paths are statable only for ONE level of struct
-    # leaves ("s.x"); array/map internals ("a.list.element",
-    # "m.key_value.key") and deeper nesting stay skipped
+    # dotted footer paths are statable for struct leaves at any depth
+    # up to the statable_columns cap ("s.a.x"); array/map internals
+    # ("a.list.element", "m.key_value.key") stay skipped
     struct_leaves: set[str] = set()
+
+    def _walk_struct(prefix: str, typ, depth: int):
+        for ch in typ:
+            if _pa.types.is_struct(ch.type) and depth < 3:
+                _walk_struct(f"{prefix}.{ch.name}", ch.type, depth + 1)
+            elif not (
+                _pa.types.is_nested(ch.type)
+                or _pa.types.is_binary(ch.type)
+                or _pa.types.is_large_binary(ch.type)
+            ):
+                struct_leaves.add(f"{prefix}.{ch.name}")
+
     for f in pf.schema_arrow:
         if _pa.types.is_struct(f.type):
-            for ch in f.type:
-                if not (_pa.types.is_nested(ch.type) or _pa.types.is_binary(ch.type) or _pa.types.is_large_binary(ch.type)):
-                    struct_leaves.add(f"{f.name}.{ch.name}")
+            _walk_struct(f.name, f.type, 1)
     stats: dict[str, dict[str, Any]] = {}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)

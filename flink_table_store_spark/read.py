@@ -269,30 +269,49 @@ def _stored_schema(schema: TableSchema, pk: bool, with_row_id: bool = False) -> 
     return T.StructType(fields)
 
 
-def _evolve_cast(col, old_ddl: str, new_ddl: str):
+def _evolve_cast(col, old_ddl: str, new_ddl: str, old_subs=None, new_subs=None):
     """Adapt a stored column to the current type. Plain types take a
-    Catalyst cast; STRUCT evolution (nested add/drop/update_type —
-    SchemaChange.java:84-163 nested column ops) rebuilds the struct by
-    SUBFIELD NAME: matching leaves adapt recursively, added leaves
-    null-fill, dropped leaves vanish, and a NULL struct stays null
-    (a bare struct() of nulls would not)."""
+    Catalyst cast; STRUCT evolution (nested add/drop/update_type/rename
+    — SchemaChange.java:84-163 nested column ops) rebuilds the struct
+    BY SUBFIELD ID when both generations carry nested ids (DataField
+    subs — a renamed leaf still reads its old-name data), falling back
+    to name matching for pre-nested-id generations: matching leaves
+    adapt recursively, added leaves null-fill, dropped leaves vanish,
+    and a NULL struct stays null (a bare struct() of nulls would not)."""
     from flink_table_store_spark.schema import parse_type
 
-    if old_ddl == new_ddl:
+    if old_ddl == new_ddl and old_subs == new_subs:
         return col
-    return _evolve_cast_dt(col, parse_type(old_ddl), parse_type(new_ddl))
+    return _evolve_cast_dt(col, parse_type(old_ddl), parse_type(new_ddl), old_subs, new_subs)
 
 
-def _evolve_cast_dt(col, old_dt, new_dt):
-    if old_dt == new_dt:
+def _evolve_cast_dt(col, old_dt, new_dt, old_subs=None, new_subs=None):
+    if old_dt == new_dt and not (old_subs and new_subs and old_subs != new_subs):
         return col
     if isinstance(old_dt, T.StructType) and isinstance(new_dt, T.StructType):
+        by_id = (
+            {v["id"]: (k, v.get("subs")) for k, v in old_subs.items()}
+            if old_subs
+            else {}
+        )
         parts = []
         for nf in new_dt.fields:
-            if nf.name in old_dt.names:
+            meta = (new_subs or {}).get(nf.name)
+            old_name = child_old_subs = None
+            if meta is not None and old_subs is not None:
+                hit = by_id.get(meta["id"])
+                if hit is not None:
+                    old_name, child_old_subs = hit
+            elif nf.name in old_dt.names:  # legacy name matching
+                old_name = nf.name
+            if old_name is not None and old_name in old_dt.names:
                 parts.append(
                     _evolve_cast_dt(
-                        col[nf.name], old_dt[nf.name].dataType, nf.dataType
+                        col[old_name],
+                        old_dt[old_name].dataType,
+                        nf.dataType,
+                        child_old_subs,
+                        (meta or {}).get("subs"),
                     ).alias(nf.name)
                 )
             else:
@@ -337,7 +356,9 @@ def _adapt(
     for f in current.fields:
         old = by_id.get(f.id)
         if old is not None and old.name in df.columns:
-            cols.append(_evolve_cast(F.col(old.name), old.type, f.type).alias(f.name))
+            cols.append(
+                _evolve_cast(F.col(old.name), old.type, f.type, old.subs, f.subs).alias(f.name)
+            )
         else:
             cols.append(F.lit(None).cast(f.type).alias(f.name))
     if with_system:

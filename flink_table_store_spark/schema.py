@@ -37,17 +37,32 @@ KIND_DELETE = "-D"
 
 @dataclass
 class DataField:
+    """A top-level column. ``subs`` carries NESTED FIELD IDS for struct
+    types (reference paimon-api DataField.java keeps ids recursively in
+    the type tree): ``{subname: {"id": int, "subs": {...}?}}``, one
+    entry per struct subfield at every depth. Ids are stable across
+    rename/retype, so evolution reads match struct leaves BY ID — a
+    renamed leaf still reads old-generation files. Schemas written
+    before subs existed load with ``subs=None`` and fall back to
+    name-matched nested evolution."""
+
     id: int
     name: str
     type: str  # Spark DDL type string, e.g. "bigint", "decimal(15,2)"
     nullable: bool = True
+    subs: dict[str, Any] | None = None
 
     def to_dict(self) -> dict[str, Any]:
-        return {"id": self.id, "name": self.name, "type": self.type, "nullable": self.nullable}
+        d = {"id": self.id, "name": self.name, "type": self.type, "nullable": self.nullable}
+        if self.subs:
+            d["subFields"] = self.subs
+        return d
 
     @staticmethod
     def from_dict(d: dict[str, Any]) -> "DataField":
-        return DataField(d["id"], d["name"], d["type"], d.get("nullable", True))
+        return DataField(
+            d["id"], d["name"], d["type"], d.get("nullable", True), d.get("subFields")
+        )
 
 
 @dataclass
@@ -136,23 +151,57 @@ def parse_type(ddl: str) -> T.DataType:
     return T._parse_datatype_string(ddl)
 
 
+def _copy_subs(subs: dict | None) -> dict | None:
+    if subs is None:
+        return None
+    return {
+        k: {"id": v["id"], **({"subs": _copy_subs(v["subs"])} if v.get("subs") else {})}
+        for k, v in subs.items()
+    }
+
+
+def _build_subs(dt: T.DataType, next_id: int) -> tuple[dict | None, int]:
+    """Recursive nested-id assignment for struct subfields (reference
+    DataField.java keeps ids at every depth). Non-struct types carry no
+    sub-ids; structs inside arrays/maps are not id-tracked (their
+    evolution stays name-matched, like the reference's row-in-array
+    caveats)."""
+    if not isinstance(dt, T.StructType):
+        return None, next_id
+    subs: dict[str, Any] = {}
+    for f in dt.fields:
+        sid = next_id
+        next_id += 1
+        child, next_id = _build_subs(f.dataType, next_id)
+        subs[f.name] = {"id": sid, "subs": child} if child else {"id": sid}
+    return subs, next_id
+
+
 def from_spark_schema(
     schema: T.StructType,
     partition_keys: list[str] | None = None,
     primary_keys: list[str] | None = None,
     options: dict[str, str] | None = None,
 ) -> TableSchema:
+    # top-level fields take ids 0..n-1 (the reference's layout); nested
+    # struct subfields continue from n so every leaf has a stable id
     fields = [
         DataField(i, f.name, f.dataType.simpleString(), f.nullable)
         for i, f in enumerate(schema.fields)
     ]
+    hid = len(fields) - 1
+    for f, sf in zip(fields, schema.fields):
+        subs, nxt = _build_subs(sf.dataType, hid + 1)
+        if subs:
+            f.subs = subs
+            hid = nxt - 1
     return TableSchema(
         id=0,
         fields=fields,
         partition_keys=partition_keys or [],
         primary_keys=primary_keys or [],
         options=options or {},
-        highest_field_id=len(fields) - 1,
+        highest_field_id=hid,
     )
 
 
@@ -201,61 +250,144 @@ class SchemaManager:
         cur = self.latest()
         if cur is None:
             raise RuntimeError("no schema to evolve")
-        fields = [DataField(f.id, f.name, f.type, f.nullable) for f in cur.fields]
+        fields = [
+            DataField(f.id, f.name, f.type, f.nullable, _copy_subs(f.subs))
+            for f in cur.fields
+        ]
         options = dict(cur.options)
         hid = cur.highest_field_id
-        def _nested(name: str, op, typ: str | None = None) -> bool:
-            """Apply a struct-LEAF change (SchemaChange.java:84-163
-            nested column ops, name-matched): ``name`` is ``root.leaf``.
-            Subfields carry no field ids here, so evolution is
-            name-stable: add/drop/update_type work; rename does not."""
+
+        def alloc() -> int:
+            nonlocal hid
+            hid += 1
+            return hid
+
+        def subs_for(dt: T.DataType) -> dict | None:
+            if not isinstance(dt, T.StructType):
+                return None
+            out: dict[str, Any] = {}
+            for x in dt.fields:
+                sid = alloc()
+                child = subs_for(x.dataType)
+                out[x.name] = {"id": sid, "subs": child} if child else {"id": sid}
+            return out
+
+        def _reconcile(old_subs: dict | None, new_dt: T.DataType) -> dict | None:
+            """Retype to a (possibly different) struct: same-named
+            leaves KEEP their ids (their data is the same logical
+            column), new leaves get fresh ids."""
+            if not isinstance(new_dt, T.StructType):
+                return None
+            old_subs = old_subs or {}
+            out: dict[str, Any] = {}
+            for x in new_dt.fields:
+                prev = old_subs.get(x.name)
+                sid = prev["id"] if prev else alloc()
+                child = _reconcile(prev.get("subs") if prev else None, x.dataType)
+                out[x.name] = {"id": sid, "subs": child} if child else {"id": sid}
+            return out
+
+        def _apply_nested(dt, subs, parts, action, typ=None, new_name=None):
+            """Descend ``parts`` through struct DDL + subs tree in
+            lockstep (SchemaChange.java:84-163 nested column ops at ANY
+            depth — ids make rename/retype stable across generations);
+            returns the rebuilt StructType; ``subs`` mutates in place."""
+            if not isinstance(dt, T.StructType):
+                raise ValueError("nested change addresses a non-struct type")
+            leaf = parts[0]
+            if len(parts) > 1:
+                if leaf not in dt.names:
+                    raise KeyError(leaf)
+                entry = subs.setdefault(leaf, {"id": alloc()})
+                child_subs = entry.setdefault("subs", {})
+                inner = _apply_nested(
+                    dt[leaf].dataType, child_subs, parts[1:], action, typ, new_name
+                )
+                if not child_subs:
+                    entry.pop("subs", None)
+                return T.StructType(
+                    [
+                        T.StructField(x.name, inner if x.name == leaf else x.dataType, x.nullable)
+                        for x in dt.fields
+                    ]
+                )
+            if action == "add":
+                if leaf in dt.names:
+                    raise ValueError(f"subfield {leaf} exists")
+                ndt = parse_type(typ)
+                sid = alloc()
+                child = subs_for(ndt)
+                subs[leaf] = {"id": sid, "subs": child} if child else {"id": sid}
+                return T.StructType(list(dt.fields) + [T.StructField(leaf, ndt)])
+            if leaf not in dt.names:
+                raise KeyError(leaf)
+            if action == "drop":
+                subs.pop(leaf, None)
+                return T.StructType([x for x in dt.fields if x.name != leaf])
+            if action == "retype":
+                ndt = parse_type(typ)
+                entry = subs.setdefault(leaf, {"id": alloc()})
+                child = _reconcile(entry.get("subs"), ndt)
+                if child:
+                    entry["subs"] = child
+                else:
+                    entry.pop("subs", None)
+                return T.StructType(
+                    [
+                        T.StructField(x.name, ndt if x.name == leaf else x.dataType, x.nullable)
+                        for x in dt.fields
+                    ]
+                )
+            if action == "rename":
+                if new_name in dt.names:
+                    raise ValueError(f"subfield {new_name} exists")
+                subs[new_name] = subs.pop(leaf)
+                return T.StructType(
+                    [
+                        T.StructField(new_name if x.name == leaf else x.name, x.dataType, x.nullable)
+                        for x in dt.fields
+                    ]
+                )
+            raise ValueError(action)
+
+        def _nested(name: str, action, typ=None, new_name=None) -> bool:
             if "." not in name:
                 return False
-            root, leaf = name.split(".", 1)
-            if "." in leaf:
-                raise ValueError("nested evolution supports one struct level")
+            root, rest = name.split(".", 1)
             for f in fields:
                 if f.name == root:
                     dt = parse_type(f.type)
                     if not isinstance(dt, T.StructType):
                         raise ValueError(f"{root} is not a struct")
-                    f.type = op(dt, leaf, typ).simpleString()
+                    if f.subs is None:
+                        if action == "rename":
+                            # pre-nested-id schema generations have no
+                            # subfield ids to rename by — a rename here
+                            # would silently null the column on old files
+                            raise ValueError(
+                                "nested rename needs nested field ids; this table "
+                                "was created before they existed — unsupported"
+                            )
+                        f.subs = subs_for(dt)
+                    f.type = _apply_nested(
+                        dt, f.subs, rest.split("."), action, typ, new_name
+                    ).simpleString()
                     return True
             raise KeyError(root)
-
-        def _sub_add(dt, leaf, typ):
-            if leaf in dt.names:
-                raise ValueError(f"subfield {leaf} exists")
-            return T.StructType(list(dt.fields) + [T.StructField(leaf, parse_type(typ))])
-
-        def _sub_drop(dt, leaf, _typ):
-            if leaf not in dt.names:
-                raise KeyError(leaf)
-            return T.StructType([x for x in dt.fields if x.name != leaf])
-
-        def _sub_retype(dt, leaf, typ):
-            if leaf not in dt.names:
-                raise KeyError(leaf)
-            return T.StructType(
-                [
-                    T.StructField(x.name, parse_type(typ)) if x.name == leaf else x
-                    for x in dt.fields
-                ]
-            )
 
         for ch in changes:
             a = ch["action"]
             if a == "add_column":
-                if _nested(ch["name"], _sub_add, ch["type"]):
+                if _nested(ch["name"], "add", typ=ch["type"]):
                     continue
-                hid += 1
-                fields.append(DataField(hid, ch["name"], ch["type"], ch.get("nullable", True)))
+                nid = alloc()
+                ndt = parse_type(ch["type"])
+                fields.append(
+                    DataField(nid, ch["name"], ch["type"], ch.get("nullable", True), subs_for(ndt))
+                )
             elif a == "rename_column":
-                if "." in ch["name"]:
-                    raise ValueError(
-                        "nested rename needs nested field ids (subfields are "
-                        "name-matched across generations) — unsupported"
-                    )
+                if _nested(ch["name"], "rename", new_name=ch["new_name"]):
+                    continue
                 for f in fields:
                     if f.name == ch["name"]:
                         f.name = ch["new_name"]
@@ -264,15 +396,16 @@ class SchemaManager:
                     raise KeyError(ch["name"])
             elif a == "drop_column":
                 if "." in ch["name"]:
-                    _nested(ch["name"], _sub_drop)
+                    _nested(ch["name"], "drop")
                     continue
                 fields = [f for f in fields if f.name != ch["name"]]
             elif a == "update_column_type":
-                if _nested(ch["name"], _sub_retype, ch["type"]):
+                if _nested(ch["name"], "retype", typ=ch["type"]):
                     continue
                 for f in fields:
                     if f.name == ch["name"]:
                         f.type = ch["type"]
+                        f.subs = _reconcile(f.subs, parse_type(ch["type"]))
                         break
                 else:
                     raise KeyError(ch["name"])

@@ -136,10 +136,9 @@ def test_nested_leaf_bloom_and_bitmap_index(spark, warehouse):
 def test_nested_schema_evolution_add_drop_retype(spark, warehouse):
     """Nested column ops (SchemaChange.java:84-163): add / drop /
     update_type on struct leaves; old-generation rows adapt by subfield
-    name (added -> null, dropped -> gone, retyped -> cast), and a NULL
-    struct stays null. Nested rename is rejected (no nested field ids)."""
-    import pytest
-
+    id (added -> null, dropped -> gone, retyped -> cast), and a NULL
+    struct stays null. Nested RENAME is supported too — subfield ids
+    (DataField subs) keep the leaf's identity across generations."""
     ddl0 = "k bigint, s struct<x: int, y: string>"
     t = warehouse.create_table("db.nested_evo", ddl0)
     t.write(spark.createDataFrame([(1, (7, "old")), (2, None)], ddl0))
@@ -163,5 +162,85 @@ def test_nested_schema_evolution_add_drop_retype(spark, warehouse):
     es = t.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
     newest = [e for e in es if e.schema_id == t.schema.id]
     assert newest and all("s.x" in e.stats and "s.z" in e.stats for e in newest)
-    with pytest.raises(ValueError, match="nested rename"):
-        t.evolve_schema([{"action": "rename_column", "name": "s.x", "new_name": "w"}])
+    # nested rename: every OLD generation (ddl0's int x, ddl1's bigint
+    # x) must still read its data under the new leaf name
+    t.evolve_schema([{"action": "rename_column", "name": "s.x", "new_name": "w"}])
+    t = t.refresh()
+    assert t.schema.field("s").type == "struct<w:bigint,z:double>"
+    rows = {r.k: (None if r.s is None else (r.s.w, r.s.z)) for r in t.to_df(spark).collect()}
+    assert rows == {1: (7, None), 2: None, 3: (9, 2.5)}
+
+
+def test_nested_rename_and_multilevel_evolution(spark, warehouse):
+    """Round-5 nested field ids: rename at depth 2, add/drop at depth 2,
+    and reads of three generations mixing all of it (reference
+    DataField.java recursive ids; SchemaChange nested ops)."""
+    ddl0 = "k bigint, s struct<a: struct<x: int, y: string>, b: bigint>"
+    t = warehouse.create_table("db.nested_deep", ddl0)
+    t.write(spark.createDataFrame([(1, ((10, "g0"), 100)), (2, (None, 200))], ddl0))
+    t = t.refresh()
+    t.evolve_schema(
+        [
+            {"action": "rename_column", "name": "s.a.x", "new_name": "xx"},
+            {"action": "add_column", "name": "s.a.z", "type": "double"},
+            {"action": "update_column_type", "name": "s.a.y", "type": "string"},
+        ]
+    )
+    t = t.refresh()
+    assert t.schema.field("s").type == "struct<a:struct<xx:int,y:string,z:double>,b:bigint>"
+    ddl1 = "k bigint, s struct<a: struct<xx: int, y: string, z: double>, b: bigint>"
+    t.write(spark.createDataFrame([(3, ((30, "g1", 3.5), 300))], ddl1))
+    t = t.refresh()
+    got = {
+        r.k: (None if r.s.a is None else (r.s.a.xx, r.s.a.y, r.s.a.z), r.s.b)
+        for r in t.to_df(spark).collect()
+    }
+    assert got == {
+        1: ((10, "g0", None), 100),  # old x reads as xx BY ID
+        2: (None, 200),  # null inner struct stays null
+        3: ((30, "g1", 3.5), 300),
+    }
+    # second rename of the SAME leaf: identity survives two renames
+    t.evolve_schema([{"action": "rename_column", "name": "s.a.xx", "new_name": "xxx"}])
+    # and a deep drop
+    t.evolve_schema([{"action": "drop_column", "name": "s.a.y"}])
+    t = t.refresh()
+    assert t.schema.field("s").type == "struct<a:struct<xxx:int,z:double>,b:bigint>"
+    got = {
+        r.k: None if r.s.a is None else (r.s.a.xxx, r.s.a.z)
+        for r in t.to_df(spark).collect()
+    }
+    assert got == {1: (10, None), 2: None, 3: (30, 3.5)}
+    # renamed top-level column keeps nested ids working underneath
+    t.evolve_schema([{"action": "rename_column", "name": "s", "new_name": "s2"}])
+    t = t.refresh()
+    got = {
+        r.k: None if r.s2.a is None else r.s2.a.xxx for r in t.to_df(spark).collect()
+    }
+    assert got == {1: 10, 2: None, 3: 30}
+
+
+def test_deep_nested_stats_prune_files(spark, warehouse):
+    """Depth-2 struct leaves get footer stats and prune files through
+    the ordinary predicate path (round-5 deeper statable paths)."""
+    from flink_table_store_spark import read as read_mod
+
+    ddl = "k bigint, s struct<a: struct<x: bigint, y: string>, b: bigint>"
+    t = warehouse.create_table("db.nested_deep_stats", ddl)
+    for base in (0, 100, 200):
+        t.write(
+            spark.createDataFrame(
+                [(base + i, ((base + i, f"v{base + i}"), base)) for i in range(10)], ddl
+            ).coalesce(1)
+        )
+    t = t.refresh()
+    snap = t.snapshots.latest()
+    entries = t.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
+    assert len(entries) == 3
+    for e in entries:
+        assert "s.a.x" in e.stats and "s.a.y" in e.stats and "s.b" in e.stats, sorted(e.stats)
+    pred = P.greater_or_equal("s.a.x", 200)
+    plan = read_mod.plan_scan(entries, t.schema, pred, None, t.path)
+    assert len(plan.raw_entries) == 1, "depth-2 stats must skip 2 of 3 files"
+    got = sorted(r.k for r in t.to_df(spark, predicate=pred).collect())
+    assert got == list(range(200, 210))
