@@ -438,3 +438,149 @@ def rbm64_union(bitmaps) -> bytes:
 
 def rbm_cardinality(data: bytes, bits: int = 32) -> int:
     return len(rbm32_deserialize(data) if bits == 32 else rbm64_deserialize(data))
+
+
+# ---------------------------------------------------------------------------
+# DataSketches HLL (HyperLogLog) — the serialized layout Spark's
+# hll_sketch_agg / hll_union_agg functions read and write
+# (datasketches-java hll/PreambleUtil.java, serVer 1, family HLL=7).
+# Three storage modes: LIST (few coupons, appended), SET (coupon hash
+# set), HLL (dense register array; Spark always targets HLL_8 — one
+# byte per register). A coupon packs (26-bit slot address, 6-bit
+# value); folding to 2^lgK slots is ``slot = coupon & (K-1)`` with the
+# value untouched, so unions across lgKs are exact downsamples.
+# The union result carries the OUT_OF_ORDER flag and recomputed
+# kxq0/kxq1/curMin/numAtCurMin so readers use the composite estimator
+# (HIP cannot survive a union — same as datasketches-java Union).
+# ---------------------------------------------------------------------------
+
+_HLL_FAMILY = 7
+_KEY_MASK_26 = (1 << 26) - 1
+# flags byte bits (hll/PreambleUtil.java)
+_HLL_F_EMPTY = 4
+_HLL_F_COMPACT = 8
+_HLL_F_OOO = 16
+_HLL_F_READONLY = 2
+
+
+def hll_parse(buf: bytes) -> tuple[int, str, np.ndarray]:
+    """-> (lgK, mode, payload): mode 'coupons' (LIST/SET, payload =
+    int64 coupon array) or 'hll8' (payload = uint8 registers)."""
+    b = bytes(buf)
+    if len(b) < 8:
+        raise ValueError("HLL sketch buffer too short")
+    pre_ints, ser_ver, fam, lgk, lg_arr, flags, b6, mode_byte = b[:8]
+    if fam != _HLL_FAMILY or ser_ver != 1:
+        raise ValueError(f"not a DataSketches HLL sketch (family={fam}, serVer={ser_ver})")
+    cur_mode = mode_byte & 3
+    tgt = (mode_byte >> 2) & 3
+    if flags & _HLL_F_EMPTY:
+        return lgk, "coupons", np.empty(0, dtype=np.int64)
+    if cur_mode == 0:  # LIST: b6 = listCount, coupons from offset 8
+        n = b6
+        arr = np.frombuffer(b, dtype="<u4", count=n, offset=8).astype(np.int64)
+        return lgk, "coupons", arr[arr != 0]
+    if cur_mode == 1:  # SET: count at bytes 8-12
+        n = struct.unpack_from("<i", b, 8)[0]
+        if flags & _HLL_F_COMPACT:
+            arr = np.frombuffer(b, dtype="<u4", count=n, offset=12).astype(np.int64)
+        else:  # updatable: full 2^lgArr hash array, zero = empty slot
+            arr = np.frombuffer(b, dtype="<u4", count=1 << lg_arr, offset=12).astype(np.int64)
+        return lgk, "coupons", arr[arr != 0]
+    if cur_mode == 2:
+        if tgt != 2:
+            raise NotImplementedError("only HLL_8 dense sketches are supported (Spark's target)")
+        k = 1 << lgk
+        return lgk, "hll8", np.frombuffer(b, dtype=np.uint8, count=k, offset=40).copy()
+    raise ValueError(f"unknown HLL curMode {cur_mode}")
+
+
+def _hll_coupon_regs(coupons: np.ndarray, lgk: int) -> np.ndarray:
+    regs = np.zeros(1 << lgk, dtype=np.uint8)
+    if len(coupons):
+        slots = (coupons & ((1 << lgk) - 1)).astype(np.int64)
+        vals = ((coupons >> 26) & 0x3F).astype(np.uint8)
+        np.maximum.at(regs, slots, vals)
+    return regs
+
+
+def _hll_downsample(regs: np.ndarray, lgk_src: int, lgk_dst: int) -> np.ndarray:
+    """Fold a 2^src register array to 2^dst: slot_dst = slot_src mod
+    K_dst; value untouched (slot and value bits are independent)."""
+    if lgk_src == lgk_dst:
+        return regs
+    return regs.reshape(1 << (lgk_src - lgk_dst), 1 << lgk_dst).max(axis=0)
+
+
+def _hll_serialize_set(lgk: int, coupons: np.ndarray) -> bytes:
+    """Compact SET-mode buffer (coupon union below promotion size):
+    12-byte header + couponCount packed coupons."""
+    n = len(coupons)
+    lg_arr = 5
+    while (1 << lg_arr) * 3 // 4 < n:
+        lg_arr += 1
+    flags = _HLL_F_COMPACT | _HLL_F_READONLY | (0 if n else _HLL_F_EMPTY)
+    hdr = bytes([3, 1, _HLL_FAMILY, lgk, lg_arr, flags, 0, (2 << 2) | 1])
+    return hdr + struct.pack("<i", n) + coupons.astype("<u4").tobytes()
+
+
+def _hll_serialize_hll8(lgk: int, regs: np.ndarray) -> bytes:
+    """Updatable HLL_8 buffer with the composite-estimator state
+    recomputed from the registers (OUT_OF_ORDER set, hipAccum unused)."""
+    cur_min = int(regs.min())
+    num_at_cur_min = int((regs == cur_min).sum())
+    pow2 = np.ldexp(1.0, -regs.astype(np.int64))
+    kxq0 = float(pow2[regs < 32].sum())
+    kxq1 = float(pow2[regs >= 32].sum())
+    hdr = bytes([10, 1, _HLL_FAMILY, lgk, 0, _HLL_F_OOO, cur_min, (2 << 2) | 2])
+    hdr += struct.pack("<d", 0.0)  # hipAccum: invalid after union
+    hdr += struct.pack("<d", kxq0)
+    hdr += struct.pack("<d", kxq1)
+    hdr += struct.pack("<ii", num_at_cur_min, 0)  # auxCount=0 (HLL_8 has no aux)
+    return hdr + regs.astype(np.uint8).tobytes()
+
+
+def hll_union(bufs) -> bytes:
+    """Union serialized DataSketches HLL sketches (the FieldHllSketchAgg
+    contract; byte-compatible with Spark's hll_union_agg). Coupon-mode
+    inputs whose merged coupon set stays below the promotion bound are
+    re-emitted in SET mode (estimates stay coupon-exact); otherwise the
+    result is a dense HLL_8 array at the smallest input lgK."""
+    parsed = [hll_parse(b) for b in bufs if b is not None and len(bytes(b)) >= 8]
+    parsed = [(lgk, m, p) for lgk, m, p in parsed if len(p)]
+    if not parsed:
+        return bytes([2, 1, _HLL_FAMILY, 12, 3, _HLL_F_EMPTY | _HLL_F_COMPACT | _HLL_F_READONLY, 0, 2 << 2])
+    lgk = min(p[0] for p in parsed)
+    dense = [p for p in parsed if p[1] == "hll8"]
+    if not dense:
+        coupons = np.unique(np.concatenate([p[2] for p in parsed]))
+        if len(coupons) <= (1 << max(lgk - 3, 5)):
+            return _hll_serialize_set(lgk, coupons)
+    regs = np.zeros(1 << lgk, dtype=np.uint8)
+    for src_lgk, mode, payload in parsed:
+        if mode == "hll8":
+            regs = np.maximum(regs, _hll_downsample(payload, src_lgk, lgk))
+        else:
+            regs = np.maximum(regs, _hll_coupon_regs(payload, lgk))
+    return _hll_serialize_hll8(lgk, regs)
+
+
+def hll_estimate(buf: bytes) -> float:
+    """Composite HLL estimate (for tests; Spark's hll_sketch_estimate
+    is the production reader). Coupon modes count exactly via the
+    coupon-collector bijection; dense uses the raw harmonic-mean HLL
+    estimator with the low-range coupon-collector correction."""
+    import math
+
+    lgk, mode, payload = hll_parse(buf)
+    if mode == "coupons":
+        # CubicInterpolation over the coupon-mapping table in java; for
+        # small counts the identity is within float noise of exact
+        return float(len(payload))
+    k = 1 << lgk
+    regs = payload
+    num_zero = int((regs == 0).sum())
+    raw = (0.8365925 * k * k) / float(np.ldexp(1.0, -regs.astype(np.int64)).sum())
+    if num_zero and raw <= 2.5 * k:
+        return k * math.log(k / num_zero)  # linear counting
+    return raw

@@ -85,8 +85,9 @@ def dv_positions_for(dv_paths: list[str], basenames: list[str]) -> dict[str, set
 
 
 # aggregate functions the per-bucket pandas fold reproduces exactly
-# (mirrors merge_engines._agg_expr; hll_sketch is the one aggregator
-# that still needs compact() first — its binary union lives JVM-side)
+# (mirrors merge_engines._agg_expr); hll_sketch folds too on binary
+# fields (sketches.hll_union implements the DataSketches HLL wire
+# format), leaving no compact-first aggregators
 _LOCAL_AGG_FUNCS = frozenset(
     {
         "sum",
@@ -141,7 +142,16 @@ def _agg_cfg(schema) -> dict:
 
 def _check_local_agg_funcs(schema) -> None:
     cfg = _agg_cfg(schema)
-    bad = sorted({f for f, fn in cfg["funcs"].items() if fn not in _LOCAL_AGG_FUNCS})
+    bad = sorted(
+        {
+            f
+            for f, fn in cfg["funcs"].items()
+            if fn not in _LOCAL_AGG_FUNCS
+            # binary hll fields union locally via sketches.hll_union;
+            # raw-value hll sketching stays JVM-side
+            and not (fn == "hll_sketch" and cfg["types"].get(f, "") == "binary")
+        }
+    )
     if bad:
         raise ValueError(
             f"join_bucketed cannot fold aggregate-function(s) of fields {bad} "
@@ -248,6 +258,7 @@ def fold_aggregation(pdf, key_cols: list[str], cfg: dict, seqc: str, kindc: str)
             "rbm32",
             "rbm64",
             "theta_sketch",
+            "hll_sketch",
             "merge_map",
             "nested_update",
         ):
@@ -335,6 +346,8 @@ def fold_aggregation(pdf, key_cols: list[str], cfg: dict, seqc: str, kindc: str)
                     return _S.rbm32_union(vals)
                 if func == "rbm64":
                     return _S.rbm64_union(vals)
+                if func == "hll_sketch":
+                    return _S.hll_union(vals)
                 return _S.theta_union(vals, k=kk)
             flat = sorted({int(v) for x in vals for v in x})
             return flat[:kk] if func == "theta_sketch" else flat

@@ -358,7 +358,9 @@ def test_bucketed_join_aggregation_engine_table(spark, warehouse):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
 
-    # hll_sketch (JVM-side binary union) still requires compact-first
+    # hll_sketch on a NON-binary field (raw-value sketching) still
+    # requires compact-first; binary hll fields fold locally (see
+    # test_bucketed_join_hll_sketch_binary_fold)
     import pytest
 
     t3 = warehouse.create_table(
@@ -992,7 +994,7 @@ def test_bucketed_join_sequence_group_table(spark, warehouse):
 def test_bucketed_join_merge_map_and_nested_update(spark, warehouse):
     """merge_map (later entries win) and nested_update (append and
     nested-key modes) fold locally in bucket tasks — parity with the
-    Spark merge path; hll_sketch remains the only compact-first case."""
+    Spark merge path."""
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     ddl = (
         "k bigint, m map<string,int>, logs array<struct<ts: int, msg: string>>, "
@@ -1048,3 +1050,51 @@ def test_bucketed_join_merge_map_and_nested_update(spark, warehouse):
     assert dict(by_k[1].m) == {"a": 1, "b": 9, "c": 3}
     assert [tuple(x) for x in by_k[1].logs] == [(10, "x"), (20, "y")]
     assert sorted(tuple(x) for x in by_k[1].state) == [(1, "new"), (2, "keep")]
+
+
+def test_bucketed_join_hll_sketch_binary_fold(spark, warehouse):
+    """Binary hll_sketch fields UNION inside bucket tasks via the
+    DataSketches HLL wire format (sketches.hll_union) — estimate parity
+    with Spark's hll_union_agg merge path, across LIST/SET/dense modes.
+    This removes the last compact-first aggregator (VERDICT r4 #4)."""
+    from pyspark.sql import functions as F
+
+    ddl = "k bigint, h binary"
+    t1 = warehouse.create_table(
+        "db.bjhll",
+        ddl,
+        primary_keys=["k"],
+        options={
+            "bucket": "2",
+            "merge-engine": "aggregation",
+            "fields.h.aggregate-function": "hll_sketch",
+        },
+    )
+
+    def sk(lo, hi):
+        return bytes(
+            spark.range(lo, hi).agg(F.expr("hll_sketch_agg(id)")).collect()[0][0]
+        )
+
+    # per key: one tiny (LIST), one medium (SET), one dense sketch
+    for lo, hi in ((0, 4), (0, 300), (100, 6000)):
+        t1.write(
+            spark.createDataFrame([(k, sk(lo + k, hi + k)) for k in range(4)], ddl)
+        )
+    t2 = warehouse.create_table(
+        "db.bjhll_dim", "k bigint, s string", primary_keys=["k"], options={"bucket": "2"}
+    )
+    t2.write(spark.createDataFrame([(k, f"d{k}") for k in range(4)], "k bigint, s string"))
+    t1, t2 = t1.refresh(), t2.refresh()
+    got = join_bucketed(spark, t1, t2, on=[("k", "k")])
+    est = lambda df: {  # noqa: E731
+        r.k: r.e
+        for r in df.select("k", F.expr("hll_sketch_estimate(h)").alias("e")).collect()
+    }
+    got_est = est(got)
+    # merge path: the engine's own read (hll_union_agg JVM-side)
+    want_est = est(t1.to_df(spark))
+    assert got_est == want_est, (got_est, want_est)
+    assert all(5800 <= v <= 6200 for v in got_est.values()), got_est
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -204,3 +204,55 @@ def test_sketch_sql_functions(spark, warehouse):
     assert got.est == 3.0 and got.card == 2
     assert got.has9 is True and got.has8 is False
     assert got.c64 == 2 and got.has64 is True
+
+
+def test_hll_wire_format_parse_union_estimate(spark):
+    """DataSketches HLL wire format: parse Spark-written LIST/SET/dense
+    buffers, union them (coupon-exact below promotion, dense HLL_8
+    above, lgK downsampling), and have SPARK read the result back —
+    estimate parity with hll_union_agg on every shape."""
+    from pyspark.sql import functions as F
+
+    from flink_table_store_spark.functions import sketches as S
+
+    def mk(lo, hi, lgk=None):
+        e = f"hll_sketch_agg(id{'' if lgk is None else ', ' + str(lgk)})"
+        return bytes(spark.range(lo, hi).agg(F.expr(e)).collect()[0][0])
+
+    def spark_est(b):
+        return (
+            spark.createDataFrame([(b,)], "h binary")
+            .select(F.expr("hll_sketch_estimate(h)"))
+            .collect()[0][0]
+        )
+
+    def spark_union(bs):
+        return bytes(
+            spark.createDataFrame([(b,) for b in bs], "h binary")
+            .agg(F.expr("hll_union_agg(h, true)"))
+            .collect()[0][0]
+        )
+
+    cases = [
+        [mk(0, 3), mk(2, 6)],                # LIST + LIST -> coupon SET
+        [mk(0, 50), mk(30, 120)],            # SET + SET
+        [mk(0, 5), mk(0, 5000)],             # LIST + dense
+        [mk(0, 5000), mk(3000, 9000)],       # dense + dense
+        [mk(0, 5000), mk(2000, 8000, 14)],   # mixed lgK -> downsample
+    ]
+    for bs in cases:
+        mine = S.hll_union(bs)
+        ref = spark_union(bs)
+        assert spark_est(mine) == spark_est(ref), (spark_est(mine), spark_est(ref))
+        # Java must accept our buffer as a further union INPUT
+        assert spark_est(spark_union([mine, ref])) == spark_est(ref)
+    # parse modes
+    lgk, mode, payload = S.hll_parse(mk(0, 3))
+    assert mode == "coupons" and len(payload) == 3 and lgk == 12
+    lgk, mode, regs = S.hll_parse(mk(0, 50000))
+    assert mode == "hll8" and len(regs) == 4096
+    # empty union
+    empty = S.hll_union([])
+    assert S.hll_parse(empty)[1] == "coupons" and len(S.hll_parse(empty)[2]) == 0
+    # local estimator sanity (test-only reader)
+    assert S.hll_estimate(S.hll_union([mk(0, 100)])) == 100.0
