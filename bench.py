@@ -348,6 +348,59 @@ def main() -> None:
             hows=["inner", "left"],
         ).count()
 
+    # --- metadata-scale proxy: planning/doctor over a 200k-entry manifest
+    # (fabricated ADD entries, metadata only — no data rewrite). The
+    # distributed manifest switch (scan.manifest.distributed-threshold,
+    # default 100k) must engage: the ADD/DELETE merge + partition/stats
+    # pruning run as a Spark job and the driver materializes only the
+    # surviving (real) entries. Reference: SnapshotReaderImpl parallel
+    # manifest scan.
+    from flink_table_store_spark.manifest import KIND_ADD, ManifestEntry
+
+    t_meta = cat.create_table(
+        "bench.meta_scale", "k bigint, v double, p int", partition_keys=["p"],
+        ignore_if_exists=True,
+    )
+    t_meta.write(
+        spark.range(10_000).select(
+            F.col("id").alias("k"), F.rand(7).alias("v"), F.lit(0).alias("p")
+        )
+    )
+    n_fake = 200_000
+    fakes = [
+        ManifestEntry(
+            kind=KIND_ADD,
+            partition={"p": str(1 + i % 512)},
+            bucket=0,
+            level=0,
+            file_name=f"data/p={1 + i % 512}/data-fake{i:07d}.parquet",
+            row_count=1000,
+            file_size=1 << 20,
+            min_seq=i,
+            max_seq=i,
+            schema_id=t_meta.schema.id,
+            stats={
+                "k": {"min": i * 10, "max": i * 10 + 9, "nulls": 0},
+                "v": {"min": 0.0, "max": 1.0, "nulls": 0},
+            },
+        )
+        for i in range(n_fake)
+    ]
+    t_meta.committer.commit(fakes, t_meta.schema.id)
+    t_meta = t_meta.refresh()
+
+    @timed("meta_plan_200k", repeat=3)
+    def _mp():
+        # partition predicate prunes every fabricated entry; the read
+        # then touches only the real p=0 files — full plan+execute
+        n = t_meta.to_df(spark, predicate=P.equal("p", 0)).count()
+        assert n == 10_000, n
+
+    @timed("meta_doctor_200k", repeat=3)
+    def _md():
+        rep = t_meta.doctor(spark)
+        assert rep["files"]["count"] > n_fake
+
     # --- host-side joins + pipeline ops over raw parquet ------------------
     @timed("q3_join", repeat=3)
     def _q3():

@@ -216,7 +216,13 @@ def stage_and_collect(
         p: (m["rc"], m["stats"]) for p, m in indexes.items() if "rc" in m
     } or None
     if stats_by_path is None:
-        distributed = fmt != "parquet"
+        # VARIANT columns (F6): Spark 4 writes the new parquet VARIANT
+        # logical type, which pyarrow's footer reader rejects ("Thrift
+        # LogicalType that is not recognized") — stats for such tables
+        # must come from the distributed Spark job (Spark reads its own
+        # files fine; variant itself is unstatable and excluded)
+        has_variant = any("variant" in f.type.lower() for f in schema.fields)
+        distributed = fmt != "parquet" or has_variant
         if not distributed:
             thr = int(schema.options.get("commit.distributed-stats-threshold", "1000"))
             n_staged = sum(
@@ -307,7 +313,11 @@ def _collect_staged(
                     # with no stats commit with min/max=None — no pruning,
                     # but no data loss.
                     if fmt == "parquet":
-                        rc, _sz, st = collect_parquet_stats(src)
+                        try:
+                            rc, _sz, st = collect_parquet_stats(src)
+                        except OSError:
+                            # pyarrow cannot read VARIANT-typed footers
+                            rc, st = _fallback_row_count(src, fmt), {}
                         hit = (rc, st)
                     else:
                         hit = (_fallback_row_count(src, fmt), {})
@@ -358,6 +368,14 @@ def _fallback_row_count(src: str, fmt: str) -> int:
     """Per-file row count for a staged file that missed the distributed
     stats map (only reached on a path-mapping mismatch or a genuinely
     empty part file — never the hot path)."""
+    if fmt == "parquet":
+        # reached only when pyarrow rejected the footer (VARIANT
+        # logical type); duckdb's reader tolerates unknown logical types
+        import duckdb
+
+        return duckdb.sql(
+            f"select count(*) from parquet_scan('{src}')"
+        ).fetchone()[0]
     if fmt == "orc":
         import pyarrow.orc as _orc
 

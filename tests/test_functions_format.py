@@ -86,3 +86,50 @@ def test_object_table_catalog_metadata_index(spark, warehouse, tmp_path):
     content = ot.with_content(spark)
     got = {r.path: bytes(r.content) for r in content.collect()}
     assert got["sub/b.txt"] == b"hello" and got["a.bin"] == b"0123456789"
+
+
+def test_variant_column_storage(spark, warehouse):
+    """VARIANT as a STORED column type (F6; reference paimon-common
+    data/variant/): append + PK tables write Spark 4's parquet VARIANT
+    logical type, merge-on-read and compaction keep it intact, and
+    variant_get reads typed paths back. Stats for such tables come from
+    the distributed job (pyarrow cannot read VARIANT footers)."""
+    from pyspark.sql import functions as F
+
+    src = spark.createDataFrame(
+        [(1, '{"a": 1, "b": "x"}'), (2, '{"a": 2, "c": [1,2]}')], "k bigint, j string"
+    ).select("k", F.parse_json("j").alias("v"))
+    t = warehouse.create_table("db.variant_app", src.schema)
+    t.write(src)
+    t = t.refresh()
+    got = {
+        r.k: r.a
+        for r in t.to_df(spark)
+        .select("k", F.variant_get("v", "$.a", "bigint").alias("a"))
+        .collect()
+    }
+    assert got == {1: 1, 2: 2}
+    # entries committed with real row counts despite the footer gap
+    snap = t.snapshots.latest()
+    es = t.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
+    assert sum(e.row_count for e in es) == 2
+
+    t2 = warehouse.create_table(
+        "db.variant_pk", src.schema, primary_keys=["k"], options={"bucket": "1"}
+    )
+    t2.write(src)
+    t2.write(
+        spark.createDataFrame([(1, '{"a": 99}')], "k bigint, j string").select(
+            "k", F.parse_json("j").alias("v")
+        )
+    )
+    t2 = t2.refresh()
+    read_a = lambda tt: {  # noqa: E731
+        r.k: r.a
+        for r in tt.to_df(spark)
+        .select("k", F.variant_get("v", "$.a", "bigint").alias("a"))
+        .collect()
+    }
+    assert read_a(t2) == {1: 99, 2: 2}
+    t2.compact(spark)
+    assert read_a(t2.refresh()) == {1: 99, 2: 2}
