@@ -2197,6 +2197,230 @@ QUERIES["q22_inactive_customers"] = (q22_inactive_customers, Q22_SQL)
 QUERIES["q6_forecast_revenue"] = (q6_forecast_revenue, Q6_SQL)
 QUERIES["text_quality_lang"] = (text_quality_lang, TEXT_QUALITY_LANG_SQL)
 
+
+# --- round-5 features: universal seq-field compaction, associative
+# count/collect across compaction, nested rename by field id -------------
+
+
+def universal_seqfield_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Universal (partial) compaction of a ``sequence.field`` table
+    (T13 + T12): a big base commit plus three small late-arrival slices
+    whose user versions straddle the base (even custkeys jump AHEAD,
+    odd custkeys arrive BEHIND), then ``compact(full=False)`` folds the
+    small runs only. The merged read must order by struct(ver, seq) —
+    the late low-version rows lose to the base."""
+    cat = _wh(sf_dir)
+    name = "default.orders_uniseq"
+    try:
+        t = cat.get_table(name)
+    except RuntimeError:
+        t = None
+    if t is None or not t.snapshots.latest_id() or t.snapshots.latest_id() < 5:
+        cat.drop_table(name)
+        t = cat.create_table(
+            name,
+            "o_custkey bigint, ver bigint, price double",
+            primary_keys=["o_custkey"],
+            options={"bucket": "4", "sequence.field": "ver"},
+        )
+        orders = _t(spark, sf_dir, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderkey"))
+        base = (
+            orders.withColumn("rn", F.row_number().over(w))
+            .where("rn = 1")
+            .select("o_custkey", F.col("o_orderkey").alias("ver"), F.col("o_totalprice").alias("price"))
+        )
+        t.write(base)
+        ws = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderkey"))
+        for b in range(3):
+            sl = (
+                orders.where(F.col("o_orderkey") % 11 == b)
+                .withColumn("rn", F.row_number().over(ws))
+                .where("rn = 1")
+                .select(
+                    "o_custkey",
+                    (
+                        F.col("o_orderkey")
+                        + F.when(F.col("o_custkey") % 2 == 0, F.lit(10000000)).otherwise(
+                            F.lit(-10000000)
+                        )
+                    ).alias("ver"),
+                    (F.col("o_totalprice") + 1000.0 * (b + 1)).alias("price"),
+                )
+            )
+            t.write(sl)
+        t.compact(spark, full=False, trigger_runs=3)
+    return t.to_df(spark).orderBy("o_custkey")
+
+
+UNIVERSAL_SEQFIELD_SQL = """
+WITH cand AS (
+  SELECT o_custkey, o_orderkey AS ver, o_totalprice AS price
+  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1
+  UNION ALL
+  SELECT o_custkey,
+         o_orderkey + CASE WHEN o_custkey % 2 = 0 THEN 10000000 ELSE -10000000 END AS ver,
+         o_totalprice + 1000.0 * (1 + CAST(o_orderkey % 11 AS INT)) AS price
+  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderkey % 11 ORDER BY o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderkey % 11 < 3) WHERE rn = 1
+)
+SELECT o_custkey, ver, price
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY ver DESC) AS rn FROM cand)
+WHERE rn = 1
+ORDER BY o_custkey
+"""
+
+
+def agg_count_collect_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Associative ``count`` + ``collect`` across a MID-STREAM full
+    compaction (round-5 wrong-answer fixes): two commits, compact,
+    third commit — the compacted partial count must seed the
+    accumulator and the stored array must concatenate, not nest."""
+    cat = _wh(sf_dir)
+    name = "default.orders_cnt"
+    try:
+        t = cat.get_table(name)
+    except RuntimeError:
+        t = None
+    if t is None or not t.snapshots.latest_id() or t.snapshots.latest_id() < 4:
+        cat.drop_table(name)
+        t = cat.create_table(
+            name,
+            "o_custkey bigint, cnt bigint, keys array<bigint>",
+            primary_keys=["o_custkey"],
+            options={
+                "bucket": "4",
+                "merge-engine": "aggregation",
+                "fields.cnt.aggregate-function": "count",
+                "fields.keys.aggregate-function": "collect",
+            },
+        )
+        orders = _t(spark, sf_dir, "orders")
+        ws = Window.partitionBy("o_custkey").orderBy(F.desc("o_orderkey"))
+        for b in range(3):
+            sl = (
+                orders.where(F.col("o_orderkey") % 3 == b)
+                .withColumn("rn", F.row_number().over(ws))
+                .where("rn = 1")
+                .select(
+                    "o_custkey",
+                    F.lit(1).cast("bigint").alias("cnt"),
+                    F.array(F.col("o_orderkey")).alias("keys"),
+                )
+            )
+            t.write(sl)
+            if b == 1:
+                t.compact(spark, full=True)
+    return (
+        t.to_df(spark)
+        .select("o_custkey", "cnt", F.concat_ws(",", F.col("keys")).alias("keys_csv"))
+        .orderBy("o_custkey")
+    )
+
+
+AGG_COUNT_COLLECT_SQL = """
+WITH per_batch AS (
+  SELECT o_custkey, CAST(o_orderkey % 3 AS INT) AS batch, o_orderkey
+  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderkey % 3 ORDER BY o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1
+)
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS cnt,
+       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY batch) AS keys_csv
+FROM per_batch GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+def nested_rename_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested field ids (round 5): rename a depth-2 struct leaf and add
+    a sibling mid-table; rows from BOTH generations read under the new
+    name (id-matched struct rebuild, reference DataField recursive
+    ids)."""
+    cat = _wh(sf_dir)
+    name = "default.orders_nested_ids"
+    try:
+        t = cat.get_table(name)
+    except RuntimeError:
+        t = None
+    if t is None or not t.snapshots.latest_id() or t.snapshots.latest_id() < 2:
+        cat.drop_table(name)
+        orders = _t(spark, sf_dir, "orders")
+        gen0 = orders.where(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey",
+            F.struct(
+                F.struct(
+                    F.col("o_custkey").alias("ck"), F.col("o_orderstatus").alias("st")
+                ).alias("a"),
+                F.col("o_totalprice").alias("tp"),
+            ).alias("s"),
+        )
+        t = cat.create_table(name, gen0.schema)
+        t.write(gen0)
+        t.evolve_schema(
+            [
+                {"action": "rename_column", "name": "s.a.ck", "new_name": "cust"},
+                {"action": "add_column", "name": "s.a.bonus", "type": "double"},
+            ]
+        )
+        t = t.refresh()
+        gen1 = orders.where(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey",
+            F.struct(
+                F.struct(
+                    F.col("o_custkey").alias("cust"),
+                    F.col("o_orderstatus").alias("st"),
+                    F.lit(1.0).alias("bonus"),
+                ).alias("a"),
+                F.col("o_totalprice").alias("tp"),
+            ).alias("s"),
+        )
+        t.write(gen1)
+    return (
+        t.to_df(spark)
+        .select(
+            "o_orderkey",
+            F.col("s.a.cust").alias("cust"),
+            F.col("s.a.st").alias("st"),
+            F.col("s.a.bonus").alias("bonus"),
+            F.col("s.tp").alias("tp"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+NESTED_RENAME_SQL = """
+SELECT o_orderkey, o_custkey AS cust, o_orderstatus AS st,
+       CASE WHEN o_orderkey % 2 = 1 THEN 1.0 END AS bonus,
+       o_totalprice AS tp
+FROM orders ORDER BY o_orderkey
+"""
+
+# round-5 rotation: the three NEW operator families (partial universal
+# compaction under sequence.field; associative count/collect across a
+# mid-stream compaction; nested rename by field id) take driver slots.
+# window_topn_orders / set_ops_customers / ann_lsh rotate to the
+# judge-run tail — all three are long-green and their families stay
+# represented in the window (topn_pushdown, rollup via tail,
+# ann_brute_force/ann_ivf).
+_R5_NEW = {
+    "universal_seqfield_compact": (universal_seqfield_compact, UNIVERSAL_SEQFIELD_SQL),
+    "agg_count_collect_assoc": (agg_count_collect_assoc, AGG_COUNT_COLLECT_SQL),
+    "nested_rename_read": (nested_rename_read, NESTED_RENAME_SQL),
+}
+_R5_OUT = ["window_topn_orders", "set_ops_customers", "ann_lsh"]
+_rebuilt: dict[str, tuple] = {}
+_new_iter = iter(_R5_NEW.items())
+for _k, _v in QUERIES.items():
+    if _k in _R5_OUT:
+        _nk, _nv = next(_new_iter)
+        _rebuilt[_nk] = _nv
+    else:
+        _rebuilt[_k] = _v
+for _k in _R5_OUT:
+    _rebuilt[_k] = QUERIES[_k]
+QUERIES = _rebuilt
+
 from flink_table_store_spark.queries_extra import EXTRA_QUERIES  # noqa: E402
 
 QUERIES.update(EXTRA_QUERIES)
