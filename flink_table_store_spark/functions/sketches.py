@@ -550,11 +550,17 @@ def hll_union(bufs) -> bytes:
     parsed = [(lgk, m, p) for lgk, m, p in parsed if len(p)]
     if not parsed:
         return bytes([2, 1, _HLL_FAMILY, 12, 3, _HLL_F_EMPTY | _HLL_F_COMPACT | _HLL_F_READONLY, 0, 2 << 2])
+    # Java downsamples to the MIN lgK across ALL inputs (coupon-mode
+    # sketches carry lgConfigK too — verified empirically against
+    # hll_union_agg: LIST(lgK=4) ∪ LIST(lgK=12) → lgK=4)
     lgk = min(p[0] for p in parsed)
     dense = [p for p in parsed if p[1] == "hll8"]
     if not dense:
         coupons = np.unique(np.concatenate([p[2] for p in parsed]))
-        if len(coupons) <= (1 << max(lgk - 3, 5)):
+        # SET→HLL promotion at count > 0.75 * 2^(lgK-3), matching
+        # datasketches-java (verified: 384 coupons stay SET at lgK=12,
+        # 385 promote) so estimates stay mode-identical to Java's union
+        if len(coupons) <= (3 * (1 << (lgk - 3))) // 4:
             return _hll_serialize_set(lgk, coupons)
     regs = np.zeros(1 << lgk, dtype=np.uint8)
     for src_lgk, mode, payload in parsed:

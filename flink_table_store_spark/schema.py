@@ -238,6 +238,22 @@ class SchemaManager:
 
     # --- evolution ops (SchemaChange.java:84-163) ---
 
+    def _field_lacks_ids_anywhere(self, latest: TableSchema, field_id: int) -> bool:
+        """True if ANY persisted generation up to ``latest`` carries the
+        top-level field ``field_id`` without subfield ids (such files
+        can only name-match nested leaves — nested rename is unsafe)."""
+        for sid in range(latest.id + 1):
+            try:
+                gen = self.load(sid)
+            except FileNotFoundError:
+                continue
+            for f in gen.fields:
+                if f.id == field_id:
+                    if f.subs is None:
+                        return True
+                    break
+        return False
+
     def evolve(self, changes: list[dict[str, Any]]) -> TableSchema:
         """Apply a list of changes and commit a new schema version.
 
@@ -359,15 +375,19 @@ class SchemaManager:
                     dt = parse_type(f.type)
                     if not isinstance(dt, T.StructType):
                         raise ValueError(f"{root} is not a struct")
+                    if action == "rename" and self._field_lacks_ids_anywhere(cur, f.id):
+                        # SOME persisted generation carries this struct
+                        # without subfield ids (created before nested
+                        # ids existed, or ids materialized later by an
+                        # add/drop/retype) — files of that generation
+                        # can only name-match, so a rename would
+                        # silently null the column on them
+                        raise ValueError(
+                            "nested rename needs nested field ids on every schema "
+                            "generation; an older generation of this table has "
+                            "none — unsupported"
+                        )
                     if f.subs is None:
-                        if action == "rename":
-                            # pre-nested-id schema generations have no
-                            # subfield ids to rename by — a rename here
-                            # would silently null the column on old files
-                            raise ValueError(
-                                "nested rename needs nested field ids; this table "
-                                "was created before they existed — unsupported"
-                            )
                         f.subs = subs_for(dt)
                     f.type = _apply_nested(
                         dt, f.subs, rest.split("."), action, typ, new_name

@@ -928,16 +928,19 @@ class Table:
             merged = merge_engines.fold_runs(df, schema, BUCKET_COL)
             # retract/delete keys pass through unfolded; a whole bucket
             # containing any is NOT final (its elision/retraction
-            # resolves at read or at a full compaction)
-            bad_kinds = ["-D"] if engine == "partial-update" else ["-D", "-U"]
-            bad_buckets = {
-                r[0]
-                for r in df.where(F.col(VALUE_KIND).isin(bad_kinds))
-                .select(BUCKET_COL)
-                .distinct()
-                .collect()
-            }
-            final_buckets = set(droppable) - bad_buckets
+            # resolves at read or at a full compaction). The detection
+            # scan only runs when a whole pick could actually finalize.
+            final_buckets: set[int] = set()
+            if droppable:
+                bad_kinds = ["-D"] if engine == "partial-update" else ["-D", "-U"]
+                bad_buckets = {
+                    r[0]
+                    for r in df.where(F.col(VALUE_KIND).isin(bad_kinds))
+                    .select(BUCKET_COL)
+                    .distinct()
+                    .collect()
+                }
+                final_buckets = set(droppable) - bad_buckets
         new_entries = stage_and_collect(
             merged,
             self.path,

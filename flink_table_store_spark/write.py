@@ -36,6 +36,7 @@ from flink_table_store_spark.schema import (
     SEQUENCE_NUMBER,
     VALUE_KIND,
     TableSchema,
+    parse_type,
 )
 from flink_table_store_spark.snapshot import now_millis
 
@@ -220,8 +221,10 @@ def stage_and_collect(
         # logical type, which pyarrow's footer reader rejects ("Thrift
         # LogicalType that is not recognized") — stats for such tables
         # must come from the distributed Spark job (Spark reads its own
-        # files fine; variant itself is unstatable and excluded)
-        has_variant = any("variant" in f.type.lower() for f in schema.fields)
+        # files fine; variant itself is unstatable and excluded).
+        # Checked on the PARSED type tree — a field merely NAMED
+        # "variant_x" must not disable the cheap footer walk.
+        has_variant = any(_type_has_variant(parse_type(f.type)) for f in schema.fields)
         distributed = fmt != "parquet" or has_variant
         if not distributed:
             thr = int(schema.options.get("commit.distributed-stats-threshold", "1000"))
@@ -239,6 +242,22 @@ def stage_and_collect(
     entries = _collect_staged(staging, table_path, schema, target_level, indexes, fmt, stats_by_path)
     shutil.rmtree(staging, ignore_errors=True)
     return entries
+
+
+def _type_has_variant(dt) -> bool:
+    """True when the PARSED type tree contains a VariantType at any
+    nesting depth (pyarrow cannot read footers that store one)."""
+    from pyspark.sql import types as T
+
+    if dt.typeName() == "variant":
+        return True
+    if isinstance(dt, T.StructType):
+        return any(_type_has_variant(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _type_has_variant(dt.elementType)
+    if isinstance(dt, T.MapType):
+        return _type_has_variant(dt.keyType) or _type_has_variant(dt.valueType)
+    return False
 
 
 def collect_stats_distributed(

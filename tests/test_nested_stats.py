@@ -244,3 +244,35 @@ def test_deep_nested_stats_prune_files(spark, warehouse):
     assert len(plan.raw_entries) == 1, "depth-2 stats must skip 2 of 3 files"
     got = sorted(r.k for r in t.to_df(spark, predicate=pred).collect())
     assert got == list(range(200, 210))
+
+
+def test_nested_rename_rejected_on_pre_id_generations(spark, warehouse):
+    """A table whose OLD generations lack subfield ids must reject
+    nested rename even after a later add/drop materialized ids — those
+    old files can only name-match and would silently null the column
+    (round-5 review finding)."""
+    import pytest
+
+    ddl = "k bigint, s struct<x: int, y: string>"
+    t = warehouse.create_table("db.nested_preid", ddl)
+    t.write(spark.createDataFrame([(1, (7, "a"))], ddl))
+    # simulate a pre-nested-id generation: strip subs from schema-0
+    import json
+    import os
+
+    p = os.path.join(t.path, "schema", "schema-0")
+    d = json.load(open(p))
+    for f in d["fields"]:
+        f.pop("subFields", None)
+    json.dump(d, open(p, "w"))
+    t = t.refresh()
+    # materialize ids via an add — rename must STILL be rejected
+    t.evolve_schema([{"action": "add_column", "name": "s.z", "type": "double"}])
+    t = t.refresh()
+    with pytest.raises(ValueError, match="nested rename"):
+        t.evolve_schema([{"action": "rename_column", "name": "s.x", "new_name": "w"}])
+    # non-rename nested evolution still works and reads old files
+    t.evolve_schema([{"action": "update_column_type", "name": "s.x", "type": "bigint"}])
+    t = t.refresh()
+    [r] = t.to_df(spark).collect()
+    assert (r.s.x, r.s.y) == (7, "a")

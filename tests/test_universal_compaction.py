@@ -172,7 +172,7 @@ def test_universal_sequence_field_dedup(spark, warehouse):
     assert len(_runs(t)) == 2 and oldest in names
     got = {r.k: (r.v, r.ver) for r in t.to_df(spark).collect()}
     assert got[5] == (5, 100), "old higher version must survive the fold"
-    assert got[6] == (661, 200)[::-1] or got[6] == (660, 200), got[6]
+    assert got[6] == (660, 200), got[6]
     assert got[9] == (702, 300)
 
 
