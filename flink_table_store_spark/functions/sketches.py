@@ -498,7 +498,8 @@ def hll_parse(buf: bytes) -> tuple[int, str, np.ndarray]:
 def _hll_coupon_regs(coupons: np.ndarray, lgk: int) -> np.ndarray:
     regs = np.zeros(1 << lgk, dtype=np.uint8)
     if len(coupons):
-        slots = (coupons & ((1 << lgk) - 1)).astype(np.int64)
+        # low 26 bits = slot address at max precision; fold to 2^lgK
+        slots = ((coupons & _KEY_MASK_26) & ((1 << lgk) - 1)).astype(np.int64)
         vals = ((coupons >> 26) & 0x3F).astype(np.uint8)
         np.maximum.at(regs, slots, vals)
     return regs

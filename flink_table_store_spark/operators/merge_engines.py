@@ -519,6 +519,43 @@ def fold_supported(schema: TableSchema) -> bool:
     return True
 
 
+def fold_winner(df: DataFrame, schema: TableSchema, bucket_col: str) -> DataFrame:
+    """Winner-row fold for deduplicate/first-row universal compaction:
+    per key keep the row with max (dedup) / min (first-row) EFFECTIVE
+    sequence — struct(sequence.field columns..., seq), exactly the
+    order merge_view uses (T12 NULL ordering included) — PRESERVING
+    ``_VALUE_KIND`` and ``_SEQUENCE_NUMBER`` so the output still merges
+    against untouched older runs (merge_view drops both for final
+    reads, which is why this is a separate fold)."""
+    engine = schema.options.get("merge-engine", ENGINE_DEDUPLICATE)
+    keys = _key_cols(schema)
+    payload = [c for c in schema.field_names() if c not in keys]
+    cols = ", ".join(f"`{c}`" for c in payload + [VALUE_KIND, SEQUENCE_NUMBER])
+    seq_field = schema.options.get("sequence.field")
+    if seq_field:
+        ord_cols = ", ".join(
+            f"`{c.strip()}`" for c in seq_field.split(",")
+        ) + f", `{SEQUENCE_NUMBER}`"
+        ord_expr = f"struct({ord_cols})"
+    else:
+        ord_expr = f"`{SEQUENCE_NUMBER}`"
+    fn = "max_by" if engine == ENGINE_DEDUPLICATE else "min_by"
+    winner = F.expr(f"{fn}(struct({cols}), {ord_expr})").alias("__w")
+    return (
+        df.groupBy(*[F.col(k) for k in keys], F.col(bucket_col))
+        .agg(winner)
+        .select(
+            *[
+                F.col(k) if k in keys else F.col(f"__w.{k}").alias(k)
+                for k in schema.field_names()
+            ],
+            F.col(f"__w.{VALUE_KIND}").alias(VALUE_KIND),
+            F.col(f"__w.{SEQUENCE_NUMBER}").alias(SEQUENCE_NUMBER),
+            F.col(bucket_col),
+        )
+    )
+
+
 def fold_runs(df: DataFrame, schema: TableSchema, bucket_col: str) -> DataFrame:
     """Partial fold of the NEWEST LSM runs for the partial-update /
     aggregation engines — universal compaction's rewrite body.

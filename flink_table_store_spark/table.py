@@ -885,36 +885,7 @@ class Table:
         # partitions sharing a bucket number.
         droppable = sorted(whole_buckets - partial_buckets)
         if engine in ("deduplicate", "first-row"):
-            keys = list(schema.partition_keys) + schema.trimmed_primary_keys()
-            payload = [c for c in schema.field_names() if c not in keys]
-            cols = ", ".join(f"`{c}`" for c in payload + [VALUE_KIND, SEQUENCE_NUMBER])
-            # sequence.field: the user version columns + input sequence
-            # form the effective order as ONE struct — identical to the
-            # read path's merge_view, so the fold winner IS the merge
-            # winner (T12 NULL ordering included)
-            seq_field = opts.get("sequence.field")
-            if seq_field:
-                ord_cols = ", ".join(
-                    f"`{c.strip()}`" for c in seq_field.split(",")
-                ) + f", `{SEQUENCE_NUMBER}`"
-                ord_expr = f"struct({ord_cols})"
-            else:
-                ord_expr = f"`{SEQUENCE_NUMBER}`"
-            fn = "max_by" if engine == "deduplicate" else "min_by"
-            winner = F.expr(f"{fn}(struct({cols}), {ord_expr})").alias("__w")
-            merged = (
-                df.groupBy(*[F.col(k) for k in keys], F.col(BUCKET_COL))
-                .agg(winner)
-                .select(
-                    *[
-                        F.col(k) if k in keys else F.col(f"__w.{k}").alias(k)
-                        for k in schema.field_names()
-                    ],
-                    F.col(f"__w.{VALUE_KIND}").alias(VALUE_KIND),
-                    F.col(f"__w.{SEQUENCE_NUMBER}").alias(SEQUENCE_NUMBER),
-                    F.col(BUCKET_COL),
-                )
-            )
+            merged = merge_engines.fold_winner(df, schema, BUCKET_COL)
             # dropping -D is ONLY sound when no unmerged older run
             # remains; buckets appearing in both sets keep deletes
             # (conservative — kept -D rows filter at read time anyway)
