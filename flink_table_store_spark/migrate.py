@@ -276,3 +276,96 @@ def copy_files(
         dv_files=list(snap.dv_files),
     )
     return catalog.get_table(target)
+
+
+def migrate_hudi_table(
+    spark: SparkSession,
+    catalog,
+    hudi_location: str,
+    target: str,
+    options: dict[str, str] | None = None,
+    delete_origin: bool = False,
+) -> Table:
+    """Import a Hudi COPY-ON-WRITE table metadata-only (the paimon-hudi
+    migrator analog).
+
+    Reads the ``.hoodie`` timeline for COMPLETED commit instants
+    (``<instantTime>.commit`` / ``.replacecommit``), keeps the LATEST
+    base file per file group — Hudi base files are named
+    ``<fileId>_<writeToken>_<instantTime>.parquet`` and a file group's
+    newest completed slice supersedes the older ones — links the
+    surviving parquet files in place and commits from footers (no data
+    read). The five ``_hoodie_*`` meta columns stay in the files but
+    OUT of the table schema: Spark's parquet reader projects by name,
+    so they are never scanned. MERGE-ON-READ tables (delta log files /
+    deltacommit instants) are refused — their log merge needs Hudi's
+    own reader, exactly the limitation the reference documents.
+    """
+    hd = os.path.join(hudi_location, ".hoodie")
+    if not os.path.isdir(hd):
+        raise ValueError(f"{hudi_location} has no .hoodie directory — not a Hudi table")
+    timeline = os.listdir(hd)
+    if any(fn.endswith(".deltacommit") for fn in timeline):
+        raise ValueError("MERGE-ON-READ Hudi tables (deltacommits) are not migratable")
+    completed = {
+        fn.split(".", 1)[0]
+        for fn in timeline
+        if fn.endswith(".commit") or fn.endswith(".replacecommit")
+    }
+    if not completed:
+        raise ValueError("no completed commit instants in the Hudi timeline")
+
+    # newest completed base file per (partition dir, file group)
+    groups: dict[tuple[str, str], tuple[str, str, dict[str, str]]] = {}
+    for dirpath, dirs, files in os.walk(hudi_location):
+        dirs[:] = [d for d in dirs if d != ".hoodie"]
+        rel = os.path.relpath(dirpath, hudi_location)
+        partition: dict[str, str] = {}
+        if rel != ".":
+            for seg in rel.split(os.sep):
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    v = urllib.parse.unquote(v)
+                    partition[k] = "" if v == "__HIVE_DEFAULT_PARTITION__" else v
+        for fn in files:
+            if fn.endswith(".log") or ".log." in fn:
+                raise ValueError("MERGE-ON-READ Hudi tables (log files) are not migratable")
+            if not fn.endswith(".parquet"):
+                continue
+            parts = fn[: -len(".parquet")].split("_")
+            if len(parts) != 3:
+                continue  # not a Hudi base file
+            file_id, _token, instant = parts
+            if instant not in completed:
+                continue  # inflight/rolled-back instant
+            key = (rel, file_id)
+            cur = groups.get(key)
+            if cur is None or instant > cur[0]:
+                groups[key] = (instant, os.path.join(dirpath, fn), partition)
+    if not groups:
+        raise ValueError("no completed Hudi base files found")
+
+    sample = next(iter(groups.values()))[1]
+    # basePath: hive-style partition directories become typed schema
+    # columns (they must be declared fields of the managed table)
+    full = spark.read.option("basePath", hudi_location).parquet(sample).schema
+    import pyspark.sql.types as T
+
+    data_fields = [f for f in full.fields if not f.name.startswith("_hoodie_")]
+    partition_keys = sorted(next(iter(groups.values()))[2].keys())
+    table = catalog.create_table(
+        target,
+        T.StructType(data_fields),
+        partition_keys=partition_keys,
+        options=options,
+    )
+    entries = []
+    for _instant, src, partition in groups.values():
+        e = _import_file(src, table, partition)
+        if e.row_count > 0:
+            e.stats = {k: v for k, v in e.stats.items() if not k.startswith("_hoodie_")}
+            entries.append(e)
+    table.committer.commit(entries, table.schema.id, kind=COMMIT_APPEND)
+    if delete_origin:
+        shutil.rmtree(hudi_location, ignore_errors=True)
+    return table.refresh()

@@ -199,6 +199,7 @@ PROCEDURES: dict[str, Callable] = {
     "drop_global_index": lambda s, c, a: _drop_gidx(s, c, a),
     "migrate_database": lambda s, c, a: _migrate_db(s, c, a),
     "migrate_iceberg_table": lambda s, c, a: _migrate_iceberg(s, c, a),
+    "migrate_hudi_table": lambda s, c, a: _migrate_hudi(s, c, a),
     "copy_files": lambda s, c, a: _copy_files(s, c, a),
 }
 
@@ -238,6 +239,12 @@ def _migrate_iceberg(spark, cat, a):
     from flink_table_store_spark.migrate import migrate_iceberg_table
 
     return migrate_iceberg_table(spark, cat, a.pop("source_location"), a.pop("table"), **a)
+
+
+def _migrate_hudi(spark, cat, a):
+    from flink_table_store_spark.migrate import migrate_hudi_table
+
+    return migrate_hudi_table(spark, cat, a.pop("source_location"), a.pop("table"), **a)
 
 
 def _migrate_db(spark, cat, a):

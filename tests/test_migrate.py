@@ -94,3 +94,62 @@ def test_copy_files_clone(spark, warehouse):
             spark, warehouse, "copy_files",
             source_table="db.nat_pk", target_table="db.nat_clone",
         )
+
+
+def test_migrate_hudi_cow_table(spark, warehouse, tmp_path):
+    """Hudi COPY-ON-WRITE migration (paimon-hudi analog): keep the
+    newest completed base file per file group, ignore inflight
+    instants, hide _hoodie_* meta columns, refuse MERGE-ON-READ."""
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from flink_table_store_spark.migrate import migrate_hudi_table
+
+    src = str(tmp_path / "hudi_src")
+    hoodie = os.path.join(src, ".hoodie")
+    os.makedirs(hoodie)
+
+    def base_file(part_dir, file_id, instant, rows):
+        df = spark.createDataFrame(rows, "k bigint, v string").select(
+            F.lit(instant).alias("_hoodie_commit_time"),
+            F.lit("seq").alias("_hoodie_commit_seqno"),
+            F.col("k").cast("string").alias("_hoodie_record_key"),
+            F.lit(part_dir).alias("_hoodie_partition_path"),
+            F.lit("f").alias("_hoodie_file_name"),
+            "k",
+            "v",
+        )
+        d = os.path.join(src, part_dir) if part_dir else src
+        os.makedirs(d, exist_ok=True)
+        tmp = str(tmp_path / "stage")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.replace(
+            os.path.join(tmp, part),
+            os.path.join(d, f"{file_id}_0-1-0_{instant}.parquet"),
+        )
+
+    # file group fg1 in partition p=a: two slices; the later one wins
+    base_file("p=a", "fg1-0", "20240101000000000", [(1, "old"), (2, "old")])
+    base_file("p=a", "fg1-0", "20240102000000000", [(1, "new"), (2, "new")])
+    # second file group, same partition
+    base_file("p=a", "fg2-0", "20240101000000000", [(3, "x")])
+    # another partition
+    base_file("p=b", "fg3-0", "20240102000000000", [(4, "y")])
+    # an INFLIGHT instant: its base file must be ignored
+    base_file("p=b", "fg4-0", "20240103000000000", [(9, "inflight")])
+    for instant in ("20240101000000000", "20240102000000000"):
+        open(os.path.join(hoodie, f"{instant}.commit"), "w").write("{}")
+    open(os.path.join(hoodie, "20240103000000000.inflight"), "w").write("")
+
+    t = migrate_hudi_table(spark, warehouse, src, "db.from_hudi")
+    got = {r.k: (r.v, r.p) for r in t.to_df(spark).collect()}
+    assert got == {1: ("new", "a"), 2: ("new", "a"), 3: ("x", "a"), 4: ("y", "b")}
+    assert not any(c.startswith("_hoodie_") for c in t.to_df(spark).columns)
+
+    # MOR refusal: a delta log file
+    open(os.path.join(src, "p=a", ".fg1-0_20240104.log.1"), "w").write("")
+    with pytest.raises(ValueError, match="MERGE-ON-READ"):
+        migrate_hudi_table(spark, warehouse, src, "db.from_hudi2")
