@@ -857,75 +857,90 @@ class Table:
         by_bucket: dict[tuple, list[ManifestEntry]] = {}
         for e in entries:
             by_bucket.setdefault((tuple(sorted(e.partition.items())), e.bucket), []).append(e)
-        selected: list[ManifestEntry] = []
-        whole_keys: set[tuple] = set()
-        whole_buckets: set[int] = set()
-        partial_buckets: set[int] = set()
-        for (ptk, bucket), group in by_bucket.items():
+        # whole and partial picks are processed as SEPARATE DataFrames:
+        # a whole group drops its -D rows and commits at MAX_LEVEL, a
+        # partial group keeps them at level 0 — EXACTLY per
+        # (partition, bucket), with no cross-partition bucket-number
+        # conservatism (every partition shares bucket ids, so a
+        # bucket-int intersection would never finalize anything on a
+        # partitioned table)
+        selected_whole: list[ManifestEntry] = []
+        selected_partial: list[ManifestEntry] = []
+        for (_ptk, _bucket), group in by_bucket.items():
             runs = sorted(group, key=lambda e: (e.max_seq, e.file_name))
             pick = self._pick_universal(runs, amp, ratio, trigger)
             if not pick:
                 continue
-            selected.extend(pick)
-            if len(pick) == len(runs):
-                whole_buckets.add(bucket)
-                whole_keys.add((ptk, bucket))
-            else:
-                partial_buckets.add(bucket)
+            (selected_whole if len(pick) == len(runs) else selected_partial).extend(pick)
+        selected = selected_whole + selected_partial
         if not selected:
             return snap
         dv = read_mod.dv_dataframe(spark, self.path, snap.dv_files)
-        df = read_mod._read_files(
-            spark, self.path, selected, schema, self.all_schemas(),
-            with_system=True, dv=dv,
-        )
-        # a bucket is FINAL (commit at MAX_LEVEL, raw-readable) when its
-        # pick was whole AND its rewritten rows carry no residual
-        # deletes/retractions. Bucket-int sets are conservative across
-        # partitions sharing a bucket number.
-        droppable = sorted(whole_buckets - partial_buckets)
-        if engine in ("deduplicate", "first-row"):
-            merged = merge_engines.fold_winner(df, schema, BUCKET_COL)
-            # dropping -D is ONLY sound when no unmerged older run
-            # remains; buckets appearing in both sets keep deletes
-            # (conservative — kept -D rows filter at read time anyway)
-            if droppable:
-                merged = merged.where(
-                    (F.col(VALUE_KIND) != ROWKIND_DELETE)
-                    | ~F.col(BUCKET_COL).isin(droppable)
+        bad_kinds = ["-D"] if engine == "partial-update" else ["-D", "-U"]
+        new_entries: list[ManifestEntry] = []
+        if selected_whole:
+            df = read_mod._read_files(
+                spark, self.path, selected_whole, schema, self.all_schemas(),
+                with_system=True, dv=dv,
+            )
+            if engine in ("deduplicate", "first-row"):
+                # no unmerged older run remains in any of these groups:
+                # drop every -D winner, like a full compaction
+                merged = merge_engines.fold_winner(df, schema, BUCKET_COL).where(
+                    F.col(VALUE_KIND) != ROWKIND_DELETE
                 )
-            final_buckets = set(droppable)
-        else:
-            merged = merge_engines.fold_runs(df, schema, BUCKET_COL)
-            # retract/delete keys pass through unfolded; a whole bucket
-            # containing any is NOT final (its elision/retraction
-            # resolves at read or at a full compaction). The detection
-            # scan only runs when a whole pick could actually finalize.
-            final_buckets: set[int] = set()
-            if droppable:
-                bad_kinds = ["-D"] if engine == "partial-update" else ["-D", "-U"]
-                bad_buckets = {
-                    r[0]
-                    for r in df.where(F.col(VALUE_KIND).isin(bad_kinds))
-                    .select(BUCKET_COL)
+                residual = None
+            else:
+                folded = merge_engines.fold_runs(df, schema, BUCKET_COL)
+                # groups whose rows include a retract/delete pass
+                # through unfolded and stay NON-final (their elision /
+                # retraction resolves at read or at a full compaction);
+                # everything else is fully merged — raw-readable
+                bad = (
+                    df.where(F.col(VALUE_KIND).isin(bad_kinds))
+                    .select(*schema.partition_keys, BUCKET_COL)
                     .distinct()
-                    .collect()
-                }
-                final_buckets = set(droppable) - bad_buckets
-        new_entries = stage_and_collect(
-            merged,
-            self.path,
-            schema,
-            row_kind_col=VALUE_KIND,
-            target_level=0,
-            preserve_seq=True,
-        )
-        # whole-bucket fully-merged picks commit at MAX_LEVEL so the
-        # next read takes the raw path (read.py plan_scan level > 0)
-        bump = {k for k in whole_keys if k[1] in final_buckets}
-        for e in new_entries:
-            if (tuple(sorted(e.partition.items())), e.bucket) in bump:
-                e.level = MAX_LEVEL
+                )
+                on = list(schema.partition_keys) + [BUCKET_COL]
+                merged = folded.join(F.broadcast(bad), on=on, how="left_anti")
+                residual = folded.join(F.broadcast(bad), on=on, how="left_semi")
+            new_entries += stage_and_collect(
+                merged,
+                self.path,
+                schema,
+                row_kind_col=VALUE_KIND,
+                target_level=MAX_LEVEL,
+                preserve_seq=True,
+            )
+            if residual is not None:
+                new_entries += stage_and_collect(
+                    residual,
+                    self.path,
+                    schema,
+                    row_kind_col=VALUE_KIND,
+                    target_level=0,
+                    preserve_seq=True,
+                )
+        if selected_partial:
+            df = read_mod._read_files(
+                spark, self.path, selected_partial, schema, self.all_schemas(),
+                with_system=True, dv=dv,
+            )
+            if engine in ("deduplicate", "first-row"):
+                # keep -D winners: they must still cancel rows in the
+                # unmerged older runs (MergeTreeCompactRewriter
+                # dropDelete=false)
+                merged = merge_engines.fold_winner(df, schema, BUCKET_COL)
+            else:
+                merged = merge_engines.fold_runs(df, schema, BUCKET_COL)
+            new_entries += stage_and_collect(
+                merged,
+                self.path,
+                schema,
+                row_kind_col=VALUE_KIND,
+                target_level=0,
+                preserve_seq=True,
+            )
         deletes = []
         for e in selected:
             d = ManifestEntry(**{**e.__dict__})

@@ -74,7 +74,7 @@ def _read(spark, t):
 # --- family A: deduplicate + sequence.field --------------------------------
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", range(6))
 def test_fuzz_dedup_sequence_field(spark, warehouse, seed):
     rng = random.Random(4000 + seed)
     ddl = "k bigint, v bigint, ver bigint"
@@ -129,7 +129,7 @@ def test_fuzz_dedup_sequence_field(spark, warehouse, seed):
 # --- family B: partial-update + sequence-group -----------------------------
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", range(6))
 def test_fuzz_partial_update_groups(spark, warehouse, seed):
     rng = random.Random(4100 + seed)
     ddl = "k bigint, a string, b string, g bigint, c string"
@@ -212,7 +212,7 @@ def test_fuzz_partial_update_groups(spark, warehouse, seed):
 # --- family C: aggregation (sum / last_non_null / collect / merge_map) -----
 
 
-@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("seed", range(6))
 def test_fuzz_aggregation_retracts(spark, warehouse, seed):
     rng = random.Random(4200 + seed)
     ddl = "k bigint, s bigint, last string, vs array<bigint>, m map<string,bigint>"

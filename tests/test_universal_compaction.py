@@ -311,3 +311,84 @@ def test_universal_fold_gate(spark, warehouse):
     t1 = t1.refresh()
     assert len(_runs(t1)) == 1
     assert t1.to_df(spark).collect()[0].n == 6
+
+
+def test_universal_first_row_engine(spark, warehouse):
+    """first-row tables fold to the MIN-effective-sequence winner; a
+    partial merge of newer runs must not displace the first value."""
+    ddl = "k bigint, v bigint"
+    a = warehouse.create_table(
+        "db.unifr_a", ddl, primary_keys=["k"],
+        options={"bucket": "1", "merge-engine": "first-row"},
+    )
+    b = warehouse.create_table(
+        "db.unifr_b", ddl, primary_keys=["k"],
+        options={"bucket": "1", "merge-engine": "first-row"},
+    )
+    writes = [[(k, k) for k in range(2000)]] + [
+        [(i, 1000 + i), (2000 + i, 2000 + i)] for i in range(4)
+    ]
+    for w in writes:
+        df = spark.createDataFrame(w, ddl)
+        a.write(df)
+        b.write(df)
+    a, b = a.refresh(), b.refresh()
+    a.compact(spark, full=False, trigger_runs=3)
+    a = a.refresh()
+    assert len(_runs(a)) < len(_runs(b))
+    _assert_same(spark, a, b)
+    got = {r.k: r.v for r in a.to_df(spark).collect()}
+    assert got[1] == 1, "first value must survive the partial merge"
+    assert got[2001] == 2001
+
+
+def test_universal_with_lookup_changelog_producer(spark, warehouse):
+    """changelog-producer=lookup tables may take universal compaction
+    (only full-compaction producers pin to the legacy path): write-time
+    changelog is unaffected by a partial rewrite, and the audit log
+    still carries every change."""
+    t = _t(warehouse, "db.unicl", **{"changelog-producer": "lookup"})
+    t.write(spark.createDataFrame([(k, k) for k in range(2000)], DDL))
+    for i in range(4):
+        t.write(spark.createDataFrame([(i, 100 + i)], DDL))
+    t = t.refresh()
+    pre = len(_runs(t))
+    t.compact(spark, full=False, trigger_runs=3)
+    t = t.refresh()
+    assert len(_runs(t)) < pre
+    got = {r.k: r.v for r in t.to_df(spark).collect()}
+    assert got[0] == 100 and got[3] == 103 and got[1999] == 1999
+
+
+def test_universal_partitioned_table_bump_per_partition(spark, warehouse):
+    """On a PARTITIONED PK table the whole-pick MAX_LEVEL bump applies
+    per (partition, bucket): a partition whose pick merged everything
+    commits at max level while a partition with an untouched big run
+    keeps its partial output at level 0."""
+    from flink_table_store_spark.manifest import MAX_LEVEL
+
+    ddl = "k bigint, v bigint, p int"
+    t = warehouse.create_table(
+        "db.unipt", ddl, primary_keys=["k", "p"], partition_keys=["p"],
+        options={"bucket": "1"},
+    )
+    # p=0: five similar small runs -> whole pick; p=1: big base + smalls -> partial
+    t.write(spark.createDataFrame([(k, k, 1) for k in range(4000)], ddl))
+    for i in range(4):
+        t.write(
+            spark.createDataFrame(
+                [(i, 10 + i, 0), (100 + i, 100 + i, 0), (i, 500 + i, 1)], ddl
+            )
+        )
+    t = t.refresh()
+    t.compact(spark, full=False, trigger_runs=3)
+    t = t.refresh()
+    runs = _runs(t)
+    lv = {(tuple(sorted(e.partition.items())), e.level) for e in runs}
+    p0_levels = {l for (pt, l) in lv if pt == (("p", "0"),)}
+    p1_levels = {l for (pt, l) in lv if pt == (("p", "1"),)}
+    assert p0_levels == {MAX_LEVEL}, lv
+    assert 0 in p1_levels, lv
+    got = {(r.k, r.p): r.v for r in t.to_df(spark).collect()}
+    assert got[(2, 0)] == 12 and got[(102, 0)] == 102
+    assert got[(2, 1)] == 502 and got[(3999, 1)] == 3999
