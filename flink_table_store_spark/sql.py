@@ -43,6 +43,25 @@ def _view_name(key: str) -> str:
     return "ftss_" + hashlib.md5(key.encode()).hexdigest()[:10]
 
 
+def _split_depth0(s: str) -> list[str]:
+    """Split on commas at angle-bracket depth 0 (generic types like
+    map<string,array<int>> keep their inner commas)."""
+    out, buf, depth = [], [], 0
+    for ch in s:
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        out.append("".join(buf))
+    return out
+
+
 def _literal(tok: str) -> Any:
     tok = tok.strip()
     if (tok.startswith("'") and tok.endswith("'")) or (
@@ -165,6 +184,8 @@ class SqlSession:
             return self._update(q)
         if head == "MERGE":
             return self._merge(q)
+        if head == "ALTER":
+            return self._alter(q)
         return self.spark.sql(self._rewrite(q))
 
     # --- reference rewriting (SELECT path) ---
@@ -281,6 +302,56 @@ class SqlSession:
             return f"{kw} {self._register(raw, travel.strip(), _depth)}"
 
         return _REF.sub(ref_sub, q)
+
+    # --- ALTER TABLE DDL -> schema evolution (SchemaChange.java ops) ---
+
+    def _alter(self, q: str):
+        """ALTER TABLE <t> ADD COLUMN[S] a type[, ...] | DROP COLUMN[S]
+        a[, ...] | RENAME COLUMN a TO b | ALTER COLUMN a TYPE t |
+        SET/UNSET TBLPROPERTIES (...). Column names may be dotted
+        struct-leaf paths at any depth (nested field ids)."""
+        m = re.match(r"(?is)ALTER\s+TABLE\s+([\w.]+)\s+(.*)$", q)
+        if not m:
+            raise ValueError(f"cannot parse ALTER statement: {q}")
+        ident, body = m.group(1), m.group(2).strip()
+        t = self.catalog.get_table(ident)
+        changes: list[dict[str, Any]] = []
+        if am := re.match(r"(?is)ADD\s+COLUMNS?\s*\(?\s*(.*?)\)?\s*$", body):
+            for piece in _split_depth0(am.group(1)):
+                name, _, typ = piece.strip().partition(" ")
+                if not name or not typ.strip():
+                    raise ValueError(f"ADD COLUMN needs 'name type': {piece!r}")
+                changes.append(
+                    {"action": "add_column", "name": name.strip("`"), "type": typ.strip()}
+                )
+        elif dm := re.match(r"(?is)DROP\s+COLUMNS?\s*\(?\s*(.*?)\)?\s*$", body):
+            for piece in dm.group(1).split(","):
+                changes.append({"action": "drop_column", "name": piece.strip().strip("`")})
+        elif rm := re.match(
+            r"(?is)RENAME\s+COLUMN\s+`?([\w.]+)`?\s+TO\s+`?(\w+)`?\s*$", body
+        ):
+            changes.append(
+                {"action": "rename_column", "name": rm.group(1), "new_name": rm.group(2)}
+            )
+        elif cm := re.match(
+            r"(?is)(?:ALTER|CHANGE)\s+COLUMN\s+`?([\w.]+)`?\s+TYPE\s+(.+)$", body
+        ):
+            changes.append(
+                {"action": "update_column_type", "name": cm.group(1), "type": cm.group(2).strip()}
+            )
+        elif sm := re.match(r"(?is)SET\s+TBLPROPERTIES\s*\((.*)\)\s*$", body):
+            for piece in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", sm.group(1)):
+                k, _, v = piece.partition("=")
+                changes.append(
+                    {"action": "set_option", "key": str(_literal(k)), "value": _literal(v)}
+                )
+        elif um := re.match(r"(?is)UNSET\s+TBLPROPERTIES\s*\((.*)\)\s*$", body):
+            for piece in um.group(1).split(","):
+                changes.append({"action": "remove_option", "key": str(_literal(piece))})
+        else:
+            raise ValueError(f"unsupported ALTER TABLE clause: {body}")
+        t.evolve_schema(changes)
+        return None
 
     # --- CALL sys.<procedure>(...) ---
 

@@ -166,3 +166,31 @@ def test_sql_bucketed_join_tvf(spark, warehouse):
     # the join itself contributes no Exchange; only the GROUP BY shuffles
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" in plan
+
+
+def test_alter_table_schema_evolution(spark, warehouse):
+    """ALTER TABLE DDL routes to schema evolution, including NESTED
+    rename/retype by field id and table properties."""
+    from flink_table_store_spark.sql import SqlSession
+
+    s = SqlSession(spark, warehouse)
+    ddl = "k bigint, v int, st struct<a: struct<x: int>>"
+    t = warehouse.create_table("db.alter_t", ddl)
+    t.write(spark.createDataFrame([(1, 5, ((7,),))], ddl))
+
+    s.sql("ALTER TABLE db.alter_t ADD COLUMNS extra string, st.a.y double")
+    s.sql("ALTER TABLE db.alter_t RENAME COLUMN st.a.x TO xx")
+    s.sql("ALTER TABLE db.alter_t ALTER COLUMN v TYPE bigint")
+    s.sql("ALTER TABLE db.alter_t SET TBLPROPERTIES ('write-only'='true')")
+    t = t.refresh()
+    assert t.schema.field("st").type == "struct<a:struct<xx:int,y:double>>"
+    assert t.schema.field("v").type == "bigint"
+    assert t.schema.options.get("write-only") == "true"
+    [r] = t.to_df(spark).collect()
+    assert r.st.a.xx == 7 and r.v == 5 and r.extra is None
+
+    s.sql("ALTER TABLE db.alter_t DROP COLUMN extra")
+    s.sql("ALTER TABLE db.alter_t UNSET TBLPROPERTIES ('write-only')")
+    t = t.refresh()
+    assert "extra" not in t.schema.field_names()
+    assert "write-only" not in t.schema.options
