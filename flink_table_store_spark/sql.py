@@ -62,6 +62,29 @@ def _split_depth0(s: str) -> list[str]:
     return out
 
 
+def _split_depth0_parens(s: str) -> list[str]:
+    """Split on commas outside BOTH <> and () nesting (PRIMARY KEY
+    (a, b) keeps its commas)."""
+    out, buf, angle, paren = [], [], 0, 0
+    for ch in s:
+        if ch == "<":
+            angle += 1
+        elif ch == ">":
+            angle -= 1
+        elif ch == "(":
+            paren += 1
+        elif ch == ")":
+            paren -= 1
+        if ch == "," and angle == 0 and paren == 0:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        out.append("".join(buf))
+    return out
+
+
 def _literal(tok: str) -> Any:
     tok = tok.strip()
     if (tok.startswith("'") and tok.endswith("'")) or (
@@ -186,6 +209,14 @@ class SqlSession:
             return self._merge(q)
         if head == "ALTER":
             return self._alter(q)
+        if head == "CREATE" and re.match(r"(?is)CREATE\s+TABLE\b", q):
+            return self._create(q)
+        if head == "DROP" and re.match(r"(?is)DROP\s+TABLE\b", q):
+            return self._drop(q)
+        if head == "SHOW" and re.match(r"(?is)SHOW\s+TABLES\b", q):
+            return self._show_tables(q)
+        if head in ("DESCRIBE", "DESC"):
+            return self._describe(q)
         return self.spark.sql(self._rewrite(q))
 
     # --- reference rewriting (SELECT path) ---
@@ -302,6 +333,80 @@ class SqlSession:
             return f"{kw} {self._register(raw, travel.strip(), _depth)}"
 
         return _REF.sub(ref_sub, q)
+
+    # --- CREATE / DROP / SHOW / DESCRIBE DDL --------------------------------
+
+    def _create(self, q: str):
+        """CREATE TABLE [IF NOT EXISTS] db.t (col type, ...[, PRIMARY
+        KEY (a, b)]) [PARTITIONED BY (c, ...)] [TBLPROPERTIES
+        ('k'='v', ...)] — the reference's Spark DDL shape."""
+        hm = re.match(r"(?is)CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\(", q)
+        if not hm:
+            raise ValueError(f"cannot parse CREATE TABLE: {q}")
+        if_not_exists, ident = hm.group(1), hm.group(2)
+        # balanced-paren scan for the column list (types and PRIMARY KEY
+        # contain parens/commas of their own)
+        start = hm.end()
+        depth, i = 1, start
+        while i < len(q) and depth:
+            if q[i] == "(":
+                depth += 1
+            elif q[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise ValueError(f"unbalanced parentheses in CREATE TABLE: {q}")
+        cols_s, rest = q[start : i - 1], q[i:]
+        part_s = props_s = None
+        if pm := re.search(r"(?is)PARTITIONED\s+BY\s*\(([^)]*)\)", rest):
+            part_s = pm.group(1)
+        if tm := re.search(r"(?is)TBLPROPERTIES\s*\((.*)\)\s*$", rest):
+            props_s = tm.group(1)
+        cols, pks = [], []
+        for piece in _split_depth0_parens(cols_s):
+            piece = piece.strip()
+            if km := re.match(r"(?is)PRIMARY\s+KEY\s*\(([^)]*)\)", piece):
+                pks = [c.strip().strip("`") for c in km.group(1).split(",")]
+                continue
+            name, _, typ = piece.partition(" ")
+            if not typ.strip():
+                raise ValueError(f"column needs 'name type': {piece!r}")
+            cols.append(f"{name.strip('`')} {typ.strip()}")
+        options: dict[str, str] = {}
+        if props_s:
+            for piece in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", props_s):
+                k, _, v = piece.partition("=")
+                options[str(_literal(k))] = str(_literal(v))
+        parts = [c.strip().strip("`") for c in part_s.split(",")] if part_s else None
+        return self.catalog.create_table(
+            ident,
+            ", ".join(cols),
+            partition_keys=parts,
+            primary_keys=pks or None,
+            options=options,
+            ignore_if_exists=bool(if_not_exists),
+        )
+
+    def _drop(self, q: str):
+        m = re.match(r"(?is)DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$", q)
+        if not m:
+            raise ValueError(f"cannot parse DROP TABLE: {q}")
+        self.catalog.drop_table(m.group(2), ignore_if_not_exists=bool(m.group(1)))
+        return None
+
+    def _show_tables(self, q: str):
+        m = re.match(r"(?is)SHOW\s+TABLES(?:\s+(?:IN|FROM)\s+([\w]+))?\s*$", q)
+        dbs = [m.group(1)] if m and m.group(1) else self.catalog.list_databases()
+        rows = [(db, t) for db in dbs for t in self.catalog.list_tables(db)]
+        return self.spark.createDataFrame(rows or [], "database string, tableName string")
+
+    def _describe(self, q: str):
+        m = re.match(r"(?is)DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w.]+)\s*$", q)
+        if not m:
+            raise ValueError(f"cannot parse DESCRIBE: {q}")
+        t = self.catalog.get_table(m.group(1))
+        rows = [(f.name, f.type, f.nullable) for f in t.schema.fields]
+        return self.spark.createDataFrame(rows, "col_name string, data_type string, nullable boolean")
 
     # --- ALTER TABLE DDL -> schema evolution (SchemaChange.java ops) ---
 

@@ -194,3 +194,38 @@ def test_alter_table_schema_evolution(spark, warehouse):
     t = t.refresh()
     assert "extra" not in t.schema.field_names()
     assert "write-only" not in t.schema.options
+
+
+def test_create_drop_show_describe_ddl(spark, warehouse):
+    """Full SQL DDL lifecycle: CREATE TABLE with PK/partitions/props,
+    SHOW TABLES, DESCRIBE, INSERT + SELECT through the session, DROP."""
+    from flink_table_store_spark.sql import SqlSession
+
+    s = SqlSession(spark, warehouse)
+    s.sql(
+        "CREATE TABLE IF NOT EXISTS db.ddl_t ("
+        " k bigint, v string, m map<string,array<int>>, p int,"
+        " PRIMARY KEY (k, p)"
+        ") PARTITIONED BY (p) TBLPROPERTIES ('bucket'='2')"
+    )
+    t = warehouse.get_table("db.ddl_t")
+    assert t.schema.primary_keys == ["p", "k"] or t.schema.primary_keys == ["k", "p"]
+    assert t.schema.partition_keys == ["p"]
+    assert t.schema.options["bucket"] == "2"
+    assert t.schema.field("m").type == "map<string,array<int>>"
+
+    s.sql("INSERT INTO db.ddl_t VALUES (1, 'a', map('x', array(1,2)), 0)")
+    got = s.sql("SELECT k, v FROM db.ddl_t").collect()
+    assert [(r.k, r.v) for r in got] == [(1, "a")]
+
+    tables = {(r.database, r.tableName) for r in s.sql("SHOW TABLES IN db").collect()}
+    assert ("db", "ddl_t") in tables
+    desc = {r.col_name: r.data_type for r in s.sql("DESCRIBE db.ddl_t").collect()}
+    assert desc["m"] == "map<string,array<int>>"
+
+    s.sql("DROP TABLE db.ddl_t")
+    import pytest
+
+    with pytest.raises(Exception):
+        warehouse.get_table("db.ddl_t")
+    s.sql("DROP TABLE IF EXISTS db.ddl_t")  # idempotent
