@@ -54,9 +54,97 @@ def doctor(spark, table, check_orphans: bool = False) -> dict[str, Any]:
         _orphan_audit()
         return report
 
-    entries = table.manifests.read_live_entries(
-        snap.base_manifest_list, snap.delta_manifest_list
+    # metadata-scale: above the distributed-planning threshold the
+    # gauges compute AS SPARK AGGREGATIONS over the live-entry frame
+    # (the same liveness merge scans use) and the driver materializes
+    # only scalars — collecting millions of entries just to sum them
+    # would cost exactly the O(entries) loop this path exists to avoid
+    thr = int(table.schema.options.get("scan.manifest.distributed-threshold", "100000"))
+    big = (
+        spark is not None
+        and table.manifests.total_entry_rows(snap.base_manifest_list, snap.delta_manifest_list)
+        > thr
     )
+    opts = table.schema.options
+    idx_cols = sorted(
+        (set(fileindex.bloom_columns(opts)) | set(fileindex.bitmap_columns(opts)))
+        - set(table.schema.partition_keys)
+    )
+    entries: list = []
+    if big:
+        from pyspark.sql import functions as F
+
+        live = table.manifests.live_entries_frame(
+            spark, snap.base_manifest_list, snap.delta_manifest_list
+        )
+        cov_cond = None
+        for c in idx_cols:
+            has = (
+                F.get_json_object("stats", f"$['{c}']['bloom']").isNotNull()
+                | F.get_json_object("stats", f"$['{c}']['values']").isNotNull()
+                | F.get_json_object(
+                    "stats", f"$['{fileindex.INDEX_KEY}']['cols']['{c}']"
+                ).isNotNull()
+            )
+            cov_cond = has if cov_cond is None else (cov_cond & has)
+        agg = live.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("row_count").alias("rows"),
+            F.sum("file_size").alias("bytes"),
+            F.sum(F.when(F.col("file_size") > 0, 1).otherwise(0)).alias("sized"),
+            F.sum(
+                F.when((F.col("file_size") > 0) & (F.col("file_size") < SMALL_FILE_BYTES), 1).otherwise(0)
+            ).alias("small"),
+            F.sum(F.when(F.col("level") == 0, 1).otherwise(0)).alias("level0"),
+            (
+                F.sum(F.when(cov_cond, 1).otherwise(0)) if cov_cond is not None else F.lit(0)
+            ).alias("covered"),
+        ).collect()[0]
+        grp = (
+            live.groupBy("partition", "bucket")
+            .count()
+            .agg(F.count(F.lit(1)).alias("nb"), F.max("count").alias("worst"))
+            .collect()[0]
+        )
+        n_entries = agg["n"] or 0
+        total_rows = agg["rows"] or 0
+        total_bytes = agg["bytes"] or 0
+        n_sized, small = agg["sized"] or 0, agg["small"] or 0
+        level0, covered = agg["level0"] or 0, agg["covered"] or 0
+        n_buckets, worst_bucket_runs = grp["nb"] or 0, grp["worst"] or 0
+    else:
+        entries = table.manifests.read_live_entries(
+            snap.base_manifest_list, snap.delta_manifest_list
+        )
+        n_entries = len(entries)
+        total_rows = sum(e.row_count for e in entries)
+        sizes = [e.file_size for e in entries if e.file_size]
+        total_bytes, n_sized = sum(sizes), len(sizes)
+        small = sum(1 for s in sizes if s < SMALL_FILE_BYTES)
+        by_bucket: dict[tuple, int] = {}
+        level0 = 0
+        for e in entries:
+            key = (tuple(sorted(e.partition.items())), e.bucket)
+            by_bucket[key] = by_bucket.get(key, 0) + 1
+            if e.level == 0:
+                level0 += 1
+        n_buckets = len(by_bucket)
+        worst_bucket_runs = max(by_bucket.values(), default=0)
+        covered = 0
+        if idx_cols:
+            for e in entries:
+                sidecar_cols = set(
+                    (e.stats.get(fileindex.INDEX_KEY) or {}).get("cols") or []
+                )
+                if all(
+                    c in sidecar_cols
+                    or (
+                        isinstance(e.stats.get(c), dict)
+                        and ("bloom" in e.stats[c] or "values" in e.stats[c])
+                    )
+                    for c in idx_cols
+                ):
+                    covered += 1
 
     # manifest amplification: inherited list length vs live entries
     manifest_files = table.manifests.read_manifest_list(
@@ -64,8 +152,8 @@ def doctor(spark, table, check_orphans: bool = False) -> dict[str, Any]:
     ) + table.manifests.read_manifest_list(snap.delta_manifest_list)
     report["manifests"] = {
         "list_length": len(manifest_files),
-        "live_entries": len(entries),
-        "entries_per_manifest": round(len(entries) / max(len(manifest_files), 1), 1),
+        "live_entries": n_entries,
+        "entries_per_manifest": round(n_entries / max(len(manifest_files), 1), 1),
     }
     if len(manifest_files) >= MANIFEST_FOLD_WARN:
         findings.append(
@@ -73,26 +161,14 @@ def doctor(spark, table, check_orphans: bool = False) -> dict[str, Any]:
             "run compact_manifest() to fold them"
         )
 
-    # file population: sizes, levels, runs per bucket
-    total_rows = sum(e.row_count for e in entries)
-    sizes = [e.file_size for e in entries if e.file_size]
-    small = sum(1 for s in sizes if s < SMALL_FILE_BYTES)
-    by_bucket: dict[tuple, int] = {}
-    level0 = 0
-    for e in entries:
-        key = (tuple(sorted(e.partition.items())), e.bucket)
-        by_bucket[key] = by_bucket.get(key, 0) + 1
-        if e.level == 0:
-            level0 += 1
-    worst_bucket_runs = max(by_bucket.values(), default=0)
     pk = table.is_primary_key_table()
     report["files"] = {
-        "count": len(entries),
+        "count": n_entries,
         "rows": total_rows,
-        "bytes": sum(sizes),
+        "bytes": total_bytes,
         "small_files": small,
         "level0_files": level0,
-        "buckets": len(by_bucket),
+        "buckets": n_buckets,
         "max_runs_per_bucket": worst_bucket_runs,
     }
     # runs-per-bucket is the LSM merge-cost gauge — it only means
@@ -103,9 +179,9 @@ def doctor(spark, table, check_orphans: bool = False) -> dict[str, Any]:
             f"a bucket holds {worst_bucket_runs} runs — compact() to restore "
             "raw-read splits and merge cost"
         )
-    if sizes and small / len(sizes) > 0.5 and len(sizes) > 4:
+    if n_sized > 4 and small / n_sized > 0.5:
         findings.append(
-            f"{small}/{len(sizes)} live files are under {SMALL_FILE_BYTES >> 20} MB — "
+            f"{small}/{n_sized} live files are under {SMALL_FILE_BYTES >> 20} MB — "
             "small-file compaction recommended"
         )
 
@@ -129,35 +205,16 @@ def doctor(spark, table, check_orphans: bool = False) -> dict[str, Any]:
     # directory, not the column), so counting them would emit a finding
     # no procedure can ever clear. A file is covered only when EVERY
     # configured column has an inline index or a sidecar pointer
-    # (stats[INDEX_KEY]["cols"] — where the write path records them).
-    opts = table.schema.options
-    idx_cols = sorted(
-        (set(fileindex.bloom_columns(opts)) | set(fileindex.bitmap_columns(opts)))
-        - set(table.schema.partition_keys)
-    )
-    covered = 0
-    if idx_cols:
-        for e in entries:
-            sidecar_cols = set(
-                (e.stats.get(fileindex.INDEX_KEY) or {}).get("cols") or []
-            )
-            if all(
-                c in sidecar_cols
-                or (
-                    isinstance(e.stats.get(c), dict)
-                    and ("bloom" in e.stats[c] or "values" in e.stats[c])
-                )
-                for c in idx_cols
-            ):
-                covered += 1
+    # (stats[INDEX_KEY]["cols"] — where the write path records them);
+    # ``covered`` was computed above, Spark-side on the scale path.
     report["indexes"] = {
         "configured_columns": idx_cols,
         "files_covered": covered,
-        "files_total": len(entries),
+        "files_total": n_entries,
     }
-    if idx_cols and covered < len(entries):
+    if idx_cols and covered < n_entries:
         findings.append(
-            f"{len(entries) - covered}/{len(entries)} files lack a file index "
+            f"{n_entries - covered}/{n_entries} files lack a file index "
             "for the configured columns — rewrite_file_index() backfills"
         )
 

@@ -172,35 +172,21 @@ class ManifestManager:
                     pass
         return n
 
-    def live_entries_distributed(
-        self,
-        spark,
-        base_list: str | None,
-        delta_list: str | None,
-        predicate=None,
-        per_file_stats_safe: bool = True,
-        table_path: str | None = None,
-    ) -> list[ManifestEntry]:
-        """The scale path for planning over millions of files: the
-        ADD-minus-DELETE merge AND predicate pruning run as a Spark job
-        over the manifest parquets; the driver materializes ONLY the
-        surviving entries (reference: SnapshotReaderImpl's parallel
-        manifest scan / FileStoreScan.withManifestParallelism).
+    def live_entries_frame(self, spark, base_list: str | None, delta_list: str | None):
+        """Live manifest entries as a Spark DataFrame (latest ADD row
+        per live file) — the scale building block shared by distributed
+        scan planning and doctor's metadata-scale gauges. Returns None
+        when the snapshot references no manifests.
 
         Liveness is net-count parity per (partition,bucket,file_name):
         a file is live iff it has more ADD than DELETE records — the
         same fixpoint the driver's sequential dict merge reaches, since
-        a commit can only delete a live file or (re-)add a dead one.
-
-        Pruning applies the SAME Python ``Predicate.test_partition`` /
-        ``read._stats_test`` the driver path uses — executed in
-        executors over Arrow batches, so semantics are identical and
-        the driver never loops over pre-prune entries."""
+        a commit can only delete a live file or (re-)add a dead one."""
         from pyspark.sql import functions as F
 
         names = self.read_manifest_list(base_list) + self.read_manifest_list(delta_list)
         if not names:
-            return []
+            return None
         df = spark.read.parquet(*[os.path.join(self.dir, n) for n in names])
         key = ["partition", "bucket", "file_name"]
         net = (
@@ -237,6 +223,30 @@ class ManifestManager:
             .drop("__mf_name", "__mf_idx", "__row_idx", "__rn")
             .join(net, key, "left_semi")
         )
+        return live
+
+    def live_entries_distributed(
+        self,
+        spark,
+        base_list: str | None,
+        delta_list: str | None,
+        predicate=None,
+        per_file_stats_safe: bool = True,
+        table_path: str | None = None,
+    ) -> list[ManifestEntry]:
+        """The scale path for planning over millions of files: the
+        ADD-minus-DELETE merge AND predicate pruning run as a Spark job
+        over the manifest parquets; the driver materializes ONLY the
+        surviving entries (reference: SnapshotReaderImpl's parallel
+        manifest scan / FileStoreScan.withManifestParallelism).
+
+        Pruning applies the SAME Python ``Predicate.test_partition`` /
+        ``read._stats_test`` the driver path uses — executed in
+        executors over Arrow batches, so semantics are identical and
+        the driver never loops over pre-prune entries."""
+        live = self.live_entries_frame(spark, base_list, delta_list)
+        if live is None:
+            return []
 
         shippable = False
         if predicate is not None:
