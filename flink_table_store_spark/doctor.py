@@ -87,7 +87,10 @@ def doctor(spark, table, check_orphans: bool = False) -> dict[str, Any]:
                 ).isNotNull()
             )
             cov_cond = has if cov_cond is None else (cov_cond & has)
-        agg = live.agg(
+        # two-level agg in ONE action: per-bucket partials first, then a
+        # tiny second-level rollup — the expensive liveness merge
+        # (window + row_number over every manifest row) runs exactly once
+        per_bucket = live.groupBy("partition", "bucket").agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("row_count").alias("rows"),
             F.sum("file_size").alias("bytes"),
@@ -99,19 +102,24 @@ def doctor(spark, table, check_orphans: bool = False) -> dict[str, Any]:
             (
                 F.sum(F.when(cov_cond, 1).otherwise(0)) if cov_cond is not None else F.lit(0)
             ).alias("covered"),
-        ).collect()[0]
-        grp = (
-            live.groupBy("partition", "bucket")
-            .count()
-            .agg(F.count(F.lit(1)).alias("nb"), F.max("count").alias("worst"))
-            .collect()[0]
         )
+        agg = per_bucket.agg(
+            F.sum("n").alias("n"),
+            F.sum("rows").alias("rows"),
+            F.sum("bytes").alias("bytes"),
+            F.sum("sized").alias("sized"),
+            F.sum("small").alias("small"),
+            F.sum("level0").alias("level0"),
+            F.sum("covered").alias("covered"),
+            F.count(F.lit(1)).alias("nb"),
+            F.max("n").alias("worst"),
+        ).collect()[0]
         n_entries = agg["n"] or 0
         total_rows = agg["rows"] or 0
         total_bytes = agg["bytes"] or 0
         n_sized, small = agg["sized"] or 0, agg["small"] or 0
         level0, covered = agg["level0"] or 0, agg["covered"] or 0
-        n_buckets, worst_bucket_runs = grp["nb"] or 0, grp["worst"] or 0
+        n_buckets, worst_bucket_runs = agg["nb"] or 0, agg["worst"] or 0
     else:
         entries = table.manifests.read_live_entries(
             snap.base_manifest_list, snap.delta_manifest_list

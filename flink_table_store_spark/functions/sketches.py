@@ -455,7 +455,6 @@ def rbm_cardinality(data: bytes, bits: int = 32) -> int:
 # ---------------------------------------------------------------------------
 
 _HLL_FAMILY = 7
-_KEY_MASK_26 = (1 << 26) - 1
 # flags byte bits (hll/PreambleUtil.java)
 _HLL_F_EMPTY = 4
 _HLL_F_COMPACT = 8
@@ -498,8 +497,9 @@ def hll_parse(buf: bytes) -> tuple[int, str, np.ndarray]:
 def _hll_coupon_regs(coupons: np.ndarray, lgk: int) -> np.ndarray:
     regs = np.zeros(1 << lgk, dtype=np.uint8)
     if len(coupons):
-        # low 26 bits = slot address at max precision; fold to 2^lgK
-        slots = ((coupons & _KEY_MASK_26) & ((1 << lgk) - 1)).astype(np.int64)
+        # low 26 bits = slot address at max precision; lgK <= 21 < 26
+        # always, so folding to 2^lgK needs only the lgK-bit mask
+        slots = (coupons & ((1 << lgk) - 1)).astype(np.int64)
         vals = ((coupons >> 26) & 0x3F).astype(np.uint8)
         np.maximum.at(regs, slots, vals)
     return regs

@@ -314,6 +314,31 @@ def migrate_hudi_table(
     }
     if not completed:
         raise ValueError("no completed commit instants in the Hudi timeline")
+    # replacecommits (clustering / INSERT OVERWRITE) kill whole file
+    # groups: their old base files stay on disk until cleaning, so they
+    # must be excluded or the migration would double-count rows.
+    # Completed replacecommit metadata is JSON with
+    # partitionToReplaceFileIds: {partitionPath: [fileId, ...]}
+    replaced: dict[tuple[str, str], str] = {}  # (partition dir, fileId) -> instant
+    for fn in timeline:
+        if not fn.endswith(".replacecommit"):
+            continue
+        instant = fn.split(".", 1)[0]
+        try:
+            import json as _json
+
+            with open(os.path.join(hd, fn), "rb") as fh:
+                meta = _json.load(fh)
+            for ppath, fids in (meta.get("partitionToReplaceFileIds") or {}).items():
+                for fid in fids:
+                    key = (ppath or ".", fid)
+                    if replaced.get(key, "") < instant:
+                        replaced[key] = instant
+        except (ValueError, OSError) as exc:
+            raise ValueError(
+                f"cannot parse Hudi replacecommit metadata {fn} — refusing to "
+                "migrate: its replaced file groups would duplicate rows"
+            ) from exc
 
     # newest completed base file per (partition dir, file group)
     groups: dict[tuple[str, str], tuple[str, str, dict[str, str]]] = {}
@@ -322,11 +347,24 @@ def migrate_hudi_table(
         rel = os.path.relpath(dirpath, hudi_location)
         partition: dict[str, str] = {}
         if rel != ".":
-            for seg in rel.split(os.sep):
-                if "=" in seg:
-                    k, v = seg.split("=", 1)
-                    v = urllib.parse.unquote(v)
-                    partition[k] = "" if v == "__HIVE_DEFAULT_PARTITION__" else v
+            segs = rel.split(os.sep)
+            if not all("=" in seg for seg in segs):
+                # default hudi layout (hive_style_partitioning=false)
+                # writes bare value dirs — key names are unrecoverable
+                # from paths, so refuse loudly instead of silently
+                # migrating the table as unpartitioned
+                if any(fn.endswith(".parquet") for fn in files):
+                    raise ValueError(
+                        f"non-hive-style partition path {rel!r} — only "
+                        "hive_style_partitioning=true Hudi tables are "
+                        "migratable (partition keys are not recoverable "
+                        "from bare value paths)"
+                    )
+                continue
+            for seg in segs:
+                k, v = seg.split("=", 1)
+                v = urllib.parse.unquote(v)
+                partition[k] = "" if v == "__HIVE_DEFAULT_PARTITION__" else v
         for fn in files:
             if fn.endswith(".log") or ".log." in fn:
                 raise ValueError("MERGE-ON-READ Hudi tables (log files) are not migratable")
@@ -342,17 +380,31 @@ def migrate_hudi_table(
             cur = groups.get(key)
             if cur is None or instant > cur[0]:
                 groups[key] = (instant, os.path.join(dirpath, fn), partition)
+    # drop file groups whose newest slice predates a replacecommit that
+    # replaced them (the replacing instant's NEW file groups survive)
+    groups = {
+        k: v for k, v in groups.items()
+        if not (k in replaced and v[0] <= replaced[k])
+    }
     if not groups:
         raise ValueError("no completed Hudi base files found")
 
-    sample = next(iter(groups.values()))[1]
-    # basePath: hive-style partition directories become typed schema
-    # columns (they must be declared fields of the managed table)
-    full = spark.read.option("basePath", hudi_location).parquet(sample).schema
+    # schema: merge EVERY surviving footer (distributed, metadata-only)
+    # so columns added by later Hudi commits are kept — one arbitrary
+    # file would silently drop them under schema evolution
+    full = (
+        spark.read.option("mergeSchema", "true")
+        .option("basePath", hudi_location)
+        .parquet(*[src for _i, src, _p in groups.values()])
+        .schema
+    )
     import pyspark.sql.types as T
 
     data_fields = [f for f in full.fields if not f.name.startswith("_hoodie_")]
-    partition_keys = sorted(next(iter(groups.values()))[2].keys())
+    keysets = {tuple(sorted(p.keys())) for _i, _s, p in groups.values()}
+    if len(keysets) > 1:
+        raise ValueError(f"inconsistent partition paths across base files: {sorted(keysets)}")
+    partition_keys = sorted(next(iter(keysets)))
     table = catalog.create_table(
         target,
         T.StructType(data_fields),

@@ -43,28 +43,10 @@ def _view_name(key: str) -> str:
     return "ftss_" + hashlib.md5(key.encode()).hexdigest()[:10]
 
 
-def _split_depth0(s: str) -> list[str]:
-    """Split on commas at angle-bracket depth 0 (generic types like
-    map<string,array<int>> keep their inner commas)."""
-    out, buf, depth = [], [], 0
-    for ch in s:
-        if ch == "<":
-            depth += 1
-        elif ch == ">":
-            depth -= 1
-        if ch == "," and depth == 0:
-            out.append("".join(buf))
-            buf = []
-        else:
-            buf.append(ch)
-    if buf:
-        out.append("".join(buf))
-    return out
-
-
 def _split_depth0_parens(s: str) -> list[str]:
-    """Split on commas outside BOTH <> and () nesting (PRIMARY KEY
-    (a, b) keeps its commas)."""
+    """Split on commas outside BOTH <> and () nesting (generic types
+    like map<string,array<int>>, parameterized types like
+    decimal(10,2), and PRIMARY KEY (a, b) keep their inner commas)."""
     out, buf, angle, paren = [], [], 0, 0
     for ch in s:
         if ch == "<":
@@ -83,6 +65,24 @@ def _split_depth0_parens(s: str) -> list[str]:
     if buf:
         out.append("".join(buf))
     return out
+
+
+def _strip_wrap_parens(s: str) -> str:
+    """Strip ONE pair of parens only when they wrap the whole string —
+    'a decimal(10,2)' must keep its type parens while '(a int, b int)'
+    loses the list wrapper."""
+    s = s.strip()
+    if not (s.startswith("(") and s.endswith(")")):
+        return s
+    depth = 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return s[1:-1].strip() if i == len(s) - 1 else s
+    return s
 
 
 def _literal(tok: str) -> Any:
@@ -395,9 +395,22 @@ class SqlSession:
         return None
 
     def _show_tables(self, q: str):
-        m = re.match(r"(?is)SHOW\s+TABLES(?:\s+(?:IN|FROM)\s+([\w]+))?\s*$", q)
-        dbs = [m.group(1)] if m and m.group(1) else self.catalog.list_databases()
+        m = re.match(
+            r"(?is)SHOW\s+TABLES(?:\s+(?:IN|FROM)\s+([\w]+))?"
+            r"(?:\s+LIKE\s+'([^']*)')?\s*$",
+            q,
+        )
+        if not m:
+            raise ValueError(f"cannot parse SHOW TABLES: {q}")
+        dbs = [m.group(1)] if m.group(1) else self.catalog.list_databases()
         rows = [(db, t) for db in dbs for t in self.catalog.list_tables(db)]
+        if m.group(2) is not None:
+            # SQL LIKE pattern: % = any run, _ = any single char
+            pat = re.compile(
+                "^" + re.escape(m.group(2)).replace("%", ".*").replace("_", ".") + "$",
+                re.IGNORECASE,
+            )
+            rows = [(db, t) for db, t in rows if pat.match(t)]
         return self.spark.createDataFrame(rows or [], "database string, tableName string")
 
     def _describe(self, q: str):
@@ -421,16 +434,18 @@ class SqlSession:
         ident, body = m.group(1), m.group(2).strip()
         t = self.catalog.get_table(ident)
         changes: list[dict[str, Any]] = []
-        if am := re.match(r"(?is)ADD\s+COLUMNS?\s*\(?\s*(.*?)\)?\s*$", body):
-            for piece in _split_depth0(am.group(1)):
+        if am := re.match(r"(?is)ADD\s+COLUMNS?\s+(.*)$", body):
+            # _split_depth0_parens (not a naive split): parameterized
+            # types like decimal(10,2) carry commas and parens
+            for piece in _split_depth0_parens(_strip_wrap_parens(am.group(1))):
                 name, _, typ = piece.strip().partition(" ")
                 if not name or not typ.strip():
                     raise ValueError(f"ADD COLUMN needs 'name type': {piece!r}")
                 changes.append(
                     {"action": "add_column", "name": name.strip("`"), "type": typ.strip()}
                 )
-        elif dm := re.match(r"(?is)DROP\s+COLUMNS?\s*\(?\s*(.*?)\)?\s*$", body):
-            for piece in dm.group(1).split(","):
+        elif dm := re.match(r"(?is)DROP\s+COLUMNS?\s+(.*)$", body):
+            for piece in _strip_wrap_parens(dm.group(1)).split(","):
                 changes.append({"action": "drop_column", "name": piece.strip().strip("`")})
         elif rm := re.match(
             r"(?is)RENAME\s+COLUMN\s+`?([\w.]+)`?\s+TO\s+`?(\w+)`?\s*$", body

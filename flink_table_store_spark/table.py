@@ -11,6 +11,7 @@ PK upsert) re-expressed as DataFrame jobs.
 
 from __future__ import annotations
 
+import functools
 import os
 import re
 from typing import Any
@@ -891,7 +892,10 @@ class Table:
                 )
                 residual = None
             else:
-                folded = merge_engines.fold_runs(df, schema, BUCKET_COL)
+                # persist: the fold (file read + window + groupBy) feeds
+                # TWO write actions below — without it each
+                # stage_and_collect would recompute the whole merge
+                folded = merge_engines.fold_runs(df, schema, BUCKET_COL).persist()
                 # groups whose rows include a retract/delete pass
                 # through unfolded and stay NON-final (their elision /
                 # retraction resolves at read or at a full compaction);
@@ -902,8 +906,18 @@ class Table:
                     .distinct()
                 )
                 on = list(schema.partition_keys) + [BUCKET_COL]
-                merged = folded.join(F.broadcast(bad), on=on, how="left_anti")
-                residual = folded.join(F.broadcast(bad), on=on, how="left_semi")
+                # eqNullSafe, not USING-column equality: a NULL
+                # partition value must still match its bad-group row,
+                # or an unresolved -D group would finalize at MAX_LEVEL
+                b = F.broadcast(bad.alias("bad"))
+                fa = folded.alias("f")
+                cond = functools.reduce(
+                    lambda a, c: a & F.col(f"f.{c}").eqNullSafe(F.col(f"bad.{c}")),
+                    on[1:],
+                    F.col(f"f.{on[0]}").eqNullSafe(F.col(f"bad.{on[0]}")),
+                )
+                merged = fa.join(b, on=cond, how="left_anti")
+                residual = fa.join(b, on=cond, how="left_semi")
             new_entries += stage_and_collect(
                 merged,
                 self.path,
@@ -921,6 +935,7 @@ class Table:
                     target_level=0,
                     preserve_seq=True,
                 )
+                folded.unpersist()
         if selected_partial:
             df = read_mod._read_files(
                 spark, self.path, selected_partial, schema, self.all_schemas(),

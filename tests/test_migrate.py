@@ -153,3 +153,80 @@ def test_migrate_hudi_cow_table(spark, warehouse, tmp_path):
     open(os.path.join(src, "p=a", ".fg1-0_20240104.log.1"), "w").write("")
     with pytest.raises(ValueError, match="MERGE-ON-READ"):
         migrate_hudi_table(spark, warehouse, src, "db.from_hudi2")
+
+
+def test_migrate_hudi_replacecommit_and_evolution(spark, warehouse, tmp_path):
+    """replacecommit (clustering / INSERT OVERWRITE) kills the replaced
+    file groups even though their parquet is still on disk; the table
+    schema merges footers so later-commit columns survive."""
+    import json
+    import os
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from flink_table_store_spark.migrate import migrate_hudi_table
+
+    src = str(tmp_path / "hudi_rc")
+    hoodie = os.path.join(src, ".hoodie")
+    os.makedirs(hoodie)
+
+    def base_file(part_dir, file_id, instant, df):
+        d = os.path.join(src, part_dir) if part_dir else src
+        os.makedirs(d, exist_ok=True)
+        tmp = str(tmp_path / "stage_rc")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.replace(
+            os.path.join(tmp, part),
+            os.path.join(d, f"{file_id}_0-1-0_{instant}.parquet"),
+        )
+
+    # original group g1 (commit t1), then an insert_overwrite
+    # replacecommit t2 replaces g1 with g2 — g1's parquet stays on disk.
+    # g2's file (written at t2) adds a column "extra" to test schema merge.
+    base_file("p=a", "g1-0", "t1", spark.createDataFrame([(1, "pre")], "k bigint, v string"))
+    base_file(
+        "p=a",
+        "g2-0",
+        "t2",
+        spark.createDataFrame([(2, "post", "e2")], "k bigint, v string, extra string"),
+    )
+    open(os.path.join(hoodie, "t1.commit"), "w").write("{}")
+    with open(os.path.join(hoodie, "t2.replacecommit"), "w") as fh:
+        json.dump({"partitionToReplaceFileIds": {"p=a": ["g1-0"]}}, fh)
+
+    t = migrate_hudi_table(spark, warehouse, src, "db.hudi_rc")
+    rows = t.to_df(spark).collect()
+    # ONLY the post-overwrite row — g1 excluded despite being on disk
+    assert [(r.k, r.v, r.extra, r.p) for r in rows] == [(2, "post", "e2", "a")]
+    assert "extra" in t.to_df(spark).columns
+
+    # unparseable replacecommit metadata must refuse, not duplicate
+    with open(os.path.join(hoodie, "t2.replacecommit"), "w") as fh:
+        fh.write("not json")
+    with pytest.raises(ValueError, match="replacecommit"):
+        migrate_hudi_table(spark, warehouse, src, "db.hudi_rc2")
+
+
+def test_migrate_hudi_non_hive_partitions_refused(spark, warehouse, tmp_path):
+    """Default hudi layout (bare value dirs, hive_style=false) must be
+    refused loudly — keys are unrecoverable from paths."""
+    import os
+
+    import pytest
+
+    from flink_table_store_spark.migrate import migrate_hudi_table
+
+    src = str(tmp_path / "hudi_bare")
+    hoodie = os.path.join(src, ".hoodie")
+    os.makedirs(os.path.join(src, "2021", "03"))
+    os.makedirs(hoodie)
+    df = spark.createDataFrame([(1, "x")], "k bigint, v string")
+    tmp = str(tmp_path / "stage_bare")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+    os.replace(os.path.join(tmp, part), os.path.join(src, "2021", "03", "g1-0_0-1-0_t1.parquet"))
+    open(os.path.join(hoodie, "t1.commit"), "w").write("{}")
+    with pytest.raises(ValueError, match="non-hive-style"):
+        migrate_hudi_table(spark, warehouse, src, "db.hudi_bare")

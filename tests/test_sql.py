@@ -229,3 +229,29 @@ def test_create_drop_show_describe_ddl(spark, warehouse):
     with pytest.raises(Exception):
         warehouse.get_table("db.ddl_t")
     s.sql("DROP TABLE IF EXISTS db.ddl_t")  # idempotent
+
+
+def test_add_column_parameterized_types_and_show_like(spark, warehouse):
+    """ADD COLUMN with decimal(p,s)/varchar(n) keeps the type's parens
+    and inner comma; SHOW TABLES LIKE filters instead of silently
+    listing everything."""
+    import pytest
+
+    from flink_table_store_spark.sql import SqlSession
+
+    s = SqlSession(spark, warehouse)
+    warehouse.create_table("db.ptype_t", "k bigint, v string")
+    s.sql("ALTER TABLE db.ptype_t ADD COLUMN d decimal(10,2)")
+    s.sql("ALTER TABLE db.ptype_t ADD COLUMNS (n decimal(5,1), w string)")
+    t = warehouse.get_table("db.ptype_t")
+    assert t.schema.field("d").type == "decimal(10,2)"
+    assert t.schema.field("n").type == "decimal(5,1)"
+    assert t.schema.field("w").type == "string"
+
+    warehouse.create_table("db.ptype_other", "k bigint")
+    liked = {r.tableName for r in s.sql("SHOW TABLES IN db LIKE 'ptype%'").collect()}
+    assert liked == {"ptype_t", "ptype_other"}
+    none = s.sql("SHOW TABLES IN db LIKE 'zzz%'").collect()
+    assert none == []
+    with pytest.raises(ValueError, match="SHOW TABLES"):
+        s.sql("SHOW TABLES IN db WHERE x")

@@ -392,3 +392,37 @@ def test_universal_partitioned_table_bump_per_partition(spark, warehouse):
     got = {(r.k, r.p): r.v for r in t.to_df(spark).collect()}
     assert got[(2, 0)] == 12 and got[(102, 0)] == 102
     assert got[(2, 1)] == 502 and got[(3999, 1)] == 3999
+
+
+def test_universal_null_partition_retract_not_finalized(spark, warehouse):
+    """eqNullSafe finalization join: a NULL-partition group containing a
+    retract must go to the level-0 residual, not finalize at MAX_LEVEL
+    (plain column-equality joins never match NULL keys)."""
+    from flink_table_store_spark.manifest import MAX_LEVEL
+
+    ddl = "p string, k bigint, v bigint"
+    t = warehouse.create_table(
+        "db.uninull", ddl, partition_keys=["p"], primary_keys=["p", "k"],
+        options={
+            "bucket": "1",
+            "merge-engine": "aggregation",
+            "fields.v.aggregate-function": "sum",
+        },
+    )
+    for _ in range(3):
+        t.write(spark.createDataFrame([(None, 1, 10), ("a", 2, 1)], ddl))
+    rddl = "p string, k bigint, v bigint, rk string"
+    t.write(
+        spark.createDataFrame([(None, 1, 4, "-U"), ("a", 3, 7, "+I")], rddl),
+        row_kind_col="rk",
+    )
+    t = t.refresh()
+    t.compact(spark, full=False, trigger_runs=2)
+    t = t.refresh()
+    got = {(r.p, r.k): r.v for r in t.to_df(spark).collect()}
+    assert got == {(None, 1): 26, ("a", 2): 3, ("a", 3): 7}
+    runs = _runs(t)
+    null_levels = {e.level for e in runs if e.partition.get("p") in (None, "")}
+    a_levels = {e.level for e in runs if e.partition.get("p") == "a"}
+    assert null_levels == {0}, runs
+    assert a_levels == {MAX_LEVEL}, runs
