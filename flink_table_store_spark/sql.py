@@ -37,6 +37,35 @@ _TVF = re.compile(
 _KEYWORDS = {
     "select", "values", "unnest", "lateral", "table", "range",
 }
+# FROM a [AS] x JOIN b [AS] y ON <cond> — the auto-elision candidate
+# shape. Alias tokens must not swallow the join keywords.
+_ALIAS = r"(?:\s+AS)?(?:\s+(?!(?:INNER|LEFT|RIGHT|FULL|CROSS|JOIN|ON|WHERE|GROUP|ORDER|HAVING|LIMIT|UNION)\b)([A-Za-z_]\w*))?"
+_AUTO_JOIN = re.compile(
+    r"(?is)\bFROM\s+([A-Za-z_][\w.]*)" + _ALIAS +
+    r"\s+((?:INNER\s+|LEFT\s+(?:OUTER\s+)?|RIGHT\s+(?:OUTER\s+)?|FULL\s+(?:OUTER\s+)?)?JOIN)\s+"
+    r"([A-Za-z_][\w.]*)" + _ALIAS +
+    r"\s+ON\s+(.*?)(?=\s+(?:WHERE|GROUP|ORDER|HAVING|LIMIT|UNION)\b|\s*$)"
+)
+
+
+def _strip_qualifiers(
+    s: str, quals: set[str], renames: list[tuple[re.Pattern, str]] = ()
+) -> str:
+    """Apply ``renames`` then remove ``alias.`` prefixes, both outside
+    single-quoted literals."""
+    pat = re.compile(
+        r"\b(?:"
+        + "|".join(re.escape(x) for x in sorted(quals, key=len, reverse=True))
+        + r")\.(?=[\w`])"
+    )
+
+    def fix(p: str) -> str:
+        for rp, repl in renames:
+            p = rp.sub(repl, p)
+        return pat.sub("", p)
+
+    parts = re.split(r"('(?:[^']|'')*')", s)
+    return "".join(p if p.startswith("'") else fix(p) for p in parts)
 
 
 def _view_name(key: str) -> str:
@@ -324,6 +353,9 @@ class SqlSession:
             return name
 
         q = _TVF.sub(tvf_sub, q)
+        auto = self._auto_bucketed_join(q)
+        if auto is not None:
+            q = auto
 
         def ref_sub(m: re.Match) -> str:
             kw, ident, travel = m.group(1), m.group(2), m.group(3)
@@ -333,6 +365,118 @@ class SqlSession:
             return f"{kw} {self._register(raw, travel.strip(), _depth)}"
 
         return _REF.sub(ref_sub, q)
+
+    def _auto_bucketed_join(self, q: str) -> str | None:
+        """Catalyst-automatic bucketed-join elision at the SQL surface:
+        a plain ``FROM a JOIN b ON a.k = b.k`` between CO-BUCKETED
+        engine tables silently routes through ``join_bucketed`` (zero
+        Exchange) instead of paying the shuffle — the reference gets
+        this implicitly from DSv2 KeyGroupedPartitioning
+        (PaimonScan.scala:139-141, sql/BucketedTableQueryTest.scala).
+        Strictly scoped: one FROM + one JOIN, no travel/system/view
+        refs, ON must be exactly the bucket-key equalities, no
+        cross-side column-name clashes, no ``alias.*`` expansion, and
+        for non-inner joins no reference to the side whose key columns
+        an unmatched row would NULL out. Anything else returns None —
+        the ordinary (shuffle) path is the fallback, never an error."""
+        if len(re.findall(r"(?i)\bJOIN\b", q)) != 1 or len(re.findall(r"(?i)\bFROM\b", q)) != 1:
+            return None
+        m = _AUTO_JOIN.search(q)
+        if not m:
+            return None
+        lt, a1, jkw, rt, a2, cond = m.groups()
+        for ident in (lt, rt):
+            if "$" in ident or "@" in ident or not self._known(ident):
+                return None
+            if self.catalog.is_view(ident.partition("$")[0]):
+                return None
+        jl = jkw.lower()
+        how = (
+            "left" if jl.startswith("left")
+            else "right" if jl.startswith("right")
+            else "outer" if jl.startswith("full")
+            else "inner"
+        )
+        ta, tb = self.catalog.get_table(lt), self.catalog.get_table(rt)
+        sa, sb = ta.schema, tb.schema
+        from flink_table_store_spark.operators.bucketed_join import join_bucketed
+        from flink_table_store_spark.write import bucket_keys
+
+        if sa.num_buckets() <= 0 or sa.num_buckets() != sb.num_buckets():
+            return None
+        lkeys, rkeys = bucket_keys(sa), bucket_keys(sb)
+        if not lkeys or len(lkeys) != len(rkeys):
+            return None
+        a1, a2 = a1 or lt.rpartition(".")[2], a2 or rt.rpartition(".")[2]
+        if a1 == a2:
+            return None
+
+        def side(ref: str) -> tuple[str, str] | None:
+            ref = ref.strip().strip("`")
+            if "." not in ref:
+                return None  # unqualified — ambiguous, bail
+            qual, _, col = ref.rpartition(".")
+            if qual in (a1, lt):
+                return ("L", col)
+            if qual in (a2, rt):
+                return ("R", col)
+            return None
+
+        pairs: set[tuple[str, str]] = set()
+        for piece in re.split(r"(?i)\s+AND\s+", cond.strip()):
+            pm = re.match(r"\s*(`?[\w.]+`?)\s*=\s*(`?[\w.]+`?)\s*$", piece)
+            if not pm:
+                return None
+            sx, sy = side(pm.group(1)), side(pm.group(2))
+            if sx is None or sy is None or sx[0] == sy[0]:
+                return None
+            pairs.add((sx[1], sy[1]) if sx[0] == "L" else (sy[1], sx[1]))
+        if pairs != set(zip(lkeys, rkeys)):
+            return None
+        # output columns are unqualified: clashes and alias.* can't be
+        # rewritten faithfully — leave those to the ordinary path
+        lcols = set(sa.field_names())
+        if any(c in lcols for c in sb.field_names() if c not in rkeys):
+            return None
+        quals = {a1, a2, lt, rt}
+        if re.search(
+            r"(?:" + "|".join(re.escape(x) for x in quals) + r")\.\*", q
+        ):
+            return None
+        # right keys are dropped from the output: on an inner join they
+        # equal the left keys, so references are REWRITTEN to the left
+        # key name; a non-inner join NULLs the preserved side's keys on
+        # unmatched rows, so any such reference keeps the shuffle path
+        rest = q[: m.start()] + q[m.end() :]
+        def _refs_keys(side_quals: list[str], keys: list[str]) -> bool:
+            pat = (
+                r"(?:" + "|".join(re.escape(x) for x in side_quals) + r")\."
+                r"`?(?:" + "|".join(re.escape(k) for k in keys) + r")`?\b"
+            )
+            return re.search(pat, rest) is not None
+        if how != "inner" and _refs_keys([a2, rt], rkeys):
+            return None
+        if how in ("right", "outer") and _refs_keys([a1, lt], lkeys):
+            return None
+        renames = [
+            (
+                re.compile(
+                    r"\b(?:" + re.escape(a2) + "|" + re.escape(rt) + r")\."
+                    r"`?" + re.escape(rk) + r"`?\b"
+                ),
+                lk,
+            )
+            for lk, rk in zip(lkeys, rkeys)
+        ]
+        try:
+            df = join_bucketed(self.spark, ta, tb, how=how)
+        except ValueError:
+            return None  # engine/agg-function combination not elidable
+        name = _view_name("autobj|" + lt + "|" + rt + "|" + how)
+        df.createOrReplaceTempView(name)
+        return _strip_qualifiers(
+            q[: m.start()] + f"FROM {name}" + q[m.end() :], quals, renames
+        )
 
     # --- CREATE / DROP / SHOW / DESCRIBE DDL --------------------------------
 

@@ -255,3 +255,71 @@ def test_add_column_parameterized_types_and_show_like(spark, warehouse):
     assert none == []
     with pytest.raises(ValueError, match="SHOW TABLES"):
         s.sql("SHOW TABLES IN db WHERE x")
+
+
+def test_sql_plain_join_auto_bucketed_elision(spark, warehouse):
+    """A plain SQL JOIN between co-bucketed tables silently takes the
+    zero-Exchange bucketed path (reference: implicit DSv2
+    KeyGroupedPartitioning, sql/BucketedTableQueryTest.scala); anything
+    not elidable falls back to the ordinary shuffle join with the same
+    results."""
+    from flink_table_store_spark.sql import SqlSession
+
+    orders = spark.createDataFrame(
+        [(k % 5 + 1, k, float(k)) for k in range(25)],
+        "o_custkey bigint, o_orderkey bigint, o_total double",
+    )
+    cust = spark.createDataFrame(
+        [(k, f"n{k}") for k in range(1, 6)], "c_custkey bigint, c_name string"
+    )
+    to = warehouse.create_table(
+        "db.abj_o",
+        orders.schema,
+        primary_keys=["o_custkey", "o_orderkey"],
+        options={"bucket": "2", "bucket-key": "o_custkey"},
+    )
+    to.write(orders)
+    tc = warehouse.create_table(
+        "db.abj_c", cust.schema, primary_keys=["c_custkey"], options={"bucket": "2"}
+    )
+    tc.write(cust)
+    s = SqlSession(spark, warehouse)
+
+    got = s.sql(
+        "SELECT c.c_name, count(*) AS n, sum(o.o_total) AS total "
+        "FROM db.abj_o o JOIN db.abj_c c ON o.o_custkey = c.c_custkey "
+        "WHERE o.o_orderkey >= 5 GROUP BY c.c_name ORDER BY c.c_name"
+    )
+    exp = (
+        orders.where("o_orderkey >= 5")
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_total").alias("total"))
+        .orderBy("c_name")
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in exp.collect()]
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, "plain SQL JOIN must take the bucketed path"
+
+    # LEFT JOIN elides too; referencing the right key keeps it on the
+    # ordinary path for LEFT (NULLed on unmatched) but not for INNER
+    left = s.sql(
+        "SELECT o.o_orderkey, c.c_name FROM db.abj_o o "
+        "LEFT JOIN db.abj_c c ON o.o_custkey = c.c_custkey"
+    )
+    assert "MapInPandas" in left._jdf.queryExecution().executedPlan().toString()
+    assert left.count() == 25
+    inner_rk = s.sql(
+        "SELECT c.c_custkey, o.o_orderkey FROM db.abj_o o "
+        "JOIN db.abj_c c ON o.o_custkey = c.c_custkey"
+    )
+    assert "MapInPandas" in inner_rk._jdf.queryExecution().executedPlan().toString()
+    assert inner_rk.count() == 25
+
+    # fallback: join on a NON-bucket key -> ordinary shuffle join, same rows
+    fb = s.sql(
+        "SELECT o.o_orderkey, c.c_name FROM db.abj_o o "
+        "JOIN db.abj_c c ON o.o_orderkey = c.c_custkey"
+    )
+    assert "MapInPandas" not in fb._jdf.queryExecution().executedPlan().toString()
+    assert fb.count() == 5  # orderkeys 1..5 match custkeys 1..5
