@@ -37,14 +37,14 @@ _TVF = re.compile(
 _KEYWORDS = {
     "select", "values", "unnest", "lateral", "table", "range",
 }
-# FROM a [AS] x JOIN b [AS] y ON <cond> — the auto-elision candidate
-# shape. Alias tokens must not swallow the join keywords.
+# FROM a [AS] x (JOIN b [AS] y ON <cond>)+ — the auto-elision
+# candidate shape. Alias tokens must not swallow the join keywords.
 _ALIAS = r"(?:\s+AS)?(?:\s+(?!(?:INNER|LEFT|RIGHT|FULL|CROSS|JOIN|ON|WHERE|GROUP|ORDER|HAVING|LIMIT|UNION)\b)([A-Za-z_]\w*))?"
-_AUTO_JOIN = re.compile(
-    r"(?is)\bFROM\s+([A-Za-z_][\w.]*)" + _ALIAS +
-    r"\s+((?:INNER\s+|LEFT\s+(?:OUTER\s+)?|RIGHT\s+(?:OUTER\s+)?|FULL\s+(?:OUTER\s+)?)?JOIN)\s+"
-    r"([A-Za-z_][\w.]*)" + _ALIAS +
-    r"\s+ON\s+(.*?)(?=\s+(?:WHERE|GROUP|ORDER|HAVING|LIMIT|UNION)\b|\s*$)"
+_JOIN_KW = r"(?:INNER\s+|LEFT\s+(?:OUTER\s+)?|RIGHT\s+(?:OUTER\s+)?|FULL\s+(?:OUTER\s+)?)?JOIN"
+_FROM_BASE = re.compile(r"(?is)\bFROM\s+([A-Za-z_][\w.]*)" + _ALIAS)
+_JOIN_HOP = re.compile(
+    r"(?is)\s+(" + _JOIN_KW + r")\s+([A-Za-z_][\w.]*)" + _ALIAS +
+    r"\s+ON\s+(.*?)(?=\s+(?:" + _JOIN_KW + r")\s|\s+(?:WHERE|GROUP|ORDER|HAVING|LIMIT|UNION)\b|\s*$)"
 )
 
 
@@ -370,112 +370,165 @@ class SqlSession:
         """Catalyst-automatic bucketed-join elision at the SQL surface:
         a plain ``FROM a JOIN b ON a.k = b.k`` between CO-BUCKETED
         engine tables silently routes through ``join_bucketed`` (zero
-        Exchange) instead of paying the shuffle — the reference gets
-        this implicitly from DSv2 KeyGroupedPartitioning
+        Exchange) instead of paying the shuffle, and a chain of such
+        JOINs routes through ``join_bucketed_chain`` — the reference
+        gets this implicitly from DSv2 KeyGroupedPartitioning
         (PaimonScan.scala:139-141, sql/BucketedTableQueryTest.scala).
-        Strictly scoped: one FROM + one JOIN, no travel/system/view
-        refs, ON must be exactly the bucket-key equalities, no
-        cross-side column-name clashes, no ``alias.*`` expansion, and
-        for non-inner joins no reference to the side whose key columns
-        an unmatched row would NULL out. Anything else returns None —
-        the ordinary (shuffle) path is the fallback, never an error."""
-        if len(re.findall(r"(?i)\bJOIN\b", q)) != 1 or len(re.findall(r"(?i)\bFROM\b", q)) != 1:
+        Strictly scoped: one FROM whose every JOIN is a parsed hop, no
+        travel/system/view refs, each ON exactly the base-vs-new-table
+        bucket-key equalities (an earlier INNER side's key may stand in
+        for the base key), no cross-side column-name clashes, no
+        ``alias.*`` expansion, and no reference to key columns a
+        non-inner join would NULL on unmatched rows. Anything else
+        returns None — the ordinary (shuffle) path is the fallback,
+        never an error."""
+        if len(re.findall(r"(?i)\bFROM\b", q)) != 1:
             return None
-        m = _AUTO_JOIN.search(q)
-        if not m:
+        mb = _FROM_BASE.search(q)
+        if not mb:
             return None
-        lt, a1, jkw, rt, a2, cond = m.groups()
-        for ident in (lt, rt):
+        idents, aliases = [mb.group(1)], [mb.group(2)]
+        hows, conds = [], []
+        pos = mb.end()
+        while mh := _JOIN_HOP.match(q, pos):
+            jl = mh.group(1).lower()
+            hows.append(
+                "left" if jl.startswith("left")
+                else "right" if jl.startswith("right")
+                else "outer" if jl.startswith("full")
+                else "inner"
+            )
+            idents.append(mh.group(2))
+            aliases.append(mh.group(3))
+            conds.append(mh.group(4))
+            pos = mh.end()
+        n_hops = len(hows)
+        # every JOIN in the query must be one of OUR hops (a leftover
+        # JOIN means subqueries or shapes the parse didn't cover)
+        if n_hops == 0 or len(re.findall(r"(?i)\bJOIN\b", q)) != n_hops:
+            return None
+        if n_hops > 1 and any(h not in ("inner", "left") for h in hows):
+            return None  # chain hops support inner/left only
+        for ident in idents:
             if "$" in ident or "@" in ident or not self._known(ident):
                 return None
-            if self.catalog.is_view(ident.partition("$")[0]):
+            if self.catalog.is_view(ident):
                 return None
-        jl = jkw.lower()
-        how = (
-            "left" if jl.startswith("left")
-            else "right" if jl.startswith("right")
-            else "outer" if jl.startswith("full")
-            else "inner"
+        aliases = [a or t.rpartition(".")[2] for a, t in zip(aliases, idents)]
+        if len(set(aliases)) != len(aliases):
+            return None
+        from flink_table_store_spark.operators.bucketed_join import (
+            join_bucketed,
+            join_bucketed_chain,
         )
-        ta, tb = self.catalog.get_table(lt), self.catalog.get_table(rt)
-        sa, sb = ta.schema, tb.schema
-        from flink_table_store_spark.operators.bucketed_join import join_bucketed
         from flink_table_store_spark.write import bucket_keys
 
-        if sa.num_buckets() <= 0 or sa.num_buckets() != sb.num_buckets():
+        tables = [self.catalog.get_table(t) for t in idents]
+        schemas = [t.schema for t in tables]
+        if schemas[0].num_buckets() <= 0 or len(
+            {s.num_buckets() for s in schemas}
+        ) != 1:
             return None
-        lkeys, rkeys = bucket_keys(sa), bucket_keys(sb)
-        if not lkeys or len(lkeys) != len(rkeys):
-            return None
-        a1, a2 = a1 or lt.rpartition(".")[2], a2 or rt.rpartition(".")[2]
-        if a1 == a2:
+        keys = [bucket_keys(s) for s in schemas]
+        base_keys = keys[0]
+        if not base_keys or any(len(k) != len(base_keys) for k in keys):
             return None
 
-        def side(ref: str) -> tuple[str, str] | None:
+        def side(ref: str) -> tuple[int, str] | None:
+            """Resolve alias-qualified ref to (table index, column)."""
             ref = ref.strip().strip("`")
             if "." not in ref:
                 return None  # unqualified — ambiguous, bail
             qual, _, col = ref.rpartition(".")
-            if qual in (a1, lt):
-                return ("L", col)
-            if qual in (a2, rt):
-                return ("R", col)
+            for i, (a, t) in enumerate(zip(aliases, idents)):
+                if qual in (a, t):
+                    return (i, col)
             return None
 
-        pairs: set[tuple[str, str]] = set()
-        for piece in re.split(r"(?i)\s+AND\s+", cond.strip()):
-            pm = re.match(r"\s*(`?[\w.]+`?)\s*=\s*(`?[\w.]+`?)\s*$", piece)
-            if not pm:
+        # each hop's ON must be exactly the equalities pairing the BASE
+        # bucket keys with the new table's bucket keys. An equality may
+        # reference an earlier INNER side's key instead of the base (the
+        # chain has already established base.key == that key); a LEFT
+        # side's key can be NULL, so that reference keeps the shuffle path
+        for hop, cond in enumerate(conds, start=1):
+            pairs: set[tuple[str, str]] = set()
+            for piece in re.split(r"(?i)\s+AND\s+", cond.strip()):
+                pm = re.match(r"\s*(`?[\w.]+`?)\s*=\s*(`?[\w.]+`?)\s*$", piece)
+                if not pm:
+                    return None
+                sx, sy = side(pm.group(1)), side(pm.group(2))
+                if sx is None or sy is None:
+                    return None
+                if sx[0] == hop:
+                    sx, sy = sy, sx
+                if sy[0] != hop or sx[0] >= hop:
+                    return None
+                if sx[0] > 0:
+                    # prior-side key: map to the base key it equals
+                    if hows[sx[0] - 1] != "inner" or sx[1] not in keys[sx[0]]:
+                        return None
+                    sx = (0, base_keys[keys[sx[0]].index(sx[1])])
+                pairs.add((sx[1], sy[1]))
+            if pairs != set(zip(base_keys, keys[hop])):
                 return None
-            sx, sy = side(pm.group(1)), side(pm.group(2))
-            if sx is None or sy is None or sx[0] == sy[0]:
-                return None
-            pairs.add((sx[1], sy[1]) if sx[0] == "L" else (sy[1], sx[1]))
-        if pairs != set(zip(lkeys, rkeys)):
-            return None
         # output columns are unqualified: clashes and alias.* can't be
         # rewritten faithfully — leave those to the ordinary path
-        lcols = set(sa.field_names())
-        if any(c in lcols for c in sb.field_names() if c not in rkeys):
+        seen_cols = set(schemas[0].field_names())
+        for s, k in zip(schemas[1:], keys[1:]):
+            for c in s.field_names():
+                if c in k:
+                    continue
+                if c in seen_cols:
+                    return None
+                seen_cols.add(c)
+        quals = set(aliases) | set(idents)
+        if re.search(r"(?:" + "|".join(re.escape(x) for x in quals) + r")\.\*", q):
             return None
-        quals = {a1, a2, lt, rt}
-        if re.search(
-            r"(?:" + "|".join(re.escape(x) for x in quals) + r")\.\*", q
-        ):
-            return None
-        # right keys are dropped from the output: on an inner join they
-        # equal the left keys, so references are REWRITTEN to the left
-        # key name; a non-inner join NULLs the preserved side's keys on
-        # unmatched rows, so any such reference keeps the shuffle path
-        rest = q[: m.start()] + q[m.end() :]
-        def _refs_keys(side_quals: list[str], keys: list[str]) -> bool:
+        # non-base keys are dropped from the output: after an inner hop
+        # they equal the base keys, so references are REWRITTEN to the
+        # base key name; a non-inner hop NULLs them on unmatched rows,
+        # so any such reference keeps the shuffle path. right/outer
+        # (2-table form) likewise NULLs the base side's keys.
+        rest = q[: mb.start()] + q[pos:]
+
+        def _refs_keys(side_quals: list[str], kcols: list[str]) -> bool:
             pat = (
                 r"(?:" + "|".join(re.escape(x) for x in side_quals) + r")\."
-                r"`?(?:" + "|".join(re.escape(k) for k in keys) + r")`?\b"
+                r"`?(?:" + "|".join(re.escape(k) for k in kcols) + r")`?\b"
             )
             return re.search(pat, rest) is not None
-        if how != "inner" and _refs_keys([a2, rt], rkeys):
+
+        renames = []
+        for i in range(1, n_hops + 1):
+            if hows[i - 1] == "inner":
+                renames += [
+                    (
+                        re.compile(
+                            r"\b(?:" + re.escape(aliases[i]) + "|"
+                            + re.escape(idents[i]) + r")\."
+                            r"`?" + re.escape(rk) + r"`?\b"
+                        ),
+                        lk,
+                    )
+                    for lk, rk in zip(base_keys, keys[i])
+                ]
+            elif _refs_keys([aliases[i], idents[i]], keys[i]):
+                return None
+        if n_hops == 1 and hows[0] in ("right", "outer") and _refs_keys(
+            [aliases[0], idents[0]], base_keys
+        ):
             return None
-        if how in ("right", "outer") and _refs_keys([a1, lt], lkeys):
-            return None
-        renames = [
-            (
-                re.compile(
-                    r"\b(?:" + re.escape(a2) + "|" + re.escape(rt) + r")\."
-                    r"`?" + re.escape(rk) + r"`?\b"
-                ),
-                lk,
-            )
-            for lk, rk in zip(lkeys, rkeys)
-        ]
         try:
-            df = join_bucketed(self.spark, ta, tb, how=how)
+            if n_hops == 1:
+                df = join_bucketed(self.spark, tables[0], tables[1], how=hows[0])
+            else:
+                df = join_bucketed_chain(self.spark, tables, hows=hows)
         except ValueError:
             return None  # engine/agg-function combination not elidable
-        name = _view_name("autobj|" + lt + "|" + rt + "|" + how)
+        name = _view_name("autobj|" + "|".join(idents) + "|" + "|".join(hows))
         df.createOrReplaceTempView(name)
         return _strip_qualifiers(
-            q[: m.start()] + f"FROM {name}" + q[m.end() :], quals, renames
+            q[: mb.start()] + f"FROM {name}" + q[pos:], quals, renames
         )
 
     # --- CREATE / DROP / SHOW / DESCRIBE DDL --------------------------------

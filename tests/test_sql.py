@@ -323,3 +323,72 @@ def test_sql_plain_join_auto_bucketed_elision(spark, warehouse):
     )
     assert "MapInPandas" not in fb._jdf.queryExecution().executedPlan().toString()
     assert fb.count() == 5  # orderkeys 1..5 match custkeys 1..5
+
+
+def test_sql_plain_join_chain_auto_elision(spark, warehouse):
+    """THREE co-bucketed tables in a plain SQL join chain auto-route
+    through join_bucketed_chain — zero Exchange for the star shape; an
+    ON referencing an earlier INNER side's key instead of the base
+    still elides (the chain established the equality)."""
+    from flink_table_store_spark.sql import SqlSession
+
+    fact = spark.createDataFrame(
+        [(k % 4 + 1, k, float(k)) for k in range(20)],
+        "custkey bigint, orderkey bigint, total double",
+    )
+    dim1 = spark.createDataFrame(
+        [(k, f"n{k}") for k in range(1, 5)], "c1 bigint, name string"
+    )
+    dim2 = spark.createDataFrame(
+        [(k, f"r{k}") for k in range(1, 5)], "c2 bigint, region string"
+    )
+    tf = warehouse.create_table(
+        "db.chj_f", fact.schema, primary_keys=["custkey", "orderkey"],
+        options={"bucket": "2", "bucket-key": "custkey"},
+    )
+    tf.write(fact)
+    t1 = warehouse.create_table(
+        "db.chj_d1", dim1.schema, primary_keys=["c1"], options={"bucket": "2"}
+    )
+    t1.write(dim1)
+    t2 = warehouse.create_table(
+        "db.chj_d2", dim2.schema, primary_keys=["c2"], options={"bucket": "2"}
+    )
+    t2.write(dim2)
+    s = SqlSession(spark, warehouse)
+
+    got = s.sql(
+        "SELECT f.orderkey, d1.name, d2.region FROM db.chj_f f "
+        "JOIN db.chj_d1 d1 ON f.custkey = d1.c1 "
+        "JOIN db.chj_d2 d2 ON d1.c1 = d2.c2 "  # prior INNER side's key
+        "ORDER BY f.orderkey"
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan and "SortMergeJoin" not in plan
+    exp = (
+        fact.join(dim1, fact.custkey == dim1.c1)
+        .join(dim2, dim1.c1 == dim2.c2)
+        .select("orderkey", "name", "region")
+        .orderBy("orderkey")
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in exp.collect()]
+
+    # referencing a dropped dim key on an inner chain rewrites to the
+    # base key; aggregation over the chain still collapses correctly
+    agg = s.sql(
+        "SELECT d2.c2 AS ck, count(*) AS n FROM db.chj_f f "
+        "JOIN db.chj_d1 d1 ON f.custkey = d1.c1 "
+        "JOIN db.chj_d2 d2 ON f.custkey = d2.c2 "
+        "GROUP BY d2.c2 ORDER BY ck"
+    )
+    assert "MapInPandas" in agg._jdf.queryExecution().executedPlan().toString()
+    assert [(r.ck, r.n) for r in agg.collect()] == [(1, 5), (2, 5), (3, 5), (4, 5)]
+
+    # a LEFT middle hop whose key feeds a later ON keeps the shuffle path
+    fb = s.sql(
+        "SELECT f.orderkey FROM db.chj_f f "
+        "LEFT JOIN db.chj_d1 d1 ON f.custkey = d1.c1 "
+        "JOIN db.chj_d2 d2 ON d1.c1 = d2.c2"
+    )
+    assert "MapInPandas" not in fb._jdf.queryExecution().executedPlan().toString()
+    assert fb.count() == 20
