@@ -392,3 +392,59 @@ def test_sql_plain_join_chain_auto_elision(spark, warehouse):
     )
     assert "MapInPandas" not in fb._jdf.queryExecution().executedPlan().toString()
     assert fb.count() == 20
+
+
+def test_sql_auto_elision_parity_vs_shuffle(spark, warehouse, monkeypatch):
+    """Every auto-elided query must equal the ordinary shuffle path
+    bit-for-bit: run a matrix of query shapes twice — elision on vs
+    monkeypatched off — and compare sorted rows."""
+    from flink_table_store_spark.sql import SqlSession
+
+    fact = spark.createDataFrame(
+        [(k % 6, k, float(k) * 1.5, f"s{k % 3}") for k in range(40)],
+        "fk bigint, oid bigint, amt double, tag string",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}", k * 10) for k in range(0, 5)],  # fk=5 unmatched
+        "dk bigint, dname string, weight bigint",
+    )
+    tf = warehouse.create_table(
+        "db.par_f", fact.schema, primary_keys=["fk", "oid"],
+        options={"bucket": "4", "bucket-key": "fk"},
+    )
+    tf.write(fact)
+    td = warehouse.create_table(
+        "db.par_d", dim.schema, primary_keys=["dk"], options={"bucket": "4"}
+    )
+    td.write(dim)
+    s = SqlSession(spark, warehouse)
+
+    queries = [
+        "SELECT f.oid, d.dname FROM db.par_f f JOIN db.par_d d ON f.fk = d.dk",
+        "SELECT f.oid, d.dname FROM db.par_f f LEFT JOIN db.par_d d ON f.fk = d.dk",
+        "SELECT f.oid, d.dname FROM db.par_f f RIGHT JOIN db.par_d d ON f.fk = d.dk",
+        "SELECT f.oid, d.dname FROM db.par_f f FULL OUTER JOIN db.par_d d ON f.fk = d.dk",
+        # reversed equality order, AS aliases, WHERE + expressions
+        "SELECT f.amt * 2 AS a2, d.weight FROM db.par_f AS f JOIN db.par_d AS d "
+        "ON d.dk = f.fk WHERE f.tag = 's1' AND d.weight > 10",
+        # group by + having + inner right-key reference
+        "SELECT d.dk AS k, count(*) AS n, sum(f.amt) AS total FROM db.par_f f "
+        "JOIN db.par_d d ON f.fk = d.dk GROUP BY d.dk HAVING count(*) > 2",
+        # string literal that looks like a qualifier
+        "SELECT concat('f.', d.dname) AS lbl, f.oid FROM db.par_f f "
+        "JOIN db.par_d d ON f.fk = d.dk WHERE d.dname <> 'f.x'",
+    ]
+    results_on = [sorted(map(tuple, s.sql(q).collect())) for q in queries]
+    # bare-table-name qualifiers: the elision path resolves them (the
+    # shuffle fallback's temp-view rename never could) — compare against
+    # a DataFrame expectation instead
+    bare = s.sql(
+        "SELECT oid, dname FROM db.par_f JOIN db.par_d ON par_f.fk = par_d.dk"
+    )
+    exp_bare = fact.join(dim, fact.fk == dim.dk).select("oid", "dname")
+    assert sorted(map(tuple, bare.collect())) == sorted(map(tuple, exp_bare.collect()))
+    monkeypatch.setattr(SqlSession, "_auto_bucketed_join", lambda self, q: None)
+    s2 = SqlSession(spark, warehouse)
+    results_off = [sorted(map(tuple, s2.sql(q).collect())) for q in queries]
+    for q, on, off in zip(queries, results_on, results_off):
+        assert on == off, q
