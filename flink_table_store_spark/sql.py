@@ -440,6 +440,8 @@ class SqlSession:
             if "." not in ref:
                 return None  # unqualified — ambiguous, bail
             qual, _, col = ref.rpartition(".")
+            if not re.fullmatch(r"\w+", col) or not re.fullmatch(r"[\w.]+", qual):
+                return None
             for i, (a, t) in enumerate(zip(aliases, idents)):
                 if qual in (a, t):
                     return (i, col)
@@ -518,8 +520,24 @@ class SqlSession:
             [aliases[0], idents[0]], base_keys
         ):
             return None
+        # aggregations-after-join: GROUP BY ⊇ the base bucket keys means
+        # every group lives wholly in one bucket, so the aggregation
+        # finalizes INSIDE the bucket tasks and the whole query plans
+        # with zero Exchange (the other half of the reference's
+        # KeyGroupedPartitioning elision)
+        pushed = None
+        if n_hops == 1 and hows[0] in ("inner", "left"):
+            pushed = self._parse_agg_pushdown(
+                q[: mb.start()], q[pos:], side, base_keys, keys, hows
+            )
         try:
-            if n_hops == 1:
+            if pushed is not None:
+                group_cols, agg_map, sel_exprs, tail = pushed
+                df = join_bucketed(
+                    self.spark, tables[0], tables[1], how=hows[0],
+                    group_by=group_cols, agg=agg_map,
+                )
+            elif n_hops == 1:
                 df = join_bucketed(self.spark, tables[0], tables[1], how=hows[0])
             else:
                 df = join_bucketed_chain(self.spark, tables, hows=hows)
@@ -527,9 +545,89 @@ class SqlSession:
             return None  # engine/agg-function combination not elidable
         name = _view_name("autobj|" + "|".join(idents) + "|" + "|".join(hows))
         df.createOrReplaceTempView(name)
-        return _strip_qualifiers(
-            q[: mb.start()] + f"FROM {name}" + q[pos:], quals, renames
+        if pushed is not None:
+            new_q = f"SELECT {', '.join(sel_exprs)} FROM {name}{tail}"
+        else:
+            new_q = q[: mb.start()] + f"FROM {name}" + q[pos:]
+        return _strip_qualifiers(new_q, quals, renames)
+
+    def _parse_agg_pushdown(self, prefix, suffix, side, base_keys, keys, hows):
+        """Recognize ``SELECT <group cols + aggs> ... GROUP BY <cols ⊇
+        base keys> [ORDER BY simple] [LIMIT n]`` with no WHERE/HAVING/
+        DISTINCT; return (group_by, agg, select exprs, tail) for
+        ``join_bucketed``'s in-task aggregation, or None to keep the
+        join-then-Exchange plan (still elided, just not agg-pushed)."""
+        pm = re.match(r"(?is)^\s*SELECT\s+(?!DISTINCT\b)(.*?)\s*$", prefix)
+        sm = re.match(
+            r"(?is)^\s*GROUP\s+BY\s+(.+?)"
+            r"(\s+ORDER\s+BY\s+[^()]+?)?(\s+LIMIT\s+\d+)?\s*$",
+            suffix,
         )
+        if not pm or not sm:
+            return None
+
+        def view_col(ref: str) -> str | None:
+            sd = side(ref)
+            if sd is None:
+                return None
+            i, col = sd
+            if i > 0 and col in keys[i]:
+                # dropped non-base key -> the base key it equals (inner
+                # hops only; the caller restricts left-hop key refs)
+                if hows[i - 1] != "inner":
+                    return None
+                return base_keys[keys[i].index(col)]
+            return col
+
+        group_cols = []
+        for piece in sm.group(1).split(","):
+            c = view_col(piece)
+            if c is None:
+                return None
+            group_cols.append(c)
+        if not set(base_keys) <= set(group_cols):
+            return None
+        agg_map: dict[str, tuple[str, str]] = {}
+        sel_exprs: list[str] = []
+        for item in _split_depth0_parens(pm.group(1)):
+            item = item.strip()
+            am = re.match(
+                r"(?is)^(count|sum|min|max|avg|mean)\s*\(\s*"
+                r"(\*|1|`?[\w.]+`?)\s*\)\s+AS\s+`?(\w+)`?$",
+                item,
+            )
+            if am:
+                func = {"avg": "mean"}.get(am.group(1).lower(), am.group(1).lower())
+                src = am.group(2)
+                if func == "count":
+                    # ONLY count(*)/count(1): the in-task count is a row
+                    # count, while SQL count(col) skips NULLs
+                    if src not in ("*", "1"):
+                        return None
+                    src_col = base_keys[0]  # count ignores the source
+                elif src in ("*", "1"):
+                    return None
+                else:
+                    src_col = view_col(src)
+                    if src_col is None:
+                        return None
+                alias = am.group(3)
+                if alias in agg_map or alias in group_cols:
+                    return None
+                agg_map[alias] = (func, src_col)
+                sel_exprs.append(alias)
+                continue
+            cm = re.match(r"(?is)^(`?[\w.]+`?)(?:\s+AS\s+`?(\w+)`?)?$", item)
+            if not cm:
+                return None
+            c = view_col(cm.group(1))
+            if c is None or c not in group_cols:
+                return None
+            sel_exprs.append(f"{c} AS {cm.group(2)}" if cm.group(2) else c)
+        if not agg_map:
+            return None  # plain grouped projection — not worth the push
+        tail = (sm.group(2) or "") + (sm.group(3) or "")
+        return group_cols, agg_map, sel_exprs, tail
 
     # --- CREATE / DROP / SHOW / DESCRIBE DDL --------------------------------
 

@@ -448,3 +448,60 @@ def test_sql_auto_elision_parity_vs_shuffle(spark, warehouse, monkeypatch):
     results_off = [sorted(map(tuple, s2.sql(q).collect())) for q in queries]
     for q, on, off in zip(queries, results_on, results_off):
         assert on == off, q
+
+
+def test_sql_auto_elision_agg_pushdown(spark, warehouse, monkeypatch):
+    """GROUP BY on the bucket keys after an auto-elided join pushes the
+    aggregation INTO the bucket tasks: the whole query plans with ZERO
+    Exchange (the aggregations-after-join half of the reference's
+    KeyGroupedPartitioning elision)."""
+    from flink_table_store_spark.sql import SqlSession
+
+    fact = spark.createDataFrame(
+        [(k % 5 + 1, k, float(k), k % 2) for k in range(30)],
+        "fk bigint, oid bigint, amt double, flag bigint",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(1, 5)], "dk bigint, dname string"
+    )
+    tf = warehouse.create_table(
+        "db.agp_f", fact.schema, primary_keys=["fk", "oid"],
+        options={"bucket": "4", "bucket-key": "fk"},
+    )
+    tf.write(fact)
+    td = warehouse.create_table(
+        "db.agp_d", dim.schema, primary_keys=["dk"], options={"bucket": "4"}
+    )
+    td.write(dim)
+    s = SqlSession(spark, warehouse)
+
+    q = (
+        "SELECT f.fk AS k, count(*) AS n, sum(f.amt) AS total, "
+        "avg(f.amt) AS m, min(d.dname) AS dn "
+        "FROM db.agp_f f JOIN db.agp_d d ON f.fk = d.dk "
+        "GROUP BY f.fk ORDER BY k"
+    )
+    got = s.sql(q)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # the aggregate columns come straight out of the bucket tasks; the
+    # only Exchange left is ORDER BY's rangepartitioning over the tiny
+    # grouped output — no hash (aggregation) shuffle anywhere
+    assert "MapInPandas" in plan, plan
+    assert "hashpartitioning" not in plan.lower(), "aggregation must finalize in-task"
+    assert "HashAggregate" not in plan, plan
+    monkeypatch.setattr(SqlSession, "_parse_agg_pushdown", lambda *a, **k: None)
+    exp = sorted(map(tuple, SqlSession(spark, warehouse).sql(q).collect()))
+    assert sorted(map(tuple, got.collect())) == exp
+
+    # count(col) must NOT push (NULL semantics differ) but still elides
+    q2 = (
+        "SELECT f.fk AS k, count(d.dname) AS n FROM db.agp_f f "
+        "LEFT JOIN db.agp_d d ON f.fk = d.dk GROUP BY f.fk ORDER BY k"
+    )
+    monkeypatch.undo()
+    got2 = s.sql(q2)
+    p2 = got2._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in p2 and "hashpartitioning" in p2.lower()
+    assert [(r.k, r.n) for r in got2.collect()] == [
+        (1, 6), (2, 6), (3, 6), (4, 6), (5, 0)
+    ]
