@@ -607,7 +607,7 @@ def _typed_partition(raw: str | None, ddl: str):
 
 
 def _side_plan(
-    table, spark=None, snap=None
+    table, spark=None, snap=None, predicate=None
 ) -> tuple[dict[int, list[dict]], list[str], TableSchema]:
     """{bucket: [{path, schema_id, partition(typed)}]}, abs DV paths.
 
@@ -617,7 +617,12 @@ def _side_plan(
     uses (SnapshotReaderImpl parallel manifest scan) — the join of two
     million-file tables never re-materializes every entry on the
     driver. Callers that also key caches by snapshot id pass ``snap``
-    so the plan and the id come from ONE read (no commit race)."""
+    so the plan and the id come from ONE read (no commit race).
+
+    ``predicate`` prunes this side's files exactly like the normal scan
+    (partition pruning + stats skipping with plan_scan's PK-safety
+    rules) — an IO optimization only; callers must still apply the
+    predicate to the joined rows."""
     schema = table.schema
     if snap is None:
         snap = table.snapshots.latest()
@@ -625,7 +630,15 @@ def _side_plan(
     dv_paths: list[str] = []
     if snap is None:
         return buckets, dv_paths, schema
-    entries = table.read_builder()._plan_entries(spark, snap)
+    rb = table.read_builder()
+    if predicate is not None:
+        rb = rb.with_filter(predicate)
+    entries = rb._plan_entries(spark, snap)
+    if predicate is not None:
+        from flink_table_store_spark import read as _read_mod
+
+        plan = _read_mod.plan_scan(entries, schema, predicate, None, table.path)
+        entries = list(plan.raw_entries) + list(plan.merge_entries)
     pt_types = {k: schema.field(k).type for k in schema.partition_keys}
     for e in entries:
         if e.bucket == POSTPONE_BUCKET:
@@ -676,6 +689,7 @@ def join_bucketed(
     right_cols: list[str] | None = None,
     group_by: list[str] | None = None,
     agg: dict[str, tuple[str, str]] | None = None,
+    filters: tuple | None = None,
 ) -> DataFrame:
     """Join two co-bucketed tables without shuffling either side.
 
@@ -724,8 +738,11 @@ def join_bucketed(
     if how not in ("inner", "left", "right", "outer"):
         raise ValueError(f"unsupported how={how!r} (inner/left/right/outer)")
 
-    lbuckets, ldv, _ = _side_plan(left, spark)
-    rbuckets, rdv, _ = _side_plan(right, spark)
+    # per-side file pruning (IO only; the caller still applies the
+    # predicate to joined rows — see _side_plan)
+    lpred, rpred = filters if filters is not None else (None, None)
+    lbuckets, ldv, _ = _side_plan(left, spark, predicate=lpred)
+    rbuckets, rdv, _ = _side_plan(right, spark, predicate=rpred)
     lmaps, rmaps = _field_maps(left), _field_maps(right)
 
     left_cols = left_cols or lschema.field_names()
@@ -868,6 +885,7 @@ def join_bucketed_chain(
     on: list[list[tuple[str, str]]] | None = None,
     hows: list[str] | None = None,
     cols: list[list[str] | None] | None = None,
+    filters: list | None = None,
 ) -> DataFrame:
     """N-way shuffle-free join of co-bucketed tables (star/chain shape):
     ``tables[0]`` is the base; every other table joins to the BASE's
@@ -889,6 +907,8 @@ def join_bucketed_chain(
     hows = hows or ["inner"] * (n_sides - 1)
     if len(hows) != n_sides - 1:
         raise ValueError("hows must have len(tables)-1 entries")
+    if filters is not None and len(filters) != n_sides:
+        raise ValueError("filters must have len(tables) entries")
     for h in hows:
         if h not in ("inner", "left"):
             raise ValueError(
@@ -956,7 +976,9 @@ def join_bucketed_chain(
 
     specs = []
     for i, (t, s) in enumerate(zip(tables, schemas)):
-        buckets, dv, _ = _side_plan(t, spark)
+        buckets, dv, _ = _side_plan(
+            t, spark, predicate=filters[i] if filters is not None else None
+        )
         jk = base_keys if i == 0 else [p[1] for p in on[i - 1]]
         specs.append(_make_spec(s, buckets, dv, _field_maps(t), sels[i], jk))
     join_plan = [

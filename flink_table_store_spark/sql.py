@@ -48,15 +48,23 @@ _JOIN_HOP = re.compile(
 )
 
 
+# string-literal splitter: single-quoted AND double-quoted segments are
+# protected from qualifier rewriting (Spark treats "..." as a string
+# literal by default, not an identifier)
+_QUOTED = re.compile(r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\")")
+
+
 def _strip_qualifiers(
     s: str, quals: set[str], renames: list[tuple[re.Pattern, str]] = ()
 ) -> str:
     """Apply ``renames`` then remove ``alias.`` prefixes, both outside
-    single-quoted literals."""
+    string literals. Case-insensitive like Spark's identifier
+    resolution."""
     pat = re.compile(
         r"\b(?:"
         + "|".join(re.escape(x) for x in sorted(quals, key=len, reverse=True))
-        + r")\.(?=[\w`])"
+        + r")\.(?=[\w`])",
+        re.IGNORECASE,
     )
 
     def fix(p: str) -> str:
@@ -64,8 +72,8 @@ def _strip_qualifiers(
             p = rp.sub(repl, p)
         return pat.sub("", p)
 
-    parts = re.split(r"('(?:[^']|'')*')", s)
-    return "".join(p if p.startswith("'") else fix(p) for p in parts)
+    parts = _QUOTED.split(s)
+    return "".join(p if p[:1] in ("'", '"') else fix(p) for p in parts)
 
 
 def _view_name(key: str) -> str:
@@ -415,7 +423,7 @@ class SqlSession:
             if self.catalog.is_view(ident):
                 return None
         aliases = [a or t.rpartition(".")[2] for a, t in zip(aliases, idents)]
-        if len(set(aliases)) != len(aliases):
+        if len({a.lower() for a in aliases}) != len(aliases):
             return None
         from flink_table_store_spark.operators.bucketed_join import (
             join_bucketed,
@@ -433,18 +441,24 @@ class SqlSession:
         base_keys = keys[0]
         if not base_keys or any(len(k) != len(base_keys) for k in keys):
             return None
+        # identifier resolution is case-insensitive, like Spark's
+        fieldmaps = [
+            {f.lower(): f for f in s.field_names()} for s in schemas
+        ]
 
         def side(ref: str) -> tuple[int, str] | None:
-            """Resolve alias-qualified ref to (table index, column)."""
+            """Resolve alias-qualified ref to (table index, schema-cased
+            column)."""
             ref = ref.strip().strip("`")
             if "." not in ref:
-                return None  # unqualified — ambiguous, bail
+                return None  # unqualified — resolved separately
             qual, _, col = ref.rpartition(".")
             if not re.fullmatch(r"\w+", col) or not re.fullmatch(r"[\w.]+", qual):
                 return None
             for i, (a, t) in enumerate(zip(aliases, idents)):
-                if qual in (a, t):
-                    return (i, col)
+                if qual.lower() in (a.lower(), t.lower()):
+                    actual = fieldmaps[i].get(col.lower())
+                    return None if actual is None else (i, actual)
             return None
 
         # each hop's ON must be exactly the equalities pairing the BASE
@@ -454,7 +468,7 @@ class SqlSession:
         # side's key can be NULL, so that reference keeps the shuffle path
         for hop, cond in enumerate(conds, start=1):
             pairs: set[tuple[str, str]] = set()
-            for piece in re.split(r"(?i)\s+AND\s+", cond.strip()):
+            for piece in _split_top_and(cond):
                 pm = re.match(r"\s*(`?[\w.]+`?)\s*=\s*(`?[\w.]+`?)\s*$", piece)
                 if not pm:
                     return None
@@ -473,53 +487,119 @@ class SqlSession:
                 pairs.add((sx[1], sy[1]))
             if pairs != set(zip(base_keys, keys[hop])):
                 return None
-        # output columns are unqualified: clashes and alias.* can't be
-        # rewritten faithfully — leave those to the ordinary path
-        seen_cols = set(schemas[0].field_names())
+        # Output-column layout, mirroring join_bucketed/_chain's rename
+        # bookkeeping: a side's key column is KEPT in the output when its
+        # name is free (so b.k resolves naturally and SELECT * is
+        # faithful), DROPPED on a name collision; any non-key name clash
+        # can't be rewritten faithfully — leave those to the ordinary
+        # path. All name accounting is case-insensitive.
+        taken = {c.lower() for c in schemas[0].field_names()}
+        side_cols: list[list[str] | None] = [None]
+        dropped: list[list[str]] = [[]]  # per side, dropped key cols
         for s, k in zip(schemas[1:], keys[1:]):
+            drops = []
             for c in s.field_names():
                 if c in k:
+                    if c.lower() in taken:
+                        drops.append(c)
+                    else:
+                        taken.add(c.lower())
                     continue
-                if c in seen_cols:
+                if c.lower() in taken:
                     return None
-                seen_cols.add(c)
-        quals = set(aliases) | set(idents)
-        if re.search(r"(?:" + "|".join(re.escape(x) for x in quals) + r")\.\*", q):
+                taken.add(c.lower())
+            side_cols.append([c for c in s.field_names() if c not in drops])
+            dropped.append(drops)
+        any_dropped = any(dropped)
+        quals = {a.lower() for a in aliases} | {t.lower() for t in idents}
+        qual_pat = "|".join(re.escape(x) for x in quals)
+        if re.search(r"(?i)(?:" + qual_pat + r")\.\*", q):
             return None
-        # non-base keys are dropped from the output: after an inner hop
-        # they equal the base keys, so references are REWRITTEN to the
-        # base key name; a non-inner hop NULLs them on unmatched rows,
-        # so any such reference keeps the shuffle path. right/outer
-        # (2-table form) likewise NULLs the base side's keys.
+        # bare SELECT * is faithful only when every side key survived
+        stripped_q = "".join(
+            p for p in _QUOTED.split(q) if p[:1] not in ("'", '"')
+        )
+        if any_dropped and re.search(
+            r"(?i)(?:\bselect(?:\s+distinct)?|,)\s*\*", stripped_q
+        ):
+            return None
+        # DROPPED keys: after an inner hop they equal the base key, so
+        # references are REWRITTEN (only name-preserving rewrites — the
+        # dropped key must share the base key's name, which is the
+        # common collision); anything else keeps the shuffle path
         rest = q[: mb.start()] + q[pos:]
 
-        def _refs_keys(side_quals: list[str], kcols: list[str]) -> bool:
+        def _refs_cols(i: int, kcols: list[str]) -> bool:
             pat = (
-                r"(?:" + "|".join(re.escape(x) for x in side_quals) + r")\."
-                r"`?(?:" + "|".join(re.escape(k) for k in kcols) + r")`?\b"
+                r"(?i)(?:" + re.escape(aliases[i]) + "|" + re.escape(idents[i])
+                + r")\.`?(?:" + "|".join(re.escape(k) for k in kcols) + r")`?\b"
             )
             return re.search(pat, rest) is not None
 
         renames = []
         for i in range(1, n_hops + 1):
-            if hows[i - 1] == "inner":
-                renames += [
-                    (
-                        re.compile(
-                            r"\b(?:" + re.escape(aliases[i]) + "|"
-                            + re.escape(idents[i]) + r")\."
-                            r"`?" + re.escape(rk) + r"`?\b"
-                        ),
-                        lk,
-                    )
-                    for lk, rk in zip(base_keys, keys[i])
-                ]
-            elif _refs_keys([aliases[i], idents[i]], keys[i]):
+            if not dropped[i]:
+                continue
+            renamable, stuck = [], []
+            for rk in dropped[i]:
+                lk = base_keys[keys[i].index(rk)]
+                if hows[i - 1] == "inner" and rk.lower() == lk.lower():
+                    renamable.append((lk, rk))
+                else:
+                    stuck.append(rk)
+            if stuck and _refs_cols(i, stuck):
                 return None
-        if n_hops == 1 and hows[0] in ("right", "outer") and _refs_keys(
-            [aliases[0], idents[0]], base_keys
-        ):
-            return None
+            renames += [
+                (
+                    re.compile(
+                        r"(?i)\b(?:" + re.escape(aliases[i]) + "|"
+                        + re.escape(idents[i]) + r")\."
+                        r"`?" + re.escape(rk) + r"`?\b"
+                    ),
+                    lk,
+                )
+                for lk, rk in renamable
+            ]
+        # WHERE pushdown (IO only — the WHERE clause STAYS in the
+        # rewritten query): single-side conjuncts prune that side's
+        # files with the normal scan's partition/stats rules. Safe only
+        # for sides never NULL-extended by a join (a pruned row must be
+        # one the retained WHERE would drop anyway; NULL-extension could
+        # instead ADD rows, e.g. under IS NULL predicates).
+        filters: list = [None] * (n_hops + 1)
+        wm = re.match(
+            r"(?is)^\s*WHERE\s+(.*?)(?=\s+(?:GROUP|ORDER|HAVING|LIMIT|UNION)\b|\s*$)",
+            q[pos:],
+        )
+        if wm:
+            def _pushable(i: int) -> bool:
+                if i == 0:
+                    return n_hops > 1 or hows[0] in ("inner", "left")
+                return hows[i - 1] == "inner" and (n_hops > 1 or hows[0] == "inner")
+
+            for piece in _split_top_and(wm.group(1)):
+                sides_hit = set()
+                ok = True
+                # qualifier must start with a letter — don't mistake a
+                # float literal's 1.5 for a qualified reference
+                for qm in re.finditer(r"`?[A-Za-z_][\w.]*`?\.`?\w+`?", piece):
+                    sd = side(qm.group(0))
+                    if sd is None:
+                        ok = False
+                        break
+                    sides_hit.add(sd[0])
+                if not ok or len(sides_hit) != 1:
+                    continue
+                i = sides_hit.pop()
+                if not _pushable(i):
+                    continue
+                pred = parse_condition(
+                    _strip_qualifiers(piece, quals)
+                )
+                flds = pred.fields() if pred is not None else None
+                if flds is None or not flds <= set(schemas[i].field_names()):
+                    continue
+                filters[i] = pred if filters[i] is None else P.and_(filters[i], pred)
         # aggregations-after-join: GROUP BY ⊇ the base bucket keys means
         # every group lives wholly in one bucket, so the aggregation
         # finalizes INSIDE the bucket tasks and the whole query plans
@@ -528,19 +608,26 @@ class SqlSession:
         pushed = None
         if n_hops == 1 and hows[0] in ("inner", "left"):
             pushed = self._parse_agg_pushdown(
-                q[: mb.start()], q[pos:], side, base_keys, keys, hows
+                q[: mb.start()], q[pos:], side, base_keys, keys, hows, schemas
             )
         try:
             if pushed is not None:
                 group_cols, agg_map, sel_exprs, tail = pushed
                 df = join_bucketed(
                     self.spark, tables[0], tables[1], how=hows[0],
+                    right_cols=side_cols[1],
                     group_by=group_cols, agg=agg_map,
                 )
             elif n_hops == 1:
-                df = join_bucketed(self.spark, tables[0], tables[1], how=hows[0])
+                df = join_bucketed(
+                    self.spark, tables[0], tables[1], how=hows[0],
+                    right_cols=side_cols[1], filters=(filters[0], filters[1]),
+                )
             else:
-                df = join_bucketed_chain(self.spark, tables, hows=hows)
+                df = join_bucketed_chain(
+                    self.spark, tables, hows=hows,
+                    cols=side_cols, filters=filters,
+                )
         except ValueError:
             return None  # engine/agg-function combination not elidable
         name = _view_name("autobj|" + "|".join(idents) + "|" + "|".join(hows))
@@ -551,7 +638,7 @@ class SqlSession:
             new_q = q[: mb.start()] + f"FROM {name}" + q[pos:]
         return _strip_qualifiers(new_q, quals, renames)
 
-    def _parse_agg_pushdown(self, prefix, suffix, side, base_keys, keys, hows):
+    def _parse_agg_pushdown(self, prefix, suffix, side, base_keys, keys, hows, schemas):
         """Recognize ``SELECT <group cols + aggs> ... GROUP BY <cols ⊇
         base keys> [ORDER BY simple] [LIMIT n]`` with no WHERE/HAVING/
         DISTINCT; return (group_by, agg, select exprs, tail) for
@@ -565,26 +652,32 @@ class SqlSession:
         )
         if not pm or not sm:
             return None
+        _INT_T = ("tinyint", "smallint", "int", "integer", "bigint", "long")
+        _NUM_T = _INT_T + ("float", "double")
 
-        def view_col(ref: str) -> str | None:
+        def resolve(ref: str) -> tuple[str, str] | None:
+            """ref -> (view column, spark type)."""
             sd = side(ref)
             if sd is None:
                 return None
             i, col = sd
+            typ = schemas[i].field(col).type.lower()
             if i > 0 and col in keys[i]:
-                # dropped non-base key -> the base key it equals (inner
-                # hops only; the caller restricts left-hop key refs)
+                # a side key reference on an inner hop equals the base
+                # key; grouping/aggregating by the base key is identical
+                # (and also covers the dropped-key case)
                 if hows[i - 1] != "inner":
                     return None
-                return base_keys[keys[i].index(col)]
-            return col
+                return base_keys[keys[i].index(col)], typ
+            return col, typ
 
-        group_cols = []
+        group_cols: list[str] = []
         for piece in sm.group(1).split(","):
-            c = view_col(piece)
-            if c is None:
+            rc = resolve(piece)
+            if rc is None:
                 return None
-            group_cols.append(c)
+            if rc[0] not in group_cols:
+                group_cols.append(rc[0])
         if not set(base_keys) <= set(group_cols):
             return None
         agg_map: dict[str, tuple[str, str]] = {}
@@ -608,8 +701,19 @@ class SqlSession:
                 elif src in ("*", "1"):
                     return None
                 else:
-                    src_col = view_col(src)
-                    if src_col is None:
+                    rc = resolve(src)
+                    if rc is None:
+                        return None
+                    src_col, src_t = rc
+                    base_t = src_t.split("(")[0]
+                    if func in ("sum", "mean") and base_t not in _NUM_T:
+                        # decimal sums would silently degrade to double;
+                        # non-numeric sums differ from ANSI casts
+                        return None
+                    if func in ("min", "max") and base_t not in _NUM_T + (
+                        "string", "varchar", "char", "date", "timestamp",
+                        "timestamp_ntz", "boolean",
+                    ):
                         return None
                 alias = am.group(3)
                 if alias in agg_map or alias in group_cols:
@@ -617,13 +721,15 @@ class SqlSession:
                 agg_map[alias] = (func, src_col)
                 sel_exprs.append(alias)
                 continue
-            cm = re.match(r"(?is)^(`?[\w.]+`?)(?:\s+AS\s+`?(\w+)`?)?$", item)
+            cm = re.match(r"(?is)^(`?([\w.]+)`?)(?:\s+AS\s+`?(\w+)`?)?$", item)
             if not cm:
                 return None
-            c = view_col(cm.group(1))
-            if c is None or c not in group_cols:
+            rc = resolve(cm.group(1))
+            if rc is None or rc[0] not in group_cols:
                 return None
-            sel_exprs.append(f"{c} AS {cm.group(2)}" if cm.group(2) else c)
+            c = rc[0]
+            out_name = cm.group(3) or cm.group(2).rpartition(".")[2]
+            sel_exprs.append(c if out_name == c else f"{c} AS {out_name}")
         if not agg_map:
             return None  # plain grouped projection — not worth the push
         tail = (sm.group(2) or "") + (sm.group(3) or "")

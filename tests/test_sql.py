@@ -505,3 +505,89 @@ def test_sql_auto_elision_agg_pushdown(spark, warehouse, monkeypatch):
     assert [(r.k, r.n) for r in got2.collect()] == [
         (1, 6), (2, 6), (3, 6), (4, 6), (5, 0)
     ]
+
+
+def test_sql_auto_elision_faithfulness_extras(spark, warehouse, monkeypatch):
+    """Review-driven faithfulness matrix: SELECT * keeps the joined
+    side's key columns, case-mixed aliases resolve like Spark's,
+    double-quoted string literals survive qualifier stripping, and
+    WHERE conjuncts prune the owning side's files (predicate reaches
+    _side_plan) while staying in the query."""
+    from flink_table_store_spark import predicate as PP
+    from flink_table_store_spark.operators import bucketed_join as bj
+    from flink_table_store_spark.sql import SqlSession
+
+    fact = spark.createDataFrame(
+        [(k % 4 + 1, k, float(k), f"s{k % 3}") for k in range(24)],
+        "fk bigint, oid bigint, amt double, tag string",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(1, 4)], "dk bigint, dname string"
+    )
+    tf = warehouse.create_table(
+        "db.fx_f", fact.schema, primary_keys=["fk", "oid"],
+        options={"bucket": "2", "bucket-key": "fk"},
+    )
+    tf.write(fact)
+    td = warehouse.create_table(
+        "db.fx_d", dim.schema, primary_keys=["dk"], options={"bucket": "2"}
+    )
+    td.write(dim)
+    s = SqlSession(spark, warehouse)
+
+    # SELECT *: all columns of both sides INCLUDING the right key, in order
+    star = s.sql("SELECT * FROM db.fx_f f JOIN db.fx_d d ON f.fk = d.dk")
+    assert star.columns == ["fk", "oid", "amt", "tag", "dk", "dname"]
+    assert "MapInPandas" in star._jdf.queryExecution().executedPlan().toString()
+    exp = fact.join(dim, fact.fk == dim.dk)
+    assert sorted(map(tuple, star.collect())) == sorted(map(tuple, exp.collect()))
+    # right-key column carries real values, NULL on unmatched LEFT rows
+    lj = s.sql("SELECT f.oid, d.dk FROM db.fx_f f LEFT JOIN db.fx_d d ON f.fk = d.dk")
+    assert "MapInPandas" in lj._jdf.queryExecution().executedPlan().toString()
+    got = {r.oid: r.dk for r in lj.collect()}
+    assert got[0] == 1 and got[3] is None  # fk=1 matched, fk=4 unmatched
+
+    # case-mixed alias + double-quoted literal faithfulness
+    cm = s.sql(
+        'SELECT F.oid, D.dname FROM db.fx_f f JOIN db.fx_d d ON f.fk = d.dk '
+        'WHERE D.dname <> "f.x" AND F.tag = \'s1\''
+    )
+    assert "MapInPandas" in cm._jdf.queryExecution().executedPlan().toString()
+    exp2 = (
+        fact.join(dim, fact.fk == dim.dk)
+        .where((F.col("dname") != "f.x") & (F.col("tag") == "s1"))
+        .select("oid", "dname")
+    )
+    assert sorted(map(tuple, cm.collect())) == sorted(map(tuple, exp2.collect()))
+
+    # WHERE pushdown: each single-side conjunct reaches _side_plan as a
+    # predicate for its owning table; the WHERE clause stays in the query
+    seen = []
+    orig = bj._side_plan
+
+    def spy(table, spark=None, snap=None, predicate=None):
+        seen.append((table.schema.options.get("path-hint") or table.path, predicate))
+        return orig(table, spark=spark, snap=snap, predicate=predicate)
+
+    monkeypatch.setattr(bj, "_side_plan", spy)
+    pf = s.sql(
+        "SELECT f.oid, d.dname FROM db.fx_f f JOIN db.fx_d d ON f.fk = d.dk "
+        "WHERE f.amt > 10.5 AND d.dname = 'd2' AND f.oid + d.dk > 0"
+    )
+    preds = [p for _t, p in seen if p is not None]
+    assert len(preds) == 2, seen  # one per side; the cross-side piece not pushed
+    exp3 = (
+        fact.join(dim, fact.fk == dim.dk)
+        .where((F.col("amt") > 10.5) & (F.col("dname") == "d2") & (F.col("oid") + F.col("dk") > 0))
+        .select("oid", "dname")
+    )
+    assert sorted(map(tuple, pf.collect())) == sorted(map(tuple, exp3.collect()))
+    assert isinstance(next(iter(preds)), PP.Predicate)
+
+    # LEFT join: predicate on the NULL-extended side must NOT push
+    seen.clear()
+    s.sql(
+        "SELECT f.oid FROM db.fx_f f LEFT JOIN db.fx_d d ON f.fk = d.dk "
+        "WHERE d.dname IS NULL"
+    ).collect()
+    assert all(p is None for _t, p in seen), seen
