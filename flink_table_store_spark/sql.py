@@ -37,6 +37,13 @@ _TVF = re.compile(
 _KEYWORDS = {
     "select", "values", "unnest", "lateral", "table", "range",
 }
+# tokens that can FOLLOW a table reference without being its alias
+_SQL_CLAUSE_KW = {
+    "ON", "WHERE", "GROUP", "ORDER", "HAVING", "LIMIT", "UNION", "JOIN",
+    "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "NATURAL", "USING",
+    "VERSION", "TIMESTAMP", "EXCEPT", "INTERSECT", "MINUS", "SORT",
+    "DISTRIBUTE", "CLUSTER", "WINDOW", "QUALIFY", "SEMI", "ANTI", "SET",
+}
 # FROM a [AS] x (JOIN b [AS] y ON <cond>)+ — the auto-elision
 # candidate shape. Alias tokens must not swallow the join keywords.
 _ALIAS = r"(?:\s+AS)?(?:\s+(?!(?:INNER|LEFT|RIGHT|FULL|CROSS|JOIN|ON|WHERE|GROUP|ORDER|HAVING|LIMIT|UNION)\b)([A-Za-z_]\w*))?"
@@ -365,12 +372,25 @@ class SqlSession:
         if auto is not None:
             q = auto
 
+        taken_aliases: set[str] = set()
+
         def ref_sub(m: re.Match) -> str:
             kw, ident, travel = m.group(1), m.group(2), m.group(3)
             raw = ident[1:-1] if ident.startswith("`") else ident
             if raw.lower() in _KEYWORDS or not self._known(raw):
                 return m.group(0)
-            return f"{kw} {self._register(raw, travel.strip(), _depth)}"
+            view = self._register(raw, travel.strip(), _depth)
+            # re-alias the temp view as the table's last name so
+            # bare-table-name qualifiers (SELECT par_f.fk FROM db.par_f)
+            # keep resolving — unless the query supplies its own alias
+            # right after the reference, or the name is already used
+            nxt = re.match(r"\s+(?:AS\s+)?([A-Za-z_]\w*)", m.string[m.end():])
+            has_alias = nxt is not None and nxt.group(1).upper() not in _SQL_CLAUSE_KW
+            last = raw.partition("$")[0].rpartition(".")[2]
+            if has_alias or not last or last.lower() in taken_aliases:
+                return f"{kw} {view}"
+            taken_aliases.add(last.lower())
+            return f"{kw} {view} AS {last}"
 
         return _REF.sub(ref_sub, q)
 

@@ -434,15 +434,12 @@ def test_sql_auto_elision_parity_vs_shuffle(spark, warehouse, monkeypatch):
         "SELECT concat('f.', d.dname) AS lbl, f.oid FROM db.par_f f "
         "JOIN db.par_d d ON f.fk = d.dk WHERE d.dname <> 'f.x'",
     ]
-    results_on = [sorted(map(tuple, s.sql(q).collect())) for q in queries]
-    # bare-table-name qualifiers: the elision path resolves them (the
-    # shuffle fallback's temp-view rename never could) — compare against
-    # a DataFrame expectation instead
-    bare = s.sql(
+    # bare-table-name qualifiers work on BOTH paths (the fallback
+    # re-aliases its temp view as the table's last name)
+    queries.append(
         "SELECT oid, dname FROM db.par_f JOIN db.par_d ON par_f.fk = par_d.dk"
     )
-    exp_bare = fact.join(dim, fact.fk == dim.dk).select("oid", "dname")
-    assert sorted(map(tuple, bare.collect())) == sorted(map(tuple, exp_bare.collect()))
+    results_on = [sorted(map(tuple, s.sql(q).collect())) for q in queries]
     monkeypatch.setattr(SqlSession, "_auto_bucketed_join", lambda self, q: None)
     s2 = SqlSession(spark, warehouse)
     results_off = [sorted(map(tuple, s2.sql(q).collect())) for q in queries]
@@ -591,3 +588,77 @@ def test_sql_auto_elision_faithfulness_extras(spark, warehouse, monkeypatch):
         "WHERE d.dname IS NULL"
     ).collect()
     assert all(p is None for _t, p in seen), seen
+
+
+def test_sql_auto_elision_fuzz_parity(spark, warehouse, monkeypatch):
+    """Seeded fuzz: random query shapes over randomized co-bucketed
+    tables must return identical rows with elision on vs off. Covers
+    hows, SELECT */columns/aggregates, WHERE mixes, GROUP BY, name
+    collisions (bail paths) and NULL dimension values."""
+    import random
+
+    from flink_table_store_spark.sql import SqlSession
+
+    fact = spark.createDataFrame(
+        [(k % 7, k, float(k) * 0.5 if k % 5 else None, f"t{k % 4}") for k in range(35)],
+        "k bigint, oid bigint, amt double, tag string",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}" if k % 3 else None, k * 100) for k in range(0, 6)],
+        "k bigint, dname string, weight bigint",
+    )
+    # dim2 collides on key NAME (k) with fact's key — the dropped-key path
+    tf = warehouse.create_table(
+        "db.fz_f", fact.schema, primary_keys=["k", "oid"],
+        options={"bucket": "2", "bucket-key": "k"},
+    )
+    tf.write(fact)
+    td = warehouse.create_table(
+        "db.fz_d", dim.schema, primary_keys=["k"], options={"bucket": "2"}
+    )
+    td.write(dim)
+    s_on = SqlSession(spark, warehouse)
+
+    sel_pool = [
+        "f.oid", "f.amt", "d.dname", "d.weight", "f.k", "d.k",
+        "f.oid AS o2", "d.weight AS w2",
+    ]
+    where_pool = [
+        "f.amt > 5.0", "d.weight >= 200", "f.tag = 't1'", "d.dname IS NOT NULL",
+        "f.oid + d.weight > 100", "d.dname <> \"f.x\"",
+    ]
+    agg_pool = [
+        "count(*) AS n", "sum(f.amt) AS sa", "min(d.dname) AS mn",
+        "max(d.weight) AS mw", "avg(f.amt) AS av", "count(f.amt) AS ca",
+    ]
+
+    failures = []
+    for seed in range(10):
+        rng = random.Random(seed)
+        how = rng.choice(["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL OUTER JOIN"])
+        grouped = rng.random() < 0.4 and how in ("JOIN", "LEFT JOIN")
+        if grouped:
+            sel = ["f.k"] + rng.sample(agg_pool, rng.randint(1, 3))
+            tail = " GROUP BY f.k"
+        elif rng.random() < 0.2:
+            sel, tail = ["*"], ""
+        else:
+            sel, tail = rng.sample(sel_pool, rng.randint(1, 4)), ""
+        where = (
+            " WHERE " + " AND ".join(rng.sample(where_pool, rng.randint(1, 2)))
+            if rng.random() < 0.6 and not grouped
+            else ""
+        )
+        q = (
+            f"SELECT {', '.join(sel)} FROM db.fz_f f {how} db.fz_d d "
+            f"ON f.k = d.k{where}{tail}"
+        )
+        with monkeypatch.context() as mp:
+            on_rows = sorted(map(tuple, s_on.sql(q).collect()), key=repr)
+            mp.setattr(SqlSession, "_auto_bucketed_join", lambda self, qq: None)
+            off_rows = sorted(
+                map(tuple, SqlSession(spark, warehouse).sql(q).collect()), key=repr
+            )
+        if on_rows != off_rows:
+            failures.append((seed, q, on_rows[:3], off_rows[:3]))
+    assert not failures, failures
