@@ -412,7 +412,60 @@ def fold_aggregation(pdf, key_cols: list[str], cfg: dict, seqc: str, kindc: str)
     return merged.reset_index()
 
 
-def _make_spec(schema, buckets, dv, maps, sel_cols, jkeys) -> dict:
+def _keep_mask(pred, pdf):
+    """Row mask for a pushed WHERE conjunct: True = the predicate is
+    definitely TRUE for the row. Rows where it is false OR unknown
+    (NULL) may be dropped — SQL's WHERE drops them too — and any
+    evaluation failure keeps the row (the retained WHERE re-filters),
+    so this is purely an IO/width optimization, never a correctness
+    dependency."""
+    import numpy as np
+
+    n = len(pdf)
+    ones = np.ones(n, dtype=bool)
+    kids = getattr(pred, "children", None)
+    if kids is not None:
+        masks = [_keep_mask(c, pdf) for c in kids]
+        out = masks[0]
+        is_and = type(pred).__name__ == "And"
+        for m in masks[1:]:
+            out = (out & m) if is_and else (out | m)
+        return out
+    op = getattr(pred, "op", None)
+    if op is None or getattr(pred, "field", None) not in pdf.columns:
+        return ones  # Raw / unknown shape: keep everything
+    col = pdf[pred.field]
+    lits = list(pred.literals)
+    try:
+        if op == "is_null":
+            return col.isna().to_numpy(dtype=bool)
+        if op == "is_not_null":
+            return col.notna().to_numpy(dtype=bool)
+        notna = col.notna()
+        if op in ("starts_with", "ends_with", "contains"):
+            f = {"starts_with": "startswith", "ends_with": "endswith", "contains": "contains"}[op]
+            m = getattr(col.str, f)(lits[0], na=False) if hasattr(col, "str") else ones
+            return (notna & m).to_numpy(dtype=bool, na_value=False)
+        if op == "in":
+            m = col.isin(lits)
+        elif op == "not_in":
+            m = ~col.isin(lits)
+        elif op == "between":
+            m = (col >= lits[0]) & (col <= lits[1])
+        else:
+            m = {
+                "=": col == lits[0], "<>": col != lits[0],
+                "<": col < lits[0], "<=": col <= lits[0],
+                ">": col > lits[0], ">=": col >= lits[0],
+            }[op]
+        if hasattr(m, "fillna"):
+            m = m.fillna(False)
+        return (notna & m).to_numpy(dtype=bool, na_value=False)
+    except (TypeError, ValueError, AttributeError, KeyError):
+        return ones
+
+
+def _make_spec(schema, buckets, dv, maps, sel_cols, jkeys, pred=None) -> dict:
     """Everything one bucket task needs about one table side, as a plain
     picklable dict (shipped into the mapInPandas closure)."""
     key_cols = list(schema.partition_keys) + schema.trimmed_primary_keys()
@@ -426,6 +479,7 @@ def _make_spec(schema, buckets, dv, maps, sel_cols, jkeys) -> dict:
     from flink_table_store_spark.operators.merge_engines import _sequence_groups
 
     seq_groups = _sequence_groups(schema) if engine == "partial-update" else {}
+    pred_fields = sorted(pred.fields() or ()) if pred is not None else []
     return {
         "buckets": buckets,
         "dv": dv,
@@ -437,6 +491,10 @@ def _make_spec(schema, buckets, dv, maps, sel_cols, jkeys) -> dict:
         "key_cols": key_cols,
         "seq_fields": seq_fields,
         "partition_keys": list(schema.partition_keys),
+        # a pushed WHERE conjunct filters rows POST-merge in the task,
+        # shrinking the join width; its fields must be read even when
+        # not selected
+        "pred": pred,
         # merge keys + user sequence columns (incl. sequence-group
         # version columns) must be read even when not selected (the
         # local merge orders/groups by them)
@@ -444,6 +502,7 @@ def _make_spec(schema, buckets, dv, maps, sel_cols, jkeys) -> dict:
             dict.fromkeys(
                 list(sel_cols)
                 + jkeys
+                + pred_fields
                 + ((key_cols + seq_fields + list(seq_groups)) if pk else [])
             )
         ),
@@ -583,6 +642,11 @@ def read_bucket_side(spec: dict, bucket: int):
                     merged["__del_ord"].isna() | (merged["__ord"] > merged["__del_ord"])
                 ]
             pdf = merged.reset_index()
+    if spec.get("pred") is not None and len(pdf):
+        # AFTER the merge (a newer version may change the filtered
+        # column); drops only rows the query's retained WHERE would
+        # drop anyway — see _keep_mask
+        pdf = pdf[_keep_mask(spec["pred"], pdf)]
     keep = [c for c in spec["out_need"] if c in pdf.columns]
     return pdf[keep]
 
@@ -738,9 +802,15 @@ def join_bucketed(
     if how not in ("inner", "left", "right", "outer"):
         raise ValueError(f"unsupported how={how!r} (inner/left/right/outer)")
 
-    # per-side file pruning (IO only; the caller still applies the
-    # predicate to joined rows — see _side_plan)
+    # per-side file/row pruning (IO only; the caller still applies the
+    # predicate to joined rows — see _side_plan/_keep_mask). A side the
+    # join NULL-extends must not prune: pruning would turn matched rows
+    # into NULL-extended ones (wrong under e.g. IS NULL re-filters)
     lpred, rpred = filters if filters is not None else (None, None)
+    if (how == "left" and rpred is not None) or (
+        how == "right" and lpred is not None
+    ) or (how == "outer" and (lpred is not None or rpred is not None)):
+        raise ValueError(f"filters on a NULL-extended side are unsafe for how={how!r}")
     lbuckets, ldv, _ = _side_plan(left, spark, predicate=lpred)
     rbuckets, rdv, _ = _side_plan(right, spark, predicate=rpred)
     lmaps, rmaps = _field_maps(left), _field_maps(right)
@@ -805,8 +875,8 @@ def join_bucketed(
         ]
         out_schema = ", ".join(f"`{n}` {t}" for n, t in out_fields)
 
-    lspec = _make_spec(lschema, lbuckets, ldv, lmaps, left_cols, lkeys)
-    rspec = _make_spec(rschema, rbuckets, rdv, rmaps, right_cols, rkeys)
+    lspec = _make_spec(lschema, lbuckets, ldv, lmaps, left_cols, lkeys, pred=lpred)
+    rspec = _make_spec(rschema, rbuckets, rdv, rmaps, right_cols, rkeys, pred=rpred)
     join_keys = (list(lkeys), list(rkeys))
     out_names = [n for n, _t in out_fields]  # == join_names unless agg
     rename = dict(rename_right)
@@ -909,6 +979,10 @@ def join_bucketed_chain(
         raise ValueError("hows must have len(tables)-1 entries")
     if filters is not None and len(filters) != n_sides:
         raise ValueError("filters must have len(tables) entries")
+    if filters is not None:
+        for i, h in enumerate(hows):
+            if h == "left" and filters[i + 1] is not None:
+                raise ValueError("filters on a LEFT-joined side are unsafe (NULL-extension)")
     for h in hows:
         if h not in ("inner", "left"):
             raise ValueError(
@@ -980,7 +1054,12 @@ def join_bucketed_chain(
             t, spark, predicate=filters[i] if filters is not None else None
         )
         jk = base_keys if i == 0 else [p[1] for p in on[i - 1]]
-        specs.append(_make_spec(s, buckets, dv, _field_maps(t), sels[i], jk))
+        specs.append(
+            _make_spec(
+                s, buckets, dv, _field_maps(t), sels[i], jk,
+                pred=filters[i] if filters is not None else None,
+            )
+        )
     join_plan = [
         {
             "left_on": [p[0] for p in pairs],  # base column names

@@ -1098,3 +1098,33 @@ def test_bucketed_join_hll_sketch_binary_fold(spark, warehouse):
     assert all(5800 <= v <= 6200 for v in got_est.values()), got_est
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_keep_mask_null_semantics():
+    """_keep_mask keeps only definitely-TRUE rows (SQL WHERE drops
+    false AND unknown); evaluation failure keeps everything."""
+    import numpy as np
+    import pandas as pd
+
+    from flink_table_store_spark import predicate as P
+    from flink_table_store_spark.operators.bucketed_join import _keep_mask
+
+    pdf = pd.DataFrame(
+        {
+            "a": pd.array([1, None, 5, 7], dtype="Int64"),
+            "s": ["xy", None, "zz", "xq"],
+        }
+    )
+    assert list(_keep_mask(P.greater_than("a", 4), pdf)) == [False, False, True, True]
+    assert list(_keep_mask(P.not_equal("a", 5), pdf)) == [True, False, False, True]
+    assert list(_keep_mask(P.is_null("a"), pdf)) == [False, True, False, False]
+    assert list(_keep_mask(P.starts_with("s", "x"), pdf)) == [True, False, False, True]
+    assert list(_keep_mask(P.isin("a", [1, 7]), pdf)) == [True, False, False, True]
+    both = P.and_(P.greater_than("a", 0), P.starts_with("s", "x"))
+    assert list(_keep_mask(both, pdf)) == [True, False, False, True]
+    either = P.or_(P.equal("a", 1), P.equal("s", "zz"))
+    assert list(_keep_mask(either, pdf)) == [True, False, True, False]
+    # unknown field / Raw-ish shape: keep everything
+    assert list(_keep_mask(P.equal("missing", 1), pdf)) == [True] * 4
+    # type-mismatch failure: keep everything
+    assert list(_keep_mask(P.greater_than("s", 123), pdf)) == [True] * 4
