@@ -436,6 +436,27 @@ def _keep_mask(pred, pdf):
         return ones  # Raw / unknown shape: keep everything
     col = pdf[pred.field]
     lits = list(pred.literals)
+
+    def lit_ok(lit):
+        # EXPLICIT literal/column compatibility: pandas ==/isin on a
+        # mismatched type is silently all-False (it never raises like
+        # the ordered ops do), which would wrongly drop every row
+        import pandas.api.types as pt
+
+        if lit is None:
+            return False
+        if isinstance(lit, bool):
+            return pt.is_bool_dtype(col) or col.dtype == object
+        if isinstance(lit, (int, float, Decimal)):
+            return pt.is_numeric_dtype(col) or col.dtype == object
+        if isinstance(lit, str):
+            return not (
+                pt.is_numeric_dtype(col)
+                or pt.is_bool_dtype(col)
+                or pt.is_datetime64_any_dtype(col)
+            )
+        return True
+
     try:
         if op == "is_null":
             return col.isna().to_numpy(dtype=bool)
@@ -443,9 +464,16 @@ def _keep_mask(pred, pdf):
             return col.notna().to_numpy(dtype=bool)
         notna = col.notna()
         if op in ("starts_with", "ends_with", "contains"):
-            f = {"starts_with": "startswith", "ends_with": "endswith", "contains": "contains"}[op]
-            m = getattr(col.str, f)(lits[0], na=False) if hasattr(col, "str") else ones
+            if not isinstance(lits[0], str) or not hasattr(col, "str"):
+                return ones
+            if op == "contains":
+                m = col.str.contains(lits[0], regex=False, na=False)
+            else:
+                f = "startswith" if op == "starts_with" else "endswith"
+                m = getattr(col.str, f)(lits[0], na=False)
             return (notna & m).to_numpy(dtype=bool, na_value=False)
+        if not all(lit_ok(x) for x in lits):
+            return ones
         if op == "in":
             m = col.isin(lits)
         elif op == "not_in":
@@ -453,11 +481,12 @@ def _keep_mask(pred, pdf):
         elif op == "between":
             m = (col >= lits[0]) & (col <= lits[1])
         else:
+            import operator as _op
+
             m = {
-                "=": col == lits[0], "<>": col != lits[0],
-                "<": col < lits[0], "<=": col <= lits[0],
-                ">": col > lits[0], ">=": col >= lits[0],
-            }[op]
+                "=": _op.eq, "<>": _op.ne, "<": _op.lt,
+                "<=": _op.le, ">": _op.gt, ">=": _op.ge,
+            }[op](col, lits[0])
         if hasattr(m, "fillna"):
             m = m.fillna(False)
         return (notna & m).to_numpy(dtype=bool, na_value=False)
@@ -479,7 +508,11 @@ def _make_spec(schema, buckets, dv, maps, sel_cols, jkeys, pred=None) -> dict:
     from flink_table_store_spark.operators.merge_engines import _sequence_groups
 
     seq_groups = _sequence_groups(schema) if engine == "partial-update" else {}
-    pred_fields = sorted(pred.fields() or ()) if pred is not None else []
+    if pred is not None and pred.fields() is None:
+        # Raw predicates wrap a py4j-backed Column — unpicklable in the
+        # task closure and a no-op for _keep_mask anyway
+        pred = None
+    pred_fields = sorted(pred.fields()) if pred is not None else []
     return {
         "buckets": buckets,
         "dv": dv,

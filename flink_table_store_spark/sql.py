@@ -384,9 +384,14 @@ class SqlSession:
             # bare-table-name qualifiers (SELECT par_f.fk FROM db.par_f)
             # keep resolving — unless the query supplies its own alias
             # right after the reference, or the name is already used
-            nxt = re.match(r"\s+(?:AS\s+)?([A-Za-z_]\w*)", m.string[m.end():])
-            has_alias = nxt is not None and nxt.group(1).upper() not in _SQL_CLAUSE_KW
-            last = raw.partition("$")[0].rpartition(".")[2]
+            nxt = re.match(
+                r"\s+(?:AS\s+)?([A-Za-z_]\w*|`[^`]+`)", m.string[m.end():]
+            )
+            has_alias = nxt is not None and (
+                nxt.group(1).startswith("`")
+                or nxt.group(1).upper() not in _SQL_CLAUSE_KW
+            )
+            last = raw.partition("$")[0].partition("@")[0].rpartition(".")[2]
             if has_alias or not last or last.lower() in taken_aliases:
                 return f"{kw} {view}"
             taken_aliases.add(last.lower())

@@ -1128,3 +1128,23 @@ def test_keep_mask_null_semantics():
     assert list(_keep_mask(P.equal("missing", 1), pdf)) == [True] * 4
     # type-mismatch failure: keep everything
     assert list(_keep_mask(P.greater_than("s", 123), pdf)) == [True] * 4
+
+
+def test_keep_mask_literal_compat_and_contains():
+    """Type-mismatched equality/IN keeps all rows (pandas would be
+    silently all-False); contains is LITERAL, not regex."""
+    import pandas as pd
+
+    from flink_table_store_spark import predicate as P
+    from flink_table_store_spark.operators.bucketed_join import _keep_mask
+
+    pdf = pd.DataFrame({"k": [3, 4, 5], "s": ["xa+by", "ab(", "zz"]})
+    # string literals against a bigint column: keep everything
+    assert list(_keep_mask(P.isin("k", ["3", "4"]), pdf)) == [True] * 3
+    assert list(_keep_mask(P.equal("k", "3"), pdf)) == [True] * 3
+    # literal contains: 'a+b' matches the literal substring, and a
+    # regex-invalid literal must not crash
+    assert list(_keep_mask(P.contains("s", "a+b"), pdf)) == [True, False, False]
+    assert list(_keep_mask(P.contains("s", "ab("), pdf)) == [False, True, False]
+    # NULL literal: unknown for every row -> keep (WHERE re-filters)
+    assert list(_keep_mask(P.equal("k", None), pdf)) == [True] * 3

@@ -662,3 +662,15 @@ def test_sql_auto_elision_fuzz_parity(spark, warehouse, monkeypatch):
         if on_rows != off_rows:
             failures.append((seed, q, on_rows[:3], off_rows[:3]))
     assert not failures, failures
+
+
+def test_fallback_realias_branch_and_quoted_alias(spark, warehouse, sql):
+    """ref_sub's re-alias must not break branch references (db.t@dev —
+    '@' is not a legal alias char) or queries that already carry a
+    backtick-quoted alias."""
+    t = _seed(spark, warehouse, "db.ra", pk=["k"])
+    t.create_branch("dev")
+    rows = sql.sql("SELECT k, v FROM db.ra@dev ORDER BY k").collect()
+    assert [r.k for r in rows] == [1, 2, 3]
+    got = sql.sql("SELECT `x`.v FROM db.ra `x` WHERE `x`.k = 2").collect()
+    assert [r.v for r in got] == ["b"]
