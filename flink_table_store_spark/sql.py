@@ -625,6 +625,35 @@ class SqlSession:
                 if flds is None or not flds <= set(schemas[i].field_names()):
                     continue
                 filters[i] = pred if filters[i] is None else P.and_(filters[i], pred)
+        # Column pruning into the bucket tasks: unless the query pulls
+        # SELECT *, restrict each side to the columns the query's text
+        # actually references (token ∩ field names — over-inclusion is
+        # safe, under-inclusion impossible: every reference contains the
+        # bare column token). Join keys always stay readable; the view
+        # then reads only the needed parquet columns.
+        has_star = re.search(r"(?i)(?:\bselect(?:\s+distinct)?|,)\s*\*", stripped_q)
+        if not has_star:
+            tokens = {
+                t.lower()
+                for t in re.findall(r"[A-Za-z_]\w*", "".join(
+                    p for p in _QUOTED.split(rest) if p[:1] not in ("'", '"')
+                ))
+            }
+            base_k_low = {k.lower() for k in base_keys}
+            left_cols_sel = [
+                c
+                for c in schemas[0].field_names()
+                if c.lower() in tokens or c.lower() in base_k_low
+            ]
+            for i in range(1, n_hops + 1):
+                k_low = {k.lower() for k in keys[i]}
+                side_cols[i] = [
+                    c
+                    for c in side_cols[i]
+                    if c.lower() in tokens or c.lower() in k_low
+                ]
+        else:
+            left_cols_sel = None
         # aggregations-after-join: GROUP BY ⊇ the base bucket keys means
         # every group lives wholly in one bucket, so the aggregation
         # finalizes INSIDE the bucket tasks and the whole query plans
@@ -640,22 +669,27 @@ class SqlSession:
                 group_cols, agg_map, sel_exprs, tail = pushed
                 df = join_bucketed(
                     self.spark, tables[0], tables[1], how=hows[0],
-                    right_cols=side_cols[1],
+                    left_cols=left_cols_sel, right_cols=side_cols[1],
                     group_by=group_cols, agg=agg_map,
                 )
             elif n_hops == 1:
                 df = join_bucketed(
                     self.spark, tables[0], tables[1], how=hows[0],
-                    right_cols=side_cols[1], filters=(filters[0], filters[1]),
+                    left_cols=left_cols_sel, right_cols=side_cols[1],
+                    filters=(filters[0], filters[1]),
                 )
             else:
                 df = join_bucketed_chain(
                     self.spark, tables, hows=hows,
-                    cols=side_cols, filters=filters,
+                    cols=[left_cols_sel] + side_cols[1:], filters=filters,
                 )
         except ValueError:
             return None  # engine/agg-function combination not elidable
-        name = _view_name("autobj|" + "|".join(idents) + "|" + "|".join(hows))
+        name = _view_name(
+            "autobj|" + "|".join(idents) + "|" + "|".join(hows)
+            + "|" + ",".join(left_cols_sel or [])
+            + "|" + ";".join(",".join(c or []) for c in side_cols[1:])
+        )
         df.createOrReplaceTempView(name)
         if pushed is not None:
             new_q = f"SELECT {', '.join(sel_exprs)} FROM {name}{tail}"

@@ -674,3 +674,40 @@ def test_fallback_realias_branch_and_quoted_alias(spark, warehouse, sql):
     assert [r.k for r in rows] == [1, 2, 3]
     got = sql.sql("SELECT `x`.v FROM db.ra `x` WHERE `x`.k = 2").collect()
     assert [r.v for r in got] == ["b"]
+
+
+def test_sql_auto_elision_column_pruning(spark, warehouse):
+    """The elided view reads only referenced columns: unreferenced
+    fields never appear in the MapInPandas output (so the bucket tasks
+    never read those parquet columns)."""
+    from flink_table_store_spark.sql import SqlSession
+
+    fact = spark.createDataFrame(
+        [(k % 3 + 1, k, float(k), f"tag{k}", f"pad{k}" * 10) for k in range(12)],
+        "fk bigint, oid bigint, amt double, tag string, big_unused string",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}", k * 10) for k in range(1, 4)],
+        "dk bigint, dname string, unused_w bigint",
+    )
+    tf = warehouse.create_table(
+        "db.cp_f", fact.schema, primary_keys=["fk", "oid"],
+        options={"bucket": "2", "bucket-key": "fk"},
+    )
+    tf.write(fact)
+    td = warehouse.create_table(
+        "db.cp_d", dim.schema, primary_keys=["dk"], options={"bucket": "2"}
+    )
+    td.write(dim)
+    s = SqlSession(spark, warehouse)
+    df = s.sql(
+        "SELECT f.oid, d.dname FROM db.cp_f f JOIN db.cp_d d ON f.fk = d.dk "
+        "WHERE f.amt > 3.0 ORDER BY f.oid"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "big_unused" not in plan and "unused_w" not in plan and "tag" not in plan
+    assert [r.oid for r in df.collect()] == [4, 5, 6, 7, 8, 9, 10, 11]
+    # SELECT * still returns everything
+    star = s.sql("SELECT * FROM db.cp_f f JOIN db.cp_d d ON f.fk = d.dk")
+    assert star.columns == ["fk", "oid", "amt", "tag", "big_unused", "dk", "dname", "unused_w"]
