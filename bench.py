@@ -348,6 +348,21 @@ def main() -> None:
             hows=["inner", "left"],
         ).count()
 
+    @timed("sql_auto_join", repeat=3)
+    def _saj():
+        # the SAME co-located rollup through the plain-SQL surface: the
+        # session auto-elides the JOIN and pushes the GROUP BY into the
+        # bucket tasks — no explicit API, no hash Exchange
+        from flink_table_store_spark.sql import SqlSession
+
+        SqlSession(spark, cat).sql(
+            "SELECT o.o_custkey AS ck, c.c_nationkey AS nk, "
+            "count(*) AS n, sum(o.o_totalprice) AS total "
+            "FROM bench.orders_bj o JOIN bench.customer_pk c "
+            "ON o.o_custkey = c.c_custkey "
+            "GROUP BY o.o_custkey, c.c_nationkey"
+        ).collect()
+
     # --- metadata-scale proxy: planning/doctor over a 200k-entry manifest
     # (fabricated ADD entries, metadata only — no data rewrite). The
     # distributed manifest switch (scan.manifest.distributed-threshold,
