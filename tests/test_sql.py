@@ -711,3 +711,20 @@ def test_sql_auto_elision_column_pruning(spark, warehouse):
     # SELECT * still returns everything
     star = s.sql("SELECT * FROM db.cp_f f JOIN db.cp_d d ON f.fk = d.dk")
     assert star.columns == ["fk", "oid", "amt", "tag", "big_unused", "dk", "dname", "unused_w"]
+
+
+def test_sql_auto_elision_skips_time_travel(spark, warehouse, sql):
+    """A VERSION/TIMESTAMP AS OF clause on either join side must keep
+    the shuffle path — the elided view always reads the LATEST
+    snapshot, so eliding a travel query would silently answer from the
+    wrong snapshot."""
+    a = _seed(spark, warehouse, "db.tt_a", pk=["k"])
+    _seed(spark, warehouse, "db.tt_b", pk=["k"])
+    a.write(spark.createDataFrame([(1, "NEW", "x")], "k bigint, v string, pt string"))
+    df = sql.sql(
+        "SELECT a.v FROM db.tt_a VERSION AS OF 1 a JOIN db.tt_b b ON a.k = b.k "
+        "WHERE a.k = 1"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+    assert [r.v for r in df.collect()] == ["a"]  # snapshot 1, not NEW
