@@ -36,6 +36,20 @@ class Catalog:
             n[:-3] for n in os.listdir(self.warehouse) if n.endswith(".db")
         )
 
+    def drop_database(
+        self, database: str, ignore_if_not_exists: bool = True, cascade: bool = False
+    ) -> None:
+        """Drop a database; refuses a non-empty one unless ``cascade``
+        (Catalog.dropDatabase semantics)."""
+        p = self._db_path(database)
+        if not os.path.isdir(p):
+            if ignore_if_not_exists:
+                return
+            raise RuntimeError(f"database {database} does not exist")
+        if os.listdir(p) and not cascade:
+            raise RuntimeError(f"database {database} is not empty (use cascade)")
+        shutil.rmtree(p)
+
     def list_tables(self, database: str) -> list[str]:
         p = self._db_path(database)
         if not os.path.isdir(p):

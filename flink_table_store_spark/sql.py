@@ -253,12 +253,33 @@ class SqlSession:
             return self._merge(q)
         if head == "ALTER":
             return self._alter(q)
-        if head == "CREATE" and re.match(r"(?is)CREATE\s+TABLE\b", q):
-            return self._create(q)
-        if head == "DROP" and re.match(r"(?is)DROP\s+TABLE\b", q):
-            return self._drop(q)
-        if head == "SHOW" and re.match(r"(?is)SHOW\s+TABLES\b", q):
-            return self._show_tables(q)
+        if head == "CREATE":
+            if re.match(r"(?is)CREATE\s+DATABASE\b", q):
+                return self._create_db(q)
+            if re.match(r"(?is)CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\b", q):
+                return self._create_view(q)
+            if re.match(r"(?is)CREATE\s+TABLE\b", q):
+                return self._create(q)
+        if head == "DROP":
+            if re.match(r"(?is)DROP\s+TABLE\b", q):
+                return self._drop(q)
+            if re.match(r"(?is)DROP\s+VIEW\b", q):
+                return self._drop_view(q)
+            if re.match(r"(?is)DROP\s+DATABASE\b", q):
+                return self._drop_db(q)
+        if head == "SHOW":
+            if re.match(r"(?is)SHOW\s+TABLES\b", q):
+                return self._show_tables(q)
+            if re.match(r"(?is)SHOW\s+DATABASES\b", q):
+                return self.spark.createDataFrame(
+                    [(d,) for d in self.catalog.list_databases()], "namespace string"
+                )
+            if re.match(r"(?is)SHOW\s+VIEWS\b", q):
+                return self._show_views(q)
+            if re.match(r"(?is)SHOW\s+CREATE\s+TABLE\b", q):
+                return self._show_create(q)
+        if head == "TRUNCATE":
+            return self._truncate(q)
         if head in ("DESCRIBE", "DESC"):
             return self._describe(q)
         return self.spark.sql(self._rewrite(q))
@@ -802,7 +823,7 @@ class SqlSession:
         ('k'='v', ...)] — the reference's Spark DDL shape."""
         hm = re.match(r"(?is)CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\(", q)
         if not hm:
-            raise ValueError(f"cannot parse CREATE TABLE: {q}")
+            return self._ctas(q)
         if_not_exists, ident = hm.group(1), hm.group(2)
         # balanced-paren scan for the column list (types and PRIMARY KEY
         # contain parens/commas of their own)
@@ -881,6 +902,126 @@ class SqlSession:
         rows = [(f.name, f.type, f.nullable) for f in t.schema.fields]
         return self.spark.createDataFrame(rows, "col_name string, data_type string, nullable boolean")
 
+    def _ctas(self, q: str):
+        """CREATE TABLE [IF NOT EXISTS] db.t [PARTITIONED BY (...)]
+        [TBLPROPERTIES (...)] AS SELECT ... — schema comes from the
+        query; primary keys via TBLPROPERTIES('primary-key'='a,b'), the
+        reference's Spark CTAS convention (paimon-spark
+        SparkCatalog.createTable + DDLTestBase CTAS cases)."""
+        cm = re.match(
+            r"(?is)CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*"
+            r"(.*?)\s*AS\s+(SELECT\b.*)$",
+            q,
+        )
+        if not cm:
+            raise ValueError(f"cannot parse CREATE TABLE: {q}")
+        if_not_exists, ident, middle, select = cm.groups()
+        part_s = props_s = None
+        if pm := re.search(r"(?is)PARTITIONED\s+BY\s*\(([^)]*)\)", middle):
+            part_s = pm.group(1)
+        if tm := re.search(r"(?is)TBLPROPERTIES\s*\((.*)\)\s*$", middle):
+            props_s = tm.group(1)
+        options: dict[str, str] = {}
+        if props_s:
+            for piece in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", props_s):
+                k, _, v = piece.partition("=")
+                options[str(_literal(k))] = str(_literal(v))
+        pks = [
+            c.strip()
+            for c in options.pop("primary-key", "").split(",")
+            if c.strip()
+        ]
+        df = self.spark.sql(self._rewrite(select))
+        t = self.catalog.create_table(
+            ident,
+            df.schema,
+            partition_keys=(
+                [c.strip().strip("`") for c in part_s.split(",")] if part_s else None
+            ),
+            primary_keys=pks or None,
+            options=options,
+            ignore_if_exists=bool(if_not_exists),
+        )
+        if t.snapshots.latest_id() is None or not if_not_exists:
+            t.write(df)
+        return t.refresh()
+
+    def _create_db(self, q: str):
+        m = re.match(r"(?is)CREATE\s+DATABASE\s+(IF\s+NOT\s+EXISTS\s+)?([\w]+)\s*$", q)
+        if not m:
+            raise ValueError(f"cannot parse CREATE DATABASE: {q}")
+        self.catalog.create_database(m.group(2), ignore_if_exists=bool(m.group(1)))
+        return None
+
+    def _drop_db(self, q: str):
+        m = re.match(
+            r"(?is)DROP\s+DATABASE\s+(IF\s+EXISTS\s+)?([\w]+)\s*(CASCADE)?\s*$", q
+        )
+        if not m:
+            raise ValueError(f"cannot parse DROP DATABASE: {q}")
+        self.catalog.drop_database(
+            m.group(2),
+            ignore_if_not_exists=bool(m.group(1)),
+            cascade=bool(m.group(3)),
+        )
+        return None
+
+    def _create_view(self, q: str):
+        m = re.match(
+            r"(?is)CREATE\s+(OR\s+REPLACE\s+)?VIEW\s+(IF\s+NOT\s+EXISTS\s+)?"
+            r"([\w.]+)\s+AS\s+(.*)$",
+            q,
+        )
+        if not m:
+            raise ValueError(f"cannot parse CREATE VIEW: {q}")
+        self.catalog.create_view(
+            m.group(3),
+            m.group(4).strip(),
+            ignore_if_exists=bool(m.group(1) or m.group(2)),
+        )
+        return None
+
+    def _drop_view(self, q: str):
+        m = re.match(r"(?is)DROP\s+VIEW\s+(IF\s+EXISTS\s+)?([\w.]+)\s*$", q)
+        if not m:
+            raise ValueError(f"cannot parse DROP VIEW: {q}")
+        self.catalog.drop_view(m.group(2), ignore_if_not_exists=bool(m.group(1)))
+        return None
+
+    def _show_views(self, q: str):
+        m = re.match(r"(?is)SHOW\s+VIEWS(?:\s+(?:IN|FROM)\s+([\w]+))?\s*$", q)
+        if not m:
+            raise ValueError(f"cannot parse SHOW VIEWS: {q}")
+        dbs = [m.group(1)] if m.group(1) else self.catalog.list_databases()
+        rows = [(db, v) for db in dbs for v in self.catalog.list_views(db)]
+        return self.spark.createDataFrame(rows or [], "namespace string, viewName string")
+
+    def _show_create(self, q: str):
+        m = re.match(r"(?is)SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*$", q)
+        if not m:
+            raise ValueError(f"cannot parse SHOW CREATE TABLE: {q}")
+        s = self.catalog.get_table(m.group(1)).schema
+        cols = [
+            f"  `{f.name}` {f.type}" + ("" if f.nullable else " NOT NULL")
+            for f in s.fields
+        ]
+        if s.primary_keys:
+            cols.append("  PRIMARY KEY (" + ", ".join(s.primary_keys) + ")")
+        ddl = f"CREATE TABLE {m.group(1)} (\n" + ",\n".join(cols) + "\n)"
+        if s.partition_keys:
+            ddl += " PARTITIONED BY (" + ", ".join(s.partition_keys) + ")"
+        if s.options:
+            props = ", ".join(f"'{k}'='{v}'" for k, v in sorted(s.options.items()))
+            ddl += f" TBLPROPERTIES ({props})"
+        return self.spark.createDataFrame([(ddl,)], "createtab_stmt string")
+
+    def _truncate(self, q: str):
+        m = re.match(r"(?is)TRUNCATE\s+TABLE\s+([\w.]+)\s*$", q)
+        if not m:
+            raise ValueError(f"cannot parse TRUNCATE TABLE: {q}")
+        self.catalog.get_table(m.group(1)).purge_files()
+        return None
+
     # --- ALTER TABLE DDL -> schema evolution (SchemaChange.java ops) ---
 
     def _alter(self, q: str):
@@ -907,6 +1048,12 @@ class SqlSession:
         elif dm := re.match(r"(?is)DROP\s+COLUMNS?\s+(.*)$", body):
             for piece in _strip_wrap_parens(dm.group(1)).split(","):
                 changes.append({"action": "drop_column", "name": piece.strip().strip("`")})
+        elif tm := re.match(r"(?is)RENAME\s+TO\s+([\w.]+)\s*$", body):
+            dst = tm.group(1)
+            if "." not in dst:
+                dst = (ident.rpartition(".")[0] or "default") + "." + dst
+            self.catalog.rename_table(ident, dst)
+            return None
         elif rm := re.match(
             r"(?is)RENAME\s+COLUMN\s+`?([\w.]+)`?\s+TO\s+`?(\w+)`?\s*$", body
         ):

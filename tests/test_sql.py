@@ -728,3 +728,53 @@ def test_sql_auto_elision_skips_time_travel(spark, warehouse, sql):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInPandas" not in plan
     assert [r.v for r in df.collect()] == ["a"]  # snapshot 1, not NEW
+
+
+def test_ddl_ctas_rename_truncate_views_databases(spark, warehouse, sql):
+    """Round out the reference's Spark DDL surface: CTAS (+primary-key
+    TBLPROPERTY), ALTER TABLE RENAME TO, TRUNCATE TABLE, CREATE/SHOW/
+    DROP VIEW, CREATE/SHOW/DROP DATABASE, SHOW CREATE TABLE."""
+    _seed(spark, warehouse, "db.src", pk=["k"])
+
+    # CTAS with partition + primary key property
+    t = sql.sql(
+        "CREATE TABLE db.ctas_t PARTITIONED BY (pt) "
+        "TBLPROPERTIES ('primary-key'='k,pt', 'bucket'='2') "
+        "AS SELECT k, v, pt FROM db.src"
+    )
+    assert sorted(t.schema.primary_keys) == ["k", "pt"]
+    assert t.schema.partition_keys == ["pt"]
+    got = {(r.k, r.v) for r in sql.sql("SELECT k, v FROM db.ctas_t").collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    # CTAS IF NOT EXISTS on an existing table: no double-write
+    sql.sql("CREATE TABLE IF NOT EXISTS db.ctas_t AS SELECT k, v, pt FROM db.src")
+    assert sql.sql("SELECT count(*) AS c FROM db.ctas_t").collect()[0].c == 3
+
+    # RENAME TO + SHOW CREATE TABLE on the new name
+    sql.sql("ALTER TABLE db.ctas_t RENAME TO ctas_renamed")
+    ddl = sql.sql("SHOW CREATE TABLE db.ctas_renamed").collect()[0].createtab_stmt
+    assert "PRIMARY KEY" in ddl and "PARTITIONED BY (pt)" in ddl and "`v` string" in ddl
+
+    # TRUNCATE empties, keeps schema
+    sql.sql("TRUNCATE TABLE db.ctas_renamed")
+    assert sql.sql("SELECT count(*) AS c FROM db.ctas_renamed").collect()[0].c == 0
+
+    # views
+    sql.sql("CREATE VIEW db.v_top AS SELECT k, v FROM db.src WHERE k >= 2")
+    assert {(r.k, r.v) for r in sql.sql("SELECT * FROM db.v_top").collect()} == {
+        (2, "b"), (3, "c")
+    }
+    views = {(r.namespace, r.viewName) for r in sql.sql("SHOW VIEWS IN db").collect()}
+    assert ("db", "v_top") in views
+    sql.sql("DROP VIEW db.v_top")
+    assert not warehouse.is_view("db.v_top")
+
+    # databases
+    sql.sql("CREATE DATABASE extra_db")
+    assert "extra_db" in {r.namespace for r in sql.sql("SHOW DATABASES").collect()}
+    sql.sql("DROP DATABASE extra_db")
+    assert "extra_db" not in warehouse.list_databases()
+    import pytest
+
+    with pytest.raises(Exception, match="not empty"):
+        sql.sql("DROP DATABASE db")
