@@ -111,6 +111,45 @@ def _split_depth0_parens(s: str) -> list[str]:
     return out
 
 
+def _parse_clause_tail(s: str) -> tuple[str | None, str | None, str]:
+    """PARTITIONED BY (...) / TBLPROPERTIES (...) in ANY order (Spark
+    accepts both); the TBLPROPERTIES body is scanned with balanced
+    parens outside string literals so a ')' inside a quoted value
+    cannot close it. Returns (partition cols, properties, leftover)."""
+    part_s = props_s = None
+    if tm := re.search(r"(?is)\bTBLPROPERTIES\s*\(", s):
+        i, depth, in_q = tm.end(), 1, False
+        while i < len(s) and depth:
+            ch = s[i]
+            if in_q:
+                if ch == "'":
+                    in_q = False
+            elif ch == "'":
+                in_q = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            raise ValueError(f"unbalanced TBLPROPERTIES in: {s}")
+        props_s = s[tm.end() : i - 1]
+        s = s[: tm.start()] + s[i:]
+    if pm := re.search(r"(?is)\bPARTITIONED\s+BY\s*\(([^)]*)\)", s):
+        part_s = pm.group(1)
+        s = s[: pm.start()] + s[pm.end() :]
+    return part_s, props_s, s.strip()
+
+
+def _parse_props(props_s: str | None) -> dict[str, str]:
+    options: dict[str, str] = {}
+    if props_s:
+        for piece in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", props_s):
+            k, _, v = piece.partition("=")
+            options[str(_literal(k))] = str(_literal(v))
+    return options
+
+
 def _strip_wrap_parens(s: str) -> str:
     """Strip ONE pair of parens only when they wrap the whole string —
     'a decimal(10,2)' must keep its type parens while '(a int, b int)'
@@ -271,9 +310,7 @@ class SqlSession:
             if re.match(r"(?is)SHOW\s+TABLES\b", q):
                 return self._show_tables(q)
             if re.match(r"(?is)SHOW\s+DATABASES\b", q):
-                return self.spark.createDataFrame(
-                    [(d,) for d in self.catalog.list_databases()], "namespace string"
-                )
+                return self._show_databases(q)
             if re.match(r"(?is)SHOW\s+VIEWS\b", q):
                 return self._show_views(q)
             if re.match(r"(?is)SHOW\s+CREATE\s+TABLE\b", q):
@@ -561,13 +598,18 @@ class SqlSession:
         qual_pat = "|".join(re.escape(x) for x in quals)
         if re.search(r"(?i)(?:" + qual_pat + r")\.\*", q):
             return None
-        # bare SELECT * is faithful only when every side key survived
+        # bare SELECT * is faithful only when every side key survived.
+        # Comments are stripped too: a hint like /*+ BROADCAST */ must
+        # not hide the star from detection
         stripped_q = "".join(
             p for p in _QUOTED.split(q) if p[:1] not in ("'", '"')
         )
-        if any_dropped and re.search(
+        stripped_q = re.sub(r"/\*.*?\*/", " ", stripped_q, flags=re.S)
+        stripped_q = re.sub(r"--[^\n]*", " ", stripped_q)
+        has_star = re.search(
             r"(?i)(?:\bselect(?:\s+distinct)?|,)\s*\*", stripped_q
-        ):
+        ) is not None
+        if any_dropped and has_star:
             return None
         # DROPPED keys: after an inner hop they equal the base key, so
         # references are REWRITTEN (only name-preserving rewrites — the
@@ -649,11 +691,14 @@ class SqlSession:
         # Column pruning into the bucket tasks: unless the query pulls
         # SELECT *, restrict each side to the columns the query's text
         # actually references (token ∩ field names — over-inclusion is
-        # safe, under-inclusion impossible: every reference contains the
-        # bare column token). Join keys always stay readable; the view
-        # then reads only the needed parquet columns.
-        has_star = re.search(r"(?i)(?:\bselect(?:\s+distinct)?|,)\s*\*", stripped_q)
-        if not has_star:
+        # safe; under-inclusion impossible for \w-named columns: every
+        # reference contains the bare column token, and tables with any
+        # non-\w column name skip pruning entirely). Join keys always
+        # stay readable; the view then reads only the needed columns.
+        prunable = all(
+            re.fullmatch(r"\w+", c) for s in schemas for c in s.field_names()
+        )
+        if not has_star and prunable:
             tokens = {
                 t.lower()
                 for t in re.findall(r"[A-Za-z_]\w*", "".join(
@@ -838,11 +883,7 @@ class SqlSession:
         if depth:
             raise ValueError(f"unbalanced parentheses in CREATE TABLE: {q}")
         cols_s, rest = q[start : i - 1], q[i:]
-        part_s = props_s = None
-        if pm := re.search(r"(?is)PARTITIONED\s+BY\s*\(([^)]*)\)", rest):
-            part_s = pm.group(1)
-        if tm := re.search(r"(?is)TBLPROPERTIES\s*\((.*)\)\s*$", rest):
-            props_s = tm.group(1)
+        part_s, props_s, _leftover = _parse_clause_tail(rest)
         cols, pks = [], []
         for piece in _split_depth0_parens(cols_s):
             piece = piece.strip()
@@ -853,11 +894,7 @@ class SqlSession:
             if not typ.strip():
                 raise ValueError(f"column needs 'name type': {piece!r}")
             cols.append(f"{name.strip('`')} {typ.strip()}")
-        options: dict[str, str] = {}
-        if props_s:
-            for piece in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", props_s):
-                k, _, v = piece.partition("=")
-                options[str(_literal(k))] = str(_literal(v))
+        options = _parse_props(props_s)
         parts = [c.strip().strip("`") for c in part_s.split(",")] if part_s else None
         return self.catalog.create_table(
             ident,
@@ -908,29 +945,38 @@ class SqlSession:
         query; primary keys via TBLPROPERTIES('primary-key'='a,b'), the
         reference's Spark CTAS convention (paimon-spark
         SparkCatalog.createTable + DDLTestBase CTAS cases)."""
-        cm = re.match(
-            r"(?is)CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*"
-            r"(.*?)\s*AS\s+(SELECT\b.*)$",
-            q,
-        )
-        if not cm:
+        hm = re.match(r"(?is)CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*(.*)$", q)
+        if not hm:
             raise ValueError(f"cannot parse CREATE TABLE: {q}")
-        if_not_exists, ident, middle, select = cm.groups()
-        part_s = props_s = None
-        if pm := re.search(r"(?is)PARTITIONED\s+BY\s*\(([^)]*)\)", middle):
-            part_s = pm.group(1)
-        if tm := re.search(r"(?is)TBLPROPERTIES\s*\((.*)\)\s*$", middle):
-            props_s = tm.group(1)
-        options: dict[str, str] = {}
-        if props_s:
-            for piece in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", props_s):
-                k, _, v = piece.partition("=")
-                options[str(_literal(k))] = str(_literal(v))
+        if_not_exists, ident, tail = hm.groups()
+        # split at the first AS SELECT OUTSIDE string literals (a quoted
+        # property value may contain the words 'as select')
+        spans = [m.span() for m in _QUOTED.finditer(tail)]
+        for m in re.finditer(r"(?is)\bAS\s+(SELECT\b)", tail):
+            if not any(s <= m.start() < e for s, e in spans):
+                middle, select = tail[: m.start()], tail[m.start(1) :]
+                break
+        else:
+            raise ValueError(f"cannot parse CREATE TABLE: {q}")
+        part_s, props_s, leftover = _parse_clause_tail(middle)
+        if leftover:
+            raise ValueError(f"unsupported CREATE TABLE clause: {leftover!r}")
+        options = _parse_props(props_s)
         pks = [
             c.strip()
             for c in options.pop("primary-key", "").split(",")
             if c.strip()
         ]
+        # CTAS IF NOT EXISTS on ANY existing table is a no-op (never a
+        # write — the existing table's schema, not the query's, governs)
+        try:
+            existing = self.catalog.get_table(ident)
+        except Exception:
+            existing = None
+        if existing is not None:
+            if if_not_exists:
+                return existing
+            raise RuntimeError(f"table {ident} already exists")
         df = self.spark.sql(self._rewrite(select))
         t = self.catalog.create_table(
             ident,
@@ -940,10 +986,8 @@ class SqlSession:
             ),
             primary_keys=pks or None,
             options=options,
-            ignore_if_exists=bool(if_not_exists),
         )
-        if t.snapshots.latest_id() is None or not if_not_exists:
-            t.write(df)
+        t.write(df)
         return t.refresh()
 
     def _create_db(self, q: str):
@@ -974,10 +1018,12 @@ class SqlSession:
         )
         if not m:
             raise ValueError(f"cannot parse CREATE VIEW: {q}")
+        if m.group(2) and self.catalog.is_view(m.group(3)):
+            return None  # IF NOT EXISTS preserves the existing definition
         self.catalog.create_view(
             m.group(3),
             m.group(4).strip(),
-            ignore_if_exists=bool(m.group(1) or m.group(2)),
+            ignore_if_exists=bool(m.group(1)),
         )
         return None
 
@@ -987,6 +1033,19 @@ class SqlSession:
             raise ValueError(f"cannot parse DROP VIEW: {q}")
         self.catalog.drop_view(m.group(2), ignore_if_not_exists=bool(m.group(1)))
         return None
+
+    def _show_databases(self, q: str):
+        m = re.match(r"(?is)SHOW\s+DATABASES(?:\s+LIKE\s+'([^']*)')?\s*$", q)
+        if not m:
+            raise ValueError(f"cannot parse SHOW DATABASES: {q}")
+        dbs = self.catalog.list_databases()
+        if m.group(1) is not None:
+            pat = re.compile(
+                "^" + re.escape(m.group(1)).replace("%", ".*").replace("_", ".") + "$",
+                re.IGNORECASE,
+            )
+            dbs = [d for d in dbs if pat.match(d)]
+        return self.spark.createDataFrame([(d,) for d in dbs] or [], "namespace string")
 
     def _show_views(self, q: str):
         m = re.match(r"(?is)SHOW\s+VIEWS(?:\s+(?:IN|FROM)\s+([\w]+))?\s*$", q)

@@ -778,3 +778,50 @@ def test_ddl_ctas_rename_truncate_views_databases(spark, warehouse, sql):
 
     with pytest.raises(Exception, match="not empty"):
         sql.sql("DROP DATABASE db")
+
+
+def test_ddl_review_regressions(spark, warehouse, sql):
+    """Review-driven DDL/pruning regressions: hint before *, CTAS
+    clause order + quoted 'as select', CTAS/VIEW IF NOT EXISTS are
+    true no-ops, SHOW DATABASES LIKE filters."""
+    import pytest
+
+    _seed(spark, warehouse, "db.rr", pk=["k"])
+    _seed(spark, warehouse, "db.rr2", pk=["k"])
+
+    # a hint before * must still be detected as SELECT * (all columns)
+    df = sql.sql(
+        "SELECT /*+ MERGE(a) */ * FROM db.rr a JOIN db.rr2 b ON a.k = b.k"
+    )
+    assert len(df.columns) >= 5 and df.count() == 3
+
+    # CTAS: TBLPROPERTIES before PARTITIONED BY, quoted 'as select' value
+    t = sql.sql(
+        "CREATE TABLE db.rr_ctas TBLPROPERTIES ('comment'='not as select here', "
+        "'primary-key'='k,pt') PARTITIONED BY (pt) AS SELECT k, v, pt FROM db.rr"
+    )
+    assert t.schema.partition_keys == ["pt"]
+    assert t.schema.options.get("comment") == "not as select here"
+    assert sql.sql("SELECT count(*) AS c FROM db.rr_ctas").collect()[0].c == 3
+
+    # CTAS IF NOT EXISTS on an existing EMPTY table: no write at all
+    warehouse.create_table("db.rr_empty", "a bigint")
+    sql.sql("CREATE TABLE IF NOT EXISTS db.rr_empty AS SELECT k FROM db.rr")
+    t2 = warehouse.get_table("db.rr_empty")
+    assert t2.snapshots.latest_id() is None  # still empty, schema untouched
+    with pytest.raises(Exception, match="exists"):
+        sql.sql("CREATE TABLE db.rr_empty AS SELECT k FROM db.rr")
+
+    # CREATE VIEW IF NOT EXISTS preserves the existing definition
+    sql.sql("CREATE VIEW db.rr_v AS SELECT k FROM db.rr WHERE k = 1")
+    sql.sql("CREATE VIEW IF NOT EXISTS db.rr_v AS SELECT k FROM db.rr")
+    assert sql.sql("SELECT count(*) AS c FROM db.rr_v").collect()[0].c == 1
+    sql.sql("CREATE OR REPLACE VIEW db.rr_v AS SELECT k FROM db.rr")
+    assert sql.sql("SELECT count(*) AS c FROM db.rr_v").collect()[0].c == 3
+
+    # SHOW DATABASES LIKE filters; junk raises
+    dbs = {r.namespace for r in sql.sql("SHOW DATABASES LIKE 'd%'").collect()}
+    assert "db" in dbs
+    assert sql.sql("SHOW DATABASES LIKE 'zzz%'").collect() == []
+    with pytest.raises(ValueError, match="SHOW DATABASES"):
+        sql.sql("SHOW DATABASES WHERE x")
