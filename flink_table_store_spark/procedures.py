@@ -124,6 +124,12 @@ def _trigger_tag_automatic_creation(spark, cat, a):
 
 PROCEDURES: dict[str, Callable] = {
     "compact": _compact,
+    # table + column statistics (PaimonAnalyzeTableColumnCommand /
+    # stats store paimon-core stats/)
+    "analyze": lambda s, c, a: _t(c, a).analyze(
+        s,
+        columns=[x.strip() for x in a["columns"].split(",")] if a.get("columns") else None,
+    ),
     # operability audit (doctor.doctor): gauges + actionable findings
     "doctor": lambda s, c, a: _t(c, a).doctor(
         s, check_orphans=bool(a.get("check_orphans", False))

@@ -317,6 +317,8 @@ class SqlSession:
                 return self._show_create(q)
         if head == "TRUNCATE":
             return self._truncate(q)
+        if head == "ANALYZE":
+            return self._analyze(q)
         if head in ("DESCRIBE", "DESC"):
             return self._describe(q)
         return self.spark.sql(self._rewrite(q))
@@ -1073,6 +1075,23 @@ class SqlSession:
             props = ", ".join(f"'{k}'='{v}'" for k, v in sorted(s.options.items()))
             ddl += f" TBLPROPERTIES ({props})"
         return self.spark.createDataFrame([(ddl,)], "createtab_stmt string")
+
+    def _analyze(self, q: str):
+        """ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS a, b | FOR
+        ALL COLUMNS] — persists row count + per-column ndv/nulls/min/
+        max/avg_len (PaimonAnalyzeTableColumnCommand)."""
+        m = re.match(
+            r"(?is)ANALYZE\s+TABLE\s+([\w.]+)\s+COMPUTE\s+STATISTICS"
+            r"(?:\s+FOR\s+(ALL\s+COLUMNS|COLUMNS\s+(.*?)))?\s*$",
+            q,
+        )
+        if not m:
+            raise ValueError(f"cannot parse ANALYZE TABLE: {q}")
+        cols = None
+        if m.group(3):
+            cols = [c.strip().strip("`") for c in m.group(3).split(",")]
+        self.catalog.get_table(m.group(1)).analyze(self.spark, columns=cols)
+        return None
 
     def _truncate(self, q: str):
         m = re.match(r"(?is)TRUNCATE\s+TABLE\s+([\w.]+)\s*$", q)

@@ -825,3 +825,20 @@ def test_ddl_review_regressions(spark, warehouse, sql):
     assert sql.sql("SHOW DATABASES LIKE 'zzz%'").collect() == []
     with pytest.raises(ValueError, match="SHOW DATABASES"):
         sql.sql("SHOW DATABASES WHERE x")
+
+
+def test_analyze_table_sql_and_procedure(spark, warehouse, sql):
+    """ANALYZE TABLE ... COMPUTE STATISTICS (+ FOR COLUMNS) persists
+    stats readable via the $statistics system table; CALL sys.analyze
+    is the procedure form (PaimonAnalyzeTableColumnCommand)."""
+    t = _seed(spark, warehouse, "db.an", pk=["k"])
+    sql.sql("ANALYZE TABLE db.an COMPUTE STATISTICS FOR COLUMNS k, v")
+    s = t.statistics()
+    assert s["rowCount"] == 3 and set(s["columns"]) == {"k", "v"}
+    assert s["columns"]["k"]["min"] == "1" and s["columns"]["k"]["max"] == "3"
+    sql.sql("ANALYZE TABLE db.an COMPUTE STATISTICS FOR ALL COLUMNS")
+    assert set(t.statistics()["columns"]) == {"k", "v", "pt"}
+    sql.sql("CALL sys.analyze(table => 'db.an', columns => 'v')")
+    assert set(t.statistics()["columns"]) == {"v"}
+    n = sql.sql("SELECT * FROM `db.an$statistics`").count()
+    assert n >= 1
