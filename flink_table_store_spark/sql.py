@@ -315,6 +315,8 @@ class SqlSession:
                 return self._show_views(q)
             if re.match(r"(?is)SHOW\s+CREATE\s+TABLE\b", q):
                 return self._show_create(q)
+            if re.match(r"(?is)SHOW\s+PARTITIONS\b", q):
+                return self._show_partitions(q)
         if head == "TRUNCATE":
             return self._truncate(q)
         if head == "ANALYZE":
@@ -934,12 +936,45 @@ class SqlSession:
         return self.spark.createDataFrame(rows or [], "database string, tableName string")
 
     def _describe(self, q: str):
-        m = re.match(r"(?is)DESC(?:RIBE)?\s+(?:TABLE\s+)?([\w.]+)\s*$", q)
+        m = re.match(
+            r"(?is)DESC(?:RIBE)?\s+(?:(EXTENDED|FORMATTED)\s+)?(?:TABLE\s+)?([\w.]+)\s*$",
+            q,
+        )
         if not m:
             raise ValueError(f"cannot parse DESCRIBE: {q}")
-        t = self.catalog.get_table(m.group(1))
-        rows = [(f.name, f.type, f.nullable) for f in t.schema.fields]
+        t = self.catalog.get_table(m.group(2))
+        s = t.schema
+        rows = [(f.name, f.type, f.nullable) for f in s.fields]
+        if m.group(1):
+            rows += [("", "", None)]
+            if s.partition_keys:
+                rows.append(("# Partitioning", ", ".join(s.partition_keys), None))
+            if s.primary_keys:
+                rows.append(("# Primary Key", ", ".join(s.primary_keys), None))
+            rows += [(f"# {k}", str(v), None) for k, v in sorted(s.options.items())]
         return self.spark.createDataFrame(rows, "col_name string, data_type string, nullable boolean")
+
+    def _show_partitions(self, q: str):
+        m = re.match(r"(?is)SHOW\s+PARTITIONS\s+([\w.]+)\s*$", q)
+        if not m:
+            raise ValueError(f"cannot parse SHOW PARTITIONS: {q}")
+        t = self.catalog.get_table(m.group(1))
+        df = t.system_table(self.spark, "partitions")
+        # Spark's SHOW PARTITIONS shape: one 'partition' string column
+        keys = t.schema.partition_keys
+        if not keys:
+            raise ValueError(f"{m.group(1)} is not partitioned")
+        # the $partitions 'partition' column is a JSON string
+        expr = F.concat_ws(
+            "/",
+            *[
+                F.concat(
+                    F.lit(f"{k}="), F.get_json_object(F.col("partition"), f"$.{k}")
+                )
+                for k in keys
+            ],
+        )
+        return df.select(expr.alias("partition")).distinct().orderBy("partition")
 
     def _ctas(self, q: str):
         """CREATE TABLE [IF NOT EXISTS] db.t [PARTITIONED BY (...)]

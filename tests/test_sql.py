@@ -842,3 +842,21 @@ def test_analyze_table_sql_and_procedure(spark, warehouse, sql):
     assert set(t.statistics()["columns"]) == {"v"}
     n = sql.sql("SELECT * FROM `db.an$statistics`").count()
     assert n >= 1
+
+
+def test_show_partitions_and_describe_extended(spark, warehouse, sql):
+    """SHOW PARTITIONS renders k=v paths from the $partitions system
+    table; DESCRIBE EXTENDED appends partitioning/PK/properties."""
+    import pytest
+
+    _seed(spark, warehouse, "db.sp", pk=["k", "pt"], partition=["pt"],
+          options={"bucket": "2"})
+    parts = [r.partition for r in sql.sql("SHOW PARTITIONS db.sp").collect()]
+    assert parts == ["pt=x", "pt=y"]
+    with pytest.raises(ValueError, match="not partitioned"):
+        _seed(spark, warehouse, "db.sp_np")
+        sql.sql("SHOW PARTITIONS db.sp_np")
+    desc = {r.col_name: r.data_type for r in sql.sql("DESCRIBE EXTENDED db.sp").collect()}
+    assert desc["# Partitioning"] == "pt"
+    assert "k" in desc["# Primary Key"]
+    assert desc["# bucket"] == "2"
