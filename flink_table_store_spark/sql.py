@@ -317,6 +317,8 @@ class SqlSession:
                 return self._show_create(q)
             if re.match(r"(?is)SHOW\s+PARTITIONS\b", q):
                 return self._show_partitions(q)
+            if re.match(r"(?is)SHOW\s+TBLPROPERTIES\b", q):
+                return self._show_tblproperties(q)
         if head == "TRUNCATE":
             return self._truncate(q)
         if head == "ANALYZE":
@@ -953,6 +955,19 @@ class SqlSession:
                 rows.append(("# Primary Key", ", ".join(s.primary_keys), None))
             rows += [(f"# {k}", str(v), None) for k, v in sorted(s.options.items())]
         return self.spark.createDataFrame(rows, "col_name string, data_type string, nullable boolean")
+
+    def _show_tblproperties(self, q: str):
+        m = re.match(
+            r"(?is)SHOW\s+TBLPROPERTIES\s+([\w.]+)(?:\s*\(\s*'([^']*)'\s*\))?\s*$", q
+        )
+        if not m:
+            raise ValueError(f"cannot parse SHOW TBLPROPERTIES: {q}")
+        opts = self.catalog.get_table(m.group(1)).schema.options
+        if m.group(2) is not None:
+            rows = [(m.group(2), opts.get(m.group(2)))]
+        else:
+            rows = sorted(opts.items())
+        return self.spark.createDataFrame(rows or [], "key string, value string")
 
     def _show_partitions(self, q: str):
         m = re.match(r"(?is)SHOW\s+PARTITIONS\s+([\w.]+)\s*$", q)

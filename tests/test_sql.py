@@ -860,3 +860,11 @@ def test_show_partitions_and_describe_extended(spark, warehouse, sql):
     assert desc["# Partitioning"] == "pt"
     assert "k" in desc["# Primary Key"]
     assert desc["# bucket"] == "2"
+
+
+def test_show_tblproperties(spark, warehouse, sql):
+    _seed(spark, warehouse, "db.tp", pk=["k"], options={"bucket": "2", "write-only": "true"})
+    props = {r.key: r.value for r in sql.sql("SHOW TBLPROPERTIES db.tp").collect()}
+    assert props["bucket"] == "2" and props["write-only"] == "true"
+    one = sql.sql("SHOW TBLPROPERTIES db.tp ('bucket')").collect()
+    assert [(r.key, r.value) for r in one] == [("bucket", "2")]
