@@ -1,0 +1,515 @@
+"""Loopback REST catalog server fronting a filesystem warehouse.
+
+Route shapes and request/response field names mirror the reference
+REST catalog protocol (pypaimon api/resource_paths.py:25-72,
+api/rest_api.py:43-353, api/api_response.py:96-270; the Java side is
+paimon-core rest/RESTCatalog.java + RESTCatalogFactory.java):
+
+- ``GET  /v1/config?warehouse=W``                       → ConfigResponse
+- ``GET  /v1/<p>/databases``            (paged)         → ListDatabasesResponse
+- ``POST /v1/<p>/databases``                            → create database
+- ``GET|POST|DELETE /v1/<p>/databases/{db}``            → get/alter/drop
+- ``GET  /v1/<p>/databases/{db}/tables`` (paged)        → ListTablesResponse
+- ``POST /v1/<p>/databases/{db}/tables``                → create table
+- ``GET|POST|DELETE .../tables/{t}``                    → get/alter/drop
+- ``POST /v1/<p>/tables/rename``                        → rename table
+- ``GET  .../tables/{t}/token``                         → data-access token
+- ``GET  .../tables/{t}/snapshot``                      → latest snapshot
+- ``POST .../tables/{t}/commit``                        → snapshot commit
+  (the server is the atomic CAS arbiter; body carries tableUuid +
+  snapshot JSON + statistics, response is {"success": bool} — the
+  CommitTableRequest/Response contract of rest_api.py:315-352)
+- view endpoints under ``.../databases/{db}/views[/{v}]``
+
+Pagination: ``maxResults`` + opaque ``pageToken`` (the last name of
+the previous page) + SQL-style ``databaseNamePattern`` /
+``tableNamePattern`` (``%`` / ``_`` wildcards). Auth: optional bearer
+token — when the server is constructed with one, every route requires
+``Authorization: Bearer <token>`` and answers 401 otherwise. Errors
+are ErrorResponse JSON: {"resourceType", "resourceName", "message",
+"code"} with the reference's status mapping (404 no-such, 409
+already-exists, 400 bad request).
+
+The data plane stays on the shared filesystem exactly as in the
+reference (clients read/write data and manifest files directly against
+the warehouse path returned by the table endpoint, authorized by the
+token endpoint); only metadata and the commit CAS go through HTTP.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, unquote, urlparse
+
+from flink_table_store_spark.catalog import Catalog
+from flink_table_store_spark.fileio import read_json, write_json
+from flink_table_store_spark.schema import TableSchema
+from flink_table_store_spark.snapshot import Snapshot, SnapshotManager
+
+DEFAULT_PAGE_SIZE = 100
+
+
+class _HttpError(Exception):
+    def __init__(self, code: int, message: str, resource_type: str = "", resource_name: str = ""):
+        super().__init__(message)
+        self.code = code
+        self.body = {
+            "resourceType": resource_type,
+            "resourceName": resource_name,
+            "message": message,
+            "code": code,
+        }
+
+
+def _sql_pattern(pattern: str) -> re.Pattern:
+    """SQL LIKE pattern (% / _) → anchored regex."""
+    out = []
+    for ch in pattern:
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return re.compile("^" + "".join(out) + "$")
+
+
+def _page(names: list[str], q: dict, pattern_key: str) -> dict:
+    """Apply name-pattern filter + pageToken/maxResults windowing."""
+    names = sorted(names)
+    pat = q.get(pattern_key)
+    if pat:
+        rx = _sql_pattern(pat)
+        names = [n for n in names if rx.match(n)]
+    token = q.get("pageToken")
+    if token:
+        names = [n for n in names if n > token]
+    max_results = int(q.get("maxResults", 0) or 0)
+    page_size = max_results if max_results > 0 else DEFAULT_PAGE_SIZE
+    page, rest = names[:page_size], names[page_size:]
+    return {"data": page, "nextPageToken": page[-1] if page and rest else None}
+
+
+class _CatalogService:
+    """The request-independent catalog logic (shared by all handler
+    threads; filesystem state is the source of truth)."""
+
+    def __init__(self, warehouse: str, token: str | None = None, prefix: str = ""):
+        self.catalog = Catalog(warehouse)
+        self.token = token
+        self.prefix = prefix
+        self._lock = threading.Lock()
+
+    # --- helpers ---
+
+    def _db_meta_path(self, db: str) -> str:
+        return os.path.join(self.catalog._db_path(db), ".database.json")
+
+    def _require_db(self, db: str) -> None:
+        if not os.path.isdir(self.catalog._db_path(db)):
+            raise _HttpError(404, f"database {db} does not exist", "DATABASE", db)
+
+    def _table_path(self, db: str, tbl: str) -> str:
+        path = self.catalog.table_path(f"{db}.{tbl}")
+        if not os.path.isdir(os.path.join(path, "schema")):
+            raise _HttpError(404, f"table {db}.{tbl} does not exist", "TABLE", f"{db}.{tbl}")
+        return path
+
+    def _table_uuid(self, path: str) -> str:
+        """Stable per-table uuid (the reference carries it in the table
+        response so commits can detect drop+recreate races)."""
+        p = os.path.join(path, "table-uuid")
+        if not os.path.exists(p):
+            with self._lock:
+                if not os.path.exists(p):
+                    write_json(p, {"uuid": uuid.uuid4().hex})
+        return read_json(p)["uuid"]
+
+    # --- config ---
+
+    def config(self, q: dict) -> dict:
+        warehouse = q.get("warehouse", "")
+        return {
+            "defaults": {
+                "warehouse": self.catalog.warehouse if not warehouse else warehouse,
+                "prefix": self.prefix,
+            }
+        }
+
+    # --- databases ---
+
+    def list_databases(self, q: dict) -> dict:
+        page = _page(self.catalog.list_databases(), q, "databaseNamePattern")
+        return {"databases": page["data"], "nextPageToken": page["nextPageToken"]}
+
+    def create_database(self, body: dict) -> dict:
+        name = (body.get("name") or "").strip()
+        if not name:
+            raise _HttpError(400, "database name cannot be empty")
+        if os.path.isdir(self.catalog._db_path(name)):
+            raise _HttpError(409, f"database {name} already exists", "DATABASE", name)
+        self.catalog.create_database(name)
+        props = body.get("properties") or body.get("options") or {}
+        if props:
+            write_json(self._db_meta_path(name), {"options": props})
+        return {}
+
+    def get_database(self, db: str) -> dict:
+        self._require_db(db)
+        opts = {}
+        if os.path.exists(self._db_meta_path(db)):
+            opts = read_json(self._db_meta_path(db)).get("options", {})
+        return {
+            "id": db,
+            "name": db,
+            "location": self.catalog._db_path(db),
+            "options": opts,
+        }
+
+    def alter_database(self, db: str, body: dict) -> dict:
+        self._require_db(db)
+        opts = {}
+        if os.path.exists(self._db_meta_path(db)):
+            opts = read_json(self._db_meta_path(db)).get("options", {})
+        for k in body.get("removals") or []:
+            opts.pop(k, None)
+        opts.update(body.get("updates") or {})
+        write_json(self._db_meta_path(db), {"options": opts})
+        return {}
+
+    def drop_database(self, db: str) -> dict:
+        self._require_db(db)
+        self.catalog.drop_database(db, ignore_if_not_exists=False, cascade=True)
+        return {}
+
+    # --- tables ---
+
+    def list_tables(self, db: str, q: dict) -> dict:
+        self._require_db(db)
+        names = [
+            t
+            for t in self.catalog.list_tables(db)
+            if os.path.isdir(os.path.join(self.catalog._db_path(db), t, "schema"))
+        ]
+        page = _page(names, q, "tableNamePattern")
+        return {"tables": page["data"], "nextPageToken": page["nextPageToken"]}
+
+    def create_table(self, db: str, body: dict) -> dict:
+        self._require_db(db)
+        ident = body.get("identifier") or {}
+        name = (ident.get("object") or ident.get("table") or "").strip()
+        if not name:
+            raise _HttpError(400, "table name cannot be empty")
+        sd = body.get("schema")
+        if not sd:
+            raise _HttpError(400, "schema cannot be empty")
+        full = f"{db}.{name}"
+        path = self.catalog.table_path(full)
+        if os.path.isdir(os.path.join(path, "schema")):
+            raise _HttpError(409, f"table {full} already exists", "TABLE", full)
+        sd = dict(sd)
+        sd["id"] = 0
+        self.catalog.create_table(full, TableSchema.from_dict(sd))
+        self._table_uuid(path)
+        return {}
+
+    def get_table(self, db: str, tbl: str) -> dict:
+        path = self._table_path(db, tbl)
+        from flink_table_store_spark.schema import SchemaManager
+
+        sm = SchemaManager(path)
+        sid = sm.latest_id()
+        return {
+            "id": self._table_uuid(path),
+            "name": f"{db}.{tbl}",
+            "path": path,
+            "isExternal": False,
+            "schemaId": sid,
+            "schema": sm.latest().to_dict(),
+        }
+
+    def alter_table(self, db: str, tbl: str, body: dict) -> dict:
+        path = self._table_path(db, tbl)
+        changes = body.get("changes")
+        if not changes:
+            raise _HttpError(400, "changes cannot be empty")
+        from flink_table_store_spark.schema import SchemaManager
+
+        with self._lock:
+            SchemaManager(path).evolve(changes)
+        return {}
+
+    def drop_table(self, db: str, tbl: str) -> dict:
+        self._table_path(db, tbl)
+        self.catalog.drop_table(f"{db}.{tbl}", ignore_if_not_exists=False)
+        return {}
+
+    def rename_table(self, body: dict) -> dict:
+        src, dst = body.get("source") or {}, body.get("destination") or {}
+        s = f"{src.get('database')}.{src.get('object') or src.get('table')}"
+        d = f"{dst.get('database')}.{dst.get('object') or dst.get('table')}"
+        self._table_path(*s.split(".", 1))
+        dpath = self.catalog.table_path(d)
+        if os.path.isdir(dpath):
+            raise _HttpError(409, f"table {d} already exists", "TABLE", d)
+        os.makedirs(os.path.dirname(dpath), exist_ok=True)
+        self.catalog.rename_table(s, d)
+        return {}
+
+    def table_token(self, db: str, tbl: str) -> dict:
+        """Data-access token (GetTableTokenResponse shape). The sandbox
+        data plane is a local filesystem, so the token is advisory —
+        the shape (short-lived credential map + expiry) matches the
+        reference's object-store credential vending."""
+        path = self._table_path(db, tbl)
+        return {
+            "token": {"access-path": path, "grant": uuid.uuid4().hex},
+            "expiresAtMillis": int(time.time() * 1000) + 3_600_000,
+        }
+
+    def latest_snapshot(self, db: str, tbl: str) -> dict:
+        path = self._table_path(db, tbl)
+        snap = SnapshotManager(path).latest()
+        if snap is None:
+            raise _HttpError(404, f"table {db}.{tbl} has no snapshot", "SNAPSHOT", f"{db}.{tbl}")
+        return {"snapshot": snap.to_dict()}
+
+    def commit_snapshot(self, db: str, tbl: str, body: dict) -> dict:
+        """The CAS arbiter: create snapshot-<id> exactly-once on behalf
+        of the committing client (CommitTableRequest semantics —
+        tableUuid guards against drop+recreate between the client's
+        plan and its commit)."""
+        path = self._table_path(db, tbl)
+        want_uuid = body.get("tableUuid")
+        if want_uuid and want_uuid != self._table_uuid(path):
+            raise _HttpError(
+                404, f"table {db}.{tbl} uuid mismatch (recreated?)", "TABLE", f"{db}.{tbl}"
+            )
+        sd = body.get("snapshot")
+        if not sd:
+            raise _HttpError(400, "snapshot cannot be empty")
+        ok = SnapshotManager(path).try_commit(Snapshot.from_dict(sd))
+        return {"success": bool(ok)}
+
+    # --- views ---
+
+    def list_views(self, db: str, q: dict) -> dict:
+        self._require_db(db)
+        page = _page(self.catalog.list_views(db), q, "viewNamePattern")
+        return {"views": page["data"], "nextPageToken": page["nextPageToken"]}
+
+    def create_view(self, db: str, body: dict) -> dict:
+        self._require_db(db)
+        name = ((body.get("identifier") or {}).get("object") or "").strip()
+        if not name:
+            raise _HttpError(400, "view name cannot be empty")
+        full = f"{db}.{name}"
+        if self.catalog.is_view(full):
+            raise _HttpError(409, f"view {full} already exists", "VIEW", full)
+        dialects = body.get("dialects") or {}
+        if not dialects:
+            raise _HttpError(400, "view dialects cannot be empty")
+        for dialect, sql in dialects.items():
+            self.catalog.create_view(
+                full, sql, dialect=dialect, comment=body.get("comment", ""), ignore_if_exists=True
+            )
+        return {}
+
+    def get_view(self, db: str, view: str) -> dict:
+        full = f"{db}.{view}"
+        if not self.catalog.is_view(full):
+            raise _HttpError(404, f"view {full} does not exist", "VIEW", full)
+        return self.catalog.get_view(full)
+
+    def drop_view(self, db: str, view: str) -> dict:
+        full = f"{db}.{view}"
+        if not self.catalog.is_view(full):
+            raise _HttpError(404, f"view {full} does not exist", "VIEW", full)
+        self.catalog.drop_view(full)
+        return {}
+
+    # --- routing ---
+
+    def route(self, method: str, path: str, q: dict, body: dict) -> dict:
+        parts = [unquote(p) for p in path.strip("/").split("/") if p]
+        if not parts or parts[0] != "v1":
+            raise _HttpError(404, f"unknown route {path}")
+        parts = parts[1:]
+        if parts == ["config"] and method == "GET":
+            return self.config(q)
+        if self.prefix:
+            if not parts or parts[0] != self.prefix:
+                raise _HttpError(404, f"unknown route {path} (expected prefix {self.prefix})")
+            parts = parts[1:]
+
+        if parts == ["databases"]:
+            if method == "GET":
+                return self.list_databases(q)
+            if method == "POST":
+                return self.create_database(body)
+        if parts == ["tables", "rename"] and method == "POST":
+            return self.rename_table(body)
+        if len(parts) == 2 and parts[0] == "databases":
+            db = parts[1]
+            if method == "GET":
+                return self.get_database(db)
+            if method == "POST":
+                return self.alter_database(db, body)
+            if method == "DELETE":
+                return self.drop_database(db)
+        if len(parts) == 3 and parts[0] == "databases":
+            db, kind = parts[1], parts[2]
+            if kind == "tables":
+                if method == "GET":
+                    return self.list_tables(db, q)
+                if method == "POST":
+                    return self.create_table(db, body)
+            if kind == "views":
+                if method == "GET":
+                    return self.list_views(db, q)
+                if method == "POST":
+                    return self.create_view(db, body)
+        if len(parts) == 4 and parts[0] == "databases" and parts[2] == "tables":
+            db, tbl = parts[1], parts[3]
+            if method == "GET":
+                return self.get_table(db, tbl)
+            if method == "POST":
+                return self.alter_table(db, tbl, body)
+            if method == "DELETE":
+                return self.drop_table(db, tbl)
+        if len(parts) == 4 and parts[0] == "databases" and parts[2] == "views":
+            db, view = parts[1], parts[3]
+            if method == "GET":
+                return self.get_view(db, view)
+            if method == "DELETE":
+                return self.drop_view(db, view)
+        if len(parts) == 5 and parts[0] == "databases" and parts[2] == "tables":
+            db, tbl, action = parts[1], parts[3], parts[4]
+            if action == "token" and method == "GET":
+                return self.table_token(db, tbl)
+            if action == "snapshot" and method == "GET":
+                return self.latest_snapshot(db, tbl)
+            if action == "commit" and method == "POST":
+                return self.commit_snapshot(db, tbl, body)
+        raise _HttpError(404, f"unknown route {method} {path}")
+
+
+def _make_handler(service: _CatalogService):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, *args):  # quiet
+            pass
+
+        def _respond(self, code: int, obj: dict) -> None:
+            data = json.dumps(obj).encode("utf-8")
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _handle(self, method: str) -> None:
+            try:
+                if service.token is not None:
+                    auth = self.headers.get("Authorization", "")
+                    if auth != f"Bearer {service.token}":
+                        raise _HttpError(401, "not authorized")
+                parsed = urlparse(self.path)
+                q = {k: v[0] for k, v in parse_qs(parsed.query).items()}
+                body = {}
+                length = int(self.headers.get("Content-Length", 0) or 0)
+                if length:
+                    body = json.loads(self.rfile.read(length).decode("utf-8"))
+                self._respond(200, service.route(method, parsed.path, q, body))
+            except _HttpError as e:
+                self._respond(e.code, e.body)
+            except Exception as e:  # noqa: BLE001 — server must answer
+                self._respond(
+                    500, {"resourceType": "", "resourceName": "", "message": str(e), "code": 500}
+                )
+
+        def do_GET(self):
+            self._handle("GET")
+
+        def do_POST(self):
+            self._handle("POST")
+
+        def do_DELETE(self):
+            self._handle("DELETE")
+
+    return Handler
+
+
+class RESTCatalogServer:
+    """Threaded loopback catalog service. ``port=0`` auto-assigns."""
+
+    def __init__(
+        self,
+        warehouse: str,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        token: str | None = None,
+        prefix: str = "",
+    ):
+        self.service = _CatalogService(warehouse, token=token, prefix=prefix)
+        self.httpd = ThreadingHTTPServer((host, port), _make_handler(self.service))
+        self.host, self.port = self.httpd.server_address[:2]
+        self._thread: threading.Thread | None = None
+
+    @property
+    def uri(self) -> str:
+        return f"http://{self.host}:{self.port}"
+
+    def start(self) -> "RESTCatalogServer":
+        self._thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+    def __enter__(self) -> "RESTCatalogServer":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+
+def main() -> None:
+    """Subprocess entry: ``python -m flink_table_store_spark.rest.server
+    --warehouse W [--port N] [--token T] [--prefix P]``. Prints one
+    line ``READY <uri>`` once serving (the two-process test handshake)."""
+    import argparse
+    import sys
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--port", type=int, default=0)
+    ap.add_argument("--token", default=None)
+    ap.add_argument("--prefix", default="")
+    args = ap.parse_args()
+    server = RESTCatalogServer(
+        args.warehouse, port=args.port, token=args.token, prefix=args.prefix
+    )
+    print(f"READY {server.uri}", flush=True)
+    try:
+        server.httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.httpd.server_close()
+        sys.exit(0)
+
+
+if __name__ == "__main__":
+    main()

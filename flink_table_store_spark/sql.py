@@ -901,6 +901,13 @@ class SqlSession:
                 raise ValueError(f"column needs 'name type': {piece!r}")
             cols.append(f"{name.strip('`')} {typ.strip()}")
         options = _parse_props(props_s)
+        # primary keys also via TBLPROPERTIES ('primary-key'='a,b') —
+        # the reference's Spark DDL property form (same as the CTAS path)
+        pks = pks or [
+            c.strip().strip("`")
+            for c in options.pop("primary-key", "").split(",")
+            if c.strip()
+        ]
         parts = [c.strip().strip("`") for c in part_s.split(",")] if part_s else None
         return self.catalog.create_table(
             ident,

@@ -1,0 +1,249 @@
+"""REST catalog: loopback server + client (paimon-core rest/RESTCatalog.java
+analogue; test shapes follow paimon-core src/test rest/RESTCatalogTest.java —
+CRUD, pagination, auth, rename, alter, and the commit CAS)."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_table_store_spark.rest import RESTCatalog, RESTCatalogServer, RESTError
+from flink_table_store_spark.snapshot import Snapshot
+
+
+@pytest.fixture()
+def server(tmp_path):
+    srv = RESTCatalogServer(str(tmp_path / "wh")).start()
+    yield srv
+    srv.stop()
+
+
+@pytest.fixture()
+def rest_catalog(server):
+    return RESTCatalog(server.uri)
+
+
+def _schema(*fields):
+    return T.StructType([T.StructField(n, t) for n, t in fields])
+
+
+KV = _schema(("k", T.LongType()), ("v", T.StringType()))
+
+
+class TestMetadataSurface:
+    def test_database_crud(self, rest_catalog):
+        cat = rest_catalog
+        cat.create_database("db1")
+        cat.create_database("db2")
+        assert cat.list_databases() == ["db1", "db2"]
+        cat.api.alter_database("db1", updates={"owner": "alice"})
+        assert cat.api.get_database("db1")["options"] == {"owner": "alice"}
+        cat.api.alter_database("db1", removals=["owner"], updates={"tier": "gold"})
+        assert cat.api.get_database("db1")["options"] == {"tier": "gold"}
+        cat.drop_database("db2")
+        assert cat.list_databases() == ["db1"]
+        with pytest.raises(RESTError):
+            cat.api.create_database("db1")  # 409
+        cat.create_database("db1", ignore_if_exists=True)  # swallowed
+
+    def test_drop_database_non_empty_requires_cascade(self, rest_catalog):
+        cat = rest_catalog
+        cat.create_table("db1.t", KV)
+        with pytest.raises(RuntimeError, match="not empty"):
+            cat.drop_database("db1")
+        cat.drop_database("db1", cascade=True)
+        assert cat.list_databases() == []
+
+    def test_table_crud_and_uuid(self, rest_catalog):
+        cat = rest_catalog
+        cat.create_table("db1.orders", KV, primary_keys=["k"])
+        info = cat.api.get_table("db1", "orders")
+        assert info["name"] == "db1.orders"
+        assert info["schemaId"] == 0
+        assert info["schema"]["primaryKeys"] == ["k"]
+        assert not info["isExternal"]
+        assert os.path.isdir(info["path"])
+        # uuid is stable across loads
+        assert cat.api.get_table("db1", "orders")["id"] == info["id"]
+        cat.drop_table("db1.orders")
+        with pytest.raises(RESTError) as ei:
+            cat.api.get_table("db1", "orders")
+        assert ei.value.code == 404
+        # recreate → new uuid (drop+recreate detection)
+        cat.create_table("db1.orders", KV)
+        assert cat.api.get_table("db1", "orders")["id"] != info["id"]
+
+    def test_rename_table(self, rest_catalog):
+        cat = rest_catalog
+        cat.create_table("db1.a", KV)
+        cat.rename_table("db1.a", "db1.b")
+        assert cat.list_tables("db1") == ["b"]
+        cat.create_table("db1.a", KV)
+        with pytest.raises(RESTError) as ei:
+            cat.api.rename_table("db1", "a", "db1", "b")  # target exists
+        assert ei.value.code == 409
+
+    def test_pagination_and_patterns(self, rest_catalog):
+        cat = rest_catalog
+        for i in range(10):
+            cat.create_table(f"db1.t{i:02d}", KV)
+        page1, tok1 = cat.api.list_tables_paged("db1", max_results=4)
+        assert page1 == ["t00", "t01", "t02", "t03"] and tok1 == "t03"
+        page2, tok2 = cat.api.list_tables_paged("db1", max_results=4, page_token=tok1)
+        assert page2 == ["t04", "t05", "t06", "t07"] and tok2 == "t07"
+        page3, tok3 = cat.api.list_tables_paged("db1", max_results=4, page_token=tok2)
+        assert page3 == ["t08", "t09"] and tok3 is None
+        # the paged-loop client drains everything
+        assert len(cat.api.list_tables("db1")) == 10
+        # SQL LIKE patterns
+        assert cat.api.list_tables("db1", pattern="t0_") == [f"t0{i}" for i in range(10)]
+        assert cat.api.list_tables("db1", pattern="%9") == ["t09"]
+
+    def test_alter_table_schema_evolution(self, spark, rest_catalog):
+        cat = rest_catalog
+        cat.create_table("db1.t", KV)
+        cat.alter_table("db1.t", [{"action": "add_column", "name": "w", "type": "double"}])
+        info = cat.api.get_table("db1", "t")
+        assert [f["name"] for f in info["schema"]["fields"]] == ["k", "v", "w"]
+        assert info["schemaId"] == 1
+        # empty changes rejected
+        with pytest.raises(RESTError) as ei:
+            cat.api.alter_table("db1", "t", [])
+        assert ei.value.code == 400
+
+    def test_views_over_rest(self, rest_catalog):
+        cat = rest_catalog
+        cat.create_view("db1.v", "SELECT 1 AS x", comment="one")
+        assert cat.is_view("db1.v")
+        assert cat.list_views("db1") == ["v"]
+        assert cat.get_view("db1.v")["dialects"] == {"spark": "SELECT 1 AS x"}
+        cat.create_view("db1.v", "SELECT 1", dialect="flink", ignore_if_exists=True)
+        assert sorted(cat.get_view("db1.v")["dialects"]) == ["flink", "spark"]
+        with pytest.raises(RuntimeError, match="exists"):
+            cat.create_view("db1.v", "SELECT 2")
+        cat.drop_view("db1.v")
+        assert not cat.is_view("db1.v")
+
+    def test_token_endpoint(self, rest_catalog):
+        cat = rest_catalog
+        cat.create_table("db1.t", KV)
+        tok = cat.api.load_table_token("db1", "t")
+        assert tok["token"]["access-path"].endswith("/t")
+        assert tok["expiresAtMillis"] > int(time.time() * 1000)
+
+
+class TestAuth:
+    def test_bearer_token_required(self, tmp_path):
+        with RESTCatalogServer(str(tmp_path / "wh"), token="s3cr3t") as srv:
+            with pytest.raises(RESTError) as ei:
+                RESTCatalog(srv.uri)
+            assert ei.value.code == 401
+            with pytest.raises(RESTError) as ei:
+                RESTCatalog(srv.uri, token="wrong")
+            assert ei.value.code == 401
+            cat = RESTCatalog(srv.uri, token="s3cr3t")
+            cat.create_database("db1")
+            assert cat.list_databases() == ["db1"]
+
+    def test_route_prefix(self, tmp_path):
+        with RESTCatalogServer(str(tmp_path / "wh"), prefix="cat1") as srv:
+            cat = RESTCatalog(srv.uri)
+            assert cat.api.base == "/v1/cat1"
+            cat.create_database("db1")
+            assert cat.list_databases() == ["db1"]
+
+
+class TestDataThroughRest:
+    def test_write_read_roundtrip(self, spark, rest_catalog):
+        cat = rest_catalog
+        t = cat.create_table("db1.kv", KV, primary_keys=["k"])
+        df = spark.createDataFrame([(1, "a"), (2, "b")], KV)
+        t.write(df)
+        t.write(spark.createDataFrame([(2, "b2"), (3, "c")], KV))
+        got = {r["k"]: r["v"] for r in t.to_df(spark).collect()}
+        assert got == {1: "a", 2: "b2", 3: "c"}
+        # snapshots were committed THROUGH the server CAS endpoint
+        assert t.snapshots.latest_id() == 2
+        snap = cat.api.load_snapshot("db1", "kv")
+        assert snap.id == 2
+
+    def test_commit_uuid_mismatch_rejected(self, spark, rest_catalog):
+        """A client holding a stale table handle must not commit onto a
+        dropped+recreated table (tableUuid guard of CommitTableRequest)."""
+        cat = rest_catalog
+        t = cat.create_table("db1.kv", KV, primary_keys=["k"])
+        cat.drop_table("db1.kv")
+        cat.create_table("db1.kv", KV, primary_keys=["k"])
+        with pytest.raises(RESTError) as ei:
+            t.write(spark.createDataFrame([(1, "a")], KV))
+        assert ei.value.code == 404
+
+    def test_two_client_commit_race(self, spark, rest_catalog, server):
+        """Two independent clients racing a commit: the server CAS lets
+        exactly one snapshot-N in; the loser retries onto N+1."""
+        cat_a = rest_catalog
+        cat_b = RESTCatalog(server.uri)
+        cat_a.create_table("db1.kv", KV, primary_keys=["k"])
+        ta, tb = cat_a.get_table("db1.kv"), cat_b.get_table("db1.kv")
+        ta.write(spark.createDataFrame([(1, "a")], KV))
+        tb.write(spark.createDataFrame([(2, "b")], KV))
+        # raw CAS: both try the same snapshot id; exactly one wins
+        base = ta.snapshots.load(2)
+        s3a = Snapshot.from_dict({**base.to_dict(), "id": 3})
+        assert ta.snapshots.try_commit(s3a) is True
+        assert tb.snapshots.try_commit(s3a) is False
+        got = {r["k"]: r["v"] for r in cat_b.get_table("db1.kv").to_df(spark).collect()}
+        assert got == {1: "a", 2: "b"}
+
+    def test_sql_session_over_rest(self, spark, rest_catalog):
+        """SqlSession runs unchanged over a REST-backed catalog."""
+        from flink_table_store_spark.sql import SqlSession
+
+        cat = rest_catalog
+        sess = SqlSession(spark, cat)
+        sess.sql("CREATE TABLE db1.kv (k BIGINT, v STRING) TBLPROPERTIES ('primary-key'='k')")
+        sess.sql("INSERT INTO db1.kv VALUES (1, 'a'), (2, 'b')")
+        sess.sql("INSERT INTO db1.kv VALUES (2, 'b2')")
+        rows = sess.sql("SELECT k, v FROM db1.kv ORDER BY k").collect()
+        assert [(r["k"], r["v"]) for r in rows] == [(1, "a"), (2, "b2")]
+        assert [r.tableName for r in sess.sql("SHOW TABLES IN db1").collect()] == ["kv"]
+        sess.sql("DROP TABLE db1.kv")
+        with pytest.raises(RESTError) as ei:
+            cat.api.get_table("db1", "kv")
+        assert ei.value.code == 404
+
+
+class TestTwoProcess:
+    def test_subprocess_server(self, spark, tmp_path):
+        """The real deployment shape: the catalog service in its own
+        process; one client creates+writes, a second client reads."""
+        wh = str(tmp_path / "wh")
+        proc = subprocess.Popen(
+            [sys.executable, "-m", "flink_table_store_spark.rest.server",
+             "--warehouse", wh, "--token", "tok123"],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        )
+        try:
+            line = proc.stdout.readline().strip()
+            assert line.startswith("READY ")
+            uri = line.split(" ", 1)[1]
+            writer = RESTCatalog(uri, token="tok123")
+            t = writer.create_table("db1.kv", KV, primary_keys=["k"])
+            t.write(spark.createDataFrame([(1, "a"), (2, "b")], KV))
+            reader = RESTCatalog(uri, token="tok123")
+            assert reader.list_tables("db1") == ["kv"]
+            got = {r["k"]: r["v"] for r in reader.get_table("db1.kv").to_df(spark).collect()}
+            assert got == {1: "a", 2: "b"}
+            assert reader.api.load_snapshot("db1", "kv").id == 1
+        finally:
+            proc.terminate()
+            proc.wait(timeout=10)
