@@ -152,13 +152,11 @@ def main() -> None:
 
     # --- PK upsert benches (q1-shaped workload: wide rows, random-ish PK,
     # mostly-insert stream — the cluster benchmark's q1 shape) -------------
-    t_pk = cat.create_table(
-        "bench.lineitem_pk",
-        li.schema,
-        primary_keys=["l_orderkey", "l_linenumber"],
-        options={"bucket": "8"},
-        ignore_if_exists=True,
-    )
+    # A mutating workload can only be repeated against FRESH state (r5
+    # adjudication protocol): the same 3-batch stream runs into THREE
+    # empty tables and the entry reports the MEDIAN, like the read-only
+    # entries — one slow run (GC pause, stats-fusion hiccup) no longer
+    # moves the headline rows/s.
     pb = li.withColumn("batch", (F.col("l_suppkey") % 3).cast("int")).cache()
     # batch counts resolved BEFORE the timed region — the timer measures
     # write+commit only
@@ -166,11 +164,26 @@ def main() -> None:
         r["batch"]: r["n"] for r in pb.groupBy("batch").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     n_upsert_rows = sum(batch_counts.values())
-
-    @timed("upsert")
-    def _up():
+    t_pks = [
+        cat.create_table(
+            f"bench.lineitem_pk{i}",
+            li.schema,
+            primary_keys=["l_orderkey", "l_linenumber"],
+            options={"bucket": "8"},
+            ignore_if_exists=True,
+        )
+        for i in range(3)
+    ]
+    _up_runs = []
+    for _t in t_pks:
+        _t0 = time.perf_counter()
         for b in range(3):
-            t_pk.write(pb.where(F.col("batch") == b).drop("batch"))
+            _t.write(pb.where(F.col("batch") == b).drop("batch"))
+        _up_runs.append(time.perf_counter() - _t0)
+    _up_runs.sort()
+    timings["upsert"] = round(_up_runs[1], 4)
+    # downstream PK workloads read the first replica
+    t_pk = t_pks[0].refresh()
 
     @timed("mor_read", repeat=3)
     def _mor():

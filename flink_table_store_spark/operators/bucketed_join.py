@@ -159,6 +159,150 @@ def _check_local_agg_funcs(schema) -> None:
         )
 
 
+def _structural_fold(
+    vals, codes, n_groups: int, func: str, nested_key: list
+) -> list:
+    """Fold one structural aggregator column (listagg / collect /
+    collect_distinct / merge_map / nested_update) over pre-computed
+    group codes WITHOUT per-group ``groupby().apply``: one stable sort
+    makes groups contiguous, then the per-group finish is a native
+    Arrow kernel (``binary_join`` for listagg, offset-composed list
+    flatten for the list aggregators) or a single linear pass
+    (merge_map update, keyed nested_update dedup). Semantics match
+    the former per-group lambdas exactly (reference
+    FieldListaggAgg/FieldCollectAgg/FieldMergeMapAgg/
+    FieldNestedUpdateAgg); ``vals`` carries the retract-masked payload
+    (nulls = absent). Returns a plain list indexed by group code."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    is_map = func == "merge_map"
+    if func == "listagg":
+        valid = np.fromiter(
+            (not pd.isna(x) for x in vals), dtype=bool, count=len(vals)
+        )
+    else:
+        # list/map payloads: arrays (Arrow ships array columns as
+        # ndarray/list, map columns as pair-lists); scalars count as
+        # single elements for collect (FieldCollectAgg accepts both)
+        valid = np.fromiter(
+            (
+                isinstance(x, (list, np.ndarray))
+                or (is_map and isinstance(x, dict))
+                or (func in ("collect", "collect_distinct") and not pd.isna(x))
+                for x in vals
+            ),
+            dtype=bool,
+            count=len(vals),
+        )
+    idx = np.flatnonzero(valid)
+    cv = codes[idx]
+    order = np.argsort(cv, kind="stable")  # stable: sequence order kept in-group
+    vv = vals[idx[order]]
+    cv_s = cv[order]
+    if len(cv_s):
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(cv_s)) + 1))
+        ends = np.concatenate((starts[1:], [len(cv_s)]))
+        gids = cv_s[starts]
+    else:
+        starts = ends = gids = np.array([], dtype=np.int64)
+
+    if func == "listagg":
+        out: list = [""] * n_groups
+        if len(vv):
+            sarr = pa.array([str(x) for x in vv], type=pa.string())
+            offs = pa.array(
+                np.concatenate((starts, [len(vv)])).astype(np.int32), type=pa.int32()
+            )
+            joined = pc.binary_join(
+                pa.ListArray.from_arrays(offs, sarr), ","
+            ).to_pylist()
+            for g, j in zip(gids, joined):
+                out[g] = j
+        return out
+
+    if is_map:
+        # later entries win, in sequence order (FieldMergeMapAgg);
+        # single linear pass over the sorted pairs
+        out = [{} for _ in range(n_groups)]
+        for s, e, g in zip(starts, ends, gids):
+            acc: dict = {}
+            for x in vv[s:e]:
+                acc.update(x if isinstance(x, dict) else dict(x))
+            out[g] = acc
+        return out
+
+    # collect / collect_distinct / nested_update: per-group flatten of
+    # the row lists — offsets composed natively in Arrow (group offsets
+    # index into the row-list offsets, zero element copies)
+    out = [[] for _ in range(n_groups)]
+    if not len(vv):
+        return out
+    try:
+        la = pa.array(
+            [
+                x.tolist()
+                if isinstance(x, np.ndarray)
+                else (x if isinstance(x, list) else [x])
+                for x in vv
+            ]
+        )
+        if not pa.types.is_list(la.type) and not pa.types.is_large_list(la.type):
+            raise TypeError(f"expected list inference, got {la.type}")
+        row_offs = np.asarray(la.offsets)
+        new_offs = row_offs[np.concatenate((starts, [len(vv)]))]
+        flat = type(la).from_arrays(
+            pa.array(new_offs, type=la.offsets.type), la.values
+        ).to_pylist()
+    except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError, TypeError):
+        # heterogeneous payloads Arrow can't infer: plain-python flatten
+        flat = [
+            [
+                v
+                for x in vv[s:e]
+                for v in (
+                    x.tolist()
+                    if isinstance(x, np.ndarray)
+                    else (x if isinstance(x, list) else [x])
+                )
+            ]
+            for s, e in zip(starts, ends)
+        ]
+    if func == "collect":
+        for g, lst in zip(gids, flat):
+            out[g] = lst
+    elif func == "collect_distinct":
+        for g, lst in zip(gids, flat):
+            seen: set = set()
+            ded = []
+            for x in lst:
+                kx = str(x)
+                if kx not in seen:
+                    seen.add(kx)
+                    ded.append(x)
+            out[g] = ded
+    else:  # nested_update
+        if not nested_key:
+            for g, lst in zip(gids, flat):
+                out[g] = lst  # append mode: rows in sequence order
+        else:
+            # latest version per nested key, original relative order of
+            # survivors preserved (FieldNestedUpdateAgg keyed mode)
+            for g, lst in zip(gids, flat):
+                seen = set()
+                acc_l: list = []
+                for x in reversed(lst):
+                    key = tuple((x or {}).get(k) for k in nested_key)
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    acc_l.append(x)
+                out[g] = list(reversed(acc_l))
+    return out
+
+
 def fold_aggregation(pdf, key_cols: list[str], cfg: dict, seqc: str, kindc: str):
     """Pandas replica of the aggregation merge engine's per-field folds
     (merge_engines._agg_expr / reference AggregateMergeFunction.java:49)
@@ -361,6 +505,16 @@ def fold_aggregation(pdf, key_cols: list[str], cfg: dict, seqc: str, kindc: str)
         for c, op in plan
         if op.startswith("pick") or op == "count"
     }
+    # group codes for the structural folds (computed once, lazily):
+    # gb.ngroup() numbers groups in first-appearance order, which is
+    # exactly the order of gb.size().index under sort=False
+    _grp_cache: dict = {}
+
+    def _group_codes():
+        if not _grp_cache:
+            _grp_cache["index"] = gb.size().index
+            _grp_cache["codes"] = gb.ngroup().to_numpy()
+        return _grp_cache["codes"], _grp_cache["index"]
     for c, op in plan:
         w = f"__w_{c}"
         if op == "sum":
@@ -390,11 +544,24 @@ def fold_aggregation(pdf, key_cols: list[str], cfg: dict, seqc: str, kindc: str)
             got = pd.Series(col_np[c][valid.to_numpy()], index=valid.index)
             results[c] = got.reindex(pick.index)
         else:  # fn
-            results[c] = gb[w].apply(_fold_fn(c))
-            if cfg["funcs"][c] == "merge_map":
-                results[c] = results[c].map(
-                    lambda v: dict(v) if isinstance(v, list) else v
+            func = cfg["funcs"][c]
+            if func in ("rbm32", "rbm64", "theta_sketch", "hll_sketch"):
+                # sketch unions are real per-group math (numpy/wire
+                # format); the per-group call IS the work
+                results[c] = gb[w].apply(_fold_fn(c))
+            else:
+                # structural folds (listagg/collect/merge_map/
+                # nested_update): Arrow kernels + one linear pass, no
+                # per-group pandas apply
+                codes, gindex = _group_codes()
+                folded = _structural_fold(
+                    work[w].to_numpy(dtype=object),
+                    codes,
+                    len(gindex),
+                    func,
+                    cfg.get("nested_key", {}).get(c) or [],
                 )
+                results[c] = pd.Series(folded, index=gindex, dtype=object)
     ups_ord = gb["__ups_ord"].max()
     merged = (
         pd.concat(results, axis=1)

@@ -1148,3 +1148,51 @@ def test_keep_mask_literal_compat_and_contains():
     assert list(_keep_mask(P.contains("s", "ab("), pdf)) == [False, True, False]
     # NULL literal: unknown for every row -> keep (WHERE re-filters)
     assert list(_keep_mask(P.equal("k", None), pdf)) == [True] * 3
+
+
+def test_structural_fold_kernels():
+    """_structural_fold (Arrow kernels, no per-group apply) matches the
+    aggregator semantics on edge shapes: all-null groups, empty input,
+    scalar collect payloads, keyed nested_update, distinct dedup."""
+    import numpy as np
+
+    from flink_table_store_spark.operators.bucketed_join import _structural_fold
+
+    def fold(vals, codes, n, func, nk=()):
+        return _structural_fold(
+            np.array(vals, dtype=object), np.array(codes), n, func, list(nk)
+        )
+
+    # listagg: str() coercion, nulls skipped, all-null group -> ""
+    assert fold(["a", None, 3, "b", float("nan")], [0, 0, 1, 0, 2], 3, "listagg") == [
+        "a,b", "3", "",
+    ]
+    # empty input
+    assert fold([], [], 2, "listagg") == ["", ""]
+    assert fold([], [], 2, "collect") == [[], []]
+    # collect: lists flatten in order; a scalar counts as one element;
+    # None dropped; all-null group -> []
+    assert fold([[1, 2], 7, None, [3]], [0, 0, 1, 0], 2, "collect") == [[1, 2, 7, 3], []]
+    # ndarray payloads (Arrow hands array columns to pandas as ndarray)
+    assert fold([np.array([1, 2]), np.array([2])], [0, 0], 1, "collect") == [[1, 2, 2]]
+    # collect_distinct dedups by str key, keeping first
+    assert fold([[1, 2], [2, 1, 3]], [0, 0], 1, "collect_distinct") == [[1, 2, 3]]
+    # merge_map: later entries win; dict and pair-list payloads mix
+    got = fold(
+        [[("a", 1), ("b", 2)], {"b": 9}, [("c", 3)], None],
+        [0, 0, 1, 1],
+        3,
+        "merge_map",
+    )
+    assert got == [{"a": 1, "b": 9}, {"c": 3}, {}]
+    # nested_update append mode keeps sequence order
+    rows = [[{"id": 1, "v": "x"}], [{"id": 1, "v": "y"}, {"id": 2, "v": "z"}]]
+    assert fold(rows, [0, 0], 1, "nested_update") == [
+        [{"id": 1, "v": "x"}, {"id": 1, "v": "y"}, {"id": 2, "v": "z"}]
+    ]
+    # keyed mode: latest per nested key, survivor order preserved
+    assert fold(rows, [0, 0], 1, "nested_update", nk=("id",)) == [
+        [{"id": 1, "v": "y"}, {"id": 2, "v": "z"}]
+    ]
+    # groups interleaved in arrival order (stable sort, not pre-grouped)
+    assert fold([["p"], ["q"], ["r"]], [1, 0, 1], 2, "collect") == [["q"], ["p", "r"]]
