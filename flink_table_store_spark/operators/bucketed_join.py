@@ -32,6 +32,7 @@ alternative pays a full exchange of both sides.
 from __future__ import annotations
 
 import os
+import re
 from datetime import date, datetime
 from decimal import Decimal
 
@@ -1057,6 +1058,9 @@ def join_bucketed(
 
         def _agg_type(func: str, col: str) -> str:
             if func == "count":
+                # count('') = rows; count(col) = non-null values
+                if col and col not in type_of:
+                    raise ValueError(f"agg source column {col!r} not in join output")
                 return "bigint"
             if func == "mean":
                 return "double"
@@ -1064,7 +1068,15 @@ def join_bucketed(
             if src is None:
                 raise ValueError(f"agg source column {col!r} not in join output")
             if func == "sum":
-                return "bigint" if src.lower() in _INT_T else "double"
+                if src.lower() in _INT_T:
+                    return "bigint"
+                dm = re.match(r"(?i)decimal\((\d+),\s*(\d+)\)", src)
+                if dm:
+                    # exact decimal fold (pandas sums the Decimal
+                    # objects); Spark's sum widens precision by 10
+                    p, s_ = int(dm.group(1)), int(dm.group(2))
+                    return f"decimal({min(38, p + 10)},{s_})"
+                return "double"
             return src  # min / max keep the source type
 
         for name, (func, col) in agg.items():
@@ -1132,7 +1144,8 @@ def join_bucketed(
                 parts = {}
                 for name, (func, col) in agg_spec.items():
                     if func == "count":
-                        parts[name] = g.size()
+                        # count(col) skips NULLs; count(*) counts rows
+                        parts[name] = g[col].count() if col else g.size()
                     elif func == "mean":
                         parts[name] = g[col].mean()
                     elif func == "sum":

@@ -486,16 +486,18 @@ def fold_supported(schema: TableSchema) -> bool:
     prefix (UniversalCompaction.java picks; MergeTreeCompactRewriter
     dropDelete=false). deduplicate/first-row always qualify (their fold
     is the winner row by effective sequence, handled directly by the
-    compactor); partial-update and aggregation qualify unless a user
-    ``sequence.field`` is set (its version values re-attribute folded
-    fields ABOVE older runs' versions) or a field uses a non-associative
-    aggregator. Keys carrying retract/delete rows never fold — they pass
-    through ``fold_runs`` unchanged."""
+    compactor); partial-update and aggregation qualify when every field
+    function is newest-prefix associative. A user ``sequence.field``
+    re-attributes folded last-non-null fields at the folded row's
+    version, which is wrong ONLY when an unselected older run holds an
+    intermediate version — per-bucket file stats decide that at pick
+    time (Table._fold_seq_guard): guarded-OK picks fold partially,
+    guard failures promote to a whole-bucket merge (always sound; no
+    older run remains). Keys carrying retract/delete rows never fold —
+    they pass through ``fold_runs`` unchanged."""
     engine = schema.options.get("merge-engine", ENGINE_DEDUPLICATE)
     if engine in (ENGINE_DEDUPLICATE, ENGINE_FIRST_ROW):
         return True
-    if schema.options.get("sequence.field"):
-        return False
     if engine == ENGINE_PARTIAL_UPDATE:
         return True
     if engine != ENGINE_AGGREGATION:
@@ -575,12 +577,27 @@ def fold_runs(df: DataFrame, schema: TableSchema, bucket_col: str) -> DataFrame:
 
     engine = schema.options.get("merge-engine", ENGINE_DEDUPLICATE)
     keys = _key_cols(schema) + [bucket_col]
+    # sequence.field: fold in EFFECTIVE order struct(version..., seq),
+    # exactly like merge_view — the compactor's stats guard (or a
+    # whole-bucket pick) has already established that the selection is
+    # a true suffix of that order relative to unselected runs
+    seq_field = schema.options.get("sequence.field")
+    seq_col = SEQUENCE_NUMBER
+    if seq_field:
+        df = df.withColumn(
+            _EFF_SEQ,
+            F.struct(
+                *[F.col(c.strip()) for c in seq_field.split(",")],
+                F.col(SEQUENCE_NUMBER),
+            ),
+        )
+        seq_col = _EFF_SEQ
     if engine == ENGINE_PARTIAL_UPDATE:
         bad_kinds = [KIND_DELETE]
-        aggs = _partial_update_aggs(schema, SEQUENCE_NUMBER)
+        aggs = _partial_update_aggs(schema, seq_col)
     elif engine == ENGINE_AGGREGATION:
         bad_kinds = [KIND_DELETE, "-U"]
-        aggs = _aggregation_aggs(schema, SEQUENCE_NUMBER)
+        aggs = _aggregation_aggs(schema, seq_col)
     else:  # pragma: no cover — compactor handles dedup/first-row itself
         raise ValueError(f"fold_runs does not handle merge-engine {engine}")
 

@@ -441,8 +441,75 @@ LIMIT 20
 """
 
 
+# --- q11 shape: group-sum vs global-fraction HAVING over partsupp ---------
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification). The testdata has no
+    partsupp table, so BOTH sides derive the same deterministic
+    partsupp from part x 4 synthetic suppliers (seeded integer
+    formulas); value stays in exact integer cents so the
+    HAVING-threshold boundary can never flap on float summation order.
+    Shape: two-level aggregate — per-part sums filtered against a
+    fraction of the global sum (a broadcast 1-row join, no driver
+    scalar)."""
+    n_supp = _t(spark, sf_dir, "supplier").count()  # table-stat scalar
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").where(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_12")
+    )
+    ps = (
+        _t(spark, sf_dir, "part")
+        .select(F.col("p_partkey").alias("ps_partkey"))
+        .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .select(
+            "ps_partkey",
+            ((F.col("ps_partkey") * 7 + F.col("i") * 13) % n_supp + 1).alias("ps_suppkey"),
+            ((F.col("ps_partkey") * 31 + F.col("i") * 17) % 9999 + 1).alias("ps_availqty"),
+            ((F.col("ps_partkey") * 53 + F.col("i") * 19) % 100000 + 100).alias("ps_cost_cents"),
+        )
+    )
+    g = (
+        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("ps_partkey", (F.col("ps_cost_cents") * F.col("ps_availqty")).alias("v"))
+    )
+    per_part = g.groupBy("ps_partkey").agg(F.sum("v").alias("stock_value"))
+    thresh = g.agg((F.sum("v") * 0.001).alias("_thresh"))
+    return (
+        per_part.join(F.broadcast(thresh))
+        .where(F.col("stock_value") > F.col("_thresh"))
+        .select("ps_partkey", "stock_value")
+        .orderBy(F.desc("stock_value"), "ps_partkey")
+    )
+
+
+Q11_SQL = """
+WITH ps AS (
+    SELECT p_partkey AS ps_partkey,
+           ((p_partkey * 7 + i * 13) % (SELECT count(*) FROM supplier)) + 1 AS ps_suppkey,
+           ((p_partkey * 31 + i * 17) % 9999) + 1 AS ps_availqty,
+           ((p_partkey * 53 + i * 19) % 100000) + 100 AS ps_cost_cents
+    FROM part, (SELECT unnest(generate_series(0, 3)) AS i)
+),
+g AS (
+    SELECT ps_partkey, ps_cost_cents * ps_availqty AS v
+    FROM ps
+    JOIN supplier ON ps_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_12')
+)
+SELECT ps_partkey, CAST(sum(v) AS BIGINT) AS stock_value
+FROM g
+GROUP BY ps_partkey
+HAVING sum(v) > (SELECT sum(v) * 0.001 FROM g)
+ORDER BY stock_value DESC, ps_partkey
+"""
+
+
 EXTRA_QUERIES: dict[str, tuple] = {
     "q2_min_cost_part": (q2_min_cost_part, Q2_SQL),
+    "q11_important_stock": (q11_important_stock, Q11_SQL),
     "q8_market_share": (q8_market_share, Q8_SQL),
     "q9_profit": (q9_profit, Q9_SQL),
     "q12_priority_counts": (q12_priority_counts, Q12_SQL),

@@ -823,12 +823,8 @@ class SqlSession:
             if am:
                 func = {"avg": "mean"}.get(am.group(1).lower(), am.group(1).lower())
                 src = am.group(2)
-                if func == "count":
-                    # ONLY count(*)/count(1): the in-task count is a row
-                    # count, while SQL count(col) skips NULLs
-                    if src not in ("*", "1"):
-                        return None
-                    src_col = base_keys[0]  # count ignores the source
+                if func == "count" and src in ("*", "1"):
+                    src_col = ""  # in-task row count
                 elif src in ("*", "1"):
                     return None
                 else:
@@ -837,13 +833,17 @@ class SqlSession:
                         return None
                     src_col, src_t = rc
                     base_t = src_t.split("(")[0]
-                    if func in ("sum", "mean") and base_t not in _NUM_T:
-                        # decimal sums would silently degrade to double;
-                        # non-numeric sums differ from ANSI casts
+                    # count(col) = in-task non-null count, any type
+                    if func == "sum" and base_t not in _NUM_T + ("decimal",):
+                        # decimal folds exactly (object-dtype Decimal in
+                        # the task); other non-numeric sums differ from
+                        # ANSI casts
+                        return None
+                    if func == "mean" and base_t not in _NUM_T:
                         return None
                     if func in ("min", "max") and base_t not in _NUM_T + (
                         "string", "varchar", "char", "date", "timestamp",
-                        "timestamp_ntz", "boolean",
+                        "timestamp_ntz", "boolean", "decimal",
                     ):
                         return None
                 alias = am.group(3)

@@ -834,6 +834,48 @@ class Table:
         k = n - trigger + 2  # leaves trigger-1 runs after the merge
         return list(runs[-k:]) if k >= 2 else None
 
+    @staticmethod
+    def _fold_seq_guard(selected: list, older: list, seq_cols: list[str]) -> bool:
+        """True iff file stats PROVE every selected row's user version is
+        >= every unselected older row's version in this bucket, so the
+        selection is a true suffix of the effective (version..., seq)
+        order and a partial fold cannot re-attribute a field above an
+        older run's intermediate version (ties fall to the input
+        sequence, and the selected runs hold the higher sequences by
+        construction). Conservative on any missing stat or NULL version
+        (unordered against everything). With multiple sequence fields
+        the comparison must be STRICT on the first column — per-column
+        min/max cannot resolve a lexicographic tie."""
+        col = seq_cols[0]
+        strict = len(seq_cols) > 1
+
+        def _rng(e):
+            st = (e.stats or {}).get(col)
+            if not st or st.get("min") is None or st.get("max") is None:
+                return None
+            if st.get("nulls"):
+                return None
+            return st["min"], st["max"]
+
+        lo_sel = None
+        for e in selected:
+            r = _rng(e)
+            if r is None:
+                return False
+            lo_sel = r[0] if lo_sel is None else min(lo_sel, r[0])
+        hi_old = None
+        for e in older:
+            r = _rng(e)
+            if r is None:
+                return False
+            hi_old = r[1] if hi_old is None else max(hi_old, r[1])
+        if hi_old is None:
+            return True  # no older runs at all
+        try:
+            return lo_sel > hi_old if strict else lo_sel >= hi_old
+        except TypeError:
+            return False  # mixed stat types across schema generations
+
     def _compact_universal(
         self, spark: SparkSession, snap: Snapshot, entries: list, trigger_runs: int
     ) -> Snapshot:
@@ -865,6 +907,20 @@ class Table:
         # conservatism (every partition shares bucket ids, so a
         # bucket-int intersection would never finalize anything on a
         # partitioned table)
+        # sequence.field on partial-update/aggregation: a PARTIAL fold is
+        # sound only when the selected runs form a true suffix of the
+        # effective (version, seq) order — i.e. no unselected older run
+        # holds an intermediate version that a folded last-non-null
+        # field would wrongly outrank. Per-bucket file stats on the
+        # version column decide; a failed guard PROMOTES the pick to the
+        # whole bucket (a full per-bucket merge is always sound and
+        # keeps maintenance bounded on out-of-order version streams).
+        seq_field = opts.get("sequence.field")
+        seq_guard_cols = (
+            [c.strip() for c in seq_field.split(",") if c.strip()]
+            if seq_field and engine in ("partial-update", "aggregation")
+            else None
+        )
         selected_whole: list[ManifestEntry] = []
         selected_partial: list[ManifestEntry] = []
         for (_ptk, _bucket), group in by_bucket.items():
@@ -872,7 +928,15 @@ class Table:
             pick = self._pick_universal(runs, amp, ratio, trigger)
             if not pick:
                 continue
-            (selected_whole if len(pick) == len(runs) else selected_partial).extend(pick)
+            if len(pick) == len(runs):
+                selected_whole.extend(pick)
+                continue
+            if seq_guard_cols is not None and not self._fold_seq_guard(
+                pick, [e for e in runs if e not in pick], seq_guard_cols
+            ):
+                selected_whole.extend(runs)
+                continue
+            selected_partial.extend(pick)
         selected = selected_whole + selected_partial
         if not selected:
             return snap

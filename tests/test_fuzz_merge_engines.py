@@ -272,3 +272,67 @@ def test_fuzz_aggregation_retracts(spark, warehouse, seed):
         }
 
     _drive(spark, t, rng, 9, write_batch, apply_batch, expected)
+
+
+# --- family D: partial-update + global sequence.field (r6 guarded fold) ----
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_partial_update_sequence_field(spark, warehouse, seed):
+    """Random version streams (monotone stretches + out-of-order
+    batches) under partial-update with a global ``sequence.field``,
+    interleaved with universal compaction: monotone picks must pass the
+    version-stats guard and fold PARTIALLY; overlapping picks must
+    promote to whole-bucket merges — either way every read matches a
+    serial oracle applying last-non-null per field in (ver, seq)
+    order."""
+    rng = random.Random(4300 + seed)
+    ddl = "k bigint, a string, b string, ver bigint"
+    t = warehouse.create_table(
+        f"db.fz4d_{seed}",
+        ddl,
+        primary_keys=["k"],
+        options={
+            "bucket": "2",
+            "merge-engine": "partial-update",
+            "sequence.field": "ver",
+            "snapshot.num-retained.min": "1",
+        },
+    )
+    state: dict[int, dict] = {}
+    seqc = 0
+    ver_base = 0
+
+    def write_batch():
+        # ~40% of batches draw versions from the whole history (stats
+        # overlap -> guard must refuse the partial fold); the rest climb
+        out_of_order = rng.random() < 0.4
+        rows = []
+        for k in rng.sample(range(25), rng.randint(1, 8)):
+            a = f"a{rng.randint(0, 99)}" if rng.random() < 0.7 else None
+            b = f"b{rng.randint(0, 99)}" if rng.random() < 0.7 else None
+            ver = rng.randint(0, 60) if out_of_order else ver_base + rng.randint(0, 5)
+            rows.append((k, a, b, ver))
+        return rows
+
+    def apply_batch(rows):
+        nonlocal seqc, ver_base
+        t.write(spark.createDataFrame(rows, ddl))
+        for k, a, b, ver in rows:
+            seqc += 1
+            st = state.setdefault(k, {})
+            eff = (ver, seqc)
+            for f, v in (("a", a), ("b", b), ("ver", ver)):
+                if v is not None and (f not in st or eff > st[f][0]):
+                    st[f] = (eff, v)
+        ver_base += 6
+        return rows
+
+    def expected():
+        none = (None, None)
+        return {
+            k: (st.get("a", none)[1], st.get("b", none)[1], st["ver"][1])
+            for k, st in state.items()
+        }
+
+    _drive(spark, t, rng, 9, write_batch, apply_batch, expected)

@@ -490,7 +490,8 @@ def test_sql_auto_elision_agg_pushdown(spark, warehouse, monkeypatch):
     exp = sorted(map(tuple, SqlSession(spark, warehouse).sql(q).collect()))
     assert sorted(map(tuple, got.collect())) == exp
 
-    # count(col) must NOT push (NULL semantics differ) but still elides
+    # count(col) pushes too: in-task non-null count (NULL-extended left
+    # join rows must not count — fk=5 has no dim match)
     q2 = (
         "SELECT f.fk AS k, count(d.dname) AS n FROM db.agp_f f "
         "LEFT JOIN db.agp_d d ON f.fk = d.dk GROUP BY f.fk ORDER BY k"
@@ -498,10 +499,56 @@ def test_sql_auto_elision_agg_pushdown(spark, warehouse, monkeypatch):
     monkeypatch.undo()
     got2 = s.sql(q2)
     p2 = got2._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in p2 and "hashpartitioning" in p2.lower()
+    assert "MapInPandas" in p2, p2
+    assert "hashpartitioning" not in p2.lower(), "count(col) must push in-task"
     assert [(r.k, r.n) for r in got2.collect()] == [
         (1, 6), (2, 6), (3, 6), (4, 6), (5, 0)
     ]
+
+
+def test_sql_auto_elision_decimal_sum_pushdown(spark, warehouse, monkeypatch):
+    """sum(decimal) pushes into the bucket tasks and folds EXACTLY
+    (object-dtype Decimal, no double transit); the output type matches
+    Spark's sum widening decimal(12,2) -> decimal(22,2)."""
+    from decimal import Decimal
+
+    from flink_table_store_spark.sql import SqlSession
+
+    fact = spark.createDataFrame(
+        [
+            (k % 3 + 1, k, Decimal(f"{k}.{k % 10}7"), None if k % 4 == 0 else Decimal(k))
+            for k in range(24)
+        ],
+        "fk bigint, oid bigint, price decimal(12,2), bonus decimal(10,0)",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(1, 4)], "dk bigint, dname string"
+    )
+    tf = warehouse.create_table(
+        "db.dec_f", fact.schema, primary_keys=["fk", "oid"],
+        options={"bucket": "2", "bucket-key": "fk"},
+    )
+    tf.write(fact)
+    td = warehouse.create_table(
+        "db.dec_d", dim.schema, primary_keys=["dk"], options={"bucket": "2"}
+    )
+    td.write(dim)
+    s = SqlSession(spark, warehouse)
+    q = (
+        "SELECT f.fk AS k, sum(f.price) AS sp, sum(f.bonus) AS sb, "
+        "min(f.price) AS mp, count(f.bonus) AS cb "
+        "FROM db.dec_f f JOIN db.dec_d d ON f.fk = d.dk "
+        "GROUP BY f.fk ORDER BY k"
+    )
+    got = s.sql(q)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan
+    assert "hashpartitioning" not in plan.lower(), "decimal sums must push in-task"
+    assert dict(got.dtypes)["sp"] == "decimal(22,2)"
+    assert dict(got.dtypes)["mp"] == "decimal(12,2)"
+    monkeypatch.setattr(SqlSession, "_parse_agg_pushdown", lambda *a, **k: None)
+    exp = sorted(map(tuple, SqlSession(spark, warehouse).sql(q).collect()))
+    assert sorted(map(tuple, got.collect())) == exp
 
 
 def test_sql_auto_elision_faithfulness_extras(spark, warehouse, monkeypatch):
@@ -599,9 +646,20 @@ def test_sql_auto_elision_fuzz_parity(spark, warehouse, monkeypatch):
 
     from flink_table_store_spark.sql import SqlSession
 
+    from decimal import Decimal
+
     fact = spark.createDataFrame(
-        [(k % 7, k, float(k) * 0.5 if k % 5 else None, f"t{k % 4}") for k in range(35)],
-        "k bigint, oid bigint, amt double, tag string",
+        [
+            (
+                k % 7,
+                k,
+                float(k) * 0.5 if k % 5 else None,
+                f"t{k % 4}",
+                Decimal(f"{k}.25") if k % 6 else None,
+            )
+            for k in range(35)
+        ],
+        "k bigint, oid bigint, amt double, tag string, price decimal(9,2)",
     )
     dim = spark.createDataFrame(
         [(k, f"d{k}" if k % 3 else None, k * 100) for k in range(0, 6)],
@@ -630,6 +688,7 @@ def test_sql_auto_elision_fuzz_parity(spark, warehouse, monkeypatch):
     agg_pool = [
         "count(*) AS n", "sum(f.amt) AS sa", "min(d.dname) AS mn",
         "max(d.weight) AS mw", "avg(f.amt) AS av", "count(f.amt) AS ca",
+        "count(d.dname) AS cd", "sum(f.price) AS sp", "max(f.price) AS xp",
     ]
 
     failures = []

@@ -279,8 +279,10 @@ def test_universal_aggregation_fold_parity(spark, warehouse):
 
 
 def test_universal_fold_gate(spark, warehouse):
-    """Non-associative shapes refuse the partial fold: count fields and
-    sequence.field partial-update fall back to whole-bucket merges."""
+    """Non-associative shapes refuse the partial fold: count fields
+    fall back to whole-bucket merges. sequence.field partial-update IS
+    fold-supported since r6 — partial-vs-whole is decided per bucket by
+    the version-stats guard instead."""
     from flink_table_store_spark.operators.merge_engines import fold_supported
 
     t1 = warehouse.create_table(
@@ -300,7 +302,7 @@ def test_universal_fold_gate(spark, warehouse):
         primary_keys=["k"],
         options={"bucket": "1", "merge-engine": "partial-update", "sequence.field": "ver"},
     )
-    assert not fold_supported(t2.schema)
+    assert fold_supported(t2.schema)
     # the count table still compacts (whole-bucket fallback) correctly
     ddl = "k bigint, n bigint"
     t1.write(spark.createDataFrame([(1, 1)], ddl))
@@ -426,3 +428,154 @@ def test_universal_null_partition_retract_not_finalized(spark, warehouse):
     a_levels = {e.level for e in runs if e.partition.get("p") == "a"}
     assert null_levels == {0}, runs
     assert a_levels == {MAX_LEVEL}, runs
+
+
+def test_fold_seq_guard_unit():
+    """The per-bucket version-stats guard: suffix-proof passes, overlap /
+    nulls / missing stats / mixed types bail, multi-column needs strict."""
+    from types import SimpleNamespace as NS
+
+    from flink_table_store_spark.table import Table
+
+    g = Table._fold_seq_guard
+    mk = lambda mn, mx, nulls=0: NS(stats={"ver": {"min": mn, "max": mx, "nulls": nulls}})
+    assert g([mk(20, 50)], [mk(1, 10)], ["ver"])
+    # tie on the boundary: input sequence breaks it (selected is newer)
+    assert g([mk(10, 50)], [mk(1, 10)], ["ver"])
+    # multiple sequence fields: per-column stats can't resolve a
+    # lexicographic tie -> strict comparison required
+    assert not g([mk(10, 50)], [mk(1, 10)], ["ver", "sub"])
+    assert g([mk(11, 50)], [mk(1, 10)], ["ver", "sub"])
+    # interleaved versions
+    assert not g([mk(20, 50)], [mk(1, 35)], ["ver"])
+    # NULL versions are unordered against everything
+    assert not g([mk(20, 50, nulls=1)], [mk(1, 10)], ["ver"])
+    assert not g([mk(20, 50)], [mk(1, 10, nulls=2)], ["ver"])
+    # missing stats
+    assert not g([mk(20, 50)], [NS(stats={})], ["ver"])
+    assert not g([NS(stats={"ver": {"min": None, "max": None, "nulls": 0}})], [mk(1, 2)], ["ver"])
+    # no older runs: trivially a suffix
+    assert g([mk(20, 50)], [], ["ver"])
+    # mixed stat types across schema generations
+    assert not g([mk("b", "c")], [mk(1, 2)], ["ver"])
+
+
+def test_universal_seq_field_partial_update_guarded_fold(spark, warehouse):
+    """sequence.field partial-update folds PARTIALLY when file stats
+    prove the selected runs are a version-suffix (monotone version
+    stream): the big old run stays untouched, reads match an
+    uncompacted twin, and later writes still merge right."""
+    ddl = "k bigint, v string, w string, ver bigint"
+    opts = {
+        "bucket": "1",
+        "merge-engine": "partial-update",
+        "sequence.field": "ver",
+        "compaction.size-ratio": "10",  # small runs differ ~2% in size
+    }
+    a, b = _parity_tables(warehouse, "unisfpu", ddl, opts)
+    writes = [
+        [(k, f"v{k}", f"w{k}", 10) for k in range(2000)],  # big old run, ver=10
+        [(1, "v1a", None, 20), (2, None, "w2a", 21)],
+        [(1, None, "w1b", 30), (3, "v3b", None, 31)],
+        [(2, "v2c", None, 40), (4, None, "w4c", 41)],
+        [(1, "v1d", None, 50), (5, "v5d", None, 51)],
+    ]
+    for w in writes:
+        df = spark.createDataFrame(w, ddl)
+        a.write(df)
+        b.write(df)
+    a, b = a.refresh(), b.refresh()
+    oldest = _runs(a)[0].file_name
+    a.compact(spark, full=False)
+    a = a.refresh()
+    runs = _runs(a)
+    assert oldest in {e.file_name for e in runs}, "guard passed -> partial pick"
+    assert len(runs) == 2
+    _assert_same(spark, a, b)
+    got = {r.k: (r.v, r.w, r.ver) for r in a.to_df(spark).collect()}
+    assert got[1] == ("v1d", "w1b", 50)
+    # a LATE lower-version write after the fold must still lose to the
+    # folded row's higher versions
+    late = spark.createDataFrame([(1, "vLOW", None, 15)], ddl)
+    a.write(late)
+    b.write(late)
+    a, b = a.refresh(), b.refresh()
+    _assert_same(spark, a, b)
+    assert {r.k: r.v for r in a.to_df(spark).collect()}[1] == "v1d"
+
+
+def test_universal_seq_field_out_of_order_promotes_whole(spark, warehouse):
+    """An older run holding an INTERMEDIATE version (stats overlap) is
+    exactly the case where a partial fold re-attributes a field above
+    the older version — the guard must promote the pick to a
+    whole-bucket merge and the result must match the uncompacted twin
+    (the r5 exclusion scenario, now handled instead of avoided)."""
+    ddl = "k bigint, v string, w string, ver bigint"
+    opts = {"bucket": "1", "merge-engine": "partial-update", "sequence.field": "ver"}
+    a, b = _parity_tables(warehouse, "unisfoo", ddl, opts)
+    writes = [
+        # the OLD run carries the HIGH version 35 for k=1 (out-of-order
+        # arrival): newer runs write ver 20/30/50
+        [(1, "vOLD_HI", None, 35)] + [(k, f"v{k}", f"w{k}", 10) for k in range(2, 2000)],
+        [(1, "v1a", None, 20), (2, None, "w2a", 21)],
+        [(1, None, "w1b", 30), (3, "v3b", None, 31)],
+        [(2, "v2c", None, 40), (4, None, "w4c", 41)],
+        [(1, None, "w1d", 50), (5, "v5d", None, 51)],
+    ]
+    for w in writes:
+        df = spark.createDataFrame(w, ddl)
+        a.write(df)
+        b.write(df)
+    a, b = a.refresh(), b.refresh()
+    a.compact(spark, full=False)
+    a = a.refresh()
+    assert len(_runs(a)) == 1, "guard failed -> whole-bucket merge"
+    _assert_same(spark, a, b)
+    got = {r.k: (r.v, r.w) for r in a.to_df(spark).collect()}
+    # v: last non-null by VERSION order = vOLD_HI (ver 35 beats 20/30);
+    # a naive partial fold would have emitted v1a at folded ver 50
+    assert got[1] == ("vOLD_HI", "w1d")
+
+
+def test_universal_seq_field_aggregation_guarded_fold(spark, warehouse):
+    """Aggregation engine under sequence.field: last_non_null orders by
+    version, sum stays order-free; the guarded partial fold matches the
+    uncompacted twin across two compactions."""
+    ddl = "k bigint, s bigint, last string, ver bigint"
+    opts = {
+        "bucket": "1",
+        "merge-engine": "aggregation",
+        "sequence.field": "ver",
+        "fields.s.aggregate-function": "sum",
+        "fields.last.aggregate-function": "last_non_null_value",
+        "fields.ver.aggregate-function": "max",
+    }
+    a, b = _parity_tables(warehouse, "unisfagg", ddl, opts)
+    writes = [
+        [(k, k, f"x{k}", 10) for k in range(2000)],
+        [(1, 5, "mid", 20), (2, 7, None, 21)],
+        [(1, 2, None, 30), (3, 1, "three", 31)],
+        [(2, 4, "two!", 40), (4, 9, None, 41)],
+        [(1, 1, "one!", 50)],
+    ]
+    for w in writes:
+        df = spark.createDataFrame(w, ddl)
+        a.write(df)
+        b.write(df)
+    a, b = a.refresh(), b.refresh()
+    oldest = _runs(a)[0].file_name
+    a.compact(spark, full=False)
+    a = a.refresh()
+    assert oldest in {e.file_name for e in _runs(a)}, "partial pick expected"
+    _assert_same(spark, a, b)
+    got = {r.k: (r.s, r.last, r.ver) for r in a.to_df(spark).collect()}
+    assert got[1] == (9, "one!", 50)
+    # second round: more writes + another compaction
+    for w in ([(1, 3, None, 60)], [(2, 1, "two2", 61)], [(5, 5, "five", 62)]):
+        df = spark.createDataFrame(w, ddl)
+        a.write(df)
+        b.write(df)
+    a, b = a.refresh(), b.refresh()
+    a.compact(spark, full=False, trigger_runs=3)
+    a = a.refresh()
+    _assert_same(spark, a, b)
