@@ -410,7 +410,9 @@ class RESTCatalog(Catalog):
         dialects = {dialect: sql}
         try:
             existing = self.api.get_view(db, name)
-        except RESTError:
+        except RESTError as e:
+            if e.code != 404:
+                raise
             existing = None
         if existing is not None:
             if not ignore_if_exists:
@@ -431,8 +433,10 @@ class RESTCatalog(Catalog):
         try:
             self.api.get_view(db, name)
             return True
-        except RESTError:
-            return False
+        except RESTError as e:
+            if e.code == 404:
+                return False
+            raise  # auth/server failures must surface, not read as "no view"
 
     def drop_view(self, identifier: str, ignore_if_not_exists: bool = True) -> None:
         db, name = self._split(identifier)

@@ -68,16 +68,12 @@ class _HttpError(Exception):
 
 
 def _sql_pattern(pattern: str) -> re.Pattern:
-    """SQL LIKE pattern (% / _) → anchored regex."""
-    out = []
-    for ch in pattern:
-        if ch == "%":
-            out.append(".*")
-        elif ch == "_":
-            out.append(".")
-        else:
-            out.append(re.escape(ch))
-    return re.compile("^" + "".join(out) + "$")
+    """SQL LIKE pattern (% / _) → anchored regex — the same translation
+    SHOW ... LIKE uses (sql.sql_like_pattern), so the SQL frontend and
+    the REST listing endpoints cannot drift."""
+    from flink_table_store_spark.sql import sql_like_pattern
+
+    return sql_like_pattern(pattern)
 
 
 def _page(names: list[str], q: dict, pattern_key: str) -> dict:
@@ -255,10 +251,10 @@ class _CatalogService:
         s = f"{src.get('database')}.{src.get('object') or src.get('table')}"
         d = f"{dst.get('database')}.{dst.get('object') or dst.get('table')}"
         self._table_path(*s.split(".", 1))
+        self._require_db(d.split(".", 1)[0])  # no phantom destination dbs
         dpath = self.catalog.table_path(d)
         if os.path.isdir(dpath):
             raise _HttpError(409, f"table {d} already exists", "TABLE", d)
-        os.makedirs(os.path.dirname(dpath), exist_ok=True)
         self.catalog.rename_table(s, d)
         return {}
 
@@ -417,6 +413,13 @@ def _make_handler(service: _CatalogService):
 
         def _handle(self, method: str) -> None:
             try:
+                # drain the body FIRST — replying (e.g. 401) with unread
+                # bytes on a keep-alive connection desynchronizes the
+                # stream (the leftovers parse as the next request line)
+                raw = b""
+                length = int(self.headers.get("Content-Length", 0) or 0)
+                if length:
+                    raw = self.rfile.read(length)
                 if service.token is not None:
                     auth = self.headers.get("Authorization", "")
                     if auth != f"Bearer {service.token}":
@@ -424,9 +427,11 @@ def _make_handler(service: _CatalogService):
                 parsed = urlparse(self.path)
                 q = {k: v[0] for k, v in parse_qs(parsed.query).items()}
                 body = {}
-                length = int(self.headers.get("Content-Length", 0) or 0)
-                if length:
-                    body = json.loads(self.rfile.read(length).decode("utf-8"))
+                if raw:
+                    try:
+                        body = json.loads(raw.decode("utf-8"))
+                    except (ValueError, UnicodeDecodeError) as e:
+                        raise _HttpError(400, f"malformed request body: {e}") from None
                 self._respond(200, service.route(method, parsed.path, q, body))
             except _HttpError as e:
                 self._respond(e.code, e.body)

@@ -83,6 +83,15 @@ def _strip_qualifiers(
     return "".join(p if p[:1] in ("'", '"') else fix(p) for p in parts)
 
 
+def sql_like_pattern(pattern: str, flags: int = 0) -> re.Pattern:
+    """SQL LIKE pattern (``%`` = any run, ``_`` = any single char) →
+    anchored regex. Shared by SHOW ... LIKE and the REST catalog's
+    name-pattern listings so LIKE semantics cannot drift."""
+    return re.compile(
+        "^" + re.escape(pattern).replace("%", ".*").replace("_", ".") + "$", flags
+    )
+
+
 def _view_name(key: str) -> str:
     return "ftss_" + hashlib.md5(key.encode()).hexdigest()[:10]
 
@@ -902,12 +911,21 @@ class SqlSession:
             cols.append(f"{name.strip('`')} {typ.strip()}")
         options = _parse_props(props_s)
         # primary keys also via TBLPROPERTIES ('primary-key'='a,b') —
-        # the reference's Spark DDL property form (same as the CTAS path)
-        pks = pks or [
+        # the reference's Spark DDL property form (same as the CTAS
+        # path). Popped unconditionally so the option never persists as
+        # a stale table property; a CONFLICTING spec is an error, not a
+        # silent pick
+        prop_pks = [
             c.strip().strip("`")
             for c in options.pop("primary-key", "").split(",")
             if c.strip()
         ]
+        if pks and prop_pks and pks != prop_pks:
+            raise ValueError(
+                f"PRIMARY KEY clause {pks} conflicts with "
+                f"TBLPROPERTIES primary-key {prop_pks}"
+            )
+        pks = pks or prop_pks
         parts = [c.strip().strip("`") for c in part_s.split(",")] if part_s else None
         return self.catalog.create_table(
             ident,
@@ -936,11 +954,7 @@ class SqlSession:
         dbs = [m.group(1)] if m.group(1) else self.catalog.list_databases()
         rows = [(db, t) for db in dbs for t in self.catalog.list_tables(db)]
         if m.group(2) is not None:
-            # SQL LIKE pattern: % = any run, _ = any single char
-            pat = re.compile(
-                "^" + re.escape(m.group(2)).replace("%", ".*").replace("_", ".") + "$",
-                re.IGNORECASE,
-            )
+            pat = sql_like_pattern(m.group(2), re.IGNORECASE)
             rows = [(db, t) for db, t in rows if pat.match(t)]
         return self.spark.createDataFrame(rows or [], "database string, tableName string")
 
@@ -1099,10 +1113,7 @@ class SqlSession:
             raise ValueError(f"cannot parse SHOW DATABASES: {q}")
         dbs = self.catalog.list_databases()
         if m.group(1) is not None:
-            pat = re.compile(
-                "^" + re.escape(m.group(1)).replace("%", ".*").replace("_", ".") + "$",
-                re.IGNORECASE,
-            )
+            pat = sql_like_pattern(m.group(1), re.IGNORECASE)
             dbs = [d for d in dbs if pat.match(d)]
         return self.spark.createDataFrame([(d,) for d in dbs] or [], "namespace string")
 

@@ -857,24 +857,26 @@ class Table:
                 return None
             return st["min"], st["max"]
 
-        lo_sel = None
-        for e in selected:
-            r = _rng(e)
-            if r is None:
-                return False
-            lo_sel = r[0] if lo_sel is None else min(lo_sel, r[0])
-        hi_old = None
-        for e in older:
-            r = _rng(e)
-            if r is None:
-                return False
-            hi_old = r[1] if hi_old is None else max(hi_old, r[1])
-        if hi_old is None:
-            return True  # no older runs at all
         try:
+            lo_sel = None
+            for e in selected:
+                r = _rng(e)
+                if r is None:
+                    return False
+                lo_sel = r[0] if lo_sel is None else min(lo_sel, r[0])
+            hi_old = None
+            for e in older:
+                r = _rng(e)
+                if r is None:
+                    return False
+                hi_old = r[1] if hi_old is None else max(hi_old, r[1])
+            if hi_old is None:
+                return True  # no older runs at all
             return lo_sel > hi_old if strict else lo_sel >= hi_old
         except TypeError:
-            return False  # mixed stat types across schema generations
+            # mixed stat types across schema generations — anywhere,
+            # including within one side's min/max folds
+            return False
 
     def _compact_universal(
         self, spark: SparkSession, snap: Snapshot, entries: list, trigger_runs: int

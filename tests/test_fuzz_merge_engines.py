@@ -279,13 +279,18 @@ def test_fuzz_aggregation_retracts(spark, warehouse, seed):
 
 @pytest.mark.parametrize("seed", range(6))
 def test_fuzz_partial_update_sequence_field(spark, warehouse, seed):
-    """Random version streams (monotone stretches + out-of-order
-    batches) under partial-update with a global ``sequence.field``,
-    interleaved with universal compaction: monotone picks must pass the
-    version-stats guard and fold PARTIALLY; overlapping picks must
-    promote to whole-bucket merges — either way every read matches a
-    serial oracle applying last-non-null per field in (ver, seq)
-    order."""
+    """Random version streams under partial-update with a global
+    ``sequence.field``, interleaved with universal compaction. Per-KEY
+    versions never decrease — merge results are then materialization-
+    independent, so the per-field serial oracle is exact regardless of
+    when compactions collapse rows (a write BELOW a key's current max
+    is materialization-dependent BY DESIGN, pinned separately in
+    test_universal_seq_field_materialization_semantics). Cross-key
+    clocks advance at wildly different rates, so batch version ranges
+    overlap in the bucket-level stats and the guard's promotion path
+    fires; occasional epoch jumps land every key past the global max,
+    giving true version-suffix runs where the guard passes and the
+    PARTIAL fold executes."""
     rng = random.Random(4300 + seed)
     ddl = "k bigint, a string, b string, ver bigint"
     t = warehouse.create_table(
@@ -300,23 +305,27 @@ def test_fuzz_partial_update_sequence_field(spark, warehouse, seed):
         },
     )
     state: dict[int, dict] = {}
+    key_clock: dict[int, int] = {}
     seqc = 0
-    ver_base = 0
+    gmax = 0
 
     def write_batch():
-        # ~40% of batches draw versions from the whole history (stats
-        # overlap -> guard must refuse the partial fold); the rest climb
-        out_of_order = rng.random() < 0.4
+        nonlocal gmax
+        epoch = rng.random() < 0.35
         rows = []
         for k in rng.sample(range(25), rng.randint(1, 8)):
             a = f"a{rng.randint(0, 99)}" if rng.random() < 0.7 else None
             b = f"b{rng.randint(0, 99)}" if rng.random() < 0.7 else None
-            ver = rng.randint(0, 60) if out_of_order else ver_base + rng.randint(0, 5)
-            rows.append((k, a, b, ver))
+            if epoch:
+                key_clock[k] = gmax + rng.randint(1, 3)
+            else:
+                key_clock[k] = key_clock.get(k, 0) + rng.choice([0, 1, 3, 10])
+            gmax = max(gmax, key_clock[k])
+            rows.append((k, a, b, key_clock[k]))
         return rows
 
     def apply_batch(rows):
-        nonlocal seqc, ver_base
+        nonlocal seqc
         t.write(spark.createDataFrame(rows, ddl))
         for k, a, b, ver in rows:
             seqc += 1
@@ -325,7 +334,6 @@ def test_fuzz_partial_update_sequence_field(spark, warehouse, seed):
             for f, v in (("a", a), ("b", b), ("ver", ver)):
                 if v is not None and (f not in st or eff > st[f][0]):
                     st[f] = (eff, v)
-        ver_base += 6
         return rows
 
     def expected():

@@ -579,3 +579,34 @@ def test_universal_seq_field_aggregation_guarded_fold(spark, warehouse):
     a.compact(spark, full=False, trigger_runs=3)
     a = a.refresh()
     _assert_same(spark, a, b)
+
+
+def test_universal_seq_field_materialization_semantics(spark, warehouse):
+    """Compaction MATERIALIZES the merge: a later write whose version is
+    INTERMEDIATE between already-merged versions compares against the
+    merged row (which carries the fold's final version), not against
+    the original rows. This matches the reference exactly — its merge
+    tree feeds PartialUpdateMergeFunction rows ordered by
+    UserDefinedSeqComparator and a compacted KeyValue carries ONE
+    version — and is why the fold guard only promises suffix-soundness
+    against runs that exist at pick time, not against future writes.
+    Pinned so nobody 'fixes' the engine into per-field version
+    tracking the reference doesn't have."""
+    ddl = "k bigint, a string, b string, ver bigint"
+    opts = {"bucket": "1", "merge-engine": "partial-update", "sequence.field": "ver"}
+    merged = warehouse.create_table("db.mat_m", ddl, primary_keys=["k"], options=opts)
+    raw = warehouse.create_table("db.mat_r", ddl, primary_keys=["k"], options=opts)
+    for w in ([(1, "aLOW", None, 10)], [(1, None, "bHI", 40)]):
+        df = spark.createDataFrame(w, ddl)
+        merged.write(df)
+        raw.write(df)
+    merged.refresh().compact(spark, full=True)  # materialize merge(10, 40)
+    late = spark.createDataFrame([(1, "aMID", None, 20)], ddl)
+    merged.write(late)
+    raw.write(late)
+    got_m = merged.refresh().to_df(spark).collect()[0]
+    got_r = raw.refresh().to_df(spark).collect()[0]
+    # the merged row (a=aLOW at ver 40) outranks the late ver-20 write…
+    assert (got_m.a, got_m.b, got_m.ver) == ("aLOW", "bHI", 40)
+    # …while replaying raw history orders 10 < 20 < 40 per field
+    assert (got_r.a, got_r.b, got_r.ver) == ("aMID", "bHI", 40)
