@@ -747,7 +747,7 @@ class SqlSession:
             )
         try:
             if pushed is not None:
-                group_cols, agg_map, sel_exprs, tail = pushed
+                group_cols, agg_map, sel_exprs, tail, having = pushed
                 df = join_bucketed(
                     self.spark, tables[0], tables[1], how=hows[0],
                     left_cols=left_cols_sel, right_cols=side_cols[1],
@@ -773,20 +773,36 @@ class SqlSession:
         )
         df.createOrReplaceTempView(name)
         if pushed is not None:
-            new_q = f"SELECT {', '.join(sel_exprs)} FROM {name}{tail}"
+            # HAVING over finalized in-task aggregates is a plain WHERE
+            # on the view (aggregate calls were rewritten to aliases)
+            where = f" WHERE {having}" if having else ""
+            new_q = f"SELECT {', '.join(sel_exprs)} FROM {name}{where}{tail}"
         else:
             new_q = q[: mb.start()] + f"FROM {name}" + q[pos:]
         return _strip_qualifiers(new_q, quals, renames)
 
+    _AGG_CALL = re.compile(
+        r"(?is)\b(count|sum|min|max|avg|mean)\s*\(\s*(\*|1|`?[\w.]+`?)\s*\)"
+    )
+    _HAVING_KW = {
+        "and", "or", "not", "in", "between", "like", "is", "null",
+        "true", "false",
+    }
+
     def _parse_agg_pushdown(self, prefix, suffix, side, base_keys, keys, hows, schemas):
         """Recognize ``SELECT <group cols + aggs> ... GROUP BY <cols ⊇
-        base keys> [ORDER BY simple] [LIMIT n]`` with no WHERE/HAVING/
-        DISTINCT; return (group_by, agg, select exprs, tail) for
-        ``join_bucketed``'s in-task aggregation, or None to keep the
-        join-then-Exchange plan (still elided, just not agg-pushed)."""
+        base keys> [HAVING <agg/alias/group-col expr>] [ORDER BY simple]
+        [LIMIT n]`` with no WHERE/DISTINCT; return (group_by, agg,
+        select exprs, tail, having) for ``join_bucketed``'s in-task
+        aggregation, or None to keep the join-then-Exchange plan (still
+        elided, just not agg-pushed). HAVING is sound because the
+        in-task aggregates are FINAL — it rewrites to a plain filter
+        over the view (aggregate calls replace with their aliases,
+        adding hidden aggregates when the SELECT lacks them)."""
         pm = re.match(r"(?is)^\s*SELECT\s+(?!DISTINCT\b)(.*?)\s*$", prefix)
         sm = re.match(
             r"(?is)^\s*GROUP\s+BY\s+(.+?)"
+            r"(?:\s+HAVING\s+(.+?))?"
             r"(\s+ORDER\s+BY\s+[^()]+?)?(\s+LIMIT\s+\d+)?\s*$",
             suffix,
         )
@@ -820,6 +836,33 @@ class SqlSession:
                 group_cols.append(rc[0])
         if not set(base_keys) <= set(group_cols):
             return None
+        def agg_spec(func_raw: str, src: str) -> tuple[str, str] | None:
+            """(func, source view column) for a pushable aggregate call,
+            or None when the call can't finalize in-task."""
+            func = {"avg": "mean"}.get(func_raw.lower(), func_raw.lower())
+            if func == "count" and src in ("*", "1"):
+                return func, ""  # in-task row count
+            if src in ("*", "1"):
+                return None
+            rc = resolve(src)
+            if rc is None:
+                return None
+            src_col, src_t = rc
+            base_t = src_t.split("(")[0]
+            # count(col) = in-task non-null count, any type
+            if func == "sum" and base_t not in _NUM_T + ("decimal",):
+                # decimal folds exactly (object-dtype Decimal in the
+                # task); other non-numeric sums differ from ANSI casts
+                return None
+            if func == "mean" and base_t not in _NUM_T:
+                return None
+            if func in ("min", "max") and base_t not in _NUM_T + (
+                "string", "varchar", "char", "date", "timestamp",
+                "timestamp_ntz", "boolean", "decimal",
+            ):
+                return None
+            return func, src_col
+
         agg_map: dict[str, tuple[str, str]] = {}
         sel_exprs: list[str] = []
         for item in _split_depth0_parens(pm.group(1)):
@@ -830,35 +873,13 @@ class SqlSession:
                 item,
             )
             if am:
-                func = {"avg": "mean"}.get(am.group(1).lower(), am.group(1).lower())
-                src = am.group(2)
-                if func == "count" and src in ("*", "1"):
-                    src_col = ""  # in-task row count
-                elif src in ("*", "1"):
+                spec = agg_spec(am.group(1), am.group(2))
+                if spec is None:
                     return None
-                else:
-                    rc = resolve(src)
-                    if rc is None:
-                        return None
-                    src_col, src_t = rc
-                    base_t = src_t.split("(")[0]
-                    # count(col) = in-task non-null count, any type
-                    if func == "sum" and base_t not in _NUM_T + ("decimal",):
-                        # decimal folds exactly (object-dtype Decimal in
-                        # the task); other non-numeric sums differ from
-                        # ANSI casts
-                        return None
-                    if func == "mean" and base_t not in _NUM_T:
-                        return None
-                    if func in ("min", "max") and base_t not in _NUM_T + (
-                        "string", "varchar", "char", "date", "timestamp",
-                        "timestamp_ntz", "boolean", "decimal",
-                    ):
-                        return None
                 alias = am.group(3)
                 if alias in agg_map or alias in group_cols:
                     return None
-                agg_map[alias] = (func, src_col)
+                agg_map[alias] = spec
                 sel_exprs.append(alias)
                 continue
             cm = re.match(r"(?is)^(`?([\w.]+)`?)(?:\s+AS\s+`?(\w+)`?)?$", item)
@@ -872,8 +893,56 @@ class SqlSession:
             sel_exprs.append(c if out_name == c else f"{c} AS {out_name}")
         if not agg_map:
             return None  # plain grouped projection — not worth the push
-        tail = (sm.group(2) or "") + (sm.group(3) or "")
-        return group_cols, agg_map, sel_exprs, tail
+        having = None
+        if sm.group(2):
+            having = self._rewrite_having(
+                sm.group(2), agg_spec, agg_map, group_cols, resolve
+            )
+            if having is None:
+                return None  # unparseable HAVING: keep the shuffle plan
+        tail = (sm.group(3) or "") + (sm.group(4) or "")
+        return group_cols, agg_map, sel_exprs, tail, having
+
+    def _rewrite_having(self, hx, agg_spec, agg_map, group_cols, resolve):
+        """HAVING expr → a filter over the pushed view: aggregate calls
+        become their SELECT aliases (hidden ``__h<n>`` aggregates are
+        added when absent); every remaining identifier must be a group
+        column, an aggregate alias, or a literal/boolean keyword — else
+        None (fall back to the Spark HAVING over the shuffle plan)."""
+        if re.search(r"(?i)\bselect\b", hx):
+            return None  # subqueries: out of scope
+        bad = False
+
+        def repl(m) -> str:
+            nonlocal bad
+            spec = agg_spec(m.group(1), m.group(2))
+            if spec is None:
+                bad = True
+                return m.group(0)
+            for a, s in agg_map.items():
+                if s == spec:
+                    return a
+            alias = f"__h{len(agg_map)}"
+            agg_map[alias] = spec
+            return alias
+
+        parts = _QUOTED.split(hx)
+        out = []
+        for p in parts:
+            if p[:1] in ("'", '"'):
+                out.append(p)
+                continue
+            p = self._AGG_CALL.sub(repl, p)
+            for tok in re.findall(r"[A-Za-z_][\w.]*", p):
+                if tok.lower() in self._HAVING_KW or tok in agg_map:
+                    continue
+                rc = resolve(tok)
+                if rc is None or rc[0] not in group_cols:
+                    return None
+                if rc[0] != tok:
+                    p = re.sub(rf"\b{re.escape(tok)}\b", rc[0], p)
+            out.append(p)
+        return None if bad else "".join(out)
 
     # --- CREATE / DROP / SHOW / DESCRIBE DDL --------------------------------
 

@@ -699,6 +699,13 @@ def test_sql_auto_elision_fuzz_parity(spark, warehouse, monkeypatch):
         if grouped:
             sel = ["f.k"] + rng.sample(agg_pool, rng.randint(1, 3))
             tail = " GROUP BY f.k"
+            if rng.random() < 0.5:
+                tail += " HAVING " + rng.choice([
+                    "count(*) > 3",
+                    "sum(f.amt) > 4.0",
+                    "count(d.dname) >= 1 AND f.k < 6",
+                    "max(d.weight) >= 200 OR f.k = 0",
+                ])
         elif rng.random() < 0.2:
             sel, tail = ["*"], ""
         else:
@@ -927,3 +934,64 @@ def test_show_tblproperties(spark, warehouse, sql):
     assert props["bucket"] == "2" and props["write-only"] == "true"
     one = sql.sql("SHOW TBLPROPERTIES db.tp ('bucket')").collect()
     assert [(r.key, r.value) for r in one] == [("bucket", "2")]
+
+
+def test_sql_auto_elision_having_pushdown(spark, warehouse, monkeypatch):
+    """HAVING over an elided+pushed aggregation runs as a plain filter
+    on the finalized in-task aggregates — still zero hash Exchange.
+    Covers: alias refs, aggregate calls present in SELECT, aggregate
+    calls ABSENT from SELECT (hidden aggregates), group-col refs, and
+    the bail path (subquery HAVING falls back to the shuffle plan)."""
+    from flink_table_store_spark.sql import SqlSession
+
+    fact = spark.createDataFrame(
+        [(k % 5 + 1, k, float(k), None if k % 3 == 0 else k) for k in range(30)],
+        "fk bigint, oid bigint, amt double, opt bigint",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(1, 5)], "dk bigint, dname string"
+    )
+    tf = warehouse.create_table(
+        "db.hav_f", fact.schema, primary_keys=["fk", "oid"],
+        options={"bucket": "4", "bucket-key": "fk"},
+    )
+    tf.write(fact)
+    td = warehouse.create_table(
+        "db.hav_d", dim.schema, primary_keys=["dk"], options={"bucket": "4"}
+    )
+    td.write(dim)
+    s = SqlSession(spark, warehouse)
+
+    cases = [
+        # alias reference
+        "SELECT f.fk AS k, count(*) AS n FROM db.hav_f f JOIN db.hav_d d "
+        "ON f.fk = d.dk GROUP BY f.fk HAVING n > 5 ORDER BY k",
+        # aggregate call matching a SELECT agg
+        "SELECT f.fk AS k, sum(f.amt) AS sa FROM db.hav_f f JOIN db.hav_d d "
+        "ON f.fk = d.dk GROUP BY f.fk HAVING sum(f.amt) > 50.0 ORDER BY k",
+        # hidden aggregate (count(f.opt) not selected) + group col + AND
+        "SELECT f.fk AS k, sum(f.amt) AS sa FROM db.hav_f f JOIN db.hav_d d "
+        "ON f.fk = d.dk GROUP BY f.fk "
+        "HAVING count(f.opt) >= 4 AND f.fk < 4 ORDER BY k",
+    ]
+    for q in cases:
+        got = s.sql(q)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "MapInPandas" in plan, q
+        assert "hashpartitioning" not in plan.lower(), f"HAVING must stay pushed: {q}"
+        with monkeypatch.context() as mp:
+            mp.setattr(SqlSession, "_auto_bucketed_join", lambda self, qq: None)
+            exp = sorted(map(tuple, SqlSession(spark, warehouse).sql(q).collect()))
+        assert sorted(map(tuple, got.collect())) == exp, q
+        # hidden aggregates never leak into the output schema
+        assert not [c for c in got.columns if c.startswith("__h")], got.columns
+
+    # subquery in HAVING: unparseable -> correct shuffle fallback
+    q = (
+        "SELECT f.fk AS k, count(*) AS n FROM db.hav_f f JOIN db.hav_d d "
+        "ON f.fk = d.dk GROUP BY f.fk "
+        "HAVING count(*) > (SELECT 2) ORDER BY k"
+    )
+    got = s.sql(q)
+    assert "hashpartitioning" in got._jdf.queryExecution().executedPlan().toString().lower()
+    assert [r.k for r in got.collect()] == [1, 2, 3, 4]
