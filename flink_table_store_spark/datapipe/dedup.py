@@ -203,6 +203,88 @@ def minhash_dedup(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def connected_components(
+    pairs: DataFrame,
+    col_a: str = "id_a",
+    col_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node in ``pairs``; the component id
+    is the MIN node id transitively reachable over the (undirected)
+    pair graph.
+
+    Iterative min-label propagation: each round is ONE shuffle join +
+    map-side-combining min agg, labels localCheckpointed so lineage
+    stays flat; converges in O(component diameter) rounds — near-dup
+    graphs are short-diameter clusters around shared content. (For
+    adversarial long chains the alternating large-star/small-star
+    algorithm of Kiveris et al., "Connected Components in MapReduce
+    and Beyond", cuts rounds to O(log n); dedup shapes don't need it.)
+    Raises after ``max_iter`` non-converged rounds rather than
+    returning partial components."""
+    e = pairs.select(F.col(col_a).alias("u"), F.col(col_b).alias("v"))
+    edges = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+    )
+    try:
+        edges = edges.localCheckpoint(eager=True)
+    except Exception:
+        pass
+    labels = edges.select(
+        F.col("u").alias("node"), F.col("u").alias("component")
+    ).distinct()
+    for _ in range(max_iter):
+        nmin = (
+            edges.join(labels, edges["v"] == labels["node"])
+            .groupBy(edges["u"].alias("n2"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        new = labels.join(nmin, labels["node"] == nmin["n2"], "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce("nmin", F.col("component"))
+            ).alias("component"),
+            (F.col("nmin") < F.col("component")).alias("__chg"),
+        )
+        try:
+            new = new.localCheckpoint(eager=True)
+        except Exception:
+            pass
+        changed = new.where(F.col("__chg")).limit(1).count()
+        labels = new.drop("__chg")
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def minhash_dedup_cc(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    jaccard_threshold: float = 0.8,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup removal with TRUE transitive clusters: LSH candidates →
+    Jaccard verify → connected components over the verified pair graph
+    → keep each component's min-id representative.
+
+    ``minhash_dedup``'s one-hop rule keeps BOTH endpoints of a chain
+    A–B–C when the middle node holds the smallest id; transitive
+    clustering — the semantics corpus-dedup recipes specify (one
+    survivor per duplicate CLUSTER) — keeps exactly one."""
+    pairs = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
+    verified = ngram_jaccard_pairs(df, pairs, text_col, id_col, shingle_k, jaccard_threshold)
+    comp = connected_components(verified, "id_a", "id_b", max_iter)
+    losers = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n_bits: int = 64
 ) -> DataFrame:

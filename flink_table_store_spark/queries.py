@@ -1060,6 +1060,61 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_MINHASH_SQL = "SELECT doc_id FROM documents ORDER BY doc_id"
 
 
+_CC_OFF = 200_000_000  # planted-chain id offset (disjoint from _DEDUP_OFF)
+
+
+def dedup_minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering (connected components over the
+    verified LSH pair graph) with an EXACT oracle: 40 planted
+    sliding-window CHAINS of 4 docs (40 words each, shifted by 4 —
+    adjacent Jaccard 36/44 ≈ 0.82 ≥ 0.8, skip pairs ≤ 32/48 < 0.8) with
+    ids PERMUTED inside each chain so one-hop star clustering would
+    keep two nodes; connected components must keep exactly the min id
+    per chain, and every (mutually dissimilar) base doc survives."""
+    _docs, base, _pref, _nw = _planted_docs(spark, sf_dir)
+    n_chains = 40
+    perm = [1, 3, 0, 2]  # chain position -> id offset: min id sits MID-chain
+    pos_structs = F.array(
+        *[
+            F.struct(F.lit(p).alias("pos"), F.lit(o).alias("off"))
+            for p, o in enumerate(perm)
+        ]
+    )
+    chain = (
+        spark.range(n_chains)
+        .select(F.col("id").alias("c"), F.explode(pos_structs).alias("s"))
+        .select(
+            (F.lit(_CC_OFF) + F.col("c") * 4 + F.col("s.off")).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.col("s.pos") * 4, F.col("s.pos") * 4 + 39),
+                    lambda i: F.concat(
+                        F.lit("cc"),
+                        F.col("c").cast("string"),
+                        F.lit("_w"),
+                        i.cast("string"),
+                    ),
+                ),
+            ).alias("text"),
+        )
+    )
+    fixture = base.unionByName(chain)
+    return (
+        DD.minhash_dedup_cc(fixture, shingle_k=1, jaccard_threshold=0.8)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+DEDUP_MINHASH_CC_SQL = """
+SELECT doc_id FROM documents
+UNION ALL
+SELECT 200000000 + 4 * x.range AS doc_id FROM range(40) x
+ORDER BY doc_id
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded-hamming dedup with an EXACT oracle: identical
     copies (hamming 0) planted for every 3rd doc must all be caught by
@@ -2557,6 +2612,8 @@ QUERIES = _rebuilt6
 from flink_table_store_spark.queries_extra import EXTRA_QUERIES  # noqa: E402
 
 QUERIES.update(EXTRA_QUERIES)
+# judge-run tail: transitive near-dup clustering (connected components)
+QUERIES["dedup_minhash_cc"] = (dedup_minhash_cc, DEDUP_MINHASH_CC_SQL)
 
 
 def reset_managed_tables(sf_dir: str | None = None) -> None:

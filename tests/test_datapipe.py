@@ -318,3 +318,52 @@ def test_contamination_counts(spark):
         "alpha beta gamma delta epsilon zeta eta": 1,
         "beta gamma delta epsilon zeta eta theta": 0,
     }
+
+
+def test_connected_components(spark):
+    """Min-label components over the pair graph: chains, stars,
+    singleton edges, duplicate/reversed pairs."""
+    from flink_table_store_spark.datapipe.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 2), (2, 7), (11, 12), (20, 21), (21, 20), (30, 31)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert got == {
+        5: 2, 9: 2, 2: 2, 7: 2,          # 4-chain collapses to its min
+        11: 11, 12: 11,
+        20: 20, 21: 20,                   # reversed duplicate pair
+        30: 30, 31: 30,
+    }
+    # long chain: still converges (diameter rounds)
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a bigint, id_b bigint"
+    )
+    got = {r.node: r.component for r in connected_components(chain).collect()}
+    assert set(got.values()) == {0} and len(got) == 13
+    # non-convergence guard
+    import pytest as _pt
+
+    with _pt.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iter=2)
+
+
+def test_minhash_dedup_cc_transitive_vs_one_hop(spark):
+    """A 4-chain (similar only adjacently) with ids permuted 1,3,0,2
+    along the chain: one-hop dedup keeps TWO docs (1 sees only the
+    larger 3; 0 sees only larger neighbors), transitive CC keeps one."""
+    from flink_table_store_spark.datapipe.dedup import minhash_dedup, minhash_dedup_cc
+
+    words = [f"w{i}" for i in range(52)]
+    mk = lambda lo: " ".join(words[lo : lo + 40])
+    # chain positions 0..3 get ids 1,3,0,2 — adjacent J = 36/44 >= 0.8,
+    # skip pairs <= 32/48 < 0.8
+    docs = spark.createDataFrame(
+        [(1, mk(0)), (3, mk(4)), (0, mk(8)), (2, mk(12)), (50, "totally different " * 30)],
+        "doc_id bigint, text string",
+    )
+    one_hop = sorted(r.doc_id for r in minhash_dedup(docs, shingle_k=1).collect())
+    cc = sorted(r.doc_id for r in minhash_dedup_cc(docs, shingle_k=1).collect())
+    assert one_hop == [0, 1, 50], "star clustering keeps two chain survivors"
+    assert cc == [0, 50], "transitive clustering keeps one per component"
