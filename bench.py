@@ -451,6 +451,34 @@ def main() -> None:
     def _ann():
         Q.ann_brute_force(spark, sf_dir).collect()
 
+    # --- REST catalog: metadata-op throughput over loopback HTTP ----------
+    # (the r6 catalog service; ops are driver-side metadata hops by
+    # design — the measure is protocol+CAS overhead, not data volume)
+    from flink_table_store_spark.rest import RESTCatalog, RESTCatalogServer
+
+    rest_wh = os.path.join(BENCH_WH, "rest_wh")
+    rest_schema = orders.select("o_orderkey", "o_custkey", "o_totalprice").schema
+
+    @timed("rest_meta_ops")
+    def _rm():
+        with RESTCatalogServer(rest_wh, token="bench") as srv:
+            rcat = RESTCatalog(srv.uri, token="bench")
+            for i in range(40):
+                rcat.create_table(f"bench.rt{i:02d}", rest_schema)
+            assert len(rcat.api.list_tables("bench")) == 40
+            page, tok = rcat.api.list_tables_paged("bench", max_results=7)
+            while tok:
+                page, tok = rcat.api.list_tables_paged(
+                    "bench", max_results=7, page_token=tok
+                )
+            for i in range(40):
+                rcat.api.get_table("bench", f"rt{i:02d}")
+            for i in range(10):
+                rcat.alter_table(
+                    f"bench.rt{i:02d}",
+                    [{"action": "set_option", "key": "k", "value": str(i)}],
+                )
+
     @timed("gopher_filter", repeat=3)
     def _gf():
         # narrow JVM-only quality/repetition pass over the corpus
