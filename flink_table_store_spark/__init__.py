@@ -12,9 +12,18 @@ the reference file:line it mirrors.
 
 from flink_table_store_spark.catalog import Catalog
 from flink_table_store_spark.hive_catalog import HiveCatalog
+from flink_table_store_spark.rest import RESTCatalog, RESTCatalogServer
 from flink_table_store_spark.session import get_spark
 from flink_table_store_spark.sql import SqlSession
 from flink_table_store_spark.table import Table
 
-__all__ = ["Catalog", "HiveCatalog", "SqlSession", "Table", "get_spark"]
+__all__ = [
+    "Catalog",
+    "HiveCatalog",
+    "RESTCatalog",
+    "RESTCatalogServer",
+    "SqlSession",
+    "Table",
+    "get_spark",
+]
 __version__ = "0.1.0"

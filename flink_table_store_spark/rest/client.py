@@ -171,6 +171,16 @@ class RESTApi:
             "GET", f"{self.base}/databases/{self._enc(database)}/tables/{self._enc(table)}"
         )
 
+    def list_table_details(self, database: str, pattern: str | None = None) -> list[dict]:
+        """Full table metadata for a database in one paged call
+        (ResourcePaths TABLE_DETAILS)."""
+        q = {"tableNamePattern": pattern} if pattern else {}
+        return self._paged(
+            f"{self.base}/databases/{self._enc(database)}/table-details",
+            "tableDetails",
+            q,
+        )
+
     def alter_table(self, database: str, table: str, changes: list[dict[str, Any]]) -> None:
         self._request(
             "POST",

@@ -196,6 +196,15 @@ class _CatalogService:
         page = _page(names, q, "tableNamePattern")
         return {"tables": page["data"], "nextPageToken": page["nextPageToken"]}
 
+    def table_details(self, db: str, q: dict) -> dict:
+        """Paged FULL table metadata for a database (ResourcePaths
+        TABLE_DETAILS — one call instead of list+N gets)."""
+        page = self.list_tables(db, q)
+        return {
+            "tableDetails": [self.get_table(db, t) for t in page["tables"]],
+            "nextPageToken": page["nextPageToken"],
+        }
+
     def create_table(self, db: str, body: dict) -> dict:
         self._require_db(db)
         ident = body.get("identifier") or {}
@@ -366,6 +375,8 @@ class _CatalogService:
                     return self.list_tables(db, q)
                 if method == "POST":
                     return self.create_table(db, body)
+            if kind == "table-details" and method == "GET":
+                return self.table_details(db, q)
             if kind == "views":
                 if method == "GET":
                     return self.list_views(db, q)

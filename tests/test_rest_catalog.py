@@ -296,3 +296,13 @@ class TestReviewFixes:
         )
         assert t.schema.primary_keys == ["a"]
         assert "primary-key" not in t.schema.options
+
+    def test_table_details_paged(self, rest_catalog):
+        cat = rest_catalog
+        for i in range(5):
+            cat.create_table(f"db1.t{i}", KV, primary_keys=["k"])
+        details = cat.api.list_table_details("db1")
+        assert [d["name"] for d in details] == [f"db1.t{i}" for i in range(5)]
+        assert all(d["schema"]["primaryKeys"] == ["k"] for d in details)
+        only = cat.api.list_table_details("db1", pattern="t3")
+        assert [d["name"] for d in only] == ["db1.t3"]
