@@ -412,3 +412,25 @@ def embedding_near_dup_pairs(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+def embedding_dedup_cc(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    block_bits: int = 0,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Embedding-cosine near-dup removal with TRUE transitive clusters:
+    cosine pairs (sign-bit-blocked at scale) → connected components →
+    keep each component's min-id representative. Semantic duplicates
+    chain through paraphrases the same way text duplicates chain
+    through shared boilerplate, so the transitive rule applies here
+    too (see minhash_dedup_cc)."""
+    pairs = embedding_near_dup_pairs(emb, id_col, vec_col, threshold, block_bits)
+    comp = connected_components(pairs, "id_a", "id_b", max_iter)
+    losers = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return emb.join(losers, on=id_col, how="left_anti")

@@ -367,3 +367,27 @@ def test_minhash_dedup_cc_transitive_vs_one_hop(spark):
     cc = sorted(r.doc_id for r in minhash_dedup_cc(docs, shingle_k=1).collect())
     assert one_hop == [0, 1, 50], "star clustering keeps two chain survivors"
     assert cc == [0, 50], "transitive clustering keeps one per component"
+
+
+def test_embedding_dedup_cc(spark):
+    """Cosine chain v0~v1~v2 (adjacent above threshold, ends below):
+    transitive clustering keeps one representative + the outlier."""
+    import math
+
+    from flink_table_store_spark.datapipe.dedup import embedding_dedup_cc
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    # adjacent cos(0.25) ≈ 0.969 ≥ 0.95; ends cos(0.5) ≈ 0.878 < 0.95
+    emb = spark.createDataFrame(
+        [
+            (1, unit(0.0)),
+            (0, unit(0.25)),
+            (2, unit(0.5)),
+            (9, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    kept = sorted(r.vec_id for r in embedding_dedup_cc(emb, threshold=0.95).collect())
+    assert kept == [0, 9]
