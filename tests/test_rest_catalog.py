@@ -306,3 +306,35 @@ class TestReviewFixes:
         assert all(d["schema"]["primaryKeys"] == ["k"] for d in details)
         only = cat.api.list_table_details("db1", pattern="t3")
         assert [d["name"] for d in only] == ["db1.t3"]
+
+
+class TestMaintenanceThroughRest:
+    def test_compact_and_expire_commit_via_service(self, spark, rest_catalog):
+        """CALL sys.compact on a REST-loaded table: the COMPACT snapshot
+        must be committed THROUGH the service CAS endpoint (counted on
+        the client), and snapshot expiry + reads keep working."""
+        from flink_table_store_spark.sql import SqlSession
+
+        cat = rest_catalog
+        cat.create_table(
+            "db1.m", KV, primary_keys=["k"],
+            options={"bucket": "1", "snapshot.num-retained.min": "1"},
+        )
+        sess = SqlSession(spark, cat)
+        for i in range(4):
+            sess.sql(f"INSERT INTO db1.m VALUES ({i}, 'v{i}'), (9, 'w{i}')")
+        calls = []
+        orig = cat.api.commit_snapshot
+
+        def counting(*a, **kw):
+            calls.append(a)
+            return orig(*a, **kw)
+
+        cat.api.commit_snapshot = counting
+        sess.sql("CALL sys.compact(table => 'db1.m')")
+        assert len(calls) == 1, "compaction snapshot must commit via REST"
+        t = cat.get_table("db1.m")
+        assert t.snapshots.latest().commit_kind == "COMPACT"
+        sess.sql("CALL sys.expire_snapshots(table => 'db1.m', retain_last => 1)")
+        got = {r.k: r.v for r in sess.sql("SELECT k, v FROM db1.m").collect()}
+        assert got == {0: "v0", 1: "v1", 2: "v2", 3: "v3", 9: "w3"}
