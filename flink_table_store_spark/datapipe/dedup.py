@@ -222,40 +222,70 @@ def connected_components(
     and Beyond", cuts rounds to O(log n); dedup shapes don't need it.)
     Raises after ``max_iter`` non-converged rounds rather than
     returning partial components."""
+    def _pin(df: DataFrame, prev):
+        """Cut lineage between rounds: localCheckpoint when available,
+        else cache+materialize (the analyzed plan then resolves to the
+        InMemoryRelation — linear growth, not the exponential doubling
+        an unpinned labels-used-twice round would cause). Returns
+        (pinned df, handle to unpersist after the next round)."""
+        try:
+            out, handle = df.localCheckpoint(eager=True), None
+        except Exception:
+            out = df.persist()
+            out.count()
+            handle = out
+        if prev is not None:
+            prev.unpersist()
+        return out, handle
+
     e = pairs.select(F.col(col_a).alias("u"), F.col(col_b).alias("v"))
     edges = (
         e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
     )
-    try:
-        edges = edges.localCheckpoint(eager=True)
-    except Exception:
-        pass
+    edges, _edge_handle = _pin(edges, None)
     labels = edges.select(
         F.col("u").alias("node"), F.col("u").alias("component")
     ).distinct()
+    prev_handle = None
     for _ in range(max_iter):
         nmin = (
-            edges.join(labels, edges["v"] == labels["node"])
-            .groupBy(edges["u"].alias("n2"))
-            .agg(F.min("component").alias("nmin"))
+            edges.alias("e")
+            .join(labels.alias("l"), F.col("e.v") == F.col("l.node"))
+            .groupBy(F.col("e.u").alias("n2"))
+            .agg(F.min("l.component").alias("nmin"))
         )
-        new = labels.join(nmin, labels["node"] == nmin["n2"], "left").select(
-            "node",
-            F.least(
-                F.col("component"), F.coalesce("nmin", F.col("component"))
-            ).alias("component"),
-            (F.col("nmin") < F.col("component")).alias("__chg"),
+        new = (
+            labels.alias("l2")
+            .join(nmin.alias("m"), F.col("l2.node") == F.col("m.n2"), "left")
+            .select(
+                F.col("l2.node").alias("node"),
+                F.least(
+                    F.col("l2.component"),
+                    F.coalesce(F.col("m.nmin"), F.col("l2.component")),
+                ).alias("component"),
+                (F.col("m.nmin") < F.col("l2.component")).alias("__chg"),
+            )
         )
-        try:
-            new = new.localCheckpoint(eager=True)
-        except Exception:
-            pass
+        new, prev_handle = _pin(new, prev_handle)
         changed = new.where(F.col("__chg")).limit(1).count()
         labels = new.drop("__chg")
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def _keep_cluster_representatives(
+    df: DataFrame, pairs: DataFrame, id_col: str, max_iter: int
+) -> DataFrame:
+    """Shared tail of the *_dedup_cc operators: components over the
+    verified pair graph, drop every node that is not its component's
+    min-id representative."""
+    comp = connected_components(pairs, "id_a", "id_b", max_iter)
+    losers = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
 
 
 def minhash_dedup_cc(
@@ -278,11 +308,7 @@ def minhash_dedup_cc(
     survivor per duplicate CLUSTER) — keeps exactly one."""
     pairs = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
     verified = ngram_jaccard_pairs(df, pairs, text_col, id_col, shingle_k, jaccard_threshold)
-    comp = connected_components(verified, "id_a", "id_b", max_iter)
-    losers = comp.where(F.col("node") != F.col("component")).select(
-        F.col("node").alias(id_col)
-    )
-    return df.join(losers, on=id_col, how="left_anti")
+    return _keep_cluster_representatives(df, verified, id_col, max_iter)
 
 
 def simhash_signatures(
@@ -429,8 +455,4 @@ def embedding_dedup_cc(
     through shared boilerplate, so the transitive rule applies here
     too (see minhash_dedup_cc)."""
     pairs = embedding_near_dup_pairs(emb, id_col, vec_col, threshold, block_bits)
-    comp = connected_components(pairs, "id_a", "id_b", max_iter)
-    losers = comp.where(F.col("node") != F.col("component")).select(
-        F.col("node").alias(id_col)
-    )
-    return emb.join(losers, on=id_col, how="left_anti")
+    return _keep_cluster_representatives(emb, pairs, id_col, max_iter)

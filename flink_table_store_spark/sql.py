@@ -83,6 +83,24 @@ def _strip_qualifiers(
     return "".join(p if p[:1] in ("'", '"') else fix(p) for p in parts)
 
 
+def _mask_literals(s: str) -> tuple[str, list[str]]:
+    """Replace quoted string literals with ``\\x00<i>\\x00`` placeholders
+    (no spaces, no identifier characters) so clause-splitting regexes
+    and identifier rewrites cannot touch literal contents. Reverse with
+    ``_unmask_literals``."""
+    lits: list[str] = []
+
+    def stash(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    return _QUOTED.sub(stash, s), lits
+
+
+def _unmask_literals(s: str, lits: list[str]) -> str:
+    return re.sub("\x00(\\d+)\x00", lambda m: lits[int(m.group(1))], s)
+
+
 def sql_like_pattern(pattern: str, flags: int = 0) -> re.Pattern:
     """SQL LIKE pattern (``%`` = any run, ``_`` = any single char) →
     anchored regex. Shared by SHOW ... LIKE and the REST catalog's
@@ -800,11 +818,16 @@ class SqlSession:
         over the view (aggregate calls replace with their aliases,
         adding hidden aggregates when the SELECT lacks them)."""
         pm = re.match(r"(?is)^\s*SELECT\s+(?!DISTINCT\b)(.*?)\s*$", prefix)
+        # mask string literals BEFORE the clause split — a literal
+        # containing ' ORDER BY ...' (or an aggregate-call-shaped text)
+        # must not be split into the tail or rewritten by the HAVING
+        # substitutions; captured groups are unmasked after rewriting
+        masked, _lits = _mask_literals(suffix)
         sm = re.match(
             r"(?is)^\s*GROUP\s+BY\s+(.+?)"
             r"(?:\s+HAVING\s+(.+?))?"
             r"(\s+ORDER\s+BY\s+[^()]+?)?(\s+LIMIT\s+\d+)?\s*$",
-            suffix,
+            masked,
         )
         if not pm or not sm:
             return None
@@ -895,12 +918,15 @@ class SqlSession:
             return None  # plain grouped projection — not worth the push
         having = None
         if sm.group(2):
+            # rewrite over the MASKED text (literal contents cannot be
+            # mistaken for aggregate calls or identifiers), then unmask
             having = self._rewrite_having(
                 sm.group(2), agg_spec, agg_map, group_cols, resolve
             )
             if having is None:
                 return None  # unparseable HAVING: keep the shuffle plan
-        tail = (sm.group(3) or "") + (sm.group(4) or "")
+            having = _unmask_literals(having, _lits)
+        tail = _unmask_literals((sm.group(3) or "") + (sm.group(4) or ""), _lits)
         return group_cols, agg_map, sel_exprs, tail, having
 
     def _rewrite_having(self, hx, agg_spec, agg_map, group_cols, resolve):
@@ -922,7 +948,10 @@ class SqlSession:
             for a, s in agg_map.items():
                 if s == spec:
                     return a
-            alias = f"__h{len(agg_map)}"
+            n = len(agg_map)
+            while f"__h{n}" in agg_map:  # a user alias may be named __hN
+                n += 1
+            alias = f"__h{n}"
             agg_map[alias] = spec
             return alias
 

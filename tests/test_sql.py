@@ -995,3 +995,46 @@ def test_sql_auto_elision_having_pushdown(spark, warehouse, monkeypatch):
     got = s.sql(q)
     assert "hashpartitioning" in got._jdf.queryExecution().executedPlan().toString().lower()
     assert [r.k for r in got.collect()] == [1, 2, 3, 4]
+
+
+def test_sql_having_literal_and_hidden_alias_regressions(spark, warehouse, monkeypatch):
+    """Second-review regressions: (1) a HAVING string literal containing
+    ' ORDER BY ...' or an aggregate-call-shaped text must survive the
+    clause split and rewrites untouched; (2) a user SELECT alias named
+    __h1 must not be clobbered by a hidden HAVING aggregate."""
+    from flink_table_store_spark.sql import SqlSession
+
+    fact = spark.createDataFrame(
+        [(k % 3 + 1, k, float(k), f"t{k % 2}") for k in range(18)],
+        "fk bigint, oid bigint, amt double, nm string",
+    )
+    dim = spark.createDataFrame([(k, f"d{k}") for k in range(1, 4)], "dk bigint, dn string")
+    tf = warehouse.create_table(
+        "db.hreg_f", fact.schema, primary_keys=["fk", "oid"],
+        options={"bucket": "2", "bucket-key": "fk"},
+    )
+    tf.write(fact)
+    td = warehouse.create_table(
+        "db.hreg_d", dim.schema, primary_keys=["dk"], options={"bucket": "2"}
+    )
+    td.write(dim)
+    s = SqlSession(spark, warehouse)
+
+    qs = [
+        # literal containing ' ORDER BY 1' and a qualified-ref-shaped text
+        "SELECT f.fk AS k, min(f.nm) AS mn FROM db.hreg_f f JOIN db.hreg_d d "
+        "ON f.fk = d.dk GROUP BY f.fk "
+        "HAVING count(*) > 0 AND min(f.nm) <> 'f.nm ORDER BY 1' ORDER BY k",
+        # literal containing an aggregate-call-shaped text
+        "SELECT f.fk AS k, min(f.nm) AS mn FROM db.hreg_f f JOIN db.hreg_d d "
+        "ON f.fk = d.dk GROUP BY f.fk HAVING min(f.nm) <> 'count(x) LIMIT 1' ORDER BY k",
+        # user alias __h1 + a hidden aggregate that must not clobber it
+        "SELECT f.fk AS k, sum(f.amt) AS __h1 FROM db.hreg_f f JOIN db.hreg_d d "
+        "ON f.fk = d.dk GROUP BY f.fk HAVING count(*) > 2 ORDER BY k",
+    ]
+    for q in qs:
+        got = s.sql(q)
+        with monkeypatch.context() as mp:
+            mp.setattr(SqlSession, "_auto_bucketed_join", lambda self, qq: None)
+            exp = sorted(map(tuple, SqlSession(spark, warehouse).sql(q).collect()))
+        assert sorted(map(tuple, got.collect())) == exp, q
