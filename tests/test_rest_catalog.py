@@ -338,3 +338,20 @@ class TestMaintenanceThroughRest:
         sess.sql("CALL sys.expire_snapshots(table => 'db1.m', retain_last => 1)")
         got = {r.k: r.v for r in sess.sql("SELECT k, v FROM db1.m").collect()}
         assert got == {0: "v0", 1: "v1", 2: "v2", 3: "v3", 9: "w3"}
+
+    def test_streaming_source_over_rest_table(self, spark, rest_catalog):
+        """SnapshotStream over a REST-loaded table: full snapshot then
+        per-commit deltas, with every upstream write committed through
+        the service CAS."""
+        from flink_table_store_spark.streaming.source import SnapshotStream
+
+        cat = rest_catalog
+        t = cat.create_table("db1.s", KV, primary_keys=["k"], options={"bucket": "1"})
+        t.write(spark.createDataFrame([(1, "a"), (2, "b")], KV))
+        s = SnapshotStream(t, startup_mode="latest-full")
+        first = s.poll(spark)
+        assert len(first) == 1 and first[0][1].count() == 2
+        t.write(spark.createDataFrame([(2, "b2"), (3, "c")], KV))
+        nxt = s.poll(spark)
+        assert {r.k: r.v for r in nxt[0][1].collect()} == {2: "b2", 3: "c"}
+        assert cat.api.load_snapshot("db1", "s").id == 2

@@ -1038,3 +1038,22 @@ def test_sql_having_literal_and_hidden_alias_regressions(spark, warehouse, monke
             mp.setattr(SqlSession, "_auto_bucketed_join", lambda self, qq: None)
             exp = sorted(map(tuple, SqlSession(spark, warehouse).sql(q).collect()))
         assert sorted(map(tuple, got.collect())) == exp, q
+
+
+def test_sql_rewrite_subquery_cte_union(spark, warehouse, sql):
+    """Engine table references inside derived tables, CTEs and UNION
+    branches all resolve through the rewrite layer (the inner FROM/JOIN
+    tokens are what get rewritten; outer SQL runs verbatim)."""
+    _seed(spark, warehouse, "db.sq", pk=["k"])
+    got = sql.sql(
+        "SELECT * FROM (SELECT k, v FROM db.sq WHERE k > 1) x ORDER BY k"
+    ).collect()
+    assert [(r.k, r.v) for r in got] == [(2, "b"), (3, "c")]
+    n = sql.sql(
+        "WITH big AS (SELECT k FROM db.sq WHERE k >= 2) SELECT count(*) AS n FROM big"
+    ).collect()[0].n
+    assert n == 2
+    ks = [r.k for r in sql.sql(
+        "SELECT k FROM db.sq UNION SELECT k + 10 AS k FROM db.sq ORDER BY k"
+    ).collect()]
+    assert ks == [1, 2, 3, 11, 12, 13]
