@@ -271,7 +271,20 @@ def connected_components(
         changed = new.where(F.col("__chg")).limit(1).count()
         labels = new.drop("__chg")
         if changed == 0:
+            # the edges pin is only needed while iterating — release it
+            # so repeated calls in a long session don't accumulate cached
+            # blocks. The FINAL labels round stays pinned: it backs the
+            # returned DataFrame (unpersisting it would force the whole
+            # unpinned round chain to recompute on the caller's first
+            # action); callers own that storage and may unpersist when
+            # done with the result.
+            if _edge_handle is not None:
+                _edge_handle.unpersist()
             return labels
+    if _edge_handle is not None:
+        _edge_handle.unpersist()
+    if prev_handle is not None:
+        prev_handle.unpersist()
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 

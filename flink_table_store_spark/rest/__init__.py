@@ -9,7 +9,7 @@ client with the same duck-typed surface as ``Catalog``, so
 ``SqlSession`` and the table API run unchanged over it).
 """
 
-from flink_table_store_spark.rest.client import RESTApi, RESTCatalog, RESTError
+from flink_table_store_spark.rest.client import RESTApi, RESTCatalog, RESTError, RESTTable
 from flink_table_store_spark.rest.server import RESTCatalogServer
 
-__all__ = ["RESTApi", "RESTCatalog", "RESTCatalogServer", "RESTError"]
+__all__ = ["RESTApi", "RESTCatalog", "RESTCatalogServer", "RESTError", "RESTTable"]

@@ -134,8 +134,14 @@ class RESTApi:
             body={"removals": removals or [], "updates": updates or {}},
         )
 
-    def drop_database(self, name: str) -> None:
-        self._request("DELETE", f"{self.base}/databases/{self._enc(name)}")
+    def drop_database(self, name: str, cascade: bool = False) -> None:
+        # cascade is decided SERVER-side in one arbiter operation; a
+        # client-side emptiness probe would be a check-then-act race
+        self._request(
+            "DELETE",
+            f"{self.base}/databases/{self._enc(name)}",
+            query={"cascade": "true"} if cascade else None,
+        )
 
     # --- tables ---
 
@@ -235,6 +241,94 @@ class RESTApi:
         )
         return bool(resp.get("success"))
 
+    # --- version management (RESTCatalog.java:327/:378/:565/:595 +
+    #     tag/branch routes) ---
+
+    def _tbl_base(self, database: str, table: str) -> str:
+        return f"{self.base}/databases/{self._enc(database)}/tables/{self._enc(table)}"
+
+    def list_snapshots_paged(
+        self,
+        database: str,
+        table: str,
+        max_results: int | None = None,
+        page_token: str | None = None,
+    ) -> tuple[list[Snapshot], str | None]:
+        q: dict[str, str] = {}
+        if max_results:
+            q["maxResults"] = str(max_results)
+        if page_token:
+            q["pageToken"] = page_token
+        resp = self._request("GET", f"{self._tbl_base(database, table)}/snapshots", query=q)
+        snaps = [Snapshot.from_dict(s) for s in resp.get("snapshots") or []]
+        return snaps, resp.get("nextPageToken")
+
+    def list_snapshots(self, database: str, table: str) -> list[Snapshot]:
+        out: list[Snapshot] = []
+        token: str | None = None
+        while True:
+            page, token = self.list_snapshots_paged(database, table, page_token=token)
+            out.extend(page)
+            if not token:
+                return out
+
+    def rollback_to(
+        self,
+        database: str,
+        table: str,
+        snapshot_id: int | None = None,
+        tag_name: str | None = None,
+    ) -> None:
+        body: dict[str, Any] = {}
+        if snapshot_id is not None:
+            body["snapshotId"] = snapshot_id
+        if tag_name is not None:
+            body["tagName"] = tag_name
+        self._request("POST", f"{self._tbl_base(database, table)}/rollback", body=body)
+
+    def list_partitions(self, database: str, table: str) -> list[dict]:
+        return self._paged(f"{self._tbl_base(database, table)}/partitions", "partitions", {})
+
+    def register_table(self, database: str, table: str, path: str) -> str:
+        resp = self._request(
+            "POST",
+            f"{self.base}/tables/register",
+            body={"identifier": {"database": database, "object": table}, "path": path},
+        )
+        return resp["path"]
+
+    def list_tags(self, database: str, table: str) -> list[dict]:
+        return self._paged(f"{self._tbl_base(database, table)}/tags", "tags", {})
+
+    def create_tag(
+        self, database: str, table: str, tag: str, snapshot_id: int | None = None
+    ) -> None:
+        body: dict[str, Any] = {"tagName": tag}
+        if snapshot_id is not None:
+            body["snapshotId"] = snapshot_id
+        self._request("POST", f"{self._tbl_base(database, table)}/tags", body=body)
+
+    def delete_tag(self, database: str, table: str, tag: str) -> None:
+        self._request(
+            "DELETE", f"{self._tbl_base(database, table)}/tags/{self._enc(tag)}"
+        )
+
+    def list_branches(self, database: str, table: str) -> list[dict]:
+        return self._paged(f"{self._tbl_base(database, table)}/branches", "branches", {})
+
+    def create_branch(
+        self, database: str, table: str, branch: str, snapshot_id: int | None = None
+    ) -> None:
+        body: dict[str, Any] = {"branchName": branch}
+        if snapshot_id is not None:
+            body["snapshotId"] = snapshot_id
+        self._request("POST", f"{self._tbl_base(database, table)}/branches", body=body)
+
+    def delete_branch(self, database: str, table: str, branch: str) -> None:
+        self._request(
+            "DELETE", f"{self._tbl_base(database, table)}/branches/{self._enc(branch)}"
+        )
+
     # --- views ---
 
     def list_views(self, database: str) -> list[str]:
@@ -289,6 +383,39 @@ class _RESTSnapshots(SnapshotManager):
         return self._api.commit_snapshot(self._db, self._tbl, self._uuid, snapshot.to_dict())
 
 
+class RESTTable(Table):
+    """A ``Table`` whose version-management operations route through the
+    catalog service, so a client needs ONLY the HTTP endpoint to
+    enumerate history, tag, branch, and roll back — the deployment mode
+    the REST catalog exists for (RESTCatalog.java:327-378 + tag/branch
+    routes). Scans and writes stay direct against shared storage."""
+
+    def _bind_rest(self, api: RESTApi, db: str, tbl: str) -> None:
+        self._api, self._db, self._tbl = api, db, tbl
+
+    def rollback_to(self, snapshot_id: int) -> None:
+        self._api.rollback_to(self._db, self._tbl, snapshot_id=snapshot_id)
+
+    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+        self._api.create_tag(self._db, self._tbl, name, snapshot_id)
+
+    def delete_tag(self, name: str) -> None:
+        self._api.delete_tag(self._db, self._tbl, name)
+
+    def create_branch(self, name: str, snapshot_id: int | None = None) -> "Table":
+        self._api.create_branch(self._db, self._tbl, name, snapshot_id)
+        return self.use_branch(name)
+
+    def delete_branch(self, name: str) -> None:
+        self._api.delete_branch(self._db, self._tbl, name)
+
+    def list_snapshots(self) -> list[Snapshot]:
+        return self._api.list_snapshots(self._db, self._tbl)
+
+    def list_partitions(self) -> list[dict]:
+        return self._api.list_partitions(self._db, self._tbl)
+
+
 class RESTCatalog(Catalog):
     """A ``Catalog`` whose metadata operations speak the REST protocol.
 
@@ -318,13 +445,15 @@ class RESTCatalog(Catalog):
         self, database: str, ignore_if_not_exists: bool = True, cascade: bool = False
     ) -> None:
         try:
-            if not cascade and (self.api.list_tables(database) or self.api.list_views(database)):
-                raise RuntimeError(f"database {database} is not empty (use cascade)")
-            self.api.drop_database(database)
+            self.api.drop_database(database, cascade=cascade)
         except RESTError as e:
             if e.code == 404 and ignore_if_not_exists:
                 return
-            raise RuntimeError(f"database {database} does not exist") if e.code == 404 else e
+            if e.code == 404:
+                raise RuntimeError(f"database {database} does not exist") from None
+            if e.code == 409:
+                raise RuntimeError(e.message) from None
+            raise
 
     # --- tables ---
 
@@ -377,13 +506,22 @@ class RESTCatalog(Catalog):
             if e.code == 404:
                 raise RuntimeError(f"table {identifier} not found") from None
             raise
-        t = Table(info["path"], base, branch=branch or None)
+        t = RESTTable(info["path"], base, branch=branch or None)
+        t._bind_rest(self.api, db, name)
         snaps = _RESTSnapshots(
             info["path"], self.api, db, name, info.get("id"), branch=branch or None
         )
         t.snapshots = snaps
         t.committer.snapshots = snaps
         return t
+
+    def register_table(self, identifier: str, path: str) -> Table:
+        """Adopt an existing table directory under ``identifier``
+        (RESTCatalog.java:565 registerTable)."""
+        db, name = self._split(identifier)
+        self.create_database(db)
+        self.api.register_table(db, name, path)
+        return self.get_table(identifier)
 
     def drop_table(self, identifier: str, ignore_if_not_exists: bool = True) -> None:
         db, name = self._split(identifier)

@@ -21,6 +21,22 @@ paimon-core rest/RESTCatalog.java + RESTCatalogFactory.java):
   CommitTableRequest/Response contract of rest_api.py:315-352)
 - view endpoints under ``.../databases/{db}/views[/{v}]``
 
+Version-management routes (the Java RESTCatalog surface the protocol
+exposes beyond pypaimon's operation set — paimon-core
+rest/RESTCatalog.java:327 ``listSnapshotsPaged``, :378 ``rollbackTo``,
+:565 ``registerTable``, :595 ``listPartitions``, plus tag/branch
+management further down the same file):
+
+- ``GET  .../tables/{t}/snapshots``      (paged)        → snapshot history
+- ``POST .../tables/{t}/rollback``                      → {"snapshotId": N} or {"tagName": ...}
+- ``GET  .../tables/{t}/partitions``     (paged)        → partition specs + stats
+- ``GET|POST .../tables/{t}/tags``                      → list / create tag
+- ``DELETE   .../tables/{t}/tags/{tag}``                → delete tag
+- ``GET|POST .../tables/{t}/branches``                  → list / create branch
+- ``DELETE   .../tables/{t}/branches/{b}``              → delete branch
+- ``POST /v1/<p>/tables/register``                      → register an existing
+  table directory (symlinked into the warehouse when external)
+
 Pagination: ``maxResults`` + opaque ``pageToken`` (the last name of
 the previous page) + SQL-style ``databaseNamePattern`` /
 ``tableNamePattern`` (``%`` / ``_`` wildcards). Auth: optional bearer
@@ -123,17 +139,34 @@ class _CatalogService:
         p = os.path.join(path, "table-uuid")
         if not os.path.exists(p):
             with self._lock:
-                if not os.path.exists(p):
-                    write_json(p, {"uuid": uuid.uuid4().hex})
+                return self._table_uuid_locked(path)
+        return read_json(p)["uuid"]
+
+    def _table_uuid_locked(self, path: str) -> str:
+        """The uuid read/create under an already-held ``self._lock``
+        (threading.Lock is not reentrant)."""
+        p = os.path.join(path, "table-uuid")
+        if not os.path.exists(p):
+            write_json(p, {"uuid": uuid.uuid4().hex})
         return read_json(p)["uuid"]
 
     # --- config ---
 
     def config(self, q: dict) -> dict:
-        warehouse = q.get("warehouse", "")
+        # The served warehouse is authoritative: echoing a client-supplied
+        # path back would silently split-brain the client's inherited
+        # filesystem surfaces against the server's real state.
+        requested = q.get("warehouse", "")
+        if requested and os.path.abspath(requested) != os.path.abspath(self.catalog.warehouse):
+            raise _HttpError(
+                400,
+                f"this service serves warehouse {self.catalog.warehouse}, not {requested}",
+                "WAREHOUSE",
+                requested,
+            )
         return {
             "defaults": {
-                "warehouse": self.catalog.warehouse if not warehouse else warehouse,
+                "warehouse": self.catalog.warehouse,
                 "prefix": self.prefix,
             }
         }
@@ -148,12 +181,15 @@ class _CatalogService:
         name = (body.get("name") or "").strip()
         if not name:
             raise _HttpError(400, "database name cannot be empty")
-        if os.path.isdir(self.catalog._db_path(name)):
-            raise _HttpError(409, f"database {name} already exists", "DATABASE", name)
-        self.catalog.create_database(name)
-        props = body.get("properties") or body.get("options") or {}
-        if props:
-            write_json(self._db_meta_path(name), {"options": props})
+        # check-then-act must be serialized: the service is the arbiter,
+        # so two concurrent creates of the same name get exactly one 200
+        with self._lock:
+            if os.path.isdir(self.catalog._db_path(name)):
+                raise _HttpError(409, f"database {name} already exists", "DATABASE", name)
+            self.catalog.create_database(name)
+            props = body.get("properties") or body.get("options") or {}
+            if props:
+                write_json(self._db_meta_path(name), {"options": props})
         return {}
 
     def get_database(self, db: str) -> dict:
@@ -179,9 +215,19 @@ class _CatalogService:
         write_json(self._db_meta_path(db), {"options": opts})
         return {}
 
-    def drop_database(self, db: str) -> dict:
-        self._require_db(db)
-        self.catalog.drop_database(db, ignore_if_not_exists=False, cascade=True)
+    def drop_database(self, db: str, q: dict | None = None) -> dict:
+        """Non-cascade drops refuse non-empty databases SERVER-side, so
+        the emptiness check and the drop are one arbiter operation (a
+        client-side check-then-act would destroy a table created between
+        its check and its DELETE)."""
+        cascade = (q or {}).get("cascade", "false").lower() == "true"
+        with self._lock:
+            self._require_db(db)
+            if not cascade and (self.catalog.list_tables(db) or self.catalog.list_views(db)):
+                raise _HttpError(
+                    409, f"database {db} is not empty (pass cascade=true)", "DATABASE", db
+                )
+            self.catalog.drop_database(db, ignore_if_not_exists=False, cascade=True)
         return {}
 
     # --- tables ---
@@ -216,12 +262,13 @@ class _CatalogService:
             raise _HttpError(400, "schema cannot be empty")
         full = f"{db}.{name}"
         path = self.catalog.table_path(full)
-        if os.path.isdir(os.path.join(path, "schema")):
-            raise _HttpError(409, f"table {full} already exists", "TABLE", full)
-        sd = dict(sd)
-        sd["id"] = 0
-        self.catalog.create_table(full, TableSchema.from_dict(sd))
-        self._table_uuid(path)
+        with self._lock:
+            if os.path.isdir(os.path.join(path, "schema")):
+                raise _HttpError(409, f"table {full} already exists", "TABLE", full)
+            sd = dict(sd)
+            sd["id"] = 0
+            self.catalog.create_table(full, TableSchema.from_dict(sd))
+            self._table_uuid_locked(path)
         return {}
 
     def get_table(self, db: str, tbl: str) -> dict:
@@ -251,21 +298,49 @@ class _CatalogService:
         return {}
 
     def drop_table(self, db: str, tbl: str) -> dict:
-        self._table_path(db, tbl)
-        self.catalog.drop_table(f"{db}.{tbl}", ignore_if_not_exists=False)
+        with self._lock:
+            self._table_path(db, tbl)
+            self.catalog.drop_table(f"{db}.{tbl}", ignore_if_not_exists=False)
         return {}
 
     def rename_table(self, body: dict) -> dict:
         src, dst = body.get("source") or {}, body.get("destination") or {}
         s = f"{src.get('database')}.{src.get('object') or src.get('table')}"
         d = f"{dst.get('database')}.{dst.get('object') or dst.get('table')}"
-        self._table_path(*s.split(".", 1))
-        self._require_db(d.split(".", 1)[0])  # no phantom destination dbs
-        dpath = self.catalog.table_path(d)
-        if os.path.isdir(dpath):
-            raise _HttpError(409, f"table {d} already exists", "TABLE", d)
-        self.catalog.rename_table(s, d)
+        with self._lock:
+            self._table_path(*s.split(".", 1))
+            self._require_db(d.split(".", 1)[0])  # no phantom destination dbs
+            dpath = self.catalog.table_path(d)
+            if os.path.isdir(dpath):
+                raise _HttpError(409, f"table {d} already exists", "TABLE", d)
+            self.catalog.rename_table(s, d)
         return {}
+
+    def register_table(self, body: dict) -> dict:
+        """RESTCatalog.java:565 ``registerTable``: adopt an EXISTING table
+        directory under a catalog identifier without rewriting data. A
+        path already at the identifier's canonical location registers
+        as-is; an external path is symlinked into the warehouse (metadata
+        and data stay where they are — O(1), no copy)."""
+        ident = body.get("identifier") or {}
+        db = (ident.get("database") or "").strip()
+        name = (ident.get("object") or ident.get("table") or "").strip()
+        src = (body.get("path") or "").strip()
+        if not db or not name or not src:
+            raise _HttpError(400, "identifier and path cannot be empty")
+        if not os.path.isdir(os.path.join(src, "schema")):
+            raise _HttpError(404, f"no table at {src}", "TABLE", src)
+        full = f"{db}.{name}"
+        with self._lock:
+            self._require_db(db)
+            canonical = self.catalog.table_path(full)
+            if os.path.isdir(canonical) or os.path.islink(canonical):
+                if os.path.realpath(canonical) == os.path.realpath(src):
+                    return {"path": canonical}  # idempotent re-register
+                raise _HttpError(409, f"table {full} already exists", "TABLE", full)
+            os.symlink(os.path.abspath(src), canonical)
+            self._table_uuid_locked(canonical)
+        return {"path": canonical}
 
     def table_token(self, db: str, tbl: str) -> dict:
         """Data-access token (GetTableTokenResponse shape). The sandbox
@@ -302,6 +377,147 @@ class _CatalogService:
         ok = SnapshotManager(path).try_commit(Snapshot.from_dict(sd))
         return {"success": bool(ok)}
 
+    # --- version management (RESTCatalog.java:327 listSnapshotsPaged,
+    #     :378 rollbackTo, :595 listPartitions, tag/branch routes) ---
+
+    def _table(self, db: str, tbl: str):
+        from flink_table_store_spark.table import Table
+
+        return Table(self._table_path(db, tbl), name=f"{db}.{tbl}")
+
+    def list_snapshots(self, db: str, tbl: str, q: dict) -> dict:
+        """Paged snapshot history, oldest→newest; pageToken = last
+        snapshot id of the previous page."""
+        sm = SnapshotManager(self._table_path(db, tbl))
+        ids = sm.snapshot_ids()
+        token = q.get("pageToken")
+        if token:
+            ids = [i for i in ids if i > int(token)]
+        max_results = int(q.get("maxResults", 0) or 0)
+        page_size = max_results if max_results > 0 else DEFAULT_PAGE_SIZE
+        page, rest = ids[:page_size], ids[page_size:]
+        return {
+            "snapshots": [sm.load(i).to_dict() for i in page],
+            "nextPageToken": str(page[-1]) if page and rest else None,
+        }
+
+    def rollback_table(self, db: str, tbl: str, body: dict) -> dict:
+        """Roll back to a snapshot id or a tag name. Serialized under the
+        service lock — the arbiter must not interleave two rollbacks (or
+        a rollback with a rename) over the same history."""
+        with self._lock:
+            t = self._table(db, tbl)
+            sid = body.get("snapshotId")
+            tag = body.get("tagName")
+            if sid is None and tag:
+                tags = t.snapshots.tags()
+                if tag not in tags:
+                    raise _HttpError(404, f"no tag {tag}", "TAG", tag)
+                sid = tags[tag].id
+            if sid is None:
+                raise _HttpError(400, "rollback needs snapshotId or tagName")
+            if not t.snapshots.exists(int(sid)):
+                raise _HttpError(404, f"no snapshot {sid}", "SNAPSHOT", str(sid))
+            t.rollback_to(int(sid))
+        return {}
+
+    def list_partitions(self, db: str, tbl: str, q: dict) -> dict:
+        """Paged partition specs + stats from the live manifest entries
+        (PartitionsTable projection: spec, recordCount, fileCount,
+        fileSizeInBytes, lastUpdateTimeMillis)."""
+        t = self._table(db, tbl)
+        snap = t.snapshots.latest()
+        stats: dict[str, dict] = {}
+        if snap is not None:
+            for e in t.manifests.read_live_entries(
+                snap.base_manifest_list, snap.delta_manifest_list
+            ):
+                key = json.dumps(e.partition, sort_keys=True)
+                s = stats.setdefault(
+                    key,
+                    {
+                        "spec": e.partition,
+                        "recordCount": 0,
+                        "fileCount": 0,
+                        "fileSizeInBytes": 0,
+                        "lastUpdateTimeMillis": 0,
+                    },
+                )
+                s["recordCount"] += e.row_count
+                s["fileCount"] += 1
+                s["fileSizeInBytes"] += e.file_size
+                s["lastUpdateTimeMillis"] = max(s["lastUpdateTimeMillis"], e.creation_time)
+        page = _page(list(stats), q, "partitionNamePattern")
+        return {
+            "partitions": [stats[k] for k in page["data"]],
+            "nextPageToken": page["nextPageToken"],
+        }
+
+    def list_tags(self, db: str, tbl: str, q: dict) -> dict:
+        sm = SnapshotManager(self._table_path(db, tbl))
+        tags = sm.tags()
+        page = _page(list(tags), q, "tagNamePattern")
+        return {
+            "tags": [{"name": n, "snapshotId": tags[n].id} for n in page["data"]],
+            "nextPageToken": page["nextPageToken"],
+        }
+
+    def create_tag(self, db: str, tbl: str, body: dict) -> dict:
+        name = (body.get("tagName") or body.get("name") or "").strip()
+        if not name:
+            raise _HttpError(400, "tag name cannot be empty")
+        with self._lock:
+            sm = SnapshotManager(self._table_path(db, tbl))
+            if name in sm.tags():
+                raise _HttpError(409, f"tag {name} already exists", "TAG", name)
+            try:
+                sm.create_tag(name, body.get("snapshotId"))
+            except Exception as e:
+                raise _HttpError(400, str(e), "TAG", name) from None
+        return {}
+
+    def delete_tag(self, db: str, tbl: str, tag: str) -> dict:
+        with self._lock:
+            sm = SnapshotManager(self._table_path(db, tbl))
+            if tag not in sm.tags():
+                raise _HttpError(404, f"no tag {tag}", "TAG", tag)
+            sm.delete_tag(tag)
+        return {}
+
+    def list_branches(self, db: str, tbl: str, q: dict) -> dict:
+        t = self._table(db, tbl)
+        branches = t.branches()
+        page = _page(list(branches), q, "branchNamePattern")
+        return {
+            "branches": [
+                {"name": n, "fromSnapshot": branches[n].get("fromSnapshot")}
+                for n in page["data"]
+            ],
+            "nextPageToken": page["nextPageToken"],
+        }
+
+    def create_branch(self, db: str, tbl: str, body: dict) -> dict:
+        name = (body.get("branchName") or body.get("name") or "").strip()
+        if not name:
+            raise _HttpError(400, "branch name cannot be empty")
+        with self._lock:
+            t = self._table(db, tbl)
+            if name in t.branches():
+                raise _HttpError(409, f"branch {name} already exists", "BRANCH", name)
+            try:
+                t.create_branch(name, body.get("snapshotId"))
+            except Exception as e:
+                raise _HttpError(400, str(e), "BRANCH", name) from None
+        return {}
+
+    def delete_branch(self, db: str, tbl: str, branch: str) -> dict:
+        with self._lock:
+            t = self._table(db, tbl)
+            if branch not in t.branches():
+                raise _HttpError(404, f"no branch {branch}", "BRANCH", branch)
+            t.delete_branch(branch)
+        return {}
+
     # --- views ---
 
     def list_views(self, db: str, q: dict) -> dict:
@@ -315,15 +531,20 @@ class _CatalogService:
         if not name:
             raise _HttpError(400, "view name cannot be empty")
         full = f"{db}.{name}"
-        if self.catalog.is_view(full):
-            raise _HttpError(409, f"view {full} already exists", "VIEW", full)
         dialects = body.get("dialects") or {}
         if not dialects:
             raise _HttpError(400, "view dialects cannot be empty")
-        for dialect, sql in dialects.items():
-            self.catalog.create_view(
-                full, sql, dialect=dialect, comment=body.get("comment", ""), ignore_if_exists=True
-            )
+        with self._lock:
+            if self.catalog.is_view(full):
+                raise _HttpError(409, f"view {full} already exists", "VIEW", full)
+            for dialect, sql in dialects.items():
+                self.catalog.create_view(
+                    full,
+                    sql,
+                    dialect=dialect,
+                    comment=body.get("comment", ""),
+                    ignore_if_exists=True,
+                )
         return {}
 
     def get_view(self, db: str, view: str) -> dict:
@@ -334,9 +555,10 @@ class _CatalogService:
 
     def drop_view(self, db: str, view: str) -> dict:
         full = f"{db}.{view}"
-        if not self.catalog.is_view(full):
-            raise _HttpError(404, f"view {full} does not exist", "VIEW", full)
-        self.catalog.drop_view(full)
+        with self._lock:
+            if not self.catalog.is_view(full):
+                raise _HttpError(404, f"view {full} does not exist", "VIEW", full)
+            self.catalog.drop_view(full)
         return {}
 
     # --- routing ---
@@ -360,6 +582,8 @@ class _CatalogService:
                 return self.create_database(body)
         if parts == ["tables", "rename"] and method == "POST":
             return self.rename_table(body)
+        if parts == ["tables", "register"] and method == "POST":
+            return self.register_table(body)
         if len(parts) == 2 and parts[0] == "databases":
             db = parts[1]
             if method == "GET":
@@ -367,7 +591,7 @@ class _CatalogService:
             if method == "POST":
                 return self.alter_database(db, body)
             if method == "DELETE":
-                return self.drop_database(db)
+                return self.drop_database(db, q)
         if len(parts) == 3 and parts[0] == "databases":
             db, kind = parts[1], parts[2]
             if kind == "tables":
@@ -404,6 +628,28 @@ class _CatalogService:
                 return self.latest_snapshot(db, tbl)
             if action == "commit" and method == "POST":
                 return self.commit_snapshot(db, tbl, body)
+            if action == "snapshots" and method == "GET":
+                return self.list_snapshots(db, tbl, q)
+            if action == "rollback" and method == "POST":
+                return self.rollback_table(db, tbl, body)
+            if action == "partitions" and method == "GET":
+                return self.list_partitions(db, tbl, q)
+            if action == "tags":
+                if method == "GET":
+                    return self.list_tags(db, tbl, q)
+                if method == "POST":
+                    return self.create_tag(db, tbl, body)
+            if action == "branches":
+                if method == "GET":
+                    return self.list_branches(db, tbl, q)
+                if method == "POST":
+                    return self.create_branch(db, tbl, body)
+        if len(parts) == 6 and parts[0] == "databases" and parts[2] == "tables":
+            db, tbl, action, name = parts[1], parts[3], parts[4], parts[5]
+            if action == "tags" and method == "DELETE":
+                return self.delete_tag(db, tbl, name)
+            if action == "branches" and method == "DELETE":
+                return self.delete_branch(db, tbl, name)
         raise _HttpError(404, f"unknown route {method} {path}")
 
 

@@ -355,3 +355,212 @@ class TestMaintenanceThroughRest:
         nxt = s.poll(spark)
         assert {r.k: r.v for r in nxt[0][1].collect()} == {2: "b2", 3: "c"}
         assert cat.api.load_snapshot("db1", "s").id == 2
+
+
+class TestVersionManagement:
+    """RESTCatalog.java:327 listSnapshotsPaged, :378 rollbackTo,
+    :565 registerTable, :595 listPartitions, + tag/branch routes —
+    a second client manages table history purely through the service."""
+
+    def test_two_client_history_and_rollback(self, spark, rest_catalog, server):
+        cat_a = rest_catalog
+        cat_b = RESTCatalog(server.uri)
+        ta = cat_a.create_table(
+            "db1.h", _schema(("k", T.LongType()), ("v", T.StringType()), ("pt", T.StringType())),
+            partition_keys=["pt"], primary_keys=["k", "pt"], options={"bucket": "1"},
+        )
+        sch = ta.schema.spark_schema()
+        ta.write(spark.createDataFrame([(1, "a", "p0"), (2, "b", "p1")], sch))
+        ta.write(spark.createDataFrame([(3, "c", "p1")], sch))
+        ta.create_tag("rel-1", snapshot_id=1)  # routed through the service
+        # client B enumerates history over HTTP
+        snaps = cat_b.api.list_snapshots("db1", "h")
+        assert [s.id for s in snaps] == [1, 2]
+        page, tok = cat_b.api.list_snapshots_paged("db1", "h", max_results=1)
+        assert [s.id for s in page] == [1] and tok == "1"
+        page2, tok2 = cat_b.api.list_snapshots_paged("db1", "h", max_results=1, page_token=tok)
+        assert [s.id for s in page2] == [2] and tok2 is None
+        parts = cat_b.api.list_partitions("db1", "h")
+        assert {p["spec"]["pt"]: p["recordCount"] for p in parts} == {"p0": 1, "p1": 2}
+        assert all(p["fileCount"] >= 1 and p["fileSizeInBytes"] > 0 for p in parts)
+        assert [t["name"] for t in cat_b.api.list_tags("db1", "h")] == ["rel-1"]
+        # client B rolls back to the tag purely over HTTP
+        tb = cat_b.get_table("db1.h")
+        cat_b.api.rollback_to("db1", "h", tag_name="rel-1")
+        assert cat_a.get_table("db1.h").snapshots.latest_id() == 1
+        got = {r["k"]: r["v"] for r in tb.to_df(spark).collect()}
+        assert got == {1: "a", 2: "b"}
+
+    def test_rollback_validation(self, spark, rest_catalog):
+        t = rest_catalog.create_table("db1.r", KV, primary_keys=["k"])
+        t.write(spark.createDataFrame([(1, "a")], KV))
+        with pytest.raises(RESTError) as ei:
+            rest_catalog.api.rollback_to("db1", "r", snapshot_id=99)
+        assert ei.value.code == 404
+        with pytest.raises(RESTError) as ei:
+            rest_catalog.api.rollback_to("db1", "r", tag_name="nope")
+        assert ei.value.code == 404
+        with pytest.raises(RESTError) as ei:
+            rest_catalog.api.rollback_to("db1", "r")
+        assert ei.value.code == 400
+
+    def test_tag_and_branch_routes(self, spark, rest_catalog):
+        cat = rest_catalog
+        t = cat.create_table("db1.b", KV, primary_keys=["k"], options={"bucket": "1"})
+        t.write(spark.createDataFrame([(1, "a")], KV))
+        t.write(spark.createDataFrame([(2, "b")], KV))
+        t.create_tag("t1", snapshot_id=1)
+        with pytest.raises(RESTError) as ei:
+            cat.api.create_tag("db1", "b", "t1")
+        assert ei.value.code == 409
+        with pytest.raises(RESTError) as ei:
+            cat.api.create_tag("db1", "b", "t2", snapshot_id=42)  # no such snapshot
+        assert ei.value.code == 400
+        # branches through the service
+        br = t.create_branch("dev", snapshot_id=1)
+        assert [b["name"] for b in cat.api.list_branches("db1", "b")] == ["dev"]
+        assert cat.api.list_branches("db1", "b")[0]["fromSnapshot"] == 1
+        br.write(spark.createDataFrame([(9, "z")], KV))
+        # branch commits are branch-local; main is untouched
+        assert cat.get_table("db1.b").snapshots.latest_id() == 2
+        got = {r["k"]: r["v"] for r in cat.get_table("db1.b@dev").to_df(spark).collect()}
+        assert got == {1: "a", 9: "z"}
+        with pytest.raises(RESTError) as ei:
+            cat.api.create_branch("db1", "b", "dev")
+        assert ei.value.code == 409
+        t.delete_branch("dev")
+        assert cat.api.list_branches("db1", "b") == []
+        t.delete_tag("t1")
+        assert cat.api.list_tags("db1", "b") == []
+        with pytest.raises(RESTError) as ei:
+            cat.api.delete_tag("db1", "b", "t1")
+        assert ei.value.code == 404
+
+    def test_rollback_procedure_routes_through_service(self, spark, rest_catalog):
+        """CALL sys.rollback on a REST catalog goes through the HTTP
+        route (the RESTTable override), not direct filesystem deletes."""
+        from flink_table_store_spark.sql import SqlSession
+
+        cat = rest_catalog
+        t = cat.create_table("db1.p", KV, primary_keys=["k"])
+        t.write(spark.createDataFrame([(1, "a")], KV))
+        t.write(spark.createDataFrame([(2, "b")], KV))
+        calls = []
+        orig = cat.api.rollback_to
+
+        def counting(*a, **kw):
+            calls.append((a, kw))
+            return orig(*a, **kw)
+
+        cat.api.rollback_to = counting
+        SqlSession(spark, cat).sql("CALL sys.rollback(table => 'db1.p', snapshot_id => 1)")
+        assert len(calls) == 1, "rollback must route through the REST API"
+        assert cat.get_table("db1.p").snapshots.latest_id() == 1
+
+    def test_register_table(self, spark, rest_catalog, tmp_path):
+        """registerTable adopts an EXISTING external table directory —
+        metadata-only (symlink), data stays in place."""
+        from flink_table_store_spark.catalog import Catalog
+
+        ext_wh = str(tmp_path / "external")
+        ext = Catalog(ext_wh)
+        te = ext.create_table("old.t", KV, primary_keys=["k"])
+        te.write(spark.createDataFrame([(1, "a"), (2, "b")], KV))
+        src = ext.table_path("old.t")
+
+        t = rest_catalog.register_table("db1.adopted", src)
+        got = {r["k"]: r["v"] for r in t.to_df(spark).collect()}
+        assert got == {1: "a", 2: "b"}
+        # idempotent re-register; conflicting register is 409
+        rest_catalog.register_table("db1.adopted", src)
+        te2 = ext.create_table("old.u", KV)
+        with pytest.raises(RESTError) as ei:
+            rest_catalog.api.register_table("db1", "adopted", ext.table_path("old.u"))
+        assert ei.value.code == 409
+        with pytest.raises(RESTError) as ei:
+            rest_catalog.api.register_table("db1", "ghost", str(tmp_path / "nowhere"))
+        assert ei.value.code == 404
+        # commits on the adopted table still flow through the service CAS
+        t.write(spark.createDataFrame([(3, "c")], KV))
+        assert rest_catalog.api.load_snapshot("db1", "adopted").id == 2
+
+    def test_auth_required_on_version_routes(self, tmp_path):
+        with RESTCatalogServer(str(tmp_path / "wh"), token="t0k") as srv:
+            good = RESTCatalog(srv.uri, token="t0k")
+            good.create_table("db1.t", KV)
+            bad = RESTCatalog(srv.uri, token="t0k")
+            bad.api.token = "wrong"
+            for probe in (
+                lambda: bad.api.list_snapshots("db1", "t"),
+                lambda: bad.api.rollback_to("db1", "t", snapshot_id=1),
+                lambda: bad.api.list_partitions("db1", "t"),
+                lambda: bad.api.list_tags("db1", "t"),
+                lambda: bad.api.list_branches("db1", "t"),
+                lambda: bad.api.register_table("db1", "x", "/tmp/x"),
+            ):
+                with pytest.raises(RESTError) as ei:
+                    probe()
+                assert ei.value.code == 401
+
+
+class TestArbiterSerialization:
+    def test_concurrent_same_name_create_one_wins(self, server):
+        """Two threads racing create_table on the same name: the service
+        lock guarantees exactly one 200 and one 409 (no double-success
+        from the check-then-act window)."""
+        import threading
+
+        api_a = RESTCatalog(server.uri).api
+        api_b = RESTCatalog(server.uri).api
+        from flink_table_store_spark.schema import from_spark_schema
+
+        ts = from_spark_schema(KV, None, None, None)
+        api_a.create_database("db1")
+        barrier = threading.Barrier(2)
+        results: list[object] = [None, None]
+
+        def racer(i, api):
+            barrier.wait()
+            try:
+                api.create_table("db1", "same", ts)
+                results[i] = 200
+            except RESTError as e:
+                results[i] = e.code
+
+        th = [
+            threading.Thread(target=racer, args=(0, api_a)),
+            threading.Thread(target=racer, args=(1, api_b)),
+        ]
+        [t.start() for t in th]
+        [t.join() for t in th]
+        assert sorted(results) == [200, 409], results
+
+        # same for databases
+        results = [None, None]
+        barrier = threading.Barrier(2)
+
+        def db_racer(i, api):
+            barrier.wait()
+            try:
+                api.create_database("racedb")
+                results[i] = 200
+            except RESTError as e:
+                results[i] = e.code
+
+        th = [
+            threading.Thread(target=db_racer, args=(0, api_a)),
+            threading.Thread(target=db_racer, args=(1, api_b)),
+        ]
+        [t.start() for t in th]
+        [t.join() for t in th]
+        assert sorted(results) == [200, 409], results
+
+    def test_config_rejects_foreign_warehouse(self, server, tmp_path):
+        """The served warehouse is authoritative: asking for a different
+        one is a 400, not a silent split-brain echo."""
+        with pytest.raises(RESTError) as ei:
+            RESTCatalog(server.uri, warehouse=str(tmp_path / "other"))
+        assert ei.value.code == 400
+        # asking for the right one (or none) is fine
+        cat = RESTCatalog(server.uri, warehouse=server.service.catalog.warehouse)
+        assert cat.warehouse == server.service.catalog.warehouse
