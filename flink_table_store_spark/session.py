@@ -29,6 +29,9 @@ def get_spark(app_name: str = "flink_table_store_spark", shuffle_partitions: int
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "32")
+        # Python DataSource (format "ftss"): let pushFilters reach the
+        # planner so the manifest/stats pruning sees the WHERE clause
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # python workers must be able to import this package even when
         # the session is started outside the repo directory (executor
         # closures re-import engine helpers)
@@ -41,4 +44,11 @@ def get_spark(app_name: str = "flink_table_store_spark", shuffle_partitions: int
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try:
+        # native format surface: spark.read.format("ftss").load(path)
+        from flink_table_store_spark.sources.datasource import register_data_source
+
+        register_data_source(spark)
+    except Exception:
+        pass  # older PySpark without pyspark.sql.datasource
     return spark
