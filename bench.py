@@ -16,13 +16,20 @@ Workloads (BASELINE.md BENCH protocol):
 Plus host-side joins (q3, q5) and pipeline ops (dedup_minhash,
 ann_brute_force) to track Catalyst-path and Python-UDF-path throughput.
 
-Measurement protocol (round 5): read-only workloads report the MEDIAN
-OF 3 runs (sub-second entries previously swung ±30-50% run to run);
-mutating workloads (writes, deletes, compactions) run once — repeating
-them would change the very state they measure. Workloads never mutate
-a table another workload later reads: universal_compact gets its own
-fresh PK table, and the join benches write their inputs OUTSIDE the
-timed region so the timer measures the join alone.
+Measurement protocol (round 7): EVERY entry reports the MEDIAN OF 3
+runs. Read-only workloads simply repeat; mutating workloads (writes,
+deletes, compactions) run once each against THREE fresh replicas whose
+state is prepared OUTSIDE the timed region — repeating against the
+same table would change the very state being measured, and a single
+run is unadjudicable noise (the r5 upsert "regression" vanished under
+median-of-3: 217.8k → 301.4k rows/s). Workloads never mutate a table
+another workload later reads; downstream readers use replica 0.
+
+Scale proxy (round 7): a 10× synthesized dataset (6M-row lineitem,
+key-shifted copies — still minutes at local[32]) backs *_10x entries
+for the four data-path shapes most sensitive to scale cliffs
+(scan_agg, mor_read, bucketed_join, dedup_minhash); per-row cost
+within ~1.5× of the sf0.1 cost is the linearity check.
 """
 
 from __future__ import annotations
@@ -72,7 +79,7 @@ def main() -> None:
 
     def timed(name, repeat: int = 1):
         """Time ``fn``; with repeat=3 record the MEDIAN of three runs
-        (read-only workloads only — mutators must run once)."""
+        (read-only workloads — mutators use timed_mutating)."""
 
         def deco(fn):
             runs = []
@@ -85,14 +92,30 @@ def main() -> None:
 
         return deco
 
-    # --- managed append table (partitioned) used by scan benches -----------
-    t_app = cat.create_table(
-        "bench.lineitem", li.schema, partition_keys=["l_returnflag"], ignore_if_exists=True
-    )
+    def timed_mutating(name, states, run):
+        """Median-of-N for a MUTATING workload: ``run(state)`` executes
+        once per fresh state (each prepared untimed by the caller);
+        record the median. Returns the states so downstream readers can
+        use replica 0."""
+        runs = []
+        for st in states:
+            t0 = time.perf_counter()
+            run(st)
+            runs.append(time.perf_counter() - t0)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 4)
+        return states
 
-    @timed("write_append")
-    def _w():
-        t_app.write(li)
+    # --- managed append table (partitioned) used by scan benches -----------
+    t_apps = [
+        cat.create_table(
+            f"bench.lineitem{i}", li.schema, partition_keys=["l_returnflag"],
+            ignore_if_exists=True,
+        )
+        for i in range(3)
+    ]
+    timed_mutating("write_append", t_apps, lambda t: t.write(li))
+    t_app = t_apps[0]
 
     @timed("scan_agg", repeat=3)
     def _q1():
@@ -125,23 +148,26 @@ def main() -> None:
         )
 
     # --- bloom file index: point query over a bloom-indexed column ---------
-    t_bloom = cat.create_table(
-        "bench.orders_bloom",
-        orders.schema,
-        options={
-            "file-index.bloom-filter.columns": "o_custkey",
-            "file-index.bloom-filter.items": "20000",
-        },
-        ignore_if_exists=True,
-    )
+    t_blooms = [
+        cat.create_table(
+            f"bench.orders_bloom{i}",
+            orders.schema,
+            options={
+                "file-index.bloom-filter.columns": "o_custkey",
+                "file-index.bloom-filter.items": "20000",
+            },
+            ignore_if_exists=True,
+        )
+        for i in range(3)
+    ]
 
-    @timed("bloom_write")
-    def _bw():
+    def _bloom_run(t):
         for b in range(4):  # 4 commits -> several files, each with a bitset
-            t_bloom.write(orders.where(F.col("o_orderkey") % 4 == b))
+            t.write(orders.where(F.col("o_orderkey") % 4 == b))
 
+    timed_mutating("bloom_write", t_blooms, _bloom_run)
     probe_key = int(orders.orderBy("o_orderkey").select("o_custkey").first()[0])
-    t_bloom_r = t_bloom.refresh()
+    t_bloom_r = t_blooms[0].refresh()
 
     @timed("bloom_point_query", repeat=3)
     def _bq():
@@ -191,53 +217,60 @@ def main() -> None:
             F.count(F.lit(1)), F.sum("l_extendedprice"), F.max("l_orderkey")
         ).collect()
 
-    @timed("compact")
-    def _cp():
-        t_pk.compact(spark, full=True)
+    # full compaction runs once per upsert replica (each holds the same
+    # 3-batch LSM state) — median of 3 genuinely fresh compactions
+    timed_mutating("compact", t_pks, lambda t: t.compact(spark, full=True))
 
     @timed("post_compact_read", repeat=3)
     def _pc():
         t_pk.to_df(spark).agg(F.count(F.lit(1)), F.sum("l_extendedprice")).collect()
 
-    # universal compaction on its OWN table (fresh base + 3 tiny runs,
-    # all written untimed) so it never mutates the state the other PK
-    # workloads read, and the timer measures the partial merge alone —
-    # O(selected runs), not O(bucket)
-    t_uni = cat.create_table(
-        "bench.lineitem_uni",
-        li.schema,
-        primary_keys=["l_orderkey", "l_linenumber"],
-        options={"bucket": "8"},
-        ignore_if_exists=True,
-    )
-    t_uni.write(li)
-    t_uni.compact(spark, full=True)
+    # universal compaction on its OWN tables (fresh base + 4 tiny runs,
+    # all written untimed, ×3 replicas) so it never mutates the state
+    # the other PK workloads read, and the timer measures the partial
+    # merge alone — O(selected runs), not O(bucket)
     small = li.select(*li.columns).where(F.col("l_orderkey") % 499 == 0)
-    # 4 small runs on top of the big base = 5 sorted runs: the size-ratio
-    # trigger fires and picks the 4 small runs, leaving the base alone
-    # (the r4 bench wrote only 3 runs — below the trigger, so the timed
-    # region was really measuring the writes, not a compaction)
-    for _ in range(4):
-        t_uni.write(small)
-
-    @timed("universal_compact")
-    def _uc():
-        t_uni.compact(spark, full=False)
+    t_unis = []
+    for i in range(3):
+        t_uni = cat.create_table(
+            f"bench.lineitem_uni{i}",
+            li.schema,
+            primary_keys=["l_orderkey", "l_linenumber"],
+            options={"bucket": "8"},
+            ignore_if_exists=True,
+        )
+        t_uni.write(li)
+        t_uni.compact(spark, full=True)
+        # 4 small runs on top of the big base = 5 sorted runs: the
+        # size-ratio trigger fires and picks the 4 small runs, leaving
+        # the base alone (the r4 bench wrote only 3 runs — below the
+        # trigger, so the timed region really measured the writes)
+        for _ in range(4):
+            t_uni.write(small)
+        t_unis.append(t_uni)
+    timed_mutating(
+        "universal_compact", t_unis, lambda t: t.compact(spark, full=False)
+    )
 
     pb.unpersist()
 
     # --- clustering / topn / dv / lookup over managed tables --------------
-    t_z = cat.create_table(
-        "bench.lineitem_z",
-        li.select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity").schema,
-        ignore_if_exists=True,
+    li_z = li.select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    t_zs = []
+    for i in range(3):
+        t_z = cat.create_table(
+            f"bench.lineitem_z{i}", li_z.schema, ignore_if_exists=True
+        )
+        t_z.write(li_z)
+        t_zs.append(t_z)
+    timed_mutating(
+        "zorder_compact",
+        t_zs,
+        lambda t: t.sort_compact(
+            spark, ["l_partkey", "l_suppkey"], strategy="zorder", num_files=16
+        ),
     )
-
-    t_z.write(li.select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity"))
-
-    @timed("zorder_compact")
-    def _zc():
-        t_z.sort_compact(spark, ["l_partkey", "l_suppkey"], strategy="zorder", num_files=16)
+    t_z = t_zs[0]
 
     @timed("zorder_skip_read", repeat=3)
     def _zr():
@@ -254,18 +287,21 @@ def main() -> None:
     def _tn():
         t_z.read_builder().with_topn("l_orderkey", 20).to_df(spark).collect()
 
-    t_dv = cat.create_table(
-        "bench.lineitem_dv",
-        li.select("l_orderkey", "l_linenumber", "l_quantity").schema,
-        options={"deletion-vectors.enabled": "true"},
-        ignore_if_exists=True,
+    li_dv = li.select("l_orderkey", "l_linenumber", "l_quantity")
+    t_dvs = []
+    for i in range(3):
+        t_dv = cat.create_table(
+            f"bench.lineitem_dv{i}",
+            li_dv.schema,
+            options={"deletion-vectors.enabled": "true"},
+            ignore_if_exists=True,
+        )
+        t_dv.write(li_dv)
+        t_dvs.append(t_dv)
+    timed_mutating(
+        "dv_delete", t_dvs, lambda t: t.delete(spark, P.less_than("l_quantity", 5))
     )
-
-    t_dv.write(li.select("l_orderkey", "l_linenumber", "l_quantity"))
-
-    @timed("dv_delete")
-    def _dv():
-        t_dv.delete(spark, P.less_than("l_quantity", 5))
+    t_dv = t_dvs[0]
 
     @timed("dv_read", repeat=3)
     def _dvr():
@@ -451,6 +487,143 @@ def main() -> None:
     def _ann():
         Q.ann_brute_force(spark, sf_dir).collect()
 
+    # --- 10x scale proxy ---------------------------------------------------
+    # Every data-path number above is sf0.1 (~600k-row lineitem); scale
+    # cliffs (skew, fold memory, probe width) would only show on a real
+    # cluster. A 10x key-shifted synthesis (disjoint key ranges per
+    # copy, so PK cardinality scales too) backs the four most
+    # scale-sensitive shapes; setup is untimed, entries are median-of-3.
+    # Per-row cost vs the sf0.1 entry within ~1.5x = linear.
+    from functools import reduce as _reduce
+
+    n10 = 10
+    max_ok = int(li.agg(F.max("l_orderkey")).first()[0]) + 1
+    max_ck = int(cust.agg(F.max("c_custkey")).first()[0]) + 1
+
+    def _union(dfs):
+        return _reduce(lambda a, b: a.unionByName(b), dfs)
+
+    li10 = _union(
+        [
+            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * max_ok))
+            for i in range(n10)
+        ]
+    )
+    rows_10x: dict[str, int] = {"lineitem_10x": li.count() * n10}
+
+    t_app10 = cat.create_table(
+        "bench.lineitem_10x", li.schema, partition_keys=["l_returnflag"],
+        ignore_if_exists=True,
+    )
+    t_app10.write(li10)
+
+    @timed("scan_agg_10x", repeat=3)
+    def _q1_10():
+        (
+            t_app10.to_df(spark)
+            .where(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity"),
+                F.sum("l_extendedprice"),
+                F.avg("l_discount"),
+                F.count(F.lit(1)),
+            )
+            .collect()
+        )
+
+    t_pk10 = cat.create_table(
+        "bench.lineitem_pk_10x",
+        li.schema,
+        primary_keys=["l_orderkey", "l_linenumber"],
+        options={"bucket": "16"},
+        ignore_if_exists=True,
+    )
+    # two untimed batches -> multiple level-0 runs per bucket, so the
+    # timed read takes the true merge-on-read path at 6M rows
+    t_pk10.write(li10.where(F.col("l_suppkey") % 2 == 0))
+    t_pk10.write(li10.where(F.col("l_suppkey") % 2 == 1))
+
+    @timed("mor_read_10x", repeat=3)
+    def _mor10():
+        t_pk10.to_df(spark).agg(
+            F.count(F.lit(1)), F.sum("l_extendedprice"), F.max("l_orderkey")
+        ).collect()
+
+    ord10 = _union(
+        [
+            orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * max_ok))
+            .withColumn("o_custkey", F.col("o_custkey") + F.lit(i * max_ck))
+            for i in range(n10)
+        ]
+    )
+    cust10 = _union(
+        [
+            cust.withColumn("c_custkey", F.col("c_custkey") + F.lit(i * max_ck))
+            for i in range(n10)
+        ]
+    )
+    t_ord10 = cat.create_table(
+        "bench.orders_bj_10x",
+        orders.schema,
+        primary_keys=["o_custkey", "o_orderkey"],
+        options={"bucket": "8", "bucket-key": "o_custkey"},
+        ignore_if_exists=True,
+    )
+    t_ord10.write(ord10)
+    t_cust10 = cat.create_table(
+        "bench.customer_pk_10x",
+        cust.schema,
+        primary_keys=["c_custkey"],
+        options={"bucket": "8"},
+        ignore_if_exists=True,
+    )
+    t_cust10.write(cust10)
+    t_ord10, t_cust10 = t_ord10.refresh(), t_cust10.refresh()
+    rows_10x["orders_10x"] = orders.count() * n10
+
+    @timed("bucketed_join_10x", repeat=3)
+    def _bj10():
+        from flink_table_store_spark.operators.bucketed_join import join_bucketed
+
+        local = join_bucketed(
+            spark,
+            t_ord10,
+            t_cust10,
+            on=[("o_custkey", "c_custkey")],
+            left_cols=["o_custkey", "o_totalprice"],
+            right_cols=["c_nationkey"],
+            group_by=["o_custkey", "c_nationkey"],
+            agg={"n": ("count", ""), "total": ("sum", "o_totalprice")},
+        )
+        local.groupBy("c_nationkey").agg(F.sum("n"), F.sum("total")).collect()
+
+    docs_raw = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    max_did = int(docs_raw.agg(F.max("doc_id")).first()[0]) + 1
+    # copies i>0 get a per-copy character substitution so cross-copy
+    # shingle overlap drops below the near-dup threshold: per-copy
+    # duplicate DENSITY is preserved (clusters don't multiply 10x),
+    # which keeps the per-row cost comparable with dedup_minhash
+    docs10 = _union(
+        [
+            docs_raw.withColumn("doc_id", F.col("doc_id") + F.lit(i * max_did))
+            .withColumn(
+                "text",
+                F.col("text")
+                if i == 0
+                else F.regexp_replace(F.col("text"), "e", f"x{i}"),
+            )
+            for i in range(n10)
+        ]
+    )
+    rows_10x["documents_10x"] = docs_raw.count() * n10
+
+    @timed("dedup_minhash_10x", repeat=3)
+    def _dd10():
+        from flink_table_store_spark.datapipe import dedup as DD
+
+        DD.minhash_dedup(docs10).count()
+
     # --- REST catalog: metadata-op throughput over loopback HTTP ----------
     # (the r6 catalog service; ops are driver-side metadata hops by
     # design — the measure is protocol+CAS overhead, not data volume)
@@ -498,6 +671,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "upsert_rows_per_sec": upsert_rps,
+                "rows_10x": rows_10x,
             }
         )
     )

@@ -236,41 +236,31 @@ def _structural_fold(
         return out
 
     # collect / collect_distinct / nested_update: per-group flatten of
-    # the row lists — offsets composed natively in Arrow (group offsets
-    # index into the row-list offsets, zero element copies)
+    # the row lists over the argsort-contiguous slices. Measured
+    # (tools/bench_fold.py, r7 adjudication): composing Arrow list
+    # offsets first LOSES 3-10x here — ``pa.array`` must re-infer 100k
+    # Python/ndarray row payloads before the offset trick can run, and
+    # that inference costs more than the flatten it saves. Vs the r5
+    # per-group ``groupby().apply``: 2-4x faster in the many-small-
+    # groups regime (per-PK folds — the common case), ~0.6-0.9x in the
+    # few-huge-groups regime where apply's per-group constant amortizes
+    # (absolute gap there ~30ms/100k rows — not worth an adaptive
+    # switch).
     out = [[] for _ in range(n_groups)]
     if not len(vv):
         return out
-    try:
-        la = pa.array(
-            [
+    flat = [
+        [
+            v
+            for x in vv[s:e]
+            for v in (
                 x.tolist()
                 if isinstance(x, np.ndarray)
                 else (x if isinstance(x, list) else [x])
-                for x in vv
-            ]
-        )
-        if not pa.types.is_list(la.type) and not pa.types.is_large_list(la.type):
-            raise TypeError(f"expected list inference, got {la.type}")
-        row_offs = np.asarray(la.offsets)
-        new_offs = row_offs[np.concatenate((starts, [len(vv)]))]
-        flat = type(la).from_arrays(
-            pa.array(new_offs, type=la.offsets.type), la.values
-        ).to_pylist()
-    except (pa.ArrowInvalid, pa.ArrowTypeError, pa.ArrowNotImplementedError, TypeError):
-        # heterogeneous payloads Arrow can't infer: plain-python flatten
-        flat = [
-            [
-                v
-                for x in vv[s:e]
-                for v in (
-                    x.tolist()
-                    if isinstance(x, np.ndarray)
-                    else (x if isinstance(x, list) else [x])
-                )
-            ]
-            for s, e in zip(starts, ends)
+            )
         ]
+        for s, e in zip(starts, ends)
+    ]
     if func == "collect":
         for g, lst in zip(gids, flat):
             out[g] = lst
