@@ -26,7 +26,10 @@ from pyspark.sql import functions as F
 from flink_table_store_spark import predicate as P
 from flink_table_store_spark.catalog import Catalog
 
-_TRAVEL = r"(?:\s+(?:VERSION|TIMESTAMP)\s+AS\s+OF\s+(?:'[^']*'|\"[^\"]*\"|[\w.\-]+))?"
+_TRAVEL = (
+    r"(?:\s+(?:VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+    r"(?:'[^']*'|\"[^\"]*\"|\x00\d+\x00|[\w.\-]+))?"
+)
 _REF = re.compile(
     r"(?i)\b(FROM|JOIN)\s+(`[^`]+`|[A-Za-z_][\w.$@]*)(" + _TRAVEL + ")",
 )
@@ -59,6 +62,14 @@ _JOIN_HOP = re.compile(
 # protected from qualifier rewriting (Spark treats "..." as a string
 # literal by default, not an identifier)
 _QUOTED = re.compile(r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\")")
+# masking additionally protects comments: a quote inside `-- don't` or
+# /* ... */ must not pair with a later real quote and swallow SQL text.
+# Alternation is positional (whichever construct STARTS first wins), so
+# this is single-scanner semantics: quotes inside comments are comment
+# text, comment markers inside quotes are string text.
+_PROTECTED = re.compile(
+    r"('(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"|--[^\n]*|/\*(?:[^*]|\*(?!/))*\*/)"
+)
 
 
 def _strip_qualifiers(
@@ -84,17 +95,19 @@ def _strip_qualifiers(
 
 
 def _mask_literals(s: str) -> tuple[str, list[str]]:
-    """Replace quoted string literals with ``\\x00<i>\\x00`` placeholders
-    (no spaces, no identifier characters) so clause-splitting regexes
-    and identifier rewrites cannot touch literal contents. Reverse with
-    ``_unmask_literals``."""
+    """Replace quoted string literals AND comments with ``\\x00<i>\\x00``
+    placeholders (no spaces, no identifier characters) so
+    clause-splitting regexes and identifier rewrites cannot touch
+    literal contents. Every clause split in this module MUST run over
+    masked text (the r6 HAVING bug class: a regex matching inside
+    ``'... GROUP BY ...'``). Reverse with ``_unmask_literals``."""
     lits: list[str] = []
 
     def stash(m: re.Match) -> str:
         lits.append(m.group(0))
         return f"\x00{len(lits) - 1}\x00"
 
-    return _QUOTED.sub(stash, s), lits
+    return _PROTECTED.sub(stash, s), lits
 
 
 def _unmask_literals(s: str, lits: list[str]) -> str:
@@ -138,6 +151,27 @@ def _split_depth0_parens(s: str) -> list[str]:
     return out
 
 
+def _split_commas(s: str) -> list[str]:
+    """Split on commas outside ``()`` nesting — for MASKED expression/
+    argument lists (quotes and comments are already placeholders, and
+    ``<``/``>`` are comparison operators here, unlike the type lists
+    ``_split_depth0_parens`` serves where they nest generics)."""
+    out, buf, depth = [], [], 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        out.append("".join(buf))
+    return out
+
+
 def _parse_clause_tail(s: str) -> tuple[str | None, str | None, str]:
     """PARTITIONED BY (...) / TBLPROPERTIES (...) in ANY order (Spark
     accepts both); the TBLPROPERTIES body is scanned with balanced
@@ -171,9 +205,13 @@ def _parse_clause_tail(s: str) -> tuple[str | None, str | None, str]:
 def _parse_props(props_s: str | None) -> dict[str, str]:
     options: dict[str, str] = {}
     if props_s:
-        for piece in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", props_s):
+        # masked split: a quoted value may contain ',' or '='
+        mp, lits = _mask_literals(props_s)
+        for piece in _split_commas(mp):
             k, _, v = piece.partition("=")
-            options[str(_literal(k))] = str(_literal(v))
+            options[str(_literal(_unmask_literals(k, lits).strip()))] = str(
+                _literal(_unmask_literals(v, lits).strip())
+            )
     return options
 
 
@@ -407,9 +445,19 @@ class SqlSession:
         return name
 
     def _rewrite(self, q: str, _depth: int = 0) -> str:
+        # ALL structure detection below (TVF calls, FROM/JOIN table
+        # references, the auto-elision parse) runs over MASKED text so
+        # a string literal containing 'FROM db.t' or a comment with a
+        # stray quote can never be parsed as SQL structure; literal
+        # contents are restored in one pass at the end.
+        q, _lits = _mask_literals(q)
+
         def tvf_sub(m: re.Match) -> str:
             fn = m.group(1).lower()
-            args = [_literal(a) for a in m.group(2).split(",")]
+            args = [
+                _literal(_unmask_literals(a, _lits).strip())
+                for a in m.group(2).split(",")
+            ]
             t = self.catalog.get_table(str(args[0]))
             if fn == "paimon_bucketed_join":
                 # zero-shuffle co-located join as a table reference:
@@ -454,12 +502,15 @@ class SqlSession:
                 )
             else:
                 df = t.incremental_read_to_tag(self.spark, str(args[1]))
-            name = _view_name(m.group(0))
+            # view name from the UNMASKED call text: two TVF calls in
+            # one query differing only in literal args must get
+            # DIFFERENT views (masked text would collide)
+            name = _view_name(_unmask_literals(m.group(0), _lits))
             df.createOrReplaceTempView(name)
             return name
 
         q = _TVF.sub(tvf_sub, q)
-        auto = self._auto_bucketed_join(q)
+        auto = self._auto_bucketed_join(q, _lits)
         if auto is not None:
             q = auto
 
@@ -470,7 +521,9 @@ class SqlSession:
             raw = ident[1:-1] if ident.startswith("`") else ident
             if raw.lower() in _KEYWORDS or not self._known(raw):
                 return m.group(0)
-            view = self._register(raw, travel.strip(), _depth)
+            view = self._register(
+                raw, _unmask_literals(travel, _lits).strip(), _depth
+            )
             # re-alias the temp view as the table's last name so
             # bare-table-name qualifiers (SELECT par_f.fk FROM db.par_f)
             # keep resolving — unless the query supplies its own alias
@@ -488,9 +541,9 @@ class SqlSession:
             taken_aliases.add(last.lower())
             return f"{kw} {view} AS {last}"
 
-        return _REF.sub(ref_sub, q)
+        return _unmask_literals(_REF.sub(ref_sub, q), _lits)
 
-    def _auto_bucketed_join(self, q: str) -> str | None:
+    def _auto_bucketed_join(self, q: str, lits: list[str]) -> str | None:
         """Catalyst-automatic bucketed-join elision at the SQL surface:
         a plain ``FROM a JOIN b ON a.k = b.k`` between CO-BUCKETED
         engine tables silently routes through ``join_bucketed`` (zero
@@ -505,7 +558,12 @@ class SqlSession:
         ``alias.*`` expansion, and no reference to key columns a
         non-inner join would NULL on unmatched rows. Anything else
         returns None — the ordinary (shuffle) path is the fallback,
-        never an error."""
+        never an error.
+
+        ``q`` arrives MASKED (see ``_rewrite``): string literals and
+        comments are ``\\x00<i>\\x00`` placeholders indexing ``lits``,
+        so every structural regex here is literal-safe by construction;
+        the returned rewrite stays masked (the caller unmasks once)."""
         if len(re.findall(r"(?i)\bFROM\b", q)) != 1:
             return None
         mb = _FROM_BASE.search(q)
@@ -632,15 +690,14 @@ class SqlSession:
         if re.search(r"(?i)(?:" + qual_pat + r")\.\*", q):
             return None
         # bare SELECT * is faithful only when every side key survived.
-        # Comments are stripped too: a hint like /*+ BROADCAST */ must
-        # not hide the star from detection
-        stripped_q = "".join(
-            p for p in _QUOTED.split(q) if p[:1] not in ("'", '"')
-        )
-        stripped_q = re.sub(r"/\*.*?\*/", " ", stripped_q, flags=re.S)
-        stripped_q = re.sub(r"--[^\n]*", " ", stripped_q)
+        # Literals/comments are placeholders in the masked text; a run
+        # of them between SELECT (or a comma) and * — e.g. a /*+ hint */
+        # — must not hide the star. (A placeholder run can also precede
+        # a MULTIPLICATION star — ``SELECT 'x', a * b`` — which
+        # over-detects has_star; that only DISABLES a push, never
+        # corrupts one.)
         has_star = re.search(
-            r"(?i)(?:\bselect(?:\s+distinct)?|,)\s*\*", stripped_q
+            r"(?i)(?:\bselect(?:\s+distinct)?|,)\s*(?:\x00\d+\x00\s*)*\*", q
         ) is not None
         if any_dropped and has_star:
             return None
@@ -714,8 +771,11 @@ class SqlSession:
                 i = sides_hit.pop()
                 if not _pushable(i):
                     continue
+                # literal VALUES matter to the predicate — unmask the
+                # conjunct before parsing (qualifier stripping is
+                # itself literal-protected)
                 pred = parse_condition(
-                    _strip_qualifiers(piece, quals)
+                    _strip_qualifiers(_unmask_literals(piece, lits), quals)
                 )
                 flds = pred.fields() if pred is not None else None
                 if flds is None or not flds <= set(schemas[i].field_names()):
@@ -732,11 +792,17 @@ class SqlSession:
             re.fullmatch(r"\w+", c) for s in schemas for c in s.field_names()
         )
         if not has_star and prunable:
+            # `rest` is masked: literal contents contribute no tokens.
+            # Comment tokens ARE included (from the stash) — a /*+
+            # REPARTITION(col) */ hint survives unmasking and Catalyst
+            # reads it, so a column it names must stay unpruned;
+            # over-inclusion is always safe here.
+            comment_text = " ".join(
+                c for c in lits if c.startswith(("--", "/*"))
+            )
             tokens = {
                 t.lower()
-                for t in re.findall(r"[A-Za-z_]\w*", "".join(
-                    p for p in _QUOTED.split(rest) if p[:1] not in ("'", '"')
-                ))
+                for t in re.findall(r"[A-Za-z_]\w*", rest + " " + comment_text)
             }
             base_k_low = {k.lower() for k in base_keys}
             left_cols_sel = [
@@ -818,16 +884,16 @@ class SqlSession:
         over the view (aggregate calls replace with their aliases,
         adding hidden aggregates when the SELECT lacks them)."""
         pm = re.match(r"(?is)^\s*SELECT\s+(?!DISTINCT\b)(.*?)\s*$", prefix)
-        # mask string literals BEFORE the clause split — a literal
-        # containing ' ORDER BY ...' (or an aggregate-call-shaped text)
-        # must not be split into the tail or rewritten by the HAVING
-        # substitutions; captured groups are unmasked after rewriting
-        masked, _lits = _mask_literals(suffix)
+        # prefix/suffix arrive MASKED from _auto_bucketed_join — a
+        # literal containing ' ORDER BY ...' (or an aggregate-call-
+        # shaped text) cannot be split into the tail or rewritten by
+        # the HAVING substitutions; placeholders ride through into the
+        # returned pieces and the CALLER's final unmask restores them
         sm = re.match(
             r"(?is)^\s*GROUP\s+BY\s+(.+?)"
             r"(?:\s+HAVING\s+(.+?))?"
             r"(\s+ORDER\s+BY\s+[^()]+?)?(\s+LIMIT\s+\d+)?\s*$",
-            masked,
+            suffix,
         )
         if not pm or not sm:
             return None
@@ -919,14 +985,13 @@ class SqlSession:
         having = None
         if sm.group(2):
             # rewrite over the MASKED text (literal contents cannot be
-            # mistaken for aggregate calls or identifiers), then unmask
+            # mistaken for aggregate calls or identifiers)
             having = self._rewrite_having(
                 sm.group(2), agg_spec, agg_map, group_cols, resolve
             )
             if having is None:
                 return None  # unparseable HAVING: keep the shuffle plan
-            having = _unmask_literals(having, _lits)
-        tail = _unmask_literals((sm.group(3) or "") + (sm.group(4) or ""), _lits)
+        tail = (sm.group(3) or "") + (sm.group(4) or "")
         return group_cols, agg_map, sel_exprs, tail, having
 
     def _rewrite_having(self, hx, agg_spec, agg_map, group_cols, resolve):
@@ -1120,9 +1185,9 @@ class SqlSession:
         if not hm:
             raise ValueError(f"cannot parse CREATE TABLE: {q}")
         if_not_exists, ident, tail = hm.groups()
-        # split at the first AS SELECT OUTSIDE string literals (a quoted
-        # property value may contain the words 'as select')
-        spans = [m.span() for m in _QUOTED.finditer(tail)]
+        # split at the first AS SELECT OUTSIDE string literals and
+        # comments (a quoted property value may contain 'as select')
+        spans = [m.span() for m in _PROTECTED.finditer(tail)]
         for m in re.finditer(r"(?is)\bAS\s+(SELECT\b)", tail):
             if not any(s <= m.start() < e for s, e in spans):
                 middle, select = tail[: m.start()], tail[m.start(1) :]
@@ -1311,10 +1376,16 @@ class SqlSession:
                 {"action": "update_column_type", "name": cm.group(1), "type": cm.group(2).strip()}
             )
         elif sm := re.match(r"(?is)SET\s+TBLPROPERTIES\s*\((.*)\)\s*$", body):
-            for piece in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", sm.group(1)):
+            # masked split: quoted values may contain ',' '=' ')'
+            mp, plits = _mask_literals(sm.group(1))
+            for piece in _split_commas(mp):
                 k, _, v = piece.partition("=")
                 changes.append(
-                    {"action": "set_option", "key": str(_literal(k)), "value": _literal(v)}
+                    {
+                        "action": "set_option",
+                        "key": str(_literal(_unmask_literals(k, plits).strip())),
+                        "value": _literal(_unmask_literals(v, plits).strip()),
+                    }
                 )
         elif um := re.match(r"(?is)UNSET\s+TBLPROPERTIES\s*\((.*)\)\s*$", body):
             for piece in um.group(1).split(","):
@@ -1329,18 +1400,19 @@ class SqlSession:
     def _call(self, q: str):
         from flink_table_store_spark.procedures import call
 
-        m = re.match(r"(?i)CALL\s+(?:sys\.)?(\w+)\s*\((.*)\)\s*$", q, re.S)
+        mq, lits = _mask_literals(q)
+        m = re.match(r"(?i)CALL\s+(?:sys\.)?(\w+)\s*\((.*)\)\s*$", mq, re.S)
         if not m:
             raise ValueError(f"cannot parse CALL statement: {q}")
         name, argstr = m.group(1), m.group(2).strip()
         args: dict[str, Any] = {}
         if argstr:
-            for i, piece in enumerate(re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", argstr)):
+            for i, piece in enumerate(_split_commas(argstr)):
                 if "=>" in piece:
                     k, v = piece.split("=>", 1)
-                    args[k.strip()] = _literal(v)
+                    args[k.strip()] = _literal(_unmask_literals(v, lits).strip())
                 elif i == 0:
-                    args["table"] = _literal(piece)
+                    args["table"] = _literal(_unmask_literals(piece, lits).strip())
                 else:
                     raise ValueError(f"positional CALL arg beyond table: {piece}")
         return call(self.spark, self.catalog, name, **args)
@@ -1348,23 +1420,26 @@ class SqlSession:
     # --- DML ---
 
     def _insert(self, q: str):
+        # masked parse: a quoted static-partition value may contain
+        # ')' or ',' without closing the PARTITION spec
+        mq, lits = _mask_literals(q)
         m = re.match(
             r"(?i)INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.$@]+)"
             r"(?:\s+PARTITION\s*\(([^)]*)\))?\s+(.*)$",
-            q,
+            mq,
             re.S,
         )
         if not m:
             raise ValueError(f"cannot parse INSERT: {q}")
         mode, ident, part_spec, body = m.groups()
         t = self.catalog.get_table(ident)
-        df = self.spark.sql(self._rewrite(body.strip()))
+        df = self.spark.sql(self._rewrite(_unmask_literals(body, lits).strip()))
         names = t.schema.field_names()
         static: dict[str, Any] = {}
         if part_spec:
             for piece in part_spec.split(","):
                 k, v = piece.split("=", 1)
-                static[k.strip()] = _literal(v)
+                static[k.strip()] = _literal(_unmask_literals(v, lits).strip())
             for k, v in static.items():
                 df = df.withColumn(k, F.lit(v))
             # positional mapping for the remaining columns
@@ -1386,37 +1461,55 @@ class SqlSession:
         return t.write(df, overwrite=overwrite, overwrite_partition_filter=filt)
 
     def _delete(self, q: str):
-        m = re.match(r"(?i)DELETE\s+FROM\s+([\w.$@]+)(?:\s+WHERE\s+(.*))?$", q, re.S)
+        mq, lits = _mask_literals(q)
+        m = re.match(r"(?i)DELETE\s+FROM\s+([\w.$@]+)(?:\s+WHERE\s+(.*))?$", mq, re.S)
         if not m:
             raise ValueError(f"cannot parse DELETE: {q}")
         ident, cond = m.groups()
         t = self.catalog.get_table(ident)
-        pred = parse_condition(cond) if cond else P.raw(F.lit(True))
+        pred = (
+            parse_condition(_unmask_literals(cond, lits))
+            if cond
+            else P.raw(F.lit(True))
+        )
         return t.delete(self.spark, pred)
 
     def _update(self, q: str):
+        # masked parse: a SET value literal containing ' where ' (or a
+        # comma) must not split the clause
+        mq, lits = _mask_literals(q)
         m = re.match(
-            r"(?i)UPDATE\s+([\w.$@]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", q, re.S
+            r"(?i)UPDATE\s+([\w.$@]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$", mq, re.S
         )
         if not m:
             raise ValueError(f"cannot parse UPDATE: {q}")
         ident, setstr, cond = m.groups()
         t = self.catalog.get_table(ident)
         assignments: dict[str, Any] = {}
-        for piece in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", setstr):
+        for piece in _split_commas(setstr):
             k, v = piece.split("=", 1)
-            assignments[k.strip().strip("`")] = F.expr(v.strip())
-        pred = parse_condition(cond) if cond else P.raw(F.lit(True))
+            assignments[k.strip().strip("`")] = F.expr(
+                _unmask_literals(v, lits).strip()
+            )
+        pred = (
+            parse_condition(_unmask_literals(cond, lits))
+            if cond
+            else P.raw(F.lit(True))
+        )
         return t.update(self.spark, pred, assignments)
 
     def _merge(self, q: str):
         """MERGE INTO target USING source ON t.k = s.k WHEN ... —
         the common equi-join shape of MergeIntoPaimonTable.scala."""
+        # masked parse: a source-subquery or SET-value literal
+        # containing ' WHEN ' / ')' must not split the clauses, and the
+        # ON split must not fire inside a column name like BRAND
+        mq, lits = _mask_literals(q)
         m = re.match(
             r"(?i)MERGE\s+INTO\s+([\w.$@]+)(?:\s+(?:AS\s+)?(\w+))?"
             r"\s+USING\s+(\([^)]*\)|[\w.$@]+)(?:\s+(?:AS\s+)?(\w+))?"
             r"\s+ON\s+(.*?)\s+(WHEN\s+.*)$",
-            q,
+            mq,
             re.S,
         )
         if not m:
@@ -1424,13 +1517,15 @@ class SqlSession:
         tgt, tgt_a, src, src_a, on, clauses = m.groups()
         t = self.catalog.get_table(tgt)
         if src.startswith("("):
-            sdf = self.spark.sql(self._rewrite(src[1:-1].strip()))
+            sdf = self.spark.sql(
+                self._rewrite(_unmask_literals(src[1:-1].strip(), lits))
+            )
         elif self._known(src):
             sdf = self.catalog.get_table(src).to_df(self.spark)
         else:
             sdf = self.spark.table(src)
         on_cols = []
-        for piece in on.split("AND"):
+        for piece in _split_top_and(on):
             mm = re.match(r"\s*[\w`]+\.`?(\w+)`?\s*=\s*[\w`]+\.`?(\w+)`?\s*$", piece)
             if not mm or mm.group(1) != mm.group(2):
                 raise ValueError(
@@ -1452,16 +1547,18 @@ class SqlSession:
                 upd = "*"
             else:
                 upd = {}
-                for piece in re.split(r",(?=(?:[^']*'[^']*')*[^']*$)", mu.group(1)):
+                for piece in _split_commas(mu.group(1)):
                     k, v = piece.split("=", 1)
                     k = k.strip().strip("`")
                     k = k.split(".")[-1]
                     expr = v.strip()
+                    # alias rewrites on the MASKED expr (an alias name
+                    # inside a string literal stays), then unmask
                     if src_a:
                         expr = re.sub(rf"\b{src_a}\.", "s.", expr)
                     if tgt_a:
                         expr = re.sub(rf"\b{tgt_a}\.", "t.", expr)
-                    upd[k] = F.expr(expr)
+                    upd[k] = F.expr(_unmask_literals(expr, lits))
         if re.search(r"(?i)WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT", clauses):
             insert = True
         return t.merge_into(

@@ -440,7 +440,7 @@ def test_sql_auto_elision_parity_vs_shuffle(spark, warehouse, monkeypatch):
         "SELECT oid, dname FROM db.par_f JOIN db.par_d ON par_f.fk = par_d.dk"
     )
     results_on = [sorted(map(tuple, s.sql(q).collect())) for q in queries]
-    monkeypatch.setattr(SqlSession, "_auto_bucketed_join", lambda self, q: None)
+    monkeypatch.setattr(SqlSession, "_auto_bucketed_join", lambda self, q, lits: None)
     s2 = SqlSession(spark, warehouse)
     results_off = [sorted(map(tuple, s2.sql(q).collect())) for q in queries]
     for q, on, off in zip(queries, results_on, results_off):
@@ -721,7 +721,7 @@ def test_sql_auto_elision_fuzz_parity(spark, warehouse, monkeypatch):
         )
         with monkeypatch.context() as mp:
             on_rows = sorted(map(tuple, s_on.sql(q).collect()), key=repr)
-            mp.setattr(SqlSession, "_auto_bucketed_join", lambda self, qq: None)
+            mp.setattr(SqlSession, "_auto_bucketed_join", lambda self, qq, lits: None)
             off_rows = sorted(
                 map(tuple, SqlSession(spark, warehouse).sql(q).collect()), key=repr
             )
@@ -980,7 +980,7 @@ def test_sql_auto_elision_having_pushdown(spark, warehouse, monkeypatch):
         assert "MapInPandas" in plan, q
         assert "hashpartitioning" not in plan.lower(), f"HAVING must stay pushed: {q}"
         with monkeypatch.context() as mp:
-            mp.setattr(SqlSession, "_auto_bucketed_join", lambda self, qq: None)
+            mp.setattr(SqlSession, "_auto_bucketed_join", lambda self, qq, lits: None)
             exp = sorted(map(tuple, SqlSession(spark, warehouse).sql(q).collect()))
         assert sorted(map(tuple, got.collect())) == exp, q
         # hidden aggregates never leak into the output schema
@@ -1035,7 +1035,7 @@ def test_sql_having_literal_and_hidden_alias_regressions(spark, warehouse, monke
     for q in qs:
         got = s.sql(q)
         with monkeypatch.context() as mp:
-            mp.setattr(SqlSession, "_auto_bucketed_join", lambda self, qq: None)
+            mp.setattr(SqlSession, "_auto_bucketed_join", lambda self, qq, lits: None)
             exp = sorted(map(tuple, SqlSession(spark, warehouse).sql(q).collect()))
         assert sorted(map(tuple, got.collect())) == exp, q
 
