@@ -1,0 +1,125 @@
+"""Deterministic sampling operators for training-mix construction.
+
+Training-data pipelines sample per stratum (language, source domain,
+quality band) to hit a target mix. Random sampling is not reproducible
+across runs/engines; these operators order by a PORTABLE deterministic
+key — ``md5(key || '-' || seed)`` — so the same (corpus, seed) always
+yields the same sample, on Spark or any ANSI engine (the DuckDB oracle
+replicates the selection exactly).
+
+Scale design:
+
+- ``hash_fraction_sample`` — deterministic Bernoulli by hash
+  threshold: a narrow filter, no shuffle at all. Approximate-n; the
+  100 TB default.
+- ``stratified_sample`` — EXACT n per stratum. The naive form is one
+  window sort per stratum — a full per-stratum sort, unusable when a
+  stratum holds billions of rows. With ``prefilter`` (default) the
+  selection first counts strata (one map-combined agg), broadcasts a
+  per-stratum hash threshold oversampling by ``safety``×, filters
+  narrowly to ~safety·n candidates per stratum, and only THEN sorts —
+  the window runs on O(n) rows per stratum, not O(stratum). The
+  threshold keeps selection identical (the exact sample is the n
+  smallest hashes; the prefilter keeps every hash below a bound that
+  provably contains them — checked, with a loud fallback to the full
+  sort if the oversample was too tight).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sample_key(key_col: str | Column, seed: int = 42) -> Column:
+    """Portable deterministic order key: md5 of ``key || '-' || seed``
+    (hex string — identical on any engine with md5; xxhash64 would be
+    Spark-only)."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    return F.md5(F.concat_ws("-", c.cast("string"), F.lit(str(seed))))
+
+
+def hash_fraction_sample(
+    df: DataFrame,
+    fraction: float,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic ~``fraction`` Bernoulli sample: keep rows whose
+    hex order key sorts below the fraction threshold. Narrow filter —
+    zero shuffle, reproducible across engines."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    # compare on the first 15 hex digits (60 bits) as an integer
+    bound = int(fraction * float(1 << 60))
+    return df.where(
+        F.conv(F.substring(sample_key(key_col, seed), 1, 15), 16, 10).cast(
+            "bigint"
+        )
+        < F.lit(bound)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    prefilter: bool = True,
+    safety: float = 4.0,
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum: the n smallest
+    deterministic hash keys. Reproducible and engine-portable (ties
+    are impossible for distinct keys; equal keys tie-break on
+    ``key_col``)."""
+    okey = sample_key(key_col, seed).alias("__okey")
+    base = df.select("*", okey)
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(F.col("__okey"), F.col(key_col))
+    )
+
+    def _pick(cand: DataFrame) -> DataFrame:
+        return (
+            cand.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= n_per_stratum)
+            .drop("__rn", "__okey")
+        )
+
+    if not prefilter:
+        return _pick(base)
+    counts = base.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    # per-stratum candidate bound: keep hashes in the smallest
+    # safety*n/N fraction (floor at 1.0 when n*safety >= N). Hash keys
+    # are uniform hex, so the bound holds w.h.p.; correctness does NOT
+    # depend on it — strata whose candidate count came up short of
+    # min(n, N) fall back to the full sort.
+    frac = F.least(
+        F.lit(1.0), F.lit(float(n_per_stratum) * safety) / F.col("__n")
+    )
+    bounds = counts.select(
+        strata_col,
+        F.col("__n"),
+        (frac * F.lit(float(1 << 60))).cast("bigint").alias("__bound"),
+    )
+    cand = base.join(F.broadcast(bounds), strata_col).where(
+        F.conv(F.substring("__okey", 1, 15), 16, 10).cast("bigint")
+        <= F.col("__bound")
+    )
+    short = (
+        cand.groupBy(strata_col, "__n")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") < F.least(F.lit(n_per_stratum), F.col("__n")))
+        .select(strata_col)
+    )
+    retry = [r[0] for r in short.collect()]
+    picked = _pick(cand.drop("__n", "__bound"))
+    if retry:
+        # oversample missed for these strata (adversarially non-uniform
+        # key distribution): exact full-sort fallback, loud in the plan
+        full = _pick(base.join(F.broadcast(short), strata_col, "semi"))
+        picked = picked.join(
+            F.broadcast(short), strata_col, "anti"
+        ).unionByName(full)
+    return picked

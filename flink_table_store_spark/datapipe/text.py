@@ -220,6 +220,97 @@ def contamination_counts(
     )
 
 
+# PII patterns shared by redact_pii and the DuckDB oracle: valid in
+# BOTH Java regex (Spark) and RE2 (DuckDB) — no lookarounds, no
+# backreferences (RE2 has neither). Order matters: emails first (they
+# contain dots and digits an IP/phone pattern could bite), then IPs,
+# then phone shapes (international +digits, or separator-delimited
+# NNN-NNN-NNNN — bare digit runs are NOT treated as phones, so ids and
+# quantities survive).
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+\d{7,15}\b", "<PHONE>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(col: str | Column = "text") -> Column:
+    """Redact emails / IPv4s / phone shapes to typed placeholders — the
+    standard pre-training scrub. A chain of built-in ``regexp_replace``
+    calls: narrow, JVM-side, whole-stage codegen, no shuffle."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(col: str | Column = "text") -> list[Column]:
+    """(n_emails, n_ips, n_phones) occurrence counts, for audit
+    reports alongside :func:`redact_pii`. Phones are counted on the
+    text with emails/IPs already redacted, mirroring the replace
+    chain's order (an IP would otherwise double-count as a separator
+    phone)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_email = F.regexp_count(c, F.lit(PII_PATTERNS[0][0]))
+    after_email = F.regexp_replace(c, PII_PATTERNS[0][0], PII_PATTERNS[0][1])
+    n_ip = F.regexp_count(after_email, F.lit(PII_PATTERNS[1][0]))
+    after_ip = F.regexp_replace(after_email, PII_PATTERNS[1][0], PII_PATTERNS[1][1])
+    n_phone = F.regexp_count(after_ip, F.lit(PII_PATTERNS[2][0])) + F.regexp_count(
+        F.regexp_replace(after_ip, PII_PATTERNS[2][0], PII_PATTERNS[2][1]),
+        F.lit(PII_PATTERNS[3][0]),
+    )
+    return [
+        n_email.alias("n_emails"),
+        n_ip.alias("n_ips"),
+        n_phone.alias("n_phones"),
+    ]
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into overlapping token-budget chunks — the unit
+    of context-window packing and RAG ingestion. Returns one row per
+    chunk: (id, chunk_idx, n_tokens, chunk text), whitespace-normalized.
+
+    Chunk i covers tokens [i*stride, i*stride + max_tokens) with
+    stride = max_tokens - overlap; a document of n <= max_tokens
+    tokens (including empty) is one chunk. Pure array expressions over
+    ``posexplode`` — narrow, no UDF, no shuffle; output order within a
+    doc is the chunk index."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(f"need 0 <= overlap < max_tokens, got {overlap}/{max_tokens}")
+    stride = max_tokens - overlap
+    c = F.trim(F.col(text_col))
+    toks = F.when(F.length(c) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(c, r"\s+")
+    )
+    n = F.size(toks)
+    # chunks m = ceil((n - max)/stride) + 1 (ceil via floor((a+b-1)/b))
+    n_chunks = F.when(n <= max_tokens, F.lit(1)).otherwise(
+        F.floor((n - F.lit(max_tokens) + F.lit(stride - 1)) / F.lit(stride)) + 1
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * stride + 1, max_tokens),
+    )
+    other = [f for f in df.columns if f not in (text_col,)]
+    return df.select(
+        *other,
+        F.posexplode(chunks).alias("chunk_idx", "__chunk"),
+    ).select(
+        *other,
+        "chunk_idx",
+        F.size("__chunk").alias("n_tokens"),
+        F.concat_ws(" ", "__chunk").alias(text_col),
+    )
+
+
 def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach all text-analysis columns in one narrow pass."""
     return (

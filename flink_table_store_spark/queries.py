@@ -2688,6 +2688,209 @@ QUERIES.update(EXTRA_QUERIES)
 QUERIES["dedup_minhash_cc"] = (dedup_minhash_cc, DEDUP_MINHASH_CC_SQL)
 
 
+# --- round-7 pipeline operators: repeated-substring dedup, chunking,
+# PII redaction, deterministic stratified sampling ------------------------
+
+
+def text_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated 8-gram spans (exact substring dedup,
+    Lee et al. ACL 2022 — datapipe/substring.py): per-doc count of
+    token windows whose content recurs anywhere in the corpus. The
+    oracle-facing run keys windows by their TEXT; ``key='hash'``
+    (xxhash64 windows, ~Wx smaller shuffle) is the scale path, covered
+    by the parity pytest."""
+    from flink_table_store_spark.datapipe.substring import repeated_gram_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return repeated_gram_stats(docs, width=8, key="text").orderBy("doc_id")
+
+
+TEXT_REPEATED_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), grams AS (
+  SELECT doc_id, s.i - 1 AS pos, array_to_string(t[s.i : s.i + 7], ' ') AS g
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(t) - 7, 0))) AS i
+  ) s
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+), rep AS (
+  SELECT g FROM grams GROUP BY g HAVING count(*) > 1
+), hits AS (
+  SELECT doc_id, count(*) AS n_repeated FROM grams JOIN rep USING (g)
+  GROUP BY doc_id
+)
+SELECT p.doc_id,
+       coalesce(h.n_repeated, 0) AS n_repeated,
+       p.n_grams,
+       coalesce(h.n_repeated, 0)::DOUBLE / p.n_grams AS rep_fraction
+FROM per_doc p LEFT JOIN hits h USING (doc_id)
+ORDER BY p.doc_id
+"""
+
+
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget document chunking (64-token chunks, 8-token
+    overlap — datapipe/text.py chunk_documents): the context-window
+    packing / RAG-ingestion unit. One output row per chunk with the
+    whitespace-normalized chunk text."""
+    from flink_table_store_spark.datapipe.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, max_tokens=64, overlap=8).select(
+        "doc_id",
+        "chunk_idx",
+        "n_tokens",
+        F.col("text").alias("chunk_text"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+TEXT_CHUNK_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\s+') END AS t
+  FROM documents
+), counted AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) <= 64 THEN 1
+              ELSE (len(t) - 64 + 55) // 56 + 1 END AS n_chunks
+  FROM toks
+), ch AS (
+  SELECT doc_id, t, unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+  FROM counted
+)
+SELECT doc_id, chunk_idx,
+       len(t[chunk_idx * 56 + 1 : chunk_idx * 56 + 64]) AS n_tokens,
+       array_to_string(t[chunk_idx * 56 + 1 : chunk_idx * 56 + 64], ' ') AS chunk_text
+FROM ch
+ORDER BY doc_id, chunk_idx
+"""
+
+
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction audit (datapipe/text.py redact_pii/pii_counts):
+    the corpus text is suffixed with deterministic synthetic PII (both
+    engines build the same string), then emails/IPv4s/phone shapes are
+    redacted to typed placeholders and counted. Patterns are RE2- and
+    Java-regex-compatible by construction (no lookarounds)."""
+    from flink_table_store_spark.datapipe.text import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    spiked = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id"),
+            F.lit("@mail.example.org or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 or call 555-123-4567 / +4915112345678"),
+        ).alias("text"),
+    )
+    return spiked.select(
+        "doc_id",
+        redact_pii("text").alias("redacted"),
+        *pii_counts("text"),
+    ).orderBy("doc_id")
+
+
+TEXT_PII_SQL = r"""
+WITH spiked AS (
+  SELECT doc_id,
+         text || ' reach user' || doc_id || '@mail.example.org or 10.0.'
+              || (doc_id % 256) || '.7 or call 555-123-4567 / +4915112345678'
+           AS text
+  FROM documents
+), r1 AS (
+  SELECT doc_id, text,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                        '<EMAIL>', 'g') AS t1,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails
+  FROM spiked
+), r2 AS (
+  SELECT doc_id, n_emails,
+         regexp_replace(t1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                        '<IP>', 'g') AS t2,
+         len(regexp_extract_all(t1,
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips
+  FROM r1
+), r3 AS (
+  SELECT doc_id, n_emails, n_ips,
+         regexp_replace(t2, '\+\d{7,15}\b', '<PHONE>', 'g') AS t3,
+         len(regexp_extract_all(t2, '\+\d{7,15}\b')) AS n_intl
+  FROM r2
+)
+SELECT doc_id,
+       regexp_replace(t3, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')
+         AS redacted,
+       n_emails, n_ips,
+       n_intl + len(regexp_extract_all(t3, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+         AS n_phones
+FROM r3
+ORDER BY doc_id
+"""
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-n stratified sample (datapipe/sampling.py):
+    20 docs per language, selected as the smallest md5(key-seed)
+    hashes — reproducible on any engine (the oracle replicates the
+    exact selection). Runs the scale path (count → broadcast threshold
+    → narrow prefilter → small per-stratum sort)."""
+    from flink_table_store_spark.datapipe.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        stratified_sample(docs, "lang", 20, key_col="doc_id", seed=7)
+        .select("doc_id", "lang", "source")
+        .orderBy("lang", "doc_id")
+    )
+
+
+SAMPLE_STRATIFIED_SQL = """
+SELECT doc_id, lang, source FROM (
+  SELECT doc_id, lang, source,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(doc_id::VARCHAR || '-7'), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 20
+ORDER BY lang, doc_id
+"""
+
+
+# round-7 pillar rotation: repeated-substring dedup and deterministic
+# stratified sampling are NEW operator families (span-level dedup;
+# training-mix sampling) and take driver slots; chunking + PII ride the
+# judge-run tail alongside them. Rotated out: text_quality_score (the
+# text-stats family keeps token_stats/gopher/decontaminate in the
+# window, quality stays green in the tail via text_quality_lang) and
+# multimodal_decode (multimodal_hash + blob_roundtrip keep the family).
+_R7B_NEW = {
+    "text_repeated_ngrams": (text_repeated_ngrams, TEXT_REPEATED_SQL),
+    "sample_stratified": (sample_stratified, SAMPLE_STRATIFIED_SQL),
+}
+_R7B_OUT = ["text_quality_score", "multimodal_decode"]
+_rebuilt7b: dict[str, tuple] = {}
+_new_iter7b = iter(_R7B_NEW.items())
+for _k, _v in QUERIES.items():
+    if _k in _R7B_OUT:
+        _nk, _nv = next(_new_iter7b)
+        _rebuilt7b[_nk] = _nv
+    else:
+        _rebuilt7b[_k] = _v
+for _k in _R7B_OUT:
+    _rebuilt7b[_k] = QUERIES[_k]
+QUERIES = _rebuilt7b
+QUERIES["text_chunk_documents"] = (text_chunk_documents, TEXT_CHUNK_SQL)
+QUERIES["text_redact_pii"] = (text_redact_pii, TEXT_PII_SQL)
+
+
 def reset_managed_tables(sf_dir: str | None = None) -> None:
     """Drop the /tmp managed warehouses (tests / fresh runs)."""
     if sf_dir is None:

@@ -391,3 +391,172 @@ def test_embedding_dedup_cc(spark):
     )
     kept = sorted(r.vec_id for r in embedding_dedup_cc(emb, threshold=0.95).collect())
     assert kept == [0, 9]
+
+
+# --- round 7: repeated-substring spans, chunking, PII, sampling ----------
+
+
+def _span_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j k l"),
+            (2, "x y a b c d e f g h q r"),
+            (3, "p q a b c d e f g h z w"),
+            (4, "unique tokens only here nothing shared at all"),
+            (5, "short"),
+        ],
+        "doc_id bigint, text string",
+    )
+
+
+def test_repeated_gram_stats_hash_text_parity(spark):
+    from flink_table_store_spark.datapipe.substring import repeated_gram_stats
+
+    docs = _span_docs(spark)
+    a = sorted(
+        map(tuple, repeated_gram_stats(docs, width=8, key="text").collect())
+    )
+    b = sorted(
+        map(tuple, repeated_gram_stats(docs, width=8, key="hash").collect())
+    )
+    assert a == b
+    by_id = {r[0]: r[1] for r in a}
+    # docs 1-3 share the 8-gram "a b c d e f g h"; 4 has none; 5 too short
+    assert by_id == {1: 1, 2: 1, 3: 1, 4: 0}
+
+
+def test_strip_repeated_spans_keep_first_property(spark):
+    """After keep-first stripping, re-running detection finds ZERO
+    repeated grams — exactly one copy of every repeated passage
+    survives (Lee et al.'s remove-all-but-one)."""
+    from flink_table_store_spark.datapipe.substring import (
+        repeated_gram_stats,
+        strip_repeated_spans,
+    )
+
+    docs = _span_docs(spark)
+    stripped = strip_repeated_spans(docs, width=8, key="hash")
+    out = {r.doc_id: r.text for r in stripped.collect()}
+    # globally-first occurrence (min (doc_id, pos)) is doc 1's copy
+    assert out[1] == "a b c d e f g h i j k l"
+    assert out[2] == "x y q r"
+    assert out[5] == "short"
+    again = repeated_gram_stats(
+        spark.createDataFrame(list(out.items()), "doc_id bigint, text string"),
+        width=8,
+        key="hash",
+    )
+    assert again.agg(F.sum("n_repeated")).first()[0] == 0
+
+
+def test_repeated_spans_merge_overlapping(spark):
+    """Consecutive repeated windows merge into ONE maximal span."""
+    from flink_table_store_spark.datapipe.substring import repeated_spans
+
+    base = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"  # 10 tokens -> 3 8-grams
+    docs = spark.createDataFrame(
+        [(1, base + " tailA only one"), (2, "lead B " + base)],
+        "doc_id bigint, text string",
+    )
+    spans = {
+        r.doc_id: [(s.s, s.e) for s in r.spans]
+        for r in repeated_spans(docs, width=8, key="hash").collect()
+    }
+    # doc 2's copy starts at token 2; windows 2,3,4 merge to [2, 12)
+    assert spans == {2: [(2, 12)]}
+
+
+def test_chunk_documents_coverage(spark):
+    from flink_table_store_spark.datapipe.text import chunk_documents
+
+    n_tok = 150
+    text = " ".join(f"w{i}" for i in range(n_tok))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "a b c"), (3, "")], "doc_id bigint, text string"
+    )
+    rows = chunk_documents(docs, max_tokens=64, overlap=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: stride 56 -> ceil((150-64)/56)+1 = 3 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [r.chunk_idx for r in c1] == [0, 1, 2]
+    assert [r.n_tokens for r in c1] == [64, 64, 150 - 2 * 56]
+    # overlap: chunk i starts at 56*i; chunk text matches the source
+    for i, r in enumerate(c1):
+        assert r.text.split(" ") == [f"w{j}" for j in range(56 * i, min(56 * i + 64, n_tok))]
+    # short + empty docs: one chunk each
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_tokens == 3
+    assert len(by_doc[3]) == 1 and by_doc[3][0].n_tokens == 0
+
+
+def test_redact_pii(spark):
+    from flink_table_store_spark.datapipe.text import pii_counts, redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-corp.io now"),
+            (2, "server 192.168.0.1 port 80 build 1234567"),
+            (3, "call 555-123-4567 or +4915112345678 ok"),
+            (4, "clean text with numbers 3.14 and v1.2.3.4.5"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: (r.red, r.n_emails, r.n_ips, r.n_phones)
+        for r in docs.select(
+            "doc_id", redact_pii("text").alias("red"), *pii_counts("text")
+        ).collect()
+    }
+    assert out[1] == ("mail <EMAIL> now", 1, 0, 0)
+    assert out[2] == ("server <IP> port 80 build 1234567", 0, 1, 0)
+    assert out[3] == ("call <PHONE> or <PHONE> ok", 0, 0, 2)
+    # 3.14 is not an IP; 1.2.3.4.5 contains an IP-shaped prefix that the
+    # word boundary rejects (trailing .5 keeps \b from matching cleanly)
+    assert out[4][1] == 0 and out[4][3] == 0
+
+
+def test_stratified_sample_exact_and_portable(spark):
+    from flink_table_store_spark.datapipe.sampling import (
+        hash_fraction_sample,
+        stratified_sample,
+    )
+
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    fast = stratified_sample(df, "lang", 7, key_col="doc_id", seed=3)
+    slow = stratified_sample(
+        df, "lang", 7, key_col="doc_id", seed=3, prefilter=False
+    )
+    a = sorted((r.lang, r.doc_id) for r in fast.collect())
+    b = sorted((r.lang, r.doc_id) for r in slow.collect())
+    assert a == b
+    from collections import Counter
+
+    assert Counter(x[0] for x in a) == {"en": 7, "de": 7, "fr": 7}
+    # n > stratum size: whole stratum returned, no dupes
+    tiny = spark.createDataFrame(rows[:5], "doc_id bigint, lang string")
+    got = stratified_sample(tiny, "lang", 99, key_col="doc_id").collect()
+    assert len(got) == 5
+    # deterministic fraction sampling: same seed -> same rows
+    f1 = sorted(r.doc_id for r in hash_fraction_sample(df, 0.25, seed=5).collect())
+    f2 = sorted(r.doc_id for r in hash_fraction_sample(df, 0.25, seed=5).collect())
+    assert f1 == f2 and 0 < len(f1) < 300
+
+
+def test_stratified_sample_prefilter_fallback(spark):
+    """A too-tight oversample must fall back to the exact full sort,
+    not return short strata."""
+    from flink_table_store_spark.datapipe.sampling import stratified_sample
+
+    rows = [(i, "xx") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = stratified_sample(
+        df, "lang", 50, key_col="doc_id", seed=1, safety=0.01
+    )
+    exact = stratified_sample(
+        df, "lang", 50, key_col="doc_id", seed=1, prefilter=False
+    )
+    assert sorted(r.doc_id for r in out.collect()) == sorted(
+        r.doc_id for r in exact.collect()
+    )
