@@ -483,6 +483,19 @@ def main() -> None:
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         DD.minhash_dedup(docs).count()
 
+    @timed("repeated_ngrams", repeat=3)
+    def _rn():
+        # cross-doc repeated 8-gram spans (exact substring dedup),
+        # hash-keyed scale path: one explode, window-over-gram, groupBy
+        from flink_table_store_spark.datapipe.substring import (
+            repeated_gram_stats,
+        )
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        repeated_gram_stats(docs, width=8).agg(
+            F.sum("n_repeated"), F.sum("n_grams")
+        ).collect()
+
     @timed("ann_brute_force", repeat=3)
     def _ann():
         Q.ann_brute_force(spark, sf_dir).collect()

@@ -35,7 +35,7 @@ functions, no skew (a doc's gram list is bounded by its own length).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -78,28 +78,25 @@ def repeated_gram_stats(
     Returns (id_col, n_repeated, n_grams, rep_fraction) for every
     document with at least one window; ``n_repeated`` counts this
     document's windows whose key occurs ≥2 times corpus-wide."""
+    # ONE explode, TWO shuffles: a no-order window over the gram key
+    # counts corpus-wide occurrences per row in a single pass, then one
+    # map-combined groupBy folds per-document stats. (The groupBy-then-
+    # join-back form recomputes the explode 3x and shuffles the
+    # occurrence stream by gram anyway — strictly more CPU and bytes.)
     grams = _gram_stream(df, text_col, id_col, width, key)
-    rep = (
-        grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .where(F.col("__n") > 1)
-        .select("gram")
-    )
-    per_doc = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        grams.join(rep, "gram")
-        .groupBy("__id")
-        .agg(F.count(F.lit(1)).alias("n_repeated"))
-    )
+    gn = F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    marked = grams.withColumn("__gn", gn)
     return (
-        per_doc.join(hits, "__id", "left")
+        marked.groupBy("__id")
+        .agg(
+            F.sum((F.col("__gn") > 1).cast("long")).alias("n_repeated"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
         .select(
             F.col("__id").alias(id_col),
-            F.coalesce("n_repeated", F.lit(0)).alias("n_repeated"),
+            F.col("n_repeated"),
             F.col("n_grams"),
-            (
-                F.coalesce("n_repeated", F.lit(0)) / F.col("n_grams")
-            ).alias("rep_fraction"),
+            (F.col("n_repeated") / F.col("n_grams")).alias("rep_fraction"),
         )
     )
 
@@ -152,14 +149,17 @@ def repeated_spans(
     exactly one copy of every repeated passage in the corpus. With
     ``keep_first=False`` every occurrence is marked (useful for
     contamination-style hard removal)."""
+    # same single-explode window shape as repeated_gram_stats; the
+    # keep-first exemption is a second aggregate over the SAME window
+    # partition (one shuffle serves both)
     grams = _gram_stream(df, text_col, id_col, width, key)
-    agg = [F.count(F.lit(1)).alias("__n")]
+    w = Window.partitionBy("gram")
+    marked = grams.withColumn("__gn", F.count(F.lit(1)).over(w))
     if keep_first:
-        agg.append(
-            F.min(F.struct(F.col("__id"), F.col("pos"))).alias("__first")
+        marked = marked.withColumn(
+            "__first", F.min(F.struct(F.col("__id"), F.col("pos"))).over(w)
         )
-    rep = grams.groupBy("gram").agg(*agg).where(F.col("__n") > 1)
-    marked = grams.join(rep, "gram")
+    marked = marked.where(F.col("__gn") > 1)
     if keep_first:
         marked = marked.where(
             (F.col("__id") != F.col("__first.__id"))
