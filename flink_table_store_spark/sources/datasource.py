@@ -11,6 +11,8 @@ connector re-expressed without a JVM extension:
     spark.dataSource.register(FtssDataSource)
     spark.read.format("ftss").load(path)                        # batch
     spark.read.format("ftss").option("tag", "v1").load(path)    # travel
+    spark.read.format("ftss") \
+        .option("incremental-between", "3,5").load(path)        # delta
     spark.readStream.format("ftss").load(path)                  # stream
     df.write.format("ftss").mode("append").save(path)           # commit
 
@@ -131,6 +133,79 @@ def _entry_file(table_path: str, e, pt_types: dict) -> dict:
     }
 
 
+def _incremental_range(table: "Table", options) -> tuple[int, int] | None:
+    """Resolve the reference's incremental read options to a snapshot
+    range (start, end] — option names mirror paimon-spark's
+    ``incremental-between`` / ``incremental-between-timestamp`` /
+    ``incremental-to-auto-tag`` (SparkConnectorOptions)."""
+    if v := options.get("incremental-between"):
+        a, b = (int(x.strip()) for x in str(v).split(","))
+        return a, b
+    if v := options.get("incremental-between-timestamp"):
+        t1, t2 = (int(x.strip()) for x in str(v).split(","))
+        s1 = table.snapshots.for_timestamp(t1)
+        s2 = table.snapshots.for_timestamp(t2)
+        return (s1.id if s1 else 0), (s2.id if s2 else 0)
+    if v := options.get("incremental-to-auto-tag"):
+        snap = table.snapshots.tag(str(v))
+        return snap.id - 1, snap.id
+    return None
+
+
+def _plan_incremental_partitions(
+    table: "Table", rng: tuple[int, int]
+) -> list[FtssInputPartition]:
+    """Partitions for rows ADDED in snapshots (start, end] — the same
+    delta-entry walk as Table.incremental_read (COMPACT snapshots move
+    data, add none). PK tables merge the delta per bucket; append
+    tables read each delta file raw. DVs do not apply (the delta is
+    read as committed); file pruning is skipped — Catalyst re-applies
+    every filter above the scan."""
+    import json as _json
+
+    from flink_table_store_spark.operators.bucketed_join import (
+        _field_maps,
+        _make_spec,
+    )
+    from flink_table_store_spark.snapshot import COMMIT_COMPACT
+
+    start, end = rng
+    entries = []
+    for sid in range(start + 1, end + 1):
+        if table.snapshots.exists(sid):
+            s = table.snapshots.load(sid)
+            if s.commit_kind == COMMIT_COMPACT:
+                continue
+            entries.extend(table.delta_entries(sid))
+    schema = table.schema
+    maps = _field_maps(table)
+    all_cols = schema.field_names()
+    base = _make_spec(schema, {}, [], maps, all_cols, [], pred=None)
+    pt_types = {k: schema.field(k).type for k in schema.partition_keys}
+    parts: list[FtssInputPartition] = []
+    if table.is_primary_key_table():
+        groups: dict[tuple, list] = {}
+        for e in entries:
+            groups.setdefault(
+                (_json.dumps(e.partition, sort_keys=True), e.bucket), []
+            ).append(e)
+        for (_pj, bucket), es in groups.items():
+            spec = dict(base)
+            spec["buckets"] = {
+                bucket: [_entry_file(table.path, e, pt_types) for e in es]
+            }
+            parts.append(FtssInputPartition(spec, bucket))
+    else:
+        for e in entries:
+            spec = dict(base)
+            spec["pk"] = False
+            spec["buckets"] = {
+                e.bucket: [_entry_file(table.path, e, pt_types)]
+            }
+            parts.append(FtssInputPartition(spec, e.bucket))
+    return parts
+
+
 def _plan_input_partitions(table: "Table", predicate, options) -> list[FtssInputPartition]:
     """Driver-side planning → per-task specs (DataTableBatchScan.plan →
     DataSplit[] analogue; PaimonBatch.planInputPartitions)."""
@@ -141,6 +216,9 @@ def _plan_input_partitions(table: "Table", predicate, options) -> list[FtssInput
         _make_spec,
     )
 
+    inc = _incremental_range(table, options)
+    if inc is not None:
+        return _plan_incremental_partitions(table, inc)
     rb = table.read_builder()
     if predicate is not None:
         rb = rb.with_filter(predicate)

@@ -97,6 +97,51 @@ class TestBatchRead:
             (1, "a2"), (2, "b"),
         ]
 
+    def test_incremental_between_options(self, spark, warehouse):
+        """The reference's incremental read options
+        (SparkConnectorOptions incremental-between /
+        -between-timestamp / -to-auto-tag) through the format reader:
+        parity with Table.incremental_read on PK and append tables."""
+        t = warehouse.create_table(
+            "db.inc", KV, primary_keys=["k"], options={"bucket": "2"}
+        )
+        t.write(spark.createDataFrame([(1, "a", "x"), (2, "b", "x")], KV))
+        t.write(spark.createDataFrame([(2, "b2", "x"), (3, "c", "y")], KV))
+        t.write(spark.createDataFrame([(4, "d", "y")], KV))
+        t = t.refresh()
+        t.create_tag("snap2", snapshot_id=2)
+        fmt = (
+            spark.read.format("ftss")
+            .option("incremental-between", "1,3")
+            .load(t.path)
+        )
+        api = t.incremental_read(spark, 1, 3)
+        assert _rows(fmt) == _rows(api)
+        assert _rows(fmt, "k", "v") == [(2, "b2"), (3, "c"), (4, "d")]
+        tag = (
+            spark.read.format("ftss")
+            .option("incremental-to-auto-tag", "snap2")
+            .load(t.path)
+        )
+        assert _rows(tag, "k", "v") == [(2, "b2"), (3, "c")]
+        ts2 = t.snapshots.load(2).time_millis
+        by_ts = (
+            spark.read.format("ftss")
+            .option("incremental-between-timestamp", f"0,{ts2}")
+            .load(t.path)
+        )
+        assert _rows(by_ts) == _rows(t.incremental_read(spark, 0, 2))
+        # append table: each delta file reads raw
+        ta = warehouse.create_table("db.inca", KV)
+        ta.write(spark.createDataFrame([(1, "a", "x")], KV))
+        ta.write(spark.createDataFrame([(2, "b", "y")], KV))
+        fmt_a = (
+            spark.read.format("ftss")
+            .option("incremental-between", "1,2")
+            .load(ta.path)
+        )
+        assert _rows(fmt_a, "k", "v") == [(2, "b")]
+
     def test_filter_pushdown_prunes_partitions(self, spark, warehouse):
         """The pushed WHERE reaches the planner: partition pruning drops
         the other partition's files from partitions() (and results stay
