@@ -60,6 +60,79 @@ def hash_fraction_sample(
     )
 
 
+def resample_to_mix(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict[str, float],
+    token_col: str,
+    total_tokens: int | None = None,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    max_repeat: int = 100,
+) -> DataFrame:
+    """Resample a corpus to a target per-domain TOKEN mix — the
+    training-mixture construction step (e.g. 60% web / 30% code /
+    10% academic). Every row gains a ``copy`` column (0..k-1); domains
+    above their target are deterministically downsampled, domains
+    below it are upsampled by repetition.
+
+    Per domain d with current token count ``T_d``: the budget is
+    ``B*w_d`` tokens (``B`` = ``total_tokens`` or the corpus total),
+    so each row repeats ``f = B*w_d/T_d`` times — ``floor(f)`` copies
+    plus one more when the row's uniform hash falls below ``frac(f)``
+    (deterministic Bernoulli, engine-portable via md5). Expected token
+    mass per domain is exactly the target; ``max_repeat`` guards a
+    tiny domain from exploding the output.
+
+    Scale: one map-combined groupBy over domains (the per-domain
+    totals broadcast back as a literal map), then a narrow
+    ``posexplode`` — no join, no second shuffle. Domains absent from
+    ``weights`` are dropped (weight 0)."""
+    totals = {
+        r[0]: r[1]
+        for r in df.groupBy(domain_col)
+        .agg(F.sum(F.col(token_col).cast("double")))
+        .collect()
+    }
+    budget = float(
+        total_tokens
+        if total_tokens is not None
+        else sum(v for v in totals.values() if v)
+    )
+    wsum = float(sum(weights.values()))
+    factors = {}
+    for d, t_d in totals.items():
+        w = weights.get(d, 0.0) / wsum if wsum else 0.0
+        f = (budget * w / t_d) if t_d else 0.0
+        if f > max_repeat:
+            raise ValueError(
+                f"domain {d!r} needs repeat factor {f:.1f} > max_repeat="
+                f"{max_repeat}; raise max_repeat or lower its weight"
+            )
+        factors[d] = f
+    fcol = None
+    for d, f in factors.items():
+        lit = F.lit(float(f))
+        fcol = lit if fcol is None else fcol
+        fcol = F.when(F.col(domain_col) == d, lit).otherwise(fcol)
+    if fcol is None:
+        fcol = F.lit(0.0)
+    base = F.floor(fcol).cast("int")
+    frac = fcol - F.floor(fcol)
+    # uniform in [0,1): first 15 hex digits of the portable hash key
+    u = F.conv(F.substring(sample_key(key_col, seed), 1, 15), 16, 10).cast(
+        "double"
+    ) / F.lit(float(1 << 60))
+    n_copies = base + (u < frac).cast("int")
+    out = df.withColumn("__n_copies", n_copies).where(F.col("__n_copies") > 0)
+    return out.select(
+        "*",
+        F.posexplode(
+            F.array_repeat(F.lit(0), F.col("__n_copies"))
+        ).alias("copy", "__z"),
+    ).drop("__n_copies", "__z")
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -2891,6 +2891,48 @@ QUERIES["text_chunk_documents"] = (text_chunk_documents, TEXT_CHUNK_SQL)
 QUERIES["text_redact_pii"] = (text_redact_pii, TEXT_PII_SQL)
 
 
+def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture resampling (datapipe/sampling.py
+    resample_to_mix): reweight the corpus so languages hit a target
+    token share (0.25/0.25/0.25/0.125/0.125 — exactly representable
+    doubles, so both engines compute bit-identical repeat factors).
+    Deterministic fractional repeats via the portable md5 key."""
+    from flink_table_store_spark.datapipe.sampling import resample_to_mix
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    weights = {"en": 0.25, "de": 0.25, "es": 0.25, "fr": 0.125, "zh": 0.125}
+    return resample_to_mix(
+        docs, "lang", weights, "n_chars", key_col="doc_id", seed=42
+    ).orderBy("doc_id", "copy")
+
+
+SAMPLE_MIX_SQL = """
+WITH tot AS (
+  SELECT lang, sum(n_chars)::DOUBLE AS t_d FROM documents GROUP BY lang
+), b AS (
+  SELECT sum(t_d) AS budget FROM tot
+), f AS (
+  SELECT lang,
+         (CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.25
+                    WHEN 'es' THEN 0.25 WHEN 'fr' THEN 0.125
+                    WHEN 'zh' THEN 0.125 ELSE 0.0 END * budget) / t_d AS fac
+  FROM tot, b
+), marked AS (
+  SELECT d.doc_id, d.lang, d.n_chars,
+         (floor(fac) + CASE WHEN
+            (('0x' || substr(md5(d.doc_id::VARCHAR || '-42'), 1, 15))::BIGINT)::DOUBLE
+              / 1152921504606846976.0 < fac - floor(fac)
+          THEN 1 ELSE 0 END)::INT AS n_copies
+  FROM documents d JOIN f USING (lang)
+)
+SELECT doc_id, lang, n_chars, unnest(generate_series(0, n_copies - 1)) AS copy
+FROM marked
+ORDER BY doc_id, copy
+"""
+
+QUERIES["sample_domain_mix"] = (sample_domain_mix, SAMPLE_MIX_SQL)
+
+
 def reset_managed_tables(sf_dir: str | None = None) -> None:
     """Drop the /tmp managed warehouses (tests / fresh runs)."""
     if sf_dir is None:

@@ -560,3 +560,41 @@ def test_stratified_sample_prefilter_fallback(spark):
     assert sorted(r.doc_id for r in out.collect()) == sorted(
         r.doc_id for r in exact.collect()
     )
+
+
+def test_resample_to_mix(spark):
+    """Target token shares are hit in expectation; output deterministic;
+    oversized repeat factors refuse loudly."""
+    from flink_table_store_spark.datapipe.sampling import resample_to_mix
+
+    rows = [
+        (i, "web" if i < 600 else ("code" if i < 900 else "acad"), 100)
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, domain string, n_tokens bigint")
+    out = resample_to_mix(
+        df, "domain", {"web": 0.4, "code": 0.4, "acad": 0.2}, "n_tokens"
+    )
+    got = {r[0]: r[1] for r in out.groupBy("domain").agg(F.sum("n_tokens")).collect()}
+    tot = sum(got.values())
+    assert abs(got["web"] / tot - 0.4) < 0.02
+    assert abs(got["code"] / tot - 0.4) < 0.02
+    assert abs(got["acad"] / tot - 0.2) < 0.02
+    # deterministic across runs; copy ids are 0..k-1 per doc
+    again = resample_to_mix(
+        df, "domain", {"web": 0.4, "code": 0.4, "acad": 0.2}, "n_tokens"
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+    # a domain absent from weights is dropped
+    assert (
+        resample_to_mix(df, "domain", {"web": 1.0}, "n_tokens")
+        .where(F.col("domain") != "web")
+        .count()
+        == 0
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_repeat"):
+        resample_to_mix(
+            df, "domain", {"acad": 1.0}, "n_tokens", max_repeat=5
+        )
