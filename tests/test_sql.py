@@ -680,10 +680,15 @@ def test_sql_auto_elision_fuzz_parity(spark, warehouse, monkeypatch):
     sel_pool = [
         "f.oid", "f.amt", "d.dname", "d.weight", "f.k", "d.k",
         "f.oid AS o2", "d.weight AS w2",
+        # literal-keyword adversaries (the r7 masking audit's class):
+        # SQL structure spelled INSIDE literals must ride through
+        "'FROM db.fz_f f JOIN db.fz_d d' AS lit_a",
+        "' where x group by y having z ' AS lit_b",
     ]
     where_pool = [
         "f.amt > 5.0", "d.weight >= 200", "f.tag = 't1'", "d.dname IS NOT NULL",
         "f.oid + d.weight > 100", "d.dname <> \"f.x\"",
+        "f.tag <> 'x JOIN y, AND z'",
     ]
     agg_pool = [
         "count(*) AS n", "sum(f.amt) AS sa", "min(d.dname) AS mn",
@@ -715,8 +720,15 @@ def test_sql_auto_elision_fuzz_parity(spark, warehouse, monkeypatch):
             if rng.random() < 0.6 and not grouped
             else ""
         )
+        # random comment injection: masking must treat comments (with
+        # stray quotes and keywords) as opaque
+        comment = (
+            rng.choice(["/* don't JOIN here */ ", "-- from db.fz_f\n"])
+            if rng.random() < 0.3
+            else ""
+        )
         q = (
-            f"SELECT {', '.join(sel)} FROM db.fz_f f {how} db.fz_d d "
+            f"SELECT {comment}{', '.join(sel)} FROM db.fz_f f {how} db.fz_d d "
             f"ON f.k = d.k{where}{tail}"
         )
         with monkeypatch.context() as mp:
