@@ -642,11 +642,9 @@ def main() -> None:
     # design — the measure is protocol+CAS overhead, not data volume)
     from flink_table_store_spark.rest import RESTCatalog, RESTCatalogServer
 
-    rest_wh = os.path.join(BENCH_WH, "rest_wh")
     rest_schema = orders.select("o_orderkey", "o_custkey", "o_totalprice").schema
 
-    @timed("rest_meta_ops")
-    def _rm():
+    def _rest_run(rest_wh):
         with RESTCatalogServer(rest_wh, token="bench") as srv:
             rcat = RESTCatalog(srv.uri, token="bench")
             for i in range(40):
@@ -664,6 +662,13 @@ def main() -> None:
                     f"bench.rt{i:02d}",
                     [{"action": "set_option", "key": "k", "value": str(i)}],
                 )
+
+    # mutating (creates tables) -> median-of-3 over fresh warehouses
+    timed_mutating(
+        "rest_meta_ops",
+        [os.path.join(BENCH_WH, f"rest_wh{i}") for i in range(3)],
+        _rest_run,
+    )
 
     @timed("gopher_filter", repeat=3)
     def _gf():
