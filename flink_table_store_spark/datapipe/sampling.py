@@ -110,13 +110,14 @@ def resample_to_mix(
                 f"{max_repeat}; raise max_repeat or lower its weight"
             )
         factors[d] = f
-    fcol = None
+    # base of the when-chain is 0.0 so rows whose domain matches no
+    # branch — including NULL domains, where every `col == d` compares
+    # to null — get factor 0 and are dropped, per the weight-0 contract
+    fcol: Column = F.lit(0.0)
     for d, f in factors.items():
-        lit = F.lit(float(f))
-        fcol = lit if fcol is None else fcol
-        fcol = F.when(F.col(domain_col) == d, lit).otherwise(fcol)
-    if fcol is None:
-        fcol = F.lit(0.0)
+        if d is None:
+            continue
+        fcol = F.when(F.col(domain_col) == d, F.lit(float(f))).otherwise(fcol)
     base = F.floor(fcol).cast("int")
     frac = fcol - F.floor(fcol)
     # uniform in [0,1): first 15 hex digits of the portable hash key
@@ -180,9 +181,16 @@ def stratified_sample(
         F.conv(F.substring("__okey", 1, 15), 16, 10).cast("bigint")
         <= F.col("__bound")
     )
+    # shortfall is computed from `counts` (every stratum), not from
+    # `cand`: a stratum whose prefilter yields ZERO candidates (e.g.
+    # duplicate key values all hashing above the bound) must still take
+    # the loud full-sort fallback rather than vanish from the output
+    cand_counts = cand.groupBy(strata_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
     short = (
-        cand.groupBy(strata_col, "__n")
-        .agg(F.count(F.lit(1)).alias("__c"))
+        counts.join(cand_counts, strata_col, "left")
+        .withColumn("__c", F.coalesce(F.col("__c"), F.lit(0)))
         .where(F.col("__c") < F.least(F.lit(n_per_stratum), F.col("__n")))
         .select(strata_col)
     )

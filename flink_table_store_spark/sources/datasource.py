@@ -501,13 +501,17 @@ class FtssWriter(DataSourceArrowWriter):
         self._bucket_keys = (
             [(k, schema.field(k).type) for k in bucket_keys(schema)] if self._pk else []
         )
-        supported = (
+        supported = {
             "bigint", "long", "int", "integer", "smallint", "short",
             "tinyint", "byte", "string", "varchar", "char", "boolean",
             "date", "double", "float", "timestamp",
-        )
+        }
         for k, ddl in self._bucket_keys:
-            if not ddl.strip().lower().startswith(supported):
+            # exact base-token match (DDL up to any '(' or space): a
+            # prefix test would let e.g. `interval day` slip through on
+            # the 'int' prefix and fail mid-task in spark_xxhash64
+            base = ddl.strip().lower().split("(")[0].split(" ")[0].split("<")[0]
+            if base not in supported:
                 # fail at plan time, not mid-task: a misplaced bucket
                 # would corrupt merges
                 raise ValueError(

@@ -598,3 +598,36 @@ def test_resample_to_mix(spark):
         resample_to_mix(
             df, "domain", {"acad": 1.0}, "n_tokens", max_repeat=5
         )
+
+
+def test_resample_to_mix_null_domain_dropped(spark):
+    """Rows with a NULL domain match no when-branch; the chain base must
+    be 0.0 so they are dropped, not handed the first domain's factor
+    (round-7 advisory)."""
+    from flink_table_store_spark.datapipe.sampling import resample_to_mix
+
+    rows = [(i, "web" if i < 20 else None, 100) for i in range(25)]
+    df = spark.createDataFrame(rows, "doc_id bigint, domain string, n_tokens bigint")
+    out = resample_to_mix(df, "domain", {"web": 1.0}, "n_tokens")
+    assert out.where(F.col("domain").isNull()).count() == 0
+    assert out.where(F.col("domain") == "web").count() > 0
+
+
+def test_stratified_sample_zero_candidate_stratum(spark):
+    """A stratum whose prefilter yields ZERO candidates (duplicate key
+    values hashing above the bound) must take the full-sort fallback,
+    not silently vanish (round-7 advisory)."""
+    from flink_table_store_spark.datapipe.sampling import stratified_sample
+
+    # stratum 'b': 400 rows sharing ONE key value -> one distinct hash;
+    # with safety=0.01 the bound is ~5e-5 of hash space, so w.h.p. that
+    # single hash misses the candidate filter entirely
+    rows = [(i, "a") for i in range(400)] + [(777, "b")] * 400
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = stratified_sample(
+        df, "lang", 5, key_col="doc_id", seed=11, safety=0.01
+    )
+    from collections import Counter
+
+    cnt = Counter(r.lang for r in out.collect())
+    assert cnt["a"] == 5 and cnt["b"] == 5, cnt

@@ -320,3 +320,49 @@ class TestStreamRead:
         assert got == [(2, "b"), (3, "c2")]
         # empty range → no partitions
         assert r.partitions({"snapshot": 3, "full": False}, {"snapshot": 3, "full": False}) == []
+
+
+class TestWriteGuardTypes:
+    def test_interval_bucket_key_rejected_at_plan_time(self, spark, warehouse):
+        """Base-token match, not prefix: an `interval day` bucket key
+        must not slip past the guard on the 'int' prefix and fail
+        mid-task in spark_xxhash64 (round-7 advisory)."""
+        import pytest as _pytest
+        from pyspark.sql import types as T
+
+        sch = T.StructType(
+            [
+                T.StructField("k", T.DayTimeIntervalType(0, 0)),
+                T.StructField("v", T.StringType()),
+            ]
+        )
+        t = warehouse.create_table(
+            "db.iv", sch, primary_keys=["k"], options={"bucket": "2"}
+        )
+        df = spark.createDataFrame(
+            [(__import__("datetime").timedelta(days=1), "a")], sch
+        )
+        with _pytest.raises(Exception, match="Spark-side hash|table.write"):
+            df.write.format("ftss").mode("append").save(t.path)
+
+    def test_parenthesized_unsupported_type_rejected(self, spark, warehouse):
+        """The base-token split must see through parentheses: a
+        decimal(10,2) bucket key is rejected with the plan-time error,
+        not a crash in the tokenizer."""
+        import pytest as _pytest
+        from pyspark.sql import types as T
+
+        sch = T.StructType(
+            [
+                T.StructField("k", T.DecimalType(10, 2)),
+                T.StructField("v", T.StringType()),
+            ]
+        )
+        t = warehouse.create_table(
+            "db.dec", sch, primary_keys=["k"], options={"bucket": "2"}
+        )
+        from decimal import Decimal
+
+        df = spark.createDataFrame([(Decimal("1.50"), "a")], sch)
+        with _pytest.raises(Exception, match="Spark-side hash|table.write"):
+            df.write.format("ftss").mode("append").save(t.path)
