@@ -12,6 +12,7 @@ the reference file:line it mirrors.
 
 from flink_table_store_spark.catalog import Catalog
 from flink_table_store_spark.hive_catalog import HiveCatalog
+from flink_table_store_spark.jdbc_catalog import JdbcCatalog
 from flink_table_store_spark.rest import RESTCatalog, RESTCatalogServer
 from flink_table_store_spark.session import get_spark
 from flink_table_store_spark.sql import SqlSession
@@ -20,6 +21,7 @@ from flink_table_store_spark.table import Table
 __all__ = [
     "Catalog",
     "HiveCatalog",
+    "JdbcCatalog",
     "RESTCatalog",
     "RESTCatalogServer",
     "SqlSession",
