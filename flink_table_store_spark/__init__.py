@@ -13,6 +13,7 @@ the reference file:line it mirrors.
 from flink_table_store_spark.catalog import Catalog
 from flink_table_store_spark.hive_catalog import HiveCatalog
 from flink_table_store_spark.jdbc_catalog import JdbcCatalog
+from flink_table_store_spark.privilege import PrivilegedCatalog, init_file_based_privilege
 from flink_table_store_spark.rest import RESTCatalog, RESTCatalogServer
 from flink_table_store_spark.session import get_spark
 from flink_table_store_spark.sql import SqlSession
@@ -22,8 +23,10 @@ __all__ = [
     "Catalog",
     "HiveCatalog",
     "JdbcCatalog",
+    "PrivilegedCatalog",
     "RESTCatalog",
     "RESTCatalogServer",
+    "init_file_based_privilege",
     "SqlSession",
     "Table",
     "get_spark",

@@ -207,7 +207,38 @@ PROCEDURES: dict[str, Callable] = {
     "migrate_iceberg_table": lambda s, c, a: _migrate_iceberg(s, c, a),
     "migrate_hudi_table": lambda s, c, a: _migrate_hudi(s, c, a),
     "copy_files": lambda s, c, a: _copy_files(s, c, a),
+    # privilege procedures (paimon-flink procedure/privilege/*.java)
+    "init_file_based_privilege": lambda s, c, a: _init_privilege(c, a),
+    "create_privileged_user": lambda s, c, a: _priv_cat(c).create_privileged_user(
+        a["user"], a["password"]
+    ),
+    "drop_privileged_user": lambda s, c, a: _priv_cat(c).drop_privileged_user(
+        a["user"]
+    ),
+    "grant_privilege_to_user": lambda s, c, a: _priv_cat(c).grant_privilege(
+        a["user"], a["privilege"], a.get("database"), a.get("table")
+    ),
+    "revoke_privilege_from_user": lambda s, c, a: _priv_cat(c).revoke_privilege(
+        a["user"], a["privilege"], a.get("database"), a.get("table")
+    ),
 }
+
+
+def _init_privilege(cat, a):
+    from flink_table_store_spark.privilege import init_file_based_privilege
+
+    init_file_based_privilege(cat, a["root_password"])
+
+
+def _priv_cat(cat):
+    from flink_table_store_spark.privilege import PrivilegedCatalog
+
+    if not isinstance(cat, PrivilegedCatalog):
+        raise ValueError(
+            "this procedure requires a privileged catalog — construct "
+            "PrivilegedCatalog(catalog, user, password) first"
+        )
+    return cat
 
 
 def _create_gidx(spark, cat, a):
