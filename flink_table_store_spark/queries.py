@@ -2933,6 +2933,151 @@ ORDER BY doc_id, copy
 QUERIES["sample_domain_mix"] = (sample_domain_mix, SAMPLE_MIX_SQL)
 
 
+# --- round-8: JDBC catalog + privilege system -----------------------------
+
+
+def jdbc_catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end JDBC catalog (paimon-core jdbc/JdbcCatalog.java,
+    SqlLiteDistributedLockDialect.java): catalog metadata lives in a
+    shared sqlite database, data on the warehouse. Client A creates the
+    table (registry INSERT arbitration) and commits two snapshots under
+    the distributed lock; client B — a separate catalog instance that
+    only shares the sqlite file — resolves the table through the
+    REGISTRY (not a directory listing) and scans."""
+    from flink_table_store_spark.jdbc_catalog import JdbcCatalog
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(_WAREHOUSE_ROOT, tag, "jdbc_wh")
+    cat = JdbcCatalog(os.path.join(root, "meta.db"), os.path.join(root, "wh"))
+    sup = _t(spark, sf_dir, "supplier")
+    t = cat.create_table(
+        "default.supplier_jdbc",
+        sup.schema,
+        primary_keys=["s_suppkey"],
+        options={"bucket": "4"},
+        ignore_if_exists=True,
+    )
+    if not t.snapshots.latest_id() or t.snapshots.latest_id() < 2:
+        # two commits, each inside the jdbc distributed lock (the
+        # metastore-arbitrated deployment the lock table exists for)
+        cat.run_with_lock(
+            "default.supplier_jdbc",
+            lambda: t.write(sup.where(F.col("s_suppkey") % 2 == 0)),
+        )
+        cat.run_with_lock(
+            "default.supplier_jdbc",
+            lambda: t.write(sup.where(F.col("s_suppkey") % 2 == 1)),
+        )
+    other = JdbcCatalog(cat.db_path, cat.warehouse)
+    assert other.list_tables("default") == ["supplier_jdbc"]
+    return (
+        other.get_table("default.supplier_jdbc")
+        .to_df(spark)
+        .where(F.col("s_acctbal") > 0)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_supp"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+JDBC_CATALOG_SQL = """
+SELECT s_nationkey, count(*) AS n_supp, round(sum(s_acctbal), 2) AS total_bal
+FROM supplier WHERE s_acctbal > 0
+GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
+def privileged_catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privilege-checked read path (paimon-core privilege/
+    PrivilegedCatalog.java + PrivilegedFileStoreTable.java): root
+    initializes the warehouse's privilege stores and writes; 'analyst'
+    holds database-level SELECT only — the scan below resolves through
+    the hierarchical checker (db grant covers db.table), and the
+    in-query assertions prove INSERT and DROP are refused for the same
+    identity before the DataFrame is returned."""
+    from flink_table_store_spark.privilege import (
+        FileBasedPrivilegeManager,
+        NoPrivilegeException,
+        PrivilegedCatalog,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    wh = os.path.join(_WAREHOUSE_ROOT, tag, "priv_wh")
+    cat = Catalog(wh)
+    nat = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    t = cat.create_table(
+        "default.customer_priv",
+        cust.schema,
+        primary_keys=["c_custkey"],
+        options={"bucket": "4"},
+        ignore_if_exists=True,
+    )
+    if not FileBasedPrivilegeManager(wh).privilege_enabled():
+        from flink_table_store_spark.privilege import init_file_based_privilege
+
+        init_file_based_privilege(cat, "root-pw")
+    root = PrivilegedCatalog(cat, "root", "root-pw")
+    if not t.snapshots.latest_id():
+        root.get_table("default.customer_priv").write(cust)
+    if not root.privilege_manager.user_exists("analyst"):
+        root.create_privileged_user("analyst", "a-pw")
+        root.grant_privilege("analyst", "SELECT", "default")
+    analyst = PrivilegedCatalog(Catalog(wh), "analyst", "a-pw")
+    at = analyst.get_table("default.customer_priv")
+    # enforcement is part of the query's contract: the same identity
+    # must NOT be able to write or drop
+    for attempt in (lambda: at.write(cust.limit(1)),
+                    lambda: analyst.drop_table("default.customer_priv")):
+        try:
+            attempt()
+            raise AssertionError("privilege enforcement failed")
+        except NoPrivilegeException:
+            pass
+    df = at.to_df(spark)
+    return (
+        df.join(F.broadcast(nat), df.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+PRIVILEGED_SQL = """
+SELECT n_name, count(*) AS n_cust, round(avg(c_acctbal), 2) AS avg_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+# round-8 rotation: the JDBC catalog and the privilege system are new
+# reference surfaces (new catalog flavor; new access-control family) and
+# take driver slots. Rotated out: ngram_jaccard (dedup keeps
+# exact/minhash/simhash in the window) and range_rowgroup_scan (P9 keeps
+# bloom_index_scan + range_index_scan). Both stay in the judge-run tail.
+_R8_NEW = {
+    "jdbc_catalog_scan": (jdbc_catalog_scan, JDBC_CATALOG_SQL),
+    "privileged_catalog_scan": (privileged_catalog_scan, PRIVILEGED_SQL),
+}
+_R8_OUT = ["ngram_jaccard", "range_rowgroup_scan"]
+_rebuilt8: dict[str, tuple] = {}
+_new_iter8 = iter(_R8_NEW.items())
+for _k, _v in QUERIES.items():
+    if _k in _R8_OUT:
+        _nk, _nv = next(_new_iter8)
+        _rebuilt8[_nk] = _nv
+    else:
+        _rebuilt8[_k] = _v
+for _k in _R8_OUT:
+    _rebuilt8[_k] = QUERIES[_k]
+QUERIES = _rebuilt8
+
+
 def reset_managed_tables(sf_dir: str | None = None) -> None:
     """Drop the /tmp managed warehouses (tests / fresh runs)."""
     if sf_dir is None:
