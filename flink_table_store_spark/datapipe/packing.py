@@ -1,0 +1,211 @@
+"""Sequence packing: assemble documents into fixed-length training rows.
+
+The step between a curated corpus and a training run: every example fed
+to the model is exactly ``seq_len`` tokens, so documents must be packed
+into windows. Two standard strategies, both deterministic and
+engine-portable:
+
+- ``pack_sequences`` — GPT-style "concatenate then cut": documents are
+  laid end-to-end in a deterministic order (a portable hash of the key,
+  i.e. a reproducible shuffle) and the stream is cut every ``seq_len``
+  tokens. Zero padding waste; documents may straddle a cut (the usual
+  causal-LM pretraining layout). Output: one row per (doc, pack) span.
+- ``pack_first_fit`` — no-split packing: each document lands in
+  exactly one pack (padded packs), for SFT-style data where crossing
+  boundaries is wrong. Exact first-fit-decreasing per deterministic
+  shard (bin packing is inherently sequential, so density needs a real
+  FFD — Arrow-batched ``applyInPandas``, one shard per task).
+
+Scale design: ``pack_sequences`` is ONE window pass over a cumulative
+token sum — no UDF, no self-join, no driver loop; the cumsum window is
+a single sort-shuffle, made per-shard (embarrassingly parallel) via
+``shard_col`` at 100 TB. ``pack_first_fit`` shuffles once on the shard
+hash and packs each shard independently; waste from shard tails is
+bounded by one partial pack per shard, and n_shards is a reproducibility
+parameter, not a cluster property.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_table_store_spark.datapipe.sampling import sample_key
+
+
+def _order_key(key_col: str, seed: int) -> Column:
+    # portable deterministic shuffle order (md5 — same on any engine)
+    return sample_key(key_col, seed)
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    token_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    seed: int = 42,
+    shard_col: str | None = None,
+) -> DataFrame:
+    """Concatenate-then-cut packing. Documents are ordered by a
+    deterministic hash of ``key_col`` (a reproducible shuffle), laid
+    end-to-end, and the token stream is cut every ``seq_len``. Returns
+    one row per (document, pack) SPAN:
+
+    - ``pack_id``     — 0-based index of the training row
+    - ``pack_offset`` — where this span starts inside the pack
+    - ``doc_offset``  — where this span starts inside the document
+    - ``span_tokens`` — span length (= doc tokens unless it straddles)
+
+    A document longer than ``seq_len`` spans several packs; the spans
+    partition it exactly. sum(span_tokens) == sum(n_tokens): no token
+    is dropped or duplicated.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    part = [shard_col] if shard_col else []
+    w = Window.partitionBy(*part).orderBy(_order_key(key_col, seed), key_col)
+    n = F.col(token_col).cast("bigint")
+    # end-exclusive cumulative token position of each document
+    cum_end = F.sum(n).over(w)
+    base = df.where(n > 0).select(
+        *df.columns,
+        (cum_end - n).alias("__start"),
+        cum_end.alias("__end"),
+    )
+    # a document covers packs floor(start/L) .. floor((end-1)/L); emit
+    # one span per covered pack via a narrow posexplode (width = number
+    # of packs the doc touches — 1 for all docs shorter than seq_len)
+    L = F.lit(int(seq_len)).cast("bigint")
+    first_pack = (F.col("__start") / L).cast("bigint")
+    last_pack = ((F.col("__end") - 1) / L).cast("bigint")
+    spans = base.select(
+        *df.columns,
+        "__start",
+        "__end",
+        F.posexplode(
+            F.sequence(first_pack, last_pack)
+        ).alias("__i", "pack_id"),
+    )
+    pack_start = F.col("pack_id") * L
+    span_start = F.greatest(F.col("__start"), pack_start)
+    span_end = F.least(F.col("__end"), pack_start + L)
+    return spans.select(
+        *df.columns,
+        F.col("pack_id"),
+        (span_start - pack_start).alias("pack_offset"),
+        (span_start - F.col("__start")).alias("doc_offset"),
+        (span_end - span_start).alias("span_tokens"),
+    )
+
+
+def pack_first_fit(
+    df: DataFrame,
+    seq_len: int,
+    token_col: str = "n_tokens",
+    key_col: str = "doc_id",
+    shard_col: str | None = None,
+    n_shards: int = 64,
+) -> DataFrame:
+    """No-split packing: each document goes to exactly ONE pack, packs
+    hold ≤ ``seq_len`` tokens, remainder is padding. Documents longer
+    than ``seq_len`` are refused loudly (truncate or chunk first —
+    silent truncation corrupts training data).
+
+    Bin packing is inherently sequential — no composition of window
+    functions reaches first-fit density — so this runs EXACT first-fit-
+    decreasing per shard in an Arrow-batched ``applyInPandas``: docs
+    shard deterministically by a portable hash of ``key_col`` (or by
+    ``shard_col``), each shard packs independently with FFD (≈2-3%
+    waste on natural length mixes, 11/9·OPT+1 worst case), and waste
+    from shard tails is ≤ one partial pack per shard. ``n_shards`` is
+    a FIXED parameter, not cluster parallelism, so the same corpus and
+    seed produce the same packs on any cluster — reproducibility is
+    what makes a training run auditable. Size it so a shard's docs fit
+    an executor's memory (shard ≈ corpus/n_shards).
+
+    Returns the input plus ``pack_id`` (unique across shards, sparse)
+    and ``pack_tokens`` (total tokens of the pack).
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive, got {seq_len}")
+    n = F.col(token_col).cast("bigint")
+    too_long = df.where(n > seq_len)
+    if too_long.take(1):
+        raise ValueError(
+            f"pack_first_fit: document(s) longer than seq_len={seq_len} "
+            f"(e.g. {too_long.select(key_col, token_col).first()}); "
+            "chunk or truncate first"
+        )
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    if shard_col:
+        shard_expr = F.col(shard_col).cast("string")
+    else:
+        shard_expr = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("string")
+    staged = df.withColumn("__shard", shard_expr)
+    out_schema = T.StructType(
+        list(staged.schema.fields)
+        + [
+            T.StructField("pack_id", T.LongType()),
+            T.StructField("pack_tokens", T.LongType()),
+        ]
+    )
+    key_name, tok_name, L = key_col, token_col, int(seq_len)
+    stride = 1 << 40
+
+    def _ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        # exact first-fit-decreasing; deterministic via (len desc, key)
+        pdf = pdf.sort_values(
+            [tok_name, key_name], ascending=[False, True]
+        ).reset_index(drop=True)
+        sh = pdf["__shard"].iloc[0]
+        # stable across processes (Python's hash() is salted per run)
+        shard_id = (
+            int(sh)
+            if sh.isdigit()
+            else zlib.crc32(sh.encode("utf-8")) & 0x7FFFF
+        )
+        bins: list[int] = []  # remaining capacity per bin
+        assign = []
+        for tok in pdf[tok_name].astype("int64"):
+            placed = -1
+            for i, cap in enumerate(bins):
+                if cap >= tok:
+                    placed = i
+                    break
+            if placed < 0:
+                bins.append(L)
+                placed = len(bins) - 1
+            bins[placed] -= int(tok)
+            assign.append(placed)
+        pdf["pack_id"] = [shard_id * stride + a for a in assign]
+        fill = {}
+        for a, tok in zip(assign, pdf[tok_name].astype("int64")):
+            fill[a] = fill.get(a, 0) + int(tok)
+        pdf["pack_tokens"] = [fill[a] for a in assign]
+        return pdf
+
+    return (
+        staged.groupBy("__shard")
+        .applyInPandas(_ffd, schema=out_schema)
+        .drop("__shard")
+    )
+
+
+def packing_stats(
+    packed: DataFrame, seq_len: int, span_col: str = "span_tokens"
+) -> DataFrame:
+    """Efficiency summary of a packing: packs, tokens, fill rate."""
+    per_pack = packed.groupBy("pack_id").agg(
+        F.sum(span_col).alias("fill"), F.count(F.lit(1)).alias("n_spans")
+    )
+    return per_pack.agg(
+        F.count(F.lit(1)).alias("n_packs"),
+        F.sum("fill").alias("total_tokens"),
+        F.round(F.avg(F.col("fill") / F.lit(float(seq_len))), 4).alias("avg_fill"),
+        F.round(F.avg("n_spans"), 2).alias("avg_docs_per_pack"),
+    )

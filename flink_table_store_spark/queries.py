@@ -3055,16 +3055,57 @@ FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name ORDER BY n_name
 """
 
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training rows (datapipe/packing.py
+    pack_sequences — GPT-style concatenate-then-cut): documents are
+    laid end-to-end in a deterministic md5 shuffle order and cut every
+    2048 units; one output row per (document, pack) span with exact
+    offsets. The no-split variant (pack_first_fit, exact per-shard FFD)
+    is pytest-covered — bin packing is not SQL-expressible."""
+    from flink_table_store_spark.datapipe.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pack_sequences(
+        docs, seq_len=2048, token_col="n_chars", key_col="doc_id", seed=42
+    ).select(
+        "doc_id", "pack_id", "pack_offset", "doc_offset", "span_tokens"
+    ).orderBy("doc_id", "pack_id")
+
+
+PACK_SEQ_SQL = """
+WITH ordered AS (
+  SELECT doc_id, n_chars::BIGINT AS n,
+         (sum(n_chars::BIGINT) OVER (
+           ORDER BY md5(doc_id::VARCHAR || '-42'), doc_id
+           ROWS UNBOUNDED PRECEDING))::BIGINT AS cend
+  FROM documents WHERE n_chars > 0
+), spans AS (
+  SELECT doc_id, cend - n AS cstart, cend,
+         unnest(generate_series((cend - n) // 2048, (cend - 1) // 2048))
+           AS pack_id
+  FROM ordered
+)
+SELECT doc_id, pack_id,
+       greatest(cstart, pack_id * 2048) - pack_id * 2048 AS pack_offset,
+       greatest(cstart, pack_id * 2048) - cstart AS doc_offset,
+       least(cend, pack_id * 2048 + 2048) - greatest(cstart, pack_id * 2048)
+         AS span_tokens
+FROM spans ORDER BY doc_id, pack_id
+"""
+
 # round-8 rotation: the JDBC catalog and the privilege system are new
-# reference surfaces (new catalog flavor; new access-control family) and
-# take driver slots. Rotated out: ngram_jaccard (dedup keeps
-# exact/minhash/simhash in the window) and range_rowgroup_scan (P9 keeps
-# bloom_index_scan + range_index_scan). Both stay in the judge-run tail.
+# reference surfaces (new catalog flavor; new access-control family),
+# and sequence packing is a new pillar family — all three take driver
+# slots. Rotated out: ngram_jaccard (dedup keeps exact/minhash/simhash
+# in the window), range_rowgroup_scan (P9 keeps bloom_index_scan +
+# range_index_scan), blob_roundtrip (multimodal keeps multimodal_hash).
+# All stay in the judge-run tail.
 _R8_NEW = {
     "jdbc_catalog_scan": (jdbc_catalog_scan, JDBC_CATALOG_SQL),
     "privileged_catalog_scan": (privileged_catalog_scan, PRIVILEGED_SQL),
+    "text_pack_sequences": (text_pack_sequences, PACK_SEQ_SQL),
 }
-_R8_OUT = ["ngram_jaccard", "range_rowgroup_scan"]
+_R8_OUT = ["ngram_jaccard", "range_rowgroup_scan", "blob_roundtrip"]
 _rebuilt8: dict[str, tuple] = {}
 _new_iter8 = iter(_R8_NEW.items())
 for _k, _v in QUERIES.items():
