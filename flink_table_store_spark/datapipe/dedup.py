@@ -288,13 +288,110 @@ def connected_components(
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    col_a: str = "id_a",
+    col_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) via alternating LARGE-STAR / SMALL-STAR rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — O(log n) rounds regardless of component DIAMETER,
+    where min-label propagation (``connected_components``) needs one
+    round per diameter hop. Use this for adversarial graphs (long
+    chains through shared boilerplate); label propagation stays the
+    default for the short-diameter clusters near-dup dedup produces.
+
+    Each round is two grouped min-aggregations plus a join — the same
+    shuffle volume as one label-propagation round — and the edge set
+    provably shrinks toward star forests whose centers are component
+    minima. Convergence is detected by the small-star output reaching a
+    fixed point; like the label-propagation twin this raises rather
+    than returning partial components."""
+
+    def _pin(df: DataFrame, prev):
+        try:
+            out, handle = df.localCheckpoint(eager=True), None
+        except Exception:
+            out = df.persist()
+            out.count()
+            handle = out
+        if prev is not None:
+            prev.unpersist()
+        return out, handle
+
+    u, v = F.col("u"), F.col("v")
+    e = pairs.select(F.col(col_a).alias("u"), F.col(col_b).alias("v"))
+    # normalize: drop self-loops, orient (big, small), dedup
+    edges = (
+        e.unionByName(e.select(v.alias("u"), u.alias("v")))
+        .where(u > v)
+        .distinct()
+    )
+    edges, prev_handle = _pin(edges, None)
+
+    def _large_star(ed: DataFrame) -> DataFrame:
+        # symmetric neighborhoods; per node n the min label m =
+        # min(Γ(n) ∪ {n}); every STRICTLY LARGER neighbor re-attaches
+        # to m. Keeps (big, small) orientation by construction.
+        sym = ed.unionByName(ed.select(v.alias("u"), u.alias("v")))
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        return (
+            sym.join(m, "u")
+            .where(v > u)
+            .select(v.alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") > F.col("v"))
+            .distinct()
+        )
+
+    def _small_star(ed: DataFrame) -> DataFrame:
+        # edges already point big -> small: per big node n with all-
+        # smaller Γ(n), attach every neighbor AND n itself to the min.
+        m = ed.groupBy("u").agg(F.min("v").alias("m"))
+        j = ed.join(m, "u")
+        re_nbrs = j.where(v != F.col("m")).select(v.alias("u"), F.col("m").alias("v"))
+        re_self = m.select(u.alias("u"), F.col("m").alias("v"))
+        return (
+            re_nbrs.unionByName(re_self)
+            .where(F.col("u") > F.col("v"))
+            .distinct()
+        )
+
+    for _ in range(max_iter):
+        new = _small_star(_large_star(edges))
+        new, prev_handle = _pin(new, prev_handle)
+        # fixed point: identical edge sets (counts equal and no edge of
+        # the new set missing from the old)
+        if (
+            new.count() == edges.count()
+            and new.join(edges, ["u", "v"], "left_anti").limit(1).count() == 0
+        ):
+            # star forest: every edge is (node, component-min); centers
+            # label themselves
+            labels = new.select(
+                u.alias("node"), v.alias("component")
+            ).unionByName(
+                new.select(v.alias("node"), v.alias("component")).distinct()
+            ).distinct()
+            return labels
+        edges = new
+    if prev_handle is not None:
+        prev_handle.unpersist()
+    raise RuntimeError(
+        f"connected_components_star did not converge in {max_iter} rounds"
+    )
+
+
 def _keep_cluster_representatives(
-    df: DataFrame, pairs: DataFrame, id_col: str, max_iter: int
+    df: DataFrame, pairs: DataFrame, id_col: str, max_iter: int,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Shared tail of the *_dedup_cc operators: components over the
     verified pair graph, drop every node that is not its component's
-    min-id representative."""
-    comp = connected_components(pairs, "id_a", "id_b", max_iter)
+    min-id representative. ``algorithm='star'`` switches to the
+    O(log n)-round large/small-star solver for adversarial graphs."""
+    cc = connected_components_star if algorithm == "star" else connected_components
+    comp = cc(pairs, "id_a", "id_b", max_iter)
     losers = comp.where(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
     )
@@ -310,6 +407,7 @@ def minhash_dedup_cc(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.8,
     max_iter: int = 25,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Near-dup removal with TRUE transitive clusters: LSH candidates →
     Jaccard verify → connected components over the verified pair graph
@@ -321,7 +419,7 @@ def minhash_dedup_cc(
     survivor per duplicate CLUSTER) — keeps exactly one."""
     pairs = minhash_lsh_pairs(df, text_col, id_col, num_hashes, bands, shingle_k)
     verified = ngram_jaccard_pairs(df, pairs, text_col, id_col, shingle_k, jaccard_threshold)
-    return _keep_cluster_representatives(df, verified, id_col, max_iter)
+    return _keep_cluster_representatives(df, verified, id_col, max_iter, algorithm)
 
 
 def simhash_signatures(
@@ -460,6 +558,7 @@ def embedding_dedup_cc(
     threshold: float = 0.95,
     block_bits: int = 0,
     max_iter: int = 25,
+    algorithm: str = "label",
 ) -> DataFrame:
     """Embedding-cosine near-dup removal with TRUE transitive clusters:
     cosine pairs (sign-bit-blocked at scale) → connected components →
@@ -468,4 +567,4 @@ def embedding_dedup_cc(
     through shared boilerplate, so the transitive rule applies here
     too (see minhash_dedup_cc)."""
     pairs = embedding_near_dup_pairs(emb, id_col, vec_col, threshold, block_bits)
-    return _keep_cluster_representatives(emb, pairs, id_col, max_iter)
+    return _keep_cluster_representatives(emb, pairs, id_col, max_iter, algorithm)

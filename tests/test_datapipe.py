@@ -631,3 +631,78 @@ def test_stratified_sample_zero_candidate_stratum(spark):
 
     cnt = Counter(r.lang for r in out.collect())
     assert cnt["a"] == 5 and cnt["b"] == 5, cnt
+
+
+def test_connected_components_star(spark):
+    """Large/small-star CC (Kiveris et al.): same components as label
+    propagation, but round count scales with log n, not diameter."""
+    import random
+
+    from flink_table_store_spark.datapipe.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    pairs = spark.createDataFrame(
+        [(5, 9), (9, 2), (2, 7), (11, 12), (20, 21), (21, 20), (30, 31)],
+        "id_a bigint, id_b bigint",
+    )
+    got = {r.node: r.component for r in connected_components_star(pairs).collect()}
+    assert got == {
+        5: 2, 9: 2, 2: 2, 7: 2,
+        11: 11, 12: 11,
+        20: 20, 21: 20,
+        30: 30, 31: 30,
+    }
+    # adversarial long chain (the case the star algorithm exists for):
+    # diameter 60 with ids permuted so min labels must travel the whole
+    # chain; label propagation at max_iter=8 fails, star converges
+    random.seed(3)
+    ids = list(range(61))
+    random.shuffle(ids)
+    chain = spark.createDataFrame(
+        [(ids[i], ids[i + 1]) for i in range(60)], "id_a bigint, id_b bigint"
+    )
+    import pytest as _pt
+
+    with _pt.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iter=8)
+    got = {
+        r.node: r.component
+        for r in connected_components_star(chain, max_iter=8).collect()
+    }
+    assert set(got.values()) == {0} and len(got) == 61
+
+    # random graph equivalence sweep
+    random.seed(17)
+    edges = [
+        (random.randrange(200), random.randrange(200)) for _ in range(150)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a bigint, id_b bigint")
+    a = {r.node: r.component for r in connected_components(df).collect()}
+    b = {r.node: r.component for r in connected_components_star(df).collect()}
+    assert a == b
+
+
+def test_dedup_cc_star_algorithm_parity(spark):
+    """minhash_dedup_cc(algorithm='star') keeps the same survivors as
+    the default label-propagation path."""
+    from flink_table_store_spark.datapipe.dedup import minhash_dedup_cc
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep green forest tonight")
+    rows = []
+    for i in range(12):
+        words = base.split()
+        words[i % len(words)] = f"tok{i % 3}"
+        rows.append((i, " ".join(words)))
+    rows += [(100 + i, f"utterly unique document number {i} with its own "
+              f"content shape {i * 7}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    lab = sorted(r.doc_id for r in minhash_dedup_cc(df, jaccard_threshold=0.7).collect())
+    star = sorted(
+        r.doc_id
+        for r in minhash_dedup_cc(df, jaccard_threshold=0.7, algorithm="star").collect()
+    )
+    assert lab == star
