@@ -52,6 +52,12 @@ class Predicate:
     def to_column(self) -> Column:
         raise NotImplementedError
 
+    def to_arrow_expr(self):
+        """Exact pyarrow dataset expression (SQL WHERE semantics: false
+        and NULL rows drop) — the local no-Spark read path's filter.
+        pypaimon analogue: common/predicate.py Predicate.to_arrow."""
+        raise NotImplementedError
+
     def fields(self) -> set[str] | None:
         """Referenced column names; None when unknown (Raw)."""
         raise NotImplementedError
@@ -220,6 +226,31 @@ class Leaf(Predicate):
             "between": lambda: c.between(lits[0], lits[1]),
         }[self.op]()
 
+    def to_arrow_expr(self):
+        import pyarrow.compute as pc
+
+        c, lits = pc.field(self.field), [
+            _norm(x) for x in self.literals
+        ]
+        return {
+            "=": lambda: c == lits[0],
+            "<>": lambda: c != lits[0],
+            "<": lambda: c < lits[0],
+            "<=": lambda: c <= lits[0],
+            ">": lambda: c > lits[0],
+            ">=": lambda: c >= lits[0],
+            "in": lambda: c.isin(list(lits)),
+            # arrow is_in maps NULL to false, so a bare invert would KEEP
+            # nulls; SQL's NOT IN drops them — mask validity explicitly
+            "not_in": lambda: c.is_valid() & ~c.isin(list(lits)),
+            "is_null": lambda: c.is_null(),
+            "is_not_null": lambda: c.is_valid(),
+            "starts_with": lambda: pc.starts_with(c, lits[0]),
+            "ends_with": lambda: pc.ends_with(c, lits[0]),
+            "contains": lambda: pc.match_substring(c, lits[0]),
+            "between": lambda: (c >= lits[0]) & (c <= lits[1]),
+        }[self.op]()
+
 
 @dataclass
 class And(Predicate):
@@ -245,6 +276,12 @@ class And(Predicate):
         for c in self.children[1:]:
             col = col & c.to_column()
         return col
+
+    def to_arrow_expr(self):
+        e = self.children[0].to_arrow_expr()
+        for c in self.children[1:]:
+            e = e & c.to_arrow_expr()
+        return e
 
 
 @dataclass
@@ -272,6 +309,12 @@ class Or(Predicate):
             col = col | c.to_column()
         return col
 
+    def to_arrow_expr(self):
+        e = self.children[0].to_arrow_expr()
+        for c in self.children[1:]:
+            e = e | c.to_arrow_expr()
+        return e
+
 
 @dataclass
 class Raw(Predicate):
@@ -293,6 +336,12 @@ class Raw(Predicate):
 
     def to_column(self) -> Column:
         return self.column
+
+    def to_arrow_expr(self):
+        raise ValueError(
+            "raw Spark-Column predicates cannot run on the local (no-"
+            "Spark) read path — use leaf predicate builders instead"
+        )
 
 
 # --- builder helpers (PredicateBuilder.java:76-230) ---

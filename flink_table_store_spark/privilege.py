@@ -360,7 +360,7 @@ class FileBasedPrivilegeManager:
 # (PrivilegedFileStoreTable.java: newRead->SELECT, write/commit/tags/
 # branches/rollback/maintenance->INSERT, schema evolution->ALTER_TABLE)
 _TABLE_READ = {
-    "to_df", "read_builder", "count_rows", "min_max", "max_pt",
+    "to_df", "to_arrow", "to_pandas", "read_builder", "count_rows", "min_max", "max_pt",
     "system_table", "read_optimized", "statistics", "row_tracking_df",
     "delta_entries", "incremental_read", "incremental_read_between_timestamps",
     "incremental_read_to_tag", "audit_log", "doctor", "done_partitions",

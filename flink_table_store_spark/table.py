@@ -141,6 +141,29 @@ class ReadBuilder:
         entries = t.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
         return read_mod.plan_scan(entries, t.schema, self._predicate, self._limit, t.path)
 
+    # --- local (no-Spark) materialization — pypaimon TableRead parity
+    # (paimon-python pypaimon/read/table_read.py:56-186) ---
+
+    def to_arrow(self):
+        from flink_table_store_spark import localread
+
+        return localread.read_arrow(self)
+
+    def to_arrow_batch_reader(self):
+        from flink_table_store_spark import localread
+
+        return localread.read_arrow_batch_reader(self)
+
+    def to_pandas(self):
+        from flink_table_store_spark import localread
+
+        return localread.read_pandas(self)
+
+    def to_duckdb(self, table_name: str, connection=None):
+        from flink_table_store_spark import localread
+
+        return localread.read_duckdb(self, table_name, connection)
+
     def _plan_entries(self, spark: SparkSession, snap: Snapshot) -> list:
         """Live-entry planning with an automatic driver↔distributed
         switch: above `scan.manifest.distributed-threshold` entry rows
@@ -294,6 +317,26 @@ class Table:
         if timestamp_ms is not None:
             rb.with_timestamp(timestamp_ms)
         return rb.to_df(spark)
+
+    def to_arrow(self, predicate: Predicate | None = None,
+                 projection: list[str] | None = None):
+        """Local no-Spark read (pypaimon table_read.to_arrow parity);
+        ``read_builder()`` exposes the full option set."""
+        rb = self.read_builder()
+        if predicate is not None:
+            rb.with_filter(predicate)
+        if projection is not None:
+            rb.with_projection(projection)
+        return rb.to_arrow()
+
+    def to_pandas(self, predicate: Predicate | None = None,
+                  projection: list[str] | None = None):
+        rb = self.read_builder()
+        if predicate is not None:
+            rb.with_filter(predicate)
+        if projection is not None:
+            rb.with_projection(projection)
+        return rb.to_pandas()
 
     # --- aggregate pushdown from manifest stats (SURVEY §2.4 A1) ---
 
