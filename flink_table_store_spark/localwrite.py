@@ -1,0 +1,71 @@
+"""Local (no-Spark) write path: Arrow / pandas → bucketed files → commit.
+
+Mirrors pypaimon's write surface (paimon-python pypaimon/write/
+batch_table_write.py write_arrow/write_pandas + batch_table_commit.py):
+ingestion jobs that produce a pyarrow Table or pandas DataFrame should
+not need a SparkSession to land it in a table. This reuses the native
+format surface's writer VERBATIM (sources/datasource.py FtssWriter):
+the same engine-parity bucket hashing (pure-Python spark_xxhash64),
+sequence/value-kind layout, partition/bucket directory fan-out, footer
+stats, and the ordinary two-phase CAS commit — outside Spark,
+TaskContext resolves to task 0 and the whole batch writes as one task.
+
+One snapshot per call; ``overwrite=True`` is dynamic-partition
+overwrite (INSERT OVERWRITE semantics). Dynamic-bucket and non-parquet
+tables are refused with the same loud plan-time errors as the format
+surface. Data is cast to the table's exact Arrow schema first, so a
+pandas int32 column cannot silently write narrow parquet into a bigint
+table.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from flink_table_store_spark.table import Table
+
+
+def write_arrow(table: "Table", data, overwrite: bool = False) -> None:
+    """Write one batch (pyarrow Table / RecordBatch / pandas DataFrame)
+    and commit one snapshot."""
+    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql import types as T
+
+    from flink_table_store_spark.localread import _table_arrow_schema
+    from flink_table_store_spark.sources.datasource import FtssWriter
+
+    if isinstance(data, pd.DataFrame):
+        data = pa.Table.from_pandas(data, preserve_index=False)
+    elif isinstance(data, pa.RecordBatch):
+        data = pa.Table.from_batches([data])
+    if not isinstance(data, pa.Table):
+        raise TypeError(
+            f"write_arrow takes a pyarrow Table/RecordBatch or pandas "
+            f"DataFrame, got {type(data).__name__}"
+        )
+    names = table.schema.field_names()
+    if sorted(data.column_names) != sorted(names):
+        raise ValueError(
+            f"input columns {sorted(data.column_names)} must match table "
+            f"columns {sorted(names)}"
+        )
+    data = data.select(names).cast(_table_arrow_schema(table.schema))
+    # FtssWriter reads only field NAMES from the Spark schema at plan
+    # time — a NullType shim avoids any JVM-backed DDL parsing
+    shim = T.StructType([T.StructField(n, T.NullType()) for n in names])
+    opts = {"path": table.path}
+    if table.branch_name:
+        opts["branch"] = table.branch_name
+    w = FtssWriter(opts, shim, overwrite)
+    msg = w.write(iter(data.to_batches()))
+    try:
+        w.commit([msg])
+    except Exception:
+        w.abort([msg])
+        raise
+
+
+def write_pandas(table: "Table", pdf, overwrite: bool = False) -> None:
+    write_arrow(table, pdf, overwrite)

@@ -367,7 +367,7 @@ _TABLE_READ = {
     "export_iceberg", "branches", "use_branch",
 }
 _TABLE_WRITE = {
-    "write", "upsert", "delete", "update", "merge_into", "compact",
+    "write", "write_arrow", "upsert", "delete", "update", "merge_into", "compact",
     "rewrite_file_index", "rescale", "sort_compact", "analyze",
     "create_tag", "delete_tag", "create_tag_from_timestamp", "rename_tag",
     "replace_tag", "expire_tags", "rollback_to", "rollback_to_watermark",

@@ -338,6 +338,14 @@ class Table:
             rb.with_projection(projection)
         return rb.to_pandas()
 
+    def write_arrow(self, data, overwrite: bool = False) -> None:
+        """Local no-Spark write: pyarrow Table / RecordBatch / pandas →
+        one committed snapshot (pypaimon write_arrow/write_pandas
+        parity; see localwrite.py)."""
+        from flink_table_store_spark import localwrite
+
+        localwrite.write_arrow(self, data, overwrite)
+
     # --- aggregate pushdown from manifest stats (SURVEY §2.4 A1) ---
 
     def count_rows(self, predicate: Predicate | None = None) -> int | None:

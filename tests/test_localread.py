@@ -174,3 +174,80 @@ print(sorted((r['k'], r['v']) for r in tbl.to_pylist()))
         )
         assert out.returncode == 0, out.stderr[-2000:]
         assert out.stdout.strip() == "[(1, 'a'), (2, 'b2')]"
+
+
+class TestLocalWrite:
+    def test_write_arrow_roundtrip_no_spark(self, spark, warehouse):
+        """Write via pyarrow only (subprocess, no session), read back on
+        BOTH paths: upsert semantics must hold across runtimes."""
+        t = _mk_pk(spark, warehouse, "db.w")
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        script = f"""
+import sys
+sys.path.insert(0, {repo!r})
+import pyarrow as pa
+from flink_table_store_spark.catalog import Catalog
+from pyspark.sql import SparkSession
+t = Catalog({warehouse.warehouse!r}).get_table("db.w")
+t.write_arrow(pa.table({{"k": [2, 9], "v": ["b3", "i"], "pt": ["x", "y"]}}))
+assert SparkSession.getActiveSession() is None
+print("ok")
+"""
+        out = subprocess.run([sys.executable, "-c", script],
+                             capture_output=True, text=True, timeout=120)
+        assert out.returncode == 0, out.stderr[-2000:]
+        expect = [(1, "a", "x"), (2, "b3", "x"), (3, "c", "y"), (4, "d", "y"),
+                  (5, "e", "y"), (9, "i", "y")]
+        t2 = warehouse.get_table("db.w")
+        assert _rows(t2.to_arrow()) == expect
+        assert _rows(t2.to_df(spark)) == expect
+
+    def test_write_pandas_and_cast(self, spark, warehouse):
+        import numpy as np
+        import pandas as pd
+
+        t = warehouse.create_table("db.pdw", KV, primary_keys=["k", "pt"],
+                                   partition_keys=["pt"], options={"bucket": "2"})
+        # int32 input must upcast to the table's bigint, not write narrow
+        pdf = pd.DataFrame({"k": np.array([1, 2], dtype="int32"),
+                            "v": ["a", "b"], "pt": ["x", "x"]})
+        t.write_arrow(pdf)
+        got = t.to_arrow()
+        import pyarrow as pa
+
+        assert got.schema.field("k").type == pa.int64()
+        assert sorted(r["k"] for r in got.to_pylist()) == [1, 2]
+
+    def test_overwrite_dynamic_partition(self, spark, warehouse):
+        import pyarrow as pa
+
+        t = warehouse.create_table("db.ow", KV, partition_keys=["pt"])
+        t.write_arrow(pa.table({"k": [1, 2], "v": ["a", "b"], "pt": ["x", "y"]}))
+        t.write_arrow(pa.table({"k": [9], "v": ["z"], "pt": ["x"]}), overwrite=True)
+        assert _rows(t.to_arrow()) == [(2, "b", "y"), (9, "z", "x")]
+
+    def test_column_mismatch_refused(self, spark, warehouse):
+        import pyarrow as pa
+
+        t = warehouse.create_table("db.cm", KV)
+        with pytest.raises(ValueError, match="must match table columns"):
+            t.write_arrow(pa.table({"k": [1], "v": ["a"]}))
+
+    def test_privileged_guard(self, spark, warehouse):
+        import pyarrow as pa
+
+        from flink_table_store_spark.privilege import (
+            NoPrivilegeException,
+            PrivilegedCatalog,
+            init_file_based_privilege,
+        )
+
+        warehouse.create_table("db.pg", KV)
+        init_file_based_privilege(warehouse, "rp")
+        root = PrivilegedCatalog(warehouse, "root", "rp")
+        root.create_privileged_user("u", "up")
+        root.grant_privilege("u", "SELECT", "db", "pg")
+        u = PrivilegedCatalog(type(warehouse)(warehouse.warehouse), "u", "up")
+        with pytest.raises(NoPrivilegeException):
+            u.get_table("db.pg").write_arrow(
+                pa.table({"k": [1], "v": ["a"], "pt": ["x"]}))
