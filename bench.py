@@ -670,6 +670,30 @@ def main() -> None:
         _rest_run,
     )
 
+    # --- JDBC catalog: registry + distributed-lock throughput ------------
+    # (round-8 sqlite-backed catalog; same metadata-plane measure as
+    # rest_meta_ops — creates arbitrated by the registry PK, gets through
+    # the registry, 40 lock acquire/release cycles)
+    from flink_table_store_spark.jdbc_catalog import JdbcCatalog
+
+    def _jdbc_run(root):
+        jcat = JdbcCatalog(os.path.join(root, "meta.db"), os.path.join(root, "wh"))
+        for i in range(40):
+            jcat.create_table(f"bench.jt{i:02d}", rest_schema)
+        assert len(jcat.list_tables("bench")) == 40
+        for i in range(40):
+            jcat.get_table(f"bench.jt{i:02d}")
+        for i in range(40):
+            jcat.run_with_lock(f"bench.jt{i:02d}", lambda: None)
+        for i in range(10):
+            jcat.rename_table(f"bench.jt{i:02d}", f"bench.jr{i:02d}")
+
+    timed_mutating(
+        "jdbc_meta_ops",
+        [os.path.join(BENCH_WH, f"jdbc_wh{i}") for i in range(3)],
+        _jdbc_run,
+    )
+
     @timed("gopher_filter", repeat=3)
     def _gf():
         # narrow JVM-only quality/repetition pass over the corpus
