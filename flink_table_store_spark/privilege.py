@@ -252,9 +252,9 @@ class FileBasedPrivilegeManager:
             [{"user": u, "sha256": s} for u, s in users.items()],
             self._user_schema(),
         )
-        # the reference keeps dangling grants; it prunes on objectDropped
-        # only. We match: dropping a user leaves rows that a re-created
-        # user with the same name would inherit — document-compatible.
+        # the dropped user's grants are pruned with them
+        # (FileBasedPrivilegeManager.dropUserImpl deletes the privilege
+        # rows too), so a re-created user with the same name starts clean
         rows = [r for r in self._read(PRIVILEGE_TABLE_DIR) if r["name"] != user]
         self._write(PRIVILEGE_TABLE_DIR, rows, self._priv_schema())
 
