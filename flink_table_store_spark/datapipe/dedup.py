@@ -551,6 +551,67 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    kmeans_iter: int = 5,
+    seed: int = 42,
+    max_iter: int = 25,
+    algorithm: str = "label",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space, then
+    near-dup WITHIN each cluster — pairwise work drops from O(n²) to
+    O(Σ cell²), the design point that makes semantic dedup feasible on
+    web-scale corpora. Pairs above the cosine threshold form transitive
+    clusters (connected components); the min-id representative of each
+    survives.
+
+    Scale design: centroids train on one Spark ML job (at 100 TB, on a
+    sample — k-means needs only a distribution sketch); assignment is a
+    narrow per-row argmin over literal centroid arrays (JVM-side, no
+    shuffle); the pairwise join shuffles once on the cell id. Accepted
+    approximation (as in the paper): duplicates assigned to DIFFERENT
+    cells are not compared — raise ``n_cells`` resolution or fall back
+    to ``embedding_dedup_cc`` (sign-bit blocking) when cross-cell
+    recall matters more than cost."""
+    from flink_table_store_spark.datapipe.similarity import (
+        nearest_cells,
+        train_ivf_centroids,
+    )
+
+    centroids = train_ivf_centroids(
+        emb, n_cells=n_cells, vec_col=vec_col, max_iter=kmeans_iter, seed=seed
+    )
+    assigned = emb.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        nearest_cells(F.col(vec_col), centroids, nprobe=1)[0].alias("__cell"),
+    )
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v
+    )
+    norm = lambda a: F.sqrt(dot(a, a))
+    v = assigned.withColumn("__n", norm(F.col("__v")))
+    a, b = v.alias("a"), v.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.__cell") == F.col("b.__cell"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .withColumn(
+            "cosine",
+            dot(F.col("a.__v"), F.col("b.__v")) / (F.col("a.__n") * F.col("b.__n")),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+    )
+    return _keep_cluster_representatives(emb, pairs, id_col, max_iter, algorithm)
+
+
 def embedding_dedup_cc(
     emb: DataFrame,
     id_col: str = "vec_id",

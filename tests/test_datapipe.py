@@ -706,3 +706,58 @@ def test_dedup_cc_star_algorithm_parity(spark):
         for r in minhash_dedup_cc(df, jaccard_threshold=0.7, algorithm="star").collect()
     )
     assert lab == star
+
+
+def test_semantic_dedup(spark):
+    """SemDeDup: k-means cells bound the pairwise work; within-cell
+    near-dups collapse transitively to one survivor per cluster."""
+    import math
+    import random
+
+    from flink_table_store_spark.datapipe.dedup import (
+        embedding_dedup_cc,
+        semantic_dedup,
+    )
+
+    random.seed(5)
+    dim = 8
+
+    def jitter(base, eps):
+        v = [x + random.uniform(-eps, eps) for x in base]
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    # 4 well-separated anchor directions, each with a 5-member near-dup
+    # cluster plus 3 singletons nearby-but-distinct
+    anchors = []
+    for i in range(4):
+        base = [0.0] * dim
+        base[i * 2] = 1.0
+        base[i * 2 + 1] = 0.35
+        anchors.append(base)
+    rows = []
+    vid = 0
+    expect_survivors = set()
+    for a in anchors:
+        expect_survivors.add(vid)
+        for _ in range(5):
+            rows.append((vid, jitter(a, 0.002)))  # cos ~ 0.99998
+            vid += 1
+        for _ in range(3):
+            rows.append((vid, jitter(a, 0.25)))   # distinct, same cell
+            expect_survivors.add(vid)
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = semantic_dedup(emb, n_cells=4, threshold=0.999, seed=7)
+    got = sorted(r.vec_id for r in out.collect())
+    # every 5-member dup cluster keeps exactly its min id; singletons stay
+    assert got == sorted(expect_survivors), got
+    # parity with the exact (unblocked) transitive dedup on this corpus:
+    # clusters are well-separated so cell blocking loses no pairs
+    exact = sorted(r.vec_id for r in embedding_dedup_cc(
+        emb, threshold=0.999).collect())
+    assert got == exact
+    # star solver reaches the same survivors
+    star = sorted(r.vec_id for r in semantic_dedup(
+        emb, n_cells=4, threshold=0.999, seed=7, algorithm="star").collect())
+    assert star == got
