@@ -64,12 +64,60 @@ class HiveCatalog(Catalog):
             "primary_keys": ",".join(schema.primary_keys),
         }
         props_sql = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+        # metastore.partitioned-table: register as a PARTITIONED hive
+        # table so metastore scanners see per-partition entries; commits
+        # then sync new partitions (AddPartitionCommitCallback.java)
+        part_sql = ""
+        if self._partition_sync_enabled(schema):
+            keys = ", ".join(f"`{k}`" for k in schema.partition_keys)
+            part_sql = f"PARTITIONED BY ({keys}) "
         # external entry: dropping the registration must never delete data
         self.spark.sql(
             f"CREATE TABLE IF NOT EXISTS `{db}`.`{name}` ({cols}) USING parquet "
+            f"{part_sql}"
             f"LOCATION '{os.path.join(table.path, 'data')}' "
             f"TBLPROPERTIES ({props_sql})"
         )
+
+    @staticmethod
+    def _partition_sync_enabled(schema) -> bool:
+        return (
+            bool(schema.partition_keys)
+            and schema.options.get("metastore.partitioned-table") == "true"
+        )
+
+    def _attach_partition_sync(self, identifier: str, table: Table) -> Table:
+        """Post-commit hook mirroring AddPartitionCommitCallback.java:
+        every commit registers its delta's newly-ADDed partitions in the
+        metastore (idempotent ADD IF NOT EXISTS, memoized per handle)."""
+        if not self._partition_sync_enabled(table.schema):
+            return table
+        db, name = self._split(identifier)
+        seen: set[tuple] = set()
+        keys = list(table.schema.partition_keys)
+        spark = self.spark
+
+        def _sync(snap) -> None:
+            from flink_table_store_spark.manifest import KIND_ADD
+
+            parts = {
+                tuple(sorted(e.partition.items()))
+                for e in table.manifests.read_entries(snap.delta_manifest_list)
+                if e.kind == KIND_ADD and e.partition
+            }
+            for p in parts - seen:
+                d = dict(p)
+                spec = ", ".join(
+                    f"`{k}`='{str(d.get(k, ''))}'" for k in keys
+                )
+                spark.sql(
+                    f"ALTER TABLE `{db}`.`{name}` "
+                    f"ADD IF NOT EXISTS PARTITION ({spec})"
+                )
+                seen.add(p)
+
+        table.committer.callbacks.append(_sync)
+        return table
 
     def _registered_path(self, identifier: str) -> str | None:
         db, name = self._split(identifier)
@@ -121,15 +169,17 @@ class HiveCatalog(Catalog):
             identifier, schema, partition_keys, primary_keys, options, ignore_if_exists
         )
         self._register(identifier, t)
-        return t
+        return self._attach_partition_sync(identifier, t)
 
     def get_table(self, identifier: str) -> Table:
         base, _, branch = identifier.partition("@")
         reg = self._registered_path(base) if "$" not in base else None
         if reg and not os.path.isdir(self.table_path(base)):
             # registered in the metastore under a foreign warehouse path
-            return Table(reg, base, branch=branch or None)
-        return super().get_table(identifier)
+            return self._attach_partition_sync(
+                base, Table(reg, base, branch=branch or None)
+            )
+        return self._attach_partition_sync(base, super().get_table(identifier))
 
     def drop_table(self, identifier: str, ignore_if_not_exists: bool = True) -> None:
         db, name = self._split(identifier)

@@ -113,3 +113,40 @@ def test_hive_catalog_sync_after_schema_evolution(spark, tmp_path):
     assert "extra" in cols
     # engine-side reads see the evolved schema regardless
     assert "extra" in cat.get_table("syncdb.t").schema.field_names()
+
+
+def test_metastore_partition_sync(spark, tmp_path):
+    """metastore.partitioned-table: commits register new partitions in
+    the metastore (AddPartitionCommitCallback.java analogue) — SHOW
+    PARTITIONS tracks engine commits, idempotently."""
+    from pyspark.sql import types as T
+
+    from flink_table_store_spark.hive_catalog import HiveCatalog
+
+    cat = HiveCatalog(spark, str(tmp_path / "wh"))
+    sch = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("pt", T.StringType()),
+    ])
+    spark.sql("DROP TABLE IF EXISTS psync.t")
+    t = cat.create_table(
+        "psync.t", sch, partition_keys=["pt"],
+        options={"metastore.partitioned-table": "true"},
+    )
+    t.write(spark.createDataFrame([(1, "a", "x"), (2, "b", "y")], sch))
+    parts = {r[0] for r in spark.sql("SHOW PARTITIONS psync.t").collect()}
+    assert parts == {"pt=x", "pt=y"}
+    # a later commit adds only the new partition; repeats are idempotent
+    t.write(spark.createDataFrame([(3, "c", "y"), (4, "d", "z")], sch))
+    parts = {r[0] for r in spark.sql("SHOW PARTITIONS psync.t").collect()}
+    assert parts == {"pt=x", "pt=y", "pt=z"}
+    # a fresh handle (get_table) keeps syncing
+    t2 = cat.get_table("psync.t")
+    t2.write(spark.createDataFrame([(5, "e", "w")], sch))
+    parts = {r[0] for r in spark.sql("SHOW PARTITIONS psync.t").collect()}
+    assert "pt=w" in parts
+    # the hive-side registration scans per partition
+    got = spark.sql("SELECT k FROM psync.t WHERE pt = 'y' ORDER BY k").collect()
+    assert [r.k for r in got] == [2, 3]
+    cat.drop_table("psync.t")
