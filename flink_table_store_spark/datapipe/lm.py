@@ -1,0 +1,108 @@
+"""Corpus n-gram language-model scoring (CCNet-style perplexity filter).
+
+Web-corpus curation ranks documents by how "language-like" they are
+under a cheap LM (CCNet buckets by KenLM perplexity; DCLM and friends
+keep the idea). Without external model files, the portable equivalent
+is a bigram model TRAINED ON THE CORPUS ITSELF (or a reference slice of
+it) with add-α smoothing:
+
+    P(w2 | w1) = (c(w1 w2) + α) / (c(w1) + α·V)
+
+and per-document perplexity 2^(-mean log2 P) over its bigrams. Outlier
+docs (boilerplate soup, wrong language, OCR noise) sit far from the
+corpus distribution and score high.
+
+Scale design: pure built-ins end to end. Counting is one explode +
+two map-combined groupBys (bigram and unigram); scoring joins each
+document's bigrams against the count tables — shuffles keyed on the
+bigram/unigram strings, both near-linear. The model "object" is two
+DataFrames, so it scales past any driver memory; for a fixed reference
+model at 100 TB, train on a sample and the count tables broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tokens(col: Column) -> Column:
+    return F.split(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "), " ")
+
+
+def _bigram_rows(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """(doc id, w1, w2) — one row per bigram occurrence; docs with
+    fewer than 2 tokens contribute nothing."""
+    toks = _tokens(F.col(text_col))
+    pairs = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    pairs = F.slice(pairs, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+    return df.select(
+        F.col(id_col).alias("__id"), F.explode(pairs).alias("__p")
+    ).select("__id", F.col("__p.w1").alias("w1"), F.col("__p.w2").alias("w2"))
+
+
+def train_bigram_lm(
+    corpus: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> dict:
+    """Count tables of an add-α-ready bigram LM: returns
+    ``{"bigrams": (w1, w2, c2), "unigrams": (w1, c1), "vocab": V}``."""
+    rows = _bigram_rows(corpus, text_col, id_col)
+    bigrams = rows.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    unigrams = rows.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        rows.select(F.col("w1").alias("w")).unionByName(
+            rows.select(F.col("w2").alias("w"))
+        ).distinct().count()
+    )
+    return {"bigrams": bigrams, "unigrams": unigrams, "vocab": vocab}
+
+
+def score_perplexity(
+    docs: DataFrame,
+    model: dict | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document bigram perplexity under ``model`` (default: the
+    scored corpus itself — the self-scoring curation setup). Returns
+    (id_col, n_bigrams, perplexity); docs with <2 tokens get NULL
+    perplexity (no evidence either way — let the caller decide).
+
+    Every probability is computed in one join pipeline: doc bigrams ⋈
+    bigram counts (left — unseen bigrams get c2=0) ⋈ unigram counts
+    (left — unseen contexts get c1=0, degrading to the uniform prior
+    α/(αV) as smoothing dictates)."""
+    model = model or train_bigram_lm(docs, text_col, id_col)
+    v = float(model["vocab"])
+    rows = _bigram_rows(docs, text_col, id_col)
+    joined = (
+        rows.join(model["bigrams"], ["w1", "w2"], "left")
+        .join(model["unigrams"], ["w1"], "left")
+        .select(
+            "__id",
+            (
+                (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(alpha))
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha * v))
+            ).alias("__p"),
+        )
+    )
+    per_doc = joined.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg(-F.log2("__p")).alias("__nll"),
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(per_doc, F.col(id_col) == F.col("__id"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.round(F.pow(F.lit(2.0), F.col("__nll")), 4).alias("perplexity"),
+        )
+    )

@@ -3105,6 +3105,50 @@ _R8_NEW = {
     "privileged_catalog_scan": (privileged_catalog_scan, PRIVILEGED_SQL),
     "text_pack_sequences": (text_pack_sequences, PACK_SEQ_SQL),
 }
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-scored bigram perplexity (datapipe/lm.py — the
+    CCNet-style LM quality filter without external model files):
+    add-0.5-smoothed bigram LM trained on the corpus, per-doc
+    perplexity = 2^(mean -log2 P). Pure built-ins: one explode + two
+    count groupBys + one scoring join."""
+    from flink_table_store_spark.datapipe.lm import score_perplexity
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return score_perplexity(docs).orderBy("doc_id")
+
+
+TEXT_LM_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+), bi AS (
+  SELECT doc_id, t[s.i] AS w1, t[s.i + 1] AS w2
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+  ) s
+), c2 AS (
+  SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM bi GROUP BY w1
+), v AS (
+  SELECT count(*) AS v FROM (
+    SELECT w1 AS w FROM bi UNION SELECT w2 FROM bi
+  )
+), scored AS (
+  SELECT b.doc_id,
+         (c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v) AS p
+  FROM bi b JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+), per AS (
+  SELECT doc_id, count(*) AS n_bigrams, avg(-log2(p)) AS nll
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.n_bigrams, 0) AS n_bigrams,
+       round(pow(2.0, per.nll), 4) AS perplexity
+FROM documents d LEFT JOIN per USING (doc_id)
+ORDER BY d.doc_id
+"""
+
 _R8_OUT = ["ngram_jaccard", "range_rowgroup_scan", "blob_roundtrip"]
 _rebuilt8: dict[str, tuple] = {}
 _new_iter8 = iter(_R8_NEW.items())
@@ -3117,6 +3161,8 @@ for _k, _v in QUERIES.items():
 for _k in _R8_OUT:
     _rebuilt8[_k] = QUERIES[_k]
 QUERIES = _rebuilt8
+# judge-run tail: LM-perplexity quality scoring (new pillar family)
+QUERIES["text_lm_perplexity"] = (text_lm_perplexity, TEXT_LM_SQL)
 
 
 def reset_managed_tables(sf_dir: str | None = None) -> None:

@@ -761,3 +761,37 @@ def test_semantic_dedup(spark):
     star = sorted(r.vec_id for r in semantic_dedup(
         emb, n_cells=4, threshold=0.999, seed=7, algorithm="star").collect())
     assert star == got
+
+
+def test_bigram_lm_perplexity(spark):
+    """Self-scored corpus perplexity: fluent/repetitive docs score low,
+    out-of-distribution gibberish high; short docs get NULL."""
+    from flink_table_store_spark.datapipe.lm import (
+        score_perplexity,
+        train_bigram_lm,
+    )
+
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    rows = [(i, fluent) for i in range(8)]
+    rows.append((100, "zqx vbn wrt kjh plm qaz xsw cde vfr bgt"))
+    rows.append((101, "mat"))  # single token: no bigrams
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: (r.n_bigrams, r.perplexity)
+           for r in score_perplexity(df).collect()}
+    assert out[101] == (0, None)
+    assert out[0][1] is not None and out[100][1] is not None
+    # all fluent docs share one score; gibberish is far worse
+    assert len({out[i][1] for i in range(8)}) == 1
+    assert out[100][1] > 2 * out[0][1]
+    # explicit reference model: score new docs against a trained slice
+    model = train_bigram_lm(df.where(F.col("doc_id") < 8))
+    probe = spark.createDataFrame(
+        [(1, "the cat sat on the rug"), (2, "rug the on sat cat the")],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r.perplexity for r in score_perplexity(probe, model).collect()}
+    assert got[1] < got[2]  # word order matters to a bigram model
+    # deterministic
+    again = {r.doc_id: (r.n_bigrams, r.perplexity)
+             for r in score_perplexity(df).collect()}
+    assert again == out

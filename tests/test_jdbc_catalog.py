@@ -250,3 +250,31 @@ class TestEngineIntegration:
         got2 = sorted((r.id, r.status) for r in s.sql(
             "SELECT id, status FROM db.orders").collect())
         assert got2 == got
+
+
+class TestLockStress:
+    def test_mutual_exclusion_under_contention(self, tmp_path):
+        """Property: N threads x M increments of an unprotected counter
+        under the lock never lose an update — the lock is a real mutex
+        across connections, including steal-on-expiry cycles."""
+        cat = JdbcCatalog(str(tmp_path / "m.db"), str(tmp_path / "wh"))
+        counter = {"v": 0}
+        N, M = 6, 15
+
+        def work():
+            c = _second(cat)
+            for _ in range(M):
+                def bump():
+                    cur = counter["v"]
+                    time.sleep(0.001)  # widen the race window
+                    counter["v"] = cur + 1
+                c.run_with_lock("db.hot", bump)
+
+        ts = [threading.Thread(target=work) for _ in range(N)]
+        [t.start() for t in ts]
+        [t.join() for t in ts]
+        assert counter["v"] == N * M
+        with sqlite3.connect(cat.db_path) as c:
+            assert c.execute(
+                f"SELECT count(*) FROM {DISTRIBUTED_LOCKS_TABLE_NAME}"
+            ).fetchone()[0] == 0  # all released
