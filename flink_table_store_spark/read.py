@@ -71,6 +71,69 @@ def _stats_test(e: ManifestEntry, predicate: Predicate, table_path: str | None) 
     return predicate.test(merged, e.row_count)
 
 
+def _bucket_candidates(
+    predicate: Predicate | None, schema: TableSchema
+) -> set[int] | None:
+    """Buckets that can hold rows matching ``predicate``, or None when
+    not decidable (prune nothing). Sound because only TOP-LEVEL
+    conjuncts contribute: an ``=``/``IN`` leaf there must hold for every
+    matching row, so rows can only live in the hashed buckets. Applies
+    to hash-assigned layouts only — fixed-bucket PK and bucketed-append
+    tables; dynamic-bucket (index-assigned) and cross-partition tables
+    never qualify (num_buckets ≤ 0 / option guard)."""
+    from flink_table_store_spark.predicate import And, Leaf
+    from flink_table_store_spark.write import bucket_keys
+    from flink_table_store_spark.xxh64 import spark_xxhash64
+
+    n = schema.num_buckets()
+    if predicate is None or n <= 0:
+        return None
+    if schema.options.get("cross-partition-update") == "true":
+        return None
+    try:
+        keys = bucket_keys(schema)
+    except ValueError:
+        return None
+    if not keys:
+        return None
+    # equality constraints from the top-level conjunction
+    eqs: dict[str, set] = {}
+    conjuncts = list(predicate.children) if isinstance(predicate, And) else [predicate]
+    for c in conjuncts:
+        if isinstance(c, Leaf) and c.field in keys:
+            if c.op == "=" and len(c.literals) == 1:
+                vals = {c.literals[0]}
+            elif c.op == "in":
+                vals = set(c.literals)
+            else:
+                continue
+            cur = eqs.get(c.field)
+            eqs[c.field] = vals if cur is None else (cur & vals)
+    if any(k not in eqs for k in keys):
+        return None
+    combos = 1
+    for k in keys:
+        combos *= len(eqs[k])
+    if combos == 0 or combos > 64:
+        return None if combos else set()  # contradictory conjuncts: no bucket
+    import itertools
+
+    types = [schema.field(k).type.lower() for k in keys]
+    buckets: set[int] = set()
+    for combo in itertools.product(*[sorted(eqs[k], key=repr) for k in keys]):
+        # writer parity: xxhash64 skips null fields (seed carries); a
+        # null literal can't match rows anyway, so skip the combo
+        if any(v is None for v in combo):
+            continue
+        h = spark_xxhash64(
+            [(v, t) for v, t in zip(combo, types) if v is not None]
+        )
+        if h is None:  # a type the pure-python hash doesn't cover
+            return None
+        buckets.add(h % n)
+    return buckets
+
+
 def plan_scan(
     entries: list[ManifestEntry],
     schema: TableSchema,
@@ -99,6 +162,44 @@ def plan_scan(
             per_file_safe = flds is not None and flds <= keyish
         if per_file_safe:
             live = [e for e in live if _stats_test(e, predicate, table_path)]
+        cands = _bucket_candidates(predicate, schema)
+        if cands is not None and table_path is not None:
+            # prune whole buckets for =/IN predicates covering the full
+            # bucket-key (writer-parity hash; LocalTableQuery-style
+            # routing generalized to scans). Entries written under a
+            # DIFFERENT bucket layout (pre-rescale generations, other
+            # bucket-key) keep unpruned — their bucket ids don't mean
+            # the same thing; negative buckets (postpone) always stay.
+            layout = (
+                schema.options.get("bucket"),
+                schema.options.get("bucket-key", ""),
+            )
+            _layout_cache: dict[int, bool] = {}
+
+            def _same_layout(sid: int) -> bool:
+                got = _layout_cache.get(sid)
+                if got is None:
+                    if sid == schema.id:
+                        got = True
+                    else:
+                        from flink_table_store_spark.schema import SchemaManager
+
+                        try:
+                            s = SchemaManager(table_path).load(sid)
+                            got = (
+                                s.options.get("bucket"),
+                                s.options.get("bucket-key", ""),
+                            ) == layout
+                        except OSError:
+                            got = False  # unknown generation: never prune
+                    _layout_cache[sid] = got
+                return got
+
+            live = [
+                e
+                for e in live
+                if e.bucket < 0 or e.bucket in cands or not _same_layout(e.schema_id)
+            ]
 
     plan = ScanPlan()
     if not pk:

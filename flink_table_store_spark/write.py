@@ -151,6 +151,15 @@ def stage_and_collect(
         # compaction); ordinary reads drop them by projection
         df = _cast_to_schema(df, schema, extra=list(keep_cols or []))
         partition_by = pt_cols
+        if schema.options.get("bucket-key") and schema.num_buckets() > 0:
+            # bucketed APPEND table (reference BucketMode.BUCKET_APPEND:
+            # bucket-key without primary keys, AppendOnlyFileStore.java
+            # bucketMode): rows distribute by the shared bucket hash so
+            # two such tables co-partition for join_bucketed and bucket
+            # predicates prune scans — same hash as PK tables
+            df = df.withColumn(BUCKET_COL, bucket_expr(schema))
+            df = df.repartition(*[F.col(c) for c in pt_cols + [BUCKET_COL]])
+            partition_by = pt_cols + [BUCKET_COL]
 
     fmt = schema.file_format()
     staging = os.path.join(table_path, "staging", uuid.uuid4().hex)
