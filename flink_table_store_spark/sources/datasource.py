@@ -498,8 +498,16 @@ class FtssWriter(DataSourceArrowWriter):
         self._path = t.path
         self._pk = bool(schema.primary_keys)
         self._partition_keys = list(schema.partition_keys)
+        # bucketed layouts: fixed-bucket PK tables AND bucketed append
+        # tables (bucket-key without PK) — a bucketed-append write that
+        # ignored the hash would break co-location for join_bucketed
+        self._bucketed = self._pk or bool(
+            schema.options.get("bucket-key") and n > 0
+        )
         self._bucket_keys = (
-            [(k, schema.field(k).type) for k in bucket_keys(schema)] if self._pk else []
+            [(k, schema.field(k).type) for k in bucket_keys(schema)]
+            if self._bucketed
+            else []
         )
         supported = {
             "bigint", "long", "int", "integer", "smallint", "short",
@@ -561,6 +569,7 @@ class FtssWriter(DataSourceArrowWriter):
             tbl = tbl.append_column(
                 VALUE_KIND, pa.array([KIND_INSERT] * n_rows, pa.string())
             )
+        if self._bucketed:
             if self._postpone:
                 bucket_arr = [-2] * n_rows
             else:
@@ -589,7 +598,9 @@ class FtssWriter(DataSourceArrowWriter):
 
         import pandas as pd  # noqa: F401  (group keys via pyarrow filter)
 
-        group_cols = list(self._partition_keys) + ([BUCKET_COL] if self._pk else [])
+        group_cols = list(self._partition_keys) + (
+            [BUCKET_COL] if self._bucketed else []
+        )
         entries, files = [], []
         now = now_millis()
 
@@ -605,7 +616,7 @@ class FtssWriter(DataSourceArrowWriter):
                     else _quote_pt(_fmt_pt(v))
                 )
                 rel_parts.append(f"{k}={seg}")
-            if self._pk:
+            if self._bucketed:
                 rel_parts.append(f"{BUCKET_COL}={bucket}")
             dest_dir = os.path.join(self._path, *rel_parts)
             os.makedirs(dest_dir, exist_ok=True)
@@ -656,7 +667,7 @@ class FtssWriter(DataSourceArrowWriter):
                     mask = m if mask is None else pc.and_(mask, m)
                 sub = tbl.filter(mask)
                 pt_vals = dict(zip(group_cols, key))
-                bucket = int(pt_vals.pop(BUCKET_COL)) if self._pk else 0
+                bucket = int(pt_vals.pop(BUCKET_COL)) if self._bucketed else 0
                 _emit(sub, pt_vals, bucket)
         return FtssCommitMessage(entries=entries, files=files)
 

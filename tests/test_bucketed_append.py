@@ -136,3 +136,39 @@ class TestBucketedAppend:
             options={"bucket": "-1"},
         )
         assert _bucket_candidates(P.equal("k", 1), t.schema) is None
+
+
+class TestFormatSurface:
+    def test_format_writer_buckets_append_tables(self, spark, warehouse):
+        """df.write.format('ftss') on a bucketed append table must hash
+        rows into the same buckets Table.write uses — a bucket-unaware
+        write would silently break join co-location."""
+        from flink_table_store_spark.operators.bucketed_join import join_bucketed
+        from flink_table_store_spark.sources.datasource import register_data_source
+
+        register_data_source(spark)
+        a = _mk(spark, warehouse, "db.fa")  # engine-written side
+        b = warehouse.create_table(
+            "db.fb", "k bigint, w string", options={"bucket": "4", "bucket-key": "k"}
+        )
+        spark.createDataFrame(
+            [(i, f"b{i}") for i in range(0, 100, 2)], "k bigint, w string"
+        ).write.format("ftss").mode("append").save(b.path)
+        snap = b.snapshots.latest()
+        es = b.manifests.read_live_entries(
+            snap.base_manifest_list, snap.delta_manifest_list
+        )
+        assert sorted({e.bucket for e in es}) == [0, 1, 2, 3]
+        j = join_bucketed(spark, a, warehouse.get_table("db.fb"), on=[("k", "k")])
+        rows = sorted((r.k, r.v, r.w) for r in j.collect())
+        assert len(rows) == 50 and rows[0] == (0, "a0", "b0")
+        # cross-runtime parity: the local writer buckets identically
+        import pyarrow as pa
+
+        warehouse.get_table("db.fb").write_arrow(
+            pa.table({"k": [1, 3], "w": ["b1", "b3"]})
+        )
+        j2 = join_bucketed(
+            spark, a, warehouse.get_table("db.fb"), on=[("k", "k")]
+        )
+        assert j2.count() == 52
