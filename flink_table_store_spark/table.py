@@ -231,7 +231,70 @@ class ReadBuilder:
         if self._topn is not None:
             col, n, desc = self._topn
             df = df.orderBy(F.col(col).desc() if desc else F.col(col).asc()).limit(n)
+        df = self._with_fallback_branch(spark, df, plan, snap)
         return df
+
+    def _with_fallback_branch(self, spark, df, plan, snap):
+        """``scan.fallback-branch`` (FallbackReadFileStoreTable.java):
+        partitions ABSENT from this branch read from the fallback
+        branch instead — the main/backfill dual-branch deployment.
+        Applies to plain latest scans only (a snapshot id / tag /
+        timestamp names a point on ONE branch; TopN/limit bounds are
+        per-branch plans, so they bail too). The fallback must agree on
+        columns and partition keys (validateFallbackBranch)."""
+        t = self._table
+        fb = t.schema.options.get("scan.fallback-branch")
+        if (
+            not fb
+            or (t.branch_name or "") == fb
+            or not t.schema.partition_keys
+            or self._snapshot_id is not None
+            or self._tag is not None
+            or self._timestamp_ms is not None
+            or self._watermark is not None
+            or self._limit is not None
+            or self._topn is not None
+        ):
+            return df
+        fb_table = Table(t.path, t.name, branch=fb)
+        fb_snap = fb_table.snapshots.latest()
+        if fb_snap is None:
+            return df
+        if fb_table.schema.field_names() != t.schema.field_names() or (
+            fb_table.schema.partition_keys != t.schema.partition_keys
+        ):
+            raise ValueError(
+                f"scan.fallback-branch {fb!r}: branch schemas differ — "
+                "align columns/partition keys first (validateFallbackBranch)"
+            )
+        main_parts = {
+            tuple(sorted(e.partition.items()))
+            for e in plan.raw_entries + plan.merge_entries
+        }
+        fb_rb = fb_table.read_builder()
+        if self._predicate is not None:
+            fb_rb.with_filter(self._predicate)
+        fb_entries = fb_rb._plan_entries(spark, fb_snap)
+        fb_plan = read_mod.plan_scan(
+            fb_entries, fb_table.schema, self._predicate, None, t.path
+        )
+        keep = lambda e: tuple(sorted(e.partition.items())) not in main_parts  # noqa: E731
+        fb_plan.raw_entries = [e for e in fb_plan.raw_entries if keep(e)]
+        fb_plan.merge_entries = [e for e in fb_plan.merge_entries if keep(e)]
+        if not fb_plan.raw_entries and not fb_plan.merge_entries:
+            return df
+        fb_df = read_mod.build_dataframe(
+            spark,
+            t.path,
+            fb_plan,
+            fb_table.schema,
+            fb_table.all_schemas(),
+            predicate=self._predicate,
+            projection=self._projection,
+            limit=None,
+            dv_files=fb_snap.dv_files,
+        )
+        return df.unionByName(fb_df)
 
 
 class Table:
