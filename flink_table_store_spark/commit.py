@@ -154,7 +154,9 @@ class FileStoreCommit:
                 # (re)assign on every attempt — a lost CAS race moves the
                 # range start to the new latest snapshot's high-water mark
                 for e in entries:
-                    if e.kind == KIND_ADD:
+                    # patch files (data evolution) reference existing
+                    # ids — they are never row-id sources
+                    if e.kind == KIND_ADD and not e.patch_cols:
                         e.first_row_id = new_row_id
                         new_row_id += e.row_count
                 delta_manifest = self.manifests.write_manifest(entries)

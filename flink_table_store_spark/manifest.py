@@ -30,6 +30,17 @@ KIND_DELETE = "DELETE"
 # iceberg.py exports only level==MAX_LEVEL files for PK tables)
 MAX_LEVEL = 5
 
+# Spark-side twin of _ENTRY_SCHEMA for the distributed manifest readers:
+# reading with an EXPLICIT schema makes old manifests (written before a
+# column existed) surface nulls instead of silently dropping the column
+# when Spark picks its schema from an arbitrary file of the set.
+ENTRY_DDL = (
+    "kind string, partition string, bucket int, level int, "
+    "file_name string, row_count bigint, file_size bigint, "
+    "min_seq bigint, max_seq bigint, schema_id bigint, stats string, "
+    "creation_time bigint, first_row_id bigint, patch_cols string"
+)
+
 _ENTRY_SCHEMA = pa.schema(
     [
         ("kind", pa.string()),
@@ -47,6 +58,11 @@ _ENTRY_SCHEMA = pa.schema(
         # row tracking (SpecialFields._ROW_ID / RowTrackingTable): first
         # stable row id in this file; rows are first_row_id + position
         ("first_row_id", pa.int64()),
+        # data evolution (reference table/source/DataEvolutionSplit
+        # Generator.java, operation/DataEvolutionSplitRead.java): a
+        # PATCH file stores (_ROW_ID, <these columns>) and overlays the
+        # base rows by id at read time; None = ordinary data file
+        ("patch_cols", pa.string()),  # JSON list or null
     ]
 )
 
@@ -66,6 +82,7 @@ class ManifestEntry:
     stats: dict[str, dict[str, Any]] = field(default_factory=dict)
     creation_time: int = 0
     first_row_id: int | None = None
+    patch_cols: list[str] | None = None
 
     def key(self) -> tuple:
         return (json.dumps(self.partition, sort_keys=True), self.bucket, self.file_name)
@@ -85,6 +102,7 @@ class ManifestEntry:
             "stats": json.dumps(self.stats, default=str),
             "creation_time": self.creation_time,
             "first_row_id": self.first_row_id,
+            "patch_cols": json.dumps(self.patch_cols) if self.patch_cols else None,
         }
 
     @staticmethod
@@ -103,6 +121,7 @@ class ManifestEntry:
             stats=json.loads(r["stats"]) if r["stats"] else {},
             creation_time=r["creation_time"],
             first_row_id=r.get("first_row_id"),
+            patch_cols=json.loads(r["patch_cols"]) if r.get("patch_cols") else None,
         )
 
 
@@ -156,8 +175,10 @@ class ManifestManager:
         planning over millions of files (SURVEY §2.1 S2/S3)."""
         names = self.read_manifest_list(list_name)
         if not names:
-            return spark.createDataFrame([], schema="kind string, partition string, bucket int")
-        return spark.read.parquet(*[os.path.join(self.dir, n) for n in names])
+            return spark.createDataFrame([], schema=ENTRY_DDL)
+        return spark.read.schema(ENTRY_DDL).parquet(
+            *[os.path.join(self.dir, n) for n in names]
+        )
 
     def total_entry_rows(self, base_list: str | None, delta_list: str | None) -> int:
         """Total manifest entry count from parquet FOOTERS only — the
@@ -187,7 +208,9 @@ class ManifestManager:
         names = self.read_manifest_list(base_list) + self.read_manifest_list(delta_list)
         if not names:
             return None
-        df = spark.read.parquet(*[os.path.join(self.dir, n) for n in names])
+        df = spark.read.schema(ENTRY_DDL).parquet(
+            *[os.path.join(self.dir, n) for n in names]
+        )
         key = ["partition", "bucket", "file_name"]
         net = (
             df.groupBy(*key)

@@ -45,6 +45,10 @@ from flink_table_store_spark.write import BUCKET_COL, DATA_DIR, POSTPONE_BUCKET
 class ScanPlan:
     raw_entries: list[ManifestEntry] = dc_field(default_factory=list)
     merge_entries: list[ManifestEntry] = dc_field(default_factory=list)
+    # data evolution: column-patch files overlaid on the raw rows by
+    # _ROW_ID (never part of raw/merge — every consumer of data rows
+    # sees only real row sources)
+    patch_entries: list[ManifestEntry] = dc_field(default_factory=list)
 
     @property
     def entries(self) -> list[ManifestEntry]:
@@ -152,17 +156,29 @@ def plan_scan(
     value fails the filter.
     """
     pk = bool(schema.primary_keys)
-    live = entries
+    patches = [e for e in entries if e.patch_cols]
+    live = [e for e in entries if not e.patch_cols]
+    patched_cols: set[str] = set()
+    for e in patches:
+        patched_cols.update(e.patch_cols)
     per_file_safe = True
     if predicate is not None:
         live = [e for e in live if predicate.test_partition(e.partition)]
-        if pk:
+        patches = [e for e in patches if predicate.test_partition(e.partition)]
+        if patched_cols:
+            flds = predicate.fields()
+            if flds is None or flds & patched_cols:
+                # base-file stats describe PRE-patch values for these
+                # columns — pruning (or bucket routing) on them could
+                # drop a row whose PATCHED value matches
+                per_file_safe = False
+        if pk and per_file_safe:
             flds = predicate.fields()
             keyish = set(schema.partition_keys) | set(schema.trimmed_primary_keys())
             per_file_safe = flds is not None and flds <= keyish
         if per_file_safe:
             live = [e for e in live if _stats_test(e, predicate, table_path)]
-        cands = _bucket_candidates(predicate, schema)
+        cands = _bucket_candidates(predicate, schema) if per_file_safe else None
         if cands is not None and table_path is not None:
             # prune whole buckets for =/IN predicates covering the full
             # bucket-key (writer-parity hash; LocalTableQuery-style
@@ -202,6 +218,7 @@ def plan_scan(
             ]
 
     plan = ScanPlan()
+    plan.patch_entries = patches
     if not pk:
         plan.raw_entries = list(live)
         if limit is not None and predicate is None:
@@ -559,6 +576,14 @@ def build_dataframe(
     pk = bool(schema.primary_keys)
     out_fields = schema.field_names()
     dv = dv_dataframe(spark, table_path, dv_files or [])
+    # defensive: data-evolution patch files are column overlays, never
+    # row sources — a plan built outside plan_scan must not read them
+    # as rows (the stitched path reads plan.patch_entries explicitly)
+    plan = ScanPlan(
+        raw_entries=[e for e in plan.raw_entries if not e.patch_cols],
+        merge_entries=[e for e in plan.merge_entries if not e.patch_cols],
+        patch_entries=plan.patch_entries,
+    )
 
     # row-granular pruning (reference range-bitmap/bsi inside-file skip):
     # surviving files whose sidecar row-group value sets prune SOME row

@@ -232,6 +232,12 @@ def _plan_input_partitions(table: "Table", predicate, options) -> list[FtssInput
     if snap is None:
         return []
     plan = rb.plan()
+    if plan.patch_entries:
+        raise ValueError(
+            f"format('{FORMAT_NAME}') cannot stitch data-evolution patch "
+            "files yet — read via table.to_df(spark), or compact() to "
+            "materialize the patches first"
+        )
     schema = table.schema
     for e in plan.entries:
         if not e.file_name.endswith(".parquet"):

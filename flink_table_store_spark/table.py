@@ -16,7 +16,7 @@ import os
 import re
 from typing import Any
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from flink_table_store_spark import fileindex
@@ -214,20 +214,35 @@ class ReadBuilder:
             # a residual predicate or DV makes file row counts overcount
             # the qualifying rows — the coverage bound would be unsound
             and self._predicate is None
+            # base stats are pre-patch: ordering on a patched column
+            # could keep the wrong files
+            and not plan.patch_entries
         ):
             col, n, desc = self._topn
             plan.raw_entries = read_mod.prune_topn(plan.raw_entries, col, n, desc)
-        df = read_mod.build_dataframe(
-            spark,
-            t.path,
-            plan,
-            t.schema,
-            t.all_schemas(),
-            predicate=self._predicate,
-            projection=self._projection,
-            limit=self._limit,
-            dv_files=snap.dv_files if snap else None,
-        )
+        if plan.patch_entries:
+            # data evolution: overlay column patches by _ROW_ID, then
+            # apply predicate/projection/limit on the STITCHED rows
+            df = t._read_stitched(
+                spark,
+                plan,
+                snap,
+                predicate=self._predicate,
+                projection=self._projection,
+                limit=self._limit,
+            )
+        else:
+            df = read_mod.build_dataframe(
+                spark,
+                t.path,
+                plan,
+                t.schema,
+                t.all_schemas(),
+                predicate=self._predicate,
+                projection=self._projection,
+                limit=self._limit,
+                dv_files=snap.dv_files if snap else None,
+            )
         if self._topn is not None:
             col, n, desc = self._topn
             df = df.orderBy(F.col(col).desc() if desc else F.col(col).asc()).limit(n)
@@ -420,7 +435,13 @@ class Table:
         snap = self.snapshots.latest()
         if snap is None:
             return 0
-        entries = self.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
+        entries = [
+            e
+            for e in self.manifests.read_live_entries(
+                snap.base_manifest_list, snap.delta_manifest_list
+            )
+            if not e.patch_cols  # data-evolution patches hold no rows
+        ]
         if predicate is None:
             return sum(e.row_count for e in entries) - self._dv_row_count(snap)
         if snap.dv_files:
@@ -439,7 +460,12 @@ class Table:
             return None  # file stats may reference DV-deleted rows
         from flink_table_store_spark.manifest import merge_entry_stats
 
-        entries = self.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
+        all_entries = self.manifests.read_live_entries(
+            snap.base_manifest_list, snap.delta_manifest_list
+        )
+        if any(e.patch_cols and col in e.patch_cols for e in all_entries):
+            return None  # base stats are pre-patch for this column
+        entries = [e for e in all_entries if not e.patch_cols]
         if any(col not in e.stats or e.stats[col].get("nulls", 0) for e in entries):
             return None
         return merge_entry_stats(entries, col)
@@ -539,6 +565,15 @@ class Table:
         self, spark: SparkSession, predicate: Predicate, use_dv: bool | None = None
     ) -> Snapshot:
         schema = self.schema
+        live_patched = self._live_patched_cols()
+        if live_patched:
+            flds = predicate.fields()
+            if flds is None or flds & live_patched:
+                raise ValueError(
+                    "DELETE predicate touches data-evolution-patched "
+                    f"columns {sorted(live_patched)} — positions would be "
+                    "computed from pre-patch values; run compact() first"
+                )
         if schema.partition_keys and _is_partition_only(predicate, schema):
             # strategy 1: metadata-only delete (OptimizeMetadataOnlyDelete…:52)
             return self.committer.commit_overwrite([], schema.id, predicate)
@@ -808,6 +843,18 @@ class Table:
 
     # --- compaction (SURVEY §4.2; UniversalCompaction.java:42-103) ---
 
+    def _live_patched_cols(self) -> set[str]:
+        snap = self.snapshots.latest()
+        if snap is None or not self.data_evolution_enabled():
+            return set()
+        out: set[str] = set()
+        for e in self.manifests.read_live_entries(
+            snap.base_manifest_list, snap.delta_manifest_list
+        ):
+            if e.patch_cols:
+                out.update(e.patch_cols)
+        return out
+
     def compact(self, spark: SparkSession, full: bool = True, trigger_runs: int = 5) -> Snapshot | None:
         """Rewrite buckets into a single max-level run. ``full=False``
         runs UNIVERSAL compaction (UniversalCompaction.java:42-125) for
@@ -823,6 +870,8 @@ class Table:
             return None
         schema = self.schema
         entries = self.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
+        patches = [e for e in entries if e.patch_cols]
+        entries = [e for e in entries if not e.patch_cols]
         if (
             not full
             and self.is_primary_key_table()
@@ -839,6 +888,7 @@ class Table:
             and not any(e.bucket == POSTPONE_BUCKET for e in entries)
         ):
             return self._compact_universal(spark, snap, entries, trigger_runs)
+        patched_parts = {tuple(sorted(e.partition.items())) for e in patches}
         by_bucket: dict[tuple, list[ManifestEntry]] = {}
         for e in entries:
             by_bucket.setdefault((tuple(sorted(e.partition.items())), e.bucket), []).append(e)
@@ -847,7 +897,10 @@ class Table:
         for _k, group in by_bucket.items():
             needs = len(group) > 1 or (group and group[0].level == 0)
             if full:
-                if needs:
+                # a partition with live patches always rewrites: full
+                # compaction MATERIALIZES patched values and retires the
+                # patch files (DataEvolutionCompactTask)
+                if needs or _k[0] in patched_parts:
                     to_compact.extend(group)
             elif len(group) >= trigger_runs:
                 to_compact.extend(group)
@@ -857,12 +910,24 @@ class Table:
         max_level = MAX_LEVEL
         pk = self.is_primary_key_table()
         row_ids = self.row_tracking_enabled()
+        consumed_patches: list[ManifestEntry] = []
         if row_ids:
             # row-id stability under maintenance (SpecialFields row-id
             # semantics): carry each surviving row's id through the
             # rewrite as a stored _ROW_ID column; the rewritten entries
             # commit with first_row_id=None and readers use the column
             merged = self._rows_with_ids(spark, to_compact, snap.dv_files)
+            if full and patches:
+                rewritten_parts = {
+                    tuple(sorted(e.partition.items())) for e in to_compact
+                }
+                consumed_patches = [
+                    e
+                    for e in patches
+                    if tuple(sorted(e.partition.items())) in rewritten_parts
+                ]
+                # materialize CURRENT values; consumed patch files retire
+                merged = self._apply_patches(spark, merged, consumed_patches)
         else:
             plan = read_mod.ScanPlan(merge_entries=to_compact) if pk else read_mod.ScanPlan(raw_entries=to_compact)
             merged = read_mod.build_dataframe(
@@ -887,7 +952,7 @@ class Table:
         # but there are no surviving older runs, so ordering vs future
         # commits (which use next_sequence from the snapshot) stays correct.
         deletes = []
-        for e in to_compact:
+        for e in to_compact + consumed_patches:
             d = ManifestEntry(**{**e.__dict__})
             d.kind = KIND_DELETE
             deletes.append(d)
@@ -1223,9 +1288,16 @@ class Table:
         ]
         if not idx_cols and not bm_cols:
             return snap
-        entries = self.manifests.read_live_entries(
-            snap.base_manifest_list, snap.delta_manifest_list
-        )
+        entries = [
+            e
+            for e in self.manifests.read_live_entries(
+                snap.base_manifest_list, snap.delta_manifest_list
+            )
+            # patch files hold only (_ROW_ID, patched cols): indexing the
+            # configured data columns over them is meaningless and would
+            # read columns they don't store
+            if not e.patch_cols
+        ]
         if not entries:
             return snap
         by_fmt: dict[str, list[ManifestEntry]] = {}
@@ -1361,7 +1433,12 @@ class Table:
         )
         if not entries:
             return spark.createDataFrame([], out_schema)
-        return self._rows_with_ids(spark, entries, snap.dv_files)
+        base_entries = [e for e in entries if not e.patch_cols]
+        df = self._rows_with_ids(spark, base_entries, snap.dv_files)
+        # $row_tracking shows CURRENT values: data-evolution patches apply
+        return self._apply_patches(
+            spark, df, [e for e in entries if e.patch_cols]
+        )
 
     def _rows_with_ids(
         self, spark: SparkSession, entries: list, dv_files: list[str] | None = None
@@ -1401,6 +1478,210 @@ class Table:
                 ),
             )
             .drop("__fp", "__ri", "__first", "_metadata")
+        )
+
+    # --- data evolution: column patches stitched by _ROW_ID -------------
+    # (reference: append/dataevolution/, operation/DataEvolutionSplitRead
+    # .java, table/source/DataEvolutionSplitGenerator.java — UPDATE on
+    # row-tracking append tables writes only the changed COLUMNS as patch
+    # files sharing the rows' id range; reads overlay them on the base)
+
+    def data_evolution_enabled(self) -> bool:
+        return (
+            self.row_tracking_enabled()
+            and self.schema.options.get("data-evolution.enabled") == "true"
+        )
+
+    def _apply_patches(
+        self, spark: SparkSession, base: DataFrame, patches: list[ManifestEntry]
+    ) -> DataFrame:
+        """Overlay ``patches`` onto ``base`` (which carries _ROW_ID).
+        Per patched COLUMN, the value from the highest-sequence patch
+        containing that column wins; rows a patch doesn't mention keep
+        their base value (presence-flagged join, so a patch can set
+        NULL). One broadcast-prio join per distinct patched column —
+        parquet column pruning keeps each pass at (_ROW_ID, col)."""
+        if not patches:
+            return base
+        cols: list[str] = []
+        for e in patches:
+            for c in e.patch_cols:
+                if c not in cols:
+                    cols.append(c)
+        for c in cols:
+            ents = [e for e in patches if c in e.patch_cols]
+            paths = [os.path.join(self.path, e.file_name) for e in ents]
+            prio = spark.createDataFrame(
+                [
+                    (f"file:{os.path.abspath(p)}", e.max_seq)
+                    for p, e in zip(paths, ents)
+                ],
+                "__fp string, __prio bigint",
+            )
+            pdf = (
+                spark.read.parquet(*paths)
+                .select("_ROW_ID", F.col(c).alias("__pv"))
+                .withColumn("__fp", F.col("_metadata.file_path"))
+                .join(F.broadcast(prio), "__fp")
+            )
+            w = Window.partitionBy("_ROW_ID").orderBy(
+                F.desc("__prio"), F.desc("__fp")
+            )
+            latest = (
+                pdf.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .select(
+                    F.col("_ROW_ID").alias("__pid"),
+                    "__pv",
+                    F.lit(True).alias("__hit"),
+                )
+            )
+            base = (
+                base.join(latest, base["_ROW_ID"] == latest["__pid"], "left")
+                .withColumn(
+                    c,
+                    F.when(F.col("__hit"), F.col("__pv")).otherwise(F.col(c)),
+                )
+                .drop("__pid", "__pv", "__hit")
+            )
+        return base
+
+    def _read_stitched(
+        self,
+        spark: SparkSession,
+        plan: "read_mod.ScanPlan",
+        snap,
+        predicate: Predicate | None = None,
+        projection: list[str] | None = None,
+        limit: int | None = None,
+        keep_row_id: bool = False,
+    ) -> DataFrame:
+        """Scan of a data-evolution table: base rows with ids → patch
+        overlay → residual predicate → projection/limit. The predicate
+        runs on POST-patch values (plan_scan already disabled stats/
+        bucket pruning for patched columns)."""
+        base = self._rows_with_ids(spark, plan.raw_entries, snap.dv_files if snap else None)
+        df = self._apply_patches(spark, base, plan.patch_entries)
+        if predicate is not None:
+            df = df.where(predicate.to_column())
+        if not keep_row_id:
+            df = df.drop("_ROW_ID")
+        if projection is not None:
+            df = df.select(*projection)
+        if limit is not None:
+            df = df.limit(limit)
+        return df
+
+    def update_columns(
+        self,
+        spark: SparkSession,
+        predicate: Predicate | None,
+        assignments: dict[str, Any],
+    ) -> Snapshot:
+        """UPDATE for data-evolution append tables that writes COLUMN
+        PATCH files instead of rewriting rows: the wide-table update
+        path (only the changed columns hit storage — at 100 TB, an
+        update of one feature column writes ~1/n_cols of the bytes a
+        row rewrite would). Assignments map column → Spark Column or
+        SQL expression string, evaluated on the CURRENT (stitched)
+        values; predicate None updates every row."""
+        schema = self.schema
+        if schema.primary_keys:
+            raise ValueError("PK tables update by upsert — use table.update()")
+        if not self.data_evolution_enabled():
+            raise ValueError(
+                "update_columns needs row-tracking.enabled=true and "
+                "data-evolution.enabled=true on an append table"
+            )
+        if schema.options.get("metadata.iceberg.storage"):
+            raise ValueError(
+                "data evolution is incompatible with Iceberg-compatible "
+                "storage — external readers cannot stitch patch files"
+            )
+        names = set(schema.field_names())
+        for c in assignments:
+            if c not in names:
+                raise ValueError(f"unknown column {c}")
+            if c in schema.partition_keys:
+                raise ValueError(f"cannot patch partition column {c}")
+        snap = self.snapshots.latest()
+        if snap is None:
+            raise RuntimeError("empty table")
+        entries = self.manifests.read_live_entries(
+            snap.base_manifest_list, snap.delta_manifest_list
+        )
+        plan = read_mod.ScanPlan(
+            raw_entries=[e for e in entries if not e.patch_cols],
+            patch_entries=[e for e in entries if e.patch_cols],
+        )
+        rows = self._read_stitched(spark, plan, snap, keep_row_id=True)
+        if predicate is not None:
+            rows = rows.where(predicate.to_column())
+        upd_cols = sorted(assignments)
+        exprs = [
+            (F.expr(v) if isinstance(v, str) else v).alias(c)
+            for c, v in sorted(assignments.items())
+        ]
+        pt_cols = list(schema.partition_keys)
+        patch_df = rows.select(*pt_cols, F.col("_ROW_ID"), *exprs)
+        # stage like the ordinary writer: partition dirs, footer stats
+        import uuid as _uuid
+
+        from flink_table_store_spark.manifest import collect_parquet_stats
+        from flink_table_store_spark.snapshot import now_millis
+        from flink_table_store_spark.write import DATA_DIR
+        from flink_table_store_spark.write import _parse_partition as _w_parse_partition
+
+        staging = os.path.join(self.path, "staging", _uuid.uuid4().hex)
+        w = patch_df.write.mode("overwrite").format("parquet")
+        if pt_cols:
+            w = w.partitionBy(*pt_cols)
+        w.save(staging)
+        latest = self.snapshots.latest()
+        next_seq = latest.next_sequence if latest else 0
+        new_entries: list[ManifestEntry] = []
+        now = now_millis()
+        import shutil as _shutil
+
+        for dirpath, _dirs, files in os.walk(staging):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                src = os.path.join(dirpath, fn)
+                rc, size, stats = collect_parquet_stats(src)
+                if rc == 0:
+                    continue
+                rel_dir = os.path.relpath(dirpath, staging)
+                rel_parts = [] if rel_dir == "." else rel_dir.split(os.sep)
+                dest_dir = os.path.join(self.path, DATA_DIR, *rel_parts)
+                os.makedirs(dest_dir, exist_ok=True)
+                name = f"patch-{_uuid.uuid4().hex}.parquet"
+                dest = os.path.join(dest_dir, name)
+                os.replace(src, dest)
+                partition, _b = _w_parse_partition(rel_dir)
+                new_entries.append(
+                    ManifestEntry(
+                        kind=KIND_ADD,
+                        partition=partition,
+                        bucket=0,
+                        level=0,
+                        file_name=os.path.relpath(dest, self.path),
+                        row_count=rc,
+                        file_size=size,
+                        min_seq=next_seq,
+                        max_seq=next_seq,
+                        schema_id=schema.id,
+                        stats=stats,
+                        creation_time=now,
+                        patch_cols=upd_cols,
+                    )
+                )
+        _shutil.rmtree(staging, ignore_errors=True)
+        return self.committer.commit(
+            new_entries,
+            schema.id,
+            kind=COMMIT_APPEND,
+            next_sequence=next_seq + 1,
         )
 
     def read_optimized(self, spark: SparkSession) -> DataFrame:
@@ -2163,7 +2444,13 @@ class Table:
 
     def delta_entries(self, snapshot_id: int) -> list[ManifestEntry]:
         s = self.snapshots.load(snapshot_id)
-        return [e for e in self.manifests.read_entries(s.delta_manifest_list) if e.kind == KIND_ADD]
+        # data-evolution patches carry no rows: incremental/streaming
+        # consumers see row-adding files only
+        return [
+            e
+            for e in self.manifests.read_entries(s.delta_manifest_list)
+            if e.kind == KIND_ADD and not e.patch_cols
+        ]
 
     def incremental_read(
         self, spark: SparkSession, start_snapshot: int, end_snapshot: int
