@@ -3165,6 +3165,93 @@ QUERIES = _rebuilt8
 QUERIES["text_lm_perplexity"] = (text_lm_perplexity, TEXT_LM_SQL)
 
 
+def data_evolution_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data evolution (reference append/dataevolution/ +
+    DataEvolutionSplitRead.java; table.py update_columns): two
+    column-patch UPDATEs land on a row-tracking append table — the
+    second recomputes from the first's PATCHED values — and the scan
+    stitches base + patches by _ROW_ID. Only the changed column ever
+    hits storage."""
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    wh = os.path.join(_WAREHOUSE_ROOT, tag, "de_wh")
+    cat = Catalog(wh)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    t = cat.create_table(
+        "default.orders_de",
+        orders.schema,
+        options={
+            "row-tracking.enabled": "true",
+            "data-evolution.enabled": "true",
+        },
+        ignore_if_exists=True,
+    )
+    if not t.snapshots.latest_id():
+        t.write(orders)
+    if (t.snapshots.latest_id() or 0) < 3:
+        # patch 1: double the price of urgent orders (one column written)
+        t.update_columns(
+            spark,
+            P.equal("o_orderpriority", "1-URGENT"),
+            {"o_totalprice": "o_totalprice * 2"},
+        )
+        # patch 2: computed FROM the patched value for cheap urgent rows
+        t.update_columns(
+            spark,
+            P.equal("o_orderpriority", "1-URGENT")
+            & P.less_than("o_totalprice", 50000.0),
+            {"o_totalprice": "o_totalprice + 1000"},
+        )
+    return (
+        t.to_df(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+DATA_EVOLUTION_SQL = """
+WITH p1 AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderpriority = '1-URGENT'
+              THEN o_totalprice * 2 ELSE o_totalprice END AS price,
+         o_orderpriority
+  FROM orders
+), p2 AS (
+  SELECT o_orderstatus,
+         CASE WHEN o_orderpriority = '1-URGENT' AND price < 50000.0
+              THEN price + 1000 ELSE price END AS price
+  FROM p1
+)
+SELECT o_orderstatus, count(*) AS n_orders, round(sum(price), 2) AS total
+FROM p2 GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+# data evolution is a new §2 surface: its row takes a driver slot;
+# range_index_scan rotates to the tail (P9 keeps bloom_index_scan in
+# the window, and range_rowgroup_scan already guards the range family
+# from the tail).
+_R8B_NEW = {
+    "data_evolution_update": (data_evolution_update, DATA_EVOLUTION_SQL),
+}
+_R8B_OUT = ["range_index_scan"]
+_rebuilt8b: dict[str, tuple] = {}
+_new_iter8b = iter(_R8B_NEW.items())
+for _k, _v in QUERIES.items():
+    if _k in _R8B_OUT:
+        _nk, _nv = next(_new_iter8b)
+        _rebuilt8b[_nk] = _nv
+    else:
+        _rebuilt8b[_k] = _v
+for _k in _R8B_OUT:
+    _rebuilt8b[_k] = QUERIES[_k]
+QUERIES = _rebuilt8b
+
+
 def reset_managed_tables(sf_dir: str | None = None) -> None:
     """Drop the /tmp managed warehouses (tests / fresh runs)."""
     if sf_dir is None:
