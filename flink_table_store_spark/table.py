@@ -748,6 +748,10 @@ class Table:
         if self.is_primary_key_table():
             rows = apply_set(self.to_df(spark, predicate=predicate))
             return self.write(rows.withColumn(ROW_KIND, F.lit(KIND_UPDATE_AFTER)), row_kind_col=ROW_KIND)
+        if self.data_evolution_enabled():
+            # data-evolution append tables update by COLUMN PATCH, not
+            # copy-on-write: only the assigned columns hit storage
+            return self.update_columns(spark, predicate, assignments)
         return self._rewrite_files(
             spark,
             predicate,

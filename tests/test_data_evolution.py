@@ -161,3 +161,21 @@ class TestCompactionMaterializes:
         t2.update_columns(spark, P.equal("k", 4), {"score": "score + 1"})
         got = {r.k: r.score for r in t2.to_df(spark).collect()}
         assert got[4] == 45.0
+
+
+def test_sql_update_routes_to_patches(spark, warehouse):
+    """UPDATE through the SQL surface on a data-evolution table writes
+    patches, not rewritten rows."""
+    from flink_table_store_spark import SqlSession
+
+    t = _mk(spark, warehouse, "db.sqlde")
+    s = SqlSession(spark, warehouse)
+    s.sql("UPDATE db.sqlde SET score = score + 100 WHERE k < 3")
+    got = {r.k: r.score for r in s.sql(
+        "SELECT k, score FROM db.sqlde").collect()}
+    assert got[0] == 100.0 and got[2] == 102.0 and got[3] == 3.0
+    snap = t.snapshots.latest()
+    es = warehouse.get_table("db.sqlde").manifests.read_live_entries(
+        snap.base_manifest_list, snap.delta_manifest_list
+    )
+    assert any(e.patch_cols == ["score"] for e in es)
