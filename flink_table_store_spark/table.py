@@ -614,7 +614,11 @@ class Table:
         touched = [
             e
             for e in entries
-            if predicate.test_partition(e.partition) and predicate.test(e.stats, e.row_count)
+            # patch files are column overlays, not row sources: a DV on
+            # one would drop PATCH rows by position and lose updates
+            if not e.patch_cols
+            and predicate.test_partition(e.partition)
+            and predicate.test(e.stats, e.row_count)
         ]
         if not touched:
             return snap
@@ -810,6 +814,12 @@ class Table:
         schema = self.schema
         if snap is None:
             raise RuntimeError("empty table")
+        if self._live_patched_cols():
+            raise ValueError(
+                "copy-on-write rewrite on a table with live data-evolution "
+                "patches would lose or duplicate patched values — run "
+                "compact() to materialize them first"
+            )
         entries = self.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
         touched = [
             e
@@ -1929,6 +1939,11 @@ class Table:
 
         if self.is_primary_key_table():
             raise RuntimeError("sort_compact targets append tables (PK order is the LSM key)")
+        if self._live_patched_cols():
+            raise ValueError(
+                "sort_compact on a table with live data-evolution patches "
+                "— run compact() to materialize them first"
+            )
         snap = self.snapshots.latest()
         if snap is None:
             return None

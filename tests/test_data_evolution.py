@@ -179,3 +179,26 @@ def test_sql_update_routes_to_patches(spark, warehouse):
         snap.base_manifest_list, snap.delta_manifest_list
     )
     assert any(e.patch_cols == ["score"] for e in es)
+
+
+def test_rewrites_guarded_while_patches_live(spark, warehouse):
+    """Copy-on-write rewrites and sort compaction refuse while patches
+    are live (they would read patch files as rows or strand values);
+    DV deletes never mark positions inside patch files."""
+    t = _mk(spark, warehouse, "db.gd")
+    t.update_columns(spark, P.equal("k", 5), {"score": F.lit(55.0)})
+    with pytest.raises(ValueError, match="compact"):
+        t._rewrite_files(spark, P.equal("k", 1), lambda df: df)
+    with pytest.raises(ValueError, match="compact"):
+        t.sort_compact(spark, ["k"])
+    # DV delete on an unpatched column works and keeps patched values
+    t2 = warehouse.create_table(
+        "db.gd2", SCHEMA, partition_keys=["pt"],
+        options={**OPTS, "deletion-vectors.enabled": "true"},
+    )
+    t2.write(spark.createDataFrame(
+        [(i, f"l{i}", float(i), "a") for i in range(10)], SCHEMA))
+    t2.update_columns(spark, P.equal("k", 3), {"score": F.lit(33.0)})
+    t2.delete(spark, P.equal("k", 7))
+    got = {r.k: r.score for r in t2.to_df(spark).collect()}
+    assert 7 not in got and got[3] == 33.0 and len(got) == 9
