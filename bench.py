@@ -694,6 +694,43 @@ def main() -> None:
         _jdbc_run,
     )
 
+    # --- data evolution: column-patch UPDATE vs copy-on-write ------------
+    # (round-8 surface; the headline is BYTES — a one-column update
+    # writes ~1/n_cols of a row rewrite — so the entry also reports the
+    # written-bytes ratio alongside the median time)
+    de_tables = []
+    for i in range(3):
+        tde = cat.create_table(
+            f"bench.orders_de{i}",
+            orders.schema,
+            options={
+                "row-tracking.enabled": "true",
+                "data-evolution.enabled": "true",
+            },
+            ignore_if_exists=True,
+        )
+        if not tde.snapshots.latest_id():
+            tde.write(orders)
+        de_tables.append(tde)
+
+    def _de_run(t):
+        t.update_columns(
+            spark,
+            P.equal("o_orderpriority", "1-URGENT"),
+            {"o_totalprice": "o_totalprice * 1.05"},
+        )
+
+    timed_mutating("data_evolution_update", de_tables, _de_run)
+    snap0 = de_tables[0].snapshots.latest()
+    es0 = de_tables[0].manifests.read_live_entries(
+        snap0.base_manifest_list, snap0.delta_manifest_list
+    )
+    patch_bytes = sum(e.file_size for e in es0 if e.patch_cols)
+    base_bytes = sum(e.file_size for e in es0 if not e.patch_cols)
+    rows_10x["de_patch_bytes_pct_of_table"] = round(
+        100.0 * patch_bytes / max(base_bytes, 1), 2
+    )
+
     @timed("gopher_filter", repeat=3)
     def _gf():
         # narrow JVM-only quality/repetition pass over the corpus
