@@ -109,6 +109,10 @@ def read_arrow(rb: "ReadBuilder", max_workers: int = 8) -> "pa.Table":
 
     t = rb._table
     arrow_schema = _table_arrow_schema(t.schema)
+    if getattr(t, "data_evolution_enabled", lambda: False)():
+        plan = rb.plan()
+        if plan.patch_entries:
+            return _read_stitched_arrow(rb, plan)
     parts = _plan_input_partitions(t, rb._predicate, _builder_options(rb))
 
     def _one(p) -> list:
@@ -188,3 +192,101 @@ def read_duckdb(rb: "ReadBuilder", table_name: str, connection=None):
     con = connection or duckdb.connect(database=":memory:")
     con.register(table_name, read_arrow(rb))
     return con
+
+
+def _read_stitched_arrow(rb: "ReadBuilder", plan) -> "pa.Table":
+    """Data-evolution tables on the local path: read base files with
+    their row ids, overlay column patches (highest sequence wins).
+    Covers the common local case — parquet base files of the CURRENT
+    schema generation without deletion vectors; anything else raises
+    toward the Spark path, which handles the full matrix."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    t = rb._table
+    schema = t.schema
+    snap = rb._resolve_snapshot()
+    if snap and snap.dv_files:
+        raise ValueError(
+            "local read of a data-evolution table with deletion vectors "
+            "— use table.to_df(spark)"
+        )
+    arrow_schema = _table_arrow_schema(schema)
+    pt_keys = list(schema.partition_keys)
+
+    def _one(e) -> pa.Table:
+        if e.schema_id != schema.id:
+            raise ValueError(
+                "local read of a data-evolution table with mixed schema "
+                "generations — use table.to_df(spark)"
+            )
+        tb = pq.read_table(os.path.join(t.path, e.file_name))
+        # partition values live in the directory, not the file
+        for k in pt_keys:
+            if k not in tb.column_names:
+                v = e.partition.get(k)
+                ftype = arrow_schema.field(k).type
+                tb = tb.append_column(
+                    k, pa.array([v] * tb.num_rows).cast(ftype)
+                )
+        if "_ROW_ID" not in tb.column_names:
+            if e.first_row_id is None:
+                raise ValueError(
+                    f"base file {e.file_name} has neither a stored "
+                    "_ROW_ID nor a first_row_id"
+                )
+            tb = tb.append_column(
+                "_ROW_ID",
+                pa.array(
+                    range(e.first_row_id, e.first_row_id + tb.num_rows),
+                    pa.int64(),
+                ),
+            )
+        cols = [f.name for f in arrow_schema] + ["_ROW_ID"]
+        return tb.select(cols).cast(
+            pa.schema(list(arrow_schema) + [pa.field("_ROW_ID", pa.int64())])
+        )
+
+    parts = [_one(e) for e in plan.raw_entries]
+    base = (
+        pa.concat_tables(parts)
+        if parts
+        else pa.schema(
+            list(arrow_schema) + [pa.field("_ROW_ID", pa.int64())]
+        ).empty_table()
+    )
+    # per patched column: highest (max_seq, file) wins per _ROW_ID
+    cols: list[str] = []
+    for e in plan.patch_entries:
+        for c in e.patch_cols:
+            if c not in cols:
+                cols.append(c)
+    bdf = base.to_pandas()
+    for c in cols:
+        ents = sorted(
+            (e for e in plan.patch_entries if c in e.patch_cols),
+            key=lambda e: (e.max_seq, e.file_name),
+        )
+        newest: dict = {}
+        for e in ents:  # ascending: later files overwrite earlier
+            ptb = pq.read_table(
+                os.path.join(t.path, e.file_name), columns=["_ROW_ID", c]
+            )
+            ids = ptb.column("_ROW_ID").to_pylist()
+            vals = ptb.column(c).to_pylist()
+            newest.update(zip(ids, vals))
+        if newest:
+            mask = bdf["_ROW_ID"].isin(newest)
+            bdf.loc[mask, c] = bdf.loc[mask, "_ROW_ID"].map(newest)
+    out = pa.Table.from_pandas(bdf, preserve_index=False).cast(
+        pa.schema(list(arrow_schema) + [pa.field("_ROW_ID", pa.int64())])
+    )
+    if rb._predicate is not None:
+        out = out.filter(rb._predicate.to_arrow_expr())
+    out = out.drop_columns(["_ROW_ID"])
+    if rb._projection is not None:
+        out = out.select(rb._projection)
+    if rb._limit is not None:
+        out = out.slice(0, rb._limit)
+    return out

@@ -202,3 +202,22 @@ def test_rewrites_guarded_while_patches_live(spark, warehouse):
     t2.delete(spark, P.equal("k", 7))
     got = {r.k: r.score for r in t2.to_df(spark).collect()}
     assert 7 not in got and got[3] == 33.0 and len(got) == 9
+
+
+def test_local_read_stitches_patches(spark, warehouse):
+    """to_arrow on a data-evolution table overlays patches without a
+    SparkSession involved in the read."""
+    t = _mk(spark, warehouse, "db.loc")
+    t.update_columns(spark, P.less_than("k", 3), {"label": F.lit("L")})
+    t.update_columns(spark, P.equal("k", 0), {"label": F.lit("L0")})
+    tbl = warehouse.get_table("db.loc").to_arrow()
+    got = {r["k"]: r["label"] for r in tbl.to_pylist()}
+    assert got[0] == "L0" and got[1] == "L" and got[2] == "L" and got[3] == "l3"
+    assert len(got) == 20
+    # parity with the Spark path
+    sp = {r.k: r.label for r in t.to_df(spark).collect()}
+    assert got == sp
+    # predicate on the patched value, evaluated post-stitch
+    flt = warehouse.get_table("db.loc").read_builder().with_filter(
+        P.equal("label", "L")).to_arrow()
+    assert sorted(r["k"] for r in flt.to_pylist()) == [1, 2]
