@@ -221,3 +221,69 @@ def test_local_read_stitches_patches(spark, warehouse):
     flt = warehouse.get_table("db.loc").read_builder().with_filter(
         P.equal("label", "L")).to_arrow()
     assert sorted(r["k"] for r in flt.to_pylist()) == [1, 2]
+
+
+@pytest.mark.parametrize("seed", [1, 7, 23])
+def test_fuzz_interleavings_vs_oracle(spark, warehouse, seed):
+    """Seeded random interleavings of append / update_columns / compact
+    replayed against a plain pandas oracle — the merge semantics (latest
+    patch per column wins, compaction is value-invariant) must hold
+    under any order."""
+    import random
+
+    rng = random.Random(seed)
+    t = warehouse.create_table(
+        f"db.fz{seed}", SCHEMA, partition_keys=["pt"], options=dict(OPTS)
+    )
+    oracle: dict[int, list] = {}  # k -> [label, score, pt]
+    next_k = 0
+
+    def op_append():
+        nonlocal next_k
+        n = rng.randint(1, 6)
+        rows = []
+        for _ in range(n):
+            k = next_k
+            next_k += 1
+            r = [k, f"l{k}", float(k), rng.choice(["a", "b"])]
+            rows.append(tuple(r))
+            oracle[k] = r[1:]
+        t.write(spark.createDataFrame(rows, SCHEMA))
+
+    def op_update():
+        if not oracle:
+            return
+        lo = rng.randrange(0, next_k)
+        hi = rng.randrange(lo, next_k) + 1
+        col = rng.choice(["label", "score"])
+        if col == "label":
+            val = f"u{rng.randint(0, 99)}"
+            expr = F.lit(val)
+        else:
+            val = float(rng.randint(0, 999))
+            expr = F.lit(val)
+        t.update_columns(
+            spark,
+            P.greater_or_equal("k", lo) & P.less_than("k", hi),
+            {col: expr},
+        )
+        for k in range(lo, hi):
+            if k in oracle:
+                oracle[k][0 if col == "label" else 1] = val
+
+    def op_compact():
+        t.compact(spark, full=True)
+
+    ops = [op_append, op_update, op_update, op_compact]
+    op_append()  # non-empty start
+    for _ in range(8):
+        rng.choice(ops)()
+    got = sorted((r.k, r.label, r.score, r.pt) for r in t.to_df(spark).collect())
+    want = sorted((k, v[0], v[1], v[2]) for k, v in oracle.items())
+    assert got == want
+    # the local path agrees (skip when DVs exist — none are created here)
+    loc = sorted(
+        (r["k"], r["label"], r["score"], r["pt"])
+        for r in warehouse.get_table(f"db.fz{seed}").to_arrow().to_pylist()
+    )
+    assert loc == want
