@@ -52,6 +52,35 @@ def write_arrow(table: "Table", data, overwrite: bool = False) -> None:
             f"columns {sorted(names)}"
         )
     data = data.select(names).cast(_table_arrow_schema(table.schema))
+    defaults = [
+        (f.name, f.default_value)
+        for f in table.schema.fields
+        if getattr(f, "default_value", None) is not None
+    ]
+    if defaults:
+        import pyarrow.compute as pc
+
+        from flink_table_store_spark.write import parse_default_literal
+
+        eng = table.schema.options.get("merge-engine", "deduplicate")
+        if table.schema.primary_keys and eng in ("partial-update", "aggregation"):
+            raise ValueError(
+                f"column defaults are not supported with merge-engine={eng}"
+            )
+        for name, dv in defaults:
+            ok, val = parse_default_literal(dv)
+            if not ok:
+                raise ValueError(
+                    f"default for {name} ({dv!r}) is not a plain literal — "
+                    "the no-Spark writer cannot evaluate SQL expressions; "
+                    "use table.write()"
+                )
+            if val is None:
+                continue
+            i = data.column_names.index(name)
+            col = data.column(i)
+            filled = pc.fill_null(col, pa.scalar(val).cast(col.type))
+            data = data.set_column(i, name, filled)
     # FtssWriter reads only field NAMES from the Spark schema at plan
     # time — a NullType shim avoids any JVM-backed DDL parsing
     shim = T.StructType([T.StructField(n, T.NullType()) for n in names])

@@ -51,17 +51,24 @@ class DataField:
     type: str  # Spark DDL type string, e.g. "bigint", "decimal(15,2)"
     nullable: bool = True
     subs: dict[str, Any] | None = None
+    # column DEFAULT (reference DataField.java defaultValue; docs
+    # spark/default-value.md): a SQL expression string substituted for
+    # NULL at WRITE time
+    default_value: str | None = None
 
     def to_dict(self) -> dict[str, Any]:
         d = {"id": self.id, "name": self.name, "type": self.type, "nullable": self.nullable}
         if self.subs:
             d["subFields"] = self.subs
+        if self.default_value is not None:
+            d["defaultValue"] = self.default_value
         return d
 
     @staticmethod
     def from_dict(d: dict[str, Any]) -> "DataField":
         return DataField(
-            d["id"], d["name"], d["type"], d.get("nullable", True), d.get("subFields")
+            d["id"], d["name"], d["type"], d.get("nullable", True), d.get("subFields"),
+            d.get("defaultValue")
         )
 
 
@@ -195,6 +202,12 @@ def from_spark_schema(
         if subs:
             f.subs = subs
             hid = nxt - 1
+    # column defaults declared as table properties — the reference's
+    # `fields.<name>.default-value` spelling (docs flink/sql-ddl.md:211)
+    for f in fields:
+        dv = (options or {}).get(f"fields.{f.name}.default-value")
+        if dv is not None:
+            f.default_value = dv
     return TableSchema(
         id=0,
         fields=fields,
@@ -267,7 +280,10 @@ class SchemaManager:
         if cur is None:
             raise RuntimeError("no schema to evolve")
         fields = [
-            DataField(f.id, f.name, f.type, f.nullable, _copy_subs(f.subs))
+            DataField(
+                f.id, f.name, f.type, f.nullable, _copy_subs(f.subs),
+                f.default_value,
+            )
             for f in cur.fields
         ]
         options = dict(cur.options)
@@ -426,6 +442,15 @@ class SchemaManager:
                     if f.name == ch["name"]:
                         f.type = ch["type"]
                         f.subs = _reconcile(f.subs, parse_type(ch["type"]))
+                        break
+                else:
+                    raise KeyError(ch["name"])
+            elif a == "update_column_default":
+                # SchemaChange.updateColumnDefaultValue (SchemaChange
+                # .java:159); value None clears the default
+                for f in fields:
+                    if f.name == ch["name"]:
+                        f.default_value = ch.get("value")
                         break
                 else:
                     raise KeyError(ch["name"])

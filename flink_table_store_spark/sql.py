@@ -1369,6 +1369,24 @@ class SqlSession:
             changes.append(
                 {"action": "rename_column", "name": rm.group(1), "new_name": rm.group(2)}
             )
+        elif dmD := re.match(
+            r"(?is)(?:ALTER|CHANGE)\s+COLUMN\s+`?([\w.]+)`?\s+SET\s+DEFAULT\s+(.+)$",
+            body,
+        ):
+            changes.append(
+                {
+                    "action": "update_column_default",
+                    "name": dmD.group(1),
+                    "value": dmD.group(2).strip(),
+                }
+            )
+        elif re.match(r"(?is)(?:ALTER|CHANGE)\s+COLUMN\s+`?[\w.]+`?\s+DROP\s+DEFAULT\s*$", body):
+            name = re.match(
+                r"(?is)(?:ALTER|CHANGE)\s+COLUMN\s+`?([\w.]+)`?", body
+            ).group(1)
+            changes.append(
+                {"action": "update_column_default", "name": name, "value": None}
+            )
         elif cm := re.match(
             r"(?is)(?:ALTER|CHANGE)\s+COLUMN\s+`?([\w.]+)`?\s+TYPE\s+(.+)$", body
         ):

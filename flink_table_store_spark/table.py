@@ -512,6 +512,9 @@ class Table:
             from flink_table_store_spark.operators.dynamic_bucket import assign_buckets
 
             df = assign_buckets(df.sparkSession, df, self.path, self.schema)
+        from flink_table_store_spark.write import apply_column_defaults
+
+        df = apply_column_defaults(df, self.schema)
         latest = self.snapshots.latest()
         base_seq = latest.next_sequence if latest else 0
         entries = stage_and_collect(

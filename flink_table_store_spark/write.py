@@ -77,6 +77,52 @@ def bucket_expr(schema: TableSchema, num_buckets: int | None = None):
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n)).cast("int")
 
 
+def apply_column_defaults(df: DataFrame, schema: TableSchema) -> DataFrame:
+    """Column DEFAULTs substitute for NULL at WRITE time (reference
+    TableWriteImpl.wrapDefaultValue / casting/DefaultValueRow.java:
+    isNullAt = row null AND default null). Applied on the user write
+    APIs only — maintenance rewrites must never rewrite stored nulls
+    that predate a default."""
+    defaults = [(f.name, f.type, f.default_value) for f in schema.fields if f.default_value is not None]
+    if not defaults:
+        return df
+    eng = schema.options.get("merge-engine", "deduplicate")
+    if schema.primary_keys and eng in ("partial-update", "aggregation"):
+        # NULL is semantic for these engines (skip-update / identity)
+        raise ValueError(
+            f"column defaults are not supported with merge-engine={eng} "
+            "(NULL means 'no update' there)"
+        )
+    for name, typ, dv in defaults:
+        if name in df.columns:
+            df = df.withColumn(
+                name, F.coalesce(F.col(name).cast(typ), F.expr(dv).cast(typ))
+            )
+    return df
+
+
+def parse_default_literal(dv: str):
+    """Plain-literal subset of default expressions for the Arrow-based
+    writers (no Spark to evaluate SQL): ints, floats, booleans, single-
+    quoted strings, NULL. Returns (ok, value)."""
+    t = dv.strip()
+    low = t.lower()
+    if low == "null":
+        return True, None
+    if low in ("true", "false"):
+        return True, low == "true"
+    if len(t) >= 2 and t[0] == "'" and t[-1] == "'":
+        return True, t[1:-1].replace("''", "'")
+    try:
+        return True, int(t)
+    except ValueError:
+        pass
+    try:
+        return True, float(t)
+    except ValueError:
+        return False, None
+
+
 def _cast_to_schema(df: DataFrame, schema: TableSchema, extra: list[str] = ()) -> DataFrame:
     cols = [F.col(f.name).cast(f.type).alias(f.name) for f in schema.fields]
     cols += [F.col(c) for c in extra if c in df.columns]
