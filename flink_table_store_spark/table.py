@@ -860,6 +860,50 @@ class Table:
 
     # --- compaction (SURVEY §4.2; UniversalCompaction.java:42-103) ---
 
+    def _record_expire_keep(self):
+        """Row-keep predicate for record-level expire (reference
+        io/RecordLevelExpire.java; options `record-level.expire-time` +
+        `record-level.time-field`): rows whose time field is older than
+        the TTL drop LAZILY during compaction (PK tables; the docs'
+        no-promptness contract). INT = epoch seconds, BIGINT = seconds
+        or auto-detected millis (>= 1e12), TIMESTAMP converted; a NULL
+        time never expires. Returns None when the feature is off."""
+        opts = self.schema.options
+        dur = opts.get("record-level.expire-time")
+        if not dur or not self.is_primary_key_table():
+            return None
+        fld = opts.get("record-level.time-field")
+        if not fld:
+            raise ValueError(
+                "You should set record-level.time-field for record-level expire."
+            )
+        typ = self.schema.field(fld).type.lower()
+        import re as _re
+        import time as _time
+
+        m = _re.fullmatch(r"\s*(\d+)\s*(ms|s|sec|m|min|h|d)?\s*", dur)
+        if not m:
+            raise ValueError(f"cannot parse record-level.expire-time: {dur!r}")
+        n, unit = int(m.group(1)), (m.group(2) or "s")
+        seconds = n * {"ms": 0.001, "s": 1, "sec": 1, "m": 60, "min": 60,
+                       "h": 3600, "d": 86400}[unit]
+        cutoff = int(_time.time() - seconds)
+        c = F.col(fld)
+        if typ in ("int", "integer"):
+            ts = c.cast("bigint")
+        elif typ in ("bigint", "long"):
+            ts = F.when(
+                c >= F.lit(1_000_000_000_000), (c / 1000).cast("bigint")
+            ).otherwise(c)
+        elif typ.startswith("timestamp"):
+            ts = F.unix_timestamp(c)
+        else:
+            raise ValueError(
+                "record-level time field must be INT, BIGINT or TIMESTAMP, "
+                f"got {typ}"
+            )
+        return c.isNull() | (ts >= F.lit(cutoff))
+
     def _live_patched_cols(self) -> set[str]:
         snap = self.snapshots.latest()
         if snap is None or not self.data_evolution_enabled():
@@ -902,6 +946,9 @@ class Table:
             # row-tracking rewrites must carry stored _ROW_IDs — the
             # legacy path does (_rows_with_ids)
             and not self.row_tracking_enabled()
+            # record-level expire drops rows during whole-bucket rewrites
+            # — partial folds would postpone expiry indefinitely
+            and not schema.options.get("record-level.expire-time")
             and not any(e.bucket == POSTPONE_BUCKET for e in entries)
         ):
             return self._compact_universal(spark, snap, entries, trigger_runs)
@@ -950,6 +997,11 @@ class Table:
             merged = read_mod.build_dataframe(
                 spark, self.path, plan, schema, self.all_schemas(), dv_files=snap.dv_files
             )
+        keep = self._record_expire_keep()
+        if keep is not None:
+            # record-level expire: expired rows simply don't survive the
+            # whole-bucket rewrite (no older runs remain to resurrect them)
+            merged = merged.where(keep)
         if pk and schema.num_buckets() == POSTPONE_BUCKET:
             # postpone mode (S19): THIS is where bucketing happens — the
             # rewrite assigns real buckets (postpone.bucket-num) so
