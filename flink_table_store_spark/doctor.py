@@ -179,6 +179,19 @@ def doctor(spark, table, check_orphans: bool = False) -> dict[str, Any]:
         "buckets": n_buckets,
         "max_runs_per_bucket": worst_bucket_runs,
     }
+    # data evolution: live column patches add a per-column stitch join
+    # to every read until a full compaction materializes them
+    n_patches = sum(
+        1 for e in table.manifests.read_live_entries(
+            snap.base_manifest_list, snap.delta_manifest_list
+        ) if e.patch_cols
+    ) if table.data_evolution_enabled() else 0
+    if n_patches:
+        report["files"]["patch_files"] = n_patches
+        findings.append(
+            f"{n_patches} data-evolution patch files pending — compact() "
+            "materializes them and restores stats pushdown on patched columns"
+        )
     # runs-per-bucket is the LSM merge-cost gauge — it only means
     # anything on PK tables (append tables put every file at level 0
     # of one nominal bucket, with no merge on read)

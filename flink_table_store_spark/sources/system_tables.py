@@ -135,13 +135,15 @@ def _files(spark: SparkSession, t: "Table") -> DataFrame:
             e.schema_id,
             json.dumps(e.stats, default=str, sort_keys=True),
             e.creation_time,
+            ",".join(e.patch_cols) if e.patch_cols else None,
         )
         for e in _live_entries(t)
     ]
     schema = (
         "partition string, bucket int, file_path string, level int, "
         "record_count bigint, file_size_in_bytes bigint, min_sequence_number bigint, "
-        "max_sequence_number bigint, schema_id bigint, stats string, creation_time bigint"
+        "max_sequence_number bigint, schema_id bigint, stats string, creation_time bigint, "
+        "patch_cols string"
     )
     return spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
 

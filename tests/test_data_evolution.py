@@ -287,3 +287,19 @@ def test_fuzz_interleavings_vs_oracle(spark, warehouse, seed):
         for r in warehouse.get_table(f"db.fz{seed}").to_arrow().to_pylist()
     )
     assert loc == want
+
+
+def test_doctor_and_files_table_report_patches(spark, warehouse):
+    t = _mk(spark, warehouse, "db.doc")
+    t.update_columns(spark, P.less_than("k", 5), {"label": F.lit("x")})
+    files = t.system_table(spark, "files")
+    patch_rows = files.where(F.col("patch_cols").isNotNull()).collect()
+    assert patch_rows and all(r.patch_cols == "label" for r in patch_rows)
+    from flink_table_store_spark.doctor import doctor
+
+    rep = doctor(spark, warehouse.get_table("db.doc"))
+    assert rep["files"]["patch_files"] >= 1
+    assert any("patch" in f for f in rep["findings"])
+    t.compact(spark, full=True)
+    rep2 = doctor(spark, warehouse.get_table("db.doc"))
+    assert "patch_files" not in rep2["files"]
