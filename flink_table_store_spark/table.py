@@ -183,6 +183,15 @@ class ReadBuilder:
                 flds = pred.fields()
                 keyish = set(t.schema.partition_keys) | set(t.schema.trimmed_primary_keys())
                 per_file_safe = flds is not None and flds <= keyish
+            elif pred is not None and t.data_evolution_enabled():
+                # base-file stats are pre-patch: distributed stats
+                # pruning is only safe on partition columns (never
+                # patched); plan_scan re-applies the same guard for the
+                # entries that come back
+                flds = pred.fields()
+                per_file_safe = flds is not None and flds <= set(
+                    t.schema.partition_keys
+                )
             return t.manifests.live_entries_distributed(
                 spark,
                 snap.base_manifest_list,

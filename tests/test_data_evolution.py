@@ -303,3 +303,17 @@ def test_doctor_and_files_table_report_patches(spark, warehouse):
     t.compact(spark, full=True)
     rep2 = doctor(spark, warehouse.get_table("db.doc"))
     assert "patch_files" not in rep2["files"]
+
+
+def test_distributed_planner_does_not_stats_prune_patched_cols(spark, warehouse):
+    """Above the distributed-manifest threshold, stats pruning must not
+    drop base files whose PRE-patch values fail the predicate."""
+    t = warehouse.create_table(
+        "db.dist", SCHEMA, partition_keys=["pt"],
+        options={**OPTS, "scan.manifest.distributed-threshold": "1"},
+    )
+    t.write(spark.createDataFrame(
+        [(i, f"l{i}", float(i), "a") for i in range(10)], SCHEMA))
+    t.update_columns(spark, P.equal("k", 2), {"score": F.lit(-9.0)})
+    got = t.to_df(spark, predicate=P.less_than("score", 0.0)).collect()
+    assert [(r.k, r.score) for r in got] == [(2, -9.0)]
