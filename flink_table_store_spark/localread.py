@@ -113,7 +113,23 @@ def read_arrow(rb: "ReadBuilder", max_workers: int = 8) -> "pa.Table":
         plan = rb.plan()
         if plan.patch_entries:
             return _read_stitched_arrow(rb, plan)
-    parts = _plan_input_partitions(t, rb._predicate, _builder_options(rb))
+    # projection pushdown: the per-task readers load only the selected
+    # columns plus whatever the predicate needs (the residual filter
+    # runs here, post-merge); _make_spec adds merge keys itself
+    needed = None
+    if rb._projection is not None:
+        pf = rb._predicate.fields() if rb._predicate is not None else set()
+        if pf is None:
+            pf = set()
+        needed = list(dict.fromkeys(list(rb._projection) + sorted(pf)))
+        import pyarrow as _pa
+
+        arrow_schema = _pa.schema(
+            [f for f in arrow_schema if f.name in set(needed)]
+        )
+    parts = _plan_input_partitions(
+        t, rb._predicate, _builder_options(rb), columns=needed
+    )
 
     def _one(p) -> list:
         return list(_read_partition(p, arrow_schema))

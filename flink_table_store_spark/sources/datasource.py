@@ -206,9 +206,14 @@ def _plan_incremental_partitions(
     return parts
 
 
-def _plan_input_partitions(table: "Table", predicate, options) -> list[FtssInputPartition]:
+def _plan_input_partitions(
+    table: "Table", predicate, options, columns: list[str] | None = None
+) -> list[FtssInputPartition]:
     """Driver-side planning → per-task specs (DataTableBatchScan.plan →
-    DataSplit[] analogue; PaimonBatch.planInputPartitions)."""
+    DataSplit[] analogue; PaimonBatch.planInputPartitions). ``columns``
+    narrows the per-task read to a column subset (the local no-Spark
+    reader's projection pushdown; the Spark format surface always reads
+    the full schema and lets Catalyst prune after the exchange)."""
     import json as _json
 
     from flink_table_store_spark.operators.bucketed_join import (
@@ -251,7 +256,8 @@ def _plan_input_partitions(table: "Table", predicate, options) -> list[FtssInput
         for n in snap.dv_files
     ]
     all_cols = schema.field_names()
-    base = _make_spec(schema, {}, dv, maps, all_cols, [], pred=predicate)
+    sel_cols = [c for c in all_cols if c in set(columns)] if columns else all_cols
+    base = _make_spec(schema, {}, dv, maps, sel_cols, [], pred=predicate)
     pt_types = {k: schema.field(k).type for k in schema.partition_keys}
 
     parts: list[FtssInputPartition] = []
