@@ -159,6 +159,17 @@ def stage_and_collect(
         else:
             kind = F.lit(KIND_INSERT)
         df = df.withColumn(VALUE_KIND, kind)
+        engine = schema.options.get("merge-engine", "deduplicate")
+        if any(
+            schema.options.get(k) == "true"
+            for k in ("ignore-delete", f"{engine}.ignore-delete")
+        ):
+            # CoreOptions.IGNORE_DELETE (+ per-engine fallback keys):
+            # delete/retract records from e.g. CDC streams are dropped at
+            # write — the table keeps the last non-delete value
+            df = df.where(
+                ~F.col(VALUE_KIND).isin("-D", "-U")
+            )
         extra_sys = [VALUE_KIND, BUCKET_COL]
         if preserve_seq:
             extra_sys.append(SEQUENCE_NUMBER)

@@ -470,3 +470,34 @@ def test_aggregation_collect_count_hll_compaction_associative(spark, warehouse):
         .e
     )
     assert est == 300, "binary hll_sketch must UNION stored sketches"
+
+
+def test_ignore_delete_option(spark, warehouse):
+    """ignore-delete (CoreOptions.IGNORE_DELETE + per-engine fallback
+    keys): -D/-U records drop at write, so a CDC stream carrying
+    deletes cannot remove rows from the table."""
+    from flink_table_store_spark.schema import ROW_KIND
+
+    for opts in ({"ignore-delete": "true"},
+                 {"merge-engine": "first-row", "first-row.ignore-delete": "true"}):
+        name = "db.igd" + ("f" if "merge-engine" in opts else "d")
+        t = warehouse.create_table(
+            name, "k bigint, v string", primary_keys=["k"],
+            options={"bucket": "1", **opts},
+        )
+        t.write(spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"))
+        deletes = spark.createDataFrame(
+            [(1, "a", "-D")], "k bigint, v string, _row_kind string")
+        t.write(deletes, row_kind_col=ROW_KIND)
+        got = sorted((r.k, r.v) for r in t.to_df(spark).collect())
+        assert got == [(1, "a"), (2, "b")], (name, got)
+    # without the option the same delete applies
+    t2 = warehouse.create_table(
+        "db.noigd", "k bigint, v string", primary_keys=["k"],
+        options={"bucket": "1"},
+    )
+    t2.write(spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, v string"))
+    t2.write(spark.createDataFrame(
+        [(1, "a", "-D")], "k bigint, v string, _row_kind string"),
+        row_kind_col=ROW_KIND)
+    assert [r.k for r in t2.to_df(spark).collect()] == [2]
