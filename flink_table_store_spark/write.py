@@ -165,11 +165,15 @@ def stage_and_collect(
             for k in ("ignore-delete", f"{engine}.ignore-delete")
         ):
             # CoreOptions.IGNORE_DELETE (+ per-engine fallback keys):
-            # delete/retract records from e.g. CDC streams are dropped at
-            # write — the table keeps the last non-delete value
-            df = df.where(
-                ~F.col(VALUE_KIND).isin("-D", "-U")
-            )
+            # retract records (isRetract: -D and -U) from e.g. CDC
+            # streams are dropped at write — the table keeps the last
+            # non-delete value
+            df = df.where(~F.col(VALUE_KIND).isin("-D", "-U"))
+        elif schema.options.get("ignore-update-before") == "true":
+            # CoreOptions.IGNORE_UPDATE_BEFORE: -U alone drops (redundant
+            # for upsert streams whose +U carries the full row); -D still
+            # deletes
+            df = df.where(F.col(VALUE_KIND) != "-U")
         extra_sys = [VALUE_KIND, BUCKET_COL]
         if preserve_seq:
             extra_sys.append(SEQUENCE_NUMBER)

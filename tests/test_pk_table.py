@@ -501,3 +501,22 @@ def test_ignore_delete_option(spark, warehouse):
         [(1, "a", "-D")], "k bigint, v string, _row_kind string"),
         row_kind_col=ROW_KIND)
     assert [r.k for r in t2.to_df(spark).collect()] == [2]
+
+
+def test_ignore_update_before_option(spark, warehouse):
+    from flink_table_store_spark.schema import ROW_KIND
+
+    t = warehouse.create_table(
+        "db.iub", "k bigint, v string", primary_keys=["k"],
+        options={"bucket": "1", "ignore-update-before": "true"},
+    )
+    t.write(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+    # a (-U old, +U new) CDC pair: -U drops, +U applies; -D still deletes
+    t.write(spark.createDataFrame(
+        [(1, "a", "-U"), (1, "a2", "+U"), (9, "z", "-D")],
+        "k bigint, v string, _row_kind string"), row_kind_col=ROW_KIND)
+    assert [(r.k, r.v) for r in t.to_df(spark).collect()] == [(1, "a2")]
+    t.write(spark.createDataFrame(
+        [(1, "x", "-D")], "k bigint, v string, _row_kind string"),
+        row_kind_col=ROW_KIND)
+    assert t.to_df(spark).count() == 0
