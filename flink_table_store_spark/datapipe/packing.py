@@ -158,7 +158,11 @@ def pack_first_fit(
     stride = 1 << 40
 
     def _ffd(pdf: pd.DataFrame) -> pd.DataFrame:
-        # exact first-fit-decreasing; deterministic via (len desc, key)
+        # exact first-fit-decreasing; deterministic via (len desc, key).
+        # The "first bin with capacity >= x" query runs on a max segment
+        # tree over bin capacities — O(n log n) per shard, where the
+        # naive linear probe is O(n * bins) and falls over on
+        # million-doc shards
         pdf = pdf.sort_values(
             [tok_name, key_name], ascending=[False, True]
         ).reset_index(drop=True)
@@ -169,18 +173,40 @@ def pack_first_fit(
             if sh.isdigit()
             else zlib.crc32(sh.encode("utf-8")) & 0x7FFFF
         )
-        bins: list[int] = []  # remaining capacity per bin
+        n_docs = len(pdf)
+        size = 1
+        while size < max(n_docs, 1):
+            size *= 2
+        tree = [0] * (2 * size)  # max remaining capacity per subtree
+        n_bins = 0
+
+        def _set(i: int, cap: int) -> None:
+            j = size + i
+            tree[j] = cap
+            j //= 2
+            while j:
+                tree[j] = max(tree[2 * j], tree[2 * j + 1])
+                j //= 2
+
+        def _first_fit(x: int) -> int:
+            if tree[1] < x:
+                return -1
+            j = 1
+            while j < size:
+                j = 2 * j if tree[2 * j] >= x else 2 * j + 1
+            return j - size
+
         assign = []
+        caps: list[int] = []
         for tok in pdf[tok_name].astype("int64"):
-            placed = -1
-            for i, cap in enumerate(bins):
-                if cap >= tok:
-                    placed = i
-                    break
-            if placed < 0:
-                bins.append(L)
-                placed = len(bins) - 1
-            bins[placed] -= int(tok)
+            tok = int(tok)
+            placed = _first_fit(tok)
+            if placed < 0 or placed >= n_bins:
+                placed = n_bins
+                n_bins += 1
+                caps.append(L)
+            caps[placed] -= tok
+            _set(placed, caps[placed])
             assign.append(placed)
         pdf["pack_id"] = [shard_id * stride + a for a in assign]
         fill = {}
