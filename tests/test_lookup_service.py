@@ -1,0 +1,106 @@
+"""Primary-key lookup service (paimon-service KvQueryServer/Client +
+paimon-core service/ServiceManager): shared-storage discovery, shard
+routing, per-bucket caching, snapshot refresh — over loopback HTTP,
+with the server running WITHOUT a SparkSession."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from flink_table_store_spark.service import (
+    PRIMARY_KEY_LOOKUP,
+    LookupQueryServer,
+    RemoteLookupClient,
+    ServiceManager,
+    shard_of,
+)
+
+
+@pytest.fixture()
+def pk_table(spark, warehouse):
+    t = warehouse.create_table(
+        "db.kv", "k bigint, v string", primary_keys=["k"],
+        options={"bucket": "4"},
+    )
+    t.write(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(40)], "k bigint, v string"))
+    t.write(spark.createDataFrame([(3, "v3b")], "k bigint, v string"))
+    return t
+
+
+def test_single_server_roundtrip(spark, pk_table):
+    with LookupQueryServer(pk_table.path, refresh_interval_sec=999):
+        c = RemoteLookupClient(pk_table.path)
+        assert c.lookup({"k": 3})["v"] == "v3b"  # merged view
+        assert c.lookup({"k": 7})["v"] == "v7"
+        assert c.lookup({"k": 999}) is None
+        got = c.lookup_batch([{"k": i} for i in (0, 13, 999, 39)])
+        assert [r and r["v"] for r in got] == ["v0", "v13", None, "v39"]
+    # deregistered on stop
+    assert ServiceManager(pk_table.path).service(PRIMARY_KEY_LOOKUP) is None
+
+
+def test_discovery_file_layout(spark, pk_table):
+    import json
+    import os
+
+    with LookupQueryServer(pk_table.path) as srv:
+        p = os.path.join(
+            pk_table.path, "service", f"service-{PRIMARY_KEY_LOOKUP}"
+        )
+        assert os.path.exists(p)  # ServiceManager.java's exact path shape
+        assert json.load(open(p)) == [srv.address]
+    with pytest.raises(RuntimeError, match="no lookup service"):
+        RemoteLookupClient(pk_table.path).lookup({"k": 1})
+
+
+def test_two_shard_routing(spark, pk_table):
+    s0 = LookupQueryServer(pk_table.path, server_id=0, num_servers=2).start()
+    s1 = LookupQueryServer(pk_table.path, server_id=1, num_servers=2).start()
+    try:
+        c = RemoteLookupClient(pk_table.path)
+        got = c.lookup_batch([{"k": i} for i in range(40)])
+        assert [r["v"] if r else None for r in got][:4] == ["v0", "v1", "v2", "v3b"]
+        # each shard served only its buckets (cache stats prove routing)
+        assert s0.stats["misses"] > 0 and s1.stats["misses"] > 0
+        # a direct request to the WRONG shard is refused, not answered
+        import json as _json
+        import urllib.request as _rq
+
+        victim = {"k": 0}
+        owner = shard_of(RemoteLookupClient(pk_table.path)._bucket(victim), 2)
+        wrong = s1 if owner == 0 else s0
+        req = _rq.Request(
+            f"http://{wrong.address}/v1/lookup",
+            data=_json.dumps({"keys": [victim]}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        import urllib.error as _err
+
+        with pytest.raises(_err.HTTPError) as ei:
+            _rq.urlopen(req, timeout=10)
+        assert ei.value.code == 409
+    finally:
+        s0.stop()
+        s1.stop()
+    assert ServiceManager(pk_table.path).service(PRIMARY_KEY_LOOKUP) is None
+
+
+def test_refresh_sees_new_commits(spark, pk_table):
+    with LookupQueryServer(pk_table.path, refresh_interval_sec=0.0):
+        c = RemoteLookupClient(pk_table.path)
+        assert c.lookup({"k": 5})["v"] == "v5"
+        pk_table.write(spark.createDataFrame([(5, "v5-new")], "k bigint, v string"))
+        time.sleep(0.05)
+        assert c.lookup({"k": 5})["v"] == "v5-new"
+
+
+def test_bucket_cache_reuse(spark, pk_table):
+    with LookupQueryServer(pk_table.path, refresh_interval_sec=999) as srv:
+        c = RemoteLookupClient(pk_table.path)
+        for _ in range(3):
+            c.lookup({"k": 11})
+        st = srv.stats
+        assert st["hits"] >= 2  # repeated probes hit the bucket cache
