@@ -3308,6 +3308,63 @@ QUERIES = _rebuilt8b
 QUERIES["fallback_branch_scan"] = (fallback_branch_scan, FALLBACK_BRANCH_SQL)
 
 
+def lookup_service_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Network point-query service (paimon-service KvQueryServer/Client +
+    service/ServiceManager.java — service.py): a lookup server caches
+    merged buckets of the PK customer table and registers itself in the
+    table's service discovery file; a client discovers it and batch-
+    looks-up 60 keys over HTTP. The server runs the pure-pyarrow bucket
+    readers — no SparkSession involved in serving."""
+    from flink_table_store_spark.service import (
+        LookupQueryServer,
+        RemoteLookupClient,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    wh = os.path.join(_WAREHOUSE_ROOT, tag, "svc_wh")
+    cat = Catalog(wh)
+    cust = _t(spark, sf_dir, "customer")
+    t = cat.create_table(
+        "default.customer_svc",
+        cust.schema,
+        primary_keys=["c_custkey"],
+        options={"bucket": "8"},
+        ignore_if_exists=True,
+    )
+    if not t.snapshots.latest_id():
+        t.write(cust)
+        # a second commit so the service serves the MERGED view
+        t.write(
+            cust.where(F.col("c_custkey") % 97 == 0).withColumn(
+                "c_mktsegment", F.lit("REFRESHED")
+            )
+        )
+    keys = list(range(0, 600, 10))  # 60 deterministic probes
+    with LookupQueryServer(t.path) as _srv:
+        c = RemoteLookupClient(t.path)
+        rows = c.lookup_batch([{"c_custkey": k} for k in keys])
+    out = [
+        (k, r["c_name"], int(r["c_nationkey"]), r["c_mktsegment"])
+        for k, r in zip(keys, rows)
+        if r is not None
+    ]
+    return spark.createDataFrame(
+        out, "c_custkey bigint, c_name string, c_nationkey int, c_mktsegment string"
+    ).orderBy("c_custkey")
+
+
+LOOKUP_SERVICE_SQL = """
+SELECT c_custkey, c_name, c_nationkey,
+       CASE WHEN c_custkey % 97 = 0 THEN 'REFRESHED' ELSE c_mktsegment END
+         AS c_mktsegment
+FROM customer
+WHERE c_custkey % 10 = 0 AND c_custkey < 600
+ORDER BY c_custkey
+"""
+
+QUERIES["lookup_service_scan"] = (lookup_service_scan, LOOKUP_SERVICE_SQL)
+
+
 def reset_managed_tables(sf_dir: str | None = None) -> None:
     """Drop the /tmp managed warehouses (tests / fresh runs)."""
     if sf_dir is None:
