@@ -207,6 +207,11 @@ PROCEDURES: dict[str, Callable] = {
     "migrate_iceberg_table": lambda s, c, a: _migrate_iceberg(s, c, a),
     "migrate_hudi_table": lambda s, c, a: _migrate_hudi(s, c, a),
     "copy_files": lambda s, c, a: _copy_files(s, c, a),
+    # query service (paimon-flink procedure/QueryServiceProcedure.java:
+    # CALL sys.query_service(table, parallelism) starts the lookup
+    # service; ours returns the running servers' addresses — they serve
+    # on daemon threads until stop() or process exit)
+    "query_service": lambda s, c, a: _query_service(c, a),
     # privilege procedures (paimon-flink procedure/privilege/*.java)
     "init_file_based_privilege": lambda s, c, a: _init_privilege(c, a),
     "create_privileged_user": lambda s, c, a: _priv_cat(c).create_privileged_user(
@@ -228,6 +233,18 @@ def _init_privilege(cat, a):
     from flink_table_store_spark.privilege import init_file_based_privilege
 
     init_file_based_privilege(cat, a["root_password"])
+
+
+def _query_service(cat, a):
+    from flink_table_store_spark.service import LookupQueryServer
+
+    path = cat.get_table(a["table"]).path
+    n = int(a.get("parallelism", 1))
+    servers = [
+        LookupQueryServer(path, server_id=i, num_servers=n).start()
+        for i in range(n)
+    ]
+    return servers
 
 
 def _priv_cat(cat):

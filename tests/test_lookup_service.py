@@ -104,3 +104,18 @@ def test_bucket_cache_reuse(spark, pk_table):
             c.lookup({"k": 11})
         st = srv.stats
         assert st["hits"] >= 2  # repeated probes hit the bucket cache
+
+
+def test_query_service_procedure(spark, pk_table, warehouse):
+    """CALL sys.query_service(table, parallelism) — the reference's
+    QueryServiceProcedure — starts the sharded service."""
+    from flink_table_store_spark.procedures import call
+
+    servers = call(spark, warehouse, "query_service", table="db.kv", parallelism=2)
+    try:
+        c = RemoteLookupClient(pk_table.path)
+        got = c.lookup_batch([{"k": i} for i in (1, 2, 3)])
+        assert [r["v"] for r in got] == ["v1", "v2", "v3b"]
+    finally:
+        for s in servers:
+            s.stop()
