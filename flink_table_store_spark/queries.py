@@ -3362,7 +3362,25 @@ WHERE c_custkey % 10 = 0 AND c_custkey < 600
 ORDER BY c_custkey
 """
 
-QUERIES["lookup_service_scan"] = (lookup_service_scan, LOOKUP_SERVICE_SQL)
+# rotation: the lookup service is a new family (network point queries)
+# and takes a driver slot; text_decontaminate rotates to the tail (the
+# text family keeps token_stats + gopher + repeated_ngrams in the
+# window, and decontaminate stays gate-checked from the tail).
+_R8C_NEW = {
+    "lookup_service_scan": (lookup_service_scan, LOOKUP_SERVICE_SQL),
+}
+_R8C_OUT = ["text_decontaminate"]
+_rebuilt8c: dict[str, tuple] = {}
+_new_iter8c = iter(_R8C_NEW.items())
+for _k, _v in QUERIES.items():
+    if _k in _R8C_OUT:
+        _nk, _nv = next(_new_iter8c)
+        _rebuilt8c[_nk] = _nv
+    else:
+        _rebuilt8c[_k] = _v
+for _k in _R8C_OUT:
+    _rebuilt8c[_k] = QUERIES[_k]
+QUERIES = _rebuilt8c
 
 
 def reset_managed_tables(sf_dir: str | None = None) -> None:
