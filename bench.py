@@ -731,6 +731,25 @@ def main() -> None:
         100.0 * patch_bytes / max(base_bytes, 1), 2
     )
 
+    @timed("pack_sequences", repeat=3)
+    def _pack():
+        # training-row packing: one window cumsum + narrow posexplode
+        from flink_table_store_spark.datapipe.packing import pack_sequences
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        pack_sequences(
+            docs.select("doc_id", "n_chars"), 2048, token_col="n_chars"
+        ).count()
+
+    @timed("lm_perplexity", repeat=3)
+    def _lm():
+        # corpus-self-scored bigram LM: two count groupBys + one scoring
+        # join — the CCNet-style quality-filter pass
+        from flink_table_store_spark.datapipe.lm import score_perplexity
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        score_perplexity(docs.select("doc_id", "text")).count()
+
     @timed("gopher_filter", repeat=3)
     def _gf():
         # narrow JVM-only quality/repetition pass over the corpus
