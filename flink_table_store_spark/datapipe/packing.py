@@ -16,13 +16,18 @@ engine-portable:
   shard (bin packing is inherently sequential, so density needs a real
   FFD — Arrow-batched ``applyInPandas``, one shard per task).
 
-Scale design: ``pack_sequences`` is ONE window pass over a cumulative
-token sum — no UDF, no self-join, no driver loop; the cumsum window is
-a single sort-shuffle, made per-shard (embarrassingly parallel) via
-``shard_col`` at 100 TB. ``pack_first_fit`` shuffles once on the shard
-hash and packs each shard independently; waste from shard tails is
-bounded by one partial pack per shard, and n_shards is a reproducibility
-parameter, not a cluster property.
+Scale design: ``pack_sequences`` computes a GLOBAL cumulative token
+sum without a global sort. The deterministic order key is a uniform
+md5 hex string, so its hex PREFIX partitions the global order into
+contiguous, balanced ranges with no sampling step: the cumsum runs as
+a per-prefix-shard window (embarrassingly parallel sort-shuffle) plus
+a broadcast of per-shard prefix offsets (one tiny map-combined
+aggregate, <= n_shards rows on the driver). Output is bit-identical
+to a single global window — the default is scale-safe; nothing ever
+moves the corpus to one partition. ``pack_first_fit`` shuffles once on
+the shard hash and packs each shard independently; waste from shard
+tails is bounded by one partial pack per shard, and n_shards is a
+reproducibility parameter, not a cluster property.
 """
 
 from __future__ import annotations
@@ -47,6 +52,7 @@ def pack_sequences(
     key_col: str = "doc_id",
     seed: int = 42,
     shard_col: str | None = None,
+    n_shards: int = 4096,
 ) -> DataFrame:
     """Concatenate-then-cut packing. Documents are ordered by a
     deterministic hash of ``key_col`` (a reproducible shuffle), laid
@@ -61,19 +67,35 @@ def pack_sequences(
     A document longer than ``seq_len`` spans several packs; the spans
     partition it exactly. sum(span_tokens) == sum(n_tokens): no token
     is dropped or duplicated.
+
+    With the default ``shard_col=None`` the stream is GLOBAL but the
+    cumsum never runs as a global single-partition window: the order
+    key's uniform hex prefix splits the global order into ``n_shards``
+    contiguous ranges (rounded up to a power of 16), each shard cumsums
+    independently, and the exclusive prefix offset of every shard —
+    computed by one tiny map-combined aggregate and carried back via a
+    broadcast join — lifts local positions to global ones. The result
+    is bit-identical to a single global window (rows with equal order
+    keys share a prefix, hence a shard, so RANGE-frame tie semantics
+    are preserved). ``shard_col`` instead packs INDEPENDENT streams per
+    shard value (different semantics: pack_ids restart per shard).
+    ``n_shards`` only affects parallelism, never output.
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
-    part = [shard_col] if shard_col else []
-    w = Window.partitionBy(*part).orderBy(_order_key(key_col, seed), key_col)
     n = F.col(token_col).cast("bigint")
-    # end-exclusive cumulative token position of each document
-    cum_end = F.sum(n).over(w)
-    base = df.where(n > 0).select(
-        *df.columns,
-        (cum_end - n).alias("__start"),
-        cum_end.alias("__end"),
-    )
+    okey = _order_key(key_col, seed)
+    if shard_col:
+        w = Window.partitionBy(shard_col).orderBy(okey, key_col)
+        # end-exclusive cumulative token position of each document
+        cum_end = F.sum(n).over(w)
+        base = df.where(n > 0).select(
+            *df.columns,
+            (cum_end - n).alias("__start"),
+            cum_end.alias("__end"),
+        )
+    else:
+        base = _global_cumsum(df, n, okey, key_col, n_shards)
     # a document covers packs floor(start/L) .. floor((end-1)/L); emit
     # one span per covered pack via a narrow posexplode (width = number
     # of packs the doc touches — 1 for all docs shorter than seq_len)
@@ -97,6 +119,47 @@ def pack_sequences(
         (span_start - pack_start).alias("pack_offset"),
         (span_start - F.col("__start")).alias("doc_offset"),
         (span_end - span_start).alias("span_tokens"),
+    )
+
+
+def _global_cumsum(
+    df: DataFrame, n: Column, okey: Column, key_col: str, n_shards: int
+) -> DataFrame:
+    """Global end-exclusive token cumsum in (okey, key_col) order,
+    computed scale-safely: hex-prefix range shards -> per-shard window
+    cumsum -> broadcast exclusive prefix offsets. Because the md5 order
+    key is a fixed-width lowercase hex string, lexicographic order
+    equals numeric order and any prefix is monotone in it — so prefix
+    shards are exact contiguous ranges of the global order and the
+    recombined cumsum is bit-identical to one global window, with no
+    single-partition stage anywhere.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    k = 1
+    while (16**k) < min(n_shards, 16**8):
+        k += 1
+    live = df.where(n > 0).withColumn("__ps_shard", F.substring(okey, 1, k))
+    # tiny driver hop: <= 16^k rows of (shard, token total); the shard
+    # assignment is a pure function of the data, so recomputing it in
+    # the main job below is deterministic — no caching needed
+    totals = live.groupBy("__ps_shard").agg(F.sum(n).alias("__t")).collect()
+    rows, running = [], 0
+    for r in sorted(totals, key=lambda r: r["__ps_shard"]):
+        rows.append((r["__ps_shard"], running))
+        running += int(r["__t"])
+    offsets = df.sparkSession.createDataFrame(
+        rows, "__ps_shard string, __ps_off bigint"
+    )
+    w = Window.partitionBy("__ps_shard").orderBy(okey, key_col)
+    cum_end = F.sum(n).over(w) + F.col("__ps_off")
+    return (
+        live.join(F.broadcast(offsets), "__ps_shard")
+        .select(
+            *df.columns,
+            (cum_end - n).alias("__start"),
+            cum_end.alias("__end"),
+        )
     )
 
 

@@ -87,6 +87,46 @@ class TestPackSequences:
         }
         assert per["a"] == sum(lengths[0::2]) and per["b"] == sum(lengths[1::2])
 
+    def test_default_matches_global_window_bit_identical(self, spark):
+        """The sharded default must equal the partition-less global
+        window exactly (several seeds x length mixes x n_shards)."""
+        from pyspark.sql import Window
+
+        from flink_table_store_spark.datapipe.packing import _order_key
+
+        for seed in (1, 7, 42):
+            random.seed(seed * 100)
+            lengths = [random.randint(1, 400) for _ in range(300)]
+            df = _docs(spark, lengths)
+            # reference: the old single-partition global window
+            okey = _order_key("doc_id", seed)
+            n = F.col("n_tokens").cast("bigint")
+            w = Window.partitionBy().orderBy(okey, "doc_id")
+            cum_end = F.sum(n).over(w)
+            ref_base = df.where(n > 0).select(
+                "doc_id", (cum_end - n).alias("s"), cum_end.alias("e")
+            )
+            ref = sorted(map(tuple, ref_base.collect()))
+            for n_shards in (1, 16, 4096):
+                out = pack_sequences(df, 128, seed=seed, n_shards=n_shards)
+                got = sorted(
+                    (r.doc_id, r.pack_id * 128 + r.pack_offset - r.doc_offset)
+                    for r in out.where(F.col("doc_offset") == 0).collect()
+                )
+                assert got == [(d, s) for d, s, _ in ref], (seed, n_shards)
+
+    def test_default_plan_has_no_global_window(self, spark):
+        """Plan shape: the cumsum window must be partitioned (never the
+        single-partition 'No Partition Defined' shape) and the offsets
+        side must be broadcast."""
+        df = _docs(spark, [10, 20, 30, 40])
+        out = pack_sequences(df, 64)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            if "windowspecdefinition(" in line:
+                assert "__ps_shard" in line, line
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
     def test_zero_length_docs_dropped_and_validation(self, spark):
         df = _docs(spark, [0, 5, 0, 7])
         out = pack_sequences(df, 16)
