@@ -288,19 +288,10 @@ class PartialLookupTable:
         self._loaded_at = now
 
     def _bucket(self, key_values: dict) -> int:
-        """Writer-parity bucket id, driver-side: pure-python xxhash64
-        when the key types support it, else one 1-row Spark eval."""
-        from flink_table_store_spark.write import bucket_keys
-        from flink_table_store_spark.xxh64 import spark_xxhash64
-
-        schema = self.table.schema
-        keys = bucket_keys(schema)
-        h = spark_xxhash64(
-            [(key_values[k], schema.field(k).type.lower()) for k in keys]
-        )
-        if h is None:
-            return _bucket_of(self.spark, self.table, key_values)
-        return h % schema.num_buckets()
+        """Writer-parity bucket id, driver-side (shared hash — see
+        bucket_for_key). Loud refusal instead of a Spark fallback when
+        this table runs SparkSession-free (the lookup service)."""
+        return bucket_for_key(self.table, key_values, self.spark)
 
     def _load_bucket(self, bucket: int) -> dict:
         from flink_table_store_spark.operators.bucketed_join import read_bucket_side
@@ -334,6 +325,44 @@ class PartialLookupTable:
 
     def lookup_batch(self, batch: list[dict]) -> list[dict | None]:
         return [self.lookup(kv) for kv in batch]
+
+
+def bucket_for_key(table, key_values: dict, spark: SparkSession | None = None) -> int:
+    """THE writer-parity bucket id for literal key values — the single
+    hash shared by PartialLookupTable, the lookup-service server, and
+    RemoteLookupClient (a split implementation is how client and server
+    drift into routing the same key to different shards).
+
+    NULL key fields are SKIPPED, matching Spark ``xxhash64`` null
+    semantics exactly: the writer's bucket_expr (write.py) hashes with
+    ``F.xxhash64(cols...)``, whose running hash is unchanged by a null
+    input — so an all-null key hashes to the seed, same as Spark.
+    Pure-python when every non-null value's type is supported; a 1-row
+    Spark eval only when a session is available, else a loud refusal —
+    a SparkSession-free server process must never limp into the Spark
+    fallback (reference paimon-service routes by the same fixed hash on
+    both halves, RemoteTableQuery.java / KvQueryTableBootstrapper)."""
+    schema = table.schema
+    from flink_table_store_spark.write import bucket_keys
+    from flink_table_store_spark.xxh64 import spark_xxhash64
+
+    keys = bucket_keys(schema)
+    h = spark_xxhash64(
+        [
+            (key_values.get(k), schema.field(k).type.lower())
+            for k in keys
+            if key_values.get(k) is not None
+        ]
+    )
+    if h is None:
+        if spark is None:
+            raise ValueError(
+                f"bucket-key types of {keys} not supported by the "
+                "pure-python hash and no SparkSession for the 1-row "
+                "fallback — cannot route this key"
+            )
+        return _bucket_of(spark, table, key_values)
+    return h % schema.num_buckets()
 
 
 def _bucket_of(spark: SparkSession, table, key_values: dict) -> int:

@@ -197,19 +197,12 @@ class RemoteLookupClient:
 
     def __init__(self, table_path: str):
         from flink_table_store_spark.table import Table
-        from flink_table_store_spark.write import bucket_keys
-        from flink_table_store_spark.xxh64 import spark_xxhash64
 
         self.table_path = table_path
         self._sm = ServiceManager(table_path)
-        t = Table(table_path)
-        schema = t.schema
-        self._n_buckets = schema.num_buckets()
-        if self._n_buckets <= 0:
+        self._table = Table(table_path)
+        if self._table.schema.num_buckets() <= 0:
             raise RuntimeError("remote lookup requires a fixed-bucket PK table")
-        self._keys = bucket_keys(schema)
-        self._types = [schema.field(k).type.lower() for k in self._keys]
-        self._hash = spark_xxhash64
 
     def _addresses(self) -> list[str]:
         addrs = self._sm.service(PRIMARY_KEY_LOOKUP)
@@ -221,19 +214,12 @@ class RemoteLookupClient:
         return addrs
 
     def _bucket(self, kv: dict) -> int:
-        h = self._hash(
-            [
-                (kv[k], t)
-                for k, t in zip(self._keys, self._types)
-                if kv[k] is not None
-            ]
-        )
-        if h is None:
-            raise ValueError(
-                f"bucket-key types {self._types} not supported by the "
-                "pure-python hash — this client cannot route the key"
-            )
-        return h % self._n_buckets
+        # the SAME shared hash the server routes by (bucket_for_key) —
+        # spark=None: this client is a plain python process, refuse
+        # loudly rather than silently diverge from the server
+        from flink_table_store_spark.operators.lookup import bucket_for_key
+
+        return bucket_for_key(self._table, kv, None)
 
     def lookup(self, key_values: dict) -> dict | None:
         return self.lookup_batch([key_values])[0]

@@ -106,6 +106,58 @@ def test_bucket_cache_reuse(spark, pk_table):
         assert st["hits"] >= 2  # repeated probes hit the bucket cache
 
 
+def test_null_key_field_routes_consistently(spark, warehouse):
+    """Client and server share ONE bucket hash (bucket_for_key) — a
+    NULL-bearing composite key must get a defined answer (no match),
+    never a 500 from client/server hash disagreement."""
+    t = warehouse.create_table(
+        "db.kv2", "k1 bigint, k2 string, v string",
+        primary_keys=["k1", "k2"], options={"bucket": "4"},
+    )
+    t.write(spark.createDataFrame(
+        [(i, f"s{i}", f"v{i}") for i in range(20)],
+        "k1 bigint, k2 string, v string"))
+    s0 = LookupQueryServer(t.path, server_id=0, num_servers=2).start()
+    s1 = LookupQueryServer(t.path, server_id=1, num_servers=2).start()
+    try:
+        c = RemoteLookupClient(t.path)
+        # normal probe still green on the composite key
+        assert c.lookup({"k1": 7, "k2": "s7"})["v"] == "v7"
+        # NULL key field: skipped by the shared hash on BOTH halves ->
+        # routes to one agreed shard, finds nothing, returns None
+        assert c.lookup({"k1": 7, "k2": None}) is None
+        assert c.lookup({"k1": None, "k2": None}) is None
+        # client and server literally compute the same bucket
+        from flink_table_store_spark.operators.lookup import bucket_for_key
+
+        for kv in ({"k1": 7, "k2": None}, {"k1": None, "k2": "s7"}):
+            assert c._bucket(kv) == bucket_for_key(s0._lookup.table, kv)
+    finally:
+        s0.stop()
+        s1.stop()
+
+
+def test_bucket_for_key_matches_writer_hash(spark, warehouse):
+    """The shared pure-python hash equals Spark's xxhash64 with null
+    skipped — parity vs an actual Spark eval of the writer expression."""
+    import pyspark.sql.functions as F
+
+    from flink_table_store_spark.operators.lookup import bucket_for_key
+
+    t = warehouse.create_table(
+        "db.kv3", "k1 bigint, k2 string, v string",
+        primary_keys=["k1", "k2"], options={"bucket": "8"},
+    )
+    probes = [(3, "x"), (3, None), (None, "x"), (None, None)]
+    df = spark.createDataFrame(probes, "k1 bigint, k2 string")
+    want = [
+        r.b for r in df.select(
+            F.pmod(F.xxhash64("k1", "k2"), F.lit(8)).alias("b")).collect()
+    ]
+    got = [bucket_for_key(t, {"k1": a, "k2": b}) for a, b in probes]
+    assert got == want
+
+
 def test_query_service_procedure(spark, pk_table, warehouse):
     """CALL sys.query_service(table, parallelism) — the reference's
     QueryServiceProcedure — starts the sharded service."""
