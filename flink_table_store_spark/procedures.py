@@ -168,6 +168,16 @@ PROCEDURES: dict[str, Callable] = {
     ),
     "repair": lambda s, c, a: _t(c, a).remove_orphan_files(dry_run=True, spark=s),
     "create_branch": lambda s, c, a: _t(c, a).create_branch(a["branch"], a.get("snapshot_id")),
+    # chain-table periodic compaction: materialize chained views as
+    # full dumps on the snapshot branch (chain-table.md:41 — the
+    # reference defers chain compact; chain.py composes it)
+    "chain_compact": lambda s, c, a: __import__(
+        "flink_table_store_spark.chain", fromlist=["chain_compact"]
+    ).chain_compact(
+        s,
+        _t(c, a),
+        max_partitions=int(a["max_partitions"]) if a.get("max_partitions") else None,
+    ),
     "delete_branch": lambda s, c, a: _t(c, a).delete_branch(a["branch"]),
     "fast_forward": lambda s, c, a: _t(c, a).fast_forward(a["branch"]),
     "clear_consumers": lambda s, c, a: _t(c, a).snapshots.clear_consumers(),

@@ -3383,6 +3383,119 @@ for _k in _R8C_OUT:
 QUERIES = _rebuilt8c
 
 
+def _chain_orders_table(spark: SparkSession, sf_dir: str):
+    """Chain table over orders: one FULL dump (years <= 1995, latest
+    order per customer) on the snapshot branch, then one DELTA per
+    year 1996-1998 (that year's latest order per customer) on the
+    delta branch."""
+    cat = _wh(sf_dir)
+    name = "default.orders_chain"
+    try:
+        t = cat.get_table(name)
+        dsm = t.use_branch("delta").snapshots
+        if dsm.latest_id() and dsm.latest_id() >= 3:
+            return t
+        cat.drop_table(name)
+    except RuntimeError:
+        pass
+    t = cat.create_table(
+        name,
+        "dt string, o_custkey bigint, o_orderkey bigint, o_totalprice double",
+        partition_keys=["dt"],
+        primary_keys=["dt", "o_custkey"],
+        options={
+            "bucket": "2",
+            "bucket-key": "o_custkey",
+            "chain-table.enabled": "true",
+            "sequence.field": "o_orderkey",
+        },
+        ignore_if_exists=True,
+    )
+    t.create_branch("snapshot")
+    t.create_branch("delta")
+    o = _t(spark, sf_dir, "orders").select(
+        F.substring(F.col("o_orderdate").cast("string"), 1, 4).alias("yr"),
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+    )
+
+    def latest(df, dt):
+        w = df.groupBy("o_custkey").agg(
+            F.expr("max_by(o_orderkey, o_orderkey)").alias("o_orderkey"),
+            F.expr("max_by(o_totalprice, o_orderkey)").alias("o_totalprice"),
+        )
+        return w.select(
+            F.lit(dt).alias("dt"), "o_custkey", "o_orderkey", "o_totalprice"
+        )
+
+    t.use_branch("snapshot").write(latest(o.where(F.col("yr") <= "1995"), "1995"))
+    dt_branch = t.use_branch("delta")
+    for y in ("1996", "1997", "1998"):
+        dt_branch.write(latest(o.where(F.col("yr") == y), y))
+    return t
+
+
+def chain_table_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain table (reference ChainGroupReadTable.java:1-355,
+    chain-table.md — chain.py): the incremental-ODS pattern. A full
+    dump lives on the snapshot branch at dt='1995'; yearly deltas land
+    on the delta branch; a read of the main table answers the FULL
+    dataset as-of every partition — '1995' served directly from the
+    dump, each later year chained as merge(dump, deltas in
+    (1995, year]) with sequence.field picking the winner."""
+    t = _chain_orders_table(spark, sf_dir)
+    return t.to_df(spark).orderBy("dt", "o_custkey")
+
+
+CHAIN_TABLE_SQL = """
+WITH o AS (
+  SELECT substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS yr,
+         o_custkey, o_orderkey, o_totalprice
+  FROM orders
+), snap AS (
+  SELECT '1995' AS src, o_custkey,
+         arg_max(o_orderkey, o_orderkey) AS o_orderkey,
+         arg_max(o_totalprice, o_orderkey) AS o_totalprice
+  FROM o WHERE yr <= '1995' GROUP BY o_custkey
+), deltas AS (
+  SELECT yr AS src, o_custkey,
+         arg_max(o_orderkey, o_orderkey) AS o_orderkey,
+         arg_max(o_totalprice, o_orderkey) AS o_totalprice
+  FROM o WHERE yr > '1995' GROUP BY yr, o_custkey
+), src AS (
+  SELECT * FROM snap UNION ALL SELECT * FROM deltas
+), views(dt) AS (VALUES ('1995'), ('1996'), ('1997'), ('1998'))
+SELECT v.dt, s.o_custkey,
+       arg_max(s.o_orderkey, s.o_orderkey) AS o_orderkey,
+       arg_max(s.o_totalprice, s.o_orderkey) AS o_totalprice
+FROM views v JOIN src s ON s.src <= v.dt
+GROUP BY v.dt, s.o_custkey
+ORDER BY dt, o_custkey
+"""
+
+# round-9 rotation: chain tables are a new reference read family
+# (ChainGroupReadTable) and take a driver slot; pk_time_travel rotates
+# to the judge-run tail (the PK family keeps pk_upsert_dedup,
+# pk_incremental_read, pk_delete_update in the window; time travel
+# stays gate-checked from the tail).
+_R9_NEW = {
+    "chain_table_read": (chain_table_read, CHAIN_TABLE_SQL),
+}
+_R9_OUT = ["pk_time_travel"]
+_rebuilt9: dict[str, tuple] = {}
+_new_iter9 = iter(_R9_NEW.items())
+for _k, _v in QUERIES.items():
+    if _k in _R9_OUT:
+        _nk, _nv = next(_new_iter9)
+        _rebuilt9[_nk] = _nv
+    else:
+        _rebuilt9[_k] = _v
+for _k in _R9_OUT:
+    _rebuilt9[_k] = QUERIES[_k]
+QUERIES = _rebuilt9
+
+
 def reset_managed_tables(sf_dir: str | None = None) -> None:
     """Drop the /tmp managed warehouses (tests / fresh runs)."""
     if sf_dir is None:

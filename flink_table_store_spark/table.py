@@ -204,6 +204,29 @@ class ReadBuilder:
 
     def to_df(self, spark: SparkSession) -> DataFrame:
         t = self._table
+        from flink_table_store_spark import chain as chain_mod
+
+        if (
+            chain_mod.is_chain_table(t.schema)
+            and t.branch_name is None
+            # time travel names a point on ONE branch — chain planning
+            # is a latest-state view; travel reads stay per-branch
+            and self._snapshot_id is None
+            and self._tag is None
+            and self._timestamp_ms is None
+            and self._watermark is None
+        ):
+            df = chain_mod.chain_read(
+                spark, t, self._predicate, self._projection
+            )
+            if self._topn is not None:
+                col, n, desc = self._topn
+                df = df.orderBy(
+                    F.col(col).desc() if desc else F.col(col).asc()
+                ).limit(n)
+            if self._limit is not None:
+                df = df.limit(self._limit)
+            return df
         snap = self._resolve_snapshot()
         if snap is None:
             plan = read_mod.ScanPlan()
@@ -516,6 +539,36 @@ class Table:
 
             df = prepare_cross_partition_batch(df.sparkSession, df, self.path, self.schema)
             row_kind_col = _RK
+        rk_field = self.schema.options.get("rowkind.field")
+        if rk_field and row_kind_col is None and self.is_primary_key_table():
+            # CoreOptions.ROWKIND_FIELD (sequence-rowkind.md:64-75): a
+            # DATA column carries the changelog kind, so a batch frame
+            # with CDC-style markers lands without the CDC connector.
+            # The column stays in the row; invalid kinds fail the write
+            # loudly (RowKind.fromShortString throws in the reference)
+            if rk_field not in df.columns:
+                raise ValueError(
+                    f"rowkind.field {rk_field!r} is not a column of the "
+                    f"written DataFrame ({df.columns})"
+                )
+            row_kind_col = "__rowkind_from_field"
+            valid = F.col(rk_field).isin("+I", "-U", "+U", "-D")
+            df = df.withColumn(
+                row_kind_col,
+                F.when(valid, F.col(rk_field)).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                f"rowkind.field {rk_field}: invalid row"
+                                " kind (expect +I/-U/+U/-D), got "
+                            ),
+                            F.coalesce(
+                                F.col(rk_field).cast("string"), F.lit("NULL")
+                            ),
+                        )
+                    )
+                ),
+            )
         if self.is_primary_key_table() and self.schema.num_buckets() == -1:
             # dynamic bucket mode (S18): key→bucket via persistent index
             from flink_table_store_spark.operators.dynamic_bucket import assign_buckets
@@ -1902,17 +1955,19 @@ class Table:
         from flink_table_store_spark.snapshot import now_millis
 
         sid = snapshot_id if snapshot_id is not None else self.snapshots.latest_id()
-        if sid is None:
-            raise RuntimeError("no snapshot to branch from")
         root = self._branch_root(name)
         if os.path.isdir(root):
             raise RuntimeError(f"branch {name} already exists")
         bsm = SnapshotManager(self.path, branch=name)
         os.makedirs(bsm.dir, exist_ok=True)
-        snap = self.snapshots.load(sid)
-        if not bsm.try_commit(snap):
-            raise RuntimeError(f"branch {name} already exists")
-        write_json(os.path.join(root, "meta.json"), {"fromSnapshot": sid, "createTime": now_millis()})
+        if sid is not None:
+            snap = self.snapshots.load(sid)
+            if not bsm.try_commit(snap):
+                raise RuntimeError(f"branch {name} already exists")
+        # sid None: EMPTY branch from an empty table (reference
+        # BranchManager.createBranch allows it — the chain-table setup
+        # creates snapshot/delta branches right after CREATE TABLE)
+        write_json(os.path.join(root, "meta.json"), {"fromSnapshot": sid or 0, "createTime": now_millis()})
         return self.use_branch(name)
 
     def use_branch(self, name: str) -> "Table":

@@ -1,0 +1,216 @@
+"""Chain table (reference ChainGroupReadTable.java, chain-table.md):
+snapshot + delta branches, full/incremental/hybrid reads, chain merge
+parity vs whole-history merge, and chain compaction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_table_store_spark import predicate as P
+from flink_table_store_spark.chain import chain_compact, chain_read
+
+SCHEMA = "dt string, t1 string, t2 string, t3 string"
+
+
+def _mk_chain(spark, warehouse, name="db.chain", options=None):
+    opts = {
+        "chain-table.enabled": "true",
+        "bucket": "2",
+        "bucket-key": "t1",
+        "sequence.field": "t2",
+    }
+    opts.update(options or {})
+    t = warehouse.create_table(
+        name, SCHEMA, partition_keys=["dt"],
+        primary_keys=["dt", "t1"], options=opts,
+    )
+    t.create_branch("snapshot")
+    t.create_branch("delta")
+    return t
+
+
+def _w(spark, bt, rows):
+    bt.write(spark.createDataFrame(rows, SCHEMA))
+
+
+class TestDocExample:
+    """The exact scenario from chain-table.md:95-148."""
+
+    def test_full_incremental_hybrid(self, spark, warehouse):
+        t = _mk_chain(spark, warehouse)
+        snap = t.use_branch("snapshot")
+        delta = t.use_branch("delta")
+        _w(spark, snap, [("20250810", "1", "1", "1")])
+        _w(spark, delta, [("20250811", "2", "1", "1")])
+        # Full query at 20250811: snapshot 0810 chained with delta 0811
+        full = t.to_df(spark, predicate=P.equal("dt", "20250811"))
+        got = sorted((r.t1, r.t2, r.t3) for r in full.collect())
+        assert got == [("1", "1", "1"), ("2", "1", "1")]
+        # and every surfaced row carries the queried partition
+        assert {r.dt for r in full.collect()} == {"20250811"}
+        # Incremental query: the delta branch directly
+        inc = delta.to_df(spark, predicate=P.equal("dt", "20250811"))
+        assert [(r.t1, r.t2, r.t3) for r in inc.collect()] == [("2", "1", "1")]
+        # Hybrid: union of both
+        assert full.unionByName(inc).count() == 3
+        # Complete partition (0810) comes straight from the snapshot
+        comp = t.to_df(spark, predicate=P.equal("dt", "20250810"))
+        assert [(r.dt, r.t1) for r in comp.collect()] == [("20250810", "1")]
+
+
+class TestChainMerge:
+    def test_parity_vs_whole_history_merge(self, spark, warehouse):
+        """Chain read of partition P == dedup-merge of the snapshot dump
+        plus every delta up to P, latest version per key winning."""
+        t = _mk_chain(spark, warehouse, name="db.chain2")
+        snap = t.use_branch("snapshot")
+        delta = t.use_branch("delta")
+        # day0 full dump: keys a..e at version v0
+        _w(spark, snap, [("d0", k, "0", f"{k}v0") for k in "abcde"])
+        # three delta days, overlapping keys, rising sequence t2
+        _w(spark, delta, [("d1", "a", "1", "av1"), ("d1", "f", "1", "fv1")])
+        _w(spark, delta, [("d2", "a", "2", "av2"), ("d2", "b", "2", "bv2")])
+        _w(spark, delta, [("d3", "c", "3", "cv3"), ("d3", "f", "3", "fv3")])
+
+        history = {
+            "d1": [("a", "av1"), ("b", "bv0"), ("c", "cv0"), ("d", "dv0"),
+                   ("e", "ev0"), ("f", "fv1")],
+            "d2": [("a", "av2"), ("b", "bv2"), ("c", "cv0"), ("d", "dv0"),
+                   ("e", "ev0"), ("f", "fv1")],
+            "d3": [("a", "av2"), ("b", "bv2"), ("c", "cv3"), ("d", "dv0"),
+                   ("e", "ev0"), ("f", "fv3")],
+        }
+        for day, want in history.items():
+            got = sorted(
+                (r.t1, r.t3)
+                for r in t.to_df(spark, predicate=P.equal("dt", day)).collect()
+            )
+            assert got == want, day
+        # unfiltered read: complete d0 + one full-as-of view per delta day
+        all_rows = t.to_df(spark).groupBy("dt").count().collect()
+        assert {r.dt: r["count"] for r in all_rows} == {
+            "d0": 5, "d1": 6, "d2": 6, "d3": 6,
+        }
+
+    def test_no_snapshot_partition_merges_all_deltas(self, spark, warehouse):
+        t = _mk_chain(spark, warehouse, name="db.chain3")
+        delta = t.use_branch("delta")
+        _w(spark, delta, [("d1", "x", "1", "xv1")])
+        _w(spark, delta, [("d2", "x", "2", "xv2"), ("d2", "y", "2", "yv2")])
+        got = sorted(
+            (r.t1, r.t3)
+            for r in t.to_df(spark, predicate=P.equal("dt", "d2")).collect()
+        )
+        assert got == [("x", "xv2"), ("y", "yv2")]
+        # d1 view: only deltas <= d1
+        got1 = [
+            (r.t1, r.t3)
+            for r in t.to_df(spark, predicate=P.equal("dt", "d1")).collect()
+        ]
+        assert got1 == [("x", "xv1")]
+
+    def test_later_snapshot_bounds_the_chain(self, spark, warehouse):
+        """A delta day AFTER a newer snapshot dump chains from THAT dump,
+        not from day zero (findFirstLatestPartitions picks the latest
+        strictly-smaller snapshot partition)."""
+        t = _mk_chain(spark, warehouse, name="db.chain4")
+        snap = t.use_branch("snapshot")
+        delta = t.use_branch("delta")
+        _w(spark, snap, [("d0", "a", "0", "old-a")])
+        _w(spark, delta, [("d1", "b", "1", "bv1")])
+        # fresh full dump at d2 does NOT carry b (say b was purged)
+        _w(spark, snap, [("d2", "a", "2", "new-a")])
+        _w(spark, delta, [("d3", "c", "3", "cv3")])
+        got = sorted(
+            (r.t1, r.t3)
+            for r in t.to_df(spark, predicate=P.equal("dt", "d3")).collect()
+        )
+        # chains from d2 dump: a(new) + c; b is gone
+        assert got == [("a", "new-a"), ("c", "cv3")]
+
+    def test_pk_predicate_pushdown_and_projection(self, spark, warehouse):
+        t = _mk_chain(spark, warehouse, name="db.chain5")
+        snap = t.use_branch("snapshot")
+        delta = t.use_branch("delta")
+        _w(spark, snap, [("d0", k, "0", f"{k}v0") for k in "ab"])
+        _w(spark, delta, [("d1", "a", "1", "av1")])
+        df = t.to_df(
+            spark, predicate=P.equal("dt", "d1") & P.equal("t1", "a"),
+            projection=["t1", "t3"],
+        )
+        assert df.columns == ["t1", "t3"]
+        assert [(r.t1, r.t3) for r in df.collect()] == [("a", "av1")]
+
+
+class TestChainCompact:
+    def test_compact_builds_full_dumps(self, spark, warehouse):
+        t = _mk_chain(spark, warehouse, name="db.chain6")
+        snap = t.use_branch("snapshot")
+        delta = t.use_branch("delta")
+        _w(spark, snap, [("d0", k, "0", f"{k}v0") for k in "abc"])
+        _w(spark, delta, [("d1", "a", "1", "av1")])
+        _w(spark, delta, [("d2", "b", "2", "bv2"), ("d2", "d", "2", "dv2")])
+        before = sorted(map(tuple, t.to_df(spark).collect()))
+        done = chain_compact(spark, t)
+        assert [d["dt"] for d in done] == ["d1", "d2"]
+        # reads are unchanged by compaction...
+        after = sorted(map(tuple, t.to_df(spark).collect()))
+        assert after == before
+        # ...but d1/d2 are now complete: full dumps live on the snapshot
+        # branch and the chain planner serves them directly
+        sp = {r.dt for r in snap.to_df(spark).select("dt").distinct().collect()}
+        assert sp == {"d0", "d1", "d2"}
+        from flink_table_store_spark.chain import _chain_plan
+        _, _, groups = _chain_plan(spark, t, None)
+        assert groups == []
+
+    def test_compact_is_incremental(self, spark, warehouse):
+        t = _mk_chain(spark, warehouse, name="db.chain7")
+        delta = t.use_branch("delta")
+        _w(spark, delta, [("d1", "x", "1", "xv1")])
+        _w(spark, delta, [("d2", "y", "2", "yv2")])
+        done = chain_compact(spark, t, max_partitions=1)
+        assert [d["dt"] for d in done] == ["d1"]
+        got = sorted(
+            (r.dt, r.t1, r.t3) for r in t.to_df(spark).collect()
+        )
+        assert got == [("d1", "x", "xv1"), ("d2", "x", "xv1"), ("d2", "y", "yv2")]
+
+
+class TestValidation:
+    def test_missing_branch_refused(self, spark, warehouse):
+        t = warehouse.create_table(
+            "db.chain_nb", SCHEMA, partition_keys=["dt"],
+            primary_keys=["dt", "t1"],
+            options={"chain-table.enabled": "true", "bucket": "1"},
+        )
+        with pytest.raises(RuntimeError, match="branch 'snapshot' does not exist"):
+            t.to_df(spark)
+
+    def test_requires_pk_and_partitions(self, spark, warehouse):
+        t = warehouse.create_table(
+            "db.chain_np", "a bigint, b string",
+            options={"chain-table.enabled": "true"},
+        )
+        with pytest.raises(ValueError, match="primary-key"):
+            t.to_df(spark)
+
+    def test_empty_chain_table_reads_empty(self, spark, warehouse):
+        t = _mk_chain(spark, warehouse, name="db.chain_empty")
+        assert t.to_df(spark).count() == 0
+        assert t.to_df(spark).columns == ["dt", "t1", "t2", "t3"]
+
+    def test_branch_creation_on_empty_table(self, spark, warehouse):
+        # create_branch before any snapshot exists (the documented
+        # chain setup order: CREATE TABLE, then create both branches)
+        t = warehouse.create_table(
+            "db.chain_eb", SCHEMA, partition_keys=["dt"],
+            primary_keys=["dt", "t1"], options={"bucket": "1"},
+        )
+        b = t.create_branch("snapshot")
+        assert b.snapshots.latest() is None
+        _w(spark, b, [("d0", "1", "1", "1")])
+        assert b.to_df(spark).count() == 1
+        # main stays empty — branches commit independently
+        assert t.to_df(spark).count() == 0
