@@ -758,6 +758,37 @@ def main() -> None:
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         gopher_metrics(docs).where(F.col("gopher_keep")).count()
 
+    # --- local no-Spark paths (pypaimon-parity read/write): the same
+    # pure-pyarrow planner/readers also serve the format surface's
+    # executors and the lookup service, so regressions here must be
+    # visible ------------------------------------------------------------
+    @timed("local_read", repeat=3)
+    def _local_read():
+        tab = t_pk.refresh().to_arrow(
+            projection=["l_orderkey", "l_extendedprice"]
+        )
+        assert tab.num_rows > 0
+
+    lw_pdf = li.limit(200_000).toPandas()
+    lw_tabs = [
+        cat.create_table(
+            f"bench.local_w{i}", li.schema, ignore_if_exists=True
+        )
+        for i in range(3)
+    ]
+    timed_mutating("local_write", lw_tabs, lambda t: t.write_arrow(lw_pdf))
+
+    # --- chain table read (ChainGroupReadTable analogue): one full dump
+    # + 3 yearly deltas, the whole-table chain view (built untimed by
+    # the shared queries helper) ------------------------------------------
+    ch_t = Q._chain_orders_table(spark, sf_dir)
+
+    @timed("chain_table_read", repeat=3)
+    def _chain_table():
+        ch_t.to_df(spark).agg(
+            F.count(F.lit(1)), F.sum("o_totalprice")
+        ).collect()
+
     total = round(sum(timings.values()), 4)
     upsert_rps = round(n_upsert_rows / timings["upsert"], 1) if timings.get("upsert") else None
     print(

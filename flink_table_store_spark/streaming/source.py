@@ -68,6 +68,17 @@ class SnapshotStream:
             raise ValueError(f"unknown startup mode {startup_mode}")
         if scan not in ("delta", "changelog"):
             raise ValueError(f"unknown scan mode {scan}")
+        from flink_table_store_spark.chain import is_chain_table
+
+        if is_chain_table(table.schema) and table.branch_name is None:
+            # the main branch of a chain table has no commits to tail —
+            # a stream on it would silently idle forever (the reference
+            # is batch-only for chain tables: chain-table.md:91)
+            raise ValueError(
+                "streaming read of a chain table's main view is not "
+                "supported — stream a branch: "
+                "table.use_branch('snapshot'/'delta')"
+            )
         self.table = table
         self.mode = startup_mode
         self.from_snapshot = from_snapshot

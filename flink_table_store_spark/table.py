@@ -144,24 +144,42 @@ class ReadBuilder:
     # --- local (no-Spark) materialization — pypaimon TableRead parity
     # (paimon-python pypaimon/read/table_read.py:56-186) ---
 
+    def _refuse_local_chain(self) -> None:
+        # a chain table's MAIN branch holds no data — a local read of it
+        # would silently return nothing; the chain planner is Spark-side
+        # (chain.py). Branch reads (use_branch) stay local-readable.
+        from flink_table_store_spark import chain as chain_mod
+
+        t = self._table
+        if chain_mod.is_chain_table(t.schema) and t.branch_name is None:
+            raise NotImplementedError(
+                "local no-Spark read of a chain table's main view is not "
+                "supported — read via Spark (to_df), or read a branch "
+                "directly: table.use_branch('snapshot'/'delta').to_arrow()"
+            )
+
     def to_arrow(self):
         from flink_table_store_spark import localread
 
+        self._refuse_local_chain()
         return localread.read_arrow(self)
 
     def to_arrow_batch_reader(self):
         from flink_table_store_spark import localread
 
+        self._refuse_local_chain()
         return localread.read_arrow_batch_reader(self)
 
     def to_pandas(self):
         from flink_table_store_spark import localread
 
+        self._refuse_local_chain()
         return localread.read_pandas(self)
 
     def to_duckdb(self, table_name: str, connection=None):
         from flink_table_store_spark import localread
 
+        self._refuse_local_chain()
         return localread.read_duckdb(self, table_name, connection)
 
     def _plan_entries(self, spark: SparkSession, snap: Snapshot) -> list:
@@ -206,16 +224,21 @@ class ReadBuilder:
         t = self._table
         from flink_table_store_spark import chain as chain_mod
 
-        if (
-            chain_mod.is_chain_table(t.schema)
-            and t.branch_name is None
-            # time travel names a point on ONE branch — chain planning
-            # is a latest-state view; travel reads stay per-branch
-            and self._snapshot_id is None
-            and self._tag is None
-            and self._timestamp_ms is None
-            and self._watermark is None
-        ):
+        if chain_mod.is_chain_table(t.schema) and t.branch_name is None:
+            if (
+                self._snapshot_id is not None
+                or self._tag is not None
+                or self._timestamp_ms is not None
+                or self._watermark is not None
+            ):
+                # the main branch of a chain table holds no data — a
+                # travel read of it would silently return nothing; travel
+                # names a point on ONE branch (use_branch(...) first)
+                raise ValueError(
+                    "time travel on a chain table addresses a single "
+                    "branch — use table.use_branch('snapshot'/'delta') "
+                    "and travel there"
+                )
             df = chain_mod.chain_read(
                 spark, t, self._predicate, self._projection
             )

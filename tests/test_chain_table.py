@@ -201,6 +201,25 @@ class TestValidation:
         assert t.to_df(spark).count() == 0
         assert t.to_df(spark).columns == ["dt", "t1", "t2", "t3"]
 
+    def test_silent_empty_paths_refuse_loudly(self, spark, warehouse):
+        """The main branch of a chain table holds no data: local reads,
+        time travel, and streaming on the MAIN view must refuse rather
+        than silently return nothing; branch reads stay available."""
+        t = _mk_chain(spark, warehouse, name="db.chain_rf")
+        delta = t.use_branch("delta")
+        _w(spark, delta, [("d1", "x", "1", "xv1")])
+        with pytest.raises(NotImplementedError, match="chain table"):
+            t.read_builder().to_arrow()
+        with pytest.raises(ValueError, match="time travel on a chain"):
+            t.to_df(spark, snapshot_id=1)
+        from flink_table_store_spark.streaming.source import SnapshotStream
+
+        with pytest.raises(ValueError, match="streaming read of a chain"):
+            SnapshotStream(t)
+        # the branches themselves stay local-readable and streamable
+        assert delta.read_builder().to_arrow().num_rows == 1
+        SnapshotStream(delta)
+
     def test_branch_creation_on_empty_table(self, spark, warehouse):
         # create_branch before any snapshot exists (the documented
         # chain setup order: CREATE TABLE, then create both branches)
