@@ -104,6 +104,14 @@ class Catalog:
 
     def get_table(self, identifier: str) -> Table:
         if "$" in identifier:
+            base, _, suffix = identifier.partition("$")
+            if suffix.startswith("branch_"):
+                # the reference's `t$branch_<name>` spelling
+                # (docs/content/maintenance/manage-branches.md,
+                # chain-table.md:95-112) — same table as `t@<name>`
+                return self.get_table(base).use_branch(
+                    suffix[len("branch_"):]
+                )
             raise ValueError(
                 f"'{identifier}' names a system table — use catalog.read_system(spark, ...)"
             )
@@ -122,6 +130,8 @@ class Catalog:
         if identifier.startswith("sys."):
             return self._read_global_system(spark, identifier[len("sys."):])
         base, _, sys_name = identifier.partition("$")
+        if sys_name.startswith("branch_"):
+            return self.get_table(identifier).to_df(spark)
         return self.get_table(base).system_table(spark, sys_name)
 
     def _read_global_system(self, spark, name: str):

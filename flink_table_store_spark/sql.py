@@ -437,7 +437,13 @@ class SqlSession:
                     kw["tag"] = str(val)
             else:
                 kw["timestamp_ms"] = _ts_millis(val)
-        if sysname:
+        if sysname and sysname.startswith("branch_"):
+            # `t$branch_<name>` reads the branch as a plain table —
+            # time travel applies to THAT branch (chain-table.md:120)
+            df = self.catalog.get_table(base).use_branch(
+                sysname[len("branch_"):]
+            ).to_df(self.spark, **kw)
+        elif sysname:
             df = self.catalog.get_table(base).system_table(self.spark, sysname)
         else:
             df = self.catalog.get_table(base).to_df(self.spark, **kw)

@@ -178,6 +178,46 @@ class TestChainCompact:
         assert got == [("d1", "x", "xv1"), ("d2", "x", "xv1"), ("d2", "y", "yv2")]
 
 
+class TestSqlSurface:
+    def test_doc_sql_workflow(self, spark, warehouse):
+        """The chain-table.md:95-148 SQL workflow verbatim shapes:
+        INSERT OVERWRITE into t$branch_snapshot / t$branch_delta, full
+        query on t, incremental query on t$branch_delta, hybrid union."""
+        from flink_table_store_spark.sql import SqlSession
+
+        t = _mk_chain(spark, warehouse, name="db.chain_sql")
+        s = SqlSession(spark, warehouse)
+        s.sql(
+            "INSERT OVERWRITE db.chain_sql$branch_snapshot "
+            "PARTITION (dt = '20250810') VALUES ('1', '1', '1')"
+        )
+        s.sql(
+            "INSERT OVERWRITE db.chain_sql$branch_delta "
+            "PARTITION (dt = '20250811') VALUES ('2', '1', '1')"
+        )
+        full = s.sql(
+            "SELECT t1, t2, t3 FROM db.chain_sql WHERE dt = '20250811'"
+        )
+        assert sorted(map(tuple, full.collect())) == [
+            ("1", "1", "1"), ("2", "1", "1")
+        ]
+        inc = s.sql(
+            "SELECT t1, t2, t3 FROM db.chain_sql$branch_delta "
+            "WHERE dt = '20250811'"
+        )
+        assert [tuple(r) for r in inc.collect()] == [("2", "1", "1")]
+        hybrid = s.sql(
+            "SELECT t1, t2, t3 FROM db.chain_sql WHERE dt = '20250811' "
+            "UNION ALL SELECT t1, t2, t3 FROM db.chain_sql$branch_delta "
+            "WHERE dt = '20250811'"
+        )
+        assert hybrid.count() == 3
+        # $branch_ and @ spellings resolve to the same table
+        a = warehouse.get_table("db.chain_sql$branch_delta")
+        b = warehouse.get_table("db.chain_sql@delta")
+        assert a.branch_name == b.branch_name == "delta"
+
+
 class TestValidation:
     def test_missing_branch_refused(self, spark, warehouse):
         t = warehouse.create_table(
