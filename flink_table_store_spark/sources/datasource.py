@@ -224,6 +224,17 @@ def _plan_input_partitions(
     inc = _incremental_range(table, options)
     if inc is not None:
         return _plan_incremental_partitions(table, inc)
+    from flink_table_store_spark.chain import is_chain_table
+
+    if is_chain_table(table.schema) and table.branch_name is None:
+        # the chain planner is Spark-DataFrame-side (chain.py); the
+        # format surface's per-task pyarrow readers would silently
+        # read the EMPTY main branch
+        raise NotImplementedError(
+            "the 'ftss' format cannot read a chain table's main view — "
+            "read via table.to_df(spark), or address a branch "
+            "(path '.../table', branch option / t$branch_<name>)"
+        )
     rb = table.read_builder()
     if predicate is not None:
         rb = rb.with_filter(predicate)

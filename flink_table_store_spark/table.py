@@ -537,6 +537,26 @@ class Table:
 
     # --- write ---
 
+    def _chain_write_target(self) -> "Table | None":
+        """On a chain table's MAIN view, writes land on the snapshot
+        branch — the reference wraps the snapshot-branch table and
+        delegates newWrite to it (ChainGroupReadTable extends
+        FallbackReadFileStoreTable extends DelegatedFileStoreTable:
+        newWrite → wrapped). A main-branch commit would be INVISIBLE to
+        chain reads — silent data loss."""
+        from flink_table_store_spark import chain as chain_mod
+
+        if not chain_mod.is_chain_table(self.schema) or self.branch_name:
+            return None
+        sb, _ = chain_mod._branch_names(self.schema)
+        if sb not in self.branches():
+            raise RuntimeError(
+                f"chain table {self.name}: snapshot branch {sb!r} does "
+                "not exist — create the snapshot and delta branches "
+                "first (create_branch, see chain-table.md)"
+            )
+        return self.use_branch(sb)
+
     def write(
         self,
         df: DataFrame,
@@ -547,6 +567,16 @@ class Table:
         watermark: int | None = None,
     ) -> Snapshot:
         """Append/upsert a DataFrame (INSERT INTO / INSERT OVERWRITE)."""
+        chain_target = self._chain_write_target()
+        if chain_target is not None:
+            return chain_target.write(
+                df,
+                overwrite=overwrite,
+                overwrite_partition_filter=overwrite_partition_filter,
+                row_kind_col=row_kind_col,
+                commit_identifier=commit_identifier,
+                watermark=watermark,
+            )
         if (
             self.is_primary_key_table()
             and self.schema.partition_keys
@@ -652,6 +682,11 @@ class Table:
     def delete(
         self, spark: SparkSession, predicate: Predicate, use_dv: bool | None = None
     ) -> Snapshot:
+        chain_target = self._chain_write_target()
+        if chain_target is not None:
+            # DelegatedFileStoreTable semantics: row ops on a chain
+            # table's main view operate on the snapshot-branch table
+            return chain_target.delete(spark, predicate)
         schema = self.schema
         live_patched = self._live_patched_cols()
         if live_patched:
@@ -828,6 +863,9 @@ class Table:
         self, spark: SparkSession, predicate: Predicate, assignments: dict[str, Any]
     ) -> Snapshot:
         """UPDATE SET col=expr WHERE pred; expr values are Columns or literals."""
+        chain_target = self._chain_write_target()
+        if chain_target is not None:
+            return chain_target.update(spark, predicate, assignments)
         schema = self.schema
 
         def apply_set(df: DataFrame) -> DataFrame:
@@ -865,6 +903,14 @@ class Table:
         into +U / -D / +I by join outcome, then one upsert write."""
         if not self.is_primary_key_table():
             raise RuntimeError("MERGE INTO requires a primary-key table")
+        chain_target = self._chain_write_target()
+        if chain_target is not None:
+            return chain_target.merge_into(
+                spark, source, on,
+                when_matched_update=when_matched_update,
+                when_matched_delete=when_matched_delete,
+                when_not_matched_insert=when_not_matched_insert,
+            )
         schema = self.schema
         target = self.to_df(spark)
         matched = source.alias("s").join(target.alias("t"), on=on, how="inner")
@@ -1011,6 +1057,11 @@ class Table:
         older runs, MergeTreeCompactRewriter dropDelete=false) and
         preserving sequence numbers. Other engines/append tables fall
         back to whole-bucket merges on the run-count trigger."""
+        chain_target = self._chain_write_target()
+        if chain_target is not None:
+            # file compaction of the main view = the snapshot branch's
+            # (chain compaction across branches is chain.chain_compact)
+            return chain_target.compact(spark, full=full, trigger_runs=trigger_runs)
         snap = self.snapshots.latest()
         if snap is None:
             return None

@@ -241,6 +241,22 @@ class TestValidation:
         assert t.to_df(spark).count() == 0
         assert t.to_df(spark).columns == ["dt", "t1", "t2", "t3"]
 
+    def test_main_view_writes_delegate_to_snapshot_branch(self, spark, warehouse):
+        """DelegatedFileStoreTable semantics: a write addressed at the
+        chain table's MAIN view lands on the snapshot branch (a main-
+        branch commit would be invisible to chain reads — data loss)."""
+        t = _mk_chain(spark, warehouse, name="db.chain_wd")
+        t.write(spark.createDataFrame([("d0", "a", "0", "av0")], SCHEMA))
+        snap = t.use_branch("snapshot")
+        assert [(r.dt, r.t1) for r in snap.to_df(spark).collect()] == [("d0", "a")]
+        assert t.snapshots.latest() is None  # main branch untouched
+        # and the chain view serves it as a complete partition
+        assert t.to_df(spark).count() == 1
+        # row ops delegate too
+        t.delete(spark, P.equal("t1", "a") & P.equal("dt", "d0"))
+        assert t.to_df(spark).count() == 0
+        assert snap.to_df(spark).count() == 0
+
     def test_silent_empty_paths_refuse_loudly(self, spark, warehouse):
         """The main branch of a chain table holds no data: local reads,
         time travel, and streaming on the MAIN view must refuse rather
