@@ -346,6 +346,13 @@ def bucket_for_key(table, key_values: dict, spark: SparkSession | None = None) -
     from flink_table_store_spark.write import bucket_keys
     from flink_table_store_spark.xxh64 import spark_xxhash64
 
+    n = schema.num_buckets()
+    if n <= 0:
+        # dynamic (-1) / postpone (-2) layouts have no fixed writer
+        # hash — a modulo against them would route silently wrong
+        raise ValueError(
+            f"bucket_for_key requires a fixed-bucket table (bucket={n})"
+        )
     keys = bucket_keys(schema)
     h = spark_xxhash64(
         [
@@ -362,7 +369,7 @@ def bucket_for_key(table, key_values: dict, spark: SparkSession | None = None) -
                 "fallback — cannot route this key"
             )
         return _bucket_of(spark, table, key_values)
-    return h % schema.num_buckets()
+    return h % n
 
 
 def _bucket_of(spark: SparkSession, table, key_values: dict) -> int:
