@@ -36,6 +36,11 @@ def write_arrow(table: "Table", data, overwrite: bool = False) -> None:
     from flink_table_store_spark.localread import _table_arrow_schema
     from flink_table_store_spark.sources.datasource import FtssWriter
 
+    chain_target = table._chain_write_target()
+    if chain_target is not None:
+        # same delegation as Table.write: a chain main-view commit
+        # would be invisible to chain reads (silent data loss)
+        return write_arrow(chain_target, data, overwrite)
     if isinstance(data, pd.DataFrame):
         data = pa.Table.from_pandas(data, preserve_index=False)
     elif isinstance(data, pa.RecordBatch):

@@ -256,6 +256,13 @@ class TestValidation:
         t.delete(spark, P.equal("t1", "a") & P.equal("dt", "d0"))
         assert t.to_df(spark).count() == 0
         assert snap.to_df(spark).count() == 0
+        # the local no-Spark write delegates the same way
+        import pandas as pd
+
+        t.write_arrow(pd.DataFrame(
+            [{"dt": "d0", "t1": "z", "t2": "1", "t3": "zv"}]))
+        assert t.snapshots.latest() is None
+        assert [(r.dt, r.t1) for r in snap.to_df(spark).collect()] == [("d0", "z")]
 
     def test_silent_empty_paths_refuse_loudly(self, spark, warehouse):
         """The main branch of a chain table holds no data: local reads,
