@@ -147,9 +147,26 @@ def _chain_plan(
     spark: SparkSession,
     table,
     predicate: Predicate | None = None,
+    max_views: int | None = None,
 ):
-    """Shared chain planner: (snapshot_table, complete_read_builder_or_
-    None, [(output_partition_dict, merged_group_df), ...])."""
+    """Shared chain planner → ``(snapshot_table, has_complete, views,
+    merged_df)`` where ``views`` is the list of delta-only output
+    partitions (oldest first) and ``merged_df`` is ONE DataFrame
+    holding every view's chained rows.
+
+    Scale shape: the naive plan is one subplan per view (the reference
+    emits per-partition ChainSplits) — plan size and file reads grow
+    linearly with the partition count, and a year of dailies is a
+    365-way union. Instead the planner is SET-BASED: each branch is
+    read ONCE (pruned to the partitions any view needs), every row is
+    fanned out to the views it contributes to through a broadcast
+    (source partition → view partition) mapping join — the mapping is
+    driver metadata, O(sources × views) tiny rows — and a single merge
+    aggregation groups by (view partition, key). Constant plan size,
+    each file read once, ONE shuffle for the whole chain view; the
+    row fan-out equals what per-view plans would read anyway (chain
+    semantics: a dump contributes to every view until the next dump).
+    """
     from flink_table_store_spark.operators.merge_engines import merge_view
     from flink_table_store_spark.table import Table
 
@@ -184,55 +201,93 @@ def _chain_plan(
     for e in delta_entries:
         delta_parts.setdefault(_part_key(schema, e.partition), e.partition)
 
-    groups: list[tuple[dict, DataFrame]] = []
     remaining = sorted(k for k in delta_parts if k not in snap_parts)
     snap_keys = sorted(snap_parts)
     pk_cols = set(schema.trimmed_primary_keys()) - set(schema.partition_keys)
     pk_pred = _pk_subpredicate(predicate, pk_cols)
     part_cols = list(schema.partition_keys)
-    seq_struct = F.struct(
-        *[F.col(c) for c in part_cols], F.col(SEQUENCE_NUMBER)
-    )
+
+    # views the read must answer (predicate-pruned, oldest first):
+    # (key, output partition, latest snapshot partition strictly before)
+    views: list[tuple[tuple, dict, tuple | None]] = []
     for pkey in remaining:
         p_out = delta_parts[pkey]
         if predicate is not None and not predicate.test_partition(p_out):
             continue
-        # latest snapshot partition strictly before P
         s_key = None
         for k in snap_keys:
             if k < pkey:
                 s_key = k
             else:
                 break
-        lo = s_key if s_key is not None else ()
-        group_delta = {k for k in delta_parts if lo < k <= pkey}
-        group: list[DataFrame] = []
+        views.append((pkey, p_out, s_key))
+    if max_views is not None:
+        views = views[:max_views]
+    view_parts = [p for _, p, _ in views]
+    if not views:
+        return snap_t, (snap_parts or None), view_parts, None
+
+    # driver-side source→view mapping (tiny: one row per contributing
+    # (source partition, view) pair — findFirstLatestPartitions +
+    # getDeltaPartitions collapsed into data)
+    tgt_cols = [f"__chain_tgt_{i}" for i in range(len(part_cols))]
+    map_rows: list[tuple] = []
+    need_snap: set[tuple] = set()
+    need_delta: set[tuple] = set()
+    for pkey, p_out, s_key in views:
+        tgt = tuple(p_out.get(k) for k in part_cols)
         if s_key is not None:
-            sdf = _premerge(
-                spark, snap_t, snap_entries, snap_snap, {s_key}, pk_pred
+            need_snap.add(s_key)
+            map_rows.append(
+                ("s", *(snap_parts[s_key].get(k) for k in part_cols), *tgt)
             )
-            if sdf is not None:
-                group.append(sdf)
-        ddf = _premerge(
-            spark, delta_t, delta_entries, delta_snap, group_delta, pk_pred
-        )
-        if ddf is not None:
-            group.append(ddf)
-        if not group:
-            continue
-        df = group[0]
-        for g in group[1:]:
-            df = df.unionByName(g, allowMissingColumns=True)
-        # chain version order: original partition first (snapshot S
-        # sorts below every delta in (S, P]), file sequence breaks
-        # ties — THEN rewrite partition columns to the queried P
-        df = df.withColumn(SEQUENCE_NUMBER, seq_struct)
-        for k in part_cols:
-            df = df.withColumn(
-                k, F.lit(p_out.get(k)).cast(schema.field(k).type)
-            )
-        groups.append((p_out, merge_view(df, schema)))
-    return snap_t, (snap_parts or None), groups
+        lo = s_key if s_key is not None else ()
+        for q in delta_parts:
+            if lo < q <= pkey:
+                need_delta.add(q)
+                map_rows.append(
+                    ("d", *(delta_parts[q].get(k) for k in part_cols), *tgt)
+                )
+
+    srcs: list[DataFrame] = []
+    sdf = _premerge(spark, snap_t, snap_entries, snap_snap, need_snap, pk_pred)
+    if sdf is not None:
+        srcs.append(sdf.withColumn("__chain_src", F.lit("s")))
+    ddf = _premerge(
+        spark, delta_t, delta_entries, delta_snap, need_delta, pk_pred
+    )
+    if ddf is not None:
+        srcs.append(ddf.withColumn("__chain_src", F.lit("d")))
+    if not srcs:
+        return snap_t, (snap_parts or None), view_parts, None
+    src = srcs[0]
+    for s in srcs[1:]:
+        src = src.unionByName(s, allowMissingColumns=True)
+
+    map_ddl = ", ".join(
+        ["__chain_src string"]
+        + [f"`{k}` string" for k in part_cols]
+        + [f"{c} string" for c in tgt_cols]
+    )
+    mapping = spark.createDataFrame(map_rows, map_ddl).select(
+        "__chain_src",
+        *[F.col(k).cast(schema.field(k).type).alias(k) for k in part_cols],
+        *tgt_cols,
+    )
+    fanned = src.join(F.broadcast(mapping), on=["__chain_src"] + part_cols)
+    # chain version order: original partition first (a dump sorts below
+    # every delta after it), file sequence breaks ties — captured
+    # BEFORE the partition columns are rewritten to the view partition
+    fanned = fanned.withColumn(
+        SEQUENCE_NUMBER,
+        F.struct(*[F.col(c) for c in part_cols], F.col(SEQUENCE_NUMBER)),
+    )
+    for k, tc in zip(part_cols, tgt_cols):
+        fanned = fanned.withColumn(k, F.col(tc).cast(schema.field(k).type))
+    fanned = fanned.drop("__chain_src", *tgt_cols)
+    # ONE merge aggregation: _key_cols = partition keys + trimmed PK,
+    # so grouping by (view partition, key) falls out of merge_view
+    return snap_t, (snap_parts or None), view_parts, merge_view(fanned, schema)
 
 
 def chain_read(
@@ -249,7 +304,7 @@ def chain_read(
     partition — the reference prunes the same way, on the queried
     partition, because that is what the merged rows will carry)."""
     schema = table.schema
-    snap_t, has_complete, groups = _chain_plan(spark, table, predicate)
+    snap_t, has_complete, _views, merged = _chain_plan(spark, table, predicate)
     parts: list[DataFrame] = []
     # complete partitions: the snapshot branch read IS the answer —
     # full predicate/projection pushdown, normal per-branch MoR
@@ -260,7 +315,7 @@ def chain_read(
         if projection:
             rb.with_projection(projection)
         parts.append(rb.to_df(spark))
-    for _p_out, merged in groups:
+    if merged is not None:
         if predicate is not None:
             merged = merged.where(predicate.to_column())
         if projection:
@@ -288,28 +343,27 @@ def chain_compact(
     defers chain compact — "it will be supported later" — so this is
     the engine's composition of chain planning + INSERT OVERWRITE).
 
-    Each delta-only partition P's merged view is written to the
-    snapshot branch as an OVERWRITE of partition P (one commit per
-    partition — a failed run leaves earlier partitions complete and
-    later ones still chained, never a torn partition). After compaction
-    P is *complete*: reads serve it directly and the delta partitions
-    at or before P can be dropped by retention. Returns the compacted
-    partition dicts, oldest first."""
+    The chained views of the delta-only partitions (oldest
+    ``max_partitions`` of them, all by default) are written to the
+    snapshot branch as ONE dynamic-partition OVERWRITE commit — atomic:
+    a failed run changes nothing, a successful one makes every covered
+    partition *complete* at once. Reads then serve them directly and
+    the delta partitions at or before the newest compacted one can be
+    dropped by retention. Returns the compacted partition dicts,
+    oldest first."""
     from flink_table_store_spark import predicate as P
 
     schema = table.schema
-    _snap_t, _, groups = _chain_plan(spark, table, None)
-    snap_t = _snap_t
-    done: list[dict] = []
-    if max_partitions is not None:
-        groups = groups[:max_partitions]
-    for p_out, merged in groups:
-        filt = None
-        for k in schema.partition_keys:
-            leaf = P.equal(k, p_out.get(k))
-            filt = leaf if filt is None else (filt & leaf)
-        snap_t.write(
-            merged, overwrite=True, overwrite_partition_filter=filt
-        )
-        done.append(dict(p_out))
-    return done
+    snap_t, _, views, merged = _chain_plan(
+        spark, table, None, max_views=max_partitions
+    )
+    if merged is None or not views:
+        return []
+    filt = P.or_(
+        *[
+            P.and_(*[P.equal(k, p.get(k)) for k in schema.partition_keys])
+            for p in views
+        ]
+    )
+    snap_t.write(merged, overwrite=True, overwrite_partition_filter=filt)
+    return [dict(p) for p in views]

@@ -129,6 +129,29 @@ class TestChainMerge:
         # chains from d2 dump: a(new) + c; b is gone
         assert got == [("a", "new-a"), ("c", "cv3")]
 
+    def test_setbased_plan_constant_in_view_count(self, spark, warehouse):
+        """The chain plan must not grow one subplan per view: each
+        branch is scanned once and fanned out through the broadcast
+        mapping — 8 delta partitions, still a handful of scans, one
+        merge shuffle, one broadcast."""
+        t = _mk_chain(spark, warehouse, name="db.chain_ps")
+        snap = t.use_branch("snapshot")
+        delta = t.use_branch("delta")
+        _w(spark, snap, [("d0", k, "0", f"{k}v0") for k in "ab"])
+        _w(spark, delta, [
+            (f"d{i}", "a", str(i), f"av{i}") for i in range(1, 9)
+        ])
+        df = t.to_df(spark)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") + plan.count("FileScan") <= 6, plan[:2000]
+        assert plan.count("Exchange hashpartitioning") <= 2
+        assert "BroadcastExchange" in plan or "broadcast" in plan.lower()
+        # correctness across all 8 views: view d_i carries a at av_i + b
+        got = {(r.dt, r.t1): r.t3 for r in df.collect()}
+        for i in range(1, 9):
+            assert got[(f"d{i}", "a")] == f"av{i}"
+            assert got[(f"d{i}", "b")] == "bv0"
+
     def test_pk_predicate_pushdown_and_projection(self, spark, warehouse):
         t = _mk_chain(spark, warehouse, name="db.chain5")
         snap = t.use_branch("snapshot")
@@ -162,8 +185,8 @@ class TestChainCompact:
         sp = {r.dt for r in snap.to_df(spark).select("dt").distinct().collect()}
         assert sp == {"d0", "d1", "d2"}
         from flink_table_store_spark.chain import _chain_plan
-        _, _, groups = _chain_plan(spark, t, None)
-        assert groups == []
+        _, _, views, merged = _chain_plan(spark, t, None)
+        assert views == [] and merged is None
 
     def test_compact_is_incremental(self, spark, warehouse):
         t = _mk_chain(spark, warehouse, name="db.chain7")
