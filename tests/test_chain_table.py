@@ -201,6 +201,108 @@ class TestChainCompact:
         assert got == [("d1", "x", "xv1"), ("d2", "x", "xv1"), ("d2", "y", "yv2")]
 
 
+class TestChainDeletesAndShapes:
+    def test_delta_delete_removes_dump_row_from_later_views(self, spark, warehouse):
+        """A -D retract in a delta (rowkind.field) must delete the
+        dump's key from every view at or after that delta."""
+        t = warehouse.create_table(
+            "db.chain_del", "dt string, t1 string, t2 string, rk string",
+            partition_keys=["dt"], primary_keys=["dt", "t1"],
+            options={
+                "chain-table.enabled": "true", "bucket": "2",
+                "bucket-key": "t1", "sequence.field": "t2",
+                "rowkind.field": "rk",
+            },
+        )
+        t.create_branch("snapshot")
+        t.create_branch("delta")
+        ddl = "dt string, t1 string, t2 string, rk string"
+        t.use_branch("snapshot").write(spark.createDataFrame(
+            [("d0", "a", "0", "+I"), ("d0", "b", "0", "+I")], ddl))
+        t.use_branch("delta").write(spark.createDataFrame(
+            [("d1", "a", "1", "-D")], ddl))
+        t.use_branch("delta").write(spark.createDataFrame(
+            [("d2", "c", "2", "+I")], ddl))
+        v1 = {r.t1 for r in t.to_df(spark, predicate=P.equal("dt", "d1")).collect()}
+        v2 = {r.t1 for r in t.to_df(spark, predicate=P.equal("dt", "d2")).collect()}
+        assert v1 == {"b"}          # a deleted at d1
+        assert v2 == {"b", "c"}     # still deleted at d2
+
+    def test_multi_column_partitions(self, spark, warehouse):
+        """Partition tuples compare lexicographically — (day, hour)
+        chains across both levels (getDeltaPartitions' hourly case)."""
+        ddl = "d string, h string, k string, s string, v string"
+        t = warehouse.create_table(
+            "db.chain_mc", ddl, partition_keys=["d", "h"],
+            primary_keys=["d", "h", "k"],
+            options={"chain-table.enabled": "true", "bucket": "1",
+                     "bucket-key": "k", "sequence.field": "s"},
+        )
+        t.create_branch("snapshot")
+        t.create_branch("delta")
+        t.use_branch("snapshot").write(spark.createDataFrame(
+            [("d0", "23", "a", "0", "av0")], ddl))
+        t.use_branch("delta").write(spark.createDataFrame(
+            [("d1", "00", "a", "1", "av1"), ("d1", "05", "b", "2", "bv1")],
+            ddl))
+        got = sorted(
+            (r.k, r.v)
+            for r in t.to_df(
+                spark, predicate=P.equal("d", "d1") & P.equal("h", "05")
+            ).collect()
+        )
+        # view (d1,05) = dump (d0,23) + deltas (d1,00) and (d1,05)
+        assert got == [("a", "av1"), ("b", "bv1")]
+
+    @pytest.mark.parametrize("seed", [3, 17])
+    def test_fuzz_vs_python_oracle(self, spark, warehouse, seed):
+        """Seeded upsert/delete mix over dumps+deltas; every view must
+        equal a serial python replay of the history as-of that view."""
+        import random
+
+        random.seed(seed)
+        ddl = "dt string, t1 string, t2 string, rk string"
+        t = warehouse.create_table(
+            f"db.chain_fz{seed}", ddl, partition_keys=["dt"],
+            primary_keys=["dt", "t1"],
+            options={"chain-table.enabled": "true", "bucket": "2",
+                     "bucket-key": "t1", "sequence.field": "t2",
+                     "rowkind.field": "rk"},
+        )
+        t.create_branch("snapshot")
+        t.create_branch("delta")
+        state: dict[str, str] = {}
+        hist: dict[str, dict[str, str]] = {}
+        seq = 0
+        for d in range(6):
+            dt = f"d{d}"
+            rows = []
+            for _ in range(random.randrange(3, 9)):
+                k = str(random.randrange(12))
+                seq += 1
+                if k in state and random.random() < 0.3:
+                    rows.append((dt, k, f"{seq:04d}", "-D"))
+                    state.pop(k, None)
+                else:
+                    rows.append((dt, k, f"{seq:04d}", "+I"))
+                    state[k] = f"{seq:04d}"
+            if d in (0, 3):  # periodic full dump
+                dump = [(dt, k, s, "+I") for k, s in sorted(state.items())]
+                t.use_branch("snapshot").write(
+                    spark.createDataFrame(dump, ddl))
+                hist[dt] = dict(state)
+            else:
+                t.use_branch("delta").write(
+                    spark.createDataFrame(rows, ddl))
+                hist[dt] = dict(state)
+        for dt, want in hist.items():
+            got = {
+                r.t1: r.t2
+                for r in t.to_df(spark, predicate=P.equal("dt", dt)).collect()
+            }
+            assert got == want, (seed, dt)
+
+
 class TestSqlSurface:
     def test_doc_sql_workflow(self, spark, warehouse):
         """The chain-table.md:95-148 SQL workflow verbatim shapes:
