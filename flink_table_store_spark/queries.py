@@ -3474,6 +3474,49 @@ GROUP BY v.dt, s.o_custkey
 ORDER BY dt, o_custkey
 """
 
+def chain_compact_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain compaction (chain.chain_compact — the docs' periodic full
+    dump build; reference defers chain compact): the same chain
+    history as chain_table_read on a second table, compacted into
+    snapshot-branch full dumps, must read IDENTICALLY (same oracle) —
+    every view is now a complete partition served directly."""
+    cat = _wh(sf_dir)
+    name = "default.orders_chain_cp"
+    t = None
+    try:
+        t = cat.get_table(name)
+        sb = t.use_branch("snapshot")
+        done = {
+            r["dt"]
+            for r in sb.to_df(spark).select("dt").distinct().collect()
+        } if sb.snapshots.latest_id() else set()
+        if not {"1995", "1996", "1997", "1998"} <= done:
+            cat.drop_table(name)
+            t = None
+    except RuntimeError:
+        t = None
+    if t is None:
+        src = _chain_orders_table(spark, sf_dir)
+        t = cat.create_table(
+            name,
+            "dt string, o_custkey bigint, o_orderkey bigint, o_totalprice double",
+            partition_keys=["dt"],
+            primary_keys=["dt", "o_custkey"],
+            options=dict(src.schema.options),
+            ignore_if_exists=True,
+        )
+        t.create_branch("snapshot")
+        t.create_branch("delta")
+        t.use_branch("snapshot").write(
+            src.use_branch("snapshot").to_df(spark)
+        )
+        t.use_branch("delta").write(src.use_branch("delta").to_df(spark))
+        from flink_table_store_spark.chain import chain_compact
+
+        chain_compact(spark, t)
+    return t.to_df(spark).orderBy("dt", "o_custkey")
+
+
 # round-9 rotation: chain tables are a new reference read family
 # (ChainGroupReadTable) and take a driver slot; pk_time_travel rotates
 # to the judge-run tail (the PK family keeps pk_upsert_dedup,
@@ -3494,6 +3537,8 @@ for _k, _v in QUERIES.items():
 for _k in _R9_OUT:
     _rebuilt9[_k] = QUERIES[_k]
 QUERIES = _rebuilt9
+# judge-run tail: chain compaction must read identically to the chain
+QUERIES["chain_compact_read"] = (chain_compact_read, CHAIN_TABLE_SQL)
 
 
 def reset_managed_tables(sf_dir: str | None = None) -> None:
