@@ -1421,6 +1421,22 @@ class SqlSession:
 
     # --- CALL sys.<procedure>(...) ---
 
+    # positional parameter order for procedures the reference's docs
+    # invoke positionally (CALL sys.create_branch('db.t', 'b') —
+    # chain-table.md:74-76, manage-branches.md, manage-tags.md);
+    # everything else: first positional = table, rest must be named
+    _CALL_POSITIONAL: dict[str, list[str]] = {
+        "create_branch": ["table", "branch", "snapshot_id"],
+        "delete_branch": ["table", "branch"],
+        "fast_forward": ["table", "branch"],
+        "create_tag": ["table", "tag", "snapshot_id"],
+        "delete_tag": ["table", "tag"],
+        "rename_tag": ["table", "tag", "target_tag"],
+        "replace_tag": ["table", "tag", "snapshot_id"],
+        "chain_compact": ["table", "max_partitions"],
+        "query_service": ["table", "parallelism"],
+    }
+
     def _call(self, q: str):
         from flink_table_store_spark.procedures import call
 
@@ -1435,10 +1451,14 @@ class SqlSession:
                 if "=>" in piece:
                     k, v = piece.split("=>", 1)
                     args[k.strip()] = _literal(_unmask_literals(v, lits).strip())
-                elif i == 0:
-                    args["table"] = _literal(_unmask_literals(piece, lits).strip())
                 else:
-                    raise ValueError(f"positional CALL arg beyond table: {piece}")
+                    pos = self._CALL_POSITIONAL.get(name.lower(), ["table"])
+                    if i >= len(pos):
+                        raise ValueError(
+                            f"positional CALL arg beyond {pos} for "
+                            f"{name}: {piece}"
+                        )
+                    args[pos[i]] = _literal(_unmask_literals(piece, lits).strip())
         return call(self.spark, self.catalog, name, **args)
 
     # --- DML ---

@@ -304,6 +304,45 @@ class TestChainDeletesAndShapes:
 
 
 class TestSqlSurface:
+    def test_doc_setup_pure_sql(self, spark, warehouse):
+        """chain-table.md:52-92 setup entirely in SQL: CREATE TABLE with
+        the chain tblproperties, CALL sys.create_branch twice, then the
+        write/read workflow — no Python table API calls at all."""
+        from flink_table_store_spark.sql import SqlSession
+
+        s = SqlSession(spark, warehouse)
+        s.sql(
+            "CREATE TABLE db.chain_ddl (t1 string, t2 string, t3 string, "
+            "dt string) PARTITIONED BY (dt) TBLPROPERTIES ("
+            "'chain-table.enabled' = 'true', "
+            "'primary-key' = 'dt,t1', 'sequence.field' = 't2', "
+            "'bucket-key' = 't1', 'bucket' = '2')"
+        )
+        s.sql("CALL sys.create_branch('db.chain_ddl', 'snapshot')")
+        s.sql("CALL sys.create_branch('db.chain_ddl', 'delta')")
+        s.sql(
+            "INSERT OVERWRITE db.chain_ddl$branch_snapshot "
+            "PARTITION (dt = '20250810') VALUES ('1', '1', '1')"
+        )
+        s.sql(
+            "INSERT OVERWRITE db.chain_ddl$branch_delta "
+            "PARTITION (dt = '20250811') VALUES ('2', '1', '1')"
+        )
+        got = sorted(
+            map(tuple, s.sql(
+                "SELECT t1, t2, t3 FROM db.chain_ddl WHERE dt = '20250811'"
+            ).collect())
+        )
+        assert got == [("1", "1", "1"), ("2", "1", "1")]
+        # chain compaction via CALL
+        s.sql("CALL sys.chain_compact(table => 'db.chain_ddl')")
+        got2 = sorted(
+            map(tuple, s.sql(
+                "SELECT t1, t2, t3 FROM db.chain_ddl WHERE dt = '20250811'"
+            ).collect())
+        )
+        assert got2 == got
+
     def test_doc_sql_workflow(self, spark, warehouse):
         """The chain-table.md:95-148 SQL workflow verbatim shapes:
         INSERT OVERWRITE into t$branch_snapshot / t$branch_delta, full
