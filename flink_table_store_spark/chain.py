@@ -336,6 +336,7 @@ def chain_compact(
     spark: SparkSession,
     table,
     max_partitions: int | None = None,
+    expire_deltas: bool = False,
 ) -> list[dict]:
     """Materialize chained views as full dumps on the snapshot branch —
     the docs' periodic (e.g. weekly) compaction that "builds a global
@@ -366,4 +367,35 @@ def chain_compact(
         ]
     )
     snap_t.write(merged, overwrite=True, overwrite_partition_filter=filt)
+    if expire_deltas:
+        # delta partitions at or before the NEWEST compacted view are
+        # unreachable forever: views <= it are complete, and every
+        # later view chains from the new dump, needing only deltas
+        # strictly after it. Drop them by EXACT partition equality
+        # (listed partitions, no ordered string comparison) — a
+        # metadata-only overwrite-delete on the delta branch.
+        from flink_table_store_spark.table import Table
+
+        _sb, db = _branch_names(schema)
+        delta_t = Table(table.path, table.name, branch=db)
+        max_key = _part_key(schema, views[-1])
+        seen: dict[tuple, dict] = {}
+        for e in _branch_entries(spark, delta_t)[0]:
+            k = _part_key(schema, e.partition)
+            if k <= max_key:
+                seen.setdefault(k, dict(e.partition))
+        drop = list(seen.values())
+        if drop:
+            dfilt = P.or_(
+                *[
+                    P.and_(
+                        *[
+                            P.equal(k, p.get(k))
+                            for k in schema.partition_keys
+                        ]
+                    )
+                    for p in drop
+                ]
+            )
+            delta_t.committer.commit_overwrite([], delta_t.schema.id, dfilt)
     return [dict(p) for p in views]

@@ -177,6 +177,8 @@ PROCEDURES: dict[str, Callable] = {
         s,
         _t(c, a),
         max_partitions=int(a["max_partitions"]) if a.get("max_partitions") else None,
+        expire_deltas=str(a.get("expire_deltas", "false")).lower()
+        in ("true", "1"),
     ),
     "delete_branch": lambda s, c, a: _t(c, a).delete_branch(a["branch"]),
     "fast_forward": lambda s, c, a: _t(c, a).fast_forward(a["branch"]),

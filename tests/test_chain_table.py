@@ -188,6 +188,26 @@ class TestChainCompact:
         _, _, views, merged = _chain_plan(spark, t, None)
         assert views == [] and merged is None
 
+    def test_compact_expires_deltas(self, spark, warehouse):
+        """expire_deltas drops every delta partition at or before the
+        newest compacted view (unreachable by any current or FUTURE
+        view); reads unchanged, future deltas chain off the new dump."""
+        t = _mk_chain(spark, warehouse, name="db.chain8")
+        delta = t.use_branch("delta")
+        _w(spark, delta, [("d1", "x", "1", "xv1")])
+        _w(spark, delta, [("d2", "y", "2", "yv2")])
+        before = sorted(map(tuple, t.to_df(spark).collect()))
+        chain_compact(spark, t, expire_deltas=True)
+        assert sorted(map(tuple, t.to_df(spark).collect())) == before
+        assert delta.to_df(spark).count() == 0  # all deltas dropped
+        # a future delta chains from the compacted d2 dump
+        _w(spark, delta, [("d3", "z", "3", "zv3")])
+        got = sorted(
+            (r.t1, r.t3)
+            for r in t.to_df(spark, predicate=P.equal("dt", "d3")).collect()
+        )
+        assert got == [("x", "xv1"), ("y", "yv2"), ("z", "zv3")]
+
     def test_compact_is_incremental(self, spark, warehouse):
         t = _mk_chain(spark, warehouse, name="db.chain7")
         delta = t.use_branch("delta")
