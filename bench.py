@@ -741,6 +741,18 @@ def main() -> None:
             docs.select("doc_id", "n_chars"), 2048, token_col="n_chars"
         ).count()
 
+    @timed("pack_sequences_10x", repeat=3)
+    def _pack10():
+        # 10x linearity proxy for the r9 sharded global cumsum (the
+        # partition-less window this replaced was O(n) on ONE task)
+        from flink_table_store_spark.datapipe.packing import pack_sequences
+
+        pack_sequences(
+            docs10.select("doc_id", F.length("text").alias("n_chars")),
+            2048,
+            token_col="n_chars",
+        ).count()
+
     @timed("lm_perplexity", repeat=3)
     def _lm():
         # corpus-self-scored bigram LM: two count groupBys + one scoring

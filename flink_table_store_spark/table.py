@@ -527,6 +527,19 @@ class Table:
 
     def max_pt(self) -> str | None:
         """sys.max_pt: latest non-empty partition (PaimonFunctions.scala:188)."""
+        from flink_table_store_spark import chain as chain_mod
+
+        if chain_mod.is_chain_table(self.schema) and self.branch_name is None:
+            # the main branch holds no data; the chain view's latest
+            # partition is the max across both branches
+            vals = [
+                v
+                for b in chain_mod._branch_names(self.schema)
+                if b in self.branches()
+                for v in [self.use_branch(b).max_pt()]
+                if v is not None
+            ]
+            return max(vals) if vals else None
         snap = self.snapshots.latest()
         if snap is None or not self.schema.partition_keys:
             return None

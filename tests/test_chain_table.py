@@ -467,6 +467,13 @@ class TestValidation:
         assert delta.read_builder().to_arrow().num_rows == 1
         SnapshotStream(delta)
 
+    def test_max_pt_answers_from_branches(self, spark, warehouse):
+        t = _mk_chain(spark, warehouse, name="db.chain_mp")
+        assert t.max_pt() is None
+        _w(spark, t.use_branch("snapshot"), [("d0", "a", "0", "v")])
+        _w(spark, t.use_branch("delta"), [("d2", "b", "1", "v")])
+        assert t.max_pt() == "d2"
+
     def test_branch_creation_on_empty_table(self, spark, warehouse):
         # create_branch before any snapshot exists (the documented
         # chain setup order: CREATE TABLE, then create both branches)
