@@ -98,6 +98,16 @@ class Catalog:
                 if k not in ts.primary_keys:
                     ts.primary_keys = ts.partition_keys + ts.primary_keys
                     break
+        if ts.options.get("upsert-key"):
+            # SchemaValidation.java: upsert-key is the NON-PK upsert mode
+            if ts.primary_keys:
+                raise ValueError(
+                    "upsert-key cannot be used together with primary keys"
+                )
+            fields = set(ts.field_names())
+            for k in (c.strip() for c in ts.options["upsert-key"].split(",")):
+                if k not in fields:
+                    raise ValueError(f"upsert-key column {k!r} not in schema")
         os.makedirs(path, exist_ok=True)
         sm.commit(ts)
         return Table(path, name)

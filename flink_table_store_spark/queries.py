@@ -3541,6 +3541,71 @@ QUERIES = _rebuilt9
 QUERIES["chain_compact_read"] = (chain_compact_read, CHAIN_TABLE_SQL)
 
 
+def upsert_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL Upsert on a NON-PK table (reference docs/content/spark/
+    sql-upsert.md, RewriteUpsertTable.scala — table.py _upsert_write):
+    `upsert-key` matches NULL-SAFELY (customers folded to a NULL key
+    group upsert together), `sequence.field` picks the winner per key —
+    two raw batches (years <=1995, then >1995) merge into one latest
+    row per key with per-field t.seq <= s.seq replacement."""
+    cat = _wh(sf_dir)
+    name = "default.orders_upsert"
+    try:
+        t = cat.get_table(name)
+        if t.snapshots.latest_id() and t.snapshots.latest_id() >= 2:
+            return t.to_df(spark).orderBy(
+                F.col("k").asc_nulls_first(), "o_orderkey"
+            )
+        cat.drop_table(name)
+    except RuntimeError:
+        pass
+    t = cat.create_table(
+        name,
+        "k bigint, o_orderkey bigint, o_totalprice double",
+        options={"upsert-key": "k", "sequence.field": "o_orderkey"},
+        ignore_if_exists=True,
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        F.when(F.col("o_custkey") % 50 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+        "o_orderkey",
+        "o_totalprice",
+        F.substring(F.col("o_orderdate").cast("string"), 1, 4).alias("yr"),
+    )
+    t.write(o.where(F.col("yr") <= "1995").drop("yr"))
+    t.write(o.where(F.col("yr") > "1995").drop("yr"))
+    return t.to_df(spark).orderBy(F.col("k").asc_nulls_first(), "o_orderkey")
+
+
+UPSERT_KEY_SQL = """
+WITH o AS (
+  SELECT CASE WHEN o_custkey % 50 = 0 THEN NULL ELSE o_custkey END AS k,
+         o_orderkey, o_totalprice,
+         substr(CAST(o_orderdate AS VARCHAR), 1, 4) AS yr
+  FROM orders
+), b1 AS (
+  SELECT k, arg_max(o_orderkey, o_orderkey) AS ok,
+         arg_max(o_totalprice, o_orderkey) AS tp
+  FROM o WHERE yr <= '1995' GROUP BY k
+), b2 AS (
+  SELECT k, arg_max(o_orderkey, o_orderkey) AS ok,
+         arg_max(o_totalprice, o_orderkey) AS tp
+  FROM o WHERE yr > '1995' GROUP BY k
+)
+SELECT CASE WHEN b1.ok IS NOT NULL THEN b1.k ELSE b2.k END AS k,
+       CASE WHEN b2.ok IS NOT NULL AND (b1.ok IS NULL OR b1.ok <= b2.ok)
+            THEN b2.ok ELSE b1.ok END AS o_orderkey,
+       CASE WHEN b2.ok IS NOT NULL AND (b1.ok IS NULL OR b1.ok <= b2.ok)
+            THEN b2.tp ELSE b1.tp END AS o_totalprice
+FROM b1 FULL JOIN b2 ON b1.k IS NOT DISTINCT FROM b2.k
+ORDER BY k NULLS FIRST, o_orderkey
+"""
+
+# judge-run tail: the non-PK upsert write mode (new write family)
+QUERIES["upsert_key_orders"] = (upsert_key_orders, UPSERT_KEY_SQL)
+
+
 def reset_managed_tables(sf_dir: str | None = None) -> None:
     """Drop the /tmp managed warehouses (tests / fresh runs)."""
     if sf_dir is None:

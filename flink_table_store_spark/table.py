@@ -591,6 +591,12 @@ class Table:
                 watermark=watermark,
             )
         if (
+            self.schema.options.get("upsert-key")
+            and not self.is_primary_key_table()
+            and not overwrite  # INSERT OVERWRITE keeps replace semantics
+        ):
+            return self._upsert_write(df)
+        if (
             self.is_primary_key_table()
             and self.schema.partition_keys
             and self.schema.options.get("cross-partition-update") == "true"
@@ -954,6 +960,153 @@ class Table:
 
         allrows = reduce(lambda a, b: a.unionByName(b), outs)
         return self.write(allrows, row_kind_col=ROW_KIND)
+
+    def _upsert_write(self, df: DataFrame) -> Snapshot:
+        """SQL Upsert for NON-PK tables (reference docs/content/spark/
+        sql-upsert.md; RewriteUpsertTable.scala:38-129 rewrites INSERT
+        INTO an `upsert-key` table into a MERGE):
+
+        - match on NULL-SAFE equality of the upsert-key columns (unlike
+          a primary key, key values may be null);
+        - with `sequence.field`: the batch first dedupes per key
+          (largest sequence wins), and a matched target row is replaced
+          only when EVERY sequence field is <= the source's (the
+          reference ANDs per-field `t.s <= s.s`, not a lexicographic
+          compare — a NULL comparison keeps the target, matching MERGE
+          condition semantics);
+        - without it: matched targets are simply replaced;
+        - a matched source becomes the update of each matched target
+          row (it never also appends); unmatched sources append.
+
+        Scale shape: one null-safe join between the TOUCHED files' rows
+        and the (deduplicated) batch — files whose stats cannot contain
+        any batch key are never rewritten (isin stats/partition prune
+        over the first key column, skipped when the key set is large or
+        nullable), Spark broadcasts the small batch side, and the
+        rewritten files plus the appended remainder land in ONE
+        copy-on-write commit (DELETE+ADD entries, the row-level DELETE
+        machinery's shape).
+        """
+        from flink_table_store_spark import predicate as P
+        from flink_table_store_spark.write import (
+            apply_column_defaults,
+            stage_and_collect,
+        )
+
+        spark = df.sparkSession
+        schema = self.schema
+        names = schema.field_names()
+        uk = [c.strip() for c in schema.options["upsert-key"].split(",") if c.strip()]
+        seqf = [
+            c.strip()
+            for c in schema.options.get("sequence.field", "").split(",")
+            if c.strip()
+        ]
+        if self.row_tracking_enabled():
+            raise NotImplementedError(
+                "upsert-key on a row-tracking table is not supported yet "
+                "(updated rows keep ids, appended rows need fresh ones)"
+            )
+        if self._live_patched_cols():
+            raise ValueError(
+                "upsert write on a table with live data-evolution patches "
+                "would lose patched values — run compact() first"
+            )
+        s = apply_column_defaults(df.select(*names), schema)
+        if seqf:
+            w = Window.partitionBy(*[F.col(k) for k in uk]).orderBy(
+                *[F.col(c).desc() for c in seqf]
+            )
+            s = (
+                s.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        snap = self.snapshots.latest()
+        live = (
+            [
+                e
+                for e in self.manifests.read_live_entries(
+                    snap.base_manifest_list, snap.delta_manifest_list
+                )
+            ]
+            if snap is not None
+            else []
+        )
+        base_seq = snap.next_sequence if snap else 0
+
+        def _append_only() -> Snapshot:
+            entries = stage_and_collect(s, self.path, schema, base_sequence=base_seq)
+            return self.committer.commit(entries, schema.id, kind=COMMIT_APPEND)
+
+        if not live:
+            return _append_only()
+        # stats/partition prune: files that cannot contain ANY batch key
+        # keep their entries untouched (sound: isin test False = the
+        # file's min/max range excludes every batch value)
+        prune = None
+        head = s.select(uk[0]).distinct().limit(10_001).collect()
+        vals = [r[0] for r in head]
+        if len(vals) <= 10_000 and all(v is not None for v in vals):
+            prune = P.isin(uk[0], vals)
+        touched = [
+            e
+            for e in live
+            if prune is None
+            or (prune.test_partition(e.partition) and prune.test(e.stats, e.row_count))
+        ]
+        if not touched:
+            return _append_only()
+        t = read_mod.build_dataframe(
+            spark,
+            self.path,
+            read_mod.ScanPlan(raw_entries=touched),
+            schema,
+            self.all_schemas(),
+            dv_files=snap.dv_files,
+        )
+        s2 = s.select(*[F.col(c).alias(f"__s_{c}") for c in names]).withColumn(
+            "__s_present", F.lit(1)
+        )
+        cond = functools.reduce(
+            lambda a, b: a & b,
+            [F.col(k).eqNullSafe(F.col(f"__s_{k}")) for k in uk],
+        )
+        if not seqf:
+            # MERGE cardinality: several batch rows sharing a key that
+            # matches existing rows is ambiguous without a sequence
+            dup = s.groupBy(*[F.col(k) for k in uk]).count().where(F.col("count") > 1)
+            dup2 = dup.select(*[F.col(k).alias(f"__s_{k}") for k in uk])
+            if t.join(F.broadcast(dup2), cond, "left_semi").take(1):
+                raise ValueError(
+                    "upsert batch has multiple rows for an upsert key that "
+                    "matches existing rows — set sequence.field to define "
+                    "the winner"
+                )
+        wins = F.lit(True)
+        for c in seqf:
+            wins = wins & (F.col(c) <= F.col(f"__s_{c}"))
+        replace = F.col("__s_present").isNotNull() & wins
+        joined = t.join(F.broadcast(s2), cond, "left")
+        updated = joined.select(
+            *[
+                F.when(replace, F.col(f"__s_{c}")).otherwise(F.col(c)).alias(c)
+                for c in names
+            ]
+        )
+        appended = s.alias("s").join(
+            t.select(*[F.col(k).alias(f"__s_{k}") for k in uk]),
+            cond,
+            "left_anti",
+        )
+        combined = updated.unionByName(appended.select(*names))
+        entries = stage_and_collect(combined, self.path, schema, base_sequence=base_seq)
+        deletes = []
+        for e in touched:
+            d = ManifestEntry(**{**e.__dict__})
+            d.kind = KIND_DELETE
+            deletes.append(d)
+        return self.committer.commit(deletes + entries, schema.id, kind=COMMIT_APPEND)
 
     def _rewrite_files(self, spark: SparkSession, predicate: Predicate, transform) -> Snapshot:
         """Copy-on-write: rewrite only files that MIGHT contain matches."""

@@ -1,0 +1,146 @@
+"""upsert-key: SQL Upsert for NON-PK tables (reference docs/content/
+spark/sql-upsert.md; RewriteUpsertTable.scala) — null-safe key match,
+sequence.field winners, merge-not-append semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+DDL = "k1 int, k2 int, ts1 int, ts2 int, v string"
+
+
+@pytest.fixture()
+def ut(spark, warehouse):
+    return warehouse.create_table(
+        "db.ups", DDL,
+        options={"upsert-key": "k1,k2", "sequence.field": "ts1,ts2"},
+    )
+
+
+def test_doc_example_verbatim(spark, ut):
+    """sql-upsert.md:52-96 — both batches, exact expected results."""
+    ut.write(spark.createDataFrame([
+        (None, None, 2, 1, "v1"),
+        (None, None, 2, 2, "v4"),
+        (1, None, 1, 1, "v1"),
+        (1, 2, 1, 1, "v1"),
+        (1, 2, 2, 1, "v2"),
+    ], DDL))
+    got1 = sorted(
+        ((r.k1, r.k2, r.ts1, r.ts2, r.v) for r in ut.to_df(spark).collect()),
+        key=lambda x: (x[0] is not None, x[0], x[1] is not None, x[1]),
+    )
+    assert got1 == [
+        (None, None, 2, 2, "v4"),
+        (1, None, 1, 1, "v1"),
+        (1, 2, 2, 1, "v2"),
+    ]
+    ut.write(spark.createDataFrame([
+        (None, None, 2, 1, "v5"),
+        (None, 1, 1, 1, "v1"),
+        (1, None, 2, 1, "v2"),
+        (1, 1, 1, 1, "v1"),
+        (1, 2, 2, 0, "v3"),
+    ], DDL))
+    got2 = sorted(
+        ((r.k1, r.k2, r.ts1, r.ts2, r.v) for r in ut.to_df(spark).collect()),
+        key=lambda x: (x[0] is not None, x[0], x[1] is not None, x[1]),
+    )
+    assert got2 == [
+        (None, None, 2, 2, "v4"),   # (2,1) v5 loses to (2,2)
+        (None, 1, 1, 1, "v1"),      # new key inserts
+        (1, None, 2, 1, "v2"),      # (2,1) beats (1,1)
+        (1, 1, 1, 1, "v1"),         # new key inserts
+        (1, 2, 2, 1, "v2"),         # (2,0) v3 loses to (2,1)
+    ]
+
+
+def test_no_sequence_field_replaces(spark, warehouse):
+    t = warehouse.create_table(
+        "db.ups_ns", "k int, v string", options={"upsert-key": "k"},
+    )
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string"))
+    t.write(spark.createDataFrame([(1, "a2"), (3, "c")], "k int, v string"))
+    got = sorted((r.k, r.v) for r in t.to_df(spark).collect())
+    assert got == [(1, "a2"), (2, "b"), (3, "c")]
+    # ambiguous: two batch rows share a key that matches existing rows
+    with pytest.raises(ValueError, match="sequence.field"):
+        t.write(spark.createDataFrame(
+            [(1, "x"), (1, "y")], "k int, v string"))
+    # but duplicate keys that match NOTHING simply append (the
+    # reference performs no dedup without sequence.field)
+    t.write(spark.createDataFrame([(9, "x"), (9, "y")], "k int, v string"))
+    assert t.to_df(spark).where(F.col("k") == 9).count() == 2
+
+
+def test_matched_source_updates_every_duplicate_target(spark, warehouse):
+    t = warehouse.create_table(
+        "db.ups_dup", "k int, v string", options={"upsert-key": "k"},
+    )
+    t.write(spark.createDataFrame([(9, "x"), (9, "y")], "k int, v string"))
+    # one source matching two duplicate targets updates BOTH (MERGE
+    # UpdateAction semantics), never appends
+    t.write(spark.createDataFrame([(9, "z")], "k int, v string"))
+    assert [(r.k, r.v) for r in t.to_df(spark).collect()] == [(9, "z"), (9, "z")]
+
+
+def test_intra_batch_dedup_with_sequence(spark, ut):
+    ut.write(spark.createDataFrame([
+        (5, 5, 1, 1, "old"), (5, 5, 3, 1, "new"), (5, 5, 2, 1, "mid"),
+    ], DDL))
+    rows = ut.to_df(spark).collect()
+    assert len(rows) == 1 and rows[0].v == "new"
+
+
+def test_validation(spark, warehouse):
+    with pytest.raises(ValueError, match="primary keys"):
+        warehouse.create_table(
+            "db.ups_bad", "k int, v string", primary_keys=["k"],
+            options={"upsert-key": "k"},
+        )
+    with pytest.raises(ValueError, match="not in schema"):
+        warehouse.create_table(
+            "db.ups_bad2", "k int, v string",
+            options={"upsert-key": "nope"},
+        )
+
+
+def test_sql_insert_routes_through_upsert(spark, warehouse):
+    from flink_table_store_spark.sql import SqlSession
+
+    s = SqlSession(spark, warehouse)
+    s.sql(
+        "CREATE TABLE db.ups_sql (k INT, ts INT, v STRING) TBLPROPERTIES "
+        "('upsert-key' = 'k', 'sequence.field' = 'ts')"
+    )
+    s.sql("INSERT INTO db.ups_sql VALUES (1, 1, 'a'), (2, 1, 'b')")
+    s.sql("INSERT INTO db.ups_sql VALUES (1, 2, 'a2'), (1, 0, 'stale')")
+    got = sorted(map(tuple, s.sql("SELECT k, v FROM db.ups_sql").collect()))
+    assert got == [(1, "a2"), (2, "b")]
+
+
+def test_file_pruning_keeps_untouched_files(spark, warehouse):
+    """Files whose key range excludes the batch are not rewritten."""
+    t = warehouse.create_table(
+        "db.ups_pr", "k int, v string", options={"upsert-key": "k"},
+    )
+    t.write(spark.createDataFrame([(i, "lo") for i in range(100)], "k int, v string"))
+    snap1 = t.snapshots.latest()
+    files_before = {
+        e.file_name
+        for e in t.manifests.read_live_entries(
+            snap1.base_manifest_list, snap1.delta_manifest_list
+        )
+    }
+    # keys far outside the existing range: pure append, no rewrite
+    t.write(spark.createDataFrame([(10_000, "hi")], "k int, v string"))
+    snap2 = t.snapshots.latest()
+    files_after = {
+        e.file_name
+        for e in t.manifests.read_live_entries(
+            snap2.base_manifest_list, snap2.delta_manifest_list
+        )
+    }
+    assert files_before <= files_after  # old files untouched
+    assert t.to_df(spark).count() == 101
