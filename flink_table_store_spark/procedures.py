@@ -31,6 +31,16 @@ def _compact(spark, cat, a):
         return t.sort_compact(
             spark, a["order_by"], strategy=a["order_strategy"], num_files=a.get("num_files")
         )
+    if (
+        not t.is_primary_key_table()
+        and t.schema.options.get("clustering.incremental", "").lower() == "true"
+    ):
+        # incremental-clustering.md:113-121: CALL sys.compact on such a
+        # table IS an incremental clustering run; compact_strategy =>
+        # 'full' reclusters everything
+        return t.compact(
+            spark, full=str(a.get("compact_strategy", "")).lower() == "full"
+        )
     return t.compact(spark, full=a.get("full", True), trigger_runs=a.get("trigger_runs", 5))
 
 

@@ -1228,6 +1228,16 @@ class Table:
             # file compaction of the main view = the snapshot branch's
             # (chain compaction across branches is chain.chain_compact)
             return chain_target.compact(spark, full=full, trigger_runs=trigger_runs)
+        if (
+            not self.is_primary_key_table()
+            and self.schema.options.get("clustering.incremental", "").lower()
+            == "true"
+        ):
+            # incremental-clustering.md:90-94: with clustering.incremental
+            # on, compaction IS an incremental clustering run (ordinary
+            # compaction would disrupt the clustered layout);
+            # compact(full=True) reclusters everything
+            return self.sort_compact(spark, incremental=not full)
         snap = self.snapshots.latest()
         if snap is None:
             return None
@@ -2274,8 +2284,8 @@ class Table:
     def sort_compact(
         self,
         spark: SparkSession,
-        cols: list[str],
-        strategy: str = "zorder",
+        cols: list[str] | None = None,
+        strategy: str | None = None,
         bits: int = 16,
         num_files: int | None = None,
         incremental: bool = False,
@@ -2298,6 +2308,23 @@ class Table:
 
         if self.is_primary_key_table():
             raise RuntimeError("sort_compact targets append tables (PK order is the LSM key)")
+        opts = self.schema.options
+        if cols is None:
+            raw = opts.get("clustering.columns") or opts.get("clustering-columns")
+            if not raw:
+                raise ValueError(
+                    "no clustering columns: pass cols or set the "
+                    "clustering.columns table option"
+                )
+            cols = [c.strip() for c in raw.split(",") if c.strip()]
+        if strategy is None:
+            # incremental-clustering.md:78-82: explicit option, else
+            # decided by column count — order/1, zorder/<5, hilbert/>=5
+            strategy = opts.get("clustering.strategy") or (
+                "order"
+                if len(cols) == 1
+                else ("zorder" if len(cols) < 5 else "hilbert")
+            )
         if self._live_patched_cols():
             raise ValueError(
                 "sort_compact on a table with live data-evolution patches "

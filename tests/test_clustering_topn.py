@@ -105,3 +105,45 @@ def test_incremental_clustering_rewrites_only_new_files(spark, warehouse):
     assert t.to_df(spark).count() == 120
     # a second incremental pass with nothing new is a no-op
     assert t.sort_compact(spark, ["a", "b"], incremental=True).id == snap2.id
+
+
+def test_option_driven_incremental_clustering(spark, warehouse):
+    """incremental-clustering.md: with clustering.incremental=true and
+    clustering.columns set, CALL sys.compact IS an incremental
+    clustering run (no parameters); compact_strategy='full' reclusters;
+    strategy defaults from the column count (2 cols -> zorder)."""
+    from flink_table_store_spark.procedures import call
+
+    ddl = "a int, b int, v string"
+    t = warehouse.create_table(
+        "db.inc_opt", ddl,
+        options={"clustering.incremental": "true",
+                 "clustering.columns": "a,b"},
+    )
+    t.write(spark.createDataFrame(
+        [(i, i * 2, f"x{i}") for i in range(80)], ddl))
+    call(spark, warehouse, "compact", table="db.inc_opt")
+    snap1 = t.snapshots.latest()
+    entries1 = t.manifests.read_live_entries(
+        snap1.base_manifest_list, snap1.delta_manifest_list)
+    assert all(e.level == 5 for e in entries1)  # clustered output level
+    clustered = {e.file_name for e in entries1}
+    t.write(spark.createDataFrame(
+        [(i, i, f"y{i}") for i in range(80, 100)], ddl))
+    # plain compact() on the table obeys the option too
+    t.compact(spark, full=False)
+    snap2 = t.snapshots.latest()
+    after = t.manifests.read_live_entries(
+        snap2.base_manifest_list, snap2.delta_manifest_list)
+    assert clustered <= {e.file_name for e in after}  # old runs untouched
+    assert t.to_df(spark).count() == 100
+    # full mode reclusters everything
+    call(spark, warehouse, "compact", table="db.inc_opt",
+         compact_strategy="full")
+    snap3 = t.snapshots.latest()
+    final = t.manifests.read_live_entries(
+        snap3.base_manifest_list, snap3.delta_manifest_list)
+    assert not (clustered & {e.file_name for e in final})
+    assert t.to_df(spark).count() == 100
+    # sort_compact with no cols picks them from the options
+    assert t.sort_compact(spark, incremental=True).id == snap3.id
