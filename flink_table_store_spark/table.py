@@ -2858,10 +2858,62 @@ class Table:
         ]
 
     def incremental_read(
-        self, spark: SparkSession, start_snapshot: int, end_snapshot: int
+        self,
+        spark: SparkSession,
+        start_snapshot: int,
+        end_snapshot: int,
+        scan_mode: str | None = None,
     ) -> DataFrame:
         """Rows added in snapshots (start, end]; PK tables return the
-        merged view of the delta (IncrementalDeltaStartingScanner.java:55)."""
+        merged view of the delta (IncrementalDeltaStartingScanner.java:55).
+
+        ``scan_mode`` / the ``incremental-between-scan-mode`` table
+        option (CoreOptions.java:1360, sql-query.md:96): ``auto``
+        (default — changelog when the table produces changelog files,
+        else delta), ``delta`` (newly changed files, merged view),
+        ``changelog`` (the persisted changelog rows of the range, shaped
+        like $audit_log: a leading ``rowkind`` column, retracts
+        included)."""
+        mode = (
+            scan_mode
+            or self.schema.options.get("incremental-between-scan-mode", "auto")
+        ).lower()
+        if mode not in ("auto", "delta", "changelog"):
+            raise ValueError(
+                f"unknown incremental-between-scan-mode {mode!r} "
+                "(auto / delta / changelog)"
+            )
+        if mode == "auto":
+            producer = self.schema.options.get("changelog-producer", "none")
+            mode = "changelog" if producer not in ("", "none") else "delta"
+        if mode == "changelog":
+            from flink_table_store_spark.streaming.changelog import (
+                input_changelog,
+                persisted_changelog,
+            )
+
+            if self.schema.options.get("changelog-producer") == "input":
+                # input producer: the writes' own rows ARE the changelog
+                # (no separate files) — replay with persisted row kinds
+                return input_changelog(
+                    spark, self, start_snapshot, end_snapshot
+                )
+            parts = []
+            for sid in range(start_snapshot + 1, end_snapshot + 1):
+                df = persisted_changelog(spark, self, sid)
+                if df is not None:
+                    parts.append(df)
+            if not parts:
+                import pyspark.sql.types as T
+
+                fields = [T.StructField("rowkind", T.StringType())] + list(
+                    self.schema.spark_schema().fields
+                )
+                return spark.createDataFrame([], T.StructType(fields))
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
         entries: list[ManifestEntry] = []
         for sid in range(start_snapshot + 1, end_snapshot + 1):
             if self.snapshots.exists(sid):

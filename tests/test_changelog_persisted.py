@@ -192,3 +192,44 @@ def test_changelog_files_survive_orphan_scan(spark, warehouse):
     assert not [o for o in orphans if o.startswith("changelog")]
     t.remove_orphan_files()
     assert persisted_changelog(spark, t, t.snapshots.latest().id).count() == 4
+
+
+def test_incremental_between_scan_mode(spark, warehouse):
+    """incremental-between-scan-mode (CoreOptions.java:1360): auto
+    picks changelog when the table produces changelog files; delta and
+    changelog are forceable per call or via the table option."""
+    t = _mk(spark, warehouse, "db.clp_ibsm")
+    t.compact(spark, full=True)  # snapshot 3: persisted +I changelog
+    t = t.refresh()
+    cid = t.snapshots.latest().id
+    # auto on a changelog-producing table reads the changelog rows
+    cl = t.incremental_read(spark, cid - 1, cid)
+    assert cl.columns[0] == "rowkind"
+    assert {(r.rowkind, r.k, r.v) for r in cl.collect()} == {
+        ("+I", 1, "a"), ("+I", 2, "B"), ("+I", 3, "c"), ("+I", 4, "d")
+    }
+    # forced delta keeps the merged-delta shape (no rowkind column)
+    d = t.incremental_read(spark, 1, 2, scan_mode="delta")
+    assert d.columns == ["k", "v"]
+    assert sorted((r.k, r.v) for r in d.collect()) == [(2, "B"), (4, "d")]
+    # a range with no changelog yields an empty, correctly-shaped frame
+    empty = t.incremental_read(spark, 0, 1, scan_mode="changelog")
+    assert empty.count() == 0 and empty.columns[0] == "rowkind"
+    # unknown mode refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="scan-mode"):
+        t.incremental_read(spark, 0, 1, scan_mode="bogus")
+
+
+def test_incremental_changelog_input_producer(spark, warehouse):
+    t = warehouse.create_table(
+        "db.clp_in", "k bigint, v string", primary_keys=["k"],
+        options={"bucket": "1", "changelog-producer": "input"},
+    )
+    t.write(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+    t.write(spark.createDataFrame([(1, "a2"), (2, "b")], "k bigint, v string"))
+    cl = t.incremental_read(spark, 1, 2)  # auto -> changelog (input)
+    assert {(r.rowkind, r.k, r.v) for r in cl.collect()} == {
+        ("+I", 1, "a2"), ("+I", 2, "b")
+    }
