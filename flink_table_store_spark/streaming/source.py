@@ -63,6 +63,7 @@ class SnapshotStream:
         scan: str = "delta",
         max_files_per_batch: int | None = None,
         max_rows_per_batch: int | None = None,
+        bounded_watermark: int | None = None,
     ):
         if startup_mode not in STARTUP_MODES:
             raise ValueError(f"unknown startup mode {startup_mode}")
@@ -90,6 +91,17 @@ class SnapshotStream:
         # one snapshot's delta may be split into several sub-batches
         self.max_files = max_files_per_batch
         self.max_rows = max_rows_per_batch
+        # scan.bounded.watermark (CoreOptions; flink source
+        # BoundedChecker.watermark): the stream ENDS when a snapshot
+        # with a LARGER watermark is encountered — that snapshot is
+        # not emitted
+        opt_bw = table.schema.options.get("scan.bounded.watermark")
+        self.bounded_watermark = (
+            bounded_watermark
+            if bounded_watermark is not None
+            else (int(opt_bw) if opt_bw else None)
+        )
+        self._ended = False
         self._next: int | None = None  # next snapshot id to read
         self._first_full: int | None = None  # snapshot to full-scan first
         self._file_ts: int | None = None  # file creation-time floor for the first batch
@@ -263,7 +275,12 @@ class SnapshotStream:
         latest = self.table.snapshots.latest_id() or 0
         if self.until is not None:
             latest = min(latest, self.until)
-        while self._next <= latest:
+        while self._next <= latest and not self._ended:
+            if self.bounded_watermark is not None and self.table.snapshots.exists(self._next):
+                wm = self.table.snapshots.load(self._next).watermark
+                if wm is not None and wm > self.bounded_watermark:
+                    self._ended = True  # BoundedChecker.shouldEndInput
+                    break
             for df in self._delta_dfs(spark, self._next):
                 out.append((self._next, df))
             self._next += 1

@@ -680,6 +680,13 @@ class Table:
             )
 
             persist_lookup_changelog(df.sparkSession, self.refresh(), snap.id)
+        fc = self.schema.options.get("full-compaction.delta-commits")
+        if fc and int(fc) > 0:
+            # CoreOptions.FULL_COMPACTION_DELTA_COMMITS: "for batch
+            # write, full compaction will be triggered with each commit
+            # as long as this value is greater than 0"
+            compacted = self.refresh().compact(df.sparkSession, full=True)
+            return compacted if compacted is not None else snap
         return snap
 
     def row_tracking_enabled(self) -> bool:

@@ -363,3 +363,59 @@ def test_cdc_kafka_shaped_frames_apply(spark, warehouse, tmp_path):
             cdc_kafka_stream(
                 spark, t, "localhost:9092", "cdc", "kafka-sink", str(tmp_path / "ck")
             )
+
+
+def test_scan_bounded_watermark(spark, warehouse):
+    """scan.bounded.watermark (flink source BoundedChecker.watermark):
+    the stream ends when a snapshot with a LARGER watermark appears —
+    that snapshot is not emitted."""
+    from flink_table_store_spark.streaming.source import SnapshotStream
+
+    t = warehouse.create_table(
+        "db.bw", "k bigint, v string", primary_keys=["k"],
+        options={"bucket": "1"},
+    )
+    ddl = "k bigint, v string"
+    t.write(spark.createDataFrame([(1, "a")], ddl), watermark=100)
+    st = SnapshotStream(t, startup_mode="from-snapshot", from_snapshot=1,
+                        bounded_watermark=250)
+    got = [sid for sid, _ in st.poll(spark)]
+    assert got == [1]
+    t.write(spark.createDataFrame([(2, "b")], ddl), watermark=200)
+    t.write(spark.createDataFrame([(3, "c")], ddl), watermark=300)  # > bound
+    t.write(spark.createDataFrame([(4, "d")], ddl), watermark=400)
+    got = [sid for sid, _ in st.poll(spark)]
+    assert got == [2]  # snapshot with wm 300 ends the stream, unemitted
+    assert st.poll(spark) == []  # ended stays ended
+    # the table OPTION spells the same thing
+    t2 = warehouse.create_table(
+        "db.bw2", ddl, primary_keys=["k"],
+        options={"bucket": "1", "scan.bounded.watermark": "150"},
+    )
+    t2.write(spark.createDataFrame([(1, "a")], ddl), watermark=100)
+    t2.write(spark.createDataFrame([(2, "b")], ddl), watermark=200)
+    st2 = SnapshotStream(t2, startup_mode="from-snapshot", from_snapshot=1)
+    assert [sid for sid, _ in st2.poll(spark)] == [1]
+
+
+def test_full_compaction_delta_commits_batch(spark, warehouse):
+    """full-compaction.delta-commits > 0: every batch commit triggers a
+    full compaction (CoreOptions.FULL_COMPACTION_DELTA_COMMITS batch
+    semantics)."""
+    t = warehouse.create_table(
+        "db.fcd", "k bigint, v string", primary_keys=["k"],
+        options={"bucket": "1", "full-compaction.delta-commits": "1"},
+    )
+    ddl = "k bigint, v string"
+    t.write(spark.createDataFrame([(1, "a"), (2, "b")], ddl))
+    t.write(spark.createDataFrame([(1, "a2")], ddl))
+    t = t.refresh()
+    snap = t.snapshots.latest()
+    assert snap.commit_kind == "COMPACT"  # write auto-compacted
+    # single max-level run per bucket: reads take the raw path
+    entries = t.manifests.read_live_entries(
+        snap.base_manifest_list, snap.delta_manifest_list)
+    from flink_table_store_spark.manifest import MAX_LEVEL
+    assert all(e.level == MAX_LEVEL for e in entries)
+    assert sorted((r.k, r.v) for r in t.to_df(spark).collect()) == [
+        (1, "a2"), (2, "b")]
