@@ -2682,17 +2682,82 @@ class Table:
                 except FileNotFoundError:
                     pass
 
+    def _partition_value_time(self, part: dict[str, str]) -> int | None:
+        """values-time strategy: epoch millis extracted from the
+        partition VALUES via ``partition.timestamp-pattern`` (default:
+        the single partition column) and ``partition.timestamp-
+        formatter`` (Java-style yyyy/MM/dd/HH/mm/ss tokens; default
+        tries ISO then compact forms) — reference
+        utils/PartitionTimeExtractor.java. None = not parseable."""
+        import datetime as _dt
+
+        opts = self.schema.options
+        pattern = opts.get("partition.timestamp-pattern")
+        if pattern:
+            text = re.sub(
+                r"\$(\w+)", lambda m: str(part.get(m.group(1), "")), pattern
+            )
+        elif len(self.schema.partition_keys) == 1:
+            text = str(part.get(self.schema.partition_keys[0], ""))
+        else:
+            return None
+        fmt = opts.get("partition.timestamp-formatter")
+        if fmt:
+            py = fmt
+            for java, strp in (
+                ("yyyy", "%Y"), ("MM", "%m"), ("dd", "%d"),
+                ("HH", "%H"), ("mm", "%M"), ("ss", "%S"),
+            ):
+                py = py.replace(java, strp)
+            candidates = [py]
+        else:
+            candidates = ["%Y-%m-%d %H:%M:%S", "%Y-%m-%d", "%Y%m%d"]
+        for c in candidates:
+            try:
+                dt = _dt.datetime.strptime(text, c)
+                return int(dt.replace(tzinfo=_dt.timezone.utc).timestamp() * 1000)
+            except ValueError:
+                continue
+        return None
+
     def expire_partitions(
         self,
         older_than_millis: int | None = None,
         partition_filter: Predicate | None = None,
+        strategy: str | None = None,
     ) -> list[dict]:
         """Drop whole partitions by age or by predicate
         (ExpirePartitionsProcedure): a metadata-only OVERWRITE commit
-        deleting every file of the matching partitions."""
+        deleting every file of the matching partitions.
+
+        ``strategy`` (or ``partition.expiration-strategy``, manage-
+        partitions.md:36-47): ``update-time`` (default here — age of
+        the newest file) or ``values-time`` (time parsed from the
+        partition VALUES; partitions whose values don't parse never
+        expire, the reference's safe behavior). With no explicit
+        ``older_than_millis``, the ``partition.expiration-time``
+        duration option supplies the cutoff."""
         snap = self.snapshots.latest()
         if snap is None:
             return []
+        opts = self.schema.options
+        strategy = strategy or opts.get("partition.expiration-strategy") or "update-time"
+        if strategy not in ("update-time", "values-time"):
+            raise ValueError(f"unknown partition.expiration-strategy {strategy!r}")
+        if older_than_millis is None and partition_filter is None:
+            dur = opts.get("partition.expiration-time")
+            if dur:
+                import time as _time
+
+                m = re.fullmatch(r"\s*(\d+)\s*(ms|s|sec|m|min|h|d)?\s*", dur)
+                if not m:
+                    raise ValueError(
+                        f"cannot parse partition.expiration-time: {dur!r}"
+                    )
+                n, unit = int(m.group(1)), (m.group(2) or "ms")
+                millis = n * {"ms": 1, "s": 1000, "sec": 1000, "m": 60_000,
+                              "min": 60_000, "h": 3_600_000, "d": 86_400_000}[unit]
+                older_than_millis = int(_time.time() * 1000) - millis
         entries = self.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
         newest: dict[str, int] = {}
         parts: dict[str, dict] = {}
@@ -2706,8 +2771,13 @@ class Table:
         for k, pt in parts.items():
             if partition_filter is not None and not partition_filter.test_partition(pt):
                 continue
-            if older_than_millis is not None and newest[k] >= older_than_millis:
-                continue
+            if older_than_millis is not None:
+                if strategy == "values-time":
+                    vt = self._partition_value_time(pt)
+                    if vt is None or vt >= older_than_millis:
+                        continue
+                elif newest[k] >= older_than_millis:
+                    continue
             if partition_filter is None and older_than_millis is None:
                 continue  # refuse to expire everything implicitly
             doomed.append(pt)

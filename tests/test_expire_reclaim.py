@@ -212,3 +212,67 @@ def test_changelog_expiry_default_still_reclaims(spark, warehouse):
             os.path.join(t.path, "changelog", f"changelog-s{sid}-*.parquet")
         )
     assert t.snapshots.changelog_entry_ids() == []
+
+
+def test_values_time_partition_expiry(spark, warehouse):
+    """partition.expiration-strategy=values-time (manage-partitions.md
+    :36-63): expiry compares the time PARSED FROM PARTITION VALUES,
+    with partition.timestamp-formatter; unparseable values never
+    expire."""
+    import time as _time
+
+    t = warehouse.create_table(
+        "db.pexp_vt", "k bigint, dt string", partition_keys=["dt"],
+        options={
+            "partition.expiration-strategy": "values-time",
+            "partition.timestamp-formatter": "yyyyMMdd",
+        },
+    )
+    ddl = "k bigint, dt string"
+    t.write(spark.createDataFrame(
+        [(1, "20200101"), (2, "29990101"), (3, "not-a-date")], ddl))
+    now = int(_time.time() * 1000)
+    gone = t.expire_partitions(older_than_millis=now)
+    assert [p["dt"] for p in gone] == ["20200101"]
+    left = {r.dt for r in t.to_df(spark).collect()}
+    # future + unparseable partitions survive
+    assert left == {"29990101", "not-a-date"}
+
+
+def test_option_driven_expiration_time(spark, warehouse):
+    """partition.expiration-time supplies the cutoff when no explicit
+    age is given; update-time strategy (files just written) keeps all."""
+    t = warehouse.create_table(
+        "db.pexp_opt", "k bigint, dt string", partition_keys=["dt"],
+        options={"partition.expiration-time": "7 d",
+                 "partition.expiration-strategy": "values-time",
+                 "partition.timestamp-formatter": "yyyy-MM-dd"},
+    )
+    t.write(spark.createDataFrame(
+        [(1, "2001-01-01"), (2, "2999-01-01")], "k bigint, dt string"))
+    gone = t.expire_partitions()
+    assert [p["dt"] for p in gone] == ["2001-01-01"]
+    # update-time: everything was written seconds ago -> nothing expires
+    t2 = warehouse.create_table(
+        "db.pexp_ut", "k bigint, dt string", partition_keys=["dt"],
+        options={"partition.expiration-time": "7 d"},
+    )
+    t2.write(spark.createDataFrame([(1, "2001-01-01")], "k bigint, dt string"))
+    assert t2.expire_partitions() == []
+
+
+def test_multi_field_timestamp_pattern(spark, warehouse):
+    t = warehouse.create_table(
+        "db.pexp_mf", "k bigint, y string, d string",
+        partition_keys=["y", "d"],
+        options={"partition.expiration-strategy": "values-time",
+                 "partition.timestamp-pattern": "$y-$d",
+                 "partition.timestamp-formatter": "yyyy-MM-dd"},
+    )
+    import time as _time
+
+    t.write(spark.createDataFrame(
+        [(1, "2001", "01-01"), (2, "2999", "01-01")],
+        "k bigint, y string, d string"))
+    gone = t.expire_partitions(older_than_millis=int(_time.time() * 1000))
+    assert [(p["y"], p["d"]) for p in gone] == [("2001", "01-01")]
