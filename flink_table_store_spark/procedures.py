@@ -50,7 +50,9 @@ def _expire_snapshots(spark, cat, a):
 
 def _expire_partitions(spark, cat, a):
     return _t(cat, a).expire_partitions(
-        older_than_millis=a.get("older_than_millis"), partition_filter=a.get("partition_filter")
+        older_than_millis=a.get("older_than_millis"),
+        partition_filter=a.get("partition_filter"),
+        strategy=a.get("strategy"),
     )
 
 
