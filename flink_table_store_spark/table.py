@@ -2741,7 +2741,17 @@ class Table:
         if snap is None:
             return []
         opts = self.schema.options
-        strategy = strategy or opts.get("partition.expiration-strategy") or "update-time"
+        option_driven = (
+            older_than_millis is None
+            and partition_filter is None
+            and bool(opts.get("partition.expiration-time"))
+        )
+        # reference default (manage-partitions.md:40): values-time when
+        # the expiry comes from the table options; explicit
+        # older_than_millis API calls keep comparing file update times
+        strategy = strategy or opts.get("partition.expiration-strategy") or (
+            "values-time" if option_driven else "update-time"
+        )
         if strategy not in ("update-time", "values-time"):
             raise ValueError(f"unknown partition.expiration-strategy {strategy!r}")
         if older_than_millis is None and partition_filter is None:

@@ -252,13 +252,22 @@ def test_option_driven_expiration_time(spark, warehouse):
         [(1, "2001-01-01"), (2, "2999-01-01")], "k bigint, dt string"))
     gone = t.expire_partitions()
     assert [p["dt"] for p in gone] == ["2001-01-01"]
-    # update-time: everything was written seconds ago -> nothing expires
+    # reference default: option-driven expiry is values-time even with
+    # no strategy set — old DATA dates expire despite fresh files
     t2 = warehouse.create_table(
         "db.pexp_ut", "k bigint, dt string", partition_keys=["dt"],
         options={"partition.expiration-time": "7 d"},
     )
     t2.write(spark.createDataFrame([(1, "2001-01-01")], "k bigint, dt string"))
-    assert t2.expire_partitions() == []
+    assert [p["dt"] for p in t2.expire_partitions()] == ["2001-01-01"]
+    # forcing update-time keeps the freshly-written partition
+    t3 = warehouse.create_table(
+        "db.pexp_ut2", "k bigint, dt string", partition_keys=["dt"],
+        options={"partition.expiration-time": "7 d",
+                 "partition.expiration-strategy": "update-time"},
+    )
+    t3.write(spark.createDataFrame([(1, "2001-01-01")], "k bigint, dt string"))
+    assert t3.expire_partitions() == []
 
 
 def test_multi_field_timestamp_pattern(spark, warehouse):
