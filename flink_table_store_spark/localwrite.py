@@ -41,6 +41,14 @@ def write_arrow(table: "Table", data, overwrite: bool = False) -> None:
         # same delegation as Table.write: a chain main-view commit
         # would be invisible to chain reads (silent data loss)
         return write_arrow(chain_target, data, overwrite)
+    if table.schema.options.get("upsert-key") and not overwrite:
+        # upsert semantics need the merge join (table.py _upsert_write);
+        # a plain local append would silently duplicate keys
+        raise NotImplementedError(
+            "local no-Spark write to an upsert-key table is not "
+            "supported — write via Spark (table.write), or use "
+            "overwrite=True for INSERT OVERWRITE semantics"
+        )
     if isinstance(data, pd.DataFrame):
         data = pa.Table.from_pandas(data, preserve_index=False)
     elif isinstance(data, pa.RecordBatch):

@@ -144,3 +144,13 @@ def test_file_pruning_keeps_untouched_files(spark, warehouse):
     }
     assert files_before <= files_after  # old files untouched
     assert t.to_df(spark).count() == 101
+
+
+def test_local_write_refused(spark, warehouse):
+    import pandas as pd
+
+    t = warehouse.create_table(
+        "db.ups_lw", "k int, v string", options={"upsert-key": "k"},
+    )
+    with pytest.raises(NotImplementedError, match="upsert-key"):
+        t.write_arrow(pd.DataFrame([{"k": 1, "v": "a"}]))
