@@ -511,6 +511,24 @@ class FtssWriter(DataSourceArrowWriter):
             raise ValueError(
                 "dynamic-bucket tables need the key index writer — use table.write()"
             )
+        if schema.options.get("upsert-key") and not overwrite:
+            # upsert semantics need the merge join (table.py
+            # _upsert_write); a plain format-surface append would
+            # silently duplicate keys
+            raise ValueError(
+                "upsert-key tables need the merge writer — use "
+                "table.write() (or mode('overwrite') for INSERT "
+                "OVERWRITE semantics)"
+            )
+        from flink_table_store_spark.chain import is_chain_table
+
+        if is_chain_table(schema) and t.branch_name is None:
+            # Table.write delegates chain main-view writes to the
+            # snapshot branch; the format surface addresses one branch
+            raise ValueError(
+                "chain table main view: write a branch instead — path "
+                "option branch=snapshot/delta (or t$branch_<name>)"
+            )
         names = [f.name for f in spark_schema.fields]
         expect = schema.field_names()
         if names != expect:
