@@ -223,15 +223,19 @@ def copy_files(
     target: str,
     snapshot_id: int | None = None,
     tag: str | None = None,
+    where: str | None = None,
 ) -> Table:
     """Clone a managed table: copy schema history, the chosen snapshot's
     live data files and deletion vectors, then commit fresh metadata in
-    the target (CopyFilesProcedure / clone).
+    the target (CopyFilesProcedure / clone; CALL sys.copy).
 
     Only live files of ONE snapshot are copied — the clone starts with
     a single-snapshot history, the same contract as the reference's
     clone (latest/tagged state, not the full snapshot log). Copy cost
-    is O(live bytes); metadata commit is O(files).
+    is O(live bytes); metadata commit is O(files). ``where`` restricts
+    the copy to matching PARTITIONS (CopyFilesProcedure's partition
+    predicate — row-level predicates would copy partial files, so only
+    partition columns are accepted).
     """
     src = catalog.get_table(source)
     rb = src.read_builder()
@@ -254,6 +258,17 @@ def copy_files(
     entries = src.manifests.read_live_entries(
         snap.base_manifest_list, snap.delta_manifest_list
     )
+    if where:
+        from flink_table_store_spark.sql import parse_condition
+        from flink_table_store_spark.table import _is_partition_only
+
+        pred = parse_condition(where)
+        if not _is_partition_only(pred, src.schema):
+            raise ValueError(
+                f"sys.copy where={where!r} must reference only partition "
+                f"columns {src.schema.partition_keys}"
+            )
+        entries = [e for e in entries if pred.test_partition(e.partition)]
     for e in entries:
         dest = os.path.join(dst_path, e.file_name)
         os.makedirs(os.path.dirname(dest), exist_ok=True)

@@ -231,6 +231,8 @@ PROCEDURES: dict[str, Callable] = {
     "migrate_iceberg_table": lambda s, c, a: _migrate_iceberg(s, c, a),
     "migrate_hudi_table": lambda s, c, a: _migrate_hudi(s, c, a),
     "copy_files": lambda s, c, a: _copy_files(s, c, a),
+    # the procedures.md name for the same thing (CALL sys.copy)
+    "copy": lambda s, c, a: _copy_files(s, c, a),
     # query service (paimon-flink procedure/QueryServiceProcedure.java:
     # CALL sys.query_service(table, parallelism) starts the lookup
     # service; ours returns the running servers' addresses — they serve
@@ -341,4 +343,5 @@ def _copy_files(spark, cat, a):
         a.pop("target_table"),
         snapshot_id=a.get("snapshot_id"),
         tag=a.get("tag"),
+        where=a.get("where"),
     )

@@ -230,3 +230,25 @@ def test_migrate_hudi_non_hive_partitions_refused(spark, warehouse, tmp_path):
     open(os.path.join(hoodie, "t1.commit"), "w").write("{}")
     with pytest.raises(ValueError, match="non-hive-style"):
         migrate_hudi_table(spark, warehouse, src, "db.hudi_bare")
+
+
+def test_sys_copy_with_partition_where(spark, warehouse):
+    """CALL sys.copy(source_table, target_table, where) — the
+    procedures.md partition-restricted clone."""
+    from flink_table_store_spark.procedures import call
+
+    t = warehouse.create_table(
+        "db.cp_src", "k bigint, pt string", partition_keys=["pt"],
+    )
+    t.write(spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "k bigint, pt string"))
+    out = call(spark, warehouse, "copy", source_table="db.cp_src",
+               target_table="db.cp_tgt", where="pt = 'a'")
+    got = sorted((r.k, r.pt) for r in out.to_df(spark).collect())
+    assert got == [(1, "a"), (2, "a")]
+    # row-level predicates are refused (they would copy partial files)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="partition"):
+        call(spark, warehouse, "copy", source_table="db.cp_src",
+             target_table="db.cp_tgt2", where="k = 1")
