@@ -1041,6 +1041,11 @@ class Table:
             else []
         )
         base_seq = snap.next_sequence if snap else 0
+        if live:
+            # the batch feeds three actions (prune keys, the merge
+            # join, the anti-join append) — pin it so an expensive
+            # upstream isn't recomputed per action
+            s = s.localCheckpoint()
 
         def _append_only() -> Snapshot:
             entries = stage_and_collect(s, self.path, schema, base_sequence=base_seq)
@@ -1049,13 +1054,18 @@ class Table:
         if not live:
             return _append_only()
         # stats/partition prune: files that cannot contain ANY batch key
-        # keep their entries untouched (sound: isin test False = the
-        # file's min/max range excludes every batch value)
+        # keep their entries untouched (sound: a False stats test = the
+        # file's min/max range excludes every batch value). Small key
+        # sets prune by exact isin; larger ones by the [min, max]
+        # envelope (coarser but O(1) per file instead of O(keys))
         prune = None
         head = s.select(uk[0]).distinct().limit(10_001).collect()
         vals = [r[0] for r in head]
-        if len(vals) <= 10_000 and all(v is not None for v in vals):
-            prune = P.isin(uk[0], vals)
+        if vals and all(v is not None for v in vals):
+            if len(vals) <= 100:
+                prune = P.isin(uk[0], vals)
+            elif len(vals) <= 10_000:
+                prune = P.between(uk[0], min(vals), max(vals))
         touched = [
             e
             for e in live
