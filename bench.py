@@ -801,6 +801,56 @@ def main() -> None:
             F.count(F.lit(1)), F.sum("o_totalprice")
         ).collect()
 
+    # chain with MANY views (12x the partitions, monthly deltas over
+    # 1996): the dimension the set-based planner is constant in — a
+    # per-view plan would be a 12-way union re-reading the dump 12x
+    chm = cat.create_table(
+        "bench.chain_monthly",
+        "dt string, o_custkey bigint, o_orderkey bigint, o_totalprice double",
+        partition_keys=["dt"],
+        primary_keys=["dt", "o_custkey"],
+        options={
+            "bucket": "2",
+            "bucket-key": "o_custkey",
+            "chain-table.enabled": "true",
+            "sequence.field": "o_orderkey",
+        },
+        ignore_if_exists=True,
+    )
+    if not chm.use_branch("delta").snapshots.latest_id():
+        chm.create_branch("snapshot")
+        chm.create_branch("delta")
+        om = orders.select(
+            F.substring(F.col("o_orderdate").cast("string"), 1, 7).alias("m"),
+            "o_custkey", "o_orderkey", "o_totalprice",
+        )
+        dump = (
+            om.where(F.col("m") < "1996-01")
+            .groupBy("o_custkey")
+            .agg(
+                F.expr("max_by(o_orderkey, o_orderkey)").alias("o_orderkey"),
+                F.expr("max_by(o_totalprice, o_orderkey)").alias("o_totalprice"),
+            )
+            .select(F.lit("1995-12").alias("dt"), "o_custkey", "o_orderkey", "o_totalprice")
+        )
+        chm.use_branch("snapshot").write(dump)
+        deltas = (
+            om.where((F.col("m") >= "1996-01") & (F.col("m") <= "1996-12"))
+            .groupBy("m", "o_custkey")
+            .agg(
+                F.expr("max_by(o_orderkey, o_orderkey)").alias("o_orderkey"),
+                F.expr("max_by(o_totalprice, o_orderkey)").alias("o_totalprice"),
+            )
+            .select(F.col("m").alias("dt"), "o_custkey", "o_orderkey", "o_totalprice")
+        )
+        chm.use_branch("delta").write(deltas)
+
+    @timed("chain_many_views", repeat=3)
+    def _chain_many():
+        chm.to_df(spark).agg(
+            F.count(F.lit(1)), F.sum("o_totalprice")
+        ).collect()
+
     total = round(sum(timings.values()), 4)
     upsert_rps = round(n_upsert_rows / timings["upsert"], 1) if timings.get("upsert") else None
     print(

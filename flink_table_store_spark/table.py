@@ -1021,13 +1021,18 @@ class Table:
             )
         s = apply_column_defaults(df.select(*names), schema)
         if seqf:
+            # "if the values are the same, the input order will be used
+            # to determine which one is the last one" (sql-upsert.md) —
+            # the monotonic id pins input order so ties are deterministic
             w = Window.partitionBy(*[F.col(k) for k in uk]).orderBy(
-                *[F.col(c).desc() for c in seqf]
+                *[F.col(c).desc() for c in seqf],
+                F.col("__in_order").desc(),
             )
             s = (
-                s.withColumn("__rn", F.row_number().over(w))
+                s.withColumn("__in_order", F.monotonically_increasing_id())
+                .withColumn("__rn", F.row_number().over(w))
                 .where(F.col("__rn") == 1)
-                .drop("__rn")
+                .drop("__rn", "__in_order")
             )
         snap = self.snapshots.latest()
         live = (

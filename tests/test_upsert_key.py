@@ -154,3 +154,38 @@ def test_local_write_refused(spark, warehouse):
     )
     with pytest.raises(NotImplementedError, match="upsert-key"):
         t.write_arrow(pd.DataFrame([{"k": 1, "v": "a"}]))
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_fuzz_vs_python_replay(spark, warehouse, seed):
+    """Seeded batches (with null keys and duplicate in-batch keys)
+    against a serial python model of the reference's MERGE rewrite."""
+    import random
+
+    random.seed(seed)
+    t = warehouse.create_table(
+        f"db.ups_fz{seed}", "k int, ts int, v string",
+        options={"upsert-key": "k", "sequence.field": "ts"},
+    )
+    state: dict[object, tuple] = {}
+    seq = 0
+    for _ in range(5):
+        batch = []
+        for _ in range(random.randrange(2, 8)):
+            k = random.choice([None, *range(8)])
+            seq += 1
+            batch.append((k, seq if random.random() < 0.8 else seq - 3,
+                          f"v{seq}"))
+        t.write(spark.createDataFrame(batch, "k int, ts int, v string"))
+        # python model: dedupe batch per key by max ts (insertion order
+        # breaks ties in favor of the later row via (ts, idx)); then
+        # replace existing when existing.ts <= new.ts
+        best: dict[object, tuple] = {}
+        for i, (k, ts, v) in enumerate(batch):
+            if k not in best or (ts, i) >= (best[k][0], best[k][2]):
+                best[k] = (ts, v, i)
+        for k, (ts, v, _i) in best.items():
+            if k not in state or state[k][0] <= ts:
+                state[k] = (ts, v)
+    got = {r.k: (r.ts, r.v) for r in t.to_df(spark).collect()}
+    assert got == state, seed
