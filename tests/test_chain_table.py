@@ -323,6 +323,57 @@ class TestChainDeletesAndShapes:
             assert got == want, (seed, dt)
 
 
+class TestChainCompactMidHistory:
+    @pytest.mark.parametrize("seed", [11])
+    def test_compact_then_continue_ingesting(self, spark, warehouse, seed):
+        """chain_compact in the middle of the history (with delta
+        retention), then more deltas: every view before AND after the
+        compaction horizon still equals the serial replay."""
+        import random
+
+        random.seed(seed)
+        ddl = "dt string, t1 string, t2 string, rk string"
+        t = warehouse.create_table(
+            f"db.chain_cc{seed}", ddl, partition_keys=["dt"],
+            primary_keys=["dt", "t1"],
+            options={"chain-table.enabled": "true", "bucket": "2",
+                     "bucket-key": "t1", "sequence.field": "t2",
+                     "rowkind.field": "rk"},
+        )
+        t.create_branch("snapshot")
+        t.create_branch("delta")
+        state: dict[str, str] = {}
+        hist: dict[str, dict[str, str]] = {}
+        seq = 0
+        for d in range(7):
+            dt = f"d{d}"
+            rows = []
+            for _ in range(random.randrange(2, 6)):
+                k = str(random.randrange(9))
+                seq += 1
+                if k in state and random.random() < 0.25:
+                    rows.append((dt, k, f"{seq:04d}", "-D"))
+                    state.pop(k, None)
+                else:
+                    rows.append((dt, k, f"{seq:04d}", "+I"))
+                    state[k] = f"{seq:04d}"
+            if d == 0:
+                t.use_branch("snapshot").write(
+                    spark.createDataFrame(
+                        [(dt, k, s_, "+I") for k, s_ in state.items()], ddl))
+            else:
+                t.use_branch("delta").write(spark.createDataFrame(rows, ddl))
+            hist[dt] = dict(state)
+            if d == 3:  # weekly-style compaction mid-history + retention
+                chain_compact(spark, t, expire_deltas=True)
+        for dt, want in hist.items():
+            got = {
+                r.t1: r.t2
+                for r in t.to_df(spark, predicate=P.equal("dt", dt)).collect()
+            }
+            assert got == want, (seed, dt)
+
+
 class TestSqlSurface:
     def test_doc_setup_pure_sql(self, spark, warehouse):
         """chain-table.md:52-92 setup entirely in SQL: CREATE TABLE with
