@@ -42,6 +42,24 @@ def _q(ident: str) -> str:
     return ".".join(f"`{p}`" for p in ident.split("."))
 
 
+class _MetastorePartitionHandler:
+    """PartitionHandler for mark-done actions: ``done-partition``
+    registers metastore partitions (AddDonePartitionAction.java's
+    ``partitionHandler.createPartitions``) via idempotent
+    ``ALTER TABLE ADD IF NOT EXISTS PARTITION``."""
+
+    def __init__(self, spark: SparkSession, db: str, name: str, keys: list[str]):
+        self.spark, self.db, self.name, self.keys = spark, db, name, keys
+
+    def create_partitions(self, partitions: list[dict]) -> None:
+        for d in partitions:
+            spec = ", ".join(f"`{k}`='{str(d.get(k, ''))}'" for k in self.keys)
+            self.spark.sql(
+                f"ALTER TABLE `{self.db}`.`{self.name}` "
+                f"ADD IF NOT EXISTS PARTITION ({spec})"
+            )
+
+
 class HiveCatalog(Catalog):
     """Filesystem-warehouse catalog that mirrors every DDL operation
     into the Spark session's (Hive) metastore."""
@@ -117,6 +135,9 @@ class HiveCatalog(Catalog):
                 seen.add(p)
 
         table.committer.callbacks.append(_sync)
+        table.partition_handler = _MetastorePartitionHandler(
+            spark, db, name, keys
+        )
         return table
 
     def _registered_path(self, identifier: str) -> str | None:

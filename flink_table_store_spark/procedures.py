@@ -201,7 +201,11 @@ PROCEDURES: dict[str, Callable] = {
     # index-only rebuild: refreshes sidecar .index files + manifest index
     # stats without rewriting any data file (RewriteFileIndexProcedure)
     "rewrite_file_index": lambda s, c, a: _t(c, a).rewrite_file_index(s),
-    "mark_partition_done": lambda s, c, a: _t(c, a).mark_partition_done(a["partition"]),
+    # accepts the reference's partitions => 'day=01;day=02' form
+    # (MarkPartitionDoneProcedure) or a single partition spec/dict
+    "mark_partition_done": lambda s, c, a: _t(c, a).mark_partition_done(
+        a.get("partitions", a.get("partition"))
+    ),
     # migration / clone family (MigrateTableProcedure, MigrateDatabaseProcedure,
     # CopyFilesProcedure) — flink_table_store_spark.migrate
     "migrate_table": lambda s, c, a: _migrate(s, c, a),

@@ -1435,6 +1435,7 @@ class SqlSession:
         "replace_tag": ["table", "tag", "snapshot_id"],
         "chain_compact": ["table", "max_partitions"],
         "query_service": ["table", "parallelism"],
+        "mark_partition_done": ["table", "partitions"],
     }
 
     def _call(self, q: str):

@@ -30,6 +30,21 @@ def foreach_batch_writer(
     enabling ``VERSION AS OF watermark`` reads downstream.
     """
 
+    # streaming partition mark-done (PartitionMarkDoneListener.java):
+    # active when partition.idle-time-to-done is set on a partitioned
+    # table; each commit notifies its partitions, then idle ones are
+    # marked done via the configured actions
+    trigger = None
+    if table.schema.partition_keys and table.schema.options.get(
+        "partition.idle-time-to-done"
+    ):
+        from flink_table_store_spark.markdone import PartitionMarkDoneTrigger
+
+        trigger = PartitionMarkDoneTrigger(table, sink_id)
+    watermark_mode = (
+        table.schema.options.get("partition.mark-done-action.mode") == "watermark"
+    )
+
     def write_batch(df: DataFrame, batch_id: int) -> None:
         wm = None
         if watermark_col is not None:
@@ -37,12 +52,23 @@ def foreach_batch_writer(
 
             row = df.agg(F.max(F.col(watermark_col).cast("long") * 1000).alias("wm")).collect()[0]
             wm = row.wm
-        table.write(
+        snap = table.write(
             df,
             row_kind_col=row_kind_col,
             commit_identifier=f"{sink_id}:{batch_id}",
             watermark=wm,
         )
+        if trigger is not None:
+            from flink_table_store_spark import markdone
+
+            for part in markdone.partitions_of_snapshot(table, snap):
+                trigger.notify(part)
+            done = trigger.done_partitions(
+                watermark=wm if watermark_mode else None
+            )
+            if done:
+                markdone.mark_done(table, done)
+            trigger.snapshot_state()
 
     return write_batch
 

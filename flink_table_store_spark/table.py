@@ -656,9 +656,11 @@ class Table:
         )
         next_seq = max_sequence(entries) + 1 if entries else base_seq
         if overwrite:
-            return self.committer.commit_overwrite(
+            snap = self.committer.commit_overwrite(
                 entries, self.schema.id, overwrite_partition_filter
             )
+            self._maybe_mark_done_end_input(entries)
+            return snap
         snap = self.committer.commit(
             entries,
             self.schema.id,
@@ -668,6 +670,7 @@ class Table:
             next_sequence=next_seq,
             assign_row_ids=self.row_tracking_enabled(),
         )
+        self._maybe_mark_done_end_input(entries)
         if (
             self.is_primary_key_table()
             and self.schema.options.get("changelog-producer") == "lookup"
@@ -688,6 +691,27 @@ class Table:
             compacted = self.refresh().compact(df.sparkSession, full=True)
             return compacted if compacted is not None else snap
         return snap
+
+    def _maybe_mark_done_end_input(self, entries) -> None:
+        """``partition.end-input-to-done`` (CoreOptions.java:1139): a
+        batch write marks every partition it touched as done when its
+        input ends — here, at commit, since one batch ``write()`` IS
+        the whole job."""
+        if (
+            self.schema.options.get("partition.end-input-to-done") != "true"
+            or not self.schema.partition_keys
+        ):
+            return
+        import json as _json
+
+        from flink_table_store_spark import markdone
+
+        seen: dict[str, dict] = {}
+        for e in entries:
+            if e.partition:
+                seen[_json.dumps(e.partition, sort_keys=True)] = e.partition
+        if seen:
+            markdone.mark_done(self, list(seen.values()))
 
     def row_tracking_enabled(self) -> bool:
         """Append tables with ``row-tracking.enabled`` get stable per-row
@@ -2817,19 +2841,19 @@ class Table:
         self.committer.commit_overwrite([], self.schema.id, or_(*preds) if len(preds) > 1 else preds[0])
         return doomed
 
-    def mark_partition_done(self, partition: dict[str, str]) -> str:
-        """Write a partition-done marker (MarkPartitionDoneProcedure) —
-        downstream schedulers poll ``done_partitions()``."""
-        import json as _json
+    def mark_partition_done(self, partition) -> list[str]:
+        """Mark partition(s) done (MarkPartitionDoneProcedure): run every
+        configured ``partition.mark-done-action`` (default success-file
+        — a ``_SUCCESS`` JSON in the partition directory) and record the
+        marker ``done_partitions()`` polls. Accepts a dict, a
+        ``'k=v,k2=v2'`` spec, or the procedure's ``;``-separated
+        multi-partition string."""
+        from flink_table_store_spark import markdone
 
-        from flink_table_store_spark.fileio import write_json
-
-        d = os.path.join(self.path, "partition_mark")
-        os.makedirs(d, exist_ok=True)
-        name = _json.dumps(partition, sort_keys=True)
-        p = os.path.join(d, f"{abs(hash(name))}.done")
-        write_json(p, {"partition": partition})
-        return p
+        parts = markdone.parse_partition_spec(
+            partition, self.schema.partition_keys
+        )
+        return markdone.mark_done(self, parts)
 
     def done_partitions(self) -> list[dict]:
         d = os.path.join(self.path, "partition_mark")
