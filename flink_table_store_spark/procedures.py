@@ -45,7 +45,38 @@ def _compact(spark, cat, a):
 
 
 def _expire_snapshots(spark, cat, a):
-    return _t(cat, a).expire_snapshots(retain_last=a.get("retain_last", 10))
+    """ExpireSnapshotsProcedure: retain_max / retain_min / older_than /
+    max_deletes per the reference's Spark procedure doc; bare
+    ``retain_last`` keeps the legacy keep-newest-N form; no arguments =
+    the table's own retention options."""
+    t = _t(cat, a)
+    ref_args = {"retain_max", "retain_min", "older_than", "max_deletes"}
+    if ref_args & set(a):
+        older = a.get("older_than")
+        if older is not None and not isinstance(older, (int, float)):
+            import datetime as _dt
+
+            for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+                try:
+                    older = int(
+                        _dt.datetime.strptime(str(older), fmt)
+                        .replace(tzinfo=_dt.timezone.utc)
+                        .timestamp() * 1000
+                    )
+                    break
+                except ValueError:
+                    continue
+            else:
+                raise ValueError(f"cannot parse older_than timestamp: {older!r}")
+        return t.expire_snapshots(
+            retain_min=int(a["retain_min"]) if "retain_min" in a else None,
+            retain_max=int(a["retain_max"]) if "retain_max" in a else None,
+            older_than_millis=int(older) if older is not None else None,
+            max_deletes=int(a["max_deletes"]) if "max_deletes" in a else None,
+        )
+    if "retain_last" in a:
+        return t.expire_snapshots(retain_last=int(a["retain_last"]))
+    return t.expire_snapshots()
 
 
 def _expire_partitions(spark, cat, a):

@@ -48,6 +48,7 @@ from flink_table_store_spark.snapshot import (
     COMMIT_COMPACT,
     Snapshot,
     SnapshotManager,
+    now_millis,
 )
 from flink_table_store_spark.write import (
     BUCKET_COL,
@@ -388,6 +389,9 @@ class Table:
         from flink_table_store_spark import iceberg as _iceberg
 
         self.committer.callbacks.append(lambda snap: _iceberg.on_commit(self, snap))
+        # reference TableCommitImpl: every commit also triggers
+        # option-driven snapshot expiration (sync mode)
+        self.committer.callbacks.append(lambda snap: self._auto_expire())
 
     # --- metadata ---
 
@@ -655,6 +659,16 @@ class Table:
             df, self.path, self.schema, base_sequence=base_seq, row_kind_col=row_kind_col
         )
         next_seq = max_sequence(entries) + 1 if entries else base_seq
+        if (
+            not entries
+            and not overwrite
+            and self.schema.options.get("snapshot.ignore-empty-commit") == "true"
+            and self.schema.options.get("commit.force-create-snapshot") != "true"
+        ):
+            # SNAPSHOT_IGNORE_EMPTY_COMMIT: an empty batch produces no
+            # snapshot (honored only when explicitly set — streaming
+            # identifier tracking wants empty commits recorded)
+            return self.snapshots.latest()
         if overwrite:
             snap = self.committer.commit_overwrite(
                 entries, self.schema.id, overwrite_partition_filter
@@ -691,6 +705,21 @@ class Table:
             compacted = self.refresh().compact(df.sparkSession, full=True)
             return compacted if compacted is not None else snap
         return snap
+
+    def _auto_expire(self) -> None:
+        """Post-commit snapshot expiration (TableCommitImpl: a commit
+        expires snapshots by the retention options). Cheap no-op until
+        the history exceeds ``snapshot.num-retained.min``; with default
+        options nothing younger than ``snapshot.time-retained`` (1 h)
+        ever expires. Always executes inline — the reference's
+        ``snapshot.expire.execution-mode=async`` thread is a deployment
+        detail, the observable contract (expiry happens by the next
+        commit) is the same."""
+        opts = self.schema.options
+        r_min = int(opts.get("snapshot.num-retained.min", "10"))
+        if len(self.snapshots.snapshot_ids()) <= r_min:
+            return
+        self.expire_snapshots()
 
     def _maybe_mark_done_end_input(self, entries) -> None:
         """``partition.end-input-to-done`` (CoreOptions.java:1139): a
@@ -2506,11 +2535,27 @@ class Table:
             if sid > snapshot_id:
                 self.snapshots.delete(sid)
 
-    def expire_snapshots(self, retain_last: int = 10) -> list[int]:
-        """Keep the newest ``retain_last`` snapshots (ExpireSnapshotsImpl).
-        Tagged snapshots stay readable through their tag copies; active
-        consumers pin everything from their cursor onward (the
-        consumer-id safety contract, ConsumerManager.java:168).
+    def expire_snapshots(
+        self,
+        retain_last: int | None = None,
+        *,
+        retain_min: int | None = None,
+        retain_max: int | None = None,
+        older_than_millis: int | None = None,
+        max_deletes: int | None = None,
+    ) -> list[int]:
+        """Expire old snapshots (ExpireSnapshotsImpl.java:44-96).
+
+        ``retain_last=N`` is the legacy API form: keep the newest N
+        unconditionally. With no arguments the reference's option-driven
+        algorithm runs: snapshots beyond ``snapshot.num-retained.max``
+        are forced out regardless of age; the remaining candidates
+        expire only while older than ``snapshot.time-retained``
+        (default 1 h), never cutting below ``snapshot.num-retained.min``
+        (default 10), at most ``snapshot.expire.limit`` (default 50)
+        per call. Tagged snapshots stay readable through their tag
+        copies; active consumers pin everything from their cursor
+        onward (ConsumerManager.java:168).
 
         Reclaims storage like the reference does at expire time
         (ExpireSnapshotsImpl.expireUntil → deleteExpiredDataFiles):
@@ -2520,15 +2565,65 @@ class Table:
         referenced only by now-expired snapshots; it is deleted unless a
         tag or branch still references it."""
         ids = self.snapshots.snapshot_ids()
-        keep_from = len(ids) - retain_last
+        if not ids:
+            return []
+        n = len(ids)
+        opts = self.schema.options
+        if retain_last is not None:
+            r_min = r_max = retain_last
+            cutoff = None
+            limit = max_deletes if max_deletes is not None else n
+        else:
+            from flink_table_store_spark.markdone import duration_ms
+
+            r_min = (
+                retain_min
+                if retain_min is not None
+                else int(opts.get("snapshot.num-retained.min", "10"))
+            )
+            r_max = (
+                retain_max
+                if retain_max is not None
+                else int(opts.get("snapshot.num-retained.max", str(2**31 - 1)))
+            )
+            cutoff = older_than_millis
+            if cutoff is None:
+                cutoff = now_millis() - duration_ms(
+                    opts.get("snapshot.time-retained", "1 h")
+                )
+            limit = (
+                max_deletes
+                if max_deletes is not None
+                else int(opts.get("snapshot.expire.limit", "50"))
+            )
+        if r_max < r_min:
+            raise ValueError(
+                f"retainMax ({r_max}) must not be less than retainMin ({r_min})"
+            )
+        earliest, latest = ids[0], ids[-1]
+        # num-retained.max forces everything below min_keep out
+        # regardless of age; candidates in [min_keep, max_excl) are
+        # time-gated — stop at the first young-enough snapshot
+        min_keep = ids[n - r_max] if n > r_max else earliest
+        max_excl = ids[n - r_min] if n > r_min else earliest
         consumers = self.snapshots.consumers()
         if consumers:
-            min_next = min(consumers.values())
-            keep_from = min(keep_from, next((i for i, s in enumerate(ids) if s >= min_next), keep_from))
-        expired = ids[:keep_from] if keep_from > 0 else []
+            max_excl = min(max_excl, min(consumers.values()))
+        max_excl = min(max_excl, ids[limit] if limit < n else latest + 1)
+        end = max_excl
+        if cutoff is not None:
+            for sid in (i for i in ids if min_keep <= i < max_excl):
+                try:
+                    s = self.snapshots.load(sid)
+                except FileNotFoundError:
+                    continue
+                if s.time_millis >= cutoff:
+                    end = sid
+                    break
+        expired = [i for i in ids if i < end]
         if not expired:
             return expired
-        retained_ids = ids[keep_from:]
+        retained_ids = [i for i in ids if i >= end]
         # decoupled changelog lifecycle (ExpireChangelogImpl / Changelog-
         # Manager): with changelog.num-retained.max set, an expired
         # snapshot that produced changelog is preserved as a
