@@ -1679,11 +1679,17 @@ STREAM_ACCUM_SQL = (
 
 def changelog_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-compaction-style changelog (T4): +I/-U/+U/-D between the
-    merged states at snapshots 1 and 3 of the PK upsert fixture."""
+    merged states at snapshots 1 and 3 of the PK upsert fixture.
+    row_deduplicate=True (changelog-producer.row-deduplicate) so the
+    emitted pairs are exactly the value changes — the SQL oracle
+    replays the value-diff; the reference's dedup-off touched-keys
+    default is covered by tests/test_changelog_rowdedup.py."""
     from flink_table_store_spark.streaming import changelog_diff
 
     t = _pk_orders_table(spark, sf_dir)
-    return changelog_diff(spark, t, 1, 3).orderBy("rowkind", "o_custkey")
+    return changelog_diff(spark, t, 1, 3, row_deduplicate=True).orderBy(
+        "rowkind", "o_custkey"
+    )
 
 
 CHANGELOG_DIFF_SQL = (

@@ -38,18 +38,40 @@ def input_changelog(
 
 
 def changelog_diff(
-    spark: SparkSession, table, before_snapshot: int, after_snapshot: int
+    spark: SparkSession,
+    table,
+    before_snapshot: int,
+    after_snapshot: int,
+    row_deduplicate: bool | None = None,
+    ignore_fields: list[str] | None = None,
 ) -> DataFrame:
     """Full-compaction-style changelog between two snapshots of a PK
     table: the diff of the merged views, keyed by primary key.
 
-    Emits per key: +I (new), -D (gone), and a -U/+U pair (changed).
+    Emits per key: +I (new), -D (gone), and a -U/+U pair for keys that
+    received input in the window (FullChangelogMergeFunctionWrapper.java
+    :66-80) — by default EVEN when the merged value is unchanged, the
+    reference's ``changelog-producer.row-deduplicate=false`` default.
+    With row-deduplicate on, unchanged values are suppressed; the
+    comparison skips ``changelog-producer.row-deduplicate-ignore-fields``
+    (the valueEqualiser's projected fields).
+
     One shuffle per side on the PK (the join key) — the same cost as
-    the reference's compaction-time diff, but declarative.
+    the reference's compaction-time diff, but declarative; the
+    dedup-off touched-keys probe is a third scan of just the window's
+    NEW files (incremental delta), semi-joined on the same key.
     """
     if not table.is_primary_key_table():
         raise RuntimeError("changelog_diff requires a primary-key table")
     schema = table.schema
+    opts = schema.options
+    if row_deduplicate is None:
+        row_deduplicate = (
+            opts.get("changelog-producer.row-deduplicate") == "true"
+        )
+    if ignore_fields is None:
+        raw = opts.get("changelog-producer.row-deduplicate-ignore-fields", "")
+        ignore_fields = [f.strip() for f in raw.split(",") if f.strip()]
     pks = schema.trimmed_primary_keys()
     cols = schema.field_names()
     vals = [c for c in cols if c not in pks]
@@ -70,9 +92,26 @@ def changelog_diff(
     deleted = j.where(F.col("__a").isNull()).select(
         F.lit(KIND_DELETE).alias("rowkind"), *[F.col(f"__b.{c}").alias(c) for c in cols]
     )
-    changed = j.where(
-        F.col("__a").isNotNull() & F.col("__b").isNotNull() & (F.col("__a") != F.col("__b"))
-    )
+    changed = j.where(F.col("__a").isNotNull() & F.col("__b").isNotNull())
+    if row_deduplicate:
+        cmp_cols = [c for c in cols if c not in set(ignore_fields)]
+        changed = changed.where(
+            ~F.struct(*[F.col(f"__a.{c}") for c in cmp_cols]).eqNullSafe(
+                F.struct(*[F.col(f"__b.{c}") for c in cmp_cols])
+            )
+        )
+    else:
+        # reference default: a key emits -U/+U iff it received input in
+        # the window, unchanged value or not — input = rows in files
+        # added by non-compaction commits in (before, after]
+        touched = (
+            table.incremental_read(
+                spark, before_snapshot, after_snapshot, scan_mode="delta"
+            )
+            .select(*pks)
+            .distinct()
+        )
+        changed = changed.join(touched, on=pks, how="left_semi")
     upd_before = changed.select(
         F.lit(KIND_UPDATE_BEFORE).alias("rowkind"), *[F.col(f"__b.{c}").alias(c) for c in cols]
     )
