@@ -661,6 +661,9 @@ def _make_spec(schema, buckets, dv, maps, sel_cols, jkeys, pred=None) -> dict:
         for c in schema.options.get("sequence.field", "").split(",")
         if c.strip()
     ]
+    from flink_table_store_spark.operators.merge_engines import seq_descending
+
+    seq_desc = seq_descending(schema)
     pk = bool(schema.primary_keys)
     engine = schema.options.get("merge-engine", "deduplicate")
     from flink_table_store_spark.operators.merge_engines import _sequence_groups
@@ -681,6 +684,7 @@ def _make_spec(schema, buckets, dv, maps, sel_cols, jkeys, pred=None) -> dict:
         "seq_groups": seq_groups,
         "key_cols": key_cols,
         "seq_fields": seq_fields,
+        "seq_desc": seq_desc,
         "partition_keys": list(schema.partition_keys),
         # a pushed WHERE conjunct filters rows POST-merge in the task,
         # shrinking the join width; its fields must be read even when
@@ -787,8 +791,13 @@ def read_bucket_side(spec: dict, bucket: int):
         # (sequence.field cols, seq) and Spark ranks NULL lowest
         # (oldest); pandas defaults to NULL-last (newest), which would
         # let a NULL-versioned row win
+        # sequence.field.sort-order=descending: user versions sort
+        # reversed (smallest = newest); input seq still ascending, and
+        # NULL versions stay first (oldest) either way
+        asc = [not spec.get("seq_desc")] * len(spec["seq_fields"]) + [True]
         pdf = pdf.sort_values(
-            spec["seq_fields"] + [seqc], kind="stable", na_position="first"
+            spec["seq_fields"] + [seqc], ascending=asc,
+            kind="stable", na_position="first",
         ).reset_index(drop=True)
         if spec["engine"] in ("deduplicate", "first-row"):
             keep = "last" if spec["engine"] == "deduplicate" else "first"

@@ -91,6 +91,44 @@ _SEQ_CMP = "(a, b) -> CASE WHEN a.s < b.s THEN -1 WHEN a.s > b.s THEN 1 ELSE 0 E
 _EFF_SEQ = "__eff_seq"
 
 
+def seq_descending(schema: TableSchema) -> bool:
+    """``sequence.field.sort-order`` (CoreOptions.java:891-894):
+    descending makes the SMALLEST user version the newest; ties still
+    fall to the later input sequence."""
+    return (
+        schema.options.get("sequence.field.sort-order", "ascending").lower()
+        == "descending"
+    )
+
+
+def seq_order_exprs(df: DataFrame, schema: TableSchema, fields: list[str]):
+    """Order-image expressions for the user sequence fields: identity
+    when ascending; an order-REVERSING numeric image when descending
+    (the reference generates a reversed comparator,
+    UserDefinedSeqComparator.java:47-56 — Spark structs compare
+    ascending-only, so reversal becomes negation). NULL versions stay
+    NULL (lowest = oldest) in both orders."""
+    if not seq_descending(schema):
+        return [F.col(c) for c in fields]
+    out = []
+    for c in fields:
+        dt = df.schema[c].dataType.typeName()
+        if dt in ("byte", "short", "integer", "long"):
+            out.append(-F.col(c).cast("long"))
+        elif dt in ("float", "double") or dt.startswith("decimal"):
+            out.append(-F.col(c))
+        elif dt in ("timestamp", "timestamp_ntz"):
+            out.append(-F.unix_micros(F.col(c).cast("timestamp")))
+        elif dt == "date":
+            out.append(-F.unix_date(F.col(c)))
+        else:
+            raise ValueError(
+                "sequence.field.sort-order=descending needs numeric/"
+                f"timestamp/date sequence fields; {c!r} is {dt}"
+            )
+    return out
+
+
 def merge_view(df: DataFrame, schema: TableSchema) -> DataFrame:
     # sequence.field (CoreOptions.java:882-894, T12): a user column
     # defines the version order; input sequence breaks ties. Expressed
@@ -99,8 +137,10 @@ def merge_view(df: DataFrame, schema: TableSchema) -> DataFrame:
     seq_field = schema.options.get("sequence.field")
     seq_col = SEQUENCE_NUMBER
     if seq_field:
+        fields = [c.strip() for c in seq_field.split(",")]
         df = df.withColumn(
-            _EFF_SEQ, F.struct(*[F.col(c.strip()) for c in seq_field.split(",")], F.col(SEQUENCE_NUMBER))
+            _EFF_SEQ,
+            F.struct(*seq_order_exprs(df, schema, fields), F.col(SEQUENCE_NUMBER)),
         )
         seq_col = _EFF_SEQ
     engine = schema.options.get("merge-engine", ENGINE_DEDUPLICATE)
@@ -535,14 +575,14 @@ def fold_winner(df: DataFrame, schema: TableSchema, bucket_col: str) -> DataFram
     cols = ", ".join(f"`{c}`" for c in payload + [VALUE_KIND, SEQUENCE_NUMBER])
     seq_field = schema.options.get("sequence.field")
     if seq_field:
-        ord_cols = ", ".join(
-            f"`{c.strip()}`" for c in seq_field.split(",")
-        ) + f", `{SEQUENCE_NUMBER}`"
-        ord_expr = f"struct({ord_cols})"
+        fields = [c.strip() for c in seq_field.split(",")]
+        ord_col = F.struct(
+            *seq_order_exprs(df, schema, fields), F.col(SEQUENCE_NUMBER)
+        )
     else:
-        ord_expr = f"`{SEQUENCE_NUMBER}`"
-    fn = "max_by" if engine == ENGINE_DEDUPLICATE else "min_by"
-    winner = F.expr(f"{fn}(struct({cols}), {ord_expr})").alias("__w")
+        ord_col = F.col(SEQUENCE_NUMBER)
+    fn = F.max_by if engine == ENGINE_DEDUPLICATE else F.min_by
+    winner = fn(F.expr(f"struct({cols})"), ord_col).alias("__w")
     return (
         df.groupBy(*[F.col(k) for k in keys], F.col(bucket_col))
         .agg(winner)
@@ -584,12 +624,10 @@ def fold_runs(df: DataFrame, schema: TableSchema, bucket_col: str) -> DataFrame:
     seq_field = schema.options.get("sequence.field")
     seq_col = SEQUENCE_NUMBER
     if seq_field:
+        fields = [c.strip() for c in seq_field.split(",")]
         df = df.withColumn(
             _EFF_SEQ,
-            F.struct(
-                *[F.col(c.strip()) for c in seq_field.split(",")],
-                F.col(SEQUENCE_NUMBER),
-            ),
+            F.struct(*seq_order_exprs(df, schema, fields), F.col(SEQUENCE_NUMBER)),
         )
         seq_col = _EFF_SEQ
     if engine == ENGINE_PARTIAL_UPDATE:

@@ -1073,12 +1073,17 @@ class Table:
                 "would lose patched values — run compact() first"
             )
         s = apply_column_defaults(df.select(*names), schema)
+        seq_desc = merge_engines.seq_descending(schema)
         if seqf:
             # "if the values are the same, the input order will be used
             # to determine which one is the last one" (sql-upsert.md) —
-            # the monotonic id pins input order so ties are deterministic
+            # the monotonic id pins input order so ties are deterministic.
+            # sort-order=descending flips the version direction only.
             w = Window.partitionBy(*[F.col(k) for k in uk]).orderBy(
-                *[F.col(c).desc() for c in seqf],
+                *[
+                    (F.col(c).asc() if seq_desc else F.col(c).desc())
+                    for c in seqf
+                ],
                 F.col("__in_order").desc(),
             )
             s = (
@@ -1160,7 +1165,11 @@ class Table:
                 )
         wins = F.lit(True)
         for c in seqf:
-            wins = wins & (F.col(c) <= F.col(f"__s_{c}"))
+            wins = wins & (
+                (F.col(c) >= F.col(f"__s_{c}"))
+                if seq_desc
+                else (F.col(c) <= F.col(f"__s_{c}"))
+            )
         replace = F.col("__s_present").isNotNull() & wins
         joined = t.join(F.broadcast(s2), cond, "left")
         updated = joined.select(
@@ -1470,7 +1479,10 @@ class Table:
         return list(runs[-k:]) if k >= 2 else None
 
     @staticmethod
-    def _fold_seq_guard(selected: list, older: list, seq_cols: list[str]) -> bool:
+    def _fold_seq_guard(
+        selected: list, older: list, seq_cols: list[str],
+        descending: bool = False,
+    ) -> bool:
         """True iff file stats PROVE every selected row's user version is
         >= every unselected older row's version in this bucket, so the
         selection is a true suffix of the effective (version..., seq)
@@ -1493,6 +1505,25 @@ class Table:
             return st["min"], st["max"]
 
         try:
+            if descending:
+                # sort-order=descending: newest = SMALLEST version, so
+                # the suffix condition flips — every selected version
+                # must be <= every unselected older version
+                hi_sel = None
+                for e in selected:
+                    r = _rng(e)
+                    if r is None:
+                        return False
+                    hi_sel = r[1] if hi_sel is None else max(hi_sel, r[1])
+                lo_old = None
+                for e in older:
+                    r = _rng(e)
+                    if r is None:
+                        return False
+                    lo_old = r[0] if lo_old is None else min(lo_old, r[0])
+                if lo_old is None:
+                    return True
+                return hi_sel < lo_old if strict else hi_sel <= lo_old
             lo_sel = None
             for e in selected:
                 r = _rng(e)
@@ -1569,7 +1600,10 @@ class Table:
                 selected_whole.extend(pick)
                 continue
             if seq_guard_cols is not None and not self._fold_seq_guard(
-                pick, [e for e in runs if e not in pick], seq_guard_cols
+                pick,
+                [e for e in runs if e not in pick],
+                seq_guard_cols,
+                descending=merge_engines.seq_descending(self.schema),
             ):
                 selected_whole.extend(runs)
                 continue
