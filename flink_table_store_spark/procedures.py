@@ -225,7 +225,11 @@ PROCEDURES: dict[str, Callable] = {
     ),
     "delete_branch": lambda s, c, a: _t(c, a).delete_branch(a["branch"]),
     "fast_forward": lambda s, c, a: _t(c, a).fast_forward(a["branch"]),
-    "clear_consumers": lambda s, c, a: _t(c, a).snapshots.clear_consumers(),
+    # camelCase arg names per the reference's procedures.md example
+    "clear_consumers": lambda s, c, a: _t(c, a).snapshots.clear_consumers(
+        including=a.get("includingConsumers") or a.get("including_consumers"),
+        excluding=a.get("excludingConsumers") or a.get("excluding_consumers"),
+    ),
     "reset_consumer": lambda s, c, a: _t(c, a).snapshots.write_consumer(
         a["consumer_id"], a["next_snapshot"]
     ),

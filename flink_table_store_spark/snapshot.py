@@ -291,11 +291,49 @@ class SnapshotManager:
             if n.startswith("consumer-")
         }
 
-    def clear_consumers(self) -> None:
+    def clear_consumers(
+        self, including: str | None = None, excluding: str | None = None
+    ) -> list[str]:
+        """Delete consumers, optionally filtered by regex patterns
+        (ClearConsumersProcedure: includingPattern defaults to
+        match-all, excludingPattern to match-none)."""
+        import re as _re
+
+        inc = _re.compile(including) if including else None
+        exc = _re.compile(excluding) if excluding else None
         d = self.consumer_dir()
+        cleared = []
         if os.path.isdir(d):
-            for n in os.listdir(d):
+            for n in sorted(os.listdir(d)):
+                if not n.startswith("consumer-"):
+                    continue
+                cid = n[len("consumer-"):]
+                if inc is not None and not inc.fullmatch(cid):
+                    continue
+                if exc is not None and exc.fullmatch(cid):
+                    continue
                 os.unlink(os.path.join(d, n))
+                cleared.append(cid)
+        return cleared
+
+    def expire_consumers(self, older_than_ms: int) -> list[str]:
+        """Delete consumer files idle (mtime) longer than the given
+        interval (ConsumerManager.expire: consumers whose file
+        modification time predates the cutoff stop pinning snapshots —
+        CoreOptions consumer.expiration-time)."""
+        d = self.consumer_dir()
+        if not os.path.isdir(d):
+            return []
+        cutoff = now_millis() - older_than_ms
+        expired = []
+        for n in sorted(os.listdir(d)):
+            if not n.startswith("consumer-"):
+                continue
+            p = os.path.join(d, n)
+            if os.path.getmtime(p) * 1000 < cutoff:
+                os.unlink(p)
+                expired.append(n[len("consumer-"):])
+        return expired
 
 
 def now_millis() -> int:

@@ -110,7 +110,12 @@ class SnapshotStream:
 
     def _resolve_start(self) -> None:
         sm = self.table.snapshots
-        if self.consumer_id is not None:
+        if self.consumer_id is not None and (
+            self.table.schema.options.get("consumer.ignore-progress") != "true"
+        ):
+            # consumer.ignore-progress (CoreOptions): start this run
+            # from the scan mode, not the stored cursor — progress is
+            # still written, so the NEXT run resumes normally
             resumed = sm.read_consumer(self.consumer_id)
             if resumed is not None:
                 self._next = resumed

@@ -2634,6 +2634,13 @@ class Table:
             raise ValueError(
                 f"retainMax ({r_max}) must not be less than retainMin ({r_min})"
             )
+        cons_exp = opts.get("consumer.expiration-time")
+        if cons_exp:
+            # stale consumers stop pinning before retention is computed
+            # (TableCommitImpl expires consumers ahead of snapshots)
+            from flink_table_store_spark.markdone import duration_ms as _dur
+
+            self.snapshots.expire_consumers(_dur(cons_exp))
         earliest, latest = ids[0], ids[-1]
         # num-retained.max forces everything below min_keep out
         # regardless of age; candidates in [min_keep, max_excl) are
