@@ -368,6 +368,18 @@ class ReadBuilder:
         return df.unionByName(fb_df)
 
 
+class _MatchNoPartition:
+    """Overwrite filter matching nothing: a dynamic partition overwrite
+    of an empty batch replaces no partitions (reference dynamic
+    semantics), instead of wiping the table."""
+
+    def test_partition(self, partition) -> bool:
+        return False
+
+
+_MATCH_NO_PARTITION = _MatchNoPartition()
+
+
 class Table:
     def __init__(self, path: str, name: str | None = None, branch: str | None = None):
         self.path = path
@@ -670,6 +682,31 @@ class Table:
             # identifier tracking wants empty commits recorded)
             return self.snapshots.latest()
         if overwrite:
+            if (
+                overwrite_partition_filter is None
+                and self.schema.partition_keys
+                and self.schema.options.get("dynamic-partition-overwrite")
+                != "false"
+            ):
+                # dynamic partition overwrite (CoreOptions default TRUE;
+                # PaimonDynamicPartitionOverwriteCommand — the format
+                # surface and local writer already behave this way):
+                # only partitions present in the new data are replaced.
+                # Empty input replaces nothing. dynamic-partition-
+                # overwrite=false restores whole-table replacement.
+                seen = {tuple(sorted(e.partition.items())) for e in entries}
+                if not seen:
+                    overwrite_partition_filter = _MATCH_NO_PARTITION
+                else:
+                    preds = []
+                    for items in seen:
+                        leafs = [P_mod.equal(k, v) for k, v in items]
+                        preds.append(
+                            leafs[0] if len(leafs) == 1 else P_mod.and_(*leafs)
+                        )
+                    overwrite_partition_filter = (
+                        preds[0] if len(preds) == 1 else P_mod.or_(*preds)
+                    )
             snap = self.committer.commit_overwrite(
                 entries, self.schema.id, overwrite_partition_filter
             )

@@ -128,3 +128,42 @@ def test_commit_distributed_stats_threshold(spark, warehouse):
     assert all(e.stats["k"]["min"] is not None for e in entries)
     got = t.to_df(spark, predicate=P.less_than("k", 10)).count()
     assert got == 10
+
+
+def test_dynamic_partition_overwrite_default(spark, warehouse):
+    """INSERT OVERWRITE on a partitioned table replaces only the
+    partitions present in the new data (CoreOptions
+    dynamic-partition-overwrite default true)."""
+    t = warehouse.create_table(
+        "db.dynow", "k bigint, pt string", partition_keys=["pt"]
+    )
+    t.write(spark.createDataFrame(
+        [(1, "x"), (2, "y")], "k bigint, pt string"
+    ))
+    t.write(
+        spark.createDataFrame([(9, "x")], "k bigint, pt string"),
+        overwrite=True,
+    )
+    rows = {(r.k, r.pt) for r in t.to_df(spark).collect()}
+    assert rows == {(9, "x"), (2, "y")}  # y untouched
+    # empty overwrite replaces nothing
+    t.write(spark.createDataFrame([], "k bigint, pt string"), overwrite=True)
+    assert {(r.k, r.pt) for r in t.to_df(spark).collect()} == rows
+    # opt-out: static whole-table overwrite
+    t2 = warehouse.create_table(
+        "db.statow", "k bigint, pt string", partition_keys=["pt"],
+        options={"dynamic-partition-overwrite": "false"},
+    )
+    t2.write(spark.createDataFrame(
+        [(1, "x"), (2, "y")], "k bigint, pt string"
+    ))
+    t2.write(
+        spark.createDataFrame([(9, "x")], "k bigint, pt string"),
+        overwrite=True,
+    )
+    assert {(r.k, r.pt) for r in t2.to_df(spark).collect()} == {(9, "x")}
+    # unpartitioned tables keep full-replace semantics
+    t3 = warehouse.create_table("db.unpow", "k bigint")
+    t3.write(spark.createDataFrame([(1,), (2,)], "k bigint"))
+    t3.write(spark.createDataFrame([(9,)], "k bigint"), overwrite=True)
+    assert [r.k for r in t3.to_df(spark).collect()] == [9]
