@@ -21,7 +21,7 @@ from typing import Iterator
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_table_store_spark import read as read_mod
-from flink_table_store_spark.snapshot import COMMIT_COMPACT
+from flink_table_store_spark.snapshot import COMMIT_COMPACT, COMMIT_OVERWRITE
 
 STARTUP_MODES = (
     "default",      # alias of latest-full (CoreOptions StartupMode.DEFAULT)
@@ -168,16 +168,33 @@ class SnapshotStream:
         reference's PaimonSourceOffset(snapshotId, splitIdx)."""
         t = self.table
         s = t.snapshots.load(snapshot_id)
+        # streaming-read-overwrite (CoreOptions; DeltaFollowUpScanner:
+        # only APPEND commits follow by default): OVERWRITE snapshots
+        # are skipped unless the option opts in
+        read_overwrite = (
+            t.schema.options.get("streaming-read-overwrite") == "true"
+        )
         if self.scan == "changelog":
             # COMPACT snapshots move rows without changing state — except
             # under the full-compaction producer, whose changelog files
             # live ON the compact snapshot
             producer = t.schema.options.get("changelog-producer", "none")
+            if read_overwrite and producer in ("full-compaction", "lookup"):
+                # the reference refuses this combination (the producers'
+                # diff already reflects overwrites; double-reporting)
+                raise ValueError(
+                    "streaming-read-overwrite cannot be used with the "
+                    f"{producer} changelog producer"
+                )
+            if s.commit_kind == COMMIT_OVERWRITE and not read_overwrite:
+                return []
             if s.commit_kind == COMMIT_COMPACT and producer != "full-compaction":
                 return []
             df = self._changelog_df(spark, snapshot_id)
             return [df] if df is not None else []
         if s.commit_kind == COMMIT_COMPACT:
+            return []
+        if s.commit_kind == COMMIT_OVERWRITE and not read_overwrite:
             return []
         entries = t.delta_entries(snapshot_id)
         if not entries:

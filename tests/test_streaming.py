@@ -419,3 +419,59 @@ def test_full_compaction_delta_commits_batch(spark, warehouse):
     assert all(e.level == MAX_LEVEL for e in entries)
     assert sorted((r.k, r.v) for r in t.to_df(spark).collect()) == [
         (1, "a2"), (2, "b")]
+
+
+def test_streaming_read_overwrite_option(spark, warehouse):
+    """streaming-read-overwrite (DeltaFollowUpScanner: only APPEND
+    commits follow by default; OVERWRITE joins with the option)."""
+    from flink_table_store_spark.streaming.source import SnapshotStream
+
+    t = warehouse.create_table(
+        "db.srow", "k bigint, pt string", partition_keys=["pt"]
+    )
+    t.write(spark.createDataFrame([(1, "x")], "k bigint, pt string"))
+    src = SnapshotStream(t, startup_mode="from-snapshot", from_snapshot=2)
+    t.write(
+        spark.createDataFrame([(9, "x")], "k bigint, pt string"),
+        overwrite=True,
+    )
+    t.write(spark.createDataFrame([(3, "y")], "k bigint, pt string"))
+    batches = []
+    for _sid, df in src.poll(spark):
+        batches.extend((r.k, r.pt) for r in df.collect())
+    assert batches == [(3, "y")]  # overwrite snapshot skipped by default
+
+    t2 = warehouse.create_table(
+        "db.srow2", "k bigint, pt string", partition_keys=["pt"],
+        options={"streaming-read-overwrite": "true"},
+    )
+    t2.write(spark.createDataFrame([(1, "x")], "k bigint, pt string"))
+    src2 = SnapshotStream(t2, startup_mode="from-snapshot", from_snapshot=2)
+    t2.write(
+        spark.createDataFrame([(9, "x")], "k bigint, pt string"),
+        overwrite=True,
+    )
+    got = []
+    for _sid, df in src2.poll(spark):
+        got.extend((r.k, r.pt) for r in df.collect())
+    assert got == [(9, "x")]  # overwrite's new rows emitted with opt-in
+
+
+def test_streaming_read_overwrite_refused_with_producer(spark, warehouse):
+    import pytest
+    from flink_table_store_spark.streaming.source import SnapshotStream
+
+    t = warehouse.create_table(
+        "db.srow3", "k bigint, v string",
+        primary_keys=["k"],
+        options={
+            "streaming-read-overwrite": "true",
+            "changelog-producer": "full-compaction",
+        },
+    )
+    t.write(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+    src = SnapshotStream(t, startup_mode="from-snapshot",
+                         from_snapshot=1, scan="changelog")
+    with pytest.raises(ValueError, match="streaming-read-overwrite"):
+        for _sid, df in src.poll(spark):
+            df.collect()
