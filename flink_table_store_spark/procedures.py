@@ -139,7 +139,36 @@ def _trigger_tag_automatic_creation(spark, cat, a):
     if opts.get("tag.period-formatter", "with_dashes") == "without_dashes":
         name = name.replace("-", "").replace(" ", "")
     created = []
-    if name not in t.snapshots.tags():
+    existing = t.snapshots.tags()
+    if opts.get("tag.automatic-completion") == "true":
+        # TAG_AUTOMATIC_COMPLETION: backfill tags for periods skipped
+        # between the newest existing auto tag and the current period
+        # (sparse writes leave gaps the downstream scheduler expects)
+        step = {
+            "hourly": _dt.timedelta(hours=1),
+            "two-hours": _dt.timedelta(hours=2),
+        }.get(period, _dt.timedelta(days=1))
+
+        def _parse(n: str) -> _dt.datetime | None:
+            for f in (fmt, fmt.replace("-", "").replace(" ", "")):
+                try:
+                    return _dt.datetime.strptime(n, f)
+                except ValueError:
+                    continue
+            return None
+
+        prior = [d for d in (_parse(n) for n in existing) if d is not None]
+        if prior:
+            cur = max(prior) + step
+            while cur < base:
+                missing = cur.strftime(fmt)
+                if opts.get("tag.period-formatter", "with_dashes") == "without_dashes":
+                    missing = missing.replace("-", "").replace(" ", "")
+                if missing not in existing:
+                    t.create_tag(missing, snapshot_id=snap.id)
+                    created.append(missing)
+                cur += step
+    if name not in existing:
         t.create_tag(name, snapshot_id=snap.id)
         created.append(name)
     keep = opts.get("tag.num-retained-max")
@@ -184,7 +213,9 @@ PROCEDURES: dict[str, Callable] = {
         int(a.get("retain_last", 10))
     ),
     "expire_partitions": _expire_partitions,
-    "create_tag": lambda s, c, a: _t(c, a).create_tag(a["tag"], a.get("snapshot_id")),
+    "create_tag": lambda s, c, a: _t(c, a).create_tag(
+        a["tag"], a.get("snapshot_id"), time_retained=a.get("time_retained")
+    ),
     "create_tag_from_timestamp": lambda s, c, a: _t(c, a).create_tag_from_timestamp(
         a["tag"], a["timestamp"]
     ),

@@ -176,13 +176,26 @@ class SnapshotManager:
 
     # --- tags (TagManager) ---
 
-    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
+    def create_tag(
+        self,
+        name: str,
+        snapshot_id: int | None = None,
+        time_retained_ms: int | None = None,
+    ) -> None:
+        """Tag a snapshot. ``time_retained_ms`` stores the reference's
+        Tag.java tagCreateTime/tagTimeRetained fields (millis here —
+        the store's own JSON dialect): such tags expire automatically
+        once their lifetime passes (TagTimeExpire)."""
         os.makedirs(self.tag_dir, exist_ok=True)
         sid = snapshot_id if snapshot_id is not None else self.latest_id()
         if sid is None:
             raise RuntimeError("no snapshot to tag")
         snap = self.load(sid)
-        if not write_json_atomic_new(os.path.join(self.tag_dir, f"tag-{name}"), snap.to_dict()):
+        doc = snap.to_dict()
+        if time_retained_ms is not None:
+            doc["tagCreateTime"] = now_millis()
+            doc["tagTimeRetained"] = int(time_retained_ms)
+        if not write_json_atomic_new(os.path.join(self.tag_dir, f"tag-{name}"), doc):
             raise RuntimeError(f"tag {name} already exists")
 
     def delete_tag(self, name: str) -> None:
@@ -222,6 +235,24 @@ class SnapshotManager:
         ]
         for n in expired:
             self.delete_tag(n)
+        return expired
+
+    def expire_tags_by_time(self, now_ms: int | None = None) -> list[str]:
+        """TagTimeExpire: drop tags whose own ``tagTimeRetained``
+        lifetime (set at creation) has passed. Tags without a retention
+        never expire here."""
+        if not os.path.isdir(self.tag_dir):
+            return []
+        now = now_millis() if now_ms is None else now_ms
+        expired = []
+        for n in sorted(os.listdir(self.tag_dir)):
+            if not n.startswith("tag-"):
+                continue
+            doc = read_json(os.path.join(self.tag_dir, n))
+            created, retained = doc.get("tagCreateTime"), doc.get("tagTimeRetained")
+            if created is not None and retained is not None and created + retained < now:
+                os.unlink(os.path.join(self.tag_dir, n))
+                expired.append(n[4:])
         return expired
 
     # --- decoupled changelog lifecycle (ChangelogManager / Changelog.java:

@@ -753,6 +753,10 @@ class Table:
         detail, the observable contract (expiry happens by the next
         commit) is the same."""
         opts = self.schema.options
+        if opts.get("tag.time-expire-enabled", "true") != "false":
+            # TagTimeExpire runs at commit in the reference's
+            # TagAutoManager; O(tags) tiny-JSON reads
+            self.snapshots.expire_tags_by_time()
         r_min = int(opts.get("snapshot.num-retained.min", "10"))
         if len(self.snapshots.snapshot_ids()) <= r_min:
             return
@@ -2534,8 +2538,25 @@ class Table:
 
     # --- snapshot management ---
 
-    def create_tag(self, name: str, snapshot_id: int | None = None) -> None:
-        self.snapshots.create_tag(name, snapshot_id)
+    def create_tag(
+        self,
+        name: str,
+        snapshot_id: int | None = None,
+        time_retained: str | int | None = None,
+    ) -> None:
+        """``time_retained`` (a duration string or millis) bounds the
+        tag's lifetime (Tag.java tagTimeRetained); absent, the
+        ``tag.default-time-retained`` table option applies."""
+        from flink_table_store_spark.markdone import duration_ms
+
+        if time_retained is None:
+            time_retained = self.schema.options.get("tag.default-time-retained")
+        ms = (
+            duration_ms(time_retained)
+            if isinstance(time_retained, str)
+            else time_retained
+        )
+        self.snapshots.create_tag(name, snapshot_id, time_retained_ms=ms)
 
     def delete_tag(self, name: str) -> None:
         self.snapshots.delete_tag(name)
