@@ -95,6 +95,8 @@ def _builder_options(rb: "ReadBuilder") -> dict:
         opts["timestamp_as_of"] = str(rb._timestamp_ms)
     if rb._tag is not None:
         opts["tag"] = rb._tag
+    if rb._file_creation_ms is not None:
+        opts["scan.file-creation-time-millis"] = str(rb._file_creation_ms)
     return opts
 
 

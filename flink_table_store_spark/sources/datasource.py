@@ -244,6 +244,20 @@ def _plan_input_partitions(
         rb = rb.with_timestamp(int(options.get("timestamp_as_of")))
     if options.get("tag"):
         rb = rb.with_tag(options.get("tag"))
+    # the reference's CoreOptions travel spellings (scan.* — usable as
+    # table or read options by a reference user)
+    if options.get("scan.snapshot-id"):
+        rb = rb.with_snapshot(int(options.get("scan.snapshot-id")))
+    if options.get("scan.timestamp-millis"):
+        rb = rb.with_timestamp(int(options.get("scan.timestamp-millis")))
+    if options.get("scan.tag-name"):
+        rb = rb.with_tag(options.get("scan.tag-name"))
+    if options.get("scan.version"):
+        rb = rb.with_version(options.get("scan.version"))
+    if options.get("scan.file-creation-time-millis"):
+        rb = rb.with_file_creation_time(
+            int(options.get("scan.file-creation-time-millis"))
+        )
     snap = rb._resolve_snapshot()
     if snap is None:
         return []

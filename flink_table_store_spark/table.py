@@ -85,6 +85,7 @@ class ReadBuilder:
         self._timestamp_ms: int | None = None
         self._watermark: int | None = None
         self._topn: tuple[str, int, bool] | None = None
+        self._file_creation_ms: int | None = None
 
     def with_filter(self, predicate: Predicate) -> "ReadBuilder":
         self._predicate = predicate if self._predicate is None else (self._predicate & predicate)
@@ -96,6 +97,22 @@ class ReadBuilder:
 
     def with_limit(self, n: int) -> "ReadBuilder":
         self._limit = n
+        return self
+
+    def with_version(self, version: str) -> "ReadBuilder":
+        """VERSION AS OF / ``scan.version``: a snapshot id when the
+        string is numeric and such a snapshot exists, else a tag name
+        (the reference's version resolution order)."""
+        v = str(version)
+        if v.isdigit() and self._table.snapshots.exists(int(v)):
+            return self.with_snapshot(int(v))
+        return self.with_tag(v)
+
+    def with_file_creation_time(self, ts_millis: int) -> "ReadBuilder":
+        """``scan.file-creation-time-millis``: only data files created
+        AFTER this time are read (CoreOptions — a file filter, not time
+        travel; stale partitions drop out without partition math)."""
+        self._file_creation_ms = int(ts_millis)
         return self
 
     def with_snapshot(self, snapshot_id: int) -> "ReadBuilder":
@@ -140,6 +157,10 @@ class ReadBuilder:
         if snap is None:
             return read_mod.ScanPlan()
         entries = t.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
+        if self._file_creation_ms is not None:
+            entries = [
+                e for e in entries if e.creation_time > self._file_creation_ms
+            ]
         return read_mod.plan_scan(entries, t.schema, self._predicate, self._limit, t.path)
 
     # --- local (no-Spark) materialization — pypaimon TableRead parity

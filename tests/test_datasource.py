@@ -366,3 +366,41 @@ class TestWriteGuardTypes:
         df = spark.createDataFrame([(Decimal("1.50"), "a")], sch)
         with _pytest.raises(Exception, match="Spark-side hash|table.write"):
             df.write.format("ftss").mode("append").save(t.path)
+
+
+def test_scan_option_spellings(spark, warehouse):
+    """CoreOptions travel spellings on the format surface:
+    scan.snapshot-id / scan.tag-name / scan.version /
+    scan.file-creation-time-millis."""
+    t = warehouse.create_table("db.scanopt", "k bigint, v string")
+    t.write(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+    t.write(spark.createDataFrame([(2, "b")], "k bigint, v string"))
+    t.create_tag("rel-1", snapshot_id=1)
+
+    def rd(k, v):  # a FRESH reader each time: .option() mutates
+        return spark.read.format("ftss").option(k, v).load(t.path)
+
+    assert rd("scan.snapshot-id", "1").count() == 1
+    assert rd("scan.tag-name", "rel-1").count() == 1
+    # scan.version: numeric existing snapshot, else tag name
+    assert rd("scan.version", "2").count() == 2
+    assert rd("scan.version", "rel-1").count() == 1
+    # file-creation filter: a future cutoff drops every file
+    import time
+
+    cut = int(time.time() * 1000) + 60_000
+    assert rd("scan.file-creation-time-millis", str(cut)).count() == 0
+    assert rd("scan.file-creation-time-millis", "0").count() == 2
+
+
+def test_with_file_creation_time_builder(spark, warehouse):
+    import time
+
+    t = warehouse.create_table("db.fct", "k bigint")
+    t.write(spark.createDataFrame([(1,)], "k bigint"))
+    old_cut = int(time.time() * 1000)
+    time.sleep(0.01)
+    t.write(spark.createDataFrame([(2,)], "k bigint"))
+    rb = t.read_builder().with_file_creation_time(old_cut)
+    rows = sorted(r["k"] for r in rb.to_arrow().to_pylist())
+    assert rows == [2]  # only the file created after the cutoff
