@@ -669,6 +669,13 @@ def _make_spec(schema, buckets, dv, maps, sel_cols, jkeys, pred=None) -> dict:
     from flink_table_store_spark.operators.merge_engines import _sequence_groups
 
     seq_groups = _sequence_groups(schema) if engine == "partial-update" else {}
+    rr_groups = []
+    if engine == "partial-update" and seq_groups:
+        from flink_table_store_spark.operators.merge_engines import (
+            remove_record_groups,
+        )
+
+        rr_groups = sorted(remove_record_groups(schema))
     if pred is not None and pred.fields() is None:
         # Raw predicates wrap a py4j-backed Column — unpicklable in the
         # task closure and a no-op for _keep_mask anyway
@@ -682,6 +689,7 @@ def _make_spec(schema, buckets, dv, maps, sel_cols, jkeys, pred=None) -> dict:
         "engine": engine,
         "agg_cfg": _agg_cfg(schema) if engine == "aggregation" else None,
         "seq_groups": seq_groups,
+        "rr_groups": rr_groups,
         "key_cols": key_cols,
         "seq_fields": seq_fields,
         "seq_desc": seq_desc,
@@ -807,8 +815,19 @@ def read_bucket_side(spec: dict, bucket: int):
             pdf = fold_aggregation(pdf, spec["key_cols"], spec["agg_cfg"], seqc, kindc)
         else:  # partial-update: per-column last non-null in order
             pdf["__ord"] = range(len(pdf))
-            ups = pdf[pdf[kindc] != KIND_DELETE]
-            del_rows = pdf[pdf[kindc] == KIND_DELETE]
+            groups = spec.get("seq_groups") or {}
+            gseq_cols = [g for g in groups if g in pdf.columns]
+            if gseq_cols:
+                # a -D carrying a group sequence is a GROUP retract, not
+                # a whole-row delete (merge_engines parity)
+                row_del_mask = (pdf[kindc] == KIND_DELETE) & (
+                    pdf[gseq_cols].isna().all(axis=1)
+                )
+            else:
+                row_del_mask = pdf[kindc] == KIND_DELETE
+            body = pdf[~row_del_mask]
+            ups = body[body[kindc] != KIND_DELETE]
+            del_rows = pdf[row_del_mask]
             gb = ups.groupby(spec["key_cols"], sort=False, dropna=False)
             merged = gb.last()  # pandas last() skips nulls per column
             # sequence-groups (PartialUpdateMergeFunction.java:65-107):
@@ -816,14 +835,18 @@ def read_bucket_side(spec: dict, bucket: int):
             # included) from the row with the max non-null (group-seq,
             # seq); keys with no non-null group-seq leave the group null
             # — exact max_by(f, CASE WHEN g IS NOT NULL THEN struct(g,
-            # seq) END) parity with merge_engines._partial_update
-            for g, fields in (spec.get("seq_groups") or {}).items():
+            # seq) END) parity with merge_engines._partial_update.
+            # The group's latest activity INCLUDING -D decides
+            # retraction: fields null out, or (remove-record-on-
+            # sequence-group) the whole row drops.
+            rr = set(spec.get("rr_groups") or ())
+            for g, fields in groups.items():
                 cols = [
                     c
                     for c in [g] + fields
                     if c in ups.columns and c not in spec["key_cols"]
                 ]
-                if g not in ups.columns or not cols:
+                if g not in pdf.columns or not cols:
                     continue
                 sub = ups[ups[g].notna()].sort_values([g, "__ord"], kind="stable")
                 gsel = sub.drop_duplicates(
@@ -831,6 +854,21 @@ def read_bucket_side(spec: dict, bucket: int):
                 ).set_index(spec["key_cols"])[cols]
                 for c in cols:
                     merged[c] = gsel[c].reindex(merged.index)
+                winner = body[body[g].notna()].sort_values(
+                    [g, "__ord"], kind="stable"
+                ).drop_duplicates(subset=spec["key_cols"], keep="last").set_index(
+                    spec["key_cols"]
+                )
+                merged[g] = winner[g].reindex(merged.index)
+                dead = (
+                    winner[kindc].reindex(merged.index) == KIND_DELETE
+                ).fillna(False)
+                if g in rr:
+                    merged = merged[~dead]
+                else:
+                    for c in cols:
+                        if c != g:
+                            merged.loc[dead, c] = None
             if len(del_rows):
                 # remove-record-on-delete: a -D that is the key's
                 # latest activity drops the record

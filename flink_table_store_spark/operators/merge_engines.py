@@ -229,16 +229,42 @@ def _partial_update_aggs(schema: TableSchema, seq: str) -> list:
     return aggs
 
 
+def remove_record_groups(schema: TableSchema) -> set[str]:
+    """``partial-update.remove-record-on-sequence-group``: sequence
+    groups whose -D records remove the WHOLE row instead of retracting
+    just their fields (CoreOptions.java:914-918)."""
+    raw = schema.options.get(
+        "partial-update.remove-record-on-sequence-group", ""
+    )
+    rr = {c.strip() for c in raw.split(",") if c.strip()}
+    unknown = rr - set(_sequence_groups(schema))
+    if unknown:
+        raise ValueError(
+            "partial-update.remove-record-on-sequence-group names "
+            f"non-sequence-group fields: {sorted(unknown)}"
+        )
+    return rr
+
+
 def _partial_update(
     df: DataFrame, schema: TableSchema, seq_col: str = SEQUENCE_NUMBER
 ) -> DataFrame:
     """groupBy(key) with per-field max_by — one shuffle, map-side combine.
 
     ``-D`` rows remove the record when they are the latest activity
-    (partial-update.remove-record-on-delete semantics).
+    (partial-update.remove-record-on-delete semantics). With sequence
+    groups, a -D carrying a non-null group sequence retracts ONLY that
+    group's fields (PartialUpdateMergeFunction.retractWithSequenceGroup)
+    — unless the group is listed in
+    ``partial-update.remove-record-on-sequence-group``, which removes
+    the whole row; a -D with every group sequence null stays a
+    whole-row delete.
     """
     keys = _key_cols(schema)
     seq = seq_col
+    groups = _sequence_groups(schema)
+    if groups:
+        return _partial_update_with_groups(df, schema, seq)
     upserts = df.where(F.col(VALUE_KIND) != KIND_DELETE)
     aggs = _partial_update_aggs(schema, seq)
     aggs.append(F.max(F.col(seq)).alias("__ups_seq"))
@@ -252,6 +278,78 @@ def _partial_update(
     out = (
         merged.join(deletes, on=keys, how="left")
         .where(F.col("__del_seq").isNull() | (F.col("__ups_seq") > F.col("__del_seq")))
+    )
+    return out.select(*schema.field_names())
+
+
+def _partial_update_with_groups(
+    df: DataFrame, schema: TableSchema, seq: str
+) -> DataFrame:
+    """Partial update under sequence groups, -D aware: the same single
+    groupBy — per-group winner KIND decides retraction, so no extra
+    shuffle joins beyond the whole-row-delete probe."""
+    keys = _key_cols(schema)
+    groups = _sequence_groups(schema)
+    rr = remove_record_groups(schema)
+    all_null = " AND ".join(f"`{g}` IS NULL" for g in groups)
+    is_row_delete = F.expr(f"`{VALUE_KIND}` = '{KIND_DELETE}' AND ({all_null})")
+    row_dels = (
+        df.where(is_row_delete)
+        .groupBy(*[F.col(k) for k in keys])
+        .agg(F.max(F.col(seq)).alias("__del_seq"))
+    )
+    body = df.where(~is_row_delete)
+
+    field_group: dict[str, str] = {}
+    for g, cols in groups.items():
+        for c in cols:
+            field_group[c] = g
+    aggs = []
+    for f in schema.fields:
+        if f.name in keys:
+            continue
+        if f.name in groups:  # the group's own sequence column
+            aggs.append(F.max(F.col(f.name)).alias(f.name))
+        elif f.name in field_group:
+            g = field_group[f.name]
+            aggs.append(
+                F.expr(
+                    f"max_by(`{f.name}`, CASE WHEN `{g}` IS NOT NULL AND "
+                    f"`{VALUE_KIND}` != '{KIND_DELETE}' "
+                    f"THEN struct(`{g}`, `{seq}`) END)"
+                ).alias(f.name)
+            )
+        else:
+            aggs.append(
+                F.expr(
+                    f"max_by(`{f.name}`, CASE WHEN `{f.name}` IS NOT NULL AND "
+                    f"`{VALUE_KIND}` != '{KIND_DELETE}' THEN `{seq}` END)"
+                ).alias(f.name)
+            )
+    for g in groups:
+        # the group's LATEST activity (upsert or retract), -D included
+        aggs.append(
+            F.expr(
+                f"max_by(`{VALUE_KIND}`, CASE WHEN `{g}` IS NOT NULL "
+                f"THEN struct(`{g}`, `{seq}`) END)"
+            ).alias(f"__kind__{g}")
+        )
+    aggs.append(F.max(F.col(seq)).alias("__ups_seq"))
+    merged = body.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    for g, cols in groups.items():
+        dead = F.col(f"__kind__{g}") == KIND_DELETE
+        if g in rr:
+            merged = merged.where(~F.coalesce(dead, F.lit(False)))
+        else:
+            for c in cols:
+                merged = merged.withColumn(
+                    c, F.when(dead, F.lit(None)).otherwise(F.col(c))
+                )
+    out = (
+        merged.join(row_dels, on=keys, how="left")
+        .where(
+            F.col("__del_seq").isNull() | (F.col("__ups_seq") > F.col("__del_seq"))
+        )
     )
     return out.select(*schema.field_names())
 
