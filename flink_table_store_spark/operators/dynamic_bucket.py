@@ -61,6 +61,30 @@ def _partition_json(schema: TableSchema):
     return F.concat(F.lit("{"), F.concat_ws(", ", *pairs), F.lit("}"))
 
 
+def _new_bucket_expr(target: int, initial: int, max_b: int):
+    """New-key bucket from the key's fill position (``__n + __rank``).
+
+    Sequential fill by default; ``dynamic-bucket.initial-buckets``
+    spreads the first ``initial * target`` keys round-robin over the
+    initial buckets (early writes parallelize instead of queueing on
+    bucket 0); ``dynamic-bucket.max-buckets`` caps growth — once the
+    cap is reached new keys land at ``hash % max`` (HashBucketAssigner's
+    bounded mode), so buckets grow past target instead of multiplying."""
+    pos = F.col("__n") + F.col("__rank")
+    seq = (pos / target).cast("int")
+    newb = (
+        F.when(pos < initial * target, F.pmod(pos, F.lit(initial)).cast("int"))
+        .otherwise(seq)
+        if initial > 0
+        else seq
+    )
+    if max_b > 0:
+        newb = F.when(
+            newb >= max_b, F.pmod(F.col("__kh"), F.lit(max_b)).cast("int")
+        ).otherwise(newb)
+    return newb
+
+
 def assign_buckets(
     spark: SparkSession, df: DataFrame, table_path: str, schema: TableSchema
 ) -> DataFrame:
@@ -71,6 +95,13 @@ def assign_buckets(
     new keys are ordered by key_hash.
     """
     target = int(schema.options.get("dynamic-bucket.target-row-num", "2000000"))
+    initial = int(schema.options.get("dynamic-bucket.initial-buckets", "0") or 0)
+    max_b = int(schema.options.get("dynamic-bucket.max-buckets", "-1"))
+    if max_b == 0 or max_b < -1:
+        raise ValueError(
+            "dynamic-bucket.max-buckets must be -1 (unlimited) or > 0, "
+            f"got {max_b}"
+        )
     idx = load_index(spark, table_path)
     keyed = df.withColumn("__kh", _key_hash(schema)).withColumn("__pt", _partition_json(schema))
 
@@ -99,7 +130,7 @@ def assign_buckets(
             "__rank",
             F.row_number().over(Window.partitionBy("__pt").orderBy("__kh")) - 1,
         )
-        .withColumn("__newb", ((F.col("__n") + F.col("__rank")) / target).cast("int"))
+        .withColumn("__newb", _new_bucket_expr(target, initial, max_b))
         .select("__pt", "__kh", "__newb")
     )
 

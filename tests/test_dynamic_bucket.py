@@ -72,3 +72,67 @@ def test_partitioned_dynamic_bucket(spark, warehouse):
         per_pt.setdefault(e.partition["pt"], set()).add(e.bucket)
     assert set(per_pt) == {"p0", "p1"}
     assert all(len(b) == 2 for b in per_pt.values())  # 100 keys / 50 target
+
+
+def test_initial_buckets_spread_early_keys(spark, warehouse):
+    """dynamic-bucket.initial-buckets: first keys round-robin across N
+    buckets instead of filling bucket 0 sequentially."""
+    t = warehouse.create_table(
+        "db.dyninit", "k bigint, v string",
+        primary_keys=["k"],
+        options={
+            "bucket": "-1",
+            "dynamic-bucket.target-row-num": "100",
+            "dynamic-bucket.initial-buckets": "4",
+        },
+    )
+    t.write(spark.createDataFrame(
+        [(i, "v") for i in range(40)], "k bigint, v string"
+    ))
+    from flink_table_store_spark.operators.dynamic_bucket import load_index
+
+    idx = load_index(spark, t.path)
+    buckets = {r.bucket for r in idx.collect()}
+    assert buckets == {0, 1, 2, 3}
+    assert t.to_df(spark).count() == 40
+
+
+def test_max_buckets_caps_growth(spark, warehouse):
+    """dynamic-bucket.max-buckets: new keys overflow into hash%max once
+    the cap is reached; existing keys keep their bucket."""
+    t = warehouse.create_table(
+        "db.dynmax", "k bigint, v string",
+        primary_keys=["k"],
+        options={
+            "bucket": "-1",
+            "dynamic-bucket.target-row-num": "5",
+            "dynamic-bucket.max-buckets": "2",
+        },
+    )
+    t.write(spark.createDataFrame(
+        [(i, "v") for i in range(50)], "k bigint, v string"
+    ))
+    from flink_table_store_spark.operators.dynamic_bucket import load_index
+
+    idx = load_index(spark, t.path)
+    assert {r.bucket for r in idx.collect()} <= {0, 1}
+    before = {r.k: r.v for r in t.to_df(spark).collect()}
+    assert len(before) == 50
+    # updates keep keys in their assigned bucket (no duplicates)
+    t.write(spark.createDataFrame(
+        [(i, "u") for i in range(50)], "k bigint, v string"
+    ))
+    after = {r.k: r.v for r in t.to_df(spark).collect()}
+    assert len(after) == 50 and set(after.values()) == {"u"}
+
+
+def test_max_buckets_validation(spark, warehouse):
+    import pytest
+
+    t = warehouse.create_table(
+        "db.dynbad", "k bigint, v string",
+        primary_keys=["k"],
+        options={"bucket": "-1", "dynamic-bucket.max-buckets": "0"},
+    )
+    with pytest.raises(ValueError, match="max-buckets"):
+        t.write(spark.createDataFrame([(1, "v")], "k bigint, v string"))
