@@ -586,6 +586,11 @@ class FtssWriter(DataSourceArrowWriter):
         self._base_seq = latest.next_sequence if latest else 0
         self._schema_id = schema.id
         self._table_schema_json = schema.to_dict()
+        # CoreOptions FILE_COMPRESSION on the pyarrow writer (the Spark
+        # write path maps the same option onto the parquet codec)
+        self._compression = schema.options.get("file.compression")
+        zl = schema.options.get("file.compression.zstd-level")
+        self._compression_level = int(zl) if zl else None
 
     # --- executor side ---
 
@@ -678,7 +683,12 @@ class FtssWriter(DataSourceArrowWriter):
             name = f"data-{_uuid.uuid4().hex}.parquet"
             dest = os.path.join(dest_dir, name)
             drop = [c for c in (self._partition_keys + [BUCKET_COL]) if c in sub_tbl.column_names]
-            pq.write_table(sub_tbl.drop_columns(drop), dest)
+            kw = {}
+            if self._compression:
+                kw["compression"] = self._compression
+                if self._compression_level is not None:
+                    kw["compression_level"] = self._compression_level
+            pq.write_table(sub_tbl.drop_columns(drop), dest, **kw)
             rc, size, stats = collect_parquet_stats(dest)
             seq_stats = stats.get(SEQUENCE_NUMBER, {})
             files.append(dest)

@@ -240,6 +240,19 @@ def stage_and_collect(
                     writer = writer.option(f"parquet.bloom.filter.enabled#{c.strip()}", "true")
         elif fmt == "orc":
             writer = writer.option("orc.bloom.filter.columns", bloom_cols)
+    comp = schema.options.get("file.compression")
+    if comp:
+        # CoreOptions FILE_COMPRESSION (reference default zstd; here the
+        # engine honors the option and otherwise keeps Spark's codec)
+        writer = writer.option("compression", comp)
+        zlevel = schema.options.get("file.compression.zstd-level")
+        if zlevel and fmt == "parquet" and comp.lower() == "zstd":
+            writer = writer.option("parquet.compression.codec.zstd.level", zlevel)
+    blk = schema.options.get("file.block-size")
+    if blk:
+        writer = writer.option(
+            "parquet.block.size" if fmt == "parquet" else "orc.stripe.size", blk
+        )
     for k, v in schema.options.items():
         if k.startswith(f"{fmt}."):
             writer = writer.option(k, v)

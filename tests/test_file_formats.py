@@ -126,3 +126,27 @@ def test_lance_format_gated_on_missing_connector(spark, warehouse):
         pytest.skip("lance installed — gating not exercised")
     with pytest.raises(NotImplementedError, match="lance"):
         t.write(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+
+
+def test_file_compression_option(spark, warehouse):
+    """file.compression / file.compression.zstd-level reach the parquet
+    writer on both the Spark and the local no-Spark write paths."""
+    import os
+    import pyarrow.parquet as pq
+
+    t = warehouse.create_table(
+        "db.comp", "k bigint, v string",
+        options={"file.compression": "zstd", "file.compression.zstd-level": "5"},
+    )
+    t.write(spark.createDataFrame([(i, "x" * 50) for i in range(100)], "k bigint, v string"))
+    import pyarrow as pa
+
+    t.write_arrow(pa.table({"k": [200], "v": ["y"]}))
+    files = []
+    for root, _dirs, names in os.walk(os.path.join(t.path, "data")):
+        files += [os.path.join(root, n) for n in names if n.endswith(".parquet")]
+    assert files
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        assert md.row_group(0).column(0).compression == "ZSTD"
+    assert t.to_df(spark).count() == 101
