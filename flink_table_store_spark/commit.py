@@ -48,6 +48,15 @@ class FileStoreCommit:
         # its delta — O(delta) metadata per commit — until the manifest
         # count reaches this bound, then one commit pays the full fold
         self.manifest_merge_min_count = manifest_merge_min_count
+        # Snapshot.java commitUser: one identity per committer instance;
+        # `commit.user-prefix` customizes the prefix (Table wires it)
+        import uuid as _uuid
+
+        self.commit_user = f"spark-{_uuid.uuid4().hex[:12]}"
+        # CAS-retry backoff bounds (commit.min-retry-wait /
+        # commit.max-retry-wait, millis)
+        self.min_retry_wait_ms = 10
+        self.max_retry_wait_ms = 1000
         # post-commit callbacks (reference: CommitCallback implementations
         # such as IcebergCommitCallback); fired once per committed snapshot
         self.callbacks: list = []
@@ -171,6 +180,7 @@ class FileStoreCommit:
                 delta_manifest_list=delta_list,
                 commit_kind=kind,
                 commit_identifier=commit_identifier,
+                commit_user=self.commit_user,
                 time_millis=now_millis(),
                 total_record_count=prev_total + added - removed,
                 delta_record_count=added - removed,
@@ -234,7 +244,12 @@ class FileStoreCommit:
                             f"{snap.id} committed: {exc}"
                         )
                 return snap
-            time.sleep(0.01)  # lost the CAS race — re-plan against new latest
+            # lost the CAS race — exponential backoff inside the
+            # configured bounds, then re-plan against the new latest
+            wait = min(
+                self.min_retry_wait_ms * (2 ** _attempt), self.max_retry_wait_ms
+            )
+            time.sleep(wait / 1000.0)
         raise CommitConflictError(f"commit failed after {self.max_retries} retries")
 
     def commit_overwrite(

@@ -31,6 +31,7 @@ class Snapshot:
     delta_manifest_list: str | None
     commit_kind: str = COMMIT_APPEND
     commit_identifier: str = ""  # (queryId, batchId) for idempotent streaming sinks
+    commit_user: str = ""  # Snapshot.java commitUser; commit.user-prefix
     time_millis: int = 0
     total_record_count: int = 0
     delta_record_count: int = 0
@@ -64,6 +65,7 @@ class Snapshot:
             "deltaManifestList": self.delta_manifest_list,
             "commitKind": self.commit_kind,
             "commitIdentifier": self.commit_identifier,
+            "commitUser": self.commit_user,
             "timeMillis": self.time_millis,
             "totalRecordCount": self.total_record_count,
             "deltaRecordCount": self.delta_record_count,
@@ -85,6 +87,7 @@ class Snapshot:
             delta_manifest_list=d.get("deltaManifestList"),
             commit_kind=d.get("commitKind", COMMIT_APPEND),
             commit_identifier=d.get("commitIdentifier", ""),
+            commit_user=d.get("commitUser", ""),
             time_millis=d.get("timeMillis", 0),
             total_record_count=d.get("totalRecordCount", 0),
             delta_record_count=d.get("deltaRecordCount", 0),

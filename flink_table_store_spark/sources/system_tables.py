@@ -61,6 +61,7 @@ def _snapshots(spark: SparkSession, t: "Table") -> DataFrame:
             s.schema_id,
             s.commit_kind,
             s.commit_identifier,
+            s.commit_user,
             s.time_millis,
             s.total_record_count,
             s.delta_record_count,
@@ -71,8 +72,8 @@ def _snapshots(spark: SparkSession, t: "Table") -> DataFrame:
     return spark.createDataFrame(
         rows,
         "snapshot_id bigint, schema_id bigint, commit_kind string, "
-        "commit_identifier string, commit_time bigint, total_record_count bigint, "
-        "delta_record_count bigint, watermark bigint",
+        "commit_identifier string, commit_user string, commit_time bigint, "
+        "total_record_count bigint, delta_record_count bigint, watermark bigint",
     )
 
 

@@ -412,9 +412,30 @@ class Table:
         self.committer = FileStoreCommit(path, branch=branch)
         self._schema: TableSchema | None = None
         try:
+            opts = self.schema.options
             self.committer.manifest_merge_min_count = int(
-                self.schema.options.get("manifest.merge-min-count", "30")
+                opts.get("manifest.merge-min-count", "30")
             )
+            # commit knobs (CoreOptions commit.max-retries /
+            # min-retry-wait / max-retry-wait / user-prefix)
+            if opts.get("commit.max-retries"):
+                self.committer.max_retries = int(opts["commit.max-retries"])
+            from flink_table_store_spark.markdone import duration_ms as _dur
+
+            if opts.get("commit.min-retry-wait"):
+                self.committer.min_retry_wait_ms = _dur(
+                    opts["commit.min-retry-wait"]
+                )
+            if opts.get("commit.max-retry-wait"):
+                self.committer.max_retry_wait_ms = _dur(
+                    opts["commit.max-retry-wait"]
+                )
+            if opts.get("commit.user-prefix"):
+                import uuid as _uuid
+
+                self.committer.commit_user = (
+                    f"{opts['commit.user-prefix']}-{_uuid.uuid4().hex[:12]}"
+                )
         except Exception:
             pass  # schema not readable yet (table being created)
         # Iceberg compat (iceberg.py): no-op unless the table sets
@@ -755,12 +776,24 @@ class Table:
             )
 
             persist_lookup_changelog(df.sparkSession, self.refresh(), snap.id)
+        if self.schema.options.get("end-input.check-partition-expire") == "true":
+            # CoreOptions END_INPUT_CHECK_PARTITION_EXPIRE: batch jobs
+            # check partition expiration when their input ends
+            try:
+                self.refresh().expire_partitions()
+            except ValueError:
+                pass  # no expiration-time configured: nothing to check
         fc = self.schema.options.get("full-compaction.delta-commits")
         if fc and int(fc) > 0:
             # CoreOptions.FULL_COMPACTION_DELTA_COMMITS: "for batch
             # write, full compaction will be triggered with each commit
             # as long as this value is greater than 0"
             compacted = self.refresh().compact(df.sparkSession, full=True)
+            return compacted if compacted is not None else snap
+        if self.schema.options.get("commit.force-compact") == "true":
+            # CoreOptions COMMIT_FORCE_COMPACT: compaction after every
+            # batch commit (ordinary triggers, not necessarily full)
+            compacted = self.refresh().compact(df.sparkSession, full=False)
             return compacted if compacted is not None else snap
         return snap
 

@@ -160,3 +160,40 @@ def test_expire_snapshots_procedure_forms(spark, tmp_path):
     # legacy form still honored
     s.sql("CALL sys.expire_snapshots(table => 'db.expp', retain_last => 1)")
     assert len(t.snapshots.snapshot_ids()) == 1
+
+
+def test_commit_user_and_knobs(spark, warehouse):
+    """Snapshot.commitUser + commit.user-prefix / commit.max-retries
+    (Snapshot.java commitUser; CoreOptions commit.*)."""
+    t = warehouse.create_table(
+        "db.cu", "id bigint",
+        options={"commit.user-prefix": "etl-job", "commit.max-retries": "3"},
+    )
+    assert t.committer.max_retries == 3
+    t.write(spark.createDataFrame([(1,)], "id bigint"))
+    snap = t.snapshots.latest()
+    assert snap.commit_user.startswith("etl-job-")
+    [r] = warehouse.read_system(spark, "db.cu$snapshots").collect()
+    assert r.commit_user == snap.commit_user
+
+
+def test_end_input_check_partition_expire(spark, warehouse):
+    """end-input.check-partition-expire: a batch write expires
+    out-of-lifetime partitions when its input ends."""
+    t = warehouse.create_table(
+        "db.eipe", "id bigint, dt string", partition_keys=["dt"],
+        options={
+            "end-input.check-partition-expire": "true",
+            "partition.expiration-time": "7 d",
+            "partition.timestamp-pattern": "$dt",
+            "partition.timestamp-formatter": "yyyy-MM-dd",
+        },
+    )
+    t.write(spark.createDataFrame(
+        [(1, "2001-01-01")], "id bigint, dt string"
+    ))
+    # first write: the ancient partition itself was just written; the
+    # expire check runs at THIS write's end and drops it
+    t.write(spark.createDataFrame([(2, "2999-01-01")], "id bigint, dt string"))
+    dts = {r.dt for r in t.refresh().to_df(spark).collect()}
+    assert dts == {"2999-01-01"}
