@@ -89,6 +89,13 @@ class HiveCatalog(Catalog):
         if self._partition_sync_enabled(schema):
             keys = ", ".join(f"`{k}`" for k in schema.partition_keys)
             part_sql = f"PARTITIONED BY ({keys}) "
+        ttp = schema.options.get("metastore.tag-to-partition")
+        if ttp and not schema.partition_keys:
+            # upsert-to-partitioned (migration/upsert-to-partitioned.md):
+            # the mirror exposes a VIRTUAL partition column mapping tag
+            # names, so Hive-style consumers SHOW PARTITIONS / prune
+            cols = f"{cols}, `{ttp}` string"
+            part_sql = f"PARTITIONED BY (`{ttp}`) "
         # external entry: dropping the registration must never delete data
         self.spark.sql(
             f"CREATE TABLE IF NOT EXISTS `{db}`.`{name}` ({cols}) USING parquet "
@@ -108,6 +115,11 @@ class HiveCatalog(Catalog):
         """Post-commit hook mirroring AddPartitionCommitCallback.java:
         every commit registers its delta's newly-ADDed partitions in the
         metastore (idempotent ADD IF NOT EXISTS, memoized per handle)."""
+        ttp = table.schema.options.get("metastore.tag-to-partition")
+        if ttp and not table.schema.partition_keys:
+            table.tag_partition_handler = _MetastorePartitionHandler(
+                self.spark, *self._split(identifier), [ttp]
+            )
         if not self._partition_sync_enabled(table.schema):
             return table
         db, name = self._split(identifier)

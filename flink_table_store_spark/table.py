@@ -494,6 +494,11 @@ class Table:
         tag: str | None = None,
         timestamp_ms: int | None = None,
     ) -> DataFrame:
+        ttp = self.schema.options.get("metastore.tag-to-partition")
+        if ttp and snapshot_id is None and tag is None and timestamp_ms is None:
+            return self._tag_to_partition_df(
+                spark, ttp, predicate, projection, limit
+            )
         rb = self.read_builder()
         if predicate is not None:
             rb.with_filter(predicate)
@@ -508,6 +513,55 @@ class Table:
         if timestamp_ms is not None:
             rb.with_timestamp(timestamp_ms)
         return rb.to_df(spark)
+
+    def _tag_to_partition_df(
+        self, spark, col, predicate, projection, limit
+    ) -> DataFrame:
+        """``metastore.tag-to-partition`` (upsert-to-partitioned.md:44-136):
+        a non-partitioned PK table reads as a partitioned view whose
+        virtual partition column maps to the TAG name — one union branch
+        per tag, so a ``WHERE dt='2023-10-16'`` filter constant-folds
+        every other branch away (Catalyst PruneFilters: the per-branch
+        ``lit(tag)`` comparison becomes FALSE → empty relation, no scan).
+        With ``.preview`` the LIVE table joins the view under the
+        current period's name, so unfinished days are queryable early."""
+        import datetime as _dt
+
+        tags = self.snapshots.tags()
+        parts: list[DataFrame] = []
+        for name in sorted(tags):
+            df = self.to_df(
+                spark, predicate=predicate, projection=projection, tag=name
+            )
+            parts.append(df.withColumn(col, F.lit(name)))
+        preview = self.schema.options.get("metastore.tag-to-partition.preview")
+        if preview and self.snapshots.latest() is not None:
+            period = self.schema.options.get("tag.creation-period", "daily")
+            now = _dt.datetime.utcnow()
+            pname = now.strftime(
+                "%Y-%m-%d" if period == "daily" else "%Y-%m-%d %H"
+            )
+            if pname not in tags:
+                live = self.to_df(
+                    spark,
+                    predicate=predicate,
+                    projection=projection,
+                    snapshot_id=self.snapshots.latest().id,
+                )
+                parts.append(live.withColumn(col, F.lit(pname)))
+        if not parts:
+            import pyspark.sql.types as T
+
+            base = self.schema.spark_schema()
+            fields = [
+                f for f in base.fields
+                if projection is None or f.name in set(projection)
+            ] + [T.StructField(col, T.StringType())]
+            return spark.createDataFrame([], T.StructType(fields))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.limit(limit) if limit is not None else out
 
     def to_arrow(self, predicate: Predicate | None = None,
                  projection: list[str] | None = None):
@@ -2611,6 +2665,12 @@ class Table:
             else time_retained
         )
         self.snapshots.create_tag(name, snapshot_id, time_retained_ms=ms)
+        handler = getattr(self, "tag_partition_handler", None)
+        ttp = self.schema.options.get("metastore.tag-to-partition")
+        if handler is not None and ttp:
+            # upsert-to-partitioned: every tag becomes a metastore
+            # partition of the mirror (HiveCatalog attaches the handler)
+            handler.create_partitions([{ttp: name}])
 
     def delete_tag(self, name: str) -> None:
         self.snapshots.delete_tag(name)
