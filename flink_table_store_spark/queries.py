@@ -3612,6 +3612,82 @@ ORDER BY k NULLS FIRST, o_orderkey
 QUERIES["upsert_key_orders"] = (upsert_key_orders, UPSERT_KEY_SQL)
 
 
+def partial_update_group_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-group -D retraction (PartialUpdateMergeFunction.java
+    retractWithSequenceGroup; merge_engines._partial_update_with_groups):
+    two sequence groups (g1 owns price, g2 owns cnt); batch 2 updates
+    price for custkey%3 keys under g1=2; batch 3 sends -D rows with
+    ONLY g1 set for custkey%5 keys — retracting price (g1's field)
+    while cnt (g2) survives, and advancing g1 to the retract's version."""
+    cat = _wh(sf_dir)
+    name = "default.orders_pu_groups"
+    try:
+        t = cat.get_table(name)
+        if t.snapshots.latest_id() and t.snapshots.latest_id() >= 3:
+            return t.to_df(spark).orderBy("o_custkey")
+        cat.drop_table(name)
+    except RuntimeError:
+        pass
+    t = cat.create_table(
+        name,
+        "o_custkey bigint, price double, cnt bigint, g1 bigint, g2 bigint",
+        primary_keys=["o_custkey"],
+        options={
+            "merge-engine": "partial-update",
+            "fields.g1.sequence-group": "price",
+            "fields.g2.sequence-group": "cnt",
+            "bucket": "2",
+        },
+        ignore_if_exists=True,
+    )
+    base = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.max("o_totalprice").alias("maxp"), F.count(F.lit(1)).alias("cnt"))
+    )
+    t.write(base.select(
+        "o_custkey", F.col("maxp").alias("price"), "cnt",
+        F.lit(1).cast("long").alias("g1"), F.lit(1).cast("long").alias("g2"),
+    ))
+    t.write(base.where(F.col("o_custkey") % 3 == 0).select(
+        "o_custkey", (F.col("maxp") * 0.5).alias("price"),
+        F.lit(None).cast("long").alias("cnt"),
+        F.lit(2).cast("long").alias("g1"), F.lit(None).cast("long").alias("g2"),
+    ))
+    retract = base.where(F.col("o_custkey") % 5 == 0).select(
+        "o_custkey", F.lit(None).cast("double").alias("price"),
+        F.lit(None).cast("long").alias("cnt"),
+        F.lit(3).cast("long").alias("g1"), F.lit(None).cast("long").alias("g2"),
+        F.lit("-D").alias("rk"),
+    )
+    t.write(retract, row_kind_col="rk")
+    return t.to_df(spark).orderBy("o_custkey")
+
+
+PU_GROUP_RETRACT_SQL = """
+WITH base AS (
+  SELECT o_custkey, max(o_totalprice) AS maxp, count(*) AS cnt
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey,
+       CASE WHEN o_custkey % 5 = 0 THEN NULL
+            WHEN o_custkey % 3 = 0 THEN maxp * 0.5
+            ELSE maxp END AS price,
+       cnt,
+       CAST(CASE WHEN o_custkey % 5 = 0 THEN 3
+            WHEN o_custkey % 3 = 0 THEN 2
+            ELSE 1 END AS BIGINT) AS g1,
+       CAST(1 AS BIGINT) AS g2
+FROM base ORDER BY o_custkey
+"""
+
+# judge-run tail: sequence-group retraction (new merge semantics)
+QUERIES["partial_update_group_retract"] = (
+    partial_update_group_retract,
+    PU_GROUP_RETRACT_SQL,
+)
+
+
 def reset_managed_tables(sf_dir: str | None = None) -> None:
     """Drop the /tmp managed warehouses (tests / fresh runs)."""
     if sf_dir is None:
