@@ -161,6 +161,17 @@ class ReadBuilder:
             entries = [
                 e for e in entries if e.creation_time > self._file_creation_ms
             ]
+        if t.schema.options.get("scan.plan-sort-partition") == "true":
+            # CoreOptions SCAN_PLAN_SORT_PARTITION: splits ordered by
+            # partition value so batch output of an append table comes
+            # back partition-ordered
+            entries = sorted(
+                entries,
+                key=lambda e: tuple(
+                    str(e.partition.get(k, ""))
+                    for k in t.schema.partition_keys
+                ),
+            )
         return read_mod.plan_scan(entries, t.schema, self._predicate, self._limit, t.path)
 
     # --- local (no-Spark) materialization — pypaimon TableRead parity
@@ -2956,12 +2967,27 @@ class Table:
                 earliest_retained.delta_manifest_list,
             )
         }
+        touched_dirs: set[str] = set()
         for rel in candidates - p_data - earliest_live:
             for path in (os.path.join(self.path, rel), os.path.join(self.path, rel) + ".index"):
                 try:
                     os.unlink(path)
+                    touched_dirs.add(os.path.dirname(path))
                 except FileNotFoundError:
                     pass
+        if self.schema.options.get("snapshot.clean-empty-directories") == "true":
+            # CoreOptions SNAPSHOT_CLEAN_EMPTY_DIRECTORIES: expired
+            # partition/bucket dirs disappear with their last file
+            # (walk upward until the data root or a non-empty dir)
+            data_root = os.path.join(self.path, "data")
+            for d in sorted(touched_dirs, key=len, reverse=True):
+                while (
+                    d.startswith(data_root + os.sep)
+                    and os.path.isdir(d)
+                    and not os.listdir(d)
+                ):
+                    os.rmdir(d)
+                    d = os.path.dirname(d)
 
         # manifests referenced only by expired snapshots
         retained_manifests: set[str] = set(p_manifests)
@@ -3142,11 +3168,26 @@ class Table:
             return []
         from flink_table_store_spark.predicate import or_
 
-        preds = []
-        for pt in doomed:
-            leafs = [P_mod.equal(k, v) for k, v in pt.items()]
-            preds.append(leafs[0] if len(leafs) == 1 else P_mod.and_(*leafs))
-        self.committer.commit_overwrite([], self.schema.id, or_(*preds) if len(preds) > 1 else preds[0])
+        if option_driven:
+            # CoreOptions PARTITION_EXPIRATION_MAX_NUM (default 100):
+            # bound one run's deletions, oldest (by last update) first
+            doomed.sort(
+                key=lambda pt: newest[_json.dumps(pt, sort_keys=True)]
+            )
+            max_num = int(opts.get("partition.expiration-max-num", "100"))
+            doomed = doomed[:max_num]
+        # PARTITION_EXPIRATION_BATCH_SIZE: metadata-delete commits carry
+        # at most this many partitions each (bounded predicate size)
+        batch_size = int(opts.get("partition.expiration-batch-size", "1000"))
+        for i in range(0, len(doomed), batch_size):
+            chunk = doomed[i : i + batch_size]
+            preds = []
+            for pt in chunk:
+                leafs = [P_mod.equal(k, v) for k, v in pt.items()]
+                preds.append(leafs[0] if len(leafs) == 1 else P_mod.and_(*leafs))
+            self.committer.commit_overwrite(
+                [], self.schema.id, or_(*preds) if len(preds) > 1 else preds[0]
+            )
         return doomed
 
     def mark_partition_done(self, partition) -> list[str]:

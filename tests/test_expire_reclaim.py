@@ -285,3 +285,81 @@ def test_multi_field_timestamp_pattern(spark, warehouse):
         "k bigint, y string, d string"))
     gone = t.expire_partitions(older_than_millis=int(_time.time() * 1000))
     assert [(p["y"], p["d"]) for p in gone] == [("2001", "01-01")]
+
+
+def test_clean_empty_directories(spark, warehouse):
+    """snapshot.clean-empty-directories: an expired partition's dir
+    disappears with its last file."""
+    import os
+
+    t = warehouse.create_table(
+        "db.ced", "k bigint, p string", partition_keys=["p"],
+        options={"snapshot.clean-empty-directories": "true"},
+    )
+    t.write(spark.createDataFrame([(1, "old"), (2, "new")], "k bigint, p string"))
+    t.refresh().write(
+        spark.createDataFrame([], "k bigint, p string"),
+        overwrite=True,
+        overwrite_partition_filter=P.equal("p", "old"),
+    )
+    t = t.refresh()
+    t.expire_snapshots(retain_last=1)
+    assert not os.path.isdir(os.path.join(t.path, "data", "p=old"))
+    assert os.path.isdir(os.path.join(t.path, "data", "p=new"))
+
+
+def test_partition_expiration_max_num_and_batch(spark, warehouse):
+    """partition.expiration-max-num bounds one option-driven run
+    (oldest first); batch-size splits the metadata deletes."""
+    import time
+
+    t = warehouse.create_table(
+        "db.pexn", "k bigint, dt string", partition_keys=["dt"],
+        options={
+            "partition.expiration-time": "1 d",
+            "partition.timestamp-pattern": "$dt",
+            "partition.timestamp-formatter": "yyyy-MM-dd",
+            "partition.expiration-max-num": "2",
+            "partition.expiration-batch-size": "1",
+        },
+    )
+    days = ["2001-01-01", "2001-01-02", "2001-01-03", "2999-01-01"]
+    for i, d in enumerate(days):
+        t.write(spark.createDataFrame([(i, d)], "k bigint, dt string"))
+    before = t.snapshots.latest_id()
+    expired = t.expire_partitions()
+    assert len(expired) == 2  # capped, oldest values first
+    assert {p["dt"] for p in expired} == {"2001-01-01", "2001-01-02"}
+    # batch-size=1: one metadata commit per partition
+    assert t.snapshots.latest_id() == before + 2
+    expired = t.refresh().expire_partitions()
+    assert {p["dt"] for p in expired} == {"2001-01-03"}
+    left = {r.dt for r in t.refresh().to_df(spark).collect()}
+    assert left == {"2999-01-01"}
+
+
+def test_plan_sort_partition(spark, warehouse):
+    """scan.plan-sort-partition: the PLAN's splits come back
+    partition-ordered (the reference's contract is on the scan plan;
+    row order inside a distributed read is never contractual)."""
+    t = warehouse.create_table(
+        "db.psp", "k bigint, p string", partition_keys=["p"],
+        options={"scan.plan-sort-partition": "true"},
+    )
+    for p in ["c", "a", "b"]:
+        t.write(spark.createDataFrame([(1, p)], "k bigint, p string"))
+    plan = t.read_builder().plan()
+    order = [e.partition["p"] for e in plan.raw_entries or plan.merge_entries]
+    assert order == sorted(order)
+    t2 = warehouse.create_table(
+        "db.psp2", "k bigint, p string", partition_keys=["p"]
+    )
+    for p in ["c", "a", "b"]:
+        t2.write(spark.createDataFrame([(1, p)], "k bigint, p string"))
+    order2 = [
+        e.partition["p"]
+        for e in (lambda pl: pl.raw_entries or pl.merge_entries)(
+            t2.read_builder().plan()
+        )
+    ]
+    assert order2 == ["c", "a", "b"]  # default: commit order
