@@ -424,6 +424,73 @@ def collect_parquet_stats(path: str) -> tuple[int, int, dict[str, dict[str, Any]
     return md.num_rows, os.path.getsize(path), stats
 
 
+def _increment_string(s: str) -> str | None:
+    """Smallest-effort strict upper bound for a truncated prefix: bump
+    the last bumpable char (skipping the surrogate range). None when
+    every char is already the maximum code point."""
+    chars = list(s)
+    for i in range(len(chars) - 1, -1, -1):
+        cp = ord(chars[i])
+        if cp >= 0x10FFFF:
+            continue
+        nxt = cp + 1
+        if 0xD800 <= nxt <= 0xDFFF:
+            nxt = 0xE000
+        return "".join(chars[:i]) + chr(nxt)
+    return None
+
+
+def apply_stats_mode(options: dict, stats: dict) -> dict:
+    """``metadata.stats-mode`` (CoreOptions.java:1398-1427, default
+    ``truncate(16)``) + per-field ``fields.<f>.stats-mode`` overrides:
+    ``none`` drops the column's stats, ``counts`` keeps only the null
+    count, ``truncate(N)`` bounds string min/max at N chars (min is a
+    prefix = sound lower bound; max is incremented past the truncation
+    = sound upper bound — pruning stays conservative) and flags the
+    entry ``trunc`` so exact-answer consumers (aggregate pushdown)
+    refuse it, ``full`` keeps everything. Non-string values are never
+    truncated."""
+    import re as _re
+
+    default = options.get("metadata.stats-mode", "truncate(16)")
+    field_modes = {
+        k[len("fields."):-len(".stats-mode")]: v
+        for k, v in options.items()
+        if k.startswith("fields.") and k.endswith(".stats-mode")
+    }
+    out: dict[str, dict] = {}
+    for c, st in stats.items():
+        mode = field_modes.get(c.split(".")[0], default).strip()
+        if mode == "none":
+            continue
+        if mode == "counts":
+            out[c] = {"min": None, "max": None, "nulls": st.get("nulls", 0)}
+            continue
+        if mode == "full":
+            out[c] = st
+            continue
+        m = _re.fullmatch(r"truncate\((\d+)\)", mode)
+        if not m:
+            raise ValueError(
+                f"unknown stats-mode {mode!r} for column {c!r} "
+                "(none / counts / full / truncate(N))"
+            )
+        n = int(m.group(1))
+        mn, mx = st.get("min"), st.get("max")
+        trunc = False
+        if isinstance(mn, str) and len(mn) > n:
+            mn, trunc = mn[:n], True
+        if isinstance(mx, str) and len(mx) > n:
+            mx, trunc = _increment_string(mx[:n]), True
+        if not trunc:
+            out[c] = st
+            continue
+        new = dict(st)
+        new.update({"min": mn, "max": mx, "trunc": True})
+        out[c] = new
+    return out
+
+
 def merge_entry_stats(entries: Iterable[ManifestEntry], col: str) -> tuple[Any, Any]:
     """min/max of a column across entries (for sys.max_pt-style shortcuts)."""
     mn = mx = None

@@ -591,6 +591,7 @@ class FtssWriter(DataSourceArrowWriter):
         self._compression = schema.options.get("file.compression")
         zl = schema.options.get("file.compression.zstd-level")
         self._compression_level = int(zl) if zl else None
+        self._schema_options = dict(schema.options)
 
     # --- executor side ---
 
@@ -691,6 +692,18 @@ class FtssWriter(DataSourceArrowWriter):
             pq.write_table(sub_tbl.drop_columns(drop), dest, **kw)
             rc, size, stats = collect_parquet_stats(dest)
             seq_stats = stats.get(SEQUENCE_NUMBER, {})
+            from flink_table_store_spark.manifest import apply_stats_mode
+
+            _sys = {
+                k: v
+                for k, v in stats.items()
+                if k in (SEQUENCE_NUMBER, "_VALUE_KIND")
+            }
+            stats = apply_stats_mode(
+                self._schema_options,
+                {k: v for k, v in stats.items() if k not in _sys},
+            )
+            stats.update(_sys)
             files.append(dest)
             entries.append(
                 {

@@ -644,7 +644,16 @@ class Table:
         if any(e.patch_cols and col in e.patch_cols for e in all_entries):
             return None  # base stats are pre-patch for this column
         entries = [e for e in all_entries if not e.patch_cols]
-        if any(col not in e.stats or e.stats[col].get("nulls", 0) for e in entries):
+        if any(
+            col not in e.stats
+            or e.stats[col].get("nulls", 0)
+            # counts mode stores no bounds; truncated bounds are
+            # pruning-safe but NOT exact answers (metadata.stats-mode)
+            or e.stats[col].get("min") is None
+            or e.stats[col].get("max") is None
+            or e.stats[col].get("trunc")
+            for e in entries
+        ):
             return None
         return merge_entry_stats(entries, col)
 

@@ -428,6 +428,21 @@ def _collect_staged(
                 row_count, _size, stats = collect_parquet_stats(src)
             if row_count == 0:
                 continue
+            # metadata.stats-mode (+ fields.<f>.stats-mode): system
+            # columns are exempt — the sequence high-water mark and row
+            # kinds are structural, not user stats
+            from flink_table_store_spark.manifest import apply_stats_mode
+
+            _sys = {
+                k: v
+                for k, v in stats.items()
+                if k in (SEQUENCE_NUMBER, VALUE_KIND)
+            }
+            stats = apply_stats_mode(
+                schema.options,
+                {k: v for k, v in stats.items() if k not in _sys},
+            )
+            stats.update(_sys)
             new_name = f"data-{uuid.uuid4().hex}{ext}"
             rel_parts = [] if rel_dir == "." else rel_dir.split(os.sep)
             dest_dir = os.path.join(data_root, *rel_parts)
