@@ -354,6 +354,11 @@ def bucket_for_key(table, key_values: dict, spark: SparkSession | None = None) -
             f"bucket_for_key requires a fixed-bucket table (bucket={n})"
         )
     keys = bucket_keys(schema)
+    from flink_table_store_spark.write import bucket_function_type
+
+    if bucket_function_type(schema) == "mod":
+        v = key_values.get(keys[0])
+        return (int(v) % n) if v is not None else 0
     h = spark_xxhash64(
         [
             (key_values.get(k), schema.field(k).type.lower())

@@ -122,12 +122,21 @@ def _bucket_candidates(
         return None if combos else set()  # contradictory conjuncts: no bucket
     import itertools
 
+    from flink_table_store_spark.write import bucket_function_type
+
+    try:
+        mod_fn = bucket_function_type(schema) == "mod"
+    except ValueError:
+        return None  # misconfigured: don't prune
     types = [schema.field(k).type.lower() for k in keys]
     buckets: set[int] = set()
     for combo in itertools.product(*[sorted(eqs[k], key=repr) for k in keys]):
         # writer parity: xxhash64 skips null fields (seed carries); a
         # null literal can't match rows anyway, so skip the combo
         if any(v is None for v in combo):
+            continue
+        if mod_fn:
+            buckets.add(int(combo[0]) % n)
             continue
         h = spark_xxhash64(
             [(v, t) for v, t in zip(combo, types) if v is not None]

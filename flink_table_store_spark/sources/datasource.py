@@ -592,6 +592,9 @@ class FtssWriter(DataSourceArrowWriter):
         zl = schema.options.get("file.compression.zstd-level")
         self._compression_level = int(zl) if zl else None
         self._schema_options = dict(schema.options)
+        from flink_table_store_spark.write import bucket_function_type
+
+        self._mod_bucket = bucket_function_type(schema) == "mod"
 
     # --- executor side ---
 
@@ -633,6 +636,14 @@ class FtssWriter(DataSourceArrowWriter):
         if self._bucketed:
             if self._postpone:
                 bucket_arr = [-2] * n_rows
+            elif self._mod_bucket:
+                # ModBucketFunction: floorMod of the single numeric key
+                k = self._bucket_keys[0][0]
+                vals = tbl.column(k).to_pylist()
+                bucket_arr = [
+                    (int(v) % self._n_buckets) if v is not None else 0
+                    for v in vals
+                ]
             else:
                 cols = {k: tbl.column(k).to_pylist() for k, _t in self._bucket_keys}
                 types = [t for _k, t in self._bucket_keys]

@@ -64,6 +64,28 @@ def bucket_keys(schema: TableSchema) -> list[str]:
     return schema.trimmed_primary_keys()
 
 
+def bucket_function_type(schema: TableSchema) -> str:
+    """``bucket-function.type`` (CoreOptions.java:140-153): ``default``
+    (hash) or ``mod`` — floorMod(key, n) over a SINGLE INT/BIGINT
+    bucket key (ModBucketFunction.java), which keeps consecutive keys
+    in adjacent buckets (range-query friendly layouts)."""
+    t = schema.options.get("bucket-function.type", "default").lower()
+    if t not in ("default", "mod"):
+        raise ValueError(
+            f"unknown bucket-function.type {t!r} (default / mod)"
+        )
+    if t == "mod":
+        keys = bucket_keys(schema)
+        if len(keys) != 1 or schema.field(keys[0]).type.lower() not in (
+            "int", "integer", "bigint", "smallint", "tinyint",
+        ):
+            raise ValueError(
+                "bucket-function.type=mod needs a single INT/BIGINT "
+                f"bucket key (got {keys})"
+            )
+    return t
+
+
 def bucket_expr(schema: TableSchema, num_buckets: int | None = None):
     """Stable bucket assignment: pmod(xxhash64(bucket-key), n).
 
@@ -71,9 +93,15 @@ def bucket_expr(schema: TableSchema, num_buckets: int | None = None):
     (DefaultBucketFunction.java:30-34); our engine defines its own
     stable hash — Spark's xxhash64 built-in — shared by the writer and
     the bucketed-join layout (SURVEY §4.3 item 6).
-    """
+    ``bucket-function.type=mod`` uses floorMod of the single numeric
+    key instead (NULL keys land in bucket 0 — a defined bucket beats a
+    null directory)."""
     n = num_buckets if num_buckets is not None else schema.num_buckets()
     keys = bucket_keys(schema)
+    if bucket_function_type(schema) == "mod":
+        return F.coalesce(
+            F.pmod(F.col(keys[0]).cast("long"), F.lit(n)), F.lit(0)
+        ).cast("int")
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n)).cast("int")
 
 
