@@ -692,7 +692,10 @@ class FtssWriter(DataSourceArrowWriter):
                 rel_parts.append(f"{BUCKET_COL}={bucket}")
             dest_dir = os.path.join(self._path, *rel_parts)
             os.makedirs(dest_dir, exist_ok=True)
-            name = f"data-{_uuid.uuid4().hex}.parquet"
+            name = (
+                f"{self._schema_options.get('data-file.prefix', 'data-')}"
+                f"{_uuid.uuid4().hex}.parquet"
+            )
             dest = os.path.join(dest_dir, name)
             drop = [c for c in (self._partition_keys + [BUCKET_COL]) if c in sub_tbl.column_names]
             kw = {}

@@ -945,23 +945,66 @@ class Table:
                     f"columns {sorted(live_patched)} — positions would be "
                     "computed from pre-patch values; run compact() first"
                 )
-        if schema.partition_keys and _is_partition_only(predicate, schema):
-            # strategy 1: metadata-only delete (OptimizeMetadataOnlyDelete…:52)
-            return self.committer.commit_overwrite([], schema.id, predicate)
         if self.is_primary_key_table():
-            # strategy 3: PK upsert of -D rows
+            # strategy 3: PK upsert of -D rows (their kinds ARE the
+            # changelog under the input producer — no forcing needed)
             rows = self.to_df(spark, predicate=predicate).select(*schema.field_names())
             return self.write(rows.withColumn(ROW_KIND, F.lit(ROWKIND_DELETE)), row_kind_col=ROW_KIND)
-        dv_enabled = (
-            use_dv
-            if use_dv is not None
-            else schema.options.get("deletion-vectors.enabled") == "true"
-        )
-        if dv_enabled:
-            # strategy 2a: deletion vectors — record positions, rewrite nothing
-            return self._delete_with_dv(spark, predicate)
-        # strategy 2b: copy-on-write rewrite of touched files
-        return self._rewrite_files(spark, predicate, lambda df: df.where(~predicate.to_column()))
+        staging_cl = None
+        if schema.options.get("delete.force-produce-changelog") == "true":
+            # CoreOptions DELETE_FORCE_PRODUCE_CHANGELOG: materialize the
+            # doomed rows BEFORE the delete as -D changelog (append
+            # tables produce none otherwise); persisted post-commit
+            # under the snapshot's deterministic prefix so
+            # persisted_changelog / incremental changelog reads find it
+            import uuid as _uuid
+
+            staging_cl = os.path.join(
+                self.path, "staging", f"dcl-{_uuid.uuid4().hex}"
+            )
+            self.to_df(spark, predicate=predicate).select(
+                F.lit(ROWKIND_DELETE).alias("rowkind"), *schema.field_names()
+            ).write.parquet(staging_cl)
+        if schema.partition_keys and _is_partition_only(predicate, schema):
+            # strategy 1: metadata-only delete (OptimizeMetadataOnlyDelete…:52)
+            snap = self.committer.commit_overwrite([], schema.id, predicate)
+        else:
+            dv_enabled = (
+                use_dv
+                if use_dv is not None
+                else schema.options.get("deletion-vectors.enabled") == "true"
+            )
+            if dv_enabled:
+                # strategy 2a: deletion vectors — record positions, rewrite nothing
+                snap = self._delete_with_dv(spark, predicate)
+            else:
+                # strategy 2b: copy-on-write rewrite of touched files
+                snap = self._rewrite_files(
+                    spark, predicate, lambda df: df.where(~predicate.to_column())
+                )
+        if staging_cl is not None:
+            import shutil as _shutil
+            import uuid as _uuid
+
+            import pyarrow.parquet as _pq
+
+            cl_dir = os.path.join(self.path, "changelog")
+            os.makedirs(cl_dir, exist_ok=True)
+            for fn in sorted(os.listdir(staging_cl)):
+                if not fn.endswith(".parquet"):
+                    continue
+                src = os.path.join(staging_cl, fn)
+                if _pq.ParquetFile(src).metadata.num_rows == 0:
+                    continue
+                os.replace(
+                    src,
+                    os.path.join(
+                        cl_dir,
+                        f"changelog-s{snap.id}-{_uuid.uuid4().hex}.parquet",
+                    ),
+                )
+            _shutil.rmtree(staging_cl, ignore_errors=True)
+        return snap
 
     def _delete_with_dv(self, spark: SparkSession, predicate: Predicate) -> Snapshot:
         """DELETE via deletion vectors (deletionvectors/DeletionVector.java:44):

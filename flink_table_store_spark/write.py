@@ -471,7 +471,11 @@ def _collect_staged(
                 {k: v for k, v in stats.items() if k not in _sys},
             )
             stats.update(_sys)
-            new_name = f"data-{uuid.uuid4().hex}{ext}"
+            # CoreOptions DATA_FILE_PREFIX (default "data-")
+            new_name = (
+                f"{schema.options.get('data-file.prefix', 'data-')}"
+                f"{uuid.uuid4().hex}{ext}"
+            )
             rel_parts = [] if rel_dir == "." else rel_dir.split(os.sep)
             dest_dir = os.path.join(data_root, *rel_parts)
             os.makedirs(dest_dir, exist_ok=True)

@@ -125,3 +125,53 @@ def test_concurrent_dv_commit_not_overwritten(spark, warehouse):
     assert rows == set(range(20)) - {1, 2}
     # recorded delete-row count reflects BOTH deletes
     assert snap.dv_row_count == 2
+
+
+def test_delete_force_produce_changelog(spark, warehouse):
+    """delete.force-produce-changelog: an append-table DELETE persists
+    -D changelog rows (none are produced otherwise)."""
+    from flink_table_store_spark import predicate as P
+    from flink_table_store_spark.streaming.changelog import persisted_changelog
+
+    t = warehouse.create_table(
+        "db.dfc", "k bigint, v string",
+        options={"delete.force-produce-changelog": "true"},
+    )
+    t.write(spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k bigint, v string"
+    ))
+    snap = t.delete(spark, P.less_than("k", 3))
+    cl = persisted_changelog(spark, t, snap.id)
+    rows = sorted((r.rowkind, r.k) for r in cl.collect())
+    assert rows == [("-D", 0), ("-D", 1), ("-D", 2)]
+    # remaining data intact
+    assert t.refresh().to_df(spark).count() == 7
+    # partition-only (metadata) deletes produce changelog too
+    t2 = warehouse.create_table(
+        "db.dfc2", "k bigint, p string", partition_keys=["p"],
+        options={"delete.force-produce-changelog": "true"},
+    )
+    t2.write(spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, p string"))
+    snap2 = t2.delete(spark, P.equal("p", "a"))
+    cl2 = persisted_changelog(spark, t2, snap2.id)
+    assert [(r.rowkind, r.k) for r in cl2.collect()] == [("-D", 1)]
+
+
+def test_data_file_prefix(spark, warehouse):
+    import os
+    import pyarrow as pa
+
+    t = warehouse.create_table(
+        "db.dfp", "k bigint, v string",
+        options={"data-file.prefix": "part-"},
+    )
+    t.write(spark.createDataFrame([(1, "a")], "k bigint, v string"))
+    t.write_arrow(pa.table({"k": [2], "v": ["b"]}))
+    names = [
+        n
+        for _r, _d, files in os.walk(os.path.join(t.path, "data"))
+        for n in files
+        if n.endswith(".parquet")
+    ]
+    assert names and all(n.startswith("part-") for n in names)
+    assert t.to_df(spark).count() == 2
