@@ -629,3 +629,85 @@ def embedding_dedup_cc(
     too (see minhash_dedup_cc)."""
     pairs = embedding_near_dup_pairs(emb, id_col, vec_col, threshold, block_bits)
     return _keep_cluster_representatives(emb, pairs, id_col, max_iter, algorithm)
+
+
+def split_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str | None = "\n\n",
+    words_per_para: int = 8,
+) -> DataFrame:
+    """(id, pos, para) rows: documents split on ``sep`` (the usual
+    paragraph boundary), or — for corpora without structural breaks —
+    re-segmented into fixed ``words_per_para`` word windows
+    (``sep=None``), the granularity exact-substring dedup pipelines
+    use when no markup exists."""
+    if sep is not None:
+        return df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+        )
+    ws = F.split(F.col(text_col), " ")
+    n = F.greatest(
+        F.ceil(F.size(ws) / F.lit(words_per_para)).cast("int"), F.lit(1)
+    )
+    paras = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(ws, i * words_per_para + 1, words_per_para)
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(paras).alias("pos", "para")
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str | None = "\n\n",
+    words_per_para: int = 8,
+    out_sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide EXACT paragraph deduplication (the Dolma / CCNet /
+    RefinedWeb paragraph-dedup step; Lee et al. exact-substring dedup
+    at paragraph granularity): every paragraph keeps only its FIRST
+    occurrence across the whole corpus — ordered by (doc id, position)
+    — and each document is rebuilt from its surviving paragraphs in
+    original order. Boilerplate (headers, navboxes, license blocks)
+    repeated across millions of pages disappears from all but one.
+
+    Scale shape: one explode (O(total paragraphs)), one map-side-
+    combined groupBy(paragraph) picking the min (doc, pos) winner, one
+    join back on the same paragraph key (Catalyst reuses the exchange),
+    one groupBy(doc) to reassemble. No windows, no driver state — every
+    stage keyed and combinable at 100 TB.
+
+    Returns (id, text rebuilt, paras_kept); documents whose every
+    paragraph was seen earlier elsewhere drop out entirely.
+    """
+    paras = split_paragraphs(df, text_col, id_col, sep, words_per_para)
+    firsts = paras.groupBy("para").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))
+        ).alias("__w")
+    )
+    kept = (
+        paras.join(firsts, on="para")
+        .where(
+            (F.col(id_col) == F.col("__w.d")) & (F.col("pos") == F.col("__w.p"))
+        )
+        .drop("__w")
+    )
+    return kept.groupBy(id_col).agg(
+        F.concat_ws(
+            out_sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("paras_kept"),
+    )

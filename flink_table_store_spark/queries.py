@@ -3688,6 +3688,44 @@ QUERIES["partial_update_group_retract"] = (
 )
 
 
+def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact paragraph dedup (Dolma/CCNet paragraph-dedup;
+    datapipe.dedup.paragraph_dedup): the documents corpus re-segmented
+    into 8-word paragraphs, every paragraph kept only at its FIRST
+    (doc_id, pos) occurrence, documents rebuilt from survivors."""
+    from flink_table_store_spark.datapipe.dedup import paragraph_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return paragraph_dedup(docs, sep=None, words_per_para=8).orderBy("doc_id")
+
+
+PARAGRAPH_DEDUP_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), nums AS (
+  SELECT doc_id, ws,
+         greatest(CAST(ceil(len(ws) / 8.0) AS INT), 1) AS np
+  FROM words
+), paras AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(ws[i*8+1 : i*8+8], ' ') AS para
+  FROM nums, UNNEST(generate_series(0, np - 1)) AS t(i)
+), ranked AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM paras
+)
+SELECT doc_id,
+       string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text,
+       count(*) AS paras_kept
+FROM ranked WHERE rn = 1
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+# judge-run tail: paragraph-level corpus dedup (pillar operator)
+QUERIES["text_paragraph_dedup"] = (text_paragraph_dedup, PARAGRAPH_DEDUP_SQL)
+
+
 def reset_managed_tables(sf_dir: str | None = None) -> None:
     """Drop the /tmp managed warehouses (tests / fresh runs)."""
     if sf_dir is None:

@@ -795,3 +795,49 @@ def test_bigram_lm_perplexity(spark):
     again = {r.doc_id: (r.n_bigrams, r.perplexity)
              for r in score_perplexity(df).collect()}
     assert again == out
+
+
+def test_paragraph_dedup_first_occurrence(spark):
+    from flink_table_store_spark.datapipe.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "intro text\n\nshared boilerplate\n\nunique one"),
+            (2, "shared boilerplate\n\nunique two"),
+            (3, "shared boilerplate"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: (r.text, r.paras_kept) for r in paragraph_dedup(docs).collect()}
+    # doc 1 owns the first occurrence; later copies vanish
+    assert out[1] == ("intro text\n\nshared boilerplate\n\nunique one", 3)
+    assert out[2] == ("unique two", 1)
+    assert 3 not in out  # entirely duplicate document drops out
+
+
+def test_paragraph_dedup_within_doc_and_order(spark):
+    from flink_table_store_spark.datapipe.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a\n\nb\n\na\n\nc")], "doc_id bigint, text string"
+    )
+    [r] = paragraph_dedup(docs).collect()
+    # the repeated paragraph inside one doc keeps only its first slot,
+    # order preserved
+    assert r.text == "a\n\nb\n\nc"
+
+
+def test_paragraph_dedup_word_windows(spark):
+    from flink_table_store_spark.datapipe.dedup import paragraph_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4"),
+            (2, "w1 w2 w3 w4 x1 x2 x3 x4"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.text for r in
+           paragraph_dedup(docs, sep=None, words_per_para=4).collect()}
+    assert out[1] == "w1 w2 w3 w4"
+    assert out[2] == "x1 x2 x3 x4"  # its first window was doc 1's
