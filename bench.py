@@ -762,6 +762,17 @@ def main() -> None:
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         score_perplexity(docs.select("doc_id", "text")).count()
 
+    @timed("paragraph_dedup", repeat=3)
+    def _pd():
+        # corpus-wide exact paragraph dedup: explode + map-combined
+        # groupBy(para) + same-key join + reassembly groupBy
+        from flink_table_store_spark.datapipe.dedup import paragraph_dedup
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        paragraph_dedup(
+            docs.select("doc_id", "text"), sep=None, words_per_para=8
+        ).count()
+
     @timed("gopher_filter", repeat=3)
     def _gf():
         # narrow JVM-only quality/repetition pass over the corpus

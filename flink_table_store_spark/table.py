@@ -2928,21 +2928,55 @@ class Table:
             self.expire_changelogs(int(cl_max))
         return expired
 
-    def expire_changelogs(self, retain_last: int) -> list[int]:
+    def expire_changelogs(
+        self,
+        retain_last: int,
+        retain_min: int | None = None,
+        older_than_millis: int | None = None,
+    ) -> list[int]:
         """Prune PRESERVED changelog entries (snapshots already expired,
         changelog kept) down to the newest ``retain_last`` — counting the
         live snapshot history too, like the reference's changelog
         retention window (ExpireChangelogImpl.java; CoreOptions
-        changelog.num-retained.max). A registered consumer pins
+        changelog.num-retained.max). ``changelog.num-retained.min``
+        entries always survive; ``changelog.time-retained`` expires by
+        age inside the count window. A registered consumer pins
         everything from its cursor onward."""
         import glob as _glob
 
         entry_ids = self.snapshots.changelog_entry_ids()
         if not entry_ids:
             return []
+        opts = self.schema.options
+        if retain_min is None and opts.get("changelog.num-retained.min"):
+            retain_min = int(opts["changelog.num-retained.min"])
+        if older_than_millis is None and opts.get("changelog.time-retained"):
+            from flink_table_store_spark.markdone import duration_ms
+
+            older_than_millis = now_millis() - duration_ms(
+                opts["changelog.time-retained"]
+            )
         live_ids = self.snapshots.snapshot_ids()
         horizon = sorted(entry_ids + live_ids)[-retain_last:] if retain_last > 0 else []
         keep_above = horizon[0] if horizon else (live_ids[0] if live_ids else 0)
+        if older_than_millis is not None:
+            # age gate widens the doomed set, but never below the
+            # count floors (num-retained.max still binds from above)
+            for sid in sorted(entry_ids):
+                if sid >= keep_above:
+                    try:
+                        s = self.snapshots.load_changelog_entry(sid)
+                    except FileNotFoundError:
+                        continue
+                    if s.time_millis < older_than_millis:
+                        keep_above = sid + 1
+                    else:
+                        break
+        if retain_min is not None:
+            all_ids = sorted(entry_ids + live_ids)
+            floor_ids = all_ids[-retain_min:] if retain_min > 0 else []
+            if floor_ids:
+                keep_above = min(keep_above, floor_ids[0])
         consumers = self.snapshots.consumers()
         if consumers:
             keep_above = min(keep_above, min(consumers.values()))

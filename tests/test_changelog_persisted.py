@@ -233,3 +233,47 @@ def test_incremental_changelog_input_producer(spark, warehouse):
     assert {(r.rowkind, r.k, r.v) for r in cl.collect()} == {
         ("+I", 1, "a2"), ("+I", 2, "b")
     }
+
+
+def test_changelog_time_and_min_retention(spark, warehouse):
+    """changelog.time-retained expires preserved changelog by age;
+    changelog.num-retained.min floors the count (decoupled lifecycle,
+    ExpireChangelogImpl)."""
+    import json
+    import os
+
+    t = warehouse.create_table(
+        "db.clret", "k bigint, v string", primary_keys=["k"],
+        options={
+            "changelog-producer": "lookup",
+            "changelog.num-retained.max": "10",
+            "changelog.time-retained": "1 h",
+        },
+    )
+    for i in range(4):
+        t.write(spark.createDataFrame([(i, f"v{i}")], "k bigint, v string"))
+    t.expire_snapshots(retain_last=1)  # preserves changelog entries
+    entries = t.snapshots.changelog_entry_ids()
+    assert entries == [1, 2, 3]
+    # nothing old enough yet
+    assert t.expire_changelogs(10) == []
+    # age entry 1 past the retention
+    p = os.path.join(t.path, "changelog", "changelog-1")
+    doc = json.load(open(p))
+    doc["timeMillis"] -= 2 * 3_600_000
+    json.dump(doc, open(p, "w"))
+    assert t.expire_changelogs(10) == [1]
+    # num-retained.min floors: even with retain_last=0, min=2 keeps the
+    # newest 2 of (entries + live history)
+    t2 = warehouse.create_table(
+        "db.clret2", "k bigint, v string", primary_keys=["k"],
+        options={
+            "changelog-producer": "lookup",
+            "changelog.num-retained.max": "10",
+            "changelog.num-retained.min": "4",
+        },
+    )
+    for i in range(4):
+        t2.write(spark.createDataFrame([(i, f"v{i}")], "k bigint, v string"))
+    t2.expire_snapshots(retain_last=1)
+    assert t2.expire_changelogs(1) == []  # min floor pins everything
