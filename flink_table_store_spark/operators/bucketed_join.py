@@ -818,16 +818,22 @@ def read_bucket_side(spec: dict, bucket: int):
             groups = spec.get("seq_groups") or {}
             gseq_cols = [g for g in groups if g in pdf.columns]
             if gseq_cols:
-                # a -D carrying a group sequence is a GROUP retract, not
-                # a whole-row delete (merge_engines parity)
-                row_del_mask = (pdf[kindc] == KIND_DELETE) & (
+                # a -D carrying a group sequence is a GROUP retract;
+                # one with ALL group sequences null is a NO-OP — under
+                # sequence groups there is no whole-row delete
+                # (retractWithSequenceGroup skips empty groups;
+                # merge_engines parity)
+                noop_mask = (pdf[kindc] == KIND_DELETE) & (
                     pdf[gseq_cols].isna().all(axis=1)
                 )
+                body = pdf[~noop_mask]
+                ups = body[body[kindc] != KIND_DELETE]
+                del_rows = pdf.iloc[0:0]
             else:
                 row_del_mask = pdf[kindc] == KIND_DELETE
-            body = pdf[~row_del_mask]
-            ups = body[body[kindc] != KIND_DELETE]
-            del_rows = pdf[row_del_mask]
+                body = pdf[~row_del_mask]
+                ups = body[body[kindc] != KIND_DELETE]
+                del_rows = pdf[row_del_mask]
             gb = ups.groupby(spec["key_cols"], sort=False, dropna=False)
             merged = gb.last()  # pandas last() skips nulls per column
             # sequence-groups (PartialUpdateMergeFunction.java:65-107):

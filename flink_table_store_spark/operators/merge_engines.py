@@ -287,18 +287,21 @@ def _partial_update_with_groups(
 ) -> DataFrame:
     """Partial update under sequence groups, -D aware: the same single
     groupBy — per-group winner KIND decides retraction, so no extra
-    shuffle joins beyond the whole-row-delete probe."""
+    shuffle joins. A -D whose every group sequence is NULL is a NO-OP
+    (retractWithSequenceGroup skips empty sequence groups — under
+    sequence groups there is no whole-row delete except via
+    remove-record-on-sequence-group). Known sequential-fold corner kept
+    as documented deviation: an rr-group delete followed by a partial
+    re-insert re-initializes the row in the reference (initRow); here
+    earlier groups' pre-delete values survive the re-insert."""
     keys = _key_cols(schema)
     groups = _sequence_groups(schema)
     rr = remove_record_groups(schema)
     all_null = " AND ".join(f"`{g}` IS NULL" for g in groups)
-    is_row_delete = F.expr(f"`{VALUE_KIND}` = '{KIND_DELETE}' AND ({all_null})")
-    row_dels = (
-        df.where(is_row_delete)
-        .groupBy(*[F.col(k) for k in keys])
-        .agg(F.max(F.col(seq)).alias("__del_seq"))
+    is_noop_delete = F.expr(
+        f"`{VALUE_KIND}` = '{KIND_DELETE}' AND ({all_null})"
     )
-    body = df.where(~is_row_delete)
+    body = df.where(~is_noop_delete)
 
     field_group: dict[str, str] = {}
     for g, cols in groups.items():
@@ -334,7 +337,6 @@ def _partial_update_with_groups(
                 f"THEN struct(`{g}`, `{seq}`) END)"
             ).alias(f"__kind__{g}")
         )
-    aggs.append(F.max(F.col(seq)).alias("__ups_seq"))
     merged = body.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
     for g, cols in groups.items():
         dead = F.col(f"__kind__{g}") == KIND_DELETE
@@ -345,13 +347,7 @@ def _partial_update_with_groups(
                 merged = merged.withColumn(
                     c, F.when(dead, F.lit(None)).otherwise(F.col(c))
                 )
-    out = (
-        merged.join(row_dels, on=keys, how="left")
-        .where(
-            F.col("__del_seq").isNull() | (F.col("__ups_seq") > F.col("__del_seq"))
-        )
-    )
-    return out.select(*schema.field_names())
+    return merged.select(*schema.field_names())
 
 
 # --- field aggregators (mergetree/compact/aggregate/factory/*.java:28-35) ---

@@ -59,12 +59,16 @@ def test_remove_record_on_sequence_group(spark, warehouse):
     assert rows == {2}  # key 1's whole row removed
 
 
-def test_all_null_group_seqs_is_whole_row_delete(spark, warehouse):
+def test_all_null_group_seqs_is_noop(spark, warehouse):
+    """retractWithSequenceGroup skips empty sequence groups: a -D with
+    every group sequence NULL changes nothing (under sequence groups
+    there is no whole-row delete path)."""
     t = _t(warehouse, "pg4")
     t.write(spark.createDataFrame([(1, "a1", "b1", 1, 1)], SCH))
     d = spark.createDataFrame([(1, None, None, None, None, "-D")], SCH + ", rk string")
     t.write(d, row_kind_col="rk")
-    assert t.to_df(spark).count() == 0
+    [r] = t.to_df(spark).collect()
+    assert (r.a, r.b) == ("a1", "b1")
 
 
 def test_unknown_rr_group_refused(spark, warehouse):
