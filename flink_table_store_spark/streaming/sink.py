@@ -58,7 +58,7 @@ def foreach_batch_writer(
             commit_identifier=f"{sink_id}:{batch_id}",
             watermark=wm,
         )
-        if trigger is not None:
+        if trigger is not None and snap is not None:
             from flink_table_store_spark import markdone
 
             for part in markdone.partitions_of_snapshot(table, snap):
