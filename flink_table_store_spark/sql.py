@@ -446,7 +446,15 @@ class SqlSession:
         elif sysname:
             df = self.catalog.get_table(base).system_table(self.spark, sysname)
         else:
-            df = self.catalog.get_table(base).to_df(self.spark, **kw)
+            t = self.catalog.get_table(base)
+            if not kw and t.schema.options.get("metastore.tag-to-partition"):
+                # Hive-parity relation (upsert-to-partitioned.md): plain
+                # SELECTs see the tag-partitioned view (virtual column =
+                # tag name, branch-pruned by a dt filter); travel reads
+                # keep addressing the raw table
+                df = t.tag_partition_view(self.spark)
+            else:
+                df = t.to_df(self.spark, **kw)
         df.createOrReplaceTempView(name)
         return name
 

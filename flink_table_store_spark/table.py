@@ -505,11 +505,6 @@ class Table:
         tag: str | None = None,
         timestamp_ms: int | None = None,
     ) -> DataFrame:
-        ttp = self.schema.options.get("metastore.tag-to-partition")
-        if ttp and snapshot_id is None and tag is None and timestamp_ms is None:
-            return self._tag_to_partition_df(
-                spark, ttp, predicate, projection, limit
-            )
         rb = self.read_builder()
         if predicate is not None:
             rb.with_filter(predicate)
@@ -525,17 +520,36 @@ class Table:
             rb.with_timestamp(timestamp_ms)
         return rb.to_df(spark)
 
+    def tag_partition_view(
+        self,
+        spark: SparkSession,
+        predicate: Predicate | None = None,
+        projection: list[str] | None = None,
+        limit: int | None = None,
+    ) -> DataFrame:
+        """``metastore.tag-to-partition`` (upsert-to-partitioned.md:44-136):
+        the Hive-engine relation of a non-partitioned PK table — a
+        partitioned view whose virtual partition column maps to the TAG
+        name, one union branch per tag, so a ``WHERE dt='2023-10-16'``
+        filter constant-folds every other branch away (Catalyst
+        PruneFilters: the per-branch ``lit(tag)`` comparison becomes
+        FALSE → empty relation, no scan). With ``.preview`` the LIVE
+        table joins the view under the current period's name, so
+        unfinished days are queryable early. A SEPARATE relation from
+        ``to_df`` (the reference exposes it to Hive only) — the engine's
+        own reads/mutations always see the live table; the SQL surface
+        routes plain SELECTs here when the option is set."""
+        col = self.schema.options.get("metastore.tag-to-partition")
+        if not col:
+            raise ValueError(
+                "tag_partition_view needs the metastore.tag-to-partition "
+                "option"
+            )
+        return self._tag_to_partition_df(spark, col, predicate, projection, limit)
+
     def _tag_to_partition_df(
         self, spark, col, predicate, projection, limit
     ) -> DataFrame:
-        """``metastore.tag-to-partition`` (upsert-to-partitioned.md:44-136):
-        a non-partitioned PK table reads as a partitioned view whose
-        virtual partition column maps to the TAG name — one union branch
-        per tag, so a ``WHERE dt='2023-10-16'`` filter constant-folds
-        every other branch away (Catalyst PruneFilters: the per-branch
-        ``lit(tag)`` comparison becomes FALSE → empty relation, no scan).
-        With ``.preview`` the LIVE table joins the view under the
-        current period's name, so unfinished days are queryable early."""
         import datetime as _dt
 
         tags = self.snapshots.tags()

@@ -18,8 +18,10 @@ def test_tag_partitioned_read(spark, warehouse):
     t.create_tag("2023-10-16", 1)
     t.write(spark.createDataFrame([(1, "11", "101")], DDL))
     t.create_tag("2023-10-17", 2)
-    df = t.to_df(spark)
+    df = t.tag_partition_view(spark)
     assert "dt" in df.columns
+    # the engine's own relation is untouched: to_df stays the live table
+    assert "dt" not in t.to_df(spark).columns
     day1 = {(r.pk, r.col1) for r in df.where("dt = '2023-10-16'").collect()}
     assert day1 == {(1, "10"), (2, "20")}
     day2 = {(r.pk, r.col1) for r in df.where("dt = '2023-10-17'").collect()}
@@ -39,7 +41,7 @@ def test_tag_partition_branch_pruning(spark, warehouse):
         t.write(spark.createDataFrame([(i, str(i), "x")], DDL))
         t.create_tag(f"day-{i}", i + 1)
     plan = (
-        t.to_df(spark).where("dt = 'day-1'")._jdf.queryExecution()
+        t.tag_partition_view(spark).where("dt = 'day-1'")._jdf.queryExecution()
         .executedPlan().toString()
     )
     assert plan.count("Scan ") <= 2  # one live branch (+fallbacks), not 3
@@ -59,7 +61,7 @@ def test_preview_exposes_live_data(spark, warehouse):
     t.create_tag("2023-10-16", 1)
     t.write(spark.createDataFrame([(3, "30", "300")], DDL))
     today = dt.datetime.utcnow().strftime("%Y-%m-%d")
-    df = t.to_df(spark)
+    df = t.tag_partition_view(spark)
     live = {r.pk for r in df.where(f"dt = '{today}'").collect()}
     assert live == {1, 3}  # the unfinished day previews the live table
     old = {r.pk for r in df.where("dt = '2023-10-16'").collect()}
@@ -82,3 +84,36 @@ def test_hive_mirror_partitions(spark, tmp_path):
     finally:
         cat.drop_table("db.ttphive")
         spark.sql("DROP DATABASE IF EXISTS db CASCADE")
+
+
+def test_sql_surface_reads_view_and_dml_hits_live_table(spark, tmp_path):
+    """Plain SELECTs route through the tag-partitioned view; DML and
+    travel reads keep addressing the raw table (a DELETE must never
+    scan resurrected tag history)."""
+    from flink_table_store_spark.catalog import Catalog
+    from flink_table_store_spark.sql import SqlSession
+    from flink_table_store_spark import predicate as P
+
+    cat = Catalog(str(tmp_path / "wh"))
+    s = SqlSession(spark, cat)
+    s.sql(
+        "CREATE TABLE db.ttpsql (pk int, col1 string, col2 string) "
+        "TBLPROPERTIES ('primary-key' = 'pk', "
+        "'metastore.tag-to-partition' = 'dt')"
+    )
+    t = cat.get_table("db.ttpsql")
+    t.write(spark.createDataFrame([(1, "10", "100")], DDL))
+    t.create_tag("2023-10-16", 1)
+    t.write(spark.createDataFrame([(2, "20", "200")], DDL))
+    rows = {(r.pk, r.dt) for r in s.sql(
+        "SELECT pk, dt FROM db.ttpsql WHERE dt = '2023-10-16'"
+    ).collect()}
+    assert rows == {(1, "2023-10-16")}
+    # DML operates on the LIVE table, not the union of tags
+    t.delete(spark, P.equal("pk", 1))
+    live = {r.pk for r in t.refresh().to_df(spark).collect()}
+    assert live == {2}
+    # travel still raw
+    assert "dt" not in [
+        f.name for f in t.to_df(spark, tag="2023-10-16").schema.fields
+    ]
