@@ -1508,9 +1508,20 @@ class SqlSession:
         overwrite = mode.upper() == "OVERWRITE"
         filt = None
         if overwrite and static:
-            filt = P.and_(*[P.equal(k, v) for k, v in static.items()]) if len(
-                static
-            ) > 1 else P.equal(*next(iter(static.items())))
+            partial = set(static) != set(t.schema.partition_keys)
+            if partial and t.schema.options.get(
+                "dynamic-partition-overwrite"
+            ) != "false":
+                # partial static spec under dynamic overwrite: the
+                # static values are constants in the frame, so the
+                # dynamic path replaces exactly the (static, seen)
+                # partitions — a static-subtree filter would wipe
+                # sibling dynamic values the batch never touched
+                filt = None
+            else:
+                filt = P.and_(
+                    *[P.equal(k, v) for k, v in static.items()]
+                ) if len(static) > 1 else P.equal(*next(iter(static.items())))
         return t.write(df, overwrite=overwrite, overwrite_partition_filter=filt)
 
     def _delete(self, q: str):

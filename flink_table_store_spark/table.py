@@ -2879,6 +2879,8 @@ class Table:
                 if max_deletes is not None
                 else int(opts.get("snapshot.expire.limit", "50"))
             )
+        if r_min < 1:
+            raise ValueError(f"retainMin ({r_min}) must be at least 1")
         if r_max < r_min:
             raise ValueError(
                 f"retainMax ({r_max}) must not be less than retainMin ({r_min})"

@@ -167,3 +167,25 @@ def test_dynamic_partition_overwrite_default(spark, warehouse):
     t3.write(spark.createDataFrame([(1,), (2,)], "k bigint"))
     t3.write(spark.createDataFrame([(9,)], "k bigint"), overwrite=True)
     assert [r.k for r in t3.to_df(spark).collect()] == [9]
+
+
+def test_partial_static_spec_dynamic_overwrite(spark, tmp_path):
+    """INSERT OVERWRITE with a PARTIAL static PARTITION spec: under
+    dynamic overwrite only (static, seen-dynamic) partitions replace —
+    untouched sibling dynamic values survive."""
+    from flink_table_store_spark.catalog import Catalog
+    from flink_table_store_spark.sql import SqlSession
+
+    cat = Catalog(str(tmp_path / "wh"))
+    s = SqlSession(spark, cat)
+    s.sql(
+        "CREATE TABLE db.pso (k bigint, p1 string, p2 string) "
+        "PARTITIONED BY (p1, p2)"
+    )
+    s.sql(
+        "INSERT INTO db.pso VALUES (1, 'a', 'x'), (2, 'a', 'y'), (3, 'b', 'x')"
+    )
+    # static p1='a', dynamic p2: only (a, x) appears in the data
+    s.sql("INSERT OVERWRITE db.pso PARTITION (p1='a') VALUES (9, 'x')")
+    rows = {(r.k, r.p1, r.p2) for r in s.sql("SELECT * FROM db.pso").collect()}
+    assert rows == {(9, "a", "x"), (2, "a", "y"), (3, "b", "x")}
