@@ -810,29 +810,33 @@ def read_bucket_side(spec: dict, bucket: int):
         if spec["engine"] in ("deduplicate", "first-row"):
             keep = "last" if spec["engine"] == "deduplicate" else "first"
             pdf = pdf.drop_duplicates(subset=spec["key_cols"], keep=keep)
-            pdf = pdf[pdf[kindc] != KIND_DELETE]
+            # retract winners (-D and -U) hide the record, matching
+            # DropDeleteReader's RowKind.isAdd filter
+            pdf = pdf[~pdf[kindc].isin((KIND_DELETE, "-U"))]
         elif spec["engine"] == "aggregation":
             pdf = fold_aggregation(pdf, spec["key_cols"], spec["agg_cfg"], seqc, kindc)
         else:  # partial-update: per-column last non-null in order
             pdf["__ord"] = range(len(pdf))
             groups = spec.get("seq_groups") or {}
             gseq_cols = [g for g in groups if g in pdf.columns]
+            retract_mask = pdf[kindc].isin((KIND_DELETE, "-U"))
             if gseq_cols:
-                # a -D carrying a group sequence is a GROUP retract;
-                # one with ALL group sequences null is a NO-OP — under
-                # sequence groups there is no whole-row delete
-                # (retractWithSequenceGroup skips empty groups;
+                # -D AND -U carrying a group sequence are GROUP
+                # retracts; one with ALL group sequences null is a
+                # NO-OP — under sequence groups there is no whole-row
+                # delete (retractWithSequenceGroup skips empty groups;
                 # merge_engines parity)
-                noop_mask = (pdf[kindc] == KIND_DELETE) & (
-                    pdf[gseq_cols].isna().all(axis=1)
-                )
+                noop_mask = retract_mask & pdf[gseq_cols].isna().all(axis=1)
                 body = pdf[~noop_mask]
-                ups = body[body[kindc] != KIND_DELETE]
+                ups = body[~body[kindc].isin((KIND_DELETE, "-U"))]
                 del_rows = pdf.iloc[0:0]
             else:
+                # -D removes the record when latest; -U is silently
+                # ignored (the reference's removeRecordOnDelete branch
+                # returns without acting on UPDATE_BEFORE)
                 row_del_mask = pdf[kindc] == KIND_DELETE
-                body = pdf[~row_del_mask]
-                ups = body[body[kindc] != KIND_DELETE]
+                body = pdf[~retract_mask]
+                ups = body
                 del_rows = pdf[row_del_mask]
             gb = ups.groupby(spec["key_cols"], sort=False, dropna=False)
             merged = gb.last()  # pandas last() skips nulls per column
@@ -866,15 +870,17 @@ def read_bucket_side(spec: dict, bucket: int):
                     spec["key_cols"]
                 )
                 merged[g] = winner[g].reindex(merged.index)
-                dead = (
-                    winner[kindc].reindex(merged.index) == KIND_DELETE
-                ).fillna(False)
+                wkind = winner[kindc].reindex(merged.index)
+                # a winning retract (-D or -U) nulls the group's value
+                # fields; remove-record-on-sequence-group drops the
+                # whole row only for -D (retractWithSequenceGroup:308)
+                dead = wkind.isin((KIND_DELETE, "-U")).fillna(False)
                 if g in rr:
-                    merged = merged[~dead]
-                else:
-                    for c in cols:
-                        if c != g:
-                            merged.loc[dead, c] = None
+                    merged = merged[~(wkind == KIND_DELETE).fillna(False)]
+                    dead = dead.reindex(merged.index).fillna(False)
+                for c in cols:
+                    if c != g:
+                        merged.loc[dead, c] = None
             if len(del_rows):
                 # remove-record-on-delete: a -D that is the key's
                 # latest activity drops the record

@@ -90,6 +90,14 @@ _SEQ_CMP = "(a, b) -> CASE WHEN a.s < b.s THEN -1 WHEN a.s > b.s THEN 1 ELSE 0 E
 
 _EFF_SEQ = "__eff_seq"
 
+# retract kinds that keep a key's rows OUT of a partial fold and force
+# its bucket's compacted output to stay non-final (level 0): the
+# retraction/elision only resolves at a full merge. Shared by
+# fold_runs and Table.compact so the two can never disagree — a bucket
+# whose unfolded retract rows landed at MAX_LEVEL would be served
+# VERBATIM by the single-run raw-read shortcut.
+UNFOLDABLE_KINDS = (KIND_DELETE, "-U")
+
 
 def seq_descending(schema: TableSchema) -> bool:
     """``sequence.field.sort-order`` (CoreOptions.java:891-894):
@@ -176,7 +184,9 @@ def _dedup(
     cols = ", ".join(f"`{c}`" for c in payload)
     winner = F.expr(f"{fn}(struct({cols}), `{seq_col}`)").alias("__w")
     merged = df.groupBy(*[F.col(k) for k in keys]).agg(winner)
-    out = merged.where(F.col(f"__w.{VALUE_KIND}") != KIND_DELETE)
+    # a retract winner (-D or -U) hides the record: merged reads wrap
+    # in DropDeleteReader, which keeps only RowKind.isAdd rows
+    out = merged.where(~F.col(f"__w.{VALUE_KIND}").isin(*UNFOLDABLE_KINDS))
     return out.select(
         *[F.col(k) if k in keys else F.col(f"__w.{k}").alias(k) for k in schema.field_names()]
     )
@@ -252,20 +262,22 @@ def _partial_update(
     """groupBy(key) with per-field max_by — one shuffle, map-side combine.
 
     ``-D`` rows remove the record when they are the latest activity
-    (partial-update.remove-record-on-delete semantics). With sequence
-    groups, a -D carrying a non-null group sequence retracts ONLY that
-    group's fields (PartialUpdateMergeFunction.retractWithSequenceGroup)
-    — unless the group is listed in
-    ``partial-update.remove-record-on-sequence-group``, which removes
-    the whole row; a -D with every group sequence null stays a
-    whole-row delete.
+    (partial-update.remove-record-on-delete semantics); ``-U`` rows are
+    silently ignored, exactly the reference's silent ``return`` inside
+    the removeRecordOnDelete branch
+    (PartialUpdateMergeFunction.java:145-152). With sequence groups,
+    a retract carrying a non-null group sequence retracts ONLY that
+    group's fields (retractWithSequenceGroup) — unless the group is
+    listed in ``partial-update.remove-record-on-sequence-group`` and
+    the kind is -D, which removes the whole row; a retract with every
+    group sequence null is a NO-OP.
     """
     keys = _key_cols(schema)
     seq = seq_col
     groups = _sequence_groups(schema)
     if groups:
         return _partial_update_with_groups(df, schema, seq)
-    upserts = df.where(F.col(VALUE_KIND) != KIND_DELETE)
+    upserts = df.where(~F.col(VALUE_KIND).isin(KIND_DELETE, "-U"))
     aggs = _partial_update_aggs(schema, seq)
     aggs.append(F.max(F.col(seq)).alias("__ups_seq"))
     merged = upserts.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
@@ -285,23 +297,38 @@ def _partial_update(
 def _partial_update_with_groups(
     df: DataFrame, schema: TableSchema, seq: str
 ) -> DataFrame:
-    """Partial update under sequence groups, -D aware: the same single
-    groupBy — per-group winner KIND decides retraction, so no extra
-    shuffle joins. A -D whose every group sequence is NULL is a NO-OP
-    (retractWithSequenceGroup skips empty sequence groups — under
-    sequence groups there is no whole-row delete except via
-    remove-record-on-sequence-group). Known sequential-fold corner kept
-    as documented deviation: an rr-group delete followed by a partial
-    re-insert re-initializes the row in the reference (initRow); here
-    earlier groups' pre-delete values survive the re-insert."""
+    """Partial update under sequence groups, retract-aware: the same
+    single groupBy — per-group winner KIND decides retraction, so no
+    extra shuffle joins. Reference semantics
+    (PartialUpdateMergeFunction.retractWithSequenceGroup):
+
+    - BOTH -D and -U are retracts (``kv.valueKind().isRetract()``): a
+      retract whose group sequence WINS nulls the group's value fields
+      and advances the group's sequence; retracts never touch
+      non-group fields.
+    - a retract whose every group sequence is NULL is a NO-OP
+      (isEmptySequenceGroup skips the group — under sequence groups
+      there is no whole-row delete except via
+      remove-record-on-sequence-group, and that only for -D).
+    - a key whose records are ALL retracts emits RowKind.DELETE
+      (``meetInsert`` stays false, :363) — hidden from merged reads.
+
+    The winner-by-(group-seq, seq) formulation equals the reference's
+    sequential fold: a row applies iff its version >= the running max,
+    so the last applied row is exactly the max-(version, seq) row.
+    Known sequential-fold corner kept as documented deviation: an
+    rr-group delete followed by a partial re-insert re-initializes the
+    row in the reference (initRow); here earlier groups' pre-delete
+    values survive the re-insert."""
     keys = _key_cols(schema)
     groups = _sequence_groups(schema)
     rr = remove_record_groups(schema)
     all_null = " AND ".join(f"`{g}` IS NULL" for g in groups)
     is_noop_delete = F.expr(
-        f"`{VALUE_KIND}` = '{KIND_DELETE}' AND ({all_null})"
+        f"`{VALUE_KIND}` IN ('{KIND_DELETE}', '-U') AND ({all_null})"
     )
     body = df.where(~is_noop_delete)
+    not_retract = f"`{VALUE_KIND}` NOT IN ('{KIND_DELETE}', '-U')"
 
     field_group: dict[str, str] = {}
     for g, cols in groups.items():
@@ -318,30 +345,44 @@ def _partial_update_with_groups(
             aggs.append(
                 F.expr(
                     f"max_by(`{f.name}`, CASE WHEN `{g}` IS NOT NULL AND "
-                    f"`{VALUE_KIND}` != '{KIND_DELETE}' "
-                    f"THEN struct(`{g}`, `{seq}`) END)"
+                    f"{not_retract} THEN struct(`{g}`, `{seq}`) END)"
                 ).alias(f.name)
             )
         else:
             aggs.append(
                 F.expr(
                     f"max_by(`{f.name}`, CASE WHEN `{f.name}` IS NOT NULL AND "
-                    f"`{VALUE_KIND}` != '{KIND_DELETE}' THEN `{seq}` END)"
+                    f"{not_retract} THEN `{seq}` END)"
                 ).alias(f.name)
             )
     for g in groups:
-        # the group's LATEST activity (upsert or retract), -D included
+        # the group's LATEST activity (upsert or retract), retracts included
         aggs.append(
             F.expr(
                 f"max_by(`{VALUE_KIND}`, CASE WHEN `{g}` IS NOT NULL "
                 f"THEN struct(`{g}`, `{seq}`) END)"
             ).alias(f"__kind__{g}")
         )
+    # meetInsert: a key that never saw a non-retract record merges to
+    # RowKind.DELETE in the reference and is hidden from batch reads
+    aggs.append(
+        F.max(F.expr(f"CASE WHEN {not_retract} THEN 1 ELSE 0 END")).alias("__meet")
+    )
     merged = body.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+    merged = merged.where(F.col("__meet") == 1)
     for g, cols in groups.items():
-        dead = F.col(f"__kind__{g}") == KIND_DELETE
+        dead = F.col(f"__kind__{g}").isin(KIND_DELETE, "-U")
         if g in rr:
-            merged = merged.where(~F.coalesce(dead, F.lit(False)))
+            # remove-record only for -D; a winning -U still just
+            # retracts the group's value fields
+            merged = merged.where(
+                ~F.coalesce(F.col(f"__kind__{g}") == KIND_DELETE, F.lit(False))
+            )
+            for c in cols:
+                if c != g:
+                    merged = merged.withColumn(
+                        c, F.when(dead, F.lit(None)).otherwise(F.col(c))
+                    )
         else:
             for c in cols:
                 merged = merged.withColumn(
@@ -725,10 +766,13 @@ def fold_runs(df: DataFrame, schema: TableSchema, bucket_col: str) -> DataFrame:
         )
         seq_col = _EFF_SEQ
     if engine == ENGINE_PARTIAL_UPDATE:
-        bad_kinds = [KIND_DELETE]
+        # -U is a retract for partial update too (silently ignored
+        # without groups, a group retract with them) — folding it
+        # through the kind-blind aggs would apply its values
+        bad_kinds = list(UNFOLDABLE_KINDS)
         aggs = _partial_update_aggs(schema, seq_col)
     elif engine == ENGINE_AGGREGATION:
-        bad_kinds = [KIND_DELETE, "-U"]
+        bad_kinds = list(UNFOLDABLE_KINDS)
         aggs = _aggregation_aggs(schema, seq_col)
     else:  # pragma: no cover — compactor handles dedup/first-row itself
         raise ValueError(f"fold_runs does not handle merge-engine {engine}")

@@ -1304,10 +1304,17 @@ class Table:
             # "if the values are the same, the input order will be used
             # to determine which one is the last one" (sql-upsert.md) —
             # the monotonic id pins input order so ties are deterministic.
-            # sort-order=descending flips the version direction only.
+            # sort-order=descending flips the version direction only; a
+            # NULL version stays OLDEST in both orders (the reference
+            # comparator takes its null branch before the direction flip,
+            # GenerateUtils.scala:332-341), so nulls always sort last here
             w = Window.partitionBy(*[F.col(k) for k in uk]).orderBy(
                 *[
-                    (F.col(c).asc() if seq_desc else F.col(c).desc())
+                    (
+                        F.col(c).asc_nulls_last()
+                        if seq_desc
+                        else F.col(c).desc_nulls_last()
+                    )
                     for c in seqf
                 ],
                 F.col("__in_order").desc(),
@@ -1389,15 +1396,28 @@ class Table:
                     "matches existing rows — set sequence.field to define "
                     "the winner"
                 )
-        wins = F.lit(True)
-        for c in seqf:
-            wins = wins & (
-                (F.col(c) >= F.col(f"__s_{c}"))
-                if seq_desc
-                else (F.col(c) <= F.col(f"__s_{c}"))
-            )
-        replace = F.col("__s_present").isNotNull() & wins
         joined = t.join(F.broadcast(s2), cond, "left")
+        if seqf:
+            # the incoming row replaces iff its version is >= the
+            # existing one under the table's order — LEXICOGRAPHIC
+            # across the sequence fields (UserDefinedSeqComparator is a
+            # multi-field record comparator), not a per-field AND, which
+            # would wrongly keep (1,5) against incoming (2,3). The
+            # struct comparison also gives the reference's NULL
+            # semantics for free: a NULL field sorts lowest (oldest) in
+            # both orders (descending is an order-reversing numeric
+            # image that maps NULL to NULL), so an existing NULL version
+            # always loses and a NULL-vs-NULL tie falls to the batch row
+            wins = F.struct(
+                *merge_engines.seq_order_exprs(joined, schema, seqf)
+            ) <= F.struct(
+                *merge_engines.seq_order_exprs(
+                    joined, schema, [f"__s_{c}" for c in seqf]
+                )
+            )
+        else:
+            wins = F.lit(True)
+        replace = F.col("__s_present").isNotNull() & wins
         updated = joined.select(
             *[
                 F.when(replace, F.col(f"__s_{c}")).otherwise(F.col(c)).alias(c)
@@ -1838,7 +1858,10 @@ class Table:
         if not selected:
             return snap
         dv = read_mod.dv_dataframe(spark, self.path, snap.dv_files)
-        bad_kinds = ["-D"] if engine == "partial-update" else ["-D", "-U"]
+        # MUST match fold_runs' unfoldable set: a bucket whose retract
+        # rows pass through the fold but get written at MAX_LEVEL would
+        # be served verbatim by the single-run raw-read shortcut
+        bad_kinds = list(merge_engines.UNFOLDABLE_KINDS)
         new_entries: list[ManifestEntry] = []
         if selected_whole:
             df = read_mod._read_files(
@@ -1847,9 +1870,10 @@ class Table:
             )
             if engine in ("deduplicate", "first-row"):
                 # no unmerged older run remains in any of these groups:
-                # drop every -D winner, like a full compaction
+                # drop every retract winner (-D and -U — DropDeleteReader
+                # keeps only RowKind.isAdd), like a full compaction
                 merged = merge_engines.fold_winner(df, schema, BUCKET_COL).where(
-                    F.col(VALUE_KIND) != ROWKIND_DELETE
+                    ~F.col(VALUE_KIND).isin(*merge_engines.UNFOLDABLE_KINDS)
                 )
                 residual = None
             else:

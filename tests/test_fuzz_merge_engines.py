@@ -145,16 +145,25 @@ def test_fuzz_partial_update_groups(spark, warehouse, seed):
             "snapshot.num-retained.min": "1",
         },
     )
-    # oracle per key: a/b last-non-null by seq; c at max (g, seq) among
-    # rows with g non-null; g = max g; visible iff ups_seq > del_seq
+    # oracle per key (PartialUpdateMergeFunction.retractWithSequenceGroup
+    # semantics): a/b last-non-null among NON-RETRACT rows; group winner
+    # = max (g, seq) among rows with g non-null ANY kind — c is the
+    # winner's value, NULLED when the winner is a retract (-D/-U); g =
+    # max g; a retract with g NULL is a NO-OP; visible iff the key ever
+    # saw a non-retract record (meetInsert)
     state: dict[int, dict] = {}
     seqc = 0
 
     def write_batch():
         rows = []
         for k in rng.sample(range(25), rng.randint(1, 8)):
-            if rng.random() < 0.15:
-                rows.append((k, None, None, None, None, "-D"))
+            r = rng.random()
+            if r < 0.15:
+                kind = "-D" if rng.random() < 0.5 else "-U"
+                g = rng.randint(0, 30) if rng.random() < 0.6 else None
+                # retracts sometimes CARRY values — they must never land
+                c = f"c{rng.randint(0, 99)}" if rng.random() < 0.3 else None
+                rows.append((k, None, None, g, c, kind))
                 continue
             a = f"a{rng.randint(0, 99)}" if rng.random() < 0.7 else None
             b = f"b{rng.randint(0, 99)}" if rng.random() < 0.7 else None
@@ -169,42 +178,37 @@ def test_fuzz_partial_update_groups(spark, warehouse, seed):
         for k, a, b, g, c, kind in rows:
             seqc += 1
             st = state.setdefault(
-                k, {"a": None, "b": None, "g": None, "c": None, "ck": None, "ups": None, "del": None}
+                k, {"a": None, "b": None, "g": None, "c": None, "ck": None, "met": False}
             )
-            if kind == "-D":
-                st["del"] = seqc
-                continue
-            st["ups"] = seqc
-            if a is not None:
-                st["a"] = a
-            if b is not None:
-                st["b"] = b
+            retract = kind in ("-D", "-U")
+            if not retract:
+                st["met"] = True
+                if a is not None:
+                    st["a"] = a
+                if b is not None:
+                    st["b"] = b
             if g is not None:
                 if st["g"] is None or g > st["g"]:
                     st["g"] = g
                 if st["ck"] is None or (g, seqc) > st["ck"]:
                     st["ck"] = (g, seqc)
-                    st["c"] = c  # the winning group row's c, even if None
+                    # winning retract NULLS the group's value fields;
+                    # winning upsert takes the whole row's c, even None
+                    st["c"] = None if retract else c
         return rows
 
     def expected():
-        out = {}
-        for k, st in state.items():
-            if st["ups"] is None:
-                continue
-            if st["del"] is not None and st["del"] > st["ups"]:
-                continue
-            out[k] = (st["a"], st["b"], st["g"], st["c"])
-        return out
+        return {
+            k: (st["a"], st["b"], st["g"], st["c"])
+            for k, st in state.items()
+            if st["met"]
+        }
 
     def on_full():
-        # tombstone GC: hidden keys vanish for good (a later +I starts
-        # from scratch); surviving keys lose their delete marker
-        for k in [k for k, st in state.items() if st["ups"] is None or
-                  (st["del"] is not None and st["del"] > st["ups"])]:
+        # tombstone GC: never-inserted keys (all-retract -> merged
+        # RowKind.DELETE) vanish for good; a later +I starts fresh
+        for k in [k for k, st in state.items() if not st["met"]]:
             del state[k]
-        for st in state.values():
-            st["del"] = None
 
     _drive(spark, t, rng, 9, write_batch, apply_batch, expected, on_full=on_full)
 

@@ -85,6 +85,74 @@ def test_matched_source_updates_every_duplicate_target(spark, warehouse):
     assert [(r.k, r.v) for r in t.to_df(spark).collect()] == [(9, "z"), (9, "z")]
 
 
+def test_multi_field_sequence_is_lexicographic(spark, ut):
+    """(ts1,ts2) compares as a record (UserDefinedSeqComparator is a
+    multi-field comparator), NOT per-field: incoming (2,3) beats
+    existing (1,5) even though 3 < 5."""
+    ut.write(spark.createDataFrame([(7, 7, 1, 5, "old")], DDL))
+    ut.refresh().write(spark.createDataFrame([(7, 7, 2, 3, "new")], DDL))
+    [r] = ut.refresh().to_df(spark).collect()
+    assert (r.ts1, r.ts2, r.v) == (2, 3, "new")
+    # and the reverse: incoming (1,9) loses to existing (2,3)
+    ut.refresh().write(spark.createDataFrame([(7, 7, 1, 9, "x")], DDL))
+    [r] = ut.refresh().to_df(spark).collect()
+    assert (r.ts1, r.ts2, r.v) == (2, 3, "new")
+
+
+def test_null_sequence_is_always_oldest(spark, ut):
+    """A NULL version is the comparator's null branch — OLDEST in both
+    sort orders: an existing NULL-versioned row loses to any incoming
+    version, a NULL-vs-NULL tie falls to the batch row (later input),
+    and an incoming NULL never displaces a non-null version."""
+    ut.write(spark.createDataFrame([(1, 1, None, None, "nul")], DDL))
+    # NULL vs NULL tie -> later input wins
+    ut.refresh().write(spark.createDataFrame([(1, 1, None, None, "nul2")], DDL))
+    [r] = ut.refresh().to_df(spark).collect()
+    assert r.v == "nul2"
+    # non-null incoming replaces the NULL-versioned row
+    ut.refresh().write(spark.createDataFrame([(1, 1, 1, 1, "real")], DDL))
+    [r] = ut.refresh().to_df(spark).collect()
+    assert (r.ts1, r.v) == (1, "real")
+    # incoming NULL loses to the existing non-null version
+    ut.refresh().write(spark.createDataFrame([(1, 1, None, 9, "back")], DDL))
+    [r] = ut.refresh().to_df(spark).collect()
+    assert (r.ts1, r.v) == (1, "real")
+
+
+def test_descending_null_version_never_wins_window(spark, warehouse):
+    """Under sort-order=descending the intra-batch winner window sorts
+    ascending; Spark's asc default is NULLS FIRST, which would crown a
+    NULL-versioned row. Nulls must sort last in both orders."""
+    t = warehouse.create_table(
+        "db.ups_dnull", "k int, ver int, v string",
+        options={
+            "upsert-key": "k",
+            "sequence.field": "ver",
+            "sequence.field.sort-order": "descending",
+        },
+    )
+    t.write(spark.createDataFrame(
+        [(1, None, "nul"), (1, 7, "seven"), (1, 3, "three")],
+        "k int, ver int, v string",
+    ))
+    [r] = t.to_df(spark).collect()
+    assert (r.ver, r.v) == (3, "three")  # smallest non-null wins
+    # existing NULL-versioned row loses to any incoming version
+    t2 = warehouse.create_table(
+        "db.ups_dnull2", "k int, ver int, v string",
+        options={
+            "upsert-key": "k",
+            "sequence.field": "ver",
+            "sequence.field.sort-order": "descending",
+        },
+    )
+    t2.write(spark.createDataFrame([(1, None, "nul")], "k int, ver int, v string"))
+    t2.refresh().write(
+        spark.createDataFrame([(1, 9, "nine")], "k int, ver int, v string"))
+    [r] = t2.refresh().to_df(spark).collect()
+    assert (r.ver, r.v) == (9, "nine")
+
+
 def test_intra_batch_dedup_with_sequence(spark, ut):
     ut.write(spark.createDataFrame([
         (5, 5, 1, 1, "old"), (5, 5, 3, 1, "new"), (5, 5, 2, 1, "mid"),
