@@ -670,12 +670,22 @@ def _make_spec(schema, buckets, dv, maps, sel_cols, jkeys, pred=None) -> dict:
 
     seq_groups = _sequence_groups(schema) if engine == "partial-update" else {}
     rr_groups = []
+    pu_aggs: dict = {}
+    pu_agg_cfg = None
     if engine == "partial-update" and seq_groups:
         from flink_table_store_spark.operators.merge_engines import (
+            pu_agg_funcs,
             remove_record_groups,
         )
 
         rr_groups = sorted(remove_record_groups(schema))
+        pu_aggs = pu_agg_funcs(schema)
+        if pu_aggs:
+            # aggregation-for-partial-update: reuse the aggregation
+            # engine's task config, restricted to the aggregated fields
+            pu_agg_cfg = dict(_agg_cfg(schema))
+            pu_agg_cfg["funcs"] = dict(pu_aggs)
+            pu_agg_cfg["remove_on_delete"] = False
     if pred is not None and pred.fields() is None:
         # Raw predicates wrap a py4j-backed Column — unpicklable in the
         # task closure and a no-op for _keep_mask anyway
@@ -690,6 +700,8 @@ def _make_spec(schema, buckets, dv, maps, sel_cols, jkeys, pred=None) -> dict:
         "agg_cfg": _agg_cfg(schema) if engine == "aggregation" else None,
         "seq_groups": seq_groups,
         "rr_groups": rr_groups,
+        "pu_aggs": pu_aggs,
+        "pu_agg_cfg": pu_agg_cfg,
         "key_cols": key_cols,
         "seq_fields": seq_fields,
         "seq_desc": seq_desc,
@@ -706,7 +718,21 @@ def _make_spec(schema, buckets, dv, maps, sel_cols, jkeys, pred=None) -> dict:
                 list(sel_cols)
                 + jkeys
                 + pred_fields
-                + ((key_cols + seq_fields + list(seq_groups)) if pk else [])
+                + (
+                    (
+                        key_cols
+                        + seq_fields
+                        # group keys may be comma-joined multi-field specs
+                        + [
+                            c.strip()
+                            for g in seq_groups
+                            for c in str(g).split(",")
+                            if c.strip()
+                        ]
+                    )
+                    if pk
+                    else []
+                )
             )
         ),
         "out_need": list(dict.fromkeys(list(sel_cols) + jkeys)),
@@ -818,7 +844,13 @@ def read_bucket_side(spec: dict, bucket: int):
         else:  # partial-update: per-column last non-null in order
             pdf["__ord"] = range(len(pdf))
             groups = spec.get("seq_groups") or {}
-            gseq_cols = [g for g in groups if g in pdf.columns]
+            gcols_of = {
+                g: [c.strip() for c in str(g).split(",") if c.strip()]
+                for g in groups
+            }
+            gseq_cols = [
+                c for g in groups for c in gcols_of[g] if c in pdf.columns
+            ]
             retract_mask = pdf[kindc].isin((KIND_DELETE, "-U"))
             if gseq_cols:
                 # -D AND -U carrying a group sequence are GROUP
@@ -850,26 +882,40 @@ def read_bucket_side(spec: dict, bucket: int):
             # retraction: fields null out, or (remove-record-on-
             # sequence-group) the whole row drops.
             rr = set(spec.get("rr_groups") or ())
+            pu_aggs = spec.get("pu_aggs") or {}
             for g, fields in groups.items():
+                gcols = [c for c in gcols_of[g] if c in pdf.columns]
+                if not gcols:
+                    continue
+                # value fields (no aggregator) take the winning
+                # NON-RETRACT row's values, nulls included
                 cols = [
                     c
-                    for c in [g] + fields
-                    if c in ups.columns and c not in spec["key_cols"]
+                    for c in fields
+                    if c in ups.columns
+                    and c not in spec["key_cols"]
+                    and c not in pu_aggs
                 ]
-                if g not in pdf.columns or not cols:
-                    continue
-                sub = ups[ups[g].notna()].sort_values([g, "__ord"], kind="stable")
-                gsel = sub.drop_duplicates(
-                    subset=spec["key_cols"], keep="last"
-                ).set_index(spec["key_cols"])[cols]
-                for c in cols:
-                    merged[c] = gsel[c].reindex(merged.index)
-                winner = body[body[g].notna()].sort_values(
-                    [g, "__ord"], kind="stable"
+                order = gcols + ["__ord"]
+                # nulls sort FIRST (lowest): the reference comparator's
+                # nullsIsLast=false, matching Spark's struct ordering
+                sub = ups[ups[gcols].notna().any(axis=1)].sort_values(
+                    order, kind="stable", na_position="first"
+                )
+                if cols:
+                    gsel = sub.drop_duplicates(
+                        subset=spec["key_cols"], keep="last"
+                    ).set_index(spec["key_cols"])[cols]
+                    for c in cols:
+                        merged[c] = gsel[c].reindex(merged.index)
+                winner = body[body[gcols].notna().any(axis=1)].sort_values(
+                    order, kind="stable", na_position="first"
                 ).drop_duplicates(subset=spec["key_cols"], keep="last").set_index(
                     spec["key_cols"]
                 )
-                merged[g] = winner[g].reindex(merged.index)
+                for gc in gcols:
+                    if gc not in spec["key_cols"]:
+                        merged[gc] = winner[gc].reindex(merged.index)
                 wkind = winner[kindc].reindex(merged.index)
                 # a winning retract (-D or -U) nulls the group's value
                 # fields; remove-record-on-sequence-group drops the
@@ -879,8 +925,34 @@ def read_bucket_side(spec: dict, bucket: int):
                     merged = merged[~(wkind == KIND_DELETE).fillna(False)]
                     dead = dead.reindex(merged.index).fillna(False)
                 for c in cols:
-                    if c != g:
-                        merged.loc[dead, c] = None
+                    merged.loc[dead, c] = None
+                # aggregated fields fold over the group's eligible rows
+                # in (group-seq..., input) order; retracts retract,
+                # winning or not (aggregation-for-partial-update)
+                afields = [
+                    c
+                    for c in fields
+                    if c in pu_aggs
+                    and c in body.columns
+                    and c not in spec["key_cols"]
+                ]
+                if afields:
+                    elig = body[body[gcols].notna().any(axis=1)].sort_values(
+                        order, kind="stable", na_position="first"
+                    )
+                    sub_cfg = dict(spec["pu_agg_cfg"])
+                    sub_cfg["funcs"] = {c: pu_aggs[c] for c in afields}
+                    folded = fold_aggregation(
+                        elig[spec["key_cols"] + afields + [kindc]],
+                        spec["key_cols"],
+                        sub_cfg,
+                        seqc,
+                        kindc,
+                    ).set_index(spec["key_cols"])
+                    for c in afields:
+                        # keys with no eligible rows stay NULL (the
+                        # reference never initializes the field)
+                        merged[c] = folded[c].reindex(merged.index)
             if len(del_rows):
                 # remove-record-on-delete: a -D that is the key's
                 # latest activity drops the record

@@ -22,6 +22,7 @@ bucket) group carrying the hidden columns ``_SEQUENCE_NUMBER`` and
 
 from __future__ import annotations
 
+import functools
 import os
 
 import pandas as pd
@@ -193,31 +194,137 @@ def _dedup(
 
 
 def _sequence_groups(schema: TableSchema) -> dict[str, list[str]]:
-    """{seq_col: [fields]} from ``fields.<seq>.sequence-group`` options
-    (PartialUpdateMergeFunction.java:67 SEQUENCE_GROUP)."""
+    """{group key: [value fields]} from ``fields.<seq[,seq2...]>.
+    sequence-group`` options (PartialUpdateMergeFunction.java:67
+    SEQUENCE_GROUP). The key keeps the option's raw comma-joined
+    sequence-field spelling — ``fields.g_1,g_3.sequence-group`` defines
+    ONE group ordered lexicographically by (g_1, g_3); split it with
+    ``_group_seq_cols``. A value field may belong to one group only
+    (the reference throws "defined repeatedly")."""
     groups: dict[str, list[str]] = {}
+    owner: dict[str, str] = {}
     for k, v in schema.options.items():
         if k.startswith("fields.") and k.endswith(".sequence-group"):
-            seq_col = k[len("fields."):-len(".sequence-group")]
-            groups[seq_col] = [c.strip() for c in v.split(",") if c.strip()]
+            key = k[len("fields."):-len(".sequence-group")]
+            cols = [c.strip() for c in v.split(",") if c.strip()]
+            for c in cols:
+                if c in owner:
+                    raise ValueError(
+                        f"field {c!r} is defined repeatedly by multiple "
+                        f"sequence groups: {owner[c]!r} and {key!r}"
+                    )
+                owner[c] = key
+            groups[key] = cols
     return groups
 
 
-def _partial_update_aggs(schema: TableSchema, seq: str) -> list:
-    """Per-field aggregate expressions of the partial-update engine
-    (shared by the full merge and the universal-compaction fold).
+def _group_seq_cols(group_key: str) -> list[str]:
+    """Sequence columns of one group key (multi-field groups are
+    comma-joined in the option key)."""
+    return [c.strip() for c in group_key.split(",") if c.strip()]
 
-    Non-group fields: last non-null value in sequence order
-    (``max_by(f, seq where f non-null)``). Sequence-group fields: value
-    from the row with the max non-null group-sequence.
+
+def pu_agg_funcs(schema: TableSchema) -> dict[str, str]:
+    """``fields.<f>.aggregate-function`` under the partial-update
+    engine ("Aggregation For Partial Update", partial-update.md:150):
+    per-field aggregators that fold instead of overwrite. ACTIVE ONLY
+    when at least one sequence group exists — without groups the
+    reference's updateNonNullFields ignores aggregators entirely
+    (PartialUpdateMergeFunction.java:227-232). Group sequence columns
+    and keys never aggregate."""
+    groups = _sequence_groups(schema)
+    if not groups:
+        return {}
+    keys = set(_key_cols(schema))
+    seq_cols = {c for g in groups for c in _group_seq_cols(g)}
+    grouped = {c for _g, cols in groups.items() for c in cols}
+    default = schema.options.get("fields.default-aggregate-function")
+    out: dict[str, str] = {}
+    for f in schema.fields:
+        if f.name in keys or f.name in seq_cols:
+            continue
+        func = schema.options.get(
+            f"fields.{f.name}.aggregate-function", default
+        )
+        if not func:
+            continue
+        if f.name not in grouped:
+            # getAggFuncName: only last_non_null_value works without a
+            # sequence group — and it IS the engine's default behavior
+            if func in ("last_non_null_value", "primary-key"):
+                continue
+            raise ValueError(
+                "Must use sequence group for aggregation functions "
+                f"but not found for field {f.name}"
+            )
+        out[f.name] = func
+    return out
+
+
+def _partial_update_aggs(schema: TableSchema, seq: str) -> tuple[list, list]:
+    """Prep columns + per-field aggregate expressions of the
+    partial-update engine (shared by the full merge and the
+    universal-compaction fold). Returns ``(prep, aggs)``: ``prep`` is a
+    list of (column name, Column) to ``withColumn`` BEFORE the groupBy
+    (group order structs; empty-group masking of aggregated fields);
+    ``aggs`` the groupBy expressions.
+
+    - Non-group, non-agg fields: last non-null value in input-sequence
+      order (``max_by(f, seq where f non-null)``), non-retract rows.
+    - Sequence-group columns: the values of the row with the max
+      (group-seq..., seq) among rows where the group is NON-EMPTY, any
+      kind — retracts advance group sequences too
+      (retractWithSequenceGroup sets the comparator's fields).
+    - Group value fields (no aggregator): the winning NON-RETRACT
+      row's value, nulls included.
+    - Aggregated fields ("Aggregation For Partial Update"): folded by
+      the group's (seq-cols..., seq) order when in a group (empty-group
+      rows masked out — the reference's isEmptySequenceGroup skip;
+      retracts retract, winning or not), by input order over upserts
+      when not (the reference's retract pass never visits agg-only
+      fields). For order-dependent aggregators with OUT-OF-ORDER group
+      versions the reference's pairwise agg/aggReversed fold is
+      path-dependent (materialization-dependent under compaction); this
+      engine uses the materialization-INDEPENDENT sorted-(version, seq)
+      fold, identical for in-order streams — the same documented stance
+      as sequence.field partial folds.
     """
     keys = _key_cols(schema)
+    opts = schema.options
     groups = _sequence_groups(schema)
+    agg_funcs = pu_agg_funcs(schema)
     field_group: dict[str, str] = {}
     for g, cols in groups.items():
         for c in cols:
             field_group[c] = g
+    group_ord: dict[str, str] = {}
+    prep: list[tuple] = []
+    for i, g in enumerate(sorted(groups)):
+        gcols = _group_seq_cols(g)
+        nonempty = functools.reduce(
+            lambda a, b: a | b, [F.col(c).isNotNull() for c in gcols]
+        )
+        ordname = f"__gord_{i}"
+        group_ord[g] = ordname
+        prep.append(
+            (
+                ordname,
+                F.when(
+                    nonempty,
+                    F.struct(*[F.col(c) for c in gcols], F.col(seq)),
+                ),
+            )
+        )
+    for fname in agg_funcs:
+        g = field_group.get(fname)
+        if g is not None:
+            # empty-group rows contribute NOTHING to the group's agg
+            prep.append(
+                (fname, F.when(F.col(group_ord[g]).isNotNull(), F.col(fname)))
+            )
 
+    not_retract = f"`{VALUE_KIND}` NOT IN ('{KIND_DELETE}', '-U')"
+    seq_cols_all = {c for g in groups for c in _group_seq_cols(g)}
     # NOT the last group's column: non-group fields order by the real
     # sequence (a former loop-variable shadowing bug silently merged
     # them by an unrelated group column when sequence-groups were set)
@@ -225,18 +332,43 @@ def _partial_update_aggs(schema: TableSchema, seq: str) -> list:
     for f in schema.fields:
         if f.name in keys:
             continue
-        if f.name in groups:  # a sequence column itself: keep its max
-            aggs.append(F.max(F.col(f.name)).alias(f.name))
+        if f.name in seq_cols_all:
+            g = next(g for g in groups if f.name in _group_seq_cols(g))
+            # all kinds: a winning retract advances the group sequence.
+            # the order key embeds the unique input seq, so every
+            # column's max_by picks the SAME winning row
+            aggs.append(
+                F.expr(f"max_by(`{f.name}`, `{group_ord[g]}`)").alias(f.name)
+            )
+        elif f.name in agg_funcs:
+            func = agg_funcs[f.name]
+            ig = opts.get(f"fields.{f.name}.ignore-retract", "false") == "true"
+            g = field_group.get(f.name)
+            if g is not None:
+                expr = _agg_field_expr(
+                    opts, f.name, f.type, func, group_ord[g], retract=not ig
+                )
+            else:
+                expr = _agg_field_expr(
+                    opts, f.name, f.type, func, seq, retract=False
+                )
+            aggs.append(expr.cast(f.type).alias(f.name))
         elif f.name in field_group:
             g = field_group[f.name]
             aggs.append(
-                F.expr(f"max_by(`{f.name}`, CASE WHEN `{g}` IS NOT NULL THEN struct(`{g}`, `{seq}`) END)").alias(f.name)
+                F.expr(
+                    f"max_by(`{f.name}`, CASE WHEN {not_retract} "
+                    f"THEN `{group_ord[g]}` END)"
+                ).alias(f.name)
             )
         else:
             aggs.append(
-                F.expr(f"max_by(`{f.name}`, CASE WHEN `{f.name}` IS NOT NULL THEN `{seq}` END)").alias(f.name)
+                F.expr(
+                    f"max_by(`{f.name}`, CASE WHEN `{f.name}` IS NOT NULL "
+                    f"AND {not_retract} THEN `{seq}` END)"
+                ).alias(f.name)
             )
-    return aggs
+    return prep, aggs
 
 
 def remove_record_groups(schema: TableSchema) -> set[str]:
@@ -246,8 +378,17 @@ def remove_record_groups(schema: TableSchema) -> set[str]:
     raw = schema.options.get(
         "partial-update.remove-record-on-sequence-group", ""
     )
-    rr = {c.strip() for c in raw.split(",") if c.strip()}
-    unknown = rr - set(_sequence_groups(schema))
+    named = {c.strip() for c in raw.split(",") if c.strip()}
+    groups = _sequence_groups(schema)
+    rr: set[str] = set()
+    unknown = set(named)
+    for g in groups:
+        gcols = set(_group_seq_cols(g))
+        # the option names sequence FIELDS; any member field (or the
+        # full comma-joined key) selects its group
+        if g in named or (gcols & named):
+            rr.add(g)
+            unknown -= gcols | {g}
     if unknown:
         raise ValueError(
             "partial-update.remove-record-on-sequence-group names "
@@ -278,7 +419,9 @@ def _partial_update(
     if groups:
         return _partial_update_with_groups(df, schema, seq)
     upserts = df.where(~F.col(VALUE_KIND).isin(KIND_DELETE, "-U"))
-    aggs = _partial_update_aggs(schema, seq)
+    prep, aggs = _partial_update_aggs(schema, seq)
+    for name, col in prep:  # pragma: no cover — empty without groups
+        upserts = upserts.withColumn(name, col)
     aggs.append(F.max(F.col(seq)).alias("__ups_seq"))
     merged = upserts.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
 
@@ -323,71 +466,50 @@ def _partial_update_with_groups(
     keys = _key_cols(schema)
     groups = _sequence_groups(schema)
     rr = remove_record_groups(schema)
-    all_null = " AND ".join(f"`{g}` IS NULL" for g in groups)
+    agg_funcs = pu_agg_funcs(schema)
+    all_seq_cols = [c for g in sorted(groups) for c in _group_seq_cols(g)]
+    all_null = " AND ".join(f"`{c}` IS NULL" for c in all_seq_cols)
     is_noop_delete = F.expr(
         f"`{VALUE_KIND}` IN ('{KIND_DELETE}', '-U') AND ({all_null})"
     )
     body = df.where(~is_noop_delete)
     not_retract = f"`{VALUE_KIND}` NOT IN ('{KIND_DELETE}', '-U')"
 
-    field_group: dict[str, str] = {}
-    for g, cols in groups.items():
-        for c in cols:
-            field_group[c] = g
-    aggs = []
-    for f in schema.fields:
-        if f.name in keys:
-            continue
-        if f.name in groups:  # the group's own sequence column
-            aggs.append(F.max(F.col(f.name)).alias(f.name))
-        elif f.name in field_group:
-            g = field_group[f.name]
-            aggs.append(
-                F.expr(
-                    f"max_by(`{f.name}`, CASE WHEN `{g}` IS NOT NULL AND "
-                    f"{not_retract} THEN struct(`{g}`, `{seq}`) END)"
-                ).alias(f.name)
-            )
-        else:
-            aggs.append(
-                F.expr(
-                    f"max_by(`{f.name}`, CASE WHEN `{f.name}` IS NOT NULL AND "
-                    f"{not_retract} THEN `{seq}` END)"
-                ).alias(f.name)
-            )
+    prep, aggs = _partial_update_aggs(schema, seq)
+    group_ord = {g: f"__gord_{i}" for i, g in enumerate(sorted(groups))}
+    kind_col = {g: f"__gkind_{i}" for i, g in enumerate(sorted(groups))}
     for g in groups:
         # the group's LATEST activity (upsert or retract), retracts included
         aggs.append(
             F.expr(
-                f"max_by(`{VALUE_KIND}`, CASE WHEN `{g}` IS NOT NULL "
-                f"THEN struct(`{g}`, `{seq}`) END)"
-            ).alias(f"__kind__{g}")
+                f"max_by(`{VALUE_KIND}`, `{group_ord[g]}`)"
+            ).alias(kind_col[g])
         )
     # meetInsert: a key that never saw a non-retract record merges to
     # RowKind.DELETE in the reference and is hidden from batch reads
     aggs.append(
         F.max(F.expr(f"CASE WHEN {not_retract} THEN 1 ELSE 0 END")).alias("__meet")
     )
+    for name, col in prep:
+        body = body.withColumn(name, col)
     merged = body.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
     merged = merged.where(F.col("__meet") == 1)
     for g, cols in groups.items():
-        dead = F.col(f"__kind__{g}").isin(KIND_DELETE, "-U")
+        dead = F.col(kind_col[g]).isin(KIND_DELETE, "-U")
         if g in rr:
             # remove-record only for -D; a winning -U still just
             # retracts the group's value fields
             merged = merged.where(
-                ~F.coalesce(F.col(f"__kind__{g}") == KIND_DELETE, F.lit(False))
+                ~F.coalesce(F.col(kind_col[g]) == KIND_DELETE, F.lit(False))
             )
-            for c in cols:
-                if c != g:
-                    merged = merged.withColumn(
-                        c, F.when(dead, F.lit(None)).otherwise(F.col(c))
-                    )
-        else:
-            for c in cols:
-                merged = merged.withColumn(
-                    c, F.when(dead, F.lit(None)).otherwise(F.col(c))
-                )
+        for c in cols:
+            if c in agg_funcs:
+                # aggregated fields RETRACT (winning or not) instead of
+                # nulling out — already folded into the agg expression
+                continue
+            merged = merged.withColumn(
+                c, F.when(dead, F.lit(None)).otherwise(F.col(c))
+            )
     return merged.select(*schema.field_names())
 
 
@@ -550,6 +672,35 @@ def _nested_update_keyed(name: str, seq: str, ftype: str, nested_keys: list[str]
     )
 
 
+def _agg_field_expr(
+    opts: dict, fname: str, ftype: str, func: str, seq: str, retract: bool
+):
+    """One field's aggregation expression (merge_map / nested_update /
+    the _agg_expr matrix), ordered by the ``seq`` column — a plain
+    column name, so callers may substitute a precomputed composite
+    order (e.g. a sequence-group struct). Shared by the aggregation
+    engine and aggregation-for-partial-update."""
+    nested_key = opts.get(f"fields.{fname}.nested-key")
+    if func == "merge_map":
+        c, v = f"`{fname}`", f"(CASE WHEN NOT ({_RETRACT}) THEN `{fname}` END)"
+        # FieldMergeMapAgg: later entries win (needs mapKeyDedupPolicy=LAST_WIN)
+        return F.expr(
+            f"aggregate(transform(array_sort(collect_list(CASE WHEN {v} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END), {_SEQ_CMP}), x -> x.v), cast(map() as {ftype}), (acc, x) -> map_concat(acc, x))"
+        )
+    if func == "nested_update" and nested_key:
+        return _nested_update_keyed(
+            fname, seq, ftype, [k.strip() for k in nested_key.split(",") if k.strip()]
+        )
+    return _agg_expr(
+        func,
+        fname,
+        seq,
+        ftype,
+        retract=retract,
+        sketch_k=int(opts.get(f"fields.{fname}.theta-sketch.k", "4096")),
+    )
+
+
 def _aggregation_aggs(schema: TableSchema, seq: str) -> list:
     """Per-field aggregate expressions of the aggregation engine
     (shared by the full merge and the universal-compaction fold)."""
@@ -562,26 +713,9 @@ def _aggregation_aggs(schema: TableSchema, seq: str) -> list:
             continue
         func = opts.get(f"fields.{f.name}.aggregate-function", default_func)
         ignore_retract = opts.get(f"fields.{f.name}.ignore-retract", "false") == "true"
-        nested_key = opts.get(f"fields.{f.name}.nested-key")
-        if func == "merge_map":
-            c, v = f"`{f.name}`", f"(CASE WHEN NOT ({_RETRACT}) THEN `{f.name}` END)"
-            # FieldMergeMapAgg: later entries win (needs mapKeyDedupPolicy=LAST_WIN)
-            expr = F.expr(
-                f"aggregate(transform(array_sort(collect_list(CASE WHEN {v} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END), {_SEQ_CMP}), x -> x.v), cast(map() as {f.type}), (acc, x) -> map_concat(acc, x))"
-            )
-        elif func == "nested_update" and nested_key:
-            expr = _nested_update_keyed(
-                f.name, seq, f.type, [k.strip() for k in nested_key.split(",") if k.strip()]
-            )
-        else:
-            expr = _agg_expr(
-                func,
-                f.name,
-                seq,
-                f.type,
-                retract=not ignore_retract,
-                sketch_k=int(opts.get(f"fields.{f.name}.theta-sketch.k", "4096")),
-            )
+        expr = _agg_field_expr(
+            opts, f.name, f.type, func, seq, retract=not ignore_retract
+        )
         aggs.append(expr.cast(f.type).alias(f.name))
     return aggs
 
@@ -654,6 +788,13 @@ _FOLD_SAFE_AGGS = frozenset(
     }
 )
 
+# GROUP-gated aggregators safe under a partial fold: order-insensitive
+# folds, plus last_value (whose folded value comes from exactly the row
+# whose group sequence labels the folded output)
+_GROUP_FOLD_SAFE_AGGS = frozenset(
+    {"sum", "product", "min", "max", "bool_and", "bool_or", "last_value"}
+)
+
 
 def fold_supported(schema: TableSchema) -> bool:
     """True when this table's merge engine folds ASSOCIATIVELY over the
@@ -674,6 +815,26 @@ def fold_supported(schema: TableSchema) -> bool:
     if engine in (ENGINE_DEDUPLICATE, ENGINE_FIRST_ROW):
         return True
     if engine == ENGINE_PARTIAL_UPDATE:
+        # aggregation-for-partial-update: input-seq-ordered (non-group)
+        # agg fields fold-safe like the aggregation engine; GROUP-gated
+        # agg fields fold-safe only when order-insensitive OR when the
+        # folded label (the winning row's group seq) IS the row the
+        # value came from (last_value) — a folded first_value /
+        # last_non_null relabeled with the winner's version would lose
+        # to / beat older runs it shouldn't
+        agg_funcs = pu_agg_funcs(schema)
+        if not agg_funcs:
+            return True
+        grouped = {
+            c for _g, cols in _sequence_groups(schema).items() for c in cols
+        }
+        types = {f.name: f.type.lower() for f in schema.fields}
+        for fname, func in agg_funcs.items():
+            if fname in grouped:
+                if func not in _GROUP_FOLD_SAFE_AGGS:
+                    return False
+            elif not _fold_safe_func(func, types.get(fname, "")):
+                return False
         return True
     if engine != ENGINE_AGGREGATION:
         return False
@@ -684,16 +845,19 @@ def fold_supported(schema: TableSchema) -> bool:
         if f.name in keys:
             continue
         func = opts.get(f"fields.{f.name}.aggregate-function", default_func)
-        ftype = f.type.lower()
-        if func == "hll_sketch":
-            if ftype != "binary":  # raw-value sketching is not re-mergeable
-                return False
-        elif func == "theta_sketch":
-            if ftype != "binary" and not ftype.startswith("array"):
-                return False
-        elif func not in _FOLD_SAFE_AGGS:
+        if not _fold_safe_func(func, f.type.lower()):
             return False
     return True
+
+
+def _fold_safe_func(func: str, ftype: str) -> bool:
+    """Whether one input-seq-ordered aggregator is newest-prefix
+    associative (foldable over the newest runs only)."""
+    if func == "hll_sketch":
+        return ftype == "binary"  # raw-value sketching is not re-mergeable
+    if func == "theta_sketch":
+        return ftype == "binary" or ftype.startswith("array")
+    return func in _FOLD_SAFE_AGGS
 
 
 def fold_winner(df: DataFrame, schema: TableSchema, bucket_col: str) -> DataFrame:
@@ -770,10 +934,10 @@ def fold_runs(df: DataFrame, schema: TableSchema, bucket_col: str) -> DataFrame:
         # without groups, a group retract with them) — folding it
         # through the kind-blind aggs would apply its values
         bad_kinds = list(UNFOLDABLE_KINDS)
-        aggs = _partial_update_aggs(schema, seq_col)
+        prep, aggs = _partial_update_aggs(schema, seq_col)
     elif engine == ENGINE_AGGREGATION:
         bad_kinds = list(UNFOLDABLE_KINDS)
-        aggs = _aggregation_aggs(schema, seq_col)
+        prep, aggs = [], _aggregation_aggs(schema, seq_col)
     else:  # pragma: no cover — compactor handles dedup/first-row itself
         raise ValueError(f"fold_runs does not handle merge-engine {engine}")
 
@@ -783,8 +947,11 @@ def fold_runs(df: DataFrame, schema: TableSchema, bucket_col: str) -> DataFrame:
     df = df.withColumn("__unfoldable", flag)
     out_cols = [*schema.field_names(), VALUE_KIND, SEQUENCE_NUMBER, bucket_col]
     passthrough = df.where(F.col("__unfoldable") == 1).select(*out_cols)
+    fold_in = df.where(F.col("__unfoldable") == 0)
+    for name, col in prep:
+        fold_in = fold_in.withColumn(name, col)
     folded = (
-        df.where(F.col("__unfoldable") == 0)
+        fold_in
         .groupBy(*[F.col(k) for k in keys])
         .agg(*aggs, F.max(F.col(SEQUENCE_NUMBER)).alias(SEQUENCE_NUMBER))
         .withColumn(VALUE_KIND, F.lit(KIND_INSERT))

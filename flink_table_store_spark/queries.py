@@ -3726,6 +3726,94 @@ GROUP BY doc_id ORDER BY doc_id
 QUERIES["text_paragraph_dedup"] = (text_paragraph_dedup, PARAGRAPH_DEDUP_SQL)
 
 
+def partial_update_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation for partial-update + a MULTI-FIELD sequence group
+    (partial-update.md:150-263; PartialUpdateMergeFunction
+    updateWithSequenceGroup agg/aggReversed): ``spend`` sums under the
+    (g1,g2) group — batch 2 adds 100 under a lexicographically winning
+    (2,0); batch 3 retracts the base amount with a -D that LOSES the
+    version race for %3 keys yet still subtracts (retracts apply
+    winning or not). ``first_price`` is first_value under g3 — batch
+    2's later 0.0 must NOT displace it (a plain group field would
+    overwrite; the aggregator is what keeps the first)."""
+    cat = _wh(sf_dir)
+    name = "default.orders_pu_agg"
+    try:
+        t = cat.get_table(name)
+        if t.snapshots.latest_id() and t.snapshots.latest_id() >= 3:
+            return t.to_df(spark).orderBy("o_custkey")
+        cat.drop_table(name)
+    except RuntimeError:
+        pass
+    t = cat.create_table(
+        name,
+        "o_custkey bigint, spend double, first_price double, "
+        "g1 bigint, g2 bigint, g3 bigint",
+        primary_keys=["o_custkey"],
+        options={
+            "merge-engine": "partial-update",
+            "fields.g1,g2.sequence-group": "spend",
+            "fields.spend.aggregate-function": "sum",
+            "fields.g3.sequence-group": "first_price",
+            "fields.first_price.aggregate-function": "first_value",
+            "bucket": "2",
+        },
+        ignore_if_exists=True,
+    )
+    # integer-valued doubles (< 2^53) sum exactly in any order — the
+    # Spark fold and the oracle's closed form cannot diverge in FP
+    base = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.max("o_totalprice"), 0).alias("maxp"),
+            F.round(F.min("o_totalprice"), 0).alias("minp"),
+        )
+    )
+    t.write(base.select(
+        "o_custkey", F.col("maxp").alias("spend"),
+        F.col("minp").alias("first_price"),
+        F.lit(1).cast("long").alias("g1"), F.lit(1).cast("long").alias("g2"),
+        F.lit(1).cast("long").alias("g3"),
+    ))
+    t.write(base.where(F.col("o_custkey") % 4 == 0).select(
+        "o_custkey", F.lit(100.0).alias("spend"),
+        F.lit(0.0).alias("first_price"),
+        F.lit(2).cast("long").alias("g1"), F.lit(0).cast("long").alias("g2"),
+        F.lit(2).cast("long").alias("g3"),
+    ))
+    retract = base.where(F.col("o_custkey") % 7 == 0).select(
+        "o_custkey", F.col("maxp").alias("spend"),
+        F.lit(None).cast("double").alias("first_price"),
+        F.lit(1).cast("long").alias("g1"), F.lit(9).cast("long").alias("g2"),
+        F.lit(None).cast("long").alias("g3"),
+        F.lit("-D").alias("rk"),
+    )
+    t.write(retract, row_kind_col="rk")
+    return t.to_df(spark).orderBy("o_custkey")
+
+
+PU_AGG_SQL = """
+WITH base AS (
+  SELECT o_custkey, round(max(o_totalprice), 0) AS maxp,
+         round(min(o_totalprice), 0) AS minp
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey,
+       maxp + CASE WHEN o_custkey % 4 = 0 THEN 100.0 ELSE 0 END
+            - CASE WHEN o_custkey % 7 = 0 THEN maxp ELSE 0 END AS spend,
+       minp AS first_price,
+       CAST(CASE WHEN o_custkey % 4 = 0 THEN 2 ELSE 1 END AS BIGINT) AS g1,
+       CAST(CASE WHEN o_custkey % 4 = 0 THEN 0
+                 WHEN o_custkey % 7 = 0 THEN 9 ELSE 1 END AS BIGINT) AS g2,
+       CAST(CASE WHEN o_custkey % 4 = 0 THEN 2 ELSE 1 END AS BIGINT) AS g3
+FROM base ORDER BY o_custkey
+"""
+
+# judge-run tail: aggregation-for-partial-update (new merge semantics)
+QUERIES["partial_update_agg"] = (partial_update_agg, PU_AGG_SQL)
+
+
 def reset_managed_tables(sf_dir: str | None = None) -> None:
     """Drop the /tmp managed warehouses (tests / fresh runs)."""
     if sf_dir is None:
