@@ -278,6 +278,95 @@ def test_fuzz_aggregation_retracts(spark, warehouse, seed):
     _drive(spark, t, rng, 9, write_batch, apply_batch, expected)
 
 
+# --- family E: aggregation-for-partial-update (r9 session 3) ---------------
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_partial_update_aggregation(spark, warehouse, seed):
+    """partial-update + a sum aggregator inside a sequence group +
+    last-non-null non-group fields, mixed with universal and full
+    compaction. sum is group-fold-safe, so partial folds DO fire; the
+    serial oracle replays updateWithSequenceGroup/retractWith
+    SequenceGroup for the order-insensitive aggregator exactly. Group
+    versions are drawn IN-ORDER per key (monotone clocks) so the
+    sorted fold equals the reference's sequential one."""
+    rng = random.Random(4400 + seed)
+    ddl = "k bigint, a string, g bigint, total bigint"
+    wddl = ddl + ", rk string"
+    t = warehouse.create_table(
+        f"db.fz4e_{seed}",
+        ddl,
+        primary_keys=["k"],
+        options={
+            "bucket": "2",
+            "merge-engine": "partial-update",
+            "fields.g.sequence-group": "total",
+            "fields.total.aggregate-function": "sum",
+            "snapshot.num-retained.min": "1",
+        },
+    )
+    # oracle per key: a last-non-null among non-retract rows; total =
+    # signed sum over rows with g non-null (retracts subtract, winning
+    # or not); g = max g; visible iff a +I was ever seen (meetInsert)
+    state: dict[int, dict] = {}
+    gclock: dict[int, int] = {}
+
+    def write_batch():
+        rows = []
+        for k in rng.sample(range(20), rng.randint(1, 6)):
+            retract = rng.random() < 0.15
+            if retract:
+                kind = "-D" if rng.random() < 0.5 else "-U"
+                # retract either a known amount under a (possibly
+                # stale) version, or an all-null no-op
+                if rng.random() < 0.7:
+                    g = max(gclock.get(k, 1) - rng.randint(0, 2), 1)
+                    amt = rng.randint(1, 50)
+                    rows.append((k, None, g, amt, kind))
+                else:
+                    rows.append((k, None, None, None, kind))
+                continue
+            a = f"a{rng.randint(0, 99)}" if rng.random() < 0.7 else None
+            if rng.random() < 0.8:
+                gclock[k] = gclock.get(k, 0) + rng.randint(1, 3)
+                g, amt = gclock[k], rng.randint(1, 100)
+            else:
+                g, amt = None, None  # empty group: total must not move
+            rows.append((k, a, g, amt, "+I"))
+        return rows
+
+    def apply_batch(rows):
+        t.write(spark.createDataFrame(rows, wddl), row_kind_col="rk")
+        for k, a, g, amt, kind in rows:
+            st = state.setdefault(
+                k, {"a": None, "g": None, "total": None, "met": False}
+            )
+            retract = kind in ("-D", "-U")
+            if not retract:
+                st["met"] = True
+                if a is not None:
+                    st["a"] = a
+            if g is not None:
+                st["g"] = g if st["g"] is None else max(st["g"], g)
+                if amt is not None:
+                    cur = st["total"] or 0
+                    st["total"] = cur - amt if retract else cur + amt
+        return rows
+
+    def expected():
+        return {
+            k: (st["a"], st["g"], st["total"])
+            for k, st in state.items()
+            if st["met"]
+        }
+
+    def on_full():
+        for k in [k for k, st in state.items() if not st["met"]]:
+            del state[k]
+
+    _drive(spark, t, rng, 9, write_batch, apply_batch, expected, on_full=on_full)
+
+
 # --- family D: partial-update + global sequence.field (r6 guarded fold) ----
 
 
