@@ -130,6 +130,17 @@ def _agg_cfg(schema) -> dict:
         if opts.get(f"fields.{f.name}.ignore-retract", "false") == "true":
             cfg["ignore_retract"].add(f.name)
         cfg["k"][f.name] = int(opts.get(f"fields.{f.name}.theta-sketch.k", "4096"))
+        cfg.setdefault("delimiter", {})[f.name] = opts.get(
+            f"fields.{f.name}.list-agg-delimiter", ","
+        )
+        if opts.get(f"fields.{f.name}.distinct", "false") == "true":
+            cfg.setdefault("distinct", set()).add(f.name)
+            if cfg["funcs"][f.name] == "collect":
+                cfg["funcs"][f.name] = "collect_distinct"
+        cl = opts.get(f"fields.{f.name}.count-limit")
+        cfg.setdefault("count_limit", {})[f.name] = (
+            int(cl) if cl is not None else None
+        )
         cfg.setdefault("nested_key", {})[f.name] = [
             k.strip()
             for k in opts.get(f"fields.{f.name}.nested-key", "").split(",")
@@ -161,7 +172,8 @@ def _check_local_agg_funcs(schema) -> None:
 
 
 def _structural_fold(
-    vals, codes, n_groups: int, func: str, nested_key: list
+    vals, codes, n_groups: int, func: str, nested_key: list,
+    delimiter: str = ",", distinct: bool = False, count_limit=None,
 ) -> list:
     """Fold one structural aggregator column (listagg / collect /
     collect_distinct / merge_map / nested_update) over pre-computed
@@ -212,13 +224,25 @@ def _structural_fold(
 
     if func == "listagg":
         out: list = [""] * n_groups
-        if len(vv):
+        if len(vv) and distinct:
+            # fields.<f>.distinct: split by the WHOLE delimiter, drop
+            # empty tokens, keep first occurrences (FieldListaggAgg)
+            for s_, e_, g in zip(starts, ends, gids):
+                seen: set = set()
+                toks: list = []
+                for x in vv[s_:e_]:
+                    for t in str(x).split(delimiter):
+                        if t and t not in seen:
+                            seen.add(t)
+                            toks.append(t)
+                out[g] = delimiter.join(toks)
+        elif len(vv):
             sarr = pa.array([str(x) for x in vv], type=pa.string())
             offs = pa.array(
                 np.concatenate((starts, [len(vv)])).astype(np.int32), type=pa.int32()
             )
             joined = pc.binary_join(
-                pa.ListArray.from_arrays(offs, sarr), ","
+                pa.ListArray.from_arrays(offs, sarr), delimiter
             ).to_pylist()
             for g, j in zip(gids, joined):
                 out[g] = j
@@ -277,7 +301,8 @@ def _structural_fold(
     else:  # nested_update
         if not nested_key:
             for g, lst in zip(gids, flat):
-                out[g] = lst  # append mode: rows in sequence order
+                # fields.<f>.count-limit caps the nested table's rows
+                out[g] = lst if count_limit is None else lst[:count_limit]
         else:
             # latest version per nested key, original relative order of
             # survivors preserved (FieldNestedUpdateAgg keyed mode)
@@ -290,7 +315,8 @@ def _structural_fold(
                         continue
                     seen.add(key)
                     acc_l.append(x)
-                out[g] = list(reversed(acc_l))
+                kept = list(reversed(acc_l))
+                out[g] = kept if count_limit is None else kept[:count_limit]
     return out
 
 
@@ -551,6 +577,9 @@ def fold_aggregation(pdf, key_cols: list[str], cfg: dict, seqc: str, kindc: str)
                     len(gindex),
                     func,
                     cfg.get("nested_key", {}).get(c) or [],
+                    delimiter=cfg.get("delimiter", {}).get(c, ","),
+                    distinct=c in cfg.get("distinct", set()),
+                    count_limit=cfg.get("count_limit", {}).get(c),
                 )
                 results[c] = pd.Series(folded, index=gindex, dtype=object)
     ups_ord = gb["__ups_ord"].max()

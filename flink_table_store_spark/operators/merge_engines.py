@@ -672,6 +672,34 @@ def _nested_update_keyed(name: str, seq: str, ftype: str, nested_keys: list[str]
     )
 
 
+def _sql_str_lit(s: str) -> str:
+    """SQL single-quoted string literal."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _listagg_expr(name: str, seq: str, delimiter: str, distinct: bool):
+    """FieldListaggAgg: sequence-ordered concat with the field's
+    ``list-agg-delimiter``; ``distinct=true`` splits every input by the
+    WHOLE delimiter, drops empty tokens and keeps each token's first
+    occurrence (FieldListaggAgg.java:65-84)."""
+    c = f"`{name}`"
+    v = f"(CASE WHEN NOT ({_RETRACT}) THEN {c} END)"
+    vals = (
+        f"transform(array_sort(collect_list(CASE WHEN {v} IS NOT NULL "
+        f"THEN struct(`{seq}` AS s, {c} AS v) END), {_SEQ_CMP}), x -> x.v)"
+    )
+    dlit = _sql_str_lit(delimiter)
+    if distinct:
+        # \Q..\E-quote the delimiter: split() takes a Java regex
+        pat = _sql_str_lit("\\Q" + delimiter.replace("\\E", "\\E\\\\E\\Q") + "\\E")
+        toks = (
+            f"filter(flatten(transform({vals}, x -> split(x, {pat}, -1))), "
+            f"t -> t != '')"
+        )
+        return F.expr(f"array_join(array_distinct({toks}), {dlit})")
+    return F.expr(f"array_join({vals}, {dlit})")
+
+
 def _agg_field_expr(
     opts: dict, fname: str, ftype: str, func: str, seq: str, retract: bool
 ):
@@ -681,16 +709,33 @@ def _agg_field_expr(
     order (e.g. a sequence-group struct). Shared by the aggregation
     engine and aggregation-for-partial-update."""
     nested_key = opts.get(f"fields.{fname}.nested-key")
+    distinct = opts.get(f"fields.{fname}.distinct", "false") == "true"
+    count_limit = opts.get(f"fields.{fname}.count-limit")
     if func == "merge_map":
         c, v = f"`{fname}`", f"(CASE WHEN NOT ({_RETRACT}) THEN `{fname}` END)"
         # FieldMergeMapAgg: later entries win (needs mapKeyDedupPolicy=LAST_WIN)
         return F.expr(
             f"aggregate(transform(array_sort(collect_list(CASE WHEN {v} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END), {_SEQ_CMP}), x -> x.v), cast(map() as {ftype}), (acc, x) -> map_concat(acc, x))"
         )
-    if func == "nested_update" and nested_key:
-        return _nested_update_keyed(
-            fname, seq, ftype, [k.strip() for k in nested_key.split(",") if k.strip()]
-        )
+    if func == "nested_update":
+        if nested_key:
+            expr = _nested_update_keyed(
+                fname, seq, ftype,
+                [k.strip() for k in nested_key.split(",") if k.strip()],
+            )
+        else:
+            expr = _agg_expr(func, fname, seq, ftype, retract=retract)
+        if count_limit is not None:
+            # fields.<f>.count-limit (aggregation.md:311): cap the
+            # nested table at N rows, selected sequentially
+            expr = F.slice(expr, 1, int(count_limit))
+        return expr
+    if func == "collect" and distinct:
+        # fields.<f>.distinct=true (FieldCollectAgg): dedupe elements
+        func = "collect_distinct"
+    if func == "listagg":
+        delimiter = opts.get(f"fields.{fname}.list-agg-delimiter", ",")
+        return _listagg_expr(fname, seq, delimiter, distinct)
     return _agg_expr(
         func,
         fname,

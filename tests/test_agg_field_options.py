@@ -1,0 +1,108 @@
+"""Per-field aggregation options: ``fields.<f>.distinct`` (collect +
+listagg, FieldCollectAgg/FieldListaggAgg), ``fields.<f>.
+list-agg-delimiter`` (CoreOptions LIST_AGG_DELIMITER) and ``fields.<f>.
+count-limit`` (FieldNestedUpdateAgg; aggregation.md:311). Checked on
+the Spark merge path AND the in-task pandas twin (local read)."""
+
+from __future__ import annotations
+
+
+def test_listagg_delimiter_and_distinct(spark, warehouse):
+    t = warehouse.create_table(
+        "db.aglist", "k int, tags string, plain string",
+        primary_keys=["k"],
+        options={
+            "merge-engine": "aggregation",
+            "fields.tags.aggregate-function": "listagg",
+            "fields.tags.list-agg-delimiter": "|",
+            "fields.tags.distinct": "true",
+            "fields.plain.aggregate-function": "listagg",
+        },
+    )
+    ddl = "k int, tags string, plain string"
+    t.write(spark.createDataFrame([(1, "a|b", "x")], ddl))
+    t.refresh().write(spark.createDataFrame([(1, "b|c", "y")], ddl))
+    t.refresh().write(spark.createDataFrame([(1, "a", "x")], ddl))
+    [r] = t.refresh().to_df(spark).collect()
+    assert r.tags == "a|b|c"  # first occurrences, custom delimiter
+    assert r.plain == "x,y,x"  # default comma, no dedup
+    [lr] = t.refresh().to_arrow().to_pylist()
+    assert (lr["tags"], lr["plain"]) == ("a|b|c", "x,y,x")
+
+
+def test_collect_distinct_option(spark, warehouse):
+    t = warehouse.create_table(
+        "db.agcoll", "k int, vs array<int>", primary_keys=["k"],
+        options={
+            "merge-engine": "aggregation",
+            "fields.vs.aggregate-function": "collect",
+            "fields.vs.distinct": "true",
+        },
+    )
+    ddl = "k int, vs array<int>"
+    t.write(spark.createDataFrame([(1, [1, 2])], ddl))
+    t.refresh().write(spark.createDataFrame([(1, [2, 3, 1])], ddl))
+    [r] = t.refresh().to_df(spark).collect()
+    assert sorted(r.vs) == [1, 2, 3]
+    [lr] = t.refresh().to_arrow().to_pylist()
+    assert sorted(lr["vs"]) == [1, 2, 3]
+
+
+def test_nested_update_count_limit(spark, warehouse):
+    ddl = "k int, rows array<struct<id:int, v:string>>"
+    t = warehouse.create_table(
+        "db.agnest", ddl, primary_keys=["k"],
+        options={
+            "merge-engine": "aggregation",
+            "fields.rows.aggregate-function": "nested_update",
+            "fields.rows.count-limit": "3",
+        },
+    )
+    t.write(spark.createDataFrame([(1, [(1, "a"), (2, "b")])], ddl))
+    t.refresh().write(spark.createDataFrame([(1, [(3, "c"), (4, "d")])], ddl))
+    [r] = t.refresh().to_df(spark).collect()
+    assert [(x.id, x.v) for x in r.rows] == [(1, "a"), (2, "b"), (3, "c")]
+    [lr] = t.refresh().to_arrow().to_pylist()
+    assert [(x["id"], x["v"]) for x in lr["rows"]] == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_nested_update_keyed_count_limit(spark, warehouse):
+    ddl = "k int, rows array<struct<id:int, v:string>>"
+    t = warehouse.create_table(
+        "db.agnestk", ddl, primary_keys=["k"],
+        options={
+            "merge-engine": "aggregation",
+            "fields.rows.aggregate-function": "nested_update",
+            "fields.rows.nested-key": "id",
+            "fields.rows.count-limit": "2",
+        },
+    )
+    t.write(spark.createDataFrame([(1, [(1, "a"), (2, "b")])], ddl))
+    t.refresh().write(spark.createDataFrame([(1, [(1, "a2"), (3, "c")])], ddl))
+    [r] = t.refresh().to_df(spark).collect()
+    # keyed dedup first (latest per id, survivors keep their own
+    # positions: b@2, a2@3, c@4), then the cap
+    assert [(x.id, x.v) for x in r.rows] == [(2, "b"), (1, "a2")]
+
+
+def test_options_flow_into_partial_update_aggregation(spark, warehouse):
+    """The same per-field options compose with aggregation-for-
+    partial-update (shared _agg_field_expr dispatch)."""
+    ddl = "k int, g int, tags string"
+    t = warehouse.create_table(
+        "db.aglistpu", ddl, primary_keys=["k"],
+        options={
+            "merge-engine": "partial-update",
+            "fields.g.sequence-group": "tags",
+            "fields.tags.aggregate-function": "listagg",
+            "fields.tags.list-agg-delimiter": ";",
+            "fields.tags.distinct": "true",
+        },
+    )
+    t.write(spark.createDataFrame([(1, 1, "a;b")], ddl))
+    t.refresh().write(spark.createDataFrame([(1, 2, "b;c")], ddl))
+    t.refresh().write(spark.createDataFrame([(1, None, "zz")], ddl))  # empty group: skipped
+    [r] = t.refresh().to_df(spark).collect()
+    assert (r.g, r.tags) == (2, "a;b;c")
+    [lr] = t.refresh().to_arrow().to_pylist()
+    assert (lr["g"], lr["tags"]) == (2, "a;b;c")
