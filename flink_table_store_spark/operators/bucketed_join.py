@@ -112,6 +112,7 @@ _LOCAL_AGG_FUNCS = frozenset(
         "theta_sketch",
         "merge_map",
         "nested_update",
+        "nested_partial_update",
     }
 )
 
@@ -298,6 +299,20 @@ def _structural_fold(
                     seen.add(kx)
                     ded.append(x)
             out[g] = ded
+    elif func == "nested_partial_update":
+        # per nested key: later rows' non-null fields overwrite, keys in
+        # first-appearance order (FieldNestedPartialUpdateAgg)
+        for g, lst in zip(gids, flat):
+            accs: dict = {}
+            for x in lst:
+                if x is None:
+                    continue
+                key = tuple((x or {}).get(k) for k in nested_key)
+                acc_row = accs.setdefault(key, dict.fromkeys(x.keys()))
+                for fk, fv in x.items():
+                    if fv is not None:
+                        acc_row[fk] = fv
+            out[g] = list(accs.values())
     else:  # nested_update
         if not nested_key:
             for g, lst in zip(gids, flat):
@@ -422,6 +437,7 @@ def fold_aggregation(pdf, key_cols: list[str], cfg: dict, seqc: str, kindc: str)
             "hll_sketch",
             "merge_map",
             "nested_update",
+            "nested_partial_update",
         ):
             work[w] = masked
             plan.append((c, "fn"))

@@ -672,6 +672,40 @@ def _nested_update_keyed(name: str, seq: str, ftype: str, nested_keys: list[str]
     )
 
 
+def _nested_partial_update_expr(
+    name: str, seq: str, ftype: str, nested_keys: list[str]
+):
+    """FieldNestedPartialUpdateAgg: union nested rows in sequence
+    order, then PARTIAL-update per nested key — each later row's
+    non-null fields overwrite, nulls keep the accumulated value
+    (partialUpdate loop, FieldNestedPartialUpdateAgg.java:99-107).
+    Output keeps first-appearance key order (the reference's HashMap
+    order is unspecified; first-appearance is the deterministic
+    choice). O(n²) in the nested-array length like the keyed
+    nested_update — per-record-small by construction."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    dt = _parse_datatype_string(ftype)
+    felt = dt.elementType  # StructType of the nested row
+    c = f"`{name}`"
+    v = f"(CASE WHEN NOT ({_RETRACT}) THEN {c} END)"
+    flat = (
+        f"filter(flatten(transform(array_sort(collect_list(CASE WHEN {v} "
+        f"IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END), {_SEQ_CMP}), "
+        f"x -> x.v)), x -> x IS NOT NULL)"
+    )
+    same_key = " AND ".join(f"(y.`{k}` <=> x.`{k}`)" for k in nested_keys)
+    merged_row = "named_struct(" + ", ".join(
+        f"'{f.name}', coalesce(x.`{f.name}`, y.`{f.name}`)" for f in felt.fields
+    ) + ")"
+    return F.expr(
+        f"aggregate({flat}, cast(array() as {ftype}), (acc, x) -> "
+        f"CASE WHEN exists(acc, y -> {same_key}) THEN "
+        f"transform(acc, y -> CASE WHEN {same_key} THEN {merged_row} ELSE y END) "
+        f"ELSE array_append(acc, x) END)"
+    )
+
+
 def _sql_str_lit(s: str) -> str:
     """SQL single-quoted string literal."""
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
@@ -717,6 +751,14 @@ def _agg_field_expr(
         return F.expr(
             f"aggregate(transform(array_sort(collect_list(CASE WHEN {v} IS NOT NULL THEN struct(`{seq}` AS s, {c} AS v) END), {_SEQ_CMP}), x -> x.v), cast(map() as {ftype}), (acc, x) -> map_concat(acc, x))"
         )
+    if func == "nested_partial_update":
+        keys = [k.strip() for k in (nested_key or "").split(",") if k.strip()]
+        if not keys:
+            raise ValueError(
+                f"nested_partial_update on {fname!r} requires "
+                f"fields.{fname}.nested-key"
+            )
+        return _nested_partial_update_expr(fname, seq, ftype, keys)
     if func == "nested_update":
         if nested_key:
             expr = _nested_update_keyed(
@@ -830,6 +872,7 @@ _FOLD_SAFE_AGGS = frozenset(
         "rbm64",
         "merge_map",
         "nested_update",
+        "nested_partial_update",
     }
 )
 

@@ -106,3 +106,47 @@ def test_options_flow_into_partial_update_aggregation(spark, warehouse):
     assert (r.g, r.tags) == (2, "a;b;c")
     [lr] = t.refresh().to_arrow().to_pylist()
     assert (lr["g"], lr["tags"]) == (2, "a;b;c")
+
+
+def test_nested_partial_update(spark, warehouse):
+    """nested_partial_update (FieldNestedPartialUpdateAgg): rows merge
+    per nested key with non-null fields overwriting — unlike
+    nested_update, a later row with a NULL column keeps the
+    accumulated value instead of replacing the whole row."""
+    ddl = "k int, rows array<struct<id:int, a:string, b:string>>"
+    t = warehouse.create_table(
+        "db.agnpu", ddl, primary_keys=["k"],
+        options={
+            "merge-engine": "aggregation",
+            "fields.rows.aggregate-function": "nested_partial_update",
+            "fields.rows.nested-key": "id",
+        },
+    )
+    t.write(spark.createDataFrame([(1, [(1, "a1", None), (2, "x", "y")])], ddl))
+    t.refresh().write(spark.createDataFrame([(1, [(1, None, "b2")])], ddl))
+    [r] = t.refresh().to_df(spark).collect()
+    got = sorted([(x.id, x.a, x.b) for x in r.rows])
+    assert got == [(1, "a1", "b2"), (2, "x", "y")]
+    [lr] = t.refresh().to_arrow().to_pylist()
+    lgot = sorted([(x["id"], x["a"], x["b"]) for x in lr["rows"]])
+    assert lgot == got
+    # survives a full compaction (fold-safe: per-field last-non-null)
+    t.refresh().compact(spark, full=True)
+    [r] = t.refresh().to_df(spark).collect()
+    assert sorted([(x.id, x.a, x.b) for x in r.rows]) == got
+
+
+def test_nested_partial_update_requires_key(spark, warehouse):
+    import pytest as _pytest
+
+    ddl = "k int, rows array<struct<id:int, a:string>>"
+    t = warehouse.create_table(
+        "db.agnpu2", ddl, primary_keys=["k"],
+        options={
+            "merge-engine": "aggregation",
+            "fields.rows.aggregate-function": "nested_partial_update",
+        },
+    )
+    t.write(spark.createDataFrame([(1, [(1, "a")])], ddl))
+    with _pytest.raises(ValueError, match="nested-key"):
+        t.to_df(spark).collect()
