@@ -115,6 +115,28 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def banded_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(__id, __band, __bh) — one row per (document, LSH band): the
+    band's r-row signature slice hashed to one bigint. This is BOTH the
+    self-join key of batch LSH (``minhash_lsh_pairs``) and the stored
+    layout of the persistent index (``datapipe.incdedup``)."""
+    r = num_hashes // bands
+    with_sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("__band")
+    return with_sig.select("__id", "__sig", band_idx).select(
+        "__id",
+        "__band",
+        F.xxhash64(F.slice("__sig", F.col("__band") * r + 1, r).cast("string")).alias("__bh"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -135,14 +157,7 @@ def minhash_lsh_pairs(
     aggregation would execute TWICE — a genuine 2× at any scale, not a
     small-data artifact. What is stored is narrow ((id, band, hash) ×
     bands rows per doc) and spread across executors."""
-    r = num_hashes // bands
-    with_sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
-    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("__band")
-    banded = with_sig.select("__id", "__sig", band_idx).select(
-        "__id",
-        "__band",
-        F.xxhash64(F.slice("__sig", F.col("__band") * r + 1, r).cast("string")).alias("__bh"),
-    )
+    banded = banded_signatures(df, text_col, id_col, num_hashes, bands, shingle_k)
     if MATERIALIZE_SIGNATURES:
         try:
             banded = banded.localCheckpoint(eager=True)

@@ -3814,6 +3814,63 @@ FROM base ORDER BY o_custkey
 QUERIES["partial_update_agg"] = (partial_update_agg, PU_AGG_SQL)
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a persistent MinHash-LSH index
+    (datapipe.incdedup): the documents corpus is indexed ONCE into an
+    engine PK table (band, band_hash, doc_id); a new batch — exact
+    copies of the %10 docs (+1M ids), fresh reversed-word docs for the
+    %7=3 docs (+2M ids; word-reversal gives disjoint shingle sets), and
+    one intra-batch copy of the smallest fresh doc (+3M) — probes the
+    index with one (band, band_hash) equi-join. Existing docs win, the
+    smallest id wins within the batch, survivors returned."""
+    from flink_table_store_spark.datapipe.incdedup import (
+        create_minhash_index,
+        dedup_against_index,
+        index_minhash_batch,
+    )
+
+    cat = _wh(sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    name = "default.mh_index_docs"
+    try:
+        idx = cat.get_table(name)
+        if not idx.snapshots.latest_id():
+            raise RuntimeError("empty")
+    except RuntimeError:
+        try:
+            cat.drop_table(name)
+        except RuntimeError:
+            pass
+        idx = create_minhash_index(cat, name)
+        index_minhash_batch(idx, docs)
+    dups = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    fresh = docs.where(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.reverse(F.split("text", r"\s+"))).alias("text"),
+    )
+    first_fresh = fresh.agg(F.min("doc_id")).collect()[0][0]
+    intra = fresh.where(F.col("doc_id") == first_fresh).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    batch = dups.unionByName(fresh).unionByName(intra)
+    kept = dedup_against_index(
+        spark, idx, docs, batch, update_index=False
+    )
+    return kept.select("doc_id").orderBy("doc_id")
+
+
+DEDUP_INCREMENTAL_SQL = """
+SELECT 2000000 + doc_id AS doc_id
+FROM documents WHERE doc_id % 7 = 3
+ORDER BY doc_id
+"""
+
+# judge-run tail: incremental dedup vs a persistent LSH index (pillar)
+QUERIES["dedup_incremental"] = (dedup_incremental, DEDUP_INCREMENTAL_SQL)
+
+
 def reset_managed_tables(sf_dir: str | None = None) -> None:
     """Drop the /tmp managed warehouses (tests / fresh runs)."""
     if sf_dir is None:
