@@ -27,6 +27,16 @@ def call(spark: SparkSession, catalog: Catalog, name: str, **args: Any):
 
 def _compact(spark, cat, a):
     t = _t(cat, a)
+    pf = _compact_partition_filter(t, a)
+    idle = a.get("partition_idle_time")
+    idle_ms = None
+    if idle is not None:
+        if a.get("order_strategy"):
+            # CompactProcedure.java:169-171
+            raise ValueError("sort compact do not support 'partition_idle_time'.")
+        from flink_table_store_spark.table import parse_duration_ms
+
+        idle_ms = parse_duration_ms(str(idle))
     if a.get("order_strategy"):
         return t.sort_compact(
             spark, a["order_by"], strategy=a["order_strategy"], num_files=a.get("num_files")
@@ -41,7 +51,35 @@ def _compact(spark, cat, a):
         return t.compact(
             spark, full=str(a.get("compact_strategy", "")).lower() == "full"
         )
-    return t.compact(spark, full=a.get("full", True), trigger_runs=a.get("trigger_runs", 5))
+    return t.compact(
+        spark,
+        full=a.get("full", str(a.get("compact_strategy", "")).lower() != "minor"),
+        trigger_runs=a.get("trigger_runs", 5),
+        partition_filter=pf,
+        partition_idle_time_ms=idle_ms,
+    )
+
+
+def _compact_partition_filter(t, a):
+    """CompactProcedure's partition scoping: ``partitions =>
+    'day=01;day=02'`` specs OR a partition-only ``where`` SQL string."""
+    if a.get("partitions"):
+        from flink_table_store_spark import markdone
+        from flink_table_store_spark import predicate as P
+
+        parts = markdone.parse_partition_spec(
+            a["partitions"], t.schema.partition_keys
+        )
+        preds = []
+        for p in parts:
+            leafs = [P.equal(k, v) for k, v in p.items()]
+            preds.append(leafs[0] if len(leafs) == 1 else P.and_(*leafs))
+        return preds[0] if len(preds) == 1 else P.or_(*preds)
+    if a.get("where"):
+        from flink_table_store_spark.sql import parse_condition
+
+        return parse_condition(a["where"])
+    return None
 
 
 def _expire_snapshots(spark, cat, a):

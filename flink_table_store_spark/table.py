@@ -14,6 +14,7 @@ from __future__ import annotations
 import functools
 import os
 import re
+import time
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -57,6 +58,19 @@ from flink_table_store_spark.write import (
     max_sequence,
     stage_and_collect,
 )
+
+
+def parse_duration_ms(dur: str) -> int:
+    """'1 d' / '30min' / '500 ms' style duration (the reference's
+    TimeUtils.parseDuration subset used across options) to millis."""
+    m = re.fullmatch(r"\s*(\d+)\s*(ms|s|sec|m|min|h|d)?\s*", dur)
+    if not m:
+        raise ValueError(f"cannot parse duration: {dur!r}")
+    n, unit = int(m.group(1)), (m.group(2) or "ms")
+    return n * {
+        "ms": 1, "s": 1000, "sec": 1000, "m": 60_000,
+        "min": 60_000, "h": 3_600_000, "d": 86_400_000,
+    }[unit]
 
 
 def _is_partition_only(predicate: Predicate, schema: TableSchema) -> bool:
@@ -1543,7 +1557,14 @@ class Table:
                 out.update(e.patch_cols)
         return out
 
-    def compact(self, spark: SparkSession, full: bool = True, trigger_runs: int = 5) -> Snapshot | None:
+    def compact(
+        self,
+        spark: SparkSession,
+        full: bool = True,
+        trigger_runs: int = 5,
+        partition_filter: Predicate | None = None,
+        partition_idle_time_ms: int | None = None,
+    ) -> Snapshot | None:
         """Rewrite buckets into a single max-level run. ``full=False``
         runs UNIVERSAL compaction (UniversalCompaction.java:42-125) for
         deduplicate-engine PK tables: per bucket, the newest run prefix
@@ -1552,12 +1573,24 @@ class Table:
         O(bucket) — keeping -D rows (they must still cancel unmerged
         older runs, MergeTreeCompactRewriter dropDelete=false) and
         preserving sequence numbers. Other engines/append tables fall
-        back to whole-bucket merges on the run-count trigger."""
+        back to whole-bucket merges on the run-count trigger.
+
+        ``partition_filter`` restricts the rewrite to matching
+        partitions (CompactProcedure's ``partitions``/``where`` —
+        partition-only predicates; at scale you compact one day's
+        partition, not the table). ``partition_idle_time_ms`` compacts
+        only partitions whose NEWEST file is older than the duration
+        (the procedure's ``partition_idle_time`` — skip partitions
+        still receiving writes)."""
         chain_target = self._chain_write_target()
         if chain_target is not None:
             # file compaction of the main view = the snapshot branch's
             # (chain compaction across branches is chain.chain_compact)
-            return chain_target.compact(spark, full=full, trigger_runs=trigger_runs)
+            return chain_target.compact(
+                spark, full=full, trigger_runs=trigger_runs,
+                partition_filter=partition_filter,
+                partition_idle_time_ms=partition_idle_time_ms,
+            )
         if (
             not self.is_primary_key_table()
             and self.schema.options.get("clustering.incremental", "").lower()
@@ -1567,12 +1600,38 @@ class Table:
             # on, compaction IS an incremental clustering run (ordinary
             # compaction would disrupt the clustered layout);
             # compact(full=True) reclusters everything
+            if partition_filter is not None or partition_idle_time_ms is not None:
+                raise ValueError(
+                    "partition-scoped compact is not supported on an "
+                    "incremental-clustering table (the cluster spans "
+                    "partitions) — use sort_compact"
+                )
             return self.sort_compact(spark, incremental=not full)
         snap = self.snapshots.latest()
         if snap is None:
             return None
         schema = self.schema
         entries = self.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
+        if partition_filter is not None:
+            if not _is_partition_only(partition_filter, schema):
+                raise ValueError(
+                    "compact partition filter must reference only "
+                    f"partition columns {schema.partition_keys}"
+                )
+            entries = [
+                e for e in entries if partition_filter.test_partition(e.partition)
+            ]
+        if partition_idle_time_ms is not None:
+            cutoff = int(time.time() * 1000) - partition_idle_time_ms
+            newest: dict[tuple, int] = {}
+            for e in entries:
+                k = tuple(sorted(e.partition.items()))
+                newest[k] = max(newest.get(k, 0), e.creation_time or 0)
+            entries = [
+                e
+                for e in entries
+                if newest[tuple(sorted(e.partition.items()))] <= cutoff
+            ]
         patches = [e for e in entries if e.patch_cols]
         entries = [e for e in entries if not e.patch_cols]
         if (
@@ -3256,17 +3315,13 @@ class Table:
         if older_than_millis is None and partition_filter is None:
             dur = opts.get("partition.expiration-time")
             if dur:
-                import time as _time
-
-                m = re.fullmatch(r"\s*(\d+)\s*(ms|s|sec|m|min|h|d)?\s*", dur)
-                if not m:
+                try:
+                    millis = parse_duration_ms(dur)
+                except ValueError:
                     raise ValueError(
                         f"cannot parse partition.expiration-time: {dur!r}"
-                    )
-                n, unit = int(m.group(1)), (m.group(2) or "ms")
-                millis = n * {"ms": 1, "s": 1000, "sec": 1000, "m": 60_000,
-                              "min": 60_000, "h": 3_600_000, "d": 86_400_000}[unit]
-                older_than_millis = int(_time.time() * 1000) - millis
+                    ) from None
+                older_than_millis = int(time.time() * 1000) - millis
         entries = self.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
         newest: dict[str, int] = {}
         parts: dict[str, dict] = {}
