@@ -1071,10 +1071,21 @@ def _side_plan(
         plan = _read_mod.plan_scan(entries, schema, predicate, None, table.path)
         entries = list(plan.raw_entries) + list(plan.merge_entries)
     pt_types = {k: schema.field(k).type for k in schema.partition_keys}
+    _lay_cache: dict[int, bool] = {}
     for e in entries:
         if e.bucket == POSTPONE_BUCKET:
             raise ValueError(
                 "join_bucketed: postpone-bucket files present — run compact() first"
+            )
+        if not read_mod.same_bucket_layout(
+            table.path, schema, e.schema_id, _lay_cache
+        ):
+            # a mid-rescale table mixes bucket layouts: co-grouping by
+            # bucket id would join rows hashed under DIFFERENT counts
+            raise ValueError(
+                "join_bucketed: files from a different bucket layout "
+                f"(schema generation {e.schema_id}) are live — finish "
+                "the rescale or use a regular join"
             )
         if not e.file_name.endswith(".parquet"):
             raise ValueError(

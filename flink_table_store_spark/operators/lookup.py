@@ -419,8 +419,16 @@ def point_lookup(spark: SparkSession, table, key_values: dict) -> list:
         leaf = P.equal(k, key_values[k])
         pred = leaf if pred is None else P.and_(pred, leaf)
     entries = table.manifests.read_live_entries(snap.base_manifest_list, snap.delta_manifest_list)
-    # postpone-bucket files (-2) can hold any key: always scanned
-    entries = [e for e in entries if e.bucket in (bucket, -2)]
+    # postpone-bucket files (-2) can hold any key: always scanned; so
+    # can files written under a DIFFERENT bucket layout (pre-rescale
+    # generations) — their bucket ids don't mean the same thing
+    _cache: dict[int, bool] = {}
+    entries = [
+        e
+        for e in entries
+        if e.bucket in (bucket, -2)
+        or not read_mod.same_bucket_layout(table.path, schema, e.schema_id, _cache)
+    ]
     plan = read_mod.plan_scan(entries, schema, pred, table_path=table.path)
     df = read_mod.build_dataframe(
         spark,

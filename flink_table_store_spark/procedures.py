@@ -60,6 +60,18 @@ def _compact(spark, cat, a):
     )
 
 
+def _rescale(spark, cat, a):
+    t = _t(cat, a)
+    if a.get("partitions") and a.get("where"):
+        # RescaleProcedure.java:104-106
+        raise ValueError("partitions and where cannot be used together.")
+    return t.rescale(
+        spark,
+        num_buckets=a.get("bucket_num"),
+        partition_filter=_compact_partition_filter(t, a),
+    )
+
+
 def _compact_partition_filter(t, a):
     """CompactProcedure's partition scoping: ``partitions =>
     'day=01;day=02'`` specs OR a partition-only ``where`` SQL string."""
@@ -267,7 +279,9 @@ PROCEDURES: dict[str, Callable] = {
     "remove_unexisting_files": lambda s, c, a: _t(c, a).remove_unexisting_files(
         dry_run=a.get("dry_run", False)
     ),
-    "rescale": lambda s, c, a: _t(c, a).rescale(s, a["bucket_num"]),
+    # RescaleProcedure: bucket_num optional (required for postpone
+    # tables); partitions/where scope the rewrite (mutually exclusive)
+    "rescale": lambda s, c, a: _rescale(s, c, a),
     "rollback": lambda s, c, a: _t(c, a).rollback_to(a["snapshot_id"]),
     "rollback_to_timestamp": lambda s, c, a: (
         lambda t: t.rollback_to(t.snapshots.for_timestamp(a["timestamp_ms"]).id)

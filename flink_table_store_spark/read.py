@@ -195,30 +195,10 @@ def plan_scan(
             # DIFFERENT bucket layout (pre-rescale generations, other
             # bucket-key) keep unpruned — their bucket ids don't mean
             # the same thing; negative buckets (postpone) always stay.
-            layout = (
-                schema.options.get("bucket"),
-                schema.options.get("bucket-key", ""),
-            )
             _layout_cache: dict[int, bool] = {}
 
             def _same_layout(sid: int) -> bool:
-                got = _layout_cache.get(sid)
-                if got is None:
-                    if sid == schema.id:
-                        got = True
-                    else:
-                        from flink_table_store_spark.schema import SchemaManager
-
-                        try:
-                            s = SchemaManager(table_path).load(sid)
-                            got = (
-                                s.options.get("bucket"),
-                                s.options.get("bucket-key", ""),
-                            ) == layout
-                        except OSError:
-                            got = False  # unknown generation: never prune
-                    _layout_cache[sid] = got
-                return got
+                return same_bucket_layout(table_path, schema, sid, _layout_cache)
 
             live = [
                 e
@@ -259,6 +239,39 @@ def plan_scan(
         else:
             plan.merge_entries.extend(group)
     return plan
+
+
+def same_bucket_layout(
+    table_path: str | None, schema, sid: int, cache: dict[int, bool]
+) -> bool:
+    """Whether schema generation ``sid`` wrote files under the CURRENT
+    (bucket, bucket-key) layout. Entries of a different generation
+    (pre-rescale, changed bucket-key) carry bucket ids that do not mean
+    the same thing: bucket pruning, point-lookup routing and bucketed
+    joins must treat them as layout-less. Unknown generations answer
+    False (never prune)."""
+    got = cache.get(sid)
+    if got is not None:
+        return got
+    if sid == schema.id or table_path is None:
+        got = sid == schema.id
+    else:
+        from flink_table_store_spark.schema import SchemaManager
+
+        layout = (
+            schema.options.get("bucket"),
+            schema.options.get("bucket-key", ""),
+        )
+        try:
+            s = SchemaManager(table_path).load(sid)
+            got = (
+                s.options.get("bucket"),
+                s.options.get("bucket-key", ""),
+            ) == layout
+        except OSError:
+            got = False  # unknown generation: never prune
+    cache[sid] = got
+    return got
 
 
 def dv_dataframe(spark: SparkSession, table_path: str, dv_files: list[str]) -> DataFrame | None:

@@ -2506,17 +2506,58 @@ class Table:
             spark, self.path, plan, self.schema, self.all_schemas(), dv_files=snap.dv_files
         )
 
-    def rescale(self, spark: SparkSession, num_buckets: int) -> Snapshot | None:
-        """Change the bucket count of a fixed-bucket PK table
-        (RescaleProcedure): full rewrite re-hashing every row, one
-        OVERWRITE commit, schema option updated first so the writer and
-        future reads agree."""
+    def rescale(
+        self,
+        spark: SparkSession,
+        num_buckets: int | None = None,
+        partition_filter: Predicate | None = None,
+    ) -> Snapshot | None:
+        """Change the bucket count of a PK table (RescaleProcedure):
+        re-hash and rewrite rows in one OVERWRITE commit, schema option
+        updated first so the writer and future reads agree.
+
+        ``partition_filter`` rescales only matching partitions — the
+        reference procedure's ``partitions``/``where``, the progressive
+        path for tables too large to rewrite at once. Until every
+        partition is rescaled the table mixes bucket layouts; scans,
+        bucket pruning and point lookups stay correct (entries from
+        other schema generations are treated as layout-less —
+        read.same_bucket_layout) while bucketed joins refuse loudly.
+        ``num_buckets=None`` re-applies the CURRENT option (converging
+        a partially-rescaled table); postpone-bucket tables require an
+        explicit count (the reference's check) and keep writing
+        postponed — rescale assigns their real buckets like compaction
+        does, at the new ``postpone.bucket-num``."""
         if not self.is_primary_key_table():
             raise RuntimeError("rescale applies to PK tables")
-        df = self.to_df(spark)
-        self.evolve_schema([{"action": "set_option", "key": "bucket", "value": str(num_buckets)}])
+        if partition_filter is not None and not _is_partition_only(
+            partition_filter, self.schema
+        ):
+            raise ValueError(
+                "rescale partition filter must reference only partition "
+                f"columns {self.schema.partition_keys}"
+            )
+        postpone = self.schema.num_buckets() == POSTPONE_BUCKET
+        if postpone and num_buckets is None:
+            raise ValueError(
+                "When rescaling postpone bucket tables, you must provide "
+                "the resulting bucket number."
+            )
+        df = self.to_df(spark, predicate=partition_filter)
+        if num_buckets is not None:
+            key = "postpone.bucket-num" if postpone else "bucket"
+            if self.schema.options.get(key) != str(num_buckets):
+                self.evolve_schema(
+                    [{"action": "set_option", "key": key, "value": str(num_buckets)}]
+                )
+        if postpone:
+            # assign real buckets exactly like whole-bucket compaction
+            n = int(self.schema.options["postpone.bucket-num"])
+            df = df.withColumn(BUCKET_COL, bucket_expr(self.schema, n))
         entries = stage_and_collect(df, self.path, self.schema)
-        return self.committer.commit_overwrite(entries, self.schema.id, None)
+        return self.committer.commit_overwrite(
+            entries, self.schema.id, partition_filter
+        )
 
     # --- ANALYZE / statistics (§4.1 Stats→CBO; stats store paimon-core stats/) ---
 
