@@ -34,7 +34,14 @@ def doctor(spark, table, check_orphans: bool = False) -> dict[str, Any]:
     def _orphan_audit() -> None:
         if not check_orphans:
             return
-        orphans = table.remove_orphan_files(dry_run=True, spark=spark)
+        import time as _time
+
+        # diagnosis (deletes nothing): report ALL unreferenced files,
+        # bypassing the reaper's 1-day in-flight safety lag
+        orphans = table.remove_orphan_files(
+            dry_run=True, spark=spark,
+            older_than_millis=int(_time.time() * 1000) + 60_000,
+        )
         report["orphans"] = {"count": len(orphans)}
         if orphans:
             findings.append(

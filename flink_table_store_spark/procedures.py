@@ -25,6 +25,22 @@ def call(spark: SparkSession, catalog: Catalog, name: str, **args: Any):
     return proc(spark, catalog, dict(args))
 
 
+def _ts_millis(val):
+    """Procedure timestamp argument: epoch millis, or the reference's
+    'yyyy-MM-dd[ HH:mm:ss]' string; None passes through."""
+    if val is None or isinstance(val, (int, float)):
+        return None if val is None else int(val)
+    import datetime as _dt
+
+    for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            dt = _dt.datetime.strptime(str(val), fmt)
+            return int(dt.replace(tzinfo=_dt.timezone.utc).timestamp() * 1000)
+        except ValueError:
+            continue
+    raise ValueError(f"cannot parse timestamp {val!r}")
+
+
 def _compact(spark, cat, a):
     t = _t(cat, a)
     pf = _compact_partition_filter(t, a)
@@ -130,10 +146,16 @@ def _expire_snapshots(spark, cat, a):
 
 
 def _expire_partitions(spark, cat, a):
+    """ExpirePartitionsProcedure: expiration_time / timestamp_formatter /
+    timestamp_pattern / expire_strategy / max_expires."""
     return _t(cat, a).expire_partitions(
         older_than_millis=a.get("older_than_millis"),
         partition_filter=a.get("partition_filter"),
-        strategy=a.get("strategy"),
+        strategy=a.get("expire_strategy", a.get("strategy")),
+        expiration_time=a.get("expiration_time"),
+        timestamp_formatter=a.get("timestamp_formatter"),
+        timestamp_pattern=a.get("timestamp_pattern"),
+        max_expires=a.get("max_expires"),
     )
 
 
@@ -291,6 +313,8 @@ PROCEDURES: dict[str, Callable] = {
         # mode=distributed (RemoveOrphanFilesProcedure): Spark-side
         # manifest scan + parallel listing when a session is available
         spark=s if a.get("mode", "distributed") == "distributed" else None,
+        # older_than timestamp string; absent = the 1-day safety lag
+        older_than_millis=_ts_millis(a.get("older_than")),
     ),
     "repair": lambda s, c, a: _t(c, a).remove_orphan_files(dry_run=True, spark=s),
     "create_branch": lambda s, c, a: _t(c, a).create_branch(a["branch"], a.get("snapshot_id")),

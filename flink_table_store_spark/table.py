@@ -3281,16 +3281,20 @@ class Table:
                 except FileNotFoundError:
                     pass
 
-    def _partition_value_time(self, part: dict[str, str]) -> int | None:
+    def _partition_value_time(
+        self, part: dict[str, str], opts: dict | None = None
+    ) -> int | None:
         """values-time strategy: epoch millis extracted from the
         partition VALUES via ``partition.timestamp-pattern`` (default:
         the single partition column) and ``partition.timestamp-
         formatter`` (Java-style yyyy/MM/dd/HH/mm/ss tokens; default
         tries ISO then compact forms) — reference
-        utils/PartitionTimeExtractor.java. None = not parseable."""
+        utils/PartitionTimeExtractor.java. None = not parseable.
+        ``opts`` lets expire_partitions apply per-call formatter/pattern
+        overrides without mutating the schema."""
         import datetime as _dt
 
-        opts = self.schema.options
+        opts = opts if opts is not None else self.schema.options
         pattern = opts.get("partition.timestamp-pattern")
         if pattern:
             text = re.sub(
@@ -3324,6 +3328,10 @@ class Table:
         older_than_millis: int | None = None,
         partition_filter: Predicate | None = None,
         strategy: str | None = None,
+        expiration_time: str | None = None,
+        timestamp_formatter: str | None = None,
+        timestamp_pattern: str | None = None,
+        max_expires: int | None = None,
     ) -> list[dict]:
         """Drop whole partitions by age or by predicate
         (ExpirePartitionsProcedure): a metadata-only OVERWRITE commit
@@ -3340,6 +3348,25 @@ class Table:
         if snap is None:
             return []
         opts = self.schema.options
+        if timestamp_formatter or timestamp_pattern:
+            # per-call overrides of the values-time parsing options
+            # (ExpirePartitionsProcedure's timestamp_formatter /
+            # timestamp_pattern arguments)
+            opts = dict(opts)
+            if timestamp_formatter:
+                opts["partition.timestamp-formatter"] = timestamp_formatter
+            if timestamp_pattern:
+                opts["partition.timestamp-pattern"] = timestamp_pattern
+        if expiration_time is not None and older_than_millis is None:
+            older_than_millis = int(time.time() * 1000) - parse_duration_ms(
+                expiration_time
+            )
+            if strategy is None:
+                # the procedure's expiration_time implies values-time by
+                # default, like the option-driven path
+                strategy = opts.get(
+                    "partition.expiration-strategy", "values-time"
+                )
         option_driven = (
             older_than_millis is None
             and partition_filter is None
@@ -3378,7 +3405,7 @@ class Table:
                 continue
             if older_than_millis is not None:
                 if strategy == "values-time":
-                    vt = self._partition_value_time(pt)
+                    vt = self._partition_value_time(pt, opts)
                     if vt is None or vt >= older_than_millis:
                         continue
                 elif newest[k] >= older_than_millis:
@@ -3390,13 +3417,18 @@ class Table:
             return []
         from flink_table_store_spark.predicate import or_
 
-        if option_driven:
-            # CoreOptions PARTITION_EXPIRATION_MAX_NUM (default 100):
-            # bound one run's deletions, oldest (by last update) first
+        if option_driven or max_expires is not None:
+            # CoreOptions PARTITION_EXPIRATION_MAX_NUM (default 100) /
+            # the procedure's max_expires: bound one run's deletions,
+            # oldest (by last update) first
             doomed.sort(
                 key=lambda pt: newest[_json.dumps(pt, sort_keys=True)]
             )
-            max_num = int(opts.get("partition.expiration-max-num", "100"))
+            max_num = (
+                max_expires
+                if max_expires is not None
+                else int(opts.get("partition.expiration-max-num", "100"))
+            )
             doomed = doomed[:max_num]
         # PARTITION_EXPIRATION_BATCH_SIZE: metadata-delete commits carry
         # at most this many partitions each (bounded predicate size)
@@ -3433,10 +3465,18 @@ class Table:
         return [read_json(os.path.join(d, n))["partition"] for n in sorted(os.listdir(d))]
 
     def remove_orphan_files(
-        self, dry_run: bool = False, spark: SparkSession | None = None
+        self,
+        dry_run: bool = False,
+        spark: SparkSession | None = None,
+        older_than_millis: int | None = None,
     ) -> list[str]:
         """Delete data/manifest files referenced by no retained snapshot or
         tag (RemoveOrphanFilesProcedure).
+
+        ``older_than_millis``: only files MODIFIED before this epoch-ms
+        cutoff are candidates; defaults to now − 1 day, the reference's
+        safety lag (OrphanFilesClean.olderThanMillis) — a writer's
+        staged-but-uncommitted files must never be reaped mid-commit.
 
         With a SparkSession the DATA-side reconciliation is distributed
         (the reference's distributed orphan clean, RemoveOrphanFiles-
@@ -3445,6 +3485,8 @@ class Table:
         through Spark's parallel file index, and only the orphan names
         come back to the driver. Metadata dirs (manifest/index/
         changelog — O(commits), small) stay driver-side either way."""
+        if older_than_millis is None:
+            older_than_millis = int(time.time() * 1000) - 86_400_000
         referenced: set[str] = set()
         manifest_names: set[str] = set()
         snaps = [self.snapshots.load(i) for i in self.snapshots.snapshot_ids()]
@@ -3468,7 +3510,9 @@ class Table:
 
         data_orphans: list[str] = []
         if spark is not None and manifest_names:
-            data_orphans = self._data_orphans_distributed(spark, manifest_names)
+            data_orphans = self._data_orphans_distributed(
+                spark, manifest_names, older_than_millis
+            )
         else:
             for m in manifest_names:
                 for e in self.manifests.read_manifest(m):
@@ -3500,21 +3544,34 @@ class Table:
                     m = sid_pat.match(fn)
                     if m and int(m.group(1)) in live_sids:
                         continue
-                    rel = os.path.relpath(os.path.join(dirpath, fn), self.path)
-                    if rel not in referenced:
-                        orphans.append(rel)
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.relpath(full, self.path)
+                    if rel in referenced:
+                        continue
+                    try:
+                        if os.path.getmtime(full) * 1000 >= older_than_millis:
+                            continue  # too fresh: possibly mid-commit
+                    except OSError:
+                        continue
+                    orphans.append(rel)
         if not dry_run:
             for rel in orphans:
                 os.unlink(os.path.join(self.path, rel))
         return orphans
 
     def _data_orphans_distributed(
-        self, spark: SparkSession, manifest_names: set[str]
+        self,
+        spark: SparkSession,
+        manifest_names: set[str],
+        older_than_millis: int,
     ) -> list[str]:
         """data/ orphans via one manifest-parquet scan + parallel listing
         + left-anti join; only orphan names reach the driver. Any file
         name in ANY manifest (ADD or DELETE kind) counts as referenced —
-        an earlier snapshot may still read it."""
+        an earlier snapshot may still read it. Files modified at or
+        after ``older_than_millis`` are excluded executor-side (the
+        safety lag rides the listing's modificationTime, no extra
+        stat calls)."""
         data_root = os.path.join(self.path, "data")
         if not os.path.isdir(data_root):
             return []
@@ -3531,6 +3588,9 @@ class Table:
             spark.read.format("binaryFile")
             .option("recursiveFileLookup", "true")
             .load(data_root)
+            .where(
+                F.unix_millis(F.col("modificationTime")) < F.lit(older_than_millis)
+            )
             .select(
                 F.regexp_replace(
                     F.col("path"), "^file:" + re.escape(self.path.rstrip("/")) + "/?", ""

@@ -86,7 +86,7 @@ def test_rollback_and_expire(spark, t):
 def test_orphan_cleanup_keeps_live_data(spark, t):
     t.write(spark.createDataFrame([(500, "u0", 0.0)], "id bigint, pt string, v double"))
     t.rollback_to(1)
-    removed = t.remove_orphan_files()
+    removed = t.remove_orphan_files(older_than_millis=10**15)
     assert removed, "rollback leaves orphan data files"
     assert t.to_df(spark).count() == 100
 

@@ -130,7 +130,7 @@ def test_lookup_producer_persists_per_commit_changelog(spark, warehouse):
     assert {(r.rowkind, r.k, r.v) for r in df.collect()} == got
 
     # orphan scan keeps them while their snapshot lives
-    assert not [o for o in t.remove_orphan_files(dry_run=True) if o.startswith("changelog")]
+    assert not [o for o in t.remove_orphan_files(dry_run=True, older_than_millis=10**15) if o.startswith("changelog")]
 
     # expire reclaims snapshot 1's changelog, keeps snapshot 2's
     t.write(spark.createDataFrame([(4, "d")], "k bigint, v string"))
@@ -188,9 +188,9 @@ def test_changelog_files_survive_orphan_scan(spark, warehouse):
     t = _mk(spark, warehouse, "db.clp4")
     t.compact(spark, full=True)
     t = t.refresh()
-    orphans = t.remove_orphan_files(dry_run=True)
+    orphans = t.remove_orphan_files(dry_run=True, older_than_millis=10**15)
     assert not [o for o in orphans if o.startswith("changelog")]
-    t.remove_orphan_files()
+    t.remove_orphan_files(older_than_millis=10**15)
     assert persisted_changelog(spark, t, t.snapshots.latest().id).count() == 4
 
 

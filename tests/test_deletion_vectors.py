@@ -80,7 +80,7 @@ def test_compaction_materializes_dv(spark, t):
 
 def test_dv_files_survive_orphan_cleanup(spark, t):
     t.delete(spark, P.equal("id", 3))
-    removed = t.remove_orphan_files()
+    removed = t.remove_orphan_files(older_than_millis=10**15)
     assert removed == []
     assert t.to_df(spark).count() == 99
 

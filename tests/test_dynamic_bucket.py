@@ -47,7 +47,7 @@ def test_growth_appends_buckets(spark, t):
     assert max(_buckets(t)) >= 5  # 600 keys / 100 target
 
     # the index survives orphan cleanup
-    assert t.remove_orphan_files() == []
+    assert t.remove_orphan_files(older_than_millis=10**15) == []
     t.write(spark.createDataFrame([(1, "y")], "k bigint, v string"))
     assert t.to_df(spark).count() == 600
 

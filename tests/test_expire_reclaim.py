@@ -44,7 +44,7 @@ def test_expire_reclaims_compacted_away_files(spark, warehouse):
     rows = {(r.k, r.v) for r in t.to_df(spark).collect()}
     assert rows == {(j, f"v2_{j}") for j in range(6)}
     # and a full-tree orphan walk finds nothing left to do
-    assert t.remove_orphan_files(dry_run=True) == []
+    assert t.remove_orphan_files(dry_run=True, older_than_millis=10**15) == []
 
 
 def test_remove_orphan_files_distributed_matches_driver(spark, warehouse):
@@ -66,16 +66,16 @@ def test_remove_orphan_files_distributed_matches_driver(spark, warehouse):
     open(os.path.join(bdir, "data-orphan.parquet"), "wb").write(b"x" * 10)
     open(os.path.join(bdir, "data-orphan.parquet.index"), "w").write("{}")
 
-    driver_view = sorted(t.remove_orphan_files(dry_run=True))
-    spark_view = sorted(t.remove_orphan_files(dry_run=True, spark=spark))
+    driver_view = sorted(t.remove_orphan_files(dry_run=True, older_than_millis=10**15))
+    spark_view = sorted(t.remove_orphan_files(dry_run=True, spark=spark, older_than_millis=10**15))
     assert driver_view == spark_view
     assert "data/data-orphan.parquet" in spark_view
 
-    t.remove_orphan_files(spark=spark)
+    t.remove_orphan_files(spark=spark, older_than_millis=10**15)
     assert not os.path.exists(os.path.join(bdir, "data-orphan.parquet"))
     # live files + sidecars untouched, reads green
     assert t.to_df(spark).count() == 10
-    assert t.remove_orphan_files(dry_run=True) == []
+    assert t.remove_orphan_files(dry_run=True, older_than_millis=10**15) == []
 
 
 def test_expire_keeps_tagged_references(spark, warehouse):
@@ -121,7 +121,7 @@ def test_expire_reclaims_overwritten_partition_files(spark, warehouse):
     assert len(gone) >= 1
     rows = {(r.k, r.p) for r in t.to_df(spark).collect()}
     assert rows == {(9, "A"), (2, "B")}
-    assert t.remove_orphan_files(dry_run=True) == []
+    assert t.remove_orphan_files(dry_run=True, older_than_millis=10**15) == []
 
 
 def test_expire_after_rewrite_file_index_keeps_live_files(spark, warehouse):
@@ -145,7 +145,7 @@ def test_expire_after_rewrite_file_index_keeps_live_files(spark, warehouse):
     # the data file survives and the table is fully readable
     rows = {(r.k, r.v) for r in t.to_df(spark).collect()}
     assert rows == {(i, f"v{i}") for i in range(20)}
-    assert t.remove_orphan_files(dry_run=True) == []
+    assert t.remove_orphan_files(dry_run=True, older_than_millis=10**15) == []
 
 
 def test_changelog_outlives_snapshot_expiry(spark, warehouse):
@@ -363,3 +363,59 @@ def test_plan_sort_partition(spark, warehouse):
         )
     ]
     assert order2 == ["c", "a", "b"]  # default: commit order
+
+
+def test_orphan_safety_lag_default(spark, warehouse):
+    """remove_orphan_files defaults to the reference's 1-day cutoff
+    (OrphanFilesClean.olderThanMillis): a just-staged unreferenced file
+    — e.g. an in-flight writer mid-commit — is NOT reaped; an explicit
+    future cutoff (or a real day passing) reclaims it."""
+    import os
+    import time
+
+    t = warehouse.create_table("db.orph_lag", "k bigint")
+    t.write(spark.createDataFrame([(1,), (2,)], "k bigint"))
+    staged = os.path.join(t.path, "data", "data-inflight.parquet")
+    with open(staged, "wb") as f:
+        f.write(b"not yet committed")
+    assert t.remove_orphan_files() == []  # fresh: protected
+    assert os.path.exists(staged)
+    # distributed mode honors the same lag
+    assert t.remove_orphan_files(spark=spark) == []
+    got = t.remove_orphan_files(
+        older_than_millis=int(time.time() * 1000) + 60_000
+    )
+    assert got == [os.path.join("data", "data-inflight.parquet")]
+    assert not os.path.exists(staged)
+
+
+def test_expire_partitions_procedure_args(spark, warehouse):
+    """ExpirePartitionsProcedure: expiration_time + timestamp_pattern/
+    formatter overrides + max_expires."""
+    from flink_table_store_spark import procedures
+
+    t = warehouse.create_table(
+        "db.exp_args", "k bigint, dt string", partition_keys=["dt"]
+    )
+    t.write(spark.createDataFrame(
+        [(1, "20200101"), (2, "20200102"), (3, "29990101")],
+        "k bigint, dt string",
+    ))
+    # values-time via compact pattern: two ancient partitions qualify,
+    # max_expires keeps only the OLDEST
+    out = procedures.call(
+        spark, warehouse, "expire_partitions", table="db.exp_args",
+        expiration_time="1 d", expire_strategy="values-time",
+        timestamp_formatter="yyyyMMdd", max_expires=1,
+    )
+    assert out == [{"dt": "20200101"}]
+    left = {r.dt for r in t.refresh().to_df(spark).collect()}
+    assert left == {"20200102", "29990101"}
+    # second run expires the next one; the future partition survives
+    out = procedures.call(
+        spark, warehouse, "expire_partitions", table="db.exp_args",
+        expiration_time="1 d", expire_strategy="values-time",
+        timestamp_formatter="yyyyMMdd",
+    )
+    assert out == [{"dt": "20200102"}]
+    assert {r.dt for r in t.refresh().to_df(spark).collect()} == {"29990101"}

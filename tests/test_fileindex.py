@@ -100,7 +100,7 @@ def test_bloom_survives_compaction(spark, warehouse):
     assert t.to_df(spark, predicate=pred).count() == 1
     # live sidecar index files are referenced, never orphans
     t.expire_snapshots(retain_last=1)
-    t.remove_orphan_files()
+    t.remove_orphan_files(older_than_millis=10**15)
     for e in _entries(t):
         ptr = e.stats.get(fileindex.INDEX_KEY)
         assert ptr and os.path.exists(os.path.join(t.path, ptr["file"]))

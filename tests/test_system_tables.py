@@ -68,7 +68,7 @@ def test_branch_commit_isolation_and_fast_forward(spark, t):
 def test_orphan_cleanup_respects_branches(spark, t):
     b = t.create_branch("keepme")
     b.write(spark.createDataFrame([(300, "u1", 3.0)], "id bigint, pt string, v double"))
-    removed = t.remove_orphan_files()
+    removed = t.remove_orphan_files(older_than_millis=10**15)
     assert removed == []
     assert b.to_df(spark).count() == 22
 
