@@ -160,14 +160,32 @@ def _expire_partitions(spark, cat, a):
 
 
 def _compact_database(spark, cat, a):
-    """CompactDatabaseProcedure: compact every table in the given
-    database(s) (comma-separated; default all)."""
-    wanted = [d.strip() for d in a.get("databases", "").split(",") if d.strip()]
+    """CompactDatabaseProcedure: compact every matching table.
+    ``including_databases`` / ``including_tables`` / ``excluding_tables``
+    are full-match REGEXES (the reference's Pattern semantics,
+    CompactDatabaseProcedure.java:52-61); the legacy ``databases``
+    comma list still works."""
+    import re as _re
+
+    inc_db = a.get("including_databases")
+    if inc_db is None and a.get("databases"):
+        inc_db = "|".join(
+            _re.escape(d.strip()) for d in a["databases"].split(",") if d.strip()
+        )
+    inc_tb = a.get("including_tables")
+    exc_tb = a.get("excluding_tables")
+    db_pat = _re.compile(inc_db) if inc_db else None
+    tb_pat = _re.compile(inc_tb) if inc_tb else None
+    ex_pat = _re.compile(exc_tb) if exc_tb else None
     out: dict[str, Any] = {}
     for db in cat.list_databases():
-        if wanted and db not in wanted:
+        if db_pat and not db_pat.fullmatch(db):
             continue
         for tn in cat.list_tables(db):
+            if tb_pat and not tb_pat.fullmatch(tn):
+                continue
+            if ex_pat and ex_pat.fullmatch(tn):
+                continue
             try:
                 t = cat.get_table(f"{db}.{tn}")
             except RuntimeError:

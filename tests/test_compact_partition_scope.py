@@ -98,3 +98,21 @@ def test_compact_api_partition_filter(spark, warehouse):
     t.refresh().compact(spark, partition_filter=P.equal("pt", "a"))
     lv = _levels_by_partition(spark, t)
     assert len(lv["a"]) == 1 and any(x == 0 for x in lv["b"])
+
+
+def test_compact_database_regex_filters(spark, warehouse):
+    """CompactDatabaseProcedure: including/excluding regexes."""
+    for name in ("db.cdb_a", "db.cdb_b", "db.cdb_skip"):
+        t = warehouse.create_table(name, "k bigint", primary_keys=["k"])
+        t.write(spark.createDataFrame([(1,), (2,)], "k bigint"))
+    out = procedures.call(
+        spark, warehouse, "compact_database",
+        including_databases="db", including_tables="cdb_.*",
+        excluding_tables="cdb_skip",
+    )
+    done = {k for k in out if k.startswith("db.cdb_")}
+    assert done == {"db.cdb_a", "db.cdb_b"}
+    out2 = procedures.call(
+        spark, warehouse, "compact_database", including_databases="nomatch"
+    )
+    assert not {k for k in out2 if k.startswith("db.cdb_")}
