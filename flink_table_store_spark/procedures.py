@@ -15,7 +15,19 @@ from flink_table_store_spark.catalog import Catalog
 
 
 def _t(cat: Catalog, args: dict):
-    return cat.get_table(args.pop("table"))
+    t = cat.get_table(args.pop("table"))
+    raw = args.pop("options", None)
+    if raw:
+        # every reference procedure accepts options => 'k1=v1,k2=v2':
+        # per-call dynamic options, never persisted
+        if isinstance(raw, str):
+            opts = dict(
+                kv.split("=", 1) for kv in raw.split(",") if "=" in kv
+            )
+        else:
+            opts = dict(raw)
+        t = t.with_dynamic_options(opts)
+    return t
 
 
 def call(spark: SparkSession, catalog: Catalog, name: str, **args: Any):

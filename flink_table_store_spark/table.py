@@ -436,6 +436,7 @@ class Table:
         self.manifests = ManifestManager(path)
         self.committer = FileStoreCommit(path, branch=branch)
         self._schema: TableSchema | None = None
+        self._dynamic_options: dict[str, str] = {}
         try:
             opts = self.schema.options
             self.committer.manifest_merge_min_count = int(
@@ -477,10 +478,33 @@ class Table:
     @property
     def schema(self) -> TableSchema:
         if self._schema is None:
-            self._schema = self.schema_manager.latest()
-            if self._schema is None:
+            loaded = self.schema_manager.latest()
+            if loaded is None:
                 raise RuntimeError(f"table {self.name} has no schema")
+            if self._dynamic_options:
+                # dynamic options (the reference's Table.copy(options) /
+                # every procedure's `options` argument): an IN-MEMORY
+                # overlay on this Table instance, never persisted; it
+                # survives refresh() because the overlay re-applies
+                # after every schema reload
+                import dataclasses as _dc
+
+                loaded = _dc.replace(
+                    loaded, options={**loaded.options, **self._dynamic_options}
+                )
+            self._schema = loaded
         return self._schema
+
+    def with_dynamic_options(self, options: dict[str, str]) -> "Table":
+        """Overlay per-operation options on this Table instance
+        (PROCEDURE `options => 'k1=v1,k2=v2'` / dynamic option hints).
+        Nothing is written to the schema on disk."""
+        self._dynamic_options = {
+            **self._dynamic_options,
+            **{str(k): str(v) for k, v in options.items()},
+        }
+        self._schema = None
+        return self
 
     def refresh(self) -> "Table":
         self._schema = None

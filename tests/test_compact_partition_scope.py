@@ -116,3 +116,24 @@ def test_compact_database_regex_filters(spark, warehouse):
         spark, warehouse, "compact_database", including_databases="nomatch"
     )
     assert not {k for k in out2 if k.startswith("db.cdb_")}
+
+
+def test_procedure_dynamic_options(spark, warehouse):
+    """Every procedure accepts options => 'k=v,...' — per-call dynamic
+    options overlaying the table's schema in memory (never persisted);
+    the overlay survives internal refresh() calls."""
+    t = warehouse.create_table(
+        "db.dynopt", "k bigint, v bigint", primary_keys=["k"],
+        options={"bucket": "1"},
+    )
+    for b in range(3):
+        t.refresh().write(spark.createDataFrame([(b, b)], "k bigint, v bigint"))
+    # snapshot retention driven by the CALL's dynamic options: keep 1
+    procedures.call(
+        spark, warehouse, "expire_snapshots", table="db.dynopt",
+        options="snapshot.num-retained.max=1,snapshot.num-retained.min=1",
+    )
+    t = t.refresh()
+    assert len(t.snapshots.snapshot_ids()) == 1
+    # nothing persisted
+    assert "snapshot.num-retained.max" not in t.schema.options
