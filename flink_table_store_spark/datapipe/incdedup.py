@@ -149,9 +149,15 @@ def dedup_against_index(
     losers = verified.select(F.col("id_b").alias(id_col)).distinct()
     kept = new_docs.join(losers, on=id_col, how="left_anti")
     if update_index:
-        index_minhash_batch(
-            index, kept,
-            text_col=text_col, id_col=id_col,
-            num_hashes=num_hashes, bands=bands, shingle_k=shingle_k,
+        # the checkpointed banded signatures feed the update too — an
+        # anti-join against the losers, never a second hashing pass
+        # over the batch's text
+        kept_rows = banded.join(
+            losers.select(F.col(id_col).alias("__id")), "__id", "left_anti"
+        ).select(
+            F.col("__band").cast("int").alias("band"),
+            F.col("__bh").alias("band_hash"),
+            F.col("__id").cast("bigint").alias("doc_id"),
         )
+        index.refresh().write(kept_rows)
     return kept

@@ -155,20 +155,24 @@ def _agg_cfg(schema) -> dict:
 
 def _check_local_agg_funcs(schema) -> None:
     cfg = _agg_cfg(schema)
+    _check_foldable(cfg["funcs"], cfg["types"])
+
+
+def _check_foldable(funcs: dict, types: dict) -> None:
     bad = sorted(
         {
             f
-            for f, fn in cfg["funcs"].items()
+            for f, fn in funcs.items()
             if fn not in _LOCAL_AGG_FUNCS
             # binary hll fields union locally via sketches.hll_union;
             # raw-value hll sketching stays JVM-side
-            and not (fn == "hll_sketch" and cfg["types"].get(f, "") == "binary")
+            and not (fn == "hll_sketch" and types.get(f, "") == "binary")
         }
     )
     if bad:
         raise ValueError(
-            f"join_bucketed cannot fold aggregate-function(s) of fields {bad} "
-            "locally — compact() the table first"
+            f"cannot fold aggregate-function(s) of fields {bad} "
+            "in the local (pandas) merge — compact() the table first"
         )
 
 
@@ -727,8 +731,17 @@ def _make_spec(schema, buckets, dv, maps, sel_cols, jkeys, pred=None) -> dict:
         pu_aggs = pu_agg_funcs(schema)
         if pu_aggs:
             # aggregation-for-partial-update: reuse the aggregation
-            # engine's task config, restricted to the aggregated fields
-            pu_agg_cfg = dict(_agg_cfg(schema))
+            # engine's task config, restricted to the aggregated fields.
+            # Take the funcs from _agg_cfg, NOT pu_agg_funcs — _agg_cfg
+            # applies the fields.<f>.distinct collect->collect_distinct
+            # rewrite the Spark expression path performs too.
+            base_cfg = _agg_cfg(schema)
+            pu_aggs = {f: base_cfg["funcs"][f] for f in pu_aggs}
+            # same local-foldability gate the aggregation engine gets —
+            # an unfoldable function must refuse upfront, not TypeError
+            # inside an executor task
+            _check_foldable(pu_aggs, base_cfg["types"])
+            pu_agg_cfg = dict(base_cfg)
             pu_agg_cfg["funcs"] = dict(pu_aggs)
             pu_agg_cfg["remove_on_delete"] = False
     if pred is not None and pred.fields() is None:

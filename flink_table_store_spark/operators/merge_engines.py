@@ -277,13 +277,13 @@ def _partial_update_aggs(schema: TableSchema, seq: str) -> tuple[list, list]:
       (retractWithSequenceGroup sets the comparator's fields).
     - Group value fields (no aggregator): the winning NON-RETRACT
       row's value, nulls included.
-    - Aggregated fields ("Aggregation For Partial Update"): folded by
-      the group's (seq-cols..., seq) order when in a group (empty-group
-      rows masked out — the reference's isEmptySequenceGroup skip;
-      retracts retract, winning or not), by input order over upserts
-      when not (the reference's retract pass never visits agg-only
-      fields). For order-dependent aggregators with OUT-OF-ORDER group
-      versions the reference's pairwise agg/aggReversed fold is
+    - Aggregated fields ("Aggregation For Partial Update" — always
+      inside a sequence group; pu_agg_funcs refuses the rest): folded
+      by the group's (seq-cols..., seq) order, empty-group rows masked
+      out (the reference's isEmptySequenceGroup skip), retracts
+      retract winning or not. For order-dependent aggregators with
+      OUT-OF-ORDER group versions the reference's pairwise
+      agg/aggReversed fold is
       path-dependent (materialization-dependent under compaction); this
       engine uses the materialization-INDEPENDENT sorted-(version, seq)
       fold, identical for in-order streams — the same documented stance
@@ -341,17 +341,14 @@ def _partial_update_aggs(schema: TableSchema, seq: str) -> tuple[list, list]:
                 F.expr(f"max_by(`{f.name}`, `{group_ord[g]}`)").alias(f.name)
             )
         elif f.name in agg_funcs:
+            # always sequence-group-gated: pu_agg_funcs refuses any
+            # other aggregator outside a group (getAggFuncName)
             func = agg_funcs[f.name]
             ig = opts.get(f"fields.{f.name}.ignore-retract", "false") == "true"
-            g = field_group.get(f.name)
-            if g is not None:
-                expr = _agg_field_expr(
-                    opts, f.name, f.type, func, group_ord[g], retract=not ig
-                )
-            else:
-                expr = _agg_field_expr(
-                    opts, f.name, f.type, func, seq, retract=False
-                )
+            g = field_group[f.name]
+            expr = _agg_field_expr(
+                opts, f.name, f.type, func, group_ord[g], retract=not ig
+            )
             aggs.append(expr.cast(f.type).alias(f.name))
         elif f.name in field_group:
             g = field_group[f.name]
@@ -903,27 +900,17 @@ def fold_supported(schema: TableSchema) -> bool:
     if engine in (ENGINE_DEDUPLICATE, ENGINE_FIRST_ROW):
         return True
     if engine == ENGINE_PARTIAL_UPDATE:
-        # aggregation-for-partial-update: input-seq-ordered (non-group)
-        # agg fields fold-safe like the aggregation engine; GROUP-gated
-        # agg fields fold-safe only when order-insensitive OR when the
-        # folded label (the winning row's group seq) IS the row the
-        # value came from (last_value) — a folded first_value /
-        # last_non_null relabeled with the winner's version would lose
-        # to / beat older runs it shouldn't
-        agg_funcs = pu_agg_funcs(schema)
-        if not agg_funcs:
-            return True
-        grouped = {
-            c for _g, cols in _sequence_groups(schema).items() for c in cols
-        }
-        types = {f.name: f.type.lower() for f in schema.fields}
-        for fname, func in agg_funcs.items():
-            if fname in grouped:
-                if func not in _GROUP_FOLD_SAFE_AGGS:
-                    return False
-            elif not _fold_safe_func(func, types.get(fname, "")):
-                return False
-        return True
+        # aggregation-for-partial-update (every aggregated field sits
+        # inside a sequence group): GROUP-gated agg fields fold-safe
+        # only when order-insensitive OR when the folded label (the
+        # winning row's group seq) IS the row the value came from
+        # (last_value) — a folded first_value / last_non_null relabeled
+        # with the winner's version would lose to / beat older runs it
+        # shouldn't
+        return all(
+            func in _GROUP_FOLD_SAFE_AGGS
+            for func in pu_agg_funcs(schema).values()
+        )
     if engine != ENGINE_AGGREGATION:
         return False
     keys = set(_key_cols(schema))

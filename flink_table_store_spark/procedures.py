@@ -55,6 +55,10 @@ def _ts_millis(val):
 
 def _compact(spark, cat, a):
     t = _t(cat, a)
+    if a.get("partitions") and a.get("where"):
+        # same contract as RescaleProcedure.java:104-106 — accepting
+        # both and using one would silently ignore the other
+        raise ValueError("partitions and where cannot be used together.")
     pf = _compact_partition_filter(t, a)
     idle = a.get("partition_idle_time")
     idle_ms = None
@@ -66,6 +70,13 @@ def _compact(spark, cat, a):
 
         idle_ms = parse_duration_ms(str(idle))
     if a.get("order_strategy"):
+        if pf is not None:
+            # never rewrite MORE than the caller scoped: sort compact
+            # here is a whole-table relayout
+            raise ValueError(
+                "sort compact does not support partitions/where scoping "
+                "yet — it relayouts the whole table"
+            )
         return t.sort_compact(
             spark, a["order_by"], strategy=a["order_strategy"], num_files=a.get("num_files")
         )
@@ -75,9 +86,14 @@ def _compact(spark, cat, a):
     ):
         # incremental-clustering.md:113-121: CALL sys.compact on such a
         # table IS an incremental clustering run; compact_strategy =>
-        # 'full' reclusters everything
+        # 'full' reclusters everything. Forward the scoping so
+        # Table.compact raises its informative refusal instead of the
+        # scope being silently ignored.
         return t.compact(
-            spark, full=str(a.get("compact_strategy", "")).lower() == "full"
+            spark,
+            full=str(a.get("compact_strategy", "")).lower() == "full",
+            partition_filter=pf,
+            partition_idle_time_ms=idle_ms,
         )
     return t.compact(
         spark,
@@ -130,22 +146,7 @@ def _expire_snapshots(spark, cat, a):
     t = _t(cat, a)
     ref_args = {"retain_max", "retain_min", "older_than", "max_deletes"}
     if ref_args & set(a):
-        older = a.get("older_than")
-        if older is not None and not isinstance(older, (int, float)):
-            import datetime as _dt
-
-            for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
-                try:
-                    older = int(
-                        _dt.datetime.strptime(str(older), fmt)
-                        .replace(tzinfo=_dt.timezone.utc)
-                        .timestamp() * 1000
-                    )
-                    break
-                except ValueError:
-                    continue
-            else:
-                raise ValueError(f"cannot parse older_than timestamp: {older!r}")
+        older = _ts_millis(a.get("older_than"))
         return t.expire_snapshots(
             retain_min=int(a["retain_min"]) if "retain_min" in a else None,
             retain_max=int(a["retain_max"]) if "retain_max" in a else None,

@@ -437,6 +437,21 @@ class Table:
         self.committer = FileStoreCommit(path, branch=branch)
         self._schema: TableSchema | None = None
         self._dynamic_options: dict[str, str] = {}
+        self._apply_commit_options()
+        # Iceberg compat (iceberg.py): no-op unless the table sets
+        # `metadata.iceberg.storage = table-location`
+        from flink_table_store_spark import iceberg as _iceberg
+
+        self.committer.callbacks.append(lambda snap: _iceberg.on_commit(self, snap))
+        # reference TableCommitImpl: every commit also triggers
+        # option-driven snapshot expiration (sync mode)
+        self.committer.callbacks.append(lambda snap: self._auto_expire())
+
+    def _apply_commit_options(self) -> None:
+        """Derive the committer's knobs from the (possibly dynamically
+        overlaid) schema options — called at construction and again by
+        with_dynamic_options so per-call `options` reach commit-time
+        behavior too (the reference's Table.copy(options) contract)."""
         try:
             opts = self.schema.options
             self.committer.manifest_merge_min_count = int(
@@ -464,14 +479,6 @@ class Table:
                 )
         except Exception:
             pass  # schema not readable yet (table being created)
-        # Iceberg compat (iceberg.py): no-op unless the table sets
-        # `metadata.iceberg.storage = table-location`
-        from flink_table_store_spark import iceberg as _iceberg
-
-        self.committer.callbacks.append(lambda snap: _iceberg.on_commit(self, snap))
-        # reference TableCommitImpl: every commit also triggers
-        # option-driven snapshot expiration (sync mode)
-        self.committer.callbacks.append(lambda snap: self._auto_expire())
 
     # --- metadata ---
 
@@ -504,6 +511,7 @@ class Table:
             **{str(k): str(v) for k, v in options.items()},
         }
         self._schema = None
+        self._apply_commit_options()
         return self
 
     def refresh(self) -> "Table":

@@ -150,3 +150,46 @@ def test_nested_partial_update_requires_key(spark, warehouse):
     t.write(spark.createDataFrame([(1, [(1, "a")])], ddl))
     with _pytest.raises(ValueError, match="nested-key"):
         t.to_df(spark).collect()
+
+
+def test_pu_agg_options_parity_in_bucketed_join(spark, warehouse):
+    """Review regression: the pandas bucket fold must apply the same
+    collect->collect_distinct rewrite as the Spark expression path, and
+    refuse unfoldable partial-update aggregators UPFRONT."""
+    import pytest as _pytest
+
+    from flink_table_store_spark.operators.bucketed_join import join_bucketed
+
+    ddl = "k bigint, g int, vs array<int>"
+    t = warehouse.create_table(
+        "db.agpu_join", ddl, primary_keys=["k"],
+        options={
+            "bucket": "2",
+            "bucket-key": "k",
+            "merge-engine": "partial-update",
+            "fields.g.sequence-group": "vs",
+            "fields.vs.aggregate-function": "collect",
+            "fields.vs.distinct": "true",
+        },
+    )
+    t.write(spark.createDataFrame([(1, 1, [1, 2]), (2, 1, [9])], ddl))
+    t.refresh().write(spark.createDataFrame([(1, 2, [2, 3])], ddl))
+    table_read = {r.k: sorted(r.vs) for r in t.refresh().to_df(spark).collect()}
+    assert table_read[1] == [1, 2, 3]  # deduped
+    joined = join_bucketed(spark, t.refresh(), t.refresh()).collect()
+    join_read = {r.k: sorted(r.vs) for r in joined}
+    assert join_read == table_read
+    # unfoldable aggregator: loud upfront refusal, not an executor crash
+    t2 = warehouse.create_table(
+        "db.agpu_join2", "k bigint, g int, h bigint", primary_keys=["k"],
+        options={
+            "bucket": "2",
+            "bucket-key": "k",
+            "merge-engine": "partial-update",
+            "fields.g.sequence-group": "h",
+            "fields.h.aggregate-function": "hll_sketch",
+        },
+    )
+    t2.write(spark.createDataFrame([(1, 1, 5)], "k bigint, g int, h bigint"))
+    with _pytest.raises(ValueError, match="cannot fold"):
+        join_bucketed(spark, t2.refresh(), t2.refresh()).collect()

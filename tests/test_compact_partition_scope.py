@@ -137,3 +137,24 @@ def test_procedure_dynamic_options(spark, warehouse):
     assert len(t.snapshots.snapshot_ids()) == 1
     # nothing persisted
     assert "snapshot.num-retained.max" not in t.schema.options
+
+
+def test_compact_scope_arg_conflicts(spark, warehouse):
+    """Review regressions: partitions+where together refused; a scoped
+    sort compact refused instead of silently relayouting everything."""
+    t = warehouse.create_table(
+        "db.cps_conf", "k bigint, v bigint, pt string",
+        primary_keys=["k", "pt"], partition_keys=["pt"],
+        options={"bucket": "1"},
+    )
+    _fill(spark, t)
+    with pytest.raises(ValueError, match="cannot be used together"):
+        procedures.call(
+            spark, warehouse, "compact", table="db.cps_conf",
+            partitions="pt=a", where="pt = 'b'",
+        )
+    with pytest.raises(ValueError, match="sort compact"):
+        procedures.call(
+            spark, warehouse, "compact", table="db.cps_conf",
+            order_strategy="zorder", order_by="k,v", partitions="pt=a",
+        )
