@@ -161,3 +161,59 @@ def dedup_against_index(
         )
         index.refresh().write(kept_rows)
     return kept
+
+
+EXACT_INDEX_DDL = "fp bigint, doc_id bigint"
+
+
+def create_exact_index(catalog, name: str, *, buckets: int = 4):
+    """Exact-dedup index: PK (fp) under the FIRST-ROW merge engine —
+    the first document ever indexed with a fingerprint owns it, so
+    "existing wins" is the table's own merge semantics and re-indexing
+    a retried batch is a no-op."""
+    return catalog.create_table(
+        name,
+        EXACT_INDEX_DDL,
+        primary_keys=["fp"],
+        options={"bucket": str(buckets), "merge-engine": "first-row"},
+    )
+
+
+def dedup_exact_against_index(
+    spark: SparkSession,
+    index,
+    new_docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    update_index: bool = True,
+) -> DataFrame:
+    """Exact dedup of ``new_docs`` against the fingerprint index AND
+    within the batch (min id wins); returns the kept rows. One
+    fingerprint projection + one anti-join probe + one window — the
+    O(batch) steady state of exact corpus dedup."""
+    from pyspark.sql import Window
+
+    from flink_table_store_spark.datapipe.text import fingerprint
+
+    fps = new_docs.withColumn("__fp", fingerprint(text_col))
+    try:
+        fps = fps.localCheckpoint(eager=True)
+    except Exception:
+        pass  # feeds the probe, the intra-batch window and the update
+    idx = index.refresh().to_df(spark).select(F.col("fp").alias("__fp"))
+    survivors = fps.join(idx, "__fp", "left_anti")
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    kept = (
+        survivors.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if update_index:
+        index.refresh().write(
+            kept.select(
+                F.col("__fp").alias("fp"),
+                F.col(id_col).cast("bigint").alias("doc_id"),
+            )
+        )
+    return kept.drop("__fp")

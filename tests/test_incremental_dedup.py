@@ -108,3 +108,35 @@ def test_index_maintenance_is_idempotent(spark, warehouse):
     index_minhash_batch(idx, corpus)
     index_minhash_batch(idx, corpus)  # retried batch: PK collapses
     assert idx.refresh().to_df(spark).count() == 20 * 16
+
+
+def test_exact_index_first_row_engine(spark, warehouse):
+    """Incremental EXACT dedup: the fingerprint index is a first-row
+    PK table, so 'existing wins' and retry idempotency are the merge
+    engine itself."""
+    from flink_table_store_spark.datapipe.incdedup import (
+        create_exact_index,
+        dedup_exact_against_index,
+    )
+
+    corpus = _corpus(spark)
+    idx = create_exact_index(warehouse, "db.fp_idx")
+    kept0 = dedup_exact_against_index(spark, idx, corpus)
+    assert kept0.count() == 20
+    # batch: 3 exact dups of the corpus (+1M), 2 fresh (reversed),
+    # and an intra-batch duplicate pair (min id wins)
+    dups = corpus.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    fresh = _reversed_text(corpus.where(F.col("doc_id").isin(3, 5)))
+    pair = fresh.where(F.col("doc_id") == 2_000_003).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    batch = dups.unionByName(fresh).unionByName(pair)
+    kept = dedup_exact_against_index(spark, idx, batch)
+    assert sorted(r.doc_id for r in kept.collect()) == [2_000_003, 2_000_005]
+    # retried batch reproduces the output; first-row keeps the index stable
+    kept2 = dedup_exact_against_index(spark, idx, batch)
+    assert kept2.count() == 0  # now indexed: everything is a dup
+    owners = {r.doc_id for r in idx.refresh().to_df(spark).collect()}
+    assert 2_000_003 in owners and 3_000_003 not in owners
