@@ -257,3 +257,59 @@ def test_fuzz_vs_python_replay(spark, warehouse, seed):
                 state[k] = (ts, v)
     got = {r.k: (r.ts, r.v) for r in t.to_df(spark).collect()}
     assert got == state, seed
+
+
+@pytest.mark.parametrize("seed", range(4))
+@pytest.mark.parametrize("order", ["ascending", "descending"])
+def test_fuzz_multifield_sequence_replay(spark, warehouse, seed, order):
+    """Seeded fuzz of the r9-session-3 upsert fixes: MULTI-FIELD
+    sequences compare lexicographically (not per-field AND), NULL
+    versions are always OLDEST in both sort orders (the reference
+    comparator's null branch precedes the direction flip), and ties
+    fall to the later input."""
+    import random
+
+    rng = random.Random(7000 + seed)
+    t = warehouse.create_table(
+        f"db.ups_mfz_{order}_{seed}", "k int, s1 int, s2 int, v string",
+        options={
+            "upsert-key": "k",
+            "sequence.field": "s1,s2",
+            "sequence.field.sort-order": order,
+        },
+    )
+    desc = order == "descending"
+
+    def newer_or_equal(a, b):
+        """a (incoming) wins over b (existing)? Lexicographic with
+        NULL = oldest in BOTH orders; ties -> incoming."""
+        def img(x):
+            # per-field order image: None is ALWAYS lowest; descending
+            # negates the non-null values only
+            return tuple(
+                (0,) if f is None else (1, -f if desc else f) for f in x
+            )
+        return img(a) >= img(b)
+
+    state: dict[int, tuple] = {}
+    n = 0
+    for _ in range(6):
+        batch = []
+        for k in rng.sample(range(6), rng.randint(1, 4)):
+            s1 = rng.choice([None, *range(4)])
+            s2 = rng.choice([None, *range(4)])
+            n += 1
+            batch.append((k, s1, s2, f"v{n}"))
+        t.refresh().write(
+            spark.createDataFrame(batch, "k int, s1 int, s2 int, v string")
+        )
+        best: dict[int, tuple] = {}
+        for row in batch:  # input order; later wins ties
+            k, s1, s2, v = row
+            if k not in best or newer_or_equal((s1, s2), best[k][:2]):
+                best[k] = (s1, s2, v)
+        for k, cand in best.items():
+            if k not in state or newer_or_equal(cand[:2], state[k][:2]):
+                state[k] = cand
+    got = {r.k: (r.s1, r.s2, r.v) for r in t.refresh().to_df(spark).collect()}
+    assert got == state, (order, seed)
