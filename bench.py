@@ -888,6 +888,36 @@ def main() -> None:
             F.count(F.lit(1)), F.sum("o_totalprice")
         ).collect()
 
+    @timed("quality_model", repeat=3)
+    def _qm():
+        # model-based quality filter (fastText/DCLM shape): NB training
+        # on half the corpus + broadcast-join scoring of all of it —
+        # explode + two map-combined groupBys, no UDFs
+        from flink_table_store_spark.datapipe.quality_model import (
+            score_quality_model,
+            train_quality_model,
+        )
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        labeled = docs.where(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "text", (F.col("lang") == "en").cast("int").alias("label")
+        )
+        model = train_quality_model(labeled, n_buckets=65536, seed=11)
+        score_quality_model(docs.select("doc_id", "text"), model).count()
+
+    @timed("bpe_encode", repeat=3)
+    def _bpe():
+        # real-subword token accounting: histogram groupBy + driver
+        # merge loop (distinct words, not corpus bytes) + Arrow-batched
+        # encode with a per-batch word cache
+        from flink_table_store_spark.datapipe.bpe import bpe_encode, train_bpe
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        model = train_bpe(docs, n_merges=500)
+        bpe_encode(docs.select("doc_id", "text"), model).agg(
+            F.sum("bpe_len")
+        ).collect()
+
     total = round(sum(timings.values()), 4)
     upsert_rps = round(n_upsert_rows / timings["upsert"], 1) if timings.get("upsert") else None
     print(

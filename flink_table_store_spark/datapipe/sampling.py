@@ -204,3 +204,54 @@ def stratified_sample(
             F.broadcast(short), strata_col, "anti"
         ).unionByName(full)
     return picked
+
+
+def split_dataset(
+    df: DataFrame,
+    splits: dict[str, float],
+    key_col: str = "doc_id",
+    group_col: str | None = None,
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: add ``split_col``
+    labeling each row by where md5(key ∥ '-' ∥ seed) lands among the
+    cumulative ``splits`` fractions (insertion order; fractions must
+    sum to ~1). With ``group_col`` the hash is taken over the GROUP
+    key instead — every row of a group (a domain, a near-dup cluster,
+    a repository) lands in the SAME split, the leakage guard that
+    random row-level splits miss: without it, near-duplicate documents
+    straddle train and test and evaluation silently measures
+    memorization. NULL groups hash as the string 'NULL' (one group).
+
+    Scale: a narrow projection — zero shuffle, zero driver state; the
+    same (corpus, seed, splits) labels identically on any engine."""
+    if not splits:
+        raise ValueError("splits must be non-empty")
+    fracs = list(splits.items())
+    if any(f < 0 for _, f in fracs):
+        raise ValueError(f"negative split fraction in {splits}")
+    total = sum(f for _, f in fracs)
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    if split_col in df.columns:
+        raise ValueError(f"column {split_col!r} already exists")
+    hkey = F.coalesce(
+        F.col(group_col or key_col).cast("string"), F.lit("NULL")
+    )
+    u = F.conv(
+        F.substring(sample_key(hkey, seed), 1, 15), 16, 10
+    ).cast("bigint")
+    expr, acc = None, 0.0
+    # the last split takes everything above its lower bound, so the
+    # full 60-bit range is covered regardless of FP rounding in sums
+    for name, frac in fracs[:-1]:
+        acc += frac
+        bound = int(acc * float(1 << 60))
+        cond = u < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    last = F.lit(fracs[-1][0])
+    label = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, label)

@@ -3902,3 +3902,143 @@ _rotate_window(
     # agg_merge_engine + agg_pushdown_stats
     ["dedup_simhash", "agg_count_collect_assoc"],
 )
+
+
+def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (datapipe/quality_model.py — the
+    fastText/DCLM classifier shape): an NB-log-odds linear model over
+    md5-hashed word uni+bigrams is TRAINED on the even-doc_id half of
+    the corpus (label: lang='en') and scores every document. Both
+    halves are pure built-ins, so the DuckDB oracle replays training
+    AND inference bit-for-bit (same hash, same smoothing, same mean)."""
+    from flink_table_store_spark.datapipe.quality_model import (
+        score_quality_model,
+        train_quality_model,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    labeled = docs.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "text",
+        (F.col("lang") == "en").cast("int").alias("label"),
+    )
+    model = train_quality_model(labeled, n_buckets=4096, seed=11, alpha=1.0)
+    return score_quality_model(
+        docs.select("doc_id", "text"), model
+    ).orderBy("doc_id")
+
+
+QUALITY_MODEL_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, lang, t[s.i] AS g
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, len(t))) AS i
+  ) s
+  UNION ALL
+  SELECT doc_id, lang, t[s.i] || ' ' || t[s.i + 1]
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+  ) s
+), hashed AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(g || '-11'), 1, 15))::BIGINT % 4096 AS bucket
+  FROM grams
+), train AS (
+  SELECT bucket, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lab
+  FROM hashed WHERE doc_id % 2 = 0
+), pb AS (
+  SELECT bucket, sum(lab) AS pos, sum(1 - lab) AS neg
+  FROM train GROUP BY bucket
+), tot AS (
+  SELECT sum(pos)::DOUBLE AS pt, sum(neg)::DOUBLE AS nt FROM pb
+), prior AS (
+  SELECT ln(
+    count(*) FILTER (lang = 'en')::DOUBLE
+    / count(*) FILTER (lang <> 'en')
+  ) AS bias
+  FROM documents WHERE doc_id % 2 = 0
+), w AS (
+  SELECT bucket,
+         ln((pos + 1.0) / (pt + 4096.0))
+           - ln((neg + 1.0) / (nt + 4096.0)) AS weight
+  FROM pb, tot
+), per AS (
+  SELECT h.doc_id, count(*) AS nf,
+         avg(coalesce(w.weight, 0.0)) AS m
+  FROM hashed h LEFT JOIN w USING (bucket)
+  GROUP BY h.doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.nf, 0) AS n_features,
+       round(1.0 / (1.0 + exp(-(prior.bias + per.m))), 4) AS quality_score
+FROM documents d LEFT JOIN per USING (doc_id), prior
+ORDER BY d.doc_id
+"""
+
+# model-based quality filter (pillar: the DCLM/fineweb classifier step)
+QUERIES["quality_model_score"] = (quality_model_score, QUALITY_MODEL_SQL)
+
+
+def split_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe dataset splitting (datapipe/sampling.split_dataset):
+    documents assigned to train/val/test by the md5 hash of their
+    SOURCE (the group key), so a source's documents — the unit near-dups
+    cluster in — never straddle splits. Returns per-(split, source)
+    counts: one row per group proves group-atomic assignment."""
+    from flink_table_store_spark.datapipe.sampling import split_dataset
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    out = split_dataset(
+        docs,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        group_col="source",
+        seed=7,
+    )
+    return (
+        out.groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .orderBy("split", "source")
+    )
+
+
+SPLIT_TRAIN_EVAL_SQL = """
+WITH labeled AS (
+  SELECT doc_id, source, n_chars,
+         CASE
+           -- exact int(0.8 * 2^60) / int((0.8+0.1) * 2^60) as Python
+           -- computes them (DuckDB would do 0.8 * N in DECIMAL and
+           -- land 51 short of the double product)
+           WHEN u < 922337203685477632 THEN 'train'
+           WHEN u < 1037629354146162304 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM (
+    SELECT *,
+           ('0x' || substr(
+             md5(coalesce(source, 'NULL') || '-7'), 1, 15
+           ))::BIGINT AS u
+    FROM documents
+  )
+)
+SELECT split, source, count(*) AS n_docs, sum(n_chars) AS chars
+FROM labeled GROUP BY split, source ORDER BY split, source
+"""
+
+# deterministic group-atomic train/val/test split (pillar)
+QUERIES["split_train_eval"] = (split_train_eval, SPLIT_TRAIN_EVAL_SQL)
+
+_rotate_window(
+    # r9 session 4: model-based quality scoring + leakage-safe split
+    ["quality_model_score", "split_train_eval"],
+    # quality family keeps text_quality_score/lang + lm_perplexity in
+    # the tail; sampling keeps sample_domain_mix
+    ["text_gopher_filter", "sample_stratified"],
+)

@@ -1,0 +1,200 @@
+"""Model-based quality scoring + leakage-safe dataset splitting.
+
+Reference scope: the model-based quality-filter step of corpus
+curation (the fastText/DCLM classifier shape) and deterministic
+train/val/test assignment — both pillar operators, both pure
+built-ins, both replayable by the DuckDB oracle."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark):
+    rows = []
+    for i in range(60):
+        if i % 2 == 0:
+            text = f"the quick brown fox jumps over lazy dog {i}"
+        else:
+            text = f"zzz qqq xxx www spam spam spam buy now {i}"
+        rows.append((i, text, i % 2 == 0))
+    return spark.createDataFrame(rows, "doc_id bigint, text string, good boolean")
+
+
+def test_quality_model_separates_classes(spark):
+    from flink_table_store_spark.datapipe.quality_model import (
+        quality_filter,
+        score_quality_model,
+        train_quality_model,
+    )
+
+    docs = _docs(spark)
+    labeled = docs.select(
+        "doc_id", "text", F.col("good").cast("int").alias("label")
+    )
+    model = train_quality_model(labeled, n_buckets=4096, seed=11)
+    scored = score_quality_model(docs, model).collect()
+    by_id = {r["doc_id"]: r["quality_score"] for r in scored}
+    good = [by_id[i] for i in range(0, 60, 2)]
+    bad = [by_id[i] for i in range(1, 60, 2)]
+    assert min(good) > max(bad)
+    # filter keeps exactly the docs scoring >= threshold
+    thr = (min(good) + max(bad)) / 2
+    kept = quality_filter(docs, model, threshold=thr)
+    assert sorted(r["doc_id"] for r in kept.collect()) == list(range(0, 60, 2))
+
+
+def test_quality_model_deterministic_and_null_safe(spark):
+    from flink_table_store_spark.datapipe.quality_model import (
+        score_quality_model,
+        train_quality_model,
+    )
+
+    docs = _docs(spark)
+    labeled = docs.select(
+        "doc_id", "text", F.col("good").cast("int").alias("label")
+    )
+    m1 = train_quality_model(labeled, n_buckets=512, seed=5)
+    m2 = train_quality_model(labeled, n_buckets=512, seed=5)
+    s1 = score_quality_model(docs, m1).orderBy("doc_id").collect()
+    s2 = score_quality_model(docs, m2).orderBy("doc_id").collect()
+    assert s1 == s2
+    # empty / NULL text scores NULL with 0 features, and never joins
+    weird = spark.createDataFrame(
+        [(100, None), (101, "")], "doc_id bigint, text string"
+    )
+    out = {r["doc_id"]: r for r in score_quality_model(weird, m1).collect()}
+    assert out[100]["quality_score"] is None
+    # "" yields one empty-string token (a real, hashable gram)
+    assert out[101]["n_features"] >= 1
+
+
+def test_quality_model_needs_both_classes(spark):
+    from flink_table_store_spark.datapipe.quality_model import (
+        train_quality_model,
+    )
+
+    one_class = spark.createDataFrame(
+        [(1, "a b", 1), (2, "c d", 1)], "doc_id bigint, text string, label int"
+    )
+    with pytest.raises(ValueError, match="both classes"):
+        train_quality_model(one_class)
+
+
+def test_quality_model_nb_weights_closed_form(spark):
+    """Weights match the hand-computed NB log-odds on a 2-doc corpus."""
+    from flink_table_store_spark.datapipe.quality_model import (
+        train_quality_model,
+    )
+
+    labeled = spark.createDataFrame(
+        [(1, "a a", 1), (2, "b", 0)], "doc_id bigint, text string, label int"
+    )
+    B = 64
+    model = train_quality_model(labeled, n_buckets=B, seed=1, alpha=1.0)
+    w = {r["bucket"]: r["weight"] for r in model["weights"].collect()}
+    # doc1 grams: a, a, "a a"  (3 pos occurrences); doc2 grams: b (1 neg)
+    # pos_total=3, neg_total=1
+    # bucket(a): pos=2 neg=0 -> log(3/(3+B)) - log(1/(1+B))
+    # assuming no hash collisions among {a, b, "a a"} at B=64, seed=1
+    assert len(w) == 3
+    pts, nts = 3.0, 1.0
+    expected_a = math.log((2 + 1) / (pts + B)) - math.log((0 + 1) / (nts + B))
+    assert any(abs(v - expected_a) < 1e-9 for v in w.values())
+    assert abs(model["bias"] - math.log(1 / 1)) < 1e-12
+
+
+def test_split_dataset_fractions_and_determinism(spark):
+    from flink_table_store_spark.datapipe.sampling import split_dataset
+
+    df = spark.range(0, 20000).select(F.col("id").alias("doc_id"))
+    out = split_dataset(
+        df, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="doc_id", seed=7
+    )
+    counts = {
+        r["split"]: r["n"]
+        for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 20000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20000 - 0.1) < 0.01
+    # same seed -> identical labels; different seed -> different labels
+    again = split_dataset(
+        df, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="doc_id", seed=7
+    )
+    assert out.orderBy("doc_id").collect() == again.orderBy("doc_id").collect()
+    other = split_dataset(
+        df, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="doc_id", seed=8
+    )
+    diff = (
+        out.alias("a")
+        .join(other.alias("b"), "doc_id")
+        .where(F.col("a.split") != F.col("b.split"))
+        .count()
+    )
+    assert diff > 0
+
+
+def test_split_dataset_group_leakage_guard(spark):
+    from flink_table_store_spark.datapipe.sampling import split_dataset
+
+    df = spark.createDataFrame(
+        [(i, f"domain{i % 7}" if i % 11 else None) for i in range(2000)],
+        "doc_id bigint, domain string",
+    )
+    out = split_dataset(
+        df, {"train": 0.5, "test": 0.5}, group_col="domain", seed=3
+    )
+    # every group (incl. the NULL group) maps to exactly one split
+    per_group = (
+        out.groupBy("domain")
+        .agg(F.countDistinct("split").alias("k"))
+        .collect()
+    )
+    assert all(r["k"] == 1 for r in per_group)
+
+
+def test_split_dataset_validation(spark):
+    from flink_table_store_spark.datapipe.sampling import split_dataset
+
+    df = spark.range(5).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_dataset(df, {"a": 0.5, "b": 0.2})
+    with pytest.raises(ValueError, match="non-empty"):
+        split_dataset(df, {})
+    with pytest.raises(ValueError, match="negative"):
+        split_dataset(df, {"a": 1.5, "b": -0.5})
+    bad = df.withColumn("split", F.lit("x"))
+    with pytest.raises(ValueError, match="already exists"):
+        split_dataset(bad, {"a": 1.0})
+
+
+def test_split_dataset_matches_duckdb_oracle(spark):
+    """The md5 assignment replays exactly in DuckDB — the portability
+    contract the registry row relies on."""
+    import duckdb
+
+    from flink_table_store_spark.datapipe.sampling import split_dataset
+
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    got = {
+        r["doc_id"]: r["split"]
+        for r in split_dataset(
+            df, {"train": 0.9, "heldout": 0.1}, key_col="doc_id", seed=42
+        ).collect()
+    }
+    want = dict(
+        duckdb.sql(
+            """
+            SELECT i, CASE WHEN
+              ('0x' || substr(md5(i::VARCHAR || '-42'), 1, 15))::BIGINT
+                < {b}
+              THEN 'train' ELSE 'heldout' END
+            FROM range(500) t(i)
+            """.format(b=int(0.9 * float(1 << 60)))
+        ).fetchall()
+    )
+    assert got == want
