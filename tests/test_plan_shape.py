@@ -310,3 +310,36 @@ def test_fabricated_200k_manifest_plans_distributed(spark, warehouse, monkeypatc
     assert calls["n"] >= 1, "distributed planning did not engage at 120k entries"
     rep = t.doctor(spark)
     assert rep["files"]["count"] >= 120_000
+
+
+def test_quality_score_broadcasts_weights(spark):
+    """The weight table (≤ n_buckets rows) must broadcast — a shuffled
+    join here would re-shuffle the exploded gram rows (corpus-sized) on
+    the bucket id at 100 TB."""
+    from flink_table_store_spark.datapipe.quality_model import (
+        score_quality_model,
+        train_quality_model,
+    )
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    labeled = docs.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "text", (F.col("lang") == "en").cast("int").alias("label")
+    )
+    model = train_quality_model(labeled, n_buckets=1024, seed=11)
+    plan = _plan(score_quality_model(docs.select("doc_id", "text"), model))
+    assert "BroadcastHashJoin" in plan
+    # the per-doc mean is map-side combined before its shuffle
+    assert "partial_avg" in plan or "HashAggregate" in plan
+
+
+def test_split_dataset_is_shuffle_free(spark):
+    """split_dataset is a narrow projection: NO exchange anywhere in
+    the plan — the property that makes it free at any scale."""
+    from flink_table_store_spark.datapipe.sampling import split_dataset
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    out = split_dataset(
+        docs, {"train": 0.9, "test": 0.1}, group_col="source", seed=3
+    )
+    plan = _plan(out)
+    assert "Exchange" not in plan
