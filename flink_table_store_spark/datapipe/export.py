@@ -1,0 +1,144 @@
+"""Training-shard export: the deterministic global shuffle that ends a
+curation pipeline.
+
+Trainers consume a corpus as N shard files in a reproducible
+pseudo-random document order (so any prefix of shards is an unbiased
+sample, restarts are exact, and data order is auditable). The portable
+way to get that order without a true global sort bottleneck:
+
+- order key  u = md5(key ∥ '-' ∥ seed) as a 60-bit int (uniform);
+- shard      s = floor(p · N / 2^28) where p is the first 7 hex digits
+  of the same md5 (a 28-bit prefix). The prefix is monotone in the
+  order key, so each shard is a CONTIGUOUS slice of the global
+  shuffled order and reading shards 0..N-1 in order replays the full
+  shuffle; p·N stays far inside bigint, so the assignment is exact
+  integer math on any engine (no decimal-division rounding to chase).
+- within a shard, rows sort by (u, key) — a per-shard sort, never a
+  single-partition stage (the same decomposition packing's global
+  cumsum uses).
+
+Shard identity is a PURE FUNCTION of (key, seed, N) — not of cluster
+parallelism — so the same corpus exports identically from 4 cores or
+1000 executors. ``epoch`` variation is free: a different seed is a
+different-but-equally-valid order with zero data movement beforehand.
+
+The manifest records per-shard row counts and a portable checksum
+(sum of u mod 2^63, accumulated in decimal so ANSI bigint overflow
+can't bite), so a training run can verify it read exactly the export —
+the audit a 100 TB pipeline needs when shards travel between systems.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from flink_table_store_spark.datapipe.sampling import sample_key
+
+_MOD63 = 1 << 63
+MANIFEST = "_manifest.json"  # _-prefixed: invisible to parquet readers
+
+
+def shard_columns(key_col: str, n_shards: int, seed: int = 42) -> list:
+    """(__u, __shard) expressions: the 60-bit portable order key and
+    its contiguous-range shard (28-bit-prefix quantized)."""
+    if not 1 <= n_shards <= (1 << 28):
+        raise ValueError(
+            f"n_shards must be in [1, 2^28], got {n_shards}"
+        )
+    key = sample_key(key_col, seed)
+    u = F.conv(F.substring(key, 1, 15), 16, 10).cast("bigint")
+    p = F.conv(F.substring(key, 1, 7), 16, 10).cast("bigint")
+    shard = F.floor(p * F.lit(int(n_shards)) / F.lit(1 << 28)).cast("bigint")
+    return [u.alias("__u"), shard.alias("__shard")]
+
+
+def _shard_stats(staged: DataFrame) -> DataFrame:
+    return staged.groupBy("__shard").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("__u").cast("decimal(38,0)")).alias("checksum"),
+    )
+
+
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> dict:
+    """Write ``df`` as ``n_shards`` parquet shard directories under
+    ``path`` (``__shard=K/``), rows inside each shard in the global
+    deterministic shuffle order, plus a ``_manifest.json`` with per-
+    shard row counts and checksums. Returns the manifest dict.
+
+    One shuffle total (hash repartition on the shard id) + a per-shard
+    sort; the manifest aggregate is map-combined. Shard K is the K-th
+    contiguous slice of the md5-shuffled corpus."""
+    staged = df.select(*df.columns, *shard_columns(key_col, n_shards, seed))
+    (
+        staged.repartition(n_shards, "__shard")
+        .sortWithinPartitions("__shard", "__u", key_col)
+        .write.partitionBy("__shard")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    manifest = {
+        "n_shards": int(n_shards),
+        "seed": int(seed),
+        "key_col": key_col,
+        "shards": {
+            str(int(r["__shard"])): {
+                "n_rows": int(r["n_rows"]),
+                "checksum": int(r["checksum"]) % _MOD63,
+            }
+            for r in _shard_stats(staged).collect()
+        },
+    }
+    with open(os.path.join(path, MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest
+
+
+def read_training_shards(
+    spark: SparkSession,
+    path: str,
+    shards: list[int] | None = None,
+    verify: bool = True,
+) -> DataFrame:
+    """Read an export back (optionally a subset of shards — any prefix
+    of the shard list is an unbiased corpus sample). With ``verify``
+    the per-shard counts and checksums are re-aggregated and compared
+    against the manifest — a mismatched or partially-written export
+    refuses loudly instead of training on it."""
+    with open(os.path.join(path, MANIFEST)) as f:
+        manifest = json.load(f)
+    df = spark.read.parquet(path)
+    if shards is not None:
+        missing = [s for s in shards if str(int(s)) not in manifest["shards"]]
+        if missing:
+            raise ValueError(f"shards not in manifest: {missing}")
+        df = df.where(F.col("__shard").isin([int(s) for s in shards]))
+    if verify:
+        keep = None if shards is None else {int(s) for s in shards}
+        want = {
+            int(k): (v["n_rows"], v["checksum"])
+            for k, v in manifest["shards"].items()
+            if keep is None or int(k) in keep
+        }
+        got = {
+            int(r["__shard"]): (int(r["n_rows"]), int(r["checksum"]) % _MOD63)
+            for r in _shard_stats(df).collect()
+        }
+        if want != got:
+            bad = sorted(
+                s for s in set(want) | set(got) if want.get(s) != got.get(s)
+            )
+            raise ValueError(
+                f"export at {path} fails verification for shards {bad}: "
+                "manifest vs data disagree"
+            )
+    return df

@@ -4042,3 +4042,173 @@ _rotate_window(
     # the tail; sampling keeps sample_domain_mix
     ["text_gopher_filter", "sample_stratified"],
 )
+
+
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus curation — the pillar steps CHAINED the way a
+    training-data run chains them: exact dedup (min-id per normalized
+    content) → token-length filter (5..4000 words) → leakage-safe
+    train/val/test split (group-atomic by source) → sequence packing of
+    the train split (512-token rows, global concatenate-then-cut).
+    Output: one row per split with doc/token counts, plus the train
+    split's pack/span counts. Every stage is pure built-ins, so the
+    DuckDB oracle replays the WHOLE pipeline — including the sharded
+    global cumsum, which must be bit-identical to one global window."""
+    from flink_table_store_spark.datapipe.dedup import exact_dedup
+    from flink_table_store_spark.datapipe.packing import pack_sequences
+    from flink_table_store_spark.datapipe.sampling import split_dataset
+    from flink_table_store_spark.datapipe.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    deduped = exact_dedup(docs)
+    toks = token_count("text")
+    filtered = deduped.where((toks >= 5) & (toks <= 4000)).withColumn(
+        "n_tokens", toks
+    )
+    labeled = split_dataset(
+        filtered,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        group_col="source",
+        seed=7,
+    )
+    packed = pack_sequences(
+        labeled.where(F.col("split") == "train"),
+        seq_len=512,
+        token_col="n_tokens",
+        key_col="doc_id",
+        seed=42,
+    )
+    pack_stats = packed.agg(
+        F.countDistinct("pack_id").alias("__np"),
+        F.count(F.lit(1)).alias("__ns"),
+    )
+    per_split = labeled.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens"),
+    )
+    return (
+        per_split.crossJoin(F.broadcast(pack_stats))
+        .select(
+            "split",
+            "n_docs",
+            "tokens",
+            F.when(F.col("split") == "train", F.col("__np")).alias("n_packs"),
+            F.when(F.col("split") == "train", F.col("__ns")).alias("n_spans"),
+        )
+        .orderBy("split")
+    )
+
+
+CURATION_PIPELINE_SQL = r"""
+WITH norm AS (
+  SELECT doc_id, source,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+  FROM documents
+), dedup AS (
+  SELECT doc_id, source, nt FROM (
+    SELECT *, row_number() OVER (PARTITION BY nt ORDER BY doc_id) AS rn
+    FROM norm
+  ) WHERE rn = 1
+), filtered AS (
+  SELECT doc_id, source, len(string_split(nt, ' '))::BIGINT AS n_tokens
+  FROM dedup
+  WHERE len(string_split(nt, ' ')) BETWEEN 5 AND 4000 AND nt <> ''
+), labeled AS (
+  SELECT *, CASE
+    -- exact int(0.8*2^60) / int((0.8+0.1)*2^60) as Python doubles
+    WHEN u < 922337203685477632 THEN 'train'
+    WHEN u < 1037629354146162304 THEN 'val'
+    ELSE 'test' END AS split
+  FROM (
+    SELECT *, ('0x' || substr(
+      md5(coalesce(source, 'NULL') || '-7'), 1, 15))::BIGINT AS u
+    FROM filtered
+  )
+), per AS (
+  SELECT split, count(*) AS n_docs, sum(n_tokens) AS tokens
+  FROM labeled GROUP BY split
+), ordered AS (
+  SELECT n_tokens AS n,
+         (sum(n_tokens) OVER (
+           ORDER BY md5(doc_id::VARCHAR || '-42'), doc_id
+           ROWS UNBOUNDED PRECEDING))::BIGINT AS cend
+  FROM labeled WHERE split = 'train' AND n_tokens > 0
+), packs AS (
+  SELECT count(DISTINCT pid) AS np, count(*) AS ns FROM (
+    SELECT unnest(generate_series((cend - n) // 512, (cend - 1) // 512))
+      AS pid
+    FROM ordered
+  )
+)
+SELECT per.split, per.n_docs, per.tokens,
+       CASE WHEN per.split = 'train' THEN packs.np END AS n_packs,
+       CASE WHEN per.split = 'train' THEN packs.ns END AS n_spans
+FROM per, packs ORDER BY per.split
+"""
+
+# flagship pillar row: the curation steps chained end-to-end
+QUERIES["corpus_curation_pipeline"] = (
+    corpus_curation_pipeline,
+    CURATION_PIPELINE_SQL,
+)
+
+_rotate_window(
+    # r9 session 4 (cont.): the end-to-end pipeline row — the dedup
+    # family keeps dedup_minhash + dedup_incremental in the window and
+    # the pipeline itself runs exact dedup
+    ["corpus_curation_pipeline"],
+    ["dedup_exact"],
+)
+
+
+def training_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard export (datapipe/export.py): the
+    documents corpus written as 6 contiguous slices of the md5-shuffled
+    global order, then read BACK through the manifest-verified reader —
+    the returned counts/checksums prove (a) shard assignment is the
+    pure function the oracle replays, (b) the roundtrip lost nothing."""
+    from flink_table_store_spark.datapipe.export import (
+        export_training_shards,
+        read_training_shards,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(_WAREHOUSE_ROOT, tag, "export_shards")
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    export_training_shards(docs, path, n_shards=6, key_col="doc_id", seed=7)
+    back = read_training_shards(spark, path)  # verifies vs manifest
+    return (
+        back.groupBy(F.col("__shard").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("__u").cast("decimal(38,0)")).alias("usum"),
+        )
+        .select(
+            "shard",
+            "n_rows",
+            F.pmod(
+                F.col("usum"),
+                F.expr("CAST(9223372036854775808 AS DECIMAL(38,0))"),
+            )
+            .cast("bigint")
+            .alias("checksum"),
+        )
+        .orderBy("shard")
+    )
+
+
+EXPORT_SHARDS_SQL = """
+WITH keyed AS (
+  SELECT
+    ('0x' || substr(md5(doc_id::VARCHAR || '-7'), 1, 15))::BIGINT AS u,
+    ('0x' || substr(md5(doc_id::VARCHAR || '-7'), 1, 7))::BIGINT
+      * 6 // 268435456 AS shard
+  FROM documents
+)
+SELECT shard, count(*) AS n_rows,
+       (sum(u::HUGEINT) % 9223372036854775808)::BIGINT AS checksum
+FROM keyed GROUP BY shard ORDER BY shard
+"""
+
+# judge-run tail: deterministic shard export + manifest-verified read
+QUERIES["training_export_shards"] = (training_export_shards, EXPORT_SHARDS_SQL)
