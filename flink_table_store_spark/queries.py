@@ -4212,3 +4212,78 @@ FROM keyed GROUP BY shard ORDER BY shard
 
 # judge-run tail: deterministic shard export + manifest-verified read
 QUERIES["training_export_shards"] = (training_export_shards, EXPORT_SHARDS_SQL)
+
+
+def stream_curation_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus curation (streaming/curation.py): two micro-
+    batches flow through the foreachBatch loop — batch 0 is the %3=0
+    slice of documents, batch 1 is the %3=1 slice PLUS +1M-id copies of
+    the %6=0 docs (cross-batch dups of batch 0). Inline exact dedup
+    against the persistent fingerprint index (existing wins, min id
+    within a batch), 5..4000-word gate, token accounting, exactly-once
+    identifier-checked commits. Returns the final corpus state."""
+    from flink_table_store_spark.datapipe.incdedup import create_exact_index
+    from flink_table_store_spark.streaming.curation import (
+        curation_batch_writer,
+    )
+
+    cat = _wh(sf_dir)
+    for name in ("default.cur_corpus", "default.cur_fp"):
+        try:
+            cat.drop_table(name)
+        except RuntimeError:
+            pass
+    corpus = cat.create_table(
+        "default.cur_corpus", "doc_id bigint, text string, n_tokens int"
+    )
+    index = create_exact_index(cat, "default.cur_fp")
+    fn = curation_batch_writer(
+        corpus, index, "cur", min_tokens=5, max_tokens=4000
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fn(docs.where(F.col("doc_id") % 3 == 0), 0)
+    dups = docs.where(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    fn(docs.where(F.col("doc_id") % 3 == 1).unionByName(dups), 1)
+    return (
+        corpus.refresh()
+        .to_df(spark)
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+STREAM_CURATION_SQL = r"""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+  FROM documents
+), b1 AS (
+  SELECT min(doc_id) AS doc_id, nt
+  FROM norm WHERE doc_id % 3 = 0 GROUP BY nt
+), b1_kept AS (
+  SELECT doc_id, nt, len(string_split(nt, ' ')) AS n_tokens
+  FROM b1 WHERE len(string_split(nt, ' ')) BETWEEN 5 AND 4000 AND nt <> ''
+), b2_rows AS (
+  SELECT doc_id, nt FROM norm WHERE doc_id % 3 = 1
+  UNION ALL
+  SELECT doc_id + 1000000, nt FROM norm WHERE doc_id % 6 = 0
+), b2 AS (
+  SELECT min(doc_id) AS doc_id, nt FROM b2_rows GROUP BY nt
+), b2_kept AS (
+  SELECT b2.doc_id, b2.nt, len(string_split(b2.nt, ' ')) AS n_tokens
+  FROM b2 ANTI JOIN b1_kept ON b2.nt = b1_kept.nt
+  WHERE len(string_split(b2.nt, ' ')) BETWEEN 5 AND 4000 AND b2.nt <> ''
+)
+SELECT doc_id, n_tokens FROM b1_kept
+UNION ALL
+SELECT doc_id, n_tokens FROM b2_kept
+ORDER BY doc_id
+"""
+
+# judge-run tail: streaming curation loop (pillar x T10 exactly-once)
+QUERIES["stream_curation_ingest"] = (
+    stream_curation_ingest,
+    STREAM_CURATION_SQL,
+)

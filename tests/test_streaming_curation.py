@@ -1,0 +1,168 @@
+"""Streaming corpus curation: inline dedup + quality gate + exactly-once.
+
+The steady-state ingestion loop — micro-batches curate on the way into
+the corpus table, dedup state lives in the persistent fingerprint
+index, and every failure point between the two commits is replay-safe."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from flink_table_store_spark.datapipe.incdedup import create_exact_index
+from flink_table_store_spark.streaming.curation import (
+    curation_batch_writer,
+    curate_stream,
+)
+
+CORPUS_DDL = "doc_id bigint, text string, n_tokens int"
+
+
+def _mk_tables(warehouse):
+    corpus = warehouse.create_table("db.corpus", CORPUS_DDL)
+    index = create_exact_index(warehouse, "db.corpus_fp")
+    return corpus, index
+
+
+def _write_feed(spark, path, rows):
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+        1
+    ).write.mode("append").parquet(path)
+
+
+def test_stream_curates_across_batches(spark, warehouse, tmp_path):
+    corpus, index = _mk_tables(warehouse)
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    _write_feed(
+        spark,
+        feed,
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),  # intra-batch dup of 1
+            (3, "tiny"),  # fails min_tokens
+            (4, "epsilon zeta eta theta iota"),
+        ],
+    )
+    src = spark.readStream.schema("doc_id bigint, text string").parquet(feed)
+    q = curate_stream(
+        src, corpus, index, "ing", ckpt, min_tokens=2, max_tokens=100
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in corpus.refresh().to_df(spark).collect()}
+    assert sorted(got) == [1, 4]
+    assert got[1]["n_tokens"] == 4 and got[4]["n_tokens"] == 5
+
+    # round 2: a new file with a CROSS-BATCH dup (same text as doc 1),
+    # plus genuinely new docs
+    _write_feed(
+        spark,
+        feed,
+        [
+            (10, "alpha beta gamma delta"),  # dup of committed doc 1
+            (11, "kappa lambda mu nu xi"),
+        ],
+    )
+    q = curate_stream(
+        src, corpus, index, "ing", ckpt, min_tokens=2, max_tokens=100
+    )
+    q.awaitTermination(120)
+    ids = sorted(
+        r["doc_id"] for r in corpus.refresh().to_df(spark).collect()
+    )
+    assert ids == [1, 4, 11]
+    # the index holds exactly the survivors' fingerprints
+    assert index.refresh().to_df(spark).count() == 3
+
+
+def test_batch_replay_is_exactly_once(spark, warehouse):
+    """Replaying a micro-batch (Structured Streaming's failure mode)
+    must not duplicate corpus rows, drop survivors, or bloat the
+    index — whichever side committed first."""
+    corpus, index = _mk_tables(warehouse)
+    fn = curation_batch_writer(corpus, index, "s", min_tokens=1)
+    batch = spark.createDataFrame(
+        [(1, "one two three"), (2, "four five six")],
+        "doc_id bigint, text string",
+    )
+    fn(batch, 0)
+    n_corpus = corpus.refresh().to_df(spark).count()
+    n_index = index.refresh().to_df(spark).count()
+    assert (n_corpus, n_index) == (2, 2)
+    # full replay: both commits carry already-seen identifiers
+    fn(batch, 0)
+    assert corpus.refresh().to_df(spark).count() == 2
+    assert index.refresh().to_df(spark).count() == 2
+    # next batch still flows (dup of doc 1 dropped, new doc kept)
+    fn(
+        spark.createDataFrame(
+            [(3, "one two three"), (4, "seven eight")],
+            "doc_id bigint, text string",
+        ),
+        1,
+    )
+    ids = sorted(r["doc_id"] for r in corpus.refresh().to_df(spark).collect())
+    assert ids == [1, 2, 4]
+
+
+def test_crash_between_corpus_and_index_commit(spark, warehouse):
+    """The documented failure window: corpus committed, index write
+    crashed. The replay must re-drive the index without duplicating
+    corpus rows — the ordering argument in the module docstring."""
+    corpus, index = _mk_tables(warehouse)
+    fn = curation_batch_writer(corpus, index, "s", min_tokens=1)
+    batch = spark.createDataFrame(
+        [(1, "aa bb cc"), (2, "dd ee ff")], "doc_id bigint, text string"
+    )
+    # simulate the crash: run only the corpus half by pointing the
+    # index at a broken writer for the first attempt
+    real_write = index.write
+
+    class _Boom(Exception):
+        pass
+
+    def boom(*a, **k):
+        raise _Boom()
+
+    index.write = boom
+    try:
+        try:
+            fn(batch, 0)
+            raise AssertionError("expected the injected crash")
+        except _Boom:
+            pass
+    finally:
+        index.write = real_write
+    assert corpus.refresh().to_df(spark).count() == 2
+    assert index.refresh().to_df(spark).count() == 0
+    # replay after recovery: corpus identifier-skipped, index repaired
+    fn(batch, 0)
+    assert corpus.refresh().to_df(spark).count() == 2
+    assert index.refresh().to_df(spark).count() == 2
+
+
+def test_quality_model_gate_in_stream(spark, warehouse):
+    from flink_table_store_spark.datapipe.quality_model import (
+        train_quality_model,
+    )
+
+    labeled = spark.createDataFrame(
+        [(i, "good clean prose here", 1) for i in range(10)]
+        + [(100 + i, "zz qq spam spam spam", 0) for i in range(10)],
+        "doc_id bigint, text string, label int",
+    )
+    model = train_quality_model(labeled, n_buckets=512, seed=2)
+    corpus, index = _mk_tables(warehouse)
+    fn = curation_batch_writer(
+        corpus, index, "s", quality_model=model, quality_threshold=0.5
+    )
+    fn(
+        spark.createDataFrame(
+            [(1, "good clean prose here"), (2, "zz qq spam spam spam")],
+            "doc_id bigint, text string",
+        ),
+        0,
+    )
+    ids = [r["doc_id"] for r in corpus.refresh().to_df(spark).collect()]
+    assert ids == [1]
