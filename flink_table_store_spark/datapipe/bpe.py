@@ -225,7 +225,11 @@ def bpe_encode(
 
 def bpe_decode(tokens_col: str | Column = "bpe_tokens") -> Column:
     """Inverse of ``bpe_encode`` on normalized text: tokens concatenate
-    into words at ``</w>`` markers, words rejoin with single spaces."""
+    into words at ``</w>`` markers, words rejoin with single spaces.
+    Contract: text containing the LITERAL marker string ``</w>``
+    decodes with that substring as a word break (the usual
+    marker-token hazard; byte-level BPE avoids it at the cost of a
+    byte alphabet — out of scope here)."""
     c = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     return F.trim(
         F.replace(

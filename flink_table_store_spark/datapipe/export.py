@@ -52,7 +52,11 @@ def shard_columns(key_col: str, n_shards: int, seed: int = 42) -> list:
     key = sample_key(key_col, seed)
     u = F.conv(F.substring(key, 1, 15), 16, 10).cast("bigint")
     p = F.conv(F.substring(key, 1, 7), 16, 10).cast("bigint")
-    shard = F.floor(p * F.lit(int(n_shards)) / F.lit(1 << 28)).cast("bigint")
+    # exact integer math: p*N <= 2^56 fits a long, and the shift (not
+    # floor(double division), which rounds above 2^53 and can be off
+    # by one at shard boundaries for large N) keeps the assignment
+    # bit-identical to the oracle's HUGEINT //
+    shard = F.shiftright(p * F.lit(int(n_shards)), 28)
     return [u.alias("__u"), shard.alias("__shard")]
 
 

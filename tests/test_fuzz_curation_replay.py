@@ -1,0 +1,99 @@
+"""Fuzz: the streaming curation loop under crash/replay interleavings.
+
+Structured Streaming's contract is "retry the batch until it commits,
+then move on". The curation writer commits TWO tables per batch
+(corpus, then fingerprint index), so every crash point between them is
+a reachable state. This fuzz drives random batches with random crash
+injections and replays, then checks the final corpus against a serial
+Python replay of the curation semantics: min-id-per-text within a
+batch, existing-text wins across batches, word-count gate."""
+
+from __future__ import annotations
+
+import random
+
+from flink_table_store_spark.datapipe.incdedup import create_exact_index
+from flink_table_store_spark.streaming.curation import curation_batch_writer
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+
+def _serial_oracle(batches, min_tokens):
+    seen_texts = set()
+    corpus = {}
+    for batch in batches:
+        # min id per normalized text within the batch
+        best = {}
+        for doc_id, text in batch:
+            nt = " ".join(text.strip().lower().split())
+            if nt not in best or doc_id < best[nt]:
+                best[nt] = doc_id
+        for nt, doc_id in sorted(best.items(), key=lambda kv: kv[1]):
+            if nt in seen_texts:
+                continue
+            n = len(nt.split()) if nt else 0
+            if n < min_tokens:
+                continue
+            seen_texts.add(nt)
+            corpus[doc_id] = n
+    return corpus
+
+
+def test_fuzz_curation_crash_replay(spark, warehouse):
+    rng = random.Random(20260816)
+    corpus_t = warehouse.create_table(
+        "db.fz_corpus", "doc_id bigint, text string, n_tokens int"
+    )
+    index_t = create_exact_index(warehouse, "db.fz_fp")
+    fn = curation_batch_writer(corpus_t, index_t, "fz", min_tokens=2)
+
+    class _Boom(Exception):
+        pass
+
+    real_write = index_t.write
+    next_id = [0]
+    batches = []
+    for batch_id in range(6):
+        batch = []
+        for _ in range(rng.randint(2, 6)):
+            nw = rng.randint(1, 4)
+            text = " ".join(rng.choice(WORDS) for _ in range(nw))
+            batch.append((next_id[0], text))
+            next_id[0] += 1
+        # sprinkle exact dups of earlier docs (cross- and intra-batch)
+        if batches and rng.random() < 0.8:
+            src = rng.choice(rng.choice(batches))
+            batch.append((next_id[0], src[1]))
+            next_id[0] += 1
+        batches.append(batch)
+
+        df = spark.createDataFrame(batch, "doc_id bigint, text string")
+        # drive the batch to success through random crash injections,
+        # replaying the WHOLE batch each time (the streaming contract)
+        for _attempt in range(10):
+            crash_index = rng.random() < 0.4
+            if crash_index:
+                def boom(*a, **k):
+                    raise _Boom()
+
+                index_t.write = boom
+            try:
+                fn(df, batch_id)
+                index_t.write = real_write
+                if crash_index:
+                    continue  # crashed mid-batch: replay once healthy
+                break
+            except _Boom:
+                index_t.write = real_write
+                continue
+        else:
+            raise AssertionError("batch never committed")
+
+    want = _serial_oracle(batches, min_tokens=2)
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in corpus_t.refresh().to_df(spark).collect()
+    }
+    assert got == want
+    # index holds exactly one fingerprint per surviving text
+    assert index_t.refresh().to_df(spark).count() == len(want)
