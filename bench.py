@@ -918,6 +918,22 @@ def main() -> None:
             F.sum("bpe_len")
         ).collect()
 
+    @timed("quality_model_10x", repeat=3)
+    def _qm10():
+        # 10x linearity proxy: training shuffle is keyed on <=65536
+        # buckets and scoring is broadcast-join + per-doc agg, so the
+        # per-row cost must not grow with corpus size
+        from flink_table_store_spark.datapipe.quality_model import (
+            score_quality_model,
+            train_quality_model,
+        )
+
+        labeled = docs10.where(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "text", (F.col("lang") == "en").cast("int").alias("label")
+        )
+        model = train_quality_model(labeled, n_buckets=65536, seed=11)
+        score_quality_model(docs10.select("doc_id", "text"), model).count()
+
     total = round(sum(timings.values()), 4)
     upsert_rps = round(n_upsert_rows / timings["upsert"], 1) if timings.get("upsert") else None
     print(
