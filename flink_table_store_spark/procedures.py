@@ -297,6 +297,37 @@ def _trigger_tag_automatic_creation(spark, cat, a):
     return created
 
 
+
+
+def _export_shards(spark, cat, a):
+    """Deterministic training-shard export of an engine table scan
+    (datapipe/export.export_training_shards): filters/projection push
+    into the scan, the shuffle+manifest machinery does the rest."""
+    from flink_table_store_spark.datapipe.export import (
+        export_training_shards,
+    )
+
+    t = _t(cat, a)
+    pred = None
+    if a.get("where"):
+        from flink_table_store_spark.sql import parse_condition
+
+        pred = parse_condition(a["where"])
+    proj = (
+        [x.strip() for x in a["columns"].split(",")]
+        if a.get("columns")
+        else None
+    )
+    df = t.to_df(spark, predicate=pred, projection=proj)
+    return export_training_shards(
+        df,
+        a["path"],
+        int(a["n_shards"]),
+        key_col=a.get("key_col", "doc_id"),
+        seed=int(a.get("seed", 42)),
+    )
+
+
 PROCEDURES: dict[str, Callable] = {
     "compact": _compact,
     # table + column statistics (PaimonAnalyzeTableColumnCommand /
@@ -415,6 +446,8 @@ PROCEDURES: dict[str, Callable] = {
     # service; ours returns the running servers' addresses — they serve
     # on daemon threads until stop() or process exit)
     "query_service": lambda s, c, a: _query_service(c, a),
+    # training-data pillar: shard export as an engine procedure
+    "export_training_shards": _export_shards,
     # privilege procedures (paimon-flink procedure/privilege/*.java)
     "init_file_based_privilege": lambda s, c, a: _init_privilege(c, a),
     "create_privileged_user": lambda s, c, a: _priv_cat(c).create_privileged_user(

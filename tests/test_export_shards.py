@@ -123,3 +123,35 @@ def test_shard_assignment_matches_duckdb(spark, tmp_path):
         ).fetchall()
     )
     assert got == want
+
+
+def test_export_procedure_over_engine_table(spark, warehouse):
+    """CALL sys.export_training_shards: filter + projection push into
+    the engine scan; the export manifest matches a direct export of
+    the same slice."""
+    import tempfile
+
+    from flink_table_store_spark import procedures
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    t = warehouse.create_table("db.docs", docs.schema)
+    t.write(docs)
+    out = tempfile.mkdtemp(prefix="exp_proc_")
+    m = procedures.call(
+        spark,
+        warehouse,
+        "export_training_shards",
+        table="db.docs",
+        path=out,
+        n_shards=4,
+        key_col="doc_id",
+        seed=5,
+        where="lang = 'en'",
+        columns="doc_id,text,lang",
+    )
+    n_en = docs.where(F.col("lang") == "en").count()
+    assert sum(s["n_rows"] for s in m["shards"].values()) == n_en
+    back = read_training_shards(spark, out)
+    assert back.count() == n_en
+    assert set(back.columns) == {"doc_id", "text", "lang", "__u", "__shard"}
+    assert back.where(F.col("lang") != "en").count() == 0
