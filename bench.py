@@ -900,7 +900,7 @@ def main() -> None:
 
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         labeled = docs.where(F.col("doc_id") % 2 == 0).select(
-            "doc_id", "text", (F.col("lang") == "en").cast("int").alias("label")
+            "doc_id", "text", F.coalesce((F.col("lang") == "en").cast("int"), F.lit(0)).alias("label")
         )
         model = train_quality_model(labeled, n_buckets=65536, seed=11)
         score_quality_model(docs.select("doc_id", "text"), model).count()
@@ -929,7 +929,7 @@ def main() -> None:
         )
 
         labeled = docs10.where(F.col("doc_id") % 2 == 0).select(
-            "doc_id", "text", (F.col("lang") == "en").cast("int").alias("label")
+            "doc_id", "text", F.coalesce((F.col("lang") == "en").cast("int"), F.lit(0)).alias("label")
         )
         model = train_quality_model(labeled, n_buckets=65536, seed=11)
         score_quality_model(docs10.select("doc_id", "text"), model).count()

@@ -60,11 +60,16 @@ def shard_columns(key_col: str, n_shards: int, seed: int = 42) -> list:
     return [u.alias("__u"), shard.alias("__shard")]
 
 
-def _shard_stats(staged: DataFrame) -> DataFrame:
-    return staged.groupBy("__shard").agg(
+def _shard_stats(staged: DataFrame, key_col: str | None = None) -> DataFrame:
+    agg = [
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.col("__u").cast("decimal(38,0)")).alias("checksum"),
-    )
+    ]
+    if key_col is not None:
+        agg.append(
+            F.sum(F.col(key_col).isNull().cast("bigint")).alias("null_keys")
+        )
+    return staged.groupBy("__shard").agg(*agg)
 
 
 def export_training_shards(
@@ -80,8 +85,17 @@ def export_training_shards(
     shard row counts and checksums. Returns the manifest dict.
 
     One shuffle total (hash repartition on the shard id) + a per-shard
-    sort; the manifest aggregate is map-combined. Shard K is the K-th
-    contiguous slice of the md5-shuffled corpus."""
+    sort. Shard K is the K-th contiguous slice of the md5-shuffled
+    corpus. The manifest is computed FROM THE WRITTEN FILES (a
+    column-pruned scan of __u/__shard only), never from the source
+    plan — so it audits the bytes on disk even if the source mutated
+    mid-export, and the source's md5 work runs exactly once. Every
+    shard id 0..N-1 gets a manifest entry (empty shards record 0/0),
+    and NULL ``key_col`` values are refused loudly: a corpus with NULL
+    document keys is corrupt input, not a sharding decision. A prior
+    export's ``__u``/``__shard`` columns are dropped on entry, so
+    re-exporting a read-back export (new epoch / re-shard) just works."""
+    df = df.drop("__u", "__shard")
     staged = df.select(*df.columns, *shard_columns(key_col, n_shards, seed))
     (
         staged.repartition(n_shards, "__shard")
@@ -90,17 +104,34 @@ def export_training_shards(
         .mode("overwrite")
         .parquet(path)
     )
+    try:
+        written = df.sparkSession.read.parquet(path)
+        stats = _shard_stats(written, key_col).collect()
+    except Exception:
+        # an empty corpus writes no part files at all; that's a valid
+        # (all-shards-empty) export, not a failure
+        if staged.take(1):
+            raise
+        stats = []
+    nulls = sum(int(r["null_keys"] or 0) for r in stats)
+    if nulls:
+        raise ValueError(
+            f"export refused: {nulls} row(s) have NULL {key_col!r} — a "
+            "deterministic shuffle needs a real key on every row"
+        )
+    shards = {
+        str(s): {"n_rows": 0, "checksum": 0} for s in range(int(n_shards))
+    }
+    for r in stats:
+        shards[str(int(r["__shard"]))] = {
+            "n_rows": int(r["n_rows"]),
+            "checksum": int(r["checksum"]) % _MOD63,
+        }
     manifest = {
         "n_shards": int(n_shards),
         "seed": int(seed),
         "key_col": key_col,
-        "shards": {
-            str(int(r["__shard"])): {
-                "n_rows": int(r["n_rows"]),
-                "checksum": int(r["checksum"]) % _MOD63,
-            }
-            for r in _shard_stats(staged).collect()
-        },
+        "shards": shards,
     }
     with open(os.path.join(path, MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
@@ -120,6 +151,10 @@ def read_training_shards(
     refuses loudly instead of training on it."""
     with open(os.path.join(path, MANIFEST)) as f:
         manifest = json.load(f)
+    if all(v["n_rows"] == 0 for v in manifest["shards"].values()):
+        raise ValueError(
+            f"export at {path} is empty (all shards hold 0 rows)"
+        )
     df = spark.read.parquet(path)
     if shards is not None:
         missing = [s for s in shards if str(int(s)) not in manifest["shards"]]
@@ -137,6 +172,9 @@ def read_training_shards(
             int(r["__shard"]): (int(r["n_rows"]), int(r["checksum"]) % _MOD63)
             for r in _shard_stats(df).collect()
         }
+        # shards with no rows have no files: absent from data == (0, 0)
+        for s in want:
+            got.setdefault(s, (0, 0))
         if want != got:
             bad = sorted(
                 s for s in set(want) | set(got) if want.get(s) != got.get(s)

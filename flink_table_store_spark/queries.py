@@ -3917,9 +3917,14 @@ def quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    # coalesce so a NULL lang is a definite 0 label, exactly as the
+    # oracle's CASE does — a NULL label would silently drop the doc
+    # from training on the Spark side only
     labeled = docs.where(F.col("doc_id") % 2 == 0).select(
         "doc_id", "text",
-        (F.col("lang") == "en").cast("int").alias("label"),
+        F.coalesce((F.col("lang") == "en").cast("int"), F.lit(0)).alias(
+            "label"
+        ),
     )
     model = train_quality_model(labeled, n_buckets=4096, seed=11, alpha=1.0)
     return score_quality_model(
@@ -3947,7 +3952,8 @@ WITH toks AS (
          ('0x' || substr(md5(g || '-11'), 1, 15))::BIGINT % 4096 AS bucket
   FROM grams
 ), train AS (
-  SELECT bucket, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lab
+  SELECT bucket,
+         CASE WHEN lang IS NOT NULL AND lang = 'en' THEN 1 ELSE 0 END AS lab
   FROM hashed WHERE doc_id % 2 = 0
 ), pb AS (
   SELECT bucket, sum(lab) AS pos, sum(1 - lab) AS neg
@@ -3955,9 +3961,10 @@ WITH toks AS (
 ), tot AS (
   SELECT sum(pos)::DOUBLE AS pt, sum(neg)::DOUBLE AS nt FROM pb
 ), prior AS (
+  -- per-DOC class prior with the same NULL-is-0 labeling as train
   SELECT ln(
-    count(*) FILTER (lang = 'en')::DOUBLE
-    / count(*) FILTER (lang <> 'en')
+    sum(CASE WHEN lang IS NOT NULL AND lang = 'en' THEN 1 ELSE 0 END)::DOUBLE
+    / sum(CASE WHEN lang IS NOT NULL AND lang = 'en' THEN 0 ELSE 1 END)
   ) AS bias
   FROM documents WHERE doc_id % 2 = 0
 ), w AS (

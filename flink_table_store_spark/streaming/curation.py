@@ -53,9 +53,7 @@ def curation_batch_writer(
     from flink_table_store_spark.datapipe.incdedup import (
         dedup_exact_against_index,
     )
-    from flink_table_store_spark.datapipe.quality_model import (
-        score_quality_model,
-    )
+    from flink_table_store_spark.datapipe.quality_model import quality_filter
     from flink_table_store_spark.datapipe.text import fingerprint, token_count
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
@@ -69,14 +67,9 @@ def curation_batch_writer(
         if max_tokens is not None:
             kept = kept.where(toks <= max_tokens)
         if quality_model is not None:
-            ok = (
-                score_quality_model(kept, quality_model, text_col, id_col)
-                .where(F.col("quality_score") >= F.lit(float(quality_threshold)))
-                .select(F.col(id_col).alias("__qid"))
+            kept = quality_filter(
+                kept, quality_model, quality_threshold, text_col, id_col
             )
-            kept = kept.join(
-                ok, F.col(id_col) == F.col("__qid"), "inner"
-            ).drop("__qid")
         kept = kept.withColumn("n_tokens", token_count(text_col))
         # one deterministic pass per batch: the dedup probe, the corpus
         # write and the index write must all see the SAME survivor set

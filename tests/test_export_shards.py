@@ -155,3 +155,48 @@ def test_export_procedure_over_engine_table(spark, warehouse):
     assert back.count() == n_en
     assert set(back.columns) == {"doc_id", "text", "lang", "__u", "__shard"}
     assert back.where(F.col("lang") != "en").count() == 0
+
+
+def test_empty_shards_are_manifested_and_readable(spark, tmp_path):
+    """Review-pass regression: Poisson-empty shards must be manifest
+    entries (0 rows), so prefix-subset reads of a sparse export work."""
+    df = _docs(spark, 20)
+    path = str(tmp_path / "e")
+    m = export_training_shards(df, path, n_shards=64, seed=1)
+    assert len(m["shards"]) == 64
+    empties = [s for s, v in m["shards"].items() if v["n_rows"] == 0]
+    assert empties  # 20 rows over 64 shards must leave gaps
+    # a prefix read crossing empty shards verifies and returns the rest
+    got = read_training_shards(spark, path, shards=list(range(32)))
+    want = sum(m["shards"][str(s)]["n_rows"] for s in range(32))
+    assert got.count() == want
+
+
+def test_reexport_of_a_readback_export(spark, tmp_path):
+    """Review-pass regression: re-sharding a read-back export (new
+    epoch) must not trip over the __u/__shard columns it carries."""
+    df = _docs(spark, 200)
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    export_training_shards(df, p1, n_shards=4, seed=1)
+    back = read_training_shards(spark, p1)
+    m2 = export_training_shards(back, p2, n_shards=2, seed=2)
+    re2 = read_training_shards(spark, p2)
+    assert re2.count() == 200
+    assert sum(s["n_rows"] for s in m2["shards"].values()) == 200
+
+
+def test_null_keys_are_refused(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a"), (None, "b")], "doc_id bigint, text string"
+    )
+    with pytest.raises(ValueError, match="NULL 'doc_id'"):
+        export_training_shards(df, str(tmp_path / "e"), n_shards=2)
+
+
+def test_empty_export_read_is_loud(spark, tmp_path):
+    df = _docs(spark, 0)
+    path = str(tmp_path / "e")
+    m = export_training_shards(df, path, n_shards=3)
+    assert all(v["n_rows"] == 0 for v in m["shards"].values())
+    with pytest.raises(ValueError, match="is empty"):
+        read_training_shards(spark, path)
