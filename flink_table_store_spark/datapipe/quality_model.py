@@ -98,7 +98,22 @@ def train_quality_model(
     tot = labeled.agg(
         F.sum(lab).alias("p_docs"),
         F.sum(F.lit(1) - lab).alias("n_docs"),
+        F.min(lab).alias("lo"),
+        F.max(lab).alias("hi"),
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(lab).alias("n_lab"),
     ).collect()[0]
+    if (
+        tot["lo"] is None
+        or tot["lo"] < 0
+        or tot["hi"] > 1
+        or tot["n_lab"] != tot["n_all"]
+    ):
+        raise ValueError(
+            "labels must be 0/1 and NULL-free, got range "
+            f"[{tot['lo']}, {tot['hi']}] with "
+            f"{tot['n_all'] - tot['n_lab']} NULL(s)"
+        )
     p_docs, n_docs = int(tot["p_docs"]), int(tot["n_docs"])
     if p_docs == 0 or n_docs == 0:
         raise ValueError(

@@ -198,3 +198,24 @@ def test_split_dataset_matches_duckdb_oracle(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_quality_model_rejects_bad_labels(spark):
+    from flink_table_store_spark.datapipe.quality_model import (
+        train_quality_model,
+    )
+
+    with pytest.raises(ValueError, match="NULL-free"):
+        train_quality_model(
+            spark.createDataFrame(
+                [(1, "a b", 1), (2, "c d", None)],
+                "doc_id bigint, text string, label int",
+            )
+        )
+    with pytest.raises(ValueError, match="labels must be 0/1"):
+        train_quality_model(
+            spark.createDataFrame(
+                [(1, "a b", 2), (2, "c d", 0)],
+                "doc_id bigint, text string, label int",
+            )
+        )
