@@ -343,3 +343,18 @@ def test_split_dataset_is_shuffle_free(spark):
     )
     plan = _plan(out)
     assert "Exchange" not in plan
+
+
+def test_export_shards_is_one_shuffle(spark, tmp_path):
+    """export_training_shards claims ONE shuffle total (repartition on
+    the shard id) + per-shard sort — no global sort anywhere."""
+    from flink_table_store_spark.datapipe.export import shard_columns
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    staged = docs.select(
+        *docs.columns, *shard_columns("doc_id", 8, 42)
+    ).repartition(8, "__shard").sortWithinPartitions("__shard", "__u", "doc_id")
+    plan = _plan(staged, mode="simple")
+    assert plan.count("Exchange") == 1
+    # the sort is partition-local (no range partitioner = no global sort)
+    assert "rangepartitioning" not in plan.lower()
