@@ -140,3 +140,169 @@ def frame_sample_plan(df: DataFrame, id_col: str = "doc_id", n_frames_col: str =
         F.sequence(F.lit(0), F.greatest(F.col(n_frames_col) - 1, F.lit(0)), F.lit(every))
     ).alias("frame_idx")
     return df.select(F.col(id_col), F.col(n_frames_col), idx)
+
+
+RESIZED_SCHEMA = (
+    "doc_id bigint, payload binary, width int, height int, resize_ok boolean"
+)
+
+
+def _resize_stub(payload: bytes, w: int, h: int) -> bytes:
+    """Deterministic fake resize: REAL PIXEL RESAMPLING NOT IMPLEMENTED
+    in this container (no PIL). Emits a reproducible pseudo-bitmap
+    (sha256-keyed stream cipher over the target size) so the pipeline
+    — schema, batching, byte budgets — is testable end-to-end."""
+    seed = hashlib.sha256(payload + f"{w}x{h}".encode()).digest()
+    out = bytearray()
+    block = seed
+    need = w * h  # 1 byte/px fake grayscale
+    while len(out) < need:
+        block = hashlib.sha256(block).digest()
+        out.extend(block)
+    return bytes(out[:need])
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize pass over a binary image column (the thumbnail/vision-
+    encoder-input step). Uses PIL when importable — the production
+    path — else the deterministic stub. Arrow-batched narrow
+    transform: no shuffle, output bytes bounded at w·h per row
+    regardless of input size (the property that matters when 100 TB
+    of originals become model inputs)."""
+    if width <= 0 or height <= 0:
+        raise ValueError(f"target size must be positive, got {width}x{height}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs, oks = [], []
+            for p in pdf[payload_col]:
+                p = p if p is not None else b""
+                if not p:
+                    outs.append(b"")
+                    oks.append(False)
+                    continue
+                if _PILImage is not None:
+                    import io
+
+                    try:
+                        with _PILImage.open(io.BytesIO(p)) as im:
+                            buf = io.BytesIO()
+                            im.resize((width, height)).save(buf, format="PNG")
+                            outs.append(buf.getvalue())
+                            oks.append(True)
+                            continue
+                    except Exception:
+                        outs.append(b"")
+                        oks.append(False)
+                        continue
+                outs.append(_resize_stub(p, width, height))
+                oks.append(True)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": outs,
+                    "width": width,
+                    "height": height,
+                    "resize_ok": oks,
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+AUDIO_META_SCHEMA = (
+    "doc_id bigint, format string, n_bytes int, sample_rate int, "
+    "n_channels int, duration_s double, features array<float>, "
+    "decode_ok boolean"
+)
+
+
+def parse_wav_header(payload: bytes) -> tuple[int, int, float] | None:
+    """REAL (not stubbed) RIFF/WAVE header parse — pure byte math, no
+    codec library: returns (sample_rate, n_channels, duration_s) or
+    None if the payload is not a canonical PCM WAV."""
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    fmt = None
+    data_len = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if cid == b"fmt " and size >= 16:
+            body = payload[pos + 8 : pos + 8 + 16]
+            n_channels = int.from_bytes(body[2:4], "little")
+            sample_rate = int.from_bytes(body[4:8], "little")
+            byte_rate = int.from_bytes(body[8:12], "little")
+            fmt = (sample_rate, n_channels, byte_rate)
+        elif cid == b"data":
+            data_len = size
+        pos += 8 + size + (size % 2)
+    if fmt is None or data_len is None or fmt[2] == 0:
+        return None
+    return fmt[0], fmt[1], data_len / fmt[2]
+
+
+def _audio_features_stub(payload: bytes, n: int = 16) -> list[float]:
+    """Deterministic fake MFCC-ish vector: REAL DSP NOT IMPLEMENTED in
+    this container (no librosa/scipy); a sha256-keyed unit-scale vector
+    keeps downstream ANN/dedup over audio features testable."""
+    h = hashlib.sha256(payload).digest()
+    while len(h) < 2 * n:
+        h += hashlib.sha256(h).digest()
+    return [
+        round((int.from_bytes(h[2 * i : 2 * i + 2], "big") / 65535.0) * 2 - 1, 6)
+        for i in range(n)
+    ]
+
+
+def extract_audio_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    n_features: int = 16,
+) -> DataFrame:
+    """Audio feature-extract pass: the RIFF/WAV header fields
+    (sample rate, channels, duration) are parsed FOR REAL from the
+    bytes; the spectral feature vector is the deterministic stub.
+    Arrow-batched narrow transform; output rows carry a fixed-length
+    ``array<float>`` ready for the ANN/near-dup operators."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": pdf[id_col],
+                "format": [],
+                "n_bytes": [],
+                "sample_rate": [],
+                "n_channels": [],
+                "duration_s": [],
+                "features": [],
+                "decode_ok": [],
+            }
+            for p in pdf[payload_col]:
+                p = p if p is not None else b""
+                rows["format"].append(sniff_format(p))
+                rows["n_bytes"].append(len(p))
+                hdr = parse_wav_header(p)
+                if hdr:
+                    rows["sample_rate"].append(hdr[0])
+                    rows["n_channels"].append(hdr[1])
+                    rows["duration_s"].append(round(hdr[2], 6))
+                else:
+                    rows["sample_rate"].append(0)
+                    rows["n_channels"].append(0)
+                    rows["duration_s"].append(0.0)
+                rows["features"].append(
+                    _audio_features_stub(p, n_features) if p else []
+                )
+                rows["decode_ok"].append(bool(p))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=AUDIO_META_SCHEMA)
