@@ -88,6 +88,15 @@ def train_bpe(
             "has the memory)"
         )
     hist = [(r["word"], int(r["cnt"])) for r in hist_df.collect()]
+    return train_bpe_from_histogram(hist, n_merges)
+
+
+def train_bpe_from_histogram(
+    hist: list[tuple[str, int]], n_merges: int
+) -> dict:
+    """The driver-side merge loop over a (word, count) histogram —
+    split out so the incremental bookkeeping can be property-tested
+    against a naive recount-everything reference without a cluster."""
     # symbol sequences per distinct word, weighted by occurrence count
     words = [tuple(w) + (EOW,) for w, _ in hist]
     counts = [c for _, c in hist]

@@ -147,3 +147,68 @@ def test_encode_over_documents_table(spark):
     ).collect()[0]["w"]
     char_level = chars + n_words  # one EOW per word
     assert agg["toks"] < char_level
+
+
+def test_trainer_matches_naive_reference_hypothesis():
+    """Property: the incremental pair bookkeeping + lazy heap equals a
+    recount-everything reference trainer on arbitrary histograms (the
+    accounting class where subtle BPE bugs live). Pure python — no
+    Spark in the loop."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_table_store_spark.datapipe.bpe import (
+        train_bpe_from_histogram,
+    )
+
+    def naive(hist, n_merges):
+        words = {tuple(w) + (EOW,): c for w, c in hist}
+        # collapse duplicate words by summing counts, as a groupBy would
+        agg: dict = {}
+        for w, c in hist:
+            k = tuple(w) + (EOW,)
+            agg[k] = agg.get(k, 0) + c
+        words = agg
+        merges = []
+        for _ in range(n_merges):
+            pc: dict = {}
+            for syms, c in words.items():
+                for p in zip(syms, syms[1:]):
+                    pc[p] = pc.get(p, 0) + c
+            if not pc:
+                break
+            best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append(best)
+            out = {}
+            for syms, c in words.items():
+                ns, j = [], 0
+                while j < len(syms):
+                    if (
+                        j + 1 < len(syms)
+                        and syms[j] == best[0]
+                        and syms[j + 1] == best[1]
+                    ):
+                        ns.append(best[0] + best[1])
+                        j += 2
+                    else:
+                        ns.append(syms[j])
+                        j += 1
+                out[tuple(ns)] = out.get(tuple(ns), 0) + c
+            words = out
+        return merges
+
+    word_st = st.text(alphabet="abc", min_size=1, max_size=8)
+    hist_st = st.lists(
+        st.tuples(word_st, st.integers(min_value=1, max_value=9)),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+
+    @settings(max_examples=120, deadline=None)
+    @given(hist_st, st.integers(min_value=0, max_value=20))
+    def check(hist, n_merges):
+        got = train_bpe_from_histogram(hist, n_merges)["merges"]
+        assert got == naive(hist, n_merges)
+
+    check()
