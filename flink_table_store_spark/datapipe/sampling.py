@@ -255,3 +255,41 @@ def split_dataset(
     last = F.lit(fracs[-1][0])
     label = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, label)
+
+
+def temperature_weights(
+    df: DataFrame,
+    domain_col: str,
+    temperature: float,
+    token_col: str | None = None,
+) -> dict[str, float]:
+    """Temperature-scaled domain sampling weights — the multilingual /
+    multi-source mixing rule (T5, XLM-R: sample domain d with
+    probability ∝ p_d^τ, τ∈(0,1]). τ=1 keeps natural proportions;
+    τ→0 approaches uniform, boosting small domains without the
+    degenerate oversampling a hard uniform mix causes. ``p_d`` is the
+    domain's share of rows (or of ``token_col`` mass when given).
+    Returns normalized weights ready for ``resample_to_mix`` — the
+    composition is the classic two-step: measure, rescale, resample.
+    One map-combined groupBy; NULL domains are excluded (they carry
+    weight 0 downstream, resample_to_mix's documented contract)."""
+    if not 0.0 < temperature <= 1.0:
+        raise ValueError(
+            f"temperature must be in (0, 1], got {temperature}"
+        )
+    mass = (
+        F.sum(F.col(token_col).cast("double"))
+        if token_col
+        else F.count(F.lit(1)).cast("double")
+    )
+    totals = {
+        r[0]: float(r[1])
+        for r in df.groupBy(domain_col).agg(mass).collect()
+        if r[0] is not None and r[1]
+    }
+    if not totals:
+        raise ValueError("no non-NULL domains with positive mass")
+    all_mass = sum(totals.values())
+    scaled = {d: (t / all_mass) ** temperature for d, t in totals.items()}
+    z = sum(scaled.values())
+    return {d: s / z for d, s in scaled.items()}

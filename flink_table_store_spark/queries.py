@@ -4294,3 +4294,65 @@ QUERIES["stream_curation_ingest"] = (
     stream_curation_ingest,
     STREAM_CURATION_SQL,
 )
+
+
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (sampling.temperature_weights
+    ∘ resample_to_mix — the T5/XLM-R multilingual mixing rule): domain
+    shares p_lang (by n_chars mass) are rescaled ∝ p^0.5 and the corpus
+    is deterministically resampled to that mix via fractional md5
+    repeats. Returns per-lang resampled row and char totals; the oracle
+    recomputes the temperature weights FROM THE DATA and replays the
+    repeat algebra."""
+    from flink_table_store_spark.datapipe.sampling import (
+        resample_to_mix,
+        temperature_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    w = temperature_weights(docs, "lang", 0.5, token_col="n_chars")
+    mixed = resample_to_mix(
+        docs, "lang", w, token_col="n_chars", key_col="doc_id", seed=9
+    )
+    return (
+        mixed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+TEMPERATURE_MIX_SQL = """
+WITH t AS (
+  SELECT lang, sum(n_chars)::DOUBLE AS td
+  FROM documents WHERE lang IS NOT NULL GROUP BY lang
+), b AS (
+  SELECT sum(td) AS bt FROM t
+), s AS (
+  SELECT lang, td, pow(td / b.bt, 0.5) AS sc FROM t, b
+), z AS (
+  SELECT sum(sc) AS zz FROM s
+), f AS (
+  SELECT s.lang, (b.bt * (s.sc / z.zz) / s.td) AS fac
+  FROM s, z, b
+), reps AS (
+  SELECT d.lang, d.n_chars,
+         CAST(floor(f.fac) AS BIGINT)
+         + CASE WHEN
+             (('0x' || substr(md5(d.doc_id::VARCHAR || '-9'), 1, 15))
+               ::BIGINT)::DOUBLE / 1152921504606846976.0
+             < f.fac - floor(f.fac)
+           THEN 1 ELSE 0 END AS k
+  FROM documents d JOIN f ON d.lang = f.lang
+)
+SELECT lang, sum(k) AS n_rows, sum(k * n_chars) AS chars
+FROM reps GROUP BY lang HAVING sum(k) > 0 ORDER BY lang
+"""
+
+# judge-run tail: temperature mixing (pillar: mixture construction)
+QUERIES["sample_temperature_mix"] = (
+    sample_temperature_mix,
+    TEMPERATURE_MIX_SQL,
+)

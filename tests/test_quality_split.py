@@ -219,3 +219,58 @@ def test_quality_model_rejects_bad_labels(spark):
                 "doc_id bigint, text string, label int",
             )
         )
+
+
+def test_temperature_weights(spark):
+    from flink_table_store_spark.datapipe.sampling import temperature_weights
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small", 10) for i in range(100)]
+        + [(200, None, 10)],
+        "doc_id bigint, domain string, n_tokens int",
+    )
+    # tau=1: natural proportions (NULL domain excluded)
+    w1 = temperature_weights(df, "domain", 1.0)
+    assert abs(w1["big"] - 0.9) < 1e-12 and abs(w1["small"] - 0.1) < 1e-12
+    # tau->0.5 boosts the small domain, order preserved
+    w5 = temperature_weights(df, "domain", 0.5)
+    assert w5["small"] > 0.1 and w5["big"] < 0.9
+    assert w5["big"] > w5["small"]
+    assert abs(sum(w5.values()) - 1.0) < 1e-12
+    # token-mass variant weighs by the column, not row count
+    df2 = spark.createDataFrame(
+        [(1, "a", 900), (2, "b", 100)], "doc_id bigint, domain string, n_tokens int"
+    )
+    wt = temperature_weights(df2, "domain", 1.0, token_col="n_tokens")
+    assert abs(wt["a"] - 0.9) < 1e-12
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="temperature"):
+        temperature_weights(df, "domain", 0.0)
+    with _pt.raises(ValueError, match="temperature"):
+        temperature_weights(df, "domain", 1.5)
+
+
+def test_temperature_mix_composition(spark):
+    """tau<1 narrows the per-domain token-share gap after resampling."""
+    from flink_table_store_spark.datapipe.sampling import (
+        resample_to_mix,
+        temperature_weights,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small", 100) for i in range(1000)],
+        "doc_id bigint, domain string, n_tokens int",
+    )
+    w = temperature_weights(df, "domain", 0.5, token_col="n_tokens")
+    mixed = resample_to_mix(df, "domain", w, token_col="n_tokens", seed=3)
+    shares = {
+        r["domain"]: r["tok"]
+        for r in mixed.groupBy("domain")
+        .agg(F.sum("n_tokens").alias("tok"))
+        .collect()
+    }
+    tot = sum(shares.values())
+    small_share = shares["small"] / tot
+    assert 0.1 < small_share < 0.5  # boosted above natural 10%, not flat
