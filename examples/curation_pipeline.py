@@ -1,0 +1,121 @@
+"""End-to-end training-data curation with flink_table_store_spark.
+
+Runnable walkthrough of the full pillar over the sf0.001 testdata:
+
+    raw docs ─▶ exact dedup ─▶ quality gates (heuristic + model)
+             ─▶ decontaminate vs an eval set ─▶ temperature mix
+             ─▶ leakage-safe split ─▶ pack train split ─▶ shard export
+
+Every step is deterministic: rerunning this script byte-reproduces the
+export manifest. Usage:
+
+    python examples/curation_pipeline.py [sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from flink_table_store_spark.session import get_spark
+from flink_table_store_spark.datapipe.dedup import exact_dedup
+from flink_table_store_spark.datapipe.export import export_training_shards
+from flink_table_store_spark.datapipe.packing import pack_sequences, packing_stats
+from flink_table_store_spark.datapipe.quality_model import (
+    quality_filter,
+    score_quality_model,
+    train_quality_model,
+)
+from flink_table_store_spark.datapipe.sampling import (
+    resample_to_mix,
+    split_dataset,
+    temperature_weights,
+)
+from flink_table_store_spark.datapipe.text import (
+    gopher_metrics,
+    token_count,
+    word_ngrams,
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/ftss_curation_demo"
+    spark = get_spark("curation-pipeline")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n0 = docs.count()
+
+    # 1. exact dedup: one survivor (min doc_id) per normalized content
+    docs = exact_dedup(docs)
+
+    # 2a. heuristic gates: Gopher word-level rules
+    docs = gopher_metrics(docs).where(F.col("gopher_keep")).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+    # 2b. model gate: NB classifier trained on a labeled slice
+    labeled = docs.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "text",
+        F.coalesce((F.col("lang") == "en").cast("int"), F.lit(0)).alias("label"),
+    )
+    model = train_quality_model(labeled, n_buckets=65536, seed=11)
+    # DCLM-style top-slice keep: threshold at the 20th score percentile
+    scored = score_quality_model(docs, model)
+    thr = scored.approxQuantile("quality_score", [0.2], 0.001)[0]
+    docs = quality_filter(docs, model, threshold=thr)
+
+    # 3. decontaminate: drop docs sharing word 7-grams with a held-out
+    # eval set (probes broadcast; the corpus scan stays narrow)
+    eval_set = docs.orderBy("doc_id").limit(5).select("doc_id", "text")
+    probes = eval_set.select(
+        F.explode(word_ngrams("text", 7)).alias("probe")
+    ).distinct()
+    contaminated = docs.join(
+        F.broadcast(probes), F.expr("contains(text, probe)"), "semi"
+    )
+    docs = docs.join(contaminated.select("doc_id"), "doc_id", "anti")
+
+    # 4. temperature mixing: boost small languages (tau = 0.7)
+    w = temperature_weights(docs, "lang", 0.7, token_col="n_chars")
+    docs = resample_to_mix(docs, "lang", w, token_col="n_chars", seed=5)
+    docs = docs.withColumn(
+        "doc_id", F.col("doc_id") * 1000 + F.col("copy")
+    ).drop("copy")  # repeated copies get distinct ids downstream
+
+    # 5. leakage-safe split: whole sources stay on one side
+    docs = docs.withColumn("n_tokens", token_count("text"))
+    docs = split_dataset(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05},
+        group_col="source", seed=7,
+    )
+
+    # 6. pack the train split into 1024-token training rows
+    train = docs.where(F.col("split") == "train")
+    packed = pack_sequences(
+        train, seq_len=1024, token_col="n_tokens", key_col="doc_id", seed=42
+    )
+    stats = packing_stats(packed, 1024).collect()[0]
+
+    # 7. export as deterministic shards with an auditable manifest
+    manifest = export_training_shards(
+        train.select("doc_id", "text", "lang", "n_tokens"),
+        os.path.join(out, "train_shards"),
+        n_shards=8,
+        seed=1,
+    )
+
+    kept = docs.groupBy("split").count().collect()
+    print(f"raw docs:        {n0}")
+    for r in sorted(kept):
+        print(f"  {r['split']:5s} docs:    {r['count']}")
+    print(f"train packs:     {stats['n_packs']} (fill {stats['avg_fill']})")
+    print(f"export shards:   {manifest['n_shards']}, rows "
+          f"{sum(s['n_rows'] for s in manifest['shards'].values())}")
+
+
+if __name__ == "__main__":
+    main()
