@@ -320,3 +320,50 @@ def analyze(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_pred", lang_id(text_col))
         .withColumn("fp", fingerprint(text_col))
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_norm",
+    form: str = "NFKC",
+    strip_accents: bool = False,
+    lowercase: bool = False,
+) -> DataFrame:
+    """Unicode normalization (the CCNet/Dolma pre-dedup step): NFKC by
+    default folds width variants, ligatures and compatibility forms so
+    visually-identical strings fingerprint identically; optional accent
+    stripping (NFKD → drop combining marks) and lowercasing. REAL
+    implementation — stdlib ``unicodedata`` in an Arrow-batched
+    ``mapInPandas``; no external model or lib. Narrow transform, no
+    shuffle. NULL stays NULL."""
+    import unicodedata
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown unicode form {form!r}")
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.StringType())]
+    )
+
+    def _norm(s):
+        if s is None:
+            return None
+        s = unicodedata.normalize(form, s)
+        if strip_accents:
+            s = "".join(
+                c
+                for c in unicodedata.normalize("NFKD", s)
+                if not unicodedata.combining(c)
+            )
+        return s.lower() if lowercase else s
+
+    def run(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [_norm(s) for s in pdf[text_col]]
+            yield pdf
+
+    return df.mapInPandas(run, schema=schema)

@@ -274,3 +274,39 @@ def test_temperature_mix_composition(spark):
     tot = sum(shares.values())
     small_share = shares["small"] / tot
     assert 0.1 < small_share < 0.5  # boosted above natural 10%, not flat
+
+
+def test_normalize_text_unicode(spark):
+    from flink_table_store_spark.datapipe.text import normalize_text
+
+    rows = [
+        (1, "ﬁnance ＦＵＬＬＷＩＤＴＨ ①"),   # ligature, fullwidth, circled
+        (2, "café Café"),
+        (3, None),
+        (4, "plain ascii"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r["text_norm"]
+        for r in normalize_text(df, form="NFKC").collect()
+    }
+    assert out[1] == "finance FULLWIDTH 1"
+    assert out[3] is None and out[4] == "plain ascii"
+    stripped = {
+        r["doc_id"]: r["text_norm"]
+        for r in normalize_text(
+            df, strip_accents=True, lowercase=True
+        ).collect()
+    }
+    assert stripped[2] == "cafe cafe"
+    # DuckDB parity on NFC — the cross-engine contract
+    import duckdb
+    import unicodedata
+
+    s = "école ﬁn"  # decomposed accent + ligature
+    nfc_duck = duckdb.sql("SELECT nfc_normalize(?)", params=[s]).fetchone()[0]
+    assert unicodedata.normalize("NFC", s) == nfc_duck
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown unicode form"):
+        normalize_text(df, form="XXX")
