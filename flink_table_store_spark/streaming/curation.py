@@ -45,12 +45,21 @@ def curation_batch_writer(
     max_tokens: int | None = None,
     quality_model: dict | None = None,
     quality_threshold: float = 0.5,
+    minhash_index=None,
+    jaccard_threshold: float = 0.8,
 ) -> Callable[[DataFrame, int], None]:
     """A ``foreachBatch`` function curating each micro-batch into
     ``corpus_table`` (schema: the batch's columns + ``n_tokens``),
     deduplicating against — and maintaining — ``index_table`` (created
-    via incdedup.create_exact_index)."""
+    via incdedup.create_exact_index). With ``minhash_index`` (created
+    via incdedup.create_minhash_index) NEAR-duplicates are also dropped
+    against the persistent LSH index — existing docs win, candidates
+    verify with exact shingle Jaccard, and only the candidate corpus
+    texts are ever read back (an id semi-join, never a corpus scan).
+    The near-dup index write rides the same corpus-first ordering and
+    is both identifier-checked AND PK-idempotent."""
     from flink_table_store_spark.datapipe.incdedup import (
+        dedup_against_index,
         dedup_exact_against_index,
     )
     from flink_table_store_spark.datapipe.quality_model import quality_filter
@@ -62,6 +71,15 @@ def curation_batch_writer(
             spark, index_table, df,
             text_col=text_col, id_col=id_col, update_index=False,
         )
+        if minhash_index is not None:
+            corpus_text = corpus_table.refresh().to_df(spark).select(
+                id_col, text_col
+            )
+            kept = dedup_against_index(
+                spark, minhash_index, corpus_text, kept,
+                text_col=text_col, id_col=id_col,
+                jaccard_threshold=jaccard_threshold, update_index=False,
+            )
         toks = token_count(text_col)
         kept = kept.where(toks >= min_tokens)
         if max_tokens is not None:
@@ -89,6 +107,19 @@ def curation_batch_writer(
             ),
             commit_identifier=f"{sink_id}:idx:{batch_id}",
         )
+        if minhash_index is not None:
+            from flink_table_store_spark.datapipe.dedup import (
+                banded_signatures,
+            )
+
+            sigs = banded_signatures(kept, text_col, id_col).select(
+                F.col("__band").cast("int").alias("band"),
+                F.col("__bh").alias("band_hash"),
+                F.col("__id").cast("bigint").alias("doc_id"),
+            )
+            minhash_index.refresh().write(
+                sigs, commit_identifier=f"{sink_id}:mh:{batch_id}"
+            )
 
     return write_batch
 

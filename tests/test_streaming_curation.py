@@ -166,3 +166,55 @@ def test_quality_model_gate_in_stream(spark, warehouse):
     )
     ids = [r["doc_id"] for r in corpus.refresh().to_df(spark).collect()]
     assert ids == [1]
+
+
+def test_near_dup_curation_across_batches(spark, warehouse):
+    """minhash_index option: cross-batch NEAR-duplicates (high shingle
+    overlap, different bytes) are dropped; the LSH index rides the same
+    exactly-once ordering."""
+    from flink_table_store_spark.datapipe.incdedup import (
+        create_minhash_index,
+    )
+
+    corpus, index = _mk_tables(warehouse)
+    mh = create_minhash_index(warehouse, "db.corpus_mh")
+    fn = curation_batch_writer(
+        corpus, index, "nd", min_tokens=2, minhash_index=mh,
+        jaccard_threshold=0.5,
+    )
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    fn(
+        spark.createDataFrame(
+            [(1, base), (2, "completely different words entirely here")],
+            "doc_id bigint, text string",
+        ),
+        0,
+    )
+    assert corpus.refresh().to_df(spark).count() == 2
+    # batch 1: a near-dup of doc 1 (one word changed -> not exact-equal,
+    # high Jaccard), one genuinely new doc
+    near = base.replace("lazy", "sleepy")
+    fn(
+        spark.createDataFrame(
+            [(10, near), (11, "fresh content nothing shared with others")],
+            "doc_id bigint, text string",
+        ),
+        1,
+    )
+    ids = sorted(r["doc_id"] for r in corpus.refresh().to_df(spark).collect())
+    assert ids == [1, 2, 11]
+    # replay of batch 1 changes nothing (all three sinks identifier-checked)
+    fn(
+        spark.createDataFrame(
+            [(10, near), (11, "fresh content nothing shared with others")],
+            "doc_id bigint, text string",
+        ),
+        1,
+    )
+    assert sorted(
+        r["doc_id"] for r in corpus.refresh().to_df(spark).collect()
+    ) == [1, 2, 11]
+    # the LSH index holds signatures only for survivors
+    assert (
+        mh.refresh().to_df(spark).select("doc_id").distinct().count() == 3
+    )
