@@ -26,7 +26,6 @@ from flink_table_store_spark.datapipe.dedup import exact_dedup
 from flink_table_store_spark.datapipe.export import export_training_shards
 from flink_table_store_spark.datapipe.packing import pack_sequences, packing_stats
 from flink_table_store_spark.datapipe.quality_model import (
-    quality_filter,
     score_quality_model,
     train_quality_model,
 )
@@ -64,9 +63,14 @@ def main() -> None:
     )
     model = train_quality_model(labeled, n_buckets=65536, seed=11)
     # DCLM-style top-slice keep: threshold at the 20th score percentile
+    # (one scoring pass: filter the scored frame directly rather than
+    # re-scoring through quality_filter)
     scored = score_quality_model(docs, model)
     thr = scored.approxQuantile("quality_score", [0.2], 0.001)[0]
-    docs = quality_filter(docs, model, threshold=thr)
+    keep_ids = scored.where(
+        F.col("quality_score") >= thr
+    ).select("doc_id")
+    docs = docs.join(keep_ids, "doc_id", "semi")
 
     # 3. decontaminate: drop docs sharing word 7-grams with a held-out
     # eval set (probes broadcast; the corpus scan stays narrow)

@@ -60,6 +60,19 @@ def shard_columns(key_col: str, n_shards: int, seed: int = 42) -> list:
     return [u.alias("__u"), shard.alias("__shard")]
 
 
+def stage_for_export(
+    df: DataFrame, n_shards: int, key_col: str = "doc_id", seed: int = 42
+) -> DataFrame:
+    """The exact frame the writer persists: shard columns added, ONE
+    hash repartition on the shard id, partition-LOCAL sort — no global
+    sort anywhere (plan-shape-tested; exported so the test audits the
+    real plan, not a re-implementation)."""
+    staged = df.select(*df.columns, *shard_columns(key_col, n_shards, seed))
+    return staged.repartition(n_shards, "__shard").sortWithinPartitions(
+        "__shard", "__u", key_col
+    )
+
+
 def _shard_stats(staged: DataFrame, key_col: str | None = None) -> DataFrame:
     agg = [
         F.count(F.lit(1)).alias("n_rows"),
@@ -96,11 +109,9 @@ def export_training_shards(
     export's ``__u``/``__shard`` columns are dropped on entry, so
     re-exporting a read-back export (new epoch / re-shard) just works."""
     df = df.drop("__u", "__shard")
-    staged = df.select(*df.columns, *shard_columns(key_col, n_shards, seed))
+    staged = stage_for_export(df, n_shards, key_col, seed)
     (
-        staged.repartition(n_shards, "__shard")
-        .sortWithinPartitions("__shard", "__u", key_col)
-        .write.partitionBy("__shard")
+        staged.write.partitionBy("__shard")
         .mode("overwrite")
         .parquet(path)
     )

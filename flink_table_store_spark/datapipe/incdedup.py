@@ -99,6 +99,7 @@ def dedup_against_index(
     shingle_k: int = 3,
     jaccard_threshold: float = 0.8,
     update_index: bool = True,
+    return_signatures: bool = False,
 ) -> DataFrame:
     """Dedup ``new_docs`` against the indexed corpus AND within itself;
     returns the kept rows of ``new_docs`` (schema unchanged). The LSH
@@ -107,6 +108,12 @@ def dedup_against_index(
     ``corpus_text`` supplies (id_col, text_col) for candidate
     verification only — it is touched exclusively through an id join on
     the candidate set, never scanned for hashing.
+
+    ``return_signatures=True`` returns ``(kept, banded)`` — the
+    checkpointed banded signatures of the WHOLE batch — so a caller
+    that defers the index write (e.g. the streaming curation loop,
+    which must commit the corpus first) can reuse them instead of
+    paying a second MinHash pass over the batch text.
     """
     banded = banded_signatures(
         new_docs, text_col, id_col, num_hashes, bands, shingle_k
@@ -160,6 +167,8 @@ def dedup_against_index(
             F.col("__id").cast("bigint").alias("doc_id"),
         )
         index.refresh().write(kept_rows)
+    if return_signatures:
+        return kept, banded
     return kept
 
 

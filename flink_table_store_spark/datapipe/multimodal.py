@@ -171,10 +171,13 @@ def resize_images(
 ) -> DataFrame:
     """Resize pass over a binary image column (the thumbnail/vision-
     encoder-input step). Uses PIL when importable — the production
-    path — else the deterministic stub. Arrow-batched narrow
-    transform: no shuffle, output bytes bounded at w·h per row
-    regardless of input size (the property that matters when 100 TB
-    of originals become model inputs)."""
+    path, emitting PNG-encoded output whose PIXEL count is bounded at
+    w·h (encoded bytes vary with content/channels: ~1-4 bytes/px) —
+    else the deterministic stub (exactly w·h bytes, fake grayscale).
+    Either way the output size is bounded by the TARGET dimensions,
+    never the input's — the property that matters when 100 TB of
+    originals become model inputs. Arrow-batched narrow transform,
+    no shuffle."""
     if width <= 0 or height <= 0:
         raise ValueError(f"target size must be positive, got {width}x{height}")
 

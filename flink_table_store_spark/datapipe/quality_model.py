@@ -102,17 +102,25 @@ def train_quality_model(
         F.max(lab).alias("hi"),
         F.count(F.lit(1)).alias("n_all"),
         F.count(lab).alias("n_lab"),
+        # raw-vs-cast drift: a fractional label (0.9) truncates to 0
+        # under the bigint cast and would otherwise pass the 0/1 check
+        # while silently training on corrupted classes
+        F.max(
+            F.abs(F.col(label_col).cast("double") - lab.cast("double"))
+        ).alias("frac"),
     ).collect()[0]
     if (
         tot["lo"] is None
         or tot["lo"] < 0
         or tot["hi"] > 1
         or tot["n_lab"] != tot["n_all"]
+        or (tot["frac"] or 0.0) != 0.0
     ):
         raise ValueError(
-            "labels must be 0/1 and NULL-free, got range "
+            "labels must be integral 0/1 and NULL-free, got range "
             f"[{tot['lo']}, {tot['hi']}] with "
-            f"{tot['n_all'] - tot['n_lab']} NULL(s)"
+            f"{tot['n_all'] - tot['n_lab']} NULL(s) and max fractional "
+            f"part {tot['frac']}"
         )
     p_docs, n_docs = int(tot["p_docs"]), int(tot["n_docs"])
     if p_docs == 0 or n_docs == 0:

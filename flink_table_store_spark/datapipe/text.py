@@ -341,6 +341,8 @@ def normalize_text(
 
     if form not in ("NFC", "NFKC", "NFD", "NFKD"):
         raise ValueError(f"unknown unicode form {form!r}")
+    if out_col in df.columns:
+        raise ValueError(f"column {out_col!r} already exists")
 
     from pyspark.sql import types as T
 

@@ -4309,7 +4309,14 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         temperature_weights,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    # NULL langs are excluded BEFORE resampling so the budget matches
+    # the oracle's non-NULL sum (resample_to_mix's budget would
+    # otherwise include NULL-domain mass it then drops)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .where(F.col("lang").isNotNull())
+    )
     w = temperature_weights(docs, "lang", 0.5, token_col="n_chars")
     mixed = resample_to_mix(
         docs, "lang", w, token_col="n_chars", key_col="doc_id", seed=9

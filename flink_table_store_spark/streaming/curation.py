@@ -12,14 +12,17 @@ into the engine-managed corpus table:
              ─▶ exactly-once append to the corpus table
 
 Exactly-once across failures is the composition's load-bearing wall,
-and ORDER is what holds it up: the corpus commit (identifier-checked,
-so replays are no-ops) happens BEFORE the index update. A crash between
-the two replays the batch against an index that does not yet contain
-it — same survivors, corpus write skipped by its identifier, index
-write retried; the index's first-row merge engine makes that retry a
-no-op. The reverse order would lose every survivor of a batch that
-crashed after indexing (replay would see its own fingerprints and drop
-everything).
+and ORDER is what holds it up: corpus commit first (identifier-checked,
+so replays are no-ops), then the MinHash signatures (when near-dup is
+on), then the exact-fingerprint index LAST. The exact index is the one
+that makes a replayed batch's survivor set empty, so it must land only
+after every other sink is durable: a crash anywhere earlier replays
+the batch against an exact index that does not yet contain it — same
+survivors recomputed, already-committed sinks skipped by their
+identifiers, the rest retried (first-row/PK merge engines make any
+overlap a no-op). Writing the exact index any earlier would strand a
+crash-window batch in the corpus with no LSH signatures, silently
+blinding future near-dup detection against those documents.
 
 Scale: per batch O(|batch|) fingerprinting + one anti-join against the
 bucketed index + a narrow filter — nothing re-reads the corpus; the
@@ -67,39 +70,67 @@ def curation_batch_writer(
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
         spark = df.sparkSession
-        kept = dedup_exact_against_index(
-            spark, index_table, df,
-            text_col=text_col, id_col=id_col, update_index=False,
-        )
-        if minhash_index is not None:
-            corpus_text = corpus_table.refresh().to_df(spark).select(
-                id_col, text_col
-            )
-            kept = dedup_against_index(
-                spark, minhash_index, corpus_text, kept,
-                text_col=text_col, id_col=id_col,
-                jaccard_threshold=jaccard_threshold, update_index=False,
-            )
+        # gates FIRST, dedup second: filters commute with exact dedup
+        # (identical text, identical gate outcome) but NOT with
+        # near-dup dedup — deduping first would let a low-quality doc
+        # suppress its batch-mate and then be filtered itself, losing
+        # both and making the outcome depend on batch boundaries
         toks = token_count(text_col)
-        kept = kept.where(toks >= min_tokens)
+        kept = df.where(toks >= min_tokens)
         if max_tokens is not None:
             kept = kept.where(toks <= max_tokens)
         if quality_model is not None:
             kept = quality_filter(
                 kept, quality_model, quality_threshold, text_col, id_col
             )
+        kept = dedup_exact_against_index(
+            spark, index_table, kept,
+            text_col=text_col, id_col=id_col, update_index=False,
+        )
+        sigs = None
+        if minhash_index is not None:
+            corpus_text = corpus_table.refresh().to_df(spark).select(
+                id_col, text_col
+            )
+            kept, banded = dedup_against_index(
+                spark, minhash_index, corpus_text, kept,
+                text_col=text_col, id_col=id_col,
+                jaccard_threshold=jaccard_threshold, update_index=False,
+                return_signatures=True,
+            )
         kept = kept.withColumn("n_tokens", token_count(text_col))
         # one deterministic pass per batch: the dedup probe, the corpus
-        # write and the index write must all see the SAME survivor set
+        # write and the index writes must all see the SAME survivor set
         # even if the lineage re-executes mid-batch
         try:
             kept = kept.localCheckpoint(eager=True)
         except Exception:
             pass
-        # corpus FIRST (identifier-checked -> replay-safe), index second
+        if minhash_index is not None:
+            # reuse the probe's checkpointed signatures (no second
+            # MinHash pass): survivors' rows only
+            sigs = banded.join(
+                kept.select(F.col(id_col).alias("__id")), "__id", "left_semi"
+            ).select(
+                F.col("__band").cast("int").alias("band"),
+                F.col("__bh").alias("band_hash"),
+                F.col("__id").cast("bigint").alias("doc_id"),
+            )
+        # Commit order is the exactly-once wall: corpus FIRST
+        # (identifier-checked -> replays are no-ops), then the MINHASH
+        # signatures, then the exact-fp index LAST. The exact index is
+        # what makes a replayed batch's survivor set empty — so every
+        # earlier commit must already be durable by the time it lands;
+        # writing it before the mh index would strand a crash-window
+        # batch in the corpus with no LSH signatures, silently blinding
+        # all future near-dup detection against those docs.
         corpus_table.refresh().write(
             kept, commit_identifier=f"{sink_id}:{batch_id}"
         )
+        if sigs is not None:
+            minhash_index.refresh().write(
+                sigs, commit_identifier=f"{sink_id}:mh:{batch_id}"
+            )
         index_table.refresh().write(
             kept.select(
                 fingerprint(text_col).alias("fp"),
@@ -107,19 +138,6 @@ def curation_batch_writer(
             ),
             commit_identifier=f"{sink_id}:idx:{batch_id}",
         )
-        if minhash_index is not None:
-            from flink_table_store_spark.datapipe.dedup import (
-                banded_signatures,
-            )
-
-            sigs = banded_signatures(kept, text_col, id_col).select(
-                F.col("__band").cast("int").alias("band"),
-                F.col("__bh").alias("band_hash"),
-                F.col("__id").cast("bigint").alias("doc_id"),
-            )
-            minhash_index.refresh().write(
-                sigs, commit_identifier=f"{sink_id}:mh:{batch_id}"
-            )
 
     return write_batch
 

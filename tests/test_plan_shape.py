@@ -348,13 +348,11 @@ def test_split_dataset_is_shuffle_free(spark):
 def test_export_shards_is_one_shuffle(spark, tmp_path):
     """export_training_shards claims ONE shuffle total (repartition on
     the shard id) + per-shard sort — no global sort anywhere."""
-    from flink_table_store_spark.datapipe.export import shard_columns
+    from flink_table_store_spark.datapipe.export import stage_for_export
 
     docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
-    staged = docs.select(
-        *docs.columns, *shard_columns("doc_id", 8, 42)
-    ).repartition(8, "__shard").sortWithinPartitions("__shard", "__u", "doc_id")
-    plan = _plan(staged, mode="simple")
+    # the REAL staged frame the writer persists, not a re-implementation
+    plan = _plan(stage_for_export(docs, 8), mode="simple")
     assert plan.count("Exchange") == 1
     # the sort is partition-local (no range partitioner = no global sort)
     assert "rangepartitioning" not in plan.lower()

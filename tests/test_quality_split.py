@@ -212,7 +212,7 @@ def test_quality_model_rejects_bad_labels(spark):
                 "doc_id bigint, text string, label int",
             )
         )
-    with pytest.raises(ValueError, match="labels must be 0/1"):
+    with pytest.raises(ValueError, match="integral 0/1"):
         train_quality_model(
             spark.createDataFrame(
                 [(1, "a b", 2), (2, "c d", 0)],
@@ -310,3 +310,24 @@ def test_normalize_text_unicode(spark):
 
     with _pt.raises(ValueError, match="unknown unicode form"):
         normalize_text(df, form="XXX")
+
+
+def test_quality_model_rejects_fractional_labels(spark):
+    from flink_table_store_spark.datapipe.quality_model import (
+        train_quality_model,
+    )
+
+    frac = spark.createDataFrame(
+        [(1, "a b", 1.0), (2, "c d", 0.9)],
+        "doc_id bigint, text string, label double",
+    )
+    with pytest.raises(ValueError, match="integral 0/1"):
+        train_quality_model(frac)
+
+
+def test_normalize_text_collision_guard(spark):
+    from flink_table_store_spark.datapipe.text import normalize_text
+
+    df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="already exists"):
+        normalize_text(df, out_col="text")

@@ -218,3 +218,99 @@ def test_near_dup_curation_across_batches(spark, warehouse):
     assert (
         mh.refresh().to_df(spark).select("doc_id").distinct().count() == 3
     )
+
+
+def test_crash_between_minhash_and_exact_index(spark, warehouse):
+    """The review-pass window: corpus + LSH signatures committed, exact
+    index write crashed. Replay must repair the exact index while every
+    survivor keeps its LSH signatures — the exact index writing LAST is
+    what prevents permanently-unindexed corpus docs."""
+    from flink_table_store_spark.datapipe.incdedup import (
+        create_minhash_index,
+    )
+
+    corpus, index = _mk_tables(warehouse)
+    mh = create_minhash_index(warehouse, "db.c_mh2")
+    fn = curation_batch_writer(
+        corpus, index, "w", min_tokens=1, minhash_index=mh,
+        jaccard_threshold=0.3,
+    )
+    base = " ".join(f"token{i} word{i} item{i}" for i in range(14))
+    batch = spark.createDataFrame(
+        [(1, base)], "doc_id bigint, text string"
+    )
+
+    class _Boom(Exception):
+        pass
+
+    real_write = index.write
+    index.write = lambda *a, **k: (_ for _ in ()).throw(_Boom())
+    try:
+        try:
+            fn(batch, 0)
+            raise AssertionError("expected the injected crash")
+        except _Boom:
+            pass
+    finally:
+        index.write = real_write
+    # corpus and mh committed, exact index empty — the crash window
+    assert corpus.refresh().to_df(spark).count() == 1
+    assert mh.refresh().to_df(spark).count() > 0
+    assert index.refresh().to_df(spark).count() == 0
+    # replay repairs the exact index without disturbing the others
+    fn(batch, 0)
+    assert corpus.refresh().to_df(spark).count() == 1
+    assert index.refresh().to_df(spark).count() == 1
+    n_sigs = mh.refresh().to_df(spark).count()
+    # and a later near-dup of the crashed batch IS still caught —
+    # the failure mode the commit order exists to prevent
+    fn(
+        spark.createDataFrame(
+            [(9, base.replace("token7", "changed7"))],
+            "doc_id bigint, text string",
+        ),
+        1,
+    )
+    assert sorted(
+        r["doc_id"] for r in corpus.refresh().to_df(spark).collect()
+    ) == [1]
+    assert mh.refresh().to_df(spark).count() == n_sigs
+
+
+def test_quality_loser_does_not_suppress_batch_mate(spark, warehouse):
+    """Gates run before near-dup dedup: a doc that will be filtered
+    out must not near-dup-suppress its batch-mate (batch boundaries
+    must not change what the corpus keeps)."""
+    from flink_table_store_spark.datapipe.incdedup import (
+        create_minhash_index,
+    )
+    from flink_table_store_spark.datapipe.quality_model import (
+        train_quality_model,
+    )
+
+    labeled = spark.createDataFrame(
+        [(i, "fine upstanding text with words", 1) for i in range(10)]
+        + [(100 + i, "zz qq xx junk junk junk", 0) for i in range(10)],
+        "doc_id bigint, text string, label int",
+    )
+    model = train_quality_model(labeled, n_buckets=512, seed=4)
+    corpus, index = _mk_tables(warehouse)
+    mh = create_minhash_index(warehouse, "db.c_mh3")
+    fn = curation_batch_writer(
+        corpus, index, "g", minhash_index=mh, jaccard_threshold=0.5,
+        quality_model=model, quality_threshold=0.5,
+    )
+    # doc 1: junk (fails gate), doc 2: near-dup of doc 1's TEXT but
+    # "fine" — contrived so both share shingles; doc 1 has smaller id.
+    # With dedup-first, doc 1 would win the near-dup race then die at
+    # the gate, losing doc 2 too. Gates-first keeps doc 2.
+    junk = "zz qq xx junk junk junk zz qq xx junk junk junk"
+    finey = "fine upstanding text with words fine upstanding text with words"
+    fn(
+        spark.createDataFrame(
+            [(1, junk), (2, finey)], "doc_id bigint, text string"
+        ),
+        0,
+    )
+    ids = [r["doc_id"] for r in corpus.refresh().to_df(spark).collect()]
+    assert ids == [2]
