@@ -212,3 +212,56 @@ def test_trainer_matches_naive_reference_hypothesis():
         assert got == naive(hist, n_merges)
 
     check()
+
+
+def test_encode_word_hypothesis_buildable_merge_lists():
+    """Property: the rank-greedy encoder equals training-order replay
+    for every BUILDABLE merge list — each merge's operands exist when
+    it is learned (chars/EOW or outputs of earlier merges), the
+    invariant real training guarantees. (For UNbuildable lists the two
+    strategies genuinely diverge — e.g. rank-1 (abb,b) only becomes
+    applicable after rank-2 (ab,b) creates 'abb', which greedy then
+    revisits but sequential replay never does — so the encoder's
+    contract is trained lists, which this strategy models.)"""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word_st = st.text(alphabet="ab", min_size=1, max_size=10)
+
+    @st.composite
+    def buildable_merges(draw):
+        symbols = ["a", "b", EOW]
+        merges = []
+        n = draw(st.integers(min_value=0, max_value=10))
+        for _ in range(n):
+            x = draw(st.sampled_from(symbols))
+            y = draw(st.sampled_from(symbols))
+            if (x, y) in merges:
+                continue
+            merges.append((x, y))
+            joined = x + y
+            if joined not in symbols:
+                symbols.append(joined)
+        return merges
+
+    def replay(word, merges):
+        syms = list(word) + [EOW]
+        for a, b in merges:
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            syms = out
+        return syms
+
+    @settings(max_examples=200, deadline=None)
+    @given(word_st, buildable_merges())
+    def check(word, merges):
+        ranks = {p: i for i, p in enumerate(merges)}
+        assert _encode_word(word, ranks) == replay(word, merges)
+
+    check()
