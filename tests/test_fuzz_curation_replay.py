@@ -97,3 +97,93 @@ def test_fuzz_curation_crash_replay(spark, warehouse):
     assert got == want
     # index holds exactly one fingerprint per surviving text
     assert index_t.refresh().to_df(spark).count() == len(want)
+
+
+def test_fuzz_three_sink_crash_replay(spark, warehouse):
+    """Same serial oracle, but with the MinHash index ENABLED and
+    crashes injected at ANY of the three sinks (corpus, mh, exact).
+    Texts are exact dups or fully-distinct word sets, so the near-dup
+    layer must be a no-op — what's exercised is the three-commit
+    ordering under every crash window."""
+    import random as _r
+
+    from flink_table_store_spark.datapipe.incdedup import (
+        create_minhash_index,
+    )
+
+    rng = _r.Random(77)
+    corpus_t = warehouse.create_table(
+        "db.fz3_corpus", "doc_id bigint, text string, n_tokens int"
+    )
+    index_t = create_exact_index(warehouse, "db.fz3_fp")
+    mh_t = create_minhash_index(warehouse, "db.fz3_mh")
+    fn = curation_batch_writer(
+        corpus_t, index_t, "fz3", min_tokens=2, minhash_index=mh_t,
+        jaccard_threshold=0.9,
+    )
+
+    class _Boom(Exception):
+        pass
+
+    reals = {
+        "corpus": corpus_t.write,
+        "mh": mh_t.write,
+        "exact": index_t.write,
+    }
+    tables = {"corpus": corpus_t, "mh": mh_t, "exact": index_t}
+
+    def _arm(which):
+        def boom(*a, **k):
+            raise _Boom()
+
+        tables[which].write = boom
+
+    def _disarm():
+        for k, t in tables.items():
+            t.write = reals[k]
+
+    # fully-distinct texts: disjoint word sets per doc id
+    def fresh_text(i):
+        return " ".join(f"w{i}x{j}" for j in range(6))
+
+    next_id = [0]
+    batches = []
+    for batch_id in range(5):
+        batch = []
+        for _ in range(rng.randint(2, 4)):
+            batch.append((next_id[0], fresh_text(next_id[0])))
+            next_id[0] += 1
+        if batches and rng.random() < 0.7:
+            src = rng.choice(rng.choice(batches))
+            batch.append((next_id[0], src[1]))  # exact dup
+            next_id[0] += 1
+        batches.append(batch)
+        df = spark.createDataFrame(batch, "doc_id bigint, text string")
+        for _attempt in range(12):
+            crash = rng.choice([None, "corpus", "mh", "exact", None])
+            if crash:
+                _arm(crash)
+            try:
+                fn(df, batch_id)
+                _disarm()
+                if crash:
+                    continue
+                break
+            except _Boom:
+                _disarm()
+                continue
+        else:
+            raise AssertionError("batch never committed")
+
+    want = _serial_oracle(batches, min_tokens=2)
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in corpus_t.refresh().to_df(spark).collect()
+    }
+    assert got == want
+    assert index_t.refresh().to_df(spark).count() == len(want)
+    # every corpus doc has LSH signatures (the crash-window invariant)
+    assert (
+        mh_t.refresh().to_df(spark).select("doc_id").distinct().count()
+        == len(want)
+    )
