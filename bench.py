@@ -918,6 +918,35 @@ def main() -> None:
             F.sum("bpe_len")
         ).collect()
 
+    # streaming curation: one micro-batch (the whole sf documents set)
+    # through gates -> exact dedup vs a persistent index -> three
+    # exactly-once commits; fresh corpus/index per replica
+    def _cur_states():
+        from flink_table_store_spark.datapipe.incdedup import (
+            create_exact_index,
+        )
+        from flink_table_store_spark.streaming.curation import (
+            curation_batch_writer,
+        )
+
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id", "text")
+        out = []
+        for i in range(3):
+            c = cat.create_table(
+                f"bench.cur_corpus{i}",
+                "doc_id bigint, text string, n_tokens int",
+                ignore_if_exists=True,
+            )
+            ix = create_exact_index(cat, f"bench.cur_fp{i}")
+            out.append((curation_batch_writer(c, ix, f"b{i}", min_tokens=2), docs))
+        return out
+
+    timed_mutating(
+        "stream_curate_batch", _cur_states(), lambda st: st[0](st[1], 0)
+    )
+
     @timed("quality_model_10x", repeat=3)
     def _qm10():
         # 10x linearity proxy: training shuffle is keyed on <=65536
