@@ -919,11 +919,13 @@ def main() -> None:
         ).collect()
 
     # streaming curation: one micro-batch (the whole sf documents set)
-    # through gates -> exact dedup vs a persistent index -> three
-    # exactly-once commits; fresh corpus/index per replica
+    # through gates -> exact dedup -> NEAR-dup LSH probe -> three
+    # exactly-once commits (corpus, minhash signatures, exact index);
+    # fresh corpus/index per replica
     def _cur_states():
         from flink_table_store_spark.datapipe.incdedup import (
             create_exact_index,
+            create_minhash_index,
         )
         from flink_table_store_spark.streaming.curation import (
             curation_batch_writer,
@@ -940,7 +942,13 @@ def main() -> None:
                 ignore_if_exists=True,
             )
             ix = create_exact_index(cat, f"bench.cur_fp{i}")
-            out.append((curation_batch_writer(c, ix, f"b{i}", min_tokens=2), docs))
+            mh = create_minhash_index(cat, f"bench.cur_mh{i}")
+            out.append((
+                curation_batch_writer(
+                    c, ix, f"b{i}", min_tokens=2, minhash_index=mh
+                ),
+                docs,
+            ))
         return out
 
     timed_mutating(

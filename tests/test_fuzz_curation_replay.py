@@ -39,6 +39,42 @@ def _serial_oracle(batches, min_tokens):
     return corpus
 
 
+def _drive_to_commit(fn, df, batch_id, rng, tables, reals, crash_choices):
+    """Drive one micro-batch to a successful commit through random
+    crash injections: each attempt arms at most one sink with a raising
+    writer, replays the WHOLE batch (the streaming contract), and only
+    an un-armed attempt can succeed."""
+
+    class _Boom(Exception):
+        pass
+
+    def _arm(which):
+        def boom(*a, **k):
+            raise _Boom()
+
+        tables[which].write = boom
+
+    def _disarm():
+        for k, t in tables.items():
+            t.write = reals[k]
+
+    for _attempt in range(12):
+        crash = rng.choice(crash_choices)
+        if crash:
+            _arm(crash)
+        try:
+            fn(df, batch_id)
+            _disarm()
+            # an armed sink always fires in these configurations — a
+            # "success" while armed means the injection never reached
+            # its sink and the window was NOT exercised
+            assert crash is None, f"armed {crash} crash did not fire"
+            return
+        except _Boom:
+            _disarm()
+    raise AssertionError("batch never committed")
+
+
 def test_fuzz_curation_crash_replay(spark, warehouse):
     rng = random.Random(20260816)
     corpus_t = warehouse.create_table(
@@ -46,10 +82,6 @@ def test_fuzz_curation_crash_replay(spark, warehouse):
     )
     index_t = create_exact_index(warehouse, "db.fz_fp")
     fn = curation_batch_writer(corpus_t, index_t, "fz", min_tokens=2)
-
-    class _Boom(Exception):
-        pass
-
     real_write = index_t.write
     next_id = [0]
     batches = []
@@ -68,26 +100,11 @@ def test_fuzz_curation_crash_replay(spark, warehouse):
         batches.append(batch)
 
         df = spark.createDataFrame(batch, "doc_id bigint, text string")
-        # drive the batch to success through random crash injections,
-        # replaying the WHOLE batch each time (the streaming contract)
-        for _attempt in range(10):
-            crash_index = rng.random() < 0.4
-            if crash_index:
-                def boom(*a, **k):
-                    raise _Boom()
-
-                index_t.write = boom
-            try:
-                fn(df, batch_id)
-                index_t.write = real_write
-                if crash_index:
-                    continue  # crashed mid-batch: replay once healthy
-                break
-            except _Boom:
-                index_t.write = real_write
-                continue
-        else:
-            raise AssertionError("batch never committed")
+        _drive_to_commit(
+            fn, df, batch_id, rng,
+            {"exact": index_t}, {"exact": real_write},
+            [None, "exact", None],
+        )
 
     want = _serial_oracle(batches, min_tokens=2)
     got = {
@@ -122,25 +139,12 @@ def test_fuzz_three_sink_crash_replay(spark, warehouse):
         jaccard_threshold=0.9,
     )
 
-    class _Boom(Exception):
-        pass
-
     reals = {
         "corpus": corpus_t.write,
         "mh": mh_t.write,
         "exact": index_t.write,
     }
     tables = {"corpus": corpus_t, "mh": mh_t, "exact": index_t}
-
-    def _arm(which):
-        def boom(*a, **k):
-            raise _Boom()
-
-        tables[which].write = boom
-
-    def _disarm():
-        for k, t in tables.items():
-            t.write = reals[k]
 
     # fully-distinct texts: disjoint word sets per doc id
     def fresh_text(i):
@@ -159,21 +163,10 @@ def test_fuzz_three_sink_crash_replay(spark, warehouse):
             next_id[0] += 1
         batches.append(batch)
         df = spark.createDataFrame(batch, "doc_id bigint, text string")
-        for _attempt in range(12):
-            crash = rng.choice([None, "corpus", "mh", "exact", None])
-            if crash:
-                _arm(crash)
-            try:
-                fn(df, batch_id)
-                _disarm()
-                if crash:
-                    continue
-                break
-            except _Boom:
-                _disarm()
-                continue
-        else:
-            raise AssertionError("batch never committed")
+        _drive_to_commit(
+            fn, df, batch_id, rng, tables, reals,
+            [None, "corpus", "mh", "exact", None],
+        )
 
     want = _serial_oracle(batches, min_tokens=2)
     got = {
