@@ -779,6 +779,17 @@ def main() -> None:
             token_col="n_chars",
         ).count()
 
+    @timed("pack_first_fit", repeat=3)
+    def _pff():
+        # no-split packing: exact segment-tree FFD per deterministic
+        # shard, one Arrow task per shard — the SFT-style layout
+        from flink_table_store_spark.datapipe.packing import pack_first_fit
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        pack_first_fit(
+            docs.select("doc_id", "n_chars"), 4096, token_col="n_chars"
+        ).agg(F.countDistinct("pack_id")).collect()
+
     @timed("lm_perplexity", repeat=3)
     def _lm():
         # corpus-self-scored bigram LM: two count groupBys + one scoring
