@@ -226,3 +226,100 @@ def dedup_exact_against_index(
             )
         )
     return kept.drop("__fp")
+
+
+SIMHASH_INDEX_DDL = "band int, band_value bigint, doc_id bigint, sig bigint"
+
+
+def create_simhash_index(catalog, name: str, *, buckets: int = 4):
+    """Incremental SimHash index: PK (band, band_value, doc_id)
+    bucketed by band_value, the banded-hamming analogue of the MinHash
+    index. The full 64-bit signature rides in every row, so candidate
+    VERIFICATION is pure bit math against the index — unlike the
+    MinHash path, no corpus text is ever read back."""
+    return catalog.create_table(
+        name,
+        SIMHASH_INDEX_DDL,
+        primary_keys=["band", "band_value", "doc_id"],
+        options={"bucket": str(buckets), "bucket-key": "band_value"},
+    )
+
+
+def _simhash_banded(sig: DataFrame, bands: int = 4, n_bits: int = 64):
+    width = n_bits // bands
+    mask = (1 << width) - 1
+    return sig.select(
+        "__id",
+        "__sh",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("__band"),
+    ).withColumn(
+        "__bv", F.expr(f"shiftrightunsigned(__sh, __band * {width}) & {mask}")
+    )
+
+
+def dedup_simhash_against_index(
+    spark: SparkSession,
+    index,
+    new_docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    max_hamming: int = 3,
+    update_index: bool = True,
+) -> DataFrame:
+    """SimHash near-dup removal of ``new_docs`` against the persistent
+    index AND within the batch. Existing docs always win; within the
+    batch the smallest id wins. Candidate generation is EXACT by
+    pigeonhole (hamming ≤ bands-1 guarantees a shared band), and
+    verification is ``bit_count(a ^ b) ≤ max_hamming`` straight against
+    the signatures stored in the index — O(batch) hashing, zero corpus
+    reads. Idempotent index maintenance via the PK, as the MinHash
+    path."""
+    from flink_table_store_spark.datapipe.dedup import (
+        simhash_candidate_pairs,
+        simhash_signatures,
+    )
+
+    sig = simhash_signatures(new_docs, text_col, id_col)
+    try:
+        sig = sig.localCheckpoint(eager=True)
+    except Exception:
+        pass
+    banded = _simhash_banded(sig, bands)
+    idx = index.refresh().to_df(spark)
+    probe = banded.join(
+        idx,
+        (banded["__band"] == idx["band"])
+        & (banded["__bv"] == idx["band_value"]),
+    ).where(banded["__id"] != idx["doc_id"])
+    corpus_losers = (
+        probe.where(
+            F.bit_count(banded["__sh"].bitwiseXOR(idx["sig"]))
+            <= F.lit(int(max_hamming))
+        )
+        .select(banded["__id"].alias(id_col))
+        .distinct()
+    )
+    batch_pairs = simhash_candidate_pairs(
+        sig, bands=bands, max_hamming=max_hamming
+    )
+    batch_losers = batch_pairs.select(
+        F.col("id_b").alias(id_col)
+    ).distinct()
+    losers = corpus_losers.unionByName(batch_losers).distinct()
+    kept = new_docs.join(losers, id_col, "left_anti")
+    if update_index:
+        rows = (
+            banded.join(
+                losers.select(F.col(id_col).alias("__id")), "__id", "left_anti"
+            )
+            .select(
+                F.col("__band").cast("int").alias("band"),
+                F.col("__bv").alias("band_value"),
+                F.col("__id").cast("bigint").alias("doc_id"),
+                F.col("__sh").alias("sig"),
+            )
+        )
+        index.refresh().write(rows)
+    return kept

@@ -4363,3 +4363,68 @@ QUERIES["sample_temperature_mix"] = (
     sample_temperature_mix,
     TEMPERATURE_MIX_SQL,
 )
+
+
+def dedup_incremental_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SimHash dedup against a persistent hamming-banded
+    index (datapipe/incdedup.create_simhash_index — the third
+    persistent-index family after exact-fp and MinHash): the documents
+    corpus is indexed once; a new batch of exact copies (%10 docs,
+    +1M ids — hamming 0, dropped), fully-reworded docs (%7=3, every
+    word suffixed — independent signatures, kept) and one intra-batch
+    copy of the smallest fresh doc (+3M, dropped) probes the index with
+    one (band, band_value) equi-join; verification is bit math against
+    the signatures stored IN the index — zero corpus text reads."""
+    from flink_table_store_spark.datapipe.incdedup import (
+        create_simhash_index,
+        dedup_simhash_against_index,
+    )
+
+    cat = _wh(sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    name = "default.sh_index_docs"
+    try:
+        idx = cat.get_table(name)
+        if not idx.snapshots.latest_id():
+            raise RuntimeError("empty")
+    except RuntimeError:
+        try:
+            cat.drop_table(name)
+        except RuntimeError:
+            pass
+        idx = create_simhash_index(cat, name)
+        dedup_simhash_against_index(spark, idx, docs)
+    dups = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    fresh = docs.where(F.col("doc_id") % 7 == 3).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.split("text", r"\s+"), lambda w: F.concat(w, F.lit("xq"))
+            ),
+        ).alias("text"),
+    )
+    first_fresh = fresh.agg(F.min("doc_id")).collect()[0][0]
+    intra = fresh.where(F.col("doc_id") == first_fresh).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    batch = dups.unionByName(fresh).unionByName(intra)
+    kept = dedup_simhash_against_index(
+        spark, idx, batch, update_index=False
+    )
+    return kept.select("doc_id").orderBy("doc_id")
+
+
+DEDUP_INC_SIMHASH_SQL = """
+SELECT 2000000 + doc_id AS doc_id
+FROM documents WHERE doc_id % 7 = 3
+ORDER BY doc_id
+"""
+
+# judge-run tail: incremental SimHash dedup (third persistent index)
+QUERIES["dedup_incremental_simhash"] = (
+    dedup_incremental_simhash,
+    DEDUP_INC_SIMHASH_SQL,
+)
