@@ -267,9 +267,12 @@ def dedup_simhash_against_index(
     bands: int = 4,
     max_hamming: int = 3,
     update_index: bool = True,
+    return_signatures: bool = False,
 ) -> DataFrame:
     """SimHash near-dup removal of ``new_docs`` against the persistent
-    index AND within the batch. Existing docs always win; within the
+    index AND within the batch. ``return_signatures=True`` returns
+    ``(kept, banded)`` for callers that defer the index write (the
+    streaming curation loop) — no second SimHash pass. Existing docs always win; within the
     batch the smallest id wins. Candidate generation is EXACT by
     pigeonhole (hamming ≤ bands-1 guarantees a shared band), and
     verification is ``bit_count(a ^ b) ≤ max_hamming`` straight against
@@ -322,4 +325,6 @@ def dedup_simhash_against_index(
             )
         )
         index.refresh().write(rows)
+    if return_signatures:
+        return kept, banded
     return kept

@@ -50,6 +50,8 @@ def curation_batch_writer(
     quality_threshold: float = 0.5,
     minhash_index=None,
     jaccard_threshold: float = 0.8,
+    simhash_index=None,
+    max_hamming: int = 3,
 ) -> Callable[[DataFrame, int], None]:
     """A ``foreachBatch`` function curating each micro-batch into
     ``corpus_table`` (schema: the batch's columns + ``n_tokens``),
@@ -60,10 +62,16 @@ def curation_batch_writer(
     verify with exact shingle Jaccard, and only the candidate corpus
     texts are ever read back (an id semi-join, never a corpus scan).
     The near-dup index write rides the same corpus-first ordering and
-    is both identifier-checked AND PK-idempotent."""
+    is both identifier-checked AND PK-idempotent. ``simhash_index``
+    (incdedup.create_simhash_index) adds the hamming-banded family the
+    same way — its verification is bit math against signatures stored
+    in the index, so it reads no corpus text at all; both near-dup
+    families compose (minhash catches shingle overlap, simhash catches
+    bag-of-words proximity)."""
     from flink_table_store_spark.datapipe.incdedup import (
         dedup_against_index,
         dedup_exact_against_index,
+        dedup_simhash_against_index,
     )
     from flink_table_store_spark.datapipe.quality_model import quality_filter
     from flink_table_store_spark.datapipe.text import fingerprint, token_count
@@ -98,6 +106,14 @@ def curation_batch_writer(
                 jaccard_threshold=jaccard_threshold, update_index=False,
                 return_signatures=True,
             )
+        sh_banded = None
+        if simhash_index is not None:
+            kept, sh_banded = dedup_simhash_against_index(
+                spark, simhash_index, kept,
+                text_col=text_col, id_col=id_col,
+                max_hamming=max_hamming, update_index=False,
+                return_signatures=True,
+            )
         kept = kept.withColumn("n_tokens", token_count(text_col))
         # one deterministic pass per batch: the dedup probe, the corpus
         # write and the index writes must all see the SAME survivor set
@@ -130,6 +146,19 @@ def curation_batch_writer(
         if sigs is not None:
             minhash_index.refresh().write(
                 sigs, commit_identifier=f"{sink_id}:mh:{batch_id}"
+            )
+        if simhash_index is not None:
+            # reuse the probe's banded signatures — survivors only
+            sh_rows = sh_banded.join(
+                kept.select(F.col(id_col).alias("__id")), "__id", "left_semi"
+            ).select(
+                F.col("__band").cast("int").alias("band"),
+                F.col("__bv").alias("band_value"),
+                F.col("__id").cast("bigint").alias("doc_id"),
+                F.col("__sh").alias("sig"),
+            )
+            simhash_index.refresh().write(
+                sh_rows, commit_identifier=f"{sink_id}:sh:{batch_id}"
             )
         index_table.refresh().write(
             kept.select(

@@ -314,3 +314,51 @@ def test_quality_loser_does_not_suppress_batch_mate(spark, warehouse):
     )
     ids = [r["doc_id"] for r in corpus.refresh().to_df(spark).collect()]
     assert ids == [2]
+
+
+def test_simhash_gate_in_stream(spark, warehouse):
+    """simhash_index option: a WORD-SHUFFLED copy (same bag of words,
+    different order — near-identical SimHash, but shingle-based MinHash
+    would miss it) is dropped across batches; the fourth sink rides the
+    same identifier-checked ordering."""
+    from flink_table_store_spark.datapipe.incdedup import (
+        create_simhash_index,
+    )
+
+    corpus, index = _mk_tables(warehouse)
+    sh = create_simhash_index(warehouse, "db.c_sh")
+    fn = curation_batch_writer(
+        corpus, index, "sh", min_tokens=2, simhash_index=sh
+    )
+    words = [f"u{j}" for j in range(30)]
+    fn(
+        spark.createDataFrame(
+            [(1, " ".join(words))], "doc_id bigint, text string"
+        ),
+        0,
+    )
+    # batch 1: word-shuffled copy (identical bag -> hamming 0) + fresh
+    shuffled = " ".join(reversed(words))
+    fn(
+        spark.createDataFrame(
+            [(10, shuffled), (11, " ".join(f"v{j}" for j in range(30)))],
+            "doc_id bigint, text string",
+        ),
+        1,
+    )
+    ids = sorted(r["doc_id"] for r in corpus.refresh().to_df(spark).collect())
+    assert ids == [1, 11]
+    # replay is a no-op across all sinks
+    fn(
+        spark.createDataFrame(
+            [(10, shuffled), (11, " ".join(f"v{j}" for j in range(30)))],
+            "doc_id bigint, text string",
+        ),
+        1,
+    )
+    assert sorted(
+        r["doc_id"] for r in corpus.refresh().to_df(spark).collect()
+    ) == [1, 11]
+    assert (
+        sh.refresh().to_df(spark).select("doc_id").distinct().count() == 2
+    )
