@@ -474,8 +474,16 @@ def simhash_candidate_pairs(
     ``bit_count(a ^ b) <= max_hamming`` JVM-side. By pigeonhole, any
     pair within hamming ≤ bands-1 agrees on at least one whole band —
     so with the defaults (4 bands, d=3) candidate generation is EXACT,
-    not probabilistic. Join shape mirrors minhash_lsh_pairs: shuffle on
+    not probabilistic. ``max_hamming > bands - 1`` would silently lose
+    recall (a pair can then differ in every band), so it is refused.
+    Join shape mirrors minhash_lsh_pairs: shuffle on
     (band, band_value), never all-pairs."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs at least {max_hamming + 1} "
+            f"bands for exact candidate generation (got bands={bands}); "
+            "pairs differing by one bit per band would share no band"
+        )
     width = n_bits // bands
     mask = (1 << width) - 1
     banded = sig.select(

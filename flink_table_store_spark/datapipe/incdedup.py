@@ -284,6 +284,13 @@ def dedup_simhash_against_index(
         simhash_signatures,
     )
 
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs at least {max_hamming + 1} "
+            f"bands (got bands={bands}): the corpus probe joins on a "
+            "shared band, which pigeonhole only guarantees for hamming "
+            "<= bands-1; a larger radius silently loses recall"
+        )
     sig = simhash_signatures(new_docs, text_col, id_col)
     try:
         sig = sig.localCheckpoint(eager=True)

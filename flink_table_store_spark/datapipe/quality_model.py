@@ -43,7 +43,10 @@ def _grams(col: Column) -> Column:
         lambda a, b: F.concat_ws(" ", a, b),
     )
     bis = F.slice(bis, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
-    return F.concat(toks, bis)
+    # drop '' grams: split('') yields [''], which would hand empty-but-
+    # non-NULL text one phantom feature and let '' train as a gram —
+    # the documented no-gram→NULL-score contract needs it gone
+    return F.filter(F.concat(toks, bis), lambda g: g != F.lit(""))
 
 
 def hashed_feature_rows(

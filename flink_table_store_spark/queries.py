@@ -3950,7 +3950,7 @@ WITH toks AS (
 ), hashed AS (
   SELECT doc_id, lang,
          ('0x' || substr(md5(g || '-11'), 1, 15))::BIGINT % 4096 AS bucket
-  FROM grams
+  FROM grams WHERE g <> ''
 ), train AS (
   SELECT bucket,
          CASE WHEN lang IS NOT NULL AND lang = 'en' THEN 1 ELSE 0 END AS lab
@@ -4035,7 +4035,7 @@ WITH labeled AS (
     FROM documents
   )
 )
-SELECT split, source, count(*) AS n_docs, sum(n_chars) AS chars
+SELECT split, source, count(*) AS n_docs, sum(n_chars)::BIGINT AS chars
 FROM labeled GROUP BY split, source ORDER BY split, source
 """
 
@@ -4132,7 +4132,7 @@ WITH norm AS (
     FROM filtered
   )
 ), per AS (
-  SELECT split, count(*) AS n_docs, sum(n_tokens) AS tokens
+  SELECT split, count(*) AS n_docs, sum(n_tokens)::BIGINT AS tokens
   FROM labeled GROUP BY split
 ), ordered AS (
   SELECT n_tokens AS n,
@@ -4354,7 +4354,7 @@ WITH t AS (
            THEN 1 ELSE 0 END AS k
   FROM documents d JOIN f ON d.lang = f.lang
 )
-SELECT lang, sum(k) AS n_rows, sum(k * n_chars) AS chars
+SELECT lang, sum(k)::BIGINT AS n_rows, sum(k * n_chars)::BIGINT AS chars
 FROM reps GROUP BY lang HAVING sum(k) > 0 ORDER BY lang
 """
 

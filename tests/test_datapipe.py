@@ -112,6 +112,11 @@ def test_simhash_banded_hamming_tolerance(spark):
     }
     assert (1, 2) in pairs and (1, 3) in pairs
     assert all(p not in pairs for p in [(1, 4), (1, 5), (2, 4)])
+    # radius beyond the pigeonhole guarantee is refused, not silently lossy
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bands"):
+        DD.simhash_candidate_pairs(sig, bands=4, max_hamming=4)
 
 
 def test_ngram_jaccard_pairs(spark, docs):

@@ -68,8 +68,15 @@ def test_quality_model_deterministic_and_null_safe(spark):
     )
     out = {r["doc_id"]: r for r in score_quality_model(weird, m1).collect()}
     assert out[100]["quality_score"] is None
-    # "" yields one empty-string token (a real, hashable gram)
-    assert out[101]["n_features"] >= 1
+    # "" and whitespace-only text yield NO grams (split('') gives ['']
+    # but '' grams are filtered) — the documented no-gram→NULL contract
+    weird2 = spark.createDataFrame(
+        [(101, ""), (102, "   ")], "doc_id bigint, text string"
+    )
+    out2 = {r["doc_id"]: r for r in score_quality_model(weird2, m1).collect()}
+    for i in (101, 102):
+        assert out2[i]["n_features"] == 0
+        assert out2[i]["quality_score"] is None
 
 
 def test_quality_model_needs_both_classes(spark):

@@ -40,6 +40,37 @@ def df_multiset(cols, rows):
     )
 
 
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint", "integer", "long", "short", "byte"}
+
+
+def dtype_drift(sdf, con, sql):
+    """Return a description of int<->float kind drift between the Spark
+    schema and a pandas fetch of the oracle, or None. Columns with NULLs
+    are skipped (pandas legitimately promotes nullable ints to float on
+    both sides)."""
+    try:
+        odf = con.execute(sql).df()
+    except Exception:
+        return None
+    skind = {f.name.lower(): f.dataType.simpleString() for f in sdf.schema.fields}
+    out = []
+    for c in odf.columns:
+        st = skind.get(c.lower())
+        if st is None:
+            continue
+        col = odf[c]
+        if col.isna().any():
+            continue
+        ok = col.dtype.kind  # 'i'/'u'/'f'/'O'...
+        s_int = st in _INTEGRAL
+        s_flt = st in ("float", "double")
+        if s_int and ok == "f":
+            out.append(f"{c}: spark {st} vs oracle pandas float64 (cast oracle ::BIGINT)")
+        elif s_flt and ok in ("i", "u"):
+            out.append(f"{c}: spark {st} vs oracle pandas int (cast oracle ::DOUBLE)")
+    return "; ".join(out) or None
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -93,6 +124,16 @@ def main():
         diffs = [(a, b) for a, b in zip(sm, om) if a != b]
         if diffs:
             print(f"FAIL  {name}: {len(diffs)} differing rows; first: spark={diffs[0][0]} oracle={diffs[0][1]}")
+            failed += 1
+            continue
+        # Driver-parity dtype check: the driver value-hashes a pandas
+        # fetch, where DuckDB HUGEINT (un-cast sum(BIGINT)) lands as
+        # float64 while Spark bigint stays int64 — values equal, hashes
+        # differ (r9 split_train_eval regression). fetchall() above
+        # yields python ints and masks it, so compare pandas kinds too.
+        drift = dtype_drift(sdf, con, oracles[name])
+        if drift:
+            print(f"FAIL  {name}: pandas dtype drift (driver hash would differ): {drift}")
             failed += 1
         else:
             print(f"PASS  {name}: {len(sm)} rows")
