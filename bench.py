@@ -747,6 +747,35 @@ def main() -> None:
         )
 
     timed_mutating("data_evolution_update", de_tables, _de_run)
+
+    # 10x linearity twin (r10): the sf0.1 entry swung 10x under driver
+    # load in BENCH_r09 with zero code change to update_columns — per
+    # the bench's noise protocol, regressions adjudicate via the 10x
+    # per-row cost, so the entry gets a twin like mor_read/dedup_minhash
+    o_max = int(orders.agg(F.max("o_orderkey")).first()[0]) + 1
+    orders10 = _union(
+        [
+            orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * o_max))
+            for i in range(n10)
+        ]
+    )
+    de10_tables = []
+    for i in range(3):
+        tde = cat.create_table(
+            f"bench.orders_de10_{i}",
+            orders10.schema,
+            options={
+                "row-tracking.enabled": "true",
+                "data-evolution.enabled": "true",
+            },
+            ignore_if_exists=True,
+        )
+        if not tde.snapshots.latest_id():
+            tde.write(orders10)
+        de10_tables.append(tde)
+    timed_mutating("data_evolution_update_10x", de10_tables, _de_run)
+    rows_10x["orders_10x"] = orders.count() * n10
+
     snap0 = de_tables[0].snapshots.latest()
     es0 = de_tables[0].manifests.read_live_entries(
         snap0.base_manifest_list, snap0.delta_manifest_list
@@ -965,6 +994,26 @@ def main() -> None:
     timed_mutating(
         "stream_curate_batch", _cur_states(), lambda st: st[0](st[1], 0)
     )
+
+    @timed("dsir_select", repeat=3)
+    def _dsir():
+        # DSIR importance resampling (Xie et al. 2023): two bucket-count
+        # fits (map-combined, <=8192-row model), broadcast-join scoring,
+        # Gumbel-top-k selection via exact_top_k (range shards + one
+        # boundary-partition rank — no global sort, no driver top-k merge)
+        from flink_table_store_spark.datapipe.dsir import (
+            dsir_resample,
+            fit_dsir,
+        )
+
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id", "text", "lang")
+        target = docs.where(
+            (F.col("lang") == "en") & (F.col("doc_id") % 3 == 0)
+        )
+        model = fit_dsir(target, docs, n_buckets=8192, seed=13)
+        dsir_resample(docs, model, 1000).count()
 
     @timed("quality_model_10x", repeat=3)
     def _qm10():

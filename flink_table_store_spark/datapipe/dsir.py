@@ -1,0 +1,263 @@
+"""DSIR: Data Selection via Importance Resampling (Xie et al., 2023,
+arXiv:2302.03169) — pick raw-corpus documents whose hashed bag-of-ngram
+distribution looks like a small TARGET corpus.
+
+The published recipe, re-expressed Spark-first:
+
+1. Featurize every document as hashed unigram+bigram occurrence counts
+   (the same md5 bucket convention as the quality classifier —
+   ``quality_model.hashed_feature_rows`` is reused verbatim, so the
+   feature space is shared and engine-portable).
+2. Fit two smoothed multinomials over the ``n_buckets`` feature
+   buckets: p̂_target from the target corpus, p̂_raw from (a sample of)
+   the raw corpus. Two map-side-combined groupBys; the fitted model is
+   ≤ ``n_buckets`` rows — always broadcastable.
+3. Importance weight of a document = its log likelihood ratio
+   log p̂_target(x) − log p̂_raw(x) = Σ over gram occurrences of
+   log(p̂_t[bucket]/p̂_r[bucket]).
+4. Resample without replacement from the softmax of the weights via
+   the Gumbel-top-k trick: key = w/T + Gumbel(u), u a deterministic
+   md5 hash of the document key — same sampler as the paper, fully
+   reproducible on any engine.
+
+Scale design: fitting is two bucket-count aggregates (map-combined,
+output ≤ n_buckets rows); scoring is one broadcast join + one grouped
+sum keyed by document — no windows, no driver state. Selection uses
+``exact_top_k``: range-repartition on the sort key, per-partition
+counts to the driver (ONE row per partition, never data), whole
+partitions above the k-boundary taken as-is, and only the single
+boundary partition ranked — no global sort, no partition-less window,
+no TakeOrdered driver merge of P·k rows. Every stage is linear and
+shuffle-bounded at 100 TB.
+
+Reference anchor: the reference engine has no data-selection operator;
+this extends the repo's training-data pillar (SURVEY §2 "LLM pipeline"
+block) alongside quality_model.py (classifier-based selection) and
+sampling.py (mixture construction). Method is public: Xie et al. 2023.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_table_store_spark.datapipe.quality_model import (
+    hashed_feature_rows,
+)
+from flink_table_store_spark.datapipe.sampling import sample_key
+
+
+def fit_dsir(
+    target: DataFrame,
+    raw: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    seed: int = 13,
+    alpha: float = 1.0,
+) -> dict:
+    """Fit the two hashed-ngram multinomials and return the model:
+    ``weights`` — a (bucket, lr) DataFrame with lr = log p̂_t − log p̂_r
+    for every bucket seen in EITHER corpus — plus ``default_lr`` for
+    buckets seen in neither (both probabilities fall back to their
+    smoothing floor, so the constant is exact, not an approximation).
+
+    ``target`` is typically small (a held-out slice of the domain you
+    want more of); ``raw`` is the corpus being selected from — fitting
+    on a sample of raw is standard and sound (the multinomial is a
+    64k-bucket histogram; a few million grams saturate it).
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+
+    def _bucket_counts(corpus: DataFrame, out: str) -> DataFrame:
+        # ids are irrelevant for fitting (only bucket totals survive),
+        # so any per-row id works; monotonically_increasing_id is the
+        # cheapest narrow one
+        rows = hashed_feature_rows(
+            corpus.select(F.col(text_col)).withColumn(
+                "__row", F.monotonically_increasing_id()
+            ),
+            text_col,
+            "__row",
+            n_buckets,
+            seed,
+        )
+        return rows.groupBy("bucket").agg(F.count(F.lit(1)).alias(out))
+
+    tc = _bucket_counts(target, "__tc")
+    rc = _bucket_counts(raw, "__rc")
+    tot = (
+        tc.agg(F.sum("__tc").alias("t")).collect()[0]["t"] or 0,
+        rc.agg(F.sum("__rc").alias("r")).collect()[0]["r"] or 0,
+    )
+    tt, tr = float(tot[0]), float(tot[1])
+    if tt == 0 or tr == 0:
+        raise ValueError(
+            f"both corpora need at least one gram (target={int(tt)}, "
+            f"raw={int(tr)} gram occurrences)"
+        )
+    a, b = float(alpha), float(n_buckets)
+    lr = (
+        tc.join(rc, "bucket", "full")
+        .select(
+            "bucket",
+            (
+                F.log((F.coalesce(F.col("__tc"), F.lit(0)) + a) / F.lit(tt + a * b))
+                - F.log(
+                    (F.coalesce(F.col("__rc"), F.lit(0)) + a) / F.lit(tr + a * b)
+                )
+            ).alias("lr"),
+        )
+    )
+    return {
+        "weights": lr,
+        "default_lr": math.log(a / (tt + a * b)) - math.log(a / (tr + a * b)),
+        "n_buckets": int(n_buckets),
+        "seed": int(seed),
+    }
+
+
+def score_dsir(
+    docs: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document importance weight: Σ over gram OCCURRENCES of the
+    bucket log-ratio (occurrence-weighted, as the paper's multinomial
+    likelihood requires). Returns (id_col, n_grams,
+    dsir_logratio rounded to 4 — the repo's cross-engine FP
+    convention). Documents whose text yields no grams (NULL/empty)
+    score NULL with n_grams = 0: an invisible document is not evidence
+    either way, matching quality_model's contract."""
+    rows = hashed_feature_rows(
+        docs, text_col, id_col, model["n_buckets"], model["seed"]
+    )
+    joined = rows.join(F.broadcast(model["weights"]), "bucket", "left")
+    per_doc = joined.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(
+            F.coalesce(F.col("lr"), F.lit(float(model["default_lr"])))
+        ).alias("__w"),
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(per_doc, F.col(id_col) == F.col("__id"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.round(F.col("__w"), 4).alias("dsir_logratio"),
+        )
+    )
+
+
+def exact_top_k(
+    df: DataFrame,
+    order_col: str | Column,
+    k: int,
+    tie_col: str | Column | None = None,
+    descending: bool = True,
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT global top-k without a global sort, a partition-less
+    window, or a P·k driver merge (``orderBy().limit(k)`` collects the
+    per-partition top-k lists onto the driver — dead at k in the
+    hundreds of millions).
+
+    Plan: range-repartition on (order_col, tie_col) → pin the layout
+    (localCheckpoint, so both passes see identical partitions) → count
+    rows per partition (ONE row per partition to the driver, never
+    data) → prefix-sum on the driver picks the partitions wholly
+    inside the top-k (taken with a pure filter, no sort) and THE ONE
+    boundary partition, which alone is ranked with a
+    partitionBy(spark_partition_id()) window — group size is bounded by
+    |df|/P by the range partitioner, so no single task ever sees more.
+
+    Deterministic given deterministic (order_col, tie_col): selection
+    is by exact rank, not by the (sampled) range boundaries. Ties
+    beyond (order_col, tie_col) make the k-th row ambiguous — pass a
+    unique tie_col for reproducible output.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    oc = F.col(order_col) if isinstance(order_col, str) else order_col
+    tc = (
+        F.col(tie_col)
+        if isinstance(tie_col, str)
+        else (tie_col if tie_col is not None else F.lit(0))
+    )
+    sort_cols = [oc.desc() if descending else oc.asc(), tc.asc()]
+    P = n_partitions or df.sparkSession.sparkContext.defaultParallelism * 2
+    parted = df.repartitionByRange(P, *sort_cols)
+    try:
+        parted = parted.localCheckpoint(eager=True)
+    except Exception:
+        # correctness still holds only if the recomputed layout is
+        # identical; refuse the risk and fall back to a single sorted
+        # take when pinning is unavailable
+        return df.orderBy(*sort_cols).limit(k)
+    with_pid = parted.withColumn("__pid", F.spark_partition_id())
+    counts = sorted(
+        (r["__pid"], r["c"])
+        for r in with_pid.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    whole, boundary, need, prefix = [], None, k, 0
+    for pid, c in counts:
+        if need <= 0:
+            break
+        if c <= need:
+            whole.append(pid)
+            need -= c
+        else:
+            boundary, prefix = pid, need
+            need = 0
+    out = with_pid.where(F.col("__pid").isin(whole)) if whole else None
+    if boundary is not None and prefix > 0:
+        w = Window.partitionBy("__pid").orderBy(*sort_cols)
+        edge = (
+            with_pid.where(F.col("__pid") == boundary)
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= prefix)
+            .drop("__rn")
+        )
+        out = edge if out is None else out.unionByName(edge)
+    if out is None:
+        return df.limit(0)
+    return out.drop("__pid")
+
+
+def dsir_resample(
+    docs: DataFrame,
+    model: dict,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    temperature: float = 1.0,
+    seed: int = 7,
+) -> DataFrame:
+    """Select ``k`` documents without replacement from
+    softmax(weight / temperature) via Gumbel-top-k: per-doc key =
+    w/T + Gumbel(u) with u = (md5₆₀(id ∥ seed)+1)/(2⁶⁰+2) — the exact
+    sampler for the paper's resampling step, deterministic and
+    engine-portable. Unscorable documents (no grams → NULL weight) are
+    excluded before sampling, as in ``quality_filter``: a document the
+    model cannot see is not evidence of domain fit. Returns the
+    selected documents with their ``dsir_logratio``."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be positive, got {temperature}")
+    scored = score_dsir(docs, model, text_col, id_col).where(
+        F.col("dsir_logratio").isNotNull()
+    )
+    u = (
+        F.conv(F.substring(sample_key(id_col, seed), 1, 15), 16, 10).cast(
+            "bigint"
+        )
+        + F.lit(1)
+    ).cast("double") / F.lit(float((1 << 60) + 2))
+    gumbel = -F.log(-F.log(u))
+    keyed = docs.join(scored, id_col).withColumn(
+        "__gk", F.col("dsir_logratio") / F.lit(float(temperature)) + gumbel
+    )
+    return exact_top_k(keyed, "__gk", k, tie_col=id_col).drop("__gk")

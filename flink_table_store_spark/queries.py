@@ -4428,3 +4428,78 @@ QUERIES["dedup_incremental_simhash"] = (
     dedup_incremental_simhash,
     DEDUP_INC_SIMHASH_SQL,
 )
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): fit hashed-ngram
+    multinomials on a target slice (English docs with doc_id%3==0 —
+    a stand-in for a held-out domain sample) vs the whole raw corpus,
+    then score every document with its log likelihood ratio. The
+    selection step (Gumbel top-k over these weights) is exercised by
+    tests/test_dsir.py; the gate row pins the weights themselves,
+    which the sampler is a pure function of."""
+    from flink_table_store_spark.datapipe.dsir import fit_dsir, score_dsir
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    target = docs.where((F.col("lang") == "en") & (F.col("doc_id") % 3 == 0))
+    model = fit_dsir(target, docs, n_buckets=8192, seed=13, alpha=1.0)
+    return score_dsir(docs, model)
+
+
+DSIR_WEIGHTS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, lang, t[s.i] AS g
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, len(t))) AS i
+  ) s
+  UNION ALL
+  SELECT doc_id, lang, t[s.i] || ' ' || t[s.i + 1]
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+  ) s
+), hashed AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(g || '-13'), 1, 15))::BIGINT % 8192 AS bucket
+  FROM grams WHERE g <> ''
+), tcnt AS (
+  SELECT bucket, count(*)::DOUBLE AS c FROM hashed
+  WHERE lang IS NOT NULL AND lang = 'en' AND doc_id % 3 = 0
+  GROUP BY bucket
+), rcnt AS (
+  SELECT bucket, count(*)::DOUBLE AS c FROM hashed GROUP BY bucket
+), tot AS (
+  SELECT (SELECT sum(c) FROM tcnt) AS tt, (SELECT sum(c) FROM rcnt) AS tr
+), lr AS (
+  -- raw == scored corpus here, so every scored bucket appears in rcnt
+  -- and the unseen-bucket default never fires (mirrors the Spark path,
+  -- where coalesce(default_lr) is equally dead for this pairing)
+  SELECT r.bucket,
+         ln((coalesce(t.c, 0) + 1.0) / (tot.tt + 8192.0))
+           - ln((r.c + 1.0) / (tot.tr + 8192.0)) AS w
+  FROM rcnt r LEFT JOIN tcnt t USING (bucket), tot
+), per AS (
+  SELECT h.doc_id, count(*) AS n_grams, sum(lr.w) AS w
+  FROM hashed h JOIN lr USING (bucket)
+  GROUP BY h.doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.n_grams, 0) AS n_grams,
+       round(per.w, 4) AS dsir_logratio
+FROM documents d LEFT JOIN per USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+# DSIR data selection (pillar: importance-resampling weights)
+QUERIES["dsir_weights"] = (dsir_weights, DSIR_WEIGHTS_SQL)
+
+_rotate_window(
+    # r10: DSIR importance weights join the gated window; the
+    # embedding family keeps ann_ivf in-window (ann_lsh / ann_brute /
+    # embedding near-dup stay oracle-covered in the judge-run tail)
+    ["dsir_weights"],
+    ["embedding_near_dup"],
+)
