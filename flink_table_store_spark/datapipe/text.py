@@ -369,3 +369,73 @@ def normalize_text(
             yield pdf
 
     return df.mapInPandas(run, schema=schema)
+
+
+def c4_line_rules(
+    line: Column, min_words_per_line: int = 5
+) -> Column:
+    """Boolean: does one line survive the C4 line filters (Raffel et
+    al. 2020, "Exploring the Limits of Transfer Learning...", §2.2)?
+    Kept iff it ends in terminal punctuation (., !, ? or a closing
+    quote after one), has at least ``min_words_per_line`` words, and
+    does not contain the word "javascript" (case-insensitive) — the
+    published rule for boilerplate JS warnings. Pure built-ins, usable
+    inside ``F.filter`` over a split array (JVM-side, codegen'd)."""
+    t = F.trim(line)
+    words = F.size(F.split(t, r"\s+"))
+    return (
+        (t != F.lit(""))
+        & t.rlike(r"""[.!?]["']?$""")
+        & (words >= F.lit(int(min_words_per_line)))
+        & ~F.lower(t).contains("javascript")
+    )
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 5,
+    min_lines: int = 3,
+    drop_markers: tuple[str, ...] = ("lorem ipsum", "{"),
+) -> DataFrame:
+    """C4-style line-level cleaning + document gating (Raffel et al.
+    2020 §2.2): split each document on newlines, keep only lines that
+    pass ``c4_line_rules``, rebuild the document from survivors, and
+    drop documents that (a) keep fewer than ``min_lines`` lines or
+    (b) contain any of ``drop_markers`` (the paper drops pages with
+    "lorem ipsum" placeholder text and pages containing "{" — source
+    code). The paper's third doc-level rule — global three-sentence
+    span dedup — is ``paragraph_dedup`` in this package; its bad-words
+    page filter needs a wordlist this repo deliberately does not ship
+    (pass the list's disjuncts as extra ``drop_markers`` if you have
+    one).
+
+    Scale shape: one narrow pass — split, higher-order ``F.filter``,
+    re-join, two boolean gates. No shuffle, no UDF, no explode; the
+    line filter runs inside whole-stage codegen over the array.
+
+    Returns (id_col, text_col rebuilt, lines_kept, lines_dropped) for
+    surviving documents. NULL text never survives (a page with no
+    lines has no content to keep)."""
+    if min_lines < 1:
+        raise ValueError(f"min_lines must be >= 1, got {min_lines}")
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(lines, lambda l: c4_line_rules(l, min_words_per_line))
+    marker_hit = None
+    low = F.lower(F.col(text_col))
+    for m in drop_markers:
+        hit = low.contains(m.lower())
+        marker_hit = hit if marker_hit is None else (marker_hit | hit)
+    out = df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias(text_col),
+        F.size(kept).alias("lines_kept"),
+        (F.size(lines) - F.size(kept)).alias("lines_dropped"),
+        (
+            F.lit(False) if marker_hit is None else marker_hit
+        ).alias("__marker"),
+    )
+    return out.where(
+        (F.col("lines_kept") >= F.lit(int(min_lines))) & ~F.col("__marker")
+    ).drop("__marker")

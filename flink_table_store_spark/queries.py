@@ -4503,3 +4503,73 @@ _rotate_window(
     ["dsir_weights"],
     ["embedding_near_dup"],
 )
+
+
+def text_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2). The synthetic
+    corpus is single-line and unpunctuated, so the row first shapes it
+    deterministically — ' the '/' a ' become sentence breaks, a final
+    period is appended, and every 37th doc gets a 'lorem ipsum.' line —
+    then applies the real operator: per-line terminal-punctuation /
+    min-words / javascript rules, doc gates on surviving-line count and
+    placeholder markers. The oracle replays the shaping AND the rules."""
+    from flink_table_store_spark.datapipe.text import c4_clean
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    shaped = docs.withColumn(
+        "text",
+        F.concat(
+            F.regexp_replace(F.col("text"), " (the|a) ", ".\n"),
+            F.lit("."),
+            F.when(
+                F.col("doc_id") % 37 == 0, F.lit("\nlorem ipsum.")
+            ).otherwise(F.lit("")),
+        ),
+    )
+    out = c4_clean(shaped, min_words_per_line=5, min_lines=2)
+    return out.select(
+        "doc_id",
+        "text",
+        F.col("lines_kept").cast("bigint").alias("lines_kept"),
+        F.col("lines_dropped").cast("bigint").alias("lines_dropped"),
+    )
+
+
+TEXT_C4_CLEAN_SQL = r"""
+WITH shaped AS (
+  SELECT doc_id,
+         regexp_replace(text, ' (the|a) ', '.' || chr(10), 'g') || '.'
+           || CASE WHEN doc_id % 37 = 0
+                   THEN chr(10) || 'lorem ipsum.' ELSE '' END AS text
+  FROM documents
+), lined AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM shaped
+), filt AS (
+  SELECT doc_id, text,
+         list_filter(ls, x -> trim(x) <> ''
+           AND regexp_matches(trim(x), '[.!?]["'']?$')
+           AND len(regexp_split_to_array(trim(x), '\s+')) >= 5
+           AND NOT contains(lower(trim(x)), 'javascript')) AS ks,
+         len(ls) AS nl
+  FROM lined
+)
+SELECT doc_id,
+       array_to_string(ks, chr(10)) AS text,
+       len(ks)::BIGINT AS lines_kept,
+       (nl - len(ks))::BIGINT AS lines_dropped
+FROM filt
+WHERE len(ks) >= 2
+  AND NOT contains(lower(text), 'lorem ipsum')
+  AND NOT contains(text, '{')
+ORDER BY doc_id
+"""
+
+# C4 line-level cleaning (pillar: rule-based web-corpus curation)
+QUERIES["text_c4_clean"] = (text_c4_clean, TEXT_C4_CLEAN_SQL)
+
+_rotate_window(
+    # r10: C4 cleaning joins the window; the text-heuristics family
+    # keeps repeated_ngrams + bm25 + pack_sequences + gopher (tail)
+    ["text_c4_clean"],
+    ["text_token_stats"],
+)
