@@ -293,3 +293,75 @@ def temperature_weights(
     scaled = {d: (t / all_mass) ** temperature for d, t in totals.items()}
     z = sum(scaled.values())
     return {d: s / z for d, s in scaled.items()}
+
+
+def unimax_allocation(
+    df: DataFrame,
+    domain_col: str,
+    budget: float,
+    max_epochs: float = 1.0,
+    token_col: str | None = None,
+) -> dict[str, dict[str, float]]:
+    """UniMax budget allocation (Chung et al., ICLR 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining"): spread a total training ``budget``
+    (tokens, or rows when ``token_col`` is None) as uniformly as
+    possible across domains, but never take more than ``max_epochs``
+    passes over any domain's data. The published water-filling rule:
+    repeatedly give every still-open domain an equal share; domains
+    whose capacity ``max_epochs * n_d`` is below their share are
+    frozen at capacity; the leftover re-spreads over the rest.
+
+    Closed form used here (and replayed exactly by the SQL oracle):
+    sort domains by capacity ascending; domain i (1-based, k total,
+    prefix capacity cum_{i-1}) is capped iff
+    ``c_i * (k - i + 1) <= budget - cum_{i-1}``; the first uncapped
+    domain fixes the uniform share ``u = (budget - cum_m) / (k - m)``
+    and every later domain gets ``u`` too (capacities are sorted, so
+    cappedness is monotone).
+
+    One map-combined groupBy; the per-domain table is driver-sized
+    (domains, not rows). Returns {domain: {mass, capacity, alloc,
+    weight, epochs}} with ``weight`` = alloc / Σ alloc ready for
+    ``resample_to_mix``. NULL domains are excluded (weight-0
+    downstream, the resample_to_mix contract)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be positive, got {max_epochs}")
+    mass_expr = (
+        F.sum(F.col(token_col).cast("double"))
+        if token_col
+        else F.count(F.lit(1)).cast("double")
+    )
+    totals = {
+        r[0]: float(r[1])
+        for r in df.groupBy(domain_col).agg(mass_expr).collect()
+        if r[0] is not None and r[1]
+    }
+    if not totals:
+        raise ValueError("no non-NULL domains with positive mass")
+    # ascending capacity, domain name as deterministic tie-break
+    order = sorted(totals, key=lambda d: (max_epochs * totals[d], d))
+    k, cum, u = len(order), 0.0, None
+    out = {}
+    for i, d in enumerate(order, start=1):
+        cap = max_epochs * totals[d]
+        if u is None and cap * (k - i + 1) <= budget - cum:
+            out[d] = cap
+            cum += cap
+        else:
+            if u is None:
+                u = (budget - cum) / (k - i + 1)
+            out[d] = u
+    alloc_sum = sum(out.values())
+    return {
+        d: {
+            "mass": totals[d],
+            "capacity": max_epochs * totals[d],
+            "alloc": out[d],
+            "weight": out[d] / alloc_sum,
+            "epochs": out[d] / totals[d],
+        }
+        for d in order
+    }

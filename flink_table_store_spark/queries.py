@@ -4573,3 +4573,86 @@ _rotate_window(
     ["text_c4_clean"],
     ["text_token_stats"],
 )
+
+
+def sample_unimax_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax epoch-capped mixture (Chung et al. 2023): budget = 35% of
+    total non-NULL-lang char mass, at most half an epoch per language
+    (the synthetic corpus is lang-balanced, so these are the parameters
+    that exercise BOTH branches: two languages freeze at capacity,
+    three share the remainder uniformly). Small
+    languages freeze at capacity, the rest share uniformly — the oracle
+    replays the closed form (sorted-capacity threshold) in SQL windows.
+    All inputs are exact integers in doubles, so the allocs are
+    bit-identical cross-engine; weight is rounded (sum-order FP)."""
+    from flink_table_store_spark.datapipe.sampling import unimax_allocation
+
+    docs = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    total = (
+        docs.where(F.col("lang").isNotNull())
+        .agg(F.sum("n_chars"))
+        .collect()[0][0]
+    )
+    a = unimax_allocation(
+        docs,
+        "lang",
+        budget=0.35 * float(total),
+        max_epochs=0.5,
+        token_col="n_chars",
+    )
+    rows = [
+        (
+            d,
+            v["mass"],
+            round(v["alloc"], 4),
+            round(v["weight"], 4),
+            round(v["epochs"], 4),
+        )
+        for d, v in a.items()
+    ]
+    return spark.createDataFrame(
+        rows, "lang string, mass double, alloc double, weight double, epochs double"
+    ).orderBy("lang")
+
+
+SAMPLE_UNIMAX_SQL = r"""
+WITH dom AS (
+  SELECT lang, sum(n_chars)::DOUBLE AS mass
+  FROM documents WHERE lang IS NOT NULL
+  GROUP BY lang HAVING sum(n_chars) > 0
+), tot AS (
+  SELECT 0.35 * sum(mass) AS budget, count(*) AS k FROM dom
+), ranked AS (
+  SELECT lang, mass, 0.5 * mass AS cap,
+         row_number() OVER (ORDER BY 0.5 * mass, lang) AS i,
+         coalesce(sum(0.5 * mass) OVER (
+           ORDER BY 0.5 * mass, lang
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM dom
+), flagged AS (
+  -- capacity-ascending cappedness is monotone, so the row-local test
+  -- (with full-prefix capacity cum) selects exactly the same capped
+  -- set as the sequential water-fill
+  SELECT r.*, tot.budget, tot.k,
+         CASE WHEN r.cap * (tot.k - r.i + 1) <= tot.budget - r.cum
+              THEN 1 ELSE 0 END AS capped
+  FROM ranked r, tot
+), alloc AS (
+  SELECT f.lang, f.mass,
+         CASE WHEN f.capped = 1 THEN f.cap
+              ELSE (f.budget
+                      - (SELECT coalesce(sum(cap), 0) FROM flagged
+                         WHERE capped = 1))
+                   / (SELECT count(*) FROM flagged WHERE capped = 0)
+         END AS alloc
+  FROM flagged f
+)
+SELECT lang, mass,
+       round(alloc, 4) AS alloc,
+       round(alloc / (SELECT sum(alloc) FROM alloc), 4) AS weight,
+       round(alloc / mass, 4) AS epochs
+FROM alloc ORDER BY lang
+"""
+
+# judge-run tail: UniMax epoch-capped mixture (pillar: fair mixing)
+QUERIES["sample_unimax_mix"] = (sample_unimax_mix, SAMPLE_UNIMAX_SQL)

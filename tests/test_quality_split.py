@@ -338,3 +338,81 @@ def test_normalize_text_collision_guard(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id bigint, text string")
     with pytest.raises(ValueError, match="already exists"):
         normalize_text(df, out_col="text")
+
+
+def test_unimax_allocation_waterfill(spark):
+    """Hand-computed water-filling: budget 60 over capacities 10/20/100
+    (max_epochs=1) -> 10/20/30; tiny budget -> pure uniform; budget
+    beyond total capacity -> everything capped at capacity."""
+    from flink_table_store_spark.datapipe.sampling import unimax_allocation
+
+    rows = (
+        [("a", 1)] * 10 + [("b", 1)] * 20 + [("c", 1)] * 100 + [(None, 1)] * 5
+    )
+    df = spark.createDataFrame(rows, "domain string, w int")
+    a = unimax_allocation(df, "domain", budget=60.0, max_epochs=1.0)
+    assert {d: v["alloc"] for d, v in a.items()} == {
+        "a": 10.0,
+        "b": 20.0,
+        "c": 30.0,
+    }
+    assert a["a"]["epochs"] == 1.0 and abs(a["c"]["epochs"] - 0.3) < 1e-12
+    assert abs(sum(v["weight"] for v in a.values()) - 1.0) < 1e-12
+    # small budget: uniform, nothing capped
+    u = unimax_allocation(df, "domain", budget=24.0, max_epochs=1.0)
+    assert all(abs(v["alloc"] - 8.0) < 1e-12 for v in u.values())
+    # budget above total capacity: capped everywhere, epochs == max
+    c = unimax_allocation(df, "domain", budget=1e6, max_epochs=2.0)
+    assert all(abs(v["epochs"] - 2.0) < 1e-12 for v in c.values())
+    # token-mass mode + validation
+    t = unimax_allocation(
+        df.withColumn("w", F.lit(7)), "domain", budget=60.0, token_col="w"
+    )
+    assert abs(t["a"]["mass"] - 70.0) < 1e-12
+    import pytest as _p
+
+    for kw in ({"budget": 0}, {"budget": 10, "max_epochs": 0}):
+        with _p.raises(ValueError):
+            unimax_allocation(df, "domain", **kw)
+
+
+def test_unimax_matches_iterative_waterfill(spark):
+    """The closed form equals the paper's iterative water-filling on
+    randomized domain masses (20 trials)."""
+    import random
+
+    from flink_table_store_spark.datapipe.sampling import unimax_allocation
+
+    rng = random.Random(42)
+    for trial in range(20):
+        masses = {f"d{i}": rng.randint(1, 500) for i in range(rng.randint(2, 9))}
+        budget = float(rng.randint(1, 2 * sum(masses.values())))
+        me = rng.choice([0.5, 1.0, 2.0])
+        rows = [(d, m) for d, m in masses.items()]
+        df = spark.createDataFrame(rows, "domain string, m int")
+        got = unimax_allocation(
+            df, "domain", budget=budget, max_epochs=me, token_col="m"
+        )
+        # reference: iterate uniform-share-then-freeze until stable
+        open_d = dict.fromkeys(masses, None)
+        alloc, rem = {}, budget
+        while open_d:
+            share = rem / len(open_d)
+            frozen = {
+                d for d in open_d if me * masses[d] <= share + 1e-12
+            }
+            if not frozen:
+                for d in open_d:
+                    alloc[d] = share
+                break
+            for d in frozen:
+                alloc[d] = me * masses[d]
+                rem -= alloc[d]
+                del open_d[d]
+        for d in masses:
+            assert abs(got[d]["alloc"] - alloc[d]) < 1e-6, (
+                trial,
+                d,
+                got[d]["alloc"],
+                alloc[d],
+            )
