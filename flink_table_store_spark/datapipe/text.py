@@ -415,9 +415,12 @@ def c4_clean(
     re-join, two boolean gates. No shuffle, no UDF, no explode; the
     line filter runs inside whole-stage codegen over the array.
 
-    Returns (id_col, text_col rebuilt, lines_kept, lines_dropped) for
-    surviving documents. NULL text never survives (a page with no
-    lines has no content to keep)."""
+    Returns the surviving documents with ``text_col`` rebuilt and two
+    appended columns (lines_kept, lines_dropped); every other input
+    column rides through untouched, so the operator composes inside
+    pipelines (e.g. the streaming curation writer) without losing
+    metadata. NULL text never survives (a page with no lines has no
+    content to keep)."""
     if min_lines < 1:
         raise ValueError(f"min_lines must be >= 1, got {min_lines}")
     lines = F.split(F.col(text_col), "\n")
@@ -427,8 +430,9 @@ def c4_clean(
     for m in drop_markers:
         hit = low.contains(m.lower())
         marker_hit = hit if marker_hit is None else (marker_hit | hit)
+    others = [c for c in df.columns if c != text_col]
     out = df.select(
-        F.col(id_col),
+        *others,
         F.array_join(kept, "\n").alias(text_col),
         F.size(kept).alias("lines_kept"),
         (F.size(lines) - F.size(kept)).alias("lines_dropped"),
@@ -436,6 +440,9 @@ def c4_clean(
             F.lit(False) if marker_hit is None else marker_hit
         ).alias("__marker"),
     )
+    # put text back in its original slot so writers relying on column
+    # order (createDataFrame round-trips, parquet appends) are stable
+    out = out.select(*df.columns, "lines_kept", "lines_dropped", "__marker")
     return out.where(
         (F.col("lines_kept") >= F.lit(int(min_lines))) & ~F.col("__marker")
     ).drop("__marker")

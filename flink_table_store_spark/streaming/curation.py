@@ -48,6 +48,9 @@ def curation_batch_writer(
     max_tokens: int | None = None,
     quality_model: dict | None = None,
     quality_threshold: float = 0.5,
+    c4_opts: dict | None = None,
+    dsir_model: dict | None = None,
+    dsir_threshold: float = 0.0,
     minhash_index=None,
     jaccard_threshold: float = 0.8,
     simhash_index=None,
@@ -67,7 +70,20 @@ def curation_batch_writer(
     same way — its verification is bit math against signatures stored
     in the index, so it reads no corpus text at all; both near-dup
     families compose (minhash catches shingle overlap, simhash catches
-    bag-of-words proximity)."""
+    bag-of-words proximity).
+
+    ``c4_opts`` (a kwargs dict for ``text.c4_clean``, ``{}`` for the
+    defaults) runs C4 line cleaning BEFORE every other stage — it
+    rewrites the text, so fingerprints, signatures and token counts
+    must all see the cleaned form or replays and batch-mates would
+    disagree on identity. ``dsir_model`` (from ``dsir.fit_dsir``) adds
+    a DSIR gate keeping docs with importance log-ratio >=
+    ``dsir_threshold`` — the streaming form of the paper's selection
+    (a global top-k has no meaning mid-stream; a fixed threshold is
+    what an online selector uses). Unscorable (no-gram) docs are
+    dropped, matching ``dsir_resample``. Both are per-doc pure
+    functions, so they commute with exact dedup and sit with the
+    other gates ahead of the near-dup families."""
     from flink_table_store_spark.datapipe.incdedup import (
         dedup_against_index,
         dedup_exact_against_index,
@@ -83,6 +99,12 @@ def curation_batch_writer(
         # near-dup dedup — deduping first would let a low-quality doc
         # suppress its batch-mate and then be filtered itself, losing
         # both and making the outcome depend on batch boundaries
+        if c4_opts is not None:
+            from flink_table_store_spark.datapipe.text import c4_clean
+
+            df = c4_clean(df, text_col=text_col, **c4_opts).drop(
+                "lines_kept", "lines_dropped"
+            )
         toks = token_count(text_col)
         kept = df.where(toks >= min_tokens)
         if max_tokens is not None:
@@ -91,6 +113,15 @@ def curation_batch_writer(
             kept = quality_filter(
                 kept, quality_model, quality_threshold, text_col, id_col
             )
+        if dsir_model is not None:
+            from flink_table_store_spark.datapipe.dsir import score_dsir
+
+            ok_ids = (
+                score_dsir(kept, dsir_model, text_col, id_col)
+                .where(F.col("dsir_logratio") >= F.lit(float(dsir_threshold)))
+                .select(F.col(id_col))
+            )
+            kept = kept.join(ok_ids, id_col, "left_semi")
         kept = dedup_exact_against_index(
             spark, index_table, kept,
             text_col=text_col, id_col=id_col, update_index=False,

@@ -362,3 +362,61 @@ def test_simhash_gate_in_stream(spark, warehouse):
     assert (
         sh.refresh().to_df(spark).select("doc_id").distinct().count() == 2
     )
+
+
+def test_c4_and_dsir_gates_in_stream(spark, warehouse):
+    """C4 line cleaning rewrites text BEFORE fingerprinting (two docs
+    that differ only in junk lines dedup to one), and the DSIR gate
+    drops off-domain docs by importance log-ratio."""
+    from flink_table_store_spark.datapipe.dsir import fit_dsir
+
+    corpus, index = _mk_tables(warehouse)
+    target = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta.")],
+        "doc_id bigint, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta."),
+            (1, "qq ww ee rr tt yy."),
+        ],
+        "doc_id bigint, text string",
+    )
+    model = fit_dsir(target, raw, n_buckets=4096)
+    fn = curation_batch_writer(
+        corpus,
+        index,
+        "s",
+        min_tokens=1,
+        c4_opts={"min_words_per_line": 5, "min_lines": 1},
+        dsir_model=model,
+        dsir_threshold=0.0,
+    )
+    good = "alpha beta gamma delta epsilon zeta."
+    fn(
+        spark.createDataFrame(
+            [
+                # same clean content, different junk lines -> same
+                # post-C4 fingerprint -> only min-id survives
+                (1, good + "\nshort junk"),
+                (2, good + "\nClick here now"),
+                # off-domain: passes C4, fails the DSIR gate
+                (3, "qq ww ee rr tt yy zz aa bb cc dd."),
+                # no line survives C4 -> dropped before any gate
+                (4, "no punctuation here at all"),
+            ],
+            "doc_id bigint, text string",
+        ),
+        0,
+    )
+    got = {r["doc_id"]: r for r in corpus.refresh().to_df(spark).collect()}
+    assert sorted(got) == [1]
+    assert got[1]["text"] == good  # junk line stripped before the write
+    # replay of the same batch is a no-op (identifier + index idempotent)
+    fn(
+        spark.createDataFrame(
+            [(1, good + "\nshort junk")], "doc_id bigint, text string"
+        ),
+        0,
+    )
+    assert corpus.refresh().to_df(spark).count() == 1
