@@ -751,19 +751,14 @@ def main() -> None:
     # 10x linearity twin (r10): the sf0.1 entry swung 10x under driver
     # load in BENCH_r09 with zero code change to update_columns — per
     # the bench's noise protocol, regressions adjudicate via the 10x
-    # per-row cost, so the entry gets a twin like mor_read/dedup_minhash
-    o_max = int(orders.agg(F.max("o_orderkey")).first()[0]) + 1
-    orders10 = _union(
-        [
-            orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * o_max))
-            for i in range(n10)
-        ]
-    )
+    # per-row cost, so the entry gets a twin like mor_read/dedup_minhash.
+    # Reuses the ord10 10x union already built for bucketed_join_10x
+    # (rows_10x["orders_10x"] is recorded there).
     de10_tables = []
     for i in range(3):
         tde = cat.create_table(
             f"bench.orders_de10_{i}",
-            orders10.schema,
+            orders.schema,
             options={
                 "row-tracking.enabled": "true",
                 "data-evolution.enabled": "true",
@@ -771,10 +766,9 @@ def main() -> None:
             ignore_if_exists=True,
         )
         if not tde.snapshots.latest_id():
-            tde.write(orders10)
+            tde.write(ord10)
         de10_tables.append(tde)
     timed_mutating("data_evolution_update_10x", de10_tables, _de_run)
-    rows_10x["orders_10x"] = orders.count() * n10
 
     snap0 = de_tables[0].snapshots.latest()
     es0 = de_tables[0].manifests.read_live_entries(

@@ -111,6 +111,17 @@ def fit_dsir(
             ).alias("lr"),
         )
     )
+    # materialize the fitted model: it is <= n_buckets rows by
+    # construction and every downstream score (including one per
+    # streaming micro-batch when used as a curation gate) would
+    # otherwise re-run the whole two-corpus aggregation through the
+    # lazy lineage
+    try:
+        lr = lr.localCheckpoint(eager=True)
+    except Exception:
+        lr = target.sparkSession.createDataFrame(
+            lr.collect(), schema=lr.schema
+        )
     return {
         "weights": lr,
         "default_lr": math.log(a / (tt + a * b)) - math.log(a / (tr + a * b)),
@@ -172,32 +183,49 @@ def exact_top_k(
     data) → prefix-sum on the driver picks the partitions wholly
     inside the top-k (taken with a pure filter, no sort) and THE ONE
     boundary partition, which alone is ranked with a
-    partitionBy(spark_partition_id()) window — group size is bounded by
-    |df|/P by the range partitioner, so no single task ever sees more.
+    partitionBy(spark_partition_id()) window — group size stays ~|df|/P
+    as long as (order_col, tie_col) is splittable (see tie note below).
 
     Deterministic given deterministic (order_col, tie_col): selection
-    is by exact rank, not by the (sampled) range boundaries. Ties
-    beyond (order_col, tie_col) make the k-th row ambiguous — pass a
-    unique tie_col for reproducible output.
+    is by exact rank, not by the (sampled) range boundaries. Pass a
+    UNIQUE tie_col for reproducible output — it does double duty:
+    beyond fixing which of the k-th-equal rows win, it lets the range
+    partitioner split heavy tie classes of order_col across partitions
+    (with ties only on the order column, one tie class is one range —
+    a single task would rank it all). Without tie_col a synthetic
+    per-run tiebreak is injected so the boundary-partition bound still
+    holds, but the k-th row among equals is then arbitrary-but-valid
+    rather than reproducible.
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     oc = F.col(order_col) if isinstance(order_col, str) else order_col
-    tc = (
-        F.col(tie_col)
-        if isinstance(tie_col, str)
-        else (tie_col if tie_col is not None else F.lit(0))
-    )
+    synthetic_tie = tie_col is None
+    if synthetic_tie:
+        df = df.withColumn("__tie", F.monotonically_increasing_id())
+        tc = F.col("__tie")
+    else:
+        tc = F.col(tie_col) if isinstance(tie_col, str) else tie_col
     sort_cols = [oc.desc() if descending else oc.asc(), tc.asc()]
     P = n_partitions or df.sparkSession.sparkContext.defaultParallelism * 2
     parted = df.repartitionByRange(P, *sort_cols)
     try:
         parted = parted.localCheckpoint(eager=True)
     except Exception:
-        # correctness still holds only if the recomputed layout is
-        # identical; refuse the risk and fall back to a single sorted
-        # take when pinning is unavailable
-        return df.orderBy(*sort_cols).limit(k)
+        # correctness of the two-pass plan holds only if the recomputed
+        # layout is identical; refuse the risk. The fallback is the
+        # driver-merging TakeOrdered plan — loud, because at large k
+        # that is exactly the plan this primitive exists to avoid.
+        import warnings
+
+        warnings.warn(
+            "exact_top_k: localCheckpoint unavailable; falling back to "
+            "orderBy().limit(k) (driver merges up to P*k rows)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        out = df.orderBy(*sort_cols).limit(k)
+        return out.drop("__tie") if synthetic_tie else out
     with_pid = parted.withColumn("__pid", F.spark_partition_id())
     counts = sorted(
         (r["__pid"], r["c"])
@@ -224,8 +252,10 @@ def exact_top_k(
         )
         out = edge if out is None else out.unionByName(edge)
     if out is None:
-        return df.limit(0)
-    return out.drop("__pid")
+        out = df.limit(0)
+        return out.drop("__tie") if synthetic_tie else out
+    out = out.drop("__pid")
+    return out.drop("__tie") if synthetic_tie else out
 
 
 def dsir_resample(

@@ -376,16 +376,18 @@ def c4_line_rules(
 ) -> Column:
     """Boolean: does one line survive the C4 line filters (Raffel et
     al. 2020, "Exploring the Limits of Transfer Learning...", §2.2)?
-    Kept iff it ends in terminal punctuation (., !, ? or a closing
-    quote after one), has at least ``min_words_per_line`` words, and
-    does not contain the word "javascript" (case-insensitive) — the
-    published rule for boilerplate JS warnings. Pure built-ins, usable
-    inside ``F.filter`` over a split array (JVM-side, codegen'd)."""
+    Kept iff it ends in a terminal mark — period, exclamation mark,
+    question mark, or end quotation mark, the exact _END_MARKS set of
+    the published C4 implementation (tensorflow_datasets c4_utils) —
+    has at least ``min_words_per_line`` words, and does not contain
+    the word "javascript" (case-insensitive), the published rule for
+    boilerplate JS warnings. Pure built-ins, usable inside ``F.filter``
+    over a split array (JVM-side, codegen'd)."""
     t = F.trim(line)
     words = F.size(F.split(t, r"\s+"))
     return (
         (t != F.lit(""))
-        & t.rlike(r"""[.!?]["']?$""")
+        & t.rlike(r"""[.!?"]$""")
         & (words >= F.lit(int(min_words_per_line)))
         & ~F.lower(t).contains("javascript")
     )
@@ -394,7 +396,6 @@ def c4_line_rules(
 def c4_clean(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     min_words_per_line: int = 5,
     min_lines: int = 3,
     drop_markers: tuple[str, ...] = ("lorem ipsum", "{"),

@@ -4547,7 +4547,7 @@ WITH shaped AS (
 ), filt AS (
   SELECT doc_id, text,
          list_filter(ls, x -> trim(x) <> ''
-           AND regexp_matches(trim(x), '[.!?]["'']?$')
+           AND regexp_matches(trim(x), '[.!?"]$')
            AND len(regexp_split_to_array(trim(x), '\s+')) >= 5
            AND NOT contains(lower(trim(x)), 'javascript')) AS ks,
          len(ls) AS nl

@@ -21,7 +21,8 @@ def test_c4_line_rules(spark):
             "too short.",                           # < 5 words
             "no terminal punctuation at all here",  # no punct
             "ends with a question mark does it?",   # kept
-            'he said "it ends in a quote."',        # kept (. then ")? no — ." is punct+quote
+            'he said "it ends in a quote."',        # kept (ends in ")
+            'lines may end in a bare quote too "',   # kept (end-mark set)
             "please enable JavaScript to view this page.",  # javascript
             "",                                     # empty
             "   ",                                  # whitespace only
@@ -34,9 +35,10 @@ def test_c4_line_rules(spark):
         GOOD,
         "ends with a question mark does it?",
         'he said "it ends in a quote."',
+        'lines may end in a bare quote too "',
         "exclamation lines are fine as well!",
     ]
-    assert out[1]["lines_kept"] == 4 and out[1]["lines_dropped"] == 5
+    assert out[1]["lines_kept"] == 5 and out[1]["lines_dropped"] == 5
 
 
 def test_c4_doc_gates(spark):

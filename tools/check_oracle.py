@@ -47,7 +47,13 @@ def dtype_drift(sdf, con, sql):
     """Return a description of int<->float kind drift between the Spark
     schema and a pandas fetch of the oracle, or None. Columns with NULLs
     are skipped (pandas legitimately promotes nullable ints to float on
-    both sides)."""
+    both sides).
+
+    Deliberately RE-EXECUTES the oracle for a .df() fetch: the row
+    comparison must keep fetchall() (dates/decimals normalize as python
+    scalars there; a pandas fetch would change their repr and break the
+    established norm() semantics), while drift detection only exists in
+    the pandas dtype — one result set cannot serve both."""
     try:
         odf = con.execute(sql).df()
     except Exception:
