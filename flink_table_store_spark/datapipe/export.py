@@ -61,15 +61,34 @@ def shard_columns(key_col: str, n_shards: int, seed: int = 42) -> list:
 
 
 def stage_for_export(
-    df: DataFrame, n_shards: int, key_col: str = "doc_id", seed: int = 42
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    seed: int = 42,
+    curriculum_col: str | None = None,
+    curriculum_desc: bool = False,
 ) -> DataFrame:
     """The exact frame the writer persists: shard columns added, ONE
     hash repartition on the shard id, partition-LOCAL sort — no global
     sort anywhere (plan-shape-tested; exported so the test audits the
-    real plan, not a re-implementation)."""
+    real plan, not a re-implementation).
+
+    ``curriculum_col`` switches the WITHIN-shard order from the shuffle
+    key to a score (easy→hard with ascending scores; ``curriculum_desc``
+    flips it), the standard curriculum layout for shard-parallel data
+    loaders: shard membership stays the unbiased md5 slice — every
+    worker still sees a fair sample — while each worker reads its shard
+    in curriculum order. Ties fall back to (__u, key), so the order
+    stays fully deterministic; shard checksums are order-independent,
+    so manifests verify identically."""
     staged = df.select(*df.columns, *shard_columns(key_col, n_shards, seed))
+    if curriculum_col is not None:
+        cc = F.col(curriculum_col)
+        order = [cc.desc() if curriculum_desc else cc.asc(), "__u", key_col]
+    else:
+        order = ["__u", key_col]
     return staged.repartition(n_shards, "__shard").sortWithinPartitions(
-        "__shard", "__u", key_col
+        "__shard", *order
     )
 
 
@@ -91,6 +110,8 @@ def export_training_shards(
     n_shards: int,
     key_col: str = "doc_id",
     seed: int = 42,
+    curriculum_col: str | None = None,
+    curriculum_desc: bool = False,
 ) -> dict:
     """Write ``df`` as ``n_shards`` parquet shard directories under
     ``path`` (``__shard=K/``), rows inside each shard in the global
@@ -109,7 +130,9 @@ def export_training_shards(
     export's ``__u``/``__shard`` columns are dropped on entry, so
     re-exporting a read-back export (new epoch / re-shard) just works."""
     df = df.drop("__u", "__shard")
-    staged = stage_for_export(df, n_shards, key_col, seed)
+    staged = stage_for_export(
+        df, n_shards, key_col, seed, curriculum_col, curriculum_desc
+    )
     (
         staged.write.partitionBy("__shard")
         .mode("overwrite")
@@ -144,6 +167,11 @@ def export_training_shards(
         "key_col": key_col,
         "shards": shards,
     }
+    if curriculum_col is not None:
+        manifest["curriculum"] = {
+            "col": curriculum_col,
+            "descending": bool(curriculum_desc),
+        }
     with open(os.path.join(path, MANIFEST), "w") as f:
         json.dump(manifest, f, indent=1, sort_keys=True)
     return manifest

@@ -191,3 +191,65 @@ def lsh_topk(
             F.col("__rank").alias("rank"),
         )
     )
+
+
+def mine_hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    gold: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    topk_fn=None,
+) -> DataFrame:
+    """Hard-negative mining for retriever training (DPR, Karpukhin et
+    al. 2020; ANCE, Xiong et al. 2021 — both public): for each query,
+    the ``k`` highest-cosine corpus items that are NOT gold positives —
+    the negatives that most confuse the model. ``gold`` is a
+    (query_id_col, id_col) pair table.
+
+    Exactness under exclusion: retrieving top-k then dropping golds
+    would UNDER-fill queries whose golds rank high, so the search asks
+    for ``k + max golds per query`` candidates (one tiny agg — gold is
+    label data, driver-sized per query), anti-joins the golds, and
+    re-ranks to k. ``topk_fn`` defaults to the exact ``brute_force_topk``;
+    pass a partial of ``ivf_topk``/``lsh_topk`` to trade recall for
+    scale — the exclusion algebra is identical.
+
+    Returns (query_id_col, id_col, cosine, rank<=k)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    fn = topk_fn or brute_force_topk
+    gmax_row = (
+        gold.groupBy(query_id_col)
+        .agg(F.count(F.lit(1)).alias("g"))
+        .agg(F.max("g"))
+        .collect()[0][0]
+    )
+    gmax = int(gmax_row or 0)
+    cand = fn(
+        corpus,
+        queries,
+        k=k + gmax,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    )
+    neg = cand.join(
+        F.broadcast(gold.select(query_id_col, id_col).distinct()),
+        [query_id_col, id_col],
+        "left_anti",
+    )
+    # re-rank by the ORIGINAL rank (it encodes the unrounded cosine
+    # order), not by the rounded cosine the top-k function emits —
+    # re-sorting rounded values could swap near-ties
+    w = Window.partitionBy(query_id_col).orderBy(F.col("rank").asc())
+    return (
+        neg.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k)
+        .drop("rank")
+        .withColumnRenamed("__r", "rank")
+    )

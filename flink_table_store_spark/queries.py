@@ -4656,3 +4656,59 @@ FROM alloc ORDER BY lang
 
 # judge-run tail: UniMax epoch-capped mixture (pillar: fair mixing)
 QUERIES["sample_unimax_mix"] = (sample_unimax_mix, SAMPLE_UNIMAX_SQL)
+
+
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (DPR/ANCE): top-5 non-gold cosine neighbors
+    per query. Gold pairs = the query's own vector plus vec_id+7 —
+    self is always rank 1, so the exclusion is exercised on every
+    query. The search over-fetches k + max-golds candidates and
+    re-ranks after the anti-join, so ranks stay dense and exact."""
+    from flink_table_store_spark.datapipe.similarity import (
+        mine_hard_negatives,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    gold = queries.select("query_id").selectExpr(
+        "query_id", "query_id AS vec_id"
+    ).unionByName(
+        queries.selectExpr("query_id", "query_id + 7 AS vec_id")
+    )
+    return mine_hard_negatives(emb, queries, gold, k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+ANN_HARD_NEG_SQL = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5),
+     gold AS (
+       SELECT query_id, query_id AS vec_id FROM q
+       UNION ALL
+       SELECT query_id, query_id + 7 AS vec_id FROM q),
+     scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(q.qv, e.v)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(e.v, e.v))) AS cos
+  FROM q CROSS JOIN emb e
+  WHERE NOT EXISTS (SELECT 1 FROM gold g
+                    WHERE g.query_id = q.query_id
+                      AND g.vec_id = e.vec_id)),
+     ranked AS (
+  SELECT query_id, vec_id, round(cos, 6) AS cosine,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cosine, rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+# judge-run tail: hard-negative mining (pillar: retriever training data)
+QUERIES["ann_hard_negatives"] = (ann_hard_negatives, ANN_HARD_NEG_SQL)

@@ -846,3 +846,51 @@ def test_paragraph_dedup_word_windows(spark):
            paragraph_dedup(docs, sep=None, words_per_para=4).collect()}
     assert out[1] == "w1 w2 w3 w4"
     assert out[2] == "x1 x2 x3 x4"  # its first window was doc 1's
+
+
+def test_mine_hard_negatives(spark):
+    """Golds are excluded, ranks stay dense, and every query still
+    yields k negatives even when its golds occupy the top ranks."""
+    from flink_table_store_spark.datapipe.similarity import (
+        brute_force_topk,
+        mine_hard_negatives,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float(i == j or j == 3) for j in range(4)]) for i in range(8)],
+        "vec_id bigint, embedding array<double>",
+    )
+    queries = emb.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    # gold = the query itself (always cosine 1.0 = rank 1) + one more
+    gold = spark.createDataFrame(
+        [(0, 0), (0, 3), (1, 1)], "query_id bigint, vec_id bigint"
+    )
+    out = mine_hard_negatives(emb, queries, gold, k=3)
+    rows = {(r.query_id, r.rank): r.vec_id for r in out.collect()}
+    got_q0 = [rows[(0, r)] for r in (1, 2, 3)]
+    assert 0 not in got_q0 and 3 not in got_q0 and len(got_q0) == 3
+    got_q1 = [rows[(1, r)] for r in (1, 2, 3)]
+    assert 1 not in got_q1
+    # parity with brute-force minus golds, re-ranked
+    brute = brute_force_topk(emb, queries, k=8).collect()
+    want_q0 = [
+        r.vec_id
+        for r in sorted(
+            (r for r in brute if r.query_id == 0 and r.vec_id not in (0, 3)),
+            key=lambda r: r.rank,
+        )
+    ][:3]
+    assert got_q0 == want_q0
+    import pytest as _p
+
+    with _p.raises(ValueError, match="k must be positive"):
+        mine_hard_negatives(emb, queries, gold, k=0)
+    # empty gold degrades to plain top-k
+    none = gold.limit(0)
+    plain = mine_hard_negatives(emb, queries, none, k=3).collect()
+    top3 = [r for r in brute if r.rank <= 3]
+    assert {(r.query_id, r.vec_id, r.rank) for r in plain} == {
+        (r.query_id, r.vec_id, r.rank) for r in top3
+    }

@@ -200,3 +200,44 @@ def test_empty_export_read_is_loud(spark, tmp_path):
     assert all(v["n_rows"] == 0 for v in m["shards"].values())
     with pytest.raises(ValueError, match="is empty"):
         read_training_shards(spark, path)
+
+
+def test_curriculum_export_orders_within_shards(spark, tmp_path):
+    """curriculum_col switches the within-shard order to the score
+    (shard membership — the unbiased md5 slice — is unchanged, so
+    manifests/checksums verify identically); descending flips it."""
+    df = _docs(spark, 400).withColumn(
+        "difficulty", (F.col("doc_id") * 37 % 101).cast("double")
+    )
+    plain = str(tmp_path / "plain")
+    curr = str(tmp_path / "curr")
+    m1 = export_training_shards(df, plain, n_shards=4, seed=9)
+    m2 = export_training_shards(
+        df, curr, n_shards=4, seed=9, curriculum_col="difficulty"
+    )
+    # same membership + checksums, manifest records the ordering
+    assert {k: v for k, v in m1["shards"].items()} == m2["shards"]
+    assert m2["curriculum"] == {"col": "difficulty", "descending": False}
+    assert "curriculum" not in m1
+    for f in glob.glob(os.path.join(curr, "__shard=*", "*.parquet")):
+        import pyarrow.parquet as pq
+
+        ds = pq.read_table(f, columns=["difficulty"]).column(
+            "difficulty"
+        ).to_pylist()
+        assert ds == sorted(ds), f
+    # verified read-back still round-trips
+    assert read_training_shards(spark, curr).count() == 400
+    # descending
+    hard_first = str(tmp_path / "hard")
+    export_training_shards(
+        df, hard_first, n_shards=2, seed=9,
+        curriculum_col="difficulty", curriculum_desc=True,
+    )
+    for f in glob.glob(os.path.join(hard_first, "__shard=*", "*.parquet")):
+        import pyarrow.parquet as pq
+
+        ds = pq.read_table(f, columns=["difficulty"]).column(
+            "difficulty"
+        ).to_pylist()
+        assert ds == sorted(ds, reverse=True), f
