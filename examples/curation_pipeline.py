@@ -3,8 +3,9 @@
 Runnable walkthrough of the full pillar over the sf0.001 testdata:
 
     raw docs ─▶ exact dedup ─▶ quality gates (heuristic + model)
-             ─▶ decontaminate vs an eval set ─▶ temperature mix
-             ─▶ leakage-safe split ─▶ pack train split ─▶ shard export
+             ─▶ DSIR domain selection ─▶ decontaminate vs an eval set
+             ─▶ UniMax epoch-capped mix ─▶ leakage-safe split
+             ─▶ pack train split ─▶ curriculum shard export
 
 Every step is deterministic: rerunning this script byte-reproduces the
 export manifest. Usage:
@@ -33,6 +34,7 @@ from flink_table_store_spark.datapipe.sampling import (
     resample_to_mix,
     split_dataset,
     temperature_weights,
+    unimax_allocation,
 )
 from flink_table_store_spark.datapipe.text import (
     gopher_metrics,
@@ -72,6 +74,17 @@ def main() -> None:
     ).select("doc_id")
     docs = docs.join(keep_ids, "doc_id", "semi")
 
+    # 2c. DSIR domain selection (Xie et al. 2023): keep the 80% of the
+    # corpus whose hashed-ngram distribution best matches an English
+    # target slice — Gumbel-top-k over importance weights, seeded
+    from flink_table_store_spark.datapipe.dsir import dsir_resample, fit_dsir
+
+    target = docs.where(F.col("lang") == "en").limit(50)
+    dsir_model = fit_dsir(target, docs, n_buckets=8192, seed=13)
+    docs = dsir_resample(
+        docs, dsir_model, k=int(docs.count() * 0.8), seed=7
+    ).drop("n_grams", "dsir_logratio")
+
     # 3. decontaminate: drop docs sharing word 7-grams with a held-out
     # eval set (probes broadcast; the corpus scan stays narrow)
     eval_set = docs.orderBy("doc_id").limit(5).select("doc_id", "text")
@@ -83,8 +96,22 @@ def main() -> None:
     )
     docs = docs.join(contaminated.select("doc_id"), "doc_id", "anti")
 
-    # 4. temperature mixing: boost small languages (tau = 0.7)
-    w = temperature_weights(docs, "lang", 0.7, token_col="n_chars")
+    # 4. mixture: UniMax epoch-capped budget (compare with temperature
+    # weights — both are printed; the mix uses UniMax, the fair one)
+    tw = temperature_weights(docs, "lang", 0.7, token_col="n_chars")
+    ua = unimax_allocation(
+        docs, "lang",
+        budget=0.9 * sum(
+            r[1] for r in docs.where(F.col("lang").isNotNull())
+            .groupBy("lang").agg(F.sum("n_chars")).collect()
+        ),
+        max_epochs=2.0, token_col="n_chars",
+    )
+    print("lang        temp-w   unimax-w  unimax-epochs")
+    for lang in sorted(ua):
+        print(f"  {lang:8s} {tw.get(lang, 0):7.4f} {ua[lang]['weight']:9.4f}"
+              f" {ua[lang]['epochs']:9.4f}")
+    w = {d: v["weight"] for d, v in ua.items()}
     docs = resample_to_mix(docs, "lang", w, token_col="n_chars", seed=5)
     docs = docs.withColumn(
         "doc_id", F.col("doc_id") * 1000 + F.col("copy")
@@ -104,12 +131,15 @@ def main() -> None:
     )
     stats = packing_stats(packed, 1024).collect()[0]
 
-    # 7. export as deterministic shards with an auditable manifest
+    # 7. export as deterministic shards with an auditable manifest;
+    # within-shard curriculum order (short docs first), shard
+    # membership still the unbiased md5 slice
     manifest = export_training_shards(
         train.select("doc_id", "text", "lang", "n_tokens"),
         os.path.join(out, "train_shards"),
         n_shards=8,
         seed=1,
+        curriculum_col="n_tokens",
     )
 
     kept = docs.groupBy("split").count().collect()
