@@ -165,3 +165,42 @@ def test_exact_top_k_no_global_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan or "__pid" in plan
     assert out.count() == 500
+
+
+def test_exact_top_k_hypothesis_fuzz(spark):
+    """Property: for arbitrary value multisets (heavy ties included),
+    ks and partition counts, exact_top_k returns exactly the k smallest
+    /largest (value, tie) pairs — the same multiset a full sort picks."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    rows_st = st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=300
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        rows_st,
+        st.integers(min_value=1, max_value=350),
+        st.integers(min_value=1, max_value=9),
+        st.booleans(),
+    )
+    def run(vals, k, nparts, desc):
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], "id bigint, v long"
+        )
+        got = sorted(
+            (r["v"], r["id"])
+            for r in exact_top_k(
+                df, "v", k, tie_col="id", descending=desc,
+                n_partitions=nparts,
+            ).collect()
+        )
+        ordered = sorted(
+            ((v, i) for i, v in enumerate(vals)),
+            key=lambda t: ((-t[0]) if desc else t[0], t[1]),
+        )
+        want = sorted(ordered[: min(k, len(vals))])
+        assert got == want, (k, nparts, desc)
+
+    run()
