@@ -734,3 +734,105 @@ def paragraph_dedup(
         ).alias(text_col),
         F.count(F.lit(1)).alias("paras_kept"),
     )
+
+
+_SENT_SEP = "\u001e"
+
+
+def split_sentences(col: Column) -> Column:
+    """Sentence array: break after [.!?] followed by whitespace, drop
+    blank fragments. RE2-compatible on purpose (capture-and-replace,
+    no lookbehind) so a SQL oracle replays the exact same segmentation:
+    DuckDB `regexp_replace(text, '([.!?])\\s+', '\\1' || chr(30), 'g')`
+    is this expression verbatim."""
+    marked = F.regexp_replace(col, r"([.!?])\s+", "$1" + _SENT_SEP)
+    return F.filter(
+        F.split(marked, _SENT_SEP), lambda s: F.trim(s) != F.lit("")
+    )
+
+
+def sentence_span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 3,
+) -> DataFrame:
+    """C4's global fuzzy-dedup rule (Raffel et al. 2020 \u00a72.2; the
+    tfds c4_utils three-sentence policy): any run of ``span``
+    consecutive sentences that occurred earlier in the corpus - first
+    occurrence by (doc id, window position) wins - is removed from
+    every later document, and documents are rebuilt from their
+    surviving sentences. Together with ``text.c4_clean`` (line rules +
+    doc gates) and ``paragraph_dedup`` this completes the paper\'s
+    cleaning stack.
+
+    Sentences covered by ANY duplicated window are dropped, matching
+    the published implementation\'s remove-the-span behavior; documents
+    with fewer than ``span`` sentences emit no windows and pass
+    untouched; a document whose every sentence is covered drops out.
+    Rebuild joins with a single space (inter-sentence whitespace is
+    already consumed by the splitter).
+
+    Scale shape: window keys build as ``span-1`` shifted ``zip_with``
+    passes (O(span*sentences) - NOT slice-inside-transform, the
+    O(n^2) interpreted-HOF trap substring.py documents), then ONE
+    map-combined groupBy(window) + a join back on the same key
+    (Catalyst reuses the exchange) + one groupBy(doc) rebuild. Same
+    shape as paragraph_dedup: no windows over the corpus, no driver
+    state, no skew beyond a document\'s own length."""
+    if span < 2:
+        raise ValueError(f"span must be >= 2, got {span}")
+    arr = split_sentences(F.col(text_col))
+    win = arr
+    for j in range(1, span):
+        shifted = F.slice(
+            arr, j + 1, F.greatest(F.size(arr) - j, F.lit(0))
+        )
+        # zip_with pads the shorter side with NULL and concat_ws skips
+        # NULLs, so tail positions hold PARTIAL windows - the slice to
+        # m below cuts them before they can collide with real keys
+        win = F.zip_with(
+            win, shifted, lambda a, b: F.concat_ws(_SENT_SEP, a, b)
+        )
+    m = F.greatest(F.size(arr) - F.lit(span - 1), F.lit(0))
+    base = df.select(
+        F.col(id_col),
+        arr.alias("__sents"),
+        F.slice(win, 1, m).alias("__wins"),
+    )
+    sents = base.select(
+        id_col, F.posexplode("__sents").alias("pos", "__sent")
+    )
+    wins = base.select(
+        id_col, F.posexplode("__wins").alias("wpos", "__key")
+    )
+    firsts = wins.groupBy("__key").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("d"), F.col("wpos").alias("p"))
+        ).alias("__w")
+    )
+    losers = (
+        wins.join(firsts, "__key")
+        .where(
+            (F.col(id_col) != F.col("__w.d"))
+            | (F.col("wpos") != F.col("__w.p"))
+        )
+        .select(id_col, "wpos")
+    )
+    covered = losers.select(
+        id_col,
+        F.explode(
+            F.sequence(F.col("wpos"), F.col("wpos") + F.lit(span - 1))
+        ).alias("pos"),
+    ).distinct()
+    kept = sents.join(covered, [id_col, "pos"], "left_anti")
+    return kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "__sent"))),
+                lambda s: s["__sent"],
+            ),
+        ).alias(text_col),
+        F.count(F.lit(1)).alias("sentences_kept"),
+    )

@@ -407,7 +407,7 @@ def c4_clean(
     (b) contain any of ``drop_markers`` (the paper drops pages with
     "lorem ipsum" placeholder text and pages containing "{" — source
     code). The paper's third doc-level rule — global three-sentence
-    span dedup — is ``paragraph_dedup`` in this package; its bad-words
+    span dedup — is ``dedup.sentence_span_dedup``; its bad-words
     page filter needs a wordlist this repo deliberately does not ship
     (pass the list's disjuncts as extra ``drop_markers`` if you have
     one).

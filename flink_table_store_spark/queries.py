@@ -4712,3 +4712,87 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 
 # judge-run tail: hard-negative mining (pillar: retriever training data)
 QUERIES["ann_hard_negatives"] = (ann_hard_negatives, ANN_HARD_NEG_SQL)
+
+_rotate_window(
+    # r10 (cont.): hard-negative mining joins the gated window as a
+    # new family (retriever training data); the SQL-surface family
+    # keeps sql_auto_join_chain in-window
+    ["ann_hard_negatives"],
+    ["sql_surface_join"],
+)
+
+
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 three-sentence-span global dedup (completes the paper\'s
+    cleaning stack with text_c4_clean + paragraph_dedup). Shaping:
+    \' the \'/\' a \' become sentence breaks, a final period is appended,
+    and every 5th doc is prefixed with the SAME three-sentence
+    boilerplate block - so the dedup provably strips it from all but
+    the first occurrence while leaving every doc\'s own tail alone."""
+    from flink_table_store_spark.datapipe.dedup import sentence_span_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    boiler = "spark is fast. data is big. tables are stored. "
+    shaped = docs.withColumn(
+        "text",
+        F.concat(
+            F.when(F.col("doc_id") % 5 == 0, F.lit(boiler)).otherwise(
+                F.lit("")
+            ),
+            F.regexp_replace(F.col("text"), " (the|a) ", ". "),
+            F.lit("."),
+        ),
+    )
+    return sentence_span_dedup(shaped, span=3).orderBy("doc_id")
+
+
+TEXT_SPAN_DEDUP_SQL = r"""
+WITH shaped AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN 'spark is fast. data is big. tables are stored. '
+              ELSE '' END
+           || regexp_replace(text, ' (the|a) ', '. ', 'g') || '.' AS text
+  FROM documents
+), raws AS (
+  SELECT doc_id,
+         string_split(
+           regexp_replace(text, '([.!?])\s+', '\1' || chr(30), 'g'),
+           chr(30)) AS s
+  FROM shaped
+), sents AS (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS pos,
+         sent
+  FROM (
+    SELECT doc_id, s.i, raws.s[s.i] AS sent
+    FROM raws, LATERAL (
+      SELECT unnest(generate_series(1, len(raws.s))) AS i
+    ) s
+  ) WHERE trim(sent) <> ''
+), wins AS (
+  SELECT a.doc_id, a.pos AS wpos,
+         a.sent || chr(30) || b.sent || chr(30) || c.sent AS k
+  FROM sents a
+  JOIN sents b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN sents c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+), ranked AS (
+  SELECT doc_id, wpos,
+         row_number() OVER (PARTITION BY k ORDER BY doc_id, wpos) AS rn
+  FROM wins
+), covered AS (
+  SELECT DISTINCT doc_id, pos FROM (
+    SELECT doc_id, unnest(generate_series(wpos, wpos + 2)) AS pos
+    FROM ranked WHERE rn > 1)
+), kept AS (
+  SELECT s.doc_id, s.pos, s.sent FROM sents s
+  WHERE NOT EXISTS (SELECT 1 FROM covered c
+                    WHERE c.doc_id = s.doc_id AND c.pos = s.pos)
+)
+SELECT doc_id, string_agg(sent, ' ' ORDER BY pos) AS text,
+       count(*) AS sentences_kept
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""
+
+# judge-run tail: C4 sentence-span global dedup (pillar: cleaning stack)
+QUERIES["text_span_dedup"] = (text_span_dedup, TEXT_SPAN_DEDUP_SQL)

@@ -894,3 +894,46 @@ def test_mine_hard_negatives(spark):
     assert {(r.query_id, r.vec_id, r.rank) for r in plain} == {
         (r.query_id, r.vec_id, r.rank) for r in top3
     }
+
+
+def test_sentence_span_dedup(spark):
+    """C4 three-sentence-span global dedup: first occurrence wins,
+    covered sentences vanish from later docs, short docs untouched,
+    broken spans untouched, fully-covered and NULL docs drop out."""
+    BOILER = "spark is fast. data is big. tables are stored."
+    rows = [
+        (1, "unique alpha one. " + BOILER + " unique alpha two."),
+        (2, "totally different start. " + BOILER),
+        (3, BOILER),
+        (4, "short doc. two sentences only."),
+        (5, None),
+        (6, "spark is fast. data is big. broken here. tables are stored."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r.doc_id: (r.text, r.sentences_kept)
+        for r in DD.sentence_span_dedup(df).collect()
+    }
+    assert out[1] == (
+        "unique alpha one. spark is fast. data is big. tables are stored."
+        " unique alpha two.",
+        5,
+    )
+    assert out[2] == ("totally different start.", 1)
+    assert 3 not in out and 5 not in out
+    assert out[4] == ("short doc. two sentences only.", 2)
+    assert out[6][1] == 4  # no 3-run repeats: untouched
+    # overlapping duplicated windows: 4 identical sentences in a row
+    # cover positions 0..3 in the loser via two overlapping windows
+    four = "a one. b two. c three. d four."
+    df2 = spark.createDataFrame(
+        [(1, four), (2, four + " own tail here.")],
+        "doc_id bigint, text string",
+    )
+    out2 = {r.doc_id: r for r in DD.sentence_span_dedup(df2).collect()}
+    assert out2[1]["sentences_kept"] == 4
+    assert out2[2]["text"] == "own tail here."
+    import pytest as _p
+
+    with _p.raises(ValueError, match="span"):
+        DD.sentence_span_dedup(df, span=1)
