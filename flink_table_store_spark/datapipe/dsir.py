@@ -88,6 +88,15 @@ def fit_dsir(
 
     tc = _bucket_counts(target, "__tc")
     rc = _bucket_counts(raw, "__rc")
+    # materialize the count tables (<= n_buckets rows each) BEFORE
+    # anything reads them: the totals collect, the lr join and the
+    # model checkpoint below would otherwise each re-run the full
+    # gram explode over its corpus — 3x the fit cost, measured
+    try:
+        tc = tc.localCheckpoint(eager=True)
+        rc = rc.localCheckpoint(eager=True)
+    except Exception:
+        pass
     tot = (
         tc.agg(F.sum("__tc").alias("t")).collect()[0]["t"] or 0,
         rc.agg(F.sum("__rc").alias("r")).collect()[0]["r"] or 0,
