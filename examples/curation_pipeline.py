@@ -79,7 +79,7 @@ def main() -> None:
     # target slice — Gumbel-top-k over importance weights, seeded
     from flink_table_store_spark.datapipe.dsir import dsir_resample, fit_dsir
 
-    target = docs.where(F.col("lang") == "en").limit(50)
+    target = docs.where(F.col("lang") == "en").orderBy("doc_id").limit(50)
     dsir_model = fit_dsir(target, docs, n_buckets=8192, seed=13)
     docs = dsir_resample(
         docs, dsir_model, k=int(docs.count() * 0.8), seed=7

@@ -741,11 +741,12 @@ _SENT_SEP = "\u001e"
 
 def split_sentences(col: Column) -> Column:
     """Sentence array: break after [.!?] followed by whitespace, drop
-    blank fragments. RE2-compatible on purpose (capture-and-replace,
-    no lookbehind) so a SQL oracle replays the exact same segmentation:
-    DuckDB `regexp_replace(text, '([.!?])\\s+', '\\1' || chr(30), 'g')`
-    is this expression verbatim."""
-    marked = F.regexp_replace(col, r"([.!?])\s+", "$1" + _SENT_SEP)
+    blank fragments. Engine-portable on purpose: capture-and-replace
+    (no lookbehind, which RE2 lacks) over an EXPLICIT whitespace class
+    - Java's \\s matches vertical tab, RE2's does not, so the class
+    is spelled out identically on both sides. The DuckDB replay is
+    `regexp_replace(text, '([.!?])[ \\t\\n\\f\\r]+', '\\1' || chr(30), 'g')`."""
+    marked = F.regexp_replace(col, r"([.!?])[ \t\n\f\r]+", "$1" + _SENT_SEP)
     return F.filter(
         F.split(marked, _SENT_SEP), lambda s: F.trim(s) != F.lit("")
     )

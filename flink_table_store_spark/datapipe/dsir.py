@@ -96,7 +96,15 @@ def fit_dsir(
         tc = tc.localCheckpoint(eager=True)
         rc = rc.localCheckpoint(eager=True)
     except Exception:
-        pass
+        import warnings
+
+        warnings.warn(
+            "fit_dsir: localCheckpoint unavailable; the gram explode "
+            "will re-run for the totals, the lr join and the model "
+            "materialization (~3x fit cost)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     tot = (
         tc.agg(F.sum("__tc").alias("t")).collect()[0]["t"] or 0,
         rc.agg(F.sum("__rc").alias("r")).collect()[0]["r"] or 0,

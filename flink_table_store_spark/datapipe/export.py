@@ -115,8 +115,11 @@ def export_training_shards(
 ) -> dict:
     """Write ``df`` as ``n_shards`` parquet shard directories under
     ``path`` (``__shard=K/``), rows inside each shard in the global
-    deterministic shuffle order, plus a ``_manifest.json`` with per-
-    shard row counts and checksums. Returns the manifest dict.
+    deterministic shuffle order — or in score order when
+    ``curriculum_col`` is set (see ``stage_for_export``; membership
+    and checksums are unaffected, only the within-shard row order
+    changes, and the manifest records it) — plus a ``_manifest.json``
+    with per-shard row counts and checksums. Returns the manifest dict.
 
     One shuffle total (hash repartition on the shard id) + a per-shard
     sort. Shard K is the K-th contiguous slice of the md5-shuffled

@@ -222,9 +222,18 @@ def mine_hard_negatives(
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     fn = topk_fn or brute_force_topk
+    # gmax over only the queries being mined, distinct pairs: gold is
+    # often the FULL label set — an outlier query elsewhere (or dup
+    # pairs, which the anti-join dedups anyway) must not inflate the
+    # over-fetch for every mined query
     gmax_row = (
-        gold.groupBy(query_id_col)
-        .agg(F.count(F.lit(1)).alias("g"))
+        gold.join(
+            F.broadcast(queries.select(query_id_col).distinct()),
+            query_id_col,
+            "left_semi",
+        )
+        .groupBy(query_id_col)
+        .agg(F.countDistinct(id_col).alias("g"))
         .agg(F.max("g"))
         .collect()[0][0]
     )

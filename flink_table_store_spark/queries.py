@@ -4757,7 +4757,7 @@ WITH shaped AS (
 ), raws AS (
   SELECT doc_id,
          string_split(
-           regexp_replace(text, '([.!?])\s+', '\1' || chr(30), 'g'),
+           regexp_replace(text, '([.!?])[ \t\n\f\r]+', '\1' || chr(30), 'g'),
            chr(30)) AS s
   FROM shaped
 ), sents AS (
