@@ -356,3 +356,47 @@ def test_export_shards_is_one_shuffle(spark, tmp_path):
     assert plan.count("Exchange") == 1
     # the sort is partition-local (no range partitioner = no global sort)
     assert "rangepartitioning" not in plan.lower()
+
+
+def test_c4_clean_is_exchange_free(spark):
+    """C4 cleaning is a narrow map: the plan has NO Exchange — line
+    filtering runs as a higher-order function over the split array
+    inside the scan's codegen stage."""
+    from flink_table_store_spark.datapipe.text import c4_clean
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    out = c4_clean(docs.select("doc_id", "text"), min_lines=1)
+    plan = _plan(out)
+    assert "Exchange" not in plan, plan
+
+
+def test_sentence_span_dedup_shuffle_shape(spark):
+    """Span dedup shuffles only on keyed columns (window key, doc id) —
+    no partition-less window, no broadcast of the corpus, no cartesian."""
+    from flink_table_store_spark.datapipe.dedup import sentence_span_dedup
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    out = sentence_span_dedup(docs.select("doc_id", "text"))
+    plan = _plan(out, mode="simple")
+    assert "CartesianProduct" not in plan
+    assert "No Partition Defined" not in plan
+    # keyed exchanges only: every Exchange is a hashpartitioning
+    import re
+
+    ex = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert ex and all(
+        "hashpartitioning" in ln or "SinglePartition" not in ln for ln in ex
+    ), plan
+
+
+def test_dsir_score_broadcasts_model(spark):
+    """Scoring joins the fitted model via broadcast — the corpus side
+    never shuffles for the join."""
+    from flink_table_store_spark.datapipe.dsir import fit_dsir, score_dsir
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    m = fit_dsir(docs.limit(20), docs, n_buckets=1024)
+    plan = _plan(score_dsir(docs, m))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
