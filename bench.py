@@ -1025,6 +1025,24 @@ def main() -> None:
         model = train_quality_model(labeled, n_buckets=65536, seed=11)
         score_quality_model(docs10.select("doc_id", "text"), model).count()
 
+    @timed("dsir_select_10x", repeat=3)
+    def _dsir10():
+        # 10x linearity twin: fit/score are the quality-model shapes;
+        # the NOVEL claim is the selection — exact_top_k's cost is
+        # per-partition counts + one boundary rank, so per-row cost at
+        # 10x must collapse (no P*k driver merge, no global sort)
+        from flink_table_store_spark.datapipe.dsir import (
+            dsir_resample,
+            fit_dsir,
+        )
+
+        d10 = docs10.select("doc_id", "text", "lang")
+        target = d10.where(
+            (F.col("lang") == "en") & (F.col("doc_id") % 3 == 0)
+        )
+        model = fit_dsir(target, d10, n_buckets=8192, seed=13)
+        dsir_resample(d10, model, 10000).count()
+
     total = round(sum(timings.values()), 4)
     upsert_rps = round(n_upsert_rows / timings["upsert"], 1) if timings.get("upsert") else None
     print(
