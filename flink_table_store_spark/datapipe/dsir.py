@@ -308,3 +308,127 @@ def dsir_resample(
         "__gk", F.col("dsir_logratio") / F.lit(float(temperature)) + gumbel
     )
     return exact_top_k(keyed, "__gk", k, tie_col=id_col).drop("__gk")
+
+
+# ---------------------------------------------------------------------------
+# incremental DSIR: the fitted model as engine-native table state
+# ---------------------------------------------------------------------------
+
+DSIR_INDEX_DDL = "bucket int, tc bigint, rc bigint"
+
+
+def create_dsir_index(
+    catalog, name: str, *, n_buckets: int = 8192, seed: int = 13,
+    buckets: int = 4,
+):
+    """Persistent DSIR model state as an engine PK table: one row per
+    feature bucket, counts maintained SERVER-SIDE by the aggregation
+    merge engine (``fields.*.aggregate-function = sum``) — appending a
+    batch\'s counts IS the model update; no read-modify-write, no
+    driver state, replay-safe via commit identifiers like the three
+    dedup indexes. The feature-space parameters ride in the table
+    options so every writer provably hashes the same way."""
+    return catalog.create_table(
+        name,
+        DSIR_INDEX_DDL,
+        primary_keys=["bucket"],
+        options={
+            "merge-engine": "aggregation",
+            "fields.tc.aggregate-function": "sum",
+            "fields.rc.aggregate-function": "sum",
+            "bucket": str(buckets),
+            "dsir.n-buckets": str(int(n_buckets)),
+            "dsir.seed": str(int(seed)),
+        },
+    )
+
+
+def _index_params(index) -> tuple[int, int]:
+    opts = index.schema.options
+    try:
+        return int(opts["dsir.n-buckets"]), int(opts["dsir.seed"])
+    except KeyError as e:
+        raise ValueError(
+            "not a DSIR index table: missing option " + str(e)
+        ) from None
+
+
+def update_dsir_index(
+    index,
+    docs: DataFrame,
+    corpus: str = "raw",
+    *,
+    text_col: str = "text",
+    commit_identifier: str | None = None,
+) -> None:
+    """Fold one batch\'s gram-bucket counts into the index.
+    ``corpus``: \'target\', \'raw\', or \'both\' (a labeled in-domain batch
+    that is also part of the selected-from pool). One map-combined
+    groupBy per batch; the write is <= n_buckets rows. Pass a
+    ``commit_identifier`` from your ingestion loop for exactly-once
+    folding — a replayed identifier is a no-op, never a double count."""
+    if corpus not in ("target", "raw", "both"):
+        raise ValueError(
+            f"corpus must be \'target\', \'raw\' or \'both\', got {corpus!r}"
+        )
+    n_buckets, seed = _index_params(index)
+    counts = (
+        hashed_feature_rows(
+            docs.select(F.col(text_col)).withColumn(
+                "__row", F.monotonically_increasing_id()
+            ),
+            text_col,
+            "__row",
+            n_buckets,
+            seed,
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    t = F.col("__n") if corpus in ("target", "both") else F.lit(0)
+    r = F.col("__n") if corpus in ("raw", "both") else F.lit(0)
+    rows = counts.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        t.cast("bigint").alias("tc"),
+        r.cast("bigint").alias("rc"),
+    )
+    index.refresh().write(rows, commit_identifier=commit_identifier)
+
+
+def model_from_index(spark, index, alpha: float = 1.0) -> dict:
+    """Materialize the scoring model from the index state — the same
+    dict ``fit_dsir`` returns, so ``score_dsir``/``dsir_resample`` (and
+    the streaming curation gate) work unchanged. Incremental folds of
+    batch counts sum to exactly the batch fit\'s counts, so the model
+    is bit-identical to refitting on everything ingested so far."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    n_buckets, seed = _index_params(index)
+    state = index.refresh().to_df(spark)
+    tot = state.agg(
+        F.sum("tc").alias("t"), F.sum("rc").alias("r")
+    ).collect()[0]
+    tt, tr = float(tot["t"] or 0), float(tot["r"] or 0)
+    if tt == 0 or tr == 0:
+        raise ValueError(
+            f"index needs counts for both corpora (target={int(tt)}, "
+            f"raw={int(tr)} gram occurrences)"
+        )
+    a, b = float(alpha), float(n_buckets)
+    lr = state.select(
+        "bucket",
+        (
+            F.log((F.col("tc") + a) / F.lit(tt + a * b))
+            - F.log((F.col("rc") + a) / F.lit(tr + a * b))
+        ).alias("lr"),
+    )
+    try:
+        lr = lr.localCheckpoint(eager=True)
+    except Exception:
+        lr = spark.createDataFrame(lr.collect(), schema=lr.schema)
+    return {
+        "weights": lr,
+        "default_lr": math.log(a / (tt + a * b)) - math.log(a / (tr + a * b)),
+        "n_buckets": int(n_buckets),
+        "seed": int(seed),
+    }

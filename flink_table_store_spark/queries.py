@@ -4796,3 +4796,55 @@ FROM kept GROUP BY doc_id ORDER BY doc_id
 
 # judge-run tail: C4 sentence-span global dedup (pillar: cleaning stack)
 QUERIES["text_span_dedup"] = (text_span_dedup, TEXT_SPAN_DEDUP_SQL)
+
+
+def dsir_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DSIR: the model state lives in an engine PK table
+    with the sum-aggregation merge engine; the corpus folds in as TWO
+    raw batches plus one target batch (three identifier-checked
+    commits), and the materialized model must score every document
+    BIT-IDENTICALLY to the single-shot closed form - so the oracle is
+    exactly DSIR_WEIGHTS_SQL. The persistent-index family\'s fourth
+    member (exact-fp, MinHash, SimHash, now the selection model)."""
+    from flink_table_store_spark.datapipe.dsir import (
+        create_dsir_index,
+        model_from_index,
+        score_dsir,
+        update_dsir_index,
+    )
+
+    cat = _wh(sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    name = "default.dsir_index_docs"
+    try:
+        idx = cat.get_table(name)
+        if not idx.snapshots.latest_id():
+            raise RuntimeError("empty")
+    except RuntimeError:
+        try:
+            cat.drop_table(name)
+        except RuntimeError:
+            pass
+        idx = create_dsir_index(cat, name, n_buckets=8192, seed=13)
+        update_dsir_index(
+            idx, docs.where(F.col("doc_id") % 2 == 0), "raw",
+            commit_identifier="dsir:r0",
+        )
+        update_dsir_index(
+            idx, docs.where(F.col("doc_id") % 2 == 1), "raw",
+            commit_identifier="dsir:r1",
+        )
+        update_dsir_index(
+            idx,
+            docs.where((F.col("lang") == "en") & (F.col("doc_id") % 3 == 0)),
+            "target",
+            commit_identifier="dsir:t0",
+        )
+    model = model_from_index(spark, idx)
+    return score_dsir(docs, model)
+
+
+# judge-run tail: incremental DSIR (fourth persistent-index family);
+# the oracle is the single-shot closed form - incremental folds must
+# reproduce it bit-for-bit
+QUERIES["dsir_incremental"] = (dsir_incremental, DSIR_WEIGHTS_SQL)

@@ -204,3 +204,56 @@ def test_exact_top_k_hypothesis_fuzz(spark):
         assert got == want, (k, nparts, desc)
 
     run()
+
+
+def test_incremental_dsir_index(spark, warehouse):
+    """Model state as an engine aggregation-merge table: folding
+    batches sums to the batch fit's exact counts (scores bit-identical
+    to fit_dsir on the union), commit identifiers make replays no-ops,
+    and parameter/corpus validation refuses loudly."""
+    from flink_table_store_spark.datapipe.dsir import (
+        create_dsir_index,
+        model_from_index,
+        update_dsir_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, ("alpha beta " if i % 2 else "zig zag ") * 3 + str(i))
+         for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    target = docs.where(F.col("doc_id") % 2 == 1).limit(8)
+    idx = create_dsir_index(warehouse, "db.dsir_idx", n_buckets=2048, seed=5)
+    update_dsir_index(idx, docs.where(F.col("doc_id") < 20), "raw",
+                      commit_identifier="r:0")
+    update_dsir_index(idx, docs.where(F.col("doc_id") >= 20), "raw",
+                      commit_identifier="r:1")
+    update_dsir_index(idx, target, "target", commit_identifier="t:0")
+    m_inc = model_from_index(spark, idx)
+    m_fit = fit_dsir(target, docs, n_buckets=2048, seed=5)
+    got = sorted(map(tuple, score_dsir(docs, m_inc).collect()))
+    want = sorted(map(tuple, score_dsir(docs, m_fit).collect()))
+    assert got == want
+    # replayed identifier: counts unchanged
+    update_dsir_index(idx, docs.where(F.col("doc_id") < 20), "raw",
+                      commit_identifier="r:0")
+    again = sorted(map(tuple, score_dsir(
+        docs, model_from_index(spark, idx)).collect()))
+    assert again == got
+    # 'both' counts into target AND raw
+    idx2 = create_dsir_index(warehouse, "db.dsir_idx2", n_buckets=2048, seed=5)
+    update_dsir_index(idx2, docs, "both")
+    st = {r["bucket"]: (r["tc"], r["rc"])
+          for r in idx2.refresh().to_df(spark).collect()}
+    assert st and all(t == r for t, r in st.values())
+    # validation
+    import pytest as _p
+
+    with _p.raises(ValueError, match="corpus must be"):
+        update_dsir_index(idx, docs, "eval")
+    with _p.raises(ValueError, match="both corpora"):
+        model_from_index(spark, idx2.refresh() if False else
+                         create_dsir_index(warehouse, "db.dsir_idx3"))
+    plain = warehouse.create_table("db.not_dsir", "bucket int, tc bigint, rc bigint")
+    with _p.raises(ValueError, match="not a DSIR index"):
+        update_dsir_index(plain, docs)
