@@ -83,7 +83,11 @@ def curation_batch_writer(
     what an online selector uses). Unscorable (no-gram) docs are
     dropped, matching ``dsir_resample``. Both are per-doc pure
     functions, so they commute with exact dedup and sit with the
-    other gates ahead of the near-dup families."""
+    other gates ahead of the near-dup families. ``dsir_model`` may
+    also be a ZERO-ARG CALLABLE returning the model — invoked once
+    per micro-batch, so a loop that folds counts into a persistent
+    ``dsir.create_dsir_index`` table can gate every batch with the
+    freshest state (``lambda: model_from_index(spark, idx)``)."""
     from flink_table_store_spark.datapipe.incdedup import (
         dedup_against_index,
         dedup_exact_against_index,
@@ -116,8 +120,9 @@ def curation_batch_writer(
         if dsir_model is not None:
             from flink_table_store_spark.datapipe.dsir import score_dsir
 
+            model = dsir_model() if callable(dsir_model) else dsir_model
             ok_ids = (
-                score_dsir(kept, dsir_model, text_col, id_col)
+                score_dsir(kept, model, text_col, id_col)
                 .where(F.col("dsir_logratio") >= F.lit(float(dsir_threshold)))
                 .select(F.col(id_col))
             )

@@ -420,3 +420,54 @@ def test_c4_and_dsir_gates_in_stream(spark, warehouse):
         0,
     )
     assert corpus.refresh().to_df(spark).count() == 1
+
+
+def test_dsir_gate_accepts_callable_model(spark, warehouse):
+    """A zero-arg callable dsir_model is invoked once per micro-batch —
+    the freshest incremental-index state gates every batch."""
+    from flink_table_store_spark.datapipe.dsir import (
+        create_dsir_index,
+        model_from_index,
+        update_dsir_index,
+    )
+
+    corpus, index = _mk_tables(warehouse)
+    idx = create_dsir_index(warehouse, "db.dsir_state", n_buckets=2048, seed=3)
+    tgt = spark.createDataFrame(
+        [(0, "alpha beta gamma delta.")], "doc_id bigint, text string"
+    )
+    raw = spark.createDataFrame(
+        [(0, "alpha beta gamma delta."), (1, "qq ww ee rr.")],
+        "doc_id bigint, text string",
+    )
+    update_dsir_index(idx, tgt, "target", commit_identifier="t0")
+    update_dsir_index(idx, raw, "raw", commit_identifier="r0")
+    calls = []
+
+    def fresh_model():
+        calls.append(1)
+        return model_from_index(spark, idx)
+
+    fn = curation_batch_writer(
+        corpus, index_table=index, sink_id="s", min_tokens=1,
+        dsir_model=fresh_model, dsir_threshold=0.0,
+    )
+    fn(
+        spark.createDataFrame(
+            [(10, "alpha beta gamma delta."), (11, "qq ww ee rr.")],
+            "doc_id bigint, text string",
+        ),
+        0,
+    )
+    assert len(calls) == 1
+    ids = sorted(
+        r["doc_id"] for r in corpus.refresh().to_df(spark).collect()
+    )
+    assert ids == [10]  # on-domain passes, off-domain gated out
+    fn(
+        spark.createDataFrame(
+            [(12, "alpha beta gamma epsilon.")], "doc_id bigint, text string"
+        ),
+        1,
+    )
+    assert len(calls) == 2  # re-invoked per batch
