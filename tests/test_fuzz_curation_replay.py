@@ -180,3 +180,117 @@ def test_fuzz_three_sink_crash_replay(spark, warehouse):
         mh_t.refresh().to_df(spark).select("doc_id").distinct().count()
         == len(want)
     )
+
+
+def test_fuzz_gated_curation_crash_replay(spark, warehouse):
+    """Crash/replay fuzz with the r10 gates ENABLED (C4 line cleaning +
+    DSIR threshold): batch boundaries and crash points must never
+    change what the gates keep. Serial oracle: python-replayed C4
+    rules -> token gate -> a DSIR accept set precomputed OUTSIDE the
+    crash machinery (the gate is a pure function of cleaned text) ->
+    min-id-per-cleaned-text within a batch -> existing-text wins."""
+    import re
+
+    from flink_table_store_spark.datapipe.dsir import fit_dsir, score_dsir
+
+    rng = random.Random(20260817)
+    JUNK = ["click here", "javascript required to view page.", "x.", ""]
+
+    def mk_text(i):
+        good = " ".join(rng.choice(WORDS) for _ in range(rng.randint(4, 7)))
+        lines = [good + "."]
+        for _ in range(rng.randint(0, 2)):
+            lines.insert(rng.randint(0, len(lines)), rng.choice(JUNK))
+        return "\n".join(lines)
+
+    def c4_py(text, min_words=5, min_lines=1):
+        if text is None:
+            return None
+        lines = text.split("\n")
+        kept = [
+            ln for ln in lines
+            if ln.strip()
+            and re.search(r'[.!?"]$', ln.strip())
+            and len(ln.strip().split()) >= min_words
+            and "javascript" not in ln.strip().lower()
+        ]
+        if len(kept) < min_lines:
+            return None
+        low = text.lower()
+        if "lorem ipsum" in low or "{" in low:
+            return None
+        return "\n".join(kept)
+
+    corpus_t = warehouse.create_table(
+        "db.fzg_corpus", "doc_id bigint, text string, n_tokens int"
+    )
+    index_t = create_exact_index(warehouse, "db.fzg_fp")
+    target = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon.")], "doc_id bigint, text string"
+    )
+    all_texts = [mk_text(i) for i in range(40)]
+    pool = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(all_texts)], "doc_id bigint, text string"
+    )
+    model = fit_dsir(target, pool, n_buckets=2048, seed=9)
+    # precompute the accept set per CLEANED text (gate is pure)
+    cleaned = sorted({c for c in (c4_py(t) for t in all_texts) if c})
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cleaned)], "doc_id bigint, text string"
+    )
+    thr = -1.0
+    acc = {
+        cleaned[r["doc_id"]]
+        for r in score_dsir(cdf, model).collect()
+        if r["dsir_logratio"] is not None and r["dsir_logratio"] >= thr
+    }
+
+    fn = curation_batch_writer(
+        corpus_t, index_t, "fzg", min_tokens=2,
+        c4_opts={"min_words_per_line": 5, "min_lines": 1},
+        dsir_model=model, dsir_threshold=thr,
+    )
+    real_write = index_t.write
+    batches, next_id, ti = [], [1000], [0]
+    for batch_id in range(5):
+        batch = []
+        for _ in range(rng.randint(2, 5)):
+            batch.append((next_id[0], all_texts[ti[0] % len(all_texts)]))
+            next_id[0] += 1
+            ti[0] += 1
+        if batches and rng.random() < 0.7:
+            batch.append((next_id[0], rng.choice(rng.choice(batches))[1]))
+            next_id[0] += 1
+        batches.append(batch)
+        df = spark.createDataFrame(batch, "doc_id bigint, text string")
+        _drive_to_commit(
+            fn, df, batch_id, rng,
+            {"exact": index_t}, {"exact": real_write},
+            [None, "exact", None],
+        )
+
+    # serial oracle over the gated semantics
+    seen, want = set(), {}
+    for batch in batches:
+        best = {}
+        for doc_id, text in batch:
+            c = c4_py(text)
+            if c is None or c not in acc:
+                continue
+            n = len(" ".join(c.split()).split())
+            if n < 2:
+                continue
+            nt = " ".join(c.strip().lower().split())
+            if nt not in best or doc_id < best[nt][0]:
+                best[nt] = (doc_id, n)
+        for nt, (doc_id, n) in sorted(best.items(), key=lambda kv: kv[1][0]):
+            if nt in seen:
+                continue
+            seen.add(nt)
+            want[doc_id] = n
+    got = {
+        r["doc_id"]: r["n_tokens"]
+        for r in corpus_t.refresh().to_df(spark).collect()
+    }
+    assert got == want
+    assert index_t.refresh().to_df(spark).count() == len(want)
