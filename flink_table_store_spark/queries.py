@@ -4848,3 +4848,45 @@ def dsir_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the oracle is the single-shot closed form - incremental folds must
 # reproduce it bit-for-bit
 QUERIES["dsir_incremental"] = (dsir_incremental, DSIR_WEIGHTS_SQL)
+
+
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-25 n-grams by occurrence (the WIMBD-style
+    what\'s-in-my-data analysis, Elazar et al. 2023): unigram+bigram
+    stream (the quality model\'s _grams, \'\' filtered), one map-combined
+    count, then EXACT top-k via exact_top_k — count desc, gram asc, so
+    the boundary is deterministic and the oracle\'s ORDER BY/LIMIT
+    reproduces it bit-for-bit. Puts the r10 top-k primitive itself
+    under the value-hash gate."""
+    from flink_table_store_spark.datapipe.dsir import exact_top_k
+    from flink_table_store_spark.datapipe.quality_model import _grams
+
+    docs = _t(spark, sf_dir, "documents")
+    grams = docs.select(F.explode(_grams(F.col("text"))).alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("n"))
+    top = exact_top_k(counts, "n", 25, tie_col="gram")
+    return top.select("gram", "n").orderBy(F.desc("n"), "gram")
+
+
+TEXT_TOP_NGRAMS_SQL = r"""
+WITH toks AS (
+  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT t[s.i] AS g
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, len(t))) AS i
+  ) s
+  UNION ALL
+  SELECT t[s.i] || ' ' || t[s.i + 1]
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+  ) s
+)
+SELECT g AS gram, count(*)::BIGINT AS n
+FROM grams WHERE g <> ''
+GROUP BY g ORDER BY n DESC, g LIMIT 25
+"""
+
+# judge-run tail: corpus top-ngrams analytics (exact_top_k under oracle)
+QUERIES["text_top_ngrams"] = (text_top_ngrams, TEXT_TOP_NGRAMS_SQL)
