@@ -49,6 +49,62 @@ from flink_table_store_spark.datapipe.quality_model import (
 from flink_table_store_spark.datapipe.sampling import sample_key
 
 
+def _bucket_counts(
+    corpus: DataFrame, text_col: str, n_buckets: int, seed: int, out: str
+) -> DataFrame:
+    """Per-bucket gram-occurrence counts for one corpus — the ONE
+    counting implementation shared by fit_dsir and update_dsir_index
+    (the incremental oracle's bit-identical contract depends on both
+    paths counting the same way). Ids are irrelevant (only bucket
+    totals survive), so monotonically_increasing_id is fine."""
+    rows = hashed_feature_rows(
+        corpus.select(F.col(text_col)).withColumn(
+            "__row", F.monotonically_increasing_id()
+        ),
+        text_col,
+        "__row",
+        n_buckets,
+        seed,
+    )
+    return rows.groupBy("bucket").agg(F.count(F.lit(1)).alias(out))
+
+
+def _finish_model(
+    counts: DataFrame,
+    tt: float,
+    tr: float,
+    n_buckets: int,
+    seed: int,
+    alpha: float,
+    spark,
+) -> dict:
+    """Smoothed log-ratio weights + model dict from a
+    (bucket, __tcv, __rcv) count table — the ONE formula shared by
+    fit_dsir and model_from_index, so incremental folds stay
+    bit-identical to the batch fit by construction. Materializes the
+    weights (<= n_buckets rows): every downstream score — including
+    one per streaming micro-batch — would otherwise re-run the count
+    lineage."""
+    a, b = float(alpha), float(n_buckets)
+    lr = counts.select(
+        "bucket",
+        (
+            F.log((F.col("__tcv") + a) / F.lit(tt + a * b))
+            - F.log((F.col("__rcv") + a) / F.lit(tr + a * b))
+        ).alias("lr"),
+    )
+    try:
+        lr = lr.localCheckpoint(eager=True)
+    except Exception:
+        lr = spark.createDataFrame(lr.collect(), schema=lr.schema)
+    return {
+        "weights": lr,
+        "default_lr": math.log(a / (tt + a * b)) - math.log(a / (tr + a * b)),
+        "n_buckets": int(n_buckets),
+        "seed": int(seed),
+    }
+
+
 def fit_dsir(
     target: DataFrame,
     raw: DataFrame,
@@ -71,23 +127,8 @@ def fit_dsir(
     if alpha <= 0:
         raise ValueError(f"alpha must be positive, got {alpha}")
 
-    def _bucket_counts(corpus: DataFrame, out: str) -> DataFrame:
-        # ids are irrelevant for fitting (only bucket totals survive),
-        # so any per-row id works; monotonically_increasing_id is the
-        # cheapest narrow one
-        rows = hashed_feature_rows(
-            corpus.select(F.col(text_col)).withColumn(
-                "__row", F.monotonically_increasing_id()
-            ),
-            text_col,
-            "__row",
-            n_buckets,
-            seed,
-        )
-        return rows.groupBy("bucket").agg(F.count(F.lit(1)).alias(out))
-
-    tc = _bucket_counts(target, "__tc")
-    rc = _bucket_counts(raw, "__rc")
+    tc = _bucket_counts(target, text_col, n_buckets, seed, "__tc")
+    rc = _bucket_counts(raw, text_col, n_buckets, seed, "__rc")
     # materialize the count tables (<= n_buckets rows each) BEFORE
     # anything reads them: the totals collect, the lr join and the
     # model checkpoint below would otherwise each re-run the full
@@ -115,36 +156,14 @@ def fit_dsir(
             f"both corpora need at least one gram (target={int(tt)}, "
             f"raw={int(tr)} gram occurrences)"
         )
-    a, b = float(alpha), float(n_buckets)
-    lr = (
-        tc.join(rc, "bucket", "full")
-        .select(
-            "bucket",
-            (
-                F.log((F.coalesce(F.col("__tc"), F.lit(0)) + a) / F.lit(tt + a * b))
-                - F.log(
-                    (F.coalesce(F.col("__rc"), F.lit(0)) + a) / F.lit(tr + a * b)
-                )
-            ).alias("lr"),
-        )
+    counts = tc.join(rc, "bucket", "full").select(
+        "bucket",
+        F.coalesce(F.col("__tc"), F.lit(0)).alias("__tcv"),
+        F.coalesce(F.col("__rc"), F.lit(0)).alias("__rcv"),
     )
-    # materialize the fitted model: it is <= n_buckets rows by
-    # construction and every downstream score (including one per
-    # streaming micro-batch when used as a curation gate) would
-    # otherwise re-run the whole two-corpus aggregation through the
-    # lazy lineage
-    try:
-        lr = lr.localCheckpoint(eager=True)
-    except Exception:
-        lr = target.sparkSession.createDataFrame(
-            lr.collect(), schema=lr.schema
-        )
-    return {
-        "weights": lr,
-        "default_lr": math.log(a / (tt + a * b)) - math.log(a / (tr + a * b)),
-        "n_buckets": int(n_buckets),
-        "seed": int(seed),
-    }
+    return _finish_model(
+        counts, tt, tr, n_buckets, seed, alpha, target.sparkSession
+    )
 
 
 def score_dsir(
@@ -372,19 +391,7 @@ def update_dsir_index(
             f"corpus must be \'target\', \'raw\' or \'both\', got {corpus!r}"
         )
     n_buckets, seed = _index_params(index)
-    counts = (
-        hashed_feature_rows(
-            docs.select(F.col(text_col)).withColumn(
-                "__row", F.monotonically_increasing_id()
-            ),
-            text_col,
-            "__row",
-            n_buckets,
-            seed,
-        )
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("__n"))
-    )
+    counts = _bucket_counts(docs, text_col, n_buckets, seed, "__n")
     t = F.col("__n") if corpus in ("target", "both") else F.lit(0)
     r = F.col("__n") if corpus in ("raw", "both") else F.lit(0)
     rows = counts.select(
@@ -414,21 +421,7 @@ def model_from_index(spark, index, alpha: float = 1.0) -> dict:
             f"index needs counts for both corpora (target={int(tt)}, "
             f"raw={int(tr)} gram occurrences)"
         )
-    a, b = float(alpha), float(n_buckets)
-    lr = state.select(
-        "bucket",
-        (
-            F.log((F.col("tc") + a) / F.lit(tt + a * b))
-            - F.log((F.col("rc") + a) / F.lit(tr + a * b))
-        ).alias("lr"),
+    counts = state.select(
+        "bucket", F.col("tc").alias("__tcv"), F.col("rc").alias("__rcv")
     )
-    try:
-        lr = lr.localCheckpoint(eager=True)
-    except Exception:
-        lr = spark.createDataFrame(lr.collect(), schema=lr.schema)
-    return {
-        "weights": lr,
-        "default_lr": math.log(a / (tt + a * b)) - math.log(a / (tr + a * b)),
-        "n_buckets": int(n_buckets),
-        "seed": int(seed),
-    }
+    return _finish_model(counts, tt, tr, n_buckets, seed, alpha, spark)

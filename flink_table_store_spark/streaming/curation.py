@@ -49,7 +49,7 @@ def curation_batch_writer(
     quality_model: dict | None = None,
     quality_threshold: float = 0.5,
     c4_opts: dict | None = None,
-    dsir_model: dict | None = None,
+    dsir_model: dict | Callable[[], dict] | None = None,
     dsir_threshold: float = 0.0,
     minhash_index=None,
     jaccard_threshold: float = 0.8,

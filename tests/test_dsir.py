@@ -222,7 +222,7 @@ def test_incremental_dsir_index(spark, warehouse):
          for i in range(40)],
         "doc_id bigint, text string",
     )
-    target = docs.where(F.col("doc_id") % 2 == 1).limit(8)
+    target = docs.where(F.col("doc_id") % 5 == 1)  # deterministic slice
     idx = create_dsir_index(warehouse, "db.dsir_idx", n_buckets=2048, seed=5)
     update_dsir_index(idx, docs.where(F.col("doc_id") < 20), "raw",
                       commit_identifier="r:0")
@@ -247,13 +247,11 @@ def test_incremental_dsir_index(spark, warehouse):
           for r in idx2.refresh().to_df(spark).collect()}
     assert st and all(t == r for t, r in st.values())
     # validation
-    import pytest as _p
-
-    with _p.raises(ValueError, match="corpus must be"):
+    with pytest.raises(ValueError, match="corpus must be"):
         update_dsir_index(idx, docs, "eval")
-    with _p.raises(ValueError, match="both corpora"):
-        model_from_index(spark, idx2.refresh() if False else
-                         create_dsir_index(warehouse, "db.dsir_idx3"))
+    empty_idx = create_dsir_index(warehouse, "db.dsir_idx3")
+    with pytest.raises(ValueError, match="both corpora"):
+        model_from_index(spark, empty_idx)
     plain = warehouse.create_table("db.not_dsir", "bucket int, tc bigint, rc bigint")
-    with _p.raises(ValueError, match="not a DSIR index"):
+    with pytest.raises(ValueError, match="not a DSIR index"):
         update_dsir_index(plain, docs)

@@ -379,14 +379,17 @@ def test_sentence_span_dedup_shuffle_shape(spark):
     out = sentence_span_dedup(docs.select("doc_id", "text"))
     plan = _plan(out, mode="simple")
     assert "CartesianProduct" not in plan
-    assert "No Partition Defined" not in plan
-    # keyed exchanges only: every Exchange is a hashpartitioning
-    import re
-
-    ex = [ln for ln in plan.splitlines() if "Exchange" in ln]
-    assert ex and all(
-        "hashpartitioning" in ln or "SinglePartition" not in ln for ln in ex
-    ), plan
+    # every SHUFFLE Exchange must be keyed: rangepartitioning (a global
+    # sort) or SinglePartition would be the scale regression this test
+    # guards. BroadcastExchange lines are fine — Catalyst broadcasts
+    # the small DERIVED sides (winner set, covered positions) at this
+    # SF, and AQE swaps those for shuffle joins when stats say so; the
+    # corpus itself is on the streamed side of every join.
+    ex = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    ]
+    assert ex and all("hashpartitioning" in ln for ln in ex), plan
 
 
 def test_dsir_score_broadcasts_model(spark):
