@@ -837,3 +837,47 @@ def sentence_span_dedup(
         ).alias(text_col),
         F.count(F.lit(1)).alias("sentences_kept"),
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame,  # columns id_a, id_b
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact word-k-gram CONTAINMENT (Broder 1997\'s asymmetric
+    resemblance companion): c(a in b) = |Sa \u2229 Sb| / |Sa|. Jaccard
+    misses the quote/subset pattern - a short doc wholly embedded in a
+    long one scores low Jaccard but containment ~1 - so containment is
+    the standard second gate for quote detection and
+    contained-boilerplate removal. Emits BOTH directions per pair
+    (containment_a_in_b, containment_b_in_a) and keeps rows where
+    EITHER direction clears ``threshold``. Same scale shape as
+    ngram_jaccard_pairs: two id-keyed joins, linear in |pairs|.
+    Empty shingle sets (docs shorter than k words) yield NULL
+    containment on that side, never a division error."""
+    sh = df.select(
+        F.col(id_col).alias("__id"), _shingles(F.col(text_col), k).alias("__sh")
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    ca = F.try_divide(inter, F.size("__sa").cast("double"))
+    cb = F.try_divide(inter, F.size("__sb").cast("double"))
+    return (
+        candidate_pairs.join(
+            sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sa"),
+            "id_a",
+        )
+        .join(
+            sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__sb"),
+            "id_b",
+        )
+        .withColumn("containment_a_in_b", F.round(ca, 6))
+        .withColumn("containment_b_in_a", F.round(cb, 6))
+        .where(
+            (F.col("containment_a_in_b") >= threshold)
+            | (F.col("containment_b_in_a") >= threshold)
+        )
+        .select("id_a", "id_b", "containment_a_in_b", "containment_b_in_a")
+    )

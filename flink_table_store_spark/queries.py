@@ -4888,3 +4888,81 @@ GROUP BY g ORDER BY n DESC, g LIMIT 25
 
 # judge-run tail: corpus top-ngrams analytics (exact_top_k under oracle)
 QUERIES["text_top_ngrams"] = (text_top_ngrams, TEXT_TOP_NGRAMS_SQL)
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment verification (Broder\'s asymmetric measure): every
+    doc pairs with a synthetic 12-word-prefix twin (+1M ids, the quote
+    pattern - prefix shingles are a strict subset, so containment of
+    the twin in its source is exactly 1.0 while Jaccard is low) plus a
+    decoy pair against the (doc_id+7) twin, which random word soup
+    keeps far below the 0.9 threshold. The oracle replays shingling,
+    both directions and the either-side gate in SQL."""
+    from flink_table_store_spark.datapipe.dedup import (
+        ngram_containment_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " "
+    )
+    prefix = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(F.slice(words, 1, 12), " ").alias("text"),
+    )
+    corpus = docs.unionByName(prefix)
+    own = docs.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 1_000_000).alias("id_b"),
+    )
+    d2 = docs.select((F.col("doc_id") - 7).alias("id_a"),
+                     (F.col("doc_id") + 1_000_000).alias("id_b"))
+    decoy = own.select("id_a").join(d2, "id_a")
+    pairs = own.unionByName(decoy.select("id_a", "id_b"))
+    return ngram_containment_pairs(
+        corpus, pairs, k=3, threshold=0.9
+    ).orderBy("id_a", "id_b")
+
+
+DEDUP_CONTAINMENT_SQL = r"""
+WITH lowered AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM documents
+), corpus AS (
+  SELECT doc_id, w FROM lowered
+  UNION ALL
+  SELECT doc_id + 1000000, w[1:12] FROM lowered
+), gr AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(w) < 3 THEN array_to_string(w, ' ')
+              ELSE w[s.i] || ' ' || w[s.i + 1] || ' ' || w[s.i + 2] END AS g
+  FROM corpus, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(w) - 2, 1))) AS i
+  ) s
+), na AS (
+  SELECT doc_id, count(*) AS n FROM gr GROUP BY doc_id
+), pairs AS (
+  SELECT doc_id AS id_a, doc_id + 1000000 AS id_b FROM lowered
+  UNION ALL
+  SELECT a.doc_id, b.doc_id + 1000000
+  FROM lowered a JOIN lowered b ON b.doc_id = a.doc_id + 7
+), ix AS (
+  SELECT p.id_a, p.id_b, count(*) AS i
+  FROM pairs p
+  JOIN gr ga ON ga.doc_id = p.id_a
+  JOIN gr gb ON gb.doc_id = p.id_b AND gb.g = ga.g
+  GROUP BY p.id_a, p.id_b
+)
+SELECT ix.id_a, ix.id_b,
+       round(ix.i::DOUBLE / na_a.n, 6) AS containment_a_in_b,
+       round(ix.i::DOUBLE / na_b.n, 6) AS containment_b_in_a
+FROM ix
+JOIN na na_a ON na_a.doc_id = ix.id_a
+JOIN na na_b ON na_b.doc_id = ix.id_b
+WHERE round(ix.i::DOUBLE / na_a.n, 6) >= 0.9
+   OR round(ix.i::DOUBLE / na_b.n, 6) >= 0.9
+ORDER BY id_a, id_b
+"""
+
+# judge-run tail: containment verification (quote/subset detection)
+QUERIES["dedup_containment"] = (dedup_containment, DEDUP_CONTAINMENT_SQL)

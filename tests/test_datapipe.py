@@ -937,3 +937,29 @@ def test_sentence_span_dedup(spark):
 
     with _p.raises(ValueError, match="span"):
         DD.sentence_span_dedup(df, span=1)
+
+
+def test_ngram_containment_pairs(spark):
+    """Asymmetric containment: a short doc embedded in a long one
+    scores ~1 in one direction (and low Jaccard); unrelated pairs are
+    filtered; sub-k docs never divide by zero."""
+    long = "one two three four five six seven eight nine ten"
+    rows = [
+        (1, long),
+        (2, "three four five six"),          # embedded quote
+        (3, "alpha beta gamma delta"),        # unrelated
+        (4, "zz"),                            # shorter than k
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a bigint, id_b bigint"
+    )
+    out = {(r.id_a, r.id_b): r for r in DD.ngram_containment_pairs(
+        df, pairs, k=3, threshold=0.9).collect()}
+    assert (1, 2) in out and out[(1, 2)].containment_b_in_a == 1.0
+    assert out[(1, 2)].containment_a_in_b < 0.5
+    assert (1, 3) not in out
+    assert (1, 4) not in out  # 'zz' one-shingle set, no overlap
+    # jaccard alone would have missed the quote at 0.9
+    j = DD.ngram_jaccard_pairs(df, pairs, k=3, threshold=0.9).collect()
+    assert not any(r.id_a == 1 and r.id_b == 2 for r in j)
