@@ -822,6 +822,35 @@ def main() -> None:
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         score_perplexity(docs.select("doc_id", "text")).count()
 
+    # incremental full-text index: fold the corpus in two batches into
+    # the persistent postings/stats tables, then one bucket-pruned BM25
+    # search — mutating (creates tables) -> median-of-3 fresh indexes
+    from flink_table_store_spark.datapipe.textindex import (
+        create_text_search_index,
+        search_text_index,
+        update_text_search_index,
+    )
+
+    fts_docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id", "text")
+    fts_states = [
+        create_text_search_index(cat, f"bench.fts{i}") for i in range(3)
+    ]
+
+    def _fts_run(idx):
+        update_text_search_index(
+            idx, fts_docs.where(F.col("doc_id") % 2 == 0),
+            commit_identifier="b0",
+        )
+        update_text_search_index(
+            idx, fts_docs.where(F.col("doc_id") % 2 == 1),
+            commit_identifier="b1",
+        )
+        search_text_index(spark, idx, "vector join query", k=10).collect()
+
+    timed_mutating("text_index_incremental", fts_states, _fts_run)
+
     @timed("paragraph_dedup", repeat=3)
     def _pd():
         # corpus-wide exact paragraph dedup: explode + map-combined

@@ -107,6 +107,176 @@ def create_text_index(
     return meta
 
 
+# ---------------------------------------------------------------------------
+# incremental text index: the inverted index as engine-native table state
+# ---------------------------------------------------------------------------
+#
+# The fifth persistent-index family (exact-fp, MinHash, SimHash, DSIR
+# model, now the FULL-TEXT index): postings live in an engine
+# PRIMARY-KEY table so index maintenance is an O(batch) append — no
+# rebuild, no read-modify-write — and a search is one bucket-pruned
+# scan of exactly the query terms' buckets.
+#
+# Two design moves that matter at 100 TB:
+#
+# 1. **Impact-style denormalized postings** ``(term, key, tf, dl)``:
+#    the document length rides IN the posting row (it is fixed at index
+#    time), so BM25 scoring needs NO join against a corpus-sized
+#    doc-length table — query cost is O(sum of the query terms' posting
+#    lists), full stop. Classic impact-ordered-index trade: ~8 bytes/row
+#    of redundancy buys the elimination of the one corpus-sized join.
+# 2. **O(1) corpus stats** as a 1-row sum-aggregation table
+#    ``(id, n, total_dl)``: each batch folds its own (doc count, token
+#    count) delta server-side via the aggregation merge engine —
+#    n_docs/avgdl never require scanning anything.
+#
+# Document frequency per query term is exact from the pruned postings
+# themselves (one grouped count over the already-pruned scan), so the
+# search plan is: prune buckets by term → scan candidate postings →
+# tiny df agg → pure column math. Exactly-once across crashes rides the
+# same commit-identifier check as every other index family: each of the
+# two tables independently skips a replayed identifier, so a crash
+# between the postings commit and the stats commit self-heals on rerun.
+
+TEXT_POSTINGS_DDL = "term string, key bigint, tf bigint, dl bigint"
+TEXT_STATS_DDL = "id int, n bigint, total_dl bigint"
+
+
+def create_text_search_index(
+    catalog, name: str, *, buckets: int = 8
+) -> dict:
+    """Create the incremental full-text index: a postings PK table
+    ``(term, key)`` bucketed by ``term`` (searches bucket-prune to the
+    query terms) and a 1-row stats table under the sum-aggregation
+    merge engine. Returns ``{"postings": Table, "stats": Table}``."""
+    postings = catalog.create_table(
+        name,
+        TEXT_POSTINGS_DDL,
+        primary_keys=["term", "key"],
+        options={"bucket": str(buckets), "bucket-key": "term"},
+    )
+    stats = catalog.create_table(
+        f"{name}_stats",
+        TEXT_STATS_DDL,
+        primary_keys=["id"],
+        options={
+            "bucket": "1",
+            "merge-engine": "aggregation",
+            "fields.n.aggregate-function": "sum",
+            "fields.total_dl.aggregate-function": "sum",
+        },
+    )
+    return {"postings": postings, "stats": stats}
+
+
+def get_text_search_index(catalog, name: str) -> dict:
+    """Resolve an existing incremental text index by name."""
+    return {
+        "postings": catalog.get_table(name),
+        "stats": catalog.get_table(f"{name}_stats"),
+    }
+
+
+def update_text_search_index(
+    index: dict,
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    commit_identifier: str | None = None,
+) -> None:
+    """Fold one batch of NEW documents into the index: one tokenize +
+    two batch-sized aggregates, then an O(batch-postings) append plus a
+    1-row stats delta. Pass a ``commit_identifier`` from your ingestion
+    loop for exactly-once folding — each table skips a replayed
+    identifier independently, so a crash between the two commits
+    re-runs into a no-op + the missing half.
+
+    Documents must be new to the index (append-only corpus, the same
+    contract as the dedup indexes); docs whose text yields no tokens
+    contribute nothing, matching the batch build."""
+    toks = docs.select(
+        F.col(key_col).cast("bigint").alias("key"),
+        F.explode(_tokens(F.col(text_col))).alias("term"),
+    )
+    tf = toks.groupBy("key", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy("key").agg(F.count(F.lit(1)).alias("dl"))
+    try:
+        dl = dl.localCheckpoint(eager=True)
+    except Exception:
+        pass  # optimization only: feeds both the postings join and the stats delta
+    rows = tf.join(dl, "key").select("term", "key", "tf", "dl")
+    ci = commit_identifier or ""
+    index["postings"].refresh().write(
+        rows, commit_identifier=f"{ci}:p" if ci else ""
+    )
+    delta = dl.agg(
+        F.lit(0).cast("int").alias("id"),
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("total_dl"),
+    )
+    index["stats"].refresh().write(
+        delta, commit_identifier=f"{ci}:s" if ci else ""
+    )
+
+
+def search_text_index(
+    spark: SparkSession,
+    index: dict,
+    query: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    key_name: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k straight off the incremental index: ONE bucket-pruned
+    scan of the query terms' postings (term IN (...) over the full
+    bucket key prunes at plan time), a grouped count over those same
+    pruned rows for exact per-term document frequency, corpus stats
+    from the 1-row table, then pure column math — identical formula
+    (and identical results, by the shared tokenizer) to the batch
+    ``text_search``, so the same DuckDB oracle covers both paths."""
+    terms = tokenize_query(query)
+    if not terms:
+        raise ValueError("query has no tokens")
+    st = index["stats"].refresh().to_df(spark).head()
+    if st is None or not st["n"]:
+        raise RuntimeError("text index is empty — fold a batch first")
+    n, avgdl = float(st["n"]), float(st["total_dl"]) / float(st["n"])
+    from flink_table_store_spark import predicate as P
+
+    # plan-time predicate: IN over the full bucket key prunes the scan
+    # to the query terms' buckets before any file is opened
+    postings = (
+        index["postings"].refresh().read_builder()
+        .with_filter(P.isin("term", terms))
+        .to_df(spark)
+    )
+    try:
+        postings = postings.localCheckpoint(eager=True)
+    except Exception:
+        pass  # optimization only: feeds both the df agg and the scoring pass
+    termdf = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(n) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + F.lit(k1) * (1 - b + b * F.col("dl") / F.lit(avgdl))
+    )
+    scored = (
+        postings.join(F.broadcast(termdf), "term")
+        .withColumn("__s", idf * tf_part)
+        .groupBy("key")
+        .agg(F.round(F.sum("__s"), 4).alias("score"))
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("key").asc())
+        .limit(k)
+        .select(F.col("key").alias(key_name), "score")
+    )
+
+
 def tokenize_query(query: str) -> list[str]:
     import re
 

@@ -4966,3 +4966,46 @@ ORDER BY id_a, id_b
 
 # judge-run tail: containment verification (quote/subset detection)
 QUERIES["dedup_containment"] = (dedup_containment, DEDUP_CONTAINMENT_SQL)
+
+
+def text_incremental_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental full-text index: the FIFTH persistent-index family
+    (exact-fp, MinHash, SimHash, DSIR model, now the inverted index).
+    Postings fold in as two identifier-checked batches of impact-style
+    (term, key, tf, dl) rows bucketed by term; corpus stats ride a
+    1-row sum-aggregation table; the search bucket-prunes to the query
+    terms and must score BIT-IDENTICALLY to the one-shot batch index -
+    so the oracle is exactly TEXT_SEARCH_SQL."""
+    from flink_table_store_spark.datapipe.textindex import (
+        create_text_search_index,
+        get_text_search_index,
+        search_text_index,
+        update_text_search_index,
+    )
+
+    cat = _wh(sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    name = "default.fts_inc_docs"
+    try:
+        idx = get_text_search_index(cat, name)
+    except RuntimeError:
+        idx = create_text_search_index(cat, name)
+    # a fully built index has TWO commits per table; anything less is a
+    # crash remnant - re-run the folds, whose commit identifiers make
+    # every already-landed one a no-op (self-healing, never double)
+    if (idx["stats"].refresh().snapshots.latest_id() or 0) < 2:
+        update_text_search_index(
+            idx, docs.where(F.col("doc_id") % 2 == 0),
+            commit_identifier="fts:b0",
+        )
+        update_text_search_index(
+            idx, docs.where(F.col("doc_id") % 2 == 1),
+            commit_identifier="fts:b1",
+        )
+    return search_text_index(spark, idx, "vector join query", k=10)
+
+
+# judge-run tail: incremental full-text index (fifth persistent-index
+# family); the oracle is the from-scratch BM25 - incremental folds must
+# reproduce the batch build bit-for-bit
+QUERIES["text_incremental_search"] = (text_incremental_search, TEXT_SEARCH_SQL)

@@ -55,6 +55,7 @@ def curation_batch_writer(
     jaccard_threshold: float = 0.8,
     simhash_index=None,
     max_hamming: int = 3,
+    text_index: dict | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """A ``foreachBatch`` function curating each micro-batch into
     ``corpus_table`` (schema: the batch's columns + ``n_tokens``),
@@ -87,7 +88,17 @@ def curation_batch_writer(
     also be a ZERO-ARG CALLABLE returning the model — invoked once
     per micro-batch, so a loop that folds counts into a persistent
     ``dsir.create_dsir_index`` table can gate every batch with the
-    freshest state (``lambda: model_from_index(spark, idx)``)."""
+    freshest state (``lambda: model_from_index(spark, idx)``).
+
+    ``text_index`` (from ``textindex.create_text_search_index``) adds
+    the FIFTH exactly-once sink: each batch's survivors fold their
+    postings into the persistent full-text index, so the corpus stays
+    BM25-searchable with O(batch) incremental cost. It indexes only
+    survivors (losers never pollute it), sees the C4-cleaned text like
+    every other derived artifact, and lands after the corpus commit,
+    before the exact-fp wall — a crash window replays into
+    identifier-skips plus PK-idempotent postings, never double counts
+    (the 1-row stats fold is identifier-guarded per table)."""
     from flink_table_store_spark.datapipe.incdedup import (
         dedup_against_index,
         dedup_exact_against_index,
@@ -195,6 +206,16 @@ def curation_batch_writer(
             )
             simhash_index.refresh().write(
                 sh_rows, commit_identifier=f"{sink_id}:sh:{batch_id}"
+            )
+        if text_index is not None:
+            from flink_table_store_spark.datapipe.textindex import (
+                update_text_search_index,
+            )
+
+            update_text_search_index(
+                text_index, kept,
+                text_col=text_col, key_col=id_col,
+                commit_identifier=f"{sink_id}:fts:{batch_id}",
             )
         index_table.refresh().write(
             kept.select(

@@ -471,3 +471,54 @@ def test_dsir_gate_accepts_callable_model(spark, warehouse):
         1,
     )
     assert len(calls) == 2  # re-invoked per batch
+
+
+def test_text_index_fifth_sink(spark, warehouse, tmp_path):
+    """The incremental full-text index as the fifth exactly-once sink:
+    survivors' postings fold per micro-batch, losers never pollute the
+    index, and a REPLAYED batch (fresh checkpoint, same sink_id) leaves
+    both index tables untouched — including the sum-aggregated stats
+    row, the one artifact PK idempotency alone would not protect."""
+    from flink_table_store_spark.datapipe.textindex import (
+        create_text_search_index,
+        search_text_index,
+    )
+
+    corpus, index = _mk_tables(warehouse)
+    fts = create_text_search_index(warehouse, "db.corpus_fts")
+    feed = str(tmp_path / "feed")
+    ckpt = str(tmp_path / "ckpt")
+    _write_feed(
+        spark,
+        feed,
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),  # intra-batch dup: never indexed
+            (3, "epsilon alpha zeta eta"),
+        ],
+    )
+    src = spark.readStream.schema("doc_id bigint, text string").parquet(feed)
+    q = curate_stream(
+        src, corpus, index, "ing", ckpt, min_tokens=2, text_index=fts
+    )
+    q.awaitTermination(120)
+    st = fts["stats"].refresh().to_df(spark).head()
+    assert st["n"] == 2 and st["total_dl"] == 8
+    hits = search_text_index(spark, fts, "alpha", k=5).collect()
+    assert sorted(r["doc_id"] for r in hits) == [1, 3]
+    # loser doc 2 never reached the postings
+    assert (
+        fts["postings"].refresh().to_df(spark)
+        .where(F.col("key") == 2).count() == 0
+    )
+
+    # replay the same feed under the same sink_id from a FRESH
+    # checkpoint: survivors recompute empty (exact index has them), and
+    # even if they didn't, the fts identifiers skip — stats unchanged
+    q = curate_stream(
+        src, corpus, index, "ing", str(tmp_path / "ckpt2"),
+        min_tokens=2, text_index=fts,
+    )
+    q.awaitTermination(120)
+    st2 = fts["stats"].refresh().to_df(spark).head()
+    assert (st2["n"], st2["total_dl"]) == (2, 8)
