@@ -116,6 +116,55 @@ def _train_pq_codebooks(residuals, m: int, ksub: int, iters: int = 12, seed: int
     return books
 
 
+def _assign_cells(df, key_col: str, column: str, centroids, graph):
+    """(key, __v, cell) assignment of each vector to its nearest cell —
+    the ONE assignment implementation shared by the initial build and
+    incremental extension (recall parity depends on both paths probing
+    the same quantizer the same way)."""
+    return df.select(
+        F.col(key_col).alias("key"),
+        F.col(column).alias("__v"),
+        _probe_cells(F.col(column), centroids, graph, 1)[0].alias("cell"),
+    )
+
+
+def _pq_encode_postings(assigned, key_t: str, books, centroids):
+    """Arrow-batched PQ residual encoding of an assignment frame into
+    (key, cell, code, vnorm) postings — shared by build and extend so
+    codes from both paths decode against the same frozen codebooks."""
+
+    def _encode(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        cb = _np.asarray(books, dtype=_np.float32)  # (m, ksub, dsub)
+        ct = _np.asarray(centroids, dtype=_np.float32)
+        m_, _ks, dsub_ = cb.shape
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vecs = _np.asarray(list(pdf["__v"]), dtype=_np.float32)
+            cells = pdf["cell"].to_numpy()
+            res = vecs - ct[cells]
+            codes = _np.empty((len(pdf), m_), dtype=_np.uint8)
+            for mi in range(m_):
+                sub = res[:, mi * dsub_ : (mi + 1) * dsub_]
+                d2 = ((sub[:, None, :] - cb[mi][None, :, :]) ** 2).sum(axis=2)
+                codes[:, mi] = d2.argmin(axis=1)
+            yield _pd.DataFrame(
+                {
+                    "key": pdf["key"].to_numpy(),
+                    "cell": cells,
+                    "code": [c.tobytes() for c in codes],
+                    "vnorm": _np.linalg.norm(vecs, axis=1).astype(float),
+                }
+            )
+
+    return assigned.mapInPandas(
+        _encode, f"key {key_t}, cell int, code binary, vnorm double"
+    )
+
+
 def create_global_index(
     spark: SparkSession,
     table,
@@ -157,11 +206,7 @@ def create_global_index(
     if coarse == "hnsw" or (coarse == "auto" and n_cells >= _hnsw.HNSW_THRESHOLD):
         graph = _hnsw.build(centroids)
 
-    assigned = df.select(
-        F.col(key_col).alias("key"),
-        F.col(column).alias("__v"),
-        _probe_cells(F.col(column), centroids, graph, 1)[0].alias("cell"),
-    )
+    assigned = _assign_cells(df, key_col, column, centroids, graph)
     meta = {
         "name": index_name,
         "type": index_type,
@@ -205,43 +250,79 @@ def create_global_index(
         books = _train_pq_codebooks(residuals, pq_m, pq_ksub)
         meta["pq_m"] = pq_m
         meta["pq_codebooks"] = books
+        postings = _pq_encode_postings(assigned, key_t, books, centroids)
 
-        def _encode(batches):
-            import numpy as _np
-            import pandas as _pd
-
-            cb = _np.asarray(books, dtype=_np.float32)  # (m, ksub, dsub)
-            ct = _np.asarray(centroids, dtype=_np.float32)
-            m_, _ks, dsub_ = cb.shape
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                vecs = _np.asarray(list(pdf["__v"]), dtype=_np.float32)
-                cells = pdf["cell"].to_numpy()
-                res = vecs - ct[cells]
-                codes = _np.empty((len(pdf), m_), dtype=_np.uint8)
-                for mi in range(m_):
-                    sub = res[:, mi * dsub_ : (mi + 1) * dsub_]
-                    d2 = ((sub[:, None, :] - cb[mi][None, :, :]) ** 2).sum(axis=2)
-                    codes[:, mi] = d2.argmin(axis=1)
-                yield _pd.DataFrame(
-                    {
-                        "key": pdf["key"].to_numpy(),
-                        "cell": cells,
-                        "code": [c.tobytes() for c in codes],
-                        "vnorm": _np.linalg.norm(vecs, axis=1).astype(float),
-                    }
-                )
-
-        postings = assigned.mapInPandas(
-            _encode, f"key {key_t}, cell int, code binary, vnorm double"
-        )
-
+    # postings layout: seg=<snapshot>/cell=<n> — the seg level makes
+    # incremental extension an idempotent dynamic-partition overwrite
+    # (a replayed extension rewrites its own seg dirs, never appends
+    # duplicates), while searches keep pruning on cell alone
     pdir = _postings_dir(table.path, index_name)
     shutil.rmtree(pdir, ignore_errors=True)
-    postings.write.partitionBy("cell").mode("overwrite").parquet(pdir)
+    postings.withColumn("seg", F.lit(snap.id)).write.partitionBy(
+        "seg", "cell"
+    ).mode("overwrite").parquet(pdir)
 
     os.makedirs(os.path.dirname(_meta_path(table.path, index_name)), exist_ok=True)
+    with open(_meta_path(table.path, index_name), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def extend_global_index(
+    spark: SparkSession, table, index_name: str
+) -> dict:
+    """Fold the rows written SINCE the indexed snapshot into the index —
+    the FAISS ``add()`` analogue: new vectors are assigned to the
+    FROZEN coarse quantizer (and PQ-encoded against the frozen
+    codebooks), so extension is one O(delta) assignment job, never a
+    rebuild. Advances the index's snapshot_id, converting what
+    ``vector_search`` would brute-force as an un-indexed tail into
+    cell-pruned postings.
+
+    Idempotent across crashes: the delta lands as a dynamic-partition
+    overwrite of its own ``seg=<snapshot>`` dirs — a replay after a
+    crash between the postings write and the meta update rewrites the
+    same dirs instead of appending duplicates.
+
+    Insert-only contract (append tables): on a PK table an UPDATE would
+    leave the key's OLD posting in its old cell — stale cell, duplicate
+    candidate — so PK tables are refused; rebuild instead. Quantizer
+    drift is the standard trade (FAISS add() likewise never re-trains);
+    re-run ``create_global_index`` to re-train after heavy growth."""
+    if table.is_primary_key_table():
+        raise ValueError(
+            "extend_global_index is insert-only (append tables): a PK "
+            "update would strand the key's old posting in a stale cell; "
+            "rebuild with create_global_index instead"
+        )
+    with open(_meta_path(table.path, index_name)) as f:
+        meta = json.load(f)
+    latest = table.snapshots.latest()
+    if latest is None or latest.id <= meta["snapshot_id"]:
+        return meta  # nothing new
+    key_col, column = meta["key"], meta["column"]
+    delta = table.incremental_read(
+        spark, meta["snapshot_id"], latest.id, scan_mode="delta"
+    ).select(key_col, column)
+    assigned = _assign_cells(
+        delta, key_col, column, meta["centroids"], meta.get("hnsw")
+    )
+    if meta["type"] == "ivfpq":
+        key_t = {
+            f.name: f.dataType.simpleString() for f in delta.schema.fields
+        }[key_col]
+        postings = _pq_encode_postings(
+            assigned, key_t, meta["pq_codebooks"], meta["centroids"]
+        )
+    else:
+        postings = assigned.select("key", "cell")
+    pdir = _postings_dir(table.path, index_name)
+    postings.withColumn("seg", F.lit(latest.id)).write.partitionBy(
+        "seg", "cell"
+    ).option("partitionOverwriteMode", "dynamic").mode("overwrite").parquet(
+        pdir
+    )
+    meta["snapshot_id"] = latest.id
     with open(_meta_path(table.path, index_name), "w") as f:
         json.dump(meta, f)
     return meta

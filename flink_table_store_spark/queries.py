@@ -5009,3 +5009,55 @@ def text_incremental_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 # family); the oracle is the from-scratch BM25 - incremental folds must
 # reproduce the batch build bit-for-bit
 QUERIES["text_incremental_search"] = (text_incremental_search, TEXT_SEARCH_SQL)
+
+
+def ann_index_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted global vector index under the gate, through its
+    INCREMENTAL maintenance path (the FAISS add() analogue): build the
+    IVF index over half the corpus, commit the rest, extend_global_index
+    folds the delta into the frozen quantizer's cells, and an all-probe
+    search must reproduce exact brute-force top-10 - so the oracle is
+    ANN_BRUTE_SQL. Exercises create_global_index, incremental_read,
+    the seg-partitioned idempotent extension write, and vector_search
+    end-to-end over an engine-managed table."""
+    from flink_table_store_spark.globalindex import (
+        create_global_index,
+        extend_global_index,
+        vector_search,
+    )
+
+    cat = _wh(sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    name = "default.emb_ivf_ext"
+    try:
+        t = cat.get_table(name)
+    except RuntimeError:
+        t = cat.create_table(name, emb.schema)
+    if (t.snapshots.latest_id() or 0) < 1:
+        t.write(emb.where(F.col("vec_id") % 2 == 0))
+        t = t.refresh()
+    from flink_table_store_spark.globalindex import _meta_path
+
+    # crash remnant (table written, index not built): build now — the
+    # extension below folds whatever else has landed since
+    if not os.path.exists(_meta_path(t.path, "ivf_ext")):
+        create_global_index(
+            spark, t, "ivf_ext", "embedding", "vec_id", n_cells=8
+        )
+    if (t.snapshots.latest_id() or 0) < 2:
+        t.write(emb.where(F.col("vec_id") % 2 == 1))
+        t = t.refresh()
+    extend_global_index(spark, t, "ivf_ext")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = vector_search(spark, t, "ivf_ext", queries, k=10, nprobe=8)
+    return got.withColumn(
+        "cosine", F.round(F.col("cosine").cast("double"), 6)
+    ).orderBy("query_id", "rank")
+
+
+# judge-run tail: incremental vector-index maintenance (all cells
+# probed, so the extended index must reproduce exact brute force)
+QUERIES["ann_index_extend"] = (ann_index_extend, ANN_BRUTE_SQL)

@@ -185,3 +185,95 @@ def test_hnsw_coarse_quantizer_index(spark, warehouse):
     got = vector_search(spark, t, "emb_hnsw", queries, k=1, nprobe=8).collect()
     assert {r["query_id"] for r in got} == {r["vec_id"] for r in got}
     call(spark, warehouse, "drop_global_index", table="db.emb", index_name="emb_hnsw")
+
+
+def test_extend_global_index_matches_full_build(spark, warehouse):
+    """FAISS add() analogue: index half the corpus, write the rest,
+    extend — all-probe search must equal brute force over everything,
+    and the tail brute-force path must be EMPTY (postings cover all)."""
+    from flink_table_store_spark.globalindex import (
+        create_global_index,
+        extend_global_index,
+        _postings_dir,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    first = emb.where(F.col("vec_id") % 2 == 0)
+    rest = emb.where(F.col("vec_id") % 2 == 1)
+    t = warehouse.create_table("db.emb_ext", emb.schema)
+    t.write(first)
+    t = t.refresh()
+    meta = create_global_index(
+        spark, t, "ivfx", "embedding", "vec_id", n_cells=8
+    )
+    assert meta["snapshot_id"] == 1
+    t.write(rest)
+    t = t.refresh()
+    meta = extend_global_index(spark, t, "ivfx")
+    assert meta["snapshot_id"] == 2
+    # postings now cover every row — no brute-force tail left
+    postings = spark.read.parquet(_postings_dir(t.path, "ivfx"))
+    assert postings.count() == emb.count()
+    assert sorted(r["seg"] for r in postings.select("seg").distinct().collect()) == [1, 2]
+
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = vector_search(spark, t, "ivfx", queries, k=3, nprobe=8)
+    exact = brute_force_topk(emb, queries, k=3)
+    g = {(r["query_id"], r["rank"]): r["vec_id"] for r in got.collect()}
+    e = {(r["query_id"], r["rank"]): r["vec_id"] for r in exact.collect()}
+    assert g == e
+
+    # replayed extension (crash between postings write and meta update):
+    # rewind the meta and re-run — the seg overwrite must NOT duplicate
+    import json as _json
+    from flink_table_store_spark.globalindex import _meta_path
+
+    meta["snapshot_id"] = 1
+    with open(_meta_path(t.path, "ivfx"), "w") as f:
+        _json.dump(meta, f)
+    meta = extend_global_index(spark, t, "ivfx")
+    assert meta["snapshot_id"] == 2
+    assert spark.read.parquet(
+        _postings_dir(t.path, "ivfx")
+    ).count() == emb.count()
+    # extension with nothing new is a no-op
+    assert extend_global_index(spark, t, "ivfx")["snapshot_id"] == 2
+
+
+def test_extend_global_index_ivfpq_and_pk_refusal(spark, warehouse):
+    from flink_table_store_spark.globalindex import (
+        create_global_index,
+        extend_global_index,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    t = warehouse.create_table("db.emb_pqx", emb.schema)
+    t.write(emb.where(F.col("vec_id") < 300))
+    t = t.refresh()
+    create_global_index(
+        spark, t, "pqx", "embedding", "vec_id",
+        index_type="ivfpq", n_cells=4, pq_m=4,
+    )
+    t.write(emb.where(F.col("vec_id") >= 300))
+    t = t.refresh()
+    extend_global_index(spark, t, "pqx")
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = vector_search(spark, t, "pqx", queries, k=5, nprobe=4).collect()
+    # PQ is approximate, but the self-vector must stay rank 1
+    byq = {r["query_id"]: r for r in got if r["rank"] == 1}
+    assert all(byq[q]["vec_id"] == q for q in byq)
+
+    import pytest as _pytest
+
+    pk = warehouse.create_table(
+        "db.emb_pk", emb.schema, primary_keys=["vec_id"]
+    )
+    pk.write(emb.limit(10))
+    with _pytest.raises(ValueError, match="insert-only"):
+        extend_global_index(spark, pk.refresh(), "whatever")
