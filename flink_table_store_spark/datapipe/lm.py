@@ -106,3 +106,124 @@ def score_perplexity(
             F.round(F.pow(F.lit(2.0), F.col("__nll")), 4).alias("perplexity"),
         )
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    model: dict | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by_col: str = "lang",
+    n_buckets: int = 3,
+    labels: tuple = ("head", "middle", "tail"),
+    thresholds: dict | None = None,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """CCNet's perplexity bucketing (Wenzek et al. 2020 §4): rank each
+    document's LM perplexity WITHIN its language and split into
+    ``n_buckets`` equal-frequency groups — head (most language-like),
+    middle, tail. Returns (id_col, by_col, n_bigrams, perplexity,
+    ppl_bucket); docs with NULL perplexity (<2 tokens) get NULL bucket.
+
+    Two modes, mirroring how CCNet ships:
+
+    - exact (default, ``thresholds=None``): per-language ``ntile`` —
+      deterministic equal-frequency split, replicable in ANSI SQL for
+      the oracle. The window is KEYED by language, so each group is one
+      range; fine while no single language dominates the corpus.
+    - thresholds (``{lang: [t1, .., t_{n-1}]}``, ascending): assignment
+      is a pure broadcast comparison — ZERO windows, zero shuffle
+      beyond scoring — the production path at 100 TB, with thresholds
+      fit once on a bounded sample via this same function's exact mode.
+      A language missing from the dict gets NULL bucket (unknown
+      distribution is not evidence); perplexity <= t_i falls in bucket
+      i (ties go to the better bucket, matching ntile's low-rank-first
+      fill)."""
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if len(labels) != n_buckets:
+        raise ValueError(
+            f"labels must have n_buckets={n_buckets} entries, got {labels}"
+        )
+    scored = score_perplexity(docs, model, text_col, id_col, alpha)
+    out = docs.select(id_col, by_col).join(scored, id_col)
+    if thresholds is not None:
+        bad = {k: v for k, v in thresholds.items() if len(v) != n_buckets - 1}
+        if bad:
+            raise ValueError(
+                f"each thresholds entry needs {n_buckets - 1} cut points, "
+                f"got {bad}"
+            )
+        thr = F.create_map(
+            *[
+                c
+                for lang, cuts in sorted(thresholds.items())
+                for c in (
+                    F.lit(lang),
+                    F.array(*[F.lit(float(t)) for t in cuts]),
+                )
+            ]
+        )
+        cuts = thr[F.col(by_col)]
+        # bucket index = number of cut points strictly below perplexity
+        idx = F.aggregate(
+            cuts,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(F.col("perplexity") > t, F.lit(1)).otherwise(F.lit(0)),
+        )
+        bucket = F.when(
+            F.col("perplexity").isNotNull() & cuts.isNotNull(),
+            F.element_at(F.array(*[F.lit(x) for x in labels]), idx + 1),
+        )
+        return out.withColumn("ppl_bucket", bucket)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(by_col).orderBy(
+        F.col("perplexity").asc(), F.col(id_col).asc()
+    )
+    scored_only = out.where(F.col("perplexity").isNotNull())
+    tiled = scored_only.withColumn(
+        "ppl_bucket",
+        F.element_at(
+            F.array(*[F.lit(x) for x in labels]),
+            F.ntile(n_buckets).over(w),
+        ),
+    )
+    nulls = out.where(F.col("perplexity").isNull()).withColumn(
+        "ppl_bucket", F.lit(None).cast("string")
+    )
+    return tiled.unionByName(nulls)
+
+
+def fit_perplexity_thresholds(
+    docs: DataFrame,
+    model: dict | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by_col: str = "lang",
+    n_buckets: int = 3,
+    alpha: float = 0.5,
+) -> dict:
+    """Per-language bucket cut points from a (sample of a) corpus: the
+    MAX perplexity inside each of the first n-1 ntile buckets — feed
+    the result to ``perplexity_buckets(thresholds=...)`` so full-corpus
+    assignment runs as a pure broadcast comparison. Fit on a bounded
+    sample (CCNet fit on held-out Wikipedia); the ntile here then costs
+    O(sample), never O(corpus)."""
+    tiled = perplexity_buckets(
+        docs, model, text_col, id_col, by_col, n_buckets,
+        labels=tuple(str(i) for i in range(n_buckets)), alpha=alpha,
+    ).where(F.col("ppl_bucket").isNotNull())
+    rows = (
+        tiled.groupBy(by_col, "ppl_bucket")
+        .agg(F.max("perplexity").alias("m"))
+        .collect()
+    )
+    out: dict = {}
+    for r in rows:
+        out.setdefault(r[by_col], {})[int(r["ppl_bucket"])] = float(r["m"])
+    return {
+        lang: [cuts[i] for i in range(n_buckets - 1) if i in cuts]
+        for lang, cuts in out.items()
+    }

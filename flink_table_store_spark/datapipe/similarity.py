@@ -262,3 +262,71 @@ def mine_hard_negatives(
         .drop("rank")
         .withColumnRenamed("__r", "rank")
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    probes: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "probe_vec",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: for every corpus
+    document, the best-matching eval probe by exact cosine; rows whose
+    best cosine >= ``threshold`` are the CONTAMINATED set (drop them
+    with an anti-join before training). The semantic complement of the
+    n-gram path (``text.contamination_counts``): paraphrased or
+    reformatted eval leakage that shares no 7-gram still sits next to
+    its source in embedding space.
+
+    Scale design — ZERO corpus shuffle: the probe set (one eval suite,
+    small by construction) collapses to a single-row array that
+    broadcasts; each corpus row folds the array with ``F.aggregate``
+    (argmax over cosine, JVM-side), so the plan is one broadcast
+    nested-loop join against one row plus a narrow map — no groupBy,
+    no exchange of ``corpus``. Ties break to the smallest probe id;
+    zero-norm vectors never match (cosine undefined, not 0).
+
+    Returns (id_col, probe_id_col, cosine rounded to 6)."""
+    parr = probes.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(probe_id_col).alias("pid"),
+                    F.col(probe_vec_col).alias("pv"),
+                )
+            )
+        ).alias("__probes")
+    )
+    dn = _norm(F.col(vec_col))
+
+    def _cos(p):
+        num = _dot(F.col(vec_col), p["pv"])
+        den = dn * _norm(p["pv"])
+        return F.when(den > 0, num / den).otherwise(F.lit(-2.0))
+
+    init = F.struct(
+        F.lit(-2.0).alias("c"), F.lit(None).cast("long").alias("pid")
+    )
+    best = F.aggregate(
+        F.col("__probes"),
+        init,
+        # strict > : probes arrive sorted by pid, so the FIRST of a
+        # cosine tie (smallest pid) wins deterministically
+        lambda acc, p: F.when(
+            _cos(p) > acc["c"],
+            F.struct(_cos(p).alias("c"), p["pid"].cast("long").alias("pid")),
+        ).otherwise(acc),
+    )
+    return (
+        corpus.crossJoin(F.broadcast(parr))
+        .withColumn("__best", best)
+        .where(F.col("__best.c") >= F.lit(float(threshold)))
+        .select(
+            id_col,
+            F.col("__best.pid").alias(probe_id_col),
+            F.round(F.col("__best.c"), 6).alias("cosine"),
+        )
+    )

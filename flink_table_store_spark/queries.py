@@ -5061,3 +5061,104 @@ def ann_index_extend(spark: SparkSession, sf_dir: str) -> DataFrame:
 # judge-run tail: incremental vector-index maintenance (all cells
 # probed, so the extended index must reproduce exact brute force)
 QUERIES["ann_index_extend"] = (ann_index_extend, ANN_BRUTE_SQL)
+
+
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: vectors 0-7 play the eval
+    suite; every other corpus vector reports its best-matching probe by
+    exact cosine and survives the gate only if that best is >= 0.33
+    (the synthetic embeddings' near-orthogonality makes the set
+    non-trivial but boundary-safe). Zero corpus shuffle: the probes
+    collapse to ONE broadcast row and each corpus row folds the array
+    with F.aggregate - the semantic complement of text_decontaminate's
+    7-gram containment."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    probes = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+    )
+    corpus = emb.where(F.col("vec_id") >= 8)
+    return SIM.semantic_contamination(
+        corpus, probes, threshold=0.33
+    ).orderBy("vec_id")
+
+
+DECONTAM_SEMANTIC_SQL = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     probes AS (SELECT vec_id AS probe_id, v AS pv FROM emb WHERE vec_id < 8),
+     corpus AS (SELECT vec_id, v FROM emb WHERE vec_id >= 8),
+     scored AS (
+  SELECT c.vec_id, p.probe_id,
+         list_dot_product(c.v, p.pv) / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(p.pv, p.pv))) AS cos
+  FROM corpus c CROSS JOIN probes p),
+     best AS (
+  SELECT vec_id, probe_id, cos,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, probe_id ASC) AS rn
+  FROM scored)
+SELECT vec_id, probe_id, round(cos, 6) AS cosine
+FROM best WHERE rn = 1 AND cos >= 0.33
+ORDER BY vec_id
+"""
+
+# judge-run tail: embedding-space decontamination (paraphrase-robust
+# complement of the 7-gram containment check)
+QUERIES["decontaminate_semantic"] = (decontaminate_semantic, DECONTAM_SEMANTIC_SQL)
+
+
+def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail perplexity bucketing (Wenzek et al.
+    2020 §4, datapipe/lm.perplexity_buckets): per-LANGUAGE
+    equal-frequency split of the corpus-self-scored bigram perplexity.
+    Exact mode (keyed ntile) so DuckDB replays the split bit-for-bit;
+    the production thresholds mode (broadcast comparison, no windows)
+    is equivalence-tested against this in tests/test_datapipe.py."""
+    from flink_table_store_spark.datapipe.lm import perplexity_buckets
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    return perplexity_buckets(docs).orderBy("doc_id")
+
+
+TEXT_PPL_BUCKETS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+), bi AS (
+  SELECT doc_id, t[s.i] AS w1, t[s.i + 1] AS w2
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+  ) s
+), c2 AS (
+  SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM bi GROUP BY w1
+), v AS (
+  SELECT count(*) AS v FROM (
+    SELECT w1 AS w FROM bi UNION SELECT w2 FROM bi
+  )
+), scored AS (
+  SELECT b.doc_id,
+         (c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v) AS p
+  FROM bi b JOIN c2 USING (w1, w2) JOIN c1 USING (w1), v
+), per AS (
+  SELECT doc_id, count(*) AS n_bigrams, avg(-log2(p)) AS nll
+  FROM scored GROUP BY doc_id
+), base AS (
+  SELECT d.doc_id, d.lang,
+         coalesce(per.n_bigrams, 0)::BIGINT AS n_bigrams,
+         round(pow(2.0, per.nll), 4) AS perplexity
+  FROM documents d LEFT JOIN per USING (doc_id)
+)
+SELECT doc_id, lang, n_bigrams, perplexity,
+       CASE WHEN perplexity IS NULL THEN NULL
+            ELSE (['head', 'middle', 'tail'])[
+              ntile(3) OVER (PARTITION BY lang, (perplexity IS NULL)
+                             ORDER BY perplexity ASC, doc_id ASC)]
+       END AS ppl_bucket
+FROM base ORDER BY doc_id
+"""
+
+# judge-run tail: CCNet perplexity bucketing (per-language
+# equal-frequency head/middle/tail split under the value-hash gate)
+QUERIES["text_ppl_buckets"] = (text_ppl_buckets, TEXT_PPL_BUCKETS_SQL)

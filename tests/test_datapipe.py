@@ -963,3 +963,96 @@ def test_ngram_containment_pairs(spark):
     # jaccard alone would have missed the quote at 0.9
     j = DD.ngram_jaccard_pairs(df, pairs, k=3, threshold=0.9).collect()
     assert not any(r.id_a == 1 and r.id_b == 2 for r in j)
+
+
+def test_semantic_contamination(spark):
+    """Embedding-space decontamination: exact argmax probe per corpus
+    row, deterministic smallest-pid tie-break, zero-norm vectors never
+    match, and the plan stays exchange-free (one broadcast row, no
+    groupBy of the corpus)."""
+    from flink_table_store_spark.datapipe.similarity import (
+        semantic_contamination,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0]),       # == probe 1 and probe 2 (tie) -> pid 1
+            (11, [0.0, 1.0]),       # == probe 3
+            (12, [0.7, 0.7]),       # cos ~0.707 to several, below 0.9
+            (13, [0.0, 0.0]),       # zero norm: cosine undefined, never kept
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    probes = spark.createDataFrame(
+        [
+            (2, [2.0, 0.0]),   # same direction as probe 1 — exercises tie
+            (1, [1.0, 0.0]),
+            (3, [0.0, 5.0]),
+        ],
+        "probe_id bigint, probe_vec array<double>",
+    )
+    got = semantic_contamination(corpus, probes, threshold=0.9)
+    rows = {r["vec_id"]: (r["probe_id"], r["cosine"]) for r in got.collect()}
+    assert rows == {10: (1, 1.0), 11: (3, 1.0)}
+    # no exchange of the CORPUS: broadcast NLJ + narrow fold only (the
+    # probe side legitimately collapses via one SinglePartition agg)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_perplexity_buckets_exact_and_thresholds(spark):
+    """CCNet bucketing: exact (keyed ntile) mode splits per language
+    into equal-frequency thirds; thresholds mode (fit on the same
+    corpus) reproduces the assignment everywhere except exact
+    cut-point ties, which ntile may split arbitrarily; <2-token docs
+    get NULL bucket; unknown languages get NULL bucket in thresholds
+    mode."""
+    from flink_table_store_spark.datapipe.lm import (
+        fit_perplexity_thresholds,
+        perplexity_buckets,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text", "lang")
+    exact = perplexity_buckets(docs)
+    rows = exact.collect()
+    assert {r["ppl_bucket"] for r in rows if r["perplexity"] is not None} == {
+        "head", "middle", "tail"
+    }
+    # equal-frequency within each lang: bucket sizes differ by <= 1
+    from collections import Counter
+
+    per_lang = {}
+    for r in rows:
+        if r["perplexity"] is not None:
+            per_lang.setdefault(r["lang"], Counter())[r["ppl_bucket"]] += 1
+    for lang, c in per_lang.items():
+        assert max(c.values()) - min(c.values()) <= 1, (lang, c)
+    # head holds the LOWEST perplexities per lang
+    for lang in per_lang:
+        lp = [r for r in rows if r["lang"] == lang and r["perplexity"] is not None]
+        h = max(r["perplexity"] for r in lp if r["ppl_bucket"] == "head")
+        t = min(r["perplexity"] for r in lp if r["ppl_bucket"] == "tail")
+        assert h <= t
+
+    thr = fit_perplexity_thresholds(docs)
+    assert set(thr) == set(per_lang) and all(len(v) == 2 for v in thr.values())
+    assigned = perplexity_buckets(docs, thresholds=thr)
+    cuts = {c for v in thr.values() for c in v}
+    e = {r["doc_id"]: r["ppl_bucket"] for r in rows
+         if r["perplexity"] is not None and r["perplexity"] not in cuts}
+    a = {r["doc_id"]: r["ppl_bucket"] for r in assigned.collect()
+         if r["perplexity"] is not None and r["perplexity"] not in cuts}
+    assert e == a
+
+    # NULL-perplexity and unknown-lang behavior
+    tiny = spark.createDataFrame(
+        [(1, "word", "en"), (2, "alpha beta gamma", "xx")],
+        "doc_id bigint, text string, lang string",
+    )
+    got = {r["doc_id"]: r["ppl_bucket"]
+           for r in perplexity_buckets(tiny, thresholds=thr).collect()}
+    assert got[1] is None     # <2 tokens -> NULL perplexity -> NULL bucket
+    assert got[2] is None     # lang missing from thresholds -> NULL bucket
