@@ -5162,3 +5162,59 @@ FROM base ORDER BY doc_id
 # judge-run tail: CCNet perplexity bucketing (per-language
 # equal-frequency head/middle/tail split under the value-hash gate)
 QUERIES["text_ppl_buckets"] = (text_ppl_buckets, TEXT_PPL_BUCKETS_SQL)
+
+
+def embedding_pca_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed half of PCA under the gate: the full upper
+    triangle of the embedding covariance matrix in ONE map-combined
+    aggregate pass (datapipe/embeddings.embedding_covariance's builtin
+    path - 2080 covar_samp expressions for d=64), unpivoted to
+    (i, j, cov) rows. The driver-side eigendecomposition and the
+    projection algebra are property-tested in tests/test_datapipe.py
+    (orthonormality, descending variance, reconstruction, whitening)."""
+    d = 64
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    v = F.col("v")
+    aggs = [
+        F.covar_samp(v[i], v[j]).alias(f"c_{i}_{j}")
+        for i in range(d)
+        for j in range(i, d)
+    ]
+    one = emb.agg(*aggs)
+    entries = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.lit(j).alias("j"),
+                    # + 0.0 folds IEEE -0.0 into 0.0 (DuckDB keeps the
+                    # sign bit; the gate's string sort would misalign)
+                    (F.round(F.col(f"c_{i}_{j}"), 6) + F.lit(0.0)).alias("cov"),
+                )
+                for i in range(d)
+                for j in range(i, d)
+            ]
+        )
+    )
+    return (
+        one.select(entries.alias("e"))
+        .select("e.i", "e.j", "e.cov")
+        .orderBy("i", "j")
+    )
+
+
+EMBEDDING_PCA_COV_SQL = """
+WITH emb AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     dims AS (SELECT unnest(generate_series(0, 63)) AS i),
+     pairs AS (SELECT a.i AS i, b.i AS j FROM dims a JOIN dims b ON b.i >= a.i)
+SELECT p.i, p.j, round(covar_samp(v[p.i + 1], v[p.j + 1]), 6) + 0.0 AS cov
+FROM pairs p CROSS JOIN emb
+GROUP BY p.i, p.j
+ORDER BY i, j
+"""
+
+# judge-run tail: one-pass distributed covariance (the PCA fit's
+# distributed half; eig + projection are driver math, property-tested)
+QUERIES["embedding_pca_cov"] = (embedding_pca_cov, EMBEDDING_PCA_COV_SQL)

@@ -1056,3 +1056,61 @@ def test_perplexity_buckets_exact_and_thresholds(spark):
            for r in perplexity_buckets(tiny, thresholds=thr).collect()}
     assert got[1] is None     # <2 tokens -> NULL perplexity -> NULL bucket
     assert got[2] is None     # lang missing from thresholds -> NULL bucket
+
+
+def test_pca_fit_project_whiten(spark):
+    """Distributed PCA: builtin and arrow covariance paths agree,
+    components are orthonormal with descending eigenvalues, projected
+    data has diagonal covariance == eigenvalues (identity when
+    whitened), and full-rank projection reconstructs the input."""
+    import numpy as np
+
+    from flink_table_store_spark.datapipe.embeddings import (
+        embedding_covariance,
+        fit_pca,
+        project_embeddings,
+    )
+
+    rng = np.random.default_rng(11)
+    # anisotropic data: correlated 6-dim gaussian
+    a = rng.normal(size=(6, 6))
+    x = rng.normal(size=(400, 6)) @ a + rng.normal(size=6) * 3
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id bigint, embedding array<double>",
+    )
+    n_b, m_b, c_b = embedding_covariance(emb, method="builtin")
+    n_a, m_a, c_a = embedding_covariance(emb, method="arrow")
+    assert n_b == n_a == 400
+    assert np.allclose(m_b, m_a) and np.allclose(c_b, c_a)
+    assert np.allclose(c_b, np.cov(x, rowvar=False))
+
+    model = fit_pca(emb, k=6)
+    comps = np.asarray(model["components"])
+    evs = np.asarray(model["explained_variance"])
+    assert np.allclose(comps @ comps.T, np.eye(6), atol=1e-9)
+    assert all(evs[i] >= evs[i + 1] for i in range(5))
+    # sign convention: each component's largest-|coord| positive
+    assert all(comps[i][np.abs(comps[i]).argmax()] > 0 for i in range(6))
+
+    proj = project_embeddings(emb, model)
+    p = np.asarray(
+        [r["pca"] for r in proj.orderBy("vec_id").collect()]
+    )
+    assert np.allclose(np.cov(p, rowvar=False), np.diag(evs), atol=1e-8)
+    # reconstruction: x_centered == p @ comps
+    assert np.allclose(p @ comps, x - np.asarray(model["mean"]), atol=1e-8)
+
+    white = project_embeddings(emb, model, whiten=True)
+    w = np.asarray([r["pca"] for r in white.orderBy("vec_id").collect()])
+    assert np.allclose(np.cov(w, rowvar=False), np.eye(6), atol=1e-4)
+
+    # truncation keeps the top-k coordinates exactly
+    m2 = fit_pca(emb, k=2)
+    p2 = np.asarray(
+        [r["pca"] for r in project_embeddings(emb, m2).orderBy("vec_id").collect()]
+    )
+    assert np.allclose(p2, p[:, :2], atol=1e-8)
+    # projection plan is a narrow map: no exchange at all
+    plan = proj._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
