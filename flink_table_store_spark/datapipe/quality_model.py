@@ -204,3 +204,55 @@ def quality_filter(
     return docs.join(
         keep, F.col(id_col) == F.col("__keep_id"), "inner"
     ).drop("__keep_id")
+
+
+def pr_curve(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "quality_score",
+    n_bins: int = 100,
+) -> DataFrame:
+    """Threshold sweep for a scored binary classifier — the evaluation
+    that picks ``quality_filter``'s threshold: for every NONEMPTY score
+    bin edge t, the confusion counts and precision/recall of the rule
+    ``score >= t``. Returns (threshold, tp, fp, fn, precision, recall)
+    ordered by threshold descending.
+
+    Scale design: one map-combined groupBy collapses the corpus to at
+    most ``n_bins + 1`` rows (scores bucket to floor(score·n_bins),
+    clamped so score = 1.0 lands in the top bin); the cumulative sums
+    then run as a window over THAT bounded table — a single-partition
+    window over <= n_bins+1 rows, never over the corpus. NULL scores
+    (unscorable docs) and NULL labels are excluded: neither can be
+    thresholded or counted."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    from pyspark.sql import Window
+
+    s, lab = F.col(score_col), F.col(label_col).cast("double")
+    rows = scored.where(s.isNotNull() & lab.isNotNull())
+    b = F.least(
+        F.floor(s * F.lit(float(n_bins))).cast("int"), F.lit(n_bins)
+    )
+    per_bin = rows.groupBy(b.alias("__b")).agg(
+        F.sum(lab).cast("bigint").alias("__pos"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    # windows over the <= n_bins+1 aggregated rows only
+    cum = Window.orderBy(F.col("__b").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    allw = Window.orderBy(F.col("__b").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tp = F.sum("__pos").over(cum)
+    pred = F.sum("__n").over(cum)
+    total_pos = F.sum("__pos").over(allw)
+    return per_bin.select(
+        F.round(F.col("__b") / F.lit(float(n_bins)), 6).alias("threshold"),
+        tp.alias("tp"),
+        (pred - tp).alias("fp"),
+        (total_pos - tp).alias("fn"),
+        F.round(tp / pred, 6).alias("precision"),
+        F.when(total_pos > 0, F.round(tp / total_pos, 6)).alias("recall"),
+    ).orderBy(F.col("threshold").desc())

@@ -56,6 +56,7 @@ def curation_batch_writer(
     simhash_index=None,
     max_hamming: int = 3,
     text_index: dict | None = None,
+    vector_index: str | None = None,
 ) -> Callable[[DataFrame, int], None]:
     """A ``foreachBatch`` function curating each micro-batch into
     ``corpus_table`` (schema: the batch's columns + ``n_tokens``),
@@ -98,7 +99,16 @@ def curation_batch_writer(
     every other derived artifact, and lands after the corpus commit,
     before the exact-fp wall — a crash window replays into
     identifier-skips plus PK-idempotent postings, never double counts
-    (the 1-row stats fold is identifier-guarded per table)."""
+    (the 1-row stats fold is identifier-guarded per table).
+
+    ``vector_index`` (the name of a global index built on
+    ``corpus_table`` via ``globalindex.create_global_index``) adds the
+    SIXTH sink: after the corpus commit, ``extend_global_index`` folds
+    the batch's vectors into the frozen quantizer's cells (the FAISS
+    add() analogue), keeping ANN search cell-pruned instead of
+    accumulating a brute-force staleness tail. Snapshot-keyed and
+    seg-overwrite idempotent, so replays and crash windows self-heal;
+    requires the batch schema to carry the indexed vector column."""
     from flink_table_store_spark.datapipe.incdedup import (
         dedup_against_index,
         dedup_exact_against_index,
@@ -190,6 +200,14 @@ def curation_batch_writer(
         corpus_table.refresh().write(
             kept, commit_identifier=f"{sink_id}:{batch_id}"
         )
+        if vector_index is not None:
+            from flink_table_store_spark.globalindex import (
+                extend_global_index,
+            )
+
+            # snapshot-keyed: a replayed batch (identifier-skipped
+            # corpus commit -> no new snapshot) makes this a no-op
+            extend_global_index(spark, corpus_table.refresh(), vector_index)
         if sigs is not None:
             minhash_index.refresh().write(
                 sigs, commit_identifier=f"{sink_id}:mh:{batch_id}"

@@ -1114,3 +1114,32 @@ def test_pca_fit_project_whiten(spark):
     # projection plan is a narrow map: no exchange at all
     plan = proj._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pr_curve(spark):
+    """Hand-checked confusion sweep: 6 scored docs, bins of 0.1."""
+    from flink_table_store_spark.datapipe.quality_model import pr_curve
+
+    scored = spark.createDataFrame(
+        [
+            (1, 0.95, 1), (2, 0.95, 0), (3, 0.70, 1),
+            (4, 0.40, 0), (5, 0.10, 1), (6, None, 1), (7, 0.2, None),
+        ],
+        "doc_id bigint, quality_score double, label int",
+    )
+    got = {r["threshold"]: r for r in pr_curve(scored, n_bins=10).collect()}
+    assert set(got) == {0.9, 0.7, 0.4, 0.1}  # nonempty bins only
+    top = got[0.9]
+    assert (top["tp"], top["fp"], top["fn"]) == (1, 1, 2)
+    assert top["precision"] == 0.5 and abs(top["recall"] - 0.333333) < 1e-6
+    mid = got[0.4]
+    assert (mid["tp"], mid["fp"], mid["fn"]) == (2, 2, 1)
+    bot = got[0.1]
+    assert (bot["tp"], bot["fp"], bot["fn"]) == (3, 2, 0)
+    assert bot["recall"] == 1.0
+    # score exactly 1.0 clamps into the top bin, not bin n_bins+1
+    one = spark.createDataFrame(
+        [(1, 1.0, 1)], "doc_id bigint, quality_score double, label int"
+    )
+    [r] = pr_curve(one, n_bins=10).collect()
+    assert r["threshold"] == 1.0 and r["tp"] == 1

@@ -522,3 +522,70 @@ def test_text_index_fifth_sink(spark, warehouse, tmp_path):
     q.awaitTermination(120)
     st2 = fts["stats"].refresh().to_df(spark).head()
     assert (st2["n"], st2["total_dl"]) == (2, 8)
+
+
+def test_vector_index_sixth_sink(spark, warehouse, tmp_path):
+    """Streaming vector-index maintenance: batches carrying embeddings
+    extend the corpus's global IVF index in O(batch) after each corpus
+    commit; all-probe search over the grown corpus equals brute force,
+    and a replayed batch leaves postings untouched (no new snapshot ->
+    extension no-op)."""
+    from flink_table_store_spark.datapipe.incdedup import create_exact_index
+    from flink_table_store_spark.datapipe.similarity import brute_force_topk
+    from flink_table_store_spark.globalindex import (
+        _postings_dir,
+        create_global_index,
+        vector_search,
+    )
+    from flink_table_store_spark.streaming.curation import (
+        curation_batch_writer,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select(
+        F.col("vec_id").alias("doc_id"),
+        F.concat(F.lit("doc text number "), F.col("vec_id")).alias("text"),
+        "embedding",
+    )
+    schema = "doc_id bigint, text string, embedding array<float>, n_tokens int"
+    corpus = warehouse.create_table("db.vcorpus", schema)
+    index = create_exact_index(warehouse, "db.vcorpus_fp")
+
+    # seed batch 0 through the writer, then build the index once
+    wb = curation_batch_writer(corpus, index, "ing", min_tokens=1)
+    wb(emb.where(F.col("doc_id") < 200), 0)
+    create_global_index(
+        spark, corpus.refresh(), "ivf", "embedding", "doc_id", n_cells=8
+    )
+
+    # batches 1..2 flow with the vector sink on
+    wb = curation_batch_writer(
+        corpus, index, "ing", min_tokens=1, vector_index="ivf"
+    )
+    wb(emb.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 350)), 1)
+    wb(emb.where(F.col("doc_id") >= 350), 2)
+
+    t = corpus.refresh()
+    postings = spark.read.parquet(_postings_dir(t.path, "ivf"))
+    assert postings.count() == emb.count()  # no brute-force tail left
+    n_before = postings.count()
+
+    # replayed batch: corpus commit identifier-skips -> extension no-op
+    wb(emb.where(F.col("doc_id") >= 350), 2)
+    assert spark.read.parquet(_postings_dir(t.path, "ivf")).count() == n_before
+
+    q = emb.limit(4).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = vector_search(spark, t, "ivf", q, k=3, nprobe=8)
+    corpus_emb = t.to_df(spark).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    exact = brute_force_topk(
+        corpus_emb, q, k=3, id_col="vec_id"
+    )
+    g = {(r["query_id"], r["rank"]): r["doc_id"] for r in got.collect()}
+    e = {(r["query_id"], r["rank"]): r["vec_id"] for r in exact.collect()}
+    assert g == e
