@@ -2,9 +2,10 @@
 
 Runnable walkthrough of the full pillar over the sf0.001 testdata:
 
-    raw docs ─▶ exact dedup ─▶ quality gates (heuristic + model)
-             ─▶ DSIR domain selection ─▶ decontaminate vs an eval set
-             ─▶ UniMax epoch-capped mix ─▶ leakage-safe split
+    raw docs ─▶ exact dedup ─▶ quality gates (heuristic + model
+             + CCNet perplexity tail-drop) ─▶ DSIR domain selection
+             ─▶ decontaminate vs an eval set (7-gram AND embedding
+             cosine) ─▶ UniMax epoch-capped mix ─▶ leakage-safe split
              ─▶ pack train split ─▶ curriculum shard export
 
 Every step is deterministic: rerunning this script byte-reproduces the
@@ -74,7 +75,23 @@ def main() -> None:
     ).select("doc_id")
     docs = docs.join(keep_ids, "doc_id", "semi")
 
-    # 2c. DSIR domain selection (Xie et al. 2023): keep the 80% of the
+    # 2c. CCNet perplexity gate (Wenzek et al. 2020): bucket each doc's
+    # bigram-LM perplexity into head/middle/tail WITHIN its language
+    # and drop the tail (the least language-like third). Thresholds are
+    # fit once (here on the corpus itself; on a sample in production)
+    # so assignment is a pure broadcast comparison.
+    from flink_table_store_spark.datapipe.lm import (
+        fit_perplexity_thresholds,
+        perplexity_buckets,
+    )
+
+    ppl_thr = fit_perplexity_thresholds(docs)
+    buckets = perplexity_buckets(docs, thresholds=ppl_thr).where(
+        F.col("ppl_bucket").isin("head", "middle")
+    )
+    docs = docs.join(buckets.select("doc_id"), "doc_id", "semi")
+
+    # 2d. DSIR domain selection (Xie et al. 2023): keep the 80% of the
     # corpus whose hashed-ngram distribution best matches an English
     # target slice — Gumbel-top-k over importance weights, seeded
     from flink_table_store_spark.datapipe.dsir import dsir_resample, fit_dsir
@@ -95,6 +112,29 @@ def main() -> None:
         F.broadcast(probes), F.expr("contains(text, probe)"), "semi"
     )
     docs = docs.join(contaminated.select("doc_id"), "doc_id", "anti")
+
+    # 3b. semantic decontamination: paraphrased eval leakage shares no
+    # 7-gram but still sits next to its source in embedding space —
+    # drop docs whose best cosine against the eval embeddings clears
+    # the bar (probes collapse to ONE broadcast row; no corpus shuffle)
+    from flink_table_store_spark.datapipe.similarity import (
+        semantic_contamination,
+    )
+
+    emb = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    eval_emb = emb.join(eval_set.select("doc_id"), "doc_id", "semi").select(
+        F.col("doc_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+    )
+    sem = semantic_contamination(
+        docs.join(emb, "doc_id"), eval_emb, threshold=0.45, id_col="doc_id"
+    )
+    docs = docs.join(sem.select("doc_id"), "doc_id", "anti")
 
     # 4. mixture: UniMax epoch-capped budget (compare with temperature
     # weights — both are printed; the mix uses UniMax, the fair one)
