@@ -273,10 +273,6 @@ def temperature_weights(
     composition is the classic two-step: measure, rescale, resample.
     One map-combined groupBy; NULL domains are excluded (they carry
     weight 0 downstream, resample_to_mix's documented contract)."""
-    if not 0.0 < temperature <= 1.0:
-        raise ValueError(
-            f"temperature must be in (0, 1], got {temperature}"
-        )
     mass = (
         F.sum(F.col(token_col).cast("double"))
         if token_col
@@ -287,6 +283,20 @@ def temperature_weights(
         for r in df.groupBy(domain_col).agg(mass).collect()
         if r[0] is not None and r[1]
     }
+    return temperature_weights_from_totals(totals, temperature)
+
+
+def temperature_weights_from_totals(
+    totals: dict[str, float], temperature: float
+) -> dict[str, float]:
+    """The driver math of ``temperature_weights`` over a precomputed
+    {domain: mass} table — shared with the corpus-stats index, whose
+    state IS those totals (no corpus scan to re-measure)."""
+    if not 0.0 < temperature <= 1.0:
+        raise ValueError(
+            f"temperature must be in (0, 1], got {temperature}"
+        )
+    totals = {d: t for d, t in totals.items() if d is not None and t}
     if not totals:
         raise ValueError("no non-NULL domains with positive mass")
     all_mass = sum(totals.values())
@@ -325,10 +335,6 @@ def unimax_allocation(
     weight, epochs}} with ``weight`` = alloc / Σ alloc ready for
     ``resample_to_mix``. NULL domains are excluded (weight-0
     downstream, the resample_to_mix contract)."""
-    if budget <= 0:
-        raise ValueError(f"budget must be positive, got {budget}")
-    if max_epochs <= 0:
-        raise ValueError(f"max_epochs must be positive, got {max_epochs}")
     mass_expr = (
         F.sum(F.col(token_col).cast("double"))
         if token_col
@@ -339,6 +345,20 @@ def unimax_allocation(
         for r in df.groupBy(domain_col).agg(mass_expr).collect()
         if r[0] is not None and r[1]
     }
+    return unimax_allocation_from_totals(totals, budget, max_epochs)
+
+
+def unimax_allocation_from_totals(
+    totals: dict[str, float], budget: float, max_epochs: float = 1.0
+) -> dict[str, dict[str, float]]:
+    """The closed-form water-filling of ``unimax_allocation`` over a
+    precomputed {domain: mass} table — shared with the corpus-stats
+    index, whose state IS those totals."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be positive, got {max_epochs}")
+    totals = {d: t for d, t in totals.items() if d is not None and t}
     if not totals:
         raise ValueError("no non-NULL domains with positive mass")
     # ascending capacity, domain name as deterministic tie-break
@@ -364,4 +384,75 @@ def unimax_allocation(
             "epochs": out[d] / totals[d],
         }
         for d in order
+    }
+
+
+# ---------------------------------------------------------------------------
+# corpus-stats index: mixture totals as engine-native table state
+# ---------------------------------------------------------------------------
+
+STATS_INDEX_DDL = "domain string, n bigint, tokens bigint"
+
+
+def create_corpus_stats_index(catalog, name: str, *, buckets: int = 1):
+    """Persistent per-domain corpus totals as an engine PK table under
+    the sum-aggregation merge engine: appending a batch's (domain,
+    count, token-sum) deltas IS the update — no read-modify-write, no
+    corpus scan. The state the mixture rules (temperature, UniMax)
+    consume is this table, so re-balancing a 100 TB corpus reads
+    O(domains) rows instead of re-measuring anything."""
+    return catalog.create_table(
+        name,
+        STATS_INDEX_DDL,
+        primary_keys=["domain"],
+        options={
+            "bucket": str(buckets),
+            "merge-engine": "aggregation",
+            "fields.n.aggregate-function": "sum",
+            "fields.tokens.aggregate-function": "sum",
+        },
+    )
+
+
+def update_corpus_stats_index(
+    index,
+    batch,
+    domain_col: str = "lang",
+    token_col: str | None = None,
+    commit_identifier: str | None = None,
+) -> None:
+    """Fold one batch's per-domain deltas into the stats index: one
+    map-combined groupBy, <= |domains| rows written. NULL domains fold
+    under domain NULL-sentinel '' so counts stay complete while the
+    mixture rules keep excluding them. Identifier-checked exactly-once,
+    like every index family."""
+    toks = (
+        F.sum(F.col(token_col).cast("bigint"))
+        if token_col
+        else F.lit(None).cast("bigint")
+    )
+    rows = batch.groupBy(
+        F.coalesce(F.col(domain_col).cast("string"), F.lit("")).alias(
+            "domain"
+        )
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        toks.alias("tokens"),
+    )
+    index.refresh().write(rows, commit_identifier=commit_identifier or "")
+
+
+def totals_from_stats_index(
+    spark, index, token_weighted: bool = False
+) -> dict[str, float]:
+    """The {domain: mass} table the mixture rules take, straight from
+    index state — O(domains) rows read, no corpus scan. Feed to
+    ``temperature_weights_from_totals`` / ``unimax_allocation_from_totals``;
+    the '' NULL-sentinel is excluded, matching the scan paths' NULL
+    exclusion."""
+    col = "tokens" if token_weighted else "n"
+    return {
+        r["domain"]: float(r[col])
+        for r in index.refresh().to_df(spark).collect()
+        if r["domain"] != "" and r[col]
     }

@@ -5324,3 +5324,64 @@ FROM cum ORDER BY threshold DESC
 # classifier on the held-out half (the eval that picks the gate's
 # threshold), corpus collapsed to <= 101 bins before any window
 QUERIES["quality_pr_curve"] = (quality_pr_curve, QUALITY_PR_CURVE_SQL)
+
+
+def sample_mix_from_stats_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture allocation from PERSISTENT corpus-stats state (the
+    seventh index family): the corpus folds into the per-domain totals
+    table as two identifier-checked batches, and the UniMax closed form
+    computed from INDEX STATE must equal the single-shot scan's
+    allocation bit-for-bit (integer token sums) - so the oracle is
+    exactly SAMPLE_UNIMAX_SQL. Re-balancing reads O(domains) rows, the
+    corpus is never re-measured."""
+    from flink_table_store_spark.datapipe.sampling import (
+        create_corpus_stats_index,
+        totals_from_stats_index,
+        unimax_allocation_from_totals,
+        update_corpus_stats_index,
+    )
+
+    cat = _wh(sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    name = "default.corpus_stats_docs"
+    try:
+        idx = cat.get_table(name)
+    except RuntimeError:
+        idx = create_corpus_stats_index(cat, name)
+    if (idx.snapshots.latest_id() or 0) < 2:
+        update_corpus_stats_index(
+            idx, docs.where(F.col("doc_id") % 2 == 0),
+            domain_col="lang", token_col="n_chars",
+            commit_identifier="st:b0",
+        )
+        update_corpus_stats_index(
+            idx, docs.where(F.col("doc_id") % 2 == 1),
+            domain_col="lang", token_col="n_chars",
+            commit_identifier="st:b1",
+        )
+    totals = totals_from_stats_index(spark, idx, token_weighted=True)
+    a = unimax_allocation_from_totals(
+        totals, budget=0.35 * sum(totals.values()), max_epochs=0.5
+    )
+    rows = [
+        (
+            d,
+            v["mass"],
+            round(v["alloc"], 4),
+            round(v["weight"], 4),
+            round(v["epochs"], 4),
+        )
+        for d, v in a.items()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "lang string, mass double, alloc double, weight double, epochs double",
+    ).orderBy("lang")
+
+
+# judge-run tail: mixture allocation from persistent corpus-stats
+# state; the oracle is the single-shot closed form over a direct scan
+QUERIES["sample_mix_from_stats_index"] = (
+    sample_mix_from_stats_index,
+    SAMPLE_UNIMAX_SQL,
+)

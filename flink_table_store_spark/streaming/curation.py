@@ -57,6 +57,8 @@ def curation_batch_writer(
     max_hamming: int = 3,
     text_index: dict | None = None,
     vector_index: str | None = None,
+    stats_index=None,
+    stats_domain_col: str = "lang",
 ) -> Callable[[DataFrame, int], None]:
     """A ``foreachBatch`` function curating each micro-batch into
     ``corpus_table`` (schema: the batch's columns + ``n_tokens``),
@@ -108,7 +110,14 @@ def curation_batch_writer(
     add() analogue), keeping ANN search cell-pruned instead of
     accumulating a brute-force staleness tail. Snapshot-keyed and
     seg-overwrite idempotent, so replays and crash windows self-heal;
-    requires the batch schema to carry the indexed vector column."""
+    requires the batch schema to carry the indexed vector column.
+
+    ``stats_index`` (from ``sampling.create_corpus_stats_index``) adds
+    the SEVENTH sink: survivors' per-``stats_domain_col`` (count,
+    token-sum) deltas fold into the persistent totals table, so the
+    mixture rules (``temperature_weights_from_totals`` /
+    ``unimax_allocation_from_totals``) re-balance the corpus from
+    O(domains) rows of state instead of ever re-scanning it."""
     from flink_table_store_spark.datapipe.incdedup import (
         dedup_against_index,
         dedup_exact_against_index,
@@ -224,6 +233,16 @@ def curation_batch_writer(
             )
             simhash_index.refresh().write(
                 sh_rows, commit_identifier=f"{sink_id}:sh:{batch_id}"
+            )
+        if stats_index is not None:
+            from flink_table_store_spark.datapipe.sampling import (
+                update_corpus_stats_index,
+            )
+
+            update_corpus_stats_index(
+                stats_index, kept,
+                domain_col=stats_domain_col, token_col="n_tokens",
+                commit_identifier=f"{sink_id}:st:{batch_id}",
             )
         if text_index is not None:
             from flink_table_store_spark.datapipe.textindex import (

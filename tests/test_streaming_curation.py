@@ -589,3 +589,62 @@ def test_vector_index_sixth_sink(spark, warehouse, tmp_path):
     g = {(r["query_id"], r["rank"]): r["doc_id"] for r in got.collect()}
     e = {(r["query_id"], r["rank"]): r["vec_id"] for r in exact.collect()}
     assert g == e
+
+
+def test_stats_index_seventh_sink(spark, warehouse, tmp_path):
+    """Persistent corpus totals: survivors' per-lang (count, token-sum)
+    deltas fold per batch; the mixture computed from index state equals
+    the one computed by scanning the corpus; replays leave the
+    sum-aggregated state untouched."""
+    from flink_table_store_spark.datapipe.incdedup import create_exact_index
+    from flink_table_store_spark.datapipe.sampling import (
+        create_corpus_stats_index,
+        temperature_weights,
+        temperature_weights_from_totals,
+        totals_from_stats_index,
+    )
+    from flink_table_store_spark.streaming.curation import (
+        curation_batch_writer,
+    )
+
+    schema = "doc_id bigint, text string, lang string, n_tokens int"
+    corpus = warehouse.create_table("db.scorpus", schema)
+    index = create_exact_index(warehouse, "db.scorpus_fp")
+    stats = create_corpus_stats_index(warehouse, "db.scorpus_stats")
+    wb = curation_batch_writer(
+        corpus, index, "ing", min_tokens=1, stats_index=stats
+    )
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta", "en"), (2, "gamma delta eps", "de"),
+         (3, "alpha beta", "en"), (4, "zeta", None)],
+        "doc_id bigint, text string, lang string",
+    )
+    b1 = spark.createDataFrame(
+        [(10, "uno dos tres cuatro", "es"), (11, "eta theta", "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    wb(b0, 0)
+    wb(b1, 1)
+    wb(b1, 1)  # replay: identifier-skipped, sums unchanged
+
+    totals = totals_from_stats_index(spark, stats, token_weighted=True)
+    # doc 3 is an exact dup of 1 -> never counted; NULL lang excluded
+    assert totals == {"en": 4.0, "de": 3.0, "es": 4.0}
+    n_totals = totals_from_stats_index(spark, stats)
+    assert n_totals == {"en": 2.0, "de": 1.0, "es": 1.0}
+    # NULL-lang survivors still counted under the sentinel row
+    st = {r["domain"]: r["n"] for r in stats.refresh().to_df(spark).collect()}
+    assert st[""] == 1
+
+    # mixture from state == mixture from scanning the corpus
+    from_idx = temperature_weights_from_totals(totals, 0.7)
+    from_scan = temperature_weights(
+        corpus.refresh().to_df(spark), "lang", 0.7, token_col="n_tokens"
+    )
+    # identical totals; the normalizing sum's ORDER differs between the
+    # two dicts, so allow the 1-ulp float wiggle
+    import pytest as _pytest
+
+    assert set(from_idx) == set(from_scan)
+    for d in from_idx:
+        assert from_idx[d] == _pytest.approx(from_scan[d], abs=1e-12)
