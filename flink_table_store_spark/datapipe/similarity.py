@@ -330,3 +330,99 @@ def semantic_contamination(
             F.round(F.col("__best.c"), 6).alias("cosine"),
         )
     )
+
+
+def binary_signature(vec: Column, bits: int = 64) -> Column:
+    """Pack the sign bits of the first ``bits`` (<= 64) components into
+    one BIGINT — binary quantization (the asymmetric-sketch family:
+    Charikar 2002 SimHash for vectors; the BQ index Lucene/Vespa ship).
+    8 bytes per vector regardless of dimension: a float corpus shrinks
+    ~32x for the candidate pass. Bit 63 is set via the signed-minimum
+    literal so the packing stays portable to engines whose BIGINT
+    shift at 63 overflows (two's complement addition of non-overlapping
+    bits is exact)."""
+    if not 0 < bits <= 64:
+        raise ValueError(f"bits must be in (0, 64], got {bits}")
+    terms = [
+        F.when(vec[i] >= 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        for i in range(min(bits, 63))
+    ]
+    if bits == 64:
+        terms.append(
+            F.when(vec[63] >= 0, F.lit(-(1 << 63)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def binary_hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rerank: int = 4,
+    bits: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Binary-quantized top-k: rank the corpus by Hamming distance
+    between 64-bit sign signatures (one bit_count(xor) per pair — pure
+    JVM bit math over 8-byte ints), keep ``rerank * k`` candidates per
+    query, then EXACT-cosine re-rank those to k. The standard BQ
+    two-stage: the cheap pass touches only signatures (~3% of raw
+    vector IO), the expensive cosine touches rerank*k rows per query.
+    Deterministic: hamming ties break on id; rerank ties on id.
+    Approximate like every sign-bit method — recall grows with
+    ``rerank`` — but fully deterministic, so the correctness oracle
+    replays the whole pipeline exactly."""
+    if k <= 0 or rerank < 1:
+        raise ValueError(f"need k > 0 and rerank >= 1, got k={k} rerank={rerank}")
+    csig = corpus.select(
+        F.col(id_col).alias("__cid"),
+        binary_signature(F.col(vec_col), bits).alias("__cs"),
+    )
+    qsig = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        binary_signature(F.col(query_vec_col), bits).alias("__qs"),
+    )
+    pairs = csig.crossJoin(F.broadcast(qsig)).select(
+        "__qid",
+        "__cid",
+        F.bit_count(F.col("__cs").bitwiseXOR(F.col("__qs"))).alias("hamming"),
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("hamming").asc(), F.col("__cid").asc()
+    )
+    cand = (
+        pairs.withColumn("__hr", F.row_number().over(w))
+        .where(F.col("__hr") <= rerank * k)
+        .drop("__hr")
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv")
+    )
+    qvec = queries.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(query_vec_col).alias("__qv"),
+    )
+    scored = cand.join(cvec, "__cid").join(F.broadcast(qvec), "__qid")
+    scored = scored.withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+    w2 = Window.partitionBy("__qid").orderBy(
+        F.col("cosine").desc(), F.col("__cid").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id_col),
+            F.col("__cid").alias(id_col),
+            F.round("cosine", 6).alias("cosine"),
+            "hamming",
+            "rank",
+        )
+    )

@@ -435,6 +435,10 @@ PROCEDURES: dict[str, Callable] = {
     # DropGlobalIndexProcedure; core globalindex/) — flink_table_store_spark.globalindex
     "create_global_index": lambda s, c, a: _create_gidx(s, c, a),
     "drop_global_index": lambda s, c, a: _drop_gidx(s, c, a),
+    "extend_global_index": lambda s, c, a: _extend_gidx(s, c, a),
+    "create_text_search_index": lambda s, c, a: _create_fts(s, c, a),
+    "update_text_search_index": lambda s, c, a: _update_fts(s, c, a),
+    "search_text_index": lambda s, c, a: _search_fts(s, c, a),
     "migrate_database": lambda s, c, a: _migrate_db(s, c, a),
     "migrate_iceberg_table": lambda s, c, a: _migrate_iceberg(s, c, a),
     "migrate_hudi_table": lambda s, c, a: _migrate_hudi(s, c, a),
@@ -511,6 +515,47 @@ def _drop_gidx(spark, cat, a):
     from flink_table_store_spark.globalindex import drop_global_index
 
     return drop_global_index(_t(cat, a), a.pop("index_name"))
+
+
+def _extend_gidx(spark, cat, a):
+    from flink_table_store_spark.globalindex import extend_global_index
+
+    return extend_global_index(spark, _t(cat, a), a.pop("index_name"))
+
+
+def _create_fts(spark, cat, a):
+    from flink_table_store_spark.datapipe.textindex import (
+        create_text_search_index,
+    )
+
+    create_text_search_index(cat, a.pop("index"), **a)
+    return True
+
+
+def _update_fts(spark, cat, a):
+    """Fold a source table's rows into the incremental text index:
+    CALL sys.update_text_search_index(index => 'db.fts',
+    from_table => 'db.docs', text_col => ..., key_col => ...,
+    commit_identifier => ...)."""
+    from flink_table_store_spark.datapipe.textindex import (
+        get_text_search_index,
+        update_text_search_index,
+    )
+
+    idx = get_text_search_index(cat, a.pop("index"))
+    docs = cat.get_table(a.pop("from_table")).to_df(spark)
+    update_text_search_index(idx, docs, **a)
+    return True
+
+
+def _search_fts(spark, cat, a):
+    from flink_table_store_spark.datapipe.textindex import (
+        get_text_search_index,
+        search_text_index,
+    )
+
+    idx = get_text_search_index(cat, a.pop("index"))
+    return search_text_index(spark, idx, a.pop("query"), **a)
 
 
 def _migrate(spark, cat, a):

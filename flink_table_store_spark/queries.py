@@ -5385,3 +5385,64 @@ QUERIES["sample_mix_from_stats_index"] = (
     sample_mix_from_stats_index,
     SAMPLE_UNIMAX_SQL,
 )
+
+
+def ann_binary_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN (datapipe/similarity.binary_hamming_topk,
+    the Lucene/Vespa-style BQ two-stage): 64-bit sign signatures ranked
+    by bit_count(xor) - 8 bytes/vector for the candidate pass - then
+    exact-cosine re-rank of rerank*k candidates. Every step is
+    deterministic bit math, so the oracle replays the WHOLE approximate
+    pipeline (signature, hamming rank, tie-breaks, re-rank) exactly."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return SIM.binary_hamming_topk(
+        emb, queries, k=10, rerank=4
+    ).orderBy("query_id", "rank")
+
+
+def _bq_sig_sql(col: str) -> str:
+    terms = [
+        f"(CASE WHEN {col}[{i + 1}] >= 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(63)
+    ]
+    terms.append(
+        f"(CASE WHEN {col}[64] >= 0 THEN CAST(-9223372036854775808 AS BIGINT) ELSE 0 END)"
+    )
+    return " + ".join(terms)
+
+
+ANN_BINARY_SQL = f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     sig AS (SELECT vec_id, v, {_bq_sig_sql('v')} AS s FROM emb),
+     q AS (SELECT vec_id AS query_id, v AS qv, s AS qs FROM sig WHERE vec_id < 5),
+     ham AS (
+  SELECT q.query_id, c.vec_id, c.v, q.qv,
+         bit_count(xor(c.s, q.qs)) AS hamming,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY bit_count(xor(c.s, q.qs)) ASC,
+                                     c.vec_id ASC) AS hr
+  FROM q CROSS JOIN sig c),
+     cand AS (SELECT * FROM ham WHERE hr <= 40),
+     scored AS (
+  SELECT query_id, vec_id, hamming,
+         list_dot_product(qv, v)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))) AS cos
+  FROM cand),
+     ranked AS (
+  SELECT query_id, vec_id, round(cos, 6) AS cosine, hamming,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cosine, hamming, rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+# judge-run tail: binary-quantization ANN (sign signatures + hamming
+# candidate pass + exact re-rank, fully replayed by the oracle)
+QUERIES["ann_binary_quantized"] = (ann_binary_quantized, ANN_BINARY_SQL)

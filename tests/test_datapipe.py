@@ -1143,3 +1143,49 @@ def test_pr_curve(spark):
     )
     [r] = pr_curve(one, n_bins=10).collect()
     assert r["threshold"] == 1.0 and r["tp"] == 1
+
+
+def test_binary_hamming_topk(spark):
+    """BQ two-stage: the self-vector (hamming 0, cosine 1) is always
+    rank 1; a high rerank recovers exact brute-force top-k; signatures
+    use all 64 bits (bit 63 via the signed-minimum trick)."""
+    from flink_table_store_spark.datapipe.similarity import (
+        binary_hamming_topk,
+        binary_signature,
+        brute_force_topk,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).withColumn("embedding", F.col("embedding").cast("array<double>"))
+    q = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = binary_hamming_topk(emb, q, k=5, rerank=4).collect()
+    top = {r["query_id"]: r for r in got if r["rank"] == 1}
+    assert all(top[qid]["vec_id"] == qid for qid in top)
+    assert all(r["hamming"] == 0 for r in top.values())
+
+    # rerank = corpus size -> candidate pass keeps everything -> exact
+    n = emb.count()
+    exact = brute_force_topk(emb, q, k=5)
+    full = binary_hamming_topk(emb, q, k=5, rerank=n)
+    e = {(r["query_id"], r["rank"]): r["vec_id"] for r in exact.collect()}
+    f = {(r["query_id"], r["rank"]): r["vec_id"] for r in full.collect()}
+    assert e == f
+
+    # bit 63: a vector positive in dim 63 and one negative differ there
+    two = spark.createDataFrame(
+        [(1, [0.0] * 63 + [1.0]), (2, [0.0] * 63 + [-1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    sigs = {
+        r["vec_id"]: r["s"]
+        for r in two.select(
+            "vec_id", binary_signature(F.col("embedding")).alias("s")
+        ).collect()
+    }
+    # dim 0..62 of 0.0 are >= 0 -> low 63 bits set in both; bit 63 differs
+    assert sigs[1] < 0 and sigs[2] > 0
+    assert bin((sigs[1] ^ sigs[2]) & (2**64 - 1)).count("1") == 1

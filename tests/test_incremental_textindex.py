@@ -138,3 +138,41 @@ def test_tokenless_docs_contribute_nothing(spark, warehouse):
     assert st["total_dl"] == 4
     got = search_text_index(spark, idx, "beta", k=5).collect()
     assert sorted(r["doc_id"] for r in got) == [1, 4]
+
+
+def test_text_index_and_extend_procedures(spark, warehouse):
+    """The new index-maintenance surfaces are CALL-able: text index
+    create/update/search procedures and extend_global_index."""
+    from flink_table_store_spark.procedures import call
+
+    docs = _docs(spark).where(F.col("doc_id") < 100)
+    t = warehouse.create_table("db.pdocs", docs.schema)
+    t.write(docs)
+
+    call(spark, warehouse, "create_text_search_index", index="db.pfts")
+    call(
+        spark, warehouse, "update_text_search_index",
+        index="db.pfts", from_table="db.pdocs", commit_identifier="b0",
+    )
+    hits = call(
+        spark, warehouse, "search_text_index",
+        index="db.pfts", query="vector join", k=5,
+    )
+    assert 0 < hits.count() <= 5
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    te = warehouse.create_table("db.pemb", emb.schema)
+    te.write(emb.where(F.col("vec_id") < 300))
+    call(
+        spark, warehouse, "create_global_index",
+        table="db.pemb", index_name="ivf", column="embedding",
+        key_col="vec_id", n_cells=4,
+    )
+    te.refresh().write(emb.where(F.col("vec_id") >= 300))
+    meta = call(
+        spark, warehouse, "extend_global_index",
+        table="db.pemb", index_name="ivf",
+    )
+    assert meta["snapshot_id"] == 2
