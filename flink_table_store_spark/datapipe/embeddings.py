@@ -50,7 +50,7 @@ def embedding_covariance(
     ``cov`` is the SAMPLE covariance (n-1 denominator), returned as a
     d x d nested list; ``mean`` as a d-list. ``method``: 'builtin'
     (covar_samp grid), 'arrow' (BLAS partial fold), or 'auto' (builtin
-    up to d = {thr}, arrow beyond).""".format(thr=ARROW_DIM_THRESHOLD)
+    up to d = ARROW_DIM_THRESHOLD = 128, arrow beyond)."""
     d = dim or _dim_of(emb, vec_col)
     if method not in ("auto", "builtin", "arrow"):
         raise ValueError(f"unknown method {method!r} (auto/builtin/arrow)")
@@ -158,14 +158,51 @@ def project_embeddings(
     out_col: str = "pca",
     whiten: bool = False,
     eps: float = 1e-9,
+    method: str = "auto",
 ) -> DataFrame:
-    """Project each vector onto the fitted components — pure JVM column
-    math (k dot products against literal broadcast components), no UDF,
-    no shuffle. ``whiten=True`` divides each coordinate by sqrt(its
-    eigenvalue + eps), giving unit variance per output dimension."""
+    """Project each vector onto the fitted components. ``whiten=True``
+    divides each coordinate by sqrt(its eigenvalue + eps), giving unit
+    variance per output dimension.
+
+    Two paths, same crossover as the covariance fit: 'builtin' embeds
+    k x d literal components as JVM column math (no UDF, no shuffle —
+    right up to k*d ~ ARROW_DIM_THRESHOLD**2, past which Catalyst plan
+    construction hits the codegen wall), and 'arrow' does one BLAS
+    matmul per Arrow batch with the (k, d) matrix broadcast in the
+    closure — a narrow mapInPandas, still no shuffle."""
     mean = model["mean"]
     comps = model["components"]
     evs = model["explained_variance"]
+    if method not in ("auto", "builtin", "arrow"):
+        raise ValueError(f"unknown method {method!r} (auto/builtin/arrow)")
+    if method == "auto":
+        kd = len(comps) * len(mean)
+        method = "builtin" if kd <= ARROW_DIM_THRESHOLD**2 else "arrow"
+    if method == "arrow":
+        import numpy as np
+
+        w = np.asarray(comps, dtype=np.float64)
+        if whiten:
+            w = w / np.sqrt(np.asarray(evs, dtype=np.float64) + eps)[:, None]
+        mu = np.asarray(mean, dtype=np.float64)
+        cols = list(df.columns)
+        out_schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
+        ) + f", `{out_col}` array<double>"
+
+        def _proj(batches):
+            import pandas as _pd
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+                p = (x - mu) @ w.T
+                pdf = pdf.copy()
+                pdf[out_col] = [row.tolist() for row in p]
+                yield pdf
+
+        return df.mapInPandas(_proj, out_schema).select(*cols, out_col)
     v = F.col(vec_col)
     centered = F.zip_with(
         v, F.array(*[F.lit(float(m)) for m in mean]), lambda a, b: a - b

@@ -223,7 +223,14 @@ def fit_perplexity_thresholds(
     out: dict = {}
     for r in rows:
         out.setdefault(r[by_col], {})[int(r["ppl_bucket"])] = float(r["m"])
+    # NULL domains and languages with fewer scored docs than buckets
+    # are EXCLUDED (they cannot carry a full cut-point set); thresholds
+    # mode assigns them NULL bucket, its documented missing-language
+    # contract — returning a short list would crash the consumer, and
+    # a None key would break its sorted() broadcast map
     return {
-        lang: [cuts[i] for i in range(n_buckets - 1) if i in cuts]
+        lang: [cuts[i] for i in range(n_buckets - 1)]
         for lang, cuts in out.items()
+        if lang is not None
+        and all(i in cuts for i in range(n_buckets - 1))
     }

@@ -273,6 +273,12 @@ def temperature_weights(
     composition is the classic two-step: measure, rescale, resample.
     One map-combined groupBy; NULL domains are excluded (they carry
     weight 0 downstream, resample_to_mix's documented contract)."""
+    if not 0.0 < temperature <= 1.0:
+        # validate BEFORE the corpus aggregation: a bad argument must
+        # not cost a full scan to surface
+        raise ValueError(
+            f"temperature must be in (0, 1], got {temperature}"
+        )
     mass = (
         F.sum(F.col(token_col).cast("double"))
         if token_col
@@ -335,6 +341,11 @@ def unimax_allocation(
     weight, epochs}} with ``weight`` = alloc / Σ alloc ready for
     ``resample_to_mix``. NULL domains are excluded (weight-0
     downstream, the resample_to_mix contract)."""
+    if budget <= 0:
+        # validate BEFORE the corpus aggregation, as temperature_weights
+        raise ValueError(f"budget must be positive, got {budget}")
+    if max_epochs <= 0:
+        raise ValueError(f"max_epochs must be positive, got {max_epochs}")
     mass_expr = (
         F.sum(F.col(token_col).cast("double"))
         if token_col
@@ -392,6 +403,10 @@ def unimax_allocation_from_totals(
 # ---------------------------------------------------------------------------
 
 STATS_INDEX_DDL = "domain string, n bigint, tokens bigint"
+# NULL domains fold under a sentinel no real domain string can collide
+# with (U+0000 prefix), so a genuine ''-named domain keeps its own row
+# and the index-vs-scan mixture parity holds for it
+NULL_DOMAIN = "\x00null"
 
 
 def create_corpus_stats_index(catalog, name: str, *, buckets: int = 1):
@@ -423,8 +438,9 @@ def update_corpus_stats_index(
 ) -> None:
     """Fold one batch's per-domain deltas into the stats index: one
     map-combined groupBy, <= |domains| rows written. NULL domains fold
-    under domain NULL-sentinel '' so counts stay complete while the
-    mixture rules keep excluding them. Identifier-checked exactly-once,
+    under the NULL_DOMAIN sentinel so counts stay complete while the
+    mixture rules keep excluding them (a genuine empty-string domain
+    keeps its own row, matching the scan paths). Identifier-checked exactly-once,
     like every index family."""
     toks = (
         F.sum(F.col(token_col).cast("bigint"))
@@ -432,9 +448,9 @@ def update_corpus_stats_index(
         else F.lit(None).cast("bigint")
     )
     rows = batch.groupBy(
-        F.coalesce(F.col(domain_col).cast("string"), F.lit("")).alias(
-            "domain"
-        )
+        F.coalesce(
+            F.col(domain_col).cast("string"), F.lit(NULL_DOMAIN)
+        ).alias("domain")
     ).agg(
         F.count(F.lit(1)).alias("n"),
         toks.alias("tokens"),
@@ -448,11 +464,11 @@ def totals_from_stats_index(
     """The {domain: mass} table the mixture rules take, straight from
     index state — O(domains) rows read, no corpus scan. Feed to
     ``temperature_weights_from_totals`` / ``unimax_allocation_from_totals``;
-    the '' NULL-sentinel is excluded, matching the scan paths' NULL
-    exclusion."""
+    the NULL_DOMAIN sentinel is excluded, matching the scan paths'
+    NULL exclusion (empty-string domains pass through on both)."""
     col = "tokens" if token_weighted else "n"
     return {
         r["domain"]: float(r[col])
         for r in index.refresh().to_df(spark).collect()
-        if r["domain"] != "" and r[col]
+        if r["domain"] != NULL_DOMAIN and r[col]
     }

@@ -60,14 +60,11 @@ def brute_force_topk(
 
 
 def signbit_bucket(vec: Column, bits: int) -> Column:
-    """LSH bucket id from the sign pattern of the first ``bits`` dims
-    (static unrolled bit expressions — JVM-side)."""
-    out = F.lit(0).cast("long")
-    for i in range(bits):
-        out = out.bitwiseOR(
-            F.when(vec[i] >= 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
-        )
-    return out
+    """LSH bucket id from the sign pattern of the first ``bits`` dims —
+    the same packing as ``binary_signature`` (one implementation: the
+    general form also handles bit 63, where a shifted long literal
+    would overflow)."""
+    return binary_signature(vec, bits)
 
 
 def train_ivf_centroids(
@@ -300,6 +297,7 @@ def semantic_contamination(
             )
         ).alias("__probes")
     )
+    pid_type = probes.schema[probe_id_col].dataType.simpleString()
     dn = _norm(F.col(vec_col))
 
     def _cos(p):
@@ -307,18 +305,24 @@ def semantic_contamination(
         den = dn * _norm(p["pv"])
         return F.when(den > 0, num / den).otherwise(F.lit(-2.0))
 
+    # score each probe ONCE (higher-order lambdas get no common-
+    # subexpression elimination — referencing _cos twice in the fold
+    # would double the O(d) hot-loop flops), then argmax-fold the
+    # scored structs. Probe ids keep their native type: a cast would
+    # silently NULL non-numeric eval-suite ids.
+    scored_arr = F.transform(
+        F.col("__probes"),
+        lambda p: F.struct(_cos(p).alias("c"), p["pid"].alias("pid")),
+    )
     init = F.struct(
-        F.lit(-2.0).alias("c"), F.lit(None).cast("long").alias("pid")
+        F.lit(-2.0).alias("c"), F.lit(None).cast(pid_type).alias("pid")
     )
     best = F.aggregate(
-        F.col("__probes"),
+        scored_arr,
         init,
         # strict > : probes arrive sorted by pid, so the FIRST of a
         # cosine tie (smallest pid) wins deterministically
-        lambda acc, p: F.when(
-            _cos(p) > acc["c"],
-            F.struct(_cos(p).alias("c"), p["pid"].cast("long").alias("pid")),
-        ).otherwise(acc),
+        lambda acc, p: F.when(p["c"] > acc["c"], p).otherwise(acc),
     )
     return (
         corpus.crossJoin(F.broadcast(parr))

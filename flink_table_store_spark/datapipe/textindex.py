@@ -149,11 +149,15 @@ def create_text_search_index(
     ``(term, key)`` bucketed by ``term`` (searches bucket-prune to the
     query terms) and a 1-row stats table under the sum-aggregation
     merge engine. Returns ``{"postings": Table, "stats": Table}``."""
+    # ignore_if_exists: creation spans TWO tables — a crash between the
+    # two commits must not wedge the index (re-create would refuse on
+    # the half that landed while get refuses on the half that didn't)
     postings = catalog.create_table(
         name,
         TEXT_POSTINGS_DDL,
         primary_keys=["term", "key"],
         options={"bucket": str(buckets), "bucket-key": "term"},
+        ignore_if_exists=True,
     )
     stats = catalog.create_table(
         f"{name}_stats",
@@ -165,6 +169,7 @@ def create_text_search_index(
             "fields.n.aggregate-function": "sum",
             "fields.total_dl.aggregate-function": "sum",
         },
+        ignore_if_exists=True,
     )
     return {"postings": postings, "stats": stats}
 

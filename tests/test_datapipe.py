@@ -1105,6 +1105,18 @@ def test_pca_fit_project_whiten(spark):
     w = np.asarray([r["pca"] for r in white.orderBy("vec_id").collect()])
     assert np.allclose(np.cov(w, rowvar=False), np.eye(6), atol=1e-4)
 
+    # arrow projection path (the wide-d escape hatch) matches builtin
+    pa = np.asarray(
+        [r["pca"] for r in project_embeddings(emb, model, method="arrow")
+         .orderBy("vec_id").collect()]
+    )
+    assert np.allclose(pa, p, atol=1e-9)
+    wa = np.asarray(
+        [r["pca"] for r in project_embeddings(
+            emb, model, whiten=True, method="arrow").orderBy("vec_id").collect()]
+    )
+    assert np.allclose(wa, w, atol=1e-9)
+
     # truncation keeps the top-k coordinates exactly
     m2 = fit_pca(emb, k=2)
     p2 = np.asarray(
@@ -1189,3 +1201,27 @@ def test_binary_hamming_topk(spark):
     # dim 0..62 of 0.0 are >= 0 -> low 63 bits set in both; bit 63 differs
     assert sigs[1] < 0 and sigs[2] > 0
     assert bin((sigs[1] ^ sigs[2]) & (2**64 - 1)).count("1") == 1
+
+
+def test_perplexity_thresholds_fitter_edge_cases(spark):
+    """The fit -> assign round trip survives NULL-lang docs and
+    languages with too few scored docs for a full cut-point set: both
+    are EXCLUDED from the fitted dict (thresholds mode then assigns
+    them NULL bucket), never a crash."""
+    from flink_table_store_spark.datapipe.lm import (
+        fit_perplexity_thresholds,
+        perplexity_buckets,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i} gamma delta", "en") for i in range(12)]
+        + [(100, "uno dos tres cuatro", "es")]      # single-doc language
+        + [(200, "null lang words here", None)],    # NULL lang
+        "doc_id bigint, text string, lang string",
+    )
+    thr = fit_perplexity_thresholds(docs)
+    assert set(thr) == {"en"} and len(thr["en"]) == 2
+    got = {r["doc_id"]: r["ppl_bucket"]
+           for r in perplexity_buckets(docs, thresholds=thr).collect()}
+    assert got[100] is None and got[200] is None
+    assert all(got[i] is not None for i in range(12))

@@ -633,8 +633,10 @@ def test_stats_index_seventh_sink(spark, warehouse, tmp_path):
     n_totals = totals_from_stats_index(spark, stats)
     assert n_totals == {"en": 2.0, "de": 1.0, "es": 1.0}
     # NULL-lang survivors still counted under the sentinel row
+    from flink_table_store_spark.datapipe.sampling import NULL_DOMAIN
+
     st = {r["domain"]: r["n"] for r in stats.refresh().to_df(spark).collect()}
-    assert st[""] == 1
+    assert st[NULL_DOMAIN] == 1
 
     # mixture from state == mixture from scanning the corpus
     from_idx = temperature_weights_from_totals(totals, 0.7)
