@@ -5446,3 +5446,57 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
 # judge-run tail: binary-quantization ANN (sign signatures + hamming
 # candidate pass + exact re-rank, fully replayed by the oracle)
 QUERIES["ann_binary_quantized"] = (ann_binary_quantized, ANN_BINARY_SQL)
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events stream (streaming/
+    stateful.sessionize - the batch complement of the session_window
+    surface, T9): per user, a new session opens after a 30-minute
+    silence; per-session summary rows come out of one keyed-window
+    assignment plus one grouped aggregate. Timestamps compare at
+    MICROSECOND precision on both engines (unix_micros / epoch_us)."""
+    from flink_table_store_spark.streaming.stateful import sessionize
+
+    ev = _events(spark, sf_dir)
+    sess = sessionize(
+        ev, "ts", gap_seconds=1800, keys=["user_id"],
+        order_cols=["event_id"],
+    )
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+              ) > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) + 1 AS session_id
+  FROM ev)
+SELECT user_id, session_id::BIGINT AS session_id,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       round(sum(value), 2) AS sum_value
+FROM sess GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+"""
+
+# judge-run tail: batch gap-sessionization (keyed lag/cumsum window,
+# microsecond-exact on both engines)
+QUERIES["events_sessionize"] = (events_sessionize, EVENTS_SESSIONIZE_SQL)

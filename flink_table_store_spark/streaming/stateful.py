@@ -25,7 +25,7 @@ from __future__ import annotations
 from typing import Iterable
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -149,3 +149,46 @@ def running_aggregate(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def sessionize(
+    df: DataFrame,
+    time_col: str = "ts",
+    gap_seconds: int = 1800,
+    keys: list[str] | None = None,
+    order_cols: list[str] | None = None,
+) -> DataFrame:
+    """BATCH gap-based sessionization — the offline complement of
+    ``session_aggregate``'s streaming session windows: within each key,
+    a new session starts whenever the gap to the previous event exceeds
+    ``gap_seconds``; ``session_id`` is the key-scoped session ordinal
+    (1-based). The classic lag-then-cumsum assignment, entirely
+    replayable in ANSI SQL.
+
+    Scale: the window is KEYED (per user/entity), so each group is one
+    range — events-per-key is bounded in practice; there is exactly one
+    shuffle, on the key. The gap compares as a timestamp-minus-timestamp
+    INTERVAL, which is microsecond-exact and works for both TIMESTAMP
+    and TIMESTAMP_NTZ columns (unix_micros rejects NTZ; a
+    seconds-resolution diff would mis-split sub-second straddles). Pass
+    ``order_cols`` (e.g. an event id) to break equal-timestamp ties
+    deterministically."""
+    if gap_seconds <= 0:
+        raise ValueError(f"gap_seconds must be positive, got {gap_seconds}")
+    keys = keys or ["user_id"]
+    order = [F.col(time_col).asc()] + [
+        F.col(c).asc() for c in (order_cols or [])
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    ts = F.col(time_col)
+    gap = F.expr(f"INTERVAL {int(gap_seconds)} SECOND")
+    new_session = F.when(ts - F.lag(ts).over(w) > gap, 1).otherwise(0)
+    # the first event of a key has lag NULL -> comparison NULL -> 0;
+    # cumsum starts at 0, so +1 makes session ids 1-based
+    sid = (
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        + 1
+    )
+    return df.withColumn("session_id", sid.cast("bigint"))

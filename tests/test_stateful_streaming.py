@@ -92,3 +92,44 @@ def test_windowed_aggregate_batch_semantics(spark):
         df, "ts", "10 minutes", [F.sum("v").alias("s")], keys=["k"]
     ).collect()
     assert sorted(r["s"] for r in out) == [3.0, 7.0]
+
+
+def test_sessionize_batch(spark):
+    """Gap sessionization: hand-checked boundaries, 1-based per-key
+    ordinals, sub-second exactness, and deterministic ties."""
+    from flink_table_store_spark.streaming.stateful import sessionize
+
+    rows = [
+        # user 1: 3 events in one session, then a 31-min gap
+        (1, 1, "2024-01-01 10:00:00"),
+        (2, 1, "2024-01-01 10:10:00"),
+        (3, 1, "2024-01-01 10:29:59.5"),
+        (4, 1, "2024-01-01 11:01:00"),
+        # user 2: exactly-at-gap boundary stays in session (>, not >=)
+        (5, 2, "2024-01-01 09:00:00"),
+        (6, 2, "2024-01-01 09:30:00"),
+        # and half a second beyond the gap splits
+        (7, 2, "2024-01-01 10:00:00.5"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r["event_id"]: r["session_id"]
+        for r in sessionize(
+            ev, "ts", gap_seconds=1800, keys=["user_id"],
+            order_cols=["event_id"],
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 1, 6: 1, 7: 2}
+    # NTZ columns take the same path (interval arithmetic, no
+    # unix_micros) — identical assignment
+    ntz = ev.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got2 = {
+        r["event_id"]: r["session_id"]
+        for r in sessionize(
+            ntz, "ts", gap_seconds=1800, keys=["user_id"],
+            order_cols=["event_id"],
+        ).collect()
+    }
+    assert got2 == got
