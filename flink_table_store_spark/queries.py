@@ -5500,3 +5500,39 @@ ORDER BY user_id, session_id
 # judge-run tail: batch gap-sessionization (keyed lag/cumsum window,
 # microsecond-exact on both engines)
 QUERIES["events_sessionize"] = (events_sessionize, EVENTS_SESSIONIZE_SQL)
+
+
+def corpus_diff_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus content diff (datapipe/dedup.corpus_diff, the WIMBD
+    corpus-accounting shape): corpus A = even-id docs, corpus B = every
+    third doc - so the three statuses (common / only_a / only_b) are
+    all nonempty and every count is deterministic. Fingerprints are the
+    md5 normalized-content family, replayed exactly by the oracle."""
+    from flink_table_store_spark.datapipe.dedup import corpus_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 3 == 0)
+    return corpus_diff(a, b)
+
+
+CORPUS_DIFF_SQL = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents),
+fa AS (SELECT fp, count(*) AS na FROM fp WHERE doc_id % 2 = 0 GROUP BY fp),
+fb AS (SELECT fp, count(*) AS nb FROM fp WHERE doc_id % 3 = 0 GROUP BY fp),
+j AS (SELECT coalesce(fa.fp, fb.fp) AS fp, na, nb
+      FROM fa FULL OUTER JOIN fb ON fa.fp = fb.fp)
+SELECT CASE WHEN na IS NOT NULL AND nb IS NOT NULL THEN 'common'
+            WHEN na IS NOT NULL THEN 'only_a' ELSE 'only_b' END AS status,
+       count(*) AS n_fingerprints,
+       sum(coalesce(na, 0))::BIGINT AS n_docs_a,
+       sum(coalesce(nb, 0))::BIGINT AS n_docs_b
+FROM j GROUP BY 1 ORDER BY status
+"""
+
+# judge-run tail: cross-corpus content diff (common/only_a/only_b
+# fingerprint + doc accounting)
+QUERIES["corpus_diff_ab"] = (corpus_diff_ab, CORPUS_DIFF_SQL)

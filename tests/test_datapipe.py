@@ -1225,3 +1225,23 @@ def test_perplexity_thresholds_fitter_edge_cases(spark):
            for r in perplexity_buckets(docs, thresholds=thr).collect()}
     assert got[100] is None and got[200] is None
     assert all(got[i] is not None for i in range(12))
+
+
+def test_corpus_diff(spark):
+    """Hand-checked diff: duplicates count as docs not fingerprints;
+    whitespace/case variants share a fingerprint across corpora."""
+    from flink_table_store_spark.datapipe.dedup import corpus_diff
+
+    a = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "ALPHA   beta"), (3, "gamma only in a")],
+        "doc_id bigint, text string",
+    )
+    b = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "delta only in b"), (12, "delta only in b")],
+        "doc_id bigint, text string",
+    )
+    got = {r["status"]: r for r in corpus_diff(a, b).collect()}
+    assert got["common"]["n_fingerprints"] == 1
+    assert (got["common"]["n_docs_a"], got["common"]["n_docs_b"]) == (2, 1)
+    assert got["only_a"]["n_fingerprints"] == 1 and got["only_a"]["n_docs_b"] == 0
+    assert got["only_b"]["n_fingerprints"] == 1 and got["only_b"]["n_docs_b"] == 2
