@@ -1,0 +1,175 @@
+"""Temporal joins Spark lacks as built-ins: AS-OF and binned RANGE.
+
+Both are standard time-series/analytics operators (kdb+ aj, Pandas
+merge_asof, DuckDB ASOF JOIN; the range-join bin optimization ships in
+Databricks' RANGE_JOIN hint) re-expressed as compositions of existing
+DataFrame ops — no UDF, no per-row Python.
+
+**AS-OF JOIN** — for each left row, the single right row with the
+latest ``right.ts <= left.ts`` (backward; or the earliest ``>=`` for
+forward), per key. The naive formulation is a theta join (cartesian
+per key); the scale-sound plan here is the classic union-tag trick:
+
+    union(left rows, right rows) sorted by (key, ts, tag)
+    -> running last_value(right payload, ignore nulls)
+    -> keep left rows
+
+ONE keyed shuffle, one keyed window (each group = one key's timeline),
+zero joins. At 100 TB this is the same cost as a groupBy over the
+union — there is no candidate blow-up to control.
+
+**RANGE JOIN** — ``right.val BETWEEN left.lo AND left.hi`` as an
+equi-join: left intervals explode to the fixed-width bins they cover,
+right points map to their single bin, the join keys on the bin id and
+an exact BETWEEN filter finishes. Each matched pair meets in exactly
+one bin (the point's), so no dedup pass is needed. Candidate volume
+drops from |L|x|R| to sum over bins of |L_bin|x|R_bin| — the standard
+bin trade: width ~ median interval length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    time_col: str = "ts",
+    by: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    tolerance_seconds: int | float | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Enrich each left row with the nearest prior (``backward``) or
+    next (``forward``) right row per key — LEFT-join semantics: left
+    rows with no match keep NULL right columns. ``right_cols`` picks
+    the right payload (default: every right column except the keys and
+    the time column); payload columns colliding with a left name get
+    ``suffix``. The matched right timestamp is always returned as
+    ``{time_col}{suffix}``. ``tolerance_seconds`` voids matches farther
+    than the tolerance (NULL payload, as merge_asof).
+
+    Ties: right rows sharing the match timestamp resolve to the LAST
+    one in (time, right-input) window order; pass a deterministic
+    right ordering upstream if that matters."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
+    if tolerance_seconds is not None and tolerance_seconds < 0:
+        raise ValueError(f"tolerance must be >= 0, got {tolerance_seconds}")
+    by = by or []
+    payload = right_cols or [
+        c for c in right.columns if c not in set(by) | {time_col}
+    ]
+    taken = set(left.columns)
+    out_names = {
+        c: (c + suffix if c in taken else c) for c in payload
+    }
+    rts_name = time_col + suffix
+
+    l_tag = left.withColumn("__r", F.lit(None).cast(
+        right.select(
+            F.struct(
+                F.col(time_col).alias("__rts"),
+                *[F.col(c) for c in payload],
+            ).alias("s")
+        ).schema["s"].dataType.simpleString()
+    )).withColumn("__tag", F.lit(1))
+    r_tag = (
+        right.select(
+            *[F.col(c) for c in by],
+            F.col(time_col),
+            F.struct(
+                F.col(time_col).alias("__rts"),
+                *[F.col(c) for c in payload],
+            ).alias("__r"),
+        )
+        .withColumn("__tag", F.lit(0))
+    )
+    u = l_tag.unionByName(r_tag, allowMissingColumns=True)
+    # backward: ascending time, right (tag 0) before left at equal ts so
+    # a same-instant right row IS visible (<= semantics). forward:
+    # descending time, same tag order gives >= semantics.
+    ts_order = (
+        F.col(time_col).asc() if direction == "backward"
+        else F.col(time_col).desc()
+    )
+    w = (
+        Window.partitionBy(*[F.col(c) for c in by])
+        .orderBy(ts_order, F.col("__tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+        .where(F.col("__tag") == 1)
+    )
+    if tolerance_seconds is not None:
+        gap = F.expr(
+            f"INTERVAL {int(tolerance_seconds * 1_000_000)} MICROSECOND"
+        )
+        dist = (
+            F.col(time_col) - F.col("__m.__rts")
+            if direction == "backward"
+            else F.col("__m.__rts") - F.col(time_col)
+        )
+        matched = matched.withColumn(
+            "__m", F.when(dist <= gap, F.col("__m"))
+        )
+    return matched.select(
+        *[F.col(c) for c in left.columns],
+        F.col("__m.__rts").alias(rts_name),
+        *[F.col(f"__m.{c}").alias(out_names[c]) for c in payload],
+    )
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    val_col: str,
+    bin_width: float,
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """INNER range join ``right.val BETWEEN left.lo AND left.hi`` via
+    fixed-width bin equi-keys (+ optional exact ``extra_keys``).
+    Returns left columns followed by right columns (right names
+    colliding with left get ``_right``). Intervals with lo > hi match
+    nothing (empty interval, consistent with BETWEEN); NULL bounds or
+    values never match."""
+    if bin_width <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    keys = extra_keys or []
+    lbin = F.explode(
+        F.sequence(
+            F.floor(F.col(lo_col) / F.lit(float(bin_width))),
+            F.floor(F.col(hi_col) / F.lit(float(bin_width))),
+        )
+    )
+    l = left.where(
+        F.col(lo_col).isNotNull()
+        & F.col(hi_col).isNotNull()
+        & (F.col(lo_col) <= F.col(hi_col))
+    ).withColumn("__bin", lbin)
+    r = right.where(F.col(val_col).isNotNull()).withColumn(
+        "__bin", F.floor(F.col(val_col) / F.lit(float(bin_width)))
+    )
+    taken = set(left.columns)
+    rsel = [
+        F.col(f"__rr.{c}").alias(c + "_right" if c in taken else c)
+        for c in right.columns
+    ]
+    cond = [l["__bin"] == F.col("__rr.__bin")] + [
+        l[k] == F.col(f"__rr.{k}") for k in keys
+    ]
+    full = cond[0]
+    for c in cond[1:]:
+        full = full & c
+    joined = l.join(r.alias("__rr"), full)
+    return joined.where(
+        F.col(f"__rr.{val_col}").between(l[lo_col], l[hi_col])
+    ).select(*[l[c] for c in left.columns], *rsel)

@@ -5536,3 +5536,115 @@ FROM j GROUP BY 1 ORDER BY status
 # judge-run tail: cross-corpus content diff (common/only_a/only_b
 # fingerprint + doc accounting)
 QUERIES["corpus_diff_ab"] = (corpus_diff_ab, CORPUS_DIFF_SQL)
+
+
+def events_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN (operators/temporal.as_of_join - kdb aj / merge_asof
+    / DuckDB ASOF semantics): each 'view' event picks up the user's
+    latest prior-or-same-instant 'click'. The plan is the union-tag
+    running-last trick - ONE keyed shuffle, one keyed window, zero
+    joins, no candidate blow-up. Right rows pre-dedupe to one per
+    (user, ts) (max event_id) so ties are deterministic; the oracle
+    replays via a correlated latest-prior subquery."""
+    from flink_table_store_spark.operators.temporal import as_of_join
+
+    ev = _events(spark, sf_dir)
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("__rn", F.row_number().over(w))
+        .where("__rn = 1")
+        .drop("__rn")
+        .withColumnRenamed("event_id", "click_id")
+        .withColumnRenamed("value", "click_value")
+    )
+    out = as_of_join(
+        views, clicks, "ts", by=["user_id"],
+        right_cols=["click_id", "click_value"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("ts_right").alias("click_ts"),
+        "click_id",
+        F.round("click_value", 2).alias("click_value"),
+    ).orderBy("event_id")
+
+
+EVENTS_ASOF_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id AS click_id, value
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click')
+  WHERE rn = 1),
+views AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+best AS (
+  SELECT v.event_id, v.user_id, v.ts, c.ts AS click_ts, c.click_id,
+         c.value AS click_value,
+         row_number() OVER (PARTITION BY v.event_id
+                            ORDER BY c.ts DESC) AS rn
+  FROM views v LEFT JOIN clicks c
+    ON c.user_id = v.user_id AND c.ts <= v.ts)
+SELECT event_id, user_id, ts, click_ts, click_id,
+       round(click_value, 2) AS click_value
+FROM best WHERE rn = 1 OR rn IS NULL ORDER BY event_id
+"""
+
+# judge-run tail: AS-OF JOIN (latest prior click per view, union-tag
+# running-last plan - one keyed shuffle, zero joins)
+QUERIES["events_asof_enrich"] = (events_asof_enrich, EVENTS_ASOF_SQL)
+
+
+def range_join_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned RANGE JOIN (operators/temporal.range_join_binned - the
+    Databricks RANGE_JOIN-hint optimization expressed as explode-to-
+    bins + equi-join + exact BETWEEN): lineitems whose extendedprice
+    falls in each small order's [5%, 6%] totalprice band, aggregated
+    per order. The oracle is the plain theta join - the binned plan
+    must produce exactly its pairs."""
+    from flink_table_store_spark.operators.temporal import (
+        range_join_binned,
+    )
+
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 40 == 0
+    ).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 0.05).alias("lo"),
+        (F.col("o_totalprice") * 0.06).alias("hi"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    pairs = range_join_binned(
+        orders, li, "lo", "hi", "l_extendedprice", bin_width=2000.0
+    )
+    return (
+        pairs.groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+RANGE_JOIN_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_totalprice * 0.05 AS lo, o_totalprice * 0.06 AS hi
+  FROM orders WHERE o_orderkey % 40 = 0)
+SELECT o.o_orderkey, count(*) AS n_matches,
+       round(sum(l.l_extendedprice), 2) AS sum_price
+FROM o JOIN lineitem l
+  ON l.l_extendedprice BETWEEN o.lo AND o.hi
+GROUP BY o.o_orderkey ORDER BY o_orderkey
+"""
+
+# judge-run tail: binned range join (explode-to-bins equi-plan must
+# equal the plain theta join)
+QUERIES["range_join_prices"] = (range_join_prices, RANGE_JOIN_SQL)

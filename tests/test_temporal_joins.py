@@ -1,0 +1,112 @@
+"""AS-OF and binned RANGE joins (operators/temporal.py): the two
+temporal operators Spark lacks as built-ins, expressed with zero UDFs —
+union-tag running-last for as-of, explode-to-bins equi-join for range."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_table_store_spark.operators.temporal import (
+    as_of_join,
+    range_join_binned,
+)
+
+
+def _lr(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "L1"), (1, "2024-01-01 10:05:00", "L2"),
+         (2, "2024-01-01 09:00:00", "L3"), (3, "2024-01-01 12:00:00", "L4")],
+        "user_id bigint, ts string, lbl string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:58:00", 10.0), (1, "2024-01-01 10:05:00", 20.0),
+         (2, "2024-01-01 09:30:00", 30.0)],
+        "user_id bigint, ts string, px double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    return left, right
+
+
+def test_asof_backward_forward_tolerance(spark):
+    left, right = _lr(spark)
+    b = {r["lbl"]: (str(r["ts_right"]), r["px"])
+         for r in as_of_join(left, right, "ts", by=["user_id"]).collect()}
+    assert b["L1"] == ("2024-01-01 09:58:00", 10.0)
+    assert b["L2"] == ("2024-01-01 10:05:00", 20.0)  # same instant visible
+    assert b["L3"] == ("None", None)                 # right only later
+    assert b["L4"] == ("None", None)                 # unseen key
+    f = {r["lbl"]: (str(r["ts_right"]), r["px"])
+         for r in as_of_join(
+             left, right, "ts", by=["user_id"], direction="forward"
+         ).collect()}
+    assert f["L3"] == ("2024-01-01 09:30:00", 30.0)
+    assert f["L1"] == ("2024-01-01 10:05:00", 20.0)
+    assert f["L4"] == ("None", None)
+    t = {r["lbl"]: r["px"]
+         for r in as_of_join(
+             left, right, "ts", by=["user_id"], tolerance_seconds=60
+         ).collect()}
+    assert t["L1"] is None and t["L2"] == 20.0       # 2-min gap voided
+
+    # name collision: right payload sharing a left name gets _right
+    right2 = right.withColumnRenamed("px", "lbl")
+    cols = as_of_join(left, right2, "ts", by=["user_id"]).columns
+    assert "lbl_right" in cols and cols.count("lbl") == 1
+
+    # plan shape: one keyed window over the union, ZERO joins
+    plan = as_of_join(left, right, "ts", by=["user_id"])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Join" not in plan
+
+
+def test_range_join_binned_matches_theta(spark):
+    L = spark.createDataFrame(
+        [(1, 0.0, 25.0), (2, 90.0, 100.0), (3, 50.0, 40.0), (4, None, 5.0)],
+        "lid bigint, lo double, hi double",
+    )
+    R = spark.createDataFrame(
+        [(10, 10.0), (11, 95.0), (12, 45.0), (13, 25.0), (14, None)],
+        "rid bigint, v double",
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in range_join_binned(L, R, "lo", "hi", "v", 10.0).collect()
+    )
+    # empty interval (3) and NULL bound (4) / NULL value (14) match none;
+    # boundary 25.0 is inclusive
+    assert got == [(1, 10), (1, 13), (2, 11)]
+    theta = sorted(
+        (r["lid"], r["rid"])
+        for r in L.join(
+            R, (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+        ).collect()
+    )
+    assert got == theta
+    # randomized parity sweep across bin widths (incl. widths that
+    # misalign with the data) — the bin plan is an optimization, never
+    # a semantics change
+    import random
+
+    rnd = random.Random(5)
+    L2 = spark.createDataFrame(
+        [(i, x, x + rnd.uniform(0, 30))
+         for i, x in ((i, rnd.uniform(-50, 100)) for i in range(40))],
+        "lid bigint, lo double, hi double",
+    )
+    R2 = spark.createDataFrame(
+        [(i, rnd.uniform(-60, 140)) for i in range(60)],
+        "rid bigint, v double",
+    )
+    want = sorted(
+        (r["lid"], r["rid"])
+        for r in L2.join(
+            R2, (F.col("v") >= F.col("lo")) & (F.col("v") <= F.col("hi"))
+        ).collect()
+    )
+    for width in (1.0, 7.3, 100.0):
+        have = sorted(
+            (r["lid"], r["rid"])
+            for r in range_join_binned(
+                L2, R2, "lo", "hi", "v", width
+            ).collect()
+        )
+        assert have == want, width
