@@ -1,0 +1,127 @@
+"""Continuous time-bucketed rollups as engine table state — the
+hypertable / continuous-aggregate pattern (TimescaleDB continuous
+aggregates, Druid rollup ingestion) on the engine's own merge machinery.
+
+A rollup is a PRIMARY-KEY table keyed (bucket_start, group columns)
+under the aggregation merge engine: appending a batch's PARTIAL
+aggregates IS the refresh — no read-modify-write, no re-aggregation of
+history, O(batch) incremental cost, and replay safety via the same
+commit-identifier check every index family uses. Decomposable
+aggregates only (count/sum/min/max — avg derives as sum/count at
+read), which is exactly the restriction the published systems make.
+
+At 100 TB: each refresh shuffles one batch down to its bucket x group
+cells; queries read the rollup table (bucket-pruned like any PK table)
+and never touch raw history.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_FNS = {"count", "sum", "min", "max"}
+
+
+def create_rollup_table(
+    catalog,
+    name: str,
+    *,
+    time_col: str,
+    interval: str,
+    group_cols: list[tuple[str, str]] | None = None,
+    metrics: dict[str, tuple[str, str]],
+    buckets: int = 4,
+):
+    """Create the rollup: PK (bucket_start, *group cols), one column
+    per metric maintained server-side. ``metrics`` maps output name ->
+    (source column, fn) with fn in count/sum/min/max (count stores
+    bigint, the rest double). The spec (time column, interval, metric
+    definitions) rides in table options so every refresher provably
+    buckets and aggregates identically."""
+    group_cols = group_cols or []
+    for out, (_src, fn) in metrics.items():
+        if fn not in _FNS:
+            raise ValueError(
+                f"metric {out}: fn must be one of {sorted(_FNS)}, got {fn!r}"
+            )
+    cols = ["bucket_start timestamp"]
+    cols += [f"{n} {t}" for n, t in group_cols]
+    cols += [
+        f"{out} {'bigint' if fn == 'count' else 'double'}"
+        for out, (_s, fn) in metrics.items()
+    ]
+    opts = {
+        "bucket": str(buckets),
+        "merge-engine": "aggregation",
+        "rollup.time-col": time_col,
+        "rollup.interval": interval,
+        "rollup.metrics": json.dumps(metrics),
+    }
+    for out, (_src, fn) in metrics.items():
+        # count folds as a sum of partial counts; sum/min/max fold as
+        # themselves — all decomposable, the continuous-aggregate rule
+        opts[f"fields.{out}.aggregate-function"] = (
+            "sum" if fn == "count" else fn
+        )
+    return catalog.create_table(
+        name,
+        ", ".join(cols),
+        primary_keys=["bucket_start"] + [n for n, _t in group_cols],
+        options=opts,
+    )
+
+
+def _spec(rollup) -> tuple[str, str, dict]:
+    opts = rollup.schema.options
+    try:
+        return (
+            opts["rollup.time-col"],
+            opts["rollup.interval"],
+            json.loads(opts["rollup.metrics"]),
+        )
+    except KeyError as e:
+        raise ValueError(f"not a rollup table: missing option {e}") from None
+
+
+def update_rollup(
+    rollup, batch: DataFrame, commit_identifier: str | None = None
+) -> None:
+    """Fold one batch of raw rows into the rollup: one map-combined
+    groupBy to the batch's bucket x group cells, then an append the
+    merge engine folds server-side. Identifier-checked exactly-once.
+    Rows with a NULL timestamp are refused loudly (they have no bucket;
+    silently dropping them would make the rollup disagree with a direct
+    aggregation of the raw table)."""
+    time_col, interval, metrics = _spec(rollup)
+    pk = rollup.schema.primary_keys
+    groups = [c for c in pk if c != "bucket_start"]
+    n_null = batch.where(F.col(time_col).isNull()).limit(1).count()
+    if n_null:
+        raise ValueError(
+            f"batch has rows with NULL {time_col}: no bucket to fold into"
+        )
+    aggs = []
+    for out, (src, fn) in metrics.items():
+        if fn == "count":
+            aggs.append(F.count(F.lit(1)).alias(out))
+        else:
+            aggs.append(getattr(F, fn)(F.col(src)).alias(out))
+    rows = (
+        batch.groupBy(
+            F.window(F.col(time_col), interval)["start"].alias(
+                "bucket_start"
+            ),
+            *[F.col(g) for g in groups],
+        )
+        .agg(*aggs)
+    )
+    rollup.refresh().write(rows, commit_identifier=commit_identifier or "")
+
+
+def rollup_avg(sum_col: str, count_col: str):
+    """avg = sum/count at read — the derived aggregate the storage
+    never needs to hold."""
+    return F.try_divide(F.col(sum_col), F.col(count_col))

@@ -5648,3 +5648,77 @@ GROUP BY o.o_orderkey ORDER BY o_orderkey
 # judge-run tail: binned range join (explode-to-bins equi-plan must
 # equal the plain theta join)
 QUERIES["range_join_prices"] = (range_join_prices, RANGE_JOIN_SQL)
+
+
+def events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous hourly rollup (operators/rollup.py - the TimescaleDB
+    continuous-aggregate / Druid rollup pattern on the engine's own
+    aggregation merge engine): events fold in as two identifier-checked
+    batches of PARTIAL aggregates; the rollup read must equal a direct
+    aggregation of the raw table - so the oracle is the plain grouped
+    SQL. avg derives as sum/count at read, the decomposable-aggregate
+    rule."""
+    from flink_table_store_spark.operators.rollup import (
+        create_rollup_table,
+        update_rollup,
+    )
+
+    cat = _wh(sf_dir)
+    ev = _events(spark, sf_dir)
+    name = "default.events_rollup_1h"
+    try:
+        ru = cat.get_table(name)
+    except RuntimeError:
+        ru = create_rollup_table(
+            cat,
+            name,
+            time_col="ts",
+            interval="1 hour",
+            group_cols=[("event_type", "string")],
+            metrics={
+                "n": ("*", "count"),
+                "sum_value": ("value", "sum"),
+                "min_value": ("value", "min"),
+                "max_value": ("value", "max"),
+            },
+        )
+    if (ru.snapshots.latest_id() or 0) < 2:
+        update_rollup(
+            ru, ev.where(F.col("event_id") % 2 == 0),
+            commit_identifier="ru:b0",
+        )
+        update_rollup(
+            ru, ev.where(F.col("event_id") % 2 == 1),
+            commit_identifier="ru:b1",
+        )
+    out = ru.refresh().to_df(spark)
+    return out.select(
+        "bucket_start",
+        "event_type",
+        "n",
+        F.round("sum_value", 2).alias("sum_value"),
+        F.round("min_value", 2).alias("min_value"),
+        F.round("max_value", 2).alias("max_value"),
+        # derive avg from the ROUNDED sum on both engines: the folded
+        # partial sums differ from a single-order sum at ~1e-12, which
+        # round(raw/n, 4) can amplify across a rounding boundary
+        F.round(F.round("sum_value", 2) / F.col("n"), 4).alias("avg_value"),
+    ).orderBy("bucket_start", "event_type")
+
+
+EVENTS_ROLLUP_SQL = """
+SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS sum_value,
+       round(min(value), 2) AS min_value,
+       round(max(value), 2) AS max_value,
+       round(round(sum(value), 2) / count(*), 4) AS avg_value
+FROM events GROUP BY 1, 2 ORDER BY bucket_start, event_type
+"""
+
+# judge-run tail: continuous rollup (incremental partial-aggregate
+# folds must equal the direct aggregation of raw history)
+QUERIES["events_rollup_incremental"] = (
+    events_rollup_incremental,
+    EVENTS_ROLLUP_SQL,
+)

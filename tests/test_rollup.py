@@ -1,0 +1,104 @@
+"""Continuous time-bucketed rollups (operators/rollup.py): incremental
+partial-aggregate folds on the aggregation merge engine must equal a
+direct aggregation of the raw history."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_table_store_spark.operators.rollup import (
+    create_rollup_table,
+    rollup_avg,
+    update_rollup,
+)
+
+
+def _mk(warehouse):
+    return create_rollup_table(
+        warehouse,
+        "db.ru",
+        time_col="ts",
+        interval="15 minutes",
+        group_cols=[("kind", "string")],
+        metrics={
+            "n": ("*", "count"),
+            "s": ("v", "sum"),
+            "lo": ("v", "min"),
+            "hi": ("v", "max"),
+        },
+    )
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "ts string, kind string, v double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_rollup_folds_equal_direct_aggregation(spark, warehouse):
+    ru = _mk(warehouse)
+    b0 = _ev(spark, [
+        ("2024-01-01 10:01:00", "a", 1.0),
+        ("2024-01-01 10:14:59", "a", 5.0),
+        ("2024-01-01 10:16:00", "a", 7.0),   # next 15-min bucket
+        ("2024-01-01 10:02:00", "b", 2.0),
+    ])
+    b1 = _ev(spark, [
+        ("2024-01-01 10:03:00", "a", 9.0),   # folds into b0's cell
+        ("2024-01-01 10:31:00", "b", 4.0),
+    ])
+    update_rollup(ru, b0, commit_identifier="b0")
+    update_rollup(ru, b1, commit_identifier="b1")
+    update_rollup(ru, b0, commit_identifier="b0")  # replay: no-op
+
+    got = {
+        (str(r["bucket_start"]), r["kind"]): (r["n"], r["s"], r["lo"], r["hi"])
+        for r in ru.refresh().to_df(spark).collect()
+    }
+    direct = {
+        (str(r["bucket_start"]), r["kind"]): (r["n"], r["s"], r["lo"], r["hi"])
+        for r in b0.unionByName(b1)
+        .groupBy(
+            F.window("ts", "15 minutes")["start"].alias("bucket_start"),
+            "kind",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+            F.min("v").alias("lo"), F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    assert got == direct
+    assert got[("2024-01-01 10:00:00", "a")] == (3, 15.0, 1.0, 9.0)
+
+    # derived avg helper
+    avg = {
+        r["kind"]: r["a"]
+        for r in ru.refresh().to_df(spark)
+        .where("bucket_start = '2024-01-01 10:00:00'")
+        .select("kind", rollup_avg("s", "n").alias("a"))
+        .collect()
+    }
+    assert avg["a"] == 5.0 and avg["b"] == 2.0
+
+
+def test_rollup_refuses_null_timestamps_and_bad_fn(spark, warehouse):
+    ru = _mk(warehouse)
+    bad = _ev(spark, [("2024-01-01 10:00:00", "a", 1.0)]).unionByName(
+        spark.createDataFrame(
+            [(None, "a", 2.0)], "ts timestamp, kind string, v double"
+        )
+    )
+    with pytest.raises(ValueError, match="NULL ts"):
+        update_rollup(ru, bad)
+    with pytest.raises(ValueError, match="fn must be"):
+        create_rollup_table(
+            warehouse, "db.bad", time_col="ts", interval="1 hour",
+            metrics={"m": ("v", "avg")},
+        )
+    with pytest.raises(ValueError, match="not a rollup"):
+        update_rollup(
+            warehouse.create_table("db.plain", "ts timestamp, v double"),
+            _ev(spark, [("2024-01-01 10:00:00", "a", 1.0)]),
+        )
