@@ -813,6 +813,25 @@ def main() -> None:
             docs.select("doc_id", "n_chars"), 4096, token_col="n_chars"
         ).agg(F.countDistinct("pack_id")).collect()
 
+    @timed("asof_join", repeat=3)
+    def _asof():
+        # AS-OF enrichment (union-tag running-last: one keyed shuffle,
+        # zero joins) of every 'view' event with its latest prior click
+        from flink_table_store_spark.operators.temporal import as_of_join
+        from flink_table_store_spark.queries import _events
+
+        ev = _events(spark, sf_dir)
+        views = ev.where(F.col("event_type") == "view").select(
+            "event_id", "user_id", "ts"
+        )
+        clicks = ev.where(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("value").alias("click_value")
+        )
+        as_of_join(
+            views, clicks, "ts", by=["user_id"],
+            right_cols=["click_value"],
+        ).count()
+
     @timed("lm_perplexity", repeat=3)
     def _lm():
         # corpus-self-scored bigram LM: two count groupBys + one scoring

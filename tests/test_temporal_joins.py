@@ -110,3 +110,53 @@ def test_range_join_binned_matches_theta(spark):
             ).collect()
         )
         assert have == want, width
+
+
+def test_asof_random_parity_with_pandas_merge_asof(spark):
+    """Randomized equivalence vs the reference implementation: pandas
+    merge_asof (by key, backward and forward, with and without
+    tolerance) on data with duplicate timestamps excluded (merge_asof
+    tie behavior among equal right rows is positional, ours is
+    value-deterministic — distinct timestamps make the semantics
+    identical)."""
+    import random
+
+    import pandas as pd
+
+    rnd = random.Random(17)
+    n_l, n_r = 120, 80
+    lts = rnd.sample(range(0, 10_000_000, 7), n_l)
+    rts = rnd.sample(range(3, 10_000_000, 11), n_r)
+    lpdf = pd.DataFrame({
+        "k": [rnd.randint(0, 4) for _ in range(n_l)],
+        "t": pd.to_datetime(lts, unit="s"),
+        "lid": range(n_l),
+    })
+    rpdf = pd.DataFrame({
+        "k": [rnd.randint(0, 4) for _ in range(n_r)],
+        "t": pd.to_datetime(rts, unit="s"),
+        "px": [round(rnd.uniform(0, 100), 3) for _ in range(n_r)],
+    })
+    left = spark.createDataFrame(lpdf)
+    right = spark.createDataFrame(rpdf)
+    for direction, tol in [("backward", None), ("forward", None),
+                           ("backward", 50_000), ("forward", 3_600)]:
+        want = pd.merge_asof(
+            lpdf.sort_values("t"),
+            rpdf.sort_values("t"),
+            on="t", by="k", direction=direction,
+            tolerance=pd.Timedelta(seconds=tol) if tol else None,
+        ).set_index("lid")["px"]
+        got = {
+            r["lid"]: r["px"]
+            for r in as_of_join(
+                left, right, "t", by=["k"], direction=direction,
+                tolerance_seconds=tol,
+            ).collect()
+        }
+        for lid in range(n_l):
+            w = want.loc[lid]
+            g = got[lid]
+            assert (pd.isna(w) and g is None) or (g is not None and abs(w - g) < 1e-9), (
+                direction, tol, lid, w, g,
+            )
