@@ -33,3 +33,21 @@ def test_example_pipeline_runs():
         open("/tmp/ftss_demo_test/train_shards/_manifest.json")
     )
     assert sum(s["n_rows"] for s in mf["shards"].values()) > 0
+
+
+def test_timeseries_example_runs():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "examples", "timeseries_analytics.py"),
+            "/root/testdata/sf0.001",
+            "/tmp/ftss_ts_demo_test",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=540,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "sessions:" in out.stdout and "rollup cells:" in out.stdout
