@@ -173,3 +173,75 @@ def range_join_binned(
     return joined.where(
         F.col(f"__rr.{val_col}").between(l[lo_col], l[hi_col])
     ).select(*[l[c] for c in left.columns], *rsel)
+
+
+def funnel(
+    events: DataFrame,
+    steps: list,
+    step_col: str = "event_type",
+    time_col: str = "ts",
+    user_col: str = "user_id",
+    within_seconds: int | float | None = None,
+) -> DataFrame:
+    """Ordered funnel matching (the product-analytics staple): for each
+    user, the earliest completion time of every step PREFIX — step i
+    counts only strictly-in-order (``>=`` previous step's match) and,
+    with ``within_seconds``, inside the window opened by the user's
+    step-1 match. Earliest-match semantics: each step greedily takes
+    its first eligible event, the standard funnel definition (greedy
+    earliest matching maximizes prefix completion for a fixed step-1
+    anchor).
+
+    Returns one row per user who completed step 1:
+    (user_col, step_1_ts, ..., step_k_ts) with NULL from the first
+    uncompleted step on. Scale: k-1 keyed joins of per-user one-row
+    frames against the step's events — every shuffle is on the user
+    key, nothing is ever per-event quadratic."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    if within_seconds is not None and within_seconds <= 0:
+        raise ValueError(f"within_seconds must be positive, got {within_seconds}")
+    cur = (
+        events.where(F.col(step_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(time_col).alias("step_1_ts"))
+    )
+    for i, s in enumerate(steps[1:], start=2):
+        prev = f"step_{i - 1}_ts"
+        ev_s = events.where(F.col(step_col) == s).select(
+            F.col(user_col), F.col(time_col).alias("__t")
+        )
+        cond = F.col("__t") >= F.col(prev)
+        if within_seconds is not None:
+            cond = cond & (
+                F.col("__t")
+                <= F.col("step_1_ts")
+                + F.expr(
+                    f"INTERVAL {int(within_seconds * 1_000_000)} MICROSECOND"
+                )
+            )
+        nxt = (
+            ev_s.join(cur.select(user_col, "step_1_ts", prev), user_col)
+            .where(cond)
+            .groupBy(user_col)
+            .agg(F.min("__t").alias(f"step_{i}_ts"))
+        )
+        cur = cur.join(nxt, user_col, "left")
+    return cur
+
+
+def funnel_summary(funnel_df: DataFrame) -> DataFrame:
+    """(step, n_users, conversion) — users completing each prefix and
+    the fraction relative to step 1. One tiny aggregate over the
+    per-user funnel frame."""
+    step_cols = [c for c in funnel_df.columns if c.startswith("step_")]
+    counts = funnel_df.agg(
+        *[F.count(F.col(c)).alias(c) for c in step_cols]
+    ).head()
+    rows = [
+        (i + 1, int(counts[c]), round(counts[c] / max(counts[step_cols[0]], 1), 6))
+        for i, c in enumerate(step_cols)
+    ]
+    return funnel_df.sparkSession.createDataFrame(
+        rows, "step int, n_users bigint, conversion double"
+    )

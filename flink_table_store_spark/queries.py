@@ -5722,3 +5722,44 @@ QUERIES["events_rollup_incremental"] = (
     events_rollup_incremental,
     EVENTS_ROLLUP_SQL,
 )
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (operators/temporal.funnel): per user, earliest
+    view -> first in-order click -> first in-order purchase, all inside
+    7 days of the anchoring view. Greedy-earliest matching (optimal for
+    prefix completion at a fixed anchor); k-1 keyed joins of per-user
+    one-row frames, never per-event quadratic. The oracle replays the
+    sequential min chain in SQL."""
+    from flink_table_store_spark.operators.temporal import funnel
+
+    ev = _events(spark, sf_dir)
+    return funnel(
+        ev, ["view", "click", "purchase"],
+        within_seconds=7 * 86400,
+    ).orderBy("user_id")
+
+
+EVENTS_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS step_1_ts
+  FROM events WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS step_2_ts
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts >= s1.step_1_ts
+    AND e.ts <= s1.step_1_ts + INTERVAL 7 DAY
+  GROUP BY e.user_id),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS step_3_ts
+  FROM events e JOIN s2 USING (user_id) JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s2.step_2_ts
+    AND e.ts <= s1.step_1_ts + INTERVAL 7 DAY
+  GROUP BY e.user_id)
+SELECT s1.user_id, s1.step_1_ts, s2.step_2_ts, s3.step_3_ts
+FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+ORDER BY user_id
+"""
+
+# judge-run tail: ordered funnel matching (sequential min chain)
+QUERIES["events_funnel"] = (events_funnel, EVENTS_FUNNEL_SQL)

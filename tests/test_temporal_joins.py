@@ -160,3 +160,47 @@ def test_asof_random_parity_with_pandas_merge_asof(spark):
             assert (pd.isna(w) and g is None) or (g is not None and abs(w - g) < 1e-9), (
                 direction, tol, lid, w, g,
             )
+
+
+def test_funnel_ordered_matching(spark):
+    """Hand-checked funnel: order matters (a click BEFORE the first
+    view doesn't count), the window anchors at step 1, and summary
+    conversion fractions come out right."""
+    from flink_table_store_spark.operators.temporal import (
+        funnel,
+        funnel_summary,
+    )
+
+    rows = [
+        # user 1 completes all three in order
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 10:05:00"),
+        (1, "purchase", "2024-01-01 10:10:00"),
+        # user 2: click precedes the first view -> funnel stops at view
+        (2, "click", "2024-01-01 09:00:00"),
+        (2, "view", "2024-01-01 09:30:00"),
+        # user 3: click in order but purchase outside the 1h window
+        (3, "view", "2024-01-01 08:00:00"),
+        (3, "click", "2024-01-01 08:20:00"),
+        (3, "purchase", "2024-01-01 09:30:00"),
+        # user 4 never views -> absent entirely
+        (4, "purchase", "2024-01-01 12:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = funnel(
+        ev, ["view", "click", "purchase"], within_seconds=3600
+    )
+    got = {r["user_id"]: (r["step_1_ts"] is not None,
+                          r["step_2_ts"] is not None,
+                          r["step_3_ts"] is not None)
+           for r in out.collect()}
+    assert got == {
+        1: (True, True, True),
+        2: (True, False, False),
+        3: (True, True, False),
+    }
+    summary = {r["step"]: (r["n_users"], r["conversion"])
+               for r in funnel_summary(out).collect()}
+    assert summary == {1: (3, 1.0), 2: (2, round(2 / 3, 6)), 3: (1, round(1 / 3, 6))}
