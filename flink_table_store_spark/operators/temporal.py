@@ -245,3 +245,48 @@ def funnel_summary(funnel_df: DataFrame) -> DataFrame:
     return funnel_df.sparkSession.createDataFrame(
         rows, "step int, n_users bigint, conversion double"
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    time_col: str = "ts",
+    user_col: str = "user_id",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention (the product-analytics triangle): users cohort
+    by the ``period`` of their FIRST event; each later active period
+    counts them once. Returns (cohort, periods_since, n_users) with
+    periods_since 0 = the cohort period itself (n_users there = cohort
+    size). ``period``: any date_trunc unit (week/month/day).
+
+    Scale: one grouped min per user (keyed shuffle), one join back on
+    the user key, one distinct-count aggregate over (cohort, offset) —
+    all keyed, nothing quadratic. Offsets count whole calendar periods
+    between the truncated dates, so they are exact integers on any
+    engine."""
+    first = events.groupBy(user_col).agg(
+        F.date_trunc(period, F.min(time_col)).alias("__cohort")
+    )
+    active = events.select(
+        F.col(user_col), F.date_trunc(period, F.col(time_col)).alias("__p")
+    ).distinct()
+    unit_days = {"day": 1, "week": 7}.get(period)
+    j = active.join(first, user_col)
+    if unit_days is not None:
+        offset = (
+            F.datediff(F.col("__p"), F.col("__cohort"))
+            / F.lit(unit_days)
+        ).cast("int")
+    elif period == "month":
+        offset = F.months_between(F.col("__p"), F.col("__cohort")).cast(
+            "int"
+        )
+    else:
+        raise ValueError(
+            f"unsupported period {period!r} (day / week / month)"
+        )
+    return (
+        j.groupBy(F.col("__cohort").alias("cohort"), offset.alias("periods_since"))
+        .agg(F.countDistinct(user_col).alias("n_users"))
+        .orderBy("cohort", "periods_since")
+    )

@@ -5763,3 +5763,34 @@ ORDER BY user_id
 
 # judge-run tail: ordered funnel matching (sequential min chain)
 QUERIES["events_funnel"] = (events_funnel, EVENTS_FUNNEL_SQL)
+
+
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (operators/temporal.retention_cohorts):
+    users cohort by the week of their first event; n_users per
+    (cohort, weeks-since) counts each user once per active week. Keyed
+    min + keyed join + one distinct-count - the oracle replays the
+    triangle in plain SQL."""
+    from flink_table_store_spark.operators.temporal import (
+        retention_cohorts,
+    )
+
+    ev = _events(spark, sf_dir)
+    return retention_cohorts(ev, "ts", "user_id", "week")
+
+
+EVENTS_RETENTION_SQL = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort
+  FROM events GROUP BY user_id),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM events)
+SELECT f.cohort::TIMESTAMP AS cohort,
+       (date_diff('day', f.cohort, a.p) / 7)::INT AS periods_since,
+       count(DISTINCT a.user_id) AS n_users
+FROM active a JOIN first f USING (user_id)
+GROUP BY 1, 2 ORDER BY cohort, periods_since
+"""
+
+# judge-run tail: weekly cohort retention triangle
+QUERIES["events_retention"] = (events_retention, EVENTS_RETENTION_SQL)

@@ -204,3 +204,38 @@ def test_funnel_ordered_matching(spark):
     summary = {r["step"]: (r["n_users"], r["conversion"])
                for r in funnel_summary(out).collect()}
     assert summary == {1: (3, 1.0), 2: (2, round(2 / 3, 6)), 3: (1, round(1 / 3, 6))}
+
+
+def test_retention_cohorts(spark):
+    """Hand-checked weekly triangle: cohort size at offset 0, gaps in
+    activity leave holes, distinct users count once per week."""
+    from flink_table_store_spark.operators.temporal import (
+        retention_cohorts,
+    )
+
+    rows = [
+        # two users cohort in week of Mon 2024-01-01
+        (1, "2024-01-02 10:00:00"), (1, "2024-01-03 10:00:00"),  # same wk
+        (1, "2024-01-09 10:00:00"),                              # wk +1
+        (2, "2024-01-04 10:00:00"),
+        (2, "2024-01-16 10:00:00"),                              # wk +2
+        # one user cohorts the next week
+        (3, "2024-01-10 10:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (str(r["cohort"])[:10], r["periods_since"]): r["n_users"]
+        for r in retention_cohorts(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported period"):
+        retention_cohorts(ev, period="quarter")
