@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from flink_table_store_spark.streaming.stateful import (
     running_aggregate,
+    sessionize,
     stateful_dedup,
     windowed_aggregate,
 )
@@ -133,3 +134,45 @@ def test_sessionize_batch(spark):
         ).collect()
     }
     assert got2 == got
+
+
+def test_sessionize_random_parity_with_python_reference(spark):
+    """Randomized parity: sessionize's keyed lag/cumsum assignment must
+    equal a sequential single-machine reference on arbitrary event
+    soups (several users, duplicate timestamps, sub-second gaps)."""
+    import random
+    from datetime import datetime, timedelta
+
+    rnd = random.Random(23)
+    base = datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for u in range(6):
+        t = 0.0
+        for _ in range(rnd.randint(0, 40)):
+            # mix of sub-gap and super-gap jumps, incl. exact ties
+            t += rnd.choice([0.0, 0.5, 30.0, 900.0, 1800.0, 1800.5, 4000.0])
+            rows.append((eid, u, base + timedelta(seconds=t)))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts timestamp"
+    )
+    got = {
+        r["event_id"]: r["session_id"]
+        for r in sessionize(
+            ev, "ts", gap_seconds=1800, keys=["user_id"],
+            order_cols=["event_id"],
+        ).collect()
+    }
+    # reference: sequential walk in (ts, event_id) order per user
+    want = {}
+    byu = {}
+    for eid_, u, ts in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+        prev = byu.get(u)
+        if prev is None or (ts - prev[0]).total_seconds() > 1800:
+            sid = (prev[1] + 1) if prev else 1
+        else:
+            sid = prev[1]
+        byu[u] = (ts, sid)
+        want[eid_] = sid
+    assert got == want
