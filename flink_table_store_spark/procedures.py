@@ -436,6 +436,8 @@ PROCEDURES: dict[str, Callable] = {
     "create_global_index": lambda s, c, a: _create_gidx(s, c, a),
     "drop_global_index": lambda s, c, a: _drop_gidx(s, c, a),
     "extend_global_index": lambda s, c, a: _extend_gidx(s, c, a),
+    "create_rollup": lambda s, c, a: _create_rollup(s, c, a),
+    "refresh_rollup": lambda s, c, a: _refresh_rollup(s, c, a),
     "create_text_search_index": lambda s, c, a: _create_fts(s, c, a),
     "update_text_search_index": lambda s, c, a: _update_fts(s, c, a),
     "search_text_index": lambda s, c, a: _search_fts(s, c, a),
@@ -521,6 +523,49 @@ def _extend_gidx(spark, cat, a):
     from flink_table_store_spark.globalindex import extend_global_index
 
     return extend_global_index(spark, _t(cat, a), a.pop("index_name"))
+
+
+def _create_rollup(spark, cat, a):
+    """CALL sys.create_rollup(rollup => 'db.r1h', time_col => 'ts',
+    interval => '1 hour', group_cols => 'event_type string',
+    metrics => 'n=*:count,sum_value=value:sum')."""
+    from flink_table_store_spark.operators.rollup import (
+        create_rollup_table,
+    )
+
+    groups = [
+        tuple(g.strip().split(None, 1))
+        for g in str(a.pop("group_cols", "") or "").split(",")
+        if g.strip()
+    ]
+    metrics = {}
+    for m in str(a.pop("metrics")).split(","):
+        out, spec = m.split("=", 1)
+        src, fn = spec.rsplit(":", 1)
+        metrics[out.strip()] = (src.strip(), fn.strip())
+    create_rollup_table(
+        cat,
+        a.pop("rollup"),
+        time_col=a.pop("time_col"),
+        interval=a.pop("interval"),
+        group_cols=groups,
+        metrics=metrics,
+        **a,
+    )
+    return True
+
+
+def _refresh_rollup(spark, cat, a):
+    """CALL sys.refresh_rollup(rollup => 'db.r1h',
+    from_table => 'db.events', commit_identifier => ...)."""
+    from flink_table_store_spark.operators.rollup import update_rollup
+
+    ru = cat.get_table(a.pop("rollup"))
+    batch = cat.get_table(a.pop("from_table")).to_df(spark)
+    if a.get("where"):
+        batch = batch.where(a.pop("where"))
+    update_rollup(ru, batch, a.pop("commit_identifier", None))
+    return True
 
 
 def _create_fts(spark, cat, a):

@@ -102,3 +102,37 @@ def test_rollup_refuses_null_timestamps_and_bad_fn(spark, warehouse):
             warehouse.create_table("db.plain", "ts timestamp, v double"),
             _ev(spark, [("2024-01-01 10:00:00", "a", 1.0)]),
         )
+
+
+def test_rollup_procedures(spark, warehouse):
+    """The rollup surface is CALL-able: create from string specs,
+    refresh from a source table (with a where scope), identifier-
+    checked."""
+    from flink_table_store_spark.procedures import call
+
+    src = warehouse.create_table("db.rawev", "ts timestamp, kind string, v double")
+    src.write(_ev(spark, [
+        ("2024-01-01 10:01:00", "a", 1.0),
+        ("2024-01-01 10:05:00", "a", 3.0),
+        ("2024-01-01 10:05:00", "b", 5.0),
+    ]))
+    call(
+        spark, warehouse, "create_rollup",
+        rollup="db.r1h", time_col="ts", interval="1 hour",
+        group_cols="kind string",
+        metrics="n=*:count,s=v:sum",
+    )
+    call(
+        spark, warehouse, "refresh_rollup",
+        rollup="db.r1h", from_table="db.rawev",
+        where="kind = 'a'", commit_identifier="b0",
+    )
+    # replayed identifier: no double count
+    call(
+        spark, warehouse, "refresh_rollup",
+        rollup="db.r1h", from_table="db.rawev",
+        where="kind = 'a'", commit_identifier="b0",
+    )
+    got = {r["kind"]: (r["n"], r["s"])
+           for r in warehouse.get_table("db.r1h").to_df(spark).collect()}
+    assert got == {"a": (2, 4.0)}
