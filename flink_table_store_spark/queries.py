@@ -5794,3 +5794,32 @@ GROUP BY 1, 2 ORDER BY cohort, periods_since
 
 # judge-run tail: weekly cohort retention triangle
 QUERIES["events_retention"] = (events_retention, EVENTS_RETENTION_SQL)
+
+
+# round-10 session-2 rotation: the incremental text index, the
+# persisted-vector-index extension and the continuous rollup are new
+# surface FAMILIES (5th index family + FAISS-add maintenance + the
+# hypertable pattern) and take driver slots. Rotated to the tail:
+# text_search_bm25 (its one-shot build is subsumed by the incremental
+# row's shared oracle), events_latest_per_user and variant_extract
+# (long-green simple shapes, both covered since r3). All three stay in
+# the judge-run tail.
+_R10_NEW = {
+    "text_incremental_search": QUERIES["text_incremental_search"],
+    "events_rollup_incremental": QUERIES["events_rollup_incremental"],
+    "ann_index_extend": QUERIES["ann_index_extend"],
+}
+_R10_OUT = ["text_search_bm25", "events_latest_per_user", "variant_extract"]
+_rebuilt10: dict[str, tuple] = {}
+_new_iter10 = iter(_R10_NEW.items())
+for _k, _v in QUERIES.items():
+    if _k in _R10_NEW:
+        continue  # re-inserted at a window slot or already placed
+    if _k in _R10_OUT:
+        _nk, _nv = next(_new_iter10)
+        _rebuilt10[_nk] = _nv
+    else:
+        _rebuilt10[_k] = _v
+for _k in _R10_OUT:
+    _rebuilt10[_k] = QUERIES[_k]
+QUERIES = _rebuilt10
