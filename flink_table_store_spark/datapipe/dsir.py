@@ -425,3 +425,61 @@ def model_from_index(spark, index, alpha: float = 1.0) -> dict:
         "bucket", F.col("tc").alias("__tcv"), F.col("rc").alias("__rcv")
     )
     return _finish_model(counts, tt, tr, n_buckets, seed, alpha, spark)
+
+
+def score_novelty(
+    docs: DataFrame,
+    reference: DataFrame | dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 8192,
+    seed: int = 13,
+) -> DataFrame:
+    """Hashed n-gram NOVELTY against a reference corpus: per document,
+    the fraction of its gram occurrences whose hashed feature bucket
+    was never seen in the reference — the cheap diversity/novelty
+    signal (high = unlike anything already collected; near 0 = more of
+    the same). Collisions can only UNDERCOUNT novelty (a novel gram
+    landing in a seen bucket reads as seen), so the score is a
+    conservative lower bound — the right direction for a keep-novel
+    selection gate.
+
+    ``reference`` is either a DataFrame (counted on the fly with the
+    shared md5 feature space) or a DSIR index table from
+    ``create_dsir_index`` — the persistent raw-corpus counts double as
+    the novelty reference, so the signal updates in O(batch) on the
+    ingest path with no extra state. Returns (id_col, n_grams,
+    novelty rounded to 4); docs with no grams score NULL."""
+    if isinstance(reference, DataFrame):
+        seen = (
+            _bucket_counts(reference, text_col, n_buckets, seed, "__n")
+            .where(F.col("__n") > 0)
+            .select("bucket")
+        )
+    else:
+        n_buckets, seed = _index_params(reference)
+        seen = (
+            reference.refresh()
+            .to_df(docs.sparkSession)
+            .where((F.col("tc") + F.col("rc")) > 0)
+            .select("bucket")
+        )
+    rows = hashed_feature_rows(docs, text_col, id_col, n_buckets, seed)
+    flagged = rows.join(
+        F.broadcast(seen.withColumn("__seen", F.lit(1))), "bucket", "left"
+    )
+    per_doc = flagged.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.avg(
+            F.when(F.col("__seen").isNull(), 1.0).otherwise(0.0)
+        ).alias("__nov"),
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(per_doc, F.col(id_col) == F.col("__id"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.round(F.col("__nov"), 4).alias("novelty"),
+        )
+    )

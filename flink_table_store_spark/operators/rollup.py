@@ -125,3 +125,31 @@ def rollup_avg(sum_col: str, count_col: str):
     """avg = sum/count at read — the derived aggregate the storage
     never needs to hold."""
     return F.try_divide(F.col(sum_col), F.col(count_col))
+
+
+def rollup_stream(
+    stream: DataFrame,
+    rollup,
+    sink_id: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Maintain a rollup from a streaming feed: each micro-batch folds
+    its partial aggregates with an identifier derived from the batch id
+    — Structured Streaming owns offsets/retries, the identifier check
+    makes every refresh exactly-once (a replayed batch is a no-op, so
+    the sum-aggregated cells can never double-count)."""
+
+    def _fold(df: DataFrame, batch_id: int) -> None:
+        update_rollup(
+            rollup, df, commit_identifier=f"{sink_id}:{batch_id}"
+        )
+
+    writer = (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(_fold)
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

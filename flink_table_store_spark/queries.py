@@ -5823,3 +5823,59 @@ for _k, _v in QUERIES.items():
 for _k in _R10_OUT:
     _rebuilt10[_k] = QUERIES[_k]
 QUERIES = _rebuilt10
+
+
+def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed n-gram novelty (datapipe/dsir.score_novelty): every doc
+    scores the fraction of its gram occurrences landing in feature
+    buckets the REFERENCE slice (even-id docs) never produced -
+    the keep-novel diversity signal, conservative under collisions.
+    The reference's seen-bucket set broadcasts; scoring is one
+    broadcast join + one grouped avg. The oracle replays grams ->
+    md5 buckets -> seen-set anti-membership -> per-doc mean in SQL."""
+    from flink_table_store_spark.datapipe.dsir import score_novelty
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = docs.where(F.col("doc_id") % 2 == 0)
+    probe = docs.where(F.col("doc_id") % 2 == 1)
+    return score_novelty(probe, ref).orderBy("doc_id")
+
+
+TEXT_NOVELTY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, t[s.i] AS g
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, len(t))) AS i
+  ) s
+  UNION ALL
+  SELECT doc_id, t[s.i] || ' ' || t[s.i + 1]
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+  ) s
+), hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g || '-13'), 1, 15))::BIGINT % 8192 AS bucket
+  FROM grams WHERE g <> ''
+), seen AS (
+  SELECT DISTINCT bucket FROM hashed WHERE doc_id % 2 = 0
+), per AS (
+  SELECT h.doc_id, count(*) AS n_grams,
+         avg(CASE WHEN seen.bucket IS NULL THEN 1.0 ELSE 0.0 END) AS nov
+  FROM hashed h LEFT JOIN seen USING (bucket)
+  WHERE h.doc_id % 2 = 1
+  GROUP BY h.doc_id
+)
+SELECT d.doc_id,
+       coalesce(per.n_grams, 0)::BIGINT AS n_grams,
+       round(per.nov, 4) AS novelty
+FROM documents d LEFT JOIN per USING (doc_id)
+WHERE d.doc_id % 2 = 1
+ORDER BY d.doc_id
+"""
+
+# judge-run tail: hashed n-gram novelty vs a reference slice (the
+# keep-novel diversity gate; conservative under hash collisions)
+QUERIES["text_novelty"] = (text_novelty, TEXT_NOVELTY_SQL)

@@ -255,3 +255,38 @@ def test_incremental_dsir_index(spark, warehouse):
     plain = warehouse.create_table("db.not_dsir", "bucket int, tc bigint, rc bigint")
     with pytest.raises(ValueError, match="not a DSIR index"):
         update_dsir_index(plain, docs)
+
+
+def test_score_novelty_dataframe_and_index_reference(spark, warehouse):
+    """Novelty: unseen-vocabulary docs score ~1, reference-replica docs
+    score 0, the DSIR-index reference path equals the DataFrame path,
+    and no-gram docs score NULL."""
+    from flink_table_store_spark.datapipe.dsir import (
+        create_dsir_index,
+        score_novelty,
+        update_dsir_index,
+    )
+
+    ref = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    probe = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta epsilon"),   # pure replica
+            (101, "zq1 zq2 zq3 zq4 zq5 zq6"),          # pure novelty
+            (102, None),                               # no grams
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["novelty"]
+           for r in score_novelty(probe, ref).collect()}
+    assert got[100] == 0.0
+    assert got[101] is not None and got[101] > 0.9  # collisions only lower it
+    assert got[102] is None
+
+    idx = create_dsir_index(warehouse, "db.nov_idx", n_buckets=8192, seed=13)
+    update_dsir_index(idx, ref, "raw", commit_identifier="b0")
+    via_idx = {r["doc_id"]: r["novelty"]
+               for r in score_novelty(probe, idx).collect()}
+    assert via_idx == got

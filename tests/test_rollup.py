@@ -136,3 +136,29 @@ def test_rollup_procedures(spark, warehouse):
     got = {r["kind"]: (r["n"], r["s"])
            for r in warehouse.get_table("db.r1h").to_df(spark).collect()}
     assert got == {"a": (2, 4.0)}
+
+
+def test_rollup_stream_exactly_once(spark, warehouse, tmp_path):
+    """Streaming maintenance: a file feed folds through foreachBatch;
+    re-running from a fresh checkpoint with the same sink_id leaves the
+    sum-aggregated cells untouched (identifier-skipped)."""
+    from flink_table_store_spark.operators.rollup import rollup_stream
+
+    ru = _mk(warehouse)
+    feed = str(tmp_path / "feed")
+    _ev(spark, [
+        ("2024-01-01 10:01:00", "a", 1.0),
+        ("2024-01-01 10:05:00", "a", 3.0),
+    ]).coalesce(1).write.mode("append").parquet(feed)
+    src = spark.readStream.schema(
+        "ts timestamp, kind string, v double"
+    ).parquet(feed)
+    rollup_stream(src, ru, "rs", str(tmp_path / "c1")).awaitTermination(120)
+    got = {(str(r["bucket_start"]), r["kind"]): (r["n"], r["s"])
+           for r in ru.refresh().to_df(spark).collect()}
+    assert got == {("2024-01-01 10:00:00", "a"): (2, 4.0)}
+    # same sink_id, fresh checkpoint -> batch 0 replays -> no-op
+    rollup_stream(src, ru, "rs", str(tmp_path / "c2")).awaitTermination(120)
+    got2 = {(str(r["bucket_start"]), r["kind"]): (r["n"], r["s"])
+            for r in ru.refresh().to_df(spark).collect()}
+    assert got2 == got
