@@ -98,26 +98,38 @@ def update_rollup(
     time_col, interval, metrics = _spec(rollup)
     pk = rollup.schema.primary_keys
     groups = [c for c in pk if c != "bucket_start"]
-    n_null = batch.where(F.col(time_col).isNull()).limit(1).count()
-    if n_null:
-        raise ValueError(
-            f"batch has rows with NULL {time_col}: no bucket to fold into"
-        )
     aggs = []
     for out, (src, fn) in metrics.items():
         if fn == "count":
             aggs.append(F.count(F.lit(1)).alias(out))
         else:
             aggs.append(getattr(F, fn)(F.col(src)).alias(out))
+    # NULL timestamps must be refused, in ONE pass: F.window silently
+    # DROPS null-timestamp rows (the exact hazard), so nulls coalesce
+    # to a year-0001 sentinel first — they collapse into one impossible
+    # bucket the post-aggregation check (over <= cells + 1 rows) can
+    # see. A dedicated pre-scan would read the batch twice; real event
+    # time before year 100 is out of contract.
+    sentinel = F.lit("0001-01-01 00:00:00").cast(
+        batch.schema[time_col].dataType.simpleString()
+    )
     rows = (
         batch.groupBy(
-            F.window(F.col(time_col), interval)["start"].alias(
-                "bucket_start"
-            ),
+            F.window(F.coalesce(F.col(time_col), sentinel), interval)[
+                "start"
+            ].alias("bucket_start"),
             *[F.col(g) for g in groups],
         )
         .agg(*aggs)
     )
+    try:
+        rows = rows.localCheckpoint(eager=True)
+    except Exception:
+        pass  # optimization only: the check re-runs the agg lineage
+    if rows.where(F.col("bucket_start") < F.lit("0100-01-01")).limit(1).count():
+        raise ValueError(
+            f"batch has rows with NULL {time_col}: no bucket to fold into"
+        )
     rollup.refresh().write(rows, commit_identifier=commit_identifier or "")
 
 
