@@ -51,6 +51,8 @@ def curation_batch_writer(
     c4_opts: dict | None = None,
     dsir_model: dict | Callable[[], dict] | None = None,
     dsir_threshold: float = 0.0,
+    novelty_index=None,
+    novelty_threshold: float = 0.0,
     minhash_index=None,
     jaccard_threshold: float = 0.8,
     simhash_index=None,
@@ -112,6 +114,18 @@ def curation_batch_writer(
     seg-overwrite idempotent, so replays and crash windows self-heal;
     requires the batch schema to carry the indexed vector column.
 
+    ``novelty_index`` (a ``dsir.create_dsir_index`` table) adds a
+    keep-novel DIVERSITY gate: docs whose hashed-ngram novelty against
+    the index state falls below ``novelty_threshold`` are dropped —
+    more-of-the-same batches thin out automatically as the index
+    absorbs the corpus. Novelty is judged against INDEX STATE only
+    (batch-mates do not see each other — the gate stays a per-doc pure
+    function, so ordering guarantees are untouched); fold survivors
+    into the index (``update_dsir_index`` in your loop, or the same
+    table doubling as the DSIR selection state) to advance the
+    reference. Collisions only UNDERCOUNT novelty, so the gate errs
+    toward keeping.
+
     ``stats_index`` (from ``sampling.create_corpus_stats_index``) adds
     the SEVENTH sink: survivors' per-``stats_domain_col`` (count,
     token-sum) deltas fold into the persistent totals table, so the
@@ -147,6 +161,15 @@ def curation_batch_writer(
             kept = quality_filter(
                 kept, quality_model, quality_threshold, text_col, id_col
             )
+        if novelty_index is not None:
+            from flink_table_store_spark.datapipe.dsir import score_novelty
+
+            nov_ok = (
+                score_novelty(kept, novelty_index, text_col, id_col)
+                .where(F.col("novelty") >= F.lit(float(novelty_threshold)))
+                .select(F.col(id_col))
+            )
+            kept = kept.join(nov_ok, id_col, "left_semi")
         if dsir_model is not None:
             from flink_table_store_spark.datapipe.dsir import score_dsir
 

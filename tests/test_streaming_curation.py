@@ -650,3 +650,39 @@ def test_stats_index_seventh_sink(spark, warehouse, tmp_path):
     assert set(from_idx) == set(from_scan)
     for d in from_idx:
         assert from_idx[d] == _pytest.approx(from_scan[d], abs=1e-12)
+
+
+def test_novelty_gate_in_stream(spark, warehouse):
+    """Keep-novel diversity gate: once the reference index has absorbed
+    a vocabulary, more-of-the-same docs are dropped while genuinely new
+    vocabulary flows through; batch-mates never judge each other."""
+    from flink_table_store_spark.datapipe.dsir import (
+        create_dsir_index,
+        update_dsir_index,
+    )
+
+    corpus, index = _mk_tables(warehouse)
+    nov = create_dsir_index(warehouse, "db.nov_idx", n_buckets=8192, seed=13)
+    fn = curation_batch_writer(
+        corpus, index, "nv", min_tokens=1,
+        novelty_index=nov, novelty_threshold=0.5,
+    )
+    # batch 0: empty index -> everything is novel -> all kept (the two
+    # same-vocabulary batch-mates do NOT suppress each other)
+    b0 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon")],
+        "doc_id bigint, text string",
+    )
+    fn(b0, 0)
+    assert corpus.refresh().to_df(spark).count() == 2
+    # advance the reference with the survivors
+    update_dsir_index(nov, corpus.refresh().to_df(spark), "raw",
+                      commit_identifier="nv:0")
+    # batch 1: one more-of-the-same doc (novelty ~0), one new-vocab doc
+    b1 = spark.createDataFrame(
+        [(10, "alpha beta gamma delta"), (11, "zq1 zq2 zq3 zq4 zq5")],
+        "doc_id bigint, text string",
+    )
+    fn(b1, 1)
+    ids = sorted(r["doc_id"] for r in corpus.refresh().to_df(spark).collect())
+    assert ids == [1, 2, 11]
