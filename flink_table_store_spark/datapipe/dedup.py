@@ -887,7 +887,6 @@ def corpus_diff(
     a: DataFrame,
     b: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Content-level diff of two corpora (the WIMBD-style cross-corpus
     accounting: how much of crawl B is already in corpus A?): documents

@@ -429,7 +429,7 @@ def model_from_index(spark, index, alpha: float = 1.0) -> dict:
 
 def score_novelty(
     docs: DataFrame,
-    reference: DataFrame | dict,
+    reference,
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 8192,
@@ -444,12 +444,19 @@ def score_novelty(
     conservative lower bound — the right direction for a keep-novel
     selection gate.
 
-    ``reference`` is either a DataFrame (counted on the fly with the
-    shared md5 feature space) or a DSIR index table from
+    ``reference`` is either a DataFrame corpus (counted on the fly
+    with the shared md5 feature space) or a DSIR index TABLE from
     ``create_dsir_index`` — the persistent raw-corpus counts double as
     the novelty reference, so the signal updates in O(batch) on the
     ingest path with no extra state. Returns (id_col, n_grams,
     novelty rounded to 4); docs with no grams score NULL."""
+    if isinstance(reference, dict):
+        raise TypeError(
+            "score_novelty takes a reference CORPUS (DataFrame) or a "
+            "DSIR INDEX TABLE (create_dsir_index) — not the fitted "
+            "model dict; novelty needs the seen-bucket set, which the "
+            "log-ratio model does not carry"
+        )
     if isinstance(reference, DataFrame):
         seen = (
             _bucket_counts(reference, text_col, n_buckets, seed, "__n")

@@ -37,22 +37,31 @@ def create_rollup_table(
 ):
     """Create the rollup: PK (bucket_start, *group cols), one column
     per metric maintained server-side. ``metrics`` maps output name ->
-    (source column, fn) with fn in count/sum/min/max (count stores
-    bigint, the rest double). The spec (time column, interval, metric
-    definitions) rides in table options so every refresher provably
-    buckets and aggregates identically."""
+    (source column, fn) or (source column, fn, dtype) with fn in
+    count/sum/min/max. count('*') counts rows; count(col) counts
+    NON-NULL values, exactly as direct SQL would. Default storage type
+    is bigint for count and double otherwise — pass an explicit dtype
+    (e.g. 'bigint' for exact integer sums past 2^53, 'decimal(20,2)',
+    a timestamp for min/max over time) when double would lose the
+    source's precision. The spec rides in table options so every
+    refresher provably buckets and aggregates identically."""
     group_cols = group_cols or []
-    for out, (_src, fn) in metrics.items():
+    norm: dict[str, tuple] = {}
+    for out, spec in metrics.items():
+        src, fn = spec[0], spec[1]
         if fn not in _FNS:
             raise ValueError(
                 f"metric {out}: fn must be one of {sorted(_FNS)}, got {fn!r}"
             )
+        dtype = (
+            spec[2] if len(spec) > 2
+            else ("bigint" if fn == "count" else "double")
+        )
+        norm[out] = (src, fn, dtype)
+    metrics = norm
     cols = ["bucket_start timestamp"]
     cols += [f"{n} {t}" for n, t in group_cols]
-    cols += [
-        f"{out} {'bigint' if fn == 'count' else 'double'}"
-        for out, (_s, fn) in metrics.items()
-    ]
+    cols += [f"{out} {dt}" for out, (_s, _f, dt) in metrics.items()]
     opts = {
         "bucket": str(buckets),
         "merge-engine": "aggregation",
@@ -60,7 +69,7 @@ def create_rollup_table(
         "rollup.interval": interval,
         "rollup.metrics": json.dumps(metrics),
     }
-    for out, (_src, fn) in metrics.items():
+    for out, (_src, fn, _dt) in metrics.items():
         # count folds as a sum of partial counts; sum/min/max fold as
         # themselves — all decomposable, the continuous-aggregate rule
         opts[f"fields.{out}.aggregate-function"] = (
@@ -99,11 +108,20 @@ def update_rollup(
     pk = rollup.schema.primary_keys
     groups = [c for c in pk if c != "bucket_start"]
     aggs = []
-    for out, (src, fn) in metrics.items():
+    for out, spec in metrics.items():
+        src, fn = spec[0], spec[1]
+        dt = spec[2] if len(spec) > 2 else None
         if fn == "count":
-            aggs.append(F.count(F.lit(1)).alias(out))
+            # count('*') = rows; count(col) = NON-NULL values, exactly
+            # as a direct aggregation of the raw table would count
+            agg = (
+                F.count(F.lit(1)) if src == "*" else F.count(F.col(src))
+            )
         else:
-            aggs.append(getattr(F, fn)(F.col(src)).alias(out))
+            agg = getattr(F, fn)(F.col(src))
+        if dt:
+            agg = agg.cast(dt)
+        aggs.append(agg.alias(out))
     # NULL timestamps must be refused, in ONE pass: F.window silently
     # DROPS null-timestamp rows (the exact hazard), so nulls coalesce
     # to a year-0001 sentinel first — they collapse into one impossible

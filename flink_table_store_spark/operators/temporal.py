@@ -54,7 +54,11 @@ def as_of_join(
 
     Ties: right rows sharing the match timestamp resolve to the LAST
     one in (time, right-input) window order; pass a deterministic
-    right ordering upstream if that matters."""
+    right ordering upstream if that matters. NULL timestamps: right
+    rows with NULL time can never be "prior" or "next" and are
+    excluded; left rows with NULL time match nothing (NULL payload) —
+    without this, NULLS-FIRST/LAST sort placement would hand them
+    arbitrary matches."""
     if direction not in ("backward", "forward"):
         raise ValueError(
             f"direction must be 'backward' or 'forward', got {direction!r}"
@@ -79,6 +83,7 @@ def as_of_join(
             ).alias("s")
         ).schema["s"].dataType.simpleString()
     )).withColumn("__tag", F.lit(1))
+    right = right.where(F.col(time_col).isNotNull())
     r_tag = (
         right.select(
             *[F.col(c) for c in by],
@@ -106,6 +111,11 @@ def as_of_join(
     matched = (
         u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
         .where(F.col("__tag") == 1)
+        # a NULL-time left row has no position on the timeline: void
+        # whatever the sort placement handed it
+        .withColumn(
+            "__m", F.when(F.col(time_col).isNotNull(), F.col("__m"))
+        )
     )
     if tolerance_seconds is not None:
         gap = F.expr(

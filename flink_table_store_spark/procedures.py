@@ -533,11 +533,17 @@ def _create_rollup(spark, cat, a):
         create_rollup_table,
     )
 
-    groups = [
-        tuple(g.strip().split(None, 1))
-        for g in str(a.pop("group_cols", "") or "").split(",")
-        if g.strip()
-    ]
+    groups = []
+    for g in str(a.pop("group_cols", "") or "").split(","):
+        if not g.strip():
+            continue
+        parts = g.strip().split(None, 1)
+        if len(parts) != 2:
+            raise ValueError(
+                f"group_cols entry {g.strip()!r} must be 'name type' "
+                "(e.g. 'event_type string')"
+            )
+        groups.append(tuple(parts))
     metrics = {}
     for m in str(a.pop("metrics")).split(","):
         out, spec = m.split("=", 1)

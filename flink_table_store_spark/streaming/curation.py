@@ -166,7 +166,13 @@ def curation_batch_writer(
 
             nov_ok = (
                 score_novelty(kept, novelty_index, text_col, id_col)
-                .where(F.col("novelty") >= F.lit(float(novelty_threshold)))
+                # no-gram docs score NULL: an invisible doc is not
+                # evidence of sameness — KEEP it (the gate errs toward
+                # keeping; min_tokens is the gate for empty docs)
+                .where(
+                    F.col("novelty").isNull()
+                    | (F.col("novelty") >= F.lit(float(novelty_threshold)))
+                )
                 .select(F.col(id_col))
             )
             kept = kept.join(nov_ok, id_col, "left_semi")

@@ -172,7 +172,8 @@ def sessionize(
     and TIMESTAMP_NTZ columns (unix_micros rejects NTZ; a
     seconds-resolution diff would mis-split sub-second straddles). Pass
     ``order_cols`` (e.g. an event id) to break equal-timestamp ties
-    deterministically."""
+    deterministically. Rows with a NULL timestamp get a NULL
+    session_id — they have no position on the timeline."""
     if gap_seconds <= 0:
         raise ValueError(f"gap_seconds must be positive, got {gap_seconds}")
     keys = keys or ["user_id"]
@@ -191,4 +192,13 @@ def sessionize(
         )
         + 1
     )
-    return df.withColumn("session_id", sid.cast("bigint"))
+    # NULL timestamps have no position on the timeline: they get a NULL
+    # session_id instead of riding NULLS-FIRST sort placement into
+    # session 1 (and silently shifting every real session's gap chain)
+    with_ts = df.where(ts.isNotNull()).withColumn(
+        "session_id", sid.cast("bigint")
+    )
+    nulls = df.where(ts.isNull()).withColumn(
+        "session_id", F.lit(None).cast("bigint")
+    )
+    return with_ts.unionByName(nulls)

@@ -162,3 +162,31 @@ def test_rollup_stream_exactly_once(spark, warehouse, tmp_path):
     got2 = {(str(r["bucket_start"]), r["kind"]): (r["n"], r["s"])
             for r in ru.refresh().to_df(spark).collect()}
     assert got2 == got
+
+
+def test_rollup_count_col_and_explicit_dtype(spark, warehouse):
+    """count(col) excludes NULLs exactly as direct SQL; an explicit
+    bigint dtype keeps integer sums exact."""
+    from flink_table_store_spark.operators.rollup import (
+        create_rollup_table,
+        update_rollup,
+    )
+
+    ru = create_rollup_table(
+        warehouse, "db.rud",
+        time_col="ts", interval="1 hour",
+        metrics={
+            "n_rows": ("*", "count"),
+            "n_v": ("v", "count"),
+            "s": ("v", "sum", "bigint"),
+        },
+    )
+    batch = spark.createDataFrame(
+        [("2024-01-01 10:01:00", 2), ("2024-01-01 10:02:00", None),
+         ("2024-01-01 10:03:00", 5)],
+        "ts string, v long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    update_rollup(ru, batch, "b0")
+    [r] = ru.refresh().to_df(spark).collect()
+    assert (r["n_rows"], r["n_v"], r["s"]) == (3, 2, 7)
+    assert dict(ru.refresh().to_df(spark).dtypes)["s"] == "bigint"

@@ -176,3 +176,16 @@ def test_sessionize_random_parity_with_python_reference(spark):
         byu[u] = (ts, sid)
         want[eid_] = sid
     assert got == want
+
+
+def test_sessionize_null_timestamps_get_null_session(spark):
+    ev = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00"), (2, 1, None),
+         (3, 1, "2024-01-01 12:00:00")],
+        "event_id bigint, user_id bigint, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["event_id"]: r["session_id"]
+           for r in sessionize(ev, "ts", 1800, ["user_id"],
+                               order_cols=["event_id"]).collect()}
+    # the NULL row neither joins a session nor shifts the gap chain
+    assert got == {1: 1, 2: None, 3: 2}

@@ -239,3 +239,24 @@ def test_retention_cohorts(spark):
 
     with _pytest.raises(ValueError, match="unsupported period"):
         retention_cohorts(ev, period="quarter")
+
+
+def test_asof_null_timestamps_never_match(spark):
+    """NULL-time right rows are excluded; NULL-time left rows match
+    nothing — in BOTH directions (sort placement must not hand them
+    arbitrary matches)."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "L1"), (1, None, "LN")],
+        "user_id bigint, ts string, lbl string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, "2024-01-01 11:00:00", 7.0)],
+        "user_id bigint, ts string, px double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    for direction, want_l1 in [("backward", None), ("forward", 7.0)]:
+        got = {r["lbl"]: r["px"]
+               for r in as_of_join(
+                   left, right, "ts", by=["user_id"], direction=direction
+               ).collect()}
+        assert got["LN"] is None, direction
+        assert got["L1"] == want_l1, direction
