@@ -472,3 +472,40 @@ def totals_from_stats_index(
         for r in index.refresh().to_df(spark).collect()
         if r["domain"] != NULL_DOMAIN and r[col]
     }
+
+
+def sample_weighted_exact(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exact and deterministic —
+    the Efraimidis–Spirakis A-ES scheme (Inf. Proc. Letters 2006):
+    each row draws the key ln(u)/w with u a deterministic md5 uniform
+    of its id, and the k LARGEST keys are the sample (equivalently
+    u^(1/w); the log form avoids pow underflow at large weights).
+    Inclusion probabilities follow successive weighted draws without
+    replacement, the classic reservoir semantics.
+
+    Rows with NULL or non-positive weight are excluded (zero weight =
+    never drawn; a negative weight has no sampling meaning). Selection
+    goes through ``exact_top_k`` — no global sort, no partition-less
+    window, no P·k driver merge — and the md5 uniforms make the sample
+    reproducible on any engine (the correctness oracle replays it)."""
+    from flink_table_store_spark.datapipe.dsir import exact_top_k
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    w = F.col(weight_col).cast("double")
+    u = (
+        F.conv(F.substring(sample_key(key_col, seed), 1, 15), 16, 10).cast(
+            "bigint"
+        )
+        + F.lit(1)
+    ).cast("double") / F.lit(float((1 << 60) + 2))
+    keyed = df.where(w.isNotNull() & (w > 0)).withColumn(
+        "__es", F.log(u) / w
+    )
+    return exact_top_k(keyed, "__es", k, tie_col=key_col).drop("__es")

@@ -5879,3 +5879,40 @@ ORDER BY d.doc_id
 # judge-run tail: hashed n-gram novelty vs a reference slice (the
 # keep-novel diversity gate; conservative under hash collisions)
 QUERIES["text_novelty"] = (text_novelty, TEXT_NOVELTY_SQL)
+
+
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis weighted sampling without replacement
+    (datapipe/sampling.sample_weighted_exact): 200 docs drawn with
+    probability driven by n_chars, via deterministic md5 uniforms and
+    the log-form A-ES key ln(u)/w - selection through exact_top_k (no
+    global sort, no P*k driver merge). The oracle replays uniform ->
+    key -> top-k bit-for-bit."""
+    from flink_table_store_spark.datapipe.sampling import (
+        sample_weighted_exact,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", "lang"
+    )
+    return sample_weighted_exact(docs, "n_chars", 200, seed=42).orderBy(
+        "doc_id"
+    )
+
+
+SAMPLE_WEIGHTED_SQL = """
+WITH keyed AS (
+  SELECT doc_id, n_chars, lang,
+         ln((('0x' || substr(md5(doc_id::VARCHAR || '-42'), 1, 15))::BIGINT + 1)
+            / 1152921504606846978.0)
+           / CAST(n_chars AS DOUBLE) AS es
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, n_chars, lang
+FROM keyed ORDER BY es DESC, doc_id ASC LIMIT 200
+"""
+
+# judge-run tail: weighted sampling without replacement (A-ES keys via
+# deterministic md5 uniforms; exact_top_k selection)
+QUERIES["sample_weighted"] = (sample_weighted, SAMPLE_WEIGHTED_SQL)

@@ -1245,3 +1245,33 @@ def test_corpus_diff(spark):
     assert (got["common"]["n_docs_a"], got["common"]["n_docs_b"]) == (2, 1)
     assert got["only_a"]["n_fingerprints"] == 1 and got["only_a"]["n_docs_b"] == 0
     assert got["only_b"]["n_fingerprints"] == 1 and got["only_b"]["n_docs_b"] == 2
+
+
+def test_sample_weighted_exact(spark):
+    """A-ES weighted sampling: deterministic per seed, weight-
+    proportional in aggregate (heavy rows selected far more often
+    across seeds), NULL/zero/negative weights excluded."""
+    from flink_table_store_spark.datapipe.sampling import (
+        sample_weighted_exact,
+    )
+
+    rows = [(i, 100.0 if i < 20 else 1.0) for i in range(220)]
+    rows += [(900, None), (901, 0.0), (902, -5.0)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w double")
+
+    a = sorted(r["doc_id"] for r in sample_weighted_exact(df, "w", 30).collect())
+    b = sorted(r["doc_id"] for r in sample_weighted_exact(df, "w", 30).collect())
+    assert a == b and len(a) == 30            # deterministic
+    assert not {900, 901, 902} & set(a)        # unweighables excluded
+
+    heavy_hits = 0
+    for seed in range(8):
+        s = {r["doc_id"] for r in
+             sample_weighted_exact(df, "w", 30, seed=seed).collect()}
+        heavy_hits += sum(1 for i in s if i < 20)
+    # 20 heavy rows at weight 100 vs 200 light at weight 1: heavy mass
+    # is ~91%, so >= half of each 30-draw should be heavy w.h.p.
+    assert heavy_hits >= 8 * 15, heavy_hits
+
+    # k > population: everything weighable comes back
+    assert sample_weighted_exact(df, "w", 1000).count() == 220
