@@ -279,10 +279,17 @@ def extend_global_index(
     ``vector_search`` would brute-force as an un-indexed tail into
     cell-pruned postings.
 
-    Idempotent across crashes: the delta lands as a dynamic-partition
-    overwrite of its own ``seg=<snapshot>`` dirs — a replay after a
-    crash between the postings write and the meta update rewrites the
-    same dirs instead of appending duplicates.
+    Idempotent across crashes: before writing, every ``seg=N`` dir with
+    ``N > meta.snapshot_id`` is deleted — those can only be remnants of
+    an extension that crashed between its postings write and its meta
+    update, and they cover a PREFIX of the interval this run rewrites
+    (``(meta.snapshot_id, latest]``), so carrying them would duplicate
+    keys across segs when new commits landed since the crash (dynamic
+    partition overwrite alone only replaces partitions keyed by THIS
+    run's latest id, not the crashed run's). Deleting first is safe at
+    every crash point: meta hasn't advanced, so ``vector_search``
+    brute-forces the missing rows as the un-indexed tail and results
+    stay exact w.r.t. staleness.
 
     Insert-only contract (append tables): on a PK table an UPDATE would
     leave the key's OLD posting in its old cell — stale cell, duplicate
@@ -317,6 +324,28 @@ def extend_global_index(
     else:
         postings = assigned.select("key", "cell")
     pdir = _postings_dir(table.path, index_name)
+    if os.path.isdir(pdir):
+        entries = os.listdir(pdir)
+        # legacy flat layout (cell=N at the root, no seg level): writing
+        # seg=... next to it would mix partition depths and make the
+        # whole postings root unreadable — refuse loudly instead
+        if any(fn.startswith("cell=") for fn in entries):
+            raise RuntimeError(
+                f"index {index_name!r} uses the legacy flat cell=N "
+                "postings layout; rebuild with create_global_index "
+                "before extending"
+            )
+        # crash self-heal: remove seg dirs newer than the meta snapshot
+        # (remnants of an extension that died before its meta update) so
+        # a retry after new commits can't duplicate keys across segs
+        for fn in entries:
+            if fn.startswith("seg="):
+                try:
+                    seg_id = int(fn.split("=", 1)[1])
+                except ValueError:
+                    continue
+                if seg_id > meta["snapshot_id"]:
+                    shutil.rmtree(os.path.join(pdir, fn), ignore_errors=True)
     postings.withColumn("seg", F.lit(latest.id)).write.partitionBy(
         "seg", "cell"
     ).option("partitionOverwriteMode", "dynamic").mode("overwrite").parquet(

@@ -33,6 +33,13 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _qcol(name: str) -> Column:
+    """Column reference by EXACT name — backtick-quoted so names with
+    dots (which F.col would parse as struct access), spaces, or dashes
+    resolve as one identifier (ADVICE r10)."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def as_of_join(
     left: DataFrame,
     right: DataFrame,
@@ -75,22 +82,27 @@ def as_of_join(
     }
     rts_name = time_col + suffix
 
-    l_tag = left.withColumn("__r", F.lit(None).cast(
-        right.select(
-            F.struct(
-                F.col(time_col).alias("__rts"),
-                *[F.col(c) for c in payload],
-            ).alias("s")
-        ).schema["s"].dataType.simpleString()
-    )).withColumn("__tag", F.lit(1))
-    right = right.where(F.col(time_col).isNotNull())
+    # cast to the StructType OBJECT, not its simpleString rendering:
+    # payload/time names needing backtick quoting (spaces, dashes, dots)
+    # or types whose simpleString doesn't round-trip would make the DDL
+    # string unparseable (ADVICE r10)
+    r_struct_t = right.select(
+        F.struct(
+            _qcol(time_col).alias("__rts"),
+            *[_qcol(c) for c in payload],
+        ).alias("s")
+    ).schema["s"].dataType
+    l_tag = left.withColumn("__r", F.lit(None).cast(r_struct_t)).withColumn(
+        "__tag", F.lit(1)
+    )
+    right = right.where(_qcol(time_col).isNotNull())
     r_tag = (
         right.select(
-            *[F.col(c) for c in by],
-            F.col(time_col),
+            *[_qcol(c) for c in by],
+            _qcol(time_col),
             F.struct(
-                F.col(time_col).alias("__rts"),
-                *[F.col(c) for c in payload],
+                _qcol(time_col).alias("__rts"),
+                *[_qcol(c) for c in payload],
             ).alias("__r"),
         )
         .withColumn("__tag", F.lit(0))
@@ -100,11 +112,11 @@ def as_of_join(
     # a same-instant right row IS visible (<= semantics). forward:
     # descending time, same tag order gives >= semantics.
     ts_order = (
-        F.col(time_col).asc() if direction == "backward"
-        else F.col(time_col).desc()
+        _qcol(time_col).asc() if direction == "backward"
+        else _qcol(time_col).desc()
     )
     w = (
-        Window.partitionBy(*[F.col(c) for c in by])
+        Window.partitionBy(*[_qcol(c) for c in by])
         .orderBy(ts_order, F.col("__tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -114,7 +126,7 @@ def as_of_join(
         # a NULL-time left row has no position on the timeline: void
         # whatever the sort placement handed it
         .withColumn(
-            "__m", F.when(F.col(time_col).isNotNull(), F.col("__m"))
+            "__m", F.when(_qcol(time_col).isNotNull(), F.col("__m"))
         )
     )
     if tolerance_seconds is not None:
@@ -122,17 +134,17 @@ def as_of_join(
             f"INTERVAL {int(tolerance_seconds * 1_000_000)} MICROSECOND"
         )
         dist = (
-            F.col(time_col) - F.col("__m.__rts")
+            _qcol(time_col) - F.col("__m")["__rts"]
             if direction == "backward"
-            else F.col("__m.__rts") - F.col(time_col)
+            else F.col("__m")["__rts"] - _qcol(time_col)
         )
         matched = matched.withColumn(
             "__m", F.when(dist <= gap, F.col("__m"))
         )
     return matched.select(
-        *[F.col(c) for c in left.columns],
-        F.col("__m.__rts").alias(rts_name),
-        *[F.col(f"__m.{c}").alias(out_names[c]) for c in payload],
+        *[_qcol(c) for c in left.columns],
+        F.col("__m")["__rts"].alias(rts_name),
+        *[F.col("__m")[c].alias(out_names[c]) for c in payload],
     )
 
 
@@ -267,7 +279,7 @@ def retention_cohorts(
     by the ``period`` of their FIRST event; each later active period
     counts them once. Returns (cohort, periods_since, n_users) with
     periods_since 0 = the cohort period itself (n_users there = cohort
-    size). ``period``: any date_trunc unit (week/month/day).
+    size). ``period``: day / week / month / quarter / year.
 
     Scale: one grouped min per user (keyed shuffle), one join back on
     the user key, one distinct-count aggregate over (cohort, offset) —
@@ -281,19 +293,25 @@ def retention_cohorts(
         F.col(user_col), F.date_trunc(period, F.col(time_col)).alias("__p")
     ).distinct()
     unit_days = {"day": 1, "week": 7}.get(period)
+    # quarter/year boundaries are exact month multiples, so
+    # months_between of the truncated dates is an exact integer and the
+    # division below is too (ADVICE r10: the docstring promised these)
+    unit_months = {"month": 1, "quarter": 3, "year": 12}.get(period)
     j = active.join(first, user_col)
     if unit_days is not None:
         offset = (
             F.datediff(F.col("__p"), F.col("__cohort"))
             / F.lit(unit_days)
         ).cast("int")
-    elif period == "month":
-        offset = F.months_between(F.col("__p"), F.col("__cohort")).cast(
-            "int"
-        )
+    elif unit_months is not None:
+        offset = (
+            F.months_between(F.col("__p"), F.col("__cohort"))
+            / F.lit(unit_months)
+        ).cast("int")
     else:
         raise ValueError(
-            f"unsupported period {period!r} (day / week / month)"
+            f"unsupported period {period!r} "
+            "(day / week / month / quarter / year)"
         )
     return (
         j.groupBy(F.col("__cohort").alias("cohort"), offset.alias("periods_since"))

@@ -277,3 +277,90 @@ def test_extend_global_index_ivfpq_and_pk_refusal(spark, warehouse):
     pk.write(emb.limit(10))
     with _pytest.raises(ValueError, match="insert-only"):
         extend_global_index(spark, pk.refresh(), "whatever")
+
+
+def test_extend_retry_after_crash_with_new_commits(spark, warehouse):
+    """ADVICE r10 (medium): an extension that crashed between its
+    postings write and its meta update leaves seg dirs behind; if NEW
+    commits arrive before the retry, the retry writes a DIFFERENT seg id
+    and dynamic overwrite alone would keep the crashed dirs — duplicate
+    keys across segs. The fix deletes every seg dir newer than the meta
+    snapshot before writing; this test replays exactly that window."""
+    import json as _json
+
+    from flink_table_store_spark.globalindex import (
+        _meta_path,
+        _postings_dir,
+        create_global_index,
+        extend_global_index,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    a = emb.where(F.col("vec_id") % 3 == 0)
+    b = emb.where(F.col("vec_id") % 3 == 1)
+    c = emb.where(F.col("vec_id") % 3 == 2)
+    t = warehouse.create_table("db.emb_crash", emb.schema)
+    t.write(a)
+    t = t.refresh()
+    meta = create_global_index(spark, t, "ivfc", "embedding", "vec_id", n_cells=8)
+    t.write(b)
+    t = t.refresh()
+    meta = extend_global_index(spark, t, "ivfc")  # seg=2 lands
+    assert meta["snapshot_id"] == 2
+    # crash: postings for seg=2 written, meta update lost
+    meta["snapshot_id"] = 1
+    with open(_meta_path(t.path, "ivfc"), "w") as f:
+        _json.dump(meta, f)
+    # new commits arrive BEFORE the retry
+    t.write(c)
+    t = t.refresh()
+    meta = extend_global_index(spark, t, "ivfc")
+    assert meta["snapshot_id"] == 3
+    postings = spark.read.parquet(_postings_dir(t.path, "ivfc"))
+    # no key appears twice (the pre-fix bug: b's keys in seg=2 AND seg=3)
+    assert postings.count() == emb.count()
+    assert postings.select("key").distinct().count() == emb.count()
+    assert sorted(
+        r["seg"] for r in postings.select("seg").distinct().collect()
+    ) == [1, 3]
+    queries = emb.limit(4).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = vector_search(spark, t, "ivfc", queries, k=3, nprobe=8)
+    exact = brute_force_topk(emb, queries, k=3)
+    g = {(r["query_id"], r["rank"]): r["vec_id"] for r in got.collect()}
+    e = {(r["query_id"], r["rank"]): r["vec_id"] for r in exact.collect()}
+    assert g == e
+
+
+def test_extend_refuses_legacy_flat_layout(spark, warehouse):
+    """ADVICE r10 (low): an index whose postings root still holds the
+    legacy flat cell=N dirs (no seg level) must be refused — writing
+    seg=... next to them mixes partition depths and the root becomes
+    unreadable by spark.read.parquet."""
+    import shutil as _shutil
+
+    import pytest as _pytest
+
+    from flink_table_store_spark.globalindex import (
+        _postings_dir,
+        create_global_index,
+        extend_global_index,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    t = warehouse.create_table("db.emb_legacy", emb.schema)
+    t.write(emb.where(F.col("vec_id") < 200))
+    t = t.refresh()
+    create_global_index(spark, t, "ivfl", "embedding", "vec_id", n_cells=4)
+    # rewrite the postings into the pre-seg flat layout
+    pdir = _postings_dir(t.path, "ivfl")
+    seg_dir = os.path.join(pdir, "seg=1")
+    for cell in os.listdir(seg_dir):
+        _shutil.move(os.path.join(seg_dir, cell), os.path.join(pdir, cell))
+    _shutil.rmtree(seg_dir)
+    t.write(emb.where(F.col("vec_id") >= 200))
+    t = t.refresh()
+    with _pytest.raises(RuntimeError, match="legacy"):
+        extend_global_index(spark, t, "ivfl")

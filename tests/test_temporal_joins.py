@@ -237,8 +237,9 @@ def test_retention_cohorts(spark):
     }
     import pytest as _pytest
 
+    # quarter/year are supported since ADVICE r10; sub-day units are not
     with _pytest.raises(ValueError, match="unsupported period"):
-        retention_cohorts(ev, period="quarter")
+        retention_cohorts(ev, period="hour")
 
 
 def test_asof_null_timestamps_never_match(spark):
@@ -260,3 +261,56 @@ def test_asof_null_timestamps_never_match(spark):
                ).collect()}
         assert got["LN"] is None, direction
         assert got["L1"] == want_l1, direction
+
+
+def test_asof_awkward_column_names(spark):
+    """ADVICE r10 (low): payload/time names that need backtick quoting
+    (spaces, dashes, dots) used to break the NULL-struct cast because it
+    went through dataType.simpleString() — an unparseable DDL string.
+    The cast now uses the StructType object itself."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "user_id bigint, `event time` string"
+    ).withColumn("event time", F.col("`event time`").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", 5.0, "x")],
+        "user_id bigint, `event time` string, `px-mid` double, `a.b` string",
+    ).withColumn("event time", F.col("`event time`").cast("timestamp"))
+    got = as_of_join(left, right, "event time", by=["user_id"]).collect()
+    assert len(got) == 1
+    assert got[0]["px-mid"] == 5.0 and got[0]["a.b"] == "x"
+
+
+def test_retention_quarter_and_year(spark):
+    """ADVICE r10 (low): quarter/year periods (months_between / 3, / 12)
+    now work as the docstring always promised."""
+    from flink_table_store_spark.operators.temporal import retention_cohorts
+
+    events = spark.createDataFrame(
+        [
+            (1, "2023-02-10"),  # cohort 2023-Q1 / 2023
+            (1, "2023-08-01"),  # +2 quarters, same year
+            (1, "2024-03-01"),  # +4 quarters, +1 year
+            (2, "2023-11-05"),  # cohort 2023-Q4 / 2023
+        ],
+        "user_id bigint, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    q = {
+        (str(r["cohort"])[:10], r["periods_since"]): r["n_users"]
+        for r in retention_cohorts(events, period="quarter").collect()
+    }
+    assert q == {
+        ("2023-01-01", 0): 1,
+        ("2023-01-01", 2): 1,
+        ("2023-01-01", 4): 1,
+        ("2023-10-01", 0): 1,
+    }
+    y = {
+        (str(r["cohort"])[:10], r["periods_since"]): r["n_users"]
+        for r in retention_cohorts(events, period="year").collect()
+    }
+    assert y == {("2023-01-01", 0): 2, ("2023-01-01", 1): 1}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unsupported period"):
+        retention_cohorts(events, period="hour").collect()
