@@ -5916,3 +5916,111 @@ FROM keyed ORDER BY es DESC, doc_id ASC LIMIT 200
 # judge-run tail: weighted sampling without replacement (A-ES keys via
 # deterministic md5 uniforms; exact_top_k selection)
 QUERIES["sample_weighted"] = (sample_weighted, SAMPLE_WEIGHTED_SQL)
+
+
+def ann_hard_negatives_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining through the INDEXED backend (VERDICT r10
+    #2): mine_hard_negatives composed with ivf_topk — the path a 100 TB
+    user actually runs — so the k+gmax over-fetch / gold anti-join /
+    original-rank re-rank algebra is oracle-gated ON TOP OF the cell
+    probe, not just the brute baseline. Centroids are 4 deterministic
+    corpus vectors and nprobe=2 of 4, so the search is genuinely
+    approximate (cell-restricted candidates); the oracle replays the
+    same assignment (argmin squared distance, ties to the smaller cell
+    id), the same 2-cell probe, the same over-fetch and exclusion."""
+    from functools import partial
+
+    from flink_table_store_spark.datapipe.similarity import (
+        ivf_topk,
+        mine_hard_negatives,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cents = [
+        r.embedding
+        for r in emb.where(F.col("vec_id").between(100, 103))
+        .orderBy("vec_id")
+        .collect()
+    ]
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    gold = queries.select("query_id").selectExpr(
+        "query_id", "query_id AS vec_id"
+    ).unionByName(
+        queries.selectExpr("query_id", "query_id + 7 AS vec_id")
+    )
+    fn = partial(ivf_topk, centroids=cents, nprobe=2)
+    return mine_hard_negatives(emb, queries, gold, k=5, topk_fn=fn).orderBy(
+        "query_id", "rank"
+    )
+
+
+ANN_HARD_NEG_IVF_SQL = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     cents AS (
+  SELECT vec_id - 100 AS cid, v AS cv FROM emb
+  WHERE vec_id BETWEEN 100 AND 103),
+     cd AS (
+  SELECT e.vec_id, e.v, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           list_sum(list_transform(list_zip(e.v, c.cv),
+                    x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC,
+           c.cid ASC) AS rn
+  FROM emb e CROSS JOIN cents c),
+     asg AS (SELECT vec_id, v, cid FROM cd WHERE rn = 1),
+     q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5),
+     qd AS (
+  SELECT q.query_id, q.qv, c.cid,
+         row_number() OVER (PARTITION BY q.query_id ORDER BY
+           list_sum(list_transform(list_zip(q.qv, c.cv),
+                    x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC,
+           c.cid ASC) AS rn
+  FROM q CROSS JOIN cents c),
+     probes AS (SELECT query_id, qv, cid FROM qd WHERE rn <= 2),
+     cand AS (
+  SELECT p.query_id, a.vec_id,
+         round(list_dot_product(p.qv, a.v)
+           / (sqrt(list_dot_product(p.qv, p.qv))
+              * sqrt(list_dot_product(a.v, a.v))), 6) AS cosine,
+         row_number() OVER (PARTITION BY p.query_id ORDER BY
+           list_dot_product(p.qv, a.v)
+             / (sqrt(list_dot_product(p.qv, p.qv))
+                * sqrt(list_dot_product(a.v, a.v))) DESC,
+           a.vec_id ASC) AS rank0
+  FROM probes p JOIN asg a ON p.cid = a.cid),
+     gold AS (
+  SELECT query_id, query_id AS vec_id FROM q
+  UNION ALL
+  SELECT query_id, query_id + 7 AS vec_id FROM q),
+     neg AS (
+  SELECT c.query_id, c.vec_id, c.cosine, c.rank0
+  FROM cand c
+  WHERE c.rank0 <= 7
+    AND NOT EXISTS (SELECT 1 FROM gold g
+                    WHERE g.query_id = c.query_id
+                      AND g.vec_id = c.vec_id)),
+     final AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY rank0 ASC) AS rank
+  FROM neg)
+SELECT query_id, vec_id, cosine, rank
+FROM final WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+QUERIES["ann_hard_negatives_ivf"] = (
+    ann_hard_negatives_ivf,
+    ANN_HARD_NEG_IVF_SQL,
+)
+
+_rotate_window(
+    # r11: the indexed hard-negative path takes the family's driver
+    # slot (it composes the over-fetch algebra WITH the cell probe);
+    # the brute-backend row stays green in the judge-run tail
+    ["ann_hard_negatives_ivf"],
+    ["ann_hard_negatives"],
+)

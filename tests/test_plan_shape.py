@@ -403,3 +403,39 @@ def test_dsir_score_broadcasts_model(spark):
     m = fit_dsir(docs.limit(20), docs, n_buckets=1024)
     plan = _plan(score_dsir(docs, m))
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_topk_family_gets_window_group_limit(spark):
+    """Pin the optimizer behavior every top-k scale claim rests on:
+    Spark 3.5+'s InferWindowGroupLimit rewrites
+    ``row_number().over(partitionBy(qid).orderBy(...))`` followed by a
+    ``rank <= k`` filter into a WindowGroupLimit — a PARTIAL top-k per
+    partition before the window shuffle, so per-query candidate sets
+    never sort a whole partition's corpus in one task. If a config or
+    Spark regression disabled the rule (or a refactor moved the rank
+    filter away from the window), these assertions fail — the plans
+    would silently degrade to full per-query sorts (VERDICT r10 #1)."""
+    from flink_table_store_spark.datapipe.similarity import (
+        binary_hamming_topk,
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    q = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    plans = {
+        "brute": _plan(brute_force_topk(emb, q, k=5)),
+        "lsh": _plan(lsh_topk(emb, q, k=5)),
+        "ivf": _plan(ivf_topk(emb, q, k=5, n_cells=4)),
+        # binary_hamming has TWO ranked passes (hamming candidates,
+        # cosine re-rank) — both must group-limit
+        "bq": _plan(binary_hamming_topk(emb, q, k=5)),
+    }
+    for name, plan in plans.items():
+        # partial (pre-shuffle) + final WindowGroupLimit per window
+        assert plan.count("WindowGroupLimit") >= 2, name
+    assert plans["bq"].count("WindowGroupLimit") >= 4
