@@ -490,3 +490,83 @@ def score_novelty(
             F.round(F.col("__nov"), 4).alias("novelty"),
         )
     )
+
+
+def corpus_divergence(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 8192,
+    seed: int = 13,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Distribution drift between two corpora over the shared hashed
+    n-gram feature space: KL(a‖b), KL(b‖a), and the symmetric,
+    bounded Jensen–Shannon divergence (base-2 JS ∈ [0, 1]) between the
+    two alpha-smoothed bucket multinomials — "did the new crawl shift?"
+    as one number. The same smoothing as ``fit_dsir`` keeps every log
+    finite: p_i = (c_i + α) / (T + α·B) over all B buckets, including
+    never-seen ones.
+
+    Scale design: each corpus collapses to ≤ ``n_buckets`` count rows
+    via the shared map-combined ``_bucket_counts``; the divergence is a
+    full-outer join of those two bounded tables, a one-row total, and a
+    closed-form remainder for the (B − observed) buckets both corpora
+    missed — those all share the same floor probabilities, so they are
+    ONE arithmetic term, never materialized. Nothing downstream of the
+    two counting passes touches corpus-sized data.
+
+    Returns one row: (n_grams_a, n_grams_b, n_active, kl_ab, kl_ba,
+    js) with divergences in bits, rounded to 6."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    ca = _bucket_counts(a, text_col, n_buckets, seed, "__ca")
+    cb = _bucket_counts(b, text_col, n_buckets, seed, "__cb")
+    j = ca.join(cb, "bucket", "full_outer").select(
+        F.coalesce(F.col("__ca"), F.lit(0)).alias("__ca"),
+        F.coalesce(F.col("__cb"), F.lit(0)).alias("__cb"),
+    )
+    al, bk = float(alpha), float(n_buckets)
+    # one-row totals over the <= 2*n_buckets observed rows
+    tot = j.agg(
+        F.sum("__ca").alias("__ta"),
+        F.sum("__cb").alias("__tb"),
+        F.count(F.lit(1)).alias("__n_obs"),
+    )
+    pa = (F.col("__ca") + F.lit(al)) / (F.col("__ta") + F.lit(al * bk))
+    pb = (F.col("__cb") + F.lit(al)) / (F.col("__tb") + F.lit(al * bk))
+    m = (pa + pb) / F.lit(2.0)
+    terms = j.crossJoin(F.broadcast(tot)).agg(
+        F.sum(pa * F.log2(pa / pb)).alias("__kab"),
+        F.sum(pb * F.log2(pb / pa)).alias("__kba"),
+        F.sum(pa * F.log2(pa / m) + pb * F.log2(pb / m)).alias("__j2"),
+    )
+    # closed-form remainder: every unobserved bucket has the same floor
+    # probabilities pa0/pb0 — (B - n_obs) identical addends
+    pa0 = F.lit(al) / (F.col("__ta") + F.lit(al * bk))
+    pb0 = F.lit(al) / (F.col("__tb") + F.lit(al * bk))
+    m0 = (pa0 + pb0) / F.lit(2.0)
+    n_miss = (F.lit(n_buckets) - F.col("__n_obs")).cast("double")
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("__ta").cast("bigint").alias("n_grams_a"),
+            F.col("__tb").cast("bigint").alias("n_grams_b"),
+            F.col("__n_obs").cast("bigint").alias("n_active"),
+            F.round(
+                F.col("__kab") + n_miss * pa0 * F.log2(pa0 / pb0), 6
+            ).alias("kl_ab"),
+            F.round(
+                F.col("__kba") + n_miss * pb0 * F.log2(pb0 / pa0), 6
+            ).alias("kl_ba"),
+            F.round(
+                (
+                    F.col("__j2")
+                    + n_miss
+                    * (pa0 * F.log2(pa0 / m0) + pb0 * F.log2(pb0 / m0))
+                )
+                / F.lit(2.0),
+                6,
+            ).alias("js"),
+        )
+    )

@@ -1,0 +1,119 @@
+"""Ranked-retrieval evaluation: recall@k, precision@k, MRR, nDCG@k.
+
+The eval half of the similarity/ANN pillar (datapipe/similarity.py,
+globalindex.py): given a ranked result table (what ``*_topk`` /
+``vector_search`` emit) and a gold relevance table, score each query
+with the standard IR metrics (Manning et al., *Introduction to
+Information Retrieval*, ch. 8 — all public). Complements
+``quality_model.pr_curve`` (threshold sweep for classifiers) with the
+ranked-list metrics retriever training loops actually monitor when
+picking index parameters (nprobe, bits, rerank) or mining depth.
+
+Scale design: relevance marking is ONE equi-join of the result table
+against the gold pairs on (query, id) — gold is label data, small by
+construction, so it broadcasts; the per-query metrics are one
+map-combined groupBy on the query key; the corpus-level summary
+collapses the per-query frame to a single row. Nothing is ever
+per-(query x corpus); the expensive part already happened in the
+retrieval run being evaluated. IDCG is a closed-form fold over
+``sequence(1, min(k, n_gold))`` — JVM-side, no join against an ideal
+ranking.
+
+Reference anchor: the reference engine ships the vector-search surface
+(paimon-core table/VectorSearchTable.java, paimon-faiss) but no eval
+operator; this extends the repo's training-data pillar the same way
+pr_curve / quality_model do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    gold: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Per-query IR metrics for a ranked result table cut at ``k``.
+
+    ``results``: (query_id_col, id_col, rank_col) — ranks dense from 1
+    per query, as every top-k operator in this repo emits. ``gold``:
+    (query_id_col, id_col) relevance pairs (duplicates are deduped).
+    Every query present in GOLD gets a row — a query the retriever
+    returned nothing for scores 0 across the board, which is exactly
+    the signal an index regression produces (dropping such queries
+    would silently inflate every mean).
+
+    Returns (query_id, n_gold, n_rel, recall, precision, rr, ndcg):
+      recall    = |relevant in top-k| / |gold|
+      precision = |relevant in top-k| / k      (standard P@k: misses
+                  below k count against it even if fewer rows returned)
+      rr        = 1 / rank of the first relevant hit, else 0 (MRR term)
+      ndcg      = DCG@k / IDCG@k with binary gains 1/log2(rank+1)
+    All rounded to 6 for cross-engine comparison."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    g = gold.select(
+        F.col(query_id_col).alias("__qid"), F.col(id_col).alias("__gid")
+    ).distinct()
+    r = results.select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(id_col).alias("__rid"),
+        F.col(rank_col).alias("__rank"),
+    ).where(F.col(rank_col) <= k)
+    # relevance mark: gold is label data — broadcast equi-join
+    rel = r.join(
+        F.broadcast(g),
+        (r["__qid"] == g["__qid"]) & (r["__rid"] == g["__gid"]),
+        "left_semi",
+    )
+    per_q = rel.groupBy("__qid").agg(
+        F.count(F.lit(1)).alias("__n_rel"),
+        F.min("__rank").alias("__first"),
+        F.sum(
+            F.lit(1.0) / F.log2(F.col("__rank").cast("double") + F.lit(1.0))
+        ).alias("__dcg"),
+    )
+    n_gold = g.groupBy("__qid").agg(F.count(F.lit(1)).alias("__n_gold"))
+    # IDCG@k: best possible DCG places all min(k, n_gold) golds first —
+    # a closed-form fold, no ideal-ranking join
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.lit(k), F.col("__n_gold"))),
+        F.lit(0.0),
+        lambda acc, i: acc + F.lit(1.0) / F.log2(i.cast("double") + F.lit(1.0)),
+    )
+    joined = n_gold.join(per_q, "__qid", "left")
+    n_rel = F.coalesce(F.col("__n_rel"), F.lit(0))
+    dcg = F.coalesce(F.col("__dcg"), F.lit(0.0))
+    return joined.select(
+        F.col("__qid").alias(query_id_col),
+        F.col("__n_gold").alias("n_gold"),
+        n_rel.cast("bigint").alias("n_rel"),
+        F.round(n_rel / F.col("__n_gold"), 6).alias("recall"),
+        F.round(n_rel / F.lit(float(k)), 6).alias("precision"),
+        F.round(
+            F.when(
+                F.col("__first").isNotNull(), F.lit(1.0) / F.col("__first")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("rr"),
+        F.round(dcg / idcg, 6).alias("ndcg"),
+    )
+
+
+def retrieval_summary(per_query: DataFrame) -> DataFrame:
+    """Corpus-level means of ``retrieval_metrics`` output — ONE row:
+    (n_queries, recall, precision, mrr, ndcg). Means are over every
+    gold query (zero-result queries already score 0 upstream)."""
+    return per_query.agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg("recall"), 6).alias("recall"),
+        F.round(F.avg("precision"), 6).alias("precision"),
+        F.round(F.avg("rr"), 6).alias("mrr"),
+        F.round(F.avg("ndcg"), 6).alias("ndcg"),
+    )

@@ -447,3 +447,68 @@ def c4_clean(
     return out.where(
         (F.col("lines_kept") >= F.lit(int(min_lines))) & ~F.col("__marker")
     ).drop("__marker")
+
+
+def tfidf_keywords(
+    docs: DataFrame,
+    top_n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-``top_n`` keywords per document by tf-idf (the classic
+    Sparck Jones weighting; smooth idf = ln((1+N)/(1+df)) + 1, the
+    scikit-learn convention — public): the cheap per-document topic
+    signal corpus curation uses for tagging, faceting, and eyeballing
+    cluster/dedup output. Terms are lowercased whitespace tokens (the
+    pillar's shared tokenization); ``min_df`` drops hapax noise before
+    ranking.
+
+    Scale design: one explode → (doc, term) counts groupBy, one term→df
+    groupBy (vocabulary-sized, shuffles only distinct terms), one
+    equi-join of the per-doc counts against the df table on the term
+    key, and a per-doc window cut to ``top_n`` (WindowGroupLimit makes
+    it a partial top-k per partition). Nothing is ever per-(doc × vocab);
+    the biggest intermediate is the token list itself.
+
+    Returns (id_col, term, tf, df, tfidf rounded 6, rank) — ties break
+    lexicographically for cross-engine determinism."""
+    if top_n <= 0:
+        raise ValueError(f"top_n must be positive, got {top_n}")
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    ).where(F.col("term") != "")
+    tf = toks.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.col(id_col)).distinct().count()
+    scored = (
+        tf.join(df_t.where(F.col("df") >= min_df), "term")
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (
+                F.log((F.lit(1.0) + n_docs) / (F.lit(1.0) + F.col("df")))
+                + F.lit(1.0)
+            ),
+        )
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select(
+            F.col("__id").alias(id_col),
+            "term",
+            "tf",
+            "df",
+            F.round("tfidf", 6).alias("tfidf"),
+            "rank",
+        )
+    )

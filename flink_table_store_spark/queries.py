@@ -6024,3 +6024,221 @@ _rotate_window(
     ["ann_hard_negatives_ivf"],
     ["ann_hard_negatives"],
 )
+
+
+def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked-retrieval eval (datapipe/ireval.py): per-query recall@10,
+    P@10, reciprocal rank, nDCG@10 of a brute-force cosine run against
+    a mixed gold set — even queries have 1 gold (self: perfect hit),
+    odd queries 3 golds (self + two likely-unretrieved neighbors:
+    partial recall), and gold query 9000 has NO results (all-zero row —
+    the index-regression signal the metrics must not silently drop).
+    The oracle replays the retrieval AND the metric algebra, including
+    the closed-form IDCG fold."""
+    from flink_table_store_spark.datapipe.ireval import retrieval_metrics
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    qe = emb.where(F.col("vec_id") < 8).select("vec_id")
+    odd = qe.where(F.col("vec_id") % 2 == 1)
+    gold = (
+        qe.selectExpr("vec_id AS query_id", "vec_id")
+        .unionByName(odd.selectExpr("vec_id AS query_id", "vec_id + 7 AS vec_id"))
+        .unionByName(odd.selectExpr("vec_id AS query_id", "vec_id + 11 AS vec_id"))
+        .unionByName(
+            spark.createDataFrame(
+                [(9000, 0)], "query_id bigint, vec_id bigint"
+            )
+        )
+    )
+    results = SIM.brute_force_topk(emb, queries, k=10)
+    return retrieval_metrics(results, gold, k=10).orderBy("query_id")
+
+
+RETRIEVAL_EVAL_SQL = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 8),
+     scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(q.qv, e.v)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(e.v, e.v))) AS cos
+  FROM q CROSS JOIN emb e),
+     res AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored
+  QUALIFY rank <= 10),
+     gold AS (
+  SELECT DISTINCT query_id, vec_id FROM (
+    SELECT query_id, query_id AS vec_id FROM q
+    UNION ALL
+    SELECT query_id, query_id + 7 FROM q WHERE query_id % 2 = 1
+    UNION ALL
+    SELECT query_id, query_id + 11 FROM q WHERE query_id % 2 = 1
+    UNION ALL
+    SELECT 9000 AS query_id, 0 AS vec_id)),
+     rel AS (
+  SELECT r.query_id, r.rank
+  FROM res r JOIN gold g
+    ON g.query_id = r.query_id AND g.vec_id = r.vec_id),
+     perq AS (
+  SELECT query_id, count(*) AS n_rel, min(rank) AS first,
+         sum(1.0 / log2(rank + 1.0)) AS dcg
+  FROM rel GROUP BY query_id),
+     ng AS (SELECT query_id, count(*) AS n_gold FROM gold GROUP BY query_id)
+SELECT ng.query_id, ng.n_gold,
+       coalesce(p.n_rel, 0)::BIGINT AS n_rel,
+       round(coalesce(p.n_rel, 0) / ng.n_gold, 6) AS recall,
+       round(coalesce(p.n_rel, 0) / 10.0, 6) AS precision,
+       round(CASE WHEN p.first IS NOT NULL THEN 1.0 / p.first
+                  ELSE 0.0 END, 6) AS rr,
+       round(coalesce(p.dcg, 0.0)
+             / list_sum(list_transform(
+                 generate_series(1, least(10, ng.n_gold)),
+                 i -> 1.0 / log2(i + 1.0))), 6) AS ndcg
+FROM ng LEFT JOIN perq p USING (query_id)
+ORDER BY ng.query_id
+"""
+
+# new family: ranked-retrieval eval (recall@k / MRR / nDCG — the
+# metrics retriever loops tune nprobe/bits/rerank against)
+QUERIES["retrieval_eval"] = (retrieval_eval, RETRIEVAL_EVAL_SQL)
+
+
+def corpus_drift_js(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift (datapipe/dsir.corpus_divergence): KL(a||b),
+    KL(b||a), and base-2 Jensen-Shannon divergence between the hashed
+    n-gram multinomials of the even- vs odd-doc_id corpus halves — the
+    "did the new crawl shift?" one-number monitor over the SAME feature
+    space DSIR fits. The oracle replays grams -> md5 buckets -> counts
+    -> alpha-smoothed distributions -> divergences, including the
+    closed-form remainder for never-seen buckets."""
+    from flink_table_store_spark.datapipe.dsir import corpus_divergence
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    return corpus_divergence(a, b)
+
+
+CORPUS_DRIFT_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, t[s.i] AS g
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, len(t))) AS i
+  ) s
+  UNION ALL
+  SELECT doc_id, t[s.i] || ' ' || t[s.i + 1]
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(t) - 1, 0))) AS i
+  ) s
+), hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(g || '-13'), 1, 15))::BIGINT % 8192 AS bucket
+  FROM grams WHERE g <> ''
+), ca AS (
+  SELECT bucket, count(*) AS c FROM hashed WHERE doc_id % 2 = 0
+  GROUP BY bucket
+), cb AS (
+  SELECT bucket, count(*) AS c FROM hashed WHERE doc_id % 2 = 1
+  GROUP BY bucket
+), j AS (
+  SELECT coalesce(ca.c, 0) AS cca, coalesce(cb.c, 0) AS ccb
+  FROM ca FULL OUTER JOIN cb USING (bucket)
+), tot AS (
+  SELECT sum(cca) AS ta, sum(ccb) AS tb, count(*) AS n_obs FROM j
+), p AS (
+  SELECT (cca + 1.0) / (ta + 8192.0) AS pa,
+         (ccb + 1.0) / (tb + 8192.0) AS pb
+  FROM j, tot
+), terms AS (
+  SELECT sum(pa * log2(pa / pb)) AS kab,
+         sum(pb * log2(pb / pa)) AS kba,
+         sum(pa * log2(pa / ((pa + pb) / 2.0))
+             + pb * log2(pb / ((pa + pb) / 2.0))) AS j2
+  FROM p
+), floor0 AS (
+  SELECT 1.0 / (ta + 8192.0) AS pa0, 1.0 / (tb + 8192.0) AS pb0,
+         (8192 - n_obs)::DOUBLE AS n_miss, ta, tb, n_obs
+  FROM tot
+)
+SELECT ta::BIGINT AS n_grams_a, tb::BIGINT AS n_grams_b,
+       n_obs::BIGINT AS n_active,
+       round(kab + n_miss * pa0 * log2(pa0 / pb0), 6) AS kl_ab,
+       round(kba + n_miss * pb0 * log2(pb0 / pa0), 6) AS kl_ba,
+       round((j2 + n_miss * (pa0 * log2(pa0 / ((pa0 + pb0) / 2.0))
+                             + pb0 * log2(pb0 / ((pa0 + pb0) / 2.0))))
+             / 2.0, 6) AS js
+FROM terms, floor0
+"""
+
+# new family: corpus distribution drift (JS/KL over the DSIR feature
+# space — the distributional complement of corpus_diff's fingerprints)
+QUERIES["corpus_drift_js"] = (corpus_drift_js, CORPUS_DRIFT_SQL)
+
+
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document tf-idf keywords (datapipe/text.tfidf_keywords):
+    top-3 terms per doc by smooth-idf tf-idf — explode, two keyed
+    groupBys (doc-term counts, vocabulary df), one equi-join on the
+    term key, per-doc WindowGroupLimit cut. The oracle replays
+    tokenization, counting, the sklearn-convention idf, and the
+    (tfidf desc, term asc) tie-break."""
+    from flink_table_store_spark.datapipe.text import tfidf_keywords
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_keywords(docs, top_n=3).orderBy("doc_id", "rank")
+
+
+TEXT_TFIDF_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+), terms AS (
+  SELECT doc_id, t[s.i] AS term
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, len(t))) AS i
+  ) s
+  WHERE t[s.i] <> ''
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term
+), dft AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n FROM documents
+), ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dft.df,
+         tf.tf * (ln((1.0 + nd.n) / (1.0 + dft.df)) + 1.0) AS tfidf,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf * (ln((1.0 + nd.n) / (1.0 + dft.df)) + 1.0) DESC,
+                    tf.term ASC) AS rank
+  FROM tf JOIN dft USING (term), nd
+)
+SELECT doc_id, term, tf, df, round(tfidf, 6) AS tfidf, rank
+FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+# judge-run tail: tf-idf keyword extraction (text-analysis family)
+QUERIES["text_tfidf_keywords"] = (text_tfidf_keywords, TEXT_TFIDF_SQL)
+
+_rotate_window(
+    # r11: two NEW families take driver slots — ranked-retrieval eval
+    # and corpus drift. Demoted (both long-green, families keep window
+    # reps): nested_rename_read (schema evolution keeps
+    # schema_evolution_read), text_repeated_ngrams (text cleaning keeps
+    # text_c4_clean; the Lee-et-al dedup family keeps dedup_minhash +
+    # dedup_incremental in-window)
+    ["retrieval_eval", "corpus_drift_js"],
+    ["nested_rename_read", "text_repeated_ngrams"],
+)

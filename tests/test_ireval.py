@@ -1,0 +1,142 @@
+"""Ranked-retrieval eval (datapipe/ireval.py), corpus drift
+(dsir.corpus_divergence), and tf-idf keywords (text.tfidf_keywords) —
+the round-11 pillar additions, hand-checked on tiny inputs."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from flink_table_store_spark.datapipe.ireval import (
+    retrieval_metrics,
+    retrieval_summary,
+)
+
+
+def _fixture(spark):
+    # q1: golds {a, b, z}; retrieved a@1, x@2, b@3 -> n_rel 2, first 1
+    # q2: gold {m}; retrieved y@1, n@2 -> n_rel 0
+    # q3: gold {p}; NO results at all -> all-zero row
+    results = spark.createDataFrame(
+        [(1, "a", 1), (1, "x", 2), (1, "b", 3), (2, "y", 1), (2, "n", 2)],
+        "query_id bigint, vec_id string, rank int",
+    )
+    gold = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (1, "z"), (2, "m"), (3, "p"), (3, "p")],
+        "query_id bigint, vec_id string",
+    )
+    return results, gold
+
+
+def test_retrieval_metrics_hand_checked(spark):
+    results, gold = _fixture(spark)
+    rows = {
+        r["query_id"]: r
+        for r in retrieval_metrics(results, gold, k=5).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+
+    r1 = rows[1]
+    assert (r1["n_gold"], r1["n_rel"]) == (3, 2)
+    assert r1["recall"] == round(2 / 3, 6)
+    assert r1["precision"] == round(2 / 5, 6)
+    assert r1["rr"] == 1.0
+    dcg = 1 / math.log2(2) + 1 / math.log2(4)
+    idcg = sum(1 / math.log2(i + 1) for i in (1, 2, 3))
+    assert r1["ndcg"] == round(dcg / idcg, 6)
+
+    r2 = rows[2]
+    assert (r2["n_rel"], r2["recall"], r2["rr"], r2["ndcg"]) == (0, 0.0, 0.0, 0.0)
+
+    # gold dedup: query 3's duplicated pair counts once; zero results
+    r3 = rows[3]
+    assert (r3["n_gold"], r3["n_rel"], r3["recall"], r3["precision"],
+            r3["rr"], r3["ndcg"]) == (1, 0, 0.0, 0.0, 0.0, 0.0)
+
+
+def test_retrieval_metrics_k_cut_and_validation(spark):
+    results, gold = _fixture(spark)
+    # k=2 drops q1's b@3: n_rel 1, precision 1/2, idcg over min(2,3)=2
+    r1 = {
+        r["query_id"]: r for r in retrieval_metrics(results, gold, k=2).collect()
+    }[1]
+    assert (r1["n_rel"], r1["precision"]) == (1, 0.5)
+    idcg2 = sum(1 / math.log2(i + 1) for i in (1, 2))
+    assert r1["ndcg"] == round((1 / math.log2(2)) / idcg2, 6)
+
+    with pytest.raises(ValueError, match="k must be positive"):
+        retrieval_metrics(results, gold, k=0)
+
+
+def test_retrieval_summary_means(spark):
+    results, gold = _fixture(spark)
+    per_q = retrieval_metrics(results, gold, k=5)
+    s = retrieval_summary(per_q).collect()[0]
+    rows = {r["query_id"]: r for r in per_q.collect()}
+    assert s["n_queries"] == 3
+    assert s["mrr"] == round(sum(rows[q]["rr"] for q in rows) / 3, 6)
+    assert s["recall"] == round(sum(rows[q]["recall"] for q in rows) / 3, 6)
+
+
+def test_corpus_divergence_properties(spark):
+    from flink_table_store_spark.datapipe.dsir import corpus_divergence
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma " * (i % 3 + 1)) for i in range(20)]
+        + [(100 + i, "delta epsilon zeta " * 2) for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    a = docs.where(F.col("doc_id") < 100)
+    b = docs.where(F.col("doc_id") >= 100)
+    row = corpus_divergence(a, b, n_buckets=512).collect()[0]
+    # disjoint vocabularies -> clearly positive divergence
+    assert row["kl_ab"] > 0 and row["kl_ba"] > 0
+    # base-2 JS is bounded in [0, 1]
+    assert 0 < row["js"] <= 1
+    # identical corpora -> exactly 0 everywhere
+    same = corpus_divergence(a, a, n_buckets=512).collect()[0]
+    assert (same["kl_ab"], same["kl_ba"], same["js"]) == (0.0, 0.0, 0.0)
+    # JS is symmetric (same addends, possibly reordered -> round 6)
+    rev = corpus_divergence(b, a, n_buckets=512).collect()[0]
+    assert abs(rev["js"] - row["js"]) <= 1e-6
+    assert rev["kl_ab"] == row["kl_ba"]
+
+    with pytest.raises(ValueError, match="alpha"):
+        corpus_divergence(a, b, alpha=0.0)
+
+
+def test_tfidf_keywords_hand_checked(spark):
+    from flink_table_store_spark.datapipe.text import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "apple banana cherry durian"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = tfidf_keywords(docs, top_n=2).collect()
+    rows = {(r["doc_id"], r["rank"]): r for r in out}
+    # doc 1: apple tf=2 df=2, banana tf=1 df=3
+    n = 3
+    idf = lambda df: math.log((1.0 + n) / (1.0 + df)) + 1.0
+    assert rows[(1, 1)]["term"] == "apple"
+    assert rows[(1, 1)]["tfidf"] == round(2 * idf(2), 6)
+    assert rows[(1, 2)]["term"] == "banana"
+    # doc 2: cherry (df=2) outranks banana (df=3) at equal tf
+    assert rows[(2, 1)]["term"] == "cherry"
+    # doc 3: all tf=1 -> durian (df=1) wins, then apple/cherry (df=2)
+    # tie broken lexicographically
+    assert rows[(3, 1)]["term"] == "durian"
+    assert rows[(3, 2)]["term"] == "apple"
+
+    # min_df drops durian entirely
+    out2 = tfidf_keywords(docs, top_n=2, min_df=2).collect()
+    assert "durian" not in {r["term"] for r in out2}
+
+    with pytest.raises(ValueError, match="top_n"):
+        tfidf_keywords(docs, top_n=0)
