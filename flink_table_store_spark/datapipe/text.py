@@ -512,3 +512,82 @@ def tfidf_keywords(
             "rank",
         )
     )
+
+
+def keyness_terms(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str = "text",
+    top_n: int = 20,
+    alpha: float = 1.0,
+    min_count: int = 1,
+) -> DataFrame:
+    """WHICH terms drifted: the ``top_n`` terms by absolute smoothed
+    log-odds ratio between two corpora (corpus-linguistics "keyness",
+    Monroe et al. 2008 *Fightin' Words* — public) — the interpretable
+    complement of ``dsir.corpus_divergence``'s one-number JS drift.
+    Positive log_odds = overrepresented in ``a``; negative = in ``b``.
+
+    score(t) = ln((c_a + α)/(T_a + αV)) − ln((c_b + α)/(T_b + αV))
+    with V = |vocabulary of a ∪ b|, so never-seen-on-one-side terms
+    stay finite and the measure is symmetric under corpus swap (sign
+    flip). ``min_count`` drops terms rarer than that on BOTH sides
+    (hapax noise dominates raw log-odds).
+
+    Scale design: one union-and-tag pass, ONE term-keyed groupBy
+    (vocabulary-sized output), a 1-row totals aggregate broadcast back,
+    and a global top-n by |score| via one ordered limit — the corpus is
+    touched exactly once. All inputs to the logs are exact integers, so
+    scores are bit-identical cross-engine.
+
+    Returns (term, count_a, count_b, log_odds rounded 6) ordered by
+    |log_odds| desc, term asc."""
+    if top_n <= 0:
+        raise ValueError(f"top_n must be positive, got {top_n}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+
+    def _toks(df: DataFrame, tag: int) -> DataFrame:
+        return df.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            ).alias("term"),
+            F.lit(tag).alias("__t"),
+        ).where(F.col("term") != "")
+
+    counts = (
+        _toks(a, 0)
+        .unionByName(_toks(b, 1))
+        .groupBy("term")
+        .agg(
+            F.sum(F.when(F.col("__t") == 0, 1).otherwise(0)).alias("count_a"),
+            F.sum(F.when(F.col("__t") == 1, 1).otherwise(0)).alias("count_b"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("count_a").alias("__ta"),
+        F.sum("count_b").alias("__tb"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    al = float(alpha)
+    lo = F.log(
+        (F.col("count_a") + F.lit(al))
+        / (F.col("__ta") + F.lit(al) * F.col("__v"))
+    ) - F.log(
+        (F.col("count_b") + F.lit(al))
+        / (F.col("__tb") + F.lit(al) * F.col("__v"))
+    )
+    return (
+        counts.where(
+            (F.col("count_a") >= min_count) | (F.col("count_b") >= min_count)
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            "count_a",
+            "count_b",
+            F.round(lo, 6).alias("log_odds"),
+        )
+        .orderBy(F.abs(F.col("log_odds")).desc(), F.col("term").asc())
+        .limit(top_n)
+    )

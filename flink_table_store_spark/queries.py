@@ -6242,3 +6242,172 @@ _rotate_window(
     ["retrieval_eval", "corpus_drift_js"],
     ["nested_rename_read", "text_repeated_ngrams"],
 )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count distribution over customers
+    INCLUDING zero-order ones (left outer join + double aggregation) —
+    the outer-join histogram pattern the registry didn't cover.
+    Scale: both aggregations key on their group column; the join keys
+    on custkey (one shuffle each side, AQE-skew-safe)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+# judge-run tail: TPC-H Q13 (outer-join count distribution)
+QUERIES["q13_customer_distribution"] = (q13_customer_distribution, Q13_SQL)
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-0.2x-average-quantity line
+    items of one brand's parts — the correlated-aggregate-subquery
+    pattern decorrelated Spark-first: the brand's partkeys broadcast as
+    a semi-filter FIRST (a part's avg uses only its own rows, so
+    filtering before the avg is exact), then one per-part aggregate and
+    one partkey equi-join replace the per-row subquery. l_quantity is
+    integer-valued, so the 0.2*avg threshold is bit-deterministic
+    cross-engine (exact sum / exact count)."""
+    li = _t(spark, sf_dir, "lineitem")
+    bp = _t(spark, sf_dir, "part").where(
+        F.col("p_brand") == "Brand#13"
+    ).select("p_partkey")
+    lib = li.join(
+        F.broadcast(bp), li.l_partkey == F.col("p_partkey"), "left_semi"
+    )
+    thr = lib.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("__thr")
+    )
+    return (
+        lib.join(thr, "l_partkey")
+        .where(F.col("l_quantity") < F.col("__thr"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / F.lit(7.0), 2).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+Q17_SQL = """
+WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+     lib AS (
+  SELECT l.* FROM lineitem l
+  WHERE EXISTS (SELECT 1 FROM bp WHERE bp.p_partkey = l.l_partkey)),
+     thr AS (
+  SELECT l_partkey, 0.2 * avg(l_quantity) AS t FROM lib GROUP BY l_partkey)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lib JOIN thr USING (l_partkey)
+WHERE lib.l_quantity < thr.t
+"""
+
+# judge-run tail: TPC-H Q17 (decorrelated per-group-threshold join)
+QUERIES["q17_small_quantity_revenue"] = (
+    q17_small_quantity_revenue,
+    Q17_SQL,
+)
+
+
+def corpus_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyness / drifted terms (datapipe/text.keyness_terms): top-25
+    terms by |smoothed log-odds| between the even- and odd-doc_id
+    corpus halves — WHICH terms moved, the interpretable complement of
+    corpus_drift_js's one-number JS. All log inputs are exact integers
+    so scores are bit-identical cross-engine; ordering uses the
+    ROUNDED score on both sides so the limit cuts the same set."""
+    from flink_table_store_spark.datapipe.text import keyness_terms
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    return keyness_terms(a, b, top_n=25, min_count=3)
+
+
+CORPUS_KEYNESS_SQL = r"""
+WITH t0 AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+  FROM documents
+), terms AS (
+  SELECT doc_id % 2 AS side, t[s.i] AS term
+  FROM t0, LATERAL (
+    SELECT unnest(generate_series(1, len(t))) AS i
+  ) s
+  WHERE t[s.i] <> ''
+), counts AS (
+  SELECT term,
+         sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS count_a,
+         sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS count_b
+  FROM terms GROUP BY term
+), tot AS (
+  SELECT sum(count_a) AS ta, sum(count_b) AS tb, count(*) AS v FROM counts
+)
+SELECT term, count_a::BIGINT AS count_a, count_b::BIGINT AS count_b,
+       round(ln((count_a + 1.0) / (ta + 1.0 * v))
+           - ln((count_b + 1.0) / (tb + 1.0 * v)), 6) AS log_odds
+FROM counts, tot
+WHERE count_a >= 3 OR count_b >= 3
+ORDER BY abs(round(ln((count_a + 1.0) / (ta + 1.0 * v))
+               - ln((count_b + 1.0) / (tb + 1.0 * v)), 6)) DESC,
+         term ASC
+LIMIT 25
+"""
+
+# judge-run tail: keyness (which terms drifted — Monroe et al. 2008)
+QUERIES["corpus_keyness"] = (corpus_keyness, CORPUS_KEYNESS_SQL)
+
+
+def corpus_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus length profile with EXACT distributed
+    percentiles (F.percentile — Catalyst's exact sort-based quantile,
+    not percentile_approx): the pre-filter profiling pass that picks
+    Gopher/C4 length thresholds. Interpolation convention matches
+    quantile_cont exactly (verified p*(n-1) linear on both engines);
+    n_chars is integral so quantiles are bit-deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.percentile("n_chars", 0.1).alias("p10"),
+            F.percentile("n_chars", 0.5).alias("p50"),
+            F.percentile("n_chars", 0.9).alias("p90"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+CORPUS_LENGTH_SQL = """
+SELECT lang, count(*) AS n_docs,
+       quantile_cont(n_chars, 0.1) AS p10,
+       quantile_cont(n_chars, 0.5) AS p50,
+       quantile_cont(n_chars, 0.9) AS p90,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+# judge-run tail: exact distributed quantile profile (corpus stats)
+QUERIES["corpus_length_profile"] = (corpus_length_profile, CORPUS_LENGTH_SQL)

@@ -140,3 +140,46 @@ def test_tfidf_keywords_hand_checked(spark):
 
     with pytest.raises(ValueError, match="top_n"):
         tfidf_keywords(docs, top_n=0)
+
+
+def test_keyness_terms_hand_checked(spark):
+    import math
+
+    from flink_table_store_spark.datapipe.text import keyness_terms
+
+    a = spark.createDataFrame(
+        [(1, "x x x y"), (2, "x z")], "doc_id bigint, text string"
+    )
+    b = spark.createDataFrame(
+        [(3, "y y y z"), (4, "z w")], "doc_id bigint, text string"
+    )
+    out = keyness_terms(a, b, top_n=10).collect()
+    rows = {r["term"]: r for r in out}
+    # counts: a = {x:4, y:1, z:1}, b = {y:3, z:2, w:1}; V=4, Ta=6, Tb=6
+    lo = lambda ca, cb: round(
+        math.log((ca + 1) / (6 + 4)) - math.log((cb + 1) / (6 + 4)), 6
+    )
+    assert rows["x"]["log_odds"] == lo(4, 0)
+    assert rows["w"]["log_odds"] == lo(0, 1)
+    assert (rows["x"]["count_a"], rows["x"]["count_b"]) == (4, 0)
+    # x has the largest |log_odds| -> first
+    assert out[0]["term"] == "x"
+    # swap symmetry: sign flips, magnitude identical
+    swapped = {
+        r["term"]: r for r in keyness_terms(b, a, top_n=10).collect()
+    }
+    for t in rows:
+        assert swapped[t]["log_odds"] == -rows[t]["log_odds"]
+
+    # min_count drops terms rare on BOTH sides
+    filtered = {
+        r["term"] for r in keyness_terms(a, b, top_n=10, min_count=3).collect()
+    }
+    assert filtered == {"x", "y"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="top_n"):
+        keyness_terms(a, b, top_n=0)
+    with _pytest.raises(ValueError, match="alpha"):
+        keyness_terms(a, b, alpha=-1.0)
