@@ -889,6 +889,31 @@ def main() -> None:
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         gopher_metrics(docs).where(F.col("gopher_keep")).count()
 
+    @timed("tfidf_topk", repeat=3)
+    def _tfidf():
+        # per-doc tf-idf keywords: explode + two keyed groupBys + term
+        # join + WindowGroupLimit per-doc cut (r11)
+        from flink_table_store_spark.datapipe.text import tfidf_keywords
+
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id", "text")
+        tfidf_keywords(docs, top_n=5).count()
+
+    @timed("corpus_drift", repeat=3)
+    def _drift():
+        # two counting passes -> bounded bucket tables -> one-row JS/KL
+        # (the recurring drift monitor, r11)
+        from flink_table_store_spark.datapipe.dsir import corpus_divergence
+
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id", "text")
+        corpus_divergence(
+            docs.where(F.col("doc_id") % 2 == 0),
+            docs.where(F.col("doc_id") % 2 == 1),
+        ).collect()
+
     # --- local no-Spark paths (pypaimon-parity read/write): the same
     # pure-pyarrow planner/readers also serve the format surface's
     # executors and the lookup service, so regressions here must be

@@ -522,6 +522,48 @@ def corpus_divergence(
         raise ValueError(f"alpha must be positive, got {alpha}")
     ca = _bucket_counts(a, text_col, n_buckets, seed, "__ca")
     cb = _bucket_counts(b, text_col, n_buckets, seed, "__cb")
+    return _divergence_of_counts(ca, cb, n_buckets, alpha)
+
+
+def divergence_from_index(
+    spark,
+    index,
+    batch: DataFrame,
+    text_col: str = "text",
+    side: str = "raw",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """``corpus_divergence`` with side *a* read from a persistent DSIR
+    index (``create_dsir_index``) instead of re-counting the corpus —
+    the O(batch) drift monitor: the accumulated state IS the reference
+    distribution, so each incoming batch costs one counting pass over
+    ITSELF plus a join of two ≤ n_buckets tables, never a re-scan of
+    everything ingested so far. Folded counts sum to exactly the
+    direct counts, so the result is identical to the two-corpora path
+    (the oracle for both is the same SQL). ``side``: which index
+    accumulator is the reference ('raw' or 'target')."""
+    if side not in ("raw", "target"):
+        raise ValueError(f"side must be 'raw' or 'target', got {side!r}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive, got {alpha}")
+    n_buckets, seed = _index_params(index)
+    col = {"raw": "rc", "target": "tc"}[side]
+    ca = (
+        index.refresh()
+        .to_df(spark)
+        .where(F.col(col) > 0)
+        .select("bucket", F.col(col).alias("__ca"))
+    )
+    cb = _bucket_counts(batch, text_col, n_buckets, seed, "__cb")
+    return _divergence_of_counts(ca, cb, n_buckets, alpha)
+
+
+def _divergence_of_counts(
+    ca: DataFrame, cb: DataFrame, n_buckets: int, alpha: float
+) -> DataFrame:
+    """The shared divergence algebra over two (bucket, count) tables —
+    ONE implementation so the from-index and two-corpora paths are
+    bit-identical by construction."""
     j = ca.join(cb, "bucket", "full_outer").select(
         F.coalesce(F.col("__ca"), F.lit(0)).alias("__ca"),
         F.coalesce(F.col("__cb"), F.lit(0)).alias("__cb"),

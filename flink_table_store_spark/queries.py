@@ -6411,3 +6411,48 @@ FROM documents GROUP BY lang ORDER BY lang
 
 # judge-run tail: exact distributed quantile profile (corpus stats)
 QUERIES["corpus_length_profile"] = (corpus_length_profile, CORPUS_LENGTH_SQL)
+
+
+def corpus_drift_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(batch) drift monitoring (dsir.divergence_from_index): the
+    even-doc_id corpus folds into a persistent DSIR index as TWO
+    identifier-checked batches; the odd half is then scored against the
+    INDEX STATE — never re-counting the reference. Folded counts sum to
+    exactly the direct counts, so the oracle is the same SQL as
+    corpus_drift_js (the two-corpora path) — proving the incremental
+    and batch paths agree bit-for-bit."""
+    from flink_table_store_spark.datapipe.dsir import (
+        create_dsir_index,
+        divergence_from_index,
+        update_dsir_index,
+    )
+
+    cat = _wh(sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    name = "default.drift_index_docs"
+    try:
+        idx = cat.get_table(name)
+    except RuntimeError:
+        idx = create_dsir_index(cat, name, n_buckets=8192, seed=13)
+    # a fully built reference has TWO commits; fewer is a crash remnant
+    # — re-run the folds, whose identifiers make landed ones no-ops
+    if (idx.snapshots.latest_id() or 0) < 2:
+        update_dsir_index(
+            idx, docs.where(F.col("doc_id") % 4 == 0), "raw",
+            commit_identifier="drift:r0",
+        )
+        update_dsir_index(
+            idx, docs.where(F.col("doc_id") % 4 == 2), "raw",
+            commit_identifier="drift:r1",
+        )
+    return divergence_from_index(
+        spark, idx, docs.where(F.col("doc_id") % 2 == 1)
+    )
+
+
+# judge-run tail: index-backed drift — same oracle as the two-corpora
+# path (folded counts must equal direct counts exactly)
+QUERIES["corpus_drift_incremental"] = (
+    corpus_drift_incremental,
+    CORPUS_DRIFT_SQL,
+)

@@ -43,6 +43,15 @@ def test_global_index_lifecycle_and_search(spark, warehouse):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     got = vector_search(spark, t, "emb_ivf", queries, k=3, nprobe=8)
+    # the persisted search's final per-query rank must group-limit too
+    # (same InferWindowGroupLimit pin as the in-memory top-k family)
+    import contextlib as _ctx
+    import io as _io
+
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        got.explain(mode="formatted")
+    assert buf.getvalue().count("WindowGroupLimit") >= 2
     # nprobe = n_cells → every cell probed → exact; must equal brute force
     exact = brute_force_topk(emb, queries, k=3)
     g = {(r["query_id"], r["rank"]): r["vec_id"] for r in got.collect()}

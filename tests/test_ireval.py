@@ -183,3 +183,86 @@ def test_keyness_terms_hand_checked(spark):
         keyness_terms(a, b, top_n=0)
     with _pytest.raises(ValueError, match="alpha"):
         keyness_terms(a, b, alpha=-1.0)
+
+
+def test_retrieval_metrics_randomized_parity(spark):
+    """120-query randomized parity against a sequential pure-Python
+    reference implementation (the same style of evidence as the as-of
+    join's merge_asof parity test)."""
+    import random
+
+    rng = random.Random(11)
+    k = 4
+    res_rows, gold_rows = [], []
+    expect = {}
+    for q in range(120):
+        n_res = rng.randint(0, 8)
+        ids = rng.sample(range(30), n_res)
+        for rank, i in enumerate(ids, start=1):
+            res_rows.append((q, i, rank))
+        n_gold = rng.randint(1, 5)
+        golds = set(rng.sample(range(30), n_gold))
+        for gid in golds:
+            gold_rows.append((q, gid))
+        # sequential reference
+        topk = ids[:k]
+        rel = [r for r, i in enumerate(topk, start=1) if i in golds]
+        dcg = sum(1 / math.log2(r + 1) for r in rel)
+        idcg = sum(1 / math.log2(i + 1) for i in range(1, min(k, n_gold) + 1))
+        expect[q] = (
+            n_gold,
+            len(rel),
+            round(len(rel) / n_gold, 6),
+            round(len(rel) / k, 6),
+            round(1 / rel[0], 6) if rel else 0.0,
+            round(dcg / idcg, 6),
+        )
+    results = spark.createDataFrame(
+        res_rows, "query_id int, vec_id int, rank int"
+    )
+    gold = spark.createDataFrame(gold_rows, "query_id int, vec_id int")
+    got = {
+        r["query_id"]: (
+            r["n_gold"], r["n_rel"], r["recall"], r["precision"],
+            r["rr"], r["ndcg"],
+        )
+        for r in retrieval_metrics(results, gold, k=k).collect()
+    }
+    assert got == expect
+
+
+def test_divergence_from_index_matches_batch_path(spark, warehouse):
+    """Index-backed drift == two-corpora drift, with the reference
+    folded in as two identifier-checked batches (replay = no-op)."""
+    from flink_table_store_spark.datapipe.dsir import (
+        corpus_divergence,
+        create_dsir_index,
+        divergence_from_index,
+        update_dsir_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 7} common word line {i % 3}") for i in range(40)],
+        "doc_id bigint, text string",
+    )
+    a = docs.where(F.col("doc_id") % 2 == 0)
+    b = docs.where(F.col("doc_id") % 2 == 1)
+    idx = create_dsir_index(warehouse, "db.drift_idx", n_buckets=256, seed=13)
+    update_dsir_index(
+        idx, a.where(F.col("doc_id") % 4 == 0), "raw", commit_identifier="r0"
+    )
+    update_dsir_index(
+        idx, a.where(F.col("doc_id") % 4 == 2), "raw", commit_identifier="r1"
+    )
+    # replayed identifier must not double-count
+    update_dsir_index(
+        idx, a.where(F.col("doc_id") % 4 == 0), "raw", commit_identifier="r0"
+    )
+    got = divergence_from_index(spark, idx, b).collect()[0]
+    want = corpus_divergence(a, b, n_buckets=256).collect()[0]
+    assert got.asDict() == want.asDict()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="side"):
+        divergence_from_index(spark, idx, b, side="nope")
