@@ -6456,3 +6456,64 @@ QUERIES["corpus_drift_incremental"] = (
     corpus_drift_incremental,
     CORPUS_DRIFT_SQL,
 )
+
+
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al. 2007; similarity.lsh_topk
+    nprobe=3 of 4 bits): each query probes its own sign-bit bucket PLUS
+    the two buckets across its lowest-|margin| hyperplanes — the
+    standard recall lever without extra index state. The oracle replays
+    signature, margin ranking (ties to the smaller dim), single-bit
+    flips, and the candidate-union rank."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return SIM.lsh_topk(emb, queries, k=10, bits=4, nprobe=3).orderBy(
+        "query_id", "rank"
+    )
+
+
+ANN_LSH_MULTIPROBE_SQL = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     b AS (
+  SELECT vec_id, v,
+         (CASE WHEN v[1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN v[4] >= 0 THEN 8 ELSE 0 END) AS bkt
+  FROM emb),
+     q AS (SELECT vec_id AS query_id, v AS qv, bkt FROM b WHERE vec_id < 5),
+     flips AS (
+  SELECT q.query_id, q.qv,
+         CASE WHEN q.qv[s.i] >= 0 THEN q.bkt - (1 << (s.i - 1))
+              ELSE q.bkt + (1 << (s.i - 1)) END AS bkt,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY abs(q.qv[s.i]) ASC, s.i ASC) AS rn
+  FROM q, LATERAL (SELECT unnest(generate_series(1, 4)) AS i) s),
+     probes AS (
+  SELECT query_id, qv, bkt FROM q
+  UNION ALL
+  SELECT query_id, qv, bkt FROM flips WHERE rn <= 2),
+     scored AS (
+  SELECT p.query_id, e.vec_id,
+         list_dot_product(p.qv, e.v)
+           / (sqrt(list_dot_product(p.qv, p.qv))
+              * sqrt(list_dot_product(e.v, e.v))) AS cos
+  FROM probes p JOIN b e ON p.bkt = e.bkt),
+     ranked AS (
+  SELECT query_id, vec_id, round(cos, 6) AS cosine,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cosine, rank
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+# judge-run tail: multi-probe LSH (the recall lever the lsh_topk
+# docstring used to defer — now implemented and oracle-gated)
+QUERIES["ann_lsh_multiprobe"] = (ann_lsh_multiprobe, ANN_LSH_MULTIPROBE_SQL)

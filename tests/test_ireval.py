@@ -266,3 +266,39 @@ def test_divergence_from_index_matches_batch_path(spark, warehouse):
 
     with _pytest.raises(ValueError, match="side"):
         divergence_from_index(spark, idx, b, side="nope")
+
+
+def test_lsh_multiprobe_monotone_recall(spark):
+    """Multi-probe candidates are supersets as nprobe grows (the base
+    bucket plus more flips), so recall vs the exact top-k is weakly
+    monotone; nprobe=1 must equal the classic single-bucket path."""
+    import pytest as _pytest
+
+    from flink_table_store_spark.datapipe.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+    q = emb.where(F.col("vec_id") < 15).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(emb, q, k=3).collect()
+    }
+    last = -1.0
+    for nprobe in (1, 3, 6, 9):
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in lsh_topk(emb, q, k=3, bits=8, nprobe=nprobe).collect()
+        }
+        rec = len(got & exact) / len(exact)
+        assert rec >= last, f"recall fell at nprobe={nprobe}"
+        last = rec
+
+    with _pytest.raises(ValueError, match="nprobe"):
+        lsh_topk(emb, q, k=3, bits=8, nprobe=10)
