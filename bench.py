@@ -663,6 +663,14 @@ def main() -> None:
 
         DD.minhash_dedup(docs10).count()
 
+    @timed("tfidf_topk_10x", repeat=3)
+    def _tfidf10():
+        # linearity twin for tfidf_topk: the vocabulary groupBy and the
+        # per-doc WindowGroupLimit must scale with rows, not pairs
+        from flink_table_store_spark.datapipe.text import tfidf_keywords
+
+        tfidf_keywords(docs10.select("doc_id", "text"), top_n=5).count()
+
     # --- REST catalog: metadata-op throughput over loopback HTTP ----------
     # (the r6 catalog service; ops are driver-side metadata hops by
     # design — the measure is protocol+CAS overhead, not data volume)

@@ -117,3 +117,52 @@ def retrieval_summary(per_query: DataFrame) -> DataFrame:
         F.round(F.avg("rr"), 6).alias("mrr"),
         F.round(F.avg("ndcg"), 6).alias("ndcg"),
     )
+
+
+def dedup_pair_metrics(
+    predicted: DataFrame,
+    gold: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Pair-level precision/recall/F1 of a candidate-pair predictor
+    against gold duplicate pairs — the eval that tunes a dedup stage's
+    blocking parameters (MinHash bands, SimHash radius, embedding
+    block_bits): how many true pairs does the cheaper blocking lose,
+    and how much junk does it admit. Pairs are normalized to
+    (min, max) and deduped on both sides, so orientation and repeats
+    can't skew the counts.
+
+    Scale design: two distinct-pair normalizations (keyed groupBys),
+    ONE pair-keyed equi-join for the intersection, three 1-row counts
+    — never materializes anything beyond the pair sets themselves.
+
+    Returns one row: (n_pred, n_gold, tp, precision, recall, f1)
+    rounded to 6."""
+
+    def _norm(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("__a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("__b"),
+        ).distinct()
+
+    p, g = _norm(predicted), _norm(gold)
+    tp = p.join(g, ["__a", "__b"], "left_semi").count()
+    n_pred, n_gold = p.count(), g.count()
+    prec = tp / n_pred if n_pred else 0.0
+    rec = tp / n_gold if n_gold else 0.0
+    f1 = 2 * prec * rec / (prec + rec) if prec + rec > 0 else 0.0
+    return predicted.sparkSession.createDataFrame(
+        [
+            (
+                n_pred,
+                n_gold,
+                tp,
+                round(prec, 6),
+                round(rec, 6),
+                round(f1, 6),
+            )
+        ],
+        "n_pred bigint, n_gold bigint, tp bigint, "
+        "precision double, recall double, f1 double",
+    )

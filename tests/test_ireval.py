@@ -302,3 +302,25 @@ def test_lsh_multiprobe_monotone_recall(spark):
 
     with _pytest.raises(ValueError, match="nprobe"):
         lsh_topk(emb, q, k=3, bits=8, nprobe=10)
+
+
+def test_dedup_pair_metrics_hand_checked(spark):
+    from flink_table_store_spark.datapipe.ireval import dedup_pair_metrics
+
+    # pred normalizes (3,1)->(1,3); dup (1,2) counts once
+    pred = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 1), (4, 5)], "id_a bigint, id_b bigint"
+    )
+    gold = spark.createDataFrame(
+        [(1, 2), (1, 3), (6, 7)], "id_a bigint, id_b bigint"
+    )
+    r = dedup_pair_metrics(pred, gold).collect()[0]
+    # pred = {(1,2),(1,3),(4,5)}, gold = {(1,2),(1,3),(6,7)}, tp = 2
+    assert (r["n_pred"], r["n_gold"], r["tp"]) == (3, 3, 2)
+    assert r["precision"] == round(2 / 3, 6)
+    assert r["recall"] == round(2 / 3, 6)
+    assert r["f1"] == round(2 / 3, 6)
+
+    empty = pred.where(F.lit(False))
+    z = dedup_pair_metrics(empty, gold).collect()[0]
+    assert (z["tp"], z["precision"], z["recall"], z["f1"]) == (0, 0.0, 0.0, 0.0)
