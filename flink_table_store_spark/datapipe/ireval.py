@@ -166,3 +166,100 @@ def dedup_pair_metrics(
         "n_pred bigint, n_gold bigint, tp bigint, "
         "precision double, recall double, f1 double",
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int,
+    lambda_: float = 0.7,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    score_col: str = "cosine",
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998,
+    public): greedily pick ``k`` of each query's candidates maximizing
+    ``λ·relevance − (1−λ)·max cosine to the already-picked set`` — the
+    standard diversity pass over a retrieval stage's output (dedup'd
+    result lists, diverse hard negatives, RAG context selection).
+
+    ``candidates``: one row per (query, candidate) with the relevance
+    score and BOTH vectors — exactly what the ``*_topk`` operators
+    produce once joined back to vectors (or ``vector_search`` output).
+    Ties break to the smaller candidate id; NULL scores are dropped
+    (an unscorable candidate cannot be ranked).
+
+    Scale design: the greedy loop is inherently sequential PER QUERY
+    but queries are independent, so this is one ``applyInPandas`` over
+    the query key — each group is a top-k' candidate list (tens to
+    hundreds of rows), vectorized numpy inside the Arrow batch, never
+    corpus-sized. The expensive part (retrieval) already happened
+    upstream; this pass moves k'·k dot products per query.
+
+    Returns (query_id, id, relevance, mmr rounded 6, rank)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if not 0.0 <= lambda_ <= 1.0:
+        raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
+    qt = candidates.schema[query_id_col].dataType.simpleString()
+    it = candidates.schema[id_col].dataType.simpleString()
+    lam = float(lambda_)
+    sel = candidates.where(F.col(score_col).isNotNull()).select(
+        F.col(query_id_col).alias("__qid"),
+        F.col(id_col).alias("__cid"),
+        F.col(score_col).cast("double").alias("__rel"),
+        F.col(vec_col).alias("__cv"),
+    )
+
+    def _mmr(pdf):
+        import numpy as np
+        import pandas as pd
+
+        # deterministic candidate order: relevance desc, id asc
+        pdf = pdf.sort_values(
+            ["__rel", "__cid"], ascending=[False, True]
+        ).reset_index(drop=True)
+        vecs = np.asarray(list(pdf["__cv"]), dtype=np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        rel = pdf["__rel"].to_numpy()
+        n = len(pdf)
+        picked: list[int] = []
+        # max cosine of each candidate to the picked set, updated
+        # incrementally — O(k·n·d), vectorized
+        max_sim = np.full(n, -np.inf)
+        out_mmr = []
+        for _ in range(min(k, n)):
+            mmr = lam * rel - (1.0 - lam) * np.where(
+                np.isinf(max_sim), 0.0, max_sim
+            )
+            if picked:
+                mmr[picked] = -np.inf
+            best = int(mmr.argmax())  # first max = best (rel desc, id asc)
+            picked.append(best)
+            out_mmr.append(mmr[best])
+            denom = norms * norms[best]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = np.where(denom > 0, vecs @ vecs[best] / denom, 0.0)
+            max_sim = np.maximum(max_sim, sim)
+        return pd.DataFrame(
+            {
+                "__qid": pdf["__qid"].iloc[picked].to_numpy(),
+                "__cid": pdf["__cid"].iloc[picked].to_numpy(),
+                "__rel": rel[picked],
+                "mmr": np.round(out_mmr, 6),
+                "rank": np.arange(1, len(picked) + 1, dtype=np.int32),
+            }
+        )
+
+    out = sel.groupBy("__qid").applyInPandas(
+        _mmr,
+        f"__qid {qt}, __cid {it}, __rel double, mmr double, rank int",
+    )
+    return out.select(
+        F.col("__qid").alias(query_id_col),
+        F.col("__cid").alias(id_col),
+        F.col("__rel").alias(score_col),
+        "mmr",
+        "rank",
+    )

@@ -324,3 +324,79 @@ def test_dedup_pair_metrics_hand_checked(spark):
     empty = pred.where(F.lit(False))
     z = dedup_pair_metrics(empty, gold).collect()[0]
     assert (z["tp"], z["precision"], z["recall"], z["f1"]) == (0, 0.0, 0.0, 0.0)
+
+
+def _mmr_reference(rows, k, lam):
+    """Sequential pure-Python MMR over one query's candidates."""
+    import numpy as np
+
+    rows = sorted(rows, key=lambda r: (-r[1], r[0]))  # rel desc, id asc
+    vecs = [np.asarray(r[2], dtype=np.float64) for r in rows]
+
+    def cos(u, v):
+        d = np.linalg.norm(u) * np.linalg.norm(v)
+        return float(u @ v / d) if d > 0 else 0.0
+
+    picked, out = [], []
+    while len(picked) < min(k, len(rows)):
+        best, best_mmr = None, None
+        for i in range(len(rows)):
+            if i in picked:
+                continue
+            pen = max((cos(vecs[i], vecs[j]) for j in picked), default=0.0)
+            m = lam * rows[i][1] - (1 - lam) * pen
+            if best is None or m > best_mmr:
+                best, best_mmr = i, m
+        picked.append(best)
+        out.append((rows[best][0], round(best_mmr, 6), len(picked)))
+    return out
+
+
+def test_mmr_rerank_parity_and_properties(spark):
+    import random
+
+    from flink_table_store_spark.datapipe.ireval import mmr_rerank
+
+    rng = random.Random(7)
+    rows, expect = [], {}
+    for q in range(25):
+        cands = []
+        for i in range(rng.randint(1, 12)):
+            vec = [rng.uniform(-1, 1) for _ in range(6)]
+            rel = round(rng.uniform(0, 1), 3)
+            qv = [1.0] * 6
+            rows.append((q, i, rel, vec, qv))
+            cands.append((i, rel, vec))
+        expect[q] = _mmr_reference(cands, k=4, lam=0.7)
+    df = spark.createDataFrame(
+        rows,
+        "query_id int, vec_id int, cosine double, "
+        "embedding array<double>, query_vec array<double>",
+    )
+    got = {}
+    for r in mmr_rerank(df, k=4, lambda_=0.7).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["vec_id"], r["mmr"], r["rank"])
+        )
+    for q in got:
+        got[q].sort(key=lambda t: t[2])
+    assert got == expect
+
+    # lambda = 1 -> pure relevance order
+    pure = mmr_rerank(df.where(F.col("query_id") == 0), k=4, lambda_=1.0)
+    ranks = [r["vec_id"] for r in pure.orderBy("rank").collect()]
+    rel_order = [
+        t[0]
+        for t in sorted(
+            [(i, rel) for (qq, i, rel, _v, _qv) in rows if qq == 0],
+            key=lambda t: (-t[1], t[0]),
+        )[:4]
+    ]
+    assert ranks == rel_order
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lambda_"):
+        mmr_rerank(df, k=4, lambda_=1.5)
+    with _pytest.raises(ValueError, match="k must be positive"):
+        mmr_rerank(df, k=0)
