@@ -77,6 +77,46 @@ def main() -> None:
     li.limit(1).collect()
 
     timings: dict[str, float] = {}
+    plans: dict[str, dict] = {}
+
+    # Plan fingerprints (round 11): a >1.5x timing swing whose
+    # fingerprint is UNCHANGED round-over-round is auto-adjudicated as
+    # host noise — the git-diff + 10x-twin protocol, machine-checkable.
+    # Source: the SQL status store's physicalPlanDescription for every
+    # execution the entry's FIRST run triggered (plan shape is
+    # identical across repeats). Node counts dedupe by plan-node id so
+    # AQE's final+initial double-print doesn't inflate them.
+    import re as _re
+
+    _status_store = spark._jsparkSession.sharedState().statusStore()
+
+    def _max_exec_id() -> int:
+        lst = _status_store.executionsList()
+        n = lst.size()
+        return lst.apply(n - 1).executionId() if n else -1
+
+    def _fingerprint(after_id: int) -> dict:
+        lst = _status_store.executionsList()
+        execs = exch = bcast = scans = wgl = 0
+        for i in range(lst.size()):
+            e = lst.apply(i)
+            if e.executionId() <= after_id:
+                continue
+            execs += 1
+            desc = e.physicalPlanDescription()
+            bcast += len(set(_re.findall(r"BroadcastExchange \(\d+\)", desc)))
+            exch += len(
+                set(_re.findall(r"(?<![A-Za-z])Exchange \(\d+\)", desc))
+            )
+            scans += len(set(_re.findall(r"Scan [^(]*\((\d+)\)", desc)))
+            wgl += len(set(_re.findall(r"WindowGroupLimit \(\d+\)", desc)))
+        return {
+            "execs": execs,
+            "exchanges": exch,
+            "broadcasts": bcast,
+            "scans": scans,
+            "window_group_limits": wgl,
+        }
 
     def timed(name, repeat: int = 1):
         """Time ``fn``; with repeat=3 record the MEDIAN of three runs
@@ -84,10 +124,14 @@ def main() -> None:
 
         def deco(fn):
             runs = []
-            for _ in range(repeat):
+            for i in range(repeat):
+                if i == 0:
+                    mark = _max_exec_id()
                 t0 = time.perf_counter()
                 fn()
                 runs.append(time.perf_counter() - t0)
+                if i == 0:
+                    plans[name] = _fingerprint(mark)
             runs.sort()
             timings[name] = round(runs[len(runs) // 2], 4)
 
@@ -99,10 +143,14 @@ def main() -> None:
         record the median. Returns the states so downstream readers can
         use replica 0."""
         runs = []
-        for st in states:
+        for i, st in enumerate(states):
+            if i == 0:
+                mark = _max_exec_id()
             t0 = time.perf_counter()
             run(st)
             runs.append(time.perf_counter() - t0)
+            if i == 0:
+                plans[name] = _fingerprint(mark)
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 4)
         return states
@@ -202,11 +250,15 @@ def main() -> None:
         for i in range(3)
     ]
     _up_runs = []
-    for _t in t_pks:
+    for _i, _t in enumerate(t_pks):
+        if _i == 0:
+            _up_mark = _max_exec_id()
         _t0 = time.perf_counter()
         for b in range(3):
             _t.write(pb.where(F.col("batch") == b).drop("batch"))
         _up_runs.append(time.perf_counter() - _t0)
+        if _i == 0:
+            plans["upsert"] = _fingerprint(_up_mark)
     _up_runs.sort()
     timings["upsert"] = round(_up_runs[1], 4)
     # downstream PK workloads read the first replica
@@ -1133,6 +1185,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "plans": plans,
                 "sf": sf,
                 "upsert_rows_per_sec": upsert_rps,
                 "rows_10x": rows_10x,

@@ -6581,3 +6581,130 @@ FROM c
 # judge-run tail: blocking-quality eval (pair-level P/R/F1 — the
 # third eval surface: classifier PR curve, ranked retrieval, dedup)
 QUERIES["dedup_blocking_eval"] = (dedup_blocking_eval, DEDUP_BLOCKING_EVAL_SQL)
+
+
+def sql_asof_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join through the SQL surface: paimon_as_of_join(...) as a
+    table reference inside an ordinary SqlSession GROUP BY — the
+    round-11 TVF exposing operators/temporal.as_of_join's union-tag
+    zero-join plan to SQL users (who would otherwise write a
+    correlated subquery that Catalyst plans as a theta join). Views
+    and pre-deduped clicks live in ENGINE tables; the oracle replays
+    the latest-prior-or-equal match with a window over the candidate
+    join, then the same per-user rollup (count/max only — no
+    float-sum fold-order hazards)."""
+    from flink_table_store_spark.sql import SqlSession
+
+    cat = _wh(sf_dir)
+    ev = _events(spark, sf_dir)
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("__rn", F.row_number().over(w))
+        .where("__rn = 1")
+        .drop("__rn")
+        .withColumnRenamed("event_id", "click_id")
+        .withColumnRenamed("value", "click_value")
+    )
+    tv = cat.create_table(
+        "default.asof_views_tvf", views.schema, ignore_if_exists=True
+    )
+    if not tv.snapshots.latest_id():
+        tv.write(views)
+    tc = cat.create_table(
+        "default.asof_clicks_tvf", clicks.schema, ignore_if_exists=True
+    )
+    if not tc.snapshots.latest_id():
+        tc.write(clicks)
+    return SqlSession(spark, cat).sql(
+        "SELECT user_id, count(*) AS n_views, count(click_id) AS n_matched, "
+        "max(ts_right) AS last_click_ts, "
+        "round(max(click_value), 2) AS max_click_value "
+        "FROM paimon_as_of_join('default.asof_views_tvf', "
+        "'default.asof_clicks_tvf', 'ts', 'user_id') "
+        "GROUP BY user_id ORDER BY user_id LIMIT 200"
+    )
+
+
+SQL_ASOF_TVF_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id AS click_id, value AS click_value
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click')
+  WHERE rn = 1),
+views AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+best AS (
+  SELECT v.event_id, v.user_id, v.ts, c.ts AS click_ts, c.click_id,
+         c.click_value,
+         row_number() OVER (PARTITION BY v.event_id
+                            ORDER BY c.ts DESC) AS rn
+  FROM views v LEFT JOIN clicks c
+    ON c.user_id = v.user_id AND c.ts <= v.ts)
+SELECT user_id, count(*)::BIGINT AS n_views,
+       count(click_id)::BIGINT AS n_matched,
+       max(click_ts) AS last_click_ts,
+       round(max(click_value), 2) AS max_click_value
+FROM best WHERE rn = 1 OR rn IS NULL
+GROUP BY user_id ORDER BY user_id LIMIT 200
+"""
+
+# judge-run tail: the as-of TVF driven end-to-end through SqlSession
+# over engine tables (round-11 SQL surface for the temporal family)
+QUERIES["sql_asof_tvf"] = (sql_asof_tvf, SQL_ASOF_TVF_SQL)
+
+
+def sql_sessionize_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize through the SQL surface: paimon_sessionize(...) as a
+    table reference — per-user 30-minute-gap sessions over the events
+    ENGINE table, rolled up to session lengths and spans. The oracle
+    replays the lag-then-cumsum assignment in ANSI SQL (the operator's
+    own docstring contract) plus the same rollup."""
+    from flink_table_store_spark.sql import SqlSession
+
+    cat = _wh(sf_dir)
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts")
+    te = cat.create_table(
+        "default.sess_events_tvf", ev.schema, ignore_if_exists=True
+    )
+    if not te.snapshots.latest_id():
+        te.write(ev)
+    return SqlSession(spark, cat).sql(
+        "SELECT user_id, session_id, count(*) AS n_events, "
+        "min(ts) AS session_start, max(ts) AS session_end "
+        "FROM paimon_sessionize('default.sess_events_tvf', 'ts', 1800, "
+        "'user_id') "
+        "GROUP BY user_id, session_id "
+        "ORDER BY user_id, session_id LIMIT 500"
+    )
+
+
+SQL_SESSIONIZE_TVF_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id)
+                   > INTERVAL 1800 SECOND
+              THEN 1 ELSE 0 END AS new_s
+  FROM events),
+sess AS (
+  SELECT user_id, ts,
+         1 + sum(new_s) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered)
+SELECT user_id, session_id::BIGINT AS session_id,
+       count(*)::BIGINT AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM sess GROUP BY user_id, session_id
+ORDER BY user_id, session_id LIMIT 500
+"""
+
+# judge-run tail: sessionize TVF through SqlSession (SQL surface for
+# streaming/stateful.sessionize's single-shuffle batch plan)
+QUERIES["sql_sessionize_tvf"] = (sql_sessionize_tvf, SQL_SESSIONIZE_TVF_SQL)

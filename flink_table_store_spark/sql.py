@@ -35,7 +35,8 @@ _REF = re.compile(
 )
 _TVF = re.compile(
     r"(?i)\b(paimon_incremental_query|paimon_incremental_between_timestamp|"
-    r"paimon_incremental_to_auto_tag|paimon_bucketed_join)\s*\(([^()]*)\)"
+    r"paimon_incremental_to_auto_tag|paimon_bucketed_join|"
+    r"paimon_as_of_join|paimon_sessionize|paimon_range_join)\s*\(([^()]*)\)"
 )
 _KEYWORDS = {
     "select", "values", "unnest", "lateral", "table", "range",
@@ -508,6 +509,75 @@ class SqlSession:
                         [t] + [self.catalog.get_table(r) for r in rest],
                         hows=[how] * len(rest),
                     )
+            elif fn == "paimon_as_of_join":
+                # temporal enrichment as a table reference:
+                # SELECT ... FROM paimon_as_of_join('db.l','db.r',
+                #   'time_col','by_csv'[,'backward'|'forward'
+                #   [,tolerance_seconds]])
+                # Routes SQL users onto the union-tag ZERO-join plan
+                # (operators/temporal.py) instead of the correlated
+                # subquery they'd otherwise write, which Catalyst plans
+                # as a per-row theta join. '' by_csv = un-keyed.
+                from flink_table_store_spark.operators.temporal import (
+                    as_of_join,
+                )
+
+                right_t = self.catalog.get_table(str(args[1]))
+                by = [c for c in str(args[3]).split(",") if c.strip()]
+                direction = str(args[4]) if len(args) > 4 else "backward"
+                tol = float(args[5]) if len(args) > 5 else None
+                df = as_of_join(
+                    t.to_df(self.spark),
+                    right_t.to_df(self.spark),
+                    time_col=str(args[2]),
+                    by=[c.strip() for c in by],
+                    direction=direction,
+                    tolerance_seconds=tol,
+                )
+            elif fn == "paimon_sessionize":
+                # SELECT ... FROM paimon_sessionize('db.events',
+                #   'time_col', gap_seconds[, 'keys_csv'])
+                # — the lag-then-cumsum single-shuffle plan with the
+                # NULL-timestamp routing already parity-tested in the
+                # operator (streaming/stateful.py).
+                from flink_table_store_spark.streaming.stateful import (
+                    sessionize,
+                )
+
+                keys = (
+                    [c.strip() for c in str(args[3]).split(",") if c.strip()]
+                    if len(args) > 3
+                    else None
+                )
+                df = sessionize(
+                    t.to_df(self.spark),
+                    time_col=str(args[1]),
+                    gap_seconds=int(args[2]),
+                    keys=keys,
+                )
+            elif fn == "paimon_range_join":
+                # SELECT ... FROM paimon_range_join('db.l','db.r',
+                #   'lo','hi','val', bin_width[, 'extra_keys_csv'])
+                # — the fixed-width-bin equi-key plan; a plain SQL
+                # BETWEEN join would plan as BroadcastNestedLoop/theta.
+                from flink_table_store_spark.operators.temporal import (
+                    range_join_binned,
+                )
+
+                extra = (
+                    [c.strip() for c in str(args[6]).split(",") if c.strip()]
+                    if len(args) > 6
+                    else None
+                )
+                df = range_join_binned(
+                    t.to_df(self.spark),
+                    self.catalog.get_table(str(args[1])).to_df(self.spark),
+                    lo_col=str(args[2]),
+                    hi_col=str(args[3]),
+                    val_col=str(args[4]),
+                    bin_width=float(args[5]),
+                    extra_keys=extra,
+                )
             elif fn == "paimon_incremental_query":
                 df = t.incremental_read(self.spark, int(args[1]), int(args[2]))
             elif fn == "paimon_incremental_between_timestamp":

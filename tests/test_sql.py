@@ -1069,3 +1069,78 @@ def test_sql_rewrite_subquery_cte_union(spark, warehouse, sql):
         "SELECT k FROM db.sq UNION SELECT k + 10 AS k FROM db.sq ORDER BY k"
     ).collect()]
     assert ks == [1, 2, 3, 11, 12, 13]
+
+
+def test_sql_temporal_tvfs(spark, warehouse):
+    """paimon_as_of_join / paimon_sessionize / paimon_range_join expose
+    the temporal operators' single-shuffle plans as SQL table
+    references — each TVF's answer must be bit-equal to the Python
+    operator on the same tables."""
+    from flink_table_store_spark.operators.temporal import (
+        as_of_join,
+        range_join_binned,
+    )
+    from flink_table_store_spark.sql import SqlSession
+    from flink_table_store_spark.streaming.stateful import sessionize
+
+    trades = spark.createDataFrame(
+        [(u, f"2024-01-01 00:0{m}:00", float(u * 10 + m))
+         for u in (1, 2) for m in (1, 3, 5)],
+        "uid bigint, ts string, px double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    quotes = spark.createDataFrame(
+        [(u, f"2024-01-01 00:0{m}:30", float(u * 100 + m))
+         for u in (1, 2) for m in (0, 2, 4)],
+        "uid bigint, ts string, bid double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    tt = warehouse.create_table("db.tvf_trades", trades.schema)
+    tt.write(trades)
+    tq = warehouse.create_table("db.tvf_quotes", quotes.schema)
+    tq.write(quotes)
+    s = SqlSession(spark, warehouse)
+
+    got = s.sql(
+        "SELECT uid, ts, px, bid FROM paimon_as_of_join("
+        "'db.tvf_trades','db.tvf_quotes','ts','uid') ORDER BY uid, ts"
+    )
+    exp = as_of_join(
+        tt.to_df(spark), tq.to_df(spark), time_col="ts", by=["uid"]
+    ).select("uid", "ts", "px", "bid").orderBy("uid", "ts")
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in exp.collect()]
+    # every trade has a prior quote in this fixture
+    assert all(r.bid is not None for r in got.collect())
+
+    # sessionize: 2-minute gap splits each uid's trades into 3 sessions
+    got = s.sql(
+        "SELECT uid, ts, session_id FROM paimon_sessionize("
+        "'db.tvf_trades','ts',100,'uid') ORDER BY uid, ts"
+    )
+    exp = sessionize(
+        tt.to_df(spark), time_col="ts", gap_seconds=100, keys=["uid"]
+    ).select("uid", "ts", "session_id").orderBy("uid", "ts")
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in exp.collect()]
+    assert [r.session_id for r in got.collect()] == [1, 2, 3, 1, 2, 3]
+
+    # range join: price bands matching trade prices, keyed by uid
+    bands = spark.createDataFrame(
+        [(1, 0.0, 12.0, "low"), (1, 12.0, 99.0, "high"),
+         (2, 0.0, 22.0, "low"), (2, 22.0, 99.0, "high")],
+        "uid bigint, lo double, hi double, band string",
+    )
+    tb = warehouse.create_table("db.tvf_bands", bands.schema)
+    tb.write(bands)
+    got = s.sql(
+        "SELECT band, count(*) AS n FROM paimon_range_join("
+        "'db.tvf_bands','db.tvf_trades','lo','hi','px',10.0,'uid') "
+        "GROUP BY band ORDER BY band"
+    )
+    exp = (
+        range_join_binned(
+            tb.to_df(spark), tt.to_df(spark),
+            lo_col="lo", hi_col="hi", val_col="px",
+            bin_width=10.0, extra_keys=["uid"],
+        )
+        .groupBy("band").agg(F.count(F.lit(1)).alias("n")).orderBy("band")
+    )
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in exp.collect()]
+    assert sum(r.n for r in got.collect()) == 6
