@@ -34,6 +34,8 @@ def create_rollup_table(
     group_cols: list[tuple[str, str]] | None = None,
     metrics: dict[str, tuple[str, str]],
     buckets: int = 4,
+    source: str | None = None,
+    ignore_if_exists: bool = False,
 ):
     """Create the rollup: PK (bucket_start, *group cols), one column
     per metric maintained server-side. ``metrics`` maps output name ->
@@ -44,7 +46,15 @@ def create_rollup_table(
     (e.g. 'bigint' for exact integer sums past 2^53, 'decimal(20,2)',
     a timestamp for min/max over time) when double would lose the
     source's precision. The spec rides in table options so every
-    refresher provably buckets and aggregates identically."""
+    refresher provably buckets and aggregates identically.
+
+    ``source`` names the RAW engine table this rollup continuously
+    aggregates: the link is recorded on BOTH tables
+    (``rollup.source`` here, ``rollup.tables`` on the raw table) so
+    SqlSession's opt-in rollup routing can rewrite in-spec aggregates
+    over the raw table to the rollup — the read half of the
+    continuous-aggregate pattern (TimescaleDB real-time aggregate
+    query rewriting)."""
     group_cols = group_cols or []
     norm: dict[str, tuple] = {}
     for out, spec in metrics.items():
@@ -75,12 +85,32 @@ def create_rollup_table(
         opts[f"fields.{out}.aggregate-function"] = (
             "sum" if fn == "count" else fn
         )
-    return catalog.create_table(
+    if source:
+        opts["rollup.source"] = source
+    rollup = catalog.create_table(
         name,
         ", ".join(cols),
         primary_keys=["bucket_start"] + [n for n, _t in group_cols],
         options=opts,
+        ignore_if_exists=ignore_if_exists,
     )
+    if source:
+        raw = catalog.get_table(source)
+        known = [
+            r for r in raw.schema.options.get("rollup.tables", "").split(",")
+            if r
+        ]
+        if name not in known:
+            raw.evolve_schema(
+                [
+                    {
+                        "action": "set_option",
+                        "key": "rollup.tables",
+                        "value": ",".join(known + [name]),
+                    }
+                ]
+            )
+    return rollup
 
 
 def _spec(rollup) -> tuple[str, str, dict]:

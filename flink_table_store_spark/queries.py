@@ -6708,3 +6708,78 @@ ORDER BY user_id, session_id LIMIT 500
 # judge-run tail: sessionize TVF through SqlSession (SQL surface for
 # streaming/stateful.sessionize's single-shuffle batch plan)
 QUERIES["sql_sessionize_tvf"] = (sql_sessionize_tvf, SQL_SESSIONIZE_TVF_SQL)
+
+
+def sql_rollup_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup-aware query routing (the read half of the continuous-
+    aggregate pattern, TimescaleDB real-time-aggregate rewriting): a
+    plain SQL aggregate over the RAW events table is rewritten by the
+    opt-in SqlSession router to its 1-hour rollup — re-bucketed to the
+    requested day grain, re-grouped, count/min/max re-aggregated from
+    the stored partials — and the raw table is never scanned. The
+    oracle aggregates the raw events directly, so the row proves
+    routed == direct bit-for-bit. The function raises loudly if the
+    router declines (a silent fall-through to the raw scan would
+    vacuously pass)."""
+    from flink_table_store_spark.operators.rollup import (
+        create_rollup_table,
+        update_rollup,
+    )
+    from flink_table_store_spark.sql import SqlSession
+
+    cat = _wh(sf_dir)
+    ev = _events(spark, sf_dir).select("ts", "event_type", "value")
+    traw = cat.create_table(
+        "default.ev_routed_raw", ev.schema, ignore_if_exists=True
+    )
+    if not traw.snapshots.latest_id():
+        traw.write(ev)
+    rollup = create_rollup_table(
+        cat,
+        "default.ev_routed_ru",
+        time_col="ts",
+        interval="1 hour",
+        group_cols=[("event_type", "string")],
+        metrics={
+            "n": ("*", "count"),
+            "nv": ("value", "count"),
+            "lo": ("value", "min"),
+            "hi": ("value", "max"),
+        },
+        source="default.ev_routed_raw",
+        ignore_if_exists=True,
+    )
+    # identifier-checked exactly-once: a replayed seed fold is a no-op
+    update_rollup(rollup, ev, commit_identifier="seed")
+    s = SqlSession(spark, cat, rollup_routing=True)
+    q = (
+        "SELECT date_trunc('day', ts) AS d, event_type, count(*) AS n, "
+        "count(value) AS nv, min(value) AS lo, max(value) AS hi "
+        "FROM default.ev_routed_raw "
+        "WHERE event_type IN ('view', 'click', 'purchase') "
+        "GROUP BY date_trunc('day', ts), event_type "
+        "ORDER BY d, event_type LIMIT 500"
+    )
+    routed = s._route_rollup(q)
+    if routed is None:
+        raise RuntimeError("rollup routing declined an in-spec query")
+    out = s.sql(q)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if "ev_routed_raw" in plan:
+        raise RuntimeError("routed query still scans the raw table")
+    return out
+
+
+SQL_ROLLUP_ROUTED_SQL = """
+SELECT date_trunc('day', ts)::TIMESTAMP AS d, event_type,
+       count(*)::BIGINT AS n, count(value)::BIGINT AS nv,
+       min(value) AS lo, max(value) AS hi
+FROM events
+WHERE event_type IN ('view', 'click', 'purchase')
+GROUP BY 1, 2 ORDER BY d, event_type LIMIT 500
+"""
+
+# judge-run tail: rollup-aware routing (round-11 #5 — routed answers
+# from the continuous aggregate, raw history unscanned, plan-asserted
+# inside the query function itself)
+QUERIES["sql_rollup_routed"] = (sql_rollup_routed, SQL_ROLLUP_ROUTED_SQL)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import hashlib
+import json
 import re
 from typing import Any
 
@@ -337,9 +338,20 @@ def _parse_comparison(s: str) -> P.Predicate | None:
 class SqlSession:
     """``engine.sql(...)`` — the reference's Spark SQL surface in Python."""
 
-    def __init__(self, spark: SparkSession, catalog: Catalog):
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: Catalog,
+        rollup_routing: bool = False,
+    ):
         self.spark = spark
         self.catalog = catalog
+        # opt-in continuous-aggregate routing (TimescaleDB-style): an
+        # in-spec aggregate over a raw table is rewritten to its rollup
+        # (operators/rollup.py). Opt-IN because a routed answer reflects
+        # the rollup's refresh state — raw writes not yet folded are
+        # invisible, the documented continuous-aggregate trade.
+        self.rollup_routing = rollup_routing
 
     # --- statement router ---
 
@@ -391,9 +403,237 @@ class SqlSession:
             return self._analyze(q)
         if head in ("DESCRIBE", "DESC"):
             return self._describe(q)
+        if self.rollup_routing and head == "SELECT":
+            routed = self._route_rollup(q)
+            if routed is not None:
+                return self.spark.sql(routed)
         return self.spark.sql(self._rewrite(q))
 
     # --- reference rewriting (SELECT path) ---
+
+    # --- rollup-aware aggregate routing (opt-in; operators/rollup.py) ---
+
+    _ROUTE_BLOCK = re.compile(
+        r"(?i)\b(join|union|intersect|except|minus|distinct|having|over|"
+        r"filter|qualify|window|lateral|with)\b"
+    )
+    _ROUTE_SHAPE = re.compile(
+        r"(?is)^SELECT\s+(.+?)\s+FROM\s+([A-Za-z_][\w.]*)\s*(.*)$"
+    )
+    _ROUTE_TAIL = re.compile(
+        r"(?is)^(?:WHERE\s+(.+?)\s+)?GROUP\s+BY\s+(.+?)"
+        r"(\s+ORDER\s+BY\s+.+?)?(\s+LIMIT\s+\d+)?\s*$"
+    )
+    _ROUTE_COL = re.compile(r"(?is)^([A-Za-z_]\w*)(?:\s+AS\s+([A-Za-z_]\w*))?$")
+    _ROUTE_AGG = re.compile(
+        r"(?is)^(count|sum|min|max|avg)\s*\(\s*(\*|[A-Za-z_]\w*)\s*\)"
+        r"(?:\s+AS\s+([A-Za-z_]\w*))?$"
+    )
+    _ROUTE_TRUNC = re.compile(
+        r"(?is)^date_trunc\s*\(\s*(\x00\d+\x00)\s*,\s*([A-Za-z_]\w*)\s*\)"
+        r"(?:\s+AS\s+([A-Za-z_]\w*))?$"
+    )
+    # WHERE may reference only rollup GROUP columns; these tokens are
+    # the condition grammar, everything else must be a group column
+    _ROUTE_WHERE_KW = {
+        "and", "or", "not", "in", "between", "is", "null", "like",
+        "true", "false", "rlike", "ilike",
+    }
+    _TRUNC_SECS = {"minute": 60, "hour": 3600, "day": 86400}
+    # truncation units whose boundaries are all midnights: any bucket
+    # width dividing a day aligns with them
+    _TRUNC_DAY_ALIGNED = {"week", "month", "quarter", "year"}
+
+    @staticmethod
+    def _interval_seconds(interval: str) -> int | None:
+        m = re.match(
+            r"(?i)^\s*(\d+)\s*(second|minute|hour|day)s?\s*$", interval
+        )
+        if not m:
+            return None
+        return int(m.group(1)) * {
+            "second": 1, "minute": 60, "hour": 3600, "day": 86400,
+        }[m.group(2).lower()]
+
+    def _route_rollup(self, q: str) -> str | None:
+        """Rewrite an in-spec single-table aggregate over a raw table to
+        its continuous rollup (the read half of the continuous-aggregate
+        pattern: TimescaleDB real-time aggregates, Druid rollup reads).
+        Returns the rewritten SQL, or None to leave the query on the
+        normal path — ROUTING IS SOUND-OR-SILENT: anything outside the
+        provable envelope (joins, HAVING, DISTINCT, expressions, WHERE
+        touching non-group columns, a time grain the bucket width
+        doesn't align with, an aggregate with no stored metric) falls
+        through untouched.
+
+        In-spec means: SELECT of group columns / ``date_trunc('<unit>',
+        time_col)`` / count-sum-min-max-avg over plain columns, FROM one
+        raw engine table linked via ``rollup.tables``, optional WHERE
+        over group columns only, GROUP BY required (a GLOBAL aggregate
+        is out of spec: over an empty table it returns one row, while
+        re-aggregating an empty rollup returns NULL sums — the one
+        shape whose routed answer could differ). Aggregates map to
+        re-aggregation of the rollup cells (count→sum of partial
+        counts, sum→sum, min→min, max→max, avg→sum/count of the SAME
+        source column's stored metrics), so any requested grain
+        coarser-or-equal to the bucket and any group subset is exact.
+        The routed answer reflects the rollup's refresh state — raw
+        writes not yet folded are invisible (the continuous-aggregate
+        contract; that is why routing is opt-in)."""
+        mq, lits = _mask_literals(q)
+        if self._ROUTE_BLOCK.search(mq) or mq.lower().count("select") != 1:
+            return None
+        m = self._ROUTE_SHAPE.match(mq.strip())
+        if not m:
+            return None
+        sel_txt, ident, tail = m.group(1), m.group(2), m.group(3)
+        if not self._known(ident):
+            return None
+        tm = self._ROUTE_TAIL.match(tail.strip())
+        if not tm:
+            return None
+        where_txt, grp_txt, order_txt, limit_txt = tm.groups()
+        if order_txt and "(" in order_txt:
+            return None  # aggregate exprs in ORDER BY would need mapping
+        raw = self.catalog.get_table(ident)
+        names = [
+            r for r in raw.schema.options.get("rollup.tables", "").split(",")
+            if r
+        ]
+        if not names:
+            return None
+
+        def _norm(s: str) -> str:
+            return re.sub(r"\s+", "", s.lower())
+
+        for rollup_name in names:
+            try:
+                rollup = self.catalog.get_table(rollup_name)
+                opts = rollup.schema.options
+                time_col = opts["rollup.time-col"]
+                isecs = self._interval_seconds(opts["rollup.interval"])
+                metrics = {
+                    out: tuple(spec)
+                    for out, spec in json.loads(
+                        opts["rollup.metrics"]
+                    ).items()
+                }
+            except Exception:
+                continue
+            if isecs is None:
+                continue
+            groups = set(rollup.schema.primary_keys) - {"bucket_start"}
+            by_srcfn = {
+                (spec[0], spec[1]): out for out, spec in metrics.items()
+            }
+
+            def _map_agg(fn: str, arg: str) -> str | None:
+                if fn == "count":
+                    out = by_srcfn.get(("*" if arg == "*" else arg, "count"))
+                    # coalesce: a GROUP BY group always has >= 1 cell so
+                    # sum(count_metric) is never NULL — but its TYPE is
+                    # nullable, and direct count(*) is not; coalesce
+                    # restores the non-nullable schema bit-equally
+                    return f"coalesce(sum({out}), 0)" if out else None
+                if fn in ("sum", "min", "max"):
+                    out = by_srcfn.get((arg, fn))
+                    return f"{fn}({out})" if out else None
+                s = by_srcfn.get((arg, "sum"))
+                c = by_srcfn.get((arg, "count"))
+                return f"(sum({s}) / sum({c}))" if s and c else None
+
+            def _trunc_ok(unit: str) -> bool:
+                if unit in self._TRUNC_SECS:
+                    return self._TRUNC_SECS[unit] % isecs == 0
+                return unit in self._TRUNC_DAY_ALIGNED and 86400 % isecs == 0
+
+            # GROUP BY items: plain group columns or the aligned trunc
+            grp_out, grp_norms, ok = [], set(), True
+            for item in _split_depth0_parens(grp_txt):
+                item = item.strip()
+                if cm := re.match(r"(?is)^[A-Za-z_]\w*$", item):
+                    if item not in groups:
+                        ok = False
+                        break
+                    grp_out.append(item)
+                    grp_norms.add(_norm(item))
+                elif dm := self._ROUTE_TRUNC.match(item):
+                    unit = _unmask_literals(dm.group(1), lits)[1:-1].lower()
+                    if dm.group(2) != time_col or not _trunc_ok(unit):
+                        ok = False
+                        break
+                    grp_out.append(f"date_trunc('{unit}', bucket_start)")
+                    # canonical rebuilt form (not the raw text: the same
+                    # literal masks to DIFFERENT indices in SELECT vs
+                    # GROUP BY, and quote style may differ)
+                    grp_norms.add(_norm(f"date_trunc('{unit}',{dm.group(2)})"))
+                else:
+                    ok = False
+                    break
+            if not ok:
+                continue
+
+            sel_out = []
+            for item in _split_depth0_parens(sel_txt):
+                item = item.strip()
+                if am := self._ROUTE_AGG.match(item):
+                    fn, arg, alias = (
+                        am.group(1).lower(), am.group(2), am.group(3),
+                    )
+                    mapped = _map_agg(fn, arg)
+                    if mapped is None:
+                        ok = False
+                        break
+                    # preserve Spark's auto-name when unaliased so the
+                    # routed schema is bit-equal to the direct one
+                    alias = alias or f"{fn}({'1' if arg == '*' else arg})"
+                    sel_out.append(f"{mapped} AS `{alias}`")
+                elif cm := self._ROUTE_COL.match(item):
+                    col, alias = cm.group(1), cm.group(2)
+                    if col not in groups or _norm(col) not in grp_norms:
+                        ok = False
+                        break
+                    sel_out.append(f"{col} AS `{alias}`" if alias else col)
+                elif dm := self._ROUTE_TRUNC.match(item):
+                    unit = _unmask_literals(dm.group(1), lits)[1:-1].lower()
+                    expr_norm = _norm(
+                        f"date_trunc('{unit}',{dm.group(2)})"
+                    )
+                    if expr_norm not in grp_norms or not dm.group(3):
+                        # unaliased trunc: Spark's auto-name for the
+                        # rewritten expr would differ — out of spec
+                        ok = False
+                        break
+                    sel_out.append(
+                        f"date_trunc('{unit}', bucket_start) AS "
+                        f"`{dm.group(3)}`"
+                    )
+                else:
+                    ok = False
+                    break
+            if not ok:
+                continue
+
+            if where_txt:
+                toks = set(re.findall(r"[A-Za-z_]\w*", where_txt))
+                if any(
+                    t.lower() not in self._ROUTE_WHERE_KW and t not in groups
+                    for t in toks
+                ):
+                    continue
+
+            view = _view_name("rollup!" + rollup_name)
+            rollup.to_df(self.spark).createOrReplaceTempView(view)
+            new_q = f"SELECT {', '.join(sel_out)} FROM {view}"
+            if where_txt:
+                new_q += f" WHERE {where_txt}"
+            new_q += f" GROUP BY {', '.join(grp_out)}"
+            if order_txt:
+                new_q += order_txt
+            if limit_txt:
+                new_q += limit_txt
+            return _unmask_literals(new_q, lits)
+        return None
 
     def _known(self, ident: str) -> bool:
         base = ident.partition("$")[0].partition("@")[0]

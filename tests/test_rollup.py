@@ -190,3 +190,98 @@ def test_rollup_count_col_and_explicit_dtype(spark, warehouse):
     [r] = ru.refresh().to_df(spark).collect()
     assert (r["n_rows"], r["n_v"], r["s"]) == (3, 2, 7)
     assert dict(ru.refresh().to_df(spark).dtypes)["s"] == "bigint"
+
+
+def test_rollup_routing_parity_and_plan(spark, warehouse):
+    """Opt-in SqlSession rollup routing: in-spec aggregates over the
+    raw table answer from the rollup BIT-EQUAL to the direct plan and
+    never scan raw history; out-of-spec shapes fall through untouched."""
+    from flink_table_store_spark.sql import SqlSession
+
+    raw_rows = _ev(spark, [
+        ("2024-01-01 10:01:00", "a", 1.0),
+        ("2024-01-01 10:14:59", "a", 5.0),
+        ("2024-01-01 10:16:00", "a", 7.0),
+        ("2024-01-01 11:02:00", "b", 2.0),
+        ("2024-01-02 09:30:00", "b", 4.0),
+        ("2024-01-02 23:59:00", "a", None),  # NULL v: count(v) < count(*)
+    ])
+    raw = warehouse.create_table("db.raw_ev_rt", raw_rows.schema)
+    raw.write(raw_rows)
+    ru = create_rollup_table(
+        warehouse,
+        "db.ru_rt",
+        time_col="ts",
+        interval="15 minutes",
+        group_cols=[("kind", "string")],
+        metrics={
+            "n": ("*", "count"),
+            "nv": ("v", "count"),
+            "s": ("v", "sum"),
+            "lo": ("v", "min"),
+            "hi": ("v", "max"),
+        },
+        source="db.raw_ev_rt",
+    )
+    update_rollup(ru, raw_rows, commit_identifier="b0")
+    assert warehouse.get_table("db.raw_ev_rt").schema.options[
+        "rollup.tables"
+    ] == "db.ru_rt"
+
+    routed = SqlSession(spark, warehouse, rollup_routing=True)
+    direct = SqlSession(spark, warehouse)
+    in_spec = [
+        # group subset + every aggregate incl. derived avg
+        "SELECT kind, count(*) AS n, count(v) AS nv, sum(v) AS s, "
+        "min(v) AS lo, max(v) AS hi, avg(v) AS a "
+        "FROM db.raw_ev_rt GROUP BY kind ORDER BY kind",
+        # coarser grain than the 15-minute bucket
+        "SELECT date_trunc('hour', ts) AS h, kind, sum(v) AS s "
+        "FROM db.raw_ev_rt GROUP BY date_trunc('hour', ts), kind "
+        "ORDER BY h, kind",
+        "SELECT date_trunc('day', ts) AS d, count(*) AS n "
+        "FROM db.raw_ev_rt GROUP BY date_trunc('day', ts) ORDER BY d",
+        # WHERE over a group column; unaliased aggregate keeps its name
+        "SELECT kind, count(*) FROM db.raw_ev_rt "
+        "WHERE kind = 'a' GROUP BY kind",
+        "SELECT kind, avg(v) FROM db.raw_ev_rt "
+        "WHERE kind IN ('a', 'b') GROUP BY kind ORDER BY kind LIMIT 5",
+    ]
+    for q in in_spec:
+        assert routed._route_rollup(q) is not None, q
+        got = routed.sql(q)
+        exp = direct.sql(q)
+        # name/type/nullability equal (full equality only differs by
+        # Spark's cosmetic __autoGeneratedAlias metadata on unaliased
+        # aggregates)
+        assert [(f.name, f.dataType, f.nullable) for f in got.schema] == [
+            (f.name, f.dataType, f.nullable) for f in exp.schema
+        ], q
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, exp.collect())
+        ), q
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "raw_ev_rt" not in plan, q  # raw history unscanned
+        # the scan's ReadSchema is the rollup layout (paths truncate)
+        assert "bucket_start" in plan, q
+
+    out_of_spec = [
+        # global aggregate (empty-rollup NULL-sum hazard)
+        "SELECT count(*) AS n FROM db.raw_ev_rt",
+        # WHERE touches the time column (not bucket-aligned provable)
+        "SELECT kind, count(*) AS n FROM db.raw_ev_rt "
+        "WHERE ts >= '2024-01-01' GROUP BY kind",
+        # grain FINER than the bucket
+        "SELECT date_trunc('minute', ts) AS m, count(*) AS n "
+        "FROM db.raw_ev_rt GROUP BY date_trunc('minute', ts)",
+        # expression aggregate / DISTINCT / HAVING / aggregate no metric
+        "SELECT kind, sum(v * 2) AS s FROM db.raw_ev_rt GROUP BY kind",
+        "SELECT kind, count(DISTINCT v) AS n FROM db.raw_ev_rt GROUP BY kind",
+        "SELECT kind, count(*) AS n FROM db.raw_ev_rt GROUP BY kind "
+        "HAVING count(*) > 1",
+        "SELECT kind, avg(ts) AS a FROM db.raw_ev_rt GROUP BY kind",
+    ]
+    for q in out_of_spec:
+        assert routed._route_rollup(q) is None, q
+    # ...and the default session never routes
+    assert direct.rollup_routing is False
