@@ -526,21 +526,67 @@ class SqlSession:
             by_srcfn = {
                 (spec[0], spec[1]): out for out, spec in metrics.items()
             }
+            raw_types = {f.name: f.type.lower() for f in raw.schema.fields}
+            int_t = {"tinyint", "smallint", "int", "integer", "bigint", "long"}
+            flt_t = {"float", "double"}
+
+            def _norm_t(t: str | None) -> str | None:
+                return {"long": "bigint", "integer": "int"}.get(t, t)
+
+            def _mdtype(out: str) -> str:
+                spec = metrics[out]
+                return _norm_t(str(
+                    spec[2] if len(spec) > 2
+                    else ("bigint" if spec[1] == "count" else "double")
+                ).lower())
+
+            def _direct_sum_t(col_t: str | None) -> str | None:
+                # what direct sum(col) types to; decimal re-aggregation
+                # widens precision a second time, so it's out of spec
+                if col_t in int_t:
+                    return "bigint"
+                if col_t in flt_t:
+                    return "double"
+                return None
 
             def _map_agg(fn: str, arg: str) -> str | None:
+                # every branch also proves TYPE parity: the stored
+                # metric dtype must re-aggregate to exactly the type
+                # direct fn(col) would produce, else the routed schema
+                # (or decimal precision) would silently differ
                 if fn == "count":
                     out = by_srcfn.get(("*" if arg == "*" else arg, "count"))
+                    if not out or _mdtype(out) not in int_t:
+                        return None
                     # coalesce: a GROUP BY group always has >= 1 cell so
                     # sum(count_metric) is never NULL — but its TYPE is
                     # nullable, and direct count(*) is not; coalesce
                     # restores the non-nullable schema bit-equally
-                    return f"coalesce(sum({out}), 0)" if out else None
-                if fn in ("sum", "min", "max"):
+                    return f"coalesce(sum({out}), 0)"
+                if fn == "sum":
+                    out = by_srcfn.get((arg, "sum"))
+                    if not out or _mdtype(out) != _direct_sum_t(
+                        raw_types.get(arg)
+                    ):
+                        return None
+                    return f"sum({out})"
+                if fn in ("min", "max"):
                     out = by_srcfn.get((arg, fn))
-                    return f"{fn}({out})" if out else None
+                    if not out or _mdtype(out) != _norm_t(
+                        raw_types.get(arg)
+                    ):
+                        return None
+                    return f"{fn}({out})"
                 s = by_srcfn.get((arg, "sum"))
                 c = by_srcfn.get((arg, "count"))
-                return f"(sum({s}) / sum({c}))" if s and c else None
+                if (
+                    not s or not c
+                    or raw_types.get(arg) not in int_t | flt_t
+                    or _mdtype(s) not in {"bigint", "double"}
+                    or _mdtype(c) not in int_t
+                ):
+                    return None
+                return f"(sum({s}) / sum({c}))"
 
             def _trunc_ok(unit: str) -> bool:
                 if unit in self._TRUNC_SECS:

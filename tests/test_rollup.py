@@ -285,3 +285,25 @@ def test_rollup_routing_parity_and_plan(spark, warehouse):
         assert routed._route_rollup(q) is None, q
     # ...and the default session never routes
     assert direct.rollup_routing is False
+
+    # metric-dtype guard: a sum metric stored as float cannot serve
+    # sum(double col) (direct types to double) — but a well-typed
+    # metric on the same rollup still routes
+    raw2 = warehouse.create_table("db.raw_ev_rt2", raw_rows.schema)
+    raw2.write(raw_rows)
+    ru2 = create_rollup_table(
+        warehouse,
+        "db.ru_rt2",
+        time_col="ts",
+        interval="15 minutes",
+        group_cols=[("kind", "string")],
+        metrics={"s": ("v", "sum", "float"), "n": ("*", "count")},
+        source="db.raw_ev_rt2",
+    )
+    update_rollup(ru2, raw_rows, commit_identifier="b0")
+    assert routed._route_rollup(
+        "SELECT kind, sum(v) AS s FROM db.raw_ev_rt2 GROUP BY kind"
+    ) is None
+    assert routed._route_rollup(
+        "SELECT kind, count(*) AS n FROM db.raw_ev_rt2 GROUP BY kind"
+    ) is not None
