@@ -176,7 +176,6 @@ def mmr_rerank(
     id_col: str = "vec_id",
     score_col: str = "cosine",
     vec_col: str = "embedding",
-    query_vec_col: str = "query_vec",
 ) -> DataFrame:
     """Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998,
     public): greedily pick ``k`` of each query's candidates maximizing
@@ -185,8 +184,10 @@ def mmr_rerank(
     result lists, diverse hard negatives, RAG context selection).
 
     ``candidates``: one row per (query, candidate) with the relevance
-    score and BOTH vectors — exactly what the ``*_topk`` operators
-    produce once joined back to vectors (or ``vector_search`` output).
+    score and the CANDIDATE vector — exactly what the ``*_topk``
+    operators produce once joined back to vectors (the query vector is
+    not needed: relevance is already scored, diversity only compares
+    candidates to each other).
     Ties break to the smaller candidate id; NULL scores are dropped
     (an unscorable candidate cannot be ranked).
 

@@ -6783,3 +6783,102 @@ GROUP BY 1, 2 ORDER BY d, event_type LIMIT 500
 # from the continuous aggregate, raw history unscanned, plan-asserted
 # inside the query function itself)
 QUERIES["sql_rollup_routed"] = (sql_rollup_routed, SQL_ROLLUP_ROUTED_SQL)
+
+
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-rank (Carbonell & Goldstein 1998) over a brute
+    top-20 retrieval stage: greedily pick 3 of each query's candidates
+    maximizing 0.7*relevance - 0.3*(max cosine to the already-picked
+    set). Per-query greedy runs in ONE applyInPandas over the query key
+    (groups are candidate lists, never corpus-sized; the retrieval
+    stage upstream did the heavy lifting). The oracle UNROLLS the k=3
+    greedy into three window-ranked stages — step 1 is pure relevance,
+    steps 2-3 subtract the running max similarity to the picked set —
+    replaying the operator's argmax tie-break (rel desc, id asc)
+    exactly."""
+    from flink_table_store_spark.datapipe.ireval import mmr_rerank
+    from flink_table_store_spark.datapipe.similarity import (
+        brute_force_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    cand = brute_force_topk(emb, queries, k=20).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    out = mmr_rerank(cand, k=3, lambda_=0.7, score_col="cosine")
+    return out.orderBy("query_id", "rank")
+
+
+MMR_DIVERSE_SQL = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+     q AS (SELECT vec_id AS query_id, v AS qv FROM emb WHERE vec_id < 5),
+     cand AS (
+  SELECT query_id, vec_id, rel, v FROM (
+    SELECT q.query_id, e.vec_id, e.v, round(
+      list_dot_product(q.qv, e.v)
+      / (sqrt(list_dot_product(q.qv, q.qv))
+         * sqrt(list_dot_product(e.v, e.v))), 6) AS rel,
+      row_number() OVER (PARTITION BY q.query_id
+        ORDER BY list_dot_product(q.qv, e.v)
+          / (sqrt(list_dot_product(q.qv, q.qv))
+             * sqrt(list_dot_product(e.v, e.v))) DESC,
+          e.vec_id ASC) AS rnk
+    FROM q CROSS JOIN emb e) WHERE rnk <= 20),
+     sim AS (
+  SELECT a.query_id, a.vec_id AS ai, b.vec_id AS bi,
+         CASE WHEN sqrt(list_dot_product(a.v, a.v))
+                   * sqrt(list_dot_product(b.v, b.v)) > 0
+              THEN list_dot_product(a.v, b.v)
+                   / (sqrt(list_dot_product(a.v, a.v))
+                      * sqrt(list_dot_product(b.v, b.v)))
+              ELSE 0.0 END AS s
+  FROM cand a JOIN cand b ON a.query_id = b.query_id),
+     p1 AS (
+  SELECT query_id, vec_id, rel, 0.7 * rel AS mmr FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+      ORDER BY 0.7 * rel DESC, rel DESC, vec_id ASC) AS rn
+    FROM cand) WHERE rn = 1),
+     p2 AS (
+  SELECT query_id, vec_id, rel, mmr FROM (
+    SELECT c.query_id, c.vec_id, c.rel,
+           0.7 * c.rel - 0.3 * s1.s AS mmr,
+           row_number() OVER (PARTITION BY c.query_id
+             ORDER BY 0.7 * c.rel - 0.3 * s1.s DESC,
+                      c.rel DESC, c.vec_id ASC) AS rn
+    FROM cand c
+    JOIN p1 ON p1.query_id = c.query_id AND p1.vec_id <> c.vec_id
+    JOIN sim s1 ON s1.query_id = c.query_id
+               AND s1.ai = c.vec_id AND s1.bi = p1.vec_id)
+  WHERE rn = 1),
+     p3 AS (
+  SELECT query_id, vec_id, rel, mmr FROM (
+    SELECT c.query_id, c.vec_id, c.rel,
+           0.7 * c.rel - 0.3 * greatest(s1.s, s2.s) AS mmr,
+           row_number() OVER (PARTITION BY c.query_id
+             ORDER BY 0.7 * c.rel - 0.3 * greatest(s1.s, s2.s) DESC,
+                      c.rel DESC, c.vec_id ASC) AS rn
+    FROM cand c
+    JOIN p1 ON p1.query_id = c.query_id AND p1.vec_id <> c.vec_id
+    JOIN p2 ON p2.query_id = c.query_id AND p2.vec_id <> c.vec_id
+    JOIN sim s1 ON s1.query_id = c.query_id
+               AND s1.ai = c.vec_id AND s1.bi = p1.vec_id
+    JOIN sim s2 ON s2.query_id = c.query_id
+               AND s2.ai = c.vec_id AND s2.bi = p2.vec_id)
+  WHERE rn = 1)
+SELECT query_id, vec_id, rel AS cosine, round(mmr, 6) AS mmr,
+       rank FROM (
+  SELECT *, 1 AS rank FROM p1
+  UNION ALL SELECT *, 2 AS rank FROM p2
+  UNION ALL SELECT *, 3 AS rank FROM p3)
+ORDER BY query_id, rank
+"""
+
+# judge-run tail: MMR diversity re-rank gated against an unrolled
+# three-stage greedy replay (retrieval post-processing family)
+QUERIES["mmr_diverse_topk"] = (mmr_diverse_topk, MMR_DIVERSE_SQL)
