@@ -6882,3 +6882,406 @@ ORDER BY query_id, rank
 # judge-run tail: MMR diversity re-rank gated against an unrolled
 # three-stage greedy replay (retrieval post-processing family)
 QUERIES["mmr_diverse_topk"] = (mmr_diverse_topk, MMR_DIVERSE_SQL)
+
+
+# ---- round 11: remaining TPC-H shapes (adapted to the slimmed testdata:
+# no partsupp / l_shipmode / l_commitdate / p_container columns exist, so
+# Q2/Q9/Q12/Q16 substitute documented proxies while keeping each query's
+# join/aggregation STRUCTURE — the part Catalyst plans) ----
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a nation's market share inside one region by
+    order year — two-level dim chain (region->nation->supplier) on the
+    supplier side, customer-nation chain restricting the region, and a
+    conditional-share ratio. All dims broadcast; the ratio derives from
+    ALREADY-ROUNDED sums on both engines (fold-order safety)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part")
+    n1 = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == "EUROPE")
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    n2 = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    ))
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("__v")
+    j = (
+        li.join(F.broadcast(part.where(F.col("p_type") == "LARGE")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n1, cust.c_nationkey == F.col("c_nk"), "left_semi")
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(n2, supp.s_nationkey == F.col("s_nk"))
+    )
+    by_year = (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(F.sum(F.when(F.col("supp_nation") == "NATION_1",
+                                 F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                          .otherwise(F.lit(0.0))), 2).alias("__num"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("__den"),
+        )
+    )
+    return by_year.select(
+        "o_year", F.round(F.col("__num") / F.col("__den"), 6).alias("mkt_share")
+    ).orderBy("o_year")
+
+
+Q8_SQL = """
+SELECT o_year, round(num / den, 6) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         round(sum(CASE WHEN n2.n_name = 'NATION_1'
+                        THEN l_extendedprice * (1 - l_discount)
+                        ELSE 0 END), 2) AS num,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS den
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey AND p_type = 'LARGE'
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  GROUP BY 1) t
+ORDER BY o_year
+"""
+
+QUERIES["q8_market_share"] = (q8_market_share, Q8_SQL)
+
+
+def q9_profit_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-profit by supplier nation and order
+    year. The testdata has no partsupp, so ps_supplycost is PROXIED as
+    10% of p_retailprice per unit (documented substitution — the
+    5-table join + LIKE part filter + nation/year rollup structure is
+    what Q9 exercises)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.1) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    j = (
+        li.join(F.broadcast(part.where(F.col("p_name").contains("red"))),
+                li.l_partkey == F.col("p_partkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation"),
+                  F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - 0.1 * p_retailprice * l_quantity), 2) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2 ORDER BY nation, o_year DESC
+"""
+
+QUERIES["q9_profit_shape"] = (q9_profit_shape, Q9_SQL)
+
+
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional priority counts per line category.
+    The testdata has no l_shipmode/commitdate/receiptdate, so the
+    grouping dimension is l_returnflag and 'late' is shipped > 60 days
+    after the order date (documented substitution; the orders-lineitem
+    join + CASE-count split is the Q12 structure)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    hi = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.sum(hi).alias("high_line_count"),
+            F.sum(1 - hi).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+QUERIES["q12_priority_lines"] = (q12_priority_lines, Q12_SQL)
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: top supplier(s) by quarterly revenue — the
+    revenue-view + scalar-max-subquery shape. The max is a 1-row
+    aggregate broadcast back over the per-supplier revenues (no global
+    window, no driver collect); revenue is rounded BEFORE the max so
+    both engines compare identical doubles."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("__mx"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey"), F.col("s_name"), F.col("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+QUERIES["q15_top_supplier"] = (q15_top_supplier, Q15_SQL)
+
+
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    cell, excluding one brand. The testdata has no partsupp, so the
+    part-supplier relation is the OBSERVED distinct (l_partkey,
+    l_suppkey) pairs from lineitem (documented substitution; the
+    distinct-count + multi-attribute grouping + NOT-filter is the Q16
+    structure)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    j = pairs.join(
+        F.broadcast(
+            part.where(
+                (F.col("p_brand") != "Brand#5") & (F.col("p_size") <= 20)
+            )
+        ),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    return (
+        j.groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .limit(200)
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5' AND p_size <= 20
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 200
+"""
+
+QUERIES["q16_supplier_count"] = (q16_supplier_count, Q16_SQL)
+
+
+def q19_disjunctive_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunction of three brand/size/quantity bands — the
+    OR-of-ANDs predicate Catalyst must push into ONE part-join rather
+    than three scans (no p_container in the testdata; brand+size stand
+    in for the container lists)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    band = (
+        ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#14") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#21") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.where(band).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue")
+    )
+
+
+Q19_SQL = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+QUERIES["q19_disjunctive_bands"] = (q19_disjunctive_bands, Q19_SQL)
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper on a
+    multi-supplier finished order — the EXISTS + NOT-EXISTS correlated
+    pair, planned as one left-semi and one left-anti join (no
+    correlated re-scan per row). 'Late' is shipped > 60 days after the
+    order date (no l_commitdate/receiptdate in the testdata)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    late1 = (
+        li.join(orders.where(F.col("o_orderstatus") == "F"),
+                li.l_orderkey == orders.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey", "o_orderdate")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    late3 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    )
+    kept = (
+        late1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            late3,
+            (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        kept.join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, count(*)::BIGINT AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3 JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+"""
+
+QUERIES["q21_waiting_suppliers"] = (q21_waiting_suppliers, Q21_SQL)
+
+
+def q2_min_acctbal_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the region's supplier
+    with the MINIMUM account balance among those observed shipping it
+    — the correlated-min subquery structure (per-part min + equality
+    join back). No partsupp in the testdata: the part-supplier relation
+    is the observed lineitem pairs and s_acctbal proxies
+    ps_supplycost."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    eu_nk = F.broadcast(
+        nation.join(region, nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == "EUROPE")
+        .select("n_nationkey", "n_name")
+    )
+    pairs = (
+        li.select("l_partkey", "l_suppkey").distinct()
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .join(eu_nk, supp.s_nationkey == F.col("n_nationkey"))
+        .join(
+            F.broadcast(part.where(
+                (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+            )),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+    )
+    mins = pairs.groupBy(F.col("p_partkey").alias("__pk")).agg(
+        F.min("s_acctbal").alias("__min_bal")
+    )
+    return (
+        pairs.join(
+            mins,
+            (F.col("p_partkey") == F.col("__pk"))
+            & (F.col("s_acctbal") == F.col("__min_bal")),
+        )
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name",
+                F.col("n_name").alias("nation"),
+                F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("p_partkey", "s_suppkey")
+        .limit(200)
+    )
+
+
+Q2_SQL = """
+WITH pairs AS (
+  SELECT p_partkey, p_brand, s_suppkey, s_name, n_name AS nation, s_acctbal
+  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+  JOIN part ON l_partkey = p_partkey AND p_size = 15 AND p_type = 'LARGE')
+SELECT p_partkey, p_brand, s_suppkey, s_name, nation,
+       round(s_acctbal, 2) AS s_acctbal
+FROM pairs p
+WHERE s_acctbal = (SELECT min(s_acctbal) FROM pairs m
+                   WHERE m.p_partkey = p.p_partkey)
+ORDER BY p_partkey, s_suppkey LIMIT 200
+"""
+
+QUERIES["q2_min_acctbal_supplier"] = (q2_min_acctbal_supplier, Q2_SQL)
