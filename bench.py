@@ -1176,6 +1176,57 @@ def main() -> None:
         model = fit_dsir(target, d10, n_buckets=8192, seed=13)
         dsir_resample(d10, model, 10000).count()
 
+    # --- rollup routing (round 11): the same weekly aggregate answered
+    # from raw lineitem history vs. routed to the 1-day continuous
+    # rollup — the read-half payoff of the continuous-aggregate pattern
+    # (rollup cells ~= days x flags, thousands of times smaller) -------
+    from flink_table_store_spark.operators.rollup import (
+        create_rollup_table,
+        update_rollup,
+    )
+    from flink_table_store_spark.sql import SqlSession
+
+    t_rr_raw = cat.create_table(
+        "bench.li_routed_raw",
+        li.select("l_shipdate", "l_returnflag", "l_quantity").schema,
+        ignore_if_exists=True,
+    )
+    t_rr_raw.write(li.select("l_shipdate", "l_returnflag", "l_quantity"))
+    rr = create_rollup_table(
+        cat,
+        "bench.li_routed_ru",
+        time_col="l_shipdate",
+        interval="1 day",
+        group_cols=[("l_returnflag", "string")],
+        metrics={
+            "n": ("*", "count"),
+            "nq": ("l_quantity", "count"),
+            "lo": ("l_quantity", "min"),
+            "hi": ("l_quantity", "max"),
+        },
+        source="bench.li_routed_raw",
+        ignore_if_exists=True,
+    )
+    update_rollup(rr, li.select("l_shipdate", "l_returnflag", "l_quantity"),
+                  commit_identifier="seed")
+    _rr_q = (
+        "SELECT date_trunc('week', l_shipdate) AS wk, l_returnflag, "
+        "count(*) AS n, min(l_quantity) AS lo, max(l_quantity) AS hi "
+        "FROM bench.li_routed_raw "
+        "GROUP BY date_trunc('week', l_shipdate), l_returnflag"
+    )
+    _s_direct = SqlSession(spark, cat)
+    _s_routed = SqlSession(spark, cat, rollup_routing=True)
+    assert _s_routed._route_rollup(_rr_q) is not None
+
+    @timed("agg_weekly_raw", repeat=3)
+    def _rr_direct():
+        _s_direct.sql(_rr_q).count()
+
+    @timed("agg_weekly_routed", repeat=3)
+    def _rr_routed():
+        _s_routed.sql(_rr_q).count()
+
     total = round(sum(timings.values()), 4)
     upsert_rps = round(n_upsert_rows / timings["upsert"], 1) if timings.get("upsert") else None
     print(
