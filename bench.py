@@ -91,25 +91,33 @@ def main() -> None:
     _status_store = spark._jsparkSession.sharedState().statusStore()
 
     def _max_exec_id() -> int:
-        lst = _status_store.executionsList()
-        n = lst.size()
-        return lst.apply(n - 1).executionId() if n else -1
+        # fingerprints are diagnostics: never let a py4j hiccup here
+        # kill the bench run itself
+        try:
+            lst = _status_store.executionsList()
+            n = lst.size()
+            return lst.apply(n - 1).executionId() if n else -1
+        except Exception:
+            return -1
 
     def _fingerprint(after_id: int) -> dict:
-        lst = _status_store.executionsList()
         execs = exch = bcast = scans = wgl = 0
-        for i in range(lst.size()):
-            e = lst.apply(i)
-            if e.executionId() <= after_id:
-                continue
-            execs += 1
-            desc = e.physicalPlanDescription()
-            bcast += len(set(_re.findall(r"BroadcastExchange \(\d+\)", desc)))
-            exch += len(
-                set(_re.findall(r"(?<![A-Za-z])Exchange \(\d+\)", desc))
-            )
-            scans += len(set(_re.findall(r"Scan [^(]*\((\d+)\)", desc)))
-            wgl += len(set(_re.findall(r"WindowGroupLimit \(\d+\)", desc)))
+        try:
+            lst = _status_store.executionsList()
+            for i in range(lst.size()):
+                e = lst.apply(i)
+                if e.executionId() <= after_id:
+                    continue
+                execs += 1
+                desc = e.physicalPlanDescription()
+                bcast += len(set(_re.findall(r"BroadcastExchange \(\d+\)", desc)))
+                exch += len(
+                    set(_re.findall(r"(?<![A-Za-z])Exchange \(\d+\)", desc))
+                )
+                scans += len(set(_re.findall(r"Scan [^(]*\((\d+)\)", desc)))
+                wgl += len(set(_re.findall(r"WindowGroupLimit \(\d+\)", desc)))
+        except Exception:
+            return {"execs": -1}
         return {
             "execs": execs,
             "exchanges": exch,

@@ -795,6 +795,17 @@ class SqlSession:
                         [t] + [self.catalog.get_table(r) for r in rest],
                         hows=[how] * len(rest),
                     )
+            elif fn in (
+                "paimon_as_of_join", "paimon_sessionize", "paimon_range_join"
+            ) and len(args) < {
+                "paimon_as_of_join": 4,
+                "paimon_sessionize": 3,
+                "paimon_range_join": 6,
+            }[fn]:
+                raise ValueError(
+                    f"{fn}: too few arguments — see the TVF docstring "
+                    "for the positional signature"
+                )
             elif fn == "paimon_as_of_join":
                 # temporal enrichment as a table reference:
                 # SELECT ... FROM paimon_as_of_join('db.l','db.r',
