@@ -7285,3 +7285,29 @@ ORDER BY p_partkey, s_suppkey LIMIT 200
 """
 
 QUERIES["q2_min_acctbal_supplier"] = (q2_min_acctbal_supplier, Q2_SQL)
+
+
+# round-11 rotation: rollup-aware routing and the temporal SQL TVFs are
+# new surface FAMILIES (the continuous-aggregate read path; the SQL
+# door to the temporal operators) and take driver slots. Rotated to the
+# tail: q3_shipping_priority (basic join-agg, the TPC-H family now has
+# 19 oracle rows) and split_train_eval (hash split, the sampler family
+# has 7 tail rows). Both stay oracle-paired in the judge-run tail.
+_R11_NEW = {
+    "sql_rollup_routed": QUERIES["sql_rollup_routed"],
+    "sql_asof_tvf": QUERIES["sql_asof_tvf"],
+}
+_R11_OUT = ["q3_shipping_priority", "split_train_eval"]
+_rebuilt11: dict[str, tuple] = {}
+_new_iter11 = iter(_R11_NEW.items())
+for _k, _v in QUERIES.items():
+    if _k in _R11_NEW:
+        continue  # re-inserted at a window slot
+    if _k in _R11_OUT:
+        _nk, _nv = next(_new_iter11)
+        _rebuilt11[_nk] = _nv
+    else:
+        _rebuilt11[_k] = _v
+for _k in _R11_OUT:
+    _rebuilt11[_k] = QUERIES[_k]
+QUERIES = _rebuilt11
