@@ -22,7 +22,7 @@ import json
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_FNS = {"count", "sum", "min", "max"}
+_FNS = {"count", "sum", "min", "max", "hll"}
 
 
 def create_rollup_table(
@@ -65,8 +65,14 @@ def create_rollup_table(
             )
         dtype = (
             spec[2] if len(spec) > 2
-            else ("bigint" if fn == "count" else "double")
+            else ("bigint" if fn == "count"
+                  else "binary" if fn == "hll" else "double")
         )
+        if fn == "hll" and dtype != "binary":
+            raise ValueError(
+                f"metric {out}: hll metrics are stored as binary "
+                f"DataSketches HLL buffers, got dtype {dtype!r}"
+            )
         norm[out] = (src, fn, dtype)
     metrics = norm
     cols = ["bucket_start timestamp"]
@@ -81,9 +87,16 @@ def create_rollup_table(
     }
     for out, (_src, fn, _dt) in metrics.items():
         # count folds as a sum of partial counts; sum/min/max fold as
-        # themselves — all decomposable, the continuous-aggregate rule
+        # themselves; hll folds as a sketch UNION (merge_engines.py's
+        # hll_sketch aggregator over binary fields) — all decomposable,
+        # the continuous-aggregate rule. HLL is the one APPROXIMATE
+        # metric: union of partials estimates identically to a
+        # single-pass sketch (same lgK), so refresh batching never
+        # changes the answer — but the SQL router never maps
+        # count(DISTINCT) onto it (approximate != direct).
         opts[f"fields.{out}.aggregate-function"] = (
-            "sum" if fn == "count" else fn
+            "sum" if fn == "count"
+            else "hll_sketch" if fn == "hll" else fn
         )
     if source:
         opts["rollup.source"] = source
@@ -147,6 +160,10 @@ def update_rollup(
             agg = (
                 F.count(F.lit(1)) if src == "*" else F.count(F.col(src))
             )
+        elif fn == "hll":
+            # partial sketch per cell; the merge engine UNIONS buffers
+            agg = F.expr(f"hll_sketch_agg(`{src}`)")
+            dt = None  # already binary
         else:
             agg = getattr(F, fn)(F.col(src))
         if dt:
@@ -185,6 +202,23 @@ def rollup_avg(sum_col: str, count_col: str):
     """avg = sum/count at read — the derived aggregate the storage
     never needs to hold."""
     return F.try_divide(F.col(sum_col), F.col(count_col))
+
+
+def rollup_distinct(hll_col: str):
+    """Distinct-count estimate of an ``hll`` metric at the rollup's own
+    grain — ``hll_sketch_estimate`` over the stored (already-unioned)
+    buffer."""
+    return F.expr(f"hll_sketch_estimate(`{hll_col}`)")
+
+
+def rollup_distinct_at(hll_col: str):
+    """AGGREGATE form for re-graining: union the cells' sketches under
+    any coarser GROUP BY, then estimate — e.g.
+    ``df.groupBy(date_trunc('week', bucket_start)).agg(
+    rollup_distinct_at('uniques'))``. Union is associative and
+    idempotent on HLL buffers, so the weekly estimate equals what a
+    single-pass weekly sketch would report (same lgK)."""
+    return F.expr(f"hll_sketch_estimate(hll_union_agg(`{hll_col}`, true))")
 
 
 def rollup_stream(

@@ -307,3 +307,77 @@ def test_rollup_routing_parity_and_plan(spark, warehouse):
     assert routed._route_rollup(
         "SELECT kind, count(*) AS n FROM db.raw_ev_rt2 GROUP BY kind"
     ) is not None
+
+
+def test_rollup_hll_distinct_metric(spark, warehouse):
+    """hll metrics: per-cell partial sketches union through the merge
+    engine across refresh batches, and BOTH the bucket-grain estimate
+    and a re-grained (coarser) union-then-estimate equal a direct
+    single-pass sketch of the raw history — batching never changes the
+    answer."""
+    from flink_table_store_spark.operators.rollup import (
+        create_rollup_table,
+        rollup_distinct,
+        rollup_distinct_at,
+        update_rollup,
+    )
+
+    rows = spark.createDataFrame(
+        [(f"2024-01-01 {h:02d}:{m:02d}:00", "a", (h * 7 + m) % 13)
+         for h in range(4) for m in range(0, 60, 5)]
+        + [(f"2024-01-01 0{h}:01:00", "b", h) for h in range(4)],
+        "ts string, kind string, uid bigint",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ru = create_rollup_table(
+        warehouse,
+        "db.ru_hll",
+        time_col="ts",
+        interval="1 hour",
+        group_cols=[("kind", "string")],
+        metrics={"n": ("*", "count"), "uniq": ("uid", "hll")},
+    )
+    b0 = rows.where("uid % 2 = 0")
+    b1 = rows.where("uid % 2 = 1")
+    update_rollup(ru, b0, commit_identifier="b0")
+    update_rollup(ru, b1, commit_identifier="b1")
+    update_rollup(ru, b0, commit_identifier="b0")  # replay no-op
+
+    got = {
+        (str(r["bucket_start"]), r["kind"]): r["uniq_est"]
+        for r in ru.refresh().to_df(spark)
+        .select("bucket_start", "kind", rollup_distinct("uniq").alias("uniq_est"))
+        .collect()
+    }
+    direct = {
+        (str(r["bucket_start"]), r["kind"]): r["uniq_est"]
+        for r in rows.groupBy(
+            F.window("ts", "1 hour")["start"].alias("bucket_start"), "kind"
+        )
+        .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(uid))").alias("uniq_est"))
+        .collect()
+    }
+    assert got == direct and len(got) == 8
+
+    # coarser grain: union cells to the day, estimate == direct daily
+    regrained = {
+        r["kind"]: r["u"]
+        for r in ru.refresh().to_df(spark)
+        .groupBy("kind")
+        .agg(rollup_distinct_at("uniq").alias("u"))
+        .collect()
+    }
+    direct_day = {
+        r["kind"]: r["u"]
+        for r in rows.groupBy("kind")
+        .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(uid))").alias("u"))
+        .collect()
+    }
+    assert regrained == direct_day
+    assert regrained["a"] == 13 and regrained["b"] == 4
+
+    # hll metrics demand binary storage
+    with pytest.raises(ValueError, match="binary"):
+        create_rollup_table(
+            warehouse, "db.ru_hll_bad", time_col="ts", interval="1 hour",
+            metrics={"u": ("uid", "hll", "double")},
+        )
