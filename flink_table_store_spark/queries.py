@@ -7311,3 +7311,63 @@ for _k, _v in QUERIES.items():
 for _k in _R11_OUT:
     _rebuilt11[_k] = QUERIES[_k]
 QUERIES = _rebuilt11
+
+
+def events_rollup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct-count rollup metric: daily (bucket, event_type)
+    cells hold per-cell DataSketches HLL buffers folded by the
+    aggregation merge engine across TWO refresh batches (+ one replayed
+    batch, identifier-skipped); the read re-grains to event_type by
+    UNIONING the cells' sketches and estimating. Oracle-exact because
+    DataSketches HLL stays in coupon (LIST/SET) mode — lossless — far
+    past this data's per-group cardinality (~150 users at sf0.01 vs
+    the ~512-coupon promotion bound), so the estimate IS the exact
+    distinct count DuckDB computes. The row gates the whole path:
+    partial-sketch build, binary union folds, exactly-once replay,
+    union-at-read re-graining."""
+    from flink_table_store_spark.operators.rollup import (
+        create_rollup_table,
+        rollup_distinct_at,
+        update_rollup,
+    )
+
+    cat = _wh(sf_dir)
+    ev = _events(spark, sf_dir).select("ts", "event_type", "user_id")
+    rollup = create_rollup_table(
+        cat,
+        "default.ev_uniq_ru",
+        time_col="ts",
+        interval="1 day",
+        group_cols=[("event_type", "string")],
+        metrics={"n": ("*", "count"), "uniq": ("user_id", "hll")},
+        ignore_if_exists=True,
+    )
+    update_rollup(rollup, ev.where(F.col("user_id") % 2 == 0),
+                  commit_identifier="even")
+    update_rollup(rollup, ev.where(F.col("user_id") % 2 == 1),
+                  commit_identifier="odd")
+    update_rollup(rollup, ev.where(F.col("user_id") % 2 == 0),
+                  commit_identifier="even")  # replay: no-op
+    return (
+        rollup.refresh().to_df(spark)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            rollup_distinct_at("uniq").cast("bigint").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_ROLLUP_DISTINCT_SQL = """
+SELECT event_type, count(*)::BIGINT AS n_events,
+       count(DISTINCT user_id)::BIGINT AS n_users
+FROM events WHERE ts IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+# judge-run tail: HLL rollup metric (sketch-union continuous aggregate,
+# exact in coupon mode at this cardinality)
+QUERIES["events_rollup_distinct"] = (
+    events_rollup_distinct, EVENTS_ROLLUP_DISTINCT_SQL,
+)
