@@ -91,6 +91,54 @@ def main() -> None:
         print(f"  top session: user {r['user_id']} #{r['session_id']} "
               f"events={r['n_events']} value={r['sum_value']}")
 
+    # 5. the SQL surface (round 11): the same operators as table-valued
+    # functions, plus rollup-aware routing — an in-spec aggregate over
+    # the RAW table answers from the rollup without scanning history
+    from flink_table_store_spark.operators.rollup import rollup_distinct_at
+    from flink_table_store_spark.sql import SqlSession
+
+    raw = cat.create_table(
+        "db.events_raw", ev.select("ts", "event_type", "user_id", "value").schema
+    )
+    raw.write(ev.select("ts", "event_type", "user_id", "value"))
+    ru2 = create_rollup_table(
+        cat, "db.events_1d", time_col="ts", interval="1 day",
+        group_cols=[("event_type", "string")],
+        metrics={
+            "n": ("*", "count"),
+            "sv": ("value", "sum"),
+            "nv": ("value", "count"),
+            "uniq": ("user_id", "hll"),   # distinct users, any grain
+        },
+        source="db.events_raw",           # links raw -> rollup for routing
+    )
+    update_rollup(ru2, ev.select("ts", "event_type", "user_id", "value"), "seed")
+
+    s = SqlSession(spark, cat, rollup_routing=True)
+    routed = s.sql(
+        "SELECT event_type, count(*) AS n, avg(value) AS avg_value "
+        "FROM db.events_raw GROUP BY event_type ORDER BY event_type"
+    )
+    print("routed aggregate (raw table never scanned):")
+    for r in routed.collect():
+        print(f"  {r['event_type']}: n={r['n']} avg={round(r['avg_value'], 2)}")
+    uniq = (
+        ru2.refresh().to_df(spark)
+        .agg(rollup_distinct_at("uniq").cast("bigint").alias("u"))
+        .collect()[0]["u"]
+    )
+    print(f"distinct users (HLL union over daily cells): {uniq}")
+
+    tvf = s.sql(
+        "SELECT user_id, count(*) AS n_sessions FROM ("
+        "SELECT DISTINCT user_id, session_id FROM "
+        "paimon_sessionize('db.events_raw', 'ts', 1800, 'user_id')) "
+        "GROUP BY user_id ORDER BY n_sessions DESC, user_id LIMIT 3"
+    )
+    print("busiest users by session count (paimon_sessionize TVF):")
+    for r in tvf.collect():
+        print(f"  user {r['user_id']}: {r['n_sessions']} sessions")
+
 
 if __name__ == "__main__":
     main()
