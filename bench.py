@@ -1184,6 +1184,34 @@ def main() -> None:
         model = fit_dsir(target, d10, n_buckets=8192, seed=13)
         dsir_resample(d10, model, 10000).count()
 
+    @timed("asof_join_10x", repeat=3)
+    def _asof10():
+        # 10x linearity twin for the temporal family: the union-tag
+        # plan is one keyed shuffle + one keyed window, so per-row cost
+        # at 10x (key-shifted event copies, same per-key density) must
+        # stay flat — a candidate blow-up (theta-join shape) would
+        # explode superlinearly instead
+        from flink_table_store_spark.operators.temporal import as_of_join
+        from flink_table_store_spark.queries import _events
+
+        ev = _events(spark, sf_dir)
+        ev10 = ev.selectExpr(
+            "explode(sequence(0, 9)) AS __c", "*"
+        ).select(
+            (F.col("user_id") + F.col("__c") * 10_000_000).alias("user_id"),
+            "event_id", "ts", "event_type", "value",
+        )
+        views = ev10.where(F.col("event_type") == "view").select(
+            "event_id", "user_id", "ts"
+        )
+        clicks = ev10.where(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("value").alias("click_value")
+        )
+        as_of_join(
+            views, clicks, "ts", by=["user_id"],
+            right_cols=["click_value"],
+        ).count()
+
     # --- rollup routing (round 11): the same weekly aggregate answered
     # from raw lineitem history vs. routed to the 1-day continuous
     # rollup — the read-half payoff of the continuous-aggregate pattern

@@ -547,8 +547,16 @@ def _create_rollup(spark, cat, a):
     metrics = {}
     for m in str(a.pop("metrics")).split(","):
         out, spec = m.split("=", 1)
-        src, fn = spec.rsplit(":", 1)
-        metrics[out.strip()] = (src.strip(), fn.strip())
+        # out=src:fn[:dtype] — e.g. 'n=*:count', 's=v:sum:bigint',
+        # 'uniq=user_id:hll'; dtype may itself contain ':'-free text
+        # only (decimal(20,2) has no colon)
+        parts = [p.strip() for p in spec.split(":")]
+        if len(parts) not in (2, 3):
+            raise ValueError(
+                f"metrics entry {m.strip()!r} must be "
+                "'out=src:fn' or 'out=src:fn:dtype'"
+            )
+        metrics[out.strip()] = tuple(parts)
     create_rollup_table(
         cat,
         a.pop("rollup"),
