@@ -198,6 +198,74 @@ def update_rollup(
     rollup.refresh().write(rows, commit_identifier=commit_identifier or "")
 
 
+def refresh_rollup_incremental(spark, rollup, source) -> dict:
+    """Fold exactly the SOURCE rows committed since the last incremental
+    refresh — continuous-aggregate maintenance driven by the source
+    table's own snapshots (TimescaleDB refresh policies / Druid
+    auto-compaction, but exact): the last-refreshed snapshot rides in
+    the rollup's options, the delta is one ``incremental_read`` of
+    ``(last, latest]``, and the fold's commit identifier encodes the
+    RANGE so every crash window self-heals:
+
+    * crash after the fold commit but before the option advance — the
+      next call derives the range end from the committed identifier
+      (``rollup-incr:<from>:to:<end>``) and advances the option FIRST,
+      so new source commits can never be double-folded (commit-order
+      replay derivation, the curation-writer / global-index protocol);
+    * replay with no new source commits — the identifier-checked fold
+      is a no-op;
+    * crash before the fold commit — nothing happened.
+
+    Insert-only contract: the source must be an append table (a PK
+    update's delta row would ADD to sum/count cells that already hold
+    the key's old contribution); PK sources are refused — feed those
+    through ``rollup_stream`` over the changelog instead. Do not mix
+    manual ``update_rollup`` batches with incremental refreshes of the
+    same rows (disjoint identifiers cannot deduplicate each other).
+
+    Returns ``{"from": a, "to": b, "folded": bool}``."""
+    if source.is_primary_key_table():
+        raise ValueError(
+            "refresh_rollup_incremental requires an append (insert-only) "
+            "source: a PK update's delta would double-fold the key's old "
+            "contribution; maintain from the changelog via rollup_stream "
+            "instead"
+        )
+    opts = rollup.schema.options
+    last = int(opts.get("rollup.source-snapshot", "0"))
+    prefix = f"rollup-incr:{last}:to:"
+    # the crashed fold is necessarily a recent rollup commit, so the
+    # heal scan is bounded (newest-first); like the engine's own
+    # commit-identifier dedup, the protocol assumes snapshot retention
+    # outlives the retry horizon — don't expire snapshots faster than
+    # a crashed refresher could plausibly come back
+    for sid in reversed(rollup.snapshots.snapshot_ids()[-200:]):
+        ident = rollup.snapshots.load(sid).commit_identifier
+        if ident.startswith(prefix):
+            # a previous refresh folded this range but died before
+            # advancing the option: complete its bookkeeping first
+            healed = int(ident[len(prefix):])
+            rollup.evolve_schema([
+                {"action": "set_option", "key": "rollup.source-snapshot",
+                 "value": str(healed)},
+            ])
+            rollup = rollup.refresh()
+            last = healed
+            break
+    latest = source.snapshots.latest_id()
+    if latest is None or latest <= last:
+        return {"from": last, "to": last, "folded": False}
+    batch = source.incremental_read(spark, last, latest, scan_mode="delta")
+    update_rollup(
+        rollup, batch, commit_identifier=f"rollup-incr:{last}:to:{latest}"
+    )
+    rollup.evolve_schema([
+        {"action": "set_option", "key": "rollup.source-snapshot",
+         "value": str(latest)},
+    ])
+    return {"from": last, "to": latest, "folded": True}
+
+
 def rollup_avg(sum_col: str, count_col: str):
     """avg = sum/count at read — the derived aggregate the storage
     never needs to hold."""

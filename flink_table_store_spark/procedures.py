@@ -571,11 +571,26 @@ def _create_rollup(spark, cat, a):
 
 def _refresh_rollup(spark, cat, a):
     """CALL sys.refresh_rollup(rollup => 'db.r1h',
-    from_table => 'db.events', commit_identifier => ...)."""
-    from flink_table_store_spark.operators.rollup import update_rollup
+    from_table => 'db.events', commit_identifier => ...) — or with
+    incremental => true, fold exactly the source rows committed since
+    the last incremental refresh (snapshot-range identifiers,
+    crash-self-healing; see rollup.refresh_rollup_incremental)."""
+    from flink_table_store_spark.operators.rollup import (
+        refresh_rollup_incremental,
+        update_rollup,
+    )
 
     ru = cat.get_table(a.pop("rollup"))
-    batch = cat.get_table(a.pop("from_table")).to_df(spark)
+    src = cat.get_table(a.pop("from_table"))
+    if str(a.pop("incremental", "")).lower() in ("true", "1"):
+        if a.get("where"):
+            raise ValueError(
+                "refresh_rollup: incremental => true derives its own "
+                "batch (the source delta); 'where' is not composable "
+                "with it"
+            )
+        return refresh_rollup_incremental(spark, ru, src)
+    batch = src.to_df(spark)
     if a.get("where"):
         batch = batch.where(a.pop("where"))
     update_rollup(ru, batch, a.pop("commit_identifier", None))

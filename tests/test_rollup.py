@@ -381,3 +381,73 @@ def test_rollup_hll_distinct_metric(spark, warehouse):
             warehouse, "db.ru_hll_bad", time_col="ts", interval="1 hour",
             metrics={"u": ("uid", "hll", "double")},
         )
+
+
+def test_rollup_incremental_refresh_and_crash_heal(spark, warehouse):
+    """refresh_rollup_incremental folds exactly the source delta per
+    call, a replayed call is a no-op, the crash window (fold committed,
+    option not advanced) self-heals even when NEW source commits landed
+    before the retry, and PK sources are refused."""
+    from flink_table_store_spark.operators.rollup import (
+        refresh_rollup_incremental,
+        update_rollup,
+    )
+
+    src = warehouse.create_table("db.inc_src", "ts timestamp, kind string, v double")
+    ru = create_rollup_table(
+        warehouse, "db.inc_ru", time_col="ts", interval="1 hour",
+        group_cols=[("kind", "string")],
+        metrics={"n": ("*", "count"), "s": ("v", "sum")},
+    )
+    src.write(_ev(spark, [("2024-01-01 10:01:00", "a", 1.0)]))
+    src.write(_ev(spark, [("2024-01-01 10:02:00", "a", 2.0)]))
+    r1 = refresh_rollup_incremental(spark, ru, src.refresh())
+    assert r1["folded"] and r1["from"] == 0 and r1["to"] == 2
+    # replay with no new commits: no-op
+    r2 = refresh_rollup_incremental(spark, warehouse.get_table("db.inc_ru"), src.refresh())
+    assert not r2["folded"] and r2["from"] == r2["to"] == 2
+
+    def cells():
+        return {
+            r["kind"]: (r["n"], r["s"])
+            for r in warehouse.get_table("db.inc_ru").to_df(spark).collect()
+        }
+
+    assert cells() == {"a": (2, 3.0)}
+
+    # crash simulation: fold the next range by hand with the protocol
+    # identifier but DON'T advance the option, then land a NEW source
+    # commit before the retry
+    src.write(_ev(spark, [("2024-01-01 10:03:00", "b", 5.0)]))      # snap 3
+    ru2 = warehouse.get_table("db.inc_ru")
+    crashed_batch = src.refresh().incremental_read(spark, 2, 3, scan_mode="delta")
+    update_rollup(ru2, crashed_batch, commit_identifier="rollup-incr:2:to:3")
+    src.write(_ev(spark, [("2024-01-01 10:04:00", "b", 7.0)]))      # snap 4
+    r3 = refresh_rollup_incremental(
+        spark, warehouse.get_table("db.inc_ru"), src.refresh()
+    )
+    # heal advanced to 3 first, then folded exactly (3, 4]
+    assert r3 == {"from": 3, "to": 4, "folded": True}
+    assert cells() == {"a": (2, 3.0), "b": (2, 12.0)}
+    assert warehouse.get_table("db.inc_ru").schema.options[
+        "rollup.source-snapshot"
+    ] == "4"
+
+    # PK sources are refused (delta would double-fold updated keys)
+    pk = warehouse.create_table(
+        "db.inc_pk", "k bigint, ts timestamp, v double",
+        primary_keys=["k"], options={"bucket": "1"},
+    )
+    with pytest.raises(ValueError, match="append"):
+        refresh_rollup_incremental(spark, ru, pk)
+
+    # procedure surface
+    from flink_table_store_spark.procedures import call
+
+    src.write(_ev(spark, [("2024-01-01 10:05:00", "a", 9.0)]))      # snap 5
+    out = call(
+        spark, warehouse, "refresh_rollup",
+        rollup="db.inc_ru", from_table="db.inc_src", incremental=True,
+    )
+    assert out == {"from": 4, "to": 5, "folded": True}
+    assert cells() == {"a": (3, 12.0), "b": (2, 12.0)}
