@@ -37,7 +37,8 @@ _REF = re.compile(
 _TVF = re.compile(
     r"(?i)\b(paimon_incremental_query|paimon_incremental_between_timestamp|"
     r"paimon_incremental_to_auto_tag|paimon_bucketed_join|"
-    r"paimon_as_of_join|paimon_sessionize|paimon_range_join)\s*\(([^()]*)\)"
+    r"paimon_as_of_join|paimon_sessionize|paimon_range_join|"
+    r"paimon_funnel|paimon_retention)\s*\(([^()]*)\)"
 )
 _KEYWORDS = {
     "select", "values", "unnest", "lateral", "table", "range",
@@ -796,11 +797,13 @@ class SqlSession:
                         hows=[how] * len(rest),
                     )
             elif fn in (
-                "paimon_as_of_join", "paimon_sessionize", "paimon_range_join"
+                "paimon_as_of_join", "paimon_sessionize",
+                "paimon_range_join", "paimon_funnel",
             ) and len(args) < {
                 "paimon_as_of_join": 4,
                 "paimon_sessionize": 3,
                 "paimon_range_join": 6,
+                "paimon_funnel": 2,
             }[fn]:
                 raise ValueError(
                     f"{fn}: too few arguments — see the TVF docstring "
@@ -874,6 +877,42 @@ class SqlSession:
                     val_col=str(args[4]),
                     bin_width=float(args[5]),
                     extra_keys=extra,
+                )
+            elif fn == "paimon_funnel":
+                # SELECT ... FROM paimon_funnel('db.events','steps_csv'
+                #   [,'step_col'[,'time_col'[,'user_col'
+                #   [,within_seconds]]]])
+                # — ordered earliest-match funnel as a table reference
+                # (one row per step-1 user, step_i_ts columns).
+                from flink_table_store_spark.operators.temporal import (
+                    funnel,
+                )
+
+                steps = [s.strip() for s in str(args[1]).split(",") if s.strip()]
+                df = funnel(
+                    t.to_df(self.spark),
+                    steps,
+                    step_col=str(args[2]) if len(args) > 2 else "event_type",
+                    time_col=str(args[3]) if len(args) > 3 else "ts",
+                    user_col=str(args[4]) if len(args) > 4 else "user_id",
+                    within_seconds=(
+                        float(args[5]) if len(args) > 5 else None
+                    ),
+                )
+            elif fn == "paimon_retention":
+                # SELECT ... FROM paimon_retention('db.events'
+                #   [,'time_col'[,'user_col'[,'period']]])
+                # — the cohort-retention triangle (cohort,
+                # periods_since, n_users).
+                from flink_table_store_spark.operators.temporal import (
+                    retention_cohorts,
+                )
+
+                df = retention_cohorts(
+                    t.to_df(self.spark),
+                    time_col=str(args[1]) if len(args) > 1 else "ts",
+                    user_col=str(args[2]) if len(args) > 2 else "user_id",
+                    period=str(args[3]) if len(args) > 3 else "week",
                 )
             elif fn == "paimon_incremental_query":
                 df = t.incremental_read(self.spark, int(args[1]), int(args[2]))

@@ -1144,3 +1144,48 @@ def test_sql_temporal_tvfs(spark, warehouse):
     )
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in exp.collect()]
     assert sum(r.n for r in got.collect()) == 6
+
+
+def test_sql_funnel_retention_tvfs(spark, warehouse):
+    """paimon_funnel / paimon_retention TVFs match the Python operators
+    on the same engine table."""
+    from flink_table_store_spark.operators.temporal import (
+        funnel,
+        retention_cohorts,
+    )
+    from flink_table_store_spark.sql import SqlSession
+
+    ev = spark.createDataFrame(
+        [(1, "view", "2024-01-01 10:00:00"),
+         (1, "click", "2024-01-01 10:05:00"),
+         (1, "buy", "2024-01-01 10:10:00"),
+         (2, "view", "2024-01-02 09:00:00"),
+         (2, "click", "2024-01-09 09:30:00"),
+         (3, "click", "2024-01-01 08:00:00")],
+        "user_id bigint, event_type string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    te = warehouse.create_table("db.tvf_fr", ev.schema)
+    te.write(ev)
+    s = SqlSession(spark, warehouse)
+
+    got = s.sql(
+        "SELECT * FROM paimon_funnel('db.tvf_fr', 'view,click,buy') "
+        "ORDER BY user_id"
+    )
+    exp = funnel(te.to_df(spark), ["view", "click", "buy"]).orderBy("user_id")
+    assert got.columns == exp.columns
+    assert [tuple(map(str, r)) for r in got.collect()] == [
+        tuple(map(str, r)) for r in exp.collect()
+    ]
+    assert [r.user_id for r in got.collect()] == [1, 2]  # user 3 never views
+
+    got = s.sql(
+        "SELECT * FROM paimon_retention('db.tvf_fr', 'ts', 'user_id', "
+        "'week') ORDER BY cohort, periods_since"
+    )
+    exp = retention_cohorts(te.to_df(spark), period="week").orderBy(
+        "cohort", "periods_since"
+    )
+    assert [tuple(map(str, r)) for r in got.collect()] == [
+        tuple(map(str, r)) for r in exp.collect()
+    ]
