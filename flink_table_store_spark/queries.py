@@ -6757,6 +6757,7 @@ def sql_rollup_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "count(value) AS nv, min(value) AS lo, max(value) AS hi "
         "FROM default.ev_routed_raw "
         "WHERE event_type IN ('view', 'click', 'purchase') "
+        "AND ts >= '2024-01-05' AND ts < '2024-01-25' "
         "GROUP BY date_trunc('day', ts), event_type "
         "ORDER BY d, event_type LIMIT 500"
     )
@@ -6776,6 +6777,7 @@ SELECT date_trunc('day', ts)::TIMESTAMP AS d, event_type,
        min(value) AS lo, max(value) AS hi
 FROM events
 WHERE event_type IN ('view', 'click', 'purchase')
+  AND ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-25'
 GROUP BY 1, 2 ORDER BY d, event_type LIMIT 500
 """
 

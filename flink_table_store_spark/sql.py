@@ -446,6 +446,46 @@ class SqlSession:
     _TRUNC_DAY_ALIGNED = {"week", "month", "quarter", "year"}
 
     @staticmethod
+    def _split_top_and(s: str) -> list[str]:
+        """Split on AND at paren depth 0 (case-insensitive)."""
+        out, depth, start, i, n = [], 0, 0, 0, len(s)
+        while i < n:
+            c = s[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif depth == 0 and s[i:i + 3].upper() == "AND" and (
+                (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+                and (i + 3 >= n or not (s[i + 3].isalnum() or s[i + 3] == "_"))
+            ):
+                out.append(s[start:i])
+                i += 3
+                start = i
+                continue
+            i += 1
+        out.append(s[start:])
+        return out
+
+    @staticmethod
+    def _aligned_epoch(lit: str, isecs: int) -> bool:
+        """True if the timestamp literal sits exactly on a bucket
+        boundary (UTC session timezone; buckets are epoch-aligned)."""
+        import datetime as _d
+
+        for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S",
+                    "%Y-%m-%dT%H:%M:%S", "%Y-%m-%d"):
+            try:
+                dt = _d.datetime.strptime(lit, fmt)
+                break
+            except ValueError:
+                continue
+        else:
+            return False
+        epoch = (dt - _d.datetime(1970, 1, 1)).total_seconds()
+        return epoch == int(epoch) and int(epoch) % isecs == 0
+
+    @staticmethod
     def _interval_seconds(interval: str) -> int | None:
         m = re.match(
             r"(?i)^\s*(\d+)\s*(second|minute|hour|day)s?\s*$", interval
@@ -661,19 +701,52 @@ class SqlSession:
             if not ok:
                 continue
 
+            where_out = where_txt
             if where_txt:
-                toks = set(re.findall(r"[A-Za-z_]\w*", where_txt))
-                if any(
-                    t.lower() not in self._ROUTE_WHERE_KW and t not in groups
-                    for t in toks
-                ):
+                # each top-level conjunct must be either group-col-only
+                # (internal OR fine) or a BUCKET-ALIGNED half-open time
+                # bound: `time >= lit` / `time < lit` with the literal
+                # exactly on a bucket boundary rewrites to the same
+                # bound on bucket_start (every raw row of a bucket is
+                # in-range iff the bucket is). `>`, `<=`, BETWEEN and
+                # unaligned literals cannot be expressed bucket-exactly
+                # and fall through.
+                conjs, ok_w = [], True
+                for conj in self._split_top_and(where_txt):
+                    tp = re.match(
+                        r"(?is)^\s*`?(\w+)`?\s*(>=|<)\s*(\x00\d+\x00)\s*$",
+                        conj,
+                    )
+                    if tp and tp.group(1) == time_col:
+                        lit = _unmask_literals(tp.group(3), lits)
+                        if not (
+                            len(lit) >= 2 and lit[0] in "'\""
+                            and self._aligned_epoch(lit[1:-1], isecs)
+                        ):
+                            ok_w = False
+                            break
+                        conjs.append(
+                            f"bucket_start {tp.group(2)} {tp.group(3)}"
+                        )
+                        continue
+                    toks = set(re.findall(r"[A-Za-z_]\w*", conj))
+                    if any(
+                        t.lower() not in self._ROUTE_WHERE_KW
+                        and t not in groups
+                        for t in toks
+                    ):
+                        ok_w = False
+                        break
+                    conjs.append(conj.strip())
+                if not ok_w:
                     continue
+                where_out = " AND ".join(conjs)
 
             view = _view_name("rollup!" + rollup_name)
             rollup.to_df(self.spark).createOrReplaceTempView(view)
             new_q = f"SELECT {', '.join(sel_out)} FROM {view}"
             if where_txt:
-                new_q += f" WHERE {where_txt}"
+                new_q += f" WHERE {where_out}"
             new_q += f" GROUP BY {', '.join(grp_out)}"
             if order_txt:
                 new_q += order_txt

@@ -246,6 +246,14 @@ def test_rollup_routing_parity_and_plan(spark, warehouse):
         "WHERE kind = 'a' GROUP BY kind",
         "SELECT kind, avg(v) FROM db.raw_ev_rt "
         "WHERE kind IN ('a', 'b') GROUP BY kind ORDER BY kind LIMIT 5",
+        # bucket-aligned half-open time bounds route (>= / < on 15-min
+        # boundaries), composed with group predicates
+        "SELECT kind, count(*) AS n FROM db.raw_ev_rt "
+        "WHERE ts >= '2024-01-01 10:15:00' AND ts < '2024-01-02' "
+        "GROUP BY kind ORDER BY kind",
+        "SELECT kind, sum(v) AS s FROM db.raw_ev_rt "
+        "WHERE ts >= '2024-01-01' AND (kind = 'a' OR kind = 'b') "
+        "GROUP BY kind ORDER BY kind",
     ]
     for q in in_spec:
         assert routed._route_rollup(q) is not None, q
@@ -268,9 +276,15 @@ def test_rollup_routing_parity_and_plan(spark, warehouse):
     out_of_spec = [
         # global aggregate (empty-rollup NULL-sum hazard)
         "SELECT count(*) AS n FROM db.raw_ev_rt",
-        # WHERE touches the time column (not bucket-aligned provable)
+        # unaligned / non-half-open time bounds cannot be bucket-exact
         "SELECT kind, count(*) AS n FROM db.raw_ev_rt "
-        "WHERE ts >= '2024-01-01' GROUP BY kind",
+        "WHERE ts >= '2024-01-01 10:10:00' GROUP BY kind",
+        "SELECT kind, count(*) AS n FROM db.raw_ev_rt "
+        "WHERE ts > '2024-01-01 10:15:00' GROUP BY kind",
+        "SELECT kind, count(*) AS n FROM db.raw_ev_rt "
+        "WHERE ts BETWEEN '2024-01-01' AND '2024-01-02' GROUP BY kind",
+        "SELECT kind, count(*) AS n FROM db.raw_ev_rt "
+        "WHERE ts >= '2024-01-01' OR kind = 'a' GROUP BY kind",
         # grain FINER than the bucket
         "SELECT date_trunc('minute', ts) AS m, count(*) AS n "
         "FROM db.raw_ev_rt GROUP BY date_trunc('minute', ts)",
