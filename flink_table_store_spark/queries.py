@@ -7373,3 +7373,46 @@ GROUP BY event_type ORDER BY event_type
 QUERIES["events_rollup_distinct"] = (
     events_rollup_distinct, EVENTS_ROLLUP_DISTINCT_SQL,
 )
+
+
+def sql_asof_grammar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB-style ASOF LEFT JOIN *grammar* in SqlSession — `FROM l
+    ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.ts` rewrites onto the
+    union-tag zero-join as_of_join plan with qualified references
+    remapped. The oracle is DuckDB's NATIVE ASOF LEFT JOIN over the
+    same (pre-deduped) inputs — two independent implementations of the
+    published semantics compared row-for-row."""
+    from flink_table_store_spark.sql import SqlSession
+
+    cat = _wh(sf_dir)
+    # same engine tables sql_asof_tvf builds (get-or-create guarded)
+    sql_asof_tvf(spark, sf_dir)
+    return SqlSession(spark, cat).sql(
+        "SELECT v.event_id AS event_id, v.user_id AS user_id, "
+        "v.ts AS ts, c.ts AS click_ts, c.click_id AS click_id, "
+        "round(c.click_value, 2) AS click_value "
+        "FROM default.asof_views_tvf v ASOF LEFT JOIN "
+        "default.asof_clicks_tvf c "
+        "ON v.user_id = c.user_id AND v.ts >= c.ts "
+        "ORDER BY event_id LIMIT 2000"
+    )
+
+
+SQL_ASOF_GRAMMAR_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id AS click_id, value AS click_value
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, ts
+                                     ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click')
+  WHERE rn = 1),
+views AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+SELECT v.event_id, v.user_id, v.ts, c.ts AS click_ts, c.click_id,
+       round(c.click_value, 2) AS click_value
+FROM views v ASOF LEFT JOIN clicks c
+  ON v.user_id = c.user_id AND v.ts >= c.ts
+ORDER BY v.event_id LIMIT 2000
+"""
+
+# judge-run tail: the ASOF JOIN grammar vs DuckDB's native ASOF JOIN
+QUERIES["sql_asof_grammar"] = (sql_asof_grammar, SQL_ASOF_GRAMMAR_SQL)

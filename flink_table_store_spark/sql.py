@@ -412,7 +412,128 @@ class SqlSession:
 
     # --- reference rewriting (SELECT path) ---
 
-    # --- rollup-aware aggregate routing (opt-in; operators/rollup.py) ---
+    # --- ASOF JOIN grammar (DuckDB/kdb surface) -------------------------
+
+    _ASOF_KW = r"(?!ASOF\b)(?!JOIN\b)(?!LEFT\b)(?!ON\b)"
+    _ASOF_RE = re.compile(
+        r"(?is)\bFROM\s+([\w.$]+)(?:\s+(?:AS\s+)?" + _ASOF_KW + r"(\w+))?"
+        r"\s+ASOF\s+(LEFT\s+)?JOIN\s+([\w.$]+)(?:\s+(?:AS\s+)?(\w+))?"
+        r"\s+ON\s+(.*?)(?=\s+(?:WHERE|GROUP|ORDER|HAVING|LIMIT|UNION)\b|\s*$)"
+    )
+    _ASOF_EQ = re.compile(r"(?is)^\s*(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s*$")
+    _ASOF_INEQ = re.compile(
+        r"(?is)^\s*(\w+)\.(\w+)\s*(>=|<=)\s*(\w+)\.(\w+)\s*$"
+    )
+
+    def _asof_sql(self, q: str, lits: list[str]) -> str | None:
+        """DuckDB-style ``FROM l ASOF [LEFT] JOIN r ON l.k = r.k AND
+        l.ts >= r.ts`` over engine tables, planned as the union-tag
+        zero-join as_of_join (operators/temporal.py) instead of the
+        inequality join a generic planner would produce. ``>=`` matches
+        the latest prior-or-equal right row (backward), ``<=`` the
+        earliest next (forward); plain ASOF JOIN keeps only matched
+        left rows (DuckDB inner semantics), ASOF LEFT JOIN keeps all.
+        Qualified references elsewhere in the statement are rewritten
+        onto the join's output columns (right names colliding with left
+        get ``_right``; the matched right timestamp is
+        ``<time>_right``). Returns the rewritten SQL or None if no ASOF
+        pattern (malformed ON conditions on a matched pattern raise —
+        ASOF JOIN is not valid Spark SQL, so falling through could only
+        produce a confusing AnalysisException)."""
+        m = self._ASOF_RE.search(q)
+        if m is None:
+            return None
+        l_id, l_alias, left_kw, r_id, r_alias, on = m.groups()
+        if not (self._known(l_id) and self._known(r_id)):
+            raise ValueError(
+                f"ASOF JOIN requires engine tables, got {l_id!r} / {r_id!r}"
+            )
+        la = (l_alias or l_id.rpartition(".")[2]).lower()
+        ra = (r_alias or r_id.rpartition(".")[2]).lower()
+        eqs: list[tuple[str, str]] = []  # (left col, right col)
+        ineq = None
+        for conj in self._split_top_and(on):
+            if em := self._ASOF_EQ.match(conj):
+                a1, c1, a2, c2 = em.groups()
+                if a1.lower() == la and a2.lower() == ra:
+                    eqs.append((c1, c2))
+                elif a1.lower() == ra and a2.lower() == la:
+                    eqs.append((c2, c1))
+                else:
+                    raise ValueError(f"ASOF JOIN: unknown alias in {conj!r}")
+            elif im := self._ASOF_INEQ.match(conj):
+                if ineq is not None:
+                    raise ValueError("ASOF JOIN: multiple inequalities")
+                a1, c1, op, a2, c2 = im.groups()
+                if a1.lower() == la and a2.lower() == ra:
+                    ineq = (c1, c2, "backward" if op == ">=" else "forward")
+                elif a1.lower() == ra and a2.lower() == la:
+                    ineq = (c2, c1, "forward" if op == ">=" else "backward")
+                else:
+                    raise ValueError(f"ASOF JOIN: unknown alias in {conj!r}")
+            else:
+                raise ValueError(
+                    f"ASOF JOIN ON supports alias.col = alias.col and one "
+                    f"alias.ts >=/<= alias.ts conjunct, got {conj!r}"
+                )
+        if ineq is None:
+            raise ValueError("ASOF JOIN needs a time inequality in ON")
+        l_time, r_time, direction = ineq
+
+        from flink_table_store_spark.operators.temporal import as_of_join
+
+        left_df = self.catalog.get_table(l_id).to_df(self.spark)
+        right_df = self.catalog.get_table(r_id).to_df(self.spark)
+        # align right key/time names onto the left's (as_of_join keys
+        # and time are name-matched across both frames)
+        ren = {c2: c1 for c1, c2 in eqs if c1 != c2}
+        if r_time != l_time:
+            ren[r_time] = l_time
+        for old, new in ren.items():
+            if new in right_df.columns and new != old:
+                raise ValueError(
+                    f"ASOF JOIN: renaming right {old!r} -> {new!r} would "
+                    f"collide with an existing right column"
+                )
+        for old, new in ren.items():
+            right_df = right_df.withColumnRenamed(old, new)
+        by = [c1 for c1, _c2 in eqs]
+        joined = as_of_join(
+            left_df, right_df, time_col=l_time, by=by, direction=direction
+        )
+        if not left_kw:
+            # plain ASOF JOIN: inner semantics — the matched right
+            # timestamp is non-NULL exactly when a match exists
+            joined = joined.where(F.col(l_time + "_right").isNotNull())
+        view = _view_name("asof!" + m.group(0))
+        joined.createOrReplaceTempView(view)
+
+        # rewrite qualified refs in the REST of the statement onto the
+        # join output: left alias drops; right keys/time map to the
+        # left names / <time>_right; right payload keeps its (possibly
+        # suffixed) output name
+        left_cols = set(left_df.columns)
+        r_payload = {
+            c: (c + "_right" if c in left_cols else c)
+            for c in right_df.columns
+            if c not in by and c != l_time
+        }
+
+        def qual_sub(mm: re.Match) -> str:
+            alias, col = mm.group(1), mm.group(2)
+            if alias.lower() == la:
+                return col
+            if alias.lower() == ra:
+                if col == r_time:
+                    return l_time + "_right"
+                mapped = ren.get(col, col)
+                if mapped in by:
+                    return mapped
+                return r_payload.get(col, col)
+            return mm.group(0)
+
+        q2 = q[:m.start()] + f"FROM {view}" + q[m.end():]
+        return re.sub(r"\b(\w+)\.(\w+)\b", qual_sub, q2)
 
     _ROUTE_BLOCK = re.compile(
         r"(?i)\b(join|union|intersect|except|minus|distinct|having|over|"
@@ -1003,6 +1124,11 @@ class SqlSession:
             return name
 
         q = _TVF.sub(tvf_sub, q)
+        for _ in range(3):  # support a few ASOF joins per statement
+            asof = self._asof_sql(q, _lits)
+            if asof is None:
+                break
+            q = asof
         auto = self._auto_bucketed_join(q, _lits)
         if auto is not None:
             q = auto

@@ -1189,3 +1189,57 @@ def test_sql_funnel_retention_tvfs(spark, warehouse):
     assert [tuple(map(str, r)) for r in got.collect()] == [
         tuple(map(str, r)) for r in exp.collect()
     ]
+
+
+def test_sql_asof_join_grammar(spark, warehouse):
+    """DuckDB-style ASOF [LEFT] JOIN grammar: plans through the
+    union-tag as_of_join, supports differing key/time names via ON,
+    rewrites qualified refs, inner-vs-left row semantics."""
+    from flink_table_store_spark.sql import SqlSession
+
+    trades = spark.createDataFrame(
+        [(1, "2024-01-01 00:01:00", 10.0), (1, "2024-01-01 00:05:00", 11.0),
+         (2, "2024-01-01 00:02:00", 20.0),
+         (3, "2024-01-01 00:09:00", 30.0)],  # uid 3 has no quotes
+        "uid bigint, ts string, px double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    quotes = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:30", 9.5), (1, "2024-01-01 00:04:00", 10.5),
+         (2, "2024-01-01 00:01:30", 19.5)],
+        "quid bigint, qts string, bid double",
+    ).withColumn("qts", F.col("qts").cast("timestamp"))
+    warehouse.create_table("db.asof_t", trades.schema).write(trades)
+    warehouse.create_table("db.asof_q", quotes.schema).write(quotes)
+    s = SqlSession(spark, warehouse)
+
+    got = s.sql(
+        "SELECT t.uid AS uid, t.ts AS ts, t.px AS px, q.bid AS bid, "
+        "q.qts AS matched_at "
+        "FROM db.asof_t t ASOF JOIN db.asof_q q "
+        "ON t.uid = q.quid AND t.ts >= q.qts ORDER BY uid, ts"
+    ).collect()
+    # inner: uid 3 dropped; each trade takes the latest prior quote
+    assert [(r.uid, r.px, r.bid) for r in got] == [
+        (1, 10.0, 9.5), (1, 11.0, 10.5), (2, 20.0, 19.5)
+    ]
+    assert all(r.matched_at is not None for r in got)
+
+    left = s.sql(
+        "SELECT t.uid AS uid, t.px AS px, q.bid AS bid "
+        "FROM db.asof_t t ASOF LEFT JOIN db.asof_q q "
+        "ON t.uid = q.quid AND t.ts >= q.qts ORDER BY uid, px"
+    ).collect()
+    assert len(left) == 4 and left[-1].uid == 3 and left[-1].bid is None
+
+    # forward direction + aggregate over the join
+    fwd = s.sql(
+        "SELECT count(*) AS n FROM db.asof_t t ASOF JOIN db.asof_q q "
+        "ON t.uid = q.quid AND t.ts <= q.qts"
+    ).collect()[0].n
+    # forward matches: uid1@00:01 -> 00:04 quote; others have no later quote
+    assert fwd == 1
+
+    # malformed ON raises loudly (never a confusing AnalysisException)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="ASOF"):
+        s.sql("SELECT 1 FROM db.asof_t t ASOF JOIN db.asof_q q ON t.uid = 3")
