@@ -536,7 +536,7 @@ class SqlSession:
         return re.sub(r"\b(\w+)\.(\w+)\b", qual_sub, q2)
 
     _ROUTE_BLOCK = re.compile(
-        r"(?i)\b(join|union|intersect|except|minus|distinct|having|over|"
+        r"(?i)\b(join|union|intersect|except|minus|distinct|over|"
         r"filter|qualify|window|lateral|with)\b"
     )
     _ROUTE_SHAPE = re.compile(
@@ -544,7 +544,12 @@ class SqlSession:
     )
     _ROUTE_TAIL = re.compile(
         r"(?is)^(?:WHERE\s+(.+?)\s+)?GROUP\s+BY\s+(.+?)"
+        r"(?:\s+HAVING\s+(.+?))?"
         r"(\s+ORDER\s+BY\s+.+?)?(\s+LIMIT\s+\d+)?\s*$"
+    )
+    # aggregate-call occurrences inside HAVING / ORDER BY text
+    _ROUTE_AGG_CALL = re.compile(
+        r"(?i)\b(count|sum|min|max|avg)\s*\(\s*(\*|[A-Za-z_]\w*)\s*\)"
     )
     _ROUTE_COL = re.compile(r"(?is)^([A-Za-z_]\w*)(?:\s+AS\s+([A-Za-z_]\w*))?$")
     _ROUTE_AGG = re.compile(
@@ -654,9 +659,7 @@ class SqlSession:
         tm = self._ROUTE_TAIL.match(tail.strip())
         if not tm:
             return None
-        where_txt, grp_txt, order_txt, limit_txt = tm.groups()
-        if order_txt and "(" in order_txt:
-            return None  # aggregate exprs in ORDER BY would need mapping
+        where_txt, grp_txt, having_txt, order_txt, limit_txt = tm.groups()
         raw = self.catalog.get_table(ident)
         names = [
             r for r in raw.schema.options.get("rollup.tables", "").split(",")
@@ -782,6 +785,7 @@ class SqlSession:
                 continue
 
             sel_out = []
+            out_aliases: set[str] = set()
             for item in _split_depth0_parens(sel_txt):
                 item = item.strip()
                 if am := self._ROUTE_AGG.match(item):
@@ -795,12 +799,14 @@ class SqlSession:
                     # preserve Spark's auto-name when unaliased so the
                     # routed schema is bit-equal to the direct one
                     alias = alias or f"{fn}({'1' if arg == '*' else arg})"
+                    out_aliases.add(alias.lower())
                     sel_out.append(f"{mapped} AS `{alias}`")
                 elif cm := self._ROUTE_COL.match(item):
                     col, alias = cm.group(1), cm.group(2)
                     if col not in groups or _norm(col) not in grp_norms:
                         ok = False
                         break
+                    out_aliases.add((alias or col).lower())
                     sel_out.append(f"{col} AS `{alias}`" if alias else col)
                 elif dm := self._ROUTE_TRUNC.match(item):
                     unit = _unmask_literals(dm.group(1), lits)[1:-1].lower()
@@ -812,6 +818,7 @@ class SqlSession:
                         # rewritten expr would differ — out of spec
                         ok = False
                         break
+                    out_aliases.add(dm.group(3).lower())
                     sel_out.append(
                         f"date_trunc('{unit}', bucket_start) AS "
                         f"`{dm.group(3)}`"
@@ -821,6 +828,48 @@ class SqlSession:
                     break
             if not ok:
                 continue
+
+            def _map_agg_text(txt: str) -> str | None:
+                """HAVING / ORDER BY text: replace every aggregate
+                call with its re-aggregated form, validate that what
+                remains references only group columns, select aliases
+                and condition grammar, or give up (None)."""
+                repl: list[str | None] = []
+
+                def _sub(mm: re.Match) -> str:
+                    mapped = _map_agg(mm.group(1).lower(), mm.group(2))
+                    repl.append(mapped)
+                    return f"\x01{len(repl) - 1}\x01"
+
+                t = self._ROUTE_AGG_CALL.sub(_sub, txt)
+                if any(r is None for r in repl):
+                    return None
+                allowed = self._ROUTE_WHERE_KW | {
+                    "asc", "desc", "nulls", "first", "last",
+                }
+                for tok in set(re.findall(r"[A-Za-z_]\w*", t)):
+                    if (tok.lower() not in allowed and tok not in groups
+                            and tok.lower() not in out_aliases):
+                        return None
+                return re.sub(
+                    r"\x01(\d+)\x01",
+                    lambda m2: repl[int(m2.group(1))], t,
+                )
+
+            having_out = None
+            if having_txt:
+                having_out = _map_agg_text(having_txt)
+                if having_out is None:
+                    continue
+            order_out = None
+            if order_txt:
+                body = re.match(
+                    r"(?is)^\s*ORDER\s+BY\s+(.*)$", order_txt.strip()
+                ).group(1)
+                mapped_body = _map_agg_text(body)
+                if mapped_body is None:
+                    continue
+                order_out = " ORDER BY " + mapped_body
 
             where_out = where_txt
             if where_txt:
@@ -869,8 +918,10 @@ class SqlSession:
             if where_txt:
                 new_q += f" WHERE {where_out}"
             new_q += f" GROUP BY {', '.join(grp_out)}"
-            if order_txt:
-                new_q += order_txt
+            if having_out:
+                new_q += f" HAVING {having_out}"
+            if order_out:
+                new_q += order_out
             if limit_txt:
                 new_q += limit_txt
             return _unmask_literals(new_q, lits)

@@ -254,6 +254,12 @@ def test_rollup_routing_parity_and_plan(spark, warehouse):
         "SELECT kind, sum(v) AS s FROM db.raw_ev_rt "
         "WHERE ts >= '2024-01-01' AND (kind = 'a' OR kind = 'b') "
         "GROUP BY kind ORDER BY kind",
+        # HAVING and ORDER BY over aggregates map through the same
+        # re-aggregation algebra
+        "SELECT kind, count(*) AS n FROM db.raw_ev_rt GROUP BY kind "
+        "HAVING count(*) > 1 AND max(v) >= 4.0 ORDER BY kind",
+        "SELECT kind FROM db.raw_ev_rt GROUP BY kind "
+        "ORDER BY sum(v) DESC, kind LIMIT 2",
     ]
     for q in in_spec:
         assert routed._route_rollup(q) is not None, q
@@ -292,7 +298,9 @@ def test_rollup_routing_parity_and_plan(spark, warehouse):
         "SELECT kind, sum(v * 2) AS s FROM db.raw_ev_rt GROUP BY kind",
         "SELECT kind, count(DISTINCT v) AS n FROM db.raw_ev_rt GROUP BY kind",
         "SELECT kind, count(*) AS n FROM db.raw_ev_rt GROUP BY kind "
-        "HAVING count(*) > 1",
+        "HAVING sum(v * 2) > 1",
+        "SELECT kind, count(*) AS n FROM db.raw_ev_rt GROUP BY kind "
+        "ORDER BY length(kind)",
         "SELECT kind, avg(ts) AS a FROM db.raw_ev_rt GROUP BY kind",
     ]
     for q in out_of_spec:
