@@ -220,6 +220,31 @@ def contamination_counts(
     )
 
 
+def decontaminate_exact(
+    docs: DataFrame,
+    probes: DataFrame,
+    text_col: str = "text",
+    probe_col: str = "probe",
+) -> DataFrame:
+    """DROP every document containing ANY probe n-gram as an exact
+    substring — the removal half of benchmark decontamination (GPT-3
+    appendix C's 13-gram filter, The Pile's eval-overlap scrub;
+    ``contamination_counts`` is the audit half). Planned as one
+    broadcast LEFT-ANTI join on a ``contains`` condition: the probe
+    set (one eval suite) broadcasts, the corpus streams through
+    narrow — no corpus shuffle at any scale. NULL probes are dropped
+    (they can never match); NULL texts survive (no content to
+    contaminate)."""
+    from pyspark.sql.functions import broadcast
+
+    p = probes.where(F.col(probe_col).isNotNull()).select(probe_col)
+    return docs.alias("__d").join(
+        broadcast(p),
+        F.expr(f"contains(__d.{text_col}, {probe_col})"),
+        "left_anti",
+    )
+
+
 # PII patterns shared by redact_pii and the DuckDB oracle: valid in
 # BOTH Java regex (Spark) and RE2 (DuckDB) — no lookarounds, no
 # backreferences (RE2 has neither). Order matters: emails first (they

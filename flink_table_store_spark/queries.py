@@ -7416,3 +7416,41 @@ ORDER BY v.event_id LIMIT 2000
 
 # judge-run tail: the ASOF JOIN grammar vs DuckDB's native ASOF JOIN
 QUERIES["sql_asof_grammar"] = (sql_asof_grammar, SQL_ASOF_GRAMMAR_SQL)
+
+
+def text_decontaminate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact benchmark decontamination — the REMOVAL half (GPT-3
+    appendix C's n-gram filter): every corpus document containing any
+    eval-set probe as an exact substring is dropped via ONE broadcast
+    left-anti contains join (probe set = one eval suite, broadcastable
+    by construction; the corpus never shuffles). Probes here are
+    30-char spans lifted from a deterministic eval subset, so matches
+    are guaranteed non-trivial; the oracle replays with NOT EXISTS +
+    contains. NULL-text documents survive on both engines (no content
+    to contaminate)."""
+    from flink_table_store_spark.datapipe.text import decontaminate_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    probes = (
+        docs.where((F.col("doc_id") % 97 == 0) & (F.length("text") >= 60))
+        .select(F.substring("text", 11, 30).alias("probe"))
+    )
+    out = decontaminate_exact(docs, probes)
+    return out.select("doc_id").orderBy("doc_id")
+
+
+TEXT_DECONTAMINATE_SQL = """
+WITH probes AS (
+  SELECT substr(text, 11, 30) AS probe
+  FROM documents WHERE doc_id % 97 = 0 AND length(text) >= 60)
+SELECT doc_id FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM probes p
+                  WHERE p.probe IS NOT NULL AND contains(d.text, p.probe))
+ORDER BY doc_id
+"""
+
+# judge-run tail: exact decontamination (removal half; the audit half
+# is contamination_counts)
+QUERIES["text_decontaminate_exact"] = (
+    text_decontaminate_exact, TEXT_DECONTAMINATE_SQL,
+)

@@ -1275,3 +1275,27 @@ def test_sample_weighted_exact(spark):
 
     # k > population: everything weighable comes back
     assert sample_weighted_exact(df, "w", 1000).count() == 220
+
+
+def test_decontaminate_exact(spark):
+    """Removal half of decontamination: contaminated docs drop, clean
+    and NULL-text docs survive, NULL probes are ignored, and the plan
+    is a broadcast anti join (no corpus exchange)."""
+    from flink_table_store_spark.datapipe.text import decontaminate_exact
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "a clean document"),
+         (3, "contains the quick brown fox too"), (4, None)],
+        "doc_id bigint, text string",
+    )
+    probes = spark.createDataFrame(
+        [("quick brown fox",), (None,)], "probe string"
+    )
+    out = decontaminate_exact(docs, probes)
+    assert sorted(r.doc_id for r in out.collect()) == [2, 4]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan and "LeftAnti" in plan
+    # empty probe set: everything survives
+    assert decontaminate_exact(
+        docs, probes.where("probe IS NULL")
+    ).count() == 4
