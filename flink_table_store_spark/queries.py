@@ -7454,3 +7454,58 @@ ORDER BY doc_id
 QUERIES["text_decontaminate_exact"] = (
     text_decontaminate_exact, TEXT_DECONTAMINATE_SQL,
 )
+
+
+def sql_range_join_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned RANGE JOIN through the SQL surface: paimon_range_join(...)
+    as a table reference — lineitem prices falling in each small
+    order's [5%, 6%] totalprice band, rolled up per order inside
+    ordinary SQL. The oracle is the plain theta join; the binned plan
+    must produce exactly its pairs (same contract as the
+    range_join_prices operator row, here exercised end-to-end through
+    SqlSession over engine tables)."""
+    from flink_table_store_spark.sql import SqlSession
+
+    cat = _wh(sf_dir)
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 40 == 0
+    ).select(
+        "o_orderkey",
+        (F.col("o_totalprice") * 0.05).alias("lo"),
+        (F.col("o_totalprice") * 0.06).alias("hi"),
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("px")
+    )
+    tb = cat.create_table(
+        "default.rj_bands_tvf", orders.schema, ignore_if_exists=True
+    )
+    if not tb.snapshots.latest_id():
+        tb.write(orders)
+    tl = cat.create_table(
+        "default.rj_prices_tvf", li.schema, ignore_if_exists=True
+    )
+    if not tl.snapshots.latest_id():
+        tl.write(li)
+    return SqlSession(spark, cat).sql(
+        "SELECT o_orderkey, count(*) AS n_in_band, "
+        "round(min(px), 2) AS lo_px, round(max(px), 2) AS hi_px "
+        "FROM paimon_range_join('default.rj_bands_tvf', "
+        "'default.rj_prices_tvf', 'lo', 'hi', 'px', 500.0) "
+        "GROUP BY o_orderkey ORDER BY o_orderkey LIMIT 300"
+    )
+
+
+SQL_RANGE_JOIN_TVF_SQL = """
+SELECT o_orderkey, count(*)::BIGINT AS n_in_band,
+       round(min(l_extendedprice), 2) AS lo_px,
+       round(max(l_extendedprice), 2) AS hi_px
+FROM (SELECT o_orderkey, o_totalprice * 0.05 AS lo,
+             o_totalprice * 0.06 AS hi
+      FROM orders WHERE o_orderkey % 40 = 0) b
+JOIN lineitem ON l_extendedprice BETWEEN lo AND hi
+GROUP BY o_orderkey ORDER BY o_orderkey LIMIT 300
+"""
+
+# judge-run tail: range-join TVF end-to-end through SqlSession
+QUERIES["sql_range_join_tvf"] = (sql_range_join_tvf, SQL_RANGE_JOIN_TVF_SQL)
