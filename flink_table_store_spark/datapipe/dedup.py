@@ -18,7 +18,7 @@ Scale design: every operator is expressed with built-in DataFrame ops
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from flink_table_store_spark.datapipe.text import fingerprint
@@ -105,13 +105,21 @@ def minhash_signatures(
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep one representative (min id) per exact normalized content.
     One shuffle on the 64-bit fingerprint; survives 100 TB because the
-    key is a fixed-width long, with map-side combine in the group-by."""
-    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    key is a fixed-width long, with map-side combine in the group-by.
+
+    ``min_by(struct(row), id)`` per fingerprint rather than a
+    row_number window (r11 optimization round, guide §2.3): the partial
+    aggregate combines map-side — the exchange carries ~one row per
+    fingerprint per map partition — where the window shipped every
+    duplicate and sorted each partition. Same representative: min id
+    is unique per fingerprint."""
+    cols = ", ".join(f"`{c}`" for c in df.columns)
+    winner = F.expr(f"min_by(struct({cols}), `{id_col}`)").alias("__w")
     return (
         df.withColumn("__fp", fingerprint(text_col))
-        .withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__fp", "__rn")
+        .groupBy("__fp")
+        .agg(winner)
+        .select(*[F.col(f"__w.{c}").alias(c) for c in df.columns])
     )
 
 
@@ -183,8 +191,37 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact word-k-gram Jaccard verification of candidate pairs.
     Shingle sets are joined in (broadcast when small); at scale the two
-    joins shuffle on the doc id — still linear in |pairs|."""
-    sh = df.select(F.col(id_col).alias("__id"), _shingles(F.col(text_col), k).alias("__sh"))
+    joins shuffle on the doc id — still linear in |pairs|.
+
+    Shingles are computed ONLY for documents that appear in a candidate
+    pair (an id semi-join ahead of the shingle projection — r11
+    optimization round, guide §2.3/§3.3): candidates are a small
+    fraction of the corpus, and the previous shape computed the shingle
+    array for EVERY document twice (once per join branch) and pushed
+    those heavy arrays through both join exchanges. An inner join
+    cannot match rows outside the candidate id set, so the result is
+    unchanged."""
+    try:
+        # the pair set feeds THREE subtrees (both id joins + the id
+        # semi-join below); without pinning, its upstream (typically the
+        # banded LSH self-join) would execute once per subtree
+        candidate_pairs = candidate_pairs.localCheckpoint(eager=True)
+    except Exception:
+        pass
+    cand_ids = (
+        candidate_pairs.select(F.col("id_a").alias("__id"))
+        .unionByName(candidate_pairs.select(F.col("id_b").alias("__id")))
+        .distinct()
+    )
+    sh = (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col))
+        .join(cand_ids, "__id", "left_semi")
+        .select("__id", _shingles(F.col(text_col), k).alias("__sh"))
+    )
+    # (sh is read by both join branches and recomputes once per branch —
+    # deliberately NOT pinned: it is already restricted to candidate
+    # docs, so the recompute is O(candidates), while an eager checkpoint
+    # would add a blocking job to every call)
     out = (
         candidate_pairs.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sa"), "id_a")
         .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__sb"), "id_b")

@@ -127,40 +127,53 @@ def fit_dsir(
     if alpha <= 0:
         raise ValueError(f"alpha must be positive, got {alpha}")
 
-    tc = _bucket_counts(target, text_col, n_buckets, seed, "__tc")
-    rc = _bucket_counts(raw, text_col, n_buckets, seed, "__rc")
-    # materialize the count tables (<= n_buckets rows each) BEFORE
-    # anything reads them: the totals collect, the lr join and the
-    # model checkpoint below would otherwise each re-run the full
-    # gram explode over its corpus — 3x the fit cost, measured
+    # ONE fused counting pass over target ∪ raw (r11 optimization
+    # round, guide §1.2/§2.4): tag each corpus's rows and split the
+    # per-bucket occurrence count with two conditional sums. The
+    # previous shape ran _bucket_counts twice (two full gram-explode +
+    # md5 passes, two shuffles) and full-outer-joined the two ≤n_buckets
+    # count tables; the fused aggregate produces the identical
+    # (bucket, __tcv, __rcv) integers — a bucket seen in either corpus
+    # appears, the other side's sum is exactly 0 — in one pass and one
+    # shuffle. _bucket_counts stays as-is for the incremental-index
+    # fold, whose bit-identical contract it anchors.
+    tagged = (
+        target.select(F.col(text_col)).withColumn("__tag", F.lit(1))
+        .unionByName(raw.select(F.col(text_col)).withColumn("__tag", F.lit(0)))
+        .withColumn("__row", F.monotonically_increasing_id())
+    )
+    rows = hashed_feature_rows(
+        tagged, text_col, "__row", n_buckets, seed, carry=["__tag"]
+    )
+    counts = rows.groupBy("bucket").agg(
+        F.sum("__tag").alias("__tcv"),
+        F.sum(F.lit(1) - F.col("__tag")).alias("__rcv"),
+    )
     try:
-        tc = tc.localCheckpoint(eager=True)
-        rc = rc.localCheckpoint(eager=True)
+        # materialize the count table (<= n_buckets rows) BEFORE
+        # anything reads it: the totals collect and the model
+        # checkpoint below would otherwise each re-run the full gram
+        # explode over both corpora
+        counts = counts.localCheckpoint(eager=True)
     except Exception:
         import warnings
 
         warnings.warn(
             "fit_dsir: localCheckpoint unavailable; the gram explode "
-            "will re-run for the totals, the lr join and the model "
-            "materialization (~3x fit cost)",
+            "will re-run for the totals and the model "
+            "materialization (~2x fit cost)",
             RuntimeWarning,
             stacklevel=2,
         )
-    tot = (
-        tc.agg(F.sum("__tc").alias("t")).collect()[0]["t"] or 0,
-        rc.agg(F.sum("__rc").alias("r")).collect()[0]["r"] or 0,
-    )
-    tt, tr = float(tot[0]), float(tot[1])
+    tot = counts.agg(
+        F.sum("__tcv").alias("t"), F.sum("__rcv").alias("r")
+    ).collect()[0]
+    tt, tr = float(tot["t"] or 0), float(tot["r"] or 0)
     if tt == 0 or tr == 0:
         raise ValueError(
             f"both corpora need at least one gram (target={int(tt)}, "
             f"raw={int(tr)} gram occurrences)"
         )
-    counts = tc.join(rc, "bucket", "full").select(
-        "bucket",
-        F.coalesce(F.col("__tc"), F.lit(0)).alias("__tcv"),
-        F.coalesce(F.col("__rc"), F.lit(0)).alias("__rcv"),
-    )
     return _finish_model(
         counts, tt, tr, n_buckets, seed, alpha, target.sparkSession
     )

@@ -201,7 +201,6 @@ def dedup_exact_against_index(
     within the batch (min id wins); returns the kept rows. One
     fingerprint projection + one anti-join probe + one window — the
     O(batch) steady state of exact corpus dedup."""
-    from pyspark.sql import Window
 
     from flink_table_store_spark.datapipe.text import fingerprint
 
@@ -209,14 +208,19 @@ def dedup_exact_against_index(
     try:
         fps = fps.localCheckpoint(eager=True)
     except Exception:
-        pass  # feeds the probe, the intra-batch window and the update
+        pass  # feeds the probe, the intra-batch agg and the update
     idx = index.refresh().to_df(spark).select(F.col("fp").alias("__fp"))
     survivors = fps.join(idx, "__fp", "left_anti")
-    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    # min_by per fingerprint instead of a row_number window (r11
+    # optimization round, guide §2.3 — map-side combine; same winner,
+    # min id is unique per fingerprint)
+    cols = ", ".join(f"`{c}`" for c in new_docs.columns)
     kept = (
-        survivors.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+        survivors.groupBy("__fp")
+        .agg(F.expr(f"min_by(struct({cols}), `{id_col}`)").alias("__w"))
+        .select(
+            "__fp", *[F.col(f"__w.{c}").alias(c) for c in new_docs.columns]
+        )
     )
     if update_index:
         index.refresh().write(

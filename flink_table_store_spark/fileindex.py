@@ -103,6 +103,8 @@ def build_indexes(
     threshold: int = DEFAULT_IN_MANIFEST_THRESHOLD,
     with_stats: bool = False,
     stats_exclude: set[str] | None = None,
+    schema=None,
+    driver_pack_threshold: int = 64,
 ) -> dict[str, dict[str, Any]]:
     """Build EVERY configured file index in ONE Spark job.
 
@@ -127,20 +129,23 @@ def build_indexes(
     # swallowing read errors — a corrupt staged file or transient FS
     # failure must surface, not silently commit without indexes/stats.
     paths = list(staging) if isinstance(staging, (list, tuple)) else [staging]
-    has_data = False
+    n_staged = 0
     for p in paths:
         if os.path.isfile(p):
-            has_data = True
+            n_staged += 1
         else:
             for _root, _dirs, files in os.walk(p):
-                if any(not fn.startswith(("_", ".")) for fn in files):
-                    has_data = True
-                    break
-        if has_data:
-            break
-    if not has_data:
+                n_staged += sum(
+                    1 for fn in files if not fn.startswith(("_", "."))
+                )
+    if not n_staged:
         return {}
-    df = spark.read.format(fmt).load(staging)
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        # the caller (the writer) knows the exact staged schema —
+        # passing it skips Spark's footer-sampling inference job
+        reader = reader.schema(schema)
+    df = reader.load(staging)
     bloom_cols = [c for c in bloom_cols if _resolves(df.schema, c)]
     bitmap_cols = [c for c in bitmap_cols if _resolves(df.schema, c)]
     if not bloom_cols and not bitmap_cols:
@@ -334,6 +339,19 @@ def build_indexes(
             yield _pd.DataFrame({"path": paths, "meta": metas})
 
     out: dict[str, dict[str, Any]] = {}
+    if n_staged <= driver_pack_threshold:
+        # r11 optimization round (guide §1.2): for small commits the
+        # per-file agg rows (positions + stats — metadata-sized) come to
+        # the driver via ONE Arrow collect and the SAME ``_pack``
+        # generator runs in-process — no Python-worker round trip, one
+        # job fewer per commit. Parity by construction: ``toPandas``
+        # (Arrow) applies the identical pandas coercions ``mapInPandas``
+        # feeds the executor path; above the threshold the distributed
+        # path is unchanged (bitsets never travel to the driver).
+        for pdf in _pack([agg_df.toPandas()]):
+            for path, meta in zip(pdf["path"], pdf["meta"]):
+                out[path] = json.loads(meta)
+        return out
     for r in agg_df.mapInPandas(_pack, "path string, meta string").collect():
         out[r["path"]] = json.loads(r["meta"])
     return out

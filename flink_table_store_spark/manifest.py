@@ -212,39 +212,42 @@ class ManifestManager:
             *[os.path.join(self.dir, n) for n in names]
         )
         key = ["partition", "bucket", "file_name"]
-        net = (
-            df.groupBy(*key)
-            .agg(
-                F.sum(
-                    F.when(F.col("kind") == KIND_ADD, F.lit(1)).otherwise(F.lit(-1))
-                ).alias("net")
-            )
-            .where(F.col("net") > 0)
-        )
-        # keep the LATEST ADD per key, not an arbitrary one: a commit can
-        # DELETE+ADD the same file_name with refreshed stats/index
-        # pointers (rewrite_file_index), and the driver's sequential dict
-        # merge keeps the last-seen entry. Order = (manifest position in
-        # the commit-ordered list, row position inside the manifest).
-        from pyspark.sql import Window
-
+        # ONE map-combined aggregate computes BOTH halves of liveness
+        # (r11 optimization round, guide §2.4 — the previous shape was a
+        # net-count aggregate + a row_number window + a semi-join: three
+        # Exchanges and a per-key sort of the full entry stream):
+        #   net  — ADD minus DELETE records per key (live iff > 0)
+        #   __e  — the LATEST ADD row per key via max_by ordered by
+        #          (manifest position in the commit-ordered list, row
+        #          position inside the manifest); DELETE rows carry a
+        #          NULL ordering key, which max_by skips. A commit can
+        #          DELETE+ADD the same file_name with refreshed
+        #          stats/index pointers (rewrite_file_index), and the
+        #          driver's sequential dict merge keeps the last-seen
+        #          entry — max-by-position reproduces that exactly.
         order_df = F.broadcast(
             spark.createDataFrame(
                 [(n, i) for i, n in enumerate(names)], "__mf_name string, __mf_idx int"
             )
         )
-        w = Window.partitionBy(*key).orderBy(F.desc("__mf_idx"), F.desc("__row_idx"))
+        entry_cols = [f.split(" ")[0] for f in ENTRY_DDL.split(", ")]
+        is_add = F.col("kind") == KIND_ADD
         live = (
             df.withColumn(
                 "__mf_name", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
             )
             .withColumn("__row_idx", F.col("_metadata.row_index"))
-            .where(F.col("kind") == KIND_ADD)
             .join(order_df, "__mf_name", "left")
-            .withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .drop("__mf_name", "__mf_idx", "__row_idx", "__rn")
-            .join(net, key, "left_semi")
+            .groupBy(*key)
+            .agg(
+                F.sum(F.when(is_add, F.lit(1)).otherwise(F.lit(-1))).alias("__net"),
+                F.max_by(
+                    F.struct(*entry_cols),
+                    F.when(is_add, F.struct(F.col("__mf_idx"), F.col("__row_idx"))),
+                ).alias("__e"),
+            )
+            .where((F.col("__net") > 0) & F.col("__e").isNotNull())
+            .select("__e.*")
         )
         return live
 
@@ -295,6 +298,7 @@ class ManifestManager:
             pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
             def _prune(batches):
+                import json as _json
                 import pickle as _pickle
                 import sys as _sys
 
@@ -304,17 +308,35 @@ class ManifestManager:
                 from flink_table_store_spark.read import _stats_test
 
                 pred = _pickle.loads(pred_bytes)
+                # r11 optimization round (guide §2): partition pruning is
+                # evaluated once per DISTINCT partition value (memoized on
+                # the canonical JSON string — partitions ≪ files by
+                # definition), and the per-row ManifestEntry
+                # materialization + stats test run only over the rows
+                # that survive it. Semantics are byte-identical to the
+                # per-row loop: same test_partition, same _stats_test.
+                part_cache: dict[str, bool] = {}
+
+                def _ok_part(p: str) -> bool:
+                    got = part_cache.get(p)
+                    if got is None:
+                        got = pred.test_partition(_json.loads(p))
+                        part_cache[p] = got
+                    return got
+
                 for pdf in batches:
                     if pdf.empty:
                         continue
-                    mask = []
-                    for r in pdf.to_dict("records"):
-                        e = _ME.from_row(r)
-                        ok = pred.test_partition(e.partition)
-                        if ok and stats_safe:
-                            ok = _stats_test(e, pred, tpath)
-                        mask.append(ok)
-                    yield pdf[mask]
+                    pdf = pdf[pdf["partition"].map(_ok_part)]
+                    if pdf.empty:
+                        continue
+                    if stats_safe:
+                        mask = [
+                            _stats_test(_ME.from_row(r), pred, tpath)
+                            for r in pdf.to_dict("records")
+                        ]
+                        pdf = pdf[mask]
+                    yield pdf
 
             live = live.mapInPandas(_prune, out_schema)
         return [ManifestEntry.from_row(r.asDict()) for r in live.collect()]

@@ -315,6 +315,9 @@ def stage_and_collect(
             fileindex.in_manifest_threshold(schema.options),
             with_stats=True,
             stats_exclude=stats_exclude,
+            # the staged layout is exactly what was just written —
+            # passing the schema skips the read-side inference job
+            schema=df.schema if fmt in ("parquet", "orc") else None,
         )
 
     # per-file stats: fused into the index job when one ran (the driver

@@ -438,3 +438,54 @@ def test_build_indexes_empty_staging_vs_corrupt_file(spark, tmp_path):
     (bad / "part-00000.parquet").write_bytes(b"this is not parquet")
     with pytest.raises(Exception):
         fileindex.build_indexes(spark, str(bad), ["c"], [], 64)
+
+
+def test_driver_pack_matches_distributed_pack(spark, tmp_path):
+    """The r11 small-commit fast path (agg rows collected and packed on
+    the driver) must produce byte-identical inline/sidecar indexes and
+    stats to the distributed mapInPandas pack — same staged files, both
+    paths, compared key by key."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_table_store_spark import fileindex
+
+    staging = str(tmp_path / "stage")
+    (
+        spark.range(5000)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 97).alias("v"),
+            F.date_add(F.lit("2024-01-01").cast("date"), (F.col("id") % 30).cast("int")).alias("d"),
+        )
+        .repartition(3)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+
+    def _run(threshold):
+        # fresh sidecars per run
+        for root, _d, fs in os.walk(staging):
+            for fn in fs:
+                if fn.endswith(fileindex.INDEX_SUFFIX):
+                    os.remove(os.path.join(root, fn))
+        out = fileindex.build_indexes(
+            spark, staging, ["k"], ["v"], 64 * 1024, "parquet", 500,
+            with_stats=True, stats_exclude=set(),
+            driver_pack_threshold=threshold,
+        )
+        sidecars = {}
+        for root, _d, fs in os.walk(staging):
+            for fn in fs:
+                if fn.endswith(fileindex.INDEX_SUFFIX):
+                    with open(os.path.join(root, fn)) as fh:
+                        sidecars[fn] = json.load(fh)
+        return out, sidecars
+
+    driver_out, driver_side = _run(threshold=64)     # 3 files <= 64 -> driver pack
+    dist_out, dist_side = _run(threshold=0)          # force the mapInPandas path
+    assert driver_out == dist_out
+    assert driver_side == dist_side
+    assert driver_side, "expected sidecar indexes to be written"
