@@ -257,6 +257,16 @@ def exact_top_k(
         tc = F.col(tie_col) if isinstance(tie_col, str) else tie_col
     sort_cols = [oc.desc() if descending else oc.asc(), tc.asc()]
     P = n_partitions or df.sparkSession.sparkContext.defaultParallelism * 2
+    try:
+        # pin the INPUT before the range shuffle (r11 optimization
+        # round, guide §1.2): repartitionByRange first runs a
+        # range-boundary SAMPLING pass over its child, so an expensive
+        # upstream lineage (e.g. DSIR scoring's gram explode) would
+        # execute twice — once for the sample, once for the shuffle.
+        # Pinned, both passes read materialized rows.
+        df = df.localCheckpoint(eager=True)
+    except Exception:
+        pass  # the parted checkpoint below is the load-bearing one
     parted = df.repartitionByRange(P, *sort_cols)
     try:
         parted = parted.localCheckpoint(eager=True)
@@ -336,10 +346,23 @@ def dsir_resample(
         + F.lit(1)
     ).cast("double") / F.lit(float((1 << 60) + 2))
     gumbel = -F.log(-F.log(u))
-    keyed = docs.join(scored, id_col).withColumn(
-        "__gk", F.col("dsir_logratio") / F.lit(float(temperature)) + gumbel
+    # selection runs over NARROW proxy rows (id, n_grams, weight, key) —
+    # the document payload never enters the range shuffle; the k winners
+    # join back against the corpus by id afterwards (one equi-join whose
+    # build side is exactly k rows). r11 optimization round, guide §8:
+    # decide with small rows, move heavy rows once. Same selected set:
+    # selection is by exact rank on (key, id), computed from the same
+    # scores.
+    keyed = scored.withColumn(
+        "__gk",
+        F.col("dsir_logratio") / F.lit(float(temperature))
+        + gumbel,
     )
-    return exact_top_k(keyed, "__gk", k, tie_col=id_col).drop("__gk")
+    top = exact_top_k(keyed, "__gk", k, tie_col=id_col).drop("__gk")
+    other = [c for c in docs.columns if c != id_col]
+    return docs.join(top, id_col).select(
+        id_col, *other, "n_grams", "dsir_logratio"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -533,9 +556,23 @@ def corpus_divergence(
     js) with divergences in bits, rounded to 6."""
     if alpha <= 0:
         raise ValueError(f"alpha must be positive, got {alpha}")
-    ca = _bucket_counts(a, text_col, n_buckets, seed, "__ca")
-    cb = _bucket_counts(b, text_col, n_buckets, seed, "__cb")
-    return _divergence_of_counts(ca, cb, n_buckets, alpha)
+    # ONE fused counting pass over a ∪ b (r11 optimization round — the
+    # same tagged-union fuse as fit_dsir): identical per-bucket integers
+    # to two _bucket_counts + full-outer join, in half the gram passes
+    # and one shuffle
+    tagged = (
+        a.select(F.col(text_col)).withColumn("__tag", F.lit(1))
+        .unionByName(b.select(F.col(text_col)).withColumn("__tag", F.lit(0)))
+        .withColumn("__row", F.monotonically_increasing_id())
+    )
+    rows = hashed_feature_rows(
+        tagged, text_col, "__row", n_buckets, seed, carry=["__tag"]
+    )
+    j = rows.groupBy("bucket").agg(
+        F.sum("__tag").alias("__ca"),
+        F.sum(F.lit(1) - F.col("__tag")).alias("__cb"),
+    ).select("__ca", "__cb")
+    return _divergence_of_joined(j, n_buckets, alpha)
 
 
 def divergence_from_index(
@@ -581,6 +618,21 @@ def _divergence_of_counts(
         F.coalesce(F.col("__ca"), F.lit(0)).alias("__ca"),
         F.coalesce(F.col("__cb"), F.lit(0)).alias("__cb"),
     )
+    return _divergence_of_joined(j, n_buckets, alpha)
+
+
+def _divergence_of_joined(
+    j: DataFrame, n_buckets: int, alpha: float
+) -> DataFrame:
+    """Divergence algebra over an already-joined (__ca, __cb) count
+    table. The table is pinned first (≤ 2·n_buckets rows): both the
+    totals row and the per-bucket term sums read it, and without the
+    pin its upstream counting lineage would execute once per consumer
+    (r11 optimization round)."""
+    try:
+        j = j.localCheckpoint(eager=True)
+    except Exception:
+        pass  # correctness unaffected; the lineage just re-runs per consumer
     al, bk = float(alpha), float(n_buckets)
     # one-row totals over the <= 2*n_buckets observed rows
     tot = j.agg(

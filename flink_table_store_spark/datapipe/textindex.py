@@ -215,13 +215,22 @@ def update_text_search_index(
     index["postings"].refresh().write(
         rows, commit_identifier=f"{ci}:p" if ci else ""
     )
-    delta = dl.agg(
-        F.lit(0).cast("int").alias("id"),
+    # the 1-row stats delta lands through the no-Spark writer (r11
+    # optimization round, guide §1.2): the values collapse to two
+    # scalars off the checkpointed dl, and a full Spark write job for
+    # one row was pure scheduler overhead. Same table, same aggregation
+    # merge engine, same identifier-checked exactly-once commit.
+    d = dl.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(F.sum("dl"), F.lit(0)).cast("bigint").alias("total_dl"),
-    )
-    index["stats"].refresh().write(
-        delta, commit_identifier=f"{ci}:s" if ci else ""
+    ).collect()[0]
+    import pyarrow as pa
+
+    index["stats"].refresh().write_arrow(
+        pa.table(
+            {"id": [0], "n": [int(d["n"])], "total_dl": [int(d["total_dl"])]}
+        ),
+        commit_identifier=f"{ci}:s" if ci else "",
     )
 
 
@@ -244,7 +253,11 @@ def search_text_index(
     terms = tokenize_query(query)
     if not terms:
         raise ValueError("query has no tokens")
-    st = index["stats"].refresh().to_df(spark).head()
+    # the 1-row stats table reads through the no-Spark path (r11
+    # optimization round): same merge semantics (local reader parity is
+    # pytest- and oracle-pinned), no Spark job for two scalars
+    stt = index["stats"].refresh().to_arrow()
+    st = stt.to_pylist()[0] if stt.num_rows else None
     if st is None or not st["n"]:
         raise RuntimeError("text index is empty — fold a batch first")
     n, avgdl = float(st["n"]), float(st["total_dl"]) / float(st["n"])

@@ -82,7 +82,9 @@ def doctor(spark, table, check_orphans: bool = False) -> dict[str, Any]:
         from pyspark.sql import functions as F
 
         live = table.manifests.live_entries_frame(
-            spark, snap.base_manifest_list, snap.delta_manifest_list
+            spark, snap.base_manifest_list, snap.delta_manifest_list,
+            columns=["partition", "bucket", "level", "row_count",
+                     "file_size", "stats"],
         )
         cov_cond = None
         for c in idx_cols:

@@ -26,9 +26,14 @@ if TYPE_CHECKING:  # pragma: no cover
     from flink_table_store_spark.table import Table
 
 
-def write_arrow(table: "Table", data, overwrite: bool = False) -> None:
+def write_arrow(
+    table: "Table", data, overwrite: bool = False, commit_identifier: str = ""
+) -> None:
     """Write one batch (pyarrow Table / RecordBatch / pandas DataFrame)
-    and commit one snapshot."""
+    and commit one snapshot. ``commit_identifier`` gives the commit the
+    same exactly-once replay check as ``Table.write`` — a replayed
+    identifier is a no-op (used by the index-maintenance paths that
+    fold tiny aggregate deltas without paying a Spark job)."""
     import pandas as pd
     import pyarrow as pa
     from pyspark.sql import types as T
@@ -40,7 +45,7 @@ def write_arrow(table: "Table", data, overwrite: bool = False) -> None:
     if chain_target is not None:
         # same delegation as Table.write: a chain main-view commit
         # would be invisible to chain reads (silent data loss)
-        return write_arrow(chain_target, data, overwrite)
+        return write_arrow(chain_target, data, overwrite, commit_identifier)
     if table.schema.options.get("upsert-key") and not overwrite:
         # upsert semantics need the merge join (table.py _upsert_write);
         # a plain local append would silently duplicate keys
@@ -98,6 +103,8 @@ def write_arrow(table: "Table", data, overwrite: bool = False) -> None:
     # time — a NullType shim avoids any JVM-backed DDL parsing
     shim = T.StructType([T.StructField(n, T.NullType()) for n in names])
     opts = {"path": table.path}
+    if commit_identifier:
+        opts["commit-identifier"] = commit_identifier
     if table.branch_name:
         opts["branch"] = table.branch_name
     w = FtssWriter(opts, shim, overwrite)

@@ -193,7 +193,13 @@ class ManifestManager:
                     pass
         return n
 
-    def live_entries_frame(self, spark, base_list: str | None, delta_list: str | None):
+    def live_entries_frame(
+        self,
+        spark,
+        base_list: str | None,
+        delta_list: str | None,
+        columns: list[str] | None = None,
+    ):
         """Live manifest entries as a Spark DataFrame (latest ADD row
         per live file) — the scale building block shared by distributed
         scan planning and doctor's metadata-scale gauges. Returns None
@@ -231,6 +237,13 @@ class ManifestManager:
             )
         )
         entry_cols = [f.split(" ")[0] for f in ENTRY_DDL.split(", ")]
+        if columns is not None:
+            # aggregate-only consumers (doctor's gauges) project the
+            # struct down to what they read — fewer bytes through the
+            # exchange; key columns always ride (they are the group key)
+            entry_cols = [
+                c for c in entry_cols if c in set(columns) | set(key)
+            ]
         is_add = F.col("kind") == KIND_ADD
         live = (
             df.withColumn(

@@ -22,6 +22,16 @@ def get_spark(app_name: str = "flink_table_store_spark", shuffle_partitions: int
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # guide §3.1/§9: let the planner pick shuffled-hash join when its
+        # size conditions hold (skips both sort passes of sort-merge),
+        # and let AQE rewrite SMJ->SHJ at runtime when every post-shuffle
+        # partition is small. Both are size-guarded per partition, so
+        # they scale with AQE's advisory partition sizing rather than
+        # with the local core count.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m"
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")  # merge_map engine: later entries win

@@ -801,6 +801,7 @@ class FtssWriter(DataSourceArrowWriter):
             entries,
             self._schema_id,
             kind=COMMIT_APPEND,
+            commit_identifier=self._options.get("commit-identifier", ""),
             next_sequence=next_seq,
             assign_row_ids=t.row_tracking_enabled(),
         )

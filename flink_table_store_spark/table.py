@@ -654,13 +654,15 @@ class Table:
             rb.with_projection(projection)
         return rb.to_pandas()
 
-    def write_arrow(self, data, overwrite: bool = False) -> None:
+    def write_arrow(
+        self, data, overwrite: bool = False, commit_identifier: str = ""
+    ) -> None:
         """Local no-Spark write: pyarrow Table / RecordBatch / pandas →
         one committed snapshot (pypaimon write_arrow/write_pandas
         parity; see localwrite.py)."""
         from flink_table_store_spark import localwrite
 
-        localwrite.write_arrow(self, data, overwrite)
+        localwrite.write_arrow(self, data, overwrite, commit_identifier)
 
     # --- aggregate pushdown from manifest stats (SURVEY §2.4 A1) ---
 
