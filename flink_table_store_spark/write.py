@@ -389,6 +389,9 @@ def collect_stats_distributed(
 
     df = spark.read.format(fmt).load(staging)
     statable = [c for c, _t in statable_columns(df.schema, exclude)]
+    # NOTE: inference here is kept deliberately — this path is reached
+    # only above the 1000-staged-file threshold or for footerless
+    # formats, where one inference job is noise next to the stats job
     aggs = [F.count(F.lit(1)).alias("__rc")]
     for c in statable:
         aggs += [
