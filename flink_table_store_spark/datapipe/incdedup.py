@@ -131,6 +131,15 @@ def dedup_against_index(
     corpus_cand = probe.select(
         idx["doc_id"].alias("id_a"), banded["__id"].alias("id_b")
     ).distinct()
+    try:
+        # the corpus-candidate set feeds the verification texts (via
+        # hit_ids, TWICE — once per shingle-join branch) and the
+        # candidate union; unpinned, each consumer re-runs the index
+        # probe INCLUDING the index table's merge-on-read fold. Pinned,
+        # the index is merged once per batch (r11 optimization round).
+        corpus_cand = corpus_cand.localCheckpoint(eager=True)
+    except Exception:
+        pass
     # 2) intra-batch candidates: smallest id wins (the batch path rule)
     a, b = banded.alias("a"), banded.alias("b")
     batch_cand = (
