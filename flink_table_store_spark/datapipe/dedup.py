@@ -32,6 +32,17 @@ _MERSENNE = (1 << 31) - 1
 # minhash_lsh_pairs docstring); module flag so benchmarks can A/B it
 MATERIALIZE_SIGNATURES = True
 
+# ngram_jaccard_pairs candidate restriction (r12 optimization round):
+# the candidate-id set restricts the shingle projection ONLY while it
+# is broadcastable (bounded via 2*|pairs|, counted on the pinned pair
+# set — the semi-join is then a build-side filter, no corpus shuffle)
+# or, above that, while candidates stay a small fraction of the corpus
+# (one distinct count + one column-pruned corpus count decide). The
+# unconditional semi-join of r11 was driver-measured 0.63x on the 10x
+# bench twin: its plan overhead outweighed the saved shingle work.
+DEDUP_BROADCAST_IDS_MAX = 2_000_000  # ids; ~30 MB of longs broadcast
+DEDUP_RESTRICT_MAX_RATIO = 0.5
+
 
 def _shingles(col: Column, k: int = 3) -> Column:
     """Word k-shingles as an array<string> (distinct).
@@ -193,35 +204,59 @@ def ngram_jaccard_pairs(
     Shingle sets are joined in (broadcast when small); at scale the two
     joins shuffle on the doc id — still linear in |pairs|.
 
-    Shingles are computed ONLY for documents that appear in a candidate
-    pair (an id semi-join ahead of the shingle projection — r11
-    optimization round, guide §2.3/§3.3): candidates are a small
-    fraction of the corpus, and the previous shape computed the shingle
-    array for EVERY document twice (once per join branch) and pushed
-    those heavy arrays through both join exchanges. An inner join
-    cannot match rows outside the candidate id set, so the result is
-    unchanged."""
+    Shingle restriction is GATED (r12 optimization round, guide §2.3/
+    §3.3 + §1.3 "measure, keep what wins"): when the candidate-id set
+    is broadcastable, shingles are computed ONLY for candidate docs
+    (a broadcast semi-join filter — no corpus shuffle) and the small
+    restricted shingle table is pinned once for both join branches, so
+    the corpus projection lineage executes exactly once. Above the
+    broadcast cap the restriction stays on only while candidates are a
+    minority of the corpus (plain semi-join, still O(candidates)
+    pinned); a dup-heavy pair set falls back to the unrestricted
+    both-branch shape — r11's unconditional semi-join was
+    driver-measured 0.63x on exactly that shape. An inner join cannot
+    match rows outside the candidate id set, so the result is unchanged
+    under every branch of the gate."""
+    pinned_pairs = False
     try:
-        # the pair set feeds THREE subtrees (both id joins + the id
-        # semi-join below); without pinning, its upstream (typically the
-        # banded LSH self-join) would execute once per subtree
+        # the pair set feeds both id joins + the gate's count/semi-join;
+        # without pinning, its upstream (typically the banded LSH
+        # self-join) would execute once per subtree
         candidate_pairs = candidate_pairs.localCheckpoint(eager=True)
+        pinned_pairs = True
     except Exception:
         pass
-    cand_ids = (
-        candidate_pairs.select(F.col("id_a").alias("__id"))
-        .unionByName(candidate_pairs.select(F.col("id_b").alias("__id")))
-        .distinct()
+    base = df.select(F.col(id_col).alias("__id"), F.col(text_col))
+    # no .distinct(): the semi-join build side tolerates duplicate ids,
+    # and skipping the distinct saves its exchange+aggregate
+    cand_ids = candidate_pairs.select(F.col("id_a").alias("__id")).unionByName(
+        candidate_pairs.select(F.col("id_b").alias("__id"))
     )
-    sh = (
-        df.select(F.col(id_col).alias("__id"), F.col(text_col))
-        .join(cand_ids, "__id", "left_semi")
-        .select("__id", _shingles(F.col(text_col), k).alias("__sh"))
-    )
-    # (sh is read by both join branches and recomputes once per branch —
-    # deliberately NOT pinned: it is already restricted to candidate
-    # docs, so the recompute is O(candidates), while an eager checkpoint
-    # would add a blocking job to every call)
+    restrict = None
+    if pinned_pairs:
+        n_pairs = candidate_pairs.count()  # cheap: pinned narrow rows
+        if 2 * n_pairs <= DEDUP_BROADCAST_IDS_MAX:
+            restrict = F.broadcast(cand_ids)
+        else:
+            n_cand = cand_ids.distinct().count()
+            if n_cand < DEDUP_RESTRICT_MAX_RATIO * max(df.count(), 1):
+                restrict = cand_ids.distinct()
+    if restrict is not None:
+        sh = base.join(restrict, "__id", "left_semi").select(
+            "__id", _shingles(F.col(text_col), k).alias("__sh")
+        )
+        try:
+            # O(candidates) rows: pin so the corpus projection + the
+            # semi-join run once, not once per join branch
+            sh = sh.localCheckpoint(eager=True)
+        except Exception:
+            pass
+    else:
+        # unrestricted fallback (dup-heavy candidates, or no pinning
+        # available to count cheaply): shingles for every doc, computed
+        # once per branch — NOT pinned, a corpus-sized materialization
+        # would be the scale bottleneck
+        sh = base.select("__id", _shingles(F.col(text_col), k).alias("__sh"))
     out = (
         candidate_pairs.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "__sa"), "id_a")
         .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "__sb"), "id_b")

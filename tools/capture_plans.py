@@ -19,7 +19,7 @@ def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    out_dir = os.path.join(REPO, "plans", "r11")
+    out_dir = os.path.join(REPO, "plans", os.environ.get("PLANS_ROUND", "r12"))
     os.makedirs(out_dir, exist_ok=True)
 
     import __spark_entry__ as E
