@@ -138,11 +138,20 @@ def seq_order_exprs(df: DataFrame, schema: TableSchema, fields: list[str]):
     return out
 
 
-def merge_view(df: DataFrame, schema: TableSchema) -> DataFrame:
+def merge_view(
+    df: DataFrame, schema: TableSchema, group_extra: list[str] | None = None
+) -> DataFrame:
     # sequence.field (CoreOptions.java:882-894, T12): a user column
     # defines the version order; input sequence breaks ties. Expressed
     # as a struct column — Spark orders structs lexicographically, so
     # every engine can treat it as THE sequence.
+    #
+    # ``group_extra``: extra grouping columns that are FUNCTIONALLY
+    # DEPENDENT on the key (e.g. the bucket hash) — adding them cannot
+    # split a key's group, but it lets a caller that pre-shuffled on a
+    # subset (partition, bucket) run the fold with NO further exchange
+    # and carry the columns through to the writer (r12 one-shuffle
+    # compaction, guide §2.4).
     seq_field = schema.options.get("sequence.field")
     seq_col = SEQUENCE_NUMBER
     if seq_field:
@@ -152,15 +161,16 @@ def merge_view(df: DataFrame, schema: TableSchema) -> DataFrame:
             F.struct(*seq_order_exprs(df, schema, fields), F.col(SEQUENCE_NUMBER)),
         )
         seq_col = _EFF_SEQ
+    extra = list(group_extra or [])
     engine = schema.options.get("merge-engine", ENGINE_DEDUPLICATE)
     if engine == ENGINE_DEDUPLICATE:
-        return _dedup(df, schema, descending=True, seq_col=seq_col)
+        return _dedup(df, schema, descending=True, seq_col=seq_col, extra=extra)
     if engine == ENGINE_FIRST_ROW:
-        return _dedup(df, schema, descending=False, seq_col=seq_col)
+        return _dedup(df, schema, descending=False, seq_col=seq_col, extra=extra)
     if engine == ENGINE_PARTIAL_UPDATE:
-        return _partial_update(df, schema, seq_col=seq_col)
+        return _partial_update(df, schema, seq_col=seq_col, extra=extra)
     if engine == ENGINE_AGGREGATION:
-        return _aggregation(df, schema, seq_col=seq_col)
+        return _aggregation(df, schema, seq_col=seq_col, extra=extra)
     raise ValueError(f"unknown merge-engine {engine}")
 
 
@@ -170,7 +180,11 @@ def _key_cols(schema: TableSchema) -> list[str]:
 
 
 def _dedup(
-    df: DataFrame, schema: TableSchema, descending: bool, seq_col: str = SEQUENCE_NUMBER
+    df: DataFrame,
+    schema: TableSchema,
+    descending: bool,
+    seq_col: str = SEQUENCE_NUMBER,
+    extra: list[str] = (),
 ) -> DataFrame:
     """``max_by(struct(payload), seq)`` per key rather than a
     row_number window: the partial aggregate combines map-side, so the
@@ -179,7 +193,7 @@ def _dedup(
     and equal on low-overlap shapes (Catalyst plans a SortAggregate
     here: the struct payload is not hash-aggregable, but the partial
     combine is what matters at scale)."""
-    keys = _key_cols(schema)
+    keys = _key_cols(schema) + list(extra)
     payload = [VALUE_KIND] + [c for c in schema.field_names() if c not in keys]
     fn = "max_by" if descending else "min_by"
     cols = ", ".join(f"`{c}`" for c in payload)
@@ -189,7 +203,8 @@ def _dedup(
     # in DropDeleteReader, which keeps only RowKind.isAdd rows
     out = merged.where(~F.col(f"__w.{VALUE_KIND}").isin(*UNFOLDABLE_KINDS))
     return out.select(
-        *[F.col(k) if k in keys else F.col(f"__w.{k}").alias(k) for k in schema.field_names()]
+        *[F.col(k) if k in keys else F.col(f"__w.{k}").alias(k) for k in schema.field_names()],
+        *[F.col(c) for c in extra],
     )
 
 
@@ -395,7 +410,10 @@ def remove_record_groups(schema: TableSchema) -> set[str]:
 
 
 def _partial_update(
-    df: DataFrame, schema: TableSchema, seq_col: str = SEQUENCE_NUMBER
+    df: DataFrame,
+    schema: TableSchema,
+    seq_col: str = SEQUENCE_NUMBER,
+    extra: list[str] = (),
 ) -> DataFrame:
     """groupBy(key) with per-field max_by — one shuffle, map-side combine.
 
@@ -410,11 +428,11 @@ def _partial_update(
     the kind is -D, which removes the whole row; a retract with every
     group sequence null is a NO-OP.
     """
-    keys = _key_cols(schema)
+    keys = _key_cols(schema) + list(extra)
     seq = seq_col
     groups = _sequence_groups(schema)
     if groups:
-        return _partial_update_with_groups(df, schema, seq)
+        return _partial_update_with_groups(df, schema, seq, extra=extra)
     upserts = df.where(~F.col(VALUE_KIND).isin(KIND_DELETE, "-U"))
     prep, aggs = _partial_update_aggs(schema, seq)
     for name, col in prep:  # pragma: no cover — empty without groups
@@ -431,11 +449,11 @@ def _partial_update(
         merged.join(deletes, on=keys, how="left")
         .where(F.col("__del_seq").isNull() | (F.col("__ups_seq") > F.col("__del_seq")))
     )
-    return out.select(*schema.field_names())
+    return out.select(*schema.field_names(), *[F.col(c) for c in extra])
 
 
 def _partial_update_with_groups(
-    df: DataFrame, schema: TableSchema, seq: str
+    df: DataFrame, schema: TableSchema, seq: str, extra: list[str] = ()
 ) -> DataFrame:
     """Partial update under sequence groups, retract-aware: the same
     single groupBy — per-group winner KIND decides retraction, so no
@@ -460,7 +478,7 @@ def _partial_update_with_groups(
     rr-group delete followed by a partial re-insert re-initializes the
     row in the reference (initRow); here earlier groups' pre-delete
     values survive the re-insert."""
-    keys = _key_cols(schema)
+    keys = _key_cols(schema) + list(extra)
     groups = _sequence_groups(schema)
     rr = remove_record_groups(schema)
     agg_funcs = pu_agg_funcs(schema)
@@ -507,7 +525,7 @@ def _partial_update_with_groups(
             merged = merged.withColumn(
                 c, F.when(dead, F.lit(None)).otherwise(F.col(c))
             )
-    return merged.select(*schema.field_names())
+    return merged.select(*schema.field_names(), *[F.col(c) for c in extra])
 
 
 # --- field aggregators (mergetree/compact/aggregate/factory/*.java:28-35) ---
@@ -805,7 +823,10 @@ def _aggregation_aggs(schema: TableSchema, seq: str) -> list:
 
 
 def _aggregation(
-    df: DataFrame, schema: TableSchema, seq_col: str = SEQUENCE_NUMBER
+    df: DataFrame,
+    schema: TableSchema,
+    seq_col: str = SEQUENCE_NUMBER,
+    extra: list[str] = (),
 ) -> DataFrame:
     """aggregation merge engine: groupBy(pk).agg(per-field functions).
 
@@ -819,7 +840,7 @@ def _aggregation(
     ``aggregation.remove-record-on-delete`` a trailing ``-D`` drops the
     whole record instead.
     """
-    keys = _key_cols(schema)
+    keys = _key_cols(schema) + list(extra)
     seq = seq_col
     opts = schema.options
     aggs = _aggregation_aggs(schema, seq)
@@ -834,7 +855,7 @@ def _aggregation(
         merged = merged.join(deletes, on=keys, how="left").where(
             F.col("__del_seq").isNull() | (F.col("__ups_seq") > F.col("__del_seq"))
         )
-    return merged.select(*schema.field_names())
+    return merged.select(*schema.field_names(), *[F.col(c) for c in extra])
 
 
 # --- universal (partial) compaction folds (SURVEY §4.2; T13) ---

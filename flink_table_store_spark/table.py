@@ -1709,6 +1709,7 @@ class Table:
         max_level = MAX_LEVEL
         pk = self.is_primary_key_table()
         row_ids = self.row_tracking_enabled()
+        one_shuffle = False
         consumed_patches: list[ManifestEntry] = []
         if row_ids:
             # row-id stability under maintenance (SpecialFields row-id
@@ -1727,6 +1728,32 @@ class Table:
                 ]
                 # materialize CURRENT values; consumed patch files retire
                 merged = self._apply_patches(spark, merged, consumed_patches)
+        elif pk and schema.num_buckets() > 0:
+            # r12 one-shuffle compaction (guide §2.4): assign the
+            # CURRENT layout's bucket from the key VALUES (bucket_expr
+            # is generation-independent, so mid-rescale runs merge
+            # correctly — a key's rows always map to one new bucket),
+            # shuffle ONCE on (partition, bucket), and run the merge
+            # fold WITH the bucket in its grouping key:
+            # hash(partition, bucket) already co-locates every
+            # (partition, bucket, key) group, so Catalyst adds no
+            # second exchange, and stage_and_collect skips its
+            # write-side repartition (pre_partitioned). The old shape
+            # shuffled the full table bytes twice — once for the merge
+            # fold (keyed on the PK) and once for the write layout.
+            dv = read_mod.dv_dataframe(spark, self.path, snap.dv_files or [])
+            runs = read_mod._read_files(
+                spark, self.path, to_compact, schema, self.all_schemas(),
+                with_system=True, dv=dv,
+            )
+            runs = runs.withColumn(BUCKET_COL, bucket_expr(schema))
+            runs = runs.repartition(
+                *[F.col(c) for c in list(schema.partition_keys) + [BUCKET_COL]]
+            )
+            merged = merge_engines.merge_view(
+                runs, schema, group_extra=[BUCKET_COL]
+            )
+            one_shuffle = True
         else:
             plan = read_mod.ScanPlan(merge_entries=to_compact) if pk else read_mod.ScanPlan(raw_entries=to_compact)
             merged = read_mod.build_dataframe(
@@ -1751,6 +1778,7 @@ class Table:
             base_sequence=0 if not pk else 0,
             target_level=max_level,
             keep_cols=["_ROW_ID"] if row_ids else None,
+            pre_partitioned=one_shuffle,
         )
         # compacted rows keep sequence semantics: they carry fresh low seqs,
         # but there are no surviving older runs, so ordering vs future
@@ -1956,6 +1984,24 @@ class Table:
         # be served verbatim by the single-run raw-read shortcut
         bad_kinds = list(merge_engines.UNFOLDABLE_KINDS)
         new_entries: list[ManifestEntry] = []
+        # r12 one-shuffle universal compaction (guide §2.4), winner-fold
+        # engines only: pre-shuffle the selected runs ONCE on their
+        # STORED (partition, bucket) — partial merges stay within the
+        # stored layout by design — and let the fold's groupBy(keys +
+        # bucket) run exchange-free on top (hash(partition, bucket)
+        # co-locates every key group; the aggregate preserves the
+        # partitioning, so stage_and_collect skips its repartition).
+        # fold_runs output is a UNION (folded ∪ passthrough) whose
+        # branches interleave (partition, bucket) groups across tasks —
+        # it keeps the old two-shuffle shape so each bucket still lands
+        # in one file.
+        pre_part = engine in ("deduplicate", "first-row")
+
+        def _prepart(d):
+            return d.repartition(
+                *[F.col(c) for c in list(schema.partition_keys) + [BUCKET_COL]]
+            )
+
         if selected_whole:
             df = read_mod._read_files(
                 spark, self.path, selected_whole, schema, self.all_schemas(),
@@ -1965,7 +2011,9 @@ class Table:
                 # no unmerged older run remains in any of these groups:
                 # drop every retract winner (-D and -U — DropDeleteReader
                 # keeps only RowKind.isAdd), like a full compaction
-                merged = merge_engines.fold_winner(df, schema, BUCKET_COL).where(
+                merged = merge_engines.fold_winner(
+                    _prepart(df), schema, BUCKET_COL
+                ).where(
                     ~F.col(VALUE_KIND).isin(*merge_engines.UNFOLDABLE_KINDS)
                 )
                 residual = None
@@ -2003,6 +2051,7 @@ class Table:
                 row_kind_col=VALUE_KIND,
                 target_level=MAX_LEVEL,
                 preserve_seq=True,
+                pre_partitioned=pre_part,
             )
             if residual is not None:
                 new_entries += stage_and_collect(
@@ -2023,7 +2072,7 @@ class Table:
                 # keep -D winners: they must still cancel rows in the
                 # unmerged older runs (MergeTreeCompactRewriter
                 # dropDelete=false)
-                merged = merge_engines.fold_winner(df, schema, BUCKET_COL)
+                merged = merge_engines.fold_winner(_prepart(df), schema, BUCKET_COL)
             else:
                 merged = merge_engines.fold_runs(df, schema, BUCKET_COL)
             new_entries += stage_and_collect(
@@ -2033,6 +2082,7 @@ class Table:
                 row_kind_col=VALUE_KIND,
                 target_level=0,
                 preserve_seq=True,
+                pre_partitioned=pre_part,
             )
         deletes = []
         for e in selected:

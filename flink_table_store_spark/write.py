@@ -166,6 +166,7 @@ def stage_and_collect(
     target_level: int = 0,
     keep_cols: list[str] | None = None,
     preserve_seq: bool = False,
+    pre_partitioned: bool = False,
 ) -> list[ManifestEntry]:
     """Write ``df`` into the table's data layout; return manifest entries.
 
@@ -174,6 +175,12 @@ def stage_and_collect(
     (partition, bucket) so each (partition, bucket) is written by one
     task → one level-``target_level`` file per commit per bucket (the
     LSM run, SURVEY §2.1 S16).
+
+    ``pre_partitioned=True``: the caller guarantees ``df`` already
+    carries ``_bucket`` AND is hash-partitioned on (partition, bucket)
+    — the write-side repartition is skipped (r12 one-shuffle
+    compaction). Layout stays correct even if the guarantee is broken
+    (partitionBy routes rows by value); only file counts would suffer.
     """
     pk = bool(schema.primary_keys)
     pt_cols = list(schema.partition_keys)
@@ -230,7 +237,7 @@ def stage_and_collect(
                 # fixed-bucket hash; dynamic-bucket tables arrive pre-assigned
                 # (operators/dynamic_bucket.assign_buckets)
                 df = df.withColumn(BUCKET_COL, bucket_expr(schema))
-        if not postpone_write:
+        if not postpone_write and not pre_partitioned:
             df = df.repartition(*[F.col(c) for c in pt_cols + [BUCKET_COL]])
         partition_by = pt_cols + [BUCKET_COL]
         spark_extra = [VALUE_KIND, SEQUENCE_NUMBER, BUCKET_COL]
