@@ -124,8 +124,9 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     fingerprint per map partition — where the window shipped every
     duplicate and sorted each partition. Same representative: min id
     is unique per fingerprint."""
-    cols = ", ".join(f"`{c}`" for c in df.columns)
-    winner = F.expr(f"min_by(struct({cols}), `{id_col}`)").alias("__w")
+    winner = F.min_by(
+        F.struct(*[F.col(c) for c in df.columns]), F.col(id_col)
+    ).alias("__w")
     return (
         df.withColumn("__fp", fingerprint(text_col))
         .groupBy("__fp")

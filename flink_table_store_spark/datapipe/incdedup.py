@@ -223,10 +223,14 @@ def dedup_exact_against_index(
     # min_by per fingerprint instead of a row_number window (r11
     # optimization round, guide §2.3 — map-side combine; same winner,
     # min id is unique per fingerprint)
-    cols = ", ".join(f"`{c}`" for c in new_docs.columns)
     kept = (
         survivors.groupBy("__fp")
-        .agg(F.expr(f"min_by(struct({cols}), `{id_col}`)").alias("__w"))
+        .agg(
+            F.min_by(
+                F.struct(*[F.col(c) for c in new_docs.columns]),
+                F.col(id_col),
+            ).alias("__w")
+        )
         .select(
             "__fp", *[F.col(f"__w.{c}").alias(c) for c in new_docs.columns]
         )

@@ -186,24 +186,35 @@ def _dedup(
     seq_col: str = SEQUENCE_NUMBER,
     extra: list[str] = (),
 ) -> DataFrame:
-    """``max_by(struct(payload), seq)`` per key rather than a
-    row_number window: the partial aggregate combines map-side, so the
-    exchange carries ~one row per key per map partition regardless of
-    LSM overlap — measured ~30% faster at 3M rows / 3 versions per key
-    and equal on low-overlap shapes (Catalyst plans a SortAggregate
-    here: the struct payload is not hash-aggregable, but the partial
-    combine is what matters at scale)."""
+    """PER-COLUMN ``max_by(col, seq)`` per key rather than one
+    ``max_by(struct(payload), seq)`` (r12 optimization round, guide §6):
+    Catalyst prunes UNREFERENCED aggregate expressions, so a consumer
+    that projects two columns narrows ReadSchema at the parquet scan to
+    (keys, those columns, system cols) — the struct form dragged every
+    column through the fold for any consumer. Winners stay atomic: the
+    ordering key appends a per-row projected tiebreak to the sequence,
+    making it a TOTAL order, so every column's max_by picks the SAME
+    row even if two concurrent CAS writers staged overlapping sequence
+    ranges (tied effective sequences; the tie winner was arbitrary
+    under the struct form too — it just could not tear). The partial
+    aggregate still combines map-side — the exchange carries ~one row
+    per key per map partition regardless of LSM overlap."""
     keys = _key_cols(schema) + list(extra)
-    payload = [VALUE_KIND] + [c for c in schema.field_names() if c not in keys]
-    fn = "max_by" if descending else "min_by"
-    cols = ", ".join(f"`{c}`" for c in payload)
-    winner = F.expr(f"{fn}(struct({cols}), `{seq_col}`)").alias("__w")
-    merged = df.groupBy(*[F.col(k) for k in keys]).agg(winner)
+    payload = [c for c in schema.field_names() if c not in keys]
+    # projected BEFORE the aggregate: Spark forbids nondeterministic
+    # expressions inside aggregate functions, but an attribute holding
+    # one is fine. No I/O cost; every max_by references the same value.
+    df = df.withColumn("__tb", F.monotonically_increasing_id())
+    order = F.struct(F.col(seq_col), F.col("__tb"))
+    pick = F.max_by if descending else F.min_by
+    aggs = [pick(F.col(c), order).alias(c) for c in payload]
+    aggs.append(pick(F.col(VALUE_KIND), order).alias("__wk"))
+    merged = df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
     # a retract winner (-D or -U) hides the record: merged reads wrap
     # in DropDeleteReader, which keeps only RowKind.isAdd rows
-    out = merged.where(~F.col(f"__w.{VALUE_KIND}").isin(*UNFOLDABLE_KINDS))
+    out = merged.where(~F.col("__wk").isin(*UNFOLDABLE_KINDS))
     return out.select(
-        *[F.col(k) if k in keys else F.col(f"__w.{k}").alias(k) for k in schema.field_names()],
+        *[F.col(c) for c in schema.field_names()],
         *[F.col(c) for c in extra],
     )
 

@@ -142,6 +142,20 @@ def curation_batch_writer(
 
     def write_batch(df: DataFrame, batch_id: int) -> None:
         spark = df.sparkSession
+
+        # guide §1.5: label each phase's jobs so the UI (and any
+        # profiler reading job descriptions) can attribute the batch's
+        # wall-clock to gates / probes / commits. Thread-local, reset
+        # at the end.
+        def _label(phase: str) -> None:
+            try:
+                spark.sparkContext.setJobDescription(
+                    f"curation[{sink_id}:{batch_id}] {phase}"
+                )
+            except Exception:
+                pass
+
+        _label("gates+exact-dedup probe")
         # gates FIRST, dedup second: filters commute with exact dedup
         # (identical text, identical gate outcome) but NOT with
         # near-dup dedup — deduping first would let a low-quality doc
@@ -192,6 +206,7 @@ def curation_batch_writer(
         )
         sigs = None
         if minhash_index is not None:
+            _label("minhash near-dup probe+verify")
             corpus_text = corpus_table.refresh().to_df(spark).select(
                 id_col, text_col
             )
@@ -203,12 +218,14 @@ def curation_batch_writer(
             )
         sh_banded = None
         if simhash_index is not None:
+            _label("simhash near-dup probe")
             kept, sh_banded = dedup_simhash_against_index(
                 spark, simhash_index, kept,
                 text_col=text_col, id_col=id_col,
                 max_hamming=max_hamming, update_index=False,
                 return_signatures=True,
             )
+        _label("survivor pin")
         kept = kept.withColumn("n_tokens", token_count(text_col))
         # one deterministic pass per batch: the dedup probe, the corpus
         # write and the index writes must all see the SAME survivor set
@@ -235,6 +252,7 @@ def curation_batch_writer(
         # writing it before the mh index would strand a crash-window
         # batch in the corpus with no LSH signatures, silently blinding
         # all future near-dup detection against those docs.
+        _label("corpus commit")
         corpus_table.refresh().write(
             kept, commit_identifier=f"{sink_id}:{batch_id}"
         )
@@ -247,6 +265,7 @@ def curation_batch_writer(
             # corpus commit -> no new snapshot) makes this a no-op
             extend_global_index(spark, corpus_table.refresh(), vector_index)
         if sigs is not None:
+            _label("minhash index commit")
             minhash_index.refresh().write(
                 sigs, commit_identifier=f"{sink_id}:mh:{batch_id}"
             )
@@ -283,6 +302,7 @@ def curation_batch_writer(
                 text_col=text_col, key_col=id_col,
                 commit_identifier=f"{sink_id}:fts:{batch_id}",
             )
+        _label("exact-fp index commit")
         index_table.refresh().write(
             kept.select(
                 fingerprint(text_col).alias("fp"),
@@ -290,6 +310,10 @@ def curation_batch_writer(
             ),
             commit_identifier=f"{sink_id}:idx:{batch_id}",
         )
+        try:
+            spark.sparkContext.setJobDescription(None)
+        except Exception:
+            pass
 
     return write_batch
 

@@ -489,3 +489,76 @@ def test_driver_pack_matches_distributed_pack(spark, tmp_path):
     assert driver_out == dist_out
     assert driver_side == dist_side
     assert driver_side, "expected sidecar indexes to be written"
+
+
+def test_driver_pack_byte_bound_forces_distributed(spark, tmp_path, monkeypatch):
+    """r12: the driver-pack gate is BYTE-bounded, not just file-counted
+    — a high-cardinality bloom column whose estimated collect_set
+    positions exceed DRIVER_PACK_MAX_BYTES must take the distributed
+    pack even under the 64-file threshold, with identical output."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_table_store_spark import fileindex
+
+    staging = str(tmp_path / "stage")
+    (
+        spark.range(3000)
+        .select(F.col("id").alias("k"), (F.col("id") % 11).alias("v"))
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+
+    calls = {"toPandas": 0}
+    import pyspark.sql.classic.dataframe as _cdf
+
+    orig = _cdf.DataFrame.toPandas
+
+    def spy(self):
+        calls["toPandas"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(_cdf.DataFrame, "toPandas", spy)
+
+    def _run():
+        for root, _d, fs in os.walk(staging):
+            for fn in fs:
+                if fn.endswith(fileindex.INDEX_SUFFIX):
+                    os.remove(os.path.join(root, fn))
+        out = fileindex.build_indexes(
+            spark, staging, ["k"], [], 64 * 1024, "parquet", 500,
+            with_stats=True, stats_exclude=set(),
+            driver_pack_threshold=64,
+        )
+        side = {}
+        for root, _d, fs in os.walk(staging):
+            for fn in fs:
+                if fn.endswith(fileindex.INDEX_SUFFIX):
+                    with open(os.path.join(root, fn)) as fh:
+                        side[fn] = json.load(fh)
+        return out, side
+
+    # 2 files, ~1500 rows each x K x 8 bytes estimated: above a 1 KB
+    # budget -> distributed despite the file count being under 64
+    monkeypatch.setattr(fileindex, "DRIVER_PACK_MAX_BYTES", 1024)
+    dist_out, dist_side = _run()
+    assert calls["toPandas"] == 0, "byte bound should force the distributed pack"
+
+    monkeypatch.setattr(fileindex, "DRIVER_PACK_MAX_BYTES", 64 * 1024 * 1024)
+    drv_out, drv_side = _run()
+    assert calls["toPandas"] == 1, "under budget the driver pack should engage"
+    assert dist_out == drv_out
+    assert dist_side == drv_side
+
+    # estimator arithmetic: rows bound beats the m bound for parquet
+    files = [
+        os.path.join(r, fn)
+        for r, _d, fs in os.walk(staging)
+        for fn in fs
+        if fn.endswith(".parquet")
+    ]
+    assert fileindex._driver_pack_bytes_ok(files, 1, 0, 64 * 1024)
+    assert not fileindex._driver_pack_bytes_ok(files, 10_000, 0, 64 * 1024)
