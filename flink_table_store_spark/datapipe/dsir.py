@@ -269,6 +269,15 @@ def exact_top_k(
         pass  # the parted checkpoint below is the load-bearing one
     parted = df.repartitionByRange(P, *sort_cols)
     try:
+        # this second pin is CORRECTNESS-load-bearing, not an
+        # optimization (r12 adjudication of ADVICE r11): the two-pass
+        # scheme below runs two ACTIONS over `parted`, and
+        # repartitionByRange re-samples its range boundaries per action
+        # (the sampler's seed derives from the execution's RDD id), so
+        # an unpinned `parted` could place rows differently between the
+        # count pass and the selection pass. Dropping the INPUT pin
+        # instead was micro-measured a loss (dsir_select_10x 9.3s vs
+        # 7.2s in adjacent runs) — both pins stay.
         parted = parted.localCheckpoint(eager=True)
     except Exception:
         # correctness of the two-pass plan holds only if the recomputed

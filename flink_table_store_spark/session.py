@@ -28,7 +28,20 @@ def get_spark(app_name: str = "flink_table_store_spark", shuffle_partitions: int
         # partition is small. Both are size-guarded per partition, so
         # they scale with AQE's advisory partition sizing rather than
         # with the local core count.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        #
+        # r12 (ADVICE r11): the STATIC half decides from ESTIMATED plan
+        # stats, and SHJ's build side cannot spill — on a very large
+        # cluster with misestimated post-explode sizes that risks
+        # executor OOM, so it is env-gated. The AQE half below uses
+        # ACTUAL runtime sizes and is always safe. Local default stays
+        # "false" (measured: q3 0.78s vs 0.91s, paragraph_dedup 1.24 vs
+        # 1.45 at sf0.1); production deployments at the 100 TB design
+        # point should set SPARK_GRAFT_PREFER_SORT_MERGE_JOIN=true and
+        # rely on the AQE rewrite alone.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SORT_MERGE_JOIN", "false"),
+        )
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m"
         )
