@@ -358,7 +358,12 @@ def stage_and_collect(
             distributed = n_staged > thr
         if distributed:
             stats_by_path = collect_stats_distributed(
-                df.sparkSession, staging, fmt, exclude=stats_exclude
+                df.sparkSession, staging, fmt, exclude=stats_exclude,
+                # the staged layout is exactly what was just written —
+                # passing the schema skips the read-side inference job
+                # (r12; same as build_indexes). VARIANT columns stay on
+                # inference: Spark must re-derive its own encoding.
+                schema=None if has_variant else df.schema,
             )
     entries = _collect_staged(staging, table_path, schema, target_level, indexes, fmt, stats_by_path)
     shutil.rmtree(staging, ignore_errors=True)
@@ -382,7 +387,8 @@ def _type_has_variant(dt) -> bool:
 
 
 def collect_stats_distributed(
-    spark, staging: str, fmt: str, exclude: set[str] | None = None
+    spark, staging: str, fmt: str, exclude: set[str] | None = None,
+    schema=None,
 ) -> dict[str, tuple[int, dict]]:
     """{staged-file-abs-path: (row_count, per-column {min,max,nulls})}
     via one Spark aggregation grouped on ``_metadata.file_path`` —
@@ -394,11 +400,14 @@ def collect_stats_distributed(
 
     from flink_table_store_spark.manifest import _json_safe, statable_columns
 
-    df = spark.read.format(fmt).load(staging)
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        # the writer knows the exact staged schema — skip the
+        # footer-sampling inference job (r12; at >1000 staged files the
+        # sampling pass itself opens many footers)
+        reader = reader.schema(schema)
+    df = reader.load(staging)
     statable = [c for c, _t in statable_columns(df.schema, exclude)]
-    # NOTE: inference here is kept deliberately — this path is reached
-    # only above the 1000-staged-file threshold or for footerless
-    # formats, where one inference job is noise next to the stats job
     aggs = [F.count(F.lit(1)).alias("__rc")]
     for c in statable:
         aggs += [
