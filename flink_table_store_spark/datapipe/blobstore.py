@@ -69,11 +69,19 @@ def externalize_blobs(
                 rel = _blob_rel(sha)
                 path = os.path.join(root, rel)
                 if not os.path.exists(path):
+                    import uuid as _uuid
+
                     os.makedirs(os.path.dirname(path), exist_ok=True)
-                    tmp = path + ".tmp"
+                    # UNIQUE tmp per writer: two tasks externalizing the
+                    # same content concurrently must not share one tmp
+                    # path (the first rename steals it and the second's
+                    # os.replace dies with ENOENT — observed flake).
+                    # With distinct tmps the renames converge on
+                    # identical bytes; os.replace stays atomic.
+                    tmp = f"{path}.{_uuid.uuid4().hex}.tmp"
                     with open(tmp, "wb") as fh:
                         fh.write(p)
-                    os.replace(tmp, path)  # atomic; races converge (same bytes)
+                    os.replace(tmp, path)
                 descs.append(
                     {
                         "uri": rel,

@@ -133,10 +133,11 @@ def dedup_against_index(
     ).distinct()
     try:
         # the corpus-candidate set feeds the verification texts (via
-        # hit_ids, TWICE — once per shingle-join branch) and the
-        # candidate union; unpinned, each consumer re-runs the index
-        # probe INCLUDING the index table's merge-on-read fold. Pinned,
-        # the index is merged once per batch (r11 optimization round).
+        # hit_ids — once, now that the verifier pins its restricted
+        # shingle table) and the candidate union; unpinned, each
+        # consumer re-runs the index probe INCLUDING the index table's
+        # merge-on-read fold. Pinned, the index is merged once per
+        # batch (r11 optimization round; consumer count revised r12).
         corpus_cand = corpus_cand.localCheckpoint(eager=True)
     except Exception:
         pass

@@ -7,6 +7,8 @@ the Spark merge path AND the in-task pandas twin (local read)."""
 from __future__ import annotations
 
 
+import pytest
+@pytest.mark.slow
 def test_listagg_delimiter_and_distinct(spark, warehouse):
     t = warehouse.create_table(
         "db.aglist", "k int, tags string, plain string",

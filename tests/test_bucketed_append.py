@@ -139,6 +139,7 @@ class TestBucketedAppend:
 
 
 class TestFormatSurface:
+    @pytest.mark.slow
     def test_format_writer_buckets_append_tables(self, spark, warehouse):
         """df.write.format('ftss') on a bucketed append table must hash
         rows into the same buckets Table.write uses — a bucket-unaware

@@ -5,6 +5,10 @@ parity vs whole-history merge, and chain compaction."""
 from __future__ import annotations
 
 import pytest
+
+# r12 fast-tier split: this module is SLOW-tier (long fuzz loops /
+# integration matrices); run `-m ""` for the full suite.
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from flink_table_store_spark import predicate as P

@@ -6,6 +6,7 @@ two-sided merge per read."""
 
 from __future__ import annotations
 
+import pytest
 from flink_table_store_spark import predicate as P
 from flink_table_store_spark.streaming.changelog import (
     changelog_diff,
@@ -45,6 +46,7 @@ def test_compaction_persists_changelog_files(spark, warehouse):
     assert "Exchange" not in plan
 
 
+@pytest.mark.slow
 def test_second_compaction_diffs_since_baseline(spark, warehouse):
     t = _mk(spark, warehouse, "db.clp2")
     t.compact(spark, full=True)
@@ -235,6 +237,7 @@ def test_incremental_changelog_input_producer(spark, warehouse):
     }
 
 
+@pytest.mark.slow
 def test_changelog_time_and_min_retention(spark, warehouse):
     """changelog.time-retained expires preserved changelog by age;
     changelog.num-retained.min floors the count (decoupled lifecycle,

@@ -122,6 +122,7 @@ class TestUpdateColumns:
         assert t.min_max("k") == (0, 19)       # unpatched column still is
         assert t.count_rows() == 20
 
+    @pytest.mark.slow
     def test_format_surface_refuses_patched_table(self, spark, warehouse):
         from flink_table_store_spark.sources.datasource import register_data_source
 
@@ -204,6 +205,7 @@ def test_rewrites_guarded_while_patches_live(spark, warehouse):
     assert 7 not in got and got[3] == 33.0 and len(got) == 9
 
 
+@pytest.mark.slow
 def test_local_read_stitches_patches(spark, warehouse):
     """to_arrow on a data-evolution table overlays patches without a
     SparkSession involved in the read."""
@@ -224,6 +226,7 @@ def test_local_read_stitches_patches(spark, warehouse):
 
 
 @pytest.mark.parametrize("seed", [1, 7, 23])
+@pytest.mark.slow
 def test_fuzz_interleavings_vs_oracle(spark, warehouse, seed):
     """Seeded random interleavings of append / update_columns / compact
     replayed against a plain pandas oracle — the merge semantics (latest
@@ -305,6 +308,7 @@ def test_doctor_and_files_table_report_patches(spark, warehouse):
     assert "patch_files" not in rep2["files"]
 
 
+@pytest.mark.slow
 def test_distributed_planner_does_not_stats_prune_patched_cols(spark, warehouse):
     """Above the distributed-manifest threshold, stats pruning must not
     drop base files whose PRE-patch values fail the predicate."""

@@ -31,6 +31,7 @@ def test_exact_dedup(docs):
     assert kept == [1, 4, 5, 6]  # 2 and 3 collapse into 1
 
 
+@pytest.mark.slow
 def test_minhash_near_dup(docs):
     # shingle_k=2 makes doc 4 ("leaps" for "jumps") jaccard 0.6 vs doc 1;
     # bands=32 (r=2) makes an LSH band collision near-certain at that sim
@@ -53,6 +54,7 @@ def test_minhash_signature_column_matches_agg_path(spark, docs):
     assert a == b
 
 
+@pytest.mark.slow
 def test_simhash_dedup(docs):
     kept = sorted(r.doc_id for r in DD.simhash_dedup(docs).collect())
     assert 1 in kept and 2 not in kept  # identical text → identical simhash
@@ -189,6 +191,7 @@ def test_multimodal_decode_is_stubbed(spark):
     assert out[0].format == "unknown"
 
 
+@pytest.mark.slow
 def test_ivf_topk_recall(spark):
     import random
 
@@ -207,6 +210,7 @@ def test_ivf_topk_recall(spark):
     assert {(r.query_id, r.vec_id) for r in approx} == {(3, 3), (77, 77)}
 
 
+@pytest.mark.slow
 def test_ivf_static_centroids_deterministic(spark):
     emb = spark.createDataFrame(
         [(i, [float(i % 4), float((i // 4) % 4)]) for i in range(64)],
@@ -220,6 +224,7 @@ def test_ivf_static_centroids_deterministic(spark):
     assert got[0].rank == 1 and abs(got[0].cosine - 1.0) < 1e-9
 
 
+@pytest.mark.slow
 def test_text_index_bm25_search(spark, warehouse):
     """Inverted index + BM25: build, bucket-pruned search, rebuild on
     new data, deterministic ranking."""
@@ -294,6 +299,7 @@ def test_gopher_metrics_edges(spark):
     assert rows[4].frac_alpha_words == 0.0 and not rows[4].gopher_keep
 
 
+@pytest.mark.slow
 def test_contamination_counts(spark):
     from flink_table_store_spark.datapipe.text import (
         contamination_counts,
@@ -325,6 +331,7 @@ def test_contamination_counts(spark):
     }
 
 
+@pytest.mark.slow
 def test_connected_components(spark):
     """Min-label components over the pair graph: chains, stars,
     singleton edges, duplicate/reversed pairs."""
@@ -354,6 +361,7 @@ def test_connected_components(spark):
         connected_components(chain, max_iter=2)
 
 
+@pytest.mark.slow
 def test_minhash_dedup_cc_transitive_vs_one_hop(spark):
     """A 4-chain (similar only adjacently) with ids permuted 1,3,0,2
     along the chain: one-hop dedup keeps TWO docs (1 sees only the
@@ -374,6 +382,7 @@ def test_minhash_dedup_cc_transitive_vs_one_hop(spark):
     assert cc == [0, 50], "transitive clustering keeps one per component"
 
 
+@pytest.mark.slow
 def test_embedding_dedup_cc(spark):
     """Cosine chain v0~v1~v2 (adjacent above threshold, ends below):
     transitive clustering keeps one representative + the outlier."""
@@ -521,6 +530,7 @@ def test_redact_pii(spark):
     assert out[4][1] == 0 and out[4][3] == 0
 
 
+@pytest.mark.slow
 def test_stratified_sample_exact_and_portable(spark):
     from flink_table_store_spark.datapipe.sampling import (
         hash_fraction_sample,
@@ -638,6 +648,7 @@ def test_stratified_sample_zero_candidate_stratum(spark):
     assert cnt["a"] == 5 and cnt["b"] == 5, cnt
 
 
+@pytest.mark.slow
 def test_connected_components_star(spark):
     """Large/small-star CC (Kiveris et al.): same components as label
     propagation, but round count scales with log n, not diameter."""
@@ -690,6 +701,7 @@ def test_connected_components_star(spark):
     assert a == b
 
 
+@pytest.mark.slow
 def test_dedup_cc_star_algorithm_parity(spark):
     """minhash_dedup_cc(algorithm='star') keeps the same survivors as
     the default label-propagation path."""
@@ -713,6 +725,7 @@ def test_dedup_cc_star_algorithm_parity(spark):
     assert lab == star
 
 
+@pytest.mark.slow
 def test_semantic_dedup(spark):
     """SemDeDup: k-means cells bound the pairwise work; within-cell
     near-dups collapse transitively to one survivor per cluster."""
@@ -768,6 +781,7 @@ def test_semantic_dedup(spark):
     assert star == got
 
 
+@pytest.mark.slow
 def test_bigram_lm_perplexity(spark):
     """Self-scored corpus perplexity: fluent/repetitive docs score low,
     out-of-distribution gibberish high; short docs get NULL."""
@@ -848,6 +862,7 @@ def test_paragraph_dedup_word_windows(spark):
     assert out[2] == "x1 x2 x3 x4"  # its first window was doc 1's
 
 
+@pytest.mark.slow
 def test_mine_hard_negatives(spark):
     """Golds are excluded, ranks stay dense, and every query still
     yields k negatives even when its golds occupy the top ranks."""
@@ -1001,6 +1016,7 @@ def test_semantic_contamination(spark):
     assert "Exchange rangepartitioning" not in plan
 
 
+@pytest.mark.slow
 def test_perplexity_buckets_exact_and_thresholds(spark):
     """CCNet bucketing: exact (keyed ntile) mode splits per language
     into equal-frequency thirds; thresholds mode (fit on the same
@@ -1058,6 +1074,7 @@ def test_perplexity_buckets_exact_and_thresholds(spark):
     assert got[2] is None     # lang missing from thresholds -> NULL bucket
 
 
+@pytest.mark.slow
 def test_pca_fit_project_whiten(spark):
     """Distributed PCA: builtin and arrow covariance paths agree,
     components are orthonormal with descending eigenvalues, projected
@@ -1157,6 +1174,7 @@ def test_pr_curve(spark):
     assert r["threshold"] == 1.0 and r["tp"] == 1
 
 
+@pytest.mark.slow
 def test_binary_hamming_topk(spark):
     """BQ two-stage: the self-vector (hamming 0, cosine 1) is always
     rank 1; a high rerank recovers exact brute-force top-k; signatures
@@ -1203,6 +1221,7 @@ def test_binary_hamming_topk(spark):
     assert bin((sigs[1] ^ sigs[2]) & (2**64 - 1)).count("1") == 1
 
 
+@pytest.mark.slow
 def test_perplexity_thresholds_fitter_edge_cases(spark):
     """The fit -> assign round trip survives NULL-lang docs and
     languages with too few scored docs for a full cut-point set: both
@@ -1247,6 +1266,7 @@ def test_corpus_diff(spark):
     assert got["only_b"]["n_fingerprints"] == 1 and got["only_b"]["n_docs_b"] == 2
 
 
+@pytest.mark.slow
 def test_sample_weighted_exact(spark):
     """A-ES weighted sampling: deterministic per seed, weight-
     proportional in aggregate (heavy rows selected far more often

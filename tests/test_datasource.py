@@ -41,6 +41,7 @@ def _parity(spark, table, path, **options):
 
 
 class TestBatchRead:
+    @pytest.mark.slow
     def test_pk_merge_parity(self, spark, warehouse):
         t = warehouse.create_table(
             "db.kv", KV, partition_keys=["pt"], primary_keys=["k", "pt"],
@@ -97,6 +98,7 @@ class TestBatchRead:
             (1, "a2"), (2, "b"),
         ]
 
+    @pytest.mark.slow
     def test_incremental_between_options(self, spark, warehouse):
         """The reference's incremental read options
         (SparkConnectorOptions incremental-between /
@@ -249,6 +251,7 @@ class TestWrite:
 
 
 class TestStreamRead:
+    @pytest.mark.slow
     def test_full_then_deltas_across_restart(self, spark, warehouse):
         t = warehouse.create_table("db.s", KV, primary_keys=["k"], options={"bucket": "2"})
         t.write(spark.createDataFrame([(1, "a", "x"), (2, "b", "x")], KV))
@@ -272,6 +275,7 @@ class TestStreamRead:
             (1, "a"), (2, "b"), (2, "b2"), (3, "c"), (4, "d"),
         ]
 
+    @pytest.mark.slow
     def test_from_snapshot_mode_and_consumer(self, spark, warehouse):
         t = warehouse.create_table("db.s2", KV, primary_keys=["k"], options={"bucket": "1"})
         t.write(spark.createDataFrame([(1, "a", "x")], KV))
@@ -368,6 +372,7 @@ class TestWriteGuardTypes:
             df.write.format("ftss").mode("append").save(t.path)
 
 
+@pytest.mark.slow
 def test_scan_option_spellings(spark, warehouse):
     """CoreOptions travel spellings on the format surface:
     scan.snapshot-id / scan.tag-name / scan.version /

@@ -96,6 +96,7 @@ def test_dsir_fit_validation(spark):
         dsir_resample(ok, m, 1, temperature=0)
 
 
+@pytest.mark.slow
 def test_dsir_resample_deterministic_and_biased(spark):
     """Same seed -> identical selection; selection is biased toward the
     target domain; low temperature sharpens toward pure top-k."""
@@ -127,6 +128,7 @@ def test_dsir_resample_deterministic_and_biased(spark):
     assert s3 != s1
 
 
+@pytest.mark.slow
 def test_exact_top_k_parity_and_edges(spark):
     import random
 
@@ -167,6 +169,7 @@ def test_exact_top_k_no_global_window(spark):
     assert out.count() == 500
 
 
+@pytest.mark.slow
 def test_exact_top_k_hypothesis_fuzz(spark):
     """Property: for arbitrary value multisets (heavy ties included),
     ks and partition counts, exact_top_k returns exactly the k smallest
@@ -206,6 +209,7 @@ def test_exact_top_k_hypothesis_fuzz(spark):
     run()
 
 
+@pytest.mark.slow
 def test_incremental_dsir_index(spark, warehouse):
     """Model state as an engine aggregation-merge table: folding
     batches sums to the batch fit's exact counts (scores bit-identical

@@ -30,6 +30,7 @@ def test_new_keys_fill_buckets_to_target(spark, t):
     assert _buckets(t) == {0, 1, 2, 3}  # 350 keys / 100 per bucket
 
 
+@pytest.mark.slow
 def test_existing_keys_keep_their_bucket(spark, t):
     t.write(spark.createDataFrame([(i, "old") for i in range(150)], "k bigint, v string"))
     t.write(spark.createDataFrame([(i, "new") for i in range(100, 250)], "k bigint, v string"))
@@ -38,6 +39,7 @@ def test_existing_keys_keep_their_bucket(spark, t):
     assert got[120] == "new" and got[20] == "old"
 
 
+@pytest.mark.slow
 def test_growth_appends_buckets(spark, t):
     for start in range(0, 600, 200):
         t.write(
@@ -97,6 +99,7 @@ def test_initial_buckets_spread_early_keys(spark, warehouse):
     assert t.to_df(spark).count() == 40
 
 
+@pytest.mark.slow
 def test_max_buckets_caps_growth(spark, warehouse):
     """dynamic-bucket.max-buckets: new keys overflow into hash%max once
     the cap is reached; existing keys keep their bucket."""

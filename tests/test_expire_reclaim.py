@@ -5,6 +5,11 @@ branches protect their references."""
 
 from __future__ import annotations
 
+import pytest
+
+# r12 fast-tier split: this module is SLOW-tier (long fuzz loops /
+# integration matrices); run `-m ""` for the full suite.
+pytestmark = pytest.mark.slow
 import os
 
 from flink_table_store_spark import predicate as P

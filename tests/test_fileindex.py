@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from flink_table_store_spark import fileindex
 from flink_table_store_spark import predicate as P
 from flink_table_store_spark import read as read_mod
@@ -107,6 +108,7 @@ def test_bloom_survives_compaction(spark, warehouse):
     assert t.to_df(spark, predicate=pred).count() == 1
 
 
+@pytest.mark.slow
 def test_python_xxh64_matches_spark(spark):
     """Property check: the pure-Python xxh64 (used for plan-time literal
     hashing) agrees with Spark's xxhash64 for every supported type."""

@@ -13,6 +13,10 @@ import random
 
 import pytest
 
+# r12 fast-tier split: this module is SLOW-tier (long fuzz loops /
+# integration matrices); run `-m ""` for the full suite.
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("seed", range(4))
 @pytest.mark.parametrize("row_dedup", ["true", "false"])

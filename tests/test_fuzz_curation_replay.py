@@ -10,6 +10,11 @@ batch, existing-text wins across batches, word-count gate."""
 
 from __future__ import annotations
 
+import pytest
+
+# r12 fast-tier split: this module is SLOW-tier (long fuzz loops /
+# integration matrices); run `-m ""` for the full suite.
+pytestmark = pytest.mark.slow
 import random
 
 from flink_table_store_spark.datapipe.incdedup import create_exact_index

@@ -24,6 +24,10 @@ import random
 
 import pytest
 
+# r12 fast-tier split: this module is SLOW-tier (long fuzz loops /
+# integration matrices); run `-m ""` for the full suite.
+pytestmark = pytest.mark.slow
+
 
 def _drive(spark, t, rng, n_ops, write_batch, apply_batch, expected, on_full=None):
     """Shared loop: interleave writes / compactions / expiry; compare

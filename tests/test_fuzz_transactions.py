@@ -37,6 +37,10 @@ import threading
 
 import pytest
 
+# r12 fast-tier split: this module is SLOW-tier (long fuzz loops /
+# integration matrices); run `-m ""` for the full suite.
+pytestmark = pytest.mark.slow
+
 from flink_table_store_spark import predicate as P
 
 DDL = "k bigint, v bigint"

@@ -7,6 +7,11 @@ create_global_index/drop_global_index procedures (paimon-spark procedure/).
 
 from __future__ import annotations
 
+import pytest
+
+# r12 fast-tier split: this module is SLOW-tier (long fuzz loops /
+# integration matrices); run `-m ""` for the full suite.
+pytestmark = pytest.mark.slow
 import os
 
 from pyspark.sql import functions as F

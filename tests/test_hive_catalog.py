@@ -4,6 +4,11 @@ registrations with path-pointer TBLPROPERTIES."""
 
 from __future__ import annotations
 
+import pytest
+
+# r12 fast-tier split: this module is SLOW-tier (long fuzz loops /
+# integration matrices); run `-m ""` for the full suite.
+pytestmark = pytest.mark.slow
 import subprocess
 import sys
 import textwrap

@@ -5,6 +5,7 @@ signatures append idempotently."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from flink_table_store_spark.datapipe.incdedup import (
@@ -30,6 +31,7 @@ def _reversed_text(df):
     )
 
 
+@pytest.mark.slow
 def test_probe_and_update(spark, warehouse):
     corpus = _corpus(spark)
     idx = create_minhash_index(warehouse, "db.mh_idx")
@@ -73,6 +75,7 @@ def test_probe_and_update(spark, warehouse):
     assert idx.refresh().to_df(spark).count() == n1
 
 
+@pytest.mark.slow
 def test_matches_batch_dedup(spark, warehouse):
     """Incremental (index A, probe B) keeps exactly the B-side
     survivors the one-shot batch dedup of A union B keeps, when ids
@@ -102,6 +105,7 @@ def test_matches_batch_dedup(spark, warehouse):
     assert inc_kept == batch_kept
 
 
+@pytest.mark.slow
 def test_index_maintenance_is_idempotent(spark, warehouse):
     corpus = _corpus(spark)
     idx = create_minhash_index(warehouse, "db.mh_idx3")
@@ -110,6 +114,7 @@ def test_index_maintenance_is_idempotent(spark, warehouse):
     assert idx.refresh().to_df(spark).count() == 20 * 16
 
 
+@pytest.mark.slow
 def test_exact_index_first_row_engine(spark, warehouse):
     """Incremental EXACT dedup: the fingerprint index is a first-row
     PK table, so 'existing wins' and retry idempotency are the merge

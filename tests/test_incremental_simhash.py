@@ -4,6 +4,7 @@ math against signatures stored IN the index — zero corpus reads."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from flink_table_store_spark.datapipe.incdedup import (
@@ -16,6 +17,7 @@ def _doc(i, words):
     return (i, " ".join(words))
 
 
+@pytest.mark.slow
 def test_simhash_index_cross_and_intra_batch(spark, warehouse):
     idx = create_simhash_index(warehouse, "db.sh_idx")
     base_words = [f"w{j}" for j in range(40)]
@@ -59,6 +61,7 @@ def test_simhash_index_cross_and_intra_batch(spark, warehouse):
     )
 
 
+@pytest.mark.slow
 def test_simhash_index_existing_wins_and_idempotent(spark, warehouse):
     idx = create_simhash_index(warehouse, "db.sh_idx2")
     words = [f"t{j}" for j in range(30)]
@@ -79,6 +82,7 @@ def test_simhash_index_existing_wins_and_idempotent(spark, warehouse):
     )
 
 
+@pytest.mark.slow
 def test_simhash_index_parity_with_batch_dedup(spark, warehouse):
     """One-shot index build over a corpus == the batch simhash_dedup
     survivors (same bands/hamming), the semantic the index mirrors."""

@@ -25,6 +25,7 @@ def _docs(spark):
     return spark.read.parquet(DOCS).select("doc_id", "text")
 
 
+@pytest.mark.slow
 def test_incremental_matches_batch_build(spark, warehouse):
     """Two incremental folds must score BIT-IDENTICALLY to the one-shot
     batch index over the same corpus — the family's core contract."""
@@ -47,6 +48,7 @@ def test_incremental_matches_batch_build(spark, warehouse):
     assert [tuple(r) for r in got] == [tuple(r) for r in ref]
 
 
+@pytest.mark.slow
 def test_replay_is_noop_and_crash_self_heals(spark, warehouse):
     docs = _docs(spark).where(F.col("doc_id") < 50)
     idx = create_text_search_index(warehouse, "db.fts_replay")
@@ -140,6 +142,7 @@ def test_tokenless_docs_contribute_nothing(spark, warehouse):
     assert sorted(r["doc_id"] for r in got) == [1, 4]
 
 
+@pytest.mark.slow
 def test_text_index_and_extend_procedures(spark, warehouse):
     """The new index-maintenance surfaces are CALL-able: text index
     create/update/search procedures and extend_global_index."""

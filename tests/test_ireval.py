@@ -8,6 +8,10 @@ import math
 
 import pytest
 
+# r12 fast-tier split: this module is SLOW-tier (long fuzz loops /
+# integration matrices); run `-m ""` for the full suite.
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import functions as F
 
 from flink_table_store_spark.datapipe.ireval import (

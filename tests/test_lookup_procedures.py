@@ -215,6 +215,7 @@ def test_tag_retention_spares_user_tags(spark, warehouse):
     assert len([n for n in tags if len(n) == 10 and n[4] == "-"]) == 1
 
 
+@pytest.mark.slow
 def test_expire_keeps_changelog_of_consumer_pinned_snapshots(spark, warehouse):
     """ConsumerManager.java:44-70 contract for CHANGELOG files: a lagging
     consumer pins its cursor's snapshots, and expiry must keep those

@@ -87,6 +87,7 @@ class TestPackSequences:
         }
         assert per["a"] == sum(lengths[0::2]) and per["b"] == sum(lengths[1::2])
 
+    @pytest.mark.slow
     def test_default_matches_global_window_bit_identical(self, spark):
         """The sharded default must equal the partition-less global
         window exactly (several seeds x length mixes x n_shards)."""
@@ -181,6 +182,7 @@ class TestPackFirstFit:
 
 
 @pytest.mark.parametrize("seq_len", [32, 100, 257])
+@pytest.mark.slow
 def test_property_random_corpora(spark, seq_len):
     """Invariant sweep across shapes: conservation + capacity for both
     strategies at several seq_lens."""

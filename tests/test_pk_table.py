@@ -65,6 +65,7 @@ def test_merge_into_delete(spark, t):
     assert [r.k for r in t.to_df(spark).collect()] == [2]
 
 
+@pytest.mark.slow
 def test_compaction_preserves_and_reduces_files(spark, t):
     for i in range(4):
         t.write(mkdf(spark, [(j, f"v{i}", float(i)) for j in range(5)]))

@@ -10,6 +10,7 @@ engine's scans stay pushdown-friendly and shuffle-lean (SURVEY §4):
 
 from __future__ import annotations
 
+import pytest
 import contextlib
 import io
 import os
@@ -117,6 +118,7 @@ def test_minhash_signatures_single_shuffle(spark):
     assert "partial_min" in formatted
 
 
+@pytest.mark.slow
 def test_distributed_manifest_planning_matches_driver(spark, warehouse, monkeypatch):
     """Above scan.manifest.distributed-threshold the ADD/DELETE merge and
     pruning run as a Spark job; survivors must be IDENTICAL to the
@@ -254,6 +256,7 @@ def test_distributed_liveness_matches_driver_randomized(spark, tmp_path):
         }
 
 
+@pytest.mark.slow
 def test_fabricated_200k_manifest_plans_distributed(spark, warehouse, monkeypatch):
     """Metadata-scale proxy (VERDICT r4 #5): a fabricated 120k-entry
     manifest (no data files) must flip planning to the distributed
@@ -405,6 +408,7 @@ def test_dsir_score_broadcasts_model(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan
 
 
+@pytest.mark.slow
 def test_topk_family_gets_window_group_limit(spark):
     """Pin the optimizer behavior every top-k scale claim rests on:
     Spark 3.5+'s InferWindowGroupLimit rewrites

@@ -98,6 +98,7 @@ class TestChecks:
         with pytest.raises(NoPrivilegeException):
             c.assert_can_insert("db.t")
 
+    @pytest.mark.slow
     def test_table_proxy_read_write(self, spark, wh):
         root = _as(wh, "root", "root-pw")
         root.create_privileged_user("w", "pw")

@@ -15,6 +15,7 @@ import pytest
 S = "k int, a int, b int, c int, d int"
 
 
+@pytest.mark.slow
 def test_doc_example_agg_for_partial_update(spark, warehouse):
     """partial-update.md:156-183 — first_value + sum, exact output."""
     t = warehouse.create_table(
@@ -141,6 +142,7 @@ def test_agg_empty_group_rows_do_not_contribute(spark, warehouse):
     assert (r.g, r.total) == (1, 10)  # the g-less 99 never lands
 
 
+@pytest.mark.slow
 def test_fold_safe_agg_survives_universal_compaction(spark, warehouse):
     """sum is group-fold-safe: universal compaction folds partial sums
     that stay correct against older unmerged runs."""

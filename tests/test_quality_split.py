@@ -47,6 +47,7 @@ def test_quality_model_separates_classes(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == list(range(0, 60, 2))
 
 
+@pytest.mark.slow
 def test_quality_model_deterministic_and_null_safe(spark):
     from flink_table_store_spark.datapipe.quality_model import (
         score_quality_model,
@@ -376,6 +377,7 @@ def test_unimax_allocation_waterfill(spark):
             unimax_allocation(df, "domain", **kw)
 
 
+@pytest.mark.slow
 def test_unimax_matches_iterative_waterfill(spark):
     """The closed form equals the paper's iterative water-filling on
     randomized domain masses (20 trials)."""

@@ -25,6 +25,7 @@ def _t(warehouse, spark, name, **opts):
     return t
 
 
+@pytest.mark.slow
 def test_progressive_rescale_reads_stay_correct(spark, warehouse):
     t = _t(warehouse, spark, "rs1")
     want = {(r.k, r.v, r.pt) for r in t.to_df(spark).collect()}

@@ -36,6 +36,7 @@ def _ev(spark, rows):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+@pytest.mark.slow
 def test_rollup_folds_equal_direct_aggregation(spark, warehouse):
     ru = _mk(warehouse)
     b0 = _ev(spark, [
@@ -192,6 +193,7 @@ def test_rollup_count_col_and_explicit_dtype(spark, warehouse):
     assert dict(ru.refresh().to_df(spark).dtypes)["s"] == "bigint"
 
 
+@pytest.mark.slow
 def test_rollup_routing_parity_and_plan(spark, warehouse):
     """Opt-in SqlSession rollup routing: in-spec aggregates over the
     raw table answer from the rollup BIT-EQUAL to the direct plan and
@@ -405,6 +407,7 @@ def test_rollup_hll_distinct_metric(spark, warehouse):
         )
 
 
+@pytest.mark.slow
 def test_rollup_incremental_refresh_and_crash_heal(spark, warehouse):
     """refresh_rollup_incremental folds exactly the source delta per
     call, a replayed call is a no-op, the crash window (fold committed,
@@ -475,6 +478,7 @@ def test_rollup_incremental_refresh_and_crash_heal(spark, warehouse):
     assert cells() == {"a": (3, 12.0), "b": (2, 12.0)}
 
 
+@pytest.mark.slow
 def test_rollup_routing_randomized_parity(spark, warehouse):
     """Router fuzz: 30 seeded random aggregate queries (group subsets,
     aggregate subsets, grains, aligned/unaligned time bounds, HAVING,

@@ -33,6 +33,7 @@ def test_mixed_kinds_batch(spark, rk_table):
     assert {r.rk for r in t.to_df(spark).collect()} <= {"+I", "+U", "-D"}
 
 
+@pytest.mark.slow
 def test_parity_with_cdc_connector_path(spark, warehouse):
     """The same logical events through rowkind.field and through the
     engine's internal ROW_KIND column produce identical tables."""

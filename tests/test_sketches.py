@@ -206,6 +206,7 @@ def test_sketch_sql_functions(spark, warehouse):
     assert got.c64 == 2 and got.has64 is True
 
 
+@pytest.mark.slow
 def test_hll_wire_format_parse_union_estimate(spark):
     """DataSketches HLL wire format: parse Spark-written LIST/SET/dense
     buffers, union them (coupon-exact below promotion, dense HLL_8

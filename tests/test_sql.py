@@ -2,6 +2,10 @@
 sql-write.md and the CALL grammar (PaimonSqlExtensions.g4:71-87)."""
 
 import pytest
+
+# r12 fast-tier split: this module is SLOW-tier (long fuzz loops /
+# integration matrices); run `-m ""` for the full suite.
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from flink_table_store_spark import SqlSession

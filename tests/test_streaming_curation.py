@@ -6,6 +6,7 @@ index, and every failure point between the two commits is replay-safe."""
 
 from __future__ import annotations
 
+import pytest
 import os
 
 from pyspark.sql import functions as F
@@ -31,6 +32,7 @@ def _write_feed(spark, path, rows):
     ).write.mode("append").parquet(path)
 
 
+@pytest.mark.slow
 def test_stream_curates_across_batches(spark, warehouse, tmp_path):
     corpus, index = _mk_tables(warehouse)
     feed = str(tmp_path / "feed")
@@ -168,6 +170,7 @@ def test_quality_model_gate_in_stream(spark, warehouse):
     assert ids == [1]
 
 
+@pytest.mark.slow
 def test_near_dup_curation_across_batches(spark, warehouse):
     """minhash_index option: cross-batch NEAR-duplicates (high shingle
     overlap, different bytes) are dropped; the LSH index rides the same
@@ -220,6 +223,7 @@ def test_near_dup_curation_across_batches(spark, warehouse):
     )
 
 
+@pytest.mark.slow
 def test_crash_between_minhash_and_exact_index(spark, warehouse):
     """The review-pass window: corpus + LSH signatures committed, exact
     index write crashed. Replay must repair the exact index while every
@@ -277,6 +281,7 @@ def test_crash_between_minhash_and_exact_index(spark, warehouse):
     assert mh.refresh().to_df(spark).count() == n_sigs
 
 
+@pytest.mark.slow
 def test_quality_loser_does_not_suppress_batch_mate(spark, warehouse):
     """Gates run before near-dup dedup: a doc that will be filtered
     out must not near-dup-suppress its batch-mate (batch boundaries
@@ -316,6 +321,7 @@ def test_quality_loser_does_not_suppress_batch_mate(spark, warehouse):
     assert ids == [2]
 
 
+@pytest.mark.slow
 def test_simhash_gate_in_stream(spark, warehouse):
     """simhash_index option: a WORD-SHUFFLED copy (same bag of words,
     different order — near-identical SimHash, but shingle-based MinHash
@@ -364,6 +370,7 @@ def test_simhash_gate_in_stream(spark, warehouse):
     )
 
 
+@pytest.mark.slow
 def test_c4_and_dsir_gates_in_stream(spark, warehouse):
     """C4 line cleaning rewrites text BEFORE fingerprinting (two docs
     that differ only in junk lines dedup to one), and the DSIR gate
@@ -422,6 +429,7 @@ def test_c4_and_dsir_gates_in_stream(spark, warehouse):
     assert corpus.refresh().to_df(spark).count() == 1
 
 
+@pytest.mark.slow
 def test_dsir_gate_accepts_callable_model(spark, warehouse):
     """A zero-arg callable dsir_model is invoked once per micro-batch —
     the freshest incremental-index state gates every batch."""
@@ -473,6 +481,7 @@ def test_dsir_gate_accepts_callable_model(spark, warehouse):
     assert len(calls) == 2  # re-invoked per batch
 
 
+@pytest.mark.slow
 def test_text_index_fifth_sink(spark, warehouse, tmp_path):
     """The incremental full-text index as the fifth exactly-once sink:
     survivors' postings fold per micro-batch, losers never pollute the
@@ -524,6 +533,7 @@ def test_text_index_fifth_sink(spark, warehouse, tmp_path):
     assert (st2["n"], st2["total_dl"]) == (2, 8)
 
 
+@pytest.mark.slow
 def test_vector_index_sixth_sink(spark, warehouse, tmp_path):
     """Streaming vector-index maintenance: batches carrying embeddings
     extend the corpus's global IVF index in O(batch) after each corpus
@@ -591,6 +601,7 @@ def test_vector_index_sixth_sink(spark, warehouse, tmp_path):
     assert g == e
 
 
+@pytest.mark.slow
 def test_stats_index_seventh_sink(spark, warehouse, tmp_path):
     """Persistent corpus totals: survivors' per-lang (count, token-sum)
     deltas fold per batch; the mixture computed from index state equals
@@ -652,6 +663,7 @@ def test_stats_index_seventh_sink(spark, warehouse, tmp_path):
         assert from_idx[d] == _pytest.approx(from_scan[d], abs=1e-12)
 
 
+@pytest.mark.slow
 def test_novelty_gate_in_stream(spark, warehouse):
     """Keep-novel diversity gate: once the reference index has absorbed
     a vocabulary, more-of-the-same docs are dropped while genuinely new

@@ -192,6 +192,7 @@ def test_fast_forward_crash_mid_flip_leaves_no_hole(spark, t, monkeypatch):
     assert t.to_df(spark).count() >= 21
 
 
+@pytest.mark.slow
 def test_changelogs_system_table(spark, warehouse):
     t = warehouse.create_table(
         "db.clsys",
@@ -213,6 +214,7 @@ def test_changelogs_system_table(spark, warehouse):
     assert all(r.commit_kind == "APPEND" for r in rows)
 
 
+@pytest.mark.slow
 def test_doctor_report(spark, warehouse):
     """engine doctor (VERDICT r3 task 9): gauges from existing metadata
     plus actionable findings; healthy after maintenance."""

@@ -4,6 +4,7 @@ union-tag running-last for as-of, explode-to-bins equi-join for range."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from flink_table_store_spark.operators.temporal import (
@@ -58,6 +59,7 @@ def test_asof_backward_forward_tolerance(spark):
     assert "Join" not in plan
 
 
+@pytest.mark.slow
 def test_range_join_binned_matches_theta(spark):
     L = spark.createDataFrame(
         [(1, 0.0, 25.0), (2, 90.0, 100.0), (3, 50.0, 40.0), (4, None, 5.0)],

@@ -1,6 +1,7 @@
 """Universal compaction picking (UniversalCompaction.java:42-125)."""
 from __future__ import annotations
 
+import pytest
 from flink_table_store_spark import predicate as P
 
 DDL = "k bigint, v bigint"
@@ -40,6 +41,7 @@ def test_pick_universal_triggers():
     assert got is not None and got[-1] is runs[-1]
 
 
+@pytest.mark.slow
 def test_universal_partial_merge_correct_and_partial(spark, warehouse):
     """Partial merge: only the small newest runs rewrite; the big oldest
     run is untouched; reads stay exactly right, including deletes of
@@ -68,6 +70,7 @@ def test_universal_partial_merge_correct_and_partial(spark, warehouse):
     assert 50 not in got
 
 
+@pytest.mark.slow
 def test_universal_size_amplification_goes_full(spark, warehouse):
     t = _t(warehouse, "db.uni2")
     t.write(spark.createDataFrame([(1, 1)], DDL))
@@ -81,6 +84,7 @@ def test_universal_size_amplification_goes_full(spark, warehouse):
     assert got[1] == 41 and got[49] == 89 and len(got) == 50
 
 
+@pytest.mark.slow
 def test_universal_preserves_sequence_vs_unmerged_runs(spark, warehouse):
     """After a partial merge, a LATER full read still orders merged rows
     correctly against the untouched older run (sequence preserved)."""
@@ -103,6 +107,7 @@ def _levels(t):
     return sorted((e.level, e.file_name) for e in _runs(t))
 
 
+@pytest.mark.slow
 def test_universal_whole_pick_commits_max_level(spark, warehouse):
     """A whole-bucket pick drops -D rows and commits at MAX_LEVEL, so
     the next read takes plan_scan's single-run RAW path — no merge
@@ -145,6 +150,7 @@ def test_universal_partial_pick_stays_level0(spark, warehouse):
     assert new_run.level == 0, "partial output must NOT take the raw path"
 
 
+@pytest.mark.slow
 def test_universal_sequence_field_dedup(spark, warehouse):
     """sequence.field tables now take universal compaction: the fold
     winner is by struct(version, seq) — an older-run row with a HIGHER
@@ -188,6 +194,7 @@ def _assert_same(spark, a, b):
     assert ra == rb, f"\nuniversal={ra}\nbaseline ={rb}"
 
 
+@pytest.mark.slow
 def test_universal_partial_update_fold_parity(spark, warehouse):
     """Partial-update universal compaction: sequence-group fields,
     plain fields, NULL-skipping, and delete keys (passthrough) all read
@@ -227,6 +234,7 @@ def test_universal_partial_update_fold_parity(spark, warehouse):
     _assert_same(spark, a, b)
 
 
+@pytest.mark.slow
 def test_universal_aggregation_fold_parity(spark, warehouse):
     """Aggregation universal compaction: sum/last_non_null/collect/
     merge_map fold associatively; a -U retract key passes through
@@ -315,6 +323,7 @@ def test_universal_fold_gate(spark, warehouse):
     assert t1.to_df(spark).collect()[0].n == 6
 
 
+@pytest.mark.slow
 def test_universal_first_row_engine(spark, warehouse):
     """first-row tables fold to the MIN-effective-sequence winner; a
     partial merge of newer runs must not displace the first value."""
@@ -344,6 +353,7 @@ def test_universal_first_row_engine(spark, warehouse):
     assert got[2001] == 2001
 
 
+@pytest.mark.slow
 def test_universal_with_lookup_changelog_producer(spark, warehouse):
     """changelog-producer=lookup tables may take universal compaction
     (only full-compaction producers pin to the legacy path): write-time
@@ -362,6 +372,7 @@ def test_universal_with_lookup_changelog_producer(spark, warehouse):
     assert got[0] == 100 and got[3] == 103 and got[1999] == 1999
 
 
+@pytest.mark.slow
 def test_universal_partitioned_table_bump_per_partition(spark, warehouse):
     """On a PARTITIONED PK table the whole-pick MAX_LEVEL bump applies
     per (partition, bucket): a partition whose pick merged everything
@@ -396,6 +407,7 @@ def test_universal_partitioned_table_bump_per_partition(spark, warehouse):
     assert got[(2, 1)] == 502 and got[(3999, 1)] == 3999
 
 
+@pytest.mark.slow
 def test_universal_null_partition_retract_not_finalized(spark, warehouse):
     """eqNullSafe finalization join: a NULL-partition group containing a
     retract must go to the level-0 residual, not finalize at MAX_LEVEL
@@ -460,6 +472,7 @@ def test_fold_seq_guard_unit():
     assert not g([mk("b", "c")], [mk(1, 2)], ["ver"])
 
 
+@pytest.mark.slow
 def test_universal_seq_field_partial_update_guarded_fold(spark, warehouse):
     """sequence.field partial-update folds PARTIALLY when file stats
     prove the selected runs are a version-suffix (monotone version
@@ -504,6 +517,7 @@ def test_universal_seq_field_partial_update_guarded_fold(spark, warehouse):
     assert {r.k: r.v for r in a.to_df(spark).collect()}[1] == "v1d"
 
 
+@pytest.mark.slow
 def test_universal_seq_field_out_of_order_promotes_whole(spark, warehouse):
     """An older run holding an INTERMEDIATE version (stats overlap) is
     exactly the case where a partial fold re-attributes a field above
@@ -537,6 +551,7 @@ def test_universal_seq_field_out_of_order_promotes_whole(spark, warehouse):
     assert got[1] == ("vOLD_HI", "w1d")
 
 
+@pytest.mark.slow
 def test_universal_seq_field_aggregation_guarded_fold(spark, warehouse):
     """Aggregation engine under sequence.field: last_non_null orders by
     version, sum stays order-free; the guarded partial fold matches the

@@ -225,6 +225,7 @@ def test_local_write_refused(spark, warehouse):
 
 
 @pytest.mark.parametrize("seed", [5, 23])
+@pytest.mark.slow
 def test_fuzz_vs_python_replay(spark, warehouse, seed):
     """Seeded batches (with null keys and duplicate in-batch keys)
     against a serial python model of the reference's MERGE rewrite."""
@@ -261,6 +262,7 @@ def test_fuzz_vs_python_replay(spark, warehouse, seed):
 
 @pytest.mark.parametrize("seed", range(4))
 @pytest.mark.parametrize("order", ["ascending", "descending"])
+@pytest.mark.slow
 def test_fuzz_multifield_sequence_replay(spark, warehouse, seed, order):
     """Seeded fuzz of the r9-session-3 upsert fixes: MULTI-FIELD
     sequences compare lexicographically (not per-field AND), NULL
