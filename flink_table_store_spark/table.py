@@ -1728,7 +1728,22 @@ class Table:
                 ]
                 # materialize CURRENT values; consumed patch files retire
                 merged = self._apply_patches(spark, merged, consumed_patches)
-        elif pk and schema.num_buckets() > 0:
+        elif (
+            pk
+            and schema.num_buckets() > 0
+            # scale-adaptive gate (guide §2.5): the single
+            # (partition, bucket) exchange caps the fold's parallelism
+            # at the number of distinct groups — fine at scale
+            # (thousands of partition-buckets), but on a small table it
+            # starves the cores (bench-measured: 8 buckets on 32 cores
+            # ran the fold 8-way and compact regressed 1.15→2.0 s).
+            # Below the session's parallelism the old two-shuffle plan
+            # (fold keyed on the full PK, then the write repartition)
+            # is faster and stays.
+            and len({tuple(sorted(e.partition.items())) for e in to_compact})
+            * schema.num_buckets()
+            >= spark.sparkContext.defaultParallelism
+        ):
             # r12 one-shuffle compaction (guide §2.4): assign the
             # CURRENT layout's bucket from the key VALUES (bucket_expr
             # is generation-independent, so mid-rescale runs merge
@@ -1994,10 +2009,17 @@ class Table:
         # fold_runs output is a UNION (folded ∪ passthrough) whose
         # branches interleave (partition, bucket) groups across tasks —
         # it keeps the old two-shuffle shape so each bucket still lands
-        # in one file.
-        pre_part = engine in ("deduplicate", "first-row")
+        # in one file. Same scale-adaptive gate as full compaction
+        # (guide §2.5): below the session parallelism the single-group
+        # exchange would starve cores.
+        pre_part = engine in ("deduplicate", "first-row") and (
+            len({(tuple(sorted(e.partition.items())), e.bucket) for e in selected})
+            >= spark.sparkContext.defaultParallelism
+        )
 
         def _prepart(d):
+            if not pre_part:
+                return d
             return d.repartition(
                 *[F.col(c) for c in list(schema.partition_keys) + [BUCKET_COL]]
             )
